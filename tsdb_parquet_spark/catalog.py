@@ -1,0 +1,62 @@
+"""Table catalog over the driver-provided Parquet testdata.
+
+The reference plans one file at a time from footer metadata
+(`db/file_reader.go:43-110`); Spark's catalog + datasource layer does the
+same from Parquet footers, so this module is a thin loader that also
+registers temp views for the SQL surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tsdb_parquet_spark.session import configure_session
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Loads the ten testdata tables from an sf directory.
+
+    ``catalog[name]`` returns the DataFrame; :meth:`register_views` makes
+    them available to ``spark.sql``.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = configure_session(spark)
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; available: {TABLES}")
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            self._cache[name] = self.spark.read.parquet(path)
+        return self._cache[name]
+
+    __getitem__ = table
+
+    def register_views(self) -> None:
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against the registered testdata views."""
+        self.register_views()
+        return self.spark.sql(query)
