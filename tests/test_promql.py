@@ -1,0 +1,115 @@
+"""PromQL-subset tests.  The golden case mirrors the reference's only
+end-to-end PromQL test (`prometheus/promql_test.go:14-59`): 3 constant
+series, `sum(http_requests_total)` over [0s, 300s] step 60s must yield one
+group with value 3.0 at each of the 6 steps (the reference's stub iterator
+emits 1.0 every 30s — `prometheus/chunks_iterator.go:12-24`)."""
+
+import pytest
+
+from tsdb_parquet_spark.plans.promql import (
+    PromQLEngine,
+    parse_duration_ms,
+    parse_promql,
+)
+
+
+def _stub_samples(spark):
+    """3 series of http_requests_total, value 1.0 every 30s over [0, 300s],
+    plus one decoy metric that must be filtered out."""
+    rows = []
+    series = [("api-server", "0"), ("api-server", "1"), ("kubelet", "0")]
+    for job, inst in series:
+        for ts in range(0, 300_001, 30_000):
+            rows.append(("http_requests_total", job, inst, ts, 1.0))
+    rows.append(("other_metric", "api-server", "0", 150_000, 99.0))
+    return spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, instance STRING, ts LONG, value DOUBLE"
+    )
+
+
+def test_parse_selector():
+    e = parse_promql('http_requests_total{job="api-server", instance!="2"}')
+    assert e.metric == "http_requests_total"
+    assert [(m.name, m.op, m.value) for m in e.matchers] == [
+        ("job", "=", "api-server"),
+        ("instance", "!=", "2"),
+    ]
+    assert e.func is None and e.agg is None
+
+
+def test_parse_agg_func():
+    e = parse_promql('sum by (job) (rate(http_requests_total{job=~"api.*"}[5m]))')
+    assert e.agg == "sum" and e.by == ["job"]
+    assert e.func == "rate" and e.range_ms == 300_000
+    assert e.matchers[0].op == "=~"
+
+
+def test_parse_duration():
+    assert parse_duration_ms("90s") == 90_000
+    assert parse_duration_ms("1d") == 86_400_000
+    with pytest.raises(ValueError):
+        parse_duration_ms("5x")
+
+
+def test_golden_sum_constant_series(spark):
+    """`prometheus/promql_test.go:45-58` golden expectation."""
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range("sum(http_requests_total)", 0, 300_000, 60_000)
+    rows = out.collect()
+    assert [r["t"] for r in rows] == [0, 60_000, 120_000, 180_000, 240_000, 300_000]
+    assert all(r["value"] == 3.0 for r in rows)
+
+
+def test_matcher_filtering(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        'sum by (job) (http_requests_total{job="api-server"})',
+        0,
+        300_000,
+        60_000,
+    )
+    rows = out.collect()
+    assert {r["job"] for r in rows} == {"api-server"}
+    assert all(r["value"] == 2.0 for r in rows)  # 2 api-server series
+
+
+def test_count_over_time_tumbling(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        "sum by (job) (count_over_time(http_requests_total[60s]))",
+        60_000,
+        300_000,
+        60_000,
+    )
+    rows = {(r["t"], r["job"]): r["value"] for r in out.collect()}
+    # each 60s window holds 2 samples per series; api-server has 2 series
+    assert rows[(120_000, "api-server")] == 4.0
+    assert rows[(120_000, "kubelet")] == 2.0
+
+
+def test_rate_linear_series(spark):
+    rows = [("m", "a", ts, ts / 1000.0) for ts in range(0, 600_001, 30_000)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("rate(m[5m])", 300_000, 600_000, 300_000)
+    for r in out.collect():
+        assert r["value"] == pytest.approx(1.0)  # 1 unit/sec
+
+
+def test_unknown_metric_returns_empty(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range("sum(nonexistent_metric)", 0, 300_000, 60_000)
+    assert out.count() == 0
+
+
+def test_instant_staleness_excludes_old_samples(spark):
+    # single sample at t=0; with 5m lookback it is visible until 300s only
+    samples = spark.createDataFrame(
+        [("m", "a", 0, 7.0)], "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("m", 0, 600_000, 60_000)
+    ts = sorted(r["t"] for r in out.collect())
+    assert ts == [0, 60_000, 120_000, 180_000, 240_000]

@@ -1,0 +1,131 @@
+"""ChunkQuerier integration tests mirroring `prometheus/querier_test.go:
+19-129`: write -> compact -> open -> Select(matchers, grouping) -> expected
+label sets; plus chunk encode/decode round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.chunks import (
+    chunks_to_samples,
+    decode_samples,
+    encode_samples,
+    samples_to_chunks,
+)
+from tsdb_parquet_spark.operators.selection import Matcher
+from tsdb_parquet_spark.querier import ChunkQuerier
+from tsdb_parquet_spark.schema import MAX_T, MIN_T, SERIES_ID, sort_columns
+from tsdb_parquet_spark.sources.writer import SortedParquetWriter, WriterOptions
+
+WORK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".work", "querier_tests")
+
+LABELS = ["__name__", "instance", "job"]
+MINUTE = 60_000
+
+
+def _fixture_samples(spark):
+    """The reference fixture (`prometheus/querier_test.go:152-173`): series
+    across jobs/instances, contiguous one-minute chunks, 1.0 values every
+    30s."""
+    rows = []
+    series = [
+        ("http_requests_total", "api-server", "0"),
+        ("http_requests_total", "api-server", "1"),
+        ("http_requests_total", "kubelet", "0"),
+        ("http_errors_total", "api-server", "0"),
+    ]
+    for name, job, inst in series:
+        for ts in range(0, 3 * MINUTE, 30_000):
+            rows.append((name, inst, job, ts, 1.0))
+    return spark.createDataFrame(
+        rows, "`__name__` STRING, instance STRING, job STRING, ts LONG, value DOUBLE"
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    samples = _fixture_samples(spark)
+    chunks = samples_to_chunks(samples, LABELS, chunk_span_ms=MINUTE)
+    opts = WriterOptions(sort_columns=sort_columns(LABELS),
+                         bloom_columns=["job", "instance"], max_files=2)
+    root = os.path.join(WORK, "store")
+    writer = SortedParquetWriter(spark, root, opts)
+    writer.write(chunks)
+    return writer.compact()
+
+
+def test_encode_decode_roundtrip():
+    ts = np.array([0, 30_000, 60_000], dtype=np.int64)
+    vals = np.array([1.5, -2.25, 3.0])
+    t2, v2 = decode_samples(encode_samples(ts, vals))
+    assert list(t2) == list(ts)
+    assert list(v2) == list(vals)
+
+
+def test_select_by_matcher(spark, store):
+    q = ChunkQuerier.from_parquet(spark, store)
+    out = q.select(
+        matchers=[Matcher("__name__", "=", "http_requests_total"),
+                  Matcher("job", "=", "api-server")],
+        grouping=["instance"],
+    ).collect()
+    assert sorted(r["instance"] for r in out) == ["0", "1"]
+
+
+def test_select_time_containment(spark, store):
+    """Chunks must be FULLY contained (`prometheus/querier.go:67-70`),
+    bounds inclusive.  Each series has chunks [0,30s], [60s,90s],
+    [120s,150s]."""
+    q = ChunkQuerier.from_parquet(spark, store)
+    # maxt=90s exactly reaches the second chunk's maxt -> included (<=)
+    assert q.select_chunks(mint=0, maxt=90_000).count() == 8
+    # maxt just below excludes it -> only the first chunk of each series
+    chunks = q.select_chunks(mint=0, maxt=89_999).collect()
+    assert len(chunks) == 4
+    assert all(c[MAX_T] <= 30_000 for c in chunks)
+
+
+def test_series_ids_dense_and_deterministic(spark, store):
+    q = ChunkQuerier.from_parquet(spark, store)
+    ids = sorted(
+        r[SERIES_ID]
+        for r in q.select(grouping=[]).select(SERIES_ID).collect()
+    )
+    assert ids == [0, 1, 2, 3]  # dense, 0-based (`cmd/convert/main.go:84-91`)
+
+
+def test_label_api(spark, store):
+    q = ChunkQuerier.from_parquet(spark, store)
+    assert q.label_names() == ["__name__", "instance", "job"]
+    vals = [r["value"] for r in q.label_values("job").collect()]
+    assert vals == ["api-server", "kubelet"]
+
+
+def test_samples_roundtrip_through_store(spark, store):
+    q = ChunkQuerier.from_parquet(spark, store)
+    back = q.select_samples(matchers=[Matcher("__name__", "=",
+                                              "http_requests_total")])
+    got = back.agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()[0]
+    assert got["n"] == 3 * 6  # 3 series x 6 samples
+    assert got["s"] == 18.0
+
+
+def test_chunks_to_samples_preserves_order_and_values(spark):
+    samples = _fixture_samples(spark)
+    chunks = samples_to_chunks(samples, LABELS, chunk_span_ms=MINUTE)
+    back = chunks_to_samples(chunks, LABELS)
+    orig = {tuple(r) for r in samples.collect()}
+    got = {tuple(r) for r in back.select(*LABELS[:1], "instance", "job",
+                                         "ts", "value").collect()}
+    assert orig == got
+
+
+def test_chunk_bounds_match_samples(spark):
+    samples = _fixture_samples(spark)
+    chunks = samples_to_chunks(samples, LABELS, chunk_span_ms=MINUTE).collect()
+    for c in chunks:
+        assert c[MIN_T] <= c[MAX_T]
+        assert c[MAX_T] - c[MIN_T] < MINUTE

@@ -1,0 +1,144 @@
+"""Chunk encode/decode + ingestion from a samples table (reference S4 + M3).
+
+The reference converts a Prometheus TSDB block into one Parquet row per
+chunk (`cmd/convert/main.go:23-126`): series labels, file-local
+``__series__id``, ``__mint``/``__maxt``, and the raw chunk bytes.  Its chunk
+payload is a Prometheus XOR chunk of ~120 samples (`db/writer_test.go:
+145-150`); its sample decoder was never implemented
+(`prometheus/chunks_iterator.go:8-41`).
+
+We define our own deterministic chunk encoding (we go further than the
+reference: decode is real):
+
+    uint32 LE sample count, then count * (int64 LE ts_ms, float64 LE value)
+
+Encoding runs as ``applyInPandas`` over (series, time-bucket) groups — one
+shuffle on the chunk key, arbitrarily parallel, no driver state.  Decoding
+is a vectorized pandas UDF returning ``array<struct<ts,value>>`` + an
+``explode`` — the Spark-native late materialization of sample data.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tsdb_parquet_spark.schema import CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID
+
+#: default chunk span: one day of samples per chunk (the reference targets
+#: ~120 samples/chunk; span is the knob at ingest time)
+DEFAULT_CHUNK_SPAN_MS = 24 * 3600 * 1000
+
+SAMPLE_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+)
+
+
+def encode_samples(ts_ms: np.ndarray, values: np.ndarray) -> bytes:
+    """Pack sorted samples into the chunk byte format."""
+    n = len(ts_ms)
+    out = bytearray(struct.pack("<I", n))
+    buf = np.empty(2 * n, dtype=np.int64)
+    buf[0::2] = ts_ms.astype(np.int64)
+    buf[1::2] = values.astype(np.float64).view(np.int64)
+    out += buf.tobytes()
+    return bytes(out)
+
+
+def decode_samples(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    (n,) = struct.unpack_from("<I", blob, 0)
+    buf = np.frombuffer(blob, dtype=np.int64, offset=4, count=2 * n)
+    return buf[0::2].copy(), buf[1::2].copy().view(np.float64)
+
+
+@F.pandas_udf(SAMPLE_STRUCT)
+def decode_chunk_udf(blobs: pd.Series) -> pd.Series:
+    """Vectorized chunk decode (Arrow-batched; the reference's equivalent
+    sample iterator is a stub — `prometheus/chunks_iterator.go:12-24`)."""
+    out = []
+    for blob in blobs:
+        ts, vals = decode_samples(blob)
+        out.append([{"ts": int(t), "value": float(v)} for t, v in zip(ts, vals)])
+    return pd.Series(out)
+
+
+def samples_to_chunks(
+    samples: DataFrame,
+    label_columns: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    chunk_span_ms: int = DEFAULT_CHUNK_SPAN_MS,
+) -> DataFrame:
+    """Convert a samples DataFrame (int64 ms ``ts_col``, double
+    ``value_col``, string label columns) into the chunk table.
+
+    Mirrors the converter (`cmd/convert/main.go:79-117`): chunks carry the
+    exact [min ts, max ts] of their samples; ``__series__id`` is dense
+    0..N-1 in sorted-label order (`cmd/convert/main.go:84-91`,
+    `schema/chunk.go:28-30` — file-local identity).
+
+    Scale: one shuffle to group by (series, bucket); the dense_rank for
+    series ids uses a Window over label columns only after a distinct-series
+    reduction, so its input is |series|, not |samples|.
+    """
+    labels = list(label_columns)
+    bucket = (F.col(ts_col) / F.lit(chunk_span_ms)).cast("long").alias("__bucket")
+    grouped = samples.select(
+        *labels, F.col(ts_col).alias("ts"), F.col(value_col).alias("value"), bucket
+    )
+
+    out_schema = T.StructType(
+        [T.StructField(c, T.StringType(), False) for c in labels]
+        + [
+            T.StructField(MIN_T, T.LongType(), False),
+            T.StructField(MAX_T, T.LongType(), False),
+            T.StructField(CHUNK_BYTES, T.BinaryType(), False),
+        ]
+    )
+
+    n_labels = len(labels)
+
+    def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        row = {labels[i]: key[i] for i in range(n_labels)}
+        row[MIN_T] = int(ts.min())
+        row[MAX_T] = int(ts.max())
+        row[CHUNK_BYTES] = encode_samples(ts, vals)
+        return pd.DataFrame([row])
+
+    chunks = grouped.groupBy(*labels, "__bucket").applyInPandas(
+        build_chunk, schema=out_schema
+    )
+
+    # dense series ids over the (small) distinct-series set, then broadcast
+    # back — avoids running a global window over every chunk row
+    series = chunks.select(*labels).distinct()
+    w = Window.orderBy(*[F.col(c) for c in sorted(labels)])
+    series_ids = series.withColumn(SERIES_ID, F.dense_rank().over(w) - 1)
+    return chunks.join(F.broadcast(series_ids), on=labels, how="inner").select(
+        SERIES_ID, MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels)
+    )
+
+
+def chunks_to_samples(chunks: DataFrame, label_columns: Sequence[str]) -> DataFrame:
+    """Inverse of :func:`samples_to_chunks`: decode + explode back to
+    (labels..., ts, value) rows."""
+    labels = list(label_columns)
+    decoded = chunks.select(
+        *labels, F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+    )
+    return decoded.select(*labels, F.col("s.ts").alias("ts"),
+                          F.col("s.value").alias("value"))

@@ -333,3 +333,237 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     — value absent from every row group."""
     li = _cat(spark, sf_dir)["lineitem"]
     return li.filter(equals("l_returnflag", "Z")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q16-q18 — chunk data model end-to-end (reference S4/S5/M2/M3 surface)
+# ---------------------------------------------------------------------------
+#
+# The events table is converted into the reference's chunk-per-row layout
+# (`schema/chunk.go:25-37`): labels (__name__, event_type, shard), one chunk
+# per (series, day), samples encoded into __chunk_bytes; written through the
+# sorted-part writer and queried back through ChunkQuerier.  The oracle
+# reproduces the chunking math in plain SQL over the raw events.
+
+_CHUNK_LABELS = ["__name__", "event_type", "shard"]
+_DAY_MS = 24 * 3600 * 1000
+# fixed query window inside the events time range (2024-01-01..2024-01-30,
+# deterministic seed-42 data): [Jan 8, Jan 22)
+_QMINT = 1704672000000
+_QMAXT = 1705881600000
+
+# SQL prelude shared by the chunk oracles: samples -> day-chunks with
+# per-chunk [mint, maxt], exactly like samples_to_chunks()
+_CHUNK_ORACLE_CTE = f"""
+WITH s AS (
+  SELECT 'app_events' AS metric, event_type,
+         CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+), ch AS (
+  SELECT event_type, shard, ts_ms // {_DAY_MS} AS bucket,
+         min(ts_ms) AS mint, max(ts_ms) AS maxt
+  FROM s GROUP BY 1, 2, 3
+)
+"""
+
+
+def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the sorted chunk store for the events table:
+    samples -> chunks -> sorted parts -> compact.  Returns the compact dir."""
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"chunk_store_{tag}")
+    compact_dir = os.path.join(root, "compact")
+    if os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
+        return compact_dir
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),  # int64 ns -> ms
+        F.col("value"),
+    )
+    chunks = samples_to_chunks(samples, _CHUNK_LABELS, chunk_span_ms=_DAY_MS)
+    opts = WriterOptions(
+        sort_columns=sort_columns(_CHUNK_LABELS),
+        bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
+        max_files=16,
+    )
+    writer = SortedParquetWriter(spark, root, opts)
+    writer.write(chunks)
+    return writer.compact()
+
+
+@query(
+    "q16_series_select",
+    _CHUNK_ORACLE_CTE
+    + f"""
+, ids AS (
+  SELECT event_type, shard,
+         DENSE_RANK() OVER (ORDER BY event_type, shard) - 1 AS sid
+  FROM (SELECT DISTINCT event_type, shard FROM ch)
+)
+SELECT i.sid AS "__series__id", c.event_type, c.shard
+FROM (SELECT DISTINCT event_type, shard FROM ch
+      WHERE mint >= {_QMINT} AND maxt <= {_QMAXT}) c
+JOIN ids i USING (event_type, shard)
+ORDER BY 1""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: ChunkQuerier.select — containment time bounds + distinct series
+    (`prometheus/querier.go:66-88`).  The oracle recomputes the chunk
+    boundaries and the dense series-id assignment in SQL."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    return q.select(
+        mint=_QMINT, maxt=_QMAXT, grouping=["event_type", "shard"]
+    ).orderBy("__series__id")
+
+
+@query(
+    "q17_chunk_samples_roundtrip",
+    _CHUNK_ORACLE_CTE
+    + f"""
+SELECT s.event_type,
+       count(*) AS n_samples,
+       round(sum(s.value), 2) AS sum_value,
+       min(s.ts_ms) AS min_ts,
+       max(s.ts_ms) AS max_ts
+FROM s
+JOIN ch ON s.event_type = ch.event_type AND s.shard = ch.shard
+       AND s.ts_ms // {_DAY_MS} = ch.bucket
+WHERE ch.mint >= {_QMINT} AND ch.maxt <= {_QMAXT}
+  AND s.event_type <> 'purchase'
+GROUP BY s.event_type
+ORDER BY s.event_type""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: full sample round-trip through the chunk layout — select chunks
+    (containment window + != matcher, which the reference mishandles,
+    `prometheus/querier.go:71-73`), decode __chunk_bytes, explode, and
+    aggregate.  Hash-matching the raw events proves the encode/write/
+    compact/scan/decode cycle is lossless."""
+    from tsdb_parquet_spark.operators.selection import Matcher
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    samples = q.select_samples(
+        mint=_QMINT,
+        maxt=_QMAXT,
+        matchers=[Matcher("event_type", "!=", "purchase")],
+        labels=["event_type"],
+    )
+    return (
+        samples.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q18_label_values",
+    """SELECT DISTINCT event_type AS value FROM events ORDER BY value""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: label_values — the API the reference panics on
+    (`prometheus/querier.go:93-101`), implemented over the chunk store."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    return q.label_values("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q19-q20 — PromQL-subset range queries over the chunk store (M3; the
+# reference delegates this layer entirely, `prometheus/promql_test.go:28-44`)
+# ---------------------------------------------------------------------------
+
+_P_START = 1704153600000  # 2024-01-02T00:00Z
+_P_END = 1706486400000  # 2024-01-29T00:00Z
+_P_STEP = _DAY_MS
+_P_LOOKBACK = 6 * 3600 * 1000
+
+
+def _promql_samples(spark: SparkSession, sf_dir: str):
+    """samples via the full pipeline: events -> chunks -> sorted parquet ->
+    querier -> decode."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    return PromQLEngine(q.select_samples(labels=_CHUNK_LABELS))
+
+
+@query(
+    "q19_promql_count_over_time",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+b AS (
+  SELECT event_type,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+)
+SELECT t, event_type, CAST(count(*) AS DOUBLE) AS value
+FROM b WHERE t <= {_P_END}
+GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (event_type) (count_over_time(app_events[1d]))` — tumbling
+    fast path (window == step: pure bucket arithmetic, zero joins)."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "sum by (event_type) (count_over_time(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+@query(
+    "q20_promql_instant_sum",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, event_type, round(sum(v), 2) AS value
+FROM last GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (event_type) (app_events)` instant vectors with staleness
+    lookback — broadcast range-join of samples against the step axis,
+    last-sample-per-series via max_by."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "sum by (event_type) (app_events)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return out.select("t", "event_type", F.round("value", 2).alias("value"))

@@ -1,0 +1,368 @@
+"""PromQL-subset translator: query string -> DataFrame plan (reference M3).
+
+The reference delegates ALL PromQL evaluation to the external
+thanos promql-engine over a stubbed sample iterator
+(`prometheus/promql_test.go:28-44`, `prometheus/chunks_iterator.go:8-41`);
+its own surface is only series selection.  This module goes further: a
+small recursive-descent parser for the subset
+
+    expr     := agg | func | selector
+    agg      := AGGOP [by-clause] '(' (func | selector) ')'
+    by-clause:= 'by' '(' label (',' label)* ')'
+    func     := FUNC '(' selector '[' duration ']' ')'
+    selector := metric ['{' matcher (',' matcher)* '}']
+    matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
+    AGGOP    := sum | min | max | count | avg
+    FUNC     := rate | increase | count_over_time | sum_over_time |
+                avg_over_time | min_over_time | max_over_time | last_over_time
+
+and a range-query evaluator that compiles the expression to DataFrame
+operations over a samples table (ts int64 ms, value double, label columns).
+
+Evaluation strategy (scale-first):
+
+- **tumbling fast path**: when the range window equals the step, each
+  sample belongs to exactly one step -> pure column arithmetic + one
+  groupBy; no join at all.
+- **general path**: broadcast range-join of samples against the (tiny)
+  step axis — each sample fans out to ~window/step steps; the big side
+  never shuffles more than once for the final aggregation.
+
+Deviation from full PromQL, documented: ``rate``/``increase`` use plain
+(last-first) deltas without Prometheus' window-edge extrapolation or
+counter-reset correction.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.operators.selection import Matcher
+
+DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
+
+AGG_OPS = {"sum", "min", "max", "count", "avg"}
+RANGE_FUNCS = {
+    "rate",
+    "increase",
+    "count_over_time",
+    "sum_over_time",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "last_over_time",
+}
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000, "w": 604_800_000}
+
+
+def parse_duration_ms(text: str) -> int:
+    m = _DURATION_RE.match(text.strip())
+    if not m:
+        raise ValueError(f"bad duration {text!r}")
+    return int(m.group(1)) * _DURATION_MS[m.group(2)]
+
+
+@dataclass
+class PromExpr:
+    metric: str
+    matchers: list[Matcher] = field(default_factory=list)
+    func: str | None = None  # range function
+    range_ms: int | None = None
+    agg: str | None = None  # outer aggregation
+    by: list[str] | None = None  # None = aggregate everything away
+
+
+class _Parser:
+    _TOKEN = re.compile(
+        r"""\s*(?:
+            (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+          | (?P<string>"(?:[^"\\]|\\.)*")
+          | (?P<op>=~|!~|!=|=)
+          | (?P<punct>[(){},\[\]])
+          | (?P<duration_part>\d+(?:ms|s|m|h|d|w))
+        )""",
+        re.VERBOSE,
+    )
+
+    def __init__(self, text: str):
+        self.tokens: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            if text[pos].isspace():
+                pos += 1
+                continue
+            m = self._TOKEN.match(text, pos)
+            if not m:
+                raise ValueError(f"promql parse error at {text[pos:pos + 20]!r}")
+            self.tokens.append((m.lastgroup, m.group(m.lastgroup)))
+            pos = m.end()
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect(self, value: str):
+        kind, tok = self.next()
+        if tok != value:
+            raise ValueError(f"expected {value!r}, got {tok!r}")
+
+    def parse(self) -> PromExpr:
+        expr = self._expr()
+        if self.i != len(self.tokens):
+            raise ValueError(f"trailing tokens: {self.tokens[self.i:]}")
+        return expr
+
+    def _expr(self) -> PromExpr:
+        kind, tok = self.peek()
+        if kind == "ident" and tok in AGG_OPS:
+            return self._agg()
+        if kind == "ident" and tok in RANGE_FUNCS:
+            return self._func()
+        return self._selector()
+
+    def _agg(self) -> PromExpr:
+        _, op = self.next()
+        by = None
+        kind, tok = self.peek()
+        if kind == "ident" and tok == "by":
+            self.next()
+            self.expect("(")
+            by = []
+            while True:
+                k, label = self.next()
+                if k != "ident":
+                    raise ValueError(f"expected label, got {label!r}")
+                by.append(label)
+                k, nxt = self.next()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise ValueError(f"expected , or ) in by-clause, got {nxt!r}")
+        self.expect("(")
+        kind, tok = self.peek()
+        inner = (
+            self._func()
+            if kind == "ident" and tok in RANGE_FUNCS
+            else self._selector()
+        )
+        self.expect(")")
+        inner.agg = op
+        inner.by = by or []
+        return inner
+
+    def _func(self) -> PromExpr:
+        _, fn = self.next()
+        self.expect("(")
+        sel = self._selector()
+        self.expect("[")
+        kind, dur = self.next()
+        if kind != "duration_part":
+            raise ValueError(f"expected duration, got {dur!r}")
+        self.expect("]")
+        self.expect(")")
+        sel.func = fn
+        sel.range_ms = parse_duration_ms(dur)
+        return sel
+
+    def _selector(self) -> PromExpr:
+        kind, metric = self.next()
+        if kind != "ident":
+            raise ValueError(f"expected metric name, got {metric!r}")
+        matchers: list[Matcher] = []
+        k, tok = self.peek()
+        if tok == "{":
+            self.next()
+            while True:
+                k, name = self.next()
+                if name == "}":
+                    break
+                if k != "ident":
+                    raise ValueError(f"expected label name, got {name!r}")
+                _, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise ValueError(f"bad matcher op {op!r}")
+                k, val = self.next()
+                if k != "string":
+                    raise ValueError(f"expected quoted value, got {val!r}")
+                matchers.append(Matcher(name, op, val[1:-1]))
+                k, nxt = self.peek()
+                if nxt == ",":
+                    self.next()
+        return PromExpr(metric=metric, matchers=matchers)
+
+
+def parse_promql(text: str) -> PromExpr:
+    return _Parser(text).parse()
+
+
+_FUNC_AGGS = {
+    "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
+    "sum_over_time": lambda: F.sum("value"),
+    "avg_over_time": lambda: F.avg("value"),
+    "min_over_time": lambda: F.min("value"),
+    "max_over_time": lambda: F.max("value"),
+    "last_over_time": lambda: F.max_by("value", "ts"),
+}
+
+_OUTER_AGGS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c).cast("double"),
+}
+
+
+class PromQLEngine:
+    """Evaluates the PromQL subset over a samples DataFrame.
+
+    ``samples``: columns ``ts`` (int64 Unix ms), ``value`` (double) and one
+    string column per label; the metric name lives in ``__name__``
+    (reference label convention, `db/writer.go:16-17`).
+    """
+
+    def __init__(self, samples: DataFrame, metric_label: str = "__name__"):
+        self.samples = samples
+        self.metric_label = metric_label
+        self.label_columns = [
+            c for c in samples.columns if c not in ("ts", "value")
+        ]
+
+    def query_range(
+        self,
+        promql: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    ) -> DataFrame:
+        """Evaluate at steps t = start, start+step, ..., <=end.  Output:
+        (t BIGINT, <series or by labels>..., value DOUBLE)."""
+        expr = parse_promql(promql)
+        window_ms = expr.range_ms if expr.func else lookback_ms
+
+        matchers = list(expr.matchers)
+        if expr.metric:
+            matchers.append(Matcher(self.metric_label, "=", expr.metric))
+        df = self.samples
+        for m in matchers:
+            if m.name in df.columns:
+                df = df.filter(m.to_column())
+            elif m.op in ("=", "=~"):
+                return self._empty(expr)
+
+        # prune to the evaluation window before any join/shuffle
+        df = df.filter(
+            (F.col("ts") > F.lit(start_ms - window_ms))
+            & (F.col("ts") <= F.lit(end_ms))
+        )
+
+        series_cols = [c for c in self.label_columns if c != self.metric_label]
+
+        if expr.func is None or window_ms == step_ms:
+            bucketed = self._assign_steps(
+                df, start_ms, end_ms, step_ms, window_ms
+            )
+        else:
+            bucketed = self._join_steps(df, start_ms, end_ms, step_ms, window_ms)
+
+        per_series = self._range_value(expr, bucketed, series_cols)
+
+        if expr.agg is None:
+            return per_series.orderBy("t", *series_cols)
+        by = expr.by or []
+        out = per_series.groupBy("t", *by).agg(
+            _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
+        )
+        return out.orderBy("t", *by)
+
+    # -- step assignment ----------------------------------------------------
+
+    @staticmethod
+    def _assign_steps(df, start_ms, end_ms, step_ms, window_ms) -> DataFrame:
+        """Tumbling fast path (window == step, or instant vectors where we
+        only need the containing step when window <= step): each sample maps
+        to exactly ceil((ts-start)/step) — no join, no fan-out."""
+        if window_ms > step_ms:
+            # instant vectors with lookback > step still need the fan-out
+            return PromQLEngine._join_steps(
+                df, start_ms, end_ms, step_ms, window_ms
+            )
+        # numerator is >= 0 because ts > start - window >= start - step;
+        # integer `div` keeps the bucket math exact (no float rounding)
+        t = F.expr(
+            f"{start_ms}L + ((ts - {start_ms}L + {step_ms - 1}L) div {step_ms}L)"
+            f" * {step_ms}L"
+        )
+        df = df.withColumn("t", t).filter(F.col("t") <= F.lit(end_ms))
+        if window_ms < step_ms:
+            # sample must fall inside (t-window, t], not just the step
+            df = df.filter(F.col("ts") > F.col("t") - F.lit(window_ms))
+        return df
+
+    @staticmethod
+    def _join_steps(df, start_ms, end_ms, step_ms, window_ms) -> DataFrame:
+        """General path: broadcast the step axis (tiny) against the samples;
+        each sample joins ~window/step steps.  The samples side stays
+        shuffle-free until the final per-(series, t) aggregation."""
+        spark = df.sparkSession
+        steps = spark.range(start_ms, end_ms + 1, step_ms).withColumnRenamed(
+            "id", "t"
+        )
+        cond = (F.col("ts") > F.col("t") - F.lit(window_ms)) & (
+            F.col("ts") <= F.col("t")
+        )
+        return df.join(F.broadcast(steps), cond)
+
+    # -- range-function evaluation -------------------------------------------
+
+    @staticmethod
+    def _range_value(expr: PromExpr, bucketed: DataFrame, series_cols) -> DataFrame:
+        keys = ["t"] + list(series_cols)
+        if expr.func is None:
+            # instant vector: last sample within the lookback window
+            agg = F.max_by("value", "ts").alias("value")
+            return bucketed.groupBy(*keys).agg(agg)
+        if expr.func in _FUNC_AGGS:
+            return bucketed.groupBy(*keys).agg(
+                _FUNC_AGGS[expr.func]().alias("value")
+            )
+        # rate / increase: plain last-first delta (documented deviation:
+        # no extrapolation, no counter-reset handling)
+        grouped = bucketed.groupBy(*keys).agg(
+            F.max_by("value", "ts").alias("__last"),
+            F.min_by("value", "ts").alias("__first"),
+            F.max("ts").alias("__last_ts"),
+            F.min("ts").alias("__first_ts"),
+        )
+        delta = F.col("__last") - F.col("__first")
+        span_s = (F.col("__last_ts") - F.col("__first_ts")) / F.lit(1000.0)
+        if expr.func == "increase":
+            value = delta
+        else:  # rate
+            value = F.when(span_s > 0, delta / span_s)
+        return (
+            grouped.withColumn("value", value)
+            .filter(F.col("value").isNotNull())
+            .drop("__last", "__first", "__last_ts", "__first_ts")
+        )
+
+    def _empty(self, expr: PromExpr) -> DataFrame:
+        spark = self.samples.sparkSession
+        cols = expr.by if expr.agg is not None else [
+            c for c in self.label_columns if c != self.metric_label
+        ]
+        schema = "t BIGINT, " + "".join(f"{c} STRING, " for c in cols) + "value DOUBLE"
+        return spark.createDataFrame([], schema)

@@ -1,0 +1,119 @@
+"""ChunkQuerier — the series-selection surface (reference M2).
+
+Implements the querier semantics of `prometheus/querier.go:26-101`:
+
+- ``select(mint, maxt, matchers, grouping)``: chunks **fully contained** in
+  the query window (``__mint >= mint AND __maxt <= maxt``, inclusive —
+  `prometheus/querier.go:67-70`), label matchers as pushdown predicates,
+  then one row per distinct ``__series__id`` projecting the grouping labels
+  (`prometheus/querier.go:80-88`).
+- ``label_names`` / ``label_values``: implemented honestly (the reference
+  declares them and panics — `prometheus/querier.go:93-101`).
+- ``select_chunks``: the raw filtered chunk rows (the CLI path,
+  `cmd/read/main.go:95-126`).
+- ``select_samples``: select + decode + explode — real sample reads, which
+  the reference stubs (`prometheus/chunks_iterator.go:12-24`).
+
+Every method returns a lazy DataFrame; Catalyst pushes the matcher and time
+predicates into the Parquet scan (bloom / zone-map / dictionary pruning =
+reference P8-P13 for free).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.chunks import chunks_to_samples
+from tsdb_parquet_spark.operators.selection import Matcher, conjunction
+from tsdb_parquet_spark.schema import (
+    CHUNK_BYTES,
+    MAX_T,
+    MIN_T,
+    RESERVED_COLUMNS,
+    SERIES_ID,
+)
+
+
+class ChunkQuerier:
+    def __init__(self, chunks: DataFrame):
+        self.chunks = chunks
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "ChunkQuerier":
+        return cls(spark.read.parquet(path))
+
+    @property
+    def label_columns(self) -> list[str]:
+        return [c for c in self.chunks.columns if c not in RESERVED_COLUMNS]
+
+    def _filtered(
+        self, mint: int | None, maxt: int | None, matchers: Iterable[Matcher]
+    ) -> DataFrame:
+        preds = [m.to_column() for m in matchers]
+        # containment semantics (`prometheus/querier.go:67-70`): the chunk's
+        # whole [mint, maxt] range must lie inside the query window
+        if mint is not None:
+            preds.append(F.col(MIN_T) >= F.lit(int(mint)))
+        if maxt is not None:
+            preds.append(F.col(MAX_T) <= F.lit(int(maxt)))
+        return self.chunks.filter(conjunction(preds))
+
+    def select_chunks(
+        self,
+        mint: int | None = None,
+        maxt: int | None = None,
+        matchers: Sequence[Matcher] = (),
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Scan -> prune -> project (`cmd/read/main.go:95-126`)."""
+        df = self._filtered(mint, maxt, matchers)
+        return df.select(*columns) if columns else df
+
+    def select(
+        self,
+        mint: int | None = None,
+        maxt: int | None = None,
+        matchers: Sequence[Matcher] = (),
+        grouping: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Series enumeration (`prometheus/querier.go:80-88`): distinct
+        series ids + grouping labels."""
+        grouping = list(grouping) if grouping is not None else self.label_columns
+        df = self._filtered(mint, maxt, matchers)
+        return df.select(SERIES_ID, *grouping).dropDuplicates([SERIES_ID])
+
+    def select_samples(
+        self,
+        mint: int | None = None,
+        maxt: int | None = None,
+        matchers: Sequence[Matcher] = (),
+        labels: Sequence[str] | None = None,
+    ) -> DataFrame:
+        labels = list(labels) if labels is not None else self.label_columns
+        df = self._filtered(mint, maxt, matchers).select(*labels, CHUNK_BYTES)
+        return chunks_to_samples(df, labels)
+
+    def label_names(self, matchers: Sequence[Matcher] = ()) -> list[str]:
+        """All label names with at least one non-empty value under the
+        matchers (absent labels are written as "" — `schema/chunk.go:
+        109-112`)."""
+        df = self._filtered(None, None, matchers)
+        agg = df.agg(
+            *[
+                F.max(F.col(c) != F.lit("")).alias(c)
+                for c in self.label_columns
+            ]
+        ).collect()[0]
+        return sorted(c for c in self.label_columns if agg[c])
+
+    def label_values(self, name: str, matchers: Sequence[Matcher] = ()) -> DataFrame:
+        df = self._filtered(None, None, matchers)
+        return (
+            df.select(F.col(name).alias("value"))
+            .filter(F.col("value") != F.lit(""))
+            .distinct()
+            .orderBy("value")
+        )
