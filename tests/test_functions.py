@@ -1,0 +1,155 @@
+"""Unit tests for the LLM-pipeline operator layer (dedup / similarity /
+text / multimodal)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions import dedup as D
+from tsdb_parquet_spark.functions import multimodal as MM
+from tsdb_parquet_spark.functions import similarity as SIM
+from tsdb_parquet_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different text about spark engines"),
+        (3, "the   quick brown fox jumps over the lazy dog "),  # ws-dup of 0
+        (4, "el perro y el gato en la casa no se ven"),
+        (5, "xy"),  # too short for shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_whitespace_insensitive(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[0] == 2  # doc 3 collapses into doc 0
+    assert 3 not in by_keep
+
+
+def test_drop_exact_duplicates(docs):
+    kept = D.drop_exact_duplicates(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 1, 2, 4, 5]
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    out = docs.select("doc_id", F.size(D.shingles(F.col("text"))).alias("n"))
+    n = {r["doc_id"]: r["n"] for r in out.collect()}
+    assert n[5] == 0
+    assert n[0] == 7  # 9 tokens -> 7 tri-shingles
+
+
+def test_lsh_finds_near_duplicates(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (0, 1) in pairs or (0, 3) in pairs
+    assert (0, 3) in pairs  # identical docs always collide
+    assert not any(2 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_values(docs):
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a LONG, doc_b LONG"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.verify_pairs_jaccard(docs, pairs, threshold=0.0).collect()
+    }
+    assert out[(0, 3)] == 1.0
+    assert 0.4 < out[(0, 1)] < 1.0  # one word changed
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_similar_docs_close(docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ham = bin(out[0] ^ out[1]).count("1")
+    ham_far = bin(out[0] ^ out[2]).count("1")
+    assert out[0] == out[3]  # whitespace-insensitive
+    assert ham <= ham_far
+
+
+def test_language_id(docs):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", TX.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42",), ("",)], "text STRING")
+    out = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.bpe_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert out[0]["n"] == 3
+    # hello , world ! 42 -> 5 BPE-ish tokens
+    assert out[0]["b"] == 5
+    assert out[1]["n"] == 0 and out[1]["b"] == 0
+
+
+def test_quality_score_bounds(docs):
+    vals = [
+        r["q"]
+        for r in docs.select(TX.quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((99, [1.0, 0.0, 0.0, 0.001]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    top = SIM.brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2, exclude_ids=[0])
+    got = [(r["vec_id"], r["cos_sim"]) for r in top.collect()]
+    assert got[0][0] == 99 and got[0][1] == 1.0  # cos ~0.9999995 rounds to 1
+    assert got[1][1] == 0.0
+
+
+def test_lsh_topk_matches_brute_force_for_bucket_member(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = rows[17][1]
+    ann = SIM.lsh_topk(df, q, k=1, bits=4, exclude_ids=[])
+    top = ann.collect()[0]
+    assert top["vec_id"] == 17 and top["cos_sim"] == 1.0
+
+
+def test_multimodal_metadata_stub(docs):
+    media = MM.attach_fake_media(docs)
+    meta = MM.extract_media_metadata(media, decode_stub=True).collect()
+    for r in meta:
+        assert r["meta"]["n_bytes"] == 16
+        assert 1 <= r["meta"]["width"] <= 64
+        assert r["meta"]["format"] in ("png", "jpeg", "webp")
+
+
+def test_multimodal_real_decode_raises(docs):
+    media = MM.attach_fake_media(docs)
+    with pytest.raises(Exception) as exc_info:
+        MM.extract_media_metadata(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_fanout(docs):
+    media = MM.attach_fake_media(docs)
+    frames = MM.sample_frames(media, every_nth_byte=4)
+    # 16-byte blobs sampled every 4 bytes -> 4 frames per doc
+    assert frames.count() == docs.count() * 4

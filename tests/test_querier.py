@@ -47,11 +47,14 @@ def _fixture_samples(spark):
 
 @pytest.fixture(scope="module")
 def store(spark):
+    import shutil
+
     samples = _fixture_samples(spark)
     chunks = samples_to_chunks(samples, LABELS, chunk_span_ms=MINUTE)
     opts = WriterOptions(sort_columns=sort_columns(LABELS),
                          bloom_columns=["job", "instance"], max_files=2)
     root = os.path.join(WORK, "store")
+    shutil.rmtree(root, ignore_errors=True)
     writer = SortedParquetWriter(spark, root, opts)
     writer.write(chunks)
     return writer.compact()

@@ -1,0 +1,99 @@
+"""Streaming ingestion tests (M4): losslessness, duplicate suppression,
+series-id assignment at compaction."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.querier import ChunkQuerier
+from tsdb_parquet_spark.schema import SERIES_ID
+from tsdb_parquet_spark.streaming.ingest import StreamingChunkIngestor
+
+WORK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".work", "streaming_tests")
+
+LABELS = ["__name__", "event_type", "shard"]
+DAY_MS = 86_400_000
+
+
+def _to_samples(batch):
+    return batch.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+
+
+def _stage_events(spark, sf_dir, staging, copies=1):
+    """Copy events.parquet into a staging dir N times (duplicate delivery)."""
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in range(copies):
+        shutil.copy(src, os.path.join(staging, f"events_{i}.parquet"))
+
+
+def _run_ingest(spark, source_dir, root, schema, max_files_per_trigger=None):
+    shutil.rmtree(root, ignore_errors=True)
+    ingestor = StreamingChunkIngestor(
+        spark, root, LABELS, _to_samples, chunk_span_ms=DAY_MS
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir).withColumn(
+        "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ingestor.ingest(stream, dedup_key="event_id", event_time_col="__event_time")
+    return ingestor
+
+
+def test_stream_ingest_lossless(spark, sf_smoke):
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    staging = os.path.join(WORK, "staging_single")
+    _stage_events(spark, sf_smoke, staging)
+    ingestor = _run_ingest(spark, staging, os.path.join(WORK, "single"),
+                           events.schema)
+    compact = ingestor.finalize()
+    q = ChunkQuerier.from_parquet(spark, compact)
+    got = q.select_samples(labels=["event_type"]).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    want = events.agg(F.count("*").alias("n"), F.sum("value").alias("s")
+                      ).collect()[0]
+    assert got["n"] == want["n"]
+    assert abs(got["s"] - want["s"]) < 1e-6
+
+
+def test_stream_dedup_suppresses_duplicate_delivery(spark, sf_smoke):
+    """The same source file delivered twice across micro-batches must be
+    ingested once (watermarked dropDuplicates on event_id) — protection the
+    batch-only reference cannot express."""
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    staging = os.path.join(WORK, "staging_dup")
+    _stage_events(spark, sf_smoke, staging, copies=2)
+    ingestor = _run_ingest(spark, staging, os.path.join(WORK, "dup"),
+                           events.schema, max_files_per_trigger=1)
+    compact = ingestor.finalize()
+    q = ChunkQuerier.from_parquet(spark, compact)
+    n = q.select_samples(labels=["event_type"]).count()
+    assert n == events.count()
+
+
+def test_series_ids_assigned_at_compaction(spark, sf_smoke):
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    staging = os.path.join(WORK, "staging_ids")
+    _stage_events(spark, sf_smoke, staging)
+    ingestor = _run_ingest(spark, staging, os.path.join(WORK, "ids"),
+                           events.schema)
+    # parts carry no series ids
+    parts = spark.read.parquet(*ingestor.writer.part_dirs)
+    assert SERIES_ID not in parts.columns
+    compact = ingestor.finalize()
+    store = spark.read.parquet(compact)
+    ids = [r[SERIES_ID] for r in
+           store.select(SERIES_ID).distinct().orderBy(SERIES_ID).collect()]
+    assert ids == list(range(len(ids)))  # dense 0..N-1

@@ -66,8 +66,11 @@ def test_files_sorted_and_disjoint(spark, sf_smoke, opts):
 
 
 def test_compact_merges_parts(spark, sf_smoke, opts):
+    import shutil
+
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
     root = os.path.join(WORK, "compact_cycle")
+    shutil.rmtree(root, ignore_errors=True)
     writer = SortedParquetWriter(spark, root, opts)
     writer.write(li.filter(F.col("l_orderkey") % 3 == 0))
     writer.write(li.filter(F.col("l_orderkey") % 3 == 1))

@@ -79,6 +79,7 @@ def samples_to_chunks(
     ts_col: str = "ts",
     value_col: str = "value",
     chunk_span_ms: int = DEFAULT_CHUNK_SPAN_MS,
+    assign_series_ids: bool = True,
 ) -> DataFrame:
     """Convert a samples DataFrame (int64 ms ``ts_col``, double
     ``value_col``, string label columns) into the chunk table.
@@ -122,6 +123,11 @@ def samples_to_chunks(
     chunks = grouped.groupBy(*labels, "__bucket").applyInPandas(
         build_chunk, schema=out_schema
     )
+
+    if not assign_series_ids:
+        # streaming parts defer id assignment to compaction —
+        # `__series__id` is file-local identity (`schema/chunk.go:28-30`)
+        return chunks.select(MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels))
 
     # dense series ids over the (small) distinct-series set, then broadcast
     # back — avoids running a global window over every chunk row

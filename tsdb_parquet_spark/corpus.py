@@ -567,3 +567,418 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_ms=_P_LOOKBACK,
     )
     return out.select("t", "event_type", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# q21 — streaming ingestion (M4; upgrades the reference's one-shot batch
+# converter `cmd/convert/main.go:23-126` to Structured Streaming)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_streaming_ingest",
+    """SELECT count(*) AS n_samples,
+              round(sum(value), 2) AS sum_value,
+              min(epoch_ms(ts)) AS min_ts,
+              max(epoch_ms(ts)) AS max_ts,
+              count(DISTINCT event_type) AS n_types
+       FROM events""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed through readStream -> watermark + dedup on event_id
+    -> per-micro-batch sorted chunk parts -> compaction; the aggregate runs
+    over OUR streamed+compacted store (decoded samples), the oracle over
+    the original events — a hash match proves streaming ingestion is
+    lossless end-to-end."""
+    import shutil
+
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.streaming.ingest import StreamingChunkIngestor
+
+    cat = _cat(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"stream_store_{tag}")
+    compact_dir = os.path.join(root, "compact")
+
+    if not os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        # the file stream source requires a directory to watch
+        staging = os.path.join(work, f"stream_staging_{tag}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(staging, "events.parquet"),
+        )
+        events_schema = cat["events"].schema
+
+        def to_samples(batch):
+            return batch.select(
+                F.lit("app_events").alias("__name__"),
+                F.col("event_type"),
+                (F.col("user_id") % 8).cast("string").alias("shard"),
+                F.expr("ts div 1000000").alias("ts"),
+                F.col("value"),
+            )
+
+        ingestor = StreamingChunkIngestor(
+            spark,
+            root,
+            _CHUNK_LABELS,
+            to_samples,
+            chunk_span_ms=_DAY_MS,
+        )
+        stream = (
+            spark.readStream.schema(events_schema)
+            .parquet(staging)
+            .withColumn(
+                "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        )
+        ingestor.ingest(
+            stream, dedup_key="event_id", event_time_col="__event_time"
+        )
+        compact_dir = ingestor.finalize()
+
+    q = ChunkQuerier.from_parquet(spark, compact_dir)
+    samples = q.select_samples(labels=["event_type"])
+    return samples.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22-q25 — deduplication suite (LLM-data-pipeline operators)
+# ---------------------------------------------------------------------------
+#
+# The documents table has no native duplicates, so each query synthesizes
+# them with engine-reproducible transforms (UNION ALL of exact copies /
+# token-appended near-copies) before running the operator.
+
+from tsdb_parquet_spark.functions import dedup as D  # noqa: E402
+from tsdb_parquet_spark.functions import text as TX  # noqa: E402
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    return docs.union(docs.select(F.col("doc_id") + 500000, F.col("text")))
+
+
+def _near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _cat(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq xx")).alias("text"),
+    )
+    return docs.union(mutated)
+
+
+_SQL_NEAR_DUP_DOCS = """
+docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+  FROM documents WHERE doc_id < 200
+)"""
+
+_SQL_LSH_PIPELINE = f"""
+WITH {_SQL_NEAR_DUP_DOCS},
+sh AS (SELECT doc_id, {D.sql_shingles('text')} AS shingles FROM docs),
+mh AS (SELECT doc_id, {D.sql_minhash_from_shingles('shingles')} AS sig
+       FROM sh WHERE len(shingles) > 0),
+bands AS (
+  SELECT doc_id, j,
+         md5(array_to_string(sig[j*2+1:j*2+2], '')) AS bucket
+  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS j) _b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.j = r.j AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+
+
+@query(
+    "q22_exact_dedup",
+    f"""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id, text FROM documents
+        )
+        SELECT {TX.sql_fingerprint('text')} AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM docs GROUP BY 1 ORDER BY keep_id""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint over a corpus with every
+    document duplicated: one group per text, keep_id = original doc,
+    n_copies = 2."""
+    return D.exact_dedup_groups(_doubled_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+@query(
+    "q23_minhash_lsh_pairs",
+    _SQL_LSH_PIPELINE + "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2 rows) candidate pairs over a corpus with
+    token-appended near-duplicates: signature -> band buckets -> bucket
+    self-join (never O(n^2))."""
+    pairs = D.lsh_candidate_pairs(
+        _near_dup_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_size=3
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q24_simhash",
+    D.sql_simhash("(SELECT doc_id, text FROM documents WHERE doc_id < 100) _d")
+    + "\nORDER BY doc_id",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token bit votes via md5 nibbles) — the
+    near-dup sketch whose Hamming distance approximates cosine distance."""
+    docs = (
+        _cat(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    return D.simhash(docs).orderBy("doc_id")
+
+
+_SQL_JACCARD = """
+SELECT p.doc_a, p.doc_b,
+       round(
+         CAST(len(list_filter(list_distinct({A}), x ->
+                  list_contains(list_distinct({B}), x))) AS DOUBLE)
+         / (len(list_distinct({A})) + len(list_distinct({B}))
+            - len(list_filter(list_distinct({A}), x ->
+                  list_contains(list_distinct({B}), x)))), 4) AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+WHERE len(list_distinct({A})) + len(list_distinct({B})) > 0
+""".format(A="a.shingles", B="b.shingles")
+
+
+@query(
+    "q25_ngram_jaccard",
+    _SQL_LSH_PIPELINE
+    + f""",
+scored AS ({_SQL_JACCARD})
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification of the LSH candidates (the refine
+    step): two id-keyed joins back to the texts, no quadratic stage."""
+    docs = _near_dup_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_size=3)
+    return D.verify_pairs_jaccard(docs, pairs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26-q28 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+from tsdb_parquet_spark.functions import similarity as SIM  # noqa: E402
+
+_EMB_DIM = 64
+_ANN_PLANES = SIM.hyperplanes(dim=_EMB_DIM, bits=8)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _cat(spark, sf_dir)["embeddings"]
+    return list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+
+
+@query(
+    "q26_cosine_topk",
+    f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({SIM.sql_cosine('e.embedding', 'qv', _EMB_DIM)}, 4) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): JVM-side
+    zip_with/aggregate dot product, scores rounded before ranking so ties
+    break deterministically on vec_id."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    qv = _query_vector(spark, sf_dir)
+    return SIM.brute_force_topk(emb, qv, k=10, exclude_ids=[0])
+
+
+@query(
+    "q27_ann_lsh_topk",
+    f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, qv FROM embeddings e, q
+  WHERE {SIM.sql_signature('e.embedding', _ANN_PLANES)}
+        = {SIM.sql_signature('qv', _ANN_PLANES)}
+    AND e.vec_id <> 0
+)
+SELECT vec_id, round({SIM.sql_cosine('embedding', 'qv', _EMB_DIM)}, 4) AS cos_sim
+FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5""",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: 8-bit random-hyperplane LSH bucket filter (prunes
+    ~255/256 of the corpus) then exact cosine re-rank inside the bucket.
+    Hyperplanes are md5-derived +-1 literals shared with the oracle."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    qv = _query_vector(spark, sf_dir)
+    return SIM.lsh_topk(emb, qv, k=5, bits=8, exclude_ids=[0])
+
+
+@query(
+    "q28_embedding_near_dup",
+    f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+vecs AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2) AS v
+  FROM base WHERE vec_id < 50
+),
+sigs AS (
+  SELECT vec_id, v, {SIM.sql_signature('v', _ANN_PLANES)} AS sig FROM vecs
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({SIM.sql_cosine('a.v', 'b.v', _EMB_DIM)}, 4) AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round({SIM.sql_cosine('a.v', 'b.v', _EMB_DIM)}, 4) >= 0.99
+ORDER BY id_a, id_b""",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a corpus with 50 scaled
+    copies injected (cosine exactly 1.0): LSH-bucket-pruned self-join, so
+    exact cosine only runs within matching buckets."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    scaled = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    vecs = base.union(scaled)
+    out = SIM.near_duplicate_pairs(vecs, threshold=0.99)
+    return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q29 — multimodal binary columns (decode kernel stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex_byte(h: str, pos: int) -> str:
+    """Byte value from hex chars (2*pos+1, 2*pos+2) of an md5 hex string."""
+    c1 = f"substr({h}, {2 * pos + 1}, 1)"
+    c2 = f"substr({h}, {2 * pos + 2}, 1)"
+    return f"((strpos('{_HEX}', {c1}) - 1) * 16 + strpos('{_HEX}', {c2}) - 1)"
+
+
+@query(
+    "q29_multimodal_metadata",
+    f"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT CASE {_sql_hex_byte('h', 2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'webp' END AS format,
+       count(*) AS n,
+       sum({_sql_hex_byte('h', 0)} % 64 + 1) AS sum_width,
+       sum({_sql_hex_byte('h', 1)} % 64 + 1) AS sum_height,
+       sum(16) AS sum_bytes
+FROM m GROUP BY 1 ORDER BY format""",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> mapInPandas metadata extraction (Arrow
+    batches; decode kernel is a deterministic stub, the oracle reproduces
+    it from the md5 hex) -> per-format aggregate."""
+    from tsdb_parquet_spark.functions import multimodal as MM
+
+    docs = _cat(spark, sf_dir)["documents"]
+    media = MM.attach_fake_media(docs)
+    meta = MM.extract_media_metadata(media, decode_stub=True)
+    return (
+        meta.groupBy(F.col("meta.format").alias("format"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.width").alias("sum_width"),
+            F.sum("meta.height").alias("sum_height"),
+            F.sum("meta.n_bytes").alias("sum_bytes"),
+        )
+        .orderBy("format")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30-q31 — text analysis + scalar/JSON function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_text_analysis",
+    f"""SELECT doc_id,
+       len({TX.SQL_TOKENS.format(col='text')}) AS n_tokens,
+       {TX.sql_bpe_token_count('text')} AS n_bpe_tokens,
+       {TX.sql_language_id('text')} AS lang_pred,
+       {TX.sql_quality_score('text')} AS quality,
+       {TX.sql_fingerprint('text')} AS fp
+FROM documents ORDER BY doc_id""",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-analysis suite in one pass: whitespace + BPE-ish token
+    counts, heuristic language ID, composite quality score, 64-bit
+    fingerprint — all pure Catalyst expressions (no Python in the scan)."""
+    docs = _cat(spark, sf_dir)["documents"]
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        TX.language_id(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+        TX.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q31_json_props",
+    """SELECT event_type,
+              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props column: extraction + typed aggregation
+    (scalar-function surface the reference lacks entirely, SURVEY §2.3)."""
+    ev = _cat(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each implementation):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle keyed by a 64-bit
+  digest, map-side partial aggregation; never materializes full texts on
+  the reduce side beyond one representative per group.
+- **MinHash+LSH**: per-doc signature (embarrassingly parallel) -> explode
+  into (band, bucket) keys -> self-equi-join on the bucket.  The join key
+  space grows with corpus size so the shuffle stays balanced; no O(n^2)
+  pair enumeration ever happens.
+- **SimHash**: explode tokens, one groupBy(doc) with 16 conditional sums —
+  all JVM-side arithmetic.
+- **n-gram Jaccard**: exact verification for candidate pairs (the refine
+  step after LSH's coarse recall).
+
+Cross-engine determinism contract (DuckDB oracle must reproduce bit-for-bit):
+tokens = non-empty splits of lower(trim(text)) on \\s+; all hashing is md5
+on strings; MinHash minimizes the md5 hex string lexicographically (a valid
+uniform total order available identically in both engines).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions.text import SQL_TOKENS, fingerprint, tokens
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: the kept (minimum) id and the
+    number of copies.  ``fingerprint`` is whitespace-insensitive md5."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest-id representative of each duplicate group."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, size: int = 3) -> Column:
+    """Word w-shingles as space-joined strings; empty when the document has
+    fewer than ``size`` tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(size - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 8, shingle_size: int = 3
+) -> Column:
+    """Array of ``num_hashes`` MinHash values: for seed k, the
+    lexicographic minimum of md5(k || '|' || shingle).  Null-free; docs
+    with no shingles get an empty signature."""
+    sh = shingles(text, shingle_size)
+
+    def seeded_hash(k: int):
+        # NB: must be a closure factory — a `lambda s, k=k` default would
+        # make PySpark treat it as an (element, index) two-arg HOF lambda
+        prefix = F.lit(f"{k}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return F.when(
+        F.size(sh) > 0,
+        F.array(
+            *[
+                F.array_min(F.transform(sh, seeded_hash(k)))
+                for k in range(num_hashes)
+            ]
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b).
+
+    rows_per_band = num_hashes / bands; a pair collides when one band's
+    minhashes all agree.  The plan is: signature (no shuffle) -> explode to
+    (band, bucket) -> repartition by bucket via the self-join -> distinct.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws("", F.slice(F.col("sig"), j * rows + 1, rows))
+                      ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, F.explode(band_cols).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+    )
+    return pairs.distinct()
+
+
+def sql_shingles(col: str, size: int = 3) -> str:
+    toks = SQL_TOKENS.format(col=col)
+    return (
+        f"(CASE WHEN len({toks}) >= {size} THEN "
+        f"list_transform(range(1, len({toks}) - {size - 2}),"
+        f" i -> array_to_string(({toks})[i:i+{size - 1}], ' '))"
+        f" ELSE [] END)"
+    )
+
+
+def sql_minhash_from_shingles(shingles_col: str, num_hashes: int = 8) -> str:
+    """Signature expression over an (already computed) shingles column —
+    meant for use inside a CTE pipeline mirroring lsh_candidate_pairs."""
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_col}, s -> md5('{k}|' || s)))"
+        for k in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # md5 hex nibbles 1..4
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per document: bit b is 1 when the majority of token
+    hashes have bit b set (md5 nibble arithmetic; ties -> 0).  Tokens are
+    weighted by occurrence (duplicates vote repeatedly).
+
+    Plan: explode tokens -> one hash + 16 conditional sums in a single
+    hash-aggregate -> recombine.  All codegen'd, one shuffle on the id.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.md5(F.col("t"))
+    sums = []
+    for b in range(SIMHASH_BITS):
+        nib = F.substring(h, b // 4 + 1, 1)
+        val = F.instr(F.lit(HEX), nib) - 1
+        bit = (val / F.lit(2 ** (3 - b % 4))).cast("int") % 2
+        sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    voted = toks.groupBy(id_col).agg(*sums)
+    out = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"s{b}") > 0,
+                           F.lit(1 << (SIMHASH_BITS - 1 - b))).otherwise(0)
+    return voted.select(F.col(id_col), out.cast("long").alias("simhash"))
+
+
+def sql_simhash(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = SQL_TOKENS.format(col=text_col)
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        nib = f"substr(md5(t), {b // 4 + 1}, 1)"
+        val = f"(strpos('{HEX}', {nib}) - 1)"
+        bit = f"(({val} // {2 ** (3 - b % 4)}) % 2)"
+        bit_sums.append(
+            f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({toks}) AS t FROM {table}
+), voted AS (
+  SELECT {id_col}, {', '.join(bit_sums)} FROM toks GROUP BY {id_col}
+)
+SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM voted"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_similarity(text_a: Column, text_b: Column, size: int = 3) -> Column:
+    """Exact Jaccard over distinct word w-shingles (|A∩B| / |A∪B|)."""
+    a = F.array_distinct(shingles(text_a, size))
+    b = F.array_distinct(shingles(text_b, size))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Refine LSH candidates with exact Jaccard (two broadcast-able joins
+    against the docs table keyed by id — no O(n^2) stage)."""
+    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta"))
+    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard_similarity(F.col("__ta"), F.col("__tb"), size), 4).alias(
+            "jaccard"
+        ),
+    )
+    return out.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how ANN is deployed over huge corpora:
+
+- **brute-force cosine top-k** — the exact baseline: one scan, the dot
+  product evaluated JVM-side with higher-order functions (zip_with +
+  aggregate, inside codegen), a single top-k sort of scalar scores.  At
+  100 TB this is the per-partition inner loop of any IVF/LSH refine step.
+- **random-hyperplane LSH buckets** — the scale path: each vector gets a
+  b-bit signature (sign of dot with b fixed hyperplanes); candidates are
+  vectors sharing the query's bucket, then exact cosine re-ranks the
+  bucket.  The hyperplanes are deterministic +-1 matrices derived from md5
+  in Python, embedded as literals, so the DuckDB oracle reproduces the
+  bucketing exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (same accumulation order as the
+    oracle's list_sum over the zipped products)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact top-k by cosine against a fixed query vector.  Scores are
+    rounded to 4 decimals BEFORE ranking and ties break on the id, making
+    the result deterministic across engines and partitionings."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Implementation is a block-nested join pruned by LSH bucket equality:
+    vectors must agree on a coarse signature before the exact cosine runs,
+    so the shuffle is keyed and the exact O(n^2) comparison only happens
+    within buckets.  (With a 0.99 threshold, sign-pattern agreement is a
+    near-certain precondition.)
+    """
+    planes = hyperplanes(dim=_dim_hint(df, vec_col), bits=8)
+    sig = signature_column(F.col(vec_col), planes)
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        sig.alias("sig_a"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        sig.alias("sig_b"),
+    )
+    joined = left.join(
+        right, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = joined.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+    )
+    return out.filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, bits: int = 8, seed: str = "ann-lsh") -> list[list[int]]:
+    """Deterministic +-1 hyperplanes from md5 — engine-independent (pure
+    Python, embedded as literals on both sides)."""
+    planes = []
+    for j in range(bits):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()
+            row.append(1 if int(digest[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def signature_column(vec: Column, planes: list[list[int]]) -> Column:
+    """b-bit LSH signature as an integer: bit j = sign(vec . plane_j)."""
+    sig = F.lit(0)
+    bits = len(planes)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec, p) > 0, F.lit(1 << (bits - 1 - j))).otherwise(0)
+    return sig.cast("int")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """ANN: filter to the query's LSH bucket, exact-cosine re-rank inside
+    it.  The bucket predicate prunes ~2^-bits of the corpus before any
+    arithmetic-heavy work."""
+    planes = hyperplanes(dim=len(query_vec), bits=bits)
+    qsig = _py_signature(query_vec, planes)
+    sig = signature_column(F.col(vec_col), planes)
+    candidates = df.filter(sig == F.lit(qsig))
+    return brute_force_topk(
+        candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )
+
+
+def _py_signature(vec: Sequence[float], planes: list[list[int]]) -> int:
+    bits = len(planes)
+    sig = 0
+    for j, plane in enumerate(planes):
+        if sum(float(x) * p for x, p in zip(vec, plane)) > 0:
+            sig |= 1 << (bits - 1 - j)
+    return sig
+
+
+def _dim_hint(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    return int(row[0]["d"]) if row else 0
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments
+# ---------------------------------------------------------------------------
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    d = sql_dot(a, b, dim)
+    na = f"sqrt({sql_dot(a, a, dim)})"
+    nb = f"sqrt({sql_dot(b, b, dim)})"
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {d} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+def sql_vector_literal(vec: Sequence[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def sql_signature(vec_col: str, planes: list[list[int]]) -> str:
+    bits = len(planes)
+    terms = []
+    for j, plane in enumerate(planes):
+        p = sql_vector_literal(plane)
+        d = sql_dot(vec_col, p, len(plane))
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

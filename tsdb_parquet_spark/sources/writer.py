@@ -126,8 +126,13 @@ class SortedParquetWriter:
         self.spark = spark
         self.root = root
         self.opts = opts
-        self._next_part = 0
         os.makedirs(root, exist_ok=True)
+        existing = [
+            int(d.split(".", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("part.") and d.split(".", 1)[1].isdigit()
+        ]
+        self._next_part = max(existing) + 1 if existing else 0
 
     @property
     def part_dirs(self) -> list[str]:

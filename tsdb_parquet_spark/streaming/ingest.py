@@ -1,0 +1,123 @@
+"""Structured Streaming ingestion into the sorted chunk layout (M4).
+
+The reference ingests with a one-shot batch conversion of a TSDB block
+(`cmd/convert/main.go:23-126`) — "online writes" are its acknowledged gap.
+Here ingestion is a Structured Streaming pipeline:
+
+    readStream (file/rate/kafka source)
+      -> event-time watermark + exactly-once dedup on an event key
+      -> per micro-batch: samples -> chunks (applyInPandas)
+      -> foreachBatch sink: one sorted part per micro-batch
+         (`db/writer.go:77-95` buffers 256Ki rows per part; our part = one
+         micro-batch, sorted + range-partitioned by the layout contract)
+    finalize(): compaction merges all parts into one globally sorted store
+         and assigns dense series ids (`__series__id` is file-local
+         identity — `schema/chunk.go:28-30` — so ids are assigned on the
+         compacted file, mirroring the converter's single-writer id space,
+         `cmd/convert/main.go:84-91`)
+
+Scale: each micro-batch shuffles once (the chunk groupBy); parts accumulate
+append-only; compaction is an idempotent background job — the same shape
+works with a Kafka source and a 1000-executor cluster writing to object
+storage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.chunks import samples_to_chunks
+from tsdb_parquet_spark.schema import SERIES_ID, sort_columns
+from tsdb_parquet_spark.sources.writer import (
+    SortedParquetWriter,
+    WriterOptions,
+)
+
+
+class StreamingChunkIngestor:
+    """Streams a samples source into sorted chunk parts.
+
+    ``to_samples``: maps a raw micro-batch DataFrame to the samples shape
+    (int64 ms ``ts``, double ``value``, string label columns).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        label_columns: Sequence[str],
+        to_samples: Callable[[DataFrame], DataFrame],
+        chunk_span_ms: int,
+        writer_options: WriterOptions | None = None,
+    ):
+        self.spark = spark
+        self.labels = list(label_columns)
+        self.to_samples = to_samples
+        self.chunk_span_ms = chunk_span_ms
+        opts = writer_options or WriterOptions(
+            sort_columns=sort_columns(self.labels),
+            bloom_columns=[c for c in self.labels if c != "__name__"],
+            max_files=16,
+        )
+        self.writer = SortedParquetWriter(spark, root, opts)
+        self.rows_ingested = 0
+
+    # -- sink ---------------------------------------------------------------
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        samples = self.to_samples(batch_df)
+        if not samples.head(1):
+            return
+        chunks = samples_to_chunks(
+            samples,
+            self.labels,
+            chunk_span_ms=self.chunk_span_ms,
+            assign_series_ids=False,  # ids are assigned at compaction
+        )
+        self.writer.write(chunks)
+        self.rows_ingested += samples.count()
+
+    def ingest(
+        self,
+        stream: DataFrame,
+        dedup_key: str | None = None,
+        event_time_col: str | None = None,
+        watermark: str = "1 day",
+        available_now: bool = True,
+    ):
+        """Run the streaming job.  With ``dedup_key`` the stream is
+        deduplicated exactly-once within the watermark (late/duplicate
+        delivery protection the batch reference cannot express)."""
+        if dedup_key is not None:
+            if event_time_col is not None:
+                stream = stream.withWatermark(event_time_col, watermark)
+            stream = stream.dropDuplicates([dedup_key])
+        writer = (
+            stream.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", f"{self.writer.root}/_checkpoint")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination()
+        return query
+
+    # -- finalize -----------------------------------------------------------
+
+    def finalize(self) -> str:
+        """Compact all parts and assign dense series ids over the merged
+        store (the compacted file's local id space)."""
+        df = self.spark.read.parquet(*self.writer.part_dirs)
+        series = df.select(*self.labels).distinct()
+        w = Window.orderBy(*[F.col(c) for c in sorted(self.labels)])
+        ids = series.withColumn(SERIES_ID, F.dense_rank().over(w) - 1)
+        merged = df.join(F.broadcast(ids), on=self.labels, how="inner")
+        from tsdb_parquet_spark.sources.writer import write_sorted
+        import os
+
+        out = os.path.join(self.writer.root, "compact")
+        return write_sorted(merged, out, self.writer.opts)
