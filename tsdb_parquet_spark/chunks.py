@@ -73,6 +73,21 @@ def decode_chunk_udf(blobs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def encode_chunk_udf(samples: pd.Series) -> pd.Series:
+    """Vectorized chunk encode: each input cell is a ts-sorted
+    array<struct<ts,value>>; one Arrow batch covers thousands of chunks
+    (NOT one Python call per chunk group — that is ~10x slower)."""
+    out = []
+    for chunk in samples:
+        ts = np.fromiter((s["ts"] for s in chunk), dtype=np.int64,
+                         count=len(chunk))
+        vals = np.fromiter((s["value"] for s in chunk), dtype=np.float64,
+                           count=len(chunk))
+        out.append(encode_samples(ts, vals))
+    return pd.Series(out)
+
+
 def samples_to_chunks(
     samples: DataFrame,
     label_columns: Sequence[str],
@@ -89,39 +104,27 @@ def samples_to_chunks(
     0..N-1 in sorted-label order (`cmd/convert/main.go:84-91`,
     `schema/chunk.go:28-30` — file-local identity).
 
-    Scale: one shuffle to group by (series, bucket); the dense_rank for
-    series ids uses a Window over label columns only after a distinct-series
-    reduction, so its input is |series|, not |samples|.
+    Scale: ONE shuffle — the groupBy on (series, bucket) — with the sample
+    collection, sort, and min/max all JVM-side (hash aggregate +
+    array_sort); Python only packs bytes, vectorized over whole Arrow
+    batches.  The dense_rank for series ids runs over the distinct-series
+    reduction, so its window input is |series|, not |chunks|.
     """
     labels = list(label_columns)
-    bucket = (F.col(ts_col) / F.lit(chunk_span_ms)).cast("long").alias("__bucket")
+    bucket = F.expr(f"{ts_col} div {int(chunk_span_ms)}").alias("__bucket")
     grouped = samples.select(
         *labels, F.col(ts_col).alias("ts"), F.col(value_col).alias("value"), bucket
     )
 
-    out_schema = T.StructType(
-        [T.StructField(c, T.StringType(), False) for c in labels]
-        + [
-            T.StructField(MIN_T, T.LongType(), False),
-            T.StructField(MAX_T, T.LongType(), False),
-            T.StructField(CHUNK_BYTES, T.BinaryType(), False),
-        ]
+    agg = grouped.groupBy(*labels, "__bucket").agg(
+        F.min("ts").alias(MIN_T),
+        F.max("ts").alias(MAX_T),
+        # array_sort on struct orders by ts (first field) — the chunk's
+        # sample order contract
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("__samples"),
     )
-
-    n_labels = len(labels)
-
-    def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        ts = pdf["ts"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        row = {labels[i]: key[i] for i in range(n_labels)}
-        row[MIN_T] = int(ts.min())
-        row[MAX_T] = int(ts.max())
-        row[CHUNK_BYTES] = encode_samples(ts, vals)
-        return pd.DataFrame([row])
-
-    chunks = grouped.groupBy(*labels, "__bucket").applyInPandas(
-        build_chunk, schema=out_schema
+    chunks = agg.withColumn(CHUNK_BYTES, encode_chunk_udf(F.col("__samples"))).drop(
+        "__samples"
     )
 
     if not assign_series_ids:

@@ -81,29 +81,39 @@ def shingles(text: Column, size: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _seeded_hash(k: int):
+    # NB: must be a closure factory — a `lambda s, k=k` default would make
+    # PySpark treat it as an (element, index) two-arg HOF lambda
+    prefix = F.lit(f"{k}|")
+    return lambda s: F.md5(F.concat(prefix, s))
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int = 8) -> Column:
+    """Signature from a pre-computed shingles column.  Keep the shingles in
+    their own projection (an aliased column) when calling this: higher-order
+    functions are interpreted without common-subexpression elimination, so
+    embedding the shingle expression here would recompute it num_hashes
+    times per row (~8x slower)."""
+    return F.when(
+        F.size(sh) > 0,
+        F.array(
+            *[
+                F.array_min(F.transform(sh, _seeded_hash(k)))
+                for k in range(num_hashes)
+            ]
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 8, shingle_size: int = 3
 ) -> Column:
     """Array of ``num_hashes`` MinHash values: for seed k, the
     lexicographic minimum of md5(k || '|' || shingle).  Null-free; docs
-    with no shingles get an empty signature."""
-    sh = shingles(text, shingle_size)
-
-    def seeded_hash(k: int):
-        # NB: must be a closure factory — a `lambda s, k=k` default would
-        # make PySpark treat it as an (element, index) two-arg HOF lambda
-        prefix = F.lit(f"{k}|")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    return F.when(
-        F.size(sh) > 0,
-        F.array(
-            *[
-                F.array_min(F.transform(sh, seeded_hash(k)))
-                for k in range(num_hashes)
-            ]
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    with no shingles get an empty signature.  (Single-expression form —
+    prefer the two-projection shape of :func:`lsh_candidate_pairs` in hot
+    paths, see :func:`minhash_from_shingles`.)"""
+    return minhash_from_shingles(shingles(text, shingle_size), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -122,9 +132,14 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = df.select(
+    # two projections on purpose: shingles materialize once per row, the 8
+    # min-hash folds read the materialized array (see minhash_from_shingles)
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_size).alias("__sh")
+    )
+    sig = sh.select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+        minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig"),
     ).filter(F.size("sig") > 0)
     band_cols = F.array(
         *[
@@ -139,6 +154,9 @@ def lsh_candidate_pairs(
     buckets = sig.select(id_col, F.explode(band_cols).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+    # the self-join consumes the bucket table twice; persist so signatures
+    # are computed once, not once per join side (tiny rows: id+band+bucket)
+    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = left.join(
@@ -253,15 +271,23 @@ def verify_pairs_jaccard(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Refine LSH candidates with exact Jaccard (two broadcast-able joins
-    against the docs table keyed by id — no O(n^2) stage)."""
-    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta"))
-    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb"))
+    against the docs table keyed by id — no O(n^2) stage).  Distinct
+    shingle sets are materialized per doc BEFORE the join so the expensive
+    shingling runs once per document, not four times per pair."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), size)).alias("__sh"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
     out = joined.select(
         "doc_a",
         "doc_b",
-        F.round(jaccard_similarity(F.col("__ta"), F.col("__tb"), size), 4).alias(
-            "jaccard"
-        ),
+        F.round(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)

@@ -78,16 +78,21 @@ def near_duplicate_pairs(
     near-certain precondition.)
     """
     planes = hyperplanes(dim=_dim_hint(df, vec_col), bits=8)
-    sig = signature_column(F.col(vec_col), planes)
-    left = df.select(
+    # persist the signed vectors: the self-join would otherwise evaluate
+    # the 8 interpreted hyperplane dot-folds once per join side
+    signed = df.select(
+        F.col(id_col), F.col(vec_col),
+        signature_column(F.col(vec_col), planes).alias("__sig"),
+    ).persist()
+    left = signed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        sig.alias("sig_a"),
+        F.col("__sig").alias("sig_a"),
     )
-    right = df.select(
+    right = signed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        sig.alias("sig_b"),
+        F.col("__sig").alias("sig_b"),
     )
     joined = left.join(
         right, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
