@@ -964,6 +964,69 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q32_broadcast_join",
+    """SELECT n.n_name,
+              count(*) AS n_orders,
+              round(sum(o.o_totalprice), 2) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderstatus = 'F'
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join (beyond the reference, which is single-table —
+    SURVEY §2.3): fact table joins two dimensions.  nation (25 rows) is
+    explicitly broadcast; customer is small enough for AQE to broadcast at
+    this SF and shuffles at 100 TB — exactly the adaptive behavior wanted."""
+    cat = _cat(spark, sf_dir)
+    orders = cat["orders"].filter(equals("o_orderstatus", "F"))
+    customer = cat["customer"].select("c_custkey", "c_nationkey")
+    nation = cat["nation"].select("n_nationkey", "n_name")
+    joined = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q33_semi_anti_join",
+    """SELECT
+         (SELECT count(*) FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)) AS n_big_customers,
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)) AS n_inactive""",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (set-membership surface the reference lacks):
+    customers with a large order, and customers with no orders at all."""
+    cat = _cat(spark, sf_dir)
+    customer = cat["customer"].select("c_custkey")
+    orders = cat["orders"].select("o_custkey", "o_totalprice")
+    big = customer.join(
+        orders.filter(F.col("o_totalprice") > 300000),
+        customer["c_custkey"] == orders["o_custkey"],
+        "left_semi",
+    )
+    inactive = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return big.agg(F.count(F.lit(1)).alias("n_big_customers")).crossJoin(
+        inactive.agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@query(
     "q31_json_props",
     """SELECT event_type,
               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -63,14 +63,12 @@ class StreamingChunkIngestor:
             max_files=16,
         )
         self.writer = SortedParquetWriter(spark, root, opts)
-        self.rows_ingested = 0
+        self.rows_ingested = None  # see _write_batch
 
     # -- sink ---------------------------------------------------------------
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         samples = self.to_samples(batch_df)
-        if not samples.head(1):
-            return
         chunks = samples_to_chunks(
             samples,
             self.labels,
@@ -78,7 +76,9 @@ class StreamingChunkIngestor:
             assign_series_ids=False,  # ids are assigned at compaction
         )
         self.writer.write(chunks)
-        self.rows_ingested += samples.count()
+        # row accounting comes from the part footers (no extra job over the
+        # samples lineage — a count() here would recompute the whole batch)
+        self.rows_ingested = None
 
     def ingest(
         self,
