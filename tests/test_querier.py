@@ -126,6 +126,44 @@ def test_chunks_to_samples_preserves_order_and_values(spark):
     assert orig == got
 
 
+def test_multi_store_schema_merge(spark):
+    """Two stores with different label sets (the reference's data-inferred
+    wide schemas, `schema/chunk.go:87-95`) must merge, with absent labels
+    read back as empty strings (`schema/chunk.go:109-112`)."""
+    import shutil
+
+    from tsdb_parquet_spark.sources.writer import write_sorted
+
+    s1 = spark.createDataFrame(
+        [("http_requests_total", "api", 0, 60_000)],
+        "`__name__` STRING, job STRING, ts LONG, maxts LONG",
+    ).select(
+        F.col("__name__"), F.col("job"), F.col("ts").alias("__mint"),
+        F.col("maxts").alias("__maxt"), F.lit(0).cast("long").alias(SERIES_ID),
+        F.lit(bytearray(b"\x00\x00\x00\x00")).alias("__chunk_bytes"),
+    )
+    s2 = spark.createDataFrame(
+        [("http_requests_total", "eu-1", 0, 60_000)],
+        "`__name__` STRING, region STRING, ts LONG, maxts LONG",
+    ).select(
+        F.col("__name__"), F.col("region"), F.col("ts").alias("__mint"),
+        F.col("maxts").alias("__maxt"), F.lit(0).cast("long").alias(SERIES_ID),
+        F.lit(bytearray(b"\x00\x00\x00\x00")).alias("__chunk_bytes"),
+    )
+    p1, p2 = os.path.join(WORK, "ms1"), os.path.join(WORK, "ms2")
+    for p, df, cols in ((p1, s1, ["__name__", "job"]),
+                        (p2, s2, ["__name__", "region"])):
+        shutil.rmtree(p, ignore_errors=True)
+        write_sorted(df, p, WriterOptions(sort_columns=sort_columns(cols),
+                                          max_files=1))
+    q = ChunkQuerier.from_stores(spark, [p1, p2])
+    assert set(q.label_columns) == {"__name__", "job", "region"}
+    rows = {(r["job"], r["region"]) for r in q.chunks.collect()}
+    assert rows == {("api", ""), ("", "eu-1")}
+    # label_names must only report labels with non-empty values
+    assert q.label_names() == ["__name__", "job", "region"]
+
+
 def test_chunk_bounds_match_samples(spark):
     samples = _fixture_samples(spark)
     chunks = samples_to_chunks(samples, LABELS, chunk_span_ms=MINUTE).collect()

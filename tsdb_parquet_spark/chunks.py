@@ -25,7 +25,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -132,13 +132,52 @@ def samples_to_chunks(
         # `__series__id` is file-local identity (`schema/chunk.go:28-30`)
         return chunks.select(MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels))
 
-    # dense series ids over the (small) distinct-series set, then broadcast
-    # back — avoids running a global window over every chunk row
-    series = chunks.select(*labels).distinct()
-    w = Window.orderBy(*[F.col(c) for c in sorted(labels)])
-    series_ids = series.withColumn(SERIES_ID, F.dense_rank().over(w) - 1)
+    series_ids = dense_series_ids(chunks.select(*labels).distinct(), labels)
     return chunks.join(F.broadcast(series_ids), on=labels, how="inner").select(
         SERIES_ID, MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels)
+    )
+
+
+def dense_series_ids(series: DataFrame, label_columns: Sequence[str]) -> DataFrame:
+    """Assign dense ids 0..N-1 to distinct series in sorted-label order
+    (`cmd/convert/main.go:84-91` assigns monotonically over sorted
+    postings).
+
+    NOT a global Window (``Window.orderBy`` with no partition key pulls
+    every row into one task — a hard wall at 100M+ series).  Instead:
+    distributed range-sort, count rows per partition (one light job), then
+    add per-partition offsets — every stage is parallel and the result is
+    identical to the global dense rank because range partitions are
+    ordered and series are distinct.
+    """
+    labels_sorted = [c for c in sorted(label_columns)]
+    n_parts = int(
+        series.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ordered = series.repartitionByRange(n_parts, *labels_sorted).sortWithinPartitions(
+        *labels_sorted
+    )
+
+    counts = ordered.rdd.mapPartitions(
+        lambda it: iter([sum(1 for _ in it)])
+    ).collect()
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    field_names = ordered.columns
+
+    def tag(part_idx: int, rows):
+        base = offsets[part_idx]
+        for i, row in enumerate(rows):
+            yield (*[row[f] for f in field_names], base + i)
+
+    schema = T.StructType(
+        list(ordered.schema.fields)
+        + [T.StructField(SERIES_ID, T.LongType(), False)]
+    )
+    return ordered.sparkSession.createDataFrame(
+        ordered.rdd.mapPartitionsWithIndex(tag), schema
     )
 
 

@@ -45,6 +45,20 @@ class ChunkQuerier:
     def from_parquet(cls, spark: SparkSession, path: str) -> "ChunkQuerier":
         return cls(spark.read.parquet(path))
 
+    @classmethod
+    def from_stores(cls, spark: SparkSession, paths: list[str]) -> "ChunkQuerier":
+        """Open several chunk stores with different (wide) label schemas —
+        the reference's schemas are data-inferred per file
+        (`schema/chunk.go:87-95`, `cmd/convert/main.go:46`), so two stores
+        may disagree on label columns.  Spark merges the schemas; labels
+        absent from a store are filled with "" to match the reference's
+        missing-label convention (`schema/chunk.go:109-112`)."""
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        for field in df.schema.fields:
+            if field.name not in RESERVED_COLUMNS:
+                df = df.withColumn(field.name, F.coalesce(field.name, F.lit("")))
+        return cls(df)
+
     @property
     def label_columns(self) -> list[str]:
         return [c for c in self.chunks.columns if c not in RESERVED_COLUMNS]

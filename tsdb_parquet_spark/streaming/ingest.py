@@ -26,11 +26,11 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.chunks import samples_to_chunks
-from tsdb_parquet_spark.schema import SERIES_ID, sort_columns
+from tsdb_parquet_spark.schema import sort_columns
 from tsdb_parquet_spark.sources.writer import (
     SortedParquetWriter,
     WriterOptions,
@@ -111,13 +111,13 @@ class StreamingChunkIngestor:
     def finalize(self) -> str:
         """Compact all parts and assign dense series ids over the merged
         store (the compacted file's local id space)."""
-        df = self.spark.read.parquet(*self.writer.part_dirs)
-        series = df.select(*self.labels).distinct()
-        w = Window.orderBy(*[F.col(c) for c in sorted(self.labels)])
-        ids = series.withColumn(SERIES_ID, F.dense_rank().over(w) - 1)
-        merged = df.join(F.broadcast(ids), on=self.labels, how="inner")
-        from tsdb_parquet_spark.sources.writer import write_sorted
         import os
 
+        from tsdb_parquet_spark.chunks import dense_series_ids
+        from tsdb_parquet_spark.sources.writer import write_sorted
+
+        df = self.spark.read.parquet(*self.writer.part_dirs)
+        ids = dense_series_ids(df.select(*self.labels).distinct(), self.labels)
+        merged = df.join(F.broadcast(ids), on=self.labels, how="inner")
         out = os.path.join(self.writer.root, "compact")
         return write_sorted(merged, out, self.writer.opts)
