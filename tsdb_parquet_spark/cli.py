@@ -1,0 +1,160 @@
+"""Command-line entry points mirroring the reference's cmd/ tools.
+
+- ``scan``    — the CLI scan path (`cmd/read/main.go:31-128`): open a chunk
+  store, apply matchers/time bounds, project columns, print rows with
+  per-phase timings.
+- ``convert`` — the ingest conversion (`cmd/convert/main.go:23-126`): turn a
+  samples-shaped parquet (ts/value/labels) into a sorted chunk store
+  (parts + compact).
+
+Usage:
+    python -m tsdb_parquet_spark.cli scan --store DIR \
+        --matcher event_type=click --mint 0 --maxt 9e15 --limit 10
+    python -m tsdb_parquet_spark.cli convert --events events.parquet \
+        --out DIR --span-ms 86400000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _parse_matchers(values: list[str]):
+    from tsdb_parquet_spark.operators.selection import Matcher
+
+    matchers = []
+    for v in values or []:
+        for op in ("!~", "=~", "!=", "="):
+            if op in v:
+                name, val = v.split(op, 1)
+                matchers.append(Matcher(name.strip(), op, val.strip()))
+                break
+        else:
+            raise SystemExit(f"bad matcher {v!r}; expected label[=|!=|=~|!~]value")
+    return matchers
+
+
+def cmd_scan(args) -> int:
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="tsdb-scan")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    q = ChunkQuerier.from_parquet(spark, args.store)
+    t_open = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    df = q.select_chunks(
+        mint=args.mint,
+        maxt=args.maxt,
+        matchers=_parse_matchers(args.matcher),
+        columns=args.columns.split(",") if args.columns else None,
+    )
+    if args.limit:
+        df = df.limit(args.limit)
+    rows = df.collect()
+    t_scan = time.perf_counter() - t0
+
+    for row in rows:
+        print(row.asDict())
+    print(
+        f"# open={t_open * 1000:.0f}ms scan+project={t_scan * 1000:.0f}ms "
+        f"rows={len(rows)}",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    spark = get_spark(app_name="tsdb-convert")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.events)
+    labels = args.labels.split(",")
+    if "__name__" in labels and "__name__" not in df.columns:
+        # metric name injected like the converter names series from block
+        # metadata (`cmd/convert/main.go:79-117`)
+        df = df.withColumn("__name__", F.lit(args.metric_name))
+    missing = [c for c in labels + [args.ts_col, args.value_col]
+               if c not in df.columns]
+    if missing:
+        raise SystemExit(f"columns not in input: {missing}")
+
+    ts_expr = {
+        "ms": F.col(args.ts_col),
+        "ns": F.expr(f"{args.ts_col} div 1000000"),
+        "us": F.expr(f"{args.ts_col} div 1000"),
+        "s": F.col(args.ts_col) * 1000,
+    }[args.ts_unit]
+    samples = df.select(
+        *[F.col(c).cast("string").alias(c) for c in labels],
+        ts_expr.cast("long").alias("ts"),
+        F.col(args.value_col).cast("double").alias("value"),
+    )
+    t0 = time.perf_counter()
+    chunks = samples_to_chunks(samples, labels, chunk_span_ms=args.span_ms)
+    opts = WriterOptions(
+        sort_columns=sort_columns(labels),
+        bloom_columns=[c for c in labels if c != "__name__"],
+        max_files=args.max_files,
+    )
+    writer = SortedParquetWriter(spark, args.out, opts)
+    writer.write(chunks)
+    compact = writer.compact()
+    n = spark.read.parquet(compact).count()
+    print(
+        f"# wrote {n} chunks to {compact} in "
+        f"{time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="tsdb_parquet_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    scan = sub.add_parser("scan", help="scan a chunk store (cmd/read analog)")
+    scan.add_argument("--store", required=True)
+    scan.add_argument("--matcher", action="append", default=[],
+                      help="label=value | label!=v | label=~re | label!~re")
+    scan.add_argument("--mint", type=int, default=None)
+    scan.add_argument("--maxt", type=int, default=None)
+    scan.add_argument("--columns", default=None,
+                      help="comma-separated projection")
+    scan.add_argument("--limit", type=int, default=20)
+    scan.set_defaults(fn=cmd_scan)
+
+    conv = sub.add_parser("convert",
+                          help="samples parquet -> chunk store (cmd/convert)")
+    conv.add_argument("--events", required=True)
+    conv.add_argument("--out", required=True)
+    conv.add_argument("--labels", default="__name__,event_type")
+    conv.add_argument("--metric-name", default="app_events")
+    conv.add_argument("--ts-col", default="ts")
+    conv.add_argument("--ts-unit", choices=["ms", "ns", "us", "s"], default="ms")
+    conv.add_argument("--value-col", default="value")
+    conv.add_argument("--span-ms", type=int, default=86_400_000)
+    conv.add_argument("--max-files", type=int, default=32)
+    conv.set_defaults(fn=cmd_convert)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -569,6 +569,50 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("t", "event_type", F.round("value", 2).alias("value"))
 
 
+@query(
+    "q34_promql_rate",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, ts_ms, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+per_series AS (
+  SELECT t, event_type, shard,
+         arg_max(value, ts_ms) AS lastv, arg_min(value, ts_ms) AS firstv,
+         max(ts_ms) AS last_ts, min(ts_ms) AS first_ts
+  FROM b WHERE t <= {_P_END}
+  GROUP BY t, event_type, shard
+),
+rated AS (
+  SELECT t, event_type, shard,
+         (lastv - firstv) / ((last_ts - first_ts) / 1000.0) AS value
+  FROM per_series WHERE last_ts > first_ts
+)
+SELECT t, event_type, round(max(value), 4) AS value
+FROM rated GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max by (event_type) (rate(app_events[1d]))` — per-series last-first
+    delta over the tumbling window (documented deviation from PromQL
+    extrapolation), max across shards.  max avoids cross-engine float
+    summation entirely."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "max by (event_type) (rate(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select("t", "event_type", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # q21 — streaming ingestion (M4; upgrades the reference's one-shot batch
 # converter `cmd/convert/main.go:23-126` to Structured Streaming)

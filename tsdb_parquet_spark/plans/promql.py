@@ -288,6 +288,16 @@ class PromQLEngine:
         )
         return out.orderBy("t", *by)
 
+    def query_instant(
+        self,
+        promql: str,
+        ts_ms: int,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    ) -> DataFrame:
+        """Instant query: evaluate at a single timestamp (a range query of
+        one step)."""
+        return self.query_range(promql, ts_ms, ts_ms, 1, lookback_ms=lookback_ms)
+
     # -- step assignment ----------------------------------------------------
 
     @staticmethod

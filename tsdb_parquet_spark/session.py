@@ -50,6 +50,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # a static conf on this build — the builder path sets it instead
             pass
+    try:
+        # a stock-default 200 shuffle partitions oversizes every local
+        # query; right-size to the machine (AQE still coalesces further)
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
     return spark
 
 
