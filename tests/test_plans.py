@@ -75,6 +75,49 @@ def test_querier_matchers_pushed(spark, sf_oracle):
     assert "__mint" in pushed and "__maxt" in pushed
 
 
+def test_day_partitioned_store_prunes_directories(spark, sf_oracle):
+    """A day-partitioned chunk store must turn time bounds into
+    PartitionFilters — whole-directory pruning before any footer read (the
+    100 TB coarse layer above zone maps)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.corpus import events_chunk_store
+    from tsdb_parquet_spark.schema import MIN_T
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
+
+    src = spark.read.parquet(events_chunk_store(spark, sf_oracle))
+    day = ChunkQuerier.DAY_PARTITION
+    with_day = src.withColumn(day, F.expr(f"{MIN_T} div 86400000"))
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".work", "day_partitioned",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_sorted(
+        with_day,
+        out,
+        WriterOptions(
+            sort_columns=["__name__", MIN_T], partition_by=[day], max_files=4
+        ),
+    )
+    q = ChunkQuerier.from_parquet(spark, out)
+    assert day not in q.label_columns
+    df = q.select_chunks(mint=1704672000000, maxt=1705881600000)
+    plan = _formatted(df)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "__day" in pf and (">=" in pf or "GreaterThan" in pf)
+    # results must match the unpartitioned store for the same window
+    unpart = ChunkQuerier.from_parquet(
+        spark, events_chunk_store(spark, sf_oracle)
+    )
+    assert df.count() == unpart.select_chunks(
+        mint=1704672000000, maxt=1705881600000
+    ).count()
+
+
 def test_scan_filter_project_is_codegen(spark, sf_oracle):
     li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
     df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")

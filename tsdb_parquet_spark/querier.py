@@ -61,7 +61,16 @@ class ChunkQuerier:
 
     @property
     def label_columns(self) -> list[str]:
-        return [c for c in self.chunks.columns if c not in RESERVED_COLUMNS]
+        return [
+            c
+            for c in self.chunks.columns
+            if c not in RESERVED_COLUMNS and c != self.DAY_PARTITION
+        ]
+
+    #: convention: a store partitioned by day carries this derived column
+    #: (``__mint div 86_400_000``) as its hive partition key
+    DAY_PARTITION = "__day"
+    _DAY_MS = 86_400_000
 
     def _filtered(
         self, mint: int | None, maxt: int | None, matchers: Iterable[Matcher]
@@ -73,6 +82,21 @@ class ChunkQuerier:
             preds.append(F.col(MIN_T) >= F.lit(int(mint)))
         if maxt is not None:
             preds.append(F.col(MAX_T) <= F.lit(int(maxt)))
+        if self.DAY_PARTITION in self.chunks.columns:
+            # derived partition predicates: __day = __mint div day, and
+            # containment bounds __mint within [mint, maxt], so the day
+            # bounds below are implied — adding them explicitly lets the
+            # driver prune whole partition directories (PartitionFilters).
+            # Restricted to non-negative timestamps so `div` (trunc) and
+            # `//` (floor) agree.
+            if mint is not None and mint >= 0:
+                preds.append(
+                    F.col(self.DAY_PARTITION) >= F.lit(int(mint) // self._DAY_MS)
+                )
+            if maxt is not None and maxt >= 0:
+                preds.append(
+                    F.col(self.DAY_PARTITION) <= F.lit(int(maxt) // self._DAY_MS)
+                )
         return self.chunks.filter(conjunction(preds))
 
     def select_chunks(

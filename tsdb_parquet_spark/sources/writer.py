@@ -56,6 +56,10 @@ class WriterOptions:
     #: cardinality label columns overflow the dictionary and blooms kick in
     #: automatically, but tests / known-high-cardinality columns can force it.
     no_dictionary_columns: list[str] = field(default_factory=list)
+    #: hive-style partition columns (e.g. a derived day column): at 100 TB
+    #: the driver prunes whole directories before any footer is read —
+    #: coarser and cheaper than row-group zone maps
+    partition_by: list[str] = field(default_factory=list)
 
     def apply(self, writer):
         writer = (
@@ -94,9 +98,16 @@ def write_sorted(df: DataFrame, out_dir: str, opts: WriterOptions) -> str:
     parts honoring the reference layout contract (`db/writer.go:169-216`)."""
     n = _partition_count(df, opts)
     sort_cols = [c for c in opts.sort_columns if c in df.columns]
-    if sort_cols:
-        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    shuffle_cols = [c for c in opts.partition_by if c in df.columns] + [
+        c for c in sort_cols if c not in opts.partition_by
+    ]
+    if shuffle_cols:
+        df = df.repartitionByRange(n, *shuffle_cols).sortWithinPartitions(
+            *shuffle_cols
+        )
     writer = opts.apply(df.write.mode("overwrite"))
+    if opts.partition_by:
+        writer = writer.partitionBy(*opts.partition_by)
     writer.parquet(out_dir)
     return out_dir
 
