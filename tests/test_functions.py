@@ -148,6 +148,17 @@ def test_multimodal_real_decode_raises(docs):
     )
 
 
+def test_approx_count_distinct_within_tolerance(spark, sf_oracle):
+    """The HLL sketch path (not oracle-comparable — sketch internals
+    differ per engine) must land within 5% of the exact distinct count."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
 def test_frame_sampling_fanout(docs):
     media = MM.attach_fake_media(docs)
     frames = MM.sample_frames(media, every_nth_byte=4)

@@ -1071,6 +1071,59 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q35_distinct_counts",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps,
+              count(DISTINCT l_returnflag || '|' || l_linestatus) AS n_combos
+       FROM lineitem""",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation (Spark expands multi-distinct-agg
+    into a single expand+two-phase plan; the approximate HLL variant is
+    covered in tests since sketches are not oracle-comparable)."""
+    li = _cat(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.concat_ws("|", "l_returnflag", "l_linestatus")
+        ).alias("n_combos"),
+    )
+
+
+@query(
+    "q36_window_functions",
+    """SELECT event_id, event_type,
+              lag(epoch_ms(ts)) OVER w AS prev_ts,
+              row_number() OVER w AS rn,
+              round(avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+       QUALIFY rn <= 100
+       ORDER BY event_type, rn""",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series window functions (lag / row_number / moving average) —
+    the query-time windowing surface the reference lacks (SURVEY §2.3).
+    Partitioned by series, so the window shuffles once and never
+    single-tasks."""
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts")
+    frame = w.rowsBetween(-2, 0)
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.lag(F.expr("ts div 1000000")).over(w).alias("prev_ts"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.avg("value").over(frame), 4).alias("mov_avg"),
+    )
+    return out.filter(F.col("rn") <= 100).orderBy("event_type", "rn")
+
+
+@query(
     "q31_json_props",
     """SELECT event_type,
               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
