@@ -104,6 +104,48 @@ def test_unknown_metric_returns_empty(spark):
     assert out.count() == 0
 
 
+def test_binary_vector_scalar(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range("sum(http_requests_total) * 2 + 1", 0, 0, 60_000)
+    assert out.collect()[0]["value"] == 7.0  # 3*2+1
+
+
+def test_binary_vector_vector_ratio(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        'sum by (job) (http_requests_total{job="api-server"})'
+        ' / sum by (job) (http_requests_total{job="api-server"})',
+        0,
+        300_000,
+        60_000,
+    )
+    rows = out.collect()
+    assert rows and all(r["value"] == 1.0 for r in rows)
+
+
+def test_topk_keeps_k_series(spark):
+    rows = []
+    for job, v in [("a", 1.0), ("b", 5.0), ("c", 3.0)]:
+        rows.append(("m", job, 0, v))
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("topk(2, m)", 0, 0, 60_000).collect()
+    assert {(r["job"], r["value"]) for r in out} == {("b", 5.0), ("c", 3.0)}
+    bottom = engine.query_range("bottomk(1, m)", 0, 0, 60_000).collect()
+    assert [(r["job"], r["value"]) for r in bottom] == [("a", 1.0)]
+
+
+def test_topk_over_aggregation(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        "topk(1, sum by (job) (http_requests_total))", 0, 0, 60_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["job"] == "api-server" and out[0]["value"] == 2.0
+
+
 def test_instant_staleness_excludes_old_samples(spark):
     # single sample at t=0; with 5m lookback it is visible until 300s only
     samples = spark.createDataFrame(

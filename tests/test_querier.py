@@ -107,6 +107,20 @@ def test_label_api(spark, store):
     assert vals == ["api-server", "kubelet"]
 
 
+def test_regex_matchers_fully_anchored(spark, store):
+    """PromQL regexes are fully anchored: `job=~"api"` must NOT match
+    "api-server" (and `!~` is its complement).  The reference maps all
+    matcher types to equality (`prometheus/querier.go:71-73`) — we do it
+    right."""
+    q = ChunkQuerier.from_parquet(spark, store)
+    none = q.select(matchers=[Matcher("job", "=~", "api")], grouping=["job"])
+    assert none.count() == 0
+    some = q.select(matchers=[Matcher("job", "=~", "api.*")], grouping=["job"])
+    assert {r["job"] for r in some.collect()} == {"api-server"}
+    inv = q.select(matchers=[Matcher("job", "!~", "api.*")], grouping=["job"])
+    assert {r["job"] for r in inv.collect()} == {"kubelet"}
+
+
 def test_samples_roundtrip_through_store(spark, store):
     q = ChunkQuerier.from_parquet(spark, store)
     back = q.select_samples(matchers=[Matcher("__name__", "=",

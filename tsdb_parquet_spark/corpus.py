@@ -373,10 +373,7 @@ def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     samples -> chunks -> sorted parts -> compact.  Returns the compact dir."""
     from tsdb_parquet_spark.chunks import samples_to_chunks
     from tsdb_parquet_spark.schema import sort_columns
-    from tsdb_parquet_spark.sources.writer import (
-        SortedParquetWriter,
-        WriterOptions,
-    )
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
@@ -399,9 +396,8 @@ def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
         bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
         max_files=16,
     )
-    writer = SortedParquetWriter(spark, root, opts)
-    writer.write(chunks)
-    return writer.compact()
+    # single sorted write — the part->compact cycle is exercised by q10/q21
+    return write_sorted(chunks, compact_dir, opts)
 
 
 @query(
@@ -611,6 +607,42 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         _P_STEP,
     )
     return out.select("t", "event_type", F.round("value", 4).alias("value"))
+
+
+@query(
+    "q37_promql_topk_binary",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+b AS (
+  SELECT event_type,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+counted AS (
+  SELECT t, event_type, CAST(count(*) AS DOUBLE) AS value
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type
+),
+ranked AS (
+  SELECT t, event_type, value,
+         row_number() OVER (PARTITION BY t
+                            ORDER BY value DESC, event_type) AS rn
+  FROM counted
+)
+SELECT t, event_type, value * 2.0 AS value
+FROM ranked WHERE rn <= 2 ORDER BY t, event_type""",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk(2, sum by (event_type) (count_over_time(app_events[1d]))) * 2`
+    — per-step series selection (window over t, deterministic tie-break on
+    labels) composed with scalar arithmetic."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "topk(2, sum by (event_type) (count_over_time(app_events[1d]))) * 2",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,8 @@ from tsdb_parquet_spark.operators.selection import Matcher
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 
 AGG_OPS = {"sum", "min", "max", "count", "avg"}
+PARAM_AGG_OPS = {"topk", "bottomk"}
+BINARY_OPS = {"+", "-", "*", "/"}
 RANGE_FUNCS = {
     "rate",
     "increase",
@@ -77,6 +79,30 @@ class PromExpr:
     range_ms: int | None = None
     agg: str | None = None  # outer aggregation
     by: list[str] | None = None  # None = aggregate everything away
+    agg_param: float | None = None  # k for topk/bottomk
+
+
+@dataclass
+class PromBinary:
+    """expr <op> expr, where either side may be a scalar literal.  Vector/
+    vector matching is on (t, shared output labels)."""
+
+    op: str
+    left: "PromNode"
+    right: "PromNode"
+
+
+@dataclass
+class PromTopK:
+    """topk/bottomk(k, vector): keep the k series with the highest (lowest)
+    value at each step."""
+
+    k: int
+    ascending: bool
+    inner: "PromNode"
+
+
+PromNode = "PromExpr | PromBinary | PromTopK | float"
 
 
 class _Parser:
@@ -85,8 +111,10 @@ class _Parser:
             (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
           | (?P<string>"(?:[^"\\]|\\.)*")
           | (?P<op>=~|!~|!=|=)
-          | (?P<punct>[(){},\[\]])
           | (?P<duration_part>\d+(?:ms|s|m|h|d|w))
+          | (?P<number>\d+(?:\.\d+)?)
+          | (?P<binop>[+\-*/])
+          | (?P<punct>[(){},\[\]])
         )""",
         re.VERBOSE,
     )
@@ -118,15 +146,41 @@ class _Parser:
         if tok != value:
             raise ValueError(f"expected {value!r}, got {tok!r}")
 
-    def parse(self) -> PromExpr:
-        expr = self._expr()
+    def parse(self) -> "PromExpr | PromBinary":
+        expr = self._binary()
         if self.i != len(self.tokens):
             raise ValueError(f"trailing tokens: {self.tokens[self.i:]}")
         return expr
 
+    def _binary(self) -> "PromExpr | PromBinary | float":
+        # precedence climbing: * / bind tighter than + -, both left-assoc
+        left = self._muldiv()
+        while True:
+            kind, tok = self.peek()
+            if kind != "binop" or tok not in ("+", "-"):
+                return left
+            self.next()
+            left = PromBinary(op=tok, left=left, right=self._muldiv())
+
+    def _muldiv(self) -> "PromExpr | PromBinary | float":
+        left = self._term()
+        while True:
+            kind, tok = self.peek()
+            if kind != "binop" or tok not in ("*", "/"):
+                return left
+            self.next()
+            left = PromBinary(op=tok, left=left, right=self._term())
+
+    def _term(self) -> "PromExpr | float":
+        kind, tok = self.peek()
+        if kind == "number":
+            self.next()
+            return float(tok)
+        return self._expr()
+
     def _expr(self) -> PromExpr:
         kind, tok = self.peek()
-        if kind == "ident" and tok in AGG_OPS:
+        if kind == "ident" and (tok in AGG_OPS or tok in PARAM_AGG_OPS):
             return self._agg()
         if kind == "ident" and tok in RANGE_FUNCS:
             return self._func()
@@ -151,6 +205,17 @@ class _Parser:
                 if nxt != ",":
                     raise ValueError(f"expected , or ) in by-clause, got {nxt!r}")
         self.expect("(")
+        if op in PARAM_AGG_OPS:
+            # topk(k, <any vector expression>): a per-step series filter,
+            # not a grouping aggregation
+            kind, num = self.next()
+            if kind != "number":
+                raise ValueError(f"{op} expects a numeric first arg, got {num!r}")
+            self.expect(",")
+            inner = self._binary()
+            self.expect(")")
+            return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
+                            inner=inner)
         kind, tok = self.peek()
         inner = (
             self._func()
@@ -250,7 +315,78 @@ class PromQLEngine:
     ) -> DataFrame:
         """Evaluate at steps t = start, start+step, ..., <=end.  Output:
         (t BIGINT, <series or by labels>..., value DOUBLE)."""
-        expr = parse_promql(promql)
+        node = parse_promql(promql)
+        if isinstance(node, float):
+            raise ValueError("scalar-only query has no vector result")
+        out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
+        label_cols = [c for c in out.columns if c not in ("t", "value")]
+        return out.orderBy("t", *label_cols)
+
+    def _eval(
+        self, node, start_ms: int, end_ms: int, step_ms: int, lookback_ms: int
+    ) -> DataFrame:
+        if isinstance(node, PromBinary):
+            return self._eval_binary(node, start_ms, end_ms, step_ms, lookback_ms)
+        if isinstance(node, PromTopK):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._topk(inner, node.k, node.ascending)
+        return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
+
+    def _eval_binary(
+        self, node: PromBinary, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        ops = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+        }
+        left_scalar = isinstance(node.left, float)
+        right_scalar = isinstance(node.right, float)
+        if left_scalar and right_scalar:
+            raise ValueError("scalar-only binary expression")
+        if right_scalar:
+            df = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
+            return df.withColumn(
+                "value", ops[node.op](F.col("value"), F.lit(node.right))
+            )
+        if left_scalar:
+            df = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
+            return df.withColumn(
+                "value", ops[node.op](F.lit(node.left), F.col("value"))
+            )
+        left = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
+        right = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
+        # vector/vector: one-to-one matching on (t, shared labels)
+        shared = [c for c in left.columns if c in right.columns and c != "value"]
+        joined = left.alias("l").join(right.alias("r"), on=shared, how="inner")
+        return joined.select(
+            *shared,
+            ops[node.op](F.col("l.value"), F.col("r.value")).alias("value"),
+        )
+
+    @staticmethod
+    def _topk(df: DataFrame, k: int, ascending: bool) -> DataFrame:
+        from pyspark.sql import Window
+
+        label_cols = [c for c in df.columns if c not in ("t", "value")]
+        order = [F.col("value").asc() if ascending else F.col("value").desc()]
+        order += [F.col(c).asc() for c in label_cols]  # deterministic ties
+        w = Window.partitionBy("t").orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def _eval_expr(
+        self,
+        expr: PromExpr,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int,
+    ) -> DataFrame:
         window_ms = expr.range_ms if expr.func else lookback_ms
 
         matchers = list(expr.matchers)
@@ -281,12 +417,11 @@ class PromQLEngine:
         per_series = self._range_value(expr, bucketed, series_cols)
 
         if expr.agg is None:
-            return per_series.orderBy("t", *series_cols)
+            return per_series
         by = expr.by or []
-        out = per_series.groupBy("t", *by).agg(
+        return per_series.groupBy("t", *by).agg(
             _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
         )
-        return out.orderBy("t", *by)
 
     def query_instant(
         self,
