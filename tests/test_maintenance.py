@@ -1,0 +1,74 @@
+"""Maintenance-job tests: compaction policy and day-partition retention."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.sources.maintenance import (
+    DAY_MS,
+    maybe_compact,
+    retention_sweep,
+    vacuum_store,
+)
+from tsdb_parquet_spark.sources.writer import (
+    SortedParquetWriter,
+    WriterOptions,
+    write_sorted,
+)
+
+WORK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".work", "maintenance_tests")
+
+
+def test_maybe_compact_threshold(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(100)
+    root = os.path.join(WORK, "policy")
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["l_orderkey"], max_files=1)
+    writer = SortedParquetWriter(spark, root, opts)
+    writer.write(li)
+    writer.write(li)
+    assert maybe_compact(writer, max_parts=8) is None  # under threshold
+    for _ in range(7):
+        writer.write(li)
+    compact = maybe_compact(writer, max_parts=8)
+    assert compact is not None
+    assert writer.part_dirs == []  # parts cleaned after merge
+    assert spark.read.parquet(compact).count() == 900
+
+
+def test_retention_sweep_drops_old_days(spark):
+    rows = [(d, float(d)) for d in range(10, 20)]
+    df = spark.createDataFrame(rows, "`__day` INT, value DOUBLE")
+    out = os.path.join(WORK, "retention")
+    shutil.rmtree(out, ignore_errors=True)
+    write_sorted(
+        df,
+        out,
+        WriterOptions(sort_columns=["value"], partition_by=["__day"],
+                      max_files=1),
+    )
+    now_ms = 25 * DAY_MS
+    removed = retention_sweep(out, now_ms=now_ms, keep_days=10)
+    # cutoff_day = 25 - 10 = 15 -> days 10..14 removed
+    assert removed == [f"__day={d}" for d in range(10, 15)]
+    back = spark.read.parquet(out)
+    assert sorted(r["__day"] for r in back.select("__day").distinct().collect()
+                  ) == list(range(15, 20))
+
+
+def test_vacuum_reports(spark):
+    rows = [(d, float(d)) for d in range(3)]
+    df = spark.createDataFrame(rows, "`__day` INT, value DOUBLE")
+    out = os.path.join(WORK, "vacuum")
+    shutil.rmtree(out, ignore_errors=True)
+    write_sorted(
+        df,
+        out,
+        WriterOptions(sort_columns=["value"], partition_by=["__day"],
+                      max_files=1),
+    )
+    report = vacuum_store(spark, out, now_ms=5 * DAY_MS, keep_days=3)
+    assert report["removed_partitions"] == ["__day=0", "__day=1"]
+    assert report["remaining_chunks"] == 1
