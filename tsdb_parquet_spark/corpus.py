@@ -1026,17 +1026,24 @@ FROM documents ORDER BY doc_id""",
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis suite in one pass: whitespace + BPE-ish token
     counts, heuristic language ID, composite quality score, 64-bit
-    fingerprint — all pure Catalyst expressions (no Python in the scan)."""
+    fingerprint — all pure Catalyst expressions (no Python in the scan).
+    Tokenization materializes once per row (two-projection shape; the
+    analyzers read the array instead of re-splitting per feature)."""
     docs = _cat(spark, sf_dir)["documents"]
     t = F.col("text")
-    return docs.select(
-        "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.bpe_token_count(t).alias("n_bpe_tokens"),
-        TX.language_id(t).alias("lang_pred"),
-        TX.quality_score(t).alias("quality"),
-        TX.fingerprint(t).alias("fp"),
-    ).orderBy("doc_id")
+    toks = F.col("__toks")
+    return (
+        docs.select("doc_id", "text", TX.tokens(t).alias("__toks"))
+        .select(
+            "doc_id",
+            TX.token_count(t, toks).alias("n_tokens"),
+            TX.bpe_token_count(t).alias("n_bpe_tokens"),
+            TX.language_id(t, toks).alias("lang_pred"),
+            TX.quality_score(t, toks).alias("quality"),
+            TX.fingerprint(t, toks).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -32,8 +32,8 @@ def tokens(text: Column) -> Column:
     return F.filter(arr, lambda t: t != F.lit(""))
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def token_count(text: Column, toks: Column | None = None) -> Column:
+    return F.size(tokens(text) if toks is None else toks)
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -45,18 +45,24 @@ def _bpe_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0))
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
+def stopword_hits(text: Column, lang: str, toks: Column | None = None) -> Column:
     stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stoplist, t)))
+    t = tokens(text) if toks is None else toks
+    return F.size(F.filter(t, lambda tok: F.array_contains(stoplist, tok)))
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: highest stopword-hit ratio wins, fixed
     priority order (en > de > es > fr) breaks ties, 'und' when no list
-    matches (mirrors CLD-style unknown)."""
-    n = token_count(text).cast("double")
+    matches (mirrors CLD-style unknown).
+
+    Pass a pre-tokenized ``toks`` column in hot paths: interpreted HOFs get
+    no common-subexpression elimination, so the inline form re-tokenizes
+    once per stopword list."""
+    n = token_count(text, toks).cast("double")
     r = {
-        lang: F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
+        lang: F.when(n > 0, stopword_hits(text, lang, toks) / n).otherwise(
+            F.lit(0.0))
         for lang in STOPWORDS
     }
     return (
@@ -84,19 +90,20 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def avg_token_len(text: Column) -> Column:
-    t = tokens(text)
+def avg_token_len(text: Column, toks: Column | None = None) -> Column:
+    t = tokens(text) if toks is None else toks
     n = F.size(t).cast("double")
     total = F.length(F.concat_ws("", t)).cast("double")
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0, 1]: enough tokens, natural
     stopword density, low punctuation noise.  Fixed weights; rounded to 4
     decimals for cross-engine hash stability."""
-    n = token_count(text).cast("double")
-    stop_r = F.when(n > 0, stopword_hits(text, "en") / n).otherwise(F.lit(0.0))
+    n = token_count(text, toks).cast("double")
+    stop_r = F.when(n > 0, stopword_hits(text, "en", toks) / n).otherwise(
+        F.lit(0.0))
     score = (
         F.least(F.lit(1.0), n / F.lit(50.0)) * 0.5
         + F.least(F.lit(1.0), stop_r * 5.0) * 0.3
@@ -107,11 +114,11 @@ def quality_score(text: Column) -> Column:
     return F.floor(score * 10000.0 + 0.5) / 10000.0
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, toks: Column | None = None) -> Column:
     """64-bit document fingerprint: md5 of the whitespace-normalized
     lowercase text, first 16 hex chars.  Whitespace-insensitive, so
     reformatted copies collide (the exact-dedup key)."""
-    normalized = F.concat_ws(" ", tokens(text))
+    normalized = F.concat_ws(" ", tokens(text) if toks is None else toks)
     return F.substring(F.md5(normalized), 1, 16)
 
 
