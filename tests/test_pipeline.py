@@ -1,0 +1,63 @@
+"""Tests for the composed training-data pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions.pipeline import clean_corpus, training_chunks
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    long_en = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs for it"] * 5
+    )
+    rows = [
+        (0, long_en),
+        (1, long_en),  # exact duplicate of 0
+        (2, long_en + " extra tail tokens here"),  # near-dup of 0
+        (3, "el perro y el gato en la casa no se ven y no hay mas"),  # es
+        (4, "x"),  # too short -> low quality
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_clean_corpus_gates_and_dedups(corpus):
+    kept = clean_corpus(corpus, min_quality=0.5, languages=("en",))
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2]  # 1 exact-dup dropped, 3 wrong lang, 4 low quality
+
+
+def test_clean_corpus_near_dup_removal(corpus):
+    kept = clean_corpus(
+        corpus, min_quality=0.5, languages=("en",), drop_near_dups=True
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0]  # 2 removed as near-dup of 0
+
+
+def test_training_chunks_shapes(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(0, text), (1, "a b"), (2, "")],
+                                 "doc_id LONG, text STRING")
+    out = training_chunks(docs, chunk_tokens=40, stride=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts at 0,32,64,96 -> 4 chunks; lengths 40,40,36,4
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [c["n_tokens"] for c in c0] == [40, 40, 36, 4]
+    assert c0[0]["chunk_text"].startswith("w0 w1 ")
+    assert c0[1]["chunk_text"].startswith("w32 ")
+    # doc 1: single short chunk; doc 2: no chunks
+    assert [c["n_tokens"] for c in by_doc[1]] == [2]
+    assert 2 not in by_doc
+
+
+def test_chunks_cover_all_tokens(spark):
+    text = " ".join(f"w{i}" for i in range(75))
+    docs = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    out = training_chunks(docs, chunk_tokens=40, stride=32).collect()
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(75)}

@@ -737,6 +737,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token-appended near-copies) before running the operator.
 
 from tsdb_parquet_spark.functions import dedup as D  # noqa: E402
+from tsdb_parquet_spark.functions import pipeline as PL  # noqa: E402
 from tsdb_parquet_spark.functions import text as TX  # noqa: E402
 
 
@@ -1160,6 +1161,74 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(frame), 4).alias("mov_avg"),
     )
     return out.filter(F.col("rn") <= 100).orderBy("event_type", "rn")
+
+
+@query(
+    "q38_training_chunks",
+    PL.sql_training_chunks(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 100) _d"
+    )
+    + "\nORDER BY doc_id, chunk_id",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token overlapping training chunks (40 tokens, stride 32):
+    tokenize once, JVM explode — zero shuffles, the fan-out runs inside
+    the scan stage."""
+    from tsdb_parquet_spark.functions.pipeline import training_chunks
+
+    docs = (
+        _cat(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    return training_chunks(docs).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q39_cleaning_pipeline",
+    f"""
+WITH gated AS (
+  SELECT doc_id, text,
+         {TX.sql_quality_score('text')} AS q,
+         {TX.sql_language_id('text')} AS lang_pred,
+         {TX.sql_fingerprint('text')} AS fp,
+         len({TX.SQL_TOKENS.format(col='text')}) AS n_tokens
+  FROM documents
+  WHERE {TX.sql_quality_score('text')} >= 0.5
+    AND {TX.sql_language_id('text')} = 'en'
+),
+kept AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)
+)
+SELECT count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       floor(avg(q) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+FROM kept""",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning pipeline: quality gate -> language
+    gate -> exact dedup, then corpus statistics.  Catalyst fuses the gates
+    into the scan; the dedup groupBy is the only shuffle."""
+    from tsdb_parquet_spark.functions.pipeline import clean_corpus
+
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    kept = clean_corpus(docs, min_quality=0.5, languages=("en",))
+    t = F.col("text")
+    toks = F.col("__toks")
+    stats = kept.select(
+        "doc_id",
+        t,
+        TX.tokens(t).alias("__toks"),
+    ).select(
+        TX.token_count(t, toks).alias("n_tokens"),
+        TX.quality_score(t, toks).alias("q"),
+    )
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor(F.avg("q") * 10000.0 + 0.5) / 10000.0).alias("avg_quality"),
+    )
 
 
 @query(

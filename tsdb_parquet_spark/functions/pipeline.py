@@ -1,0 +1,115 @@
+"""Composed training-data pipeline operators.
+
+The C4/RefinedWeb-style cleaning chain — quality filter, language filter,
+exact dedup, near-dup removal, then splitting into fixed-token training
+chunks — expressed as one lazy DataFrame pipeline: Catalyst fuses the
+filters into the scan, the only shuffles are the dedup groupBys, and the
+chunker is a JVM explode (no Python).  Each stage is also usable alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions import dedup as D
+from tsdb_parquet_spark.functions import text as TX
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    drop_near_dups: bool = False,
+) -> DataFrame:
+    """Quality gate -> language gate -> exact dedup (keep smallest id) ->
+    optional MinHash-LSH near-dup removal (keep smaller id of each pair)."""
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    gated = (
+        docs.select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
+        .filter(TX.quality_score(t, toks) >= F.lit(min_quality))
+        .filter(TX.language_id(t, toks).isin(*languages))
+        .drop("__toks")
+    )
+    kept = D.drop_exact_duplicates(gated, id_col, text_col)
+    if drop_near_dups:
+        pairs = D.lsh_candidate_pairs(kept, id_col, text_col)
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        kept = kept.join(losers, on=id_col, how="left_anti")
+    return kept
+
+
+def training_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 40,
+    stride: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token training chunks:
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens).
+
+    Pure JVM: tokenize once, build (chunk_id, text) structs with
+    sequence/transform/slice, posexplode — the fan-out runs inside the
+    scan stage, no shuffle at all."""
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments
+# ---------------------------------------------------------------------------
+
+
+def sql_training_chunks(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 40,
+    stride: int = 32,
+) -> str:
+    toks = TX.SQL_TOKENS.format(col=text_col)
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {toks} AS toks FROM {table}
+), fan AS (
+  SELECT {id_col},
+         unnest(list_transform(
+           range(0, CASE WHEN len(toks) > 0
+                         THEN (len(toks) - 1) // {stride} + 1 ELSE 0 END),
+           i -> {{'chunk_id': i,
+                 'chunk_text': array_to_string(
+                     toks[i*{stride}+1 : i*{stride}+{chunk_tokens}], ' '),
+                 'n_tokens': least({chunk_tokens},
+                                   len(toks) - i*{stride})}}),
+           recursive := true)
+  FROM tok
+)
+SELECT {id_col}, chunk_id, chunk_text, n_tokens FROM fan"""
