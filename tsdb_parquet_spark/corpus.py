@@ -1232,6 +1232,66 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q40_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+              coalesce(l_linestatus, 'ALL') AS status,
+              count(*) AS cnt,
+              round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY flag, status""",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP (absent from the reference, SURVEY §2.3):
+    hierarchical subtotals in one pass — Spark expands the grouping sets
+    map-side, still a single shuffle."""
+    li = _cat(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@query(
+    "q41_set_operations",
+    """SELECT
+         (SELECT count(*) FROM
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+         (SELECT count(*) FROM
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_only_f,
+         (SELECT count(*) FROM
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_any""",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference — only AND-conjunction
+    exists there, SURVEY §2.3): INTERSECT / EXCEPT / UNION over customer
+    key sets."""
+    orders = _cat(spark, sf_dir)["orders"]
+    f_keys = orders.filter(equals("o_orderstatus", "F")).select("o_custkey")
+    o_keys = orders.filter(equals("o_orderstatus", "O")).select("o_custkey")
+    both = f_keys.intersect(o_keys).agg(F.count(F.lit(1)).alias("n_both"))
+    only_f = f_keys.subtract(o_keys).agg(F.count(F.lit(1)).alias("n_only_f"))
+    any_ = f_keys.union(o_keys).distinct().agg(F.count(F.lit(1)).alias("n_any"))
+    return both.crossJoin(only_f).crossJoin(any_)
+
+
+@query(
     "q31_json_props",
     """SELECT event_type,
               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
