@@ -377,7 +377,9 @@ def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    root = os.path.join(work, f"chunk_store_{tag}")
+    # version tag guards against stale cached stores when the chunk format
+    # or store layout changes across rounds
+    root = os.path.join(work, f"chunk_store_v2_{tag}")
     compact_dir = os.path.join(root, "compact")
     if os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
         return compact_dir
@@ -674,7 +676,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    root = os.path.join(work, f"stream_store_{tag}")
+    root = os.path.join(work, f"stream_store_v2_{tag}")
     compact_dir = os.path.join(root, "compact")
 
     if not os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
