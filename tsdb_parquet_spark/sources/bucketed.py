@@ -1,0 +1,44 @@
+"""Bucketed tables: shuffle-free co-located joins and aggregations.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle.  Writing
+both sides bucketed by the join key (same bucket count) lets Spark plan a
+SortMergeJoin with NO Exchange on either side — each task joins bucket i of
+both tables.  Same for groupBy on the bucket key: partial aggregation
+feeds straight into the final one.
+
+Bucketing requires the session catalog (``saveAsTable``); tables land in
+``spark.sql.warehouse.dir``.  The layout composes with the sorted-part
+options (zstd/dictionary/blooms) from :mod:`tsdb_parquet_spark.sources.writer`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tsdb_parquet_spark.sources.writer import WriterOptions
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    opts: WriterOptions | None = None,
+) -> str:
+    """Write ``df`` as a bucketed (and per-bucket sorted) managed table."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if opts is not None:
+        writer = opts.apply(writer)
+    writer = writer.bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+    return table
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two co-bucketed tables on the bucket key — plans with zero
+    Exchange nodes when bucket specs match (verified in tests)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)
