@@ -985,9 +985,9 @@ def _sql_hex_byte(h: str, pos: int) -> str:
 SELECT CASE {_sql_hex_byte('h', 2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
             ELSE 'webp' END AS format,
        count(*) AS n,
-       sum({_sql_hex_byte('h', 0)} % 64 + 1) AS sum_width,
-       sum({_sql_hex_byte('h', 1)} % 64 + 1) AS sum_height,
-       sum(16) AS sum_bytes
+       CAST(sum({_sql_hex_byte('h', 0)} % 64 + 1) AS BIGINT) AS sum_width,
+       CAST(sum({_sql_hex_byte('h', 1)} % 64 + 1) AS BIGINT) AS sum_height,
+       CAST(sum(16) AS BIGINT) AS sum_bytes
 FROM m GROUP BY 1 ORDER BY format""",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,7 +1204,7 @@ kept AS (
   WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)
 )
 SELECT count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        floor(avg(q) * 10000.0 + 0.5) / 10000.0 AS avg_quality
 FROM kept""",
 )
@@ -1296,7 +1296,8 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q31_json_props",
     """SELECT event_type,
-              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
               count(*) AS n
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
