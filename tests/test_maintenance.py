@@ -38,6 +38,30 @@ def test_maybe_compact_threshold(spark, sf_smoke):
     assert spark.read.parquet(compact).count() == 900
 
 
+def test_repeated_compaction_is_lossless(spark, sf_smoke):
+    """Second maybe_compact cycle must keep rows from the first cycle:
+    compact() folds the previous compact output into the merge (regression
+    for the overwrite-drops-survivors bug)."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(100)
+    root = os.path.join(WORK, "two_cycles")
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["l_orderkey"], max_files=1)
+    writer = SortedParquetWriter(spark, root, opts)
+    for _ in range(3):
+        writer.write(li)
+    assert maybe_compact(writer, max_parts=2) is not None  # cycle 1: 300 rows
+    for _ in range(3):
+        writer.write(li)
+    compact = maybe_compact(writer, max_parts=2)  # cycle 2: +300 rows
+    assert compact is not None
+    assert writer.part_dirs == []
+    assert spark.read.parquet(compact).count() == 600
+    # and the merged output is still globally sorted on the sort prefix
+    keys = [r[0] for r in spark.read.parquet(compact)
+            .select("l_orderkey").collect()]
+    assert keys == sorted(keys)
+
+
 def test_retention_sweep_drops_old_days(spark):
     rows = [(d, float(d)) for d in range(10, 20)]
     df = spark.createDataFrame(rows, "`__day` INT, value DOUBLE")

@@ -83,6 +83,23 @@ def test_stream_dedup_suppresses_duplicate_delivery(spark, sf_smoke):
     assert n == events.count()
 
 
+def test_replayed_micro_batch_is_idempotent(spark, sf_smoke):
+    """foreachBatch is at-least-once: re-delivering the same (batch_df,
+    batch_id) after a restart must not duplicate rows — the part dir is
+    keyed by batch_id and a complete part is skipped."""
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    root = os.path.join(WORK, "replay")
+    shutil.rmtree(root, ignore_errors=True)
+    ingestor = StreamingChunkIngestor(
+        spark, root, LABELS, _to_samples, chunk_span_ms=DAY_MS
+    )
+    ingestor._write_batch(events, batch_id=7)
+    n_first = spark.read.parquet(*ingestor.writer.part_dirs).count()
+    ingestor._write_batch(events, batch_id=7)  # replay
+    assert ingestor.writer.part_dirs == [os.path.join(root, "part.7")]
+    assert spark.read.parquet(*ingestor.writer.part_dirs).count() == n_first
+
+
 def test_series_ids_assigned_at_compaction(spark, sf_smoke):
     events = spark.read.parquet(f"{sf_smoke}/events.parquet")
     staging = os.path.join(WORK, "staging_ids")

@@ -26,7 +26,11 @@ DAY_MS = 86_400_000
 
 def maybe_compact(writer: SortedParquetWriter, max_parts: int = 8) -> str | None:
     """Compact when the part count exceeds ``max_parts``; returns the
-    compact dir when compaction ran, else None."""
+    compact dir when compaction ran, else None.
+
+    Safe to run periodically: ``SortedParquetWriter.compact`` folds the
+    previous compaction output into the merge before the source parts are
+    deleted, so successive cycles accumulate instead of overwriting."""
     if len(writer.part_dirs) <= max_parts:
         return None
     compact_dir = writer.compact()

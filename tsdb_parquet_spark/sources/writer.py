@@ -30,6 +30,7 @@ touching a small, contiguous subset of files.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,29 +80,50 @@ class WriterOptions:
         return writer
 
 
-def _partition_count(df: DataFrame, opts: WriterOptions) -> int:
-    # Estimate parts from the plan's row-count statistic when available so a
-    # 100 TB input yields proportionally many files; fall back to the
-    # session's shuffle parallelism.
-    try:
-        n_rows = df._jdf.queryExecution().optimizedPlan().stats().rowCount().get()
-        parts = max(1, int(n_rows) // opts.rows_per_part + 1)
-    except Exception:
+def _partition_count(
+    df: DataFrame, opts: WriterOptions, n_rows: int | None = None
+) -> int:
+    # Estimate parts from the known row count (caller-provided) or the
+    # plan's row-count statistic so a 100 TB input yields proportionally
+    # many files; fall back to the session's shuffle parallelism.
+    if n_rows is None:
+        try:
+            n_rows = int(
+                df._jdf.queryExecution().optimizedPlan().stats().rowCount().get()
+            )
+        except Exception:
+            n_rows = None
+    if n_rows is not None:
+        parts = max(1, (n_rows + opts.rows_per_part - 1) // opts.rows_per_part)
+    else:
         parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if opts.max_files:
         parts = min(parts, opts.max_files)
     return parts
 
 
-def write_sorted(df: DataFrame, out_dir: str, opts: WriterOptions) -> str:
+def write_sorted(
+    df: DataFrame,
+    out_dir: str,
+    opts: WriterOptions,
+    n_rows: int | None = None,
+) -> str:
     """S5 — write ``df`` as range-partitioned, internally sorted parquet
-    parts honoring the reference layout contract (`db/writer.go:169-216`)."""
-    n = _partition_count(df, opts)
+    parts honoring the reference layout contract (`db/writer.go:169-216`).
+
+    ``n_rows``: exact input size when the caller already knows it (e.g. a
+    counted+cached micro-batch).  A batch that fits one part then skips the
+    range shuffle entirely — ``coalesce(1)`` + in-partition sort produces
+    the same single globally sorted file without an exchange.
+    """
+    n = _partition_count(df, opts, n_rows=n_rows)
     sort_cols = [c for c in opts.sort_columns if c in df.columns]
     shuffle_cols = [c for c in opts.partition_by if c in df.columns] + [
         c for c in sort_cols if c not in opts.partition_by
     ]
-    if shuffle_cols:
+    if shuffle_cols and n == 1 and n_rows is not None and not opts.partition_by:
+        df = df.coalesce(1).sortWithinPartitions(*shuffle_cols)
+    elif shuffle_cols:
         df = df.repartitionByRange(n, *shuffle_cols).sortWithinPartitions(
             *shuffle_cols
         )
@@ -159,5 +181,24 @@ class SortedParquetWriter:
         return write_sorted(df, part_dir, self.opts)
 
     def compact(self) -> str:
+        """Merge all current parts PLUS the previous compaction output (if
+        any) into a fresh ``root/compact``.
+
+        Including the prior compact dir makes repeated part->compact cycles
+        lossless (a periodic ``maybe_compact`` job deletes parts after each
+        merge — without this the next cycle would overwrite the survivors).
+        The merge lands in a temp dir first and is swapped in by rename, so
+        a failed merge leaves the previous compact output intact.  On an
+        object store the swap would be a manifest pointer update instead of
+        a rename; the single-writer maintenance job assumption is the same.
+        """
         out = os.path.join(self.root, "compact")
-        return compact(self.spark, self.part_dirs, out, self.opts)
+        inputs = self.part_dirs
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            inputs = inputs + [out]
+        tmp = os.path.join(self.root, ".compact.next")
+        shutil.rmtree(tmp, ignore_errors=True)
+        compact(self.spark, inputs, tmp, self.opts)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+        return out

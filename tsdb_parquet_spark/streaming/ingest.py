@@ -27,7 +27,6 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.chunks import samples_to_chunks
 from tsdb_parquet_spark.schema import sort_columns
@@ -68,17 +67,35 @@ class StreamingChunkIngestor:
     # -- sink ---------------------------------------------------------------
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from tsdb_parquet_spark.sources.writer import write_sorted
+
+        # foreachBatch is at-least-once: derive the part dir from batch_id
+        # so a replayed micro-batch lands in the SAME directory.  A complete
+        # replay (``_SUCCESS`` present) is skipped; a partial one is
+        # overwritten by mode("overwrite") — together that makes the sink
+        # idempotent, which is what upgrades at-least-once delivery to
+        # exactly-once state in the store.
+        part_dir = os.path.join(self.writer.root, f"part.{batch_id}")
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            return
         samples = self.to_samples(batch_df)
         chunks = samples_to_chunks(
             samples,
             self.labels,
             chunk_span_ms=self.chunk_span_ms,
             assign_series_ids=False,  # ids are assigned at compaction
-        )
-        self.writer.write(chunks)
-        # row accounting comes from the part footers (no extra job over the
-        # samples lineage — a count() here would recompute the whole batch)
-        self.rows_ingested = None
+        ).persist()
+        try:
+            # counting the cached chunks is one extra cheap action and buys
+            # an exact partition count: a micro-batch that fits one part
+            # skips the range shuffle entirely (coalesce + local sort)
+            n = chunks.count()
+            write_sorted(chunks, part_dir, self.writer.opts, n_rows=n)
+            self.rows_ingested = n
+        finally:
+            chunks.unpersist()
 
     def ingest(
         self,
@@ -93,8 +110,14 @@ class StreamingChunkIngestor:
         delivery protection the batch reference cannot express)."""
         if dedup_key is not None:
             if event_time_col is not None:
+                # dropDuplicatesWithinWatermark keys state on dedup_key but
+                # still evicts entries once the watermark passes their event
+                # time — plain dropDuplicates([key]) would hold every key
+                # forever on a long-running stream
                 stream = stream.withWatermark(event_time_col, watermark)
-            stream = stream.dropDuplicates([dedup_key])
+                stream = stream.dropDuplicatesWithinWatermark([dedup_key])
+            else:
+                stream = stream.dropDuplicates([dedup_key])
         writer = (
             stream.writeStream.foreachBatch(self._write_batch)
             .option("checkpointLocation", f"{self.writer.root}/_checkpoint")
@@ -118,6 +141,9 @@ class StreamingChunkIngestor:
 
         df = self.spark.read.parquet(*self.writer.part_dirs)
         ids = dense_series_ids(df.select(*self.labels).distinct(), self.labels)
-        merged = df.join(F.broadcast(ids), on=self.labels, how="inner")
+        # no broadcast hint: the id table is one row per distinct series and
+        # can exceed driver memory at 100M+ series — let AQE pick broadcast
+        # when it is actually small
+        merged = df.join(ids, on=self.labels, how="inner")
         out = os.path.join(self.writer.root, "compact")
         return write_sorted(merged, out, self.writer.opts)
