@@ -24,10 +24,11 @@ import struct
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import arrow_udf
 
 from tsdb_parquet_spark.schema import CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID
 
@@ -62,30 +63,76 @@ def decode_samples(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return buf[0::2].copy(), buf[1::2].copy().view(np.float64)
 
 
-@F.pandas_udf(SAMPLE_STRUCT)
-def decode_chunk_udf(blobs: pd.Series) -> pd.Series:
-    """Vectorized chunk decode (Arrow-batched; the reference's equivalent
-    sample iterator is a stub — `prometheus/chunks_iterator.go:12-24`)."""
-    out = []
-    for blob in blobs:
-        ts, vals = decode_samples(blob)
-        out.append([{"ts": int(t), "value": float(v)} for t, v in zip(ts, vals)])
-    return pd.Series(out)
+@arrow_udf(SAMPLE_STRUCT)
+def decode_chunk_udf(blobs: pa.Array) -> pa.Array:
+    """Arrow-native chunk decode (the reference's equivalent sample
+    iterator is a stub — `prometheus/chunks_iterator.go:12-24`).
+
+    The hot kernel of every sample query: builds the whole batch's
+    ``array<struct<ts,value>>`` column as ONE pyarrow ListArray over flat
+    numpy buffers — zero per-sample Python objects (a dict-per-sample
+    formulation is ~10x slower and dominated every scan at 100 TB scale).
+    The only Python loop is per-chunk (copying each blob's payload into
+    the flat buffer), not per-sample.
+    """
+    if isinstance(blobs, pa.ChunkedArray):
+        blobs = blobs.combine_chunks()
+    # explicit buffer math (BinaryArray has no .offsets accessor):
+    # buffers() = [validity, byte-offsets, data]; honor the slice offset
+    # and both 32-bit (binary) and 64-bit (large_binary) offset widths
+    off_dtype = np.int64 if pa.types.is_large_binary(blobs.type) else np.int32
+    off_buf = np.frombuffer(blobs.buffers()[1], dtype=off_dtype)
+    starts = off_buf[blobs.offset : blobs.offset + len(blobs)]
+    mem = memoryview(blobs.buffers()[2])
+    counts = np.empty(len(blobs), dtype=np.int64)
+    flat_parts = []
+    for i in range(len(blobs)):
+        base = starts[i]
+        (n,) = struct.unpack_from("<I", mem, base)
+        counts[i] = n
+        flat_parts.append(
+            np.frombuffer(mem, dtype=np.int64, count=2 * n, offset=base + 4)
+        )
+    flat = (
+        np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64)
+    )
+    ts = flat[0::2]
+    vals = flat[1::2].view(np.float64)
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    struct_arr = pa.StructArray.from_arrays(
+        [pa.array(ts, pa.int64()), pa.array(vals, pa.float64())],
+        fields=[
+            pa.field("ts", pa.int64(), nullable=False),
+            pa.field("value", pa.float64(), nullable=False),
+        ],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct_arr)
 
 
-@F.pandas_udf(T.BinaryType())
-def encode_chunk_udf(samples: pd.Series) -> pd.Series:
-    """Vectorized chunk encode: each input cell is a ts-sorted
-    array<struct<ts,value>>; one Arrow batch covers thousands of chunks
-    (NOT one Python call per chunk group — that is ~10x slower)."""
-    out = []
-    for chunk in samples:
-        ts = np.fromiter((s["ts"] for s in chunk), dtype=np.int64,
-                         count=len(chunk))
-        vals = np.fromiter((s["value"] for s in chunk), dtype=np.float64,
-                           count=len(chunk))
-        out.append(encode_samples(ts, vals))
-    return pd.Series(out)
+@arrow_udf(T.BinaryType())
+def encode_chunk_udf(samples: pa.Array) -> pa.Array:
+    """Arrow-native chunk encode: the input is the Arrow list<struct>
+    column itself; ts/value land in flat numpy buffers via zero-copy
+    ``.field().to_numpy()`` and each blob is one interleaved-buffer slice.
+    One Arrow batch covers thousands of chunks; no per-sample Python."""
+    if isinstance(samples, pa.ChunkedArray):
+        samples = samples.combine_chunks()
+    counts = pa.compute.list_value_length(samples).to_numpy().astype(np.int64)
+    flat = samples.flatten()  # StructArray, slice-safe
+    ts = flat.field("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = flat.field("value").to_numpy(zero_copy_only=False)
+    interleaved = np.empty(2 * len(ts), dtype=np.int64)
+    interleaved[0::2] = ts
+    interleaved[1::2] = vals.astype(np.float64).view(np.int64)
+    ends = np.cumsum(counts)
+    blobs = []
+    for i in range(len(counts)):
+        s, e = ends[i] - counts[i], ends[i]
+        blobs.append(
+            struct.pack("<I", int(counts[i])) + interleaved[2 * s : 2 * e].tobytes()
+        )
+    return pa.array(blobs, pa.binary())
 
 
 def samples_to_chunks(
@@ -133,7 +180,9 @@ def samples_to_chunks(
         return chunks.select(MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels))
 
     series_ids = dense_series_ids(chunks.select(*labels).distinct(), labels)
-    return chunks.join(F.broadcast(series_ids), on=labels, how="inner").select(
+    # no broadcast hint: one row per distinct series can exceed driver
+    # memory at 100M+ series — AQE broadcasts only when actually small
+    return chunks.join(series_ids, on=labels, how="inner").select(
         SERIES_ID, MIN_T, MAX_T, CHUNK_BYTES, *sorted(labels)
     )
 
@@ -144,12 +193,26 @@ def dense_series_ids(series: DataFrame, label_columns: Sequence[str]) -> DataFra
     postings).
 
     NOT a global Window (``Window.orderBy`` with no partition key pulls
-    every row into one task — a hard wall at 100M+ series).  Instead:
-    distributed range-sort, count rows per partition (one light job), then
-    add per-partition offsets — every stage is parallel and the result is
-    identical to the global dense rank because range partitions are
-    ordered and series are distinct.
+    every row into one task — a hard wall at 100M+ series), and NOT an RDD
+    pass (every series row would round-trip through Python pickling).
+    All-JVM single-cache plan:
+
+    1. range-sort the distinct series (ordered partitions, sorted rows);
+    2. tag each row with its partition id and its dense in-partition index
+       (``monotonically_increasing_id`` assigns ``pid << 33 + row#`` in
+       iteration order, which IS the sorted order after the local sort —
+       mask off the partition bits to get the local index);
+    3. per-partition counts -> running-sum offsets (a window over ONE row
+       per partition — |partitions| rows, trivially single-task);
+    4. broadcast the offset table back onto the tagged rows:
+       ``id = offset[pid] + local_index``.
+
+    The tagged frame is persisted so steps 3 and 4 share one computation
+    of the range sort; the cache is dropped by the ContextCleaner when the
+    returned frame is garbage collected.
     """
+    from pyspark.sql.window import Window
+
     labels_sorted = [c for c in sorted(label_columns)]
     n_parts = int(
         series.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -157,27 +220,30 @@ def dense_series_ids(series: DataFrame, label_columns: Sequence[str]) -> DataFra
     ordered = series.repartitionByRange(n_parts, *labels_sorted).sortWithinPartitions(
         *labels_sorted
     )
+    tagged = ordered.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        (
+            F.monotonically_increasing_id()
+            - F.shiftleft(F.spark_partition_id().cast("long"), 33)
+        ).alias("__idx"),
+    ).persist()
 
-    counts = ordered.rdd.mapPartitions(
-        lambda it: iter([sum(1 for _ in it)])
-    ).collect()
-    offsets = [0]
-    for c in counts[:-1]:
-        offsets.append(offsets[-1] + c)
-
-    field_names = ordered.columns
-
-    def tag(part_idx: int, rows):
-        base = offsets[part_idx]
-        for i, row in enumerate(rows):
-            yield (*[row[f] for f in field_names], base + i)
-
-    schema = T.StructType(
-        list(ordered.schema.fields)
-        + [T.StructField(SERIES_ID, T.LongType(), False)]
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    running = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return ordered.sparkSession.createDataFrame(
-        ordered.rdd.mapPartitionsWithIndex(tag), schema
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(running), F.lit(0)).alias("__offset"),
+    )
+
+    return (
+        tagged.join(F.broadcast(offsets), on="__pid", how="inner")
+        .select(
+            *[F.col(c) for c in ordered.columns],
+            (F.col("__offset") + F.col("__idx")).alias(SERIES_ID),
+        )
     )
 
 
