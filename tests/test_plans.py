@@ -164,7 +164,10 @@ def test_promql_tumbling_has_no_join(spark):
     assert "Join" not in plan
 
 
-def test_promql_general_window_broadcasts_steps(spark):
+def test_promql_general_window_has_no_join(spark):
+    """window > step must compile to arithmetic step fan-out
+    (explode(sequence)), NOT a join — the old broadcast nested-loop tested
+    every sample against every step, O(samples x steps)."""
     from tsdb_parquet_spark.plans.promql import PromQLEngine
 
     samples = spark.createDataFrame(
@@ -174,4 +177,6 @@ def test_promql_general_window_broadcasts_steps(spark):
         "sum by (job) (count_over_time(m[5m]))", 60_000, 300_000, 60_000
     )
     plan = _plan(out)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode(sequence(...)) fan-out

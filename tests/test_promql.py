@@ -146,6 +146,54 @@ def test_topk_over_aggregation(spark):
     assert out[0]["job"] == "api-server" and out[0]["value"] == 2.0
 
 
+def test_topk_by_keeps_k_per_group(spark):
+    rows = [
+        ("m", "us", "a", 0, 1.0), ("m", "us", "b", 0, 5.0),
+        ("m", "eu", "c", 0, 3.0), ("m", "eu", "d", 0, 2.0),
+    ]
+    samples = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, region STRING, job STRING, ts LONG, value DOUBLE",
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("topk by (region) (1, m)", 0, 0, 60_000).collect()
+    assert {(r["region"], r["job"]) for r in out} == {("us", "b"), ("eu", "c")}
+
+
+def test_counter_reset_compensation(spark):
+    # counter 0,10,20, reset, 5,15: increase = 20 + 15 = last(15) -
+    # first(0) + pre-reset value(20)
+    vals = [(0, 0.0), (60_000, 10.0), (120_000, 20.0),
+            (180_000, 5.0), (240_000, 15.0)]
+    samples = spark.createDataFrame(
+        [("m", "a", ts, v) for ts, v in vals],
+        "`__name__` STRING, job STRING, ts LONG, value DOUBLE",
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("increase(m[5m])", 240_000, 240_000, 60_000)
+    assert out.collect()[0]["value"] == pytest.approx(35.0)
+    rate = engine.query_range("rate(m[5m])", 240_000, 240_000, 60_000)
+    assert rate.collect()[0]["value"] == pytest.approx(35.0 / 240.0)
+
+
+def test_offset_modifier_shifts_window(spark):
+    # samples at 0..300s with value = ts/1000; "m offset 5m" at t=600s
+    # must see the sample from 300s (value 300), not nothing
+    rows = [("m", "a", ts, ts / 1000.0) for ts in range(0, 300_001, 60_000)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("m offset 5m", 600_000, 600_000, 60_000).collect()
+    assert len(out) == 1 and out[0]["value"] == 300.0
+    # range-selector offset: sum_over_time(m[5m] offset 5m) at 600s covers
+    # samples in (0s, 300s] -> 60+120+180+240+300
+    out2 = engine.query_range(
+        "sum_over_time(m[5m] offset 5m)", 600_000, 600_000, 60_000
+    ).collect()
+    assert len(out2) == 1 and out2[0]["value"] == pytest.approx(900.0)
+
+
 def test_instant_staleness_excludes_old_samples(spark):
     # single sample at t=0; with 5m lookback it is visible until 300s only
     samples = spark.createDataFrame(

@@ -581,26 +581,34 @@ b AS (
              * {_P_STEP} AS t
   FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
 ),
+d AS (
+  SELECT t, event_type, shard, ts_ms, value,
+         lag(value) OVER (PARTITION BY t, event_type, shard
+                          ORDER BY ts_ms) AS prev
+  FROM b WHERE t <= {_P_END}
+),
 per_series AS (
   SELECT t, event_type, shard,
          arg_max(value, ts_ms) AS lastv, arg_min(value, ts_ms) AS firstv,
-         max(ts_ms) AS last_ts, min(ts_ms) AS first_ts
-  FROM b WHERE t <= {_P_END}
-  GROUP BY t, event_type, shard
+         max(ts_ms) AS last_ts, min(ts_ms) AS first_ts,
+         sum(CASE WHEN prev IS NOT NULL AND value < prev
+                  THEN prev ELSE 0.0 END) AS comp
+  FROM d GROUP BY t, event_type, shard
 ),
 rated AS (
   SELECT t, event_type, shard,
-         (lastv - firstv) / ((last_ts - first_ts) / 1000.0) AS value
+         (lastv - firstv + comp) / ((last_ts - first_ts) / 1000.0) AS value
   FROM per_series WHERE last_ts > first_ts
 )
 SELECT t, event_type, round(max(value), 4) AS value
 FROM rated GROUP BY t, event_type ORDER BY t, event_type""",
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`max by (event_type) (rate(app_events[1d]))` — per-series last-first
-    delta over the tumbling window (documented deviation from PromQL
-    extrapolation), max across shards.  max avoids cross-engine float
-    summation entirely."""
+    """`max by (event_type) (rate(app_events[1d]))` — per-series rate with
+    Prometheus counter-reset correction (each in-window decrease adds the
+    pre-reset value; the oracle mirrors it with a lag() compensation sum),
+    max across shards.  Documented deviation: no window-edge
+    extrapolation.  max avoids cross-engine float summation entirely."""
     engine = _promql_samples(spark, sf_dir)
     out = engine.query_range(
         "max by (event_type) (rate(app_events[1d]))",
@@ -645,6 +653,101 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         _P_END,
         _P_STEP,
     )
+
+
+_P_WEEK = 7 * _DAY_MS
+
+
+@query(
+    "q42_promql_window_gt_step",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+b AS (
+  SELECT st.t, s.event_type
+  FROM steps st JOIN s
+    ON s.ts_ms > st.t - {_P_WEEK} AND s.ts_ms <= st.t
+)
+SELECT t, event_type, CAST(count(*) AS DOUBLE) AS value
+FROM b GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (event_type) (count_over_time(app_events[7d]))` at 1d step —
+    the general window > step path: arithmetic step fan-out
+    (explode(sequence(k_first, k_last))), each sample emitting exactly its
+    ~7 step rows; no join, no BroadcastNestedLoopJoin (plan-asserted in
+    tests/test_plans.py).  The oracle is free to use the O(samples x
+    steps) join DuckDB-side."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "sum by (event_type) (count_over_time(app_events[7d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+@query(
+    "q43_promql_counter_reset",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms,
+         CAST((epoch_ms(ts) // 1000) % 1000 AS DOUBLE) AS value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+b AS (
+  SELECT st.t, s.event_type, s.shard, s.ts_ms, s.value
+  FROM steps st JOIN s
+    ON s.ts_ms > st.t - {2 * _DAY_MS} AND s.ts_ms <= st.t
+),
+d AS (
+  SELECT t, event_type, shard, ts_ms, value,
+         lag(value) OVER (PARTITION BY t, event_type, shard
+                          ORDER BY ts_ms) AS prev
+  FROM b
+),
+per_series AS (
+  SELECT t, event_type, shard,
+         arg_max(value, ts_ms) AS lastv, arg_min(value, ts_ms) AS firstv,
+         max(ts_ms) AS last_ts, min(ts_ms) AS first_ts,
+         sum(CASE WHEN prev IS NOT NULL AND value < prev
+                  THEN prev ELSE 0.0 END) AS comp
+  FROM d GROUP BY t, event_type, shard
+),
+inc AS (
+  SELECT t, event_type, shard, lastv - firstv + comp AS value
+  FROM per_series WHERE last_ts > first_ts
+)
+SELECT t, event_type, round(max(value), 4) AS value
+FROM inc GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max by (event_type) (increase(app_counter[2d]))` over a synthetic
+    sawtooth counter (value = (ts_s) % 1000 — resets every ~17 min):
+    exercises counter-reset compensation AND the window > step fan-out in
+    one query.  The oracle reproduces the compensation with a lag()
+    window; a last-first delta WITHOUT reset handling diverges wildly
+    here, so a hash match proves the Prometheus semantics."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_counter").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.expr("CAST((ts div 1000000000) % 1000 AS DOUBLE)").alias("value"),
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        "max by (event_type) (increase(app_counter[2d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select("t", "event_type", F.round("value", 4).alias("value"))
 
 
 # ---------------------------------------------------------------------------

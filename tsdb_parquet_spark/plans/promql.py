@@ -9,8 +9,8 @@ small recursive-descent parser for the subset
     expr     := agg | func | selector
     agg      := AGGOP [by-clause] '(' (func | selector) ')'
     by-clause:= 'by' '(' label (',' label)* ')'
-    func     := FUNC '(' selector '[' duration ']' ')'
-    selector := metric ['{' matcher (',' matcher)* '}']
+    func     := FUNC '(' selector '[' duration ']' ['offset' duration] ')'
+    selector := metric ['{' matcher (',' matcher)* '}'] ['offset' duration]
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
     AGGOP    := sum | min | max | count | avg
     FUNC     := rate | increase | count_over_time | sum_over_time |
@@ -24,13 +24,16 @@ Evaluation strategy (scale-first):
 - **tumbling fast path**: when the range window equals the step, each
   sample belongs to exactly one step -> pure column arithmetic + one
   groupBy; no join at all.
-- **general path**: broadcast range-join of samples against the (tiny)
-  step axis — each sample fans out to ~window/step steps; the big side
-  never shuffles more than once for the final aggregation.
+- **general path** (window > step): arithmetic step fan-out — each
+  sample's first/last affected step index is computed in closed form and
+  ``explode(sequence(...))`` emits exactly its ~window/step step rows; no
+  join of any kind, and the samples side shuffles once, for the final
+  per-(series, step) aggregation.
 
-Deviation from full PromQL, documented: ``rate``/``increase`` use plain
-(last-first) deltas without Prometheus' window-edge extrapolation or
-counter-reset correction.
+``rate``/``increase`` apply Prometheus counter-reset correction (each
+in-window decrease adds the pre-reset value).  Documented deviations:
+no window-edge extrapolation, and no `@` timestamp modifier (`offset`
+IS supported).
 """
 
 from __future__ import annotations
@@ -77,6 +80,7 @@ class PromExpr:
     matchers: list[Matcher] = field(default_factory=list)
     func: str | None = None  # range function
     range_ms: int | None = None
+    offset_ms: int = 0  # `offset <dur>` modifier: evaluate shifted back
     agg: str | None = None  # outer aggregation
     by: list[str] | None = None  # None = aggregate everything away
     agg_param: float | None = None  # k for topk/bottomk
@@ -95,11 +99,13 @@ class PromBinary:
 @dataclass
 class PromTopK:
     """topk/bottomk(k, vector): keep the k series with the highest (lowest)
-    value at each step."""
+    value at each step.  With ``by`` labels, k series are kept per
+    (step, by-group) — Prometheus `topk by (...)` semantics."""
 
     k: int
     ascending: bool
     inner: "PromNode"
+    by: list[str] | None = None
 
 
 PromNode = "PromExpr | PromBinary | PromTopK | float"
@@ -215,7 +221,7 @@ class _Parser:
             inner = self._binary()
             self.expect(")")
             return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
-                            inner=inner)
+                            inner=inner, by=by)
         kind, tok = self.peek()
         inner = (
             self._func()
@@ -236,10 +242,20 @@ class _Parser:
         if kind != "duration_part":
             raise ValueError(f"expected duration, got {dur!r}")
         self.expect("]")
+        self._maybe_offset(sel)
         self.expect(")")
         sel.func = fn
         sel.range_ms = parse_duration_ms(dur)
         return sel
+
+    def _maybe_offset(self, sel: "PromExpr") -> None:
+        kind, tok = self.peek()
+        if kind == "ident" and tok == "offset":
+            self.next()
+            k, dur = self.next()
+            if k != "duration_part":
+                raise ValueError(f"expected duration after offset, got {dur!r}")
+            sel.offset_ms = parse_duration_ms(dur)
 
     def _selector(self) -> PromExpr:
         kind, metric = self.next()
@@ -265,7 +281,13 @@ class _Parser:
                 k, nxt = self.peek()
                 if nxt == ",":
                     self.next()
-        return PromExpr(metric=metric, matchers=matchers)
+        sel = PromExpr(metric=metric, matchers=matchers)
+        # instant-selector offset (`m offset 1h`); a range selector's
+        # offset follows the `[dur]` bracket and is handled in _func
+        kind, tok = self.peek()
+        if kind == "ident" and tok == "offset":
+            self._maybe_offset(sel)
+        return sel
 
 
 def parse_promql(text: str) -> PromExpr:
@@ -329,7 +351,7 @@ class PromQLEngine:
             return self._eval_binary(node, start_ms, end_ms, step_ms, lookback_ms)
         if isinstance(node, PromTopK):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
-            return self._topk(inner, node.k, node.ascending)
+            return self._topk(inner, node.k, node.ascending, node.by)
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
 
     def _eval_binary(
@@ -366,13 +388,18 @@ class PromQLEngine:
         )
 
     @staticmethod
-    def _topk(df: DataFrame, k: int, ascending: bool) -> DataFrame:
+    def _topk(
+        df: DataFrame, k: int, ascending: bool, by: list[str] | None = None
+    ) -> DataFrame:
         from pyspark.sql import Window
 
         label_cols = [c for c in df.columns if c not in ("t", "value")]
+        missing = [c for c in (by or []) if c not in label_cols]
+        if missing:
+            raise ValueError(f"topk by labels not in result: {missing}")
         order = [F.col("value").asc() if ascending else F.col("value").desc()]
         order += [F.col(c).asc() for c in label_cols]  # deterministic ties
-        w = Window.partitionBy("t").orderBy(*order)
+        w = Window.partitionBy("t", *(by or [])).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
@@ -399,11 +426,17 @@ class PromQLEngine:
             elif m.op in ("=", "=~"):
                 return self._empty(expr)
 
-        # prune to the evaluation window before any join/shuffle
+        # prune to the evaluation window before any join/shuffle; the
+        # offset modifier shifts the BOUNDS (plain ts comparisons still
+        # reach the parquet scan as pushed filters), then shifts the
+        # surviving timestamps so all downstream step math is unchanged
+        off = expr.offset_ms
         df = df.filter(
-            (F.col("ts") > F.lit(start_ms - window_ms))
-            & (F.col("ts") <= F.lit(end_ms))
+            (F.col("ts") > F.lit(start_ms - window_ms - off))
+            & (F.col("ts") <= F.lit(end_ms - off))
         )
+        if off:
+            df = df.withColumn("ts", F.col("ts") + F.lit(off))
 
         series_cols = [c for c in self.label_columns if c != self.metric_label]
 
@@ -459,17 +492,42 @@ class PromQLEngine:
 
     @staticmethod
     def _join_steps(df, start_ms, end_ms, step_ms, window_ms) -> DataFrame:
-        """General path: broadcast the step axis (tiny) against the samples;
-        each sample joins ~window/step steps.  The samples side stays
-        shuffle-free until the final per-(series, t) aggregation."""
-        spark = df.sparkSession
-        steps = spark.range(start_ms, end_ms + 1, step_ms).withColumnRenamed(
-            "id", "t"
+        """General path (window > step): ARITHMETIC step fan-out, no join.
+
+        A sample at ``ts`` contributes to steps ``t`` with ``ts <= t <
+        ts + window`` — a contiguous run of step indices computable in
+        closed form.  ``explode(sequence(k_first, k_last))`` fans each
+        sample out to exactly its ~window/step steps and stays equi-shaped
+        (narrow, whole-stage codegen), where a range-predicate join against
+        the step axis would be a broadcast nested-loop testing every sample
+        against every step — O(samples x steps), a scale-killer at
+        30d/1m = 43k steps.
+        """
+        k_max = (end_ms - start_ms) // step_ms
+        # k_first = ceil((ts - start)/step) clamped to >= 0.  For negative
+        # numerators Spark's `div` truncates toward zero (!= ceil), but
+        # every such k is <=0 and the clamp lands on the same 0.
+        k_first = F.greatest(
+            F.lit(0),
+            F.expr(f"(ts - {start_ms}L + {step_ms - 1}L) div {step_ms}L"),
         )
-        cond = (F.col("ts") > F.col("t") - F.lit(window_ms)) & (
-            F.col("ts") <= F.col("t")
+        # k_last = ceil((ts + window - start)/step) - 1; numerator > 0
+        # because the caller prefilters ts > start - window.
+        k_last = F.least(
+            F.lit(k_max),
+            F.expr(
+                f"(ts + {window_ms}L - {start_ms}L + {step_ms - 1}L)"
+                f" div {step_ms}L - 1L"
+            ),
         )
-        return df.join(F.broadcast(steps), cond)
+        return (
+            df.withColumn("__k1", k_first)
+            .withColumn("__k2", k_last)
+            .filter(F.col("__k1") <= F.col("__k2"))
+            .withColumn("__k", F.explode(F.sequence("__k1", "__k2")))
+            .withColumn("t", F.lit(start_ms) + F.col("__k") * F.lit(step_ms))
+            .drop("__k1", "__k2", "__k")
+        )
 
     # -- range-function evaluation -------------------------------------------
 
@@ -484,24 +542,40 @@ class PromQLEngine:
             return bucketed.groupBy(*keys).agg(
                 _FUNC_AGGS[expr.func]().alias("value")
             )
-        # rate / increase: plain last-first delta (documented deviation:
-        # no extrapolation, no counter-reset handling)
+        # rate / increase with Prometheus counter-reset correction: every
+        # in-window decrease is a reset, compensated by adding the
+        # pre-reset value (delta = last - first + sum of values preceding
+        # each reset).  The window's samples are gathered into ONE sorted
+        # array per (series, t) group — same single shuffle as before —
+        # and the compensation is a JVM `aggregate` HOF over adjacent
+        # pairs.  Documented deviation: no window-edge extrapolation.
         grouped = bucketed.groupBy(*keys).agg(
-            F.max_by("value", "ts").alias("__last"),
-            F.min_by("value", "ts").alias("__first"),
-            F.max("ts").alias("__last_ts"),
-            F.min("ts").alias("__first_ts"),
+            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("__w")
         )
-        delta = F.col("__last") - F.col("__first")
-        span_s = (F.col("__last_ts") - F.col("__first_ts")) / F.lit(1000.0)
+        # two projections: materialize the array once, then read it —
+        # interpreted HOFs have no common-subexpression elimination
+        comp = F.expr(
+            "aggregate(__w,"
+            " named_struct('prev', cast(null as double), 'comp', 0.0D),"
+            " (acc, s) -> named_struct('prev', s.value,"
+            "   'comp', acc.comp + CASE WHEN acc.prev IS NOT NULL"
+            "     AND s.value < acc.prev THEN acc.prev ELSE 0.0D END),"
+            " acc -> acc.comp)"
+        )
+        first = F.element_at("__w", 1)
+        last = F.element_at("__w", -1)
+        delta = last["value"] - first["value"] + comp
+        span_s = (last["ts"] - first["ts"]) / F.lit(1000.0)
+        # both need >= 2 samples in the window (Prometheus returns no
+        # point otherwise); span_s > 0 iff the window has distinct samples
         if expr.func == "increase":
-            value = delta
+            value = F.when(span_s > 0, delta)
         else:  # rate
             value = F.when(span_s > 0, delta / span_s)
         return (
             grouped.withColumn("value", value)
             .filter(F.col("value").isNotNull())
-            .drop("__last", "__first", "__last_ts", "__first_ts")
+            .drop("__w")
         )
 
     def _empty(self, expr: PromExpr) -> DataFrame:
