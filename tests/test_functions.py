@@ -53,6 +53,26 @@ def test_lsh_finds_near_duplicates(docs):
     assert not any(2 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_lsh_does_not_leak_cached_blocks(spark, docs):
+    """Repeated pipeline calls must not accumulate cached bucket/signature
+    frames: each call may leave at most its one (small, GC-freed) local
+    checkpoint, never the persisted join inputs."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    D.lsh_candidate_pairs(docs).count()
+    D.lsh_candidate_pairs(docs).count()
+    grown = sc.getPersistentRDDs().size() - before
+    assert grown <= 2  # the two checkpoints; un-unpersisted caches double it
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    before = sc.getPersistentRDDs().size()
+    SIM.near_duplicate_pairs(emb, threshold=0.5).count()
+    assert sc.getPersistentRDDs().size() - before <= 1
+
+
 def test_jaccard_values(docs):
     pairs = docs.sparkSession.createDataFrame(
         [(0, 1), (0, 2), (0, 3)], "doc_a LONG, doc_b LONG"

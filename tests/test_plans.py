@@ -75,6 +75,52 @@ def test_querier_matchers_pushed(spark, sf_oracle):
     assert "__mint" in pushed and "__maxt" in pushed
 
 
+def test_prefix_regex_matcher_pushed(spark, sf_oracle):
+    """An anchored prefix regex (`event_type=~"cl.*"`) must rewrite to
+    StringStartsWith and reach PushedFilters; literal and alternation
+    regexes rewrite to EqualTo / In.  Plain rlike never pushes — at 100 TB
+    the rewrite is the difference between footer pruning and a full
+    decode."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    from tsdb_parquet_spark.operators.selection import apply_matchers
+
+    df = apply_matchers(li, [Matcher("l_returnflag", "=~", "R.*")]).select(
+        "l_orderkey"
+    )
+    pushed = _formatted(df).split("PushedFilters")[1].split("\n")[0]
+    assert "StringStartsWith(l_returnflag,R)" in pushed
+
+    df2 = apply_matchers(li, [Matcher("l_returnflag", "=~", "A|N")]).select(
+        "l_orderkey"
+    )
+    pushed2 = _formatted(df2).split("PushedFilters")[1].split("\n")[0]
+    assert "In(l_returnflag" in pushed2
+
+    df3 = apply_matchers(li, [Matcher("l_returnflag", "=~", "R")]).select(
+        "l_orderkey"
+    )
+    pushed3 = _formatted(df3).split("PushedFilters")[1].split("\n")[0]
+    assert "EqualTo(l_returnflag,R)" in pushed3
+
+
+def test_regex_rewrite_semantics(spark):
+    """Rewritten shapes must match the anchored-rlike semantics exactly."""
+    from tsdb_parquet_spark.operators.selection import regex_match, regex_not_match
+
+    df = spark.createDataFrame(
+        [("api",), ("api-server",), ("apx",), ("kubelet",), ("",)], "v STRING"
+    )
+    got = [r["v"] for r in df.filter(regex_match("v", "api.*")).collect()]
+    assert sorted(got) == ["api", "api-server"]
+    got = [r["v"] for r in df.filter(regex_match("v", "api|apx")).collect()]
+    assert sorted(got) == ["api", "apx"]
+    got = [r["v"] for r in df.filter(regex_not_match("v", "api.*")).collect()]
+    assert sorted(got) == ["", "apx", "kubelet"]
+    # non-literal pattern falls back to rlike, still anchored
+    got = [r["v"] for r in df.filter(regex_match("v", "ap[ix]")).collect()]
+    assert sorted(got) == ["api", "apx"]
+
+
 def test_day_partitioned_store_prunes_directories(spark, sf_oracle):
     """A day-partitioned chunk store must turn time bounds into
     PartitionFilters — whole-directory pruning before any footer read (the

@@ -167,7 +167,12 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
     )
-    return pairs.distinct()
+    # eagerly materialize the (small) pair set so the bucket cache can be
+    # dropped before returning — without this, repeated pipeline calls
+    # leak cached blocks into executor storage for the session's lifetime
+    out = pairs.distinct().localCheckpoint(eager=True)
+    buckets.unpersist()
+    return out
 
 
 def sql_shingles(col: str, size: int = 3) -> str:

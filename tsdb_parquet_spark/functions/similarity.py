@@ -99,8 +99,12 @@ def near_duplicate_pairs(
     )
     out = joined.select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
-    )
-    return out.filter(F.col("cos_sim") >= threshold)
+    ).filter(F.col("cos_sim") >= threshold)
+    # materialize the (small) pair set, then drop the signed-vector cache
+    # so repeated calls don't leak storage memory
+    out = out.localCheckpoint(eager=True)
+    signed.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

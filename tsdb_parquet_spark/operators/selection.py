@@ -42,11 +42,45 @@ class Matcher:
         if self.op == NEQ:
             return col != F.lit(self.value)
         if self.op == RE:
-            # PromQL regexes are fully anchored
-            return col.rlike(f"^(?:{self.value})$")
+            return _regex_column(col, self.value, negate=False)
         if self.op == NRE:
-            return ~col.rlike(f"^(?:{self.value})$")
+            return _regex_column(col, self.value, negate=True)
         raise ValueError(f"unsupported matcher op {self.op!r}")
+
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _is_literal(pattern: str) -> bool:
+    return not any(c in _REGEX_META for c in pattern)
+
+
+def _regex_column(col: Column, pattern: str, negate: bool) -> Column:
+    """Compile a fully-anchored PromQL regex matcher, rewriting the common
+    literal shapes to predicates the Parquet reader can push down:
+
+    - ``api``          -> equality        (pushed: Eq / dictionary / bloom)
+    - ``a|b|c``        -> IN list         (pushed: In)
+    - ``api.*``        -> prefix match    (pushed: StringStartsWith)
+
+    ``rlike`` never reaches PushedFilters, so at 100 TB an un-rewritten
+    ``job=~"api.*"`` forces a full-column decode of every row group; the
+    rewrite turns it into footer-level pruning.  Anything non-literal
+    falls back to an anchored ``rlike`` residual.
+    """
+    rewritten = None
+    if _is_literal(pattern):
+        # includes "" — PromQL `=~""` matches only the empty string
+        return (col != F.lit(pattern)) if negate else (col == F.lit(pattern))
+    parts = pattern.split("|")
+    if len(parts) > 1 and all(p and _is_literal(p) for p in parts):
+        rewritten = col.isin(parts)
+    elif pattern.endswith(".*") and pattern[:-2] and _is_literal(pattern[:-2]):
+        rewritten = col.startswith(pattern[:-2])
+    if rewritten is not None:
+        return ~rewritten if negate else rewritten
+    anchored = col.rlike(f"^(?:{pattern})$")
+    return ~anchored if negate else anchored
 
 
 def equals(column: str, value) -> Column:
@@ -59,11 +93,11 @@ def not_equals(column: str, value) -> Column:
 
 
 def regex_match(column: str, pattern: str) -> Column:
-    return F.col(column).rlike(f"^(?:{pattern})$")
+    return _regex_column(F.col(column), pattern, negate=False)
 
 
 def regex_not_match(column: str, pattern: str) -> Column:
-    return ~F.col(column).rlike(f"^(?:{pattern})$")
+    return _regex_column(F.col(column), pattern, negate=True)
 
 
 def gte(column: str, value) -> Column:
