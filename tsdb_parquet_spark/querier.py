@@ -72,12 +72,10 @@ class ChunkQuerier:
     DAY_PARTITION = "__day"
     _DAY_MS = 86_400_000
 
-    def _filtered(
-        self, mint: int | None, maxt: int | None, matchers: Iterable[Matcher]
-    ) -> DataFrame:
-        preds = [m.to_column() for m in matchers]
+    def _time_preds(self, mint: int | None, maxt: int | None) -> list:
         # containment semantics (`prometheus/querier.go:67-70`): the chunk's
         # whole [mint, maxt] range must lie inside the query window
+        preds = []
         if mint is not None:
             preds.append(F.col(MIN_T) >= F.lit(int(mint)))
         if maxt is not None:
@@ -97,6 +95,12 @@ class ChunkQuerier:
                 preds.append(
                     F.col(self.DAY_PARTITION) <= F.lit(int(maxt) // self._DAY_MS)
                 )
+        return preds
+
+    def _filtered(
+        self, mint: int | None, maxt: int | None, matchers: Iterable[Matcher]
+    ) -> DataFrame:
+        preds = [m.to_column() for m in matchers] + self._time_preds(mint, maxt)
         return self.chunks.filter(conjunction(preds))
 
     def select_chunks(
@@ -105,8 +109,58 @@ class ChunkQuerier:
         maxt: int | None = None,
         matchers: Sequence[Matcher] = (),
         columns: Sequence[str] | None = None,
+        late_materialize: bool = False,
+        max_keys: int = 10_000,
     ) -> DataFrame:
-        """Scan -> prune -> project (`cmd/read/main.go:95-126`)."""
+        """Scan -> prune -> project (`cmd/read/main.go:95-126`).
+
+        ``late_materialize=True`` is the two-pass escape hatch for the
+        reference's payload late materialization (`compute/scan.go:64-78`
+        decodes filter columns first, then reads ``__chunk_bytes`` pages
+        only for surviving row ranges — `compute/projection.go:93-95`,
+        `dataset/pages.go:30-64`):
+
+        1. a keys-only pass scans just the (small) label columns and
+           evaluates the matchers — including residual predicates like
+           un-anchorable regexes that never reach PushedFilters;
+        2. the surviving ``__series__id`` set (bounded by ``max_keys``) is
+           re-applied to a fresh scan as a pushed ``In`` filter, so the
+           payload pass prunes row groups on the SORT-PREFIX column and
+           skips the fat chunk-bytes pages of non-matching series
+           entirely.
+
+        When the key set exceeds ``max_keys`` (unselective matchers) the
+        pushed-In plan stops paying for itself and we fall back to the
+        single-pass scan.  Only worthwhile when a selective residual label
+        predicate guards a fat payload column.
+        """
+        if late_materialize and SERIES_ID in self.chunks.columns:
+            keys_pass = (
+                self._filtered(mint, maxt, matchers)
+                .select(SERIES_ID)
+                .distinct()
+                .limit(max_keys + 1)
+            )
+            keys = [r[0] for r in keys_pass.collect()]
+            if len(keys) <= max_keys:
+                if keys:
+                    # the range bounds are implied by the In, but parquet
+                    # only pushes In up to ~10 values
+                    # (spark.sql.parquet.pushdown.inFilterThreshold) —
+                    # min/max comparisons ALWAYS push, so a sort-clustered
+                    # key set still zone-map-prunes whole row groups of
+                    # payload; the In evaluates as a residual
+                    preds = [
+                        F.col(SERIES_ID) >= F.lit(min(keys)),
+                        F.col(SERIES_ID) <= F.lit(max(keys)),
+                        F.col(SERIES_ID).isin(keys),
+                    ]
+                else:
+                    preds = [F.lit(False)]
+                df = self.chunks.filter(
+                    conjunction(preds + self._time_preds(mint, maxt))
+                )
+                return df.select(*columns) if columns else df
         df = self._filtered(mint, maxt, matchers)
         return df.select(*columns) if columns else df
 
@@ -129,9 +183,16 @@ class ChunkQuerier:
         maxt: int | None = None,
         matchers: Sequence[Matcher] = (),
         labels: Sequence[str] | None = None,
+        late_materialize: bool = False,
     ) -> DataFrame:
         labels = list(labels) if labels is not None else self.label_columns
-        df = self._filtered(mint, maxt, matchers).select(*labels, CHUNK_BYTES)
+        df = self.select_chunks(
+            mint,
+            maxt,
+            matchers,
+            columns=[*labels, CHUNK_BYTES],
+            late_materialize=late_materialize,
+        )
         return chunks_to_samples(df, labels)
 
     def label_names(self, matchers: Sequence[Matcher] = ()) -> list[str]:
