@@ -655,6 +655,86 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (once per sf_dir) two chunk stores with DISAGREEING label
+    schemas from the events table — store A labels (__name__, event_type),
+    store B labels (__name__, region) — the situation `from_stores` exists
+    for (reference schemas are data-inferred per file, `schema/chunk.go:
+    87-95`; absent labels read as "" per `schema/chunk.go:109-112`)."""
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"multistore_v1_{tag}")
+    out = [os.path.join(root, "store_a"), os.path.join(root, "store_b")]
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in out):
+        return out
+
+    ev = _cat(spark, sf_dir)["events"]
+    base = ev.select(
+        F.col("event_type"),
+        (F.col("user_id") % 4).cast("string").alias("region"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+    specs = [
+        (out[0], ["__name__", "event_type"],
+         base.filter(F.col("event_type").isin("click", "view"))
+             .select(F.lit("app_events").alias("__name__"),
+                     "event_type", "ts", "value")),
+        (out[1], ["__name__", "region"],
+         base.filter(F.col("event_type") == "purchase")
+             .select(F.lit("app_events").alias("__name__"),
+                     "region", "ts", "value")),
+    ]
+    for path, labels, samples in specs:
+        chunks = samples_to_chunks(samples, labels, chunk_span_ms=_DAY_MS)
+        write_sorted(
+            chunks, path,
+            WriterOptions(sort_columns=sort_columns(labels), max_files=4),
+        )
+    return out
+
+
+@query(
+    "q45_multi_store_merge",
+    """
+WITH a AS (
+  SELECT event_type, '' AS region, value FROM events
+  WHERE event_type IN ('click', 'view')
+),
+b AS (
+  SELECT '' AS event_type, CAST(user_id % 4 AS VARCHAR) AS region, value
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT event_type, region,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value
+FROM u GROUP BY event_type, region ORDER BY event_type, region""",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query across two chunk stores whose label schemas disagree:
+    `from_stores` merges the schemas (mergeSchema) and ""-fills labels a
+    store lacks (`schema/chunk.go:109-112` semantics), so one decode +
+    aggregate runs over the union.  The oracle rebuilds the same union
+    from the raw events."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_stores(spark, _multi_label_stores(spark, sf_dir))
+    samples = q.select_samples(labels=["event_type", "region"])
+    return (
+        samples.groupBy("event_type", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "region")
+    )
+
+
 @query(
     "q44_late_materialization",
     _CHUNK_ORACLE_CTE
