@@ -1,0 +1,54 @@
+"""Connected-components dedup clustering: hand-built graphs, convergence,
+representative selection, and no leaked cache blocks."""
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions.clusters import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+
+
+def test_components_basic(spark):
+    # {1,2,3} via chain, {10,11}, and 2-3 redundant edge
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 2), (10, 11)])
+    )
+    got = {(r["node"], r["cluster_id"]) for r in cc.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds (diameter 11) —
+    exercises the convergence loop and the lineage checkpointing."""
+    chain = [(i, i + 1) for i in range(12)]
+    cc = connected_components(_pairs(spark, chain), checkpoint_every=3)
+    rows = cc.collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 13
+
+
+def test_no_leaked_cache_blocks(spark):
+    sc = spark.sparkContext
+    before = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    connected_components(_pairs(spark, [(1, 2), (3, 4)])).collect()
+    # the returned labels frame itself may stay cached; everything
+    # intermediate (edges, prior rounds) must be released
+    after = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    assert after <= before + 1
+
+
+def test_dedup_representatives(spark):
+    docs = spark.range(0, 6).select(F.col("id").alias("doc_id"),
+                                    F.concat(F.lit("d"), "id").alias("text"))
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_representatives(docs, pairs).collect()
+    )
+    # clusters {0,1,2}->keep 0, {4,5}->keep 4; 3 untouched
+    assert kept == [0, 3, 4]

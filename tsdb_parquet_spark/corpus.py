@@ -735,6 +735,44 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_MS = 86_400_000  # 1-day gap -> ~1.2k sessions at sf0.01
+
+
+def _session_oracle() -> str:
+    from tsdb_parquet_spark.streaming.sessions import sql_sessionize
+
+    inner = sql_sessionize(
+        ["user_id"], table="events", ts_expr="epoch_ms(ts)",
+        value_expr="value", gap_ms=_SESSION_GAP_MS,
+    )
+    return f"""
+WITH sess AS ({inner})
+SELECT user_id, session_id, session_start, session_end, n_events,
+       round(sum_value, 2) AS sum_value
+FROM sess ORDER BY user_id, session_id"""
+
+
+@query("q46_sessionize", _session_oracle())
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands) over app events: the
+    batch half of `streaming/sessions.py`, oracle built from the module's
+    own `sql_sessionize` twin.  Plan: one hash-partition shuffle on
+    user_id shared by both windows and the session groupBy (asserted in
+    `tests/test_sessions.py`); parallelism bounded by |users|, never a
+    single-task global window."""
+    from tsdb_parquet_spark.streaming.sessions import sessionize
+
+    events = _cat(spark, sf_dir).table("events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts"), "value"
+    )
+    sess = sessionize(events, ["user_id"], value_col="value",
+                      gap_ms=_SESSION_GAP_MS)
+    return sess.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("user_id", "session_id")
+
+
 @query(
     "q44_late_materialization",
     _CHUNK_ORACLE_CTE
