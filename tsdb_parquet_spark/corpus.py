@@ -1140,6 +1140,87 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q47_dedup_clusters",
+    _SQL_LSH_PIPELINE.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT cluster_id,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM cc GROUP BY cluster_id ORDER BY cluster_id""",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> duplicate CLUSTERS: connected components (iterative
+    min-label propagation, `functions/clusters.py`) over the q23 LSH
+    candidate pairs, summarized per component.  The oracle resolves the
+    same components with a recursive CTE — viable at oracle scale only;
+    the Spark loop is the shape that survives 100 TB (per-round equi-join
+    + groupBy, rounds = component diameter)."""
+    from tsdb_parquet_spark.functions.clusters import connected_components
+
+    pairs = D.lsh_candidate_pairs(
+        _near_dup_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_size=3
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_MIX_SEED = "mix1"
+_MIX_RATES = {"en": 0.25}  # downsample English; keep all low-resource langs
+_MIX_DEFAULT = 1.0
+
+
+def _mixture_oracle() -> str:
+    from tsdb_parquet_spark.functions.sampling import (
+        hex_threshold,
+        sample_draw_sql,
+    )
+
+    draw = sample_draw_sql("doc_id", _MIX_SEED)
+    case = (
+        "CASE lang WHEN 'en' THEN '" + hex_threshold(_MIX_RATES["en"])
+        + "' ELSE '" + hex_threshold(_MIX_DEFAULT) + "' END"
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {draw} < {case}
+ORDER BY doc_id"""
+
+
+@query("q48_stratified_sample", _mixture_oracle())
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-governed deterministic sampling: per-language keep rates
+    (25% of English, 100% of everything else) as a pure md5-threshold
+    scan filter (`functions/sampling.py`) — the selected id set is a
+    function of (seed, doc_id) only, hence identical in Spark and the
+    DuckDB oracle, across runs, partitionings, and engines."""
+    from tsdb_parquet_spark.functions.sampling import stratified_sample
+
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", _MIX_RATES, key_col="doc_id", seed=_MIX_SEED,
+        default_fraction=_MIX_DEFAULT,
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # q26-q28 — similarity search over embeddings
 # ---------------------------------------------------------------------------
