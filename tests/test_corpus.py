@@ -24,6 +24,10 @@ def test_oracle_match(spark, sf_oracle, name):
         f"row count: spark={result.spark_rows} oracle={result.oracle_rows}"
     )
     assert result.hash_match, f"value mismatch: {result.sample_diff}"
+    assert not result.dtype_skew, (
+        "oracle dtype skew (driver's strict hasher would fail even if "
+        f"values agree): {result.dtype_skew}"
+    )
 
 
 def test_entry_smoke(spark):

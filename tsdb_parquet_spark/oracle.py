@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 import duckdb
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from tsdb_parquet_spark.catalog import TABLES
 
@@ -67,6 +68,40 @@ def value_hash(rows, col_names) -> str:
     return digest.hexdigest()
 
 
+_INTEGRAL_SPARK_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def dtype_skews(df: DataFrame, oracle_arrow) -> list[str]:
+    """Detect cross-engine dtype skew the tolerant value canon hides.
+
+    The driver's strict hasher fetches the DuckDB result through Arrow,
+    where DuckDB's HUGEINT (the result type of integer ``sum``) and
+    DECIMAL degrade to non-integer Arrow types — so a Spark bigint column
+    hashed against it mismatches (``0`` vs ``0.0``) even when every value
+    is identical.  This shipped twice (round-1 q29/q31/q39, round-2 q46)
+    because :func:`_canon` deliberately canonicalizes ``124750.0 ==
+    124750``.  Flag any oracle column whose Arrow type is not integer
+    while the Spark schema says integer: the oracle SQL needs an explicit
+    ``CAST(... AS BIGINT)``.  (Nullable BIGINT survives Arrow as int64,
+    so plain lag()/outer-join NULLs do not false-positive here.)
+    """
+    import pyarrow.types as pat
+
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    skews = []
+    for field in oracle_arrow.schema:
+        stype = spark_types.get(field.name)
+        if not isinstance(stype, _INTEGRAL_SPARK_TYPES):
+            continue
+        if not pat.is_integer(field.type):
+            skews.append(
+                f"{field.name}: spark={stype.simpleString()} "
+                f"oracle-arrow={field.type} "
+                "(CAST the oracle expression AS BIGINT)"
+            )
+    return skews
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -77,6 +112,7 @@ class CompareResult:
     spark_cols: tuple
     oracle_cols: tuple
     sample_diff: str = ""
+    dtype_skew: tuple = ()
 
     @property
     def ok(self) -> bool:
@@ -84,6 +120,7 @@ class CompareResult:
             self.spark_rows == self.oracle_rows
             and self.columns_match
             and self.hash_match
+            and not self.dtype_skew
         )
 
 
@@ -96,6 +133,10 @@ def compare(
     cur = con.execute(oracle_sql)
     oracle_cols = tuple(d[0] for d in cur.description)
     oracle_rows = cur.fetchall()
+    # Second fetch through Arrow: the dtype-strict gate mirrors the
+    # driver's Arrow-side view of the same result (see dtype_skews).
+    oracle_arrow = con.execute(oracle_sql).fetch_arrow_table()
+    skews = tuple(dtype_skews(df, oracle_arrow))
     con.close()
 
     columns_match = sorted(spark_cols) == sorted(oracle_cols)
@@ -118,6 +159,7 @@ def compare(
         spark_cols=spark_cols,
         oracle_cols=oracle_cols,
         sample_diff=sample_diff,
+        dtype_skew=skews,
     )
 
 

@@ -95,8 +95,9 @@ flagged AS (
   FROM e
 ),
 ids AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY {keys} ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY {keys} ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1
+                 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT {keys}, session_id,
