@@ -62,6 +62,30 @@ def test_repeated_compaction_is_lossless(spark, sf_smoke):
     assert keys == sorted(keys)
 
 
+def test_concurrent_part_survives_compaction_cycle(spark, sf_smoke):
+    """A part landed between compact()'s input snapshot and the cleanup
+    delete (e.g. a streaming micro-batch beside the periodic maintenance
+    job) must survive the cycle — regression for the re-listed-delete
+    data-loss race."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(100)
+    root = os.path.join(WORK, "race")
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["l_orderkey"], max_files=1)
+    writer = SortedParquetWriter(spark, root, opts)
+    for _ in range(3):
+        writer.write(li)
+    compact = writer.compact()  # snapshots the 3 parts
+    # concurrent micro-batch lands after the merge, before cleanup
+    late_part = writer.write(li)
+    for part in writer.last_compacted_parts:
+        shutil.rmtree(part, ignore_errors=True)
+    assert os.path.exists(late_part)  # the late part was NOT deleted
+    assert spark.read.parquet(compact).count() == 300
+    # next cycle folds the survivor in: nothing lost
+    compact = writer.compact()
+    assert spark.read.parquet(compact).count() == 400
+
+
 def test_retention_sweep_drops_old_days(spark):
     rows = [(d, float(d)) for d in range(10, 20)]
     df = spark.createDataFrame(rows, "`__day` INT, value DOUBLE")

@@ -18,7 +18,10 @@ DOCS = "/root/testdata/sf0.01/documents.parquet"
 
 def test_hex_threshold_edges():
     assert hex_threshold(0.0) == "00000000"
-    assert hex_threshold(1.0) == "ffffffff"
+    # keep-all must sort above EVERY 8-char hex draw (strict < against
+    # "ffffffff" would drop a key whose md5 prefix is exactly ffffffff)
+    assert hex_threshold(1.0) == "g"
+    assert "ffffffff" < hex_threshold(1.0)
     assert hex_threshold(0.5) == "80000000"
     with pytest.raises(ValueError):
         hex_threshold(1.5)

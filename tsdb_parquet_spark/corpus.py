@@ -584,7 +584,7 @@ b AS (
 d AS (
   SELECT t, event_type, shard, ts_ms, value,
          lag(value) OVER (PARTITION BY t, event_type, shard
-                          ORDER BY ts_ms) AS prev
+                          ORDER BY ts_ms, value) AS prev
   FROM b WHERE t <= {_P_END}
 ),
 per_series AS (
@@ -874,7 +874,7 @@ b AS (
 d AS (
   SELECT t, event_type, shard, ts_ms, value,
          lag(value) OVER (PARTITION BY t, event_type, shard
-                          ORDER BY ts_ms) AS prev
+                          ORDER BY ts_ms, value) AS prev
   FROM b
 ),
 per_series AS (

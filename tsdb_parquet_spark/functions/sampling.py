@@ -35,13 +35,19 @@ _HEX_SPACE = 16 ** 8
 
 
 def hex_threshold(fraction: float) -> str:
-    """8-hex-char lowercase threshold for a keep-``fraction`` Bernoulli
-    draw; comparing ``substr(md5(...),1,8) < threshold`` keeps a
-    ``floor(fraction * 16^8) / 16^8`` share of a uniform key space."""
+    """Lowercase threshold for a keep-``fraction`` Bernoulli draw;
+    comparing ``substr(md5(...),1,8) < threshold`` keeps a
+    ``floor(fraction * 16^8) / 16^8`` share of a uniform key space.
+
+    ``fraction == 1.0`` returns ``"g"``, which sorts above every 8-char
+    hex draw in both engines, so keep-all really keeps ALL rows —
+    ``"ffffffff"`` under strict ``<`` would drop a key whose md5 prefix
+    is exactly ``ffffffff`` (~2.3e-10 per row: real at corpus scale)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1)
-                  if fraction < 1.0 else _HEX_SPACE - 1, "08x")
+    if fraction == 1.0:
+        return "g"
+    return format(int(fraction * _HEX_SPACE), "08x")
 
 
 def _draw(key: Column, seed: str) -> Column:

@@ -28,13 +28,16 @@ def maybe_compact(writer: SortedParquetWriter, max_parts: int = 8) -> str | None
     """Compact when the part count exceeds ``max_parts``; returns the
     compact dir when compaction ran, else None.
 
-    Safe to run periodically: ``SortedParquetWriter.compact`` folds the
-    previous compaction output into the merge before the source parts are
-    deleted, so successive cycles accumulate instead of overwriting."""
+    Safe to run periodically beside a live ingestor: ``compact`` folds the
+    previous compaction output into the merge, and the cleanup below
+    deletes exactly the parts that merge consumed
+    (``writer.last_compacted_parts``) — never a re-listed set, so a part
+    landed by a concurrent micro-batch between the merge and the delete
+    survives for the next cycle."""
     if len(writer.part_dirs) <= max_parts:
         return None
     compact_dir = writer.compact()
-    for part in writer.part_dirs:
+    for part in writer.last_compacted_parts:
         shutil.rmtree(part, ignore_errors=True)
     return compact_dir
 

@@ -159,6 +159,11 @@ class SortedParquetWriter:
         self.spark = spark
         self.root = root
         self.opts = opts
+        #: part dirs included in the most recent ``compact()`` merge.  A
+        #: periodic cleanup job must delete exactly this list — re-listing
+        #: ``part_dirs`` after the merge would also catch parts landed by a
+        #: concurrent micro-batch *between* merge and delete, losing them.
+        self.last_compacted_parts: list[str] = []
         os.makedirs(root, exist_ok=True)
         existing = [
             int(d.split(".", 1)[1])
@@ -193,7 +198,9 @@ class SortedParquetWriter:
         a rename; the single-writer maintenance job assumption is the same.
         """
         out = os.path.join(self.root, "compact")
-        inputs = self.part_dirs
+        parts = self.part_dirs
+        self.last_compacted_parts = parts
+        inputs = parts
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             inputs = inputs + [out]
         tmp = os.path.join(self.root, ".compact.next")

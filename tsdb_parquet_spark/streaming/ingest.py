@@ -79,6 +79,10 @@ class StreamingChunkIngestor:
         # exactly-once state in the store.
         part_dir = os.path.join(self.writer.root, f"part.{batch_id}")
         if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            # replayed batch: report the already-persisted part's row count
+            # (footer metadata read, no data scan) instead of leaving the
+            # previous batch's figure in place for monitoring to misread
+            self.rows_ingested = self.spark.read.parquet(part_dir).count()
             return
         samples = self.to_samples(batch_df)
         chunks = samples_to_chunks(
