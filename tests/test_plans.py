@@ -185,7 +185,9 @@ def test_small_agg_uses_partial_aggregation(spark, sf_oracle):
 
 def test_series_id_broadcast_join(spark):
     """samples_to_chunks must broadcast the tiny series-id map, never
-    shuffle the chunk table for it."""
+    shuffle the chunk table for it.  The id table is a localCheckpoint
+    (no size stats), so the broadcast decision is AQE's runtime one —
+    assert the FINAL adaptive plan, after execution."""
     from tsdb_parquet_spark.chunks import samples_to_chunks
 
     samples = spark.createDataFrame(
@@ -193,7 +195,26 @@ def test_series_id_broadcast_join(spark):
         "`__name__` STRING, job STRING, ts LONG, value DOUBLE",
     )
     chunks = samples_to_chunks(samples, ["__name__", "job"], chunk_span_ms=60_000)
-    assert "BroadcastHashJoin" in _plan(chunks)
+    chunks.collect()  # lets AQE replace the stat-less SMJ with broadcast
+    plan = _plan(chunks)
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_dense_series_ids_releases_tagged_cache(spark):
+    """dense_series_ids pins the small id table (localCheckpoint) and must
+    explicitly unpersist the fat tagged frame — at most ONE persisted RDD
+    (the checkpoint) may remain, not the tagged cache too."""
+    from tsdb_parquet_spark.chunks import dense_series_ids
+
+    series = spark.createDataFrame(
+        [("m", chr(97 + i)) for i in range(10)], "`__name__` STRING, job STRING"
+    )
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    ids = dense_series_ids(series, ["__name__", "job"])
+    assert ids.count() == 10
+    assert sc.getPersistentRDDs().size() - before <= 1
 
 
 def test_promql_tumbling_has_no_join(spark):

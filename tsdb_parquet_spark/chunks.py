@@ -207,9 +207,13 @@ def dense_series_ids(series: DataFrame, label_columns: Sequence[str]) -> DataFra
     4. broadcast the offset table back onto the tagged rows:
        ``id = offset[pid] + local_index``.
 
-    The tagged frame is persisted so steps 3 and 4 share one computation
-    of the range sort; the cache is dropped by the ContextCleaner when the
-    returned frame is garbage collected.
+    The tagged frame is persisted because the range sort is NOT safe to
+    recompute (``repartitionByRange`` samples its boundaries from shuffle
+    iteration order, so a recompute can re-bucket rows and shift every
+    (pid, idx) pair); the returned id table is pinned by an eager
+    ``localCheckpoint`` — one (labels, id) row per series, spilled via
+    MEMORY_AND_DISK — which lets the fat tagged cache be dropped
+    explicitly before returning instead of waiting on the ContextCleaner.
     """
     from pyspark.sql.window import Window
 
@@ -238,13 +242,16 @@ def dense_series_ids(series: DataFrame, label_columns: Sequence[str]) -> DataFra
         F.coalesce(F.sum("__cnt").over(running), F.lit(0)).alias("__offset"),
     )
 
-    return (
+    out = (
         tagged.join(F.broadcast(offsets), on="__pid", how="inner")
         .select(
             *[F.col(c) for c in ordered.columns],
             (F.col("__offset") + F.col("__idx")).alias(SERIES_ID),
         )
+        .localCheckpoint(eager=True)
     )
+    tagged.unpersist()
+    return out
 
 
 def chunks_to_samples(chunks: DataFrame, label_columns: Sequence[str]) -> DataFrame:

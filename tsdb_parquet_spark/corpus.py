@@ -1086,7 +1086,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-appended near-duplicates: signature -> band buckets -> bucket
     self-join (never O(n^2))."""
     pairs = D.lsh_candidate_pairs(
-        _near_dup_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_size=3
+        _near_dup_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_size=3,
+        eager=False,  # single-shot: skip the upfront checkpoint
     )
     return pairs.orderBy("doc_a", "doc_b")
 
@@ -1134,7 +1135,8 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard verification of the LSH candidates (the refine
     step): two id-keyed joins back to the texts, no quadratic stage."""
     docs = _near_dup_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_size=3)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_size=3,
+                                  eager=False)
     return D.verify_pairs_jaccard(docs, pairs, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
@@ -1314,7 +1316,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     vecs = base.union(scaled)
-    out = SIM.near_duplicate_pairs(vecs, threshold=0.99)
+    out = SIM.near_duplicate_pairs(vecs, threshold=0.99, eager=False)
     return out.orderBy("id_a", "id_b")
 
 

@@ -123,12 +123,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b).
 
     rows_per_band = num_hashes / bands; a pair collides when one band's
     minhashes all agree.  The plan is: signature (no shuffle) -> explode to
     (band, bucket) -> repartition by bucket via the self-join -> distinct.
+
+    ``eager=True`` (the default, right for long-lived / repeated-call
+    sessions) materializes the small pair set via ``localCheckpoint`` and
+    drops the bucket cache before returning, bounding executor storage.
+    ``eager=False`` skips that upfront materialization — faster for a
+    single-shot caller that consumes the result once; the bucket cache is
+    then released by the ContextCleaner when the result goes out of scope.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -167,11 +175,14 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
     )
-    # eagerly materialize the (small) pair set so the bucket cache can be
-    # dropped before returning — without this, repeated pipeline calls
-    # leak cached blocks into executor storage for the session's lifetime
-    out = pairs.distinct().localCheckpoint(eager=True)
-    buckets.unpersist()
+    out = pairs.distinct()
+    if eager:
+        # eagerly materialize the (small) pair set so the bucket cache can
+        # be dropped before returning — without this, repeated pipeline
+        # calls leak cached blocks into executor storage for the session's
+        # lifetime
+        out = out.localCheckpoint(eager=True)
+        buckets.unpersist()
     return out
 
 

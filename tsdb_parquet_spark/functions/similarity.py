@@ -68,6 +68,7 @@ def near_duplicate_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
@@ -76,6 +77,10 @@ def near_duplicate_pairs(
     so the shuffle is keyed and the exact O(n^2) comparison only happens
     within buckets.  (With a 0.99 threshold, sign-pattern agreement is a
     near-certain precondition.)
+
+    ``eager`` trades like :func:`~tsdb_parquet_spark.functions.dedup.
+    lsh_candidate_pairs`: True bounds executor storage for repeated calls
+    (checkpoint + unpersist), False is faster for single-shot consumers.
     """
     planes = hyperplanes(dim=_dim_hint(df, vec_col), bits=8)
     # persist the signed vectors: the self-join would otherwise evaluate
@@ -100,10 +105,11 @@ def near_duplicate_pairs(
     out = joined.select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
-    # materialize the (small) pair set, then drop the signed-vector cache
-    # so repeated calls don't leak storage memory
-    out = out.localCheckpoint(eager=True)
-    signed.unpersist()
+    if eager:
+        # materialize the (small) pair set, then drop the signed-vector
+        # cache so repeated calls don't leak storage memory
+        out = out.localCheckpoint(eager=True)
+        signed.unpersist()
     return out
 
 
