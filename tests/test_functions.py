@@ -73,6 +73,46 @@ def test_lsh_does_not_leak_cached_blocks(spark, docs):
     assert sc.getPersistentRDDs().size() - before <= 1
 
 
+def test_multiband_finds_boundary_pair_single_bucket_misses(spark):
+    """A near-dup pair straddling ONE hyperplane boundary flips one sign
+    bit: full-signature bucket equality (bands=1) loses it, any-band
+    matching recovers it — the multi-band recall fix, with exact cosine
+    re-rank keeping precision."""
+    import hashlib
+
+    planes = SIM.hyperplanes(8, 32)
+    p0 = planes[0]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # deterministic construction: u is exactly on plane 0's boundary and
+    # comfortably off every other plane's; +-eps along p0 flips bit 0 only
+    w = [1.0 + b / 32.0 for b in hashlib.md5(b"w0").digest()[:8]]
+    d = dot(w, p0) / 8.0
+    u = [a - d * b for a, b in zip(w, p0)]
+    eps = 0.02
+    va = [a + eps * b for a, b in zip(u, p0)]
+    vb = [a - eps * b for a, b in zip(u, p0)]
+    assert [
+        j for j in range(32)
+        if (dot(va, planes[j]) > 0) != (dot(vb, planes[j]) > 0)
+    ] == [0]  # precondition: exactly one differing sign bit
+
+    df = spark.createDataFrame(
+        [(1, va), (2, vb)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    single = SIM.near_duplicate_pairs(
+        df, threshold=0.99, bands=1, bits_per_band=32, eager=False
+    ).collect()
+    banded = SIM.near_duplicate_pairs(
+        df, threshold=0.99, bands=4, bits_per_band=8, eager=False
+    ).collect()
+    assert single == []  # one flipped bit kills the full-signature bucket
+    assert [(r["id_a"], r["id_b"]) for r in banded] == [(1, 2)]
+    assert banded[0]["cos_sim"] >= 0.999
+
+
 def test_jaccard_values(docs):
     pairs = docs.sparkSession.createDataFrame(
         [(0, 1), (0, 2), (0, 3)], "doc_a LONG, doc_b LONG"

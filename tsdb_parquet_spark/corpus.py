@@ -1231,6 +1231,10 @@ from tsdb_parquet_spark.functions import similarity as SIM  # noqa: E402
 
 _EMB_DIM = 64
 _ANN_PLANES = SIM.hyperplanes(dim=_EMB_DIM, bits=8)
+# multi-band near-dup bucketing: 4 bands x 8 bits (32 hyperplanes total)
+_ND_BANDS = 4
+_ND_PLANES = SIM.hyperplanes(dim=_EMB_DIM, bits=32)
+_ND_SIG_SQL = SIM.sql_band_signatures("v", _ND_PLANES, _ND_BANDS)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1284,24 +1288,49 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM embeddings
 ),
 vecs AS (
-  SELECT vec_id, v FROM base
-  UNION ALL
-  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2) AS v
-  FROM base WHERE vec_id < 50
+  SELECT vec_id, v, sqrt({SIM.sql_dot('v', 'v', _EMB_DIM)}) AS nrm
+  FROM (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2) AS v
+    FROM base WHERE vec_id < 50
+  )
 ),
 sigs AS (
-  SELECT vec_id, v, {SIM.sql_signature('v', _ANN_PLANES)} AS sig FROM vecs
+  SELECT vec_id, v, {_ND_SIG_SQL[0]} AS s0, {_ND_SIG_SQL[1]} AS s1,
+         {_ND_SIG_SQL[2]} AS s2, {_ND_SIG_SQL[3]} AS s3
+  FROM vecs
+),
+buckets AS (
+  SELECT vec_id, 0 AS band, s0 AS sig FROM sigs
+  UNION ALL SELECT vec_id, 1, s1 FROM sigs
+  UNION ALL SELECT vec_id, 2, s2 FROM sigs
+  UNION ALL SELECT vec_id, 3, s3 FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(CASE WHEN a.nrm * b.nrm > 0
+               THEN {SIM.sql_dot('a.v', 'b.v', _EMB_DIM)} / (a.nrm * b.nrm)
+               ELSE 0.0 END, 4) AS cos_sim
+  FROM pairs p
+  JOIN vecs a ON a.vec_id = p.id_a
+  JOIN vecs b ON b.vec_id = p.id_b
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({SIM.sql_cosine('a.v', 'b.v', _EMB_DIM)}, 4) AS cos_sim
-FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE round({SIM.sql_cosine('a.v', 'b.v', _EMB_DIM)}, 4) >= 0.99
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= 0.99
 ORDER BY id_a, id_b""",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a corpus with 50 scaled
-    copies injected (cosine exactly 1.0): LSH-bucket-pruned self-join, so
-    exact cosine only runs within matching buckets."""
+    copies injected (cosine exactly 1.0): multi-band LSH candidates (4
+    bands x 8 bits — any-band agreement, fixing single-bucket boundary
+    under-recall and hot-bucket skew) then exact cosine re-rank, so exact
+    arithmetic only runs within matching buckets."""
     emb = _cat(spark, sf_dir)["embeddings"]
     base = emb.select(
         "vec_id",

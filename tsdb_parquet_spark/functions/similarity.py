@@ -69,47 +69,112 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eager: bool = True,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    seed: str = "ann-lsh",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
-    Implementation is a block-nested join pruned by LSH bucket equality:
-    vectors must agree on a coarse signature before the exact cosine runs,
-    so the shuffle is keyed and the exact O(n^2) comparison only happens
-    within buckets.  (With a 0.99 threshold, sign-pattern agreement is a
-    near-certain precondition.)
+    Multi-band LSH: each vector gets ``bands`` independent signatures of
+    ``bits_per_band`` hyperplane sign bits; a pair becomes a candidate
+    when ANY band's signature matches, then exact cosine re-ranks (so
+    precision is exact, banding only governs recall).  Versus a single
+    full-signature bucket this fixes two 100 TB problems:
+
+    - **boundary under-recall**: one near-boundary hyperplane flips one
+      bit and a true near-dup silently vanishes from a single bucket —
+      at cos 0.99 a 32-bit exact-match bucket misses ~1-sign_agree^32 of
+      true pairs, while 4-of-32 banding misses ~(1-p^8)^4 ≈ 1e-4;
+    - **hot-bucket skew**: a dense region maps to one giant bucket; with
+      bands the join key is (band, 8-bit content hash), so density
+      spreads over bands x 2^bits_per_band keys.
+
+    Plan: signature (no shuffle, per-row fold) -> explode to (band, sig)
+    -> self-equi-join per bucket -> distinct pair ids -> two id-keyed
+    joins back to the vectors for the exact re-rank.  Never all-pairs.
 
     ``eager`` trades like :func:`~tsdb_parquet_spark.functions.dedup.
     lsh_candidate_pairs`: True bounds executor storage for repeated calls
     (checkpoint + unpersist), False is faster for single-shot consumers.
     """
-    planes = hyperplanes(dim=_dim_hint(df, vec_col), bits=8)
-    # persist the signed vectors: the self-join would otherwise evaluate
-    # the 8 interpreted hyperplane dot-folds once per join side
-    signed = df.select(
-        F.col(id_col), F.col(vec_col),
-        signature_column(F.col(vec_col), planes).alias("__sig"),
-    ).persist()
-    left = signed.select(
+    planes = hyperplanes(
+        dim=_dim_hint(df, vec_col), bits=bands * bits_per_band, seed=seed
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                signature_column(
+                    F.col(vec_col),
+                    planes[j * bits_per_band : (j + 1) * bits_per_band],
+                ).alias("sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    # persist the exploded buckets: the self-join would otherwise evaluate
+    # the bands*bits_per_band interpreted dot-folds once per join side
+    buckets = (
+        df.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+        .persist()
+    )
+    left = buckets.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("__sig").alias("sig_a"),
+        F.col("band").alias("band_a"),
+        F.col("sig").alias("sig_a"),
     )
-    right = signed.select(
+    right = buckets.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("__sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
     )
-    joined = left.join(
-        right, (F.col("sig_a") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b"))
+    pairs = (
+        left.join(
+            right,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    out = joined.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    # norms are precomputed per VECTOR (n rows), so the per-PAIR re-rank
+    # needs one cross-dot fold instead of three — the pair set is the
+    # larger side at any scale
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    out = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
     if eager:
-        # materialize the (small) pair set, then drop the signed-vector
-        # cache so repeated calls don't leak storage memory
+        # materialize the (small) pair set, then drop the bucket cache so
+        # repeated calls don't leak storage memory
         out = out.localCheckpoint(eager=True)
-        signed.unpersist()
+        buckets.unpersist()
     return out
 
 
@@ -133,12 +198,12 @@ def hyperplanes(dim: int, bits: int = 8, seed: str = "ann-lsh") -> list[list[int
 
 def signature_column(vec: Column, planes: list[list[int]]) -> Column:
     """b-bit LSH signature as an integer: bit j = sign(vec . plane_j)."""
-    sig = F.lit(0)
+    sig = F.lit(0).cast("long")
     bits = len(planes)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         sig = sig + F.when(dot(vec, p) > 0, F.lit(1 << (bits - 1 - j))).otherwise(0)
-    return sig.cast("int")
+    return sig.cast("long")
 
 
 def lsh_topk(
@@ -198,6 +263,18 @@ def sql_cosine(a: str, b: str, dim: int) -> str:
 
 def sql_vector_literal(vec: Sequence[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def sql_band_signatures(
+    vec_col: str, planes: list[list[int]], bands: int
+) -> list[str]:
+    """One signature expression per band (the oracle twin of the banded
+    bucketing in :func:`near_duplicate_pairs`)."""
+    bpb = len(planes) // bands
+    return [
+        sql_signature(vec_col, planes[j * bpb : (j + 1) * bpb])
+        for j in range(bands)
+    ]
 
 
 def sql_signature(vec_col: str, planes: list[list[int]]) -> str:
