@@ -123,6 +123,81 @@ def test_binary_vector_vector_ratio(spark):
     assert rows and all(r["value"] == 1.0 for r in rows)
 
 
+def test_parse_on_matching():
+    e = parse_promql("a / on(job, region) group_left b")
+    assert e.matching_mode == "on"
+    assert e.matching == ["job", "region"]
+    assert e.group == "left"
+    e2 = parse_promql("a + ignoring(instance) b")
+    assert e2.matching_mode == "ignoring"
+    assert e2.matching == ["instance"] and e2.group is None
+
+
+def test_on_matching_one_to_one(spark):
+    """`on(job)` must key the join on the NAMED label only and the result
+    must carry exactly (t, job) — the instance label from either side is
+    dropped."""
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        'sum by (job) (http_requests_total{job="api-server"})'
+        ' / on(job) sum by (job) (http_requests_total{job="api-server"})',
+        0,
+        300_000,
+        60_000,
+    )
+    rows = out.collect()
+    assert sorted(out.columns) == ["job", "t", "value"]
+    assert rows and all(r["value"] == 1.0 for r in rows)
+
+
+def test_ignoring_matching(spark):
+    """`ignoring(instance)` drops instance from the shared-label match
+    key; with per-(job,instance) vs per-job operands aggregated to the
+    same grain the match succeeds where the default all-shared matching
+    would also need instance to agree."""
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        "sum by (job) (http_requests_total)"
+        " - ignoring(instance) sum by (job) (http_requests_total)",
+        0,
+        300_000,
+        60_000,
+    )
+    rows = out.collect()
+    assert rows and all(r["value"] == 0.0 for r in rows)
+
+
+def test_group_left_many_to_one(spark):
+    """Shard-share ratio: per-(job,instance) counts divided `on(job)
+    group_left` by per-job totals — the many side keeps its full label
+    set and each row divides by its group's total."""
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        'sum by (job, instance) (http_requests_total{job="api-server"})'
+        " / on(job) group_left"
+        ' sum by (job) (http_requests_total{job="api-server"})',
+        0,
+        0,
+        60_000,
+    )
+    rows = out.collect()
+    assert sorted(out.columns) == ["instance", "job", "t", "value"]
+    assert len(rows) == 2  # two api-server instances
+    assert all(r["value"] == 0.5 for r in rows)  # each is half the total
+
+
+def test_on_missing_label_raises(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    with pytest.raises(ValueError, match="absent"):
+        engine.query_range(
+            "sum by (job) (http_requests_total)"
+            " / on(nope) sum by (job) (http_requests_total)",
+            0,
+            0,
+            60_000,
+        )
+
+
 def test_topk_keeps_k_series(spark):
     rows = []
     for job, v in [("a", 1.0), ("b", 5.0), ("c", 3.0)]:

@@ -655,6 +655,51 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49_promql_on_group_left",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+b AS (
+  SELECT event_type, shard,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+per_shard AS (
+  SELECT t, event_type, shard, CAST(count(*) AS DOUBLE) AS v
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+),
+per_type AS (
+  SELECT t, event_type, sum(v) AS tot FROM per_shard GROUP BY t, event_type
+)
+SELECT p.t, p.event_type, p.shard, round(p.v / g.tot, 4) AS value
+FROM per_shard p JOIN per_type g USING (t, event_type)
+ORDER BY t, event_type, shard""",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `on()`/`group_left` vector matching: each shard's share of
+    its event_type's traffic — a many-to-one join keyed on the named
+    label subset instead of all shared labels (`a / on(event_type)
+    group_left b`).  Integer-valued double sums keep the ratio exact
+    across engines before the 4dp round."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "sum by (event_type, shard) (count_over_time(app_events[1d]))"
+        " / on(event_type) group_left"
+        " sum by (event_type) (count_over_time(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    )
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),

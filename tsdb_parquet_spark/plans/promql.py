@@ -6,12 +6,14 @@ thanos promql-engine over a stubbed sample iterator
 its own surface is only series selection.  This module goes further: a
 small recursive-descent parser for the subset
 
-    expr     := agg | func | selector
+    expr     := agg | func | selector | expr binop [matching] expr
     agg      := AGGOP [by-clause] '(' (func | selector) ')'
     by-clause:= 'by' '(' label (',' label)* ')'
     func     := FUNC '(' selector '[' duration ']' ['offset' duration] ')'
     selector := metric ['{' matcher (',' matcher)* '}'] ['offset' duration]
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
+    matching := ('on'|'ignoring') '(' label (',' label)* ')'
+                ['group_left'|'group_right']
     AGGOP    := sum | min | max | count | avg
     FUNC     := rate | increase | count_over_time | sum_over_time |
                 avg_over_time | min_over_time | max_over_time | last_over_time
@@ -88,12 +90,21 @@ class PromExpr:
 
 @dataclass
 class PromBinary:
-    """expr <op> expr, where either side may be a scalar literal.  Vector/
-    vector matching is on (t, shared output labels)."""
+    """expr <op> expr, where either side may be a scalar literal.
+
+    Vector/vector matching defaults to (t, shared output labels); an
+    explicit ``on(lbls)`` restricts the match key to the named labels,
+    ``ignoring(lbls)`` removes them from the shared set.  ``group_left``
+    / ``group_right`` allow many-to-one matching, keeping the many
+    side's full label set (Prometheus vector-matching semantics; the
+    ``group_left(extra)`` label-copy form is not supported)."""
 
     op: str
     left: "PromNode"
     right: "PromNode"
+    matching_mode: str | None = None  # 'on' | 'ignoring'
+    matching: list[str] = field(default_factory=list)
+    group: str | None = None  # 'left' | 'right'
 
 
 @dataclass
@@ -166,7 +177,9 @@ class _Parser:
             if kind != "binop" or tok not in ("+", "-"):
                 return left
             self.next()
-            left = PromBinary(op=tok, left=left, right=self._muldiv())
+            mode, labels, group = self._maybe_matching()
+            left = PromBinary(op=tok, left=left, right=self._muldiv(),
+                              matching_mode=mode, matching=labels, group=group)
 
     def _muldiv(self) -> "PromExpr | PromBinary | float":
         left = self._term()
@@ -175,7 +188,35 @@ class _Parser:
             if kind != "binop" or tok not in ("*", "/"):
                 return left
             self.next()
-            left = PromBinary(op=tok, left=left, right=self._term())
+            mode, labels, group = self._maybe_matching()
+            left = PromBinary(op=tok, left=left, right=self._term(),
+                              matching_mode=mode, matching=labels, group=group)
+
+    def _maybe_matching(self):
+        """``on(l, ...)`` / ``ignoring(l, ...)`` [``group_left`` |
+        ``group_right``] after a binary operator."""
+        kind, tok = self.peek()
+        if kind != "ident" or tok not in ("on", "ignoring"):
+            return None, [], None
+        self.next()
+        self.expect("(")
+        labels: list[str] = []
+        while True:
+            k, nxt = self.next()
+            if nxt == ")":
+                break
+            if k != "ident":
+                raise ValueError(f"expected label in {tok}(...), got {nxt!r}")
+            labels.append(nxt)
+            k, sep = self.peek()
+            if sep == ",":
+                self.next()
+        group = None
+        kind, g = self.peek()
+        if kind == "ident" and g in ("group_left", "group_right"):
+            self.next()
+            group = g.removeprefix("group_")
+        return tok, labels, group
 
     def _term(self) -> "PromExpr | float":
         kind, tok = self.peek()
@@ -379,12 +420,43 @@ class PromQLEngine:
             )
         left = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
         right = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
-        # vector/vector: one-to-one matching on (t, shared labels)
         shared = [c for c in left.columns if c in right.columns and c != "value"]
-        joined = left.alias("l").join(right.alias("r"), on=shared, how="inner")
+        if node.matching_mode == "on":
+            keys = ["t"] + [l for l in node.matching if l != "t"]
+            missing = [
+                l for l in keys if l not in left.columns or l not in right.columns
+            ]
+            if missing:
+                raise ValueError(f"on() labels absent from operands: {missing}")
+        elif node.matching_mode == "ignoring":
+            keys = [c for c in shared if c not in node.matching]
+        else:
+            keys = shared  # default: one-to-one on (t, all shared labels)
+
+        if node.group in ("left", "right"):
+            # many-to-one: the MANY side keeps its full label set; the one
+            # side must be unique per key (Prometheus errors otherwise; we
+            # document rather than verify — a uniqueness probe would cost
+            # an extra aggregation per evaluation)
+            many, one = (left, right) if node.group == "left" else (right, left)
+            one_keyed = one.select(*keys, F.col("value").alias("__ov"))
+            joined = many.join(one_keyed, on=keys, how="inner")
+            l_val, r_val = (
+                (F.col("value"), F.col("__ov"))
+                if node.group == "left"
+                else (F.col("__ov"), F.col("value"))
+            )
+            out_cols = [c for c in many.columns if c != "value"]
+            return joined.select(
+                *out_cols, ops[node.op](l_val, r_val).alias("value")
+            )
+
+        # one-to-one: result carries exactly the match-key labels
+        l_keyed = left.select(*keys, F.col("value").alias("__lv"))
+        r_keyed = right.select(*keys, F.col("value").alias("__rv"))
+        joined = l_keyed.join(r_keyed, on=keys, how="inner")
         return joined.select(
-            *shared,
-            ops[node.op](F.col("l.value"), F.col("r.value")).alias("value"),
+            *keys, ops[node.op](F.col("__lv"), F.col("__rv")).alias("value")
         )
 
     @staticmethod
