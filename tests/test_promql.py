@@ -98,6 +98,30 @@ def test_rate_linear_series(spark):
         assert r["value"] == pytest.approx(1.0)  # 1 unit/sec
 
 
+def test_rate_extrapolation(spark):
+    """Hand-computed Prometheus extrapolatedRate: two samples at 120s/180s
+    in a (0, 300s] window.  sampled=60s, avg spacing 60s, threshold 66s;
+    both edge gaps (120s) exceed it so each clamps to avg/2=30s; the zero
+    crossing (60s * 10/30 = 20s) further clamps the start side.  delta=30
+    -> increase = 30 * (60+20+30)/60 = 55 -> rate = 55/300."""
+    rows = [("m", "a", 120_000, 10.0), ("m", "a", 180_000, 40.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    plain = PromQLEngine(samples).query_range(
+        "rate(m[5m])", 300_000, 300_000, 300_000
+    )
+    assert plain.collect()[0]["value"] == pytest.approx(0.5)  # 30/60s
+    ext = PromQLEngine(samples, extrapolate=True).query_range(
+        "rate(m[5m])", 300_000, 300_000, 300_000
+    )
+    assert ext.collect()[0]["value"] == pytest.approx(55.0 / 300.0)
+    ext_inc = PromQLEngine(samples, extrapolate=True).query_range(
+        "increase(m[5m])", 300_000, 300_000, 300_000
+    )
+    assert ext_inc.collect()[0]["value"] == pytest.approx(55.0)
+
+
 def test_unknown_metric_returns_empty(spark):
     engine = PromQLEngine(_stub_samples(spark))
     out = engine.query_range("sum(nonexistent_metric)", 0, 300_000, 60_000)

@@ -508,6 +508,16 @@ def _promql_samples(spark: SparkSession, sf_dir: str):
     return PromQLEngine(q.select_samples(labels=_CHUNK_LABELS))
 
 
+def _promql_samples_extrapolated(spark: SparkSession, sf_dir: str):
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    return PromQLEngine(
+        q.select_samples(labels=_CHUNK_LABELS), extrapolate=True
+    )
+
+
 @query(
     "q19_promql_count_over_time",
     f"""
@@ -698,6 +708,86 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "t", "event_type", "shard", F.round("value", 4).alias("value")
     )
+
+
+@query(
+    "q50_promql_rate_extrapolated",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, ts_ms, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+d AS (
+  SELECT t, event_type, shard, ts_ms, value,
+         lag(value) OVER (PARTITION BY t, event_type, shard
+                          ORDER BY ts_ms, value) AS prev
+  FROM b WHERE t <= {_P_END}
+),
+per_series AS (
+  SELECT t, event_type, shard,
+         arg_max(value, ts_ms) AS lastv, arg_min(value, ts_ms) AS firstv,
+         max(ts_ms) AS last_ts, min(ts_ms) AS first_ts,
+         count(*) AS n,
+         sum(CASE WHEN prev IS NOT NULL AND value < prev
+                  THEN prev ELSE 0.0 END) AS comp
+  FROM d GROUP BY t, event_type, shard
+),
+ext AS (
+  SELECT t, event_type, shard,
+         lastv - firstv + comp AS delta,
+         firstv,
+         CAST(last_ts - first_ts AS DOUBLE) AS sampled,
+         CAST(last_ts - first_ts AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+             AS avgd,
+         CAST(first_ts - (t - {_DAY_MS}) AS DOUBLE) AS dstart0,
+         CAST(t - last_ts AS DOUBLE) AS dend0
+  FROM per_series WHERE last_ts > first_ts
+),
+clamped AS (
+  SELECT *,
+    CASE WHEN dstart0 >= avgd * 1.1 THEN avgd / 2.0 ELSE dstart0 END
+        AS dstart1,
+    CASE WHEN dend0 >= avgd * 1.1 THEN avgd / 2.0 ELSE dend0 END AS dend
+  FROM ext
+),
+zeroed AS (
+  SELECT *,
+    CASE WHEN delta > 0 AND firstv >= 0
+              AND sampled * (firstv / delta) < dstart1
+         THEN sampled * (firstv / delta) ELSE dstart1 END AS dstart
+  FROM clamped
+),
+rated AS (
+  SELECT t, event_type,
+         delta * ((sampled + dstart + dend) / sampled) * 1000.0 / {_DAY_MS}
+             AS value
+  FROM zeroed
+)
+SELECT t, event_type, round(max(value), 4) AS value
+FROM rated GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max by (event_type) (rate(app_events[1d]))` under Prometheus
+    window-edge extrapolation (`extrapolate=True`): the in-window delta is
+    scaled to the full range, clamped to half the average sample spacing
+    at each edge and to the counter's estimated zero crossing.  The
+    oracle reproduces the identical float-op order, so values match
+    bit-for-bit before the 4dp round."""
+    engine = _promql_samples_extrapolated(spark, sf_dir)
+    out = engine.query_range(
+        "max by (event_type) (rate(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select("t", "event_type", F.round("value", 4).alias("value"))
 
 
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -33,9 +33,10 @@ Evaluation strategy (scale-first):
   per-(series, step) aggregation.
 
 ``rate``/``increase`` apply Prometheus counter-reset correction (each
-in-window decrease adds the pre-reset value).  Documented deviations:
-no window-edge extrapolation, and no `@` timestamp modifier (`offset`
-IS supported).
+in-window decrease adds the pre-reset value); window-edge extrapolation
+(Prometheus's extrapolatedRate) is available behind
+``PromQLEngine(extrapolate=True)`` and off by default.  Documented
+deviation: no `@` timestamp modifier (`offset` IS supported).
 """
 
 from __future__ import annotations
@@ -361,9 +362,19 @@ class PromQLEngine:
     (reference label convention, `db/writer.go:16-17`).
     """
 
-    def __init__(self, samples: DataFrame, metric_label: str = "__name__"):
+    def __init__(
+        self,
+        samples: DataFrame,
+        metric_label: str = "__name__",
+        extrapolate: bool = False,
+    ):
+        #: ``extrapolate=True`` enables Prometheus's window-edge
+        #: extrapolation for rate/increase (see _range_value); the default
+        #: stays off so results remain the plain last-first-over-span form
+        #: a SQL oracle mirrors trivially.
         self.samples = samples
         self.metric_label = metric_label
+        self.extrapolate = extrapolate
         self.label_columns = [
             c for c in samples.columns if c not in ("ts", "value")
         ]
@@ -603,8 +614,9 @@ class PromQLEngine:
 
     # -- range-function evaluation -------------------------------------------
 
-    @staticmethod
-    def _range_value(expr: PromExpr, bucketed: DataFrame, series_cols) -> DataFrame:
+    def _range_value(
+        self, expr: PromExpr, bucketed: DataFrame, series_cols
+    ) -> DataFrame:
         keys = ["t"] + list(series_cols)
         if expr.func is None:
             # instant vector: last sample within the lookback window
@@ -620,7 +632,8 @@ class PromQLEngine:
         # each reset).  The window's samples are gathered into ONE sorted
         # array per (series, t) group — same single shuffle as before —
         # and the compensation is a JVM `aggregate` HOF over adjacent
-        # pairs.  Documented deviation: no window-edge extrapolation.
+        # pairs.  Without ``extrapolate`` the result is the plain
+        # delta-over-sampled-span form (documented deviation).
         grouped = bucketed.groupBy(*keys).agg(
             F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("__w")
         )
@@ -637,18 +650,52 @@ class PromQLEngine:
         first = F.element_at("__w", 1)
         last = F.element_at("__w", -1)
         delta = last["value"] - first["value"] + comp
-        span_s = (last["ts"] - first["ts"]) / F.lit(1000.0)
-        # both need >= 2 samples in the window (Prometheus returns no
-        # point otherwise); span_s > 0 iff the window has distinct samples
-        if expr.func == "increase":
-            value = F.when(span_s > 0, delta)
-        else:  # rate
-            value = F.when(span_s > 0, delta / span_s)
+        if self.extrapolate:
+            value = self._extrapolated_value(expr, first, last, delta)
+        else:
+            span_s = (last["ts"] - first["ts"]) / F.lit(1000.0)
+            # both need >= 2 samples in the window (Prometheus returns no
+            # point otherwise); span_s > 0 iff the window has distinct
+            # samples
+            if expr.func == "increase":
+                value = F.when(span_s > 0, delta)
+            else:  # rate
+                value = F.when(span_s > 0, delta / span_s)
         return (
             grouped.withColumn("value", value)
             .filter(F.col("value").isNotNull())
             .drop("__w")
         )
+
+    @staticmethod
+    def _extrapolated_value(expr: PromExpr, first, last, delta):
+        """Prometheus window-edge extrapolation (promql extrapolatedRate):
+        scale the in-window delta out to the full range, but extrapolate
+        past the first/last sample by at most half the average sample
+        spacing, and never below the counter's estimated zero crossing.
+        Every float op is ordered identically to the SQL twin in the
+        corpus so the oracle reproduces it bit-for-bit before rounding.
+        """
+        range_ms = float(expr.range_ms)
+        sampled = (last["ts"] - first["ts"]).cast("double")
+        n = F.size("__w").cast("double")
+        avg = sampled / (n - F.lit(1.0))
+        thresh = avg * F.lit(1.1)
+        dstart0 = (first["ts"] - (F.col("t") - F.lit(expr.range_ms))).cast(
+            "double"
+        )
+        dend0 = (F.col("t") - last["ts"]).cast("double")
+        dstart1 = F.when(dstart0 >= thresh, avg / F.lit(2.0)).otherwise(dstart0)
+        dend = F.when(dend0 >= thresh, avg / F.lit(2.0)).otherwise(dend0)
+        dzero = sampled * (first["value"] / delta)
+        dstart = F.when(
+            (delta > 0) & (first["value"] >= 0) & (dzero < dstart1), dzero
+        ).otherwise(dstart1)
+        factor = (sampled + dstart + dend) / sampled
+        inc = delta * factor
+        if expr.func == "increase":
+            return F.when(sampled > 0, inc)
+        return F.when(sampled > 0, inc * F.lit(1000.0) / F.lit(range_ms))
 
     def _empty(self, expr: PromExpr) -> DataFrame:
         spark = self.samples.sparkSession
