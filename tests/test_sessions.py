@@ -51,21 +51,24 @@ def test_batch_sessionize_single_shuffle(spark):
 
 
 def test_streaming_sessionizer_matches_batch(spark):
-    """File replay through the stateful operator must produce the same
-    CLOSED sessions as the batch form (each key's still-open tail session
-    is withheld in state pending its timeout).
-
-    NOTE: a stateful query with ProcessingTimeTimeout never terminates
-    under availableNow (Spark keeps scheduling empty batches to service
-    potential future timeouts), so the test polls the sink for the
-    expected rows and stops the query explicitly — the production
-    pattern for draining such a stream is the same."""
-    import time
-
-    events = _events(spark)
+    """An AvailableNow replay through the EventTimeTimeout operator must
+    DRAIN ON ITS OWN (awaitTermination, no poll-and-stop) and emit exactly
+    the batch sessionize result: in-stream gaps close mid-stream sessions,
+    and the final watermark advance fires event-time timeouts for every
+    session whose gap deadline it passed.  A far-future flush event on a
+    sentinel key pushes the watermark past all real deadlines; only the
+    sentinel's own tail stays withheld in state."""
+    # shift off ts=0: a row exactly AT the initial watermark (0) is
+    # filtered as late by the stateful operator's <= boundary — an
+    # artifact of epoch-0 test data, not of real streams
+    events = _events(spark).withColumn("ts", F.col("ts") + F.lit(MIN))
     staging = os.path.join(WORK, "staging")
     shutil.rmtree(staging, ignore_errors=True)
     events.coalesce(1).write.mode("overwrite").parquet(staging)
+    flush = spark.createDataFrame(
+        [("zz", 300 * MIN, 0.0)], "user STRING, ts LONG, value DOUBLE"
+    )
+    flush.coalesce(1).write.mode("append").parquet(staging)
 
     out_dir = os.path.join(WORK, "out")
     ckpt = os.path.join(WORK, "ckpt")
@@ -73,40 +76,28 @@ def test_streaming_sessionizer_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
     stream = spark.readStream.schema(events.schema).parquet(staging)
-    closed = StreamingSessionizer(
-        gap_ms=30 * MIN, timeout_ms=3_600_000
-    ).apply(stream, key_col="user")
+    closed = StreamingSessionizer(gap_ms=30 * MIN).apply(
+        stream, key_col="user"
+    )
     q = (
         closed.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        deadline = time.time() + 120
-        got = set()
-        while time.time() < deadline and not got:
-            time.sleep(2)
-            try:
-                got = {
-                    (r["key"], r["session_start"], r["session_end"],
-                     r["n_events"], r["sum_value"])
-                    for r in spark.read.parquet(out_dir).collect()
-                }
-            except Exception:
-                got = set()
-    finally:
-        q.stop()
+    assert q.awaitTermination(180), "AvailableNow replay did not terminate"
 
-    # batch sessions minus each key's LAST session (still open in-stream)
-    batch = sessionize(events, ["user"], value_col="value", gap_ms=30 * MIN)
-    w_last = batch.withColumn(
-        "__max", F.max("session_id").over(Window.partitionBy("user"))
-    )
+    got = {
+        (r["key"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
     expect = {
         (r["user"], r["session_start"], r["session_end"], r["n_events"],
          r["sum_value"])
-        for r in w_last.filter(F.col("session_id") < F.col("__max")).collect()
+        for r in sessionize(events, ["user"], value_col="value",
+                            gap_ms=30 * MIN).collect()
     }
-    assert got == expect
-    assert len(got) == 1  # user a's first session closed by the 90-min gap
+    assert got == expect  # ALL real sessions, tails included
+    assert len(got) == 3

@@ -15,10 +15,11 @@ the gap to the previous event of the same key exceeds ``gap_ms``):
   cardinality, never by total rows — at 100 TB with millions of users
   that is exactly the partitioning you want (no global window).
 - :class:`StreamingSessionizer` — Structured Streaming with
-  ``applyInPandasWithState``: per-key session state with a processing-time
-  timeout, emitting a session row when the gap closes it.  This is the
-  custom *stateful* operator Spark's built-in session_window cannot fully
-  express when per-session aggregates need custom merge logic.
+  ``applyInPandasWithState``: per-key session state with an EVENT-TIME
+  timeout (watermark passes ``session_end + gap``), emitting a session
+  row when the gap closes it.  This is the custom *stateful* operator
+  Spark's built-in session_window cannot fully express when per-session
+  aggregates need custom merge logic.
 
 Batch output: one row per session
 ``(key, session_id, session_start, session_end, n_events, sum_value)``
@@ -133,7 +134,8 @@ _STATE_SCHEMA = T.StructType(
 
 class StreamingSessionizer:
     """Custom stateful streaming operator: per-key open-session state,
-    closed either by an in-stream gap or by a processing-time timeout.
+    closed either by an in-stream gap or by the event-time watermark
+    passing the session's gap deadline (``session_end + gap``).
 
     Built on ``applyInPandasWithState`` — the escape hatch for stateful
     logic ``session_window`` can't express (here: emitting CLOSED sessions
@@ -141,17 +143,20 @@ class StreamingSessionizer:
     key is O(1) (4 numbers), so executor state stores stay bounded by
     |active keys| regardless of stream length.
 
-    Caveat (observed on Spark 4.x): with ProcessingTimeTimeout a query
-    does NOT terminate under ``Trigger.AvailableNow`` — the engine keeps
-    scheduling empty micro-batches to service potential future timeouts.
-    Drain with a normal trigger + poll-the-sink + ``stop()`` (see
-    ``tests/test_sessions.py``), or use the batch :func:`sessionize` for
-    bounded replays.
+    Timeouts are ``EventTimeTimeout`` keyed on the watermark: a session
+    closes deterministically from STREAM time, so a bounded replay under
+    ``Trigger.AvailableNow`` drains and terminates on its own (the
+    engine's final no-data micro-batch fires every timeout the last
+    watermark advance unlocked) and the output is oracle-checkable
+    against the batch :func:`sessionize` — only sessions whose gap
+    deadline exceeds the final watermark (each key's live tail) remain
+    withheld in state.  ProcessingTimeTimeout, by contrast, never
+    terminates under AvailableNow (wall-clock timeouts stay potentially
+    pending forever).
     """
 
-    def __init__(self, gap_ms: int = 1_800_000, timeout_ms: int = 60_000):
+    def __init__(self, gap_ms: int = 1_800_000):
         self.gap_ms = int(gap_ms)
-        self.timeout_ms = int(timeout_ms)
 
     def _update(self, key, pdfs: Iterable[pd.DataFrame], state):
         gap = self.gap_ms
@@ -178,8 +183,16 @@ class StreamingSessionizer:
                 start, end, n, s = ts, ts, 1, float(v)
             else:
                 end, n, s = ts, n + 1, s + float(v)
-        state.update((start, end, n, s))
-        state.setTimeoutDuration(self.timeout_ms)
+        deadline = end + gap
+        if deadline <= state.getCurrentWatermarkMs():
+            # the gap already elapsed in event time (no newer event for
+            # this key arrived in later batches): close immediately rather
+            # than set a timeout in the past (which Spark rejects)
+            out.append((start, end, n, s))
+            state.remove()
+        else:
+            state.update((start, end, n, s))
+            state.setTimeoutTimestamp(deadline)
         if out:
             yield pd.DataFrame(
                 {
@@ -191,18 +204,30 @@ class StreamingSessionizer:
                 }
             )
 
-    def apply(self, stream: DataFrame, key_col: str) -> DataFrame:
+    def apply(
+        self,
+        stream: DataFrame,
+        key_col: str,
+        watermark_delay: str = "10 seconds",
+    ) -> DataFrame:
         """``stream`` needs columns (``key_col`` string, ``ts`` long ms,
-        ``value`` double).  Returns the closed-sessions stream."""
+        ``value`` double).  Returns the closed-sessions stream.
+        ``watermark_delay`` is the late-data allowance: a session only
+        closes by timeout once the watermark (max event time minus this
+        delay) passes its gap deadline."""
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        grouped = stream.select(
-            F.col(key_col).cast("string").alias("key"), "ts", "value"
-        ).groupBy("key")
-        return grouped.applyInPandasWithState(
+        withevt = (
+            stream.select(
+                F.col(key_col).cast("string").alias("key"), "ts", "value"
+            )
+            .withColumn("__evt", F.timestamp_millis(F.col("ts")))
+            .withWatermark("__evt", watermark_delay)
+        )
+        return withevt.groupBy("key").applyInPandasWithState(
             self._update,
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
