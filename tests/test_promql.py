@@ -98,6 +98,70 @@ def test_rate_linear_series(spark):
         assert r["value"] == pytest.approx(1.0)  # 1 unit/sec
 
 
+def test_without_grouping(spark):
+    """`sum without (instance)` aggregates away ONLY the listed label —
+    equivalent here to `sum by (job)` since job+instance is the full
+    series key."""
+    engine = PromQLEngine(_stub_samples(spark))
+    w = engine.query_range(
+        "sum without (instance) (http_requests_total)", 0, 300_000, 60_000
+    )
+    b = engine.query_range(
+        "sum by (job) (http_requests_total)", 0, 300_000, 60_000
+    )
+    assert sorted(w.columns) == sorted(b.columns)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_at_modifier_pins_evaluation_time(spark):
+    """`m @ 60` evaluates at t=60s for EVERY step: the result is constant
+    across the range and equals the unpinned value at 60s."""
+    rows = [("m", "a", ts, ts / 1000.0) for ts in range(0, 300_001, 30_000)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("sum(m @ 60)", 0, 300_000, 60_000).collect()
+    assert [r["t"] for r in out] == [0, 60_000, 120_000, 180_000, 240_000, 300_000]
+    assert all(r["value"] == 60.0 for r in out)  # the sample AT 60s
+
+
+def test_math_functions(spark):
+    rows = [("m", "a", 0, -2.5), ("m", "b", 0, 7.5)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(q, 0, 0, 60_000).collect()
+        }
+
+    assert vals("abs(m)") == {"a": 2.5, "b": 7.5}
+    assert vals("ceil(m)") == {"a": -2.0, "b": 8.0}
+    assert vals("floor(m)") == {"a": -3.0, "b": 7.0}
+    assert vals("clamp(m, 0, 5)") == {"a": 0.0, "b": 5.0}
+    assert vals("clamp_min(m, 1)") == {"a": 1.0, "b": 7.5}
+    assert vals("clamp_max(m, 1)") == {"a": -2.5, "b": 1.0}
+    assert vals("abs(m) * 2") == {"a": 5.0, "b": 15.0}
+
+
+def test_label_replace(spark):
+    rows = [("m", "api-7", 0, 1.0), ("m", "web", 0, 2.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        'label_replace(m, "job", "svc-$1", "job", "api-(.*)")',
+        0, 0, 60_000,
+    ).collect()
+    # full-anchored match rewrites api-7 -> svc-7; web is left unchanged
+    assert {r["job"] for r in out} == {"svc-7", "web"}
+
+
 def test_rate_extrapolation(spark):
     """Hand-computed Prometheus extrapolatedRate: two samples at 120s/180s
     in a (0, 300s] window.  sampled=60s, avg spacing 60s, threshold 66s;

@@ -790,6 +790,80 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("t", "event_type", F.round("value", 4).alias("value"))
 
 
+_P_AT = _P_START + 7 * _DAY_MS  # `@` pin point for q51
+
+
+@query(
+    "q51_promql_without_at",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+w AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS value
+  FROM s WHERE ts_ms > {_P_AT - _DAY_MS} AND ts_ms <= {_P_AT}
+  GROUP BY event_type
+),
+steps AS (
+  SELECT {_P_START} + k * {_P_STEP} AS t
+  FROM range(0, {(_P_END - _P_START) // _P_STEP + 1}) r(k)
+)
+SELECT st.t, w.event_type, w.value
+FROM steps st CROSS JOIN w ORDER BY t, event_type""",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum without (shard) (count_over_time(app_events[1d] @ T))` — the
+    `@` modifier pins evaluation to one fixed window (evaluated ONCE,
+    broadcast across the step axis by an explode, never recomputed per
+    step) and `without` aggregates away only the listed label."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        f"sum without (shard) (count_over_time(app_events[1d] @ {_P_AT // 1000}))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+@query(
+    "q52_promql_label_replace_clamp",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+b AS (
+  SELECT event_type, shard,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+counted AS (
+  SELECT t, event_type, shard, CAST(count(*) AS DOUBLE) AS value
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type,
+       CASE WHEN regexp_full_match(shard, '([0-3])')
+            THEN regexp_replace(shard, '^(?:([0-3]))$', 's\\1')
+            ELSE shard END AS shard,
+       LEAST(value, 20.0) AS value
+FROM counted ORDER BY t, event_type, 3""",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clamp_max(label_replace(...), 20)` — label_replace rewrites shards
+    0-3 to s0..s3 via a fully-anchored regex with a $1 group reference
+    (5-7 untouched), then clamp_max caps the per-shard counts; both are
+    pure column expressions over the aggregated vector."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        'clamp_max(label_replace('
+        "sum by (event_type, shard) (count_over_time(app_events[1d])),"
+        ' "shard", "s$1", "shard", "([0-3])"), 20)',
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),

@@ -6,17 +6,23 @@ thanos promql-engine over a stubbed sample iterator
 its own surface is only series selection.  This module goes further: a
 small recursive-descent parser for the subset
 
-    expr     := agg | func | selector | expr binop [matching] expr
-    agg      := AGGOP [by-clause] '(' (func | selector) ')'
-    by-clause:= 'by' '(' label (',' label)* ')'
-    func     := FUNC '(' selector '[' duration ']' ['offset' duration] ')'
-    selector := metric ['{' matcher (',' matcher)* '}'] ['offset' duration]
+    expr     := agg | func | mathfn | label_replace | selector
+              | expr binop [matching] expr
+    agg      := AGGOP [grouping] '(' (func | selector) ')'
+    grouping := ('by' | 'without') '(' label (',' label)* ')'
+    func     := FUNC '(' selector '[' duration ']' [modifiers] ')'
+    mathfn   := MATHFN '(' expr (',' number)* ')'
+    label_replace := 'label_replace' '(' expr ',' str ',' str ',' str ',' str ')'
+    selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
+    modifiers:= ['offset' duration] ['@' number]
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
     matching := ('on'|'ignoring') '(' label (',' label)* ')'
                 ['group_left'|'group_right']
     AGGOP    := sum | min | max | count | avg
     FUNC     := rate | increase | count_over_time | sum_over_time |
                 avg_over_time | min_over_time | max_over_time | last_over_time
+    MATHFN   := abs | ceil | floor | sqrt | exp | ln | clamp | clamp_min |
+                clamp_max
 
 and a range-query evaluator that compiles the expression to DataFrame
 operations over a samples table (ts int64 ms, value double, label columns).
@@ -54,6 +60,18 @@ DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 AGG_OPS = {"sum", "min", "max", "count", "avg"}
 PARAM_AGG_OPS = {"topk", "bottomk"}
 BINARY_OPS = {"+", "-", "*", "/"}
+# instant math functions: (name, number of scalar params after the vector)
+MATH_FUNCS = {
+    "abs": 0,
+    "ceil": 0,
+    "floor": 0,
+    "sqrt": 0,
+    "exp": 0,
+    "ln": 0,
+    "clamp": 2,
+    "clamp_min": 1,
+    "clamp_max": 1,
+}
 RANGE_FUNCS = {
     "rate",
     "increase",
@@ -84,8 +102,10 @@ class PromExpr:
     func: str | None = None  # range function
     range_ms: int | None = None
     offset_ms: int = 0  # `offset <dur>` modifier: evaluate shifted back
+    at_ms: int | None = None  # `@ <unix-s>` modifier: pin evaluation time
     agg: str | None = None  # outer aggregation
     by: list[str] | None = None  # None = aggregate everything away
+    without: list[str] | None = None  # complement grouping
     agg_param: float | None = None  # k for topk/bottomk
 
 
@@ -106,6 +126,28 @@ class PromBinary:
     matching_mode: str | None = None  # 'on' | 'ignoring'
     matching: list[str] = field(default_factory=list)
     group: str | None = None  # 'left' | 'right'
+
+
+@dataclass
+class PromMathFunc:
+    """Instant math function over a vector: value-wise, labels untouched."""
+
+    func: str
+    inner: "PromNode"
+    params: list[float] = field(default_factory=list)
+
+
+@dataclass
+class PromLabelReplace:
+    """label_replace(v, dst, replacement, src, regex): when ``regex``
+    matches ``src``'s value ENTIRELY, set ``dst`` to ``replacement`` with
+    ``$N`` group references expanded; otherwise the row is unchanged."""
+
+    inner: "PromNode"
+    dst: str
+    replacement: str
+    src: str
+    regex: str
 
 
 @dataclass
@@ -132,7 +174,7 @@ class _Parser:
           | (?P<duration_part>\d+(?:ms|s|m|h|d|w))
           | (?P<number>\d+(?:\.\d+)?)
           | (?P<binop>[+\-*/])
-          | (?P<punct>[(){},\[\]])
+          | (?P<punct>[(){},\[\]@])
         )""",
         re.VERBOSE,
     )
@@ -232,26 +274,66 @@ class _Parser:
             return self._agg()
         if kind == "ident" and tok in RANGE_FUNCS:
             return self._func()
+        if kind == "ident" and tok in MATH_FUNCS:
+            return self._math_func()
+        if kind == "ident" and tok == "label_replace":
+            return self._label_replace()
         return self._selector()
+
+    def _math_func(self):
+        _, fn = self.next()
+        self.expect("(")
+        inner = self._binary()
+        params = []
+        for _ in range(MATH_FUNCS[fn]):
+            self.expect(",")
+            kind, num = self.next()
+            if kind != "number":
+                raise ValueError(f"{fn} expects numeric params, got {num!r}")
+            params.append(float(num))
+        self.expect(")")
+        return PromMathFunc(func=fn, inner=inner, params=params)
+
+    def _label_replace(self):
+        self.next()
+        self.expect("(")
+        inner = self._binary()
+        strs = []
+        for _ in range(4):
+            self.expect(",")
+            kind, s = self.next()
+            if kind != "string":
+                raise ValueError(f"label_replace expects strings, got {s!r}")
+            strs.append(s[1:-1])
+        self.expect(")")
+        return PromLabelReplace(
+            inner=inner, dst=strs[0], replacement=strs[1],
+            src=strs[2], regex=strs[3],
+        )
 
     def _agg(self) -> PromExpr:
         _, op = self.next()
         by = None
+        without = None
         kind, tok = self.peek()
-        if kind == "ident" and tok == "by":
+        if kind == "ident" and tok in ("by", "without"):
             self.next()
             self.expect("(")
-            by = []
+            labels = []
             while True:
                 k, label = self.next()
                 if k != "ident":
                     raise ValueError(f"expected label, got {label!r}")
-                by.append(label)
+                labels.append(label)
                 k, nxt = self.next()
                 if nxt == ")":
                     break
                 if nxt != ",":
-                    raise ValueError(f"expected , or ) in by-clause, got {nxt!r}")
+                    raise ValueError(f"expected , or ) in grouping, got {nxt!r}")
+            if tok == "by":
+                by = labels
+            else:
+                without = labels
         self.expect("(")
         if op in PARAM_AGG_OPS:
             # topk(k, <any vector expression>): a per-step series filter,
@@ -272,7 +354,8 @@ class _Parser:
         )
         self.expect(")")
         inner.agg = op
-        inner.by = by or []
+        inner.by = by or ([] if without is None else None)
+        inner.without = without
         return inner
 
     def _func(self) -> PromExpr:
@@ -284,20 +367,32 @@ class _Parser:
         if kind != "duration_part":
             raise ValueError(f"expected duration, got {dur!r}")
         self.expect("]")
-        self._maybe_offset(sel)
+        self._maybe_modifiers(sel)
         self.expect(")")
         sel.func = fn
         sel.range_ms = parse_duration_ms(dur)
         return sel
 
-    def _maybe_offset(self, sel: "PromExpr") -> None:
-        kind, tok = self.peek()
-        if kind == "ident" and tok == "offset":
-            self.next()
-            k, dur = self.next()
-            if k != "duration_part":
-                raise ValueError(f"expected duration after offset, got {dur!r}")
-            sel.offset_ms = parse_duration_ms(dur)
+    def _maybe_modifiers(self, sel: "PromExpr") -> None:
+        """``offset <dur>`` and/or ``@ <unix-seconds>``, either order."""
+        while True:
+            kind, tok = self.peek()
+            if kind == "ident" and tok == "offset":
+                self.next()
+                k, dur = self.next()
+                if k != "duration_part":
+                    raise ValueError(
+                        f"expected duration after offset, got {dur!r}"
+                    )
+                sel.offset_ms = parse_duration_ms(dur)
+            elif kind == "punct" and tok == "@":
+                self.next()
+                k, num = self.next()
+                if k != "number":
+                    raise ValueError(f"expected unix seconds after @, got {num!r}")
+                sel.at_ms = int(float(num) * 1000)
+            else:
+                return
 
     def _selector(self) -> PromExpr:
         kind, metric = self.next()
@@ -324,11 +419,9 @@ class _Parser:
                 if nxt == ",":
                     self.next()
         sel = PromExpr(metric=metric, matchers=matchers)
-        # instant-selector offset (`m offset 1h`); a range selector's
-        # offset follows the `[dur]` bracket and is handled in _func
-        kind, tok = self.peek()
-        if kind == "ident" and tok == "offset":
-            self._maybe_offset(sel)
+        # instant-selector modifiers (`m offset 1h @ 1704153600`); a range
+        # selector's modifiers follow the `[dur]` bracket (see _func)
+        self._maybe_modifiers(sel)
         return sel
 
 
@@ -404,7 +497,57 @@ class PromQLEngine:
         if isinstance(node, PromTopK):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._topk(inner, node.k, node.ascending, node.by)
+        if isinstance(node, PromMathFunc):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return inner.withColumn(
+                "value", self._math_column(node.func, node.params)
+            )
+        if isinstance(node, PromLabelReplace):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._label_replace(inner, node)
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
+
+    @staticmethod
+    def _math_column(func: str, params: list[float]):
+        v = F.col("value")
+        if func == "abs":
+            return F.abs(v)
+        if func == "ceil":
+            return F.ceil(v).cast("double")
+        if func == "floor":
+            return F.floor(v).cast("double")
+        if func == "sqrt":
+            return F.sqrt(v)
+        if func == "exp":
+            return F.exp(v)
+        if func == "ln":
+            return F.log(v)
+        if func == "clamp":
+            return F.least(F.greatest(v, F.lit(params[0])), F.lit(params[1]))
+        if func == "clamp_min":
+            return F.greatest(v, F.lit(params[0]))
+        if func == "clamp_max":
+            return F.least(v, F.lit(params[0]))
+        raise ValueError(f"unknown math function {func}")  # pragma: no cover
+
+    @staticmethod
+    def _label_replace(df: DataFrame, node: PromLabelReplace) -> DataFrame:
+        """Prometheus label_replace: the regex is FULLY anchored against
+        ``src``'s value; on match ``dst`` becomes the expanded
+        replacement, else the row is unchanged (missing labels read as "",
+        the reference's absent-label convention, `schema/chunk.go:109-112`)."""
+        anchored = f"^(?:{node.regex})$"
+        src = (
+            F.col(node.src).cast("string")
+            if node.src in df.columns
+            else F.lit("")
+        )
+        old_dst = F.col(node.dst) if node.dst in df.columns else F.lit("")
+        new_dst = F.when(
+            src.rlike(anchored), F.regexp_replace(src, anchored, node.replacement)
+        ).otherwise(old_dst)
+        others = [c for c in df.columns if c not in (node.dst, "value")]
+        return df.select(*others, new_dst.alias(node.dst), "value")
 
     def _eval_binary(
         self, node: PromBinary, start_ms, end_ms, step_ms, lookback_ms
@@ -497,6 +640,27 @@ class PromQLEngine:
         step_ms: int,
         lookback_ms: int,
     ) -> DataFrame:
+        if expr.at_ms is not None:
+            # `@` modifier: evaluate ONCE at the pinned timestamp, then
+            # broadcast the constant vector across the step axis (explode
+            # over the step sequence — no join, no recompute per step)
+            from dataclasses import replace as _dc_replace
+
+            pinned = self._eval_expr(
+                _dc_replace(expr, at_ms=None),
+                expr.at_ms,
+                expr.at_ms,
+                step_ms,
+                lookback_ms,
+            )
+            steps = F.explode(
+                F.sequence(
+                    F.lit(start_ms), F.lit(end_ms), F.lit(step_ms)
+                )
+            ).alias("t")
+            cols = [c for c in pinned.columns if c != "t"]
+            return pinned.drop("t").select(steps, *cols)
+
         window_ms = expr.range_ms if expr.func else lookback_ms
 
         matchers = list(expr.matchers)
@@ -534,7 +698,10 @@ class PromQLEngine:
 
         if expr.agg is None:
             return per_series
-        by = expr.by or []
+        if expr.without is not None:
+            by = [c for c in series_cols if c not in expr.without]
+        else:
+            by = expr.by or []
         return per_series.groupBy("t", *by).agg(
             _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
         )
