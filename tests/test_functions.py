@@ -224,3 +224,30 @@ def test_frame_sampling_fanout(docs):
     frames = MM.sample_frames(media, every_nth_byte=4)
     # 16-byte blobs sampled every 4 bytes -> 4 frames per doc
     assert frames.count() == docs.count() * 4
+
+
+def test_band_signature_udf_bit_identical_to_hof(spark, sf_oracle):
+    """The Arrow-batched signature kernel must reproduce the interpreted
+    HOF fold's buckets EXACTLY (same left-assoc accumulation order), on
+    real float32 embeddings — the cross-engine hash contract for
+    q27/q28 rides on this."""
+    planes = SIM.hyperplanes(dim=64, bits=32)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    hof = [
+        SIM.signature_column(
+            F.col("embedding"), planes[j * 8 : (j + 1) * 8]
+        ).alias(f"s{j}")
+        for j in range(4)
+    ]
+    udf_sigs = SIM.band_signature_udf(planes, bands=4)(F.col("embedding"))
+    mismatches = (
+        emb.select("vec_id", *hof, udf_sigs.alias("u"))
+        .filter(
+            (F.col("s0") != F.col("u")[0])
+            | (F.col("s1") != F.col("u")[1])
+            | (F.col("s2") != F.col("u")[2])
+            | (F.col("s3") != F.col("u")[3])
+        )
+        .count()
+    )
+    assert mismatches == 0
