@@ -61,3 +61,44 @@ def test_chunks_cover_all_tokens(spark):
     for r in out:
         covered.update(r["chunk_text"].split(" "))
     assert covered == {f"w{i}" for i in range(75)}
+
+
+def test_pack_sequences_placement(spark):
+    from tsdb_parquet_spark.functions.pipeline import pack_sequences
+
+    # one shard (ids all % 1 == 0): lengths 6, 3, 4, 0, 5 with budget 8
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),       # start 0  -> seq 0, fits
+            (1, "g h i"),             # start 6  -> spans seq 0 -> 1
+            (2, "j k l m"),           # start 9  -> seq 1, offset 1
+            (3, ""),                  # start 13 -> empty doc
+            (4, "n o p q r"),         # start 13 -> spans seq 1 -> 2
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget_tokens=8, shards=1).collect()
+    }
+    assert [rows[0][c] for c in ("start_offset", "first_seq", "last_seq")] == [0, 0, 0]
+    assert [rows[1][c] for c in ("start_offset", "first_seq", "last_seq")] == [6, 0, 1]
+    assert [rows[2][c] for c in ("start_offset", "first_seq", "last_seq", "offset_in_seq")] == [9, 1, 1, 1]
+    assert [rows[3][c] for c in ("n_tokens", "first_seq", "last_seq")] == [0, 1, 1]
+    assert [rows[4][c] for c in ("start_offset", "first_seq", "last_seq")] == [13, 1, 2]
+
+
+def test_pack_sequences_shard_independence(spark):
+    from tsdb_parquet_spark.functions.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "x " * 10) for i in range(40)], "doc_id LONG, text STRING"
+    )
+    out = pack_sequences(docs, budget_tokens=16, shards=4)
+    # every shard's stream starts at offset 0 and is contiguous
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    by_shard = {}
+    for r in rows:
+        exp = by_shard.get(r["shard"], 0)
+        assert r["start_offset"] == exp
+        by_shard[r["shard"]] = exp + r["n_tokens"]

@@ -366,3 +366,118 @@ def test_instant_staleness_excludes_old_samples(spark):
     out = engine.query_range("m", 0, 600_000, 60_000)
     ts = sorted(r["t"] for r in out.collect())
     assert ts == [0, 60_000, 120_000, 180_000, 240_000]
+
+
+def test_comparison_filter_and_bool(spark):
+    rows = [("m", "a", 0, 3.0), ("m", "b", 0, 7.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(q, 0, 0, 60_000).collect()
+        }
+
+    assert vals("m > 5") == {"b": 7.0}  # filter keeps the value
+    assert vals("m > bool 5") == {"a": 0.0, "b": 1.0}
+    assert vals("m <= 3") == {"a": 3.0}
+    assert vals("m != 3") == {"b": 7.0}
+    assert vals("m == 7") == {"b": 7.0}
+    assert vals("m + 1 > 5") == {"b": 8.0}  # cmp binds looser than +
+
+
+def test_vector_vector_comparison(spark):
+    rows = [
+        ("m", "a", 0, 3.0), ("m", "b", 0, 7.0),
+        ("n", "a", 0, 5.0), ("n", "b", 0, 5.0),
+    ]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = {
+        r["job"]: r["value"]
+        for r in engine.query_range("m > n", 0, 0, 60_000).collect()
+    }
+    assert out == {"b": 7.0}  # left operand's value survives
+
+
+def test_sgn_round(spark):
+    rows = [("m", "a", 0, -2.5), ("m", "b", 0, 7.36)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(q, 0, 0, 60_000).collect()
+        }
+
+    assert vals("sgn(m)") == {"a": -1.0, "b": 1.0}
+    assert vals("round(m)") == {"a": -2.0, "b": 7.0}  # ties round up
+    assert vals("round(m, 0.1)") == {"a": -2.5, "b": pytest.approx(7.4)}
+
+
+def test_new_range_funcs(spark):
+    # one series: 1, 5, 2, 2, 8 at t=0..240s — a reset at 5->2
+    vals_in = [1.0, 5.0, 2.0, 2.0, 8.0]
+    rows = [("m", "a", i * 60_000, v) for i, v in enumerate(vals_in)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def one(q):
+        out = engine.query_range(q, 240_000, 240_000, 60_000).collect()
+        assert len(out) == 1
+        return out[0]["value"]
+
+    assert one("delta(m[5m])") == 7.0  # 8 - 1, no reset correction
+    assert one("idelta(m[5m])") == 6.0  # 8 - 2
+    assert one("irate(m[5m])") == pytest.approx(0.1)  # (8-2)/60s
+    assert one("changes(m[5m])") == 3.0  # 1->5, 5->2, 2->8
+    assert one("resets(m[5m])") == 1.0  # 5->2
+    assert one("present_over_time(m[5m])") == 1.0
+    assert one("stddev_over_time(m[5m])") == pytest.approx(6.64**0.5)
+    assert one("quantile_over_time(0.5, m[5m])") == 2.0
+    assert one("stddev(m)") == 0.0  # population stddev of one series
+
+
+def test_irate_counter_reset(spark):
+    rows = [("m", "a", 0, 10.0), ("m", "a", 60_000, 2.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("irate(m[2m])", 60_000, 60_000, 60_000).collect()
+    # reset between the last two samples: dv = last value alone
+    assert out[0]["value"] == pytest.approx(2.0 / 60.0)
+
+
+def test_histogram_quantile(spark):
+    # buckets per series: le=1 -> 2 obs, le=2 -> +3 (cum 5), le=4 -> +5
+    # (cum 10), +Inf -> cum 10.  q=0.5 -> rank 5 -> exactly the le=2
+    # boundary; q=0.9 -> rank 9 -> 2 + (4-2)*(9-5)/(10-5) = 3.6
+    cums = {"1": 2.0, "2": 5.0, "4": 10.0, "+Inf": 10.0}
+    rows = [("b", le, 0, c) for le, c in cums.items()]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, le STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def q(phi):
+        out = engine.query_range(
+            f"histogram_quantile({phi}, b)", 0, 0, 60_000
+        ).collect()
+        assert len(out) == 1
+        return out[0]["value"]
+
+    assert q(0.5) == pytest.approx(2.0)
+    assert q(0.9) == pytest.approx(3.6)
+    assert q(1.0) == pytest.approx(4.0)  # +Inf bucket -> highest finite le
+    assert q(0.1) == pytest.approx(0.5)  # 0 + (1-0)*(1-0)/(2-0)

@@ -864,6 +864,267 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# histogram_quantile: bucket boundaries for the synthesized `le` label
+# (events.value spans 0.03..327)
+_HQ_EDGES = ["25", "100", "250", "+Inf"]
+_HQ_Q = 0.75
+
+# shared oracle prelude: daily step bucketing of events (q19's pattern)
+_HQ_BUCKET_CTE = f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+b AS (
+  SELECT event_type, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+edges(le) AS (VALUES ('25'), ('100'), ('250'), ('+Inf')),
+counted AS (
+  SELECT t, event_type, le, CAST(count(*) AS DOUBLE) AS cnt
+  FROM b CROSS JOIN edges
+  WHERE t <= {_P_END}
+    AND (le = '+Inf' OR value <= CAST(le AS DOUBLE))
+  GROUP BY t, event_type, le
+)
+"""
+
+
+@query(
+    "q53_promql_histogram_quantile",
+    _HQ_BUCKET_CTE
+    + f"""
+, nb AS (
+  SELECT t, event_type,
+         CASE WHEN le = '+Inf' THEN CAST('inf' AS DOUBLE)
+              ELSE CAST(le AS DOUBLE) END AS le_n,
+         cnt
+  FROM counted
+),
+wn AS (
+  SELECT t, event_type, le_n, cnt,
+         lag(cnt, 1, 0.0) OVER (
+             PARTITION BY t, event_type ORDER BY le_n) AS prev_cnt,
+         lag(le_n) OVER (
+             PARTITION BY t, event_type ORDER BY le_n) AS prev_le,
+         max(cnt) OVER (PARTITION BY t, event_type) AS total,
+         max(CASE WHEN isfinite(le_n) THEN le_n END)
+             OVER (PARTITION BY t, event_type) AS max_fin
+  FROM nb
+),
+sel AS (
+  SELECT *, {_HQ_Q} * total AS rnk FROM wn
+  WHERE cnt >= {_HQ_Q} * total
+    AND (prev_cnt < {_HQ_Q} * total OR prev_le IS NULL)
+)
+SELECT t, event_type,
+       round(CASE WHEN NOT isfinite(le_n) THEN max_fin
+            ELSE COALESCE(prev_le, 0.0)
+                 + (le_n - COALESCE(prev_le, 0.0))
+                   * ((rnk - prev_cnt) / (cnt - prev_cnt)) END, 4) AS value
+FROM sel ORDER BY t, event_type""",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram_quantile(0.75, sum by (event_type, le)
+    (count_over_time(app_lat_bucket[1d])))` — the events table is
+    bucket-ified into a cumulative-`le` histogram metric (each observation
+    lands in every bucket it fits), then the engine finds the rank bucket
+    per (step, event_type) and interpolates; one window shuffle, all JVM.
+    """
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    ev = _cat(spark, sf_dir)["events"]
+    edges = F.array(*[F.lit(e) for e in _HQ_EDGES])
+    samples = ev.select(
+        F.lit("app_lat_bucket").alias("__name__"),
+        F.col("event_type"),
+        F.explode(
+            F.filter(
+                edges,
+                lambda e: (e == "+Inf") | (F.col("value") <= e.cast("double")),
+            )
+        ).alias("le"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        f"histogram_quantile({_HQ_Q}, sum by (event_type, le)"
+        " (count_over_time(app_lat_bucket[1d])))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select("t", "event_type", F.round("value", 4).alias("value"))
+
+
+@query(
+    "q54_promql_comparison_filter",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+m AS (
+  SELECT t, event_type, shard, max(value) AS value
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type, shard, round(value, 4) AS value
+FROM m WHERE value > 150 ORDER BY t, event_type, shard""",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(app_events[1d]) > 150` — a comparison against a
+    scalar FILTERS the vector (value kept); evaluated over the full
+    chunk-store pipeline, the predicate is one Catalyst filter on the
+    aggregated frame."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "max_over_time(app_events[1d]) > 150",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    )
+
+
+@query(
+    "q55_promql_changes",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, ts_ms, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+lagged AS (
+  SELECT t, event_type, shard, value,
+         lag(value) OVER (
+             PARTITION BY t, event_type, shard
+             ORDER BY ts_ms, value) AS pv
+  FROM b WHERE t <= {_P_END}
+)
+SELECT t, event_type, shard,
+       CAST(count(*) FILTER (WHERE pv IS NOT NULL AND value <> pv)
+            AS DOUBLE) AS value
+FROM lagged GROUP BY t, event_type, shard
+ORDER BY t, event_type, shard""",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`changes(app_events[1d])` — per-series count of adjacent value
+    changes inside each window; the engine's sorted-array HOF vs the
+    oracle's lag window (ORDER BY ts, value mirrors array_sort's
+    struct order)."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "changes(app_events[1d])",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+@query(
+    "q56_promql_quantile_over_time",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+)
+SELECT t, event_type, shard,
+       round(quantile_cont(value, 0.9), 4) AS value
+FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+ORDER BY t, event_type, shard""",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile_over_time(0.9, app_events[1d])` — exact
+    linear-interpolation percentile per (series, window); Spark
+    `percentile` and DuckDB `quantile_cont` share the interpolation
+    formula, and 4dp rounding on both sides absorbs the last-bit
+    difference in their interpolation arithmetic."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "quantile_over_time(0.9, app_events[1d])",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    )
+
+
+@query(
+    "q57_asof_join",
+    """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_ms, p.purchase_value,
+       c.ts_ms AS ts_ms_click, c.click_value AS click_value_click
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+ORDER BY p.event_id""",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest
+    at-or-before click (`operators/asof.py` — merge-formulation window,
+    one key shuffle, no range join); the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from tsdb_parquet_spark.operators.asof import asof_join
+
+    ev = _cat(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms", F.col("value").alias("purchase_value")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        suffix="_click",
+    )
+    return out.orderBy("event_id")
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),
@@ -1777,6 +2038,23 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
     )
     return training_chunks(docs).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q58_pack_sequences",
+    PL.sql_pack_sequences("documents", budget_tokens=512, shards=16)
+    + "\nORDER BY doc_id",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training
+    sequences, 16-way shard-parallel (`functions/pipeline.py:
+    pack_sequences`): deterministic id-order streams per shard, one
+    shuffle, never a global single-task window."""
+    from tsdb_parquet_spark.functions.pipeline import pack_sequences
+
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = pack_sequences(docs, budget_tokens=512, shards=16)
+    return out.orderBy("doc_id")
 
 
 @query(

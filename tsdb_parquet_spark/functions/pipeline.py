@@ -83,9 +83,105 @@ def training_chunks(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+    shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: place documents end-to-end in a
+    deterministic order and cut the token stream every ``budget_tokens``
+    — the standard way training batches are packed from variable-length
+    documents.
+
+    Deterministic and shard-parallel: docs are streamed in ``id`` order
+    WITHIN ``id % shards`` shards (never a global single-task window —
+    the round-1 `Window.orderBy`-without-partition trap), so parallelism
+    is ``shards`` and each shard's packing is independent of every other
+    shard's data.  One shuffle on the shard key.
+
+    Output per doc: ``shard``, ``n_tokens``, ``start_offset`` (position
+    in the shard's token stream), ``first_seq``/``last_seq`` (the
+    budget-sized sequences the doc lands in; docs spanning a boundary
+    continue into the next sequence) and ``offset_in_seq``.
+    """
+    n = (
+        F.col(len_col).cast("long")
+        if len_col
+        else F.size(TX.tokens(F.col(text_col))).cast("long")
+    )
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % shards).cast("long")
+    base = docs.select(
+        F.col(id_col), shard.alias("shard"), n.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    b = F.lit(int(budget_tokens)).cast("long")
+    out = base.withColumn("start_offset", start)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(budget_tokens)}").alias("first_seq"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                f"(start_offset + n_tokens - 1) div {int(budget_tokens)}"
+            ),
+        )
+        .otherwise(F.expr(f"start_offset div {int(budget_tokens)}"))
+        .alias("last_seq"),
+        (F.col("start_offset") % b).alias("offset_in_seq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments
 # ---------------------------------------------------------------------------
+
+
+def sql_pack_sequences(
+    table: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 32,
+) -> str:
+    """Oracle twin of :func:`pack_sequences` (CAST guards: DuckDB window
+    sums of integers return HUGEINT, which a pandas fetch renders as
+    float64 and breaks the cross-engine hash)."""
+    toks = TX.SQL_TOKENS.format(col=text_col)
+    b = int(budget_tokens)
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {id_col} % {shards} AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+w AS (
+  SELECT {id_col}, shard, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS start_offset
+  FROM tok
+)
+SELECT {id_col}, shard, n_tokens, start_offset,
+       start_offset // {b} AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // {b}
+            ELSE start_offset // {b} END AS last_seq,
+       start_offset % {b} AS offset_in_seq
+FROM w"""
 
 
 def sql_training_chunks(

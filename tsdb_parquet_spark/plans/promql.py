@@ -6,23 +6,31 @@ thanos promql-engine over a stubbed sample iterator
 its own surface is only series selection.  This module goes further: a
 small recursive-descent parser for the subset
 
-    expr     := agg | func | mathfn | label_replace | selector
-              | expr binop [matching] expr
-    agg      := AGGOP [grouping] '(' (func | selector) ')'
+    expr     := cmp
+    cmp      := sum_expr (CMPOP ['bool'] [matching] sum_expr)*
+    sum_expr := agg | func | pfunc | mathfn | label_replace | histq
+              | selector | sum_expr binop [matching] sum_expr
+    agg      := AGGOP [grouping] '(' (func | pfunc | selector) ')'
     grouping := ('by' | 'without') '(' label (',' label)* ')'
     func     := FUNC '(' selector '[' duration ']' [modifiers] ')'
+    pfunc    := PFUNC '(' number ',' selector '[' duration ']' [modifiers] ')'
     mathfn   := MATHFN '(' expr (',' number)* ')'
     label_replace := 'label_replace' '(' expr ',' str ',' str ',' str ',' str ')'
+    histq    := 'histogram_quantile' '(' number ',' expr ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
     modifiers:= ['offset' duration] ['@' number]
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
     matching := ('on'|'ignoring') '(' label (',' label)* ')'
                 ['group_left'|'group_right']
-    AGGOP    := sum | min | max | count | avg
-    FUNC     := rate | increase | count_over_time | sum_over_time |
-                avg_over_time | min_over_time | max_over_time | last_over_time
-    MATHFN   := abs | ceil | floor | sqrt | exp | ln | clamp | clamp_min |
-                clamp_max
+    AGGOP    := sum | min | max | count | avg | stddev | stdvar
+    CMPOP    := > | < | >= | <= | == | !=
+    FUNC     := rate | increase | delta | idelta | irate | changes | resets |
+                count_over_time | sum_over_time | avg_over_time |
+                min_over_time | max_over_time | last_over_time |
+                present_over_time | stddev_over_time
+    PFUNC    := quantile_over_time
+    MATHFN   := abs | ceil | floor | sqrt | exp | ln | sgn | round | clamp |
+                clamp_min | clamp_max
 
 and a range-query evaluator that compiles the expression to DataFrame
 operations over a samples table (ts int64 ms, value double, label columns).
@@ -57,10 +65,12 @@ from tsdb_parquet_spark.operators.selection import Matcher
 
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 
-AGG_OPS = {"sum", "min", "max", "count", "avg"}
+AGG_OPS = {"sum", "min", "max", "count", "avg", "stddev", "stdvar"}
 PARAM_AGG_OPS = {"topk", "bottomk"}
 BINARY_OPS = {"+", "-", "*", "/"}
-# instant math functions: (name, number of scalar params after the vector)
+COMPARE_OPS = {">", "<", ">=", "<=", "==", "!="}
+# instant math functions: name -> max number of scalar params after the
+# vector (fewer may be given where Prometheus defines a default)
 MATH_FUNCS = {
     "abs": 0,
     "ceil": 0,
@@ -68,6 +78,8 @@ MATH_FUNCS = {
     "sqrt": 0,
     "exp": 0,
     "ln": 0,
+    "sgn": 0,
+    "round": 1,
     "clamp": 2,
     "clamp_min": 1,
     "clamp_max": 1,
@@ -75,13 +87,22 @@ MATH_FUNCS = {
 RANGE_FUNCS = {
     "rate",
     "increase",
+    "delta",
+    "idelta",
+    "irate",
+    "changes",
+    "resets",
     "count_over_time",
     "sum_over_time",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
     "last_over_time",
+    "present_over_time",
+    "stddev_over_time",
 }
+#: range functions taking a leading scalar param: fn(param, m[dur])
+PARAM_RANGE_FUNCS = {"quantile_over_time"}
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
 _DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
@@ -107,6 +128,7 @@ class PromExpr:
     by: list[str] | None = None  # None = aggregate everything away
     without: list[str] | None = None  # complement grouping
     agg_param: float | None = None  # k for topk/bottomk
+    func_param: float | None = None  # phi for quantile_over_time
 
 
 @dataclass
@@ -126,6 +148,9 @@ class PromBinary:
     matching_mode: str | None = None  # 'on' | 'ignoring'
     matching: list[str] = field(default_factory=list)
     group: str | None = None  # 'left' | 'right'
+    #: comparison ops only: True = `> bool` form (emit 1/0 instead of
+    #: filtering to matching rows)
+    bool_mode: bool = False
 
 
 @dataclass
@@ -151,6 +176,18 @@ class PromLabelReplace:
 
 
 @dataclass
+class PromHistogramQuantile:
+    """histogram_quantile(q, vector-with-le-label): per (t, labels minus
+    ``le``) find the cumulative bucket containing rank ``q*total`` and
+    linearly interpolate inside it (Prometheus ``bucketQuantile``).  The
+    +Inf bucket resolves to the highest finite ``le``.  Deviation: the
+    ``le <= 0`` lowest-bucket special case is not applied."""
+
+    q: float
+    inner: "PromNode"
+
+
+@dataclass
 class PromTopK:
     """topk/bottomk(k, vector): keep the k series with the highest (lowest)
     value at each step.  With ``by`` labels, k series are kept per
@@ -170,6 +207,7 @@ class _Parser:
         r"""\s*(?:
             (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
           | (?P<string>"(?:[^"\\]|\\.)*")
+          | (?P<cmp>==|>=|<=|>|<)
           | (?P<op>=~|!~|!=|=)
           | (?P<duration_part>\d+(?:ms|s|m|h|d|w))
           | (?P<number>\d+(?:\.\d+)?)
@@ -207,10 +245,30 @@ class _Parser:
             raise ValueError(f"expected {value!r}, got {tok!r}")
 
     def parse(self) -> "PromExpr | PromBinary":
-        expr = self._binary()
+        expr = self._compare()
         if self.i != len(self.tokens):
             raise ValueError(f"trailing tokens: {self.tokens[self.i:]}")
         return expr
+
+    def _compare(self) -> "PromExpr | PromBinary | float":
+        # comparisons bind loosest (Prometheus precedence); `bool` right
+        # after the operator switches from filter to 0/1 semantics
+        left = self._binary()
+        while True:
+            kind, tok = self.peek()
+            is_cmp = kind == "cmp" or (kind == "op" and tok == "!=")
+            if not is_cmp:
+                return left
+            self.next()
+            bool_mode = False
+            k2, t2 = self.peek()
+            if k2 == "ident" and t2 == "bool":
+                self.next()
+                bool_mode = True
+            mode, labels, group = self._maybe_matching()
+            left = PromBinary(op=tok, left=left, right=self._binary(),
+                              matching_mode=mode, matching=labels,
+                              group=group, bool_mode=bool_mode)
 
     def _binary(self) -> "PromExpr | PromBinary | float":
         # precedence climbing: * / bind tighter than + -, both left-assoc
@@ -274,19 +332,26 @@ class _Parser:
             return self._agg()
         if kind == "ident" and tok in RANGE_FUNCS:
             return self._func()
+        if kind == "ident" and tok in PARAM_RANGE_FUNCS:
+            return self._param_range_func()
         if kind == "ident" and tok in MATH_FUNCS:
             return self._math_func()
         if kind == "ident" and tok == "label_replace":
             return self._label_replace()
+        if kind == "ident" and tok == "histogram_quantile":
+            return self._histogram_quantile()
         return self._selector()
 
     def _math_func(self):
         _, fn = self.next()
         self.expect("(")
-        inner = self._binary()
+        inner = self._compare()
         params = []
         for _ in range(MATH_FUNCS[fn]):
-            self.expect(",")
+            kind, tok = self.peek()
+            if tok != ",":
+                break  # optional trailing params (e.g. round's to_nearest)
+            self.next()
             kind, num = self.next()
             if kind != "number":
                 raise ValueError(f"{fn} expects numeric params, got {num!r}")
@@ -294,10 +359,41 @@ class _Parser:
         self.expect(")")
         return PromMathFunc(func=fn, inner=inner, params=params)
 
+    def _histogram_quantile(self):
+        self.next()
+        self.expect("(")
+        kind, num = self.next()
+        if kind != "number":
+            raise ValueError(f"histogram_quantile expects q, got {num!r}")
+        self.expect(",")
+        inner = self._compare()
+        self.expect(")")
+        return PromHistogramQuantile(q=float(num), inner=inner)
+
+    def _param_range_func(self) -> PromExpr:
+        _, fn = self.next()
+        self.expect("(")
+        kind, num = self.next()
+        if kind != "number":
+            raise ValueError(f"{fn} expects a scalar first arg, got {num!r}")
+        self.expect(",")
+        sel = self._selector()
+        self.expect("[")
+        kind, dur = self.next()
+        if kind != "duration_part":
+            raise ValueError(f"expected duration, got {dur!r}")
+        self.expect("]")
+        self._maybe_modifiers(sel)
+        self.expect(")")
+        sel.func = fn
+        sel.range_ms = parse_duration_ms(dur)
+        sel.func_param = float(num)
+        return sel
+
     def _label_replace(self):
         self.next()
         self.expect("(")
-        inner = self._binary()
+        inner = self._compare()
         strs = []
         for _ in range(4):
             self.expect(",")
@@ -342,16 +438,17 @@ class _Parser:
             if kind != "number":
                 raise ValueError(f"{op} expects a numeric first arg, got {num!r}")
             self.expect(",")
-            inner = self._binary()
+            inner = self._compare()
             self.expect(")")
             return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
                             inner=inner, by=by)
         kind, tok = self.peek()
-        inner = (
-            self._func()
-            if kind == "ident" and tok in RANGE_FUNCS
-            else self._selector()
-        )
+        if kind == "ident" and tok in RANGE_FUNCS:
+            inner = self._func()
+        elif kind == "ident" and tok in PARAM_RANGE_FUNCS:
+            inner = self._param_range_func()
+        else:
+            inner = self._selector()
         self.expect(")")
         inner.agg = op
         inner.by = by or ([] if without is None else None)
@@ -436,6 +533,13 @@ _FUNC_AGGS = {
     "min_over_time": lambda: F.min("value"),
     "max_over_time": lambda: F.max("value"),
     "last_over_time": lambda: F.max_by("value", "ts"),
+    "present_over_time": lambda: F.max(F.lit(1.0)),
+    "stddev_over_time": lambda: F.stddev_pop("value"),
+}
+
+#: range functions needing the window's samples as one sorted array
+_ARRAY_FUNCS = {
+    "rate", "increase", "delta", "idelta", "irate", "changes", "resets",
 }
 
 _OUTER_AGGS = {
@@ -444,6 +548,8 @@ _OUTER_AGGS = {
     "max": F.max,
     "avg": F.avg,
     "count": lambda c: F.count(c).cast("double"),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
 }
 
 
@@ -505,6 +611,9 @@ class PromQLEngine:
         if isinstance(node, PromLabelReplace):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._label_replace(inner, node)
+        if isinstance(node, PromHistogramQuantile):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._histogram_quantile(inner, node.q)
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
 
     @staticmethod
@@ -528,7 +637,63 @@ class PromQLEngine:
             return F.greatest(v, F.lit(params[0]))
         if func == "clamp_max":
             return F.least(v, F.lit(params[0]))
+        if func == "sgn":
+            return F.signum(v)
+        if func == "round":
+            # Prometheus round: nearest multiple of to_nearest (default 1),
+            # ties rounding UP — floor(v/to + 0.5) * to
+            to = params[0] if params else 1.0
+            return (
+                F.floor(v / F.lit(to) + F.lit(0.5)).cast("double") * F.lit(to)
+            )
         raise ValueError(f"unknown math function {func}")  # pragma: no cover
+
+    @staticmethod
+    def _histogram_quantile(df: DataFrame, q: float) -> DataFrame:
+        """Prometheus bucketQuantile over cumulative ``le`` buckets.
+
+        One shuffle: both windows below share the (t, group-labels)
+        partitioning, then a filter keeps exactly the bucket containing
+        rank q*total and pure column math interpolates inside it.  Every
+        float op is ordered identically to the corpus oracle's SQL twin.
+        """
+        from pyspark.sql import Window
+
+        if "le" not in df.columns:
+            raise ValueError("histogram_quantile needs an `le` label")
+        grp = [c for c in df.columns if c not in ("t", "value", "le")]
+        inf = float("inf")
+        le_num = F.when(
+            F.col("le").isin("+Inf", "Inf", "inf"), F.lit(inf)
+        ).otherwise(F.col("le").cast("double"))
+        wo = Window.partitionBy("t", *grp).orderBy("__le")
+        wp = Window.partitionBy("t", *grp)
+        b = (
+            df.withColumn("__le", le_num)
+            .withColumn("__prev_cnt", F.lag("value", 1, 0.0).over(wo))
+            .withColumn("__prev_le", F.lag("__le").over(wo))
+            .withColumn("__total", F.max("value").over(wp))
+            .withColumn(
+                "__max_fin",
+                F.max(F.when(F.col("__le") != inf, F.col("__le"))).over(wp),
+            )
+        )
+        rank = F.lit(q) * F.col("__total")
+        # the FIRST bucket whose cumulative count reaches the rank: unique
+        # because counts are non-decreasing in le
+        found = b.filter(
+            (F.col("value") >= rank)
+            & ((F.col("__prev_cnt") < rank) | F.col("__prev_le").isNull())
+        )
+        start = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+        interp = start + (F.col("__le") - start) * (
+            (rank - F.col("__prev_cnt"))
+            / (F.col("value") - F.col("__prev_cnt"))
+        )
+        value = F.when(F.col("__le") == inf, F.col("__max_fin")).otherwise(
+            interp
+        )
+        return found.select("t", *grp, value.alias("value"))
 
     @staticmethod
     def _label_replace(df: DataFrame, node: PromLabelReplace) -> DataFrame:
@@ -558,20 +723,35 @@ class PromQLEngine:
             "*": lambda a, b: a * b,
             "/": lambda a, b: a / b,
         }
+        cmps = {
+            ">": lambda a, b: a > b,
+            "<": lambda a, b: a < b,
+            ">=": lambda a, b: a >= b,
+            "<=": lambda a, b: a <= b,
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+        }
+        is_cmp = node.op in cmps
         left_scalar = isinstance(node.left, float)
         right_scalar = isinstance(node.right, float)
         if left_scalar and right_scalar:
             raise ValueError("scalar-only binary expression")
-        if right_scalar:
-            df = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
-            return df.withColumn(
-                "value", ops[node.op](F.col("value"), F.lit(node.right))
-            )
-        if left_scalar:
-            df = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
-            return df.withColumn(
-                "value", ops[node.op](F.lit(node.left), F.col("value"))
-            )
+        if right_scalar or left_scalar:
+            # vector OP scalar / scalar OP vector: value-wise, no join.
+            # Comparisons FILTER the vector (keeping its value) unless
+            # `bool`, which keeps every series and emits 1/0.
+            vec = node.left if right_scalar else node.right
+            df = self._eval(vec, start_ms, end_ms, step_ms, lookback_ms)
+            lhs = F.col("value") if right_scalar else F.lit(node.left)
+            rhs = F.lit(node.right) if right_scalar else F.col("value")
+            if not is_cmp:
+                return df.withColumn("value", ops[node.op](lhs, rhs))
+            cond = cmps[node.op](lhs, rhs)
+            if node.bool_mode:
+                return df.withColumn(
+                    "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            return df.filter(cond)
         left = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
         right = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
         shared = [c for c in left.columns if c in right.columns and c != "value"]
@@ -601,6 +781,11 @@ class PromQLEngine:
                 else (F.col("__ov"), F.col("value"))
             )
             out_cols = [c for c in many.columns if c != "value"]
+            if is_cmp:
+                return self._cmp_result(
+                    joined, out_cols, cmps[node.op](l_val, r_val), l_val,
+                    node.bool_mode,
+                )
             return joined.select(
                 *out_cols, ops[node.op](l_val, r_val).alias("value")
             )
@@ -609,8 +794,28 @@ class PromQLEngine:
         l_keyed = left.select(*keys, F.col("value").alias("__lv"))
         r_keyed = right.select(*keys, F.col("value").alias("__rv"))
         joined = l_keyed.join(r_keyed, on=keys, how="inner")
+        if is_cmp:
+            return self._cmp_result(
+                joined, keys,
+                cmps[node.op](F.col("__lv"), F.col("__rv")), F.col("__lv"),
+                node.bool_mode,
+            )
         return joined.select(
             *keys, ops[node.op](F.col("__lv"), F.col("__rv")).alias("value")
+        )
+
+    @staticmethod
+    def _cmp_result(joined, out_cols, cond, left_val, bool_mode) -> DataFrame:
+        """Vector-vector comparison: keep the LEFT operand's value on
+        matching rows (filter semantics), or 1/0 per matched pair with
+        ``bool``."""
+        if bool_mode:
+            return joined.select(
+                *out_cols,
+                F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+            )
+        return joined.filter(cond).select(
+            *out_cols, left_val.alias("value")
         )
 
     @staticmethod
@@ -789,6 +994,12 @@ class PromQLEngine:
             # instant vector: last sample within the lookback window
             agg = F.max_by("value", "ts").alias("value")
             return bucketed.groupBy(*keys).agg(agg)
+        if expr.func == "quantile_over_time":
+            # exact linear-interpolation percentile (sort-based, same
+            # interpolation as DuckDB quantile_cont)
+            return bucketed.groupBy(*keys).agg(
+                F.percentile("value", F.lit(expr.func_param)).alias("value")
+            )
         if expr.func in _FUNC_AGGS:
             return bucketed.groupBy(*keys).agg(
                 _FUNC_AGGS[expr.func]().alias("value")
@@ -806,28 +1017,59 @@ class PromQLEngine:
         )
         # two projections: materialize the array once, then read it —
         # interpreted HOFs have no common-subexpression elimination
-        comp = F.expr(
-            "aggregate(__w,"
-            " named_struct('prev', cast(null as double), 'comp', 0.0D),"
-            " (acc, s) -> named_struct('prev', s.value,"
-            "   'comp', acc.comp + CASE WHEN acc.prev IS NOT NULL"
-            "     AND s.value < acc.prev THEN acc.prev ELSE 0.0D END),"
-            " acc -> acc.comp)"
-        )
         first = F.element_at("__w", 1)
         last = F.element_at("__w", -1)
-        delta = last["value"] - first["value"] + comp
-        if self.extrapolate:
-            value = self._extrapolated_value(expr, first, last, delta)
+        n = F.size("__w")
+        if expr.func == "delta":
+            # gauge difference, no reset correction (and, like rate, the
+            # plain last-first form without extrapolation by default)
+            value = F.when(n >= 2, last["value"] - first["value"])
+        elif expr.func == "idelta":
+            prev = F.element_at("__w", -2)
+            value = F.when(n >= 2, last["value"] - prev["value"])
+        elif expr.func == "irate":
+            prev = F.element_at("__w", -2)
+            dv = F.when(
+                last["value"] >= prev["value"], last["value"] - prev["value"]
+            ).otherwise(last["value"])  # counter reset between the two
+            dt_s = (last["ts"] - prev["ts"]) / F.lit(1000.0)
+            value = F.when((n >= 2) & (dt_s > 0), dv / dt_s)
+        elif expr.func in ("changes", "resets"):
+            cond = (
+                "s.value < acc.prev"
+                if expr.func == "resets"
+                else "s.value <> acc.prev"
+            )
+            value = F.expr(
+                "aggregate(__w,"
+                " named_struct('prev', cast(null as double), 'c', 0.0D),"
+                " (acc, s) -> named_struct('prev', s.value,"
+                f"   'c', acc.c + CASE WHEN acc.prev IS NOT NULL"
+                f"     AND {cond} THEN 1.0D ELSE 0.0D END),"
+                " acc -> acc.c)"
+            )
         else:
-            span_s = (last["ts"] - first["ts"]) / F.lit(1000.0)
-            # both need >= 2 samples in the window (Prometheus returns no
-            # point otherwise); span_s > 0 iff the window has distinct
-            # samples
-            if expr.func == "increase":
-                value = F.when(span_s > 0, delta)
-            else:  # rate
-                value = F.when(span_s > 0, delta / span_s)
+            # rate / increase with Prometheus counter-reset correction
+            comp = F.expr(
+                "aggregate(__w,"
+                " named_struct('prev', cast(null as double), 'comp', 0.0D),"
+                " (acc, s) -> named_struct('prev', s.value,"
+                "   'comp', acc.comp + CASE WHEN acc.prev IS NOT NULL"
+                "     AND s.value < acc.prev THEN acc.prev ELSE 0.0D END),"
+                " acc -> acc.comp)"
+            )
+            delta = last["value"] - first["value"] + comp
+            if self.extrapolate:
+                value = self._extrapolated_value(expr, first, last, delta)
+            else:
+                span_s = (last["ts"] - first["ts"]) / F.lit(1000.0)
+                # both need >= 2 samples in the window (Prometheus returns
+                # no point otherwise); span_s > 0 iff the window has
+                # distinct samples
+                if expr.func == "increase":
+                    value = F.when(span_s > 0, delta)
+                else:  # rate
+                    value = F.when(span_s > 0, delta / span_s)
         return (
             grouped.withColumn("value", value)
             .filter(F.col("value").isNotNull())
