@@ -251,3 +251,41 @@ def test_band_signature_udf_bit_identical_to_hof(spark, sf_oracle):
         .count()
     )
     assert mismatches == 0
+
+
+def test_ivf_assign_matches_python_reference(spark, sf_oracle):
+    """Arrow-kernel centroid assignment == a pure-Python left-assoc
+    reference on real embeddings (the oracle contract)."""
+    cents = SIM.ivf_centroids(dim=64, n_centroids=8)
+    invs = SIM._inv_norms(cents)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.centroid_assign_udf(cents)(F.col("embedding")).alias("c"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        scores = []
+        for j, (c, iv) in enumerate(zip(cents, invs)):
+            acc = 0.0
+            for x, y in zip(r["embedding"], c):
+                acc = acc + float(x) * y
+            scores.append(acc * iv)
+        assert r["c"] == scores.index(max(scores))
+
+
+def test_ivf_topk_is_exact_within_probed_lists(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    qv = SIM.ivf_centroids(dim=64, n_centroids=1, seed="ivf-query")[0]
+    cents = SIM.ivf_centroids(dim=64, n_centroids=8)
+    probes = SIM.query_probes(qv, cents, 2)
+    assert len(probes) == 2 and len(set(probes)) == 2
+    got = SIM.ivf_topk(emb, qv, k=5, nprobe=2, n_centroids=8).collect()
+    # brute force restricted to the probed lists must agree exactly
+    assign = SIM.centroid_assign_udf(cents)
+    cand = emb.filter(assign(F.col("embedding")).isin(probes))
+    want = SIM.brute_force_topk(cand, qv, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]

@@ -1819,6 +1819,74 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+# IVF coarse quantizer: 8 md5-derived centroids and a deterministic
+# synthetic query vector, shared as literals by engine and oracle
+_IVF_CENTS = SIM.ivf_centroids(dim=_EMB_DIM, n_centroids=8)
+_IVF_QV = SIM.ivf_centroids(dim=_EMB_DIM, n_centroids=1, seed="ivf-query")[0]
+_IVF_NPROBE = 2
+_IVF_PROBES = SIM.query_probes(_IVF_QV, _IVF_CENTS, _IVF_NPROBE)
+_IVF_ASSIGN_CTE = f"""
+WITH d AS (
+  SELECT vec_id, embedding AS v,
+         {SIM.sql_centroid_dots('embedding', _IVF_CENTS)} AS ds
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, v,
+         CAST(list_position(ds, list_aggregate(ds, 'max')) - 1 AS BIGINT)
+             AS centroid
+  FROM d
+)
+"""
+
+
+@query(
+    "q59_ivf_assign",
+    _IVF_ASSIGN_CTE
+    + """
+SELECT centroid, count(*) AS n_vecs
+FROM a GROUP BY centroid ORDER BY centroid""",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list histogram: every embedding assigned to its
+    nearest md5-derived centroid (argmax of inv-norm-scaled dots, ties
+    to the lowest index) by the Arrow kernel; the oracle recomputes the
+    same left-assoc dots and takes list_position of the max.  Covers
+    every row's assignment bit-for-bit."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    assign = SIM.centroid_assign_udf(_IVF_CENTS)
+    return (
+        emb.select(assign(F.col("embedding")).alias("centroid"))
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("centroid")
+    )
+
+
+@query(
+    "q60_ivf_topk",
+    _IVF_ASSIGN_CTE
+    + f""",
+cand AS (
+  SELECT vec_id, v FROM a
+  WHERE centroid IN ({", ".join(str(p) for p in _IVF_PROBES)})
+)
+SELECT vec_id,
+       round({SIM.sql_cosine('v', SIM.sql_vector_literal(_IVF_QV), _EMB_DIM)},
+             4) AS cos_sim
+FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5""",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe the 2 (of 8) centroids nearest the query —
+    pruning ~3/4 of the corpus before any exact arithmetic; at scale the
+    store is partitioned by centroid so the probe is partition pruning —
+    then exact-cosine re-rank inside the probed lists."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    return SIM.ivf_topk(
+        emb, _IVF_QV, k=5, nprobe=_IVF_NPROBE, n_centroids=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # q29 — multimodal binary columns (decode kernel stubbed, plumbing real)
 # ---------------------------------------------------------------------------

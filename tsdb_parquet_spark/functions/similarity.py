@@ -267,6 +267,112 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> inverted lists -> nprobe
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    dim: int, n_centroids: int = 8, seed: str = "ivf"
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1) from md5 — the
+    coarse quantizer is a shared constant, so the DuckDB oracle can
+    reproduce every assignment (a data-learned k-means codebook would be
+    a driver-side artifact with exactly the same plan shape)."""
+    cents = []
+    for j in range(n_centroids):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / 16**8 * 2.0 - 1.0)
+        cents.append(row)
+    return cents
+
+
+def _inv_norms(centroids: list[list[float]]) -> list[float]:
+    """1/|c_j| computed with the same left-assoc accumulation as every
+    other dot in this module."""
+    out = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        out.append(1.0 / acc**0.5 if acc > 0 else 0.0)
+    return out
+
+
+def centroid_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched coarse-quantizer assignment: ``udf(vec) -> int``
+    index of the centroid with the highest scaled dot
+    ``dot(v, c_j) / |c_j|`` (argmax of cosine — |v| is a positive
+    per-row constant), ties to the lowest index.  The dimension-axis
+    Python loop keeps the accumulation order identical to the SQL
+    twin (:func:`sql_centroid_assign`), so assignments are bit-exact
+    across engines."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    inv = np.asarray(_inv_norms(centroids), dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def _assign(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[1]):  # sequential == the fold's order
+            acc += mat[:, i : i + 1] * C[np.newaxis, :, i]
+        acc *= inv[np.newaxis, :]
+        return pd.Series(np.argmax(acc, axis=1))  # first max on ties
+
+    return _assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """IVF ANN search: assign every vector to its nearest centroid
+    (inverted lists), probe the ``nprobe`` centroids nearest the query,
+    exact-cosine re-rank inside the probed lists.
+
+    Scale path: the assignment is one Arrow pass (in a real deployment
+    it is precomputed and the store is partitioned by it, so a probe
+    prunes ~(1 - nprobe/n_centroids) of the corpus BEFORE any scan via
+    partition pruning); the re-rank touches only the probed lists."""
+    cents = ivf_centroids(dim=len(query_vec), n_centroids=n_centroids, seed=seed)
+    probes = query_probes(query_vec, cents, nprobe)
+    assign = centroid_assign_udf(cents)
+    cand = df.filter(assign(F.col(vec_col)).isin(probes))
+    return brute_force_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )
+
+
+def query_probes(
+    query_vec: Sequence[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query (driver-side, O(k*dim));
+    a pure function of constants, so both engines receive the same
+    literal probe set."""
+    scored = []
+    for j, (c, iv) in enumerate(zip(centroids, _inv_norms(centroids))):
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            acc = acc + float(x) * y
+        scored.append((-(acc * iv), j))
+    return [j for _, j in sorted(scored)[:nprobe]]
+
+
 def _py_signature(vec: Sequence[float], planes: list[list[int]]) -> int:
     bits = len(planes)
     sig = 0
@@ -314,6 +420,21 @@ def sql_band_signatures(
         sql_signature(vec_col, planes[j * bpb : (j + 1) * bpb])
         for j in range(bands)
     ]
+
+
+def sql_centroid_dots(vec_col: str, centroids: list[list[float]]) -> str:
+    """Oracle twin of :func:`centroid_assign_udf`'s scaled dots, as a
+    DuckDB list: each element is the same left-assoc fold times the same
+    inv-norm literal, so ``list_position(ds, list_max(ds)) - 1`` (first
+    max, ties to lowest index) agrees with the Arrow kernel's argmax
+    bit-for-bit.  Alias the list in a CTE to avoid recomputing it."""
+    dim = len(centroids[0])
+    invs = _inv_norms(centroids)
+    ds = [
+        f"({sql_dot(vec_col, sql_vector_literal(c), dim)} * {inv!r})"
+        for c, inv in zip(centroids, invs)
+    ]
+    return "list_value(" + ", ".join(ds) + ")"
 
 
 def sql_signature(vec_col: str, planes: list[list[int]]) -> str:
