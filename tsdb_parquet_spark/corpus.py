@@ -1125,6 +1125,82 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+@query(
+    "q61_gap_fill_linear",
+    f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS t0
+  FROM events
+),
+s AS (
+  SELECT event_type, t0, CAST(count(*) AS DOUBLE) AS v
+  FROM e
+  WHERE t0 >= {_P_START} AND t0 <= {_P_END}
+    AND (t0 // {_DAY_MS}) % 3 = 0
+  GROUP BY event_type, t0
+),
+keys AS (SELECT DISTINCT event_type FROM s),
+grid AS (
+  SELECT event_type, r.t
+  FROM keys CROSS JOIN range({_P_START}, {_P_END + 1}, {_DAY_MS}) r(t)
+),
+u AS (
+  SELECT event_type, t0 AS ts, v, 0 AS side FROM s
+  UNION ALL
+  SELECT event_type, t, CAST(NULL AS DOUBLE), 1 FROM grid
+),
+w AS (
+  SELECT event_type, ts, side,
+    last_value(CASE WHEN side = 0 THEN {{'ts': ts, 'v': v}} END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    first_value(CASE WHEN side = 0 THEN {{'ts': ts, 'v': v}} END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts, side
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM u
+)
+SELECT ts AS t, event_type,
+       round(CASE WHEN p.ts = ts THEN p.v
+             WHEN p.ts IS NOT NULL AND n.ts IS NOT NULL
+             THEN p.v + (n.v - p.v) * ((ts - p.ts) / (n.ts - p.ts))
+             END, 4) AS value
+FROM w WHERE side = 1 ORDER BY t, event_type""",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill onto the daily grid (`operators/gapfill.py`):
+    daily event counts kept only every third day, holes interpolated
+    between the surviving knots (NULL outside the observed span); the
+    merge-window plan shares one sort for both directions — a single
+    key shuffle, no range join."""
+    from tsdb_parquet_spark.operators.gapfill import gap_fill
+
+    ev = _cat(spark, sf_dir)["events"]
+    t0 = F.expr(f"((ts div 1000000) div {_DAY_MS}) * {_DAY_MS}")
+    daily = (
+        ev.select("event_type", t0.alias("t0"))
+        .filter(
+            (F.col("t0") >= _P_START)
+            & (F.col("t0") <= _P_END)
+            & (F.expr(f"(t0 div {_DAY_MS}) % 3") == 0)
+        )
+        .groupBy("event_type", "t0")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    out = gap_fill(
+        daily,
+        ["event_type"],
+        _P_START,
+        _P_END,
+        _DAY_MS,
+        ts_col="t0",
+        method="linear",
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("t", "event_type")
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),

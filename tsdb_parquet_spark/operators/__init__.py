@@ -14,8 +14,12 @@ from tsdb_parquet_spark.operators.distinct import (
     first_row_per_key,
     unique_by_column,
 )
+from tsdb_parquet_spark.operators.asof import asof_join
+from tsdb_parquet_spark.operators.gapfill import gap_fill
 
 __all__ = [
+    "asof_join",
+    "gap_fill",
     "Matcher",
     "equals",
     "not_equals",
