@@ -289,3 +289,20 @@ def test_ivf_topk_is_exact_within_probed_lists(spark, sf_oracle):
     assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
         (r["vec_id"], r["cos_sim"]) for r in want
     ]
+
+
+def test_simhash_banding_is_complete_for_small_hamming(docs):
+    """Pigeonhole: every pair within max_hamming=3 bits (< bands=4) must
+    be found by band-bucketing — compare against brute-force all-pairs."""
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert got == want

@@ -481,3 +481,24 @@ def test_histogram_quantile(spark):
     assert q(0.9) == pytest.approx(3.6)
     assert q(1.0) == pytest.approx(4.0)  # +Inf bucket -> highest finite le
     assert q(0.1) == pytest.approx(0.5)  # 0 + (1-0)*(1-0)/(2-0)
+
+
+def test_absent_over_time(spark):
+    # series exists only in [0, 60s]; windows are (t-60s, t], so the
+    # last present step is t=60s and every later window is empty
+    rows = [("m", "a", 0, 1.0), ("m", "a", 60_000, 1.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        'absent_over_time(m{job="a"}[1m])', 0, 300_000, 60_000
+    ).collect()
+    assert {r["t"] for r in out} == {120_000, 180_000, 240_000, 300_000}
+    assert all(r["value"] == 1.0 and r["job"] == "a" for r in out)
+    # selector that matches nothing -> absent at EVERY step
+    out2 = engine.query_range(
+        'absent_over_time(nope{job="x"}[1m])', 0, 120_000, 60_000
+    ).collect()
+    assert {r["t"] for r in out2} == {0, 60_000, 120_000}
+    assert all(r["job"] == "x" for r in out2)

@@ -84,3 +84,17 @@ def test_split_stable_and_disjoint(spark):
         .join(s2.select("doc_id", F.col("split").alias("b")), "doc_id")
     )
     assert joined.filter("a <> b").count() == 0
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark):
+    from tsdb_parquet_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([0.0, 0.1, 0.5, 1e9])] * 1,
+        "k LONG, w DOUBLE",
+    )
+    out1 = sorted(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    out2 = sorted(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    assert out1 == out2  # reproducible
+    assert 0 not in out1  # zero weight never kept
+    assert 3 in out1  # rate clamped to 1.0 -> always kept ('g' sentinel)

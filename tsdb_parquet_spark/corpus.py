@@ -1201,6 +1201,56 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+@query(
+    "q64_promql_absent",
+    f"""
+WITH s AS (
+  SELECT epoch_ms(ts) AS ts_ms FROM events
+  WHERE event_type = 'error' AND user_id % 8 = 7
+    AND (epoch_ms(ts) // {_DAY_MS}) % 5 = 0
+),
+b AS (
+  SELECT DISTINCT
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+steps AS (
+  SELECT {_P_START} + k * {_P_STEP} AS t
+  FROM range(0, {(_P_END - _P_START) // _P_STEP + 1}) r(k)
+)
+SELECT st.t, 'error' AS event_type, '7' AS shard,
+       CAST(1.0 AS DOUBLE) AS value
+FROM steps st LEFT JOIN b ON b.t = st.t
+WHERE b.t IS NULL ORDER BY st.t""",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`absent_over_time(app_events_sparse{event_type="error",
+    shard="7"}[1d])` — 1.0 at every day with no matching sample; the
+    step axis anti-joined against the distinct present steps (both
+    sides O(steps)), labels synthesized from the equality matchers.
+    The samples keep only every fifth day so absences exist at every
+    scale factor (a dense series would make this a 0-row check)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events_sparse").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    ).filter(F.expr(f"(ts div {_DAY_MS}) % 5") == 0)
+    engine = PromQLEngine(samples)
+    return engine.query_range(
+        'absent_over_time(app_events_sparse{event_type="error",'
+        ' shard="7"}[1d])',
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),
@@ -1654,6 +1704,22 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs).orderBy("doc_id")
 
 
+@query(
+    "q62_simhash_near_dup",
+    D.sql_simhash_near_duplicates("documents", max_hamming=3)
+    + "\nORDER BY doc_a, doc_b",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-duplicates, banded 4x4 bits: any
+    pair within 3 differing bits shares a band by pigeonhole, so the
+    bucketed self-join generates a COMPLETE candidate set (never
+    all-pairs) and bit_count(xor) verifies exactly — pure integer ops
+    end to end."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = D.simhash_near_duplicates(docs, max_hamming=3)
+    return out.orderBy("doc_a", "doc_b")
+
+
 _SQL_JACCARD = """
 SELECT p.doc_a, p.doc_b,
        round(
@@ -1766,6 +1832,36 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", _MIX_RATES, key_col="doc_id", seed=_MIX_SEED,
         default_fraction=_MIX_DEFAULT,
+    ).orderBy("doc_id")
+
+
+_WS_SEED = "wlen1"
+_WS_SCALE = 0.002  # n_chars 47..558 -> keep rates ~0.09 .. clamp at 1.0
+
+
+def _weighted_oracle() -> str:
+    from tsdb_parquet_spark.functions.sampling import weighted_sample_sql
+
+    pred = weighted_sample_sql("doc_id", "n_chars", _WS_SCALE, _WS_SEED)
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {pred}
+ORDER BY doc_id"""
+
+
+@query("q63_weighted_sample", _weighted_oracle())
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sampling: keep probability
+    min(1, n_chars * 0.002) per document, as a pure scan-fused
+    md5-vs-printf-hex compare (`functions/sampling.py:weighted_sample`)
+    — still zero shuffle, and the selected set is identical across
+    engines, runs, and partitionings."""
+    from tsdb_parquet_spark.functions.sampling import weighted_sample
+
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    return weighted_sample(
+        docs, key_col="doc_id", weight_col="n_chars",
+        scale=_WS_SCALE, seed=_WS_SEED,
     ).orderBy("doc_id")
 
 

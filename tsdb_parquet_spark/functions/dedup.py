@@ -241,6 +241,117 @@ def simhash(
     return voted.select(F.col(id_col), out.cast("long").alias("simhash"))
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    eager: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded.
+
+    The 16-bit signature splits into ``bands`` equal slices; a pair
+    becomes a candidate when ANY slice matches exactly, then the exact
+    Hamming distance (``bit_count(xor)``) filters to ``<= max_hamming``.
+    By pigeonhole, any pair within ``bands - 1`` differing bits shares at
+    least one identical band — so for ``max_hamming < bands`` the
+    candidate generation is COMPLETE, not probabilistic (the classic
+    Manku/Jain/Sarma web-dedup construction).
+
+    Plan shape mirrors the other pair generators: explode to (band,
+    band-bits) buckets, bucket self-equi-join, distinct, integer verify
+    — never all-pairs.  Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"{bands} bands do not split {SIMHASH_BITS} bits")
+    width = SIMHASH_BITS // bands
+    sigs = simhash(docs, id_col=id_col, text_col=text_col)
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(
+                    f"(simhash div {1 << ((bands - 1 - j) * width)}) % {mask + 1}"
+                ).alias("bits"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = (
+        sigs.select(id_col, "simhash", F.explode(band_structs).alias("b"))
+        .select(
+            id_col,
+            "simhash",
+            F.col("b.band").alias("band"),
+            F.col("b.bits").alias("bits"),
+        )
+        .persist()
+    )
+    left = buckets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("__ha"),
+        "band",
+        "bits",
+    )
+    right = buckets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("__hb"),
+        "band",
+        "bits",
+    )
+    pairs = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.expr("cast(__ha as long) ^ cast(__hb as long)")
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    if eager:
+        # bound executor storage for repeated calls (same trade as
+        # lsh_candidate_pairs): materialize the small pair set, drop the
+        # bucket cache
+        pairs = pairs.localCheckpoint(eager=True)
+        buckets.unpersist()
+    return pairs
+
+
+def sql_simhash_near_duplicates(
+    table: str,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> str:
+    """Oracle twin of :func:`simhash_near_duplicates` (pure integer ops —
+    no float hazard anywhere)."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {j} AS band,"
+        f" (simhash // {1 << ((bands - 1 - j) * width)}) % {mask + 1} AS bits"
+        " FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+WITH sigs AS ({sql_simhash(table, id_col, text_col)}),
+buckets AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bits = b.bits AND a.{id_col} < b.{id_col}
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
 def sql_simhash(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     toks = SQL_TOKENS.format(col=text_col)
     bit_sums = []

@@ -92,6 +92,48 @@ def stratified_sample(
     return df.filter(_draw(F.col(key_col), seed) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted Bernoulli sample: keep probability
+    ``min(1, weight * scale)`` PER ROW (e.g. length-proportional or
+    quality-proportional training mixtures).
+
+    Same zero-shuffle scan-fused contract as the other samplers, but the
+    threshold is now a row expression: ``printf('%08x', floor(rate *
+    16^8))`` — printf-style hex is lowercase in both engines, so the
+    lexicographic compare against the md5 draw still equals the integer
+    compare.  Rates >= 1.0 use the ``'g'`` keep-all sentinel (the
+    ``hex_threshold(1.0)`` edge, found in round 2's review)."""
+    rate = F.least(
+        F.lit(1.0), F.col(weight_col).cast("double") * F.lit(float(scale))
+    )
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x",
+            F.floor(rate * F.lit(float(_HEX_SPACE))).cast("bigint"),
+        )
+    )
+    return df.filter(_draw(F.col(key_col), seed) < thr)
+
+
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, scale: float = 1.0, seed: str = "s0"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s filter predicate."""
+    rate = f"least(1.0, CAST({weight_expr} AS DOUBLE) * {float(scale)!r})"
+    return (
+        f"({sample_draw_sql(key_expr, seed)} < "
+        f"CASE WHEN {rate} >= 1.0 THEN 'g' "
+        f"ELSE printf('%08x', CAST(floor({rate} * {float(_HEX_SPACE)!r})"
+        f" AS BIGINT)) END)"
+    )
+
+
 def train_test_split(
     df: DataFrame, key_col: str, test_fraction: float, seed: str = "s0"
 ) -> DataFrame:

@@ -100,6 +100,7 @@ RANGE_FUNCS = {
     "last_over_time",
     "present_over_time",
     "stddev_over_time",
+    "absent_over_time",
 }
 #: range functions taking a leading scalar param: fn(param, m[dur])
 PARAM_RANGE_FUNCS = {"quantile_over_time"}
@@ -872,11 +873,19 @@ class PromQLEngine:
         if expr.metric:
             matchers.append(Matcher(self.metric_label, "=", expr.metric))
         df = self.samples
+        selector_matches_nothing = False
         for m in matchers:
             if m.name in df.columns:
                 df = df.filter(m.to_column())
             elif m.op in ("=", "=~"):
+                if expr.func == "absent_over_time":
+                    selector_matches_nothing = True
+                    break
                 return self._empty(expr)
+        if expr.func == "absent_over_time":
+            return self._absent_over_time(
+                expr, df, selector_matches_nothing, start_ms, end_ms, step_ms
+            )
 
         # prune to the evaluation window before any join/shuffle; the
         # offset modifier shifts the BOUNDS (plain ts comparisons still
@@ -910,6 +919,45 @@ class PromQLEngine:
         return per_series.groupBy("t", *by).agg(
             _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
         )
+
+    def _absent_over_time(
+        self, expr, df, selector_matches_nothing, start_ms, end_ms, step_ms
+    ) -> DataFrame:
+        """absent_over_time(m[d]): 1.0 at every step whose window holds NO
+        matching sample — the step axis anti-joined against the distinct
+        present steps (both sides are tiny: O(steps)); labels synthesized
+        from the equality matchers, Prometheus-style."""
+        spark = self.samples.sparkSession
+        steps = spark.range(1).select(
+            F.explode(
+                F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(step_ms))
+            ).alias("t")
+        )
+        eq_labels = [
+            (m.name, m.value)
+            for m in expr.matchers
+            if m.op == "=" and m.name != self.metric_label
+        ]
+        label_cols = [F.lit(v).alias(k) for k, v in eq_labels]
+        if selector_matches_nothing:
+            absent = steps
+        else:
+            window_ms = expr.range_ms
+            off = expr.offset_ms
+            pruned = df.filter(
+                (F.col("ts") > F.lit(start_ms - window_ms - off))
+                & (F.col("ts") <= F.lit(end_ms - off))
+            )
+            if off:
+                pruned = pruned.withColumn("ts", F.col("ts") + F.lit(off))
+            bucketed = (
+                self._assign_steps(pruned, start_ms, end_ms, step_ms, window_ms)
+                if window_ms == step_ms
+                else self._join_steps(pruned, start_ms, end_ms, step_ms, window_ms)
+            )
+            present = bucketed.select("t").distinct()
+            absent = steps.join(present, "t", "left_anti")
+        return absent.select("t", *label_cols, F.lit(1.0).alias("value"))
 
     def query_instant(
         self,
