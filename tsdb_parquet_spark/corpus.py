@@ -1251,6 +1251,70 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the daily rollup store derived from the
+    events chunk store."""
+    from tsdb_parquet_spark.sources.rollup import rollup_store
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    dest = os.path.join(work, f"rollup_store_v1_{tag}")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    src = events_chunk_store(spark, sf_dir)
+    return rollup_store(spark, src, dest, _CHUNK_LABELS, step_ms=_DAY_MS)
+
+
+@query(
+    "q65_rollup_store",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         ((ts_ms + {_DAY_MS - 1}) // {_DAY_MS}) * {_DAY_MS} AS t
+  FROM s
+)
+SELECT t, event_type, shard,
+       round(sum(value), 2) AS value_sum,
+       CAST(count(*) AS DOUBLE) AS value_count,
+       round(max(value), 4) AS value_max
+FROM b GROUP BY t, event_type, shard
+ORDER BY t, event_type, shard""",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily downsampling rollup store (`sources/rollup.py`): raw chunk
+    store -> decode -> one-shuffle multi-aggregate downsample ->
+    recording-rule series (`app_events:sum|count|max`) -> re-chunk ->
+    sorted write; read back through the standard querier and pivoted,
+    it must equal the oracle's daily aggregates of the raw events."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    store = events_rollup_store(spark, sf_dir)
+    samples = ChunkQuerier.from_parquet(spark, store).select_samples(
+        labels=_CHUNK_LABELS
+    )
+    wide = (
+        samples.groupBy(F.col("ts").alias("t"), "event_type", "shard")
+        .pivot(
+            "__name__",
+            ["app_events:sum", "app_events:count", "app_events:max"],
+        )
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        "t",
+        "event_type",
+        "shard",
+        F.round(F.col("`app_events:sum`"), 2).alias("value_sum"),
+        F.col("`app_events:count`").alias("value_count"),
+        F.round(F.col("`app_events:max`"), 4).alias("value_max"),
+    ).orderBy("t", "event_type", "shard")
+
+
 def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
     """Build (once per sf_dir) two chunk stores with DISAGREEING label
     schemas from the events table — store A labels (__name__, event_type),
