@@ -306,3 +306,18 @@ def test_simhash_banding_is_complete_for_small_hamming(docs):
         for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()
     }
     assert got == want
+
+
+def test_cosine_scores_udf_bit_identical_to_hof(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qv])
+    mismatches = (
+        emb.select(
+            SIM.cosine(F.col("embedding"), q).alias("hof"),
+            SIM.cosine_scores_udf(qv)(F.col("embedding")).alias("udf"),
+        )
+        .filter(F.col("hof") != F.col("udf"))
+        .count()
+    )
+    assert mismatches == 0

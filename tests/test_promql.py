@@ -502,3 +502,19 @@ def test_absent_over_time(spark):
     ).collect()
     assert {r["t"] for r in out2} == {0, 60_000, 120_000}
     assert all(r["job"] == "x" for r in out2)
+
+
+def test_count_values_and_group(spark):
+    rows = [
+        ("m", "a", 0, 2.0), ("m", "b", 0, 2.0), ("m", "c", 0, 5.0),
+    ]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    cv = engine.query_range('count_values("v", m)', 0, 0, 60_000).collect()
+    got = {(r["v"]): r["value"] for r in cv}
+    assert got == {"2.0": 2.0, "5.0": 1.0}
+    # grouping collapses labels before counting distinct values per group
+    g = engine.query_range("group(m)", 0, 0, 60_000).collect()
+    assert len(g) == 1 and g[0]["value"] == 1.0

@@ -47,6 +47,41 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_scores_udf(query_vec: Sequence[float]):
+    """Arrow-batched cosine against a fixed query: ``udf(vec) ->
+    double``.  Bit-identical to the interpreted
+    ``dot(v,q)/(norm(v)*norm(q))`` fold (and so to the SQL oracle): the
+    dimension-axis Python loop preserves the fold's left-assoc
+    accumulation for both the cross-dot and the self-dot, and IEEE-754
+    sqrt / multiply / divide are correctly rounded in every engine.  One
+    Arrow pass replaces three interpreted folds per row."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn_acc = 0.0
+    for x in q:  # left-assoc, matching norm(q)'s fold
+        qn_acc = qn_acc + x * x
+    qn = float(np.sqrt(qn_acc))
+
+    @pandas_udf("double")
+    def _scores(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        dot_acc = np.zeros(n, dtype=np.float64)
+        self_acc = np.zeros(n, dtype=np.float64)
+        for i in range(q.shape[0]):
+            col = mat[:, i]
+            dot_acc += col * q[i]
+            self_acc += col * col
+        denom = np.sqrt(self_acc) * qn
+        out = np.where(denom > 0, dot_acc / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.Series(out)
+
+    return _scores
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -58,9 +93,9 @@ def brute_force_topk(
     """Exact top-k by cosine against a fixed query vector.  Scores are
     rounded to 4 decimals BEFORE ranking and ties break on the id, making
     the result deterministic across engines and partitionings."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine_scores_udf(query_vec)
     scored = df.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
+        F.col(id_col), F.round(score(F.col(vec_col)), 4).alias("cos_sim")
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))

@@ -49,8 +49,11 @@ Evaluation strategy (scale-first):
 ``rate``/``increase`` apply Prometheus counter-reset correction (each
 in-window decrease adds the pre-reset value); window-edge extrapolation
 (Prometheus's extrapolatedRate) is available behind
-``PromQLEngine(extrapolate=True)`` and off by default.  Documented
-deviation: no `@` timestamp modifier (`offset` IS supported).
+``PromQLEngine(extrapolate=True)`` and off by default.  ``offset`` and
+``@`` modifiers are supported on instant and range selectors.
+Documented deviations: ``delta`` does not extrapolate (same default as
+rate), and histogram_quantile skips the ``le <= 0`` lowest-bucket
+special case.
 """
 
 from __future__ import annotations
@@ -65,7 +68,7 @@ from tsdb_parquet_spark.operators.selection import Matcher
 
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 
-AGG_OPS = {"sum", "min", "max", "count", "avg", "stddev", "stdvar"}
+AGG_OPS = {"sum", "min", "max", "count", "avg", "stddev", "stdvar", "group"}
 PARAM_AGG_OPS = {"topk", "bottomk"}
 BINARY_OPS = {"+", "-", "*", "/"}
 COMPARE_OPS = {">", "<", ">=", "<=", "==", "!="}
@@ -174,6 +177,18 @@ class PromLabelReplace:
     replacement: str
     src: str
     regex: str
+
+
+@dataclass
+class PromCountValues:
+    """count_values("label", vector): per (t, grouping), one output row
+    per distinct sample value, counting its occurrences; the value itself
+    becomes the named label (string-formatted)."""
+
+    label: str
+    inner: "PromNode"
+    by: list[str] | None = None
+    without: list[str] | None = None
 
 
 @dataclass
@@ -329,7 +344,7 @@ class _Parser:
 
     def _expr(self) -> PromExpr:
         kind, tok = self.peek()
-        if kind == "ident" and (tok in AGG_OPS or tok in PARAM_AGG_OPS):
+        if kind == "ident" and self._expr_dispatch_agg(tok):
             return self._agg()
         if kind == "ident" and tok in RANGE_FUNCS:
             return self._func()
@@ -408,6 +423,9 @@ class _Parser:
             src=strs[2], regex=strs[3],
         )
 
+    def _expr_dispatch_agg(self, tok: str) -> bool:
+        return tok in AGG_OPS or tok in PARAM_AGG_OPS or tok == "count_values"
+
     def _agg(self) -> PromExpr:
         _, op = self.next()
         by = None
@@ -432,6 +450,16 @@ class _Parser:
             else:
                 without = labels
         self.expect("(")
+        if op == "count_values":
+            kind, s = self.next()
+            if kind != "string":
+                raise ValueError(f"count_values expects a label string, got {s!r}")
+            self.expect(",")
+            inner = self._compare()
+            self.expect(")")
+            return PromCountValues(
+                label=s[1:-1], inner=inner, by=by, without=without
+            )
         if op in PARAM_AGG_OPS:
             # topk(k, <any vector expression>): a per-step series filter,
             # not a grouping aggregation
@@ -551,6 +579,7 @@ _OUTER_AGGS = {
     "count": lambda c: F.count(c).cast("double"),
     "stddev": F.stddev_pop,
     "stdvar": F.var_pop,
+    "group": lambda c: F.max(F.lit(1.0)),
 }
 
 
@@ -615,7 +644,28 @@ class PromQLEngine:
         if isinstance(node, PromHistogramQuantile):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._histogram_quantile(inner, node.q)
+        if isinstance(node, PromCountValues):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._count_values(inner, node)
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
+
+    @staticmethod
+    def _count_values(df: DataFrame, node: PromCountValues) -> DataFrame:
+        """One output row per (t, grouping, distinct value): the value
+        becomes the named label (cast to string — both engines print
+        doubles as '<int>.0' for integral values), count as the new
+        value.  One groupBy shuffle."""
+        label_cols = [c for c in df.columns if c not in ("t", "value")]
+        if node.without is not None:
+            by = [c for c in label_cols if c not in node.without]
+        else:
+            by = node.by or []  # default: aggregate every label away
+        return (
+            df.groupBy(
+                "t", *by, F.col("value").cast("string").alias(node.label)
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
 
     @staticmethod
     def _math_column(func: str, params: list[float]):
