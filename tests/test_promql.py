@@ -518,3 +518,35 @@ def test_count_values_and_group(spark):
     # grouping collapses labels before counting distinct values per group
     g = engine.query_range("group(m)", 0, 0, 60_000).collect()
     assert len(g) == 1 and g[0]["value"] == 1.0
+
+
+def test_set_operators(spark):
+    rows = [
+        ("m", "a", "x", 0, 1.0), ("m", "b", "x", 0, 2.0), ("m", "c", "y", 0, 3.0),
+        ("n", "a", "x", 0, 10.0), ("n", "c", "z", 0, 30.0), ("n", "d", "y", 0, 40.0),
+    ]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, zone STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    # default matching: full label set — only job=a zone=x matches across
+    got = {(r["job"], r["zone"]): r["value"]
+           for r in engine.query_range("m and n", 0, 0, 60_000).collect()}
+    assert got == {("a", "x"): 1.0}
+    # on(job): job c matches too (zones differ)
+    got = {r["job"] for r in
+           engine.query_range("m and on(job) n", 0, 0, 60_000).collect()}
+    assert got == {"a", "c"}
+    # ignoring(zone) == on(job) here
+    got2 = {r["job"] for r in
+            engine.query_range("m unless ignoring(zone) n", 0, 0, 60_000).collect()}
+    assert got2 == {"b"}
+    # or: left rows kept with left values, right-only label sets appended
+    got = {(r["job"], r["zone"]): r["value"]
+           for r in engine.query_range("m or n", 0, 0, 60_000).collect()}
+    assert got == {("a", "x"): 1.0, ("b", "x"): 2.0, ("c", "y"): 3.0,
+                   ("c", "z"): 30.0, ("d", "y"): 40.0}
+    # precedence: `or` loosest — (m and on(job) n) or n keeps all of n's sets
+    got = {(r["job"], r["zone"])
+           for r in engine.query_range("m and on(job) n or n", 0, 0, 60_000).collect()}
+    assert got == {("a", "x"), ("c", "y"), ("a", "x"), ("c", "z"), ("d", "y")}

@@ -2488,3 +2488,62 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q66_promql_set_ops",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+b AS (
+  SELECT event_type, shard,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+per_shard AS (
+  SELECT t, event_type, shard, CAST(count(*) AS DOUBLE) AS v
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+),
+per_type AS (
+  SELECT t, event_type, CAST(count(*) AS DOUBLE) AS tot
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type
+),
+hot AS (SELECT t, event_type FROM per_type WHERE tot > 70)
+SELECT t, event_type, shard, value FROM (
+  SELECT p.t, p.event_type, p.shard, p.v * 10 AS value
+  FROM per_shard p
+  WHERE EXISTS (SELECT 1 FROM hot h
+                WHERE h.t = p.t AND h.event_type = p.event_type)
+  UNION ALL
+  SELECT p.t, p.event_type, p.shard, p.v AS value
+  FROM per_shard p
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.t = p.t AND h.event_type = p.event_type)
+  UNION ALL
+  SELECT t, event_type, '' AS shard, tot AS value FROM per_type
+) ORDER BY t, event_type, shard""",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL set operators `and` / `unless` / `or` (semi/anti equi-joins
+    on (t, match labels), `or` = union + anti-dedup on the full label
+    set): shards of hot event types (daily count > 70) scaled x10, quiet
+    shards unscaled, plus the per-type totals appearing with shard=""
+    (absent-label convention, reference `schema/chunk.go:109-112`).
+    Integer-valued counts keep every value exact across engines."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "(sum by (event_type, shard) (count_over_time(app_events[1d]))"
+        " and on(event_type)"
+        " sum by (event_type) (count_over_time(app_events[1d])) > 70) * 10"
+        " or (sum by (event_type, shard) (count_over_time(app_events[1d]))"
+        " unless on(event_type)"
+        " sum by (event_type) (count_over_time(app_events[1d])) > 70)"
+        " or sum by (event_type) (count_over_time(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )

@@ -6,7 +6,9 @@ thanos promql-engine over a stubbed sample iterator
 its own surface is only series selection.  This module goes further: a
 small recursive-descent parser for the subset
 
-    expr     := cmp
+    expr     := or_expr
+    or_expr  := and_expr ('or' [matching] and_expr)*
+    and_expr := cmp (('and'|'unless') [matching] cmp)*
     cmp      := sum_expr (CMPOP ['bool'] [matching] sum_expr)*
     sum_expr := agg | func | pfunc | mathfn | label_replace | histq
               | selector | sum_expr binop [matching] sum_expr
@@ -180,6 +182,24 @@ class PromLabelReplace:
 
 
 @dataclass
+class PromSetOp:
+    """``and`` / ``or`` / ``unless`` between two instant vectors
+    (Prometheus set operators, loosest precedence).  Matching is on the
+    full label set by default — absent labels read as "", the
+    reference's convention (`schema/chunk.go:109-112`) — or on the
+    ``on``/``ignoring`` subset.  ``and`` keeps left rows with a match in
+    right (left-semi), ``unless`` keeps left rows without one
+    (left-anti), ``or`` adds right rows whose label set is absent from
+    left.  group_left/group_right are invalid here, as in Prometheus."""
+
+    op: str  # 'and' | 'or' | 'unless'
+    left: "PromNode"
+    right: "PromNode"
+    matching_mode: str | None = None  # 'on' | 'ignoring'
+    matching: list[str] = field(default_factory=list)
+
+
+@dataclass
 class PromCountValues:
     """count_values("label", vector): per (t, grouping), one output row
     per distinct sample value, counting its occurrences; the value itself
@@ -261,10 +281,37 @@ class _Parser:
             raise ValueError(f"expected {value!r}, got {tok!r}")
 
     def parse(self) -> "PromExpr | PromBinary":
-        expr = self._compare()
+        expr = self._set_or()
         if self.i != len(self.tokens):
             raise ValueError(f"trailing tokens: {self.tokens[self.i:]}")
         return expr
+
+    def _set_or(self) -> "PromNode":
+        # `or` is the loosest PromQL operator; `and`/`unless` bind tighter
+        left = self._set_and()
+        while True:
+            kind, tok = self.peek()
+            if kind != "ident" or tok != "or":
+                return left
+            self.next()
+            mode, labels, group = self._maybe_matching()
+            if group:
+                raise ValueError("group_left/group_right invalid for set ops")
+            left = PromSetOp(op="or", left=left, right=self._set_and(),
+                             matching_mode=mode, matching=labels)
+
+    def _set_and(self) -> "PromNode":
+        left = self._compare()
+        while True:
+            kind, tok = self.peek()
+            if kind != "ident" or tok not in ("and", "unless"):
+                return left
+            self.next()
+            mode, labels, group = self._maybe_matching()
+            if group:
+                raise ValueError("group_left/group_right invalid for set ops")
+            left = PromSetOp(op=tok, left=left, right=self._compare(),
+                             matching_mode=mode, matching=labels)
 
     def _compare(self) -> "PromExpr | PromBinary | float":
         # comparisons bind loosest (Prometheus precedence); `bool` right
@@ -337,6 +384,12 @@ class _Parser:
 
     def _term(self) -> "PromExpr | float":
         kind, tok = self.peek()
+        if tok == "(":
+            # grouping parens: a full sub-expression (set ops included)
+            self.next()
+            inner = self._set_or()
+            self.expect(")")
+            return inner
         if kind == "number":
             self.next()
             return float(tok)
@@ -647,7 +700,57 @@ class PromQLEngine:
         if isinstance(node, PromCountValues):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._count_values(inner, node)
+        if isinstance(node, PromSetOp):
+            return self._eval_setop(node, start_ms, end_ms, step_ms, lookback_ms)
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
+
+    def _eval_setop(
+        self, node: PromSetOp, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        """Set operators as semi/anti equi-joins on (t, match labels) —
+        one shuffle each, no fan-out.  Default matching is the FULL label
+        set (union of both sides' label columns, absent labels ""-filled
+        for the comparison only); ``on``/``ignoring`` narrow it.  ``or``
+        is left ∪ (right anti-join left): right-side rows whose label set
+        already appears in left are dropped, and labels only one side
+        carries come back ""-filled, keeping the output schema stable."""
+        if isinstance(node.left, float) or isinstance(node.right, float):
+            raise ValueError("set operators need vector operands")
+        left = self._eval(node.left, start_ms, end_ms, step_ms, lookback_ms)
+        right = self._eval(node.right, start_ms, end_ms, step_ms, lookback_ms)
+        l_labels = [c for c in left.columns if c not in ("t", "value")]
+        r_labels = [c for c in right.columns if c not in ("t", "value")]
+        if node.matching_mode == "on":
+            keys = ["t"] + [l for l in node.matching if l != "t"]
+        elif node.matching_mode == "ignoring":
+            keys = ["t"] + sorted(
+                (set(l_labels) | set(r_labels)) - set(node.matching)
+            )
+        else:
+            keys = ["t"] + sorted(set(l_labels) | set(r_labels))
+
+        def keyed(df):
+            missing = [k for k in keys if k not in df.columns]
+            for k in missing:
+                df = df.withColumn(k, F.lit(""))
+            return df, missing
+
+        lk, l_missing = keyed(left)
+        rk, r_missing = keyed(right)
+        if node.op == "and":
+            return lk.join(rk.select(*keys), on=keys, how="left_semi").drop(
+                *l_missing
+            )
+        if node.op == "unless":
+            return lk.join(rk.select(*keys), on=keys, how="left_anti").drop(
+                *l_missing
+            )
+        extra = rk.join(lk.select(*keys), on=keys, how="left_anti").drop(
+            *r_missing
+        )
+        out = left.unionByName(extra, allowMissingColumns=True)
+        label_cols = [c for c in out.columns if c not in ("t", "value")]
+        return out.na.fill("", subset=label_cols) if label_cols else out
 
     @staticmethod
     def _count_values(df: DataFrame, node: PromCountValues) -> DataFrame:
