@@ -550,3 +550,38 @@ def test_set_operators(spark):
     got = {(r["job"], r["zone"])
            for r in engine.query_range("m and on(job) n or n", 0, 0, 60_000).collect()}
     assert got == {("a", "x"), ("c", "y"), ("a", "x"), ("c", "z"), ("d", "y")}
+
+
+def test_quantile_agg(spark):
+    rows = [("m", j, 0, v) for j, v in
+            [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 10.0)]]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("quantile(0.5, m)", 0, 0, 60_000).collect()
+    # rank 0.5*(4-1) = 1.5 -> 2 + 0.5*(3-2) = 2.5
+    assert len(out) == 1 and out[0]["value"] == 2.5
+
+
+def test_deriv_and_predict_linear(spark):
+    # perfect line: value = 2 * ts_seconds + 5
+    rows = [("m", "a", ts, 2.0 * (ts / 1000.0) + 5.0)
+            for ts in range(0, 60_001, 10_000)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    d = engine.query_range("deriv(m[1m])", 60_000, 60_000, 60_000).collect()
+    assert len(d) == 1 and abs(d[0]["value"] - 2.0) < 1e-9
+    # predicted 100s past the eval time: 2*(60+100) + 5 = 325
+    p = engine.query_range(
+        "predict_linear(m[1m], 100)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(p) == 1 and abs(p[0]["value"] - 325.0) < 1e-6
+    # single sample in window -> no output (Prometheus needs >= 2)
+    one = samples.filter("ts = 0")
+    d1 = PromQLEngine(one).query_range(
+        "deriv(m[1m])", 0, 0, 60_000
+    ).collect()
+    assert d1 == []

@@ -2547,3 +2547,86 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         _P_END,
         _P_STEP,
     )
+
+
+@query(
+    "q67_promql_quantile_agg",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+b AS (
+  SELECT event_type, shard,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+per_shard AS (
+  SELECT t, event_type, shard, CAST(count(*) AS DOUBLE) AS v
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type, round(quantile_cont(v, 0.9), 4) AS value
+FROM per_shard GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `quantile(0.9, v) by (event_type)` aggregation — linear
+    interpolation between order statistics at rank phi*(n-1), identical
+    across Spark's exact `percentile` and DuckDB's `quantile_cont`.
+    Inputs are integer-valued counts, so the only float op is the final
+    interpolation, rounded at 4dp on both sides."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "quantile by (event_type)"
+        " (0.9, sum by (event_type, shard) (count_over_time(app_events[1d])))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select("t", "event_type", F.round("value", 4).alias("value"))
+
+
+@query(
+    "q68_promql_predict_linear",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t,
+         ts_ms
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+reg AS (
+  SELECT t, event_type, shard,
+         regr_slope(value, (ts_ms - t) / 1000.0) AS slope,
+         regr_intercept(value, (ts_ms - t) / 1000.0) AS icept
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type, shard,
+       round(icept + slope * 3600.0, 4) AS value
+FROM reg WHERE slope IS NOT NULL
+ORDER BY t, event_type, shard""",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `predict_linear(app_events[1d], 3600)` — least-squares line
+    over each window's (seconds-relative-to-step, value) points, read off
+    one hour past the step time (Prometheus linearRegression with the
+    intercept at eval time).  Both engines compute regr_slope /
+    regr_intercept with stable one-pass co-moments; 4dp rounding absorbs
+    the accumulation-order ulp skew."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "predict_linear(app_events[1d], 3600)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    )

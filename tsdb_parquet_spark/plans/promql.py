@@ -24,12 +24,14 @@ small recursive-descent parser for the subset
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
     matching := ('on'|'ignoring') '(' label (',' label)* ')'
                 ['group_left'|'group_right']
-    AGGOP    := sum | min | max | count | avg | stddev | stdvar
+    AGGOP    := sum | min | max | count | avg | stddev | stdvar | group
+              | quantile(phi, v) | count_values("lbl", v) [grouping]
     CMPOP    := > | < | >= | <= | == | !=
     FUNC     := rate | increase | delta | idelta | irate | changes | resets |
                 count_over_time | sum_over_time | avg_over_time |
                 min_over_time | max_over_time | last_over_time |
-                present_over_time | stddev_over_time
+                present_over_time | stddev_over_time | absent_over_time |
+                deriv | predict_linear(v[d], t)
     PFUNC    := quantile_over_time
     MATHFN   := abs | ceil | floor | sqrt | exp | ln | sgn | round | clamp |
                 clamp_min | clamp_max
@@ -106,6 +108,8 @@ RANGE_FUNCS = {
     "present_over_time",
     "stddev_over_time",
     "absent_over_time",
+    "deriv",
+    "predict_linear",
 }
 #: range functions taking a leading scalar param: fn(param, m[dur])
 PARAM_RANGE_FUNCS = {"quantile_over_time"}
@@ -206,6 +210,19 @@ class PromCountValues:
     becomes the named label (string-formatted)."""
 
     label: str
+    inner: "PromNode"
+    by: list[str] | None = None
+    without: list[str] | None = None
+
+
+@dataclass
+class PromQuantileAgg:
+    """quantile(phi, vector): per (t, grouping), the phi-quantile of the
+    sample values — linear interpolation between order statistics at rank
+    phi*(n-1), Prometheus's aggregation quantile (and exactly DuckDB's
+    ``quantile_cont`` / Spark's exact ``percentile``)."""
+
+    phi: float
     inner: "PromNode"
     by: list[str] | None = None
     without: list[str] | None = None
@@ -477,7 +494,8 @@ class _Parser:
         )
 
     def _expr_dispatch_agg(self, tok: str) -> bool:
-        return tok in AGG_OPS or tok in PARAM_AGG_OPS or tok == "count_values"
+        return (tok in AGG_OPS or tok in PARAM_AGG_OPS
+                or tok in ("count_values", "quantile"))
 
     def _agg(self) -> PromExpr:
         _, op = self.next()
@@ -513,15 +531,18 @@ class _Parser:
             return PromCountValues(
                 label=s[1:-1], inner=inner, by=by, without=without
             )
-        if op in PARAM_AGG_OPS:
+        if op in PARAM_AGG_OPS or op == "quantile":
             # topk(k, <any vector expression>): a per-step series filter,
-            # not a grouping aggregation
+            # not a grouping aggregation; quantile(phi, v) IS one
             kind, num = self.next()
             if kind != "number":
                 raise ValueError(f"{op} expects a numeric first arg, got {num!r}")
             self.expect(",")
             inner = self._compare()
             self.expect(")")
+            if op == "quantile":
+                return PromQuantileAgg(phi=float(num), inner=inner,
+                                       by=by, without=without)
             return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
                             inner=inner, by=by)
         kind, tok = self.peek()
@@ -547,6 +568,13 @@ class _Parser:
             raise ValueError(f"expected duration, got {dur!r}")
         self.expect("]")
         self._maybe_modifiers(sel)
+        if fn == "predict_linear":
+            # trailing scalar: predict_linear(v[d], t_seconds)
+            self.expect(",")
+            kind, num = self.next()
+            if kind != "number":
+                raise ValueError(f"predict_linear expects seconds, got {num!r}")
+            sel.func_param = float(num)
         self.expect(")")
         sel.func = fn
         sel.range_ms = parse_duration_ms(dur)
@@ -702,6 +730,16 @@ class PromQLEngine:
             return self._count_values(inner, node)
         if isinstance(node, PromSetOp):
             return self._eval_setop(node, start_ms, end_ms, step_ms, lookback_ms)
+        if isinstance(node, PromQuantileAgg):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            label_cols = [c for c in inner.columns if c not in ("t", "value")]
+            if node.without is not None:
+                by = [c for c in label_cols if c not in node.without]
+            else:
+                by = node.by or []
+            return inner.groupBy("t", *by).agg(
+                F.percentile("value", F.lit(node.phi)).alias("value")
+            )
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
 
     def _eval_setop(
@@ -1200,6 +1238,27 @@ class PromQLEngine:
             # interpolation as DuckDB quantile_cont)
             return bucketed.groupBy(*keys).agg(
                 F.percentile("value", F.lit(expr.func_param)).alias("value")
+            )
+        if expr.func in ("deriv", "predict_linear"):
+            # simple least-squares over the window's (ts, value) points
+            # (Prometheus linearRegression).  x is seconds relative to the
+            # step time, so regr_intercept IS the value at eval time and
+            # predict_linear(v[d], p) = intercept + slope * p; deriv is the
+            # (shift-invariant) slope.  regr_* are NULL for < 2 distinct
+            # points -- exactly Prometheus's no-output condition.
+            x = (F.col("ts") - F.col("t")).cast("double") / F.lit(1000.0)
+            slope = F.regr_slope(F.col("value"), x)
+            if expr.func == "deriv":
+                value = slope
+            else:
+                value = (
+                    F.regr_intercept(F.col("value"), x)
+                    + slope * F.lit(expr.func_param)
+                )
+            return (
+                bucketed.groupBy(*keys)
+                .agg(value.alias("value"))
+                .filter(F.col("value").isNotNull())
             )
         if expr.func in _FUNC_AGGS:
             return bucketed.groupBy(*keys).agg(
