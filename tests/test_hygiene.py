@@ -1,0 +1,164 @@
+"""Corpus-hygiene operators: decontamination, repetition filters, PII
+redaction, deterministic training order."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.functions import decontaminate as DC
+from tsdb_parquet_spark.functions import ordering as ORD
+from tsdb_parquet_spark.functions import pii as PII
+from tsdb_parquet_spark.functions import quality as QA
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_counts(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a sentence with the quick brown fox inside it"),  # 1 4-gram
+            (2, "quick brown fox jumps over something"),  # 2 distinct
+            (3, "completely unrelated words here friend"),  # clean
+        ],
+    )
+    rep = {
+        r["doc_id"]: (r["n_gram_hits"], r["n_bench_docs"])
+        for r in DC.contamination_report(corpus, bench, ngram=4).collect()
+    }
+    assert rep == {1: (1, 1), 2: (2, 1)}
+
+
+def test_decontaminate_drops_flagged(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a sentence with the quick brown fox inside it"),
+            (3, "completely unrelated words here friend"),
+        ],
+    )
+    kept = DC.decontaminate(corpus, bench, ngram=4).collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the dog")])
+    corpus = _docs(
+        spark, [(1, "a sentence with the quick brown fox inside it")]
+    )
+    # doc 1 shares exactly one 4-gram; min_overlap=2 keeps it
+    kept = DC.decontaminate(corpus, bench, ngram=4, min_overlap=2).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_exact(spark):
+    # "ab ab ab ab" -> 3 bigrams, all "ab ab": dup_frac 2/3, top_share 1.0
+    df = _docs(spark, [(1, "ab ab ab ab"), (2, "w x y z")])
+    out = {r["doc_id"]: r for r in QA.repetition_stats(df).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_distinct_grams"] == 1
+    assert out[1]["dup_ngram_frac"] == pytest.approx(0.6667)
+    assert out[1]["top_ngram_share"] == 1.0
+    assert out[2]["dup_ngram_frac"] == 0.0
+
+
+def test_repetitive_docs_cutoff_and_short_docs(spark):
+    df = _docs(spark, [(1, "ab ab ab ab"), (2, "w x y z"), (3, "one")])
+    flagged = QA.repetitive_docs(df, max_dup_frac=0.3).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+    # doc 3 has no bigrams at all -> absent from stats, never flagged
+    assert 3 not in {
+        r["doc_id"] for r in QA.repetition_stats(df).collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_kinds(spark):
+    text = (
+        "mail a.b+c@ex-amp.le.org or bob@x.io, ssn 123-45-6789, "
+        "call 415.555.0042 or 415-555-0042, host 10.0.0.1 done"
+    )
+    df = spark.createDataFrame([(text,)], "text STRING")
+    row = df.select(
+        PII.redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in PII.pii_counts(F.col("text")).items()],
+    ).collect()[0]
+    assert row["email"] == 2 and row["ssn"] == 1
+    assert row["phone"] == 2 and row["ipv4"] == 1
+    assert row["red"] == (
+        "mail <EMAIL> or <EMAIL>, ssn <SSN>, "
+        "call <PHONE> or <PHONE>, host <IP> done"
+    )
+
+
+def test_redact_pii_duckdb_parity(spark):
+    import duckdb
+
+    texts = [
+        "x user@example.com y",
+        "ssn 123-45-6789 tel 650-555-1234 ip 192.168.0.255",
+        "no pii at all",
+        "a@b.co c@d.info 1.2.3.4 999.999.999.999",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        r["red"]
+        for r in df.select(
+            PII.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT {PII.sql_redact_pii('?::VARCHAR')} AS r", params=[t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ordering
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark):
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a1 = [r["doc_id"] for r in ORD.global_shuffle(df, "doc_id", "s1").collect()]
+    a2 = [r["doc_id"] for r in ORD.global_shuffle(df, "doc_id", "s1").collect()]
+    b = [r["doc_id"] for r in ORD.global_shuffle(df, "doc_id", "s2").collect()]
+    assert a1 == a2
+    assert a1 != b
+    assert sorted(a1) == list(range(200))
+
+
+def test_with_global_positions_matches_sort_order(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = ORD.with_global_positions(df, "doc_id", "seed9")
+    rows = out.orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == list(range(500))
+    # positions must agree with the plain orderBy permutation
+    want = [
+        r["doc_id"]
+        for r in ORD.global_shuffle(df, "doc_id", "seed9").collect()
+    ]
+    assert [r["doc_id"] for r in rows] == want
+    # the fat tagged cache is dropped; only the output's own eager
+    # localCheckpoint may remain pinned (released when `out` is GC'd)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1

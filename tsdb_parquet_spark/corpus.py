@@ -2630,3 +2630,130 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "t", "event_type", "shard", F.round("value", 4).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q69-Q72 — corpus-hygiene pipeline: decontamination, repetition filters,
+# PII redaction, deterministic training order
+# ---------------------------------------------------------------------------
+
+from tsdb_parquet_spark.functions import decontaminate as DC  # noqa: E402
+from tsdb_parquet_spark.functions import ordering as ORD  # noqa: E402
+from tsdb_parquet_spark.functions import pii as PII  # noqa: E402
+from tsdb_parquet_spark.functions import quality as QA  # noqa: E402
+
+
+@query(
+    "q69_decontaminate",
+    DC.sql_contamination_report(
+        corpus_pred="doc_id % 10 <> 0",
+        benchmark_pred="doc_id % 10 = 0",
+        ngram=4,
+    )
+    + " ORDER BY doc_id",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every tenth document plays the held-out
+    benchmark; report training docs sharing >= 1 distinct word 4-gram with
+    it.  The benchmark n-gram table is broadcast — the corpus side never
+    shuffles except the final per-doc aggregation."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return DC.contamination_report(corpus, bench, ngram=4).orderBy("doc_id")
+
+
+@query(
+    "q70_repetition_stats",
+    QA.sql_repetition_stats(ngram=2) + " ORDER BY doc_id",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-2-gram fraction, top
+    2-gram share) per document — explode + two map-side-combining
+    aggregations, no Python in the plan."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    return QA.repetition_stats(docs, ngram=2).orderBy("doc_id")
+
+
+_PII_INJECT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ssn 123-45-6789 ip 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR)
+       ELSE text END AS text
+FROM documents
+"""
+
+
+def _pii_injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically plant one email/phone/SSN/IP in every 7th doc —
+    the synthetic corpus is PII-free, so both engines build the same
+    fixture inline (same convention as `_near_dup_docs`)."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, injected)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@query(
+    "q71_pii_redact",
+    f"""
+WITH aug AS ({_PII_INJECT_SQL})
+SELECT doc_id,
+       CAST({PII.sql_pii_counts('text')['email']} AS BIGINT) AS n_email,
+       CAST({PII.sql_pii_counts('text')['ssn']} AS BIGINT) AS n_ssn,
+       CAST({PII.sql_pii_counts('text')['phone']} AS BIGINT) AS n_phone,
+       CAST({PII.sql_pii_counts('text')['ipv4']} AS BIGINT) AS n_ipv4,
+       md5({PII.sql_redact_pii('text')}) AS redacted_md5
+FROM aug ORDER BY doc_id""",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count matches per kind on the original text, then emit
+    the md5 of the fully redacted text — regex-only Catalyst expressions,
+    fused into the scan (RE2/Java common-subset patterns so the DuckDB
+    oracle redacts byte-identically)."""
+    aug = _pii_injected_docs(spark, sf_dir)
+    counts = PII.pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        F.md5(PII.redact_pii(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q72_global_shuffle",
+    f"""
+SELECT CAST(row_number() OVER (
+         ORDER BY {ORD.sql_shuffle_draw('doc_id', 'r3')}) AS BIGINT) - 1
+         AS pos,
+       doc_id
+FROM documents ORDER BY pos""",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: seeded md5 draw defines a
+    reproducible training permutation; dense positions assigned with the
+    partition-offset trick (`chunks.dense_series_ids`), NOT a single-task
+    global row_number window."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id")
+    return ORD.with_global_positions(docs, "doc_id", seed="r3").orderBy(
+        "pos"
+    )

@@ -1,3 +1,21 @@
-from tsdb_parquet_spark.functions import text, dedup, similarity, multimodal
+from tsdb_parquet_spark.functions import (
+    decontaminate,
+    dedup,
+    multimodal,
+    ordering,
+    pii,
+    quality,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "decontaminate",
+    "dedup",
+    "multimodal",
+    "ordering",
+    "pii",
+    "quality",
+    "similarity",
+    "text",
+]
