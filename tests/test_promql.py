@@ -585,3 +585,144 @@ def test_deriv_and_predict_linear(spark):
         "deriv(m[1m])", 0, 0, 60_000
     ).collect()
     assert d1 == []
+
+
+def test_time_and_vector(spark):
+    rows = [("m", "a", 0, 5.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("time()", 0, 120_000, 60_000).collect()
+    assert [(r["t"], r["value"]) for r in out] == [
+        (0, 0.0), (60_000, 60.0), (120_000, 120.0)]
+    v = engine.query_range("vector(2.5)", 0, 60_000, 60_000).collect()
+    assert [r["value"] for r in v] == [2.5, 2.5]
+    # the `or vector(0)` fallback idiom: missing metric -> constant
+    z = engine.query_range("sum(nope) or vector(0)", 0, 0, 60_000).collect()
+    assert [(r["t"], r["value"]) for r in z] == [(0, 0.0)]
+
+
+def test_calendar_functions(spark):
+    # 2024-03-15 13:45:00 UTC = 1710510300; a Friday (dow 5), March has 31
+    epoch = 1710510300.0
+    rows = [("m", "a", 0, epoch)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def one(q):
+        out = engine.query_range(q, 0, 0, 60_000).collect()
+        assert len(out) == 1
+        return out[0]["value"]
+
+    assert one("hour(m)") == 13.0
+    assert one("minute(m)") == 45.0
+    assert one("day_of_week(m)") == 5.0
+    assert one("day_of_month(m)") == 15.0
+    assert one("day_of_year(m)") == 75.0
+    assert one("month(m)") == 3.0
+    assert one("year(m)") == 2024.0
+    assert one("days_in_month(m)") == 31.0
+    # timestamp() reads the eval time, not the value
+    assert one("timestamp(m)") == 0.0
+    # a metric legitimately named `hour` still parses as a selector
+    h = spark.createDataFrame(
+        [("hour", "x", 0, 9.0)],
+        "`__name__` STRING, job STRING, ts LONG, value DOUBLE",
+    )
+    assert PromQLEngine(h).query_range(
+        "hour", 0, 0, 60_000
+    ).collect()[0]["value"] == 9.0
+
+
+def test_label_join(spark):
+    rows = [("m", "api", "us", 0, 1.0)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, zone STRING, ts LONG, value DOUBLE"
+    )
+    out = PromQLEngine(samples).query_range(
+        'label_join(m, "slot", "-", "job", "zone")', 0, 0, 60_000
+    ).collect()
+    assert out[0]["slot"] == "api-us"
+    # absent src labels contribute ""
+    out2 = PromQLEngine(samples).query_range(
+        'label_join(m, "slot", "-", "job", "nope")', 0, 0, 60_000
+    ).collect()
+    assert out2[0]["slot"] == "api-"
+
+
+def test_subquery_max_over_time(spark):
+    # per-minute counter of samples; inner sum_over_time at 1m resolution,
+    # outer max over a 3m subquery window
+    rows = [("m", "a", ts, float(v)) for ts, v in
+            [(30_000, 1), (90_000, 2), (150_000, 4), (210_000, 1)]]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = {r["t"]: r["value"] for r in engine.query_range(
+        "max_over_time(sum_over_time(m[1m])[3m:1m])",
+        180_000, 240_000, 60_000,
+    ).collect()}
+    # sub-steps at 60k increments: value at 60k=1, 120k=2, 180k=4, 240k=1
+    # window (t-3m, t]: t=180k -> max(1,2,4)=4; t=240k -> max(2,4,1)=4
+    assert out == {180_000: 4.0, 240_000: 4.0}
+
+
+def test_subquery_rate_and_agg(spark):
+    # counter rising 1/s sampled every 30s; rate over a subquery of the
+    # instant selector must recover ~1.0, and sum() over the subquery node
+    # exercises the generic PromAgg path
+    rows = [("m", "a", ts * 1000, float(ts)) for ts in range(0, 301, 30)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        "rate(m[2m:30s])", 300_000, 300_000, 60_000
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 1.0) < 1e-9
+    s = engine.query_range(
+        "sum(max_over_time(m[2m:1m]))", 300_000, 300_000, 60_000
+    ).collect()
+    assert len(s) == 1 and s[0]["value"] == 300.0
+
+
+def test_holt_winters(spark):
+    vals = [3.0, 5.0, 4.0, 7.0, 6.0, 9.0]
+    sf, tf = 0.3, 0.2
+
+    def ref(v):
+        s0, s1, b = 0.0, v[0], v[1] - v[0]
+        for i in range(1, len(v)):
+            x = sf * v[i]
+            if i != 1:
+                b = tf * (s1 - s0) + (1 - tf) * b
+            y = (1 - sf) * (s1 + b)
+            s0, s1 = s1, x + y
+        return s1
+
+    # ts in (0, 60_000] so every sample lands in the single window
+    rows = [("m", "a", (i + 1) * 10_000, v) for i, v in enumerate(vals)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        "holt_winters(m[1m], 0.3, 0.2)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(ref(vals), rel=1e-12)
+    # two samples: seed only (the i=1 iteration)
+    two = samples.filter("ts <= 20000")
+    o2 = PromQLEngine(two).query_range(
+        "holt_winters(m[1m], 0.3, 0.2)", 60_000, 60_000, 60_000
+    ).collect()
+    assert o2[0]["value"] == pytest.approx(ref(vals[:2]), rel=1e-12)
+    # one sample: no output
+    one = samples.filter("ts = 10000")
+    assert PromQLEngine(one).query_range(
+        "holt_winters(m[1m], 0.3, 0.2)", 60_000, 60_000, 60_000
+    ).collect() == []

@@ -2757,3 +2757,148 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ORD.with_global_positions(docs, "doc_id", seed="r3").orderBy(
         "pos"
     )
+
+
+@query(
+    "q73_promql_time_functions",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+b AS (
+  SELECT event_type,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+grid AS (
+  SELECT t, event_type FROM b WHERE t <= {_P_END} GROUP BY t, event_type
+)
+SELECT t, event_type,
+       CAST((((t // 1000) // 86400 + 4) % 7) * 100
+            + date_part('day', make_timestamp(t * 1000)) AS DOUBLE) AS value
+FROM grid ORDER BY t, event_type""",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL calendar functions: day_of_week (0=Sunday) and day_of_month
+    of each step's own timestamp, combined value-wise — two TIMEFN nodes
+    over the same vector joined one-to-one on (t, event_type).  The oracle
+    derives day-of-week arithmetically (epoch day 0 was a Thursday) and
+    day-of-month from a tz-naive make_timestamp, both matching Spark's
+    UTC-session calendar functions."""
+    engine = _promql_samples(spark, sf_dir)
+    base = "sum by (event_type) (count_over_time(app_events[1d]))"
+    return engine.query_range(
+        f"day_of_week(timestamp({base})) * 100"
+        f" + day_of_month(timestamp({base}))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+_P_WEEK = 7 * _DAY_MS
+
+
+@query(
+    "q74_promql_subquery",
+    f"""
+WITH s AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+b AS (
+  SELECT event_type,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s
+  WHERE ts_ms > {_P_START - _P_WEEK} AND ts_ms <= {_P_END}
+),
+sub AS (
+  SELECT t, event_type, CAST(count(*) AS DOUBLE) AS v
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type
+),
+steps AS (SELECT unnest(range({_P_START}, {_P_END + 1}, {_P_STEP})) AS t),
+et AS (SELECT DISTINCT event_type FROM sub)
+SELECT st.t, et.event_type, max(sub.v) AS value
+FROM steps st
+CROSS JOIN et
+JOIN sub ON sub.event_type = et.event_type
+        AND sub.t > st.t - {_P_WEEK} AND sub.t <= st.t
+GROUP BY st.t, et.event_type
+ORDER BY st.t, et.event_type""",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery: the busiest day in the trailing week,
+    ``max_over_time(<per-day count>[1w:1d])``.  The inner expression
+    evaluates once on the absolute-aligned daily sub-grid (tumbling fast
+    path), and the outer max re-uses the arithmetic step fan-out — no
+    (steps x sub-steps) join anywhere in the plan.  The oracle's range
+    join is correctness-only (DuckDB side)."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "max_over_time(sum by (event_type)"
+        " (count_over_time(app_events[1d]))[1w:1d])",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
+_HW_SF, _HW_TF = 0.4, 0.3
+
+
+@query(
+    "q75_promql_holt_winters",
+    f"""
+WITH RECURSIVE s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, ts_ms, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+base AS (
+  SELECT t, event_type, shard, value,
+         row_number() OVER (PARTITION BY t, event_type, shard
+                            ORDER BY ts_ms, value) AS i,
+         count(*) OVER (PARTITION BY t, event_type, shard) AS n
+  FROM b WHERE t <= {_P_END}
+),
+rec AS (
+  SELECT b1.t, b1.event_type, b1.shard, b1.n, 2 AS i,
+         b1.value AS s0,
+         {_HW_SF} * b2.value
+           + (1.0 - {_HW_SF}) * (b1.value + (b2.value - b1.value)) AS s1,
+         b2.value - b1.value AS b
+  FROM base b1 JOIN base b2 ON b1.t = b2.t AND b1.event_type = b2.event_type
+       AND b1.shard = b2.shard AND b1.i = 1 AND b2.i = 2
+  UNION ALL
+  SELECT r.t, r.event_type, r.shard, r.n, r.i + 1,
+         r.s1,
+         {_HW_SF} * nx.value + (1.0 - {_HW_SF})
+           * (r.s1 + ({_HW_TF} * (r.s1 - r.s0) + (1.0 - {_HW_TF}) * r.b)),
+         {_HW_TF} * (r.s1 - r.s0) + (1.0 - {_HW_TF}) * r.b
+  FROM rec r JOIN base nx ON nx.t = r.t AND nx.event_type = r.event_type
+       AND nx.shard = r.shard AND nx.i = r.i + 1
+)
+SELECT t, event_type, shard, round(s1, 4) AS value
+FROM rec WHERE i = n
+ORDER BY t, event_type, shard""",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters (double exponential smoothing) per daily
+    window.  Spark folds the s/b recurrence with a JVM `aggregate` HOF in
+    one pass per window; the oracle must use a recursive CTE because
+    DuckDB 1.0's list_reduce aliases dependent struct fields across folds
+    (verified empirically — s0 := acc.s1 reads the NEW s1 from fold 2 on).
+    Identical float-op ordering on both sides; 4dp rounding on top."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        f"holt_winters(app_events[1d], {_HW_SF}, {_HW_TF})",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    )

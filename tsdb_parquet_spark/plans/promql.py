@@ -32,9 +32,13 @@ small recursive-descent parser for the subset
                 min_over_time | max_over_time | last_over_time |
                 present_over_time | stddev_over_time | absent_over_time |
                 deriv | predict_linear(v[d], t)
+    subquery := FUNC '(' expr '[' duration ':' duration ']' ')'
     PFUNC    := quantile_over_time
     MATHFN   := abs | ceil | floor | sqrt | exp | ln | sgn | round | clamp |
                 clamp_min | clamp_max
+    TIMEFN   := minute | hour | day_of_week | day_of_month | day_of_year |
+                month | year | days_in_month | timestamp   (values as epoch-s)
+    misc     := time() | vector(number) | label_join(v, dst, sep, src...)
 
 and a range-query evaluator that compiles the expression to DataFrame
 operations over a samples table (ts int64 ms, value double, label columns).
@@ -110,9 +114,12 @@ RANGE_FUNCS = {
     "absent_over_time",
     "deriv",
     "predict_linear",
+    "holt_winters",
 }
 #: range functions taking a leading scalar param: fn(param, m[dur])
 PARAM_RANGE_FUNCS = {"quantile_over_time"}
+#: range functions taking scalar params AFTER the range vector
+TRAILING_SCALARS = {"predict_linear": 1, "holt_winters": 2}
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
 _DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
@@ -138,7 +145,8 @@ class PromExpr:
     by: list[str] | None = None  # None = aggregate everything away
     without: list[str] | None = None  # complement grouping
     agg_param: float | None = None  # k for topk/bottomk
-    func_param: float | None = None  # phi for quantile_over_time
+    func_param: float | None = None  # phi for quantile_over_time; sf etc
+    func_param2: float | None = None  # second trailing scalar (tf)
 
 
 @dataclass
@@ -210,6 +218,87 @@ class PromCountValues:
     becomes the named label (string-formatted)."""
 
     label: str
+    inner: "PromNode"
+    by: list[str] | None = None
+    without: list[str] | None = None
+
+
+#: calendar functions over a vector of epoch-second values (UTC, like
+#: Prometheus — the engine requires a UTC session TZ, which
+#: ``session.configure_session`` pins)
+TIME_FUNCS = {
+    "minute",
+    "hour",
+    "day_of_week",
+    "day_of_month",
+    "day_of_year",
+    "month",
+    "year",
+    "days_in_month",
+    "timestamp",
+}
+
+
+@dataclass
+class PromTime:
+    """``time()``: the evaluation timestamp in seconds — materialized as a
+    label-less vector over the step axis so it composes with binary ops
+    (``time() - m`` joins on ``t`` alone)."""
+
+
+@dataclass
+class PromTimeFunc:
+    """Calendar function of a vector's VALUES interpreted as epoch seconds
+    (``hour(v)`` etc; ``timestamp(v)`` instead reads the sample's own
+    evaluation time).  Labels pass through untouched."""
+
+    func: str
+    inner: "PromNode"
+
+
+@dataclass
+class PromLabelJoin:
+    """label_join(v, dst, sep, src...): dst := join(sep, src values);
+    absent source labels contribute empty strings (the engine's ""-fill
+    convention matches Prometheus here)."""
+
+    inner: "PromNode"
+    dst: str
+    sep: str
+    srcs: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PromVector:
+    """vector(scalar): the scalar as a label-less series over the step
+    axis (the `... or vector(0)` default idiom)."""
+
+    value: float
+
+
+@dataclass
+class PromSubquery:
+    """fn(<expr>[range:step]): the inner expression evaluated on its own
+    (absolute-epoch-aligned) sub-step grid, then fed to the range function
+    as if its outputs were samples.  Re-uses the arithmetic step fan-out —
+    no join materializes the (outer step x sub-step) pairing."""
+
+    func: str
+    inner: "PromNode"
+    range_ms: int
+    step_ms: int
+    func_param: float | None = None
+    func_param2: float | None = None
+
+
+@dataclass
+class PromAgg:
+    """Grouping aggregation over an arbitrary vector node (used when the
+    operand is not a plain selector pipeline — e.g. ``sum`` over a
+    subquery result); plain-selector aggregations stay fused into
+    PromExpr so the single-shuffle path is preserved."""
+
+    op: str
     inner: "PromNode"
     by: list[str] | None = None
     without: list[str] | None = None
@@ -412,6 +501,14 @@ class _Parser:
             return float(tok)
         return self._expr()
 
+    def _peek_is_call(self) -> bool:
+        nxt = (
+            self.tokens[self.i + 1]
+            if self.i + 1 < len(self.tokens)
+            else (None, None)
+        )
+        return nxt[1] == "("
+
     def _expr(self) -> PromExpr:
         kind, tok = self.peek()
         if kind == "ident" and self._expr_dispatch_agg(tok):
@@ -424,9 +521,55 @@ class _Parser:
             return self._math_func()
         if kind == "ident" and tok == "label_replace":
             return self._label_replace()
+        if kind == "ident" and tok == "label_join":
+            return self._label_join()
         if kind == "ident" and tok == "histogram_quantile":
             return self._histogram_quantile()
+        # call-position-only keywords: a metric may still be NAMED `hour`
+        # etc. — only `hour(`... parses as the function (Prometheus
+        # disambiguates the same way)
+        if kind == "ident" and self._peek_is_call():
+            if tok in TIME_FUNCS:
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                self.expect(")")
+                return PromTimeFunc(func=tok, inner=inner)
+            if tok == "time":
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return PromTime()
+            if tok == "vector":
+                self.next()
+                self.expect("(")
+                kind, num = self.next()
+                if kind != "number":
+                    raise ValueError(f"vector() expects a scalar, got {num!r}")
+                self.expect(")")
+                return PromVector(value=float(num))
         return self._selector()
+
+    def _label_join(self):
+        self.next()
+        self.expect("(")
+        inner = self._compare()
+        strs = []
+        while True:
+            kind, tok = self.peek()
+            if tok != ",":
+                break
+            self.next()
+            kind, s = self.next()
+            if kind != "string":
+                raise ValueError(f"label_join expects strings, got {s!r}")
+            strs.append(s[1:-1])
+        self.expect(")")
+        if len(strs) < 2:
+            raise ValueError("label_join needs dst, sep[, src...]")
+        return PromLabelJoin(
+            inner=inner, dst=strs[0], sep=strs[1], srcs=strs[2:]
+        )
 
     def _math_func(self):
         _, fn = self.next()
@@ -553,32 +696,72 @@ class _Parser:
         else:
             inner = self._selector()
         self.expect(")")
+        if not isinstance(inner, PromExpr):
+            # e.g. a subquery operand: aggregate its result generically
+            return PromAgg(op=op, inner=inner, by=by, without=without)
         inner.agg = op
         inner.by = by or ([] if without is None else None)
         inner.without = without
         return inner
 
-    def _func(self) -> PromExpr:
+    def _func(self) -> "PromExpr | PromSubquery":
         _, fn = self.next()
         self.expect("(")
-        sel = self._selector()
+        # a full sub-expression: a plain selector parse stops right before
+        # the `[`; anything more complex must be a subquery
+        inner = self._set_or()
         self.expect("[")
         kind, dur = self.next()
         if kind != "duration_part":
             raise ValueError(f"expected duration, got {dur!r}")
+        sub_ms = None
+        kind, tok = self.peek()
+        if kind == "ident" and tok.startswith(":"):
+            # `[1h:5m]` — the tokenizer folds `:5m` into one ident
+            self.next()
+            if len(tok) == 1:
+                raise ValueError(
+                    "subquery needs an explicit resolution step ([d:s])"
+                )
+            sub_ms = parse_duration_ms(tok[1:])
         self.expect("]")
-        self._maybe_modifiers(sel)
-        if fn == "predict_linear":
-            # trailing scalar: predict_linear(v[d], t_seconds)
+        range_ms = parse_duration_ms(dur)
+
+        func_param = None
+        func_param2 = None
+        if sub_ms is None:
+            if not isinstance(inner, PromExpr) or inner.func is not None:
+                raise ValueError(
+                    f"{fn} over an expression needs a subquery ([d:s])"
+                )
+            self._maybe_modifiers(inner)
+        params = []
+        for _ in range(TRAILING_SCALARS.get(fn, 0)):
+            # e.g. predict_linear(v[d], t), holt_winters(v[d], sf, tf)
             self.expect(",")
             kind, num = self.next()
             if kind != "number":
-                raise ValueError(f"predict_linear expects seconds, got {num!r}")
-            sel.func_param = float(num)
+                raise ValueError(f"{fn} expects scalar params, got {num!r}")
+            params.append(float(num))
+        if params:
+            func_param = params[0]
+        if len(params) > 1:
+            func_param2 = params[1]
         self.expect(")")
-        sel.func = fn
-        sel.range_ms = parse_duration_ms(dur)
-        return sel
+        if sub_ms is not None:
+            return PromSubquery(
+                func=fn,
+                inner=inner,
+                range_ms=range_ms,
+                step_ms=sub_ms,
+                func_param=func_param,
+                func_param2=func_param2,
+            )
+        inner.func = fn
+        inner.range_ms = range_ms
+        inner.func_param = func_param
+        inner.func_param2 = func_param2
+        return inner
 
     def _maybe_modifiers(self, sel: "PromExpr") -> None:
         """``offset <dur>`` and/or ``@ <unix-seconds>``, either order."""
@@ -730,6 +913,40 @@ class PromQLEngine:
             return self._count_values(inner, node)
         if isinstance(node, PromSetOp):
             return self._eval_setop(node, start_ms, end_ms, step_ms, lookback_ms)
+        if isinstance(node, PromTime):
+            return self._steps_frame(start_ms, end_ms, step_ms).select(
+                "t", (F.col("t") / F.lit(1000.0)).alias("value")
+            )
+        if isinstance(node, PromVector):
+            return self._steps_frame(start_ms, end_ms, step_ms).select(
+                "t", F.lit(node.value).cast("double").alias("value")
+            )
+        if isinstance(node, PromTimeFunc):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return inner.withColumn("value", self._time_column(node.func))
+        if isinstance(node, PromLabelJoin):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            parts = [
+                F.col(s) if s in inner.columns else F.lit("")
+                for s in node.srcs
+            ]
+            return inner.withColumn(
+                node.dst, F.concat_ws(node.sep, *parts)
+            )
+        if isinstance(node, PromSubquery):
+            return self._eval_subquery(
+                node, start_ms, end_ms, step_ms, lookback_ms
+            )
+        if isinstance(node, PromAgg):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            label_cols = [c for c in inner.columns if c not in ("t", "value")]
+            if node.without is not None:
+                by = [c for c in label_cols if c not in node.without]
+            else:
+                by = node.by or []
+            return inner.groupBy("t", *by).agg(
+                _OUTER_AGGS[node.op](F.col("value")).alias("value")
+            )
         if isinstance(node, PromQuantileAgg):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             label_cols = [c for c in inner.columns if c not in ("t", "value")]
@@ -741,6 +958,68 @@ class PromQLEngine:
                 F.percentile("value", F.lit(node.phi)).alias("value")
             )
         return self._eval_expr(node, start_ms, end_ms, step_ms, lookback_ms)
+
+    def _steps_frame(self, start_ms, end_ms, step_ms) -> DataFrame:
+        """The step axis as a one-column frame — O(steps) rows, built on
+        the driver-side literal sequence (no scan)."""
+        return self.samples.sparkSession.range(1).select(
+            F.explode(
+                F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(step_ms))
+            ).alias("t")
+        )
+
+    @staticmethod
+    def _time_column(func: str):
+        """Calendar functions of the sample value as epoch seconds, UTC
+        (requires the UTC session TZ that configure_session pins).
+        ``timestamp`` instead reads the evaluation step time."""
+        if func == "timestamp":
+            return (F.col("t") / F.lit(1000.0)).alias("value")
+        ts = F.timestamp_seconds(F.floor(F.col("value")).cast("long"))
+        simple = {
+            "minute": F.minute,
+            "hour": F.hour,
+            "day_of_month": F.dayofmonth,
+            "day_of_year": F.dayofyear,
+            "month": F.month,
+            "year": F.year,
+        }
+        if func in simple:
+            out = simple[func](ts)
+        elif func == "day_of_week":
+            out = F.dayofweek(ts) - F.lit(1)  # Prometheus: 0 = Sunday
+        else:  # days_in_month
+            out = F.dayofmonth(F.last_day(ts))
+        return out.cast("double")
+
+    def _eval_subquery(
+        self, node: PromSubquery, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        """Evaluate the inner expression on an absolute-epoch-aligned
+        sub-step grid covering (start - range, end], then treat its output
+        rows as samples for the range function — the same arithmetic
+        fan-out as a plain range selector, so still no join between the
+        outer steps and the sub-step results (Prometheus subquery
+        semantics; sub-steps align to multiples of the resolution, not to
+        the outer start)."""
+        sub = node.step_ms
+        sub_start = ((start_ms - node.range_ms) // sub + 1) * sub
+        sub_end = (end_ms // sub) * sub
+        inner = self._eval(node.inner, sub_start, sub_end, sub, lookback_ms)
+        samples = inner.withColumnRenamed("t", "ts")
+        series_cols = [c for c in samples.columns if c not in ("ts", "value")]
+        expr = PromExpr(
+            metric="",
+            func=node.func,
+            range_ms=node.range_ms,
+            func_param=node.func_param,
+            func_param2=node.func_param2,
+        )
+        # _assign_steps self-dispatches to the fan-out when window > step
+        bucketed = self._assign_steps(
+            samples, start_ms, end_ms, step_ms, node.range_ms
+        )
+        return self._range_value(expr, bucketed, series_cols)
 
     def _eval_setop(
         self, node: PromSetOp, start_ms, end_ms, step_ms, lookback_ms
@@ -1294,6 +1573,37 @@ class PromQLEngine:
             ).otherwise(last["value"])  # counter reset between the two
             dt_s = (last["ts"] - prev["ts"]) / F.lit(1000.0)
             value = F.when((n >= 2) & (dt_s > 0), dv / dt_s)
+        elif expr.func == "holt_winters":
+            # Prometheus double exponential smoothing: s/b recurrence
+            # folded over the window's 3rd..nth samples, seeded from the
+            # first two (the i=1 iteration is algebraically folded into the
+            # seed).  A JVM `aggregate` HOF — the state struct is rebuilt
+            # per step from the PREVIOUS accumulator only (no in-place
+            # aliasing, unlike DuckDB 1.0's list_reduce, which is why the
+            # corpus oracle uses a recursive CTE instead).
+            sf_ = expr.func_param
+            tf_ = expr.func_param2
+            v1 = "element_at(__w, 1).value"
+            v2 = "element_at(__w, 2).value"
+            trend = f"({tf_}D * (acc.s1 - acc.s0) + (1.0D - {tf_}D) * acc.b)"
+            value = F.when(
+                n >= 2,
+                F.expr(
+                    "aggregate("
+                    " slice(__w, 3, greatest(size(__w) - 2, 0)),"
+                    " named_struct("
+                    f"  's0', {v1},"
+                    f"  's1', {sf_}D * {v2}"
+                    f"    + (1.0D - {sf_}D) * ({v1} + ({v2} - {v1})),"
+                    f"  'b', {v2} - {v1}),"
+                    " (acc, s) -> named_struct("
+                    "  's0', acc.s1,"
+                    f"  's1', {sf_}D * s.value"
+                    f"    + (1.0D - {sf_}D) * (acc.s1 + {trend}),"
+                    f"  'b', {trend}),"
+                    " acc -> acc.s1)"
+                ),
+            )
         elif expr.func in ("changes", "resets"):
             cond = (
                 "s.value < acc.prev"
