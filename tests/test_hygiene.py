@@ -150,6 +150,7 @@ def test_global_shuffle_deterministic_and_seed_sensitive(spark):
 
 def test_with_global_positions_matches_sort_order(spark):
     df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out = ORD.with_global_positions(df, "doc_id", "seed9")
     rows = out.orderBy("pos").collect()
     assert [r["pos"] for r in rows] == list(range(500))
@@ -160,5 +161,8 @@ def test_with_global_positions_matches_sort_order(spark):
     ]
     assert [r["doc_id"] for r in rows] == want
     # the fat tagged cache is dropped; only the output's own eager
-    # localCheckpoint may remain pinned (released when `out` is GC'd)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
+    # localCheckpoint may remain pinned (released when `out` is GC'd).
+    # Compare against a pre-call snapshot: the session fixture is shared,
+    # so earlier tests' pinned checkpoint RDDs must not count against us.
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(after - before) <= 1

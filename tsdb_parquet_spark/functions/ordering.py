@@ -47,9 +47,13 @@ def with_global_positions(
     a global Window is a scale wall): range-sort by draw, tag local index
     via ``monotonically_increasing_id`` minus the partition-id bits,
     broadcast per-partition running-sum offsets back on.
-    """
-    from pyspark.sql.window import Window
 
+    Bound: ``monotonically_increasing_id`` reserves the low 33 bits for the
+    within-partition record index, so the local-index subtraction is only
+    valid while every partition holds < 2**33 rows (~8.6e9).  The offsets
+    pass counts each partition anyway; we validate the bound there and
+    raise rather than silently emit garbage positions.
+    """
     draw = shuffle_draw(F.col(key_col), seed).alias("__draw")
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -68,13 +72,32 @@ def with_global_positions(
         ).alias("__idx"),
     ).persist()
 
-    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    running = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # ≤ n_parts rows — collect to the driver, validate the 33-bit local-index
+    # bound, and build the running-sum offsets there (replaces a
+    # Window.orderBy over the same tiny frame; the broadcast join is
+    # unchanged).
+    counts = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
     )
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(running), F.lit(0)).alias("__offset"),
+    too_big = [(pid, cnt) for pid, cnt in counts if cnt >= 1 << 33]
+    if too_big:
+        tagged.unpersist()
+        raise ValueError(
+            "with_global_positions: partition(s) exceed the 2**33-row "
+            f"monotonically_increasing_id local-index bound: {too_big[:3]}; "
+            "raise spark.sql.shuffle.partitions so each range partition "
+            "holds < 8.6e9 rows"
+        )
+    acc = 0
+    offset_rows = []
+    for pid, cnt in counts:
+        offset_rows.append((pid, acc))
+        acc += cnt
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows, "`__pid` INT, `__offset` BIGINT"
     )
     out = (
         tagged.join(F.broadcast(offsets), on="__pid", how="inner")
