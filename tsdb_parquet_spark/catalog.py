@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.session import configure_session
 
@@ -30,6 +31,29 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to the engine's int64 epoch-nanos
+    contract (the reference keeps all timestamps as int64 —
+    `schema/chunk.go:31-34`).
+
+    The testdata has shipped ``events.ts`` both as TIMESTAMP(NANOS)
+    (read as int64 via ``nanosAsLong``) and as ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ); downstream code must not care.  With the session
+    timezone pinned to UTC (`session.py`), the NTZ→TIMESTAMP cast is
+    epoch-faithful, matching DuckDB's ``epoch_ns`` on the same column.
+
+    Scale note: this is a projection over the scan, so ts predicates
+    written against the normalized column don't reach PushedFilters on the
+    raw file — the engine's real scan path is the chunk store, whose
+    mint/maxt pruning columns are native int64 (`sources/writer.py`).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ns = F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+        df = df.withColumn(col, ns)
+    return df
+
+
 class Catalog:
     """Loads the ten testdata tables from an sf directory.
 
@@ -47,7 +71,10 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; available: {TABLES}")
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            self._cache[name] = self.spark.read.parquet(path)
+            df = self.spark.read.parquet(path)
+            if name == "events":
+                df = normalize_event_time(df)
+            self._cache[name] = df
         return self._cache[name]
 
     __getitem__ = table

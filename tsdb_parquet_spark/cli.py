@@ -93,12 +93,16 @@ def cmd_convert(args) -> int:
     if missing:
         raise SystemExit(f"columns not in input: {missing}")
 
-    ts_expr = {
-        "ms": F.col(args.ts_col),
-        "ns": F.expr(f"{args.ts_col} div 1000000"),
-        "us": F.expr(f"{args.ts_col} div 1000"),
-        "s": F.col(args.ts_col) * 1000,
-    }[args.ts_unit]
+    if dict(df.dtypes).get(args.ts_col) in ("timestamp", "timestamp_ntz"):
+        # timestamp input: the unit flag describes numeric columns only
+        ts_expr = F.unix_millis(F.col(args.ts_col).cast("timestamp"))
+    else:
+        ts_expr = {
+            "ms": F.col(args.ts_col),
+            "ns": F.expr(f"{args.ts_col} div 1000000"),
+            "us": F.expr(f"{args.ts_col} div 1000"),
+            "s": F.col(args.ts_col) * 1000,
+        }[args.ts_unit]
     samples = df.select(
         *[F.col(c).cast("string").alias(c) for c in labels],
         ts_expr.cast("long").alias("ts"),
