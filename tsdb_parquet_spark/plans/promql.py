@@ -344,6 +344,23 @@ class PromTopK:
 PromNode = "PromExpr | PromBinary | PromTopK | float"
 
 
+def _count_subtrees(node, counts: dict[str, int] | None = None) -> dict[str, int]:
+    """Occurrence count of every structural subtree (by dataclass repr),
+    used by the evaluator to decide which common subexpressions to pin.
+    Scalar (float) operands are skipped — they never reach ``_eval``."""
+    if counts is None:
+        counts = {}
+    if not hasattr(node, "__dataclass_fields__"):
+        return counts
+    counts[repr(node)] = counts.get(repr(node), 0) + 1
+    for name in node.__dataclass_fields__:
+        value = getattr(node, name)
+        for child in value if isinstance(value, (list, tuple)) else (value,):
+            if hasattr(child, "__dataclass_fields__"):
+                _count_subtrees(child, counts)
+    return counts
+
+
 class _Parser:
     _TOKEN = re.compile(
         r"""\s*(?:
@@ -885,11 +902,43 @@ class PromQLEngine:
         node = parse_promql(promql)
         if isinstance(node, float):
             raise ValueError("scalar-only query has no vector result")
+        # fresh common-subexpression state per top-level evaluation
+        self._memo: dict[tuple, DataFrame] = {}
+        self._subtree_refs = _count_subtrees(node)
+        self._inner_evals: dict[str, int] = {}
         out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
         label_cols = [c for c in out.columns if c not in ("t", "value")]
         return out.orderBy("t", *label_cols)
 
     def _eval(
+        self, node, start_ms: int, end_ms: int, step_ms: int, lookback_ms: int
+    ) -> DataFrame:
+        """Memoizing dispatcher: structurally identical subtrees evaluated
+        on the same grid reuse one DataFrame, and subtrees the query
+        references more than once are lazily ``localCheckpoint``-ed so
+        Spark executes them once instead of once per reference (e.g.
+        ``a and b or a`` pays one decode/scan for ``a``, not two).  The
+        memo lives for one ``query_range`` call; ``repr`` of the frozen
+        dataclass AST is the structural key."""
+        fp = repr(node)
+        key = (fp, start_ms, end_ms, step_ms, lookback_ms)
+        memo = getattr(self, "_memo", None)
+        if memo is not None and key in memo:
+            return memo[key]
+        out = self._eval_inner(node, start_ms, end_ms, step_ms, lookback_ms)
+        if memo is not None:
+            stats = self._inner_evals
+            stats[fp] = stats.get(fp, 0) + 1
+            if self._subtree_refs.get(fp, 0) >= 2 and not isinstance(
+                node, (PromTime, PromVector)
+            ):
+                # lazy: materialized by the first action, reused after —
+                # single-shot subtrees never pay the persist
+                out = out.localCheckpoint(eager=False)
+            memo[key] = out
+        return out
+
+    def _eval_inner(
         self, node, start_ms: int, end_ms: int, step_ms: int, lookback_ms: int
     ) -> DataFrame:
         if isinstance(node, PromBinary):
