@@ -776,3 +776,47 @@ def test_cse_subquery_grids_not_conflated(spark):
     # constant 1.0-valued series, 3 series total: sum == 3 at every step;
     # max over the trailing 2m of sums == 3 -> 3 + 3 = 6
     assert all(abs(r["value"] - 6.0) < 1e-9 for r in out)
+
+
+def test_instant_absent(spark):
+    rows = []
+    for job in ("a", "b"):
+        for ts in range(0, 300_001, 30_000):
+            if not (job == "b" and 60_000 <= ts <= 120_000):
+                rows.append(("m", job, ts, float(ts)))
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    e = PromQLEngine(samples)
+    # selector matching nothing: absent at every step, labels synthesized
+    out = e.query_range('absent(m{job="zzz"})', 0, 120_000, 60_000).collect()
+    assert [(r["t"], r["job"], r["value"]) for r in out] == [
+        (0, "zzz", 1.0), (60_000, "zzz", 1.0), (120_000, "zzz", 1.0)
+    ]
+    # gap detection with a tight lookback: b is missing 60k-120k
+    out = e.query_range(
+        'absent(m{job="b"})', 0, 300_000, 60_000, lookback_ms=30_000
+    ).collect()
+    assert [r["t"] for r in out] == [60_000, 120_000]
+    # derived vectors: label-free, and empty when the vector is dense
+    assert (
+        e.query_range('absent(sum(m{job="a"}))', 0, 60_000, 60_000).count() == 0
+    )
+
+
+def test_sort_desc(spark):
+    samples = _stub_samples(spark)
+    e = PromQLEngine(samples)
+    out = e.query_range(
+        "sort_desc(sum by (job) (count_over_time(http_requests_total[1m])))",
+        60_000, 120_000, 60_000,
+    ).collect()
+    # api-server has 2 series, kubelet 1 -> desc order within each step
+    for t in (60_000, 120_000):
+        vals = [(r["job"], r["value"]) for r in out if r["t"] == t]
+        assert vals == sorted(vals, key=lambda x: -x[1])
+        assert vals[0][0] == "api-server"
+    # nested sort is a presentation no-op, not an error
+    e.query_range(
+        "sum(sort(http_requests_total))", 60_000, 60_000, 60_000
+    ).collect()

@@ -2906,6 +2906,84 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q78_promql_instant_absent",
+    f"""
+WITH s AS (
+  SELECT epoch_ms(ts) AS ts_ms FROM events
+  WHERE event_type = 'error' AND user_id % 8 = 7
+    AND (epoch_ms(ts) // {_DAY_MS}) % 5 = 0
+),
+steps AS (
+  SELECT {_P_START} + k * {_P_STEP} AS t
+  FROM range(0, {(_P_END - _P_START) // _P_STEP + 1}) r(k)
+),
+present AS (
+  SELECT DISTINCT st.t
+  FROM steps st JOIN s
+    ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+)
+SELECT st.t, 'error' AS event_type, '7' AS shard,
+       CAST(1.0 AS DOUBLE) AS value
+FROM steps st LEFT JOIN present p ON p.t = st.t
+WHERE p.t IS NULL ORDER BY st.t""",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant `absent(app_events_sparse{...})` — presence judged over
+    the lookback window like any instant selector, the step axis
+    anti-joined against the distinct present steps (both sides
+    O(steps)); labels synthesized from the equality matchers.  Every
+    fifth day of samples only, so absences exist at every scale."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events_sparse").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    ).filter(F.expr(f"(ts div {_DAY_MS}) % 5") == 0)
+    engine = PromQLEngine(samples)
+    return engine.query_range(
+        'absent(app_events_sparse{event_type="error", shard="7"})',
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+
+
+@query(
+    "q79_promql_sort_desc",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+b AS (
+  SELECT event_type,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+)
+SELECT t, event_type, CAST(count(*) AS DOUBLE) AS value
+FROM b WHERE t <= {_P_END}
+GROUP BY t, event_type
+ORDER BY t, value DESC, event_type""",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_desc(...)` — presentation ordering by value at each step
+    (ties broken by label for a deterministic cross-engine hash);
+    integer-valued counts keep every value exact."""
+    engine = _promql_samples(spark, sf_dir)
+    return engine.query_range(
+        "sort_desc(sum by (event_type) (count_over_time(app_events[1d])))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------

@@ -330,6 +330,28 @@ class PromHistogramQuantile:
 
 
 @dataclass
+class PromAbsent:
+    """absent(v): 1.0 at every step where the instant vector is empty
+    (presence judged over the lookback window, like any instant
+    selector).  For a plain selector, output labels are synthesized from
+    its equality matchers, Prometheus-style; for derived vectors the
+    result is label-free."""
+
+    inner: "PromNode"
+
+
+@dataclass
+class PromSort:
+    """sort(v) / sort_desc(v): presentation-order the result by value.
+    Only meaningful at the top of the query (Prometheus ignores nested
+    sorts in range queries); the evaluator applies it as the final
+    ORDER BY (t, value, labels)."""
+
+    inner: "PromNode"
+    ascending: bool = True
+
+
+@dataclass
 class PromTopK:
     """topk/bottomk(k, vector): keep the k series with the highest (lowest)
     value at each step.  With ``by`` labels, k series are kept per
@@ -565,6 +587,18 @@ class _Parser:
                     raise ValueError(f"vector() expects a scalar, got {num!r}")
                 self.expect(")")
                 return PromVector(value=float(num))
+            if tok == "absent":
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                self.expect(")")
+                return PromAbsent(inner=inner)
+            if tok in ("sort", "sort_desc"):
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                self.expect(")")
+                return PromSort(inner=inner, ascending=(tok == "sort"))
         return self._selector()
 
     def _label_join(self):
@@ -711,7 +745,9 @@ class _Parser:
         elif kind == "ident" and tok in PARAM_RANGE_FUNCS:
             inner = self._param_range_func()
         else:
-            inner = self._selector()
+            # any vector expression (nested function, binary, set op...);
+            # a plain selector keeps the fused selector+agg fast path below
+            inner = self._set_or()
         self.expect(")")
         if not isinstance(inner, PromExpr):
             # e.g. a subquery operand: aggregate its result generically
@@ -908,6 +944,11 @@ class PromQLEngine:
         self._inner_evals: dict[str, int] = {}
         out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
         label_cols = [c for c in out.columns if c not in ("t", "value")]
+        if isinstance(node, PromSort):
+            value_order = (
+                F.col("value").asc() if node.ascending else F.col("value").desc()
+            )
+            return out.orderBy("t", value_order, *label_cols)
         return out.orderBy("t", *label_cols)
 
     def _eval(
@@ -962,6 +1003,14 @@ class PromQLEngine:
             return self._count_values(inner, node)
         if isinstance(node, PromSetOp):
             return self._eval_setop(node, start_ms, end_ms, step_ms, lookback_ms)
+        if isinstance(node, PromSort):
+            # ordering is applied at the top of query_range; nested sorts
+            # are presentation no-ops (Prometheus range-query semantics)
+            return self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+        if isinstance(node, PromAbsent):
+            return self._absent_instant(
+                node, start_ms, end_ms, step_ms, lookback_ms
+            )
         if isinstance(node, PromTime):
             return self._steps_frame(start_ms, end_ms, step_ms).select(
                 "t", (F.col("t") / F.lit(1000.0)).alias("value")
@@ -1437,6 +1486,31 @@ class PromQLEngine:
             by = expr.by or []
         return per_series.groupBy("t", *by).agg(
             _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
+        )
+
+    def _absent_instant(
+        self, node: "PromAbsent", start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        """absent(v): the step axis anti-joined against the steps where
+        the inner instant vector has any series — both sides O(steps)
+        after the inner evaluation's own aggregation.  Reuses the full
+        selector machinery (lookback, offset, matchers) by evaluating the
+        inner expression like any other instant vector."""
+        present = self._eval(
+            node.inner, start_ms, end_ms, step_ms, lookback_ms
+        ).select("t").distinct()
+        steps = self._steps_frame(start_ms, end_ms, step_ms)
+        absent = steps.join(present, on="t", how="left_anti")
+        label_cols = []
+        inner = node.inner
+        if isinstance(inner, PromExpr) and inner.func is None and inner.agg is None:
+            label_cols = [
+                F.lit(m.value).alias(m.name)
+                for m in inner.matchers
+                if m.op == "=" and m.name != self.metric_label
+            ]
+        return absent.select(
+            "t", *label_cols, F.lit(1.0).cast("double").alias("value")
         )
 
     def _absent_over_time(
