@@ -100,3 +100,104 @@ def test_rollup_store_serves_promql(spark, sf_smoke, tmp_path):
         _P_START, _P_END, _P_STEP,
     )
     assert out.count() > 0
+
+
+def test_rewrite_for_rollup_ast():
+    from tsdb_parquet_spark.plans.promql import (
+        PromAgg,
+        PromBinary,
+        parse_promql,
+    )
+    from tsdb_parquet_spark.plans.routing import rewrite_for_rollup
+
+    # aligned count_over_time -> sum_over_time of :count
+    node, n = rewrite_for_rollup(
+        parse_promql("sum by (job) (count_over_time(m[1d]))"),
+        _DAY, start_ms=0, step_ms=_DAY,
+    )
+    assert n == 1
+    assert node.metric == "m:count" and node.func == "sum_over_time"
+    assert node.agg == "sum" and node.by == ["job"]
+
+    # avg splits into sum/count, outer agg preserved as a wrapper
+    node, n = rewrite_for_rollup(
+        parse_promql("sum by (job) (avg_over_time(m[2d]))"),
+        _DAY, start_ms=0, step_ms=_DAY,
+    )
+    assert n == 1
+    assert isinstance(node, PromAgg) and node.op == "sum"
+    assert isinstance(node.inner, PromBinary) and node.inner.op == "/"
+    assert node.inner.left.metric == "m:sum"
+    assert node.inner.right.metric == "m:count"
+
+    # misaligned window: untouched
+    node, n = rewrite_for_rollup(
+        parse_promql("count_over_time(m[36h])"), _DAY, 0, _DAY
+    )
+    assert n == 0 and node.metric == "m"
+    # misaligned grid: untouched
+    _, n = rewrite_for_rollup(
+        parse_promql("count_over_time(m[1d])"), _DAY, 0, 3_600_000
+    )
+    assert n == 0
+    # non-decomposable function: untouched
+    _, n = rewrite_for_rollup(
+        parse_promql("rate(m[1d])"), _DAY, 0, _DAY
+    )
+    assert n == 0
+
+
+def test_routed_engine_matches_raw(spark, sf_smoke, tmp_path):
+    """End-to-end routing: the routed engine serves aligned queries from
+    the rollup store and returns exactly what the raw engine computes."""
+    from tsdb_parquet_spark.corpus import (
+        _CHUNK_LABELS,
+        _P_END,
+        _P_START,
+        _P_STEP,
+        events_chunk_store,
+    )
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.plans.routing import routed_engine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    src = events_chunk_store(spark, sf_smoke)
+    dest = rollup_store(
+        spark, src, str(tmp_path / "routed"), _CHUNK_LABELS, step_ms=_DAY
+    )
+    routed = routed_engine(spark, src, dest, _CHUNK_LABELS, _DAY)
+    raw_engine = PromQLEngine(
+        ChunkQuerier.from_parquet(spark, src).select_samples(
+            labels=_CHUNK_LABELS
+        )
+    )
+    for q in (
+        "sum by (event_type) (count_over_time(app_events[1d]))",
+        "max by (event_type) (max_over_time(app_events[2d]))",
+    ):
+        got = routed.query_range(q, _P_START, _P_END, _P_STEP)
+        assert routed.last_rewrites == 1, q
+        want = raw_engine.query_range(q, _P_START, _P_END, _P_STEP)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), q
+
+    # avg decomposes through sum/count; float-compare with rounding
+    q = "avg_over_time(app_events[1d])"
+    got = routed.query_range(q, _P_START, _P_END, _P_STEP)
+    assert routed.last_rewrites == 1
+    want = raw_engine.query_range(q, _P_START, _P_END, _P_STEP)
+    g = {tuple(r[:-1]): r[-1] for r in got.collect()}
+    w = {tuple(r[:-1]): r[-1] for r in want.collect()}
+    assert g.keys() == w.keys() and g
+    for k in g:
+        assert g[k] == pytest.approx(w[k], rel=1e-9), k
+
+    # an unaligned query routes nowhere and still answers from raw
+    q = "sum by (event_type) (count_over_time(app_events[1d]))"
+    got = routed.query_range(q, _P_START + 3_600_000, _P_END, _P_STEP)
+    assert routed.last_rewrites == 0
+    want = raw_engine.query_range(q, _P_START + 3_600_000, _P_END, _P_STEP)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

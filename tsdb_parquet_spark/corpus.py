@@ -2907,6 +2907,54 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q77_rollup_routing",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+per_series AS (
+  SELECT t, event_type, shard, sum(value) / count(*) AS avg_v
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type, round(sum(avg_v), 4) AS value
+FROM per_series GROUP BY t, event_type
+ORDER BY t, event_type""",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time rollup routing (`plans/routing.py`): the engine reads
+    the raw AND daily-rollup stores as one surface, rewrites the aligned
+    `avg_over_time(app_events[1d])` into `sum_over_time(app_events:sum)
+    / sum_over_time(app_events:count)` against the recording-rule
+    series, and the `__name__` pushdown prunes the raw store's chunks —
+    while the oracle recomputes the same averages from raw events.  The
+    in-query assert is the plan check: zero rewrites would mean the
+    routed path silently fell back to raw."""
+    from tsdb_parquet_spark.plans.routing import routed_engine
+
+    raw = events_chunk_store(spark, sf_dir)
+    roll = events_rollup_store(spark, sf_dir)
+    engine = routed_engine(spark, raw, roll, _CHUNK_LABELS, _DAY_MS)
+    out = engine.query_range(
+        "sum by (event_type) (avg_over_time(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    assert engine.last_rewrites == 1, "rollup routing did not engage"
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@query(
     "q78_promql_instant_absent",
     f"""
 WITH s AS (

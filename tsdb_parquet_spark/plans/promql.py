@@ -938,6 +938,7 @@ class PromQLEngine:
         node = parse_promql(promql)
         if isinstance(node, float):
             raise ValueError("scalar-only query has no vector result")
+        node = self._route(node, start_ms, end_ms, step_ms, lookback_ms)
         # fresh common-subexpression state per top-level evaluation
         self._memo: dict[tuple, DataFrame] = {}
         self._subtree_refs = _count_subtrees(node)
@@ -950,6 +951,12 @@ class PromQLEngine:
             )
             return out.orderBy("t", value_order, *label_cols)
         return out.orderBy("t", *label_cols)
+
+    def _route(self, node, start_ms, end_ms, step_ms, lookback_ms):
+        """AST hook between parse and eval; the rollup-routed engine
+        (`plans/routing.py`) overrides this to serve aligned range
+        selectors from a downsampled store."""
+        return node
 
     def _eval(
         self, node, start_ms: int, end_ms: int, step_ms: int, lookback_ms: int

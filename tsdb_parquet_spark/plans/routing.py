@@ -1,0 +1,195 @@
+"""Query-time rollup routing — Thanos-style downsampling selection.
+
+``sources/rollup.py`` materializes recording-rule series (``m:sum``,
+``m:count``, ...) at a coarse resolution; this module makes the query
+surface pick them AUTOMATICALLY: a range selector whose window, grid and
+offset all align to the rollup resolution is rewritten to the rolled
+series (``count_over_time(m[1d])`` → ``sum_over_time(m:count[1d])``,
+``avg_over_time`` → ``sum/count``), everything else keeps reading raw.
+The reference's converter stops short of exactly this half of the
+feature (`cmd/convert/main.go:79-117` writes one resolution and leaves
+selection to the operator).
+
+Routing is PER SELECTOR, not per query: the routed engine evaluates over
+the union of the raw and rollup stores (`ChunkQuerier.from_stores`), so
+a rewritten selector's ``__name__ = 'm:sum'`` equality matcher prunes
+raw-store chunks at the storage layer (bloom/dictionary pushdown on the
+sort-prefix label), and unrewritable selectors in the same query still
+read raw — no all-or-nothing fallback.
+
+Scale shape: the rollup store holds ~``raw_rows * aggs / samples_per
+_bucket`` rows; a 90-day daily-step dashboard query scans that instead
+of the raw samples, and the rewrite itself is a driver-side AST walk —
+no extra shuffle, no second scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import fields, replace
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+
+from tsdb_parquet_spark.plans.promql import (
+    PromBinary,
+    PromExpr,
+    PromQLEngine,
+    PromSubquery,
+)
+from tsdb_parquet_spark.sources.rollup import ROLLUP_AGGS
+
+#: range function -> (rollup series suffix, function to run over it)
+_FUNC_REWRITES: dict[str, tuple[str, str]] = {
+    "sum_over_time": ("sum", "sum_over_time"),
+    "count_over_time": ("count", "sum_over_time"),
+    "min_over_time": ("min", "min_over_time"),
+    "max_over_time": ("max", "max_over_time"),
+    "last_over_time": ("last", "last_over_time"),
+}
+
+
+def _alignable(expr: PromExpr, rs: int, start_ms: int, step_ms: int) -> bool:
+    """A window (t - range, t] decomposes into whole rollup buckets
+    (right-closed, stamped at bucket end — `sources/rollup.py:38-42`)
+    iff every evaluation instant and the window width are multiples of
+    the rollup resolution."""
+    return (
+        expr.range_ms is not None
+        and expr.range_ms >= rs
+        and expr.range_ms % rs == 0
+        and start_ms % rs == 0
+        and step_ms % rs == 0
+        and expr.offset_ms % rs == 0
+        and (expr.at_ms is None or expr.at_ms % rs == 0)
+        and not any(m.name == "__name__" for m in expr.matchers)
+    )
+
+
+def _rolled(expr: PromExpr, agg: str, func: str) -> PromExpr:
+    return replace(
+        expr, metric=f"{expr.metric}:{agg}", func=func,
+        agg=None, by=None, without=None,
+    )
+
+
+def rewrite_for_rollup(
+    node,
+    rollup_step_ms: int,
+    start_ms: int,
+    step_ms: int,
+    aggs: Sequence[str] = ROLLUP_AGGS,
+):
+    """Rewrite eligible range selectors to their rollup series.  Returns
+    ``(rewritten_node, n_rewrites)``; unrewritable subtrees come back
+    untouched.  Subquery interiors are left raw — their sub-grid is not
+    the outer grid, so alignment would need per-node re-derivation."""
+    from tsdb_parquet_spark.plans.promql import PromAgg
+
+    available = set(aggs)
+    rs = int(rollup_step_ms)
+
+    def walk(n):
+        if not hasattr(n, "__dataclass_fields__"):
+            return n, 0
+        if isinstance(n, PromSubquery):
+            return n, 0
+        if isinstance(n, PromExpr):
+            if not _alignable(n, rs, start_ms, step_ms):
+                return n, 0
+            if n.func in _FUNC_REWRITES:
+                agg, func = _FUNC_REWRITES[n.func]
+                if agg not in available:
+                    return n, 0
+                # keep any fused outer aggregation — only the selector
+                # and range function change
+                return replace(n, metric=f"{n.metric}:{agg}", func=func), 1
+            if (
+                n.func == "avg_over_time"
+                and "sum" in available
+                and "count" in available
+            ):
+                ratio = PromBinary(
+                    op="/",
+                    left=_rolled(n, "sum", "sum_over_time"),
+                    right=_rolled(n, "count", "sum_over_time"),
+                )
+                if n.agg is None:
+                    return ratio, 1
+                return (
+                    PromAgg(op=n.agg, inner=ratio, by=n.by, without=n.without),
+                    1,
+                )
+            return n, 0
+        total = 0
+        updates = {}
+        for f in fields(n):
+            value = getattr(n, f.name)
+            if hasattr(value, "__dataclass_fields__"):
+                new, k = walk(value)
+                if k:
+                    updates[f.name] = new
+                    total += k
+            elif isinstance(value, (list, tuple)):
+                new_items, changed = [], False
+                for item in value:
+                    if hasattr(item, "__dataclass_fields__"):
+                        new, k = walk(item)
+                        new_items.append(new)
+                        changed = changed or k > 0
+                        total += k
+                    else:
+                        new_items.append(item)
+                if changed:
+                    updates[f.name] = type(value)(new_items)
+        return (replace(n, **updates) if updates else n), total
+
+    return walk(node)
+
+
+class RollupRoutedEngine(PromQLEngine):
+    """PromQLEngine over the raw+rollup union that applies
+    :func:`rewrite_for_rollup` to every ``query_range``.
+    ``last_rewrites`` exposes how many selectors the previous call
+    served from the rollup store (0 = everything read raw)."""
+
+    def __init__(
+        self,
+        samples,
+        rollup_step_ms: int,
+        rollup_aggs: Sequence[str] = ROLLUP_AGGS,
+        **kwargs,
+    ):
+        super().__init__(samples, **kwargs)
+        self.rollup_step_ms = int(rollup_step_ms)
+        self.rollup_aggs = tuple(rollup_aggs)
+        self.last_rewrites = 0
+
+    def _route(self, node, start_ms, end_ms, step_ms, lookback_ms):
+        node, n = rewrite_for_rollup(
+            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs
+        )
+        self.last_rewrites = n
+        return node
+
+
+def routed_engine(
+    spark: SparkSession,
+    raw_store_dir: str,
+    rollup_store_dir: str,
+    label_columns: Sequence[str],
+    rollup_step_ms: int,
+    rollup_aggs: Sequence[str] = ROLLUP_AGGS,
+    **kwargs,
+) -> RollupRoutedEngine:
+    """Open raw + rollup chunk stores as ONE query surface.  Selector
+    ``__name__`` equality matchers reach both stores' scans as pushed
+    predicates, so a rewritten query touches only rollup chunks and an
+    unrewritten one only raw chunks — the union costs nothing beyond
+    the footer reads."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_stores(spark, [raw_store_dir, rollup_store_dir])
+    samples = q.select_samples(labels=list(label_columns))
+    return RollupRoutedEngine(
+        samples, rollup_step_ms, rollup_aggs=rollup_aggs, **kwargs
+    )
