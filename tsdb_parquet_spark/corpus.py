@@ -2906,6 +2906,87 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streamed_sessions_oracle() -> str:
+    from tsdb_parquet_spark.streaming.sessions import sql_sessionize
+
+    inner = sql_sessionize(
+        ["user_id"], table="events", ts_expr="epoch_ms(ts)",
+        value_expr="value", gap_ms=_SESSION_GAP_MS,
+    )
+    return f"""
+WITH sess AS ({inner})
+SELECT user_id, session_start, session_end, n_events,
+       round(sum_value, 2) AS sum_value
+FROM sess ORDER BY user_id, session_start"""
+
+
+@query("q76_streaming_sessionize", _streamed_sessions_oracle())
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed AvailableNow through the stateful
+    `StreamingSessionizer` (applyInPandasWithState, EventTimeTimeout):
+    in-stream gaps close mid-stream sessions and the final watermark
+    advance fires the event-time timeouts.  A far-future flush event on
+    a sentinel key pushes the watermark past every real gap deadline, so
+    the closed-sessions stream must equal the batch `sessionize` result
+    EXACTLY — the oracle is the same SQL twin q46 checks against,
+    promoting the streaming operator from tests-only to a driver hash
+    signal."""
+    import shutil
+
+    from tsdb_parquet_spark.streaming.sessions import StreamingSessionizer
+
+    cat = _cat(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"stream_sessions_v1_{tag}")
+    out_dir = os.path.join(root, "out")
+
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        staging = os.path.join(root, "staging")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(staging)
+        events = cat["events"].select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.expr("ts div 1000000").alias("ts"),
+            "value",
+        )
+        events.write.mode("overwrite").parquet(staging)
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        delay_ms = 10_000
+        flush = spark.createDataFrame(
+            [("__flush__", int(max_ts) + _SESSION_GAP_MS + 2 * delay_ms, 0.0)],
+            "user_id STRING, ts LONG, value DOUBLE",
+        )
+        flush.coalesce(1).write.mode("append").parquet(staging)
+        stream = spark.readStream.schema(events.schema).parquet(staging)
+        closed = StreamingSessionizer(gap_ms=_SESSION_GAP_MS).apply(
+            stream, key_col="user_id", watermark_delay=f"{delay_ms // 1000} seconds"
+        )
+        handle = (
+            closed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not handle.awaitTermination(600):
+            raise RuntimeError("AvailableNow session replay did not drain")
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("key") != "__flush__")
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 @query(
     "q77_rollup_routing",
     f"""
@@ -3079,10 +3160,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q73_promql_time_functions",
     "q74_promql_subquery",
     "q75_promql_holt_winters",
+    # new this round: streaming-sessionizer oracle, rollup routing,
+    # instant absent(), sort_desc
+    "q76_streaming_sessionize",
+    "q77_rollup_routing",
+    "q78_promql_instant_absent",
+    "q79_promql_sort_desc",
     # rows exercising code paths changed this round (PromQL CSE, rollup
     # routing, store build) — keep under the driver's eye while they move
     "q16_series_select",
-    "q17_chunk_samples_roundtrip",
     "q19_promql_count_over_time",
     "q20_promql_instant_sum",
     "q21_streaming_ingest",
