@@ -8,8 +8,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Store builds (the chunk store q16/q17/etc read and the streaming-ingest
 store behind q21) are timed SEPARATELY from the query loop, so per-query
 numbers measure plan changes, not disk-cache warmth, round over round.
-Pass --cold (or SPARK_GRAFT_COLD=1) to delete the version-tagged stores
-first and measure a true cold build.
+`store_build_cold` additionally times ONE uncached chunk-store build
+into a throwaway dir on every run.  Pass --cold (or SPARK_GRAFT_COLD=1)
+to also delete the version-tagged stores first.
 
 Targets are in BASELINE.md (full suite <= 90 s warm at sf0.1).
 """
@@ -79,6 +80,22 @@ def main() -> None:
     events_rollup_store(spark, sf_dir)
     store_build["rollup_store"] = round(time.perf_counter() - start, 3)
 
+    # one store built COLD every run (throwaway dir, version cache
+    # bypassed) so codec/writer changes show up round over round even
+    # when the cached stores above are warm hits
+    from tsdb_parquet_spark.corpus import build_events_chunk_store
+
+    cold_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".work",
+        "bench_cold_build",
+    )
+    shutil.rmtree(cold_dir, ignore_errors=True)
+    start = time.perf_counter()
+    build_events_chunk_store(spark, sf_dir, os.path.join(cold_dir, "compact"))
+    store_build_cold = round(time.perf_counter() - start, 3)
+    shutil.rmtree(cold_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         start = time.perf_counter()
@@ -102,6 +119,7 @@ def main() -> None:
                 "queries": timings,
                 "store_build": store_build,
                 "store_build_total": round(sum(store_build.values()), 3),
+                "store_build_cold": store_build_cold,
                 "cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -371,10 +371,6 @@ WITH s AS (
 def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the sorted chunk store for the events table:
     samples -> chunks -> sorted parts -> compact.  Returns the compact dir."""
-    from tsdb_parquet_spark.chunks import samples_to_chunks
-    from tsdb_parquet_spark.schema import sort_columns
-    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     # version tag guards against stale cached stores when the chunk format
@@ -383,6 +379,16 @@ def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     compact_dir = os.path.join(root, "compact")
     if os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
         return compact_dir
+    return build_events_chunk_store(spark, sf_dir, compact_dir)
+
+
+def build_events_chunk_store(
+    spark: SparkSession, sf_dir: str, compact_dir: str
+) -> str:
+    """The uncached build path (bench.py times this cold every run)."""
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
 
     ev = _cat(spark, sf_dir)["events"]
     samples = ev.select(
