@@ -6,6 +6,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from tsdb_parquet_spark.catalog import normalize_event_time
 from tsdb_parquet_spark.querier import ChunkQuerier
 from tsdb_parquet_spark.schema import SERIES_ID
 from tsdb_parquet_spark.streaming.ingest import StreamingChunkIngestor
@@ -36,23 +37,27 @@ def _stage_events(spark, sf_dir, staging, copies=1):
         shutil.copy(src, os.path.join(staging, f"events_{i}.parquet"))
 
 
-def _run_ingest(spark, source_dir, root, schema, max_files_per_trigger=None):
+def _run_ingest(spark, source_dir, root, schema=None, max_files_per_trigger=None):
     shutil.rmtree(root, ignore_errors=True)
     ingestor = StreamingChunkIngestor(
         spark, root, LABELS, _to_samples, chunk_span_ms=DAY_MS
     )
-    reader = spark.readStream.schema(schema)
+    # schema of the staged RAW files (a normalized schema would make the
+    # parquet reader surface raw int64 micros and skew every ts)
+    reader = spark.readStream.schema(spark.read.parquet(source_dir).schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir).withColumn(
-        "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = normalize_event_time(
+        reader.parquet(source_dir)
+    ).withColumn("__event_time", F.timestamp_micros(F.expr("ts div 1000")))
     ingestor.ingest(stream, dedup_key="event_id", event_time_col="__event_time")
     return ingestor
 
 
 def test_stream_ingest_lossless(spark, sf_smoke):
-    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
     staging = os.path.join(WORK, "staging_single")
     _stage_events(spark, sf_smoke, staging)
     ingestor = _run_ingest(spark, staging, os.path.join(WORK, "single"),
@@ -72,7 +77,9 @@ def test_stream_dedup_suppresses_duplicate_delivery(spark, sf_smoke):
     """The same source file delivered twice across micro-batches must be
     ingested once (watermarked dropDuplicates on event_id) — protection the
     batch-only reference cannot express."""
-    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
     staging = os.path.join(WORK, "staging_dup")
     _stage_events(spark, sf_smoke, staging, copies=2)
     ingestor = _run_ingest(spark, staging, os.path.join(WORK, "dup"),
@@ -87,7 +94,9 @@ def test_replayed_micro_batch_is_idempotent(spark, sf_smoke):
     """foreachBatch is at-least-once: re-delivering the same (batch_df,
     batch_id) after a restart must not duplicate rows — the part dir is
     keyed by batch_id and a complete part is skipped."""
-    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
     root = os.path.join(WORK, "replay")
     shutil.rmtree(root, ignore_errors=True)
     ingestor = StreamingChunkIngestor(
@@ -101,7 +110,9 @@ def test_replayed_micro_batch_is_idempotent(spark, sf_smoke):
 
 
 def test_series_ids_assigned_at_compaction(spark, sf_smoke):
-    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
     staging = os.path.join(WORK, "staging_ids")
     _stage_events(spark, sf_smoke, staging)
     ingestor = _run_ingest(spark, staging, os.path.join(WORK, "ids"),
