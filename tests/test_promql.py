@@ -754,6 +754,13 @@ def test_cse_shared_subtree_evaluated_once(spark):
     assert twice_referenced, "expected shared subtrees"
     for fp in twice_referenced:
         assert engine._inner_evals.get(fp, 0) == 1, fp
+    # deeper: both aggregations share ONE selector core (the stripped
+    # count_over_time selector), so the whole query does a single
+    # decode-scan-window pipeline
+    cores = [fp for fp, n in engine._core_refs.items() if n >= 2]
+    assert len(cores) == 1 and engine._core_refs[cores[0]] == 4
+    core_keys = [k for k in engine._memo if k[0] == "core"]
+    assert len(core_keys) == 1, core_keys
 
     # memoized result == fresh single-branch evaluations stitched manually:
     # compare against an engine evaluating the same query with the memo

@@ -383,6 +383,28 @@ def _count_subtrees(node, counts: dict[str, int] | None = None) -> dict[str, int
     return counts
 
 
+def _count_selector_cores(node, counts: dict[str, int] | None = None) -> dict[str, int]:
+    """Occurrence count of selector CORES — a ``PromExpr`` with its fused
+    outer aggregation stripped.  ``sum by (a) (f(m[w]))`` and ``sum by
+    (a, b) (f(m[w]))`` share one core, so the evaluator can compute the
+    per-series frame once and aggregate it twice."""
+    from dataclasses import replace
+
+    if counts is None:
+        counts = {}
+    if not hasattr(node, "__dataclass_fields__"):
+        return counts
+    if isinstance(node, PromExpr):
+        core = repr(replace(node, agg=None, by=None, without=None))
+        counts[core] = counts.get(core, 0) + 1
+    for name in node.__dataclass_fields__:
+        value = getattr(node, name)
+        for child in value if isinstance(value, (list, tuple)) else (value,):
+            if hasattr(child, "__dataclass_fields__"):
+                _count_selector_cores(child, counts)
+    return counts
+
+
 class _Parser:
     _TOKEN = re.compile(
         r"""\s*(?:
@@ -942,6 +964,7 @@ class PromQLEngine:
         # fresh common-subexpression state per top-level evaluation
         self._memo: dict[tuple, DataFrame] = {}
         self._subtree_refs = _count_subtrees(node)
+        self._core_refs = _count_selector_cores(node)
         self._inner_evals: dict[str, int] = {}
         out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
         label_cols = [c for c in out.columns if c not in ("t", "value")]
@@ -1442,6 +1465,47 @@ class PromQLEngine:
             cols = [c for c in pinned.columns if c != "t"]
             return pinned.drop("t").select(steps, *cols)
 
+        per_series = self._selector_series(
+            expr, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if expr.agg is None:
+            return per_series
+        series_cols = [c for c in self.label_columns if c != self.metric_label]
+        if expr.without is not None:
+            by = [c for c in series_cols if c not in expr.without]
+        else:
+            by = expr.by or []
+        return per_series.groupBy("t", *by).agg(
+            _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
+        )
+
+    def _selector_series(
+        self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        """Per-series frame of a selector core (fused outer aggregation
+        stripped): ``sum by (a)`` and ``sum by (a, b)`` over the same
+        range function share ONE decode-scan-window pipeline, memoized
+        like any other subtree for the duration of a ``query_range``."""
+        from dataclasses import replace as _dc_replace
+
+        core = _dc_replace(expr, agg=None, by=None, without=None)
+        fp = repr(core)
+        key = ("core", fp, start_ms, end_ms, step_ms, lookback_ms)
+        memo = getattr(self, "_memo", None)
+        if memo is not None and key in memo:
+            return memo[key]
+        out = self._selector_series_inner(
+            core, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if memo is not None:
+            if getattr(self, "_core_refs", {}).get(fp, 0) >= 2:
+                out = out.localCheckpoint(eager=False)
+            memo[key] = out
+        return out
+
+    def _selector_series_inner(
+        self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
         window_ms = expr.range_ms if expr.func else lookback_ms
 
         matchers = list(expr.matchers)
@@ -1483,17 +1547,7 @@ class PromQLEngine:
         else:
             bucketed = self._join_steps(df, start_ms, end_ms, step_ms, window_ms)
 
-        per_series = self._range_value(expr, bucketed, series_cols)
-
-        if expr.agg is None:
-            return per_series
-        if expr.without is not None:
-            by = [c for c in series_cols if c not in expr.without]
-        else:
-            by = expr.by or []
-        return per_series.groupBy("t", *by).agg(
-            _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
-        )
+        return self._range_value(expr, bucketed, series_cols)
 
     def _absent_instant(
         self, node: "PromAbsent", start_ms, end_ms, step_ms, lookback_ms
