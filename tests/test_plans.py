@@ -247,3 +247,31 @@ def test_promql_general_window_has_no_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan
     assert "Generate" in plan  # the explode(sequence(...)) fan-out
+
+
+def test_rollup_routed_selector_pushes_name_filter(spark, sf_oracle):
+    """The routed engine's rewritten selector must reach the chunk scan
+    as a pushed `__name__ = 'app_events:count'` equality — that pushdown
+    IS the storage-level routing (raw-store chunks bloom/dict-pruned),
+    so it has to survive the decode pipeline above the scan."""
+    from tsdb_parquet_spark.corpus import (
+        _CHUNK_LABELS,
+        events_chunk_store,
+        events_rollup_store,
+    )
+    from tsdb_parquet_spark.plans.routing import routed_engine
+
+    raw = events_chunk_store(spark, sf_oracle)
+    roll = events_rollup_store(spark, sf_oracle)
+    engine = routed_engine(spark, raw, roll, _CHUNK_LABELS, 86_400_000)
+    df = engine.query_range(
+        "sum by (event_type) (count_over_time(app_events[1d]))",
+        1704153600000, 1706486400000, 86_400_000,
+    )
+    assert engine.last_rewrites == 1
+    plan = _formatted(df)
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert pushed, plan
+    assert any("app_events:count" in line for line in pushed), pushed

@@ -53,9 +53,16 @@ class ChunkQuerier:
         may disagree on label columns.  Spark merges the schemas; labels
         absent from a store are filled with "" to match the reference's
         missing-label convention (`schema/chunk.go:109-112`)."""
+        # ""-fill ONLY labels some store lacks: a blanket coalesce would
+        # wrap every label and block parquet predicate pushdown for every
+        # matcher on the merged store (footer reads here are per-store
+        # driver-side planning, not a data scan)
+        common = set.intersection(
+            *(set(spark.read.parquet(p).schema.fieldNames()) for p in paths)
+        )
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         for field in df.schema.fields:
-            if field.name not in RESERVED_COLUMNS:
+            if field.name not in RESERVED_COLUMNS and field.name not in common:
                 df = df.withColumn(field.name, F.coalesce(field.name, F.lit("")))
         return cls(df)
 
