@@ -827,3 +827,44 @@ def test_sort_desc(spark):
     e.query_range(
         "sum(sort(http_requests_total))", 60_000, 60_000, 60_000
     ).collect()
+
+
+def test_math_function_tail(spark):
+    import math
+
+    rows = [("m", "a", 0, 8.0), ("m", "b", 0, 0.25)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(q, 0, 0, 60_000).collect()
+        }
+
+    assert vals("log2(m)") == {"a": 3.0, "b": -2.0}
+    assert vals("log10(m)")["a"] == pytest.approx(math.log10(8.0))
+    assert vals("sin(m)")["a"] == pytest.approx(math.sin(8.0))
+    assert vals("atan(m)")["b"] == pytest.approx(math.atan(0.25))
+    assert vals("deg(m)")["a"] == pytest.approx(math.degrees(8.0))
+    assert vals("rad(deg(m))")["a"] == pytest.approx(8.0)
+
+
+def test_stdvar_over_time(spark):
+    rows = [("m", "a", ts, float(v)) for ts, v in
+            [(10_000, 1.0), (20_000, 3.0), (30_000, 5.0)]]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        "stdvar_over_time(m[1m])", 60_000, 60_000, 60_000
+    ).collect()
+    # population variance of {1,3,5} = 8/3
+    assert out[0]["value"] == pytest.approx(8.0 / 3.0)
+    out = engine.query_range(
+        "stddev_over_time(m[1m])", 60_000, 60_000, 60_000
+    ).collect()
+    assert out[0]["value"] == pytest.approx((8.0 / 3.0) ** 0.5)

@@ -94,6 +94,19 @@ MATH_FUNCS = {
     "clamp": 2,
     "clamp_min": 1,
     "clamp_max": 1,
+    "log2": 0,
+    "log10": 0,
+    "sin": 0,
+    "cos": 0,
+    "tan": 0,
+    "asin": 0,
+    "acos": 0,
+    "atan": 0,
+    "sinh": 0,
+    "cosh": 0,
+    "tanh": 0,
+    "deg": 0,
+    "rad": 0,
 }
 RANGE_FUNCS = {
     "rate",
@@ -111,6 +124,7 @@ RANGE_FUNCS = {
     "last_over_time",
     "present_over_time",
     "stddev_over_time",
+    "stdvar_over_time",
     "absent_over_time",
     "deriv",
     "predict_linear",
@@ -903,6 +917,7 @@ _FUNC_AGGS = {
     "last_over_time": lambda: F.max_by("value", "ts"),
     "present_over_time": lambda: F.max(F.lit(1.0)),
     "stddev_over_time": lambda: F.stddev_pop("value"),
+    "stdvar_over_time": lambda: F.var_pop("value"),
 }
 
 #: range functions needing the window's samples as one sorted array
@@ -1238,6 +1253,15 @@ class PromQLEngine:
             return F.least(v, F.lit(params[0]))
         if func == "sgn":
             return F.signum(v)
+        simple = {
+            "log2": F.log2, "log10": F.log10,
+            "sin": F.sin, "cos": F.cos, "tan": F.tan,
+            "asin": F.asin, "acos": F.acos, "atan": F.atan,
+            "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+            "deg": F.degrees, "rad": F.radians,
+        }
+        if func in simple:
+            return simple[func](v)
         if func == "round":
             # Prometheus round: nearest multiple of to_nearest (default 1),
             # ties rounding UP — floor(v/to + 0.5) * to
