@@ -2947,7 +2947,10 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(work, f"stream_sessions_v1_{tag}")
     out_dir = os.path.join(root, "out")
 
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    # the streaming file sink writes _spark_metadata, not _SUCCESS — use
+    # an explicit marker touched only after the replay drains
+    done_marker = os.path.join(root, "_DONE")
+    if not os.path.exists(done_marker):
         shutil.rmtree(root, ignore_errors=True)
         staging = os.path.join(root, "staging")
         ckpt = os.path.join(root, "ckpt")
@@ -2978,6 +2981,8 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not handle.awaitTermination(600):
             raise RuntimeError("AvailableNow session replay did not drain")
+        with open(done_marker, "w") as fh:
+            fh.write("ok\n")
 
     return (
         spark.read.parquet(out_dir)
