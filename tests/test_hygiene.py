@@ -166,3 +166,26 @@ def test_with_global_positions_matches_sort_order(spark):
     # so earlier tests' pinned checkpoint RDDs must not count against us.
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert len(after - before) <= 1
+
+
+def test_remove_repeated_lines(spark):
+    """Boilerplate lines (>= min_docs distinct docs) are dropped, unique
+    content survives, original line order is preserved, and fully-
+    boilerplate docs disappear."""
+    from tsdb_parquet_spark.functions.quality import remove_repeated_lines
+
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"intro {i}\n{boiler}\nbody {i}") for i in range(10)]
+    rows.append((100, boiler))                      # all-boilerplate doc
+    rows.append((101, "one line\nrare shared"))     # rare line: 2 docs
+    rows.append((102, "rare shared\nanother"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_lines(df, min_docs=10).collect()
+    }
+    for i in range(10):
+        assert out[i] == f"intro {i}\nbody {i}"  # middle line removed
+    assert 100 not in out                        # nothing survived
+    assert out[101] == "one line\nrare shared"   # below threshold: kept
+    assert out[102] == "rare shared\nanother"

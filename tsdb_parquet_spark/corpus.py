@@ -2912,6 +2912,48 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q80_BOILER = "subscribe to our newsletter for updates"
+
+
+def _q80_oracle() -> str:
+    from tsdb_parquet_spark.functions import quality as _QA
+
+    synth = (
+        "WITH __synth AS (\n"
+        "  SELECT doc_id,\n"
+        f"         CASE WHEN doc_id % 3 = 0\n"
+        f"              THEN '{_Q80_BOILER}' || chr(10) || text\n"
+        "              ELSE text END AS text\n"
+        "  FROM documents)"
+    )
+    body = _QA.sql_remove_repeated_lines(table="__synth", min_docs=10)
+    return synth + body.replace("\nWITH ", ",\n", 1) + "\nORDER BY doc_id"
+
+
+@query("q80_remove_boilerplate_lines", _q80_oracle())
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: a synthetic
+    "subscribe" header injected into every third document appears in
+    far more than ``min_docs`` distinct docs and must be stripped, while
+    each document's own (unique) text line survives with order intact.
+    Plan: posexplode -> map-side-combining line count -> broadcast
+    anti-join -> per-document reassembly (see
+    `functions/quality.py:remove_repeated_lines`)."""
+    from tsdb_parquet_spark.functions.quality import remove_repeated_lines
+
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_Q80_BOILER + "\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_repeated_lines(synth, min_docs=10).orderBy("doc_id")
+
+
 def _streamed_sessions_oracle() -> str:
     from tsdb_parquet_spark.streaming.sessions import sql_sessionize
 
@@ -3180,7 +3222,7 @@ _DRIVER_PRIORITY: list[str] = [
     # rows exercising code paths changed this round (PromQL CSE, rollup
     # routing, store build) — keep under the driver's eye while they move
     "q16_series_select",
-    "q19_promql_count_over_time",
+    "q80_remove_boilerplate_lines",
     "q20_promql_instant_sum",
     "q21_streaming_ingest",
     "q34_promql_rate",

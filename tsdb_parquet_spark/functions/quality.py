@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.functions.dedup import shingles, sql_shingles
 
-__all__ = ["repetition_stats", "repetitive_docs", "sql_repetition_stats"]
+__all__ = [
+    "repetition_stats",
+    "repetitive_docs",
+    "sql_repetition_stats",
+    "remove_repeated_lines",
+    "sql_remove_repeated_lines",
+]
 
 
 def repetition_stats(
@@ -96,3 +102,72 @@ SELECT {id_col},
        round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_ngram_share
 FROM per_gram GROUP BY {id_col}
 """
+
+
+def remove_repeated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: drop every
+    line that appears (exactly) in at least ``min_docs`` DISTINCT
+    documents — cookie banners, nav bars, "subscribe" footers — and
+    reassemble each document's surviving lines in their original order.
+    Documents whose every line is boilerplate disappear from the output.
+
+    Scale shape: posexplode -> one map-side-combining groupBy on the
+    line (near-unique key, no skew) -> anti-join of the exploded lines
+    against the (small) boilerplate set, which AQE broadcasts -> one
+    groupBy per document to reassemble.  No Python anywhere; order
+    restoration is an array_sort over the (pos, line) structs, bounded
+    by lines-per-document.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= F.lit(int(min_docs)))
+        .select("line")
+    )
+    kept = lines.join(boiler, on="line", how="left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+
+
+def sql_remove_repeated_lines(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> str:
+    """DuckDB twin of :func:`remove_repeated_lines` (oracle use)."""
+    return f"""
+WITH __split AS (
+  SELECT {id_col}, string_split({text_col}, chr(10)) AS __ls FROM {table}
+),
+__lines AS (
+  SELECT {id_col}, unnest(__ls) AS line,
+         unnest(range(1, len(__ls) + 1)) AS ord
+  FROM __split
+),
+__boiler AS (
+  SELECT line FROM __lines
+  GROUP BY line HAVING count(DISTINCT {id_col}) >= {int(min_docs)}
+),
+__kept AS (
+  SELECT * FROM __lines WHERE line NOT IN (SELECT line FROM __boiler)
+)
+SELECT {id_col}, string_agg(line, chr(10) ORDER BY ord) AS {text_col}
+FROM __kept GROUP BY {id_col}"""
