@@ -3178,8 +3178,11 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come back in a later rotation).
 #
 # Round-4 window: q01–q15 reference block; the 14 rows that lacked a driver
-# row after round 3 (q28, q58–q60, q66–q75); then PromQL/store rows whose
-# code paths this round's CSE/rollup-routing work touches.
+# row after round 3 (q28, q58–q60, q66–q75); the new q76–q80; then
+# PromQL/store rows whose code paths this round's CSE/rollup-routing work
+# touches.  Outside the window this round (all driver-green in r02/r03,
+# candidates to rotate back next round): q17–q20, q22–q27, q29–q41, q44,
+# q45, q54, q55, q57, q61–q63.
 
 _DRIVER_PRIORITY: list[str] = [
     # reference-parity relational block (S1-S6, P1-P11, A1-A3)
