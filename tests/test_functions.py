@@ -321,3 +321,46 @@ def test_cosine_scores_udf_bit_identical_to_hof(spark, sf_oracle):
         .count()
     )
     assert mismatches == 0
+
+
+def test_train_ivf_centroids_separates_blobs(spark):
+    """Lloyd's on two well-separated blobs: learned centroids land near
+    the blob means, every vector assigns to its own blob's centroid, and
+    the learned codebook beats the random init on within-cluster cosine."""
+    import numpy as np
+
+    from tsdb_parquet_spark.functions.similarity import (
+        centroid_assign_udf,
+        ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    a = rng.normal(loc=+5.0, scale=0.1, size=(40, dim))
+    b = rng.normal(loc=-5.0, scale=0.1, size=(40, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    cents = train_ivf_centroids(df, dim=dim, n_centroids=2, iters=6)
+    # each learned centroid sits in one blob (all-positive or all-negative)
+    signs = sorted(float(np.sign(np.mean(c))) for c in cents)
+    assert signs == [-1.0, 1.0]
+
+    out = df.select(
+        "vec_id",
+        centroid_assign_udf(cents)(df["embedding"]).alias("c"),
+    ).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[0 if r["vec_id"] < 40 else 1].add(r["c"])
+    # pure assignment: each blob maps to exactly one (distinct) centroid
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+
+    # convergence beats the deterministic init: centroids are near means
+    means = {tuple(np.round(np.mean(a, axis=0), 1)),
+             tuple(np.round(np.mean(b, axis=0), 1))}
+    learned = {tuple(np.round(np.asarray(c), 1)) for c in cents}
+    assert learned == means
+    assert cents != ivf_centroids(dim=dim, n_centroids=2)

@@ -480,3 +480,43 @@ def sql_signature(vec_col: str, planes: list[list[int]]) -> str:
         d = sql_dot(vec_col, p, len(plane))
         terms.append(f"(CASE WHEN {d} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    data-learned codebook the deterministic :func:`ivf_centroids` init
+    stands in for when the oracle must reproduce assignments.
+
+    Each iteration is one Arrow assignment pass plus one map-side-
+    combining aggregation over (cluster, dimension) — k*dim groups, so
+    the shuffle and the driver-side collect are O(k*dim) regardless of
+    corpus size; the corpus itself is scanned once per iteration, the
+    standard Lloyd's cost.  Empty clusters keep their previous centroid
+    (k stays fixed).  Deterministic: md5-seeded init + argmax-of-cosine
+    assignment with first-index tie-break."""
+    centroids = ivf_centroids(dim=dim, n_centroids=n_centroids, seed=seed)
+    for _ in range(int(iters)):
+        assign = centroid_assign_udf(centroids)
+        stats = (
+            df.select(
+                assign(F.col(vec_col)).alias("__c"),
+                F.posexplode(_as_double(F.col(vec_col))).alias("__i", "__x"),
+            )
+            .groupBy("__c", "__i")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in stats:
+            new[r["__c"]][r["__i"]] = r["__s"] / r["__n"]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
