@@ -26,6 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# the headline suite: reference-parity relational block (BASELINE.md rows)
+_HEADLINE = {f"q{i:02d}" for i in range(1, 16)}
+
+
 def _clear_stores(sf_dir: str) -> None:
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
@@ -112,22 +116,38 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "store_build": store_build,
-                "store_build_total": round(sum(store_build.values()), 3),
-                "store_build_cold": store_build_cold,
-                "cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    headline = round(
+        sum(
+            t
+            for name, t in timings.items()
+            if t >= 0 and name.split("_", 1)[0] in _HEADLINE
+        ),
+        3,
     )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        # headline suite (reference-parity block Q01-Q15) surfaces FIRST so
+        # a tail-truncated capture of this line still records it
+        "headline_q01_q15": headline,
+        "store_build_total": round(sum(store_build.values()), 3),
+        "store_build_cold": store_build_cold,
+        "cold": cold,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "store_build": store_build,
+    }
+    line = json.dumps(result)
+    # the driver captures only the stdout tail; persist the full record
+    # locally so every per-query timing survives (committed at snapshot)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(local_path, "w") as fh:
+        fh.write(json.dumps(result, indent=1) + "\n")
+    print(line)
     spark.stop()
 
 

@@ -358,9 +358,16 @@ def test_train_ivf_centroids_separates_blobs(spark):
     assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
     assert by_blob[0] != by_blob[1]
 
-    # convergence beats the deterministic init: centroids are near means
-    means = {tuple(np.round(np.mean(a, axis=0), 1)),
-             tuple(np.round(np.mean(b, axis=0), 1))}
-    learned = {tuple(np.round(np.asarray(c), 1)) for c in cents}
+    # convergence beats the deterministic init: centroids sit on the unit
+    # sphere (spherical update) in the direction of the blob means
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    means = {tuple(np.round(unit(np.mean(a, axis=0)), 2)),
+             tuple(np.round(unit(np.mean(b, axis=0)), 2))}
+    learned = {tuple(np.round(np.asarray(c), 2)) for c in cents}
     assert learned == means
+    for c in cents:
+        assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
     assert cents != ivf_centroids(dim=dim, n_centroids=2)

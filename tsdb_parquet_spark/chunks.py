@@ -159,8 +159,16 @@ def samples_to_chunks(
     """
     labels = list(label_columns)
     bucket = F.expr(f"{ts_col} div {int(chunk_span_ms)}").alias("__bucket")
+    # missing-label convention enforced at WRITE time (`schema/chunk.go:
+    # 109-112`): a NULL label becomes "" here, so stores built through this
+    # path never contain NULL labels and `ChunkQuerier.from_stores` can
+    # safely skip the read-side coalesce for columns every store has —
+    # keeping parquet predicate pushdown live on the merged scan
     grouped = samples.select(
-        *labels, F.col(ts_col).alias("ts"), F.col(value_col).alias("value"), bucket
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in labels],
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        bucket,
     )
 
     agg = grouped.groupBy(*labels, "__bucket").agg(

@@ -2132,6 +2132,131 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q81 — distributed spherical k-means trainer (IVF codebook learning)
+# ---------------------------------------------------------------------------
+
+# Fixed-depth Lloyd's run: k=4 clusters, exactly 2 iterations (tol=0.0).
+# The oracle unrolls both iterations as a CTE chain; the deterministic
+# md5 init, the shared left-assoc dot fold, and the first-index argmax
+# tie-break keep assignments aligned across engines (centroid floats can
+# differ in the last ulp from distributed-vs-sequential sum order, which
+# the 4-decimal rounding of the emitted coordinates absorbs).
+_KM_K = 4
+_KM_ITERS = 2
+_KM_INIT = SIM.ivf_centroids(dim=_EMB_DIM, n_centroids=_KM_K, seed="ivf")
+
+
+def _sql_km_assign(src: str, cents: str) -> str:
+    """Assignment CTE body: nearest centroid from the ``cents`` CTE
+    (columns c, vec) by the same scaled dot the Arrow kernel computes —
+    ``dot(v, c) * (1/sqrt(dot(c, c)))``, sequential over dimensions —
+    with row_number() reproducing the argmax's first-index tie-break."""
+    dot = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> CAST(s.v[i] AS DOUBLE) * k.vec[i]))"
+    )
+    ss = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> k.vec[i] * k.vec[i]))"
+    )
+    return f"""SELECT vec_id, v, c FROM (
+    SELECT s.vec_id, s.v, k.c,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {dot} * (1.0 / sqrt({ss})) DESC, k.c ASC
+           ) AS rn
+    FROM {src} s CROSS JOIN {cents} k
+  ) WHERE rn = 1"""
+
+
+def _sql_km_update(assign: str, prev: str) -> str:
+    """Update CTE body: per-cluster per-dimension mean (sum/count, the
+    trainer's exact division), L2-normalized via multiply-by-reciprocal
+    (``x * (1/sqrt(ss))`` — the trainer's `_inv_norms` order, NOT x/n);
+    clusters with no members keep their previous centroid."""
+    return f"""SELECT p.c, COALESCE(u.vec, p.vec) AS vec
+  FROM {prev} p LEFT JOIN (
+    SELECT c,
+           CASE WHEN list_sum(list_transform(vec, x -> x * x)) > 0
+                THEN list_transform(
+                  vec,
+                  x -> x * (1.0 / sqrt(
+                    list_sum(list_transform(vec, y -> y * y)))))
+                ELSE vec END AS vec
+    FROM (
+      SELECT c, list(m ORDER BY i) AS vec
+      FROM (
+        SELECT a.c, t.i AS i,
+               sum(CAST(a.v[t.i + 1] AS DOUBLE)) / count(*) AS m
+        FROM {assign} a CROSS JOIN range(0, {_EMB_DIM}) t(i)
+        GROUP BY a.c, t.i
+      ) GROUP BY c
+    )
+  ) u ON u.c = p.c"""
+
+
+_KM_SQL = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+c0 AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"(CAST({j} AS BIGINT), {SIM.sql_vector_literal(c)}::DOUBLE[])"
+      for j, c in enumerate(_KM_INIT)
+  )}) t(c, vec)
+),
+a0 AS ({_sql_km_assign('e', 'c0')}),
+c1 AS ({_sql_km_update('a0', 'c0')}),
+a1 AS ({_sql_km_assign('e', 'c1')}),
+c2 AS ({_sql_km_update('a1', 'c1')}),
+a2 AS ({_sql_km_assign('e', 'c2')}),
+n AS (SELECT c, count(*) AS n_vecs FROM a2 GROUP BY c)
+SELECT f.c AS cluster, n.n_vecs, CAST(t.i AS INT) AS i,
+       round(f.vec[t.i + 1], 4) AS coord
+FROM c2 f
+CROSS JOIN range(0, {_EMB_DIM}) t(i)
+JOIN n ON n.c = f.c
+ORDER BY cluster, i"""
+
+
+@query("q81_kmeans_train", _KM_SQL)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (`functions/similarity.py
+    train_ivf_centroids`): 2 full Lloyd's iterations over the embeddings
+    (Arrow assignment pass + O(k*dim) map-side-combined update per
+    iteration), then a final assignment pass for the inverted-list
+    histogram.  Emits one row per (cluster, dimension) with the cluster
+    population and the learned coordinate; the oracle replays the exact
+    fold — init literals, scaled-dot argmax, mean, reciprocal-multiply
+    normalization — as an unrolled CTE chain."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    cents = SIM.train_ivf_centroids(
+        emb,
+        dim=_EMB_DIM,
+        n_centroids=_KM_K,
+        iters=_KM_ITERS,
+        tol=0.0,
+    )
+    assign = SIM.centroid_assign_udf(cents)
+    counts = (
+        emb.select(assign(F.col("embedding")).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    cent_rows = [
+        (j, i, float(x)) for j, c in enumerate(cents) for i, x in enumerate(c)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster LONG, i INT, coord DOUBLE"
+    )
+    return (
+        cent_df.join(F.broadcast(counts), "cluster")
+        .select(
+            "cluster", "n_vecs", "i", F.round("coord", 4).alias("coord")
+        )
+        .orderBy("cluster", "i")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — multimodal binary columns (decode kernel stubbed, plumbing real)
 # ---------------------------------------------------------------------------
 
@@ -3004,6 +3129,11 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         events.write.mode("overwrite").parquet(staging)
         max_ts = events.agg(F.max("ts")).collect()[0][0]
+        if max_ts is None:
+            shutil.rmtree(root, ignore_errors=True)
+            raise RuntimeError(
+                "q76: events table is empty — cannot build session store"
+            )
         delay_ms = 10_000
         flush = spark.createDataFrame(
             [("__flush__", int(max_ts) + _SESSION_GAP_MS + 2 * delay_ms, 0.0)],
@@ -3082,7 +3212,10 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         _P_END,
         _P_STEP,
     )
-    assert engine.last_rewrites == 1, "rollup routing did not engage"
+    if engine.last_rewrites != 1:
+        # not an assert: must survive `python -O` — a silent raw fallback
+        # would still hash-match, defeating the whole plan check
+        raise RuntimeError("rollup routing did not engage")
     return out.select(
         "t", "event_type", F.round("value", 4).alias("value")
     )

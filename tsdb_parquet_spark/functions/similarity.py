@@ -489,6 +489,8 @@ def train_ivf_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     seed: str = "ivf",
+    spherical: bool = True,
+    tol: float = 1e-9,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for the IVF coarse quantizer — the
     data-learned codebook the deterministic :func:`ivf_centroids` init
@@ -500,7 +502,15 @@ def train_ivf_centroids(
     corpus size; the corpus itself is scanned once per iteration, the
     standard Lloyd's cost.  Empty clusters keep their previous centroid
     (k stays fixed).  Deterministic: md5-seeded init + argmax-of-cosine
-    assignment with first-index tie-break."""
+    assignment with first-index tie-break.
+
+    ``spherical=True`` (default) L2-normalizes each updated centroid so
+    the update step optimizes the same cosine objective the assignment
+    uses (spherical k-means); the normalization reuses the module's
+    left-assoc accumulation so an unrolled SQL oracle can reproduce it.
+    Convergence: stop early when no centroid coordinate moved by more
+    than ``tol``; pass ``tol=0.0`` to run exactly ``iters`` iterations
+    (bit-reproducible against a fixed-depth oracle)."""
     centroids = ivf_centroids(dim=dim, n_centroids=n_centroids, seed=seed)
     for _ in range(int(iters)):
         assign = centroid_assign_udf(centroids)
@@ -514,9 +524,25 @@ def train_ivf_centroids(
             .collect()
         )
         new = [list(c) for c in centroids]
+        touched = set()
         for r in stats:
             new[r["__c"]][r["__i"]] = r["__s"] / r["__n"]
-        if new == centroids:
-            break
+            touched.add(r["__c"])
+        if spherical:
+            inv = _inv_norms(new)
+            new = [
+                [x * inv[j] for x in c] if j in touched and inv[j] > 0 else c
+                for j, c in enumerate(new)
+            ]
+        shift = max(
+            (
+                abs(a - b)
+                for c_new, c_old in zip(new, centroids)
+                for a, b in zip(c_new, c_old)
+            ),
+            default=0.0,
+        )
         centroids = new
+        if shift <= tol:
+            break
     return centroids

@@ -976,7 +976,11 @@ class PromQLEngine:
         if isinstance(node, float):
             raise ValueError("scalar-only query has no vector result")
         node = self._route(node, start_ms, end_ms, step_ms, lookback_ms)
-        # fresh common-subexpression state per top-level evaluation
+        # fresh common-subexpression state per top-level evaluation; pins
+        # from the PREVIOUS call are released here — by the time a caller
+        # issues the next query_range it has consumed the prior result, and
+        # persist-backed pins are safe to drop anyway (lineage recomputes)
+        self.release_cache()
         self._memo: dict[tuple, DataFrame] = {}
         self._subtree_refs = _count_subtrees(node)
         self._core_refs = _count_selector_cores(node)
@@ -990,6 +994,39 @@ class PromQLEngine:
             return out.orderBy("t", value_order, *label_cols)
         return out.orderBy("t", *label_cols)
 
+    def release_cache(self) -> None:
+        """Unpersist the shared-subtree frames pinned by the last
+        ``query_range``.  Called automatically at the start of each
+        evaluation so a long-lived engine never accumulates executor
+        storage across calls; callers that hold the LAST result past the
+        engine's lifetime can also invoke it explicitly once done.
+        Safe at any time: pins are ``persist``-backed (not lineage-
+        truncating checkpoints), so a still-referenced frame silently
+        recomputes instead of failing."""
+        for df in getattr(self, "_pinned", []):
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._pinned: list[DataFrame] = []
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Mark a shared subtree compute-once for this evaluation.
+
+        ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``:
+        every reference in the final plan scans one InMemoryRelation (same
+        execute-once effect), but blocks survive executor loss via lineage
+        recompute and ``unpersist`` is a clean, supported release — the
+        two failure modes checkpoint-based pinning had on a long-lived
+        engine."""
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if not hasattr(self, "_pinned"):
+            self._pinned = []
+        self._pinned.append(df)
+        return df
+
     def _route(self, node, start_ms, end_ms, step_ms, lookback_ms):
         """AST hook between parse and eval; the rollup-routed engine
         (`plans/routing.py`) overrides this to serve aligned range
@@ -1001,7 +1038,7 @@ class PromQLEngine:
     ) -> DataFrame:
         """Memoizing dispatcher: structurally identical subtrees evaluated
         on the same grid reuse one DataFrame, and subtrees the query
-        references more than once are lazily ``localCheckpoint``-ed so
+        references more than once are lazily ``persist``-ed so
         Spark executes them once instead of once per reference (e.g.
         ``a and b or a`` pays one decode/scan for ``a``, not two).  The
         memo lives for one ``query_range`` call; ``repr`` of the frozen
@@ -1020,7 +1057,7 @@ class PromQLEngine:
             ):
                 # lazy: materialized by the first action, reused after —
                 # single-shot subtrees never pay the persist
-                out = out.localCheckpoint(eager=False)
+                out = self._pin(out)
             memo[key] = out
         return out
 
@@ -1523,7 +1560,7 @@ class PromQLEngine:
         )
         if memo is not None:
             if getattr(self, "_core_refs", {}).get(fp, 0) >= 2:
-                out = out.localCheckpoint(eager=False)
+                out = self._pin(out)
             memo[key] = out
         return out
 

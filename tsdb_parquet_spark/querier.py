@@ -56,7 +56,9 @@ class ChunkQuerier:
         # ""-fill ONLY labels some store lacks: a blanket coalesce would
         # wrap every label and block parquet predicate pushdown for every
         # matcher on the merged store (footer reads here are per-store
-        # driver-side planning, not a data scan)
+        # driver-side planning, not a data scan).  Columns present in every
+        # store are safe to leave bare because `samples_to_chunks` coalesces
+        # labels to "" at write time — NULL labels never reach a store.
         common = set.intersection(
             *(set(spark.read.parquet(p).schema.fieldNames()) for p in paths)
         )
