@@ -199,13 +199,42 @@ def test_multimodal_metadata_stub(docs):
         assert r["meta"]["format"] in ("png", "jpeg", "webp")
 
 
-def test_multimodal_real_decode_raises(docs):
+def test_multimodal_real_decode_raises_on_unknown_container(docs):
+    """Raw md5 blobs are not BMP/WAV containers — the real decode path
+    must refuse them (compressed formats need absent codec libraries)."""
     media = MM.attach_fake_media(docs)
     with pytest.raises(Exception) as exc_info:
         MM.extract_media_metadata(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_multimodal_real_header_roundtrip(docs):
+    """synthesize_media writes byte-valid BMP/WAV containers and the
+    struct-based decoder recovers the true header fields: dimensions,
+    padded file size, sample rate, channel count."""
+    media = MM.synthesize_media(docs)
+    rows = MM.extract_media_metadata(media, decode_stub=False).collect()
+    assert len(rows) == docs.count()
+    seen = set()
+    for r in rows:
+        blob, m = bytes(r["media"]), r["meta"]
+        seen.add(m["format"])
+        assert m["n_bytes"] == len(blob)
+        if m["format"] == "bmp":
+            assert blob[:2] == b"BM"
+            assert 1 <= m["width"] <= 64 and 1 <= m["height"] <= 64
+            row_bytes = (m["width"] * 3 + 3) // 4 * 4
+            assert m["n_bytes"] == 54 + row_bytes * m["height"]
+            assert m["sample_rate"] == 0 and m["channels"] == 0
+        else:
+            assert m["format"] == "wav"
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+            assert m["channels"] in (1, 2)
+            assert 8000 <= m["sample_rate"] <= 15000
+            assert m["width"] == 0 and m["height"] == 0
+    assert seen == {"bmp", "wav"}
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_oracle):

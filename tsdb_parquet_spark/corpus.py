@@ -2272,24 +2272,46 @@ def _sql_hex_byte(h: str, pos: int) -> str:
 
 @query(
     "q29_multimodal_metadata",
-    f"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
-SELECT CASE {_sql_hex_byte('h', 2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-            ELSE 'webp' END AS format,
-       count(*) AS n,
-       CAST(sum({_sql_hex_byte('h', 0)} % 64 + 1) AS BIGINT) AS sum_width,
-       CAST(sum({_sql_hex_byte('h', 1)} % 64 + 1) AS BIGINT) AS sum_height,
-       CAST(sum(16) AS BIGINT) AS sum_bytes
-FROM m GROUP BY 1 ORDER BY format""",
+    f"""WITH m AS (
+  SELECT doc_id, {_sql_hex_byte('md5(text)', 0)} AS b0,
+         {_sql_hex_byte('md5(text)', 1)} AS b1,
+         {_sql_hex_byte('md5(text)', 2)} AS b2
+  FROM documents
+),
+meta AS (
+  SELECT CASE WHEN b2 % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+         CASE WHEN b2 % 2 = 0 THEN b0 % 64 + 1 ELSE 0 END AS width,
+         CASE WHEN b2 % 2 = 0 THEN b1 % 64 + 1 ELSE 0 END AS height,
+         CASE WHEN b2 % 2 = 0
+              THEN 54 + (((b0 % 64 + 1) * 3 + 3) // 4 * 4) * (b1 % 64 + 1)
+              ELSE 44 + (b2 % 64 + 1) * (b0 % 2 + 1) * 2 END AS n_bytes,
+         CASE WHEN b2 % 2 = 0 THEN 0 ELSE 8000 + (b1 % 8) * 1000 END
+             AS sample_rate,
+         CASE WHEN b2 % 2 = 0 THEN 0 ELSE b0 % 2 + 1 END AS channels
+  FROM m
+)
+SELECT format, count(*) AS n,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(sum(sample_rate) AS BIGINT) AS sum_rate,
+       CAST(sum(channels) AS BIGINT) AS sum_channels
+FROM meta GROUP BY format ORDER BY format""",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> mapInPandas metadata extraction (Arrow
-    batches; decode kernel is a deterministic stub, the oracle reproduces
-    it from the md5 hex) -> per-format aggregate."""
+    """REAL media decode round-trip: documents -> byte-valid BMP/WAV blobs
+    (`synthesize_media`, Arrow encoder) -> header parse with pure struct
+    (`extract_media_metadata(decode_stub=False)` — actual
+    BITMAPINFOHEADER / RIFF-fmt fields, no codec libraries) -> per-format
+    aggregate.  The oracle predicts every decoded field analytically from
+    md5(text), including the BMP's 4-byte row padding in the file size —
+    Spark only matches if the encoder wrote and the decoder read genuine
+    container headers."""
     from tsdb_parquet_spark.functions import multimodal as MM
 
     docs = _cat(spark, sf_dir)["documents"]
-    media = MM.attach_fake_media(docs)
-    meta = MM.extract_media_metadata(media, decode_stub=True)
+    media = MM.synthesize_media(docs)
+    meta = MM.extract_media_metadata(media, decode_stub=False)
     return (
         meta.groupBy(F.col("meta.format").alias("format"))
         .agg(
@@ -2297,6 +2319,8 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("meta.width").alias("sum_width"),
             F.sum("meta.height").alias("sum_height"),
             F.sum("meta.n_bytes").alias("sum_bytes"),
+            F.sum("meta.sample_rate").alias("sum_rate"),
+            F.sum("meta.channels").alias("sum_channels"),
         )
         .orderBy("format")
     )
