@@ -201,3 +201,55 @@ def test_routed_engine_matches_raw(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_subquery_interior_routes_to_rollup(spark, sf_smoke, tmp_path):
+    """A subquery interior on an aligned sub-grid is served from the
+    rollup store (rewrite count 1) and matches the raw engine exactly;
+    the rewrite re-derives alignment per scope, so a MISALIGNED outer
+    grid still routes the daily-step interior."""
+    from tsdb_parquet_spark.corpus import (
+        _CHUNK_LABELS,
+        _P_END,
+        _P_START,
+        _P_STEP,
+        events_chunk_store,
+    )
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.plans.routing import routed_engine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    src = events_chunk_store(spark, sf_smoke)
+    dest = rollup_store(
+        spark, src, str(tmp_path / "subq"), _CHUNK_LABELS, step_ms=_DAY
+    )
+    routed = routed_engine(spark, src, dest, _CHUNK_LABELS, _DAY)
+    raw_engine = PromQLEngine(
+        ChunkQuerier.from_parquet(spark, src).select_samples(
+            labels=_CHUNK_LABELS
+        )
+    )
+    q = (
+        "sum by (event_type)"
+        " (max_over_time(sum_over_time(app_events[1d])[3d:1d]))"
+    )
+    for start in (_P_START, _P_START + 3_600_000):  # aligned + misaligned
+        got = routed.query_range(q, start, _P_END, _P_STEP)
+        assert routed.last_rewrites == 1, start
+        want = raw_engine.query_range(q, start, _P_END, _P_STEP)
+        g = {tuple(r[:-1]): r[-1] for r in got.collect()}
+        w = {tuple(r[:-1]): r[-1] for r in want.collect()}
+        assert g.keys() == w.keys() and g
+        for k in g:
+            assert g[k] == pytest.approx(w[k], rel=1e-9), k
+
+    # an interior whose sub-step is NOT a rollup multiple must stay raw
+    got = routed.query_range(
+        "sum by (event_type)"
+        " (max_over_time(sum_over_time(app_events[1d])[3d:2h]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    assert routed.last_rewrites == 0
+    got.collect()

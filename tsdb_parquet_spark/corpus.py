@@ -3246,6 +3246,62 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q82_rollup_subquery_routing",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+sub AS (
+  SELECT event_type, shard,
+         ((ts_ms + {_DAY_MS - 1}) // {_DAY_MS}) * {_DAY_MS} AS u,
+         sum(value) AS v
+  FROM s
+  WHERE ts_ms > {_P_START - 7 * _DAY_MS} AND ts_ms <= {_P_END}
+  GROUP BY event_type, shard, u
+),
+steps AS (
+  SELECT unnest(range({_P_START}, {_P_END + 1}, {_P_STEP})) AS t
+),
+m AS (
+  SELECT st.t, sub.event_type, sub.shard, max(sub.v) AS mv
+  FROM steps st
+  JOIN sub ON sub.u > st.t - {7 * _DAY_MS} AND sub.u <= st.t
+  GROUP BY st.t, sub.event_type, sub.shard
+)
+SELECT t, event_type, round(sum(mv), 4) AS value
+FROM m GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery INTERIOR served from the rollup store: in
+    `max_over_time(sum_over_time(app_events[1d])[7d:1d])` the interior
+    evaluates on its own absolute-aligned daily sub-grid, which
+    `rewrite_for_rollup` now re-derives per scope — the interior becomes
+    `sum_over_time(app_events:sum[1d])` (one pre-aggregated rollup point
+    per day instead of a raw-chunk decode), while the outer max/sum run
+    unchanged.  The oracle recomputes peak daily volume per series from
+    raw events; the in-query RuntimeError is the plan gate."""
+    from tsdb_parquet_spark.plans.routing import routed_engine
+
+    raw = events_chunk_store(spark, sf_dir)
+    roll = events_rollup_store(spark, sf_dir)
+    engine = routed_engine(spark, raw, roll, _CHUNK_LABELS, _DAY_MS)
+    out = engine.query_range(
+        "sum by (event_type)"
+        " (max_over_time(sum_over_time(app_events[1d])[7d:1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    if engine.last_rewrites != 1:
+        raise RuntimeError("subquery-interior rollup routing did not engage")
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@query(
     "q78_promql_instant_absent",
     f"""
 WITH s AS (

@@ -81,18 +81,25 @@ def rewrite_for_rollup(
 ):
     """Rewrite eligible range selectors to their rollup series.  Returns
     ``(rewritten_node, n_rewrites)``; unrewritable subtrees come back
-    untouched.  Subquery interiors are left raw — their sub-grid is not
-    the outer grid, so alignment would need per-node re-derivation."""
+    untouched.  Subquery interiors are rewritten against their OWN grid:
+    the interior evaluates at ``start=((outer_start - range) // sub + 1)
+    * sub, step=sub`` (the absolute-aligned sub-grid `_eval`'s subquery
+    branch derives), so alignment is re-checked per scope — a 1d-step
+    interior under a misaligned outer grid still routes, and a nested
+    subquery re-derives again."""
     from tsdb_parquet_spark.plans.promql import PromAgg
 
     available = set(aggs)
     rs = int(rollup_step_ms)
 
-    def walk(n):
+    def walk(n, start_ms=start_ms, step_ms=step_ms):
         if not hasattr(n, "__dataclass_fields__"):
             return n, 0
         if isinstance(n, PromSubquery):
-            return n, 0
+            sub = int(n.step_ms)
+            sub_start = ((start_ms - n.range_ms) // sub + 1) * sub
+            inner, k = walk(n.inner, start_ms=sub_start, step_ms=sub)
+            return (replace(n, inner=inner) if k else n), k
         if isinstance(n, PromExpr):
             if not _alignable(n, rs, start_ms, step_ms):
                 return n, 0
@@ -122,10 +129,12 @@ def rewrite_for_rollup(
             return n, 0
         total = 0
         updates = {}
+        # generic recursion threads the CURRENT scope's grid through, so
+        # nodes inside a subquery interior keep the sub-grid alignment
         for f in fields(n):
             value = getattr(n, f.name)
             if hasattr(value, "__dataclass_fields__"):
-                new, k = walk(value)
+                new, k = walk(value, start_ms=start_ms, step_ms=step_ms)
                 if k:
                     updates[f.name] = new
                     total += k
@@ -133,7 +142,9 @@ def rewrite_for_rollup(
                 new_items, changed = [], False
                 for item in value:
                     if hasattr(item, "__dataclass_fields__"):
-                        new, k = walk(item)
+                        new, k = walk(
+                            item, start_ms=start_ms, step_ms=step_ms
+                        )
                         new_items.append(new)
                         changed = changed or k > 0
                         total += k
