@@ -3301,6 +3301,98 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# maintenance-lifecycle constants: retention horizon cuts Jan 1-10 (days
+# 19723-19732) from the 2024-01-01..01-30 events range
+_MAINT_NOW_MS = 1706659200000  # 2024-01-31T00:00Z, day 19753
+_MAINT_KEEP_DAYS = 20  # cutoff day 19733 = 2024-01-11
+
+
+@query(
+    "q83_store_maintenance",
+    _CHUNK_ORACLE_CTE
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT event_type || '|' || shard) AS BIGINT)
+           AS n_series,
+       min(mint) AS min_ts,
+       max(maxt) AS max_ts,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM ch
+        WHERE bucket < {_MAINT_NOW_MS // _DAY_MS - _MAINT_KEEP_DAYS})
+           AS n_removed
+FROM ch
+WHERE bucket >= {_MAINT_NOW_MS // _DAY_MS - _MAINT_KEEP_DAYS}""",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full store-maintenance lifecycle (`sources/maintenance.py`): a
+    day-partitioned chunk store written as 3 sorted parts ->
+    `maybe_compact` merges them (part count over threshold, consumed
+    parts deleted) -> `vacuum_store` drops whole `__day=` partitions
+    past the retention horizon (O(1) directory deletes — the reason the
+    store is day-partitioned).  The surviving chunks' count/series/
+    time-bounds must equal the oracle's recomputation from raw events
+    restricted to the horizon, and the partition-delete count must match
+    the data's day census — compaction and retention were lossless and
+    exact."""
+    import shutil
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import MIN_T, sort_columns
+    from tsdb_parquet_spark.sources.maintenance import (
+        maybe_compact,
+        vacuum_store,
+    )
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    # the lifecycle MUTATES its store (compaction deletes parts, retention
+    # deletes partitions) — always rebuild from scratch, never cache
+    root = os.path.join(work, f"maint_store_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+    chunks = samples_to_chunks(
+        samples, _CHUNK_LABELS, chunk_span_ms=_DAY_MS
+    ).withColumn("__day", F.expr(f"{MIN_T} div {_DAY_MS}"))
+    opts = WriterOptions(
+        sort_columns=sort_columns(_CHUNK_LABELS),
+        max_files=4,
+        partition_by=["__day"],
+    )
+    writer = SortedParquetWriter(spark, root, opts)
+    for k in range(3):
+        writer.write(chunks.filter(F.col("shard").cast("long") % 3 == k))
+    compact_dir = maybe_compact(writer, max_parts=2)
+    if compact_dir is None:
+        raise RuntimeError("maybe_compact did not trigger at 3 > 2 parts")
+    if writer.part_dirs:
+        raise RuntimeError("compacted parts were not cleaned up")
+
+    result = vacuum_store(
+        spark, compact_dir, now_ms=_MAINT_NOW_MS, keep_days=_MAINT_KEEP_DAYS
+    )
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("event_type", "shard").alias("n_series"),
+        F.min(MIN_T).alias("min_ts"),
+        F.max("__maxt").alias("max_ts"),
+        F.lit(len(result["removed_partitions"]))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 @query(
     "q78_promql_instant_absent",
     f"""

@@ -145,7 +145,12 @@ def compact(
     the reference's k-way merge (`parquet.MergeRowGroups`) and spills
     instead of holding everything in memory."""
     paths = [part_dirs] if isinstance(part_dirs, str) else list(part_dirs)
-    df = spark.read.parquet(*paths)
+    # read each part root separately and union: several hive-partitioned
+    # roots in ONE read.parquet call trip partition discovery ("Suspicious
+    # paths"), and per-root reads keep each part's partition column intact
+    df = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
     return write_sorted(df, out_dir, opts)
 
 
