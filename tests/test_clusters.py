@@ -52,3 +52,24 @@ def test_dedup_representatives(spark):
     )
     # clusters {0,1,2}->keep 0, {4,5}->keep 4; 3 untouched
     assert kept == [0, 3, 4]
+
+
+def test_components_rounds_telemetry(spark):
+    """The fused min-neighbor seed puts star/clique components at
+    fixpoint immediately: the loop closes in ONE confirming round, and
+    the stats dict reports it.  A path still needs ~diameter rounds."""
+    stats = {}
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (1, 3), (2, 3), (10, 11)]), stats=stats
+    )
+    assert {(r["node"], r["cluster_id"]) for r in cc.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)
+    }
+    assert stats["rounds"] == 1
+
+    stats = {}
+    chain = [(i, i + 1) for i in range(8)]
+    cc = connected_components(_pairs(spark, chain), stats=stats)
+    assert {r["cluster_id"] for r in cc.collect()} == {0}
+    # 9-node path, diameter 8: seed covers hop 1, the loop the rest
+    assert 2 <= stats["rounds"] <= 9

@@ -1858,7 +1858,17 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.lsh_candidate_pairs(
         _near_dup_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_size=3
     )
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    stats: dict = {}
+    cc = connected_components(pairs, src="doc_a", dst="doc_b", stats=stats)
+    # telemetry gate: LSH dup clusters are near-cliques (diameter <= ~3);
+    # with the fused min-neighbor seed the loop must close within the
+    # diameter bound + 1 confirming round — more means the propagation
+    # regressed (RuntimeError so `python -O` cannot strip the check)
+    if stats["rounds"] > 4:
+        raise RuntimeError(
+            f"label propagation took {stats['rounds']} rounds "
+            "(> diameter bound 4) on a near-clique dup graph"
+        )
     return (
         cc.groupBy("cluster_id")
         .agg(

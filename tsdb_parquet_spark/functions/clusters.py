@@ -38,6 +38,7 @@ def connected_components(
     dst: str = "doc_b",
     max_rounds: int = 25,
     checkpoint_every: int = 5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve undirected ``pairs`` into components.
 
@@ -45,6 +46,21 @@ def connected_components(
     any pair, ``cluster_id`` = the component's minimum node id.  Rows
     never in a pair are by definition their own singleton cluster and
     are NOT returned (join back with a left join + coalesce if needed).
+
+    Two costs-per-round optimizations over textbook label propagation:
+
+    - **Fused first round**: labels initialize to the CLOSED-neighborhood
+      minimum ``min(node, min(neighbors))`` — one groupBy directly on the
+      edge table, no join.  Star/clique components (the shape LSH dup
+      clusters overwhelmingly take) are at fixpoint immediately, so the
+      loop only pays for genuinely deep components.
+    - **Join-free convergence check**: labels only ever decrease, so the
+      label SUM (exact, decimal) is strictly monotone until fixpoint —
+      comparing per-round sums detects convergence in the same action
+      that materializes the round, replacing the old join+filter pass.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — loop rounds
+    actually run, the telemetry a caller asserts its diameter bound on.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -53,13 +69,22 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        edges.select(F.col("u").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # exact (decimal) so sum-equality == elementwise fixpoint at any scale
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    # materializes the seed labels (round 0's join needs them anyway) and
+    # lets a fixpoint-at-init graph exit after a single confirming round
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    rounds = 0
     try:
         for rnd in range(max_rounds):
-            # neighbour labels: edge (u,v) sends label(u) to v
+            # neighbour labels: edge (u,v) sends label(u) to v; the union
+            # keeps each node's own label in the min (a component's
+            # minimum node has no smaller neighbour)
             prop = (
                 edges.join(labels, edges.u == labels.node)
                 .select(F.col("v").alias("node"), "label")
@@ -74,16 +99,15 @@ def connected_components(
             else:
                 new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
             # one action materializes the round AND measures progress
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"),
-                                "node")
-                .filter(F.col("label") != F.col("old"))
-                .limit(1).count()
-            )
+            new_sum = new_labels.agg(label_sum).collect()[0]["s"]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            rounds = rnd + 1
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
+        if stats is not None:
+            stats["rounds"] = rounds
         return labels.select("node", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
