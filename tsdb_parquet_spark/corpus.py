@@ -3492,12 +3492,17 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-4 window: q01–q15 reference block; the 14 rows that lacked a driver
-# row after round 3 (q28, q58–q60, q66–q75); the new q76–q80; then
-# PromQL/store rows whose code paths this round's CSE/rollup-routing work
-# touches.  Outside the window this round (all driver-green in r02/r03,
-# candidates to rotate back next round): q17–q20, q22–q27, q29–q41, q44,
-# q45, q54, q55, q57, q61–q63.
+# Round-5 window: q01–q15 reference block; the rotation BACKLOG the round-4
+# verdict ordered back under the driver's eye — first the group last
+# driver-checked in round 2 (q29–q41), then the round-3 group (q17–q19,
+# q22–q27, q44/q45/q47/q48, q54/q55/q57, q61–q63); the three NEW rows
+# (q81 k-means trainer, q82 subquery rollup routing, q83 store
+# maintenance); and two rows whose code paths changed this round (q77:
+# routing rewrite gained subquery recursion; q66: the set-op CSE pin
+# moved from localCheckpoint to persist).  Rotated out (all green in
+# r04, the freshest signal in the registry): q16, q20, q21, q28, q34,
+# q37, q42, q43, q46, q49–q53, q56, q58–q60, q64, q65, q67–q76,
+# q78–q80.
 
 _DRIVER_PRIORITY: list[str] = [
     # reference-parity relational block (S1-S6, P1-P11, A1-A3)
@@ -3516,46 +3521,47 @@ _DRIVER_PRIORITY: list[str] = [
     "q13_zonemap_range",
     "q14_multi_projection",
     "q15_empty_result",
-    # never-driver-checked (r03 backlog) + changed-in-r03 q28
-    "q28_embedding_near_dup",
-    "q58_pack_sequences",
-    "q59_ivf_assign",
-    "q60_ivf_topk",
-    "q66_promql_set_ops",
-    "q67_promql_quantile_agg",
-    "q68_promql_predict_linear",
-    "q69_decontaminate",
-    "q70_repetition_stats",
-    "q71_pii_redact",
-    "q72_global_shuffle",
-    "q73_promql_time_functions",
-    "q74_promql_subquery",
-    "q75_promql_holt_winters",
-    # new this round: streaming-sessionizer oracle, rollup routing,
-    # instant absent(), sort_desc
-    "q76_streaming_sessionize",
+    # last driver-checked in round 2 — highest rotation priority; q29 is
+    # also NEW code this round (real BMP/WAV header decode)
+    "q29_multimodal_metadata",
+    "q30_text_analysis",
+    "q31_json_props",
+    "q32_broadcast_join",
+    "q33_semi_anti_join",
+    "q35_distinct_counts",
+    "q36_window_functions",
+    "q38_training_chunks",
+    "q39_cleaning_pipeline",
+    "q40_rollup",
+    "q41_set_operations",
+    # last driver-checked in round 3; q47 is also changed code this round
+    # (fused-seed propagation + telemetry gate)
+    "q17_chunk_samples_roundtrip",
+    "q18_label_values",
+    "q19_promql_count_over_time",
+    "q22_exact_dedup",
+    "q23_minhash_lsh_pairs",
+    "q24_simhash",
+    "q25_ngram_jaccard",
+    "q26_cosine_topk",
+    "q27_ann_lsh_topk",
+    "q44_late_materialization",
+    "q45_multi_store_merge",
+    "q47_dedup_clusters",
+    "q48_stratified_sample",
+    "q54_promql_comparison_filter",
+    "q55_promql_changes",
+    "q57_asof_join",
+    "q61_gap_fill_linear",
+    "q62_simhash_near_dup",
+    "q63_weighted_sample",
+    # new this round — driver rows in their introduction round
+    "q81_kmeans_train",
+    "q82_rollup_subquery_routing",
+    "q83_store_maintenance",
+    # code paths changed this round
     "q77_rollup_routing",
-    "q78_promql_instant_absent",
-    "q79_promql_sort_desc",
-    # rows exercising code paths changed this round (PromQL CSE, rollup
-    # routing, store build) — keep under the driver's eye while they move
-    "q16_series_select",
-    "q80_remove_boilerplate_lines",
-    "q20_promql_instant_sum",
-    "q21_streaming_ingest",
-    "q34_promql_rate",
-    "q37_promql_topk_binary",
-    "q42_promql_window_gt_step",
-    "q43_promql_counter_reset",
-    "q46_sessionize",
-    "q49_promql_on_group_left",
-    "q50_promql_rate_extrapolated",
-    "q51_promql_without_at",
-    "q52_promql_label_replace_clamp",
-    "q53_promql_histogram_quantile",
-    "q56_promql_quantile_over_time",
-    "q64_promql_absent",
-    "q65_rollup_store",
+    "q66_promql_set_ops",
 ]
 
 
