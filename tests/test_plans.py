@@ -275,3 +275,31 @@ def test_rollup_routed_selector_pushes_name_filter(spark, sf_oracle):
     ]
     assert pushed, plan
     assert any("app_events:count" in line for line in pushed), pushed
+
+
+def test_ivf_store_probe_is_partition_pruning(spark, sf_oracle, tmp_path):
+    """build_ivf_store + ivf_store_topk: the probe must reach the scan as
+    a PartitionFilter on the hive `centroid=` directories (driver-side
+    pruning, zero non-probed IO) — NOT as a post-scan data filter — and
+    return exactly what the in-query-assignment ivf_topk computes."""
+    from tsdb_parquet_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cents = SIM.ivf_centroids(dim=64, n_centroids=8)
+    store = SIM.build_ivf_store(emb, str(tmp_path / "ivf"), cents)
+    qv = SIM.ivf_centroids(dim=64, n_centroids=1, seed="ivf-query")[0]
+    got = SIM.ivf_store_topk(spark, store, qv, cents, k=5, nprobe=2)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan, plan
+    probes = SIM.query_probes(qv, cents, 2)
+    assert "PartitionFilters: [centroid" in scan[0], scan[0]
+    for p in probes:
+        assert str(p) in scan[0].split("PartitionFilters")[1].split("]")[0]
+    assert "DataFilters: []" in scan[0], scan[0]
+
+    want = SIM.ivf_topk(emb, qv, k=5, nprobe=2, n_centroids=8)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
