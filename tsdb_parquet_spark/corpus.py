@@ -2174,6 +2174,94 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q85_salted_distinct_count",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS n_distinct
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (`operators/skew.py`): dedup on
+    (key, content-salt, value) spreads a hot key over 16 tasks before
+    the per-key count — the holistic-aggregation shape a 100 TB hot-key
+    distribution requires (plain count(DISTINCT) funnels each key into
+    one reduce task).  Salts partition the value space disjointly, so
+    the post-dedup count is exact — proven by the oracle's plain
+    count(DISTINCT)."""
+    from tsdb_parquet_spark.operators.skew import (
+        salted_exact_distinct_count,
+    )
+
+    ev = _cat(spark, sf_dir)["events"].select("event_type", "user_id")
+    return salted_exact_distinct_count(
+        ev, keys=["event_type"], value_col="user_id", buckets=16
+    ).orderBy("event_type")
+
+
+@query(
+    "q86_bucketed_colocated_join",
+    """SELECT o.o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS revenue
+       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact-fact join (`sources/bucketed.py`): lineitem and
+    orders written co-bucketed by order key (external tables under
+    .work), joined bucket-to-bucket — the plan gate raises unless the
+    join is a SortMergeJoin with NO shuffle exchange on either side (the
+    merge hint keeps the 100 TB plan shape even though test-scale orders
+    would broadcast).  The oracle computes the same revenue rollup from
+    the unbucketed tables."""
+    from tsdb_parquet_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    cat = _cat(spark, sf_dir)
+    li_t, od_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    # in-memory catalog: table metadata dies with the session, so
+    # (re)register every call; external paths keep data under .work
+    write_bucketed(
+        cat["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        li_t,
+        ["l_orderkey"],
+        num_buckets=8,
+        path=os.path.join(work, f"bucketed_{tag}", "lineitem"),
+    )
+    write_bucketed(
+        cat["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        od_t,
+        ["l_orderkey"],
+        num_buckets=8,
+        path=os.path.join(work, f"bucketed_{tag}", "orders"),
+    )
+    joined = colocated_join(spark, li_t, od_t, on=["l_orderkey"], merge=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or any(
+        s in plan for s in ("Exchange hashpartitioning", "ShuffleExchange")
+    ):
+        raise RuntimeError(
+            "co-bucketed join did not plan as a zero-shuffle SortMergeJoin"
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3589,15 +3677,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q54_promql_comparison_filter",
     "q55_promql_changes",
     "q57_asof_join",
-    "q61_gap_fill_linear",
-    "q62_simhash_near_dup",
-    # new this round — driver rows in their introduction round (q63
-    # yields its slot to q84; it stays green under the full-registry
-    # pytest gate and rotates back next round)
+    # new this round — driver rows in their introduction round (q61, q62,
+    # q63 yield their slots to q84-q86; all three stay green under the
+    # full-registry pytest gate and rotate back next round)
     "q81_kmeans_train",
     "q82_rollup_subquery_routing",
     "q83_store_maintenance",
     "q84_ivf_partitioned_store",
+    "q85_salted_distinct_count",
+    "q86_bucketed_colocated_join",
     # code paths changed this round
     "q77_rollup_routing",
     "q66_promql_set_ops",

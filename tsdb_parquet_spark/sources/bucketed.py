@@ -25,11 +25,18 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     opts: WriterOptions | None = None,
+    path: str | None = None,
 ) -> str:
-    """Write ``df`` as a bucketed (and per-bucket sorted) managed table."""
+    """Write ``df`` as a bucketed (and per-bucket sorted) table.
+
+    ``path`` makes it an EXTERNAL table at that location (the bucket spec
+    still lives in the session catalog) — use this to keep data under a
+    controlled directory instead of ``spark.sql.warehouse.dir``."""
     writer = df.write.mode("overwrite").format("parquet")
     if opts is not None:
         writer = opts.apply(writer)
+    if path is not None:
+        writer = writer.option("path", path)
     writer = writer.bucketBy(num_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table)
@@ -37,8 +44,18 @@ def write_bucketed(
 
 
 def colocated_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    merge: bool = False,
 ) -> DataFrame:
     """Join two co-bucketed tables on the bucket key — plans with zero
-    Exchange nodes when bucket specs match (verified in tests)."""
-    return spark.table(left_table).join(spark.table(right_table), on=on)
+    Exchange nodes when bucket specs match (verified in tests).
+    ``merge=True`` adds a sort-merge hint so the zero-shuffle SMJ is kept
+    even when one side would fit a broadcast (the 100 TB plan shape,
+    assertable at test scale)."""
+    left = spark.table(left_table)
+    if merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on=on)
