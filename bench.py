@@ -59,11 +59,31 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm the session + JVM on the smallest scale first (not timed)
-    try:
-        entry_mod.entry(spark).count()
-    except Exception:
-        pass
+    # warm the session + JVM on the smallest scale first (not timed).
+    # Representative pipelines — relational agg, PromQL, shingle/minhash
+    # text ops, Arrow UDF, window/join — so Janino codegen and C2-compiled
+    # infrastructure are hot before ANY timed query runs; without this the
+    # first ~10 timed queries pay JIT warm-up and per-query timings become
+    # an artifact of registry order (which rotates round to round).
+    warm_sf = "/root/testdata/sf0.001"
+    for warm_q in (
+        "q07_groupby_agg",
+        "q19_promql_count_over_time",
+        # deep set-op + CSE plans: first planning of these subtrees costs
+        # ~10 s on a cold optimizer JIT regardless of data size — pay it
+        # here, not inside whichever timed query runs first
+        "q66_promql_set_ops",
+        "q23_minhash_lsh_pairs",
+        "q29_multimodal_metadata",
+        "q30_text_analysis",
+        "q36_window_functions",
+    ):
+        try:
+            qs[warm_q](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     # build (or confirm) the disk-backed stores OUTSIDE the query loop;
     # on a warm run these return in milliseconds and the keys record that

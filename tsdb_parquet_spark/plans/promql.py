@@ -976,10 +976,9 @@ class PromQLEngine:
         if isinstance(node, float):
             raise ValueError("scalar-only query has no vector result")
         node = self._route(node, start_ms, end_ms, step_ms, lookback_ms)
-        # fresh common-subexpression state per top-level evaluation; pins
-        # from the PREVIOUS call are released here — by the time a caller
-        # issues the next query_range it has consumed the prior result, and
-        # persist-backed pins are safe to drop anyway (lineage recomputes)
+        # fresh common-subexpression state per top-level evaluation; the
+        # engine's references to the PREVIOUS call's pins are dropped here
+        # so their blocks free as soon as the caller's result refs die
         self.release_cache()
         self._memo: dict[tuple, DataFrame] = {}
         self._subtree_refs = _count_subtrees(node)
@@ -995,33 +994,32 @@ class PromQLEngine:
         return out.orderBy("t", *label_cols)
 
     def release_cache(self) -> None:
-        """Unpersist the shared-subtree frames pinned by the last
-        ``query_range``.  Called automatically at the start of each
-        evaluation so a long-lived engine never accumulates executor
-        storage across calls; callers that hold the LAST result past the
-        engine's lifetime can also invoke it explicitly once done.
-        Safe at any time: pins are ``persist``-backed (not lineage-
-        truncating checkpoints), so a still-referenced frame silently
-        recomputes instead of failing."""
-        for df in getattr(self, "_pinned", []):
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
+        """Drop the engine's references to the shared-subtree frames
+        pinned by the last ``query_range``.  Called automatically at the
+        start of each evaluation, so a long-lived engine holds at most
+        one call's pins: once the caller's own result reference dies, the
+        checkpointed RDDs become GC-eligible and Spark's ContextCleaner
+        frees their executor blocks.  (Callers that keep an engine alive
+        across many ``query_range`` calls AND hold every result can
+        still accumulate — that is their reference graph, not the
+        engine's.)"""
         self._pinned: list[DataFrame] = []
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Mark a shared subtree compute-once for this evaluation.
 
-        ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``:
-        every reference in the final plan scans one InMemoryRelation (same
-        execute-once effect), but blocks survive executor loss via lineage
-        recompute and ``unpersist`` is a clean, supported release — the
-        two failure modes checkpoint-based pinning had on a long-lived
-        engine."""
-        from pyspark import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        ``localCheckpoint(eager=False)`` deliberately, not ``persist``:
+        both give every reference in the final plan one materialization,
+        but the InMemoryRelation cache pays a large one-time codegen cost
+        for its columnar writer (measured ~12 s on first use per session,
+        independent of data size) and plans over it lose AQE statistics,
+        while the checkpoint is a plain block-backed RDD.  Trade-off
+        accepted with eyes open: checkpoint blocks are NOT fault-tolerant
+        (an executor loss during one evaluation fails the query instead
+        of recomputing — acceptable for an interactive query engine), and
+        release is by reference-drop (:meth:`release_cache`) + the
+        ContextCleaner rather than an explicit unpersist."""
+        df = df.localCheckpoint(eager=False)
         if not hasattr(self, "_pinned"):
             self._pinned = []
         self._pinned.append(df)
@@ -1038,7 +1036,7 @@ class PromQLEngine:
     ) -> DataFrame:
         """Memoizing dispatcher: structurally identical subtrees evaluated
         on the same grid reuse one DataFrame, and subtrees the query
-        references more than once are lazily ``persist``-ed so
+        references more than once are lazily ``localCheckpoint``-ed so
         Spark executes them once instead of once per reference (e.g.
         ``a and b or a`` pays one decode/scan for ``a``, not two).  The
         memo lives for one ``query_range`` call; ``repr`` of the frozen
