@@ -189,3 +189,19 @@ def test_remove_repeated_lines(spark):
     assert 100 not in out                        # nothing survived
     assert out[101] == "one line\nrare shared"   # below threshold: kept
     assert out[102] == "rare shared\nanother"
+
+
+def test_repetition_stats_zero_shuffle_parity(spark, sf_oracle):
+    """The zero-shuffle sorted-array variant must return exactly the
+    explode-based values on real documents, and its plan must contain no
+    Exchange (it is a pure scan + project)."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = QA.repetition_stats(docs, ngram=2)
+    b = QA.repetition_stats(docs, ngram=2, zero_shuffle=True)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b

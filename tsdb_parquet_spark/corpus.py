@@ -2958,7 +2958,9 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (duplicate-2-gram fraction, top
     2-gram share) per document — explode + two map-side-combining
-    aggregations, no Python in the plan."""
+    aggregations, no Python in the plan.  A zero-shuffle sorted-array
+    variant exists for shuffle-IO-bound regimes
+    (`quality.repetition_stats(zero_shuffle=True)`, parity-tested)."""
     docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
     return QA.repetition_stats(docs, ngram=2).orderBy("doc_id")
 
