@@ -1,0 +1,147 @@
+"""Snapshot-manifest tests: atomic publication, reader isolation across a
+concurrent compaction, grace-window vacuum, crash resilience, and the
+legacy-store migration path."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.sources.maintenance import maybe_compact
+from tsdb_parquet_spark.sources.manifest import (
+    current_snapshot,
+    latest_version,
+    list_versions,
+    publish_snapshot,
+    read_snapshot,
+    vacuum_snapshots,
+)
+from tsdb_parquet_spark.sources.writer import (
+    SortedParquetWriter,
+    WriterOptions,
+    write_sorted,
+)
+
+WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".work",
+    "manifest_tests",
+)
+
+
+def _writer(spark, name: str) -> SortedParquetWriter:
+    root = os.path.join(WORK, name)
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["l_orderkey"], max_files=1)
+    return SortedParquetWriter(spark, root, opts)
+
+
+def test_publish_and_read_roundtrip(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(120)
+    writer = _writer(spark, "roundtrip")
+    writer.write(li.filter(F.col("l_orderkey") % 2 == 0))
+    writer.write(li.filter(F.col("l_orderkey") % 2 == 1))
+    snap = current_snapshot(writer.root)
+    assert snap is not None and snap.version == 2
+    assert sorted(snap.paths) == ["part.0", "part.1"]
+    assert read_snapshot(spark, writer.root).count() == 120
+
+
+def test_reader_isolated_across_compaction(spark, sf_smoke):
+    """A reader pinned to the pre-compaction snapshot finishes its scan on
+    the retired part files; only vacuum (after the grace window) removes
+    them."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(100)
+    writer = _writer(spark, "isolation")
+    for _ in range(3):
+        writer.write(li)
+    pinned = current_snapshot(writer.root).version  # v3: three parts
+    compact_dir = maybe_compact(writer, max_parts=2, defer_cleanup=True)
+    assert compact_dir is not None
+    # post-compaction manifest: just the versioned compact dir
+    now = current_snapshot(writer.root)
+    assert list(now.paths) == [os.path.basename(compact_dir)]
+    # the pinned snapshot still reads in full — nothing was deleted
+    assert read_snapshot(spark, writer.root, version=pinned).count() == 300
+    assert read_snapshot(spark, writer.root).count() == 300
+    # grace window passes: vacuum keeps only the newest manifest's dirs
+    result = vacuum_snapshots(writer.root, keep_versions=1)
+    assert sorted(result["removed_dirs"]) == ["part.0", "part.1", "part.2"]
+    assert not any(
+        d.startswith("part.") for d in os.listdir(writer.root)
+    )
+    assert read_snapshot(spark, writer.root).count() == 300
+
+
+def test_second_cycle_folds_previous_compact(spark, sf_smoke):
+    """part -> compact -> part -> compact keeps every row and retires the
+    first compact version through vacuum, alias always resolving."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(100)
+    writer = _writer(spark, "cycles")
+    writer.write(li)
+    writer.write(li)
+    first = maybe_compact(writer, max_parts=1, defer_cleanup=True)
+    writer.write(li)
+    writer.write(li)
+    second = maybe_compact(writer, max_parts=1, defer_cleanup=True)
+    assert os.path.basename(first) == "compact.0"
+    assert os.path.basename(second) == "compact.1"
+    alias = os.path.join(writer.root, "compact")
+    assert os.path.islink(alias) and os.readlink(alias) == "compact.1"
+    assert spark.read.parquet(alias).count() == 400
+    vacuum_snapshots(writer.root, keep_versions=1)
+    assert not os.path.isdir(os.path.join(writer.root, "compact.0"))
+    assert read_snapshot(spark, writer.root).count() == 400
+
+
+def test_reopened_writer_trusts_manifest(spark, sf_smoke):
+    """After a deferred-cleanup compaction the folded parts are still on
+    disk; a reopened writer must NOT re-adopt them (double-count)."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(50)
+    writer = _writer(spark, "reopen")
+    for _ in range(3):
+        writer.write(li)
+    maybe_compact(writer, max_parts=2, defer_cleanup=True)
+    reopened = SortedParquetWriter(spark, writer.root, writer.opts)
+    assert reopened.part_dirs == []
+    # and its next write sequences after the folded parts
+    reopened.write(li)
+    snap = current_snapshot(writer.root)
+    assert sorted(snap.paths) == ["compact.0", "part.3"]
+    assert read_snapshot(spark, writer.root).count() == 200
+
+
+def test_crash_between_manifest_and_pointer(spark):
+    """A manifest published without the CURRENT pointer (crash window) must
+    not be resurrected as CURRENT, and the next publish sequences past it."""
+    root = os.path.join(WORK, "crash")
+    shutil.rmtree(root, ignore_errors=True)
+    publish_snapshot(root, ["part.0"])  # v1, CURRENT -> 1
+    # simulate a crash: v2 manifest written, pointer never moved
+    import json
+
+    with open(os.path.join(root, "_snapshots", "MANIFEST.00000002.json"), "w") as fh:
+        json.dump({"version": 2, "created_ms": 0, "paths": ["part.9"]}, fh)
+    assert current_snapshot(root).version == 1
+    assert latest_version(root) == 2
+    v = publish_snapshot(root, ["part.0", "part.1"])
+    assert v == 3 and current_snapshot(root).version == 3
+    assert list_versions(root) == [1, 2, 3]
+
+
+def test_legacy_real_dir_store_migrates(spark, sf_smoke):
+    """A store written before versioned compaction (real ``compact`` dir, no
+    manifest) folds losslessly into the snapshot layout on first compact."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(80)
+    root = os.path.join(WORK, "legacy")
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["l_orderkey"], max_files=1)
+    write_sorted(li, os.path.join(root, "compact"), opts)
+    assert not os.path.islink(os.path.join(root, "compact"))
+    writer = SortedParquetWriter(spark, root, opts)
+    writer.write(li)
+    out = writer.compact()
+    alias = os.path.join(root, "compact")
+    assert os.path.islink(alias) and os.readlink(alias) == os.path.basename(out)
+    assert spark.read.parquet(alias).count() == 160
+    assert list(current_snapshot(root).paths) == [os.path.basename(out)]

@@ -3514,6 +3514,16 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("maybe_compact did not trigger at 3 > 2 parts")
     if writer.part_dirs:
         raise RuntimeError("compacted parts were not cleaned up")
+    # snapshot-publication gates: the compaction must have landed in a
+    # fresh versioned dir behind an atomic alias swap, with the manifest
+    # pinning exactly that version (sources/manifest.py)
+    from tsdb_parquet_spark.sources.manifest import current_snapshot
+
+    snap = current_snapshot(root)
+    if snap is None or list(snap.paths) != [os.path.basename(compact_dir)]:
+        raise RuntimeError("manifest does not pin the compacted version")
+    if not os.path.islink(os.path.join(root, "compact")):
+        raise RuntimeError("compact alias is not an atomic-swap symlink")
 
     result = vacuum_store(
         spark, compact_dir, now_ms=_MAINT_NOW_MS, keep_days=_MAINT_KEEP_DAYS

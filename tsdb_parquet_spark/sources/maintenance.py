@@ -24,7 +24,11 @@ from tsdb_parquet_spark.sources.writer import SortedParquetWriter
 DAY_MS = 86_400_000
 
 
-def maybe_compact(writer: SortedParquetWriter, max_parts: int = 8) -> str | None:
+def maybe_compact(
+    writer: SortedParquetWriter,
+    max_parts: int = 8,
+    defer_cleanup: bool = False,
+) -> str | None:
     """Compact when the part count exceeds ``max_parts``; returns the
     compact dir when compaction ran, else None.
 
@@ -33,12 +37,30 @@ def maybe_compact(writer: SortedParquetWriter, max_parts: int = 8) -> str | None
     deletes exactly the parts that merge consumed
     (``writer.last_compacted_parts``) — never a re-listed set, so a part
     landed by a concurrent micro-batch between the merge and the delete
-    survives for the next cycle."""
+    survives for the next cycle.
+
+    With ``defer_cleanup=True`` nothing is deleted here: consumed parts
+    (and the retired ``compact.N-1``) stay on disk, dropped out of the
+    published manifest, until a later ``manifest.vacuum_snapshots`` call —
+    the mode to use when concurrent READERS may hold a pre-compaction
+    snapshot open (they finish their scan on the retired files)."""
     if len(writer.part_dirs) <= max_parts:
         return None
     compact_dir = writer.compact()
-    for part in writer.last_compacted_parts:
-        shutil.rmtree(part, ignore_errors=True)
+    if not defer_cleanup:
+        for part in writer.last_compacted_parts:
+            shutil.rmtree(part, ignore_errors=True)
+        # retire superseded compact versions (alias already moved on)
+        current = os.path.basename(compact_dir)
+        for entry in os.listdir(writer.root):
+            if (
+                entry.startswith("compact.")
+                and entry != current
+                and entry.split(".", 1)[1].isdigit()
+            ):
+                shutil.rmtree(
+                    os.path.join(writer.root, entry), ignore_errors=True
+                )
     return compact_dir
 
 

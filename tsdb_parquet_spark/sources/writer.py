@@ -160,6 +160,8 @@ class SortedParquetWriter:
     parts written so far.  Parts live under ``root/part.N``; the compacted
     output under ``root/compact``."""
 
+    COMPACT_ALIAS = "compact"
+
     def __init__(self, spark: SparkSession, root: str, opts: WriterOptions):
         self.spark = spark
         self.root = root
@@ -176,41 +178,123 @@ class SortedParquetWriter:
             if d.startswith("part.") and d.split(".", 1)[1].isdigit()
         ]
         self._next_part = max(existing) + 1 if existing else 0
+        compacts = [
+            int(d.split(".", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("compact.") and d.split(".", 1)[1].isdigit()
+        ]
+        self._next_compact = max(compacts) + 1 if compacts else 0
+        self._live_parts: list[str] = self._discover_parts()
 
-    @property
-    def part_dirs(self) -> list[str]:
-        return [
+    def _discover_parts(self) -> list[str]:
+        """Live (un-compacted) part dirs.  The latest manifest is the source
+        of truth when one exists: a part on disk but absent from it was
+        folded by a compaction and awaits vacuum — re-adopting it would
+        double-count its rows.  Stores from before the snapshot layout have
+        no manifest and every on-disk part is live."""
+        from tsdb_parquet_spark.sources.manifest import current_snapshot
+
+        disk = [
             os.path.join(self.root, d)
             for d in sorted(os.listdir(self.root))
             if d.startswith("part.")
         ]
+        snap = current_snapshot(self.root)
+        if snap is None:
+            return disk
+        live = {
+            p for p in snap.paths if os.path.basename(p).startswith("part.")
+        }
+        return [p for p in disk if os.path.basename(p) in live]
+
+    def _publish(self) -> int:
+        """Publish the live logical directory set (compact alias target +
+        live parts) as a new snapshot manifest."""
+        from tsdb_parquet_spark.sources.manifest import publish_snapshot
+
+        rel: list[str] = []
+        target = self._resolve_compact()
+        if target:
+            rel.append(os.path.basename(target))
+        rel += [os.path.basename(p) for p in self._live_parts]
+        return publish_snapshot(self.root, rel)
+
+    @property
+    def part_dirs(self) -> list[str]:
+        return sorted(self._live_parts)
 
     def write(self, df: DataFrame) -> str:
         part_dir = os.path.join(self.root, f"part.{self._next_part}")
         self._next_part += 1
-        return write_sorted(df, part_dir, self.opts)
+        out = write_sorted(df, part_dir, self.opts)
+        self.adopt(part_dir)
+        return out
+
+    def adopt(self, part_dir: str) -> None:
+        """Register an externally written part directory as live.  The
+        streaming sink writes its own ``part.<batch_id>`` dirs (the batch
+        id keys idempotent replay) and adopts them here so the manifest
+        and ``part_dirs`` stay authoritative; re-adopting (a replayed
+        micro-batch) is a no-op."""
+        if part_dir not in self._live_parts:
+            self._live_parts.append(part_dir)
+            self._publish()
+
+    def _resolve_compact(self) -> str | None:
+        """The current compacted dataset's REAL directory, or None.  The
+        alias may be a symlink (post-snapshot layout) or a plain directory
+        (stores written before versioned compaction)."""
+        alias = os.path.join(self.root, self.COMPACT_ALIAS)
+        if os.path.islink(alias):
+            target = os.path.join(self.root, os.readlink(alias))
+            return target if os.path.exists(
+                os.path.join(target, "_SUCCESS")
+            ) else None
+        if os.path.exists(os.path.join(alias, "_SUCCESS")):
+            return alias
+        return None
 
     def compact(self) -> str:
         """Merge all current parts PLUS the previous compaction output (if
-        any) into a fresh ``root/compact``.
+        any) into a fresh versioned ``root/compact.N`` directory, then
+        atomically repoint the stable ``root/compact`` alias at it.
 
-        Including the prior compact dir makes repeated part->compact cycles
-        lossless (a periodic ``maybe_compact`` job deletes parts after each
-        merge — without this the next cycle would overwrite the survivors).
-        The merge lands in a temp dir first and is swapped in by rename, so
-        a failed merge leaves the previous compact output intact.  On an
-        object store the swap would be a manifest pointer update instead of
-        a rename; the single-writer maintenance job assumption is the same.
-        """
-        out = os.path.join(self.root, "compact")
+        Including the prior compact output makes repeated part->compact
+        cycles lossless (a periodic ``maybe_compact`` job deletes parts
+        after each merge — without this the next cycle would overwrite the
+        survivors).  Compaction never writes into a directory a reader
+        could already hold open: each merge gets a fresh ``compact.N``, the
+        alias swap is a one-inode atomic rename (`os.replace` of a
+        symlink; a manifest-pointer PUT on an object store), and the
+        retired ``compact.N-1`` stays on disk until ``vacuum_snapshots``'s
+        grace window passes — a reader mid-scan on the old snapshot
+        finishes undisturbed.  A crash mid-merge leaves the alias and
+        manifest on the previous complete version."""
+        alias = os.path.join(self.root, self.COMPACT_ALIAS)
         parts = self.part_dirs
         self.last_compacted_parts = parts
-        inputs = parts
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            inputs = inputs + [out]
-        tmp = os.path.join(self.root, ".compact.next")
-        shutil.rmtree(tmp, ignore_errors=True)
-        compact(self.spark, inputs, tmp, self.opts)
+        consumed = set(parts)
+        prev = self._resolve_compact()
+        inputs = parts + ([prev] if prev else [])
+        out = os.path.join(self.root, f"compact.{self._next_compact}")
+        self._next_compact += 1
         shutil.rmtree(out, ignore_errors=True)
-        os.rename(tmp, out)
+        compact(self.spark, inputs, out, self.opts)
+        if os.path.islink(alias):
+            link_tmp = os.path.join(self.root, ".compact.alias.tmp")
+            if os.path.islink(link_tmp):
+                os.remove(link_tmp)
+            os.symlink(os.path.basename(out), link_tmp)
+            os.replace(link_tmp, alias)
+        else:
+            # first versioned compaction of this store: retire a legacy
+            # real-dir alias (pre-snapshot layout) before the symlink can
+            # exist — the one non-atomic step, taken once per store ever
+            shutil.rmtree(alias, ignore_errors=True)
+            os.symlink(os.path.basename(out), alias)
+        # the merged parts leave the live set NOW (their rows live on in
+        # compact.N); parts landed by a concurrent micro-batch during the
+        # merge stay live for the next cycle
+        self._live_parts = [p for p in self._live_parts if p not in consumed]
+        self._publish()
         return out

@@ -83,6 +83,7 @@ class StreamingChunkIngestor:
             # (footer metadata read, no data scan) instead of leaving the
             # previous batch's figure in place for monitoring to misread
             self.rows_ingested = self.spark.read.parquet(part_dir).count()
+            self.writer.adopt(part_dir)
             return
         samples = self.to_samples(batch_df)
         chunks = samples_to_chunks(
@@ -97,6 +98,7 @@ class StreamingChunkIngestor:
             # skips the range shuffle entirely (coalesce + local sort)
             n = chunks.count()
             write_sorted(chunks, part_dir, self.writer.opts, n_rows=n)
+            self.writer.adopt(part_dir)
             self.rows_ingested = n
         finally:
             chunks.unpersist()
