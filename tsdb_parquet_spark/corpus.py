@@ -2224,24 +2224,31 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     cat = _cat(spark, sf_dir)
     li_t, od_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    # in-memory catalog: table metadata dies with the session, so
-    # (re)register every call; external paths keep data under .work
-    write_bucketed(
-        cat["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
-        li_t,
-        ["l_orderkey"],
-        num_buckets=8,
-        path=os.path.join(work, f"bucketed_{tag}", "lineitem"),
+    # in-memory catalog: table metadata dies with the session, but the
+    # bucketed DATA survives under .work — re-attach it with a CREATE
+    # TABLE DDL (milliseconds) and only rewrite when absent
+    li_df = cat["lineitem"].select(
+        "l_orderkey", "l_extendedprice", "l_discount"
     )
-    write_bucketed(
-        cat["orders"].select(
-            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-        ),
-        od_t,
-        ["l_orderkey"],
-        num_buckets=8,
-        path=os.path.join(work, f"bucketed_{tag}", "orders"),
+    od_df = cat["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
+    from tsdb_parquet_spark.sources.bucketed import register_bucketed
+
+    li_path = os.path.join(work, f"bucketed_{tag}", "lineitem")
+    od_path = os.path.join(work, f"bucketed_{tag}", "orders")
+    if not register_bucketed(
+        spark, li_t, li_df, ["l_orderkey"], num_buckets=8, path=li_path
+    ):
+        write_bucketed(
+            li_df, li_t, ["l_orderkey"], num_buckets=8, path=li_path
+        )
+    if not register_bucketed(
+        spark, od_t, od_df, ["l_orderkey"], num_buckets=8, path=od_path
+    ):
+        write_bucketed(
+            od_df, od_t, ["l_orderkey"], num_buckets=8, path=od_path
+        )
     joined = colocated_join(spark, li_t, od_t, on=["l_orderkey"], merge=True)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "SortMergeJoin" not in plan or any(

@@ -43,6 +43,46 @@ def write_bucketed(
     return table
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    source_df: DataFrame,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> bool:
+    """Re-attach existing bucketed data as an external table WITHOUT
+    rewriting it.
+
+    Spark's bucket spec lives in the catalog, not the files — with an
+    in-memory catalog the metadata dies with the session while the
+    (expensive, bucket-named) data files survive on disk.  A ``CREATE
+    TABLE ... CLUSTERED BY ... LOCATION`` DDL over the existing location
+    restores the zero-shuffle join property in milliseconds; the file-to-
+    bucket mapping is carried by the bucket id in each file name, so the
+    re-registered spec MUST match the writing spec (same cols, same
+    count) — a mismatch silently mis-buckets every join.
+
+    Returns False (caller should ``write_bucketed``) when the location has
+    no complete data; True once the table is queryable."""
+    import os
+
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    if spark.catalog.tableExists(table):
+        return True
+    ddl = source_df._jdf.schema().toDDL()
+    cluster = ", ".join(bucket_cols)
+    sort = ", ".join(sort_cols or bucket_cols)
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING PARQUET"
+        f" CLUSTERED BY ({cluster}) SORTED BY ({sort})"
+        f" INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return True
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,
