@@ -7,11 +7,19 @@
   samples-shaped parquet (ts/value/labels) into a sorted chunk store
   (parts + compact).
 
+- ``snapshots`` / ``vacuum`` — the maintenance surface the reference lacks
+  (it compacts once at conversion end and never cleans up): list published
+  snapshot manifests; compact over-threshold parts with deferred cleanup
+  and drop retired dirs past the snapshot grace window plus day partitions
+  past the retention horizon.
+
 Usage:
     python -m tsdb_parquet_spark.cli scan --store DIR \
         --matcher event_type=click --mint 0 --maxt 9e15 --limit 10
     python -m tsdb_parquet_spark.cli convert --events events.parquet \
         --out DIR --span-ms 86400000
+    python -m tsdb_parquet_spark.cli snapshots --store DIR
+    python -m tsdb_parquet_spark.cli vacuum --store DIR --keep-versions 2
 """
 
 from __future__ import annotations
@@ -128,6 +136,74 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """List a store's published snapshots (sources/manifest.py) — version,
+    age-defining timestamp, and directory set — newest last."""
+    from tsdb_parquet_spark.sources.manifest import (
+        current_snapshot,
+        list_versions,
+    )
+
+    versions = list_versions(args.store)
+    if not versions:
+        print("# no snapshots published", file=sys.stderr)
+        return 1
+    cur = current_snapshot(args.store)
+    for v in versions:
+        snap = current_snapshot(args.store, v)
+        marker = "*" if cur and v == cur.version else " "
+        paths = ", ".join(snap.paths) if snap else "<missing manifest>"
+        print(f"{marker} v{v} created_ms={snap.created_ms if snap else '-'} "
+              f"[{paths}]")
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Run the maintenance sweep on a store: compact when over the part
+    threshold, then drop retired snapshot dirs past the grace window and
+    (optionally) day partitions past the retention horizon."""
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.sources.maintenance import (
+        maybe_compact,
+        retention_sweep,
+    )
+    from tsdb_parquet_spark.sources.manifest import vacuum_snapshots
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    spark = get_spark(app_name="tsdb-vacuum")
+    spark.sparkContext.setLogLevel("ERROR")
+    labels = args.labels.split(",")
+    opts = WriterOptions(
+        sort_columns=sort_columns(labels),
+        bloom_columns=[c for c in labels if c != "__name__"],
+        max_files=args.max_files,
+    )
+    writer = SortedParquetWriter(spark, args.store, opts)
+    compacted = maybe_compact(
+        writer, max_parts=args.max_parts, defer_cleanup=True
+    )
+    result = vacuum_snapshots(args.store, keep_versions=args.keep_versions)
+    removed_days: list[str] = []
+    if args.keep_days is not None:
+        target = writer._resolve_compact() or args.store
+        removed_days = retention_sweep(
+            target, now_ms=int(time.time() * 1000), keep_days=args.keep_days
+        )
+    print(
+        f"# compacted={compacted or '-'} "
+        f"removed_dirs={result['removed_dirs']} "
+        f"removed_manifests={len(result['removed_manifests'])} "
+        f"removed_day_partitions={removed_days}",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="tsdb_parquet_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -155,6 +231,25 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--span-ms", type=int, default=86_400_000)
     conv.add_argument("--max-files", type=int, default=32)
     conv.set_defaults(fn=cmd_convert)
+
+    snaps = sub.add_parser(
+        "snapshots", help="list a store's published snapshot manifests"
+    )
+    snaps.add_argument("--store", required=True)
+    snaps.set_defaults(fn=cmd_snapshots)
+
+    vac = sub.add_parser(
+        "vacuum",
+        help="compact over-threshold parts, drop retired snapshot dirs "
+        "past the grace window, optionally sweep day-partition retention",
+    )
+    vac.add_argument("--store", required=True)
+    vac.add_argument("--labels", default="__name__,event_type")
+    vac.add_argument("--max-parts", type=int, default=8)
+    vac.add_argument("--max-files", type=int, default=32)
+    vac.add_argument("--keep-versions", type=int, default=2)
+    vac.add_argument("--keep-days", type=int, default=None)
+    vac.set_defaults(fn=cmd_vacuum)
 
     args = parser.parse_args(argv)
     return args.fn(args)
