@@ -145,3 +145,41 @@ def test_legacy_real_dir_store_migrates(spark, sf_smoke):
     assert os.path.islink(alias) and os.readlink(alias) == os.path.basename(out)
     assert spark.read.parquet(alias).count() == 160
     assert list(current_snapshot(root).paths) == [os.path.basename(out)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.sampled_from(["write", "compact", "vacuum"]),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_random_interleavings_never_lose_or_double_count(spark, ops):
+    """Any interleaving of write / deferred-cleanup compact / vacuum keeps
+    the current snapshot's row count equal to the total rows ever written —
+    no loss (a folded part dropped before its compact published) and no
+    double count (a folded part re-adopted beside its compact)."""
+    root = os.path.join(WORK, "prop")
+    shutil.rmtree(root, ignore_errors=True)
+    opts = WriterOptions(sort_columns=["k"], max_files=1)
+    writer = SortedParquetWriter(spark, root, opts)
+    batch = spark.range(3).select(F.col("id").alias("k"))
+    written = 0
+    for op in ops:
+        if op == "write":
+            writer.write(batch)
+            written += 3
+        elif op == "compact":
+            maybe_compact(writer, max_parts=0, defer_cleanup=True)
+        else:
+            vacuum_snapshots(writer.root, keep_versions=2)
+        if written:
+            assert read_snapshot(spark, writer.root).count() == written
+            # a REOPENED writer agrees with the manifest at every point
+            reopened = SortedParquetWriter(spark, root, opts)
+            assert reopened.part_dirs == writer.part_dirs
