@@ -2269,6 +2269,72 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_bucket_ranged_read",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              min(doc_id) AS min_id,
+              max(doc_id) AS max_id,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents""",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 object-store read path (`storage/bucket.go:21-52`,
+    `storage/chunked_reader.go:9-44`) over the filesystem backend — the
+    backend the reference's own tests use.  ``documents`` is staged into
+    a bucket as ONE multi-row-group parquet object (with the wide
+    ``text`` column included), then read back through the ranged stack:
+    the driver plans row groups from a tail ranged footer read, each
+    executor task opens the bucket itself and fetches only its row
+    group's (doc_id, n_chars) column-chunk byte ranges through the
+    16-way chunked reader.  The gate raises unless planning stayed
+    ranged (footer bytes ≪ object size); the oracle aggregates the
+    original table — a hash match proves the ranged reassembly is
+    lossless."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    from tsdb_parquet_spark.sources.bucket import (
+        FilesystemBucket,
+        ReadTelemetry,
+        read_parquet_distributed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"bucket_{tag}")
+    os.makedirs(root, exist_ok=True)
+    bucket = FilesystemBucket(root)
+    obj = "documents/part-0.parquet"
+    if not bucket.exists(obj):
+        table = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        buf = _io.BytesIO()
+        # force ≥8 row groups so the executor fan-out is real
+        pq.write_table(
+            table, buf, row_group_size=max(1, table.num_rows // 8)
+        )
+        bucket.upload(obj, buf.getvalue())
+
+    tel = ReadTelemetry()
+    docs = read_parquet_distributed(
+        spark, bucket, obj, columns=["doc_id", "n_chars"], telemetry=tel
+    )
+    size = bucket.attributes(obj).size
+    # pyarrow prefetches a 64 KiB footer tail, so small sf objects need an
+    # absolute floor; at any realistic object size the ratio bound bites
+    if not 0 < tel.bytes <= max(size // 4, 1 << 17) or tel.bytes >= size:
+        raise RuntimeError(
+            f"driver planning read {tel.bytes}B of a {size}B object — "
+            "footer read is not ranged"
+        )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3705,9 +3771,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q84_ivf_partitioned_store",
     "q85_salted_distinct_count",
     "q86_bucketed_colocated_join",
+    "q87_bucket_ranged_read",
     # code paths changed this round
-    "q77_rollup_routing",
     "q66_promql_set_ops",
+    # position 51+ — outside the driver's 50-row cap.  q77 (green r04)
+    # yields its slot to q87: its round-5 code change (subquery routing
+    # recursion) is exercised more deeply by in-window q82, which shares
+    # the rewrite path end-to-end.
+    "q77_rollup_routing",
 ]
 
 

@@ -1,0 +1,293 @@
+"""Object-store bucket abstraction with ranged reads (reference S2).
+
+The reference reads parquet from GCS through three layers:
+
+- ``objstore.Bucket`` — Get / GetRange / Attributes / Iter
+  (`storage/bucket.go:12-52`, via thanos objstore);
+- ``BucketReader.ReadAt`` — every parquet footer / page read becomes a
+  ranged GET (`storage/bucket.go:36-44`);
+- ``chunkedBucketReader`` — large ranges split into ``maxReadSize`` parts
+  fetched by 16 concurrent goroutines (`storage/chunked_reader.go:9-44`).
+
+This module re-expresses that stack in Python with the SAME split, plus a
+Spark-scale read path the reference lacks:
+
+- :class:`FilesystemBucket` — the local backend (the reference's own tests
+  use ``filesystem.NewBucket`` the same way,
+  `prometheus/querier_test.go:131-149`).  Network backends (s3a://, gs://)
+  stay with the Hadoop connectors configured in
+  :mod:`tsdb_parquet_spark.sources.object_store` — Spark's distributed
+  scan already IS a ranged-GET reader per executor; re-implementing HTTP
+  here would be slower and pointless.
+- :class:`BucketReader` / :class:`ChunkedBucketReader` — ReadAt over one
+  object; the chunked variant fans a big range out over a thread pool
+  (``concurrency=16`` like the reference).
+- :class:`BucketFile` — a seekable file object over ``ReadAt`` so
+  ``pyarrow.parquet.ParquetFile`` performs footer + column-chunk reads as
+  ranged GETs (the reference's `db/file_reader.go` role).
+- :func:`read_parquet_distributed` — the 100 TB shape: the DRIVER makes
+  one tail ranged read to plan row groups from the footer; each EXECUTOR
+  task opens the bucket itself and reads only its row group's byte ranges.
+  Parallelism lives in Spark tasks across executors, not a driver thread
+  pool — the chunked reader then parallelizes WITHIN a task's range.
+
+Everything here is pure stdlib + pyarrow; no network is touched in tests.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: default split size for chunked ranged reads — the reference's
+#: ``SectionChunks=16`` divides a section; we fix the part size instead so
+#: behavior is independent of request size (1 MiB parts, 16-way).
+DEFAULT_MAX_READ_SIZE = 1 << 20
+DEFAULT_CONCURRENCY = 16
+
+
+@dataclass
+class ObjectAttributes:
+    """`objstore.ObjectAttributes` analog (`storage/bucket.go:31-33`)."""
+
+    size: int
+    last_modified: float
+
+
+@dataclass
+class ReadTelemetry:
+    """Counts ranged GETs — the observable the reference prints on every
+    ``ReadAt`` (`storage/bucket.go:37`).  Used by tests and the q87 gate
+    to prove reads are ranged (many small GETs, bytes << object size)."""
+
+    gets: int = 0
+    bytes: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def record(self, n: int) -> None:
+        with self._lock:
+            self.gets += 1
+            self.bytes += n
+
+
+class FilesystemBucket:
+    """Local-directory object store — Get/GetRange/Iter/Upload/Attributes
+    over files under ``root`` (the reference tests' ``filesystem.NewBucket``).
+
+    Picklable (holds only the root path), so executor tasks can open their
+    own handles — required by :func:`read_parquet_distributed`.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.abspath(root)
+
+    def _path(self, name: str) -> str:
+        p = os.path.abspath(os.path.join(self.root, name))
+        if not p.startswith(self.root + os.sep) and p != self.root:
+            raise ValueError(f"object name escapes bucket root: {name!r}")
+        return p
+
+    def get(self, name: str) -> bytes:
+        with open(self._path(name), "rb") as fh:
+            return fh.read()
+
+    def get_range(self, name: str, off: int, length: int) -> bytes:
+        if off < 0 or length < 0:
+            raise ValueError("negative offset/length")
+        with open(self._path(name), "rb") as fh:
+            fh.seek(off)
+            return fh.read(length)
+
+    def attributes(self, name: str) -> ObjectAttributes:
+        st = os.stat(self._path(name))
+        return ObjectAttributes(size=st.st_size, last_modified=st.st_mtime)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isfile(self._path(name))
+
+    def iter(self, prefix: str = "") -> Iterator[str]:
+        """Yield object names under ``prefix`` in sorted order."""
+        for dirpath, _dirs, files in sorted(os.walk(self.root)):
+            for f in sorted(files):
+                rel = os.path.relpath(os.path.join(dirpath, f), self.root)
+                if rel.startswith(prefix):
+                    yield rel
+
+    def upload(self, name: str, data: bytes) -> None:
+        p = self._path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, p)  # atomic like object-store PUT
+
+    def delete(self, name: str) -> None:
+        os.remove(self._path(name))
+
+
+class BucketReader:
+    """ReadAt over one named object (`storage/bucket.go:21-52`): every
+    read is a ranged GET against the bucket."""
+
+    def __init__(
+        self, bucket: FilesystemBucket, name: str, telemetry: ReadTelemetry | None = None
+    ) -> None:
+        self.bucket = bucket
+        self.name = name
+        self.telemetry = telemetry
+
+    def size(self) -> int:
+        return self.bucket.attributes(self.name).size
+
+    def read_at(self, off: int, length: int) -> bytes:
+        data = self.bucket.get_range(self.name, off, length)
+        if self.telemetry is not None:
+            self.telemetry.record(len(data))
+        return data
+
+
+class ChunkedBucketReader:
+    """Split a large ranged read into ``max_read_size`` parts fetched
+    concurrently (`storage/chunked_reader.go:23-44`, 16-way).  Small reads
+    pass through without pool overhead."""
+
+    def __init__(
+        self,
+        reader: BucketReader,
+        max_read_size: int = DEFAULT_MAX_READ_SIZE,
+        concurrency: int = DEFAULT_CONCURRENCY,
+    ) -> None:
+        if max_read_size <= 0:
+            raise ValueError("max_read_size must be positive")
+        self.reader = reader
+        self.max_read_size = max_read_size
+        self.concurrency = concurrency
+
+    def read_at(self, off: int, length: int) -> bytes:
+        if length <= self.max_read_size:
+            return self.reader.read_at(off, length)
+        parts = []
+        for start in range(0, length, self.max_read_size):
+            end = min(start + self.max_read_size, length)
+            parts.append((off + start, end - start))
+        with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
+            chunks = list(pool.map(lambda p: self.reader.read_at(*p), parts))
+        return b"".join(chunks)
+
+
+class BucketFile(io.RawIOBase):
+    """Seekable read-only file over a (Chunked)BucketReader, so pyarrow's
+    parquet reader issues footer / column-chunk reads as ranged GETs —
+    the role `db/file_reader.go` plays over `storage.BucketReader`."""
+
+    def __init__(self, reader: BucketReader | ChunkedBucketReader, size: int) -> None:
+        super().__init__()
+        self._reader = reader
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def seekable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        else:  # pragma: no cover - io protocol
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, length: int = -1) -> bytes:
+        if length is None or length < 0:
+            length = self._size - self._pos
+        length = max(0, min(length, self._size - self._pos))
+        if length == 0:
+            return b""
+        data = self._reader.read_at(self._pos, length)
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:  # pragma: no cover - io protocol
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+
+def open_parquet(
+    bucket: FilesystemBucket,
+    name: str,
+    telemetry: ReadTelemetry | None = None,
+    max_read_size: int = DEFAULT_MAX_READ_SIZE,
+):
+    """Open ``name`` as a ``pyarrow.parquet.ParquetFile`` whose every read
+    is a ranged GET (footer first — a tail range — then only the byte
+    ranges of projected column chunks)."""
+    import pyarrow.parquet as pq
+
+    reader = BucketReader(bucket, name, telemetry)
+    size = reader.size()
+    chunked = ChunkedBucketReader(reader, max_read_size=max_read_size)
+    return pq.ParquetFile(BucketFile(chunked, size))
+
+
+def read_parquet_distributed(
+    spark: SparkSession,
+    bucket: FilesystemBucket,
+    name: str,
+    columns: Sequence[str] | None = None,
+    telemetry: ReadTelemetry | None = None,
+) -> DataFrame:
+    """Distributed parquet-over-bucket scan: the 100 TB shape of the
+    reference's single-node reader.
+
+    Driver: ONE ranged tail read plans row groups from the footer (the
+    reference reads its `.metadata` sidecar for the same purpose,
+    `db/writer.go:218-236`).  Executors: one task per row group; each task
+    opens the bucket itself and reads ONLY its row group's column-chunk
+    byte ranges through the chunked ranged reader — no full-object GET
+    anywhere, column pruning reaches the byte level.
+
+    For s3a:// / gs:// production paths prefer ``spark.read.parquet`` —
+    Spark's own scan already does exactly this per executor; this function
+    exists for bucket backends Spark has no connector for.
+    """
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    pf = open_parquet(bucket, name, telemetry=telemetry)
+    n_groups = pf.metadata.num_row_groups
+    arrow_schema = pf.schema_arrow
+    if columns is not None:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    cols = list(columns) if columns is not None else None
+    root, obj = bucket.root, name
+
+    def scan(batches):
+        for pdf in batches:
+            for rg in pdf["rg"]:
+                part = open_parquet(FilesystemBucket(root), obj)
+                table = part.read_row_group(int(rg), columns=cols)
+                yield from (b.to_pandas() for b in table.to_batches())
+
+    tasks = spark.createDataFrame([(i,) for i in range(n_groups)], "rg int")
+    # one task per row group — repartition so groups don't serialize on one core
+    tasks = tasks.repartition(max(1, n_groups))
+    return tasks.mapInPandas(scan, schema=spark_schema)
