@@ -4,6 +4,8 @@ series, `sum(http_requests_total)` over [0s, 300s] step 60s must yield one
 group with value 3.0 at each of the 6 steps (the reference's stub iterator
 emits 1.0 every 30s — `prometheus/chunks_iterator.go:12-24`)."""
 
+import math
+
 import pytest
 
 from tsdb_parquet_spark.plans.promql import (
@@ -868,3 +870,75 @@ def test_stdvar_over_time(spark):
         "stddev_over_time(m[1m])", 60_000, 60_000, 60_000
     ).collect()
     assert out[0]["value"] == pytest.approx((8.0 / 3.0) ** 0.5)
+
+
+def test_mod_pow_atan2_operators(spark):
+    """% ^ atan2 at the */ precedence tier, ^ right-associative and
+    tightest (Prometheus operator table)."""
+    rows = [("m", "a", 0, 8.0), ("m", "b", 0, 0.25)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(q, 0, 0, 60_000).collect()
+        }
+
+    assert vals("m % 3")["a"] == pytest.approx(2.0)
+    assert vals("m ^ 2")["a"] == pytest.approx(64.0)
+    # right-assoc: m ^ 3 ^ 2 = m ^ 9
+    assert vals("m ^ 3 ^ 2")["b"] == pytest.approx(0.25 ** 9)
+    # ^ binds tighter than %: 8 % 3^2 = 8 % 9 = 8
+    assert vals("m % 3 ^ 2")["a"] == pytest.approx(8.0)
+    assert vals("m atan2 m")["a"] == pytest.approx(math.atan2(8.0, 8.0))
+    # scalar-scalar folding happens at parse time
+    assert vals("m * (2 ^ 3 ^ 2)")["b"] == pytest.approx(0.25 * 512.0)
+    # atan2 in infix position only: a metric may be NAMED atan2
+    rows2 = [("atan2", "a", 0, 4.0)]
+    eng2 = PromQLEngine(spark.createDataFrame(
+        rows2, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    ))
+    out = eng2.query_range("atan2 * 2", 0, 0, 60_000).collect()
+    assert out[0]["value"] == pytest.approx(8.0)
+
+
+def test_pi_and_inverse_hyperbolics(spark):
+    rows = [("m", "a", 0, 1.0)]
+    engine = PromQLEngine(spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    ))
+
+    def one(q):
+        return engine.query_range(q, 0, 0, 60_000).collect()[0]["value"]
+
+    assert one("m * pi()") == pytest.approx(math.pi)
+    assert one("asinh(m)") == pytest.approx(math.asinh(1.0))
+    assert one("acosh(m + 1)") == pytest.approx(math.acosh(2.0))
+    assert one("atanh(m / 2)") == pytest.approx(math.atanh(0.5))
+
+
+def test_scalar_function(spark):
+    """scalar(v): per-step scalar; vector operand keeps its labels; >1
+    series yields NaN."""
+    rows = [
+        ("one", "a", 0, 5.0), ("one", "a", 60_000, 7.0),
+        ("many", "a", 0, 1.0), ("many", "b", 0, 2.0),
+    ]
+    engine = PromQLEngine(spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    ))
+    out = engine.query_range("many * scalar(one)", 0, 0, 60_000).collect()
+    got = {r["job"]: r["value"] for r in out}
+    assert got == {"a": 5.0, "b": 10.0}
+    # the scalar varies per step
+    out = engine.query_range("scalar(one) * vector(1)", 0, 60_000, 60_000)
+    assert {r["t"]: r["value"] for r in out.collect()} == {0: 5.0, 60_000: 7.0}
+    # two series under scalar() -> NaN
+    out = engine.query_range("vector(1) * scalar(many)", 0, 0, 60_000).collect()
+    assert math.isnan(out[0]["value"])
+    # vector cmp scalar(): filter semantics keeping the vector's value
+    out = engine.query_range("many > scalar(one) / 4", 0, 0, 60_000).collect()
+    assert {r["job"]: r["value"] for r in out} == {"b": 2.0}

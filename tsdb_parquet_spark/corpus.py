@@ -2335,6 +2335,47 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_promql_scalar_arithmetic",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+m AS (
+  SELECT t, event_type, shard, avg(value) AS value
+  FROM b WHERE t <= {_P_END} GROUP BY t, event_type, shard
+)
+SELECT t, event_type, shard,
+       round(fmod(value, 49.0) + atan2(pi(), 4.0), 4) AS value
+FROM m ORDER BY t, event_type, shard""",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL arithmetic tail: `%` / `^` (right-assoc, tightest) /
+    `atan2` at Prometheus precedence, `pi()` as a parse-time scalar, and
+    per-step `scalar()` (a broadcast t-keyed join onto the vector,
+    labels kept).  `7 ^ 2` folds at parse; `pi() atan2 scalar(vector(4))`
+    is a scalar-typed expression joined per step."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "avg_over_time(app_events[1d]) % 7 ^ 2"
+        " + pi() atan2 scalar(vector(4))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", "shard", F.round("value", 4).alias("value")
+    ).orderBy("t", "event_type", "shard")
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3772,12 +3813,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q85_salted_distinct_count",
     "q86_bucketed_colocated_join",
     "q87_bucket_ranged_read",
-    # code paths changed this round
+    "q88_promql_scalar_arithmetic",
+    # position 51+ — outside the driver's 50-row cap.  q77 and q66 (both
+    # green r04) yield their slots to the NEW q87/q88 rows: q77's round-5
+    # code change (subquery routing recursion) is exercised more deeply
+    # by in-window q82, which shares the rewrite path end-to-end, and
+    # q66's CSE ref-tracking change is pinned by eval-count asserts in
+    # tests/test_promql.py plus the full-registry oracle gate.
     "q66_promql_set_ops",
-    # position 51+ — outside the driver's 50-row cap.  q77 (green r04)
-    # yields its slot to q87: its round-5 code change (subquery routing
-    # recursion) is exercised more deeply by in-window q82, which shares
-    # the rewrite path end-to-end.
     "q77_rollup_routing",
 ]
 

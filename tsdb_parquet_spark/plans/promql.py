@@ -66,6 +66,7 @@ special case.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -78,7 +79,7 @@ DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 
 AGG_OPS = {"sum", "min", "max", "count", "avg", "stddev", "stdvar", "group"}
 PARAM_AGG_OPS = {"topk", "bottomk"}
-BINARY_OPS = {"+", "-", "*", "/"}
+BINARY_OPS = {"+", "-", "*", "/", "%", "^", "atan2"}
 COMPARE_OPS = {">", "<", ">=", "<=", "==", "!="}
 # instant math functions: name -> max number of scalar params after the
 # vector (fewer may be given where Prometheus defines a default)
@@ -105,6 +106,9 @@ MATH_FUNCS = {
     "sinh": 0,
     "cosh": 0,
     "tanh": 0,
+    "asinh": 0,
+    "acosh": 0,
+    "atanh": 0,
     "deg": 0,
     "rad": 0,
 }
@@ -134,6 +138,45 @@ RANGE_FUNCS = {
 PARAM_RANGE_FUNCS = {"quantile_over_time"}
 #: range functions taking scalar params AFTER the range vector
 TRAILING_SCALARS = {"predict_linear": 1, "holt_winters": 2}
+
+#: scalar-scalar arithmetic folds to a literal at parse time (Prometheus
+#: evaluates scalar expressions; Go math.Mod/Pow/Atan2 semantics)
+_SCALAR_FOLD = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan,
+    "%": math.fmod,
+    "^": math.pow,
+    "atan2": math.atan2,
+}
+
+
+def _is_dynamic_scalar(node) -> bool:
+    """Static scalar-typing: scalar(v), and arithmetic over scalars, are
+    scalar-typed EXPRESSIONS — `m > scalar(x) / 4` must treat the whole
+    right side as a per-step scalar (float-float arithmetic never reaches
+    here: it folds to a literal at parse time)."""
+    if isinstance(node, PromScalarFn):
+        return True
+    if isinstance(node, PromBinary) and node.op in _SCALAR_FOLD:
+        left_s = isinstance(node.left, float) or _is_dynamic_scalar(node.left)
+        right_s = isinstance(node.right, float) or _is_dynamic_scalar(node.right)
+        return left_s and right_s
+    return False
+
+
+def _mk_arith(op, left, right, **kw):
+    """Construct an arithmetic PromBinary, folding float-op-float."""
+    if (
+        isinstance(left, float)
+        and isinstance(right, float)
+        and op in _SCALAR_FOLD
+        and kw.get("matching_mode") is None
+    ):
+        return _SCALAR_FOLD[op](left, right)
+    return PromBinary(op=op, left=left, right=right, **kw)
+
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
 _DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
@@ -291,6 +334,17 @@ class PromVector:
 
 
 @dataclass
+class PromScalarFn:
+    """scalar(v): the single series' value per step, as a label-less
+    (t, value) frame.  Steps where the inner vector has != 1 series emit
+    NaN (Prometheus); steps where it is EMPTY emit no row here instead of
+    NaN — a documented deviation (the engine's frames are sparse over the
+    step axis, so "empty at t" and "absent row" coincide)."""
+
+    inner: "PromNode"
+
+
+@dataclass
 class PromSubquery:
     """fn(<expr>[range:step]): the inner expression evaluated on its own
     (absolute-epoch-aligned) sub-step grid, then fed to the range function
@@ -428,7 +482,7 @@ class _Parser:
           | (?P<op>=~|!~|!=|=)
           | (?P<duration_part>\d+(?:ms|s|m|h|d|w))
           | (?P<number>\d+(?:\.\d+)?)
-          | (?P<binop>[+\-*/])
+          | (?P<binop>[+\-*/%^])
           | (?P<punct>[(){},\[\]@])
         )""",
         re.VERBOSE,
@@ -523,19 +577,37 @@ class _Parser:
                 return left
             self.next()
             mode, labels, group = self._maybe_matching()
-            left = PromBinary(op=tok, left=left, right=self._muldiv(),
-                              matching_mode=mode, matching=labels, group=group)
+            left = _mk_arith(tok, left, self._muldiv(),
+                             matching_mode=mode, matching=labels, group=group)
 
     def _muldiv(self) -> "PromExpr | PromBinary | float":
-        left = self._term()
+        # * / % atan2 share one precedence level (Prometheus); `atan2`
+        # only reads as an operator in infix position, so a metric NAMED
+        # atan2 still parses as an operand
+        left = self._pow()
         while True:
             kind, tok = self.peek()
-            if kind != "binop" or tok not in ("*", "/"):
+            is_op = (kind == "binop" and tok in ("*", "/", "%")) or (
+                kind == "ident" and tok == "atan2"
+            )
+            if not is_op:
                 return left
             self.next()
             mode, labels, group = self._maybe_matching()
-            left = PromBinary(op=tok, left=left, right=self._term(),
-                              matching_mode=mode, matching=labels, group=group)
+            left = _mk_arith(tok, left, self._pow(),
+                             matching_mode=mode, matching=labels, group=group)
+
+    def _pow(self) -> "PromExpr | PromBinary | float":
+        # ^ binds tightest of the arithmetic operators and is
+        # RIGHT-associative: 2^3^2 = 2^(3^2) (Prometheus operator table)
+        left = self._term()
+        kind, tok = self.peek()
+        if kind != "binop" or tok != "^":
+            return left
+        self.next()
+        mode, labels, group = self._maybe_matching()
+        return _mk_arith("^", left, self._pow(),
+                         matching_mode=mode, matching=labels, group=group)
 
     def _maybe_matching(self):
         """``on(l, ...)`` / ``ignoring(l, ...)`` [``group_left`` |
@@ -623,6 +695,17 @@ class _Parser:
                     raise ValueError(f"vector() expects a scalar, got {num!r}")
                 self.expect(")")
                 return PromVector(value=float(num))
+            if tok == "pi":
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return math.pi  # a scalar literal everywhere downstream
+            if tok == "scalar":
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                self.expect(")")
+                return PromScalarFn(inner=inner)
             if tok == "absent":
                 self.next()
                 self.expect("(")
@@ -1099,6 +1182,22 @@ class PromQLEngine:
             return self._steps_frame(start_ms, end_ms, step_ms).select(
                 "t", F.lit(node.value).cast("double").alias("value")
             )
+        if isinstance(node, PromScalarFn):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            # one tiny shuffle keyed on t; NaN where the step has >1 series
+            return (
+                inner.groupBy("t")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.max("value").alias("value"),
+                )
+                .select(
+                    "t",
+                    F.when(F.col("__n") == 1, F.col("value"))
+                    .otherwise(F.lit(float("nan")))
+                    .alias("value"),
+                )
+            )
         if isinstance(node, PromTimeFunc):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return inner.withColumn("value", self._time_column(node.func))
@@ -1293,6 +1392,7 @@ class PromQLEngine:
             "sin": F.sin, "cos": F.cos, "tan": F.tan,
             "asin": F.asin, "acos": F.acos, "atan": F.atan,
             "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+            "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
             "deg": F.degrees, "rad": F.radians,
         }
         if func in simple:
@@ -1380,6 +1480,11 @@ class PromQLEngine:
             "-": lambda a, b: a - b,
             "*": lambda a, b: a * b,
             "/": lambda a, b: a / b,
+            # Go math.Mod / math.Pow / math.Atan2 (Prometheus arithmetic);
+            # Spark's float % keeps the dividend's sign like math.Mod
+            "%": lambda a, b: a % b,
+            "^": lambda a, b: F.pow(a, b),
+            "atan2": lambda a, b: F.atan2(a, b),
         }
         cmps = {
             ">": lambda a, b: a > b,
@@ -1390,6 +1495,10 @@ class PromQLEngine:
             "!=": lambda a, b: a != b,
         }
         is_cmp = node.op in cmps
+        if _is_dynamic_scalar(node.left) or _is_dynamic_scalar(node.right):
+            return self._eval_binary_scalar_fn(
+                node, start_ms, end_ms, step_ms, lookback_ms, ops, cmps
+            )
         left_scalar = isinstance(node.left, float)
         right_scalar = isinstance(node.right, float)
         if left_scalar and right_scalar:
@@ -1461,6 +1570,70 @@ class PromQLEngine:
         return joined.select(
             *keys, ops[node.op](F.col("__lv"), F.col("__rv")).alias("value")
         )
+
+    def _eval_binary_scalar_fn(
+        self, node, start_ms, end_ms, step_ms, lookback_ms, ops, cmps
+    ) -> DataFrame:
+        """Binary ops with a ``scalar(v)`` operand: the scalar varies per
+        STEP, so it joins the other side on t — broadcast (one row per
+        step, thousands at most, never data-sized).  A vector operand
+        keeps its full label set, exactly like a literal-scalar operand
+        (Prometheus scalar/vector semantics); scalar-scalar results stay
+        label-less (t, value) frames, and comparisons on them emit 1/0
+        (Prometheus requires `bool` there; we don't make it an error)."""
+        from pyspark.sql.functions import broadcast
+
+        is_cmp = node.op in cmps
+        left_sfn = _is_dynamic_scalar(node.left)
+        right_sfn = _is_dynamic_scalar(node.right)
+
+        def sframe(n):
+            return self._eval(n, start_ms, end_ms, step_ms, lookback_ms)
+
+        if left_sfn and right_sfn:
+            l = sframe(node.left).select("t", F.col("value").alias("__lv"))
+            r = sframe(node.right).select("t", F.col("value").alias("__rv"))
+            j = l.join(r, "t")
+            lv, rv = F.col("__lv"), F.col("__rv")
+            expr = (
+                F.when(cmps[node.op](lv, rv), F.lit(1.0)).otherwise(F.lit(0.0))
+                if is_cmp
+                else ops[node.op](lv, rv)
+            )
+            return j.select("t", expr.alias("value"))
+
+        sfn, other = (
+            (node.left, node.right) if left_sfn else (node.right, node.left)
+        )
+        sdf = sframe(sfn).select("t", F.col("value").alias("__sv"))
+        sv = F.col("__sv")
+        if isinstance(other, float):
+            lit = F.lit(other)
+            lhs, rhs = (sv, lit) if left_sfn else (lit, sv)
+            expr = (
+                F.when(cmps[node.op](lhs, rhs), F.lit(1.0)).otherwise(F.lit(0.0))
+                if is_cmp
+                else ops[node.op](lhs, rhs)
+            )
+            return sdf.select("t", expr.alias("value"))
+
+        vec = sframe(other)
+        out_cols = [c for c in vec.columns if c != "value"]
+        joined = vec.join(broadcast(sdf), "t")
+        v = F.col("value")
+        lhs, rhs = (sv, v) if left_sfn else (v, sv)
+        if not is_cmp:
+            return joined.select(
+                *out_cols, ops[node.op](lhs, rhs).alias("value")
+            )
+        # vector cmp scalar(): filter semantics, vector's value kept
+        cond = cmps[node.op](lhs, rhs)
+        if node.bool_mode:
+            return joined.select(
+                *out_cols,
+                F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+            )
+        return joined.filter(cond).select(*out_cols, v.alias("value"))
 
     @staticmethod
     def _cmp_result(joined, out_cols, cond, left_val, bool_mode) -> DataFrame:
