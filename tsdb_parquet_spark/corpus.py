@@ -2376,6 +2376,108 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type", "shard")
 
 
+@query(
+    "q89_streaming_rollup",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, value,
+         ((ts_ms + {_DAY_MS - 1}) // {_DAY_MS}) * {_DAY_MS} AS t
+  FROM s
+)
+SELECT t, event_type, shard,
+       round(sum(value), 2) AS value_sum,
+       CAST(count(*) AS DOUBLE) AS value_count,
+       round(max(value), 4) AS value_max
+FROM b GROUP BY t, event_type, shard
+ORDER BY t, event_type, shard""",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup (`streaming/rollup.py`): events replayed
+    AvailableNow through the windowed-agg downsampler — watermarked
+    append-mode window(1d) aggregation, each daily bucket emitted
+    exactly once into the idempotent sorted-part sink, compacted into a
+    standard rollup chunk store.  A far-future sentinel sample advances
+    the watermark past every real bucket so the bounded replay flushes
+    them all; the streamed store must then equal the SAME daily
+    aggregates the batch rollup (q65) checks — proving the online path
+    converges to the batch path."""
+    import shutil
+
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.streaming.rollup import StreamingRollupIngestor
+
+    cat = _cat(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"stream_rollup_v1_{tag}")
+    store_root = os.path.join(root, "store")
+    compact = os.path.join(store_root, "compact")
+
+    done_marker = os.path.join(root, "_DONE")
+    if not os.path.exists(done_marker):
+        shutil.rmtree(root, ignore_errors=True)
+        staging = os.path.join(root, "staging")
+        os.makedirs(staging)
+        samples = cat["events"].select(
+            F.lit("app_events").alias("__name__"),
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value"),
+        )
+        samples.write.mode("overwrite").parquet(staging)
+        max_ts = samples.agg(F.max("ts")).collect()[0][0]
+        if max_ts is None:
+            shutil.rmtree(root, ignore_errors=True)
+            raise RuntimeError(
+                "q89: events table is empty — cannot build rollup store"
+            )
+        flush = spark.createDataFrame(
+            [("__flush__", "none", "0", int(max_ts) + 2 * _DAY_MS, 0.0)],
+            "`__name__` STRING, event_type STRING, shard STRING,"
+            " ts LONG, value DOUBLE",
+        )
+        flush.coalesce(1).write.mode("append").parquet(staging)
+        ing = StreamingRollupIngestor(
+            spark,
+            store_root,
+            _CHUNK_LABELS,
+            step_ms=_DAY_MS,
+            aggs=("sum", "count", "max"),
+        )
+        stream = spark.readStream.schema(samples.schema).parquet(staging)
+        ing.ingest(stream, watermark="10 seconds")
+        compact = ing.finalize()
+        with open(done_marker, "w") as fh:
+            fh.write("ok\n")
+
+    rolled = ChunkQuerier.from_parquet(spark, compact).select_samples(
+        labels=_CHUNK_LABELS
+    )
+    wide = (
+        rolled.filter(~F.col("__name__").startswith("__flush__"))
+        .groupBy(F.col("ts").alias("t"), "event_type", "shard")
+        .pivot(
+            "__name__",
+            ["app_events:sum", "app_events:count", "app_events:max"],
+        )
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        "t",
+        "event_type",
+        "shard",
+        F.round(F.col("`app_events:sum`"), 2).alias("value_sum"),
+        F.col("`app_events:count`").alias("value_count"),
+        F.round(F.col("`app_events:max`"), 4).alias("value_max"),
+    ).orderBy("t", "event_type", "shard")
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3761,7 +3863,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
-    "q05_distinct",
     "q06_first_per_key",
     "q07_groupby_agg",
     "q08_time_containment",
@@ -3814,12 +3915,16 @@ _DRIVER_PRIORITY: list[str] = [
     "q86_bucketed_colocated_join",
     "q87_bucket_ranged_read",
     "q88_promql_scalar_arithmetic",
-    # position 51+ — outside the driver's 50-row cap.  q77 and q66 (both
-    # green r04) yield their slots to the NEW q87/q88 rows: q77's round-5
-    # code change (subquery routing recursion) is exercised more deeply
-    # by in-window q82, which shares the rewrite path end-to-end, and
-    # q66's CSE ref-tracking change is pinned by eval-count asserts in
-    # tests/test_promql.py plus the full-registry oracle gate.
+    "q89_streaming_rollup",
+    # position 51+ — outside the driver's 50-row cap.  q77, q66 and q05
+    # (all green r04) yield their slots to the NEW q87/q88/q89 rows:
+    # q77's round-5 code change (subquery routing recursion) is exercised
+    # more deeply by in-window q82, which shares the rewrite path
+    # end-to-end; q66's CSE ref-tracking change is pinned by eval-count
+    # asserts in tests/test_promql.py; q05's distinct path is exercised
+    # by in-window q06/q09.  All three stay under the full-registry
+    # oracle gate (tests/test_corpus.py).
+    "q05_distinct",
     "q66_promql_set_ops",
     "q77_rollup_routing",
 ]

@@ -57,6 +57,19 @@ def downsample_samples(
     rolled = samples.groupBy(metric_label, *labels, t.alias("__t")).agg(
         *[agg_cols[a].alias(f"__{a}") for a in aggs]
     )
+    return explode_rollup_rows(rolled, labels, metric_label, aggs)
+
+
+def explode_rollup_rows(
+    rolled: DataFrame,
+    labels: Sequence[str],
+    metric_label: str = "__name__",
+    aggs: Sequence[str] = ROLLUP_AGGS,
+) -> DataFrame:
+    """Turn one row per (series, bucket) with ``__<agg>`` columns and a
+    ``__t`` bucket timestamp into recording-rule samples
+    (``metric:agg``) — shared by the batch downsampler and the streaming
+    rollup's finalized-bucket sink."""
     series = F.array(
         *[
             F.struct(
