@@ -106,6 +106,14 @@ def main() -> None:
     start = time.perf_counter()
     events_rollup_store(spark, sf_dir)
     store_build["rollup_store"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    # q89 streams the events through the windowed-agg downsampler once;
+    # q87 stages the multi-row-group bucket object once
+    qs["q89_streaming_rollup"](spark, sf_dir)
+    store_build["stream_rollup_store"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    qs["q87_bucket_ranged_read"](spark, sf_dir)
+    store_build["bucket_staging"] = round(time.perf_counter() - start, 3)
 
     # one store built COLD every run (throwaway dir, version cache
     # bypassed) so codec/writer changes show up round over round even

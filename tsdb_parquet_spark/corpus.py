@@ -2478,6 +2478,58 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type", "shard")
 
 
+# product quantization: fixed md5 codebooks (m=8 subspaces x 16 codes over
+# dim 64) and the same deterministic query vector as IVF — all literals
+# shared by engine and oracle
+_PQ_M, _PQ_K = 8, 16
+_PQ_CB = SIM.pq_codebooks(dim=_EMB_DIM, m=_PQ_M, k=_PQ_K)
+_PQ_TABLES = SIM.pq_distance_tables(_IVF_QV, _PQ_CB)
+_PQ_DS = SIM.sql_pq_distance_lists("v", _PQ_CB)
+
+
+@query(
+    "q90_pq_adc_topk",
+    f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id,
+         {", ".join(f"{expr} AS ds{s}" for s, expr in enumerate(_PQ_DS))}
+  FROM base
+),
+enc AS (
+  SELECT vec_id,
+         {", ".join(f"list_position(ds{s}, list_min(ds{s})) - 1 AS c{s}"
+                    for s in range(_PQ_M))}
+  FROM d
+),
+scored AS (
+  SELECT vec_id,
+         {" + ".join(f"CAST(({SIM.sql_vector_literal(t)})[c{s} + 1] AS DOUBLE)"
+                     for s, t in enumerate(_PQ_TABLES))} AS dist
+  FROM enc
+)
+SELECT vec_id, round(dist, 6) AS dist
+FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`functions/similarity.py::pq_*`): each
+    64-dim vector compresses to m=8 codes (one Arrow encode pass,
+    argmin per subspace), then top-k search is ASYMMETRIC DISTANCE —
+    per row, 8 lookups into broadcast literal tables, a pure
+    whole-stage-codegen expression over a ~32x smaller scan, no raw
+    vectors touched at query time.  The 100 TB memory story for ANN:
+    codes for 1e9 vectors fit where float32 vectors cannot.  The oracle
+    re-derives every code (same sequential squared-difference fold,
+    first-min tie-break) and the same left-assoc lookup sum."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    coded = SIM.pq_encode(emb, _PQ_CB)
+    out = SIM.pq_topk(coded, _IVF_QV, _PQ_CB, k=10)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3863,7 +3915,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
-    "q06_first_per_key",
     "q07_groupby_agg",
     "q08_time_containment",
     "q09_label_values",
@@ -3916,15 +3967,17 @@ _DRIVER_PRIORITY: list[str] = [
     "q87_bucket_ranged_read",
     "q88_promql_scalar_arithmetic",
     "q89_streaming_rollup",
-    # position 51+ — outside the driver's 50-row cap.  q77, q66 and q05
-    # (all green r04) yield their slots to the NEW q87/q88/q89 rows:
-    # q77's round-5 code change (subquery routing recursion) is exercised
-    # more deeply by in-window q82, which shares the rewrite path
-    # end-to-end; q66's CSE ref-tracking change is pinned by eval-count
-    # asserts in tests/test_promql.py; q05's distinct path is exercised
-    # by in-window q06/q09.  All three stay under the full-registry
-    # oracle gate (tests/test_corpus.py).
+    "q90_pq_adc_topk",
+    # position 51+ — outside the driver's 50-row cap.  q77, q66, q05 and
+    # q06 (all green r04, none changed this round) yield their slots to
+    # the NEW q87-q90 rows: q77's round-5 code change (subquery routing
+    # recursion) is exercised more deeply by in-window q82, which shares
+    # the rewrite path end-to-end; q66's CSE ref-tracking change is
+    # pinned by eval-count asserts in tests/test_promql.py; q05/q06's
+    # distinct operator (A1) keeps an in-window row via q09.  All four
+    # stay under the full-registry oracle gate (tests/test_corpus.py).
     "q05_distinct",
+    "q06_first_per_key",
     "q66_promql_set_ops",
     "q77_rollup_routing",
 ]
