@@ -2530,6 +2530,63 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@query(
+    "q91_ivfpq_store_topk",
+    _IVF_ASSIGN_CTE
+    + f""",
+cand AS (
+  SELECT vec_id, v FROM a
+  WHERE centroid IN ({", ".join(str(p) for p in _IVF_PROBES)})
+),
+pd AS (
+  SELECT vec_id,
+         {", ".join(f"{expr} AS ds{s}" for s, expr in enumerate(_PQ_DS))}
+  FROM cand
+),
+enc AS (
+  SELECT vec_id,
+         {", ".join(f"list_position(ds{s}, list_min(ds{s})) - 1 AS c{s}"
+                    for s in range(_PQ_M))}
+  FROM pd
+),
+scored AS (
+  SELECT vec_id,
+         {" + ".join(f"CAST(({SIM.sql_vector_literal(t)})[c{s} + 1] AS DOUBLE)"
+                     for s, t in enumerate(_PQ_TABLES))} AS dist
+  FROM enc
+)
+SELECT vec_id, round(dist, 6) AS dist
+FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ store (`build_ivfpq_store` / `ivfpq_topk`): the FAISS-style
+    billion-scale layout — inverted lists as ``centroid=`` partition
+    directories holding ONLY (id, m-byte pq_code), raw vectors absent.
+    A query prunes non-probed list directories at the driver
+    (PartitionFilters), then scores the probed codes with the broadcast
+    ADC tables inside codegen — zero Python, zero vector IO.  The gate
+    raises unless the scan plan really partition-prunes; the oracle
+    re-derives coarse assignment + codes + lookup sums from the shared
+    literals."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    store = os.path.join(work, f"ivfpq_store_v1_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        emb = _cat(spark, sf_dir)["embeddings"]
+        SIM.build_ivfpq_store(emb, store, _IVF_CENTS, _PQ_CB)
+    out = SIM.ivfpq_topk(
+        spark, store, _IVF_QV, _IVF_CENTS, _PQ_CB, k=10, nprobe=_IVF_NPROBE
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "centroid" not in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]:
+        raise RuntimeError("ivfpq probe did not land as a partition filter")
+    if "EvalPython" in plan:
+        raise RuntimeError("ivfpq scoring plan contains a Python evaluator")
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -3922,7 +3979,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q11_predicate_order",
     "q12_dict_equality",
     "q13_zonemap_range",
-    "q14_multi_projection",
     "q15_empty_result",
     # last driver-checked in round 2 — highest rotation priority; q29 is
     # also NEW code this round (real BMP/WAV header decode)
@@ -3968,16 +4024,19 @@ _DRIVER_PRIORITY: list[str] = [
     "q88_promql_scalar_arithmetic",
     "q89_streaming_rollup",
     "q90_pq_adc_topk",
-    # position 51+ — outside the driver's 50-row cap.  q77, q66, q05 and
-    # q06 (all green r04, none changed this round) yield their slots to
-    # the NEW q87-q90 rows: q77's round-5 code change (subquery routing
-    # recursion) is exercised more deeply by in-window q82, which shares
-    # the rewrite path end-to-end; q66's CSE ref-tracking change is
-    # pinned by eval-count asserts in tests/test_promql.py; q05/q06's
-    # distinct operator (A1) keeps an in-window row via q09.  All four
-    # stay under the full-registry oracle gate (tests/test_corpus.py).
+    "q91_ivfpq_store_topk",
+    # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
+    # q06 and q14 (all green r04, none changed this round) yield their
+    # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
+    # routing recursion) is exercised more deeply by in-window q82,
+    # which shares the rewrite path end-to-end; q66's CSE ref-tracking
+    # change is pinned by eval-count asserts in tests/test_promql.py;
+    # q05/q06's distinct operator (A1) keeps an in-window row via q09;
+    # q14's projection path (P1) keeps q01.  All five stay under the
+    # full-registry oracle gate (tests/test_corpus.py).
     "q05_distinct",
     "q06_first_per_key",
+    "q14_multi_projection",
     "q66_promql_set_ops",
     "q77_rollup_routing",
 ]

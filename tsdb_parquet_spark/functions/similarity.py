@@ -751,3 +751,67 @@ def sql_pq_distance_lists(
             )
         lists.append("list_value(" + ", ".join(ds) + ")")
     return lists
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: inverted lists of codes — no raw vectors at query time
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_store(
+    df: DataFrame,
+    dest_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The FAISS-style IVF-PQ layout as a parquet store: one Arrow pass
+    assigns the coarse centroid AND the PQ codes, then the store is
+    hive-partitioned by ``centroid=`` holding ONLY (id, pq_code) — the
+    raw vectors are not stored.  At 1e9+ vectors this is both the IO
+    story (a probe prunes whole list directories at the driver) and the
+    memory story (each row is m bytes of codes, ~32x smaller than
+    float32 vectors)."""
+    assign = centroid_assign_udf(centroids)
+    enc = pq_encode_udf(codebooks)
+    (
+        df.select(
+            id_col,
+            enc(F.col(vec_col)).alias("pq_code"),
+            assign(F.col(vec_col)).alias("centroid"),
+        )
+        .repartition(len(centroids), "centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(dest_dir)
+    )
+    return dest_dir
+
+
+def ivfpq_topk(
+    spark,
+    store_dir: str,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a :func:`build_ivfpq_store`: the probe set lands as
+    a PartitionFilter (non-probed lists never touched), then the ADC
+    table-lookup sum scores the probed codes inside codegen — zero
+    Python, zero raw-vector IO, one top-k sort of scalars."""
+    probes = query_probes(query_vec, centroids, nprobe)
+    tables = pq_distance_tables(query_vec, codebooks)
+    cand = spark.read.parquet(store_dir).filter(
+        F.col("centroid").isin([int(p) for p in probes])
+    )
+    return (
+        cand.select(
+            id_col, pq_adc_distance(F.col("pq_code"), tables).alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
