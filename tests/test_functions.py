@@ -400,3 +400,56 @@ def test_train_ivf_centroids_separates_blobs(spark):
     for c in cents:
         assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
     assert cents != ivf_centroids(dim=dim, n_centroids=2)
+
+
+def test_semantic_dedup_drops_in_cluster_copies(spark):
+    # two exact-direction pairs (scaled copies, cosine 1.0) plus two
+    # orthogonal singletons; centroids chosen so each pair lands in its
+    # own cluster and copies are dropped keep-first
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),  # copy of 0 (same direction)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 3.0, 0.0, 0.0]),  # copy of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    out = {
+        r["vec_id"]: (r["cluster"], r["dropped"])
+        for r in SIM.semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert out[0] == (0, False) and out[1] == (0, True)
+    assert out[2] == (1, False) and out[3] == (1, True)
+    assert out[4] == (2, False)
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    # cosine between the two vectors is ~0.707 — below 0.95, above 0.5
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[1.0, 0.0]]
+    strict = SIM.semantic_dedup(df, cents, threshold=0.95)
+    assert not any(r["dropped"] for r in strict.collect())
+    loose = SIM.semantic_dedup(df, cents, threshold=0.5)
+    assert {r["vec_id"]: r["dropped"] for r in loose.collect()}[1] is True
+
+
+def test_duplicated_ngram_spans(spark):
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram window
+    rows = [
+        (0, shared + " zeta eta"),
+        (1, "prefix words here " + shared),
+        (2, "totally unrelated content with many distinct words inside"),
+        (3, "tiny doc"),  # < 5 tokens -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r for r in D.duplicated_ngram_spans(docs, size=5).collect()
+    }
+    assert 3 not in out
+    # doc 0: 7 tokens -> 3 windows, exactly one ("alpha..epsilon") shared
+    assert out[0]["n_shingles"] == 3 and out[0]["n_dup_shingles"] == 1
+    assert out[1]["n_dup_shingles"] == 1
+    assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_ratio"] == 0.0
+    assert abs(out[0]["dup_ratio"] - round(1 / 3, 4)) < 1e-9

@@ -2588,6 +2588,102 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q92 — SemDeDup semantic deduplication; q93 — exact-substring span stats
+# ---------------------------------------------------------------------------
+
+_SD_THR = 0.95
+
+
+@query(
+    "q92_semantic_dedup",
+    f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+vecs AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2) AS v
+  FROM base WHERE vec_id < 30
+),
+assigned AS (
+  SELECT vec_id, v,
+         CAST(list_position(ds, list_aggregate(ds, 'max')) - 1 AS BIGINT)
+             AS cluster,
+         sqrt({SIM.sql_dot('v', 'v', _EMB_DIM)}) AS nrm
+  FROM (
+    SELECT vec_id, v, {SIM.sql_centroid_dots('v', _IVF_CENTS)} AS ds
+    FROM vecs
+  )
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm * b.nrm > 0
+        THEN {SIM.sql_dot('a.v', 'b.v', _EMB_DIM)} / (a.nrm * b.nrm)
+        ELSE 0.0 END >= {_SD_THR}
+)
+SELECT n.cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN n.vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM assigned n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+GROUP BY n.cluster ORDER BY n.cluster""",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the corpus with 30 scaled copies
+    injected (cosine exactly 1.0): IVF coarse assignment buckets the
+    corpus, pairwise cosine runs only inside clusters, and each cluster
+    drops every vector with a lower-id neighbor at >= 0.95.  Output is
+    the per-cluster dedup ledger (sizes, drops, kept-id checksum); the
+    oracle recomputes assignment from the shared centroid literals and
+    the same keep-first rule."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    scaled = base.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    verdicts = SIM.semantic_dedup(
+        base.union(scaled), _IVF_CENTS, threshold=_SD_THR
+    )
+    return (
+        verdicts.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+            F.sum(
+                F.when(~F.col("dropped"), F.col("vec_id")).otherwise(F.lit(0))
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q93_exact_substring_spans",
+    D.sql_duplicated_ngram_spans("documents", size=5) + "ORDER BY doc_id",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (arXiv:2107.06499): per document,
+    the count and fraction of its 5-token windows that also occur in
+    another document — the repeated-span signal ExactSubstr dedup cuts.
+    One explode + one min/max groupBy on the window key (map-side
+    partial agg, no count-distinct), then a keyed join back."""
+    docs = _cat(spark, sf_dir)["documents"]
+    return D.duplicated_ngram_spans(docs, size=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
 
@@ -3973,13 +4069,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q03_range_filter",
     "q04_conjunction",
     "q07_groupby_agg",
-    "q08_time_containment",
     "q09_label_values",
     "q10_write_compact_roundtrip",
     "q11_predicate_order",
     "q12_dict_equality",
     "q13_zonemap_range",
-    "q15_empty_result",
     # last driver-checked in round 2 — highest rotation priority; q29 is
     # also NEW code this round (real BMP/WAV header decode)
     "q29_multimodal_metadata",
@@ -4025,6 +4119,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q89_streaming_rollup",
     "q90_pq_adc_topk",
     "q91_ivfpq_store_topk",
+    "q92_semantic_dedup",
+    "q93_exact_substring_spans",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4033,7 +4129,12 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q09;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).
+    # full-registry oracle gate (tests/test_corpus.py).  q08/q15 (green
+    # in EVERY round r01-r04, code untouched) yield their slots to the
+    # NEW q92/q93 rows; their paths stay covered in-window by q03
+    # (range containment) and the full-registry gate.
+    "q08_time_containment",
+    "q15_empty_result",
     "q05_distinct",
     "q06_first_per_key",
     "q14_multi_projection",

@@ -418,3 +418,97 @@ def verify_pairs_jaccard(
         ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (repeated n-gram span) dedup
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    size: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): for
+    every document, how many of its ``size``-token windows also occur in
+    ANOTHER document — the signal their suffix-array ExactSubstr pass
+    uses to cut repeated spans out of training text.
+
+    Returns ``(id_col, n_shingles, n_dup_shingles, dup_ratio)`` for every
+    doc with >= ``size`` tokens; each OCCURRENCE of a shared window
+    counts, so ``dup_ratio`` approximates the fraction of the doc covered
+    by text that exists elsewhere in the corpus.
+
+    Scale shape: instead of a distributed suffix array, one explode +
+    one groupBy on the window key: a window is "shared" iff
+    min(doc) != max(doc) over its occurrences — min/max fold map-side
+    (partial aggregation), unlike a count(distinct doc).  The join back
+    to occurrences is keyed on the same window string, so AQE can reuse
+    the shuffle; at 100 TB the window key would be xxhash64(window)
+    (8-byte shuffle rows, same plan — exact_dedup's digest trick), kept
+    as the raw string here for oracle parity.
+    """
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), size).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    shared = (
+        ex.groupBy("__g")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("__g")
+    )
+    dup_counts = (
+        ex.join(shared, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    totals = sh.select(F.col(id_col), F.size("__sh").cast("long").alias("n_shingles"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_dup_shingles"), F.lit(0)).cast("long").alias(
+                "n_dup_shingles"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_shingles"), F.lit(0))
+                / F.col("n_shingles"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def sql_duplicated_ngram_spans(
+    table: str = "documents",
+    size: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`duplicated_ngram_spans` — identical
+    tokenize/shingle expressions, identical shared-window rule."""
+    sh = sql_shingles(text_col, size)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {sh} AS sh FROM {table}
+),
+docs AS (SELECT {id_col}, sh FROM t WHERE len(sh) > 0),
+ex AS (SELECT {id_col}, unnest(sh) AS g FROM docs),
+shared AS (
+  SELECT g FROM ex GROUP BY g HAVING min({id_col}) <> max({id_col})
+),
+dupc AS (
+  SELECT {id_col}, count(*) AS n_dup FROM ex JOIN shared USING (g)
+  GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(len(d.sh) AS BIGINT) AS n_shingles,
+       CAST(coalesce(dupc.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       round(coalesce(dupc.n_dup, 0) * 1.0 / len(d.sh), 4) AS dup_ratio
+FROM docs d LEFT JOIN dupc USING ({id_col})
+"""

@@ -467,6 +467,75 @@ def query_probes(
     return [j for _, j in sorted(scored)[:nprobe]]
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then drop
+    near-identical vectors WITHIN clusters only.
+
+    Returns one row per input vector: ``(id_col, cluster, dropped)``.
+    A vector is ``dropped`` when a LOWER-id vector in the same cluster
+    has cosine >= ``threshold`` (keep-first rule — deterministic and
+    oracle-expressible, standing in for the paper's keep-one-per-ε-ball
+    choice).
+
+    Scale shape: the O(n²) pairwise cosine never materializes globally —
+    the self-join key is the int cluster id, so exact arithmetic runs
+    only inside clusters.  k is chosen proportional to corpus size (the
+    paper uses k = 11,000 for LAION-440M, keeping clusters ~40k vectors)
+    so per-cluster pair counts stay bounded; each side shuffles once on
+    the cluster key, and the assignment itself is the IVF coarse pass
+    (:func:`centroid_assign_udf`, one Arrow map, no shuffle).  Cosine is
+    the same codegen zip_with/aggregate fold as the ANN paths, with
+    per-vector norms precomputed so each pair costs one cross-dot.
+    """
+    assign = centroid_assign_udf(centroids)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).alias("cluster"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    a = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(
+        denom > 0, dot(F.col("__va"), F.col("__vb")) / denom
+    ).otherwise(F.lit(0.0))
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
+        )
+    )
+
+
 def _py_signature(vec: Sequence[float], planes: list[list[int]]) -> int:
     bits = len(planes)
     sig = 0
