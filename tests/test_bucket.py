@@ -130,3 +130,79 @@ def test_distributed_read_matches_native_scan(spark, bucket):
     assert sorted(df.collect()) == sorted(native.collect())
     # fan-out really split by row group: 10 tasks worth of input
     assert df.rdd.getNumPartitions() == 10
+
+
+# ---------------------------------------------------------------------------
+# HTTP backend over a loopback range server
+# ---------------------------------------------------------------------------
+
+from tsdb_parquet_spark.sources.bucket import HTTPBucket  # noqa: E402
+from tsdb_parquet_spark.sources.http_range_server import (  # noqa: E402
+    RangeHTTPServer,
+)
+
+
+@pytest.fixture()
+def http_env():
+    srv = RangeHTTPServer().start()
+    try:
+        yield srv, HTTPBucket(srv.base_url, index_object="_index")
+    finally:
+        srv.stop()
+
+
+def test_http_bucket_roundtrip(http_env):
+    srv, bucket = http_env
+    bucket.upload("a/x.bin", b"hello")
+    bucket.upload("_index", b"a/x.bin\nb/y.bin\n")
+    assert bucket.get("a/x.bin") == b"hello"
+    assert bucket.attributes("a/x.bin").size == 5
+    assert bucket.exists("a/x.bin") and not bucket.exists("missing")
+    assert list(bucket.iter("a/")) == ["a/x.bin"]
+    bucket.delete("a/x.bin")
+    assert not bucket.exists("a/x.bin")
+
+
+def test_http_bucket_name_cannot_escape(http_env):
+    _, bucket = http_env
+    with pytest.raises(ValueError):
+        bucket.get("../secrets")
+
+
+def test_http_get_range_is_true_partial_content(http_env):
+    srv, bucket = http_env
+    blob = bytes(random.Random(13).randrange(256) for _ in range(50_000))
+    srv.objects["blob"] = blob
+    for off, length in [(0, 10), (49_990, 10), (5_000, 0), (49_995, 100), (123, 4_567)]:
+        assert bucket.get_range("blob", off, length) == blob[off : off + length]
+
+
+def test_parquet_over_http_projection_prunes_bytes(http_env):
+    """The full ranged-read stack over a REAL socket: footer tail GET +
+    column-chunk GETs, each an RFC 7233 Range request; projected bytes
+    ≪ object size just like the filesystem backend."""
+    srv, bucket = http_env
+    _write_parquet(bucket, "t.parquet")
+    size = bucket.attributes("t.parquet").size
+    tel = ReadTelemetry()
+    pf = open_parquet(bucket, "t.parquet", telemetry=tel)
+    got = pf.read(columns=["k"])
+    assert got.column("k").to_pylist() == list(range(20_000))
+    assert tel.gets >= 2
+    assert tel.bytes < size // 2, (tel.bytes, size)
+
+
+def test_distributed_read_over_http_matches_native(spark, http_env, tmp_path):
+    """Executor-side Python workers (separate PROCESSES) fetch their row
+    groups' byte ranges over loopback HTTP — the exact topology of a
+    cluster scan against an object store."""
+    srv, bucket = http_env
+    _write_parquet(bucket, "t.parquet", n_rows=10_000, row_group_size=1_000)
+    df = read_parquet_distributed(spark, bucket, "t.parquet", columns=["k", "v"])
+    # write the same object to disk for the native comparison scan
+    p = tmp_path / "t.parquet"
+    p.write_bytes(srv.objects["t.parquet"])
+    native = spark.read.parquet(str(p)).select("k", "v")
+    assert df.schema == native.schema
+    assert sorted(df.collect()) == sorted(native.collect())
+    assert df.rdd.getNumPartitions() == 10

@@ -2335,6 +2335,75 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: loopback range servers, one per sf tag — daemon threads that live for
+#: the process so lazily-evaluated DataFrames can still fetch at collect
+_HTTP_BUCKETS: dict[str, tuple[object, object]] = {}
+
+
+def _http_bucket(spark: SparkSession, sf_dir: str):
+    from tsdb_parquet_spark.sources.bucket import HTTPBucket
+    from tsdb_parquet_spark.sources.http_range_server import RangeHTTPServer
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag not in _HTTP_BUCKETS:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        buf = _io.BytesIO()
+        pq.write_table(table, buf, row_group_size=max(1, table.num_rows // 8))
+        srv = RangeHTTPServer(
+            {"documents/part-0.parquet": buf.getvalue()}
+        ).start()
+        _HTTP_BUCKETS[tag] = (srv, HTTPBucket(srv.base_url))
+    return _HTTP_BUCKETS[tag][1]
+
+
+@query(
+    "q94_http_object_store",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 over REAL HTTP: ``documents`` staged as one multi-row-group
+    parquet object behind a loopback RFC 7233 range server, read through
+    `HTTPBucket` — the driver's footer planning and every executor
+    worker's row-group fetch travel the socket as ``Range: bytes=a-b``
+    GETs, the wire shape of the reference's thanos-objstore GCS client
+    (`storage/bucket.go:36-44`).  The gate raises unless driver planning
+    stayed ranged (bytes ≪ object size); the oracle aggregates the
+    source table, so a hash match proves byte-exact reassembly over the
+    wire.  Swapping the loopback URL for a bucket endpoint is the
+    production path for stores Spark has no connector for."""
+    from tsdb_parquet_spark.sources.bucket import (
+        ReadTelemetry,
+        read_parquet_distributed,
+    )
+
+    bucket = _http_bucket(spark, sf_dir)
+    obj = "documents/part-0.parquet"
+    tel = ReadTelemetry()
+    docs = read_parquet_distributed(
+        spark, bucket, obj, columns=["lang", "n_chars"], telemetry=tel
+    )
+    size = bucket.attributes(obj).size
+    if not 0 < tel.bytes <= max(size // 4, 1 << 17) or tel.bytes >= size:
+        raise RuntimeError(
+            f"driver planning read {tel.bytes}B of a {size}B object over "
+            "HTTP — footer read is not ranged"
+        )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query(
     "q88_promql_scalar_arithmetic",
     f"""
@@ -4073,7 +4142,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q10_write_compact_roundtrip",
     "q11_predicate_order",
     "q12_dict_equality",
-    "q13_zonemap_range",
     # last driver-checked in round 2 — highest rotation priority; q29 is
     # also NEW code this round (real BMP/WAV header decode)
     "q29_multimodal_metadata",
@@ -4121,6 +4189,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q91_ivfpq_store_topk",
     "q92_semantic_dedup",
     "q93_exact_substring_spans",
+    "q94_http_object_store",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4129,11 +4198,13 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q09;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q08/q15 (green
-    # in EVERY round r01-r04, code untouched) yield their slots to the
-    # NEW q92/q93 rows; their paths stay covered in-window by q03
-    # (range containment) and the full-registry gate.
+    # full-registry oracle gate (tests/test_corpus.py).  q08/q13/q15
+    # (green in EVERY round r01-r04, code untouched) yield their slots
+    # to the NEW q92/q93/q94 rows; their paths stay covered in-window by
+    # q03 (range containment), writer tests (P9 zone maps), and the
+    # full-registry gate.
     "q08_time_containment",
+    "q13_zonemap_range",
     "q15_empty_result",
     "q05_distinct",
     "q06_first_per_key",

@@ -14,11 +14,14 @@ Spark-scale read path the reference lacks:
 
 - :class:`FilesystemBucket` — the local backend (the reference's own tests
   use ``filesystem.NewBucket`` the same way,
-  `prometheus/querier_test.go:131-149`).  Network backends (s3a://, gs://)
-  stay with the Hadoop connectors configured in
-  :mod:`tsdb_parquet_spark.sources.object_store` — Spark's distributed
-  scan already IS a ranged-GET reader per executor; re-implementing HTTP
-  here would be slower and pointless.
+  `prometheus/querier_test.go:131-149`).
+- :class:`HTTPBucket` — ranged GETs over real HTTP (RFC 7233 Range
+  headers): any static file server / S3 website endpoint / CDN front.
+  For s3a:// and gs:// prefer the Hadoop connectors configured in
+  :mod:`tsdb_parquet_spark.sources.object_store` — Spark's own scan is
+  already a ranged-GET reader per executor; HTTPBucket covers backends
+  Spark has no connector for, and lets tests exercise the wire protocol
+  against a loopback server (:mod:`.http_range_server`).
 - :class:`BucketReader` / :class:`ChunkedBucketReader` — ReadAt over one
   object; the chunked variant fans a big range out over a thread pool
   (``concurrency=16`` like the reference).
@@ -31,7 +34,8 @@ Spark-scale read path the reference lacks:
   Parallelism lives in Spark tasks across executors, not a driver thread
   pool — the chunked reader then parallelizes WITHIN a task's range.
 
-Everything here is pure stdlib + pyarrow; no network is touched in tests.
+Everything here is pure stdlib + pyarrow; tests touch no network beyond
+the OS loopback (the range server binds 127.0.0.1 only).
 """
 
 from __future__ import annotations
@@ -129,6 +133,111 @@ class FilesystemBucket:
 
     def delete(self, name: str) -> None:
         os.remove(self._path(name))
+
+
+class HTTPBucket:
+    """HTTP(S) object-store backend: objects live under a base URL and
+    every ranged read is an RFC 7233 ``Range: bytes=a-b`` GET — the same
+    wire shape the reference's thanos-objstore GCS/S3 clients issue for
+    ``GetRange`` (`storage/bucket.go:36-44`); any static file server,
+    S3 website endpoint, or CDN front works unmodified.
+
+    Pure stdlib (urllib).  Picklable — holds only the base URL — so
+    executor tasks in :func:`read_parquet_distributed` open their own
+    connections, exactly like S3 clients on a real cluster.
+
+    HTTP has no standard listing, so ``iter`` reads an optional
+    newline-separated ``index_object`` when configured (object-store
+    listings are a control-plane call anyway; the data plane is GETs).
+    ``upload``/``delete`` issue PUT/DELETE for servers that allow them.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        index_object: str | None = None,
+        timeout: float = 30.0,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.index_object = index_object
+        self.timeout = timeout
+
+    def _url(self, name: str) -> str:
+        from urllib.parse import quote
+
+        if name.startswith("/") or ".." in name.split("/"):
+            raise ValueError(f"object name escapes bucket: {name!r}")
+        return f"{self.base_url}/{quote(name)}"
+
+    def _request(self, name: str, method: str = "GET", headers=None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(name), method=method, headers=headers or {}
+        )
+        return urllib.request.urlopen(req, timeout=self.timeout)
+
+    def get(self, name: str) -> bytes:
+        with self._request(name) as resp:
+            return resp.read()
+
+    def get_range(self, name: str, off: int, length: int) -> bytes:
+        if off < 0 or length < 0:
+            raise ValueError("negative offset/length")
+        if length == 0:
+            return b""
+        hdr = {"Range": f"bytes={off}-{off + length - 1}"}
+        with self._request(name, headers=hdr) as resp:
+            body = resp.read()
+            if resp.status == 206:
+                return body
+            # server ignored Range (200 + full body): slice locally so
+            # correctness never depends on server capability
+            return body[off : off + length]
+
+    def attributes(self, name: str) -> ObjectAttributes:
+        from email.utils import parsedate_to_datetime
+
+        with self._request(name, method="HEAD") as resp:
+            size = int(resp.headers.get("Content-Length", "0"))
+            lm = resp.headers.get("Last-Modified")
+            ts = parsedate_to_datetime(lm).timestamp() if lm else 0.0
+            return ObjectAttributes(size=size, last_modified=ts)
+
+    def exists(self, name: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._request(name, method="HEAD"):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def iter(self, prefix: str = "") -> Iterator[str]:
+        if self.index_object is None:
+            raise NotImplementedError(
+                "HTTPBucket listing needs an index_object (HTTP has no "
+                "standard listing API)"
+            )
+        for line in self.get(self.index_object).decode().splitlines():
+            name = line.strip()
+            if name and name.startswith(prefix):
+                yield name
+
+    def upload(self, name: str, data: bytes) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(name), data=data, method="PUT"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout):
+            pass
+
+    def delete(self, name: str) -> None:
+        with self._request(name, method="DELETE"):
+            pass
 
 
 class BucketReader:
@@ -229,7 +338,7 @@ class BucketFile(io.RawIOBase):
 
 
 def open_parquet(
-    bucket: FilesystemBucket,
+    bucket,
     name: str,
     telemetry: ReadTelemetry | None = None,
     max_read_size: int = DEFAULT_MAX_READ_SIZE,
@@ -247,7 +356,7 @@ def open_parquet(
 
 def read_parquet_distributed(
     spark: SparkSession,
-    bucket: FilesystemBucket,
+    bucket,
     name: str,
     columns: Sequence[str] | None = None,
     telemetry: ReadTelemetry | None = None,
@@ -278,12 +387,15 @@ def read_parquet_distributed(
     spark_schema = from_arrow_schema(arrow_schema)
 
     cols = list(columns) if columns is not None else None
-    root, obj = bucket.root, name
+    # backends are picklable config-only objects (FilesystemBucket: root
+    # path; HTTPBucket: base URL) — each task deserializes its own copy
+    # and opens its own connections, like S3 clients on a real cluster
+    exec_bucket, obj = bucket, name
 
     def scan(batches):
         for pdf in batches:
             for rg in pdf["rg"]:
-                part = open_parquet(FilesystemBucket(root), obj)
+                part = open_parquet(exec_bucket, obj)
                 table = part.read_row_group(int(rg), columns=cols)
                 yield from (b.to_pandas() for b in table.to_batches())
 
