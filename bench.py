@@ -179,9 +179,14 @@ def main() -> None:
     }
     line = json.dumps(result)
     # the driver captures only the stdout tail; persist the full record
-    # locally so every per-query timing survives (committed at snapshot)
+    # locally so every per-query timing survives (committed at snapshot).
+    # BENCH_local.json is the canonical sf0.1 record — other scale
+    # factors write a suffixed file so a quick sf0.001 smoke run can
+    # never clobber the committed sf0.1 numbers
+    suffix = "" if result["sf"] == 0.1 else f"_sf{sf}"
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_local{suffix}.json",
     )
     with open(local_path, "w") as fh:
         fh.write(json.dumps(result, indent=1) + "\n")

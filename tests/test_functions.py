@@ -453,3 +453,142 @@ def test_duplicated_ngram_spans(spark):
     assert out[1]["n_dup_shingles"] == 1
     assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_ratio"] == 0.0
     assert abs(out[0]["dup_ratio"] - round(1 / 3, 4)) < 1e-9
+
+
+def test_bmp_pixel_roundtrip_and_resize():
+    import numpy as np
+
+    # 2x2 BGR image with distinct corner values
+    px = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    blob = MM._encode_bmp_pixels(px)
+    assert blob[:2] == b"BM"
+    back = MM._decode_bmp_pixels(blob)
+    assert np.array_equal(back, px)
+    # nearest-neighbor 2x2 -> 1x1 keeps the top-left source pixel
+    one = MM._resize_nn(px, 1, 1)
+    assert one.shape == (1, 1, 3) and list(one[0, 0]) == [1, 2, 3]
+    # upscale 2x2 -> 4x4 repeats each pixel 2x2
+    four = MM._resize_nn(px, 4, 4)
+    assert np.array_equal(four[0, 0], px[0, 0])
+    assert np.array_equal(four[3, 3], px[1, 1])
+    assert np.array_equal(four[0, 3], px[0, 1])
+
+
+def test_bmp_decode_handles_row_padding():
+    import numpy as np
+
+    # width 3 -> 9 pixel bytes/row, padded to 12; decode must strip pad
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = MM._encode_bmp_pixels(px)
+    row_bytes = (3 * 3 + 3) // 4 * 4
+    assert len(blob) == 54 + row_bytes * 2
+    assert np.array_equal(MM._decode_bmp_pixels(blob), px)
+
+
+def test_wav_sample_decode_and_features():
+    import hashlib
+    import numpy as np
+
+    d = hashlib.md5(b"audio-doc").digest()
+    blob = MM._encode_wav(d)
+    samples, rate = MM._decode_wav_samples(blob)
+    assert rate == 8000 + (d[1] % 8) * 1000
+    assert samples.shape == (d[2] % 64 + 1, d[0] % 2 + 1)
+    # samples are the tiled digest reinterpreted LE int16
+    n, ch = samples.shape
+    raw = (d * (n * ch * 2 // len(d) + 1))[: n * ch * 2]
+    expect = np.frombuffer(raw, "<i2").reshape(-1, ch)
+    assert np.array_equal(samples, expect)
+
+
+def test_media_features_fused_pass(spark):
+    rows = [(0, "bmp seed text x"), (1, "wav doc"), (2, "another")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    media = MM.synthesize_media(docs)
+    out = {r["doc_id"]: r for r in MM.media_features(media, out_w=8, out_h=8).collect()}
+    import hashlib
+
+    for i, txt in rows:
+        d = hashlib.md5(txt.encode()).digest()
+        r = out[i]
+        if d[2] % 2 == 0:
+            assert r["format"] == "bmp"
+            assert (r["out_w"], r["out_h"], r["out_bytes"]) == (8, 8, 246)
+        else:
+            assert r["format"] == "wav"
+            assert r["n_samples"] == d[2] % 64 + 1
+            assert r["sample_rate"] == 8000 + (d[1] % 8) * 1000
+            assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+
+
+def test_resize_media_and_audio_features_passthrough(spark):
+    rows = [(0, "bmp seed text x"), (1, "wav doc"), (2, "another")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    media = MM.synthesize_media(docs)
+    rz = {r["doc_id"]: r for r in MM.resize_media(media, out_w=4, out_h=4).collect()}
+    au = {r["doc_id"]: r for r in MM.audio_features(media).collect()}
+    import hashlib
+
+    for i, txt in rows:
+        d = hashlib.md5(txt.encode()).digest()
+        if d[2] % 2 == 0:
+            blob = bytes(rz[i]["resized"])
+            assert blob[:2] == b"BM"
+            assert MM._decode_bmp_pixels(blob).shape == (4, 4, 3)
+            assert au[i]["audio"] is None
+        else:
+            assert rz[i]["resized"] is None
+            assert au[i]["audio"]["channels"] == d[0] % 2 + 1
+
+
+def test_sq8_train_encode_bounds(spark):
+    rows = [(0, [0.0, -2.0]), (1, [1.0, 2.0]), (2, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    mins, maxs = SIM.sq8_train(df, dim=2)
+    assert mins == [0.0, -2.0] and maxs == [1.0, 2.0]
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", SIM.sq8_encode(F.col("embedding"), mins, maxs).alias("c")
+        ).collect()
+    }
+    # min codes to 0, max clamps to 255, midpoint lands mid-range
+    assert codes[0] == [0, 0]
+    assert codes[1] == [255, 255]
+    assert codes[2] == [128, 128]
+
+
+def test_sq8_topk_orders_by_quantized_dot(spark):
+    # vectors along axis 0 with increasing magnitude: quantized dot with
+    # q=[1,0] must preserve the magnitude order
+    rows = [(i, [float(i), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    mins, maxs = SIM.sq8_train(df, dim=2)
+    top = SIM.sq8_topk(df, [1.0, 0.0], mins, maxs, k=3).collect()
+    assert [r["vec_id"] for r in top] == [5, 4, 3]
+    trained = SIM.sq8_topk_trained(df, [1.0, 0.0], k=3, dim=2).collect()
+    assert [(r["vec_id"], r["dot_approx"]) for r in trained] == [
+        (r["vec_id"], r["dot_approx"]) for r in top
+    ]
+
+
+def test_sq8_quantization_error_bounded(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.uniform(-1, 1, size=(50, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    mins, maxs = SIM.sq8_train(df, dim=8)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    approx = {
+        r["vec_id"]: r["dot_approx"]
+        for r in SIM.sq8_topk(df, q, mins, maxs, k=50).collect()
+    }
+    # per-dim max error is scale/2 ~ 2/512; dot error bound sum |q_i|*scale/2
+    bound = sum(abs(x) for x in q) * (2.0 / 256.0) / 2 + 1e-6
+    for i in range(50):
+        exact = float(np.dot(vecs[i], q))
+        assert abs(approx[i] - exact) <= bound + 1e-4

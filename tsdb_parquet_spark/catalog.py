@@ -31,6 +31,35 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(
+    df: DataFrame, target: int | None = None, barrier: bool = False
+) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism.
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group file scans as ONE task and every scan-adjacent
+    expression (tokenize/shingle/hash/decode) serializes onto one core
+    no matter the cluster size.  Compute-heavy operators call this
+    before their expensive per-row work: when the input is already wider
+    than the session parallelism it is a strict no-op (the 100 TB case —
+    thousands of row groups), otherwise one round-robin repartition
+    spreads the rows so the heavy expressions run on every core.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    out = df.repartition(target)
+    if barrier:
+        # deterministic filters above get predicate-pushed BELOW the
+        # exchange (dragging their whole expression onto the serial scan
+        # task); a non-deterministic column in this projection stops the
+        # push, so caller filters run post-exchange on every core.  The
+        # column is dropped by the caller's next projection.
+        out = out.select("*", F.spark_partition_id().alias("__spread_pin"))
+    return out
+
+
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to the engine's int64 epoch-nanos
     contract (the reference keeps all timestamps as int64 —

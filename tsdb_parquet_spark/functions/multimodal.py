@@ -216,3 +216,214 @@ def sample_frames(
     return exploded.withColumn(
         "frame", F.expr(f"substring({media_col}, byte_offset + 1, 1)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real pixel/sample kernels (pure numpy/struct — BMP and PCM WAV are simple
+# enough that "decode" does not need Pillow/ffmpeg)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def _decode_bmp_pixels(blob: bytes) -> "np.ndarray":
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 BGR, rows top-to-bottom
+    (handles the standard bottom-up row order and 4-byte row padding)."""
+    off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP decodes here, got {bpp}")
+    top_down, h = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        blob, np.uint8, count=row_bytes * h, offset=off
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * 3].reshape(h, w, 3)
+    return px if top_down else px[::-1]
+
+
+def _encode_bmp_pixels(px: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 BGR -> a valid bottom-up 24-bit BMP."""
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    pixels = rows[::-1].tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + dib + pixels
+
+
+def _resize_nn(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor: source index floor(i * src / dst) per axis."""
+    h, w = px.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return px[ri][:, ci]
+
+
+def _decode_wav_samples(blob: bytes) -> tuple["np.ndarray", int]:
+    """Canonical PCM WAV -> ((n, channels) int16 array, sample_rate)."""
+    channels, rate = struct.unpack_from("<HI", blob, 22)
+    bits = struct.unpack_from("<H", blob, 34)[0]
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM decodes here, got {bits}")
+    n_bytes = struct.unpack_from("<I", blob, 40)[0]
+    samples = np.frombuffer(blob, "<i2", count=n_bytes // 2, offset=44)
+    return samples.reshape(-1, channels), rate
+
+
+def resize_media(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """REAL image resize, no Pillow: decode 24-bit BMP pixel rows with
+    numpy, nearest-neighbor to (out_w, out_h), re-encode a valid BMP.
+    Non-BMP blobs pass through as NULL.  Arrow ``mapInPandas`` — the
+    100 TB shape for any per-asset transform: blobs stream through
+    executors batch-wise, nothing ever collects."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField("resized", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = [
+                _encode_bmp_pixels(
+                    _resize_nn(_decode_bmp_pixels(bytes(b)), out_w, out_h)
+                )
+                if bytes(b)[:2] == b"BM"
+                else None
+                for b in pdf[media_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """REAL audio feature extraction, no ffmpeg: PCM WAV samples decoded
+    with numpy; emits per-channel sample count, duration, RMS, and
+    channel-0 zero-crossing count as an ``audio`` struct (NULL for
+    non-WAV blobs)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField("audio", AUDIO_FEATURES_SCHEMA, True)]
+    )
+
+    def feats(blob: bytes) -> dict | None:
+        if not (blob[:4] == b"RIFF" and blob[8:16] == b"WAVEfmt "):
+            return None
+        samples, rate = _decode_wav_samples(blob)
+        n, channels = samples.shape
+        x = samples.astype(np.float64)
+        ch0 = np.sign(x[:, 0])
+        return {
+            "n_samples": int(n),
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "duration_ms": int(n * 1000 // rate),
+            "rms": float(np.sqrt(np.mean(x * x))) if n else 0.0,
+            "zero_crossings": int(np.count_nonzero(np.diff(ch0))),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["audio"] = [feats(bytes(b)) for b in pdf[media_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_bytes", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+    ]
+)
+
+
+def media_features(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """One-pass decode + transform: each blob is parsed ONCE per batch —
+    BMPs are pixel-decoded, nearest-neighbor resized, and re-encoded
+    (``out_bytes`` is the real re-encoded size); WAVs get sample-level
+    features.  The fused pass is the scale-correct shape: one Arrow
+    round-trip instead of one per feature family."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col]
+        + list(MEDIA_FEATURES_SCHEMA.fields)
+    )
+
+    def one(blob: bytes) -> dict:
+        if blob[:2] == b"BM":
+            resized = _encode_bmp_pixels(
+                _resize_nn(_decode_bmp_pixels(blob), out_w, out_h)
+            )
+            return {
+                "format": "bmp",
+                "out_w": out_w,
+                "out_h": out_h,
+                "out_bytes": len(resized),
+                "n_samples": 0,
+                "sample_rate": 0,
+                "channels": 0,
+                "duration_ms": 0,
+            }
+        if blob[:4] == b"RIFF" and blob[8:16] == b"WAVEfmt ":
+            samples, rate = _decode_wav_samples(blob)
+            n, channels = samples.shape
+            return {
+                "format": "wav",
+                "out_w": 0,
+                "out_h": 0,
+                "out_bytes": 0,
+                "n_samples": int(n),
+                "sample_rate": int(rate),
+                "channels": int(channels),
+                "duration_ms": int(n * 1000 // rate),
+            }
+        raise NotImplementedError("unrecognized media container")
+
+    carried = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf[media_col]]
+            out = pd.DataFrame(rows)
+            for name in reversed(carried):
+                out.insert(0, name, pdf[name].values)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

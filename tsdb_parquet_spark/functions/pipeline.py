@@ -28,8 +28,11 @@ def clean_corpus(
     optional MinHash-LSH near-dup removal (keep smaller id of each pair)."""
     t = F.col(text_col)
     toks = F.col("__toks")
+    from tsdb_parquet_spark.catalog import spread
+
     gated = (
-        docs.select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
+        spread(docs, barrier=True)
+        .select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
         .filter(TX.quality_score(t, toks) >= F.lit(min_quality))
         .filter(TX.language_id(t, toks).isin(*languages))
         .drop("__toks")

@@ -58,7 +58,9 @@ def repetition_stats(
 
     Both return identical values (asserted in tests)."""
     if not zero_shuffle:
-        grams = df.select(
+        from tsdb_parquet_spark.catalog import spread
+
+        grams = spread(df).select(
             F.col(id_col),
             F.explode(shingles(F.col(text_col), ngram)).alias("gram"),
         )

@@ -140,6 +140,9 @@ def near_duplicate_pairs(
         dim=_dim_hint(df, vec_col), bits=bands * bits_per_band, seed=seed
     )
     sig_udf = band_signature_udf(planes, bands)
+    from tsdb_parquet_spark.catalog import spread
+
+    df = spread(df)
     # persist the exploded buckets: the self-join would otherwise evaluate
     # the Arrow signature kernel once per join side
     buckets = (
@@ -494,8 +497,10 @@ def semantic_dedup(
     the same codegen zip_with/aggregate fold as the ANN paths, with
     per-vector norms precomputed so each pair costs one cross-dot.
     """
+    from tsdb_parquet_spark.catalog import spread
+
     assign = centroid_assign_udf(centroids)
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col),
         F.col(vec_col),
         assign(F.col(vec_col)).alias("cluster"),
@@ -884,3 +889,223 @@ def ivfpq_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (per-dimension affine int8 codes)
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] ranges for SQ8 in ONE aggregation pass
+    (2*dim map-side-combined min/max columns — no explode, no shuffle of
+    vector data; the collected result is O(dim) on the driver)."""
+    dim = dim or _dim_hint(df, vec_col)
+    v = _as_double(F.col(vec_col))
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"mx{i}"))
+    row = df.agg(*aggs).head()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def _sq8_scales(mins: Sequence[float], maxs: Sequence[float]) -> list[float]:
+    # 256 buckets over [mn, mx]; degenerate dims (mn == mx) get scale 1.0
+    # so every value codes to 0
+    return [
+        (mx - mn) / 256.0 if mx > mn else 1.0
+        for mn, mx in zip(mins, maxs)
+    ]
+
+
+def sq8_encode(
+    vec: Column, mins: Sequence[float], maxs: Sequence[float]
+) -> Column:
+    """``array<int>`` of codes in [0, 255]: floor((x - mn) / scale),
+    clamped — 4x smaller than float32 at rest, 8x smaller than the
+    double the JVM would otherwise shuffle.  Pure codegen (transform
+    over literal arrays), no Python."""
+    scales = _sq8_scales(mins, maxs)
+    mins_l = F.array(*[F.lit(float(m)) for m in mins])
+    scales_l = F.array(*[F.lit(float(s)) for s in scales])
+    return F.transform(
+        _as_double(vec),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (x - F.element_at(mins_l, i + 1))
+                    / F.element_at(scales_l, i + 1)
+                ).cast("int"),
+            ),
+        ),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 search: vectors are stored/scored as int8 codes,
+    the query stays full-precision.  Each dimension reconstructs as the
+    bucket midpoint ``mn + (code + 0.5) * scale`` and dots against the
+    query — one codegen fold over three literal arrays, no Python and no
+    float vectors at query time.  Scores round to 4dp before ranking
+    (deterministic ties on id).  `pq_topk`'s table-lookup trick applied
+    to the simplest quantizer — the FAISS ``SQ8`` baseline that usually
+    wins below ~1B vectors."""
+    scales = _sq8_scales(mins, maxs)
+    mins_l = F.array(*[F.lit(float(m)) for m in mins])
+    scales_l = F.array(*[F.lit(float(s)) for s in scales])
+    q_l = F.array(*[F.lit(float(x)) for x in query_vec])
+    codes = sq8_encode(F.col(vec_col), mins, maxs)
+    terms = F.transform(
+        codes,
+        lambda c, i: (
+            F.element_at(mins_l, i + 1)
+            + (c.cast("double") + F.lit(0.5)) * F.element_at(scales_l, i + 1)
+        )
+        * F.element_at(q_l, i + 1),
+    )
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        df.select(F.col(id_col), F.round(score, 4).alias("dot_approx"))
+        .orderBy(F.col("dot_approx").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_sq8_topk(
+    query_vec: Sequence[float],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`sq8_topk` over literal ranges."""
+    scales = _sq8_scales(mins, maxs)
+    terms = []
+    for i, (mn, sc, qx) in enumerate(zip(mins, scales, query_vec)):
+        code = (
+            f"least(255, greatest(0, CAST(floor("
+            f"(CAST({vec_col}[{i + 1}] AS DOUBLE) - {mn!r}) / {sc!r}"
+            f") AS INT)))"
+        )
+        terms.append(f"(({mn!r} + (CAST({code} AS DOUBLE) + 0.5) * {sc!r}) * {float(qx)!r})")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return (
+        f"SELECT {id_col}, round({acc}, 4) AS dot_approx FROM {table} "
+        f"ORDER BY dot_approx DESC, {id_col} LIMIT {k}"
+    )
+
+
+def sq8_topk_trained(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Train + search in ONE distributed plan: the per-dim [min, max]
+    ranges come from a 1-row aggregate broadcast-joined onto the scan —
+    no driver collect, so the whole train->encode->score chain is lazy,
+    restartable, and identical on a 1000-executor cluster.  Codes
+    reconstruct as bucket midpoints and dot against the full-precision
+    query inside one codegen fold."""
+    dim = dim or _dim_hint(df, vec_col)
+    v = _as_double(F.col(vec_col))
+    mm = df.agg(
+        F.array(
+            *[F.min(F.element_at(v, i + 1)) for i in range(dim)]
+        ).alias("__mins"),
+        F.array(
+            *[F.max(F.element_at(v, i + 1)) for i in range(dim)]
+        ).alias("__maxs"),
+    )
+    q_l = F.array(*[F.lit(float(x)) for x in query_vec])
+    joined = df.crossJoin(F.broadcast(mm))
+    mn_i = lambda i: F.element_at(F.col("__mins"), i + 1)  # noqa: E731
+    sc_i = lambda i: F.when(  # noqa: E731
+        F.element_at(F.col("__maxs"), i + 1) > mn_i(i),
+        (F.element_at(F.col("__maxs"), i + 1) - mn_i(i)) / F.lit(256.0),
+    ).otherwise(F.lit(1.0))
+    terms = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: (
+            mn_i(i)
+            + (
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((x - mn_i(i)) / sc_i(i)).cast("int"),
+                    ),
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            * sc_i(i)
+        )
+        * F.element_at(q_l, i + 1),
+    )
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        joined.select(F.col(id_col), F.round(score, 4).alias("dot_approx"))
+        .orderBy(F.col("dot_approx").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_sq8_topk_trained(
+    query_vec: Sequence[float],
+    dim: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`sq8_topk_trained`: ranges recomputed
+    from the data with the same min/max folds, same midpoint decode."""
+    terms = []
+    for i in range(dim):
+        mn = f"mm.mins[{i + 1}]"
+        mx = f"mm.maxs[{i + 1}]"
+        sc = f"(CASE WHEN {mx} > {mn} THEN ({mx} - {mn}) / 256.0 ELSE 1.0 END)"
+        x = f"CAST(e.{vec_col}[{i + 1}] AS DOUBLE)"
+        code = (
+            f"least(255, greatest(0, CAST(floor(({x} - {mn}) / {sc}) AS INT)))"
+        )
+        terms.append(
+            f"(({mn} + (CAST({code} AS DOUBLE) + 0.5) * {sc}) "
+            f"* {float(query_vec[i])!r})"
+        )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    mins_list = ", ".join(
+        f"min(CAST({vec_col}[{i + 1}] AS DOUBLE))" for i in range(dim)
+    )
+    maxs_list = ", ".join(
+        f"max(CAST({vec_col}[{i + 1}] AS DOUBLE))" for i in range(dim)
+    )
+    return f"""WITH mm AS (
+  SELECT [{mins_list}] AS mins, [{maxs_list}] AS maxs FROM {table}
+)
+SELECT e.{id_col}, round({acc}, 4) AS dot_approx
+FROM {table} e, mm
+ORDER BY dot_approx DESC, e.{id_col} LIMIT {k}"""
