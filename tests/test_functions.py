@@ -592,3 +592,63 @@ def test_sq8_quantization_error_bounded(spark):
     for i in range(50):
         exact = float(np.dot(vecs[i], q))
         assert abs(approx[i] - exact) <= bound + 1e-4
+
+
+def test_semantic_dedup_keep_farthest(spark):
+    # cluster centered on axis 0; ids chosen so keep-first and
+    # keep-farthest disagree: id 0 is CLOSEST to the centroid, id 1 is
+    # farther out, both near-duplicates of each other
+    rows = [
+        (0, [1.0, 0.0]),        # ccos = 1.0 (at the centroid)
+        (1, [1.0, 0.05]),       # ccos < 1.0 (farther from centroid)
+        (2, [0.0, 1.0]),        # other cluster, untouched
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    first = {
+        r["vec_id"]: r["dropped"]
+        for r in SIM.semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert first == {0: False, 1: True, 2: False}
+    farthest = {
+        r["vec_id"]: r["dropped"]
+        for r in SIM.semantic_dedup(
+            df, cents, threshold=0.99, keep="farthest"
+        ).collect()
+    }
+    # the paper keeps the LOW-centroid-similarity example: id 1 survives
+    assert farthest == {0: True, 1: False, 2: False}
+
+
+def test_duplicated_ngram_spans_matches_bruteforce(spark):
+    # property-style check vs a pure-python reference on a random corpus
+    import random
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"])
+        for r in D.duplicated_ngram_spans(docs, size=4).collect()
+    }
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    wins = {}
+    for i, t in rows:
+        toks = t.split()
+        ws = [tuple(toks[j : j + 4]) for j in range(len(toks) - 3)]
+        wins[i] = ws
+        for w in ws:
+            occ[w].add(i)
+    for i, t in rows:
+        ws = wins[i]
+        if not ws:
+            assert i not in got
+            continue
+        ndup = sum(1 for w in ws if len(occ[w]) > 1)
+        assert got[i] == (len(ws), ndup), i

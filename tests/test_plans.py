@@ -303,3 +303,70 @@ def test_ivf_store_probe_is_partition_pruning(spark, sf_oracle, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_spread_noop_on_wide_input(spark):
+    from tsdb_parquet_spark.catalog import spread
+
+    wide = spark.range(0, 1000).repartition(64)
+    out = spread(wide)
+    # already wider than defaultParallelism: identical plan, no extra
+    # exchange inserted (the 100 TB case must never pay a reshuffle)
+    assert out is wide
+
+
+def test_spread_widens_single_partition_scan(spark, sf_oracle):
+    from tsdb_parquet_spark.catalog import spread
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # single row group
+    out = spread(docs)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_spread_filter_pushdown_trap_and_persist_barrier(spark, sf_oracle):
+    """A deterministic filter on a computed column gets predicate-pushed
+    below spread's round-robin exchange — its whole expression then
+    evaluates on the serial scan task AND re-evaluates post-exchange.
+    A persist() between the compute and the filter is the real barrier:
+    the filter applies on top of the InMemoryTableScan and the heavy
+    expression stays inside the (wide) cached plan."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.catalog import spread
+    from tsdb_parquet_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+
+    def heavy_filter_below_exchange(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        exch = next(
+            (i for i, l in enumerate(lines) if "Exchange" in l), None
+        )
+        if exch is None:
+            return False
+        return any(
+            "Filter" in l and "split(" in l and "Scan" not in l
+            for l in lines[exch:]
+        )
+
+    def heavy(d):
+        return d.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).filter(F.col("n") > 3)
+
+    # the trap, demonstrated
+    assert heavy_filter_below_exchange(heavy(spread(docs)))
+    # the fix: cache boundary between compute and filter
+    cached = spread(docs).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).persist()
+    out = cached.filter(F.col("n") > 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert not heavy_filter_below_exchange(out)
+    cached.unpersist()

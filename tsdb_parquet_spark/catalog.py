@@ -31,9 +31,7 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def spread(
-    df: DataFrame, target: int | None = None, barrier: bool = False
-) -> DataFrame:
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """Widen a narrow scan to the session's parallelism.
 
     A parquet file is splittable only at row-group boundaries, so a
@@ -44,20 +42,23 @@ def spread(
     than the session parallelism it is a strict no-op (the 100 TB case —
     thousands of row groups), otherwise one round-robin repartition
     spreads the rows so the heavy expressions run on every core.
+
+    CAVEAT — deterministic filters downstream of the repartition get
+    predicate-pushed BELOW the exchange, dragging their whole expression
+    back onto the serial scan task (and re-evaluating it post-exchange).
+    A non-deterministic pin column does NOT block this (column pruning
+    deletes it before the pushdown rule runs).  Callers that filter on
+    heavy computed columns must place a real barrier between the
+    compute and the filter: ``persist()`` (cache boundary — filters
+    apply on top of the InMemoryTableScan) or ``localCheckpoint()``
+    (lineage cut), as `lsh_candidate_pairs` / `duplicated_ngram_spans`
+    do.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    out = df.repartition(target)
-    if barrier:
-        # deterministic filters above get predicate-pushed BELOW the
-        # exchange (dragging their whole expression onto the serial scan
-        # task); a non-deterministic column in this projection stops the
-        # push, so caller filters run post-exchange on every core.  The
-        # column is dropped by the caller's next projection.
-        out = out.select("*", F.spark_partition_id().alias("__spread_pin"))
-    return out
+    return df.repartition(target)
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -144,18 +144,19 @@ def lsh_candidate_pairs(
     # min-hash folds read the materialized array (see minhash_from_shingles)
     from tsdb_parquet_spark.catalog import spread
 
-    # barrier=True: the size(sig) > 0 filter below would otherwise be
-    # predicate-pushed beneath the exchange, dragging the whole
-    # shingle+minhash expression onto the serial scan task and
-    # re-evaluating it post-exchange (measured 6x slower than keeping
-    # the compute wide)
-    sh = spread(df, barrier=True).select(
+    sh = spread(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_size).alias("__sh")
     )
-    sig = sh.select(
+    # persist BEFORE the size(sig) > 0 filter: the cache boundary stops
+    # predicate pushdown, which would otherwise drag the whole
+    # shingle+minhash expression beneath the repartition exchange onto
+    # the serial scan task (and re-evaluate it post-exchange); the
+    # cached signatures also feed both self-join sides
+    sig_all = sh.select(
         F.col(id_col),
         minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    ).persist()
+    sig = sig_all.filter(F.size("sig") > 0)
     band_cols = F.array(
         *[
             F.struct(
@@ -169,9 +170,6 @@ def lsh_candidate_pairs(
     buckets = sig.select(id_col, F.explode(band_cols).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
-    # the self-join consumes the bucket table twice; persist so signatures
-    # are computed once, not once per join side (tiny rows: id+band+bucket)
-    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = left.join(
@@ -184,12 +182,12 @@ def lsh_candidate_pairs(
     )
     out = pairs.distinct()
     if eager:
-        # eagerly materialize the (small) pair set so the bucket cache can
-        # be dropped before returning — without this, repeated pipeline
-        # calls leak cached blocks into executor storage for the session's
-        # lifetime
+        # eagerly materialize the (small) pair set so the signature cache
+        # can be dropped before returning — without this, repeated
+        # pipeline calls leak cached blocks into executor storage for the
+        # session's lifetime
         out = out.localCheckpoint(eager=True)
-        buckets.unpersist()
+        sig_all.unpersist()
     return out
 
 

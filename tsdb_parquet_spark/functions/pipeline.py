@@ -30,10 +30,18 @@ def clean_corpus(
     toks = F.col("__toks")
     from tsdb_parquet_spark.catalog import spread
 
-    gated = (
-        spread(docs, barrier=True)
+    # persist the tokenized projection before the quality/language
+    # filters: the cache boundary keeps the heavy score expressions from
+    # being predicate-pushed beneath spread's exchange onto the serial
+    # scan task, and the cached tokens feed both filters plus the dedup
+    # fingerprint downstream
+    base = (
+        spread(docs)
         .select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
-        .filter(TX.quality_score(t, toks) >= F.lit(min_quality))
+        .persist()
+    )
+    gated = (
+        base.filter(TX.quality_score(t, toks) >= F.lit(min_quality))
         .filter(TX.language_id(t, toks).isin(*languages))
         .drop("__toks")
     )

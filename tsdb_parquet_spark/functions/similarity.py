@@ -476,16 +476,25 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "first",
+    eager: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings by nearest centroid, then drop
     near-identical vectors WITHIN clusters only.
 
     Returns one row per input vector: ``(id_col, cluster, dropped)``.
-    A vector is ``dropped`` when a LOWER-id vector in the same cluster
-    has cosine >= ``threshold`` (keep-first rule — deterministic and
-    oracle-expressible, standing in for the paper's keep-one-per-ε-ball
-    choice).
+    Two deterministic keep policies:
+
+    - ``keep="first"``: a vector is dropped when a LOWER-id vector in
+      the same cluster has cosine >= ``threshold`` — the simplest
+      deterministic rule, and fully SQL-oracle-expressible.
+    - ``keep="farthest"``: the paper's default — within each ε-ball
+      keep the example with LOW similarity to its cluster centroid
+      (arXiv:2303.09540 §3: "keep examples with low cosine similarity
+      to cluster centroids").  A vector is dropped when a neighbor at
+      >= ``threshold`` has a strictly lower centroid-cosine (ties fall
+      back to lower id), so exactly the boundary examples survive.
 
     Scale shape: the O(n²) pairwise cosine never materializes globally —
     the self-join key is the int cluster id, so exact arithmetic runs
@@ -497,40 +506,69 @@ def semantic_dedup(
     the same codegen zip_with/aggregate fold as the ANN paths, with
     per-vector norms precomputed so each pair costs one cross-dot.
     """
+    if keep not in ("first", "farthest"):
+        raise ValueError(f"keep must be 'first' or 'farthest', got {keep!r}")
     from tsdb_parquet_spark.catalog import spread
 
     assign = centroid_assign_udf(centroids)
-    base = spread(df).select(
+    cols = [
         F.col(id_col),
         F.col(vec_col),
         assign(F.col(vec_col)).alias("cluster"),
         norm(F.col(vec_col)).alias("__n"),
+    ]
+    if keep == "farthest":
+        # cosine to own centroid: rank within the ε-ball so the example
+        # FARTHEST from the centroid survives (paper default)
+        cents_l = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        )
+        own = F.element_at(cents_l, F.col("cluster").cast("int") + 1)
+        cols.append(
+            F.when(
+                F.col("__n") * norm(own) > 0,
+                dot(F.col(vec_col), own) / (F.col("__n") * norm(own)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__ccos")
+        )
+    # persist: the frame feeds both self-join sides AND the output, so
+    # without it the Arrow assign kernel would run three times
+    base = spread(df).select(*cols).persist()
+    rank_cols = ["cluster", id_col, "__n", vec_col] + (
+        ["__ccos"] if keep == "farthest" else []
     )
     a = base.select(
-        F.col("cluster"),
-        F.col(id_col).alias("__ida"),
-        F.col(vec_col).alias("__va"),
-        F.col("__n").alias("__na"),
-    )
+        *[F.col(c).alias(f"__a_{c}") for c in rank_cols]
+    ).withColumnRenamed("__a_cluster", "cluster")
     b = base.select(
-        F.col("cluster"),
-        F.col(id_col).alias("__idb"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    denom = F.col("__na") * F.col("__nb")
+        *[F.col(c).alias(f"__b_{c}") for c in rank_cols]
+    ).withColumnRenamed("__b_cluster", "cluster")
+    denom = F.col(f"__a___n") * F.col(f"__b___n")
     cos = F.when(
-        denom > 0, dot(F.col("__va"), F.col("__vb")) / denom
+        denom > 0,
+        dot(F.col(f"__a_{vec_col}"), F.col(f"__b_{vec_col}")) / denom,
     ).otherwise(F.lit(0.0))
+    if keep == "first":
+        b_loses = F.col(f"__a_{id_col}") < F.col(f"__b_{id_col}")
+    else:
+        b_loses = (F.col("__a___ccos") < F.col("__b___ccos")) | (
+            (F.col("__a___ccos") == F.col("__b___ccos"))
+            & (F.col(f"__a_{id_col}") < F.col(f"__b_{id_col}"))
+        )
     dropped = (
         a.join(b, ["cluster"])
-        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.col(f"__a_{id_col}") != F.col(f"__b_{id_col}"))
+        .filter(b_loses)
         .filter(cos >= F.lit(float(threshold)))
-        .select(F.col("__idb").alias(id_col))
+        .select(F.col(f"__b_{id_col}").alias(id_col))
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return (
+    out = (
         base.select(id_col, "cluster")
         .join(dropped, id_col, "left")
         .select(
@@ -539,6 +577,13 @@ def semantic_dedup(
             F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
         )
     )
+    if eager:
+        # one verdict row per vector — small; materialize it and drop
+        # the assigned-vectors cache so repeated calls don't accumulate
+        # executor storage (same trade as near_duplicate_pairs)
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def _py_signature(vec: Sequence[float], planes: list[list[int]]) -> int:
