@@ -124,3 +124,49 @@ def test_stored_codes_scan_is_pure_jvm(spark, cb):
     assert "EvalPython" not in plan, plan
     # and it still returns the right neighbor first
     assert out.collect()[0]["vec_id"] == 0
+
+
+def test_residual_encoding_reduces_quantization_error(spark, cb, tmp_path):
+    """Residual codes (v - centroid) must reconstruct v more accurately
+    than raw codes on a clustered corpus — the whole point of FAISS
+    IVFPQ's residual step."""
+    from tsdb_parquet_spark.functions.similarity import (
+        build_ivfpq_store,
+        ivf_centroids,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    cents = ivf_centroids(dim=DIM, n_centroids=4, seed="res-test")
+    # clustered corpus: centroid + small noise
+    rows = []
+    for i in range(80):
+        c = np.asarray(cents[i % 4], dtype=np.float64)
+        rows.append((i, (c + rng.normal(0, 0.05, DIM)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = (np.asarray(cents[0]) + rng.normal(0, 0.05, DIM)).tolist()
+
+    # codebooks are always trained on what they encode: the raw store
+    # keeps the full-range books, the residual store gets books scaled
+    # to the residual distribution (noise sigma 0.05 -> ~0.1 range)
+    cb_res = [[[x * 0.1 for x in c] for c in book] for book in cb]
+    raw_store = str(tmp_path / "raw")
+    res_store = str(tmp_path / "res")
+    build_ivfpq_store(df, raw_store, cents, cb)
+    build_ivfpq_store(df, res_store, cents, cb_res, residual=True)
+    raw = ivfpq_topk(spark, raw_store, q, cents, cb, k=80, nprobe=4)
+    res = ivfpq_topk(
+        spark, res_store, q, cents, cb_res, k=80, nprobe=4, residual=True
+    )
+    exact = {
+        i: float(np.sum((np.asarray(v) - np.asarray(q)) ** 2))
+        for i, v in rows
+    }
+    raw_err = sum(
+        abs(r["dist"] - exact[r["vec_id"]]) for r in raw.collect()
+    )
+    res_err = sum(
+        abs(r["dist"] - exact[r["vec_id"]]) for r in res.collect()
+    )
+    # residual ADC error must be materially lower than raw ADC error
+    assert res_err < raw_err * 0.5, (res_err, raw_err)

@@ -2752,6 +2752,93 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_ngram_spans(docs, size=5).orderBy("doc_id")
 
 
+def _q97_oracle() -> str:
+    """Residual IVF-PQ oracle: per probed list, codes re-derived from
+    v - centroid_p against the shared codebooks, scored with the
+    per-probe residual-query ADC tables."""
+    parts, selects = [], []
+    for p in _IVF_PROBES:
+        cp = _IVF_CENTS[p]
+        rv = "list_value(" + ", ".join(
+            f"(CAST(v[{i + 1}] AS DOUBLE) - {float(c)!r})"
+            for i, c in enumerate(cp)
+        ) + ")"
+        qr = [float(_IVF_QV[i]) - float(cp[i]) for i in range(_EMB_DIM)]
+        tables_p = SIM.pq_distance_tables(qr, _PQ_CB)
+        ds = SIM.sql_pq_distance_lists("rv", _PQ_CB)
+        parts.append(f"""
+rv{p} AS (SELECT vec_id, {rv} AS rv FROM cand WHERE centroid = {p}),
+pd{p} AS (
+  SELECT vec_id,
+         {", ".join(f"{e} AS ds{si}" for si, e in enumerate(ds))}
+  FROM rv{p}
+),
+enc{p} AS (
+  SELECT vec_id,
+         {", ".join(f"list_position(ds{si}, list_min(ds{si})) - 1 AS c{si}"
+                    for si in range(_PQ_M))}
+  FROM pd{p}
+),
+scored{p} AS (
+  SELECT vec_id,
+         {" + ".join(f"CAST(({SIM.sql_vector_literal(t)})[c{si} + 1] AS DOUBLE)"
+                     for si, t in enumerate(tables_p))} AS dist
+  FROM enc{p}
+)""")
+        selects.append(f"SELECT vec_id, dist FROM scored{p}")
+    return (
+        _IVF_ASSIGN_CTE
+        + f""",
+cand AS (
+  SELECT vec_id, v, centroid FROM a
+  WHERE centroid IN ({", ".join(str(p) for p in _IVF_PROBES)})
+),{",".join(parts)}
+SELECT vec_id, round(dist, 6) AS dist
+FROM ({" UNION ALL ".join(selects)})
+ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+    )
+
+
+@query("q97_ivfpq_residual_topk", _q97_oracle())
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (Jégou et al. 2011 — the FAISS IVFPQ default):
+    the store's codes quantize v - centroid instead of v, so the shared
+    codebooks see origin-centered residuals and quantization error
+    drops; at query time each probed list scores against ADC tables
+    built from ITS residual query q - c_p (nprobe literal CASE branches,
+    still zero Python / zero vector IO).  Same partition-prune plan
+    gates as q91; the oracle re-derives residuals, codes, and per-probe
+    lookups from the shared literals."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    store = os.path.join(work, f"ivfpq_res_store_v1_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        emb = _cat(spark, sf_dir)["embeddings"]
+        SIM.build_ivfpq_store(
+            emb, store, _IVF_CENTS, _PQ_CB, residual=True
+        )
+    out = SIM.ivfpq_topk(
+        spark,
+        store,
+        _IVF_QV,
+        _IVF_CENTS,
+        _PQ_CB,
+        k=10,
+        nprobe=_IVF_NPROBE,
+        residual=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "centroid" not in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]:
+        raise RuntimeError(
+            "residual ivfpq probe did not land as a partition filter"
+        )
+    if "EvalPython" in plan:
+        raise RuntimeError("residual ivfpq scoring plan contains Python")
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # q81 — distributed spherical k-means trainer (IVF codebook learning)
 # ---------------------------------------------------------------------------
@@ -4210,7 +4297,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
-    "q07_groupby_agg",
     "q09_label_values",
     "q10_write_compact_roundtrip",
     # last driver-checked in round 2 — highest rotation priority; q29 is
@@ -4263,6 +4349,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q94_http_object_store",
     "q95_media_transform",
     "q96_sq8_quantized_topk",
+    "q97_ivfpq_residual_topk",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4271,11 +4358,13 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q09;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q08/q11/q12/
-    # q13/q15 (green in EVERY round r01-r04, code untouched) yield
-    # their slots to the NEW q92-q96 rows; their paths stay covered in-window
+    # full-registry oracle gate (tests/test_corpus.py).  q07/q08/q11/
+    # q12/q13/q15 (green in EVERY round r01-r04, code untouched; A3
+    # grouped aggregation keeps in-window rows via q85/q86) yield
+    # their slots to the NEW q92-q97 rows; their paths stay covered in-window
     # by q03 (range containment), q02 (equality over dict-encoded
     # columns), writer tests (P9/P10), and the full-registry gate.
+    "q07_groupby_agg",
     "q08_time_containment",
     "q11_predicate_order",
     "q12_dict_equality",

@@ -748,13 +748,27 @@ def pq_codebooks(
     ]
 
 
+def _pq_codes(mat: "np.ndarray", mats: list["np.ndarray"]) -> "np.ndarray":
+    """(n, dim) -> (n, m) int64 codes: per subspace the argmin of the
+    sequential sum of squared differences (ties to the lowest code,
+    np.argmin's first-occurrence == the oracle's first list_min
+    position)."""
+    sub = mats[0].shape[1]
+    codes = np.empty((mat.shape[0], len(mats)), dtype=np.int64)
+    for s, C in enumerate(mats):  # (k, sub)
+        acc = np.zeros((mat.shape[0], C.shape[0]), dtype=np.float64)
+        off = s * sub
+        for i in range(sub):  # sequential == the oracle's list_sum
+            d = mat[:, off + i : off + i + 1] - C[np.newaxis, :, i]
+            acc += d * d
+        codes[:, s] = np.argmin(acc, axis=1)
+    return codes
+
+
 def pq_encode_udf(codebooks: list[list[list[float]]]):
     """Arrow-batched PQ encoder: ``udf(vec) -> array<long>`` of ``m``
-    codes — per subspace the argmin of the sequential sum of squared
-    differences (ties to the lowest code, np.argmin's first-occurrence
-    == the oracle's ``ORDER BY dist, code`` row_number)."""
+    codes."""
     mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    sub = mats[0].shape[1]
 
     @pandas_udf(ArrayType(LongType()))
     def _encode(v: pd.Series) -> pd.Series:
@@ -764,15 +778,32 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
         mat = np.asarray(
             [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
         )
-        codes = np.empty((n, len(mats)), dtype=np.int64)
-        for s, C in enumerate(mats):  # (k, sub)
-            acc = np.zeros((n, C.shape[0]), dtype=np.float64)
-            off = s * sub
-            for i in range(sub):  # sequential == the oracle's list_sum
-                d = mat[:, off + i : off + i + 1] - C[np.newaxis, :, i]
-                acc += d * d
-            codes[:, s] = np.argmin(acc, axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_pq_codes(mat, mats)))
+
+    return _encode
+
+
+def pq_residual_encode_udf(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+):
+    """Residual PQ encoder (Jégou et al. 2011, the FAISS IVFPQ default):
+    ``udf(vec, centroid) -> array<long>`` codes of ``v - c[centroid]``.
+    Residuals concentrate around the origin, so the SAME shared
+    codebooks quantize them with far lower error than raw vectors —
+    the accuracy step between q91's raw-code store and exact search."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _encode(v: pd.Series, cent: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        mat = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        mat = mat - cents[cent.to_numpy(dtype=np.int64)]
+        return pd.Series(list(_pq_codes(mat, mats)))
 
     return _encode
 
@@ -884,6 +915,7 @@ def build_ivfpq_store(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> str:
     """The FAISS-style IVF-PQ layout as a parquet store: one Arrow pass
     assigns the coarse centroid AND the PQ codes, then the store is
@@ -893,14 +925,23 @@ def build_ivfpq_store(
     memory story (each row is m bytes of codes, ~32x smaller than
     float32 vectors)."""
     assign = centroid_assign_udf(centroids)
-    enc = pq_encode_udf(codebooks)
-    (
-        df.select(
+    assigned = df.select(
+        id_col, F.col(vec_col), assign(F.col(vec_col)).alias("centroid")
+    )
+    if residual:
+        enc = pq_residual_encode_udf(centroids, codebooks)
+        coded = assigned.select(
             id_col,
-            enc(F.col(vec_col)).alias("pq_code"),
-            assign(F.col(vec_col)).alias("centroid"),
+            enc(F.col(vec_col), F.col("centroid")).alias("pq_code"),
+            "centroid",
         )
-        .repartition(len(centroids), "centroid")
+    else:
+        enc = pq_encode_udf(codebooks)
+        coded = assigned.select(
+            id_col, enc(F.col(vec_col)).alias("pq_code"), "centroid"
+        )
+    (
+        coded.repartition(len(centroids), "centroid")
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(dest_dir)
@@ -917,20 +958,39 @@ def ivfpq_topk(
     k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """ANN top-k over a :func:`build_ivfpq_store`: the probe set lands as
     a PartitionFilter (non-probed lists never touched), then the ADC
     table-lookup sum scores the probed codes inside codegen — zero
     Python, zero raw-vector IO, one top-k sort of scalars."""
     probes = query_probes(query_vec, centroids, nprobe)
-    tables = pq_distance_tables(query_vec, codebooks)
     cand = spark.read.parquet(store_dir).filter(
         F.col("centroid").isin([int(p) for p in probes])
     )
-    return (
-        cand.select(
-            id_col, pq_adc_distance(F.col("pq_code"), tables).alias("dist")
+    if residual:
+        # per-probe ADC tables on the RESIDUAL query (q - c_p); each
+        # probed list scores against its own table set — still pure
+        # literal lookups inside codegen, just nprobe CASE branches
+        dist = None
+        for p in probes:
+            qr = [
+                float(x) - float(c)
+                for x, c in zip(query_vec, centroids[p])
+            ]
+            d_p = pq_adc_distance(
+                F.col("pq_code"), pq_distance_tables(qr, codebooks)
+            )
+            cond = F.col("centroid") == int(p)
+            dist = (
+                F.when(cond, d_p) if dist is None else dist.when(cond, d_p)
+            )
+    else:
+        dist = pq_adc_distance(
+            F.col("pq_code"), pq_distance_tables(query_vec, codebooks)
         )
+    return (
+        cand.select(id_col, dist.alias("dist"))
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
