@@ -652,3 +652,39 @@ def test_duplicated_ngram_spans_matches_bruteforce(spark):
             continue
         ndup = sum(1 for w in ws if len(occ[w]) > 1)
         assert got[i] == (len(ws), ndup), i
+
+
+def test_remove_duplicated_spans(spark):
+    shared = "alpha beta gamma delta epsilon"  # the only cross-doc 5-gram
+    rows = [
+        (0, "u1 u2 " + shared + " u3 u4"),
+        (1, shared + " v1 v2 v3"),
+        (2, "all unique words in this document only here"),
+        (3, "tiny doc"),  # < 5 tokens: untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_spans(docs, size=5).collect()
+    }
+    assert out[0]["clean_text"] == "u1 u2 u3 u4"
+    assert out[0]["n_removed"] == 5
+    assert out[1]["clean_text"] == "v1 v2 v3"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"].startswith("all unique")
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+
+def test_remove_duplicated_spans_overlapping_windows(spark):
+    # two overlapping shared windows cover a 6-token run
+    run = "a b c d e f"  # windows "a..e" and "b..f" both shared
+    rows = [(0, "x " + run + " y"), (1, run)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_spans(docs, size=5).collect()
+    }
+    assert out[0]["clean_text"] == "x y"
+    assert out[0]["n_removed"] == 6
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 6

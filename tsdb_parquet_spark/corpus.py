@@ -3091,6 +3091,22 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q98_exact_substring_removal",
+    D.sql_remove_duplicated_spans("documents", size=5) + "ORDER BY doc_id",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (arXiv:2107.06499): q93 finds the
+    repeated 5-token windows, this row actually cuts them — every token
+    covered by a window that also occurs in another document is dropped
+    and the text rebuilt, all inside one codegen filter over the token
+    array (no Python string surgery).  The oracle rebuilds identically
+    from raw window strings, so the hash pins the full
+    explode -> shared-window -> coverage -> reconstruction chain."""
+    docs = _cat(spark, sf_dir)["documents"]
+    return D.remove_duplicated_spans(docs, size=5).orderBy("doc_id")
+
+
+@query(
     "q96_sq8_quantized_topk",
     SIM.sql_sq8_topk_trained(_IVF_QV, _EMB_DIM, k=10),
 )
@@ -4297,7 +4313,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
-    "q09_label_values",
     "q10_write_compact_roundtrip",
     # last driver-checked in round 2 — highest rotation priority; q29 is
     # also NEW code this round (real BMP/WAV header decode)
@@ -4350,22 +4365,24 @@ _DRIVER_PRIORITY: list[str] = [
     "q95_media_transform",
     "q96_sq8_quantized_topk",
     "q97_ivfpq_residual_topk",
+    "q98_exact_substring_removal",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
     # routing recursion) is exercised more deeply by in-window q82,
     # which shares the rewrite path end-to-end; q66's CSE ref-tracking
     # change is pinned by eval-count asserts in tests/test_promql.py;
-    # q05/q06's distinct operator (A1) keeps an in-window row via q09;
+    # q05/q06's distinct operator (A1) keeps an in-window row via q18;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q07/q08/q11/
-    # q12/q13/q15 (green in EVERY round r01-r04, code untouched; A3
-    # grouped aggregation keeps in-window rows via q85/q86) yield
-    # their slots to the NEW q92-q97 rows; their paths stay covered in-window
-    # by q03 (range containment), q02 (equality over dict-encoded
-    # columns), writer tests (P9/P10), and the full-registry gate.
+    # full-registry oracle gate (tests/test_corpus.py).  q07/q08/q09/
+    # q11/q12/q13/q15 (reference-block rows green in EVERY round
+    # r01-r04, code untouched) yield their slots to the NEW q92-q98
+    # rows; their paths keep in-window coverage via q01-q04 (scan +
+    # predicate block), q85/q86 (A3 grouped aggregation), q18 (A1
+    # label-values distinct), and writer tests (P9/P10).
     "q07_groupby_agg",
     "q08_time_containment",
+    "q09_label_values",
     "q11_predicate_order",
     "q12_dict_equality",
     "q13_zonemap_range",

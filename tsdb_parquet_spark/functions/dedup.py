@@ -549,3 +549,129 @@ SELECT d.{id_col},
        round(coalesce(dupc.n_dup, 0) * 1.0 / len(d.sh), 4) AS dup_ratio
 FROM docs d LEFT JOIN dupc USING ({id_col})
 """
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    size: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (arXiv:2107.06499 §4.2): cut every token run
+    covered by a ``size``-token window that also occurs in another
+    document, and rebuild the text from the surviving tokens.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` for every doc
+    (docs shorter than ``size`` tokens pass through untouched).
+
+    Scale shape: same explode + min/max-groupBy skeleton as
+    :func:`duplicated_ngram_spans` (8-byte window hashes, map-side
+    combine), then covered window STARTS aggregate per doc (a
+    collect_set of ints, bounded by tokens-per-doc) and the rebuild is
+    one codegen filter over the token array — coverage membership is an
+    exists() over starts per token, O(tokens x covered) inside the JVM;
+    documents never concatenate through Python.
+    """
+    from tsdb_parquet_spark.catalog import spread
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    hashed = F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(size - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, size)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = (
+        spread(docs)
+        .select(F.col(id_col), toks.alias("__toks"), hashed.alias("__sh"))
+        .localCheckpoint(eager=True)
+    )
+    ex = base.select(
+        F.col(id_col), F.posexplode("__sh").alias("__p", "__g")
+    )
+    shared = (
+        ex.groupBy("__g")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("__g")
+    )
+    covered = (
+        ex.join(shared, "__g")
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__starts"))
+    )
+    joined = base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")).alias(
+            "__starts"
+        ),
+    )
+    keep = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__starts"),
+            lambda p: (i >= p) & (i < p + F.lit(size)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", keep).alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(keep)).cast("long").alias("n_removed"),
+    )
+
+
+def sql_remove_duplicated_spans(
+    table: str = "documents",
+    size: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`remove_duplicated_spans`: windows as
+    raw strings (vs the engine's 64-bit hashes), same 0-based starts,
+    same coverage rule, same rebuild."""
+    toks_expr = SQL_TOKENS.format(col=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {toks_expr} AS toks FROM {table}
+),
+w AS (
+  SELECT {id_col},
+         CASE WHEN len(toks) >= {size} THEN
+           list_transform(range(1, len(toks) - {size - 2}),
+             i -> struct_pack(p := i - 1,
+                              g := array_to_string(toks[i:i+{size - 1}], ' ')))
+         ELSE [] END AS wins
+  FROM t
+),
+ex AS (SELECT {id_col}, unnest(wins, recursive := true) FROM w),
+shared AS (
+  SELECT g FROM ex GROUP BY g HAVING min({id_col}) <> max({id_col})
+),
+cov AS (
+  SELECT {id_col}, list(DISTINCT p) AS starts
+  FROM ex JOIN shared USING (g) GROUP BY {id_col}
+),
+j AS (
+  SELECT t.{id_col}, t.toks, coalesce(cov.starts, []) AS starts
+  FROM t LEFT JOIN cov USING ({id_col})
+),
+r AS (
+  SELECT {id_col}, toks, starts,
+         list_filter(
+           list_transform(range(1, len(toks) + 1),
+             i -> CASE WHEN len(list_filter(starts,
+                        p -> i - 1 >= p AND i - 1 < p + {size})) > 0
+                  THEN NULL ELSE toks[i] END),
+           x -> x IS NOT NULL) AS kept
+  FROM j
+)
+SELECT {id_col},
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+FROM r
+"""
