@@ -688,3 +688,25 @@ def test_remove_duplicated_spans_overlapping_windows(spark):
     assert out[0]["clean_text"] == "x y"
     assert out[0]["n_removed"] == 6
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 6
+
+
+def test_lm_score_prefers_in_domain_text(spark):
+    from tsdb_parquet_spark.functions import quality as QA
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 5)], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),      # in-domain
+            (1, "zq xw vv kk unseen tokens"),   # out-of-domain
+            (2, "one"),                          # no bigram -> omitted
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r for r in QA.lm_score(corpus, train).collect()
+    }
+    assert 2 not in out
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+    assert out[0]["n_bigrams"] == 5 and out[1]["n_bigrams"] == 5

@@ -3090,6 +3090,32 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from tsdb_parquet_spark.functions import quality as QA  # noqa: E402
+
+
+@query(
+    "q99_lm_perplexity_score",
+    QA.sql_lm_score(
+        corpus_pred="doc_id % 10 <> 0", train_pred="doc_id % 10 = 0"
+    )
+    + " ORDER BY doc_id",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (the CCNet recipe, arXiv:1911.00359):
+    an add-alpha smoothed word-bigram model trains on every tenth
+    document and scores the rest by mean log-likelihood — the canonical
+    quality/domain filter an LLM data pipeline runs before mixing.  The
+    model tables are vocabulary-bounded so both probability lookups are
+    BROADCAST joins and the corpus side never shuffles except the final
+    per-doc aggregation; V comes from an in-plan 1-row aggregate, no
+    driver collect.  4dp rounding absorbs the accumulation-order ulp
+    skew of the float mean."""
+    docs = _cat(spark, sf_dir)["documents"].select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 == 0)
+    rest = docs.filter(F.col("doc_id") % 10 != 0)
+    return QA.lm_score(rest, train).orderBy("doc_id")
+
+
 @query(
     "q98_exact_substring_removal",
     D.sql_remove_duplicated_spans("documents", size=5) + "ORDER BY doc_id",
@@ -4311,7 +4337,6 @@ _DRIVER_PRIORITY: list[str] = [
     # reference-parity relational block (S1-S6, P1-P11, A1-A3)
     "q01_scan_project",
     "q02_eq_filter",
-    "q03_range_filter",
     "q04_conjunction",
     "q10_write_compact_roundtrip",
     # last driver-checked in round 2 — highest rotation priority; q29 is
@@ -4366,6 +4391,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q96_sq8_quantized_topk",
     "q97_ivfpq_residual_topk",
     "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4374,12 +4400,14 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q18;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q07/q08/q09/
-    # q11/q12/q13/q15 (reference-block rows green in EVERY round
-    # r01-r04, code untouched) yield their slots to the NEW q92-q98
-    # rows; their paths keep in-window coverage via q01-q04 (scan +
-    # predicate block), q85/q86 (A3 grouped aggregation), q18 (A1
-    # label-values distinct), and writer tests (P9/P10).
+    # full-registry oracle gate (tests/test_corpus.py).  q03/q07/q08/
+    # q09/q11/q12/q13/q15 (reference-block rows green in EVERY round
+    # r01-r04, code untouched) yield their slots to the NEW q92-q99
+    # rows; their paths keep in-window coverage via q01/q02/q04 (scan,
+    # equality, and the conjunction's >=/<= range predicates), q85/q86
+    # (A3 grouped aggregation), q18 (A1 label-values distinct), and
+    # writer tests (P9/P10).
+    "q03_range_filter",
     "q07_groupby_agg",
     "q08_time_containment",
     "q09_label_values",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.functions.dedup import shingles, sql_shingles
+from tsdb_parquet_spark.functions.text import tokens
 
 __all__ = [
     "repetition_stats",
@@ -228,3 +229,136 @@ __kept AS (
 )
 SELECT {id_col}, string_agg(line, chr(10) ORDER BY ord) AS {text_col}
 FROM __kept GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def lm_score(
+    corpus: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Language-model quality scores (the CCNet recipe, arXiv:1911.00359:
+    score text by an n-gram LM trained on a reference corpus; low
+    log-likelihood = out-of-domain / low quality).  Here an add-alpha
+    smoothed word-BIGRAM model:
+
+        log P(w2 | w1) = ln( (c(w1,w2) + alpha) / (c(w1) + alpha * V) )
+
+    trained on ``train`` and applied to ``corpus``; returns one row per
+    scored doc: ``(id_col, n_bigrams, avg_logprob)`` (docs with no
+    bigram are omitted — perplexity = exp(-avg_logprob)).
+
+    Scale shape: the model IS the small side — unigram/bigram count
+    tables are vocabulary-bounded regardless of corpus size, so both
+    probability lookups are broadcast hash joins and the corpus never
+    shuffles except the final per-doc aggregation (map-side combined).
+    The vocabulary size V is a 1-row aggregate cross-joined in-plan (no
+    driver collect), like the SQ8 range training.
+    """
+    from tsdb_parquet_spark.catalog import spread
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return df.select(
+            F.col(id_col), F.explode(pairs).alias("__bg")
+        ).select(
+            F.col(id_col),
+            F.col("__bg.w1").alias("w1"),
+            F.col("__bg.w2").alias("w2"),
+        )
+
+    train_w = spread(train)
+    uni = (
+        train_w.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bi = (
+        bigrams(train_w)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+
+    scored = (
+        bigrams(spread(corpus))
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("cu"), F.lit(0))
+                    + F.lit(float(alpha)) * F.col("__V")
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+    )
+
+
+def sql_lm_score(
+    corpus_pred: str,
+    train_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB oracle twin of :func:`lm_score` over predicate-selected
+    train/corpus splits of one table."""
+    from tsdb_parquet_spark.functions.text import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+WITH tr AS (SELECT {id_col}, {toks} AS toks FROM {table} WHERE {train_pred}),
+co AS (SELECT {id_col}, {toks} AS toks FROM {table} WHERE {corpus_pred}),
+uni AS (
+  SELECT w1, count(*) AS cu
+  FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1
+),
+bi AS (
+  SELECT w1, w2, count(*) AS cb FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM tr, unnest(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+  ) GROUP BY w1, w2
+),
+v AS (SELECT count(*) AS V FROM uni),
+cbg AS (
+  SELECT {id_col}, toks[i] AS w1, toks[i + 1] AS w2
+  FROM co, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+lp AS (
+  SELECT cbg.{id_col},
+         ln((coalesce(bi.cb, 0) + {alpha!r})
+            / (coalesce(uni.cu, 0) + {alpha!r} * v.V)) AS lp
+  FROM cbg
+  LEFT JOIN bi ON bi.w1 = cbg.w1 AND bi.w2 = cbg.w2
+  LEFT JOIN uni ON uni.w1 = cbg.w1
+  CROSS JOIN v
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 4) AS avg_logprob
+FROM lp GROUP BY {id_col}
+"""
