@@ -222,3 +222,28 @@ def test_chunk_bounds_match_samples(spark):
     for c in chunks:
         assert c[MIN_T] <= c[MAX_T]
         assert c[MAX_T] - c[MIN_T] < MINUTE
+
+
+def test_tsdb_stats_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    rows = [
+        ("m", "a", "0", 1_000, 1.0),
+        ("m", "a", "1", 2_000, 2.0),
+        ("m", "b", "0", 3_000, 3.0),
+    ]
+    samples = spark.createDataFrame(
+        rows, "__name__ STRING, job STRING, shard STRING, ts LONG, value DOUBLE"
+    )
+    chunks = samples_to_chunks(samples, ["__name__", "job", "shard"])
+    q = ChunkQuerier(chunks)
+    stats = {r["stat"]: r["n"] for r in q.tsdb_stats().collect()}
+    assert stats == {
+        "label_values:__name__": 1,
+        "label_values:job": 2,
+        "label_values:shard": 2,
+        "series": 3,
+    }

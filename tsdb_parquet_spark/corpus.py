@@ -3090,6 +3090,37 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q100_tsdb_stats",
+    """WITH s AS (
+  SELECT 'app_events' AS mname, event_type,
+         CAST(user_id % 8 AS VARCHAR) AS shard
+  FROM events
+)
+SELECT 'label_values:__name__' AS stat,
+       CAST(count(DISTINCT mname) AS BIGINT) AS n FROM s
+UNION ALL SELECT 'label_values:event_type',
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM s
+UNION ALL SELECT 'label_values:shard',
+       CAST(count(DISTINCT shard) AS BIGINT) FROM s
+UNION ALL SELECT 'series',
+       CAST(count(DISTINCT (mname, event_type, shard)) AS BIGINT) FROM s
+ORDER BY stat""",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB cardinality statistics (the Prometheus /api/v1/status/tsdb
+    surface): per-label distinct-value counts and the store-wide series
+    count, computed over the REAL chunk store in one melt + one grouped
+    distinct (`querier.tsdb_stats`).  The oracle re-derives every count
+    from the raw events with the store's label mapping, so the hash
+    also re-proves the chunk build preserved label/series cardinality
+    end-to-end."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+    return q.tsdb_stats().orderBy("stat")
+
+
 from tsdb_parquet_spark.functions import quality as QA  # noqa: E402
 
 
@@ -4336,7 +4367,6 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # reference-parity relational block (S1-S6, P1-P11, A1-A3)
     "q01_scan_project",
-    "q02_eq_filter",
     "q04_conjunction",
     "q10_write_compact_roundtrip",
     # last driver-checked in round 2 — highest rotation priority; q29 is
@@ -4392,6 +4422,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q97_ivfpq_residual_topk",
     "q98_exact_substring_removal",
     "q99_lm_perplexity_score",
+    "q100_tsdb_stats",
     # position 51+ — outside the driver's 50-row cap.  q77, q66, q05,
     # q06 and q14 (all green r04, none changed this round) yield their
     # slots to the NEW q87-q91 rows: q77's round-5 code change (subquery
@@ -4400,13 +4431,14 @@ _DRIVER_PRIORITY: list[str] = [
     # change is pinned by eval-count asserts in tests/test_promql.py;
     # q05/q06's distinct operator (A1) keeps an in-window row via q18;
     # q14's projection path (P1) keeps q01.  All five stay under the
-    # full-registry oracle gate (tests/test_corpus.py).  q03/q07/q08/
-    # q09/q11/q12/q13/q15 (reference-block rows green in EVERY round
-    # r01-r04, code untouched) yield their slots to the NEW q92-q99
-    # rows; their paths keep in-window coverage via q01/q02/q04 (scan,
-    # equality, and the conjunction's >=/<= range predicates), q85/q86
-    # (A3 grouped aggregation), q18 (A1 label-values distinct), and
-    # writer tests (P9/P10).
+    # full-registry oracle gate (tests/test_corpus.py).  q02/q03/q07/
+    # q08/q09/q11/q12/q13/q15 (reference-block rows green in EVERY
+    # round r01-r04, code untouched) yield their slots to the NEW
+    # q92-q100 rows; their paths keep in-window coverage via q01 (S1
+    # scan+projection) and q04 (P5 conjunction containing the =, >=
+    # and <= predicates), q85/q86 (A3 grouped aggregation), q18 (A1
+    # label-values distinct), and writer tests (P9/P10).
+    "q02_eq_filter",
     "q03_range_filter",
     "q07_groupby_agg",
     "q08_time_containment",

@@ -217,6 +217,43 @@ class ChunkQuerier:
         ).collect()[0]
         return sorted(c for c in self.label_columns if agg[c])
 
+    def tsdb_stats(self) -> DataFrame:
+        """Cardinality statistics — the Prometheus /api/v1/status/tsdb
+        surface (numSeries + per-label value counts) the reference's
+        storage layer never exposes.  One row per label:
+        ``(stat='label_values:<name>', n)`` plus ``(stat='series', n)``.
+
+        One melt via a map literal + explode turns every label cell into
+        a (name, value) pair, then a single groupBy counts distinct
+        values for ALL labels in one shuffle — the same plan shape as
+        :meth:`label_values` but amortized across the label set; the
+        series count is a second map-side-combined distinct over the
+        sorted ``__series__id`` column."""
+        from itertools import chain
+
+        kv = F.create_map(
+            *chain.from_iterable(
+                (F.lit(c), F.col(c)) for c in self.label_columns
+            )
+        )
+        pairs = self.chunks.select(F.explode(kv).alias("__lbl", "__val"))
+        label_stats = (
+            pairs.filter(F.col("__val") != F.lit(""))
+            .groupBy("__lbl")
+            .agg(F.countDistinct("__val").alias("n"))
+            .select(
+                F.concat(F.lit("label_values:"), F.col("__lbl")).alias(
+                    "stat"
+                ),
+                F.col("n"),
+            )
+        )
+        series = (
+            self.chunks.agg(F.countDistinct(F.col(SERIES_ID)).alias("n"))
+            .select(F.lit("series").alias("stat"), F.col("n"))
+        )
+        return label_stats.unionByName(series)
+
     def label_values(self, name: str, matchers: Sequence[Matcher] = ()) -> DataFrame:
         df = self._filtered(None, None, matchers)
         return (
