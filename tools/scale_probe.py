@@ -34,6 +34,10 @@ HEAVY = [
     "q70_repetition_stats",
     "q72_global_shuffle",
     "q85_salted_distinct_count",
+    "q92_semantic_dedup",
+    "q93_exact_substring_spans",
+    "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
