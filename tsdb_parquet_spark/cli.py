@@ -158,6 +158,20 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Print a store's cardinality statistics (Prometheus
+    /api/v1/status/tsdb analog): per-label distinct-value counts and
+    the series count, via `ChunkQuerier.tsdb_stats`."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.session import get_spark
+
+    spark = get_spark()
+    q = ChunkQuerier.from_parquet(spark, args.store)
+    for row in q.tsdb_stats().orderBy("stat").collect():
+        print(f"{row['stat']}\t{row['n']}")
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Run the maintenance sweep on a store: compact when over the part
     threshold, then drop retired snapshot dirs past the grace window and
@@ -237,6 +251,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     snaps.add_argument("--store", required=True)
     snaps.set_defaults(fn=cmd_snapshots)
+
+    stats = sub.add_parser(
+        "stats",
+        help="print per-label cardinalities + series count "
+        "(/api/v1/status/tsdb analog)",
+    )
+    stats.add_argument("--store", required=True)
+    stats.set_defaults(fn=cmd_stats)
 
     vac = sub.add_parser(
         "vacuum",
