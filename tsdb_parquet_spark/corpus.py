@@ -249,6 +249,14 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     os.makedirs(work, exist_ok=True)
+    # sweep PRIOR runs' roundtrip dirs (completed — their DataFrames are
+    # long collected); without this the per-call mkdtemp grows .work
+    # unboundedly across rounds
+    import shutil
+
+    for d in os.listdir(work):
+        if d.startswith("q10_roundtrip_"):
+            shutil.rmtree(os.path.join(work, d), ignore_errors=True)
     root = tempfile.mkdtemp(prefix="q10_roundtrip_", dir=work)
     writer = SortedParquetWriter(spark, root, opts)
     # two parts exercises the multi-part merge path of Compact()
