@@ -183,7 +183,10 @@ def main() -> None:
     # BENCH_local.json is the canonical sf0.1 record — other scale
     # factors write a suffixed file so a quick sf0.001 smoke run can
     # never clobber the committed sf0.1 numbers
-    suffix = "" if result["sf"] == 0.1 else f"_sf{sf}"
+    safe_sf = "".join(
+        c if c.isalnum() or c in "._-" else "_" for c in str(sf)
+    )
+    suffix = "" if result["sf"] == 0.1 else f"_sf{safe_sf}"
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_local{suffix}.json",

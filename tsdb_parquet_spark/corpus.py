@@ -249,14 +249,17 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     os.makedirs(work, exist_ok=True)
-    # sweep PRIOR runs' roundtrip dirs (completed — their DataFrames are
-    # long collected); without this the per-call mkdtemp grows .work
-    # unboundedly across rounds
+    # sweep STALE roundtrip dirs (>1h old — long collected); the age
+    # scope keeps a concurrent process's (or an uncollected frame's)
+    # fresh dir safe while still bounding .work across rounds
     import shutil
+    import time as _time
 
+    cutoff = _time.time() - 3600
     for d in os.listdir(work):
-        if d.startswith("q10_roundtrip_"):
-            shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+        full = os.path.join(work, d)
+        if d.startswith("q10_roundtrip_") and os.path.getmtime(full) < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="q10_roundtrip_", dir=work)
     writer = SortedParquetWriter(spark, root, opts)
     # two parts exercises the multi-part merge path of Compact()

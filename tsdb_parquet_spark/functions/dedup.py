@@ -436,6 +436,33 @@ def verify_pairs_jaccard(
 # ---------------------------------------------------------------------------
 
 
+def _window_hash_expr(text_col: str, size: int) -> Column:
+    """``array<bigint>`` of xxhash64 over every ``size``-token window —
+    THE window rule, shared by the ExactSubstr stats and removal
+    operators so it can never diverge between them (their oracles both
+    assume the same rule over raw window strings)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(size - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, size)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _shared_windows(ex: DataFrame, id_col: str) -> DataFrame:
+    """Window hashes occurring in >= 2 docs: min(doc) != max(doc) —
+    map-side-combining folds, never a count(distinct)."""
+    return (
+        ex.groupBy("__g")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("__g")
+    )
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     size: int = 5,
@@ -465,45 +492,32 @@ def duplicated_ngram_spans(
     oracle groups the raw window strings; results agree absent a 64-bit
     collision, ~1e-7 at a billion distinct windows.)
     """
+    # NO filter anywhere before the exchange: a deterministic filter on
+    # the hash arrays gets predicate-pushed below the repartition,
+    # dragging the whole tokenize+hash expression into the narrow scan
+    # stage (serial) and re-evaluating it post-exchange — measured 4x
+    # slower.  Both consumers (occurrences AND totals) derive from the
+    # explode, which drops empty arrays on its own, so no size filter
+    # exists to push down in either eager mode.
     from tsdb_parquet_spark.catalog import spread
 
-    docs = spread(docs)
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    hashed = F.when(
-        n >= size,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(size - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, size)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # NO filter before the exchange: a deterministic filter on the hash
-    # arrays gets predicate-pushed below the repartition, dragging the
-    # whole tokenize+hash expression into the narrow scan stage (serial)
-    # and re-evaluating it post-exchange — measured 4x slower.  Explode
-    # drops empty arrays on its own; the totals branch filters its own
-    # (tiny) size column after the lineage cut.
-    sh = docs.select(F.col(id_col), hashed.alias("__sh"))
+    sh = spread(docs).select(
+        F.col(id_col), _window_hash_expr(text_col, size).alias("__sh")
+    )
     if eager:
-        # the window arrays feed three consumers (occurrence explode and
-        # the per-doc totals); truncating lineage here hashes each doc
-        # once and keeps every downstream plan small
+        # the window arrays feed multiple consumers; truncating lineage
+        # here hashes each doc once and keeps downstream plans small
         sh = sh.localCheckpoint(eager=True)
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
-    shared = (
-        ex.groupBy("__g")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("__g")
-    )
+    shared = _shared_windows(ex, id_col)
     dup_counts = (
         ex.join(shared, "__g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
     )
-    totals = sh.select(
-        F.col(id_col), F.size("__sh").cast("long").alias("n_shingles")
-    ).filter(F.col("n_shingles") > 0)
+    totals = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
     return (
         totals.join(dup_counts, id_col, "left")
         .select(
@@ -574,29 +588,19 @@ def remove_duplicated_spans(
     """
     from tsdb_parquet_spark.catalog import spread
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    hashed = F.when(
-        n >= size,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(size - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, size)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     base = (
         spread(docs)
-        .select(F.col(id_col), toks.alias("__toks"), hashed.alias("__sh"))
+        .select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("__toks"),
+            _window_hash_expr(text_col, size).alias("__sh"),
+        )
         .localCheckpoint(eager=True)
     )
     ex = base.select(
         F.col(id_col), F.posexplode("__sh").alias("__p", "__g")
     )
-    shared = (
-        ex.groupBy("__g")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("__g")
-    )
+    shared = _shared_windows(ex, id_col)
     covered = (
         ex.join(shared, "__g")
         .groupBy(id_col)

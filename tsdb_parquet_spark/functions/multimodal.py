@@ -418,10 +418,14 @@ def media_features(
 
     carried = [f.name for f in df.schema.fields if f.name != media_col]
 
+    feature_cols = [f.name for f in MEDIA_FEATURES_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [one(bytes(b)) for b in pdf[media_col]]
-            out = pd.DataFrame(rows)
+            # explicit column list: a zero-row batch must still yield a
+            # frame with every schema column or Arrow conversion fails
+            out = pd.DataFrame(rows, columns=feature_cols)
             for name in reversed(carried):
                 out.insert(0, name, pdf[name].values)
             yield out

@@ -23,9 +23,16 @@ def clean_corpus(
     min_quality: float = 0.5,
     languages: tuple[str, ...] = ("en",),
     drop_near_dups: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Quality gate -> language gate -> exact dedup (keep smallest id) ->
-    optional MinHash-LSH near-dup removal (keep smaller id of each pair)."""
+    optional MinHash-LSH near-dup removal (keep smaller id of each pair).
+
+    ``eager`` (default) materializes the gated set and releases the
+    tokenized cache before returning — the same storage-bounding trade
+    as `lsh_candidate_pairs`; pass False for single-shot consumers that
+    prefer a fully lazy pipeline (the cache is then reclaimed by the
+    ContextCleaner when the result goes out of scope)."""
     t = F.col(text_col)
     toks = F.col("__toks")
     from tsdb_parquet_spark.catalog import spread
@@ -45,6 +52,9 @@ def clean_corpus(
         .filter(TX.language_id(t, toks).isin(*languages))
         .drop("__toks")
     )
+    if eager:
+        gated = gated.localCheckpoint(eager=True)
+        base.unpersist()
     kept = D.drop_exact_duplicates(gated, id_col, text_col)
     if drop_near_dups:
         pairs = D.lsh_candidate_pairs(kept, id_col, text_col)

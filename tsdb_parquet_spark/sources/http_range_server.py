@@ -31,7 +31,11 @@ def _make_handler(store: dict[str, bytes], lock: threading.Lock):
             pass
 
         def _name(self) -> str:
-            return self.path.lstrip("/")
+            from urllib.parse import unquote
+
+            # HTTPBucket percent-encodes names; decode so store keys are
+            # the caller's raw object names
+            return unquote(self.path.lstrip("/"))
 
         def _lookup(self) -> bytes | None:
             with lock:
