@@ -5,6 +5,8 @@ legacy-store migration path."""
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.sources.maintenance import maybe_compact
@@ -183,3 +185,18 @@ def test_random_interleavings_never_lose_or_double_count(spark, ops):
             # a REOPENED writer agrees with the manifest at every point
             reopened = SortedParquetWriter(spark, root, opts)
             assert reopened.part_dirs == writer.part_dirs
+
+
+def test_vacuum_refuses_zero_keep_versions(tmp_path):
+    from tsdb_parquet_spark.sources.manifest import (
+        publish_snapshot,
+        vacuum_snapshots,
+    )
+
+    root = str(tmp_path)
+    (tmp_path / "part.0").mkdir()
+    publish_snapshot(root, ["part.0"])
+    with pytest.raises(ValueError):
+        vacuum_snapshots(root, keep_versions=0)
+    # the live snapshot's data must still exist
+    assert (tmp_path / "part.0").is_dir()

@@ -86,9 +86,7 @@ def test_adc_distance_equals_table_sum(spark, cb):
         assert got[vid] == pytest.approx(want, abs=0.0), vid
     # the query's own code distance is the minimum possible table sum for
     # its codes; sanity: distance to itself is small relative to others
-    assert got[0] == min(
-        got[v] for v, _ in rows[:1]
-    )
+    assert got[0] == min(got[v] for v, _ in rows)
 
 
 def test_topk_order_and_tie_break(spark, cb):

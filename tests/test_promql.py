@@ -942,3 +942,24 @@ def test_scalar_function(spark):
     # vector cmp scalar(): filter semantics keeping the vector's value
     out = engine.query_range("many > scalar(one) / 4", 0, 0, 60_000).collect()
     assert {r["job"]: r["value"] for r in out} == {"b": 2.0}
+
+
+def test_scalar_fold_ieee_domains():
+    """Go math.Mod/Pow semantics on domains where Python's math module
+    raises: parse-time folding must yield NaN/Inf, never crash."""
+    import math
+
+    from tsdb_parquet_spark.plans.promql import (
+        _ieee_fmod,
+        _ieee_pow,
+        parse_promql,
+    )
+
+    assert math.isnan(_ieee_fmod(1.0, 0.0))
+    assert math.isnan(_ieee_fmod(math.inf, 2.0))
+    assert _ieee_pow(0.0, -1.0) == math.inf
+    assert math.isnan(_ieee_pow(-2.0, 0.5))
+    assert _ieee_pow(2.0, 10.0) == 1024.0
+    # end-to-end: folding these does not raise at parse time
+    parse_promql("m + 1 % 0")
+    parse_promql("m * (0 ^ 2)")

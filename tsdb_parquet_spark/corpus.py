@@ -1871,14 +1871,16 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats: dict = {}
     cc = connected_components(pairs, src="doc_a", dst="doc_b", stats=stats)
-    # telemetry gate: LSH dup clusters are near-cliques (diameter <= ~3);
-    # with the fused min-neighbor seed the loop must close within the
-    # diameter bound + 1 confirming round — more means the propagation
-    # regressed (RuntimeError so `python -O` cannot strip the check)
-    if stats["rounds"] > 4:
+    # telemetry gate: LSH dup clusters are near-cliques (diameter <= ~3)
+    # on THIS corpus; chain-shaped candidate graphs (A~B~C~... with only
+    # adjacent band agreement) are legal LSH output though, so the bound
+    # leaves headroom above the clique case — it flags a propagation
+    # REGRESSION (e.g. losing the fused seed round), not data shape.
+    # RuntimeError so `python -O` cannot strip the check.
+    if stats["rounds"] > 6:
         raise RuntimeError(
             f"label propagation took {stats['rounds']} rounds "
-            "(> diameter bound 4) on a near-clique dup graph"
+            "(> regression bound 6) on a near-clique dup graph"
         )
     return (
         cc.groupBy("cluster_id")

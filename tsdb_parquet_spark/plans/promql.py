@@ -67,6 +67,8 @@ special case.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 import re
 from dataclasses import dataclass, field
 
@@ -141,13 +143,27 @@ TRAILING_SCALARS = {"predict_linear": 1, "holt_winters": 2}
 
 #: scalar-scalar arithmetic folds to a literal at parse time (Prometheus
 #: evaluates scalar expressions; Go math.Mod/Pow/Atan2 semantics)
+def _ieee_fmod(a: float, b: float) -> float:
+    # Go math.Mod: Mod(x, 0) = NaN, Mod(±Inf, y) = NaN — Python's
+    # math.fmod raises ValueError on those domains instead
+    with np.errstate(all="ignore"):
+        return float(np.fmod(np.float64(a), np.float64(b)))
+
+
+def _ieee_pow(a: float, b: float) -> float:
+    # Go math.Pow follows IEEE-754 pow: 0^-1 = +Inf, (-2)^0.5 = NaN —
+    # Python's math.pow raises ValueError on those domains instead
+    with np.errstate(all="ignore"):
+        return float(np.power(np.float64(a), np.float64(b)))
+
+
 _SCALAR_FOLD = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan,
-    "%": math.fmod,
-    "^": math.pow,
+    "%": _ieee_fmod,
+    "^": _ieee_pow,
     "atan2": math.atan2,
 }
 

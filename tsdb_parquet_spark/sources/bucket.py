@@ -277,6 +277,18 @@ class ChunkedBucketReader:
         self.reader = reader
         self.max_read_size = max_read_size
         self.concurrency = concurrency
+        self._pool: ThreadPoolExecutor | None = None
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        # one persistent pool per reader, reused across read_at calls —
+        # the analog of the reference's long-lived 16 goroutines; a
+        # fresh pool per call pays thread spawn/join on every multi-part
+        # read.  Lazily created so small-read-only consumers never spawn
+        # threads; workers exit with the interpreter (concurrent.futures
+        # joins them at exit).
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.concurrency)
+        return self._pool
 
     def read_at(self, off: int, length: int) -> bytes:
         if length <= self.max_read_size:
@@ -285,8 +297,8 @@ class ChunkedBucketReader:
         for start in range(0, length, self.max_read_size):
             end = min(start + self.max_read_size, length)
             parts.append((off + start, end - start))
-        with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
-            chunks = list(pool.map(lambda p: self.reader.read_at(*p), parts))
+        pool = self._get_pool()
+        chunks = list(pool.map(lambda p: self.reader.read_at(*p), parts))
         return b"".join(chunks)
 
 

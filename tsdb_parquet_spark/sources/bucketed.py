@@ -71,7 +71,30 @@ def register_bucketed(
     if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
         return False
     if spark.catalog.tableExists(table):
-        return True
+        # validate the existing registration against the REQUESTED spec —
+        # a stale table (different location, columns, or bucket count)
+        # silently mis-buckets every join if accepted as-is
+        info = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        got_cols = [
+            c.strip(" `")
+            for c in info.get("Bucket Columns", "").strip("[]").split(",")
+            if c.strip(" `")
+        ]
+        got_loc = info.get("Location", "").replace("file:", "")
+        loc_ok = os.path.realpath(got_loc) == os.path.realpath(path)
+        if (
+            info.get("Num Buckets") == str(num_buckets)
+            and got_cols == list(bucket_cols)
+            and loc_ok
+        ):
+            return True
+        # spec drifted: drop the stale registration; the caller decides
+        # whether the on-disk data needs a rewrite (write_bucketed)
+        spark.sql(f"DROP TABLE {table}")
+        return False
     ddl = source_df._jdf.schema().toDDL()
     cluster = ", ".join(bucket_cols)
     sort = ", ".join(sort_cols or bucket_cols)

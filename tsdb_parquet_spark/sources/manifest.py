@@ -67,6 +67,26 @@ def publish_snapshot(
     overwrites.  Returns the published version number."""
     snap = _snap_dir(root)
     os.makedirs(snap, exist_ok=True)
+    # cross-PROCESS mutual exclusion on one node (live ingest + a CLI
+    # vacuum are the real concurrent pair): version assignment and the
+    # CURRENT repoint happen under an exclusive flock, so two publishers
+    # can no longer mint the same version and silently clobber each
+    # other's path set.  Multi-node writers over a shared object store
+    # need an external catalog (the reference is single-writer too).
+    import fcntl
+
+    lock_fh = open(os.path.join(snap, ".lock"), "a+")
+    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    try:
+        return _publish_locked(root, snap, rel_paths, version)
+    finally:
+        fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        lock_fh.close()
+
+
+def _publish_locked(
+    root: str, snap: str, rel_paths: list[str], version: int | None
+) -> int:
     if version is None:
         version = latest_version(root) + 1
     body = {
@@ -132,14 +152,12 @@ def read_snapshot(
     """DataFrame over exactly the directories of one snapshot.  Per-root
     reads unioned (several hive-partitioned roots in one ``read.parquet``
     call trip partition discovery, same reason as ``writer.compact``)."""
+    from tsdb_parquet_spark.sources.writer import read_roots
+
     snap = current_snapshot(root, version)
     if snap is None or not snap.paths:
         raise FileNotFoundError(f"no snapshot published under {root}")
-    paths = snap.absolute(root)
-    df = spark.read.parquet(paths[0])
-    for p in paths[1:]:
-        df = df.unionByName(spark.read.parquet(p))
-    return df
+    return read_roots(spark, snap.absolute(root))
 
 
 def list_versions(root: str) -> list[int]:
@@ -164,10 +182,14 @@ def vacuum_snapshots(root: str, keep_versions: int = 2) -> dict:
     itself) are untouched."""
     import shutil
 
+    if keep_versions < 1:
+        # keep_versions=0 would empty keep_paths and rmtree the LIVE
+        # snapshot's directories — refuse rather than destroy the store
+        raise ValueError("keep_versions must be >= 1 (the live snapshot)")
     versions = list_versions(root)
     if not versions:
         return {"removed_dirs": [], "removed_manifests": []}
-    kept = versions[-keep_versions:] if keep_versions > 0 else []
+    kept = versions[-keep_versions:]
     keep_paths: set[str] = set()
     for v in kept:
         snap = current_snapshot(root, v)

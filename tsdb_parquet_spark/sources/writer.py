@@ -134,6 +134,18 @@ def write_sorted(
     return out_dir
 
 
+def read_roots(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read several dataset roots as one DataFrame, per-root reads
+    unioned.  Several hive-partitioned roots in ONE ``read.parquet`` call
+    trip partition discovery ("Suspicious paths"); per-root reads keep
+    each root's partition column intact.  Shared by ``compact`` and
+    ``manifest.read_snapshot`` so the workaround can't diverge."""
+    df = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df
+
+
 def compact(
     spark: SparkSession,
     part_dirs: list[str] | str,
@@ -145,13 +157,7 @@ def compact(
     the reference's k-way merge (`parquet.MergeRowGroups`) and spills
     instead of holding everything in memory."""
     paths = [part_dirs] if isinstance(part_dirs, str) else list(part_dirs)
-    # read each part root separately and union: several hive-partitioned
-    # roots in ONE read.parquet call trip partition discovery ("Suspicious
-    # paths"), and per-root reads keep each part's partition column intact
-    df = spark.read.parquet(paths[0])
-    for p in paths[1:]:
-        df = df.unionByName(spark.read.parquet(p))
-    return write_sorted(df, out_dir, opts)
+    return write_sorted(read_roots(spark, paths), out_dir, opts)
 
 
 class SortedParquetWriter:
@@ -201,9 +207,16 @@ class SortedParquetWriter:
         ]
         snap = current_snapshot(self.root)
         if snap is None:
+            self._folded_parts: set[str] = set()
             return disk
         live = {
             p for p in snap.paths if os.path.basename(p).startswith("part.")
+        }
+        # parts on disk but excluded by the authoritative manifest were
+        # folded by a compaction and await vacuum; remember them so a
+        # replayed streaming batch can't adopt() one back in
+        self._folded_parts = {
+            p for p in disk if os.path.basename(p) not in live
         }
         return [p for p in disk if os.path.basename(p) in live]
 
@@ -235,7 +248,12 @@ class SortedParquetWriter:
         streaming sink writes its own ``part.<batch_id>`` dirs (the batch
         id keys idempotent replay) and adopts them here so the manifest
         and ``part_dirs`` stay authoritative; re-adopting (a replayed
-        micro-batch) is a no-op."""
+        micro-batch) is a no-op — including a part a compaction has
+        ALREADY FOLDED (on disk awaiting vacuum, excluded from the
+        manifest): resurrecting one would double-count its rows against
+        the compacted copy."""
+        if part_dir in getattr(self, "_folded_parts", set()):
+            return
         if part_dir not in self._live_parts:
             self._live_parts.append(part_dir)
             self._publish()

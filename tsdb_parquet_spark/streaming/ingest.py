@@ -152,4 +152,14 @@ class StreamingChunkIngestor:
         # when it is actually small
         merged = df.join(ids, on=self.labels, how="inner")
         out = os.path.join(self.writer.root, "compact")
-        return write_sorted(merged, out, self.writer.opts)
+        path = write_sorted(merged, out, self.writer.opts)
+        # publish the compacted dir as the ONLY live root: without this
+        # the parts stay live in the manifest and a later maybe_compact /
+        # CLI vacuum would union the compact with parts already folded
+        # into it (double-count — and fail on the dense series-id column
+        # the raw parts lack)
+        from tsdb_parquet_spark.sources.manifest import publish_snapshot
+
+        publish_snapshot(self.writer.root, [os.path.basename(out)])
+        self.writer._live_parts = []
+        return path
