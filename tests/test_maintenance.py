@@ -120,3 +120,42 @@ def test_vacuum_reports(spark):
     report = vacuum_store(spark, out, now_ms=5 * DAY_MS, keep_days=3)
     assert report["removed_partitions"] == ["__day=0", "__day=1"]
     assert report["remaining_chunks"] == 1
+
+
+def test_replayed_part_not_resurrected_after_compaction(spark, tmp_path):
+    """A streaming micro-batch replay must NOT re-adopt a part directory
+    a deferred-cleanup compaction already folded — doing so would
+    double-count its rows against the compacted copy (the
+    crash-between-write-and-checkpoint scenario)."""
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.maintenance import maybe_compact
+    from tsdb_parquet_spark.sources.manifest import read_snapshot
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    root = str(tmp_path / "store")
+    opts = WriterOptions(sort_columns=["k"], max_files=2)
+    w = SortedParquetWriter(spark, root, opts)
+    for i in range(3):
+        w.write(spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"))
+    total = 30
+    compacted = maybe_compact(w, max_parts=1, defer_cleanup=True)
+    assert compacted is not None
+    folded = w.last_compacted_parts
+    assert folded and all(os.path.isdir(p) for p in folded)  # awaiting vacuum
+
+    # a NEW writer (restart) replays a batch whose part dir still exists:
+    # adopt must be a no-op for the folded dir
+    w2 = SortedParquetWriter(spark, root, opts)
+    w2.adopt(folded[0])
+    assert folded[0] not in w2.part_dirs
+    assert read_snapshot(spark, root).count() == total  # no double count
+
+    # a genuinely NEW part still adopts fine
+    new_part = os.path.join(root, "part.99")
+    spark.range(100, 105).selectExpr("id AS k").write.parquet(new_part)
+    w2.adopt(new_part)
+    assert new_part in w2.part_dirs
+    assert read_snapshot(spark, root).count() == total + 5
