@@ -710,3 +710,26 @@ def test_lm_score_prefers_in_domain_text(spark):
     assert 2 not in out
     assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
     assert out[0]["n_bigrams"] == 5 and out[1]["n_bigrams"] == 5
+
+
+def test_semantic_dedup_survivors_are_fixed_point(spark):
+    """keep-first semantics: a survivor has no lower-id neighbor at or
+    above the threshold, so survivors are pairwise below it within every
+    cluster — re-running the dedup on the survivors must drop nobody."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = rng.normal(0, 1, (30, 8))
+    # inject near-dup groups: scaled copies and tiny perturbations
+    vecs = list(base) + [base[i] * 2.0 for i in range(10)] + [
+        base[i] + rng.normal(0, 0.01, 8) for i in range(5)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = SIM.ivf_centroids(dim=8, n_centroids=4, seed="fp-test")
+    first = SIM.semantic_dedup(df, cents, threshold=0.98)
+    survivors = {r["vec_id"] for r in first.collect() if not r["dropped"]}
+    assert len(survivors) < len(rows)  # the injected dups were dropped
+    kept_df = df.filter(F.col("vec_id").isin([int(i) for i in survivors]))
+    second = SIM.semantic_dedup(kept_df, cents, threshold=0.98)
+    assert not any(r["dropped"] for r in second.collect())
