@@ -206,3 +206,48 @@ def test_distributed_read_over_http_matches_native(spark, http_env, tmp_path):
     assert df.schema == native.schema
     assert sorted(df.collect()) == sorted(native.collect())
     assert df.rdd.getNumPartitions() == 10
+
+
+def test_http_bucket_range_ignoring_server_fallback(http_env):
+    """A server that ignores Range (200 + full body) must still yield a
+    correct slice — correctness never depends on server capability."""
+    import http.server
+    import threading
+
+    class NoRange(http.server.BaseHTTPRequestHandler):
+        blob = bytes(range(256)) * 4
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)  # ignores any Range header
+            self.send_header("Content-Length", str(len(self.blob)))
+            self.end_headers()
+            self.wfile.write(self.blob)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), NoRange)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        bucket = HTTPBucket(f"http://127.0.0.1:{httpd.server_address[1]}")
+        assert bucket.get_range("x", 10, 20) == NoRange.blob[10:30]
+        assert bucket.get_range("x", 1000, 50) == NoRange.blob[1000:1050]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_bucket_iter_requires_index(http_env):
+    srv, _ = http_env
+    no_index = HTTPBucket(srv.base_url)  # no index_object configured
+    with pytest.raises(NotImplementedError):
+        list(no_index.iter())
+
+
+def test_http_bucket_encoded_names_roundtrip(http_env):
+    srv, bucket = http_env
+    bucket.upload("dir with space/f+g.bin", b"enc")
+    assert bucket.get("dir with space/f+g.bin") == b"enc"
+    assert bucket.exists("dir with space/f+g.bin")
+    # the server stores under the RAW name (handler unquotes)
+    assert "dir with space/f+g.bin" in srv.objects
