@@ -251,3 +251,27 @@ def test_http_bucket_encoded_names_roundtrip(http_env):
     assert bucket.exists("dir with space/f+g.bin")
     # the server stores under the RAW name (handler unquotes)
     assert "dir with space/f+g.bin" in srv.objects
+
+
+def test_chunked_reader_close_and_pickle(bucket):
+    """The persistent worker pool must shut down on close() and must not
+    ride along in pickles (a live ThreadPoolExecutor is unpicklable and
+    would break a reader captured in a Spark closure)."""
+    import pickle
+
+    blob = bytes(range(256)) * 64
+    bucket.upload("pkl", blob)
+    chunked = ChunkedBucketReader(
+        BucketReader(bucket, "pkl"), max_read_size=1 << 10
+    )
+    assert chunked.read_at(0, 8_000) == blob[:8_000]  # pool now live
+    assert chunked._pool is not None
+    state = pickle.loads(pickle.dumps(chunked))
+    assert state._pool is None  # pool excluded from the pickle
+    # the rebuilt reader works (pool lazily recreated on demand)
+    assert state.read_at(100, 5_000) == blob[100:5_100]
+    chunked.close()
+    assert chunked._pool is None
+    # close is idempotent and reads still work after (fresh pool)
+    chunked.close()
+    assert chunked.read_at(0, 3_000) == blob[:3_000]

@@ -733,3 +733,104 @@ def test_semantic_dedup_survivors_are_fixed_point(spark):
     kept_df = df.filter(F.col("vec_id").isin([int(i) for i in survivors]))
     second = SIM.semantic_dedup(kept_df, cents, threshold=0.98)
     assert not any(r["dropped"] for r in second.collect())
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    """An under-clustered input (every vector lands in one cluster, more
+    rows than max_cluster_rows) must fail fast naming the remedy — the
+    within-cluster join is O((n/k)^2) and may not silently go quadratic
+    at scale."""
+    rows = [(i, [1.0, float(i) * 1e-3]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]  # all 10 vectors pick centroid 0
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        SIM.semantic_dedup(df, cents, threshold=0.99, max_cluster_rows=5)
+    # explicit opt-out (or a bound that fits) runs normally
+    ok = SIM.semantic_dedup(
+        df, cents, threshold=0.99, max_cluster_rows=None
+    )
+    assert ok.count() == 10
+    ok2 = SIM.semantic_dedup(df, cents, threshold=0.99, max_cluster_rows=10)
+    assert ok2.count() == 10
+
+
+def test_png_decode_all_filter_types():
+    """The stdlib PNG decoder reconstructs every scanline filter the spec
+    defines (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    body = px.reshape(h, w * c).astype(np.int32)
+
+    def encode_with(ftype: int) -> bytes:
+        out = b""
+        for y in range(h):
+            prev = body[y - 1] if y > 0 else np.zeros(w * c, np.int32)
+            line, filt = body[y], np.zeros(w * c, np.int32)
+            for x in range(w * c):
+                a = line[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    )
+                filt[x] = (line[x] - pred) & 0xFF
+            out += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            MM._PNG_SIG
+            + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(out))
+            + MM._png_chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        assert (MM._decode_png_pixels(encode_with(ftype)) == px).all()
+
+
+def test_png_metadata_resize_roundtrip(spark, docs):
+    """PNG blobs flow through the SAME Spark plumbing as BMP/WAV: digest
+    encode -> container metadata decode -> real pixel resize, all via
+    Arrow mapInPandas, with dimensions the oracle can predict from md5."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [(r["doc_id"], bytes(MM._encode_png(
+        hashlib.md5(r["text"].encode()).digest()
+    ))) for r in docs.select("doc_id", "text").collect()]
+    media = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    meta = MM.extract_media_metadata(media, decode_stub=False)
+    for r in meta.collect():
+        blob, m = bytes(r["media"]), r["meta"]
+        d = blob  # dims derive from the digest baked into the header
+        assert m["format"] == "png" and m["n_bytes"] == len(blob)
+        assert 1 <= m["width"] <= 64 and 1 <= m["height"] <= 64
+        # IHDR agrees with pixel-level decode
+        px = MM._decode_png_pixels(blob)
+        assert px.shape == (m["height"], m["width"], 3)
+    resized = MM.resize_media(media, out_w=8, out_h=8)
+    for r in resized.collect():
+        out = bytes(r["resized"])
+        px = MM._decode_png_pixels(out)
+        assert px.shape == (8, 8, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        src = MM._decode_png_pixels(bytes(r["media"]))
+        flat = {tuple(p) for row_ in src.reshape(-1, 3) for p in [row_]}
+        assert all(tuple(p) in flat for p in px.reshape(-1, 3))

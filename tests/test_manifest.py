@@ -200,3 +200,22 @@ def test_vacuum_refuses_zero_keep_versions(tmp_path):
         vacuum_snapshots(root, keep_versions=0)
     # the live snapshot's data must still exist
     assert (tmp_path / "part.0").is_dir()
+
+
+def test_same_process_replay_cannot_resurrect_folded_part(spark, sf_smoke):
+    """The SAME writer instance must refuse to re-adopt a part its own
+    compaction just folded (the streaming _SUCCESS-present replay path
+    calls adopt() without a writer restart — only _discover_parts knew
+    about folded parts before this guard)."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(50)
+    writer = _writer(spark, "same_process_replay")
+    part0 = writer.write(li)
+    writer.write(li)
+    maybe_compact(writer, max_parts=1, defer_cleanup=True)
+    assert writer.part_dirs == []
+    # a replayed micro-batch re-adopts its (still on-disk) part dir
+    writer.adopt(part0)
+    assert writer.part_dirs == []  # no resurrection
+    snap = current_snapshot(writer.root)
+    assert sorted(snap.paths) == ["compact.0"]
+    assert read_snapshot(spark, writer.root).count() == 100  # not 150

@@ -831,6 +831,39 @@ def test_sort_desc(spark):
     ).collect()
 
 
+def test_sort_by_label(spark):
+    """sort_by_label / sort_by_label_desc (Prometheus experimental
+    functions): presentation order by label string values, absent labels
+    sorting as empty string."""
+    samples = _stub_samples(spark)
+    e = PromQLEngine(samples)
+    out = e.query_range(
+        'sort_by_label(sum by (job) '
+        "(count_over_time(http_requests_total[1m])), \"job\")",
+        60_000, 120_000, 60_000,
+    ).collect()
+    for t in (60_000, 120_000):
+        jobs = [r["job"] for r in out if r["t"] == t]
+        assert jobs == sorted(jobs)
+    out = e.query_range(
+        'sort_by_label_desc(sum by (job) '
+        "(count_over_time(http_requests_total[1m])), \"job\")",
+        60_000, 120_000, 60_000,
+    ).collect()
+    for t in (60_000, 120_000):
+        jobs = [r["job"] for r in out if r["t"] == t]
+        assert jobs == sorted(jobs, reverse=True)
+    # a label the vector does not carry sorts as "" for every series —
+    # remaining labels break the tie, and parsing must not error
+    e.query_range(
+        'sort_by_label(sum by (job) '
+        "(count_over_time(http_requests_total[1m])), \"nope\", \"job\")",
+        60_000, 60_000, 60_000,
+    ).collect()
+    with pytest.raises(ValueError):
+        e.query_range("sort_by_label(http_requests_total)", 0, 0, 60_000)
+
+
 def test_math_function_tail(spark):
     import math
 

@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""sf1-scale validation of the heavy LLM-pipeline rows (round-5 verdict
+item 7).  The driver ships testdata only up to sf0.1, so this tool
+synthesizes a 10x corpus (.work/sf1/) FROM sf0.1 with Spark itself and
+measures each heavy row at sf0.1 vs sf1, writing BENCH_local_sf1.json
+with per-row walls and the growth ratio per 10x data step.
+
+Synthesis preserves the statistical shape the operators care about while
+making copies genuinely distinct (no artificial cross-copy duplicates):
+
+- ``documents``: 10 copies; copy k suffixes every word with ``·k`` (one
+  regexp_replace), so every shingle/n-gram differs across copies while
+  WITHIN-copy near-dup structure mirrors the original exactly — the
+  dup-rate distribution scales, the dup content doesn't collide.
+- ``embeddings``: 10 copies; copy k cyclically rotates the 64 dims by k
+  (norms and within-copy geometry preserved; cross-copy cosines are
+  generic-vector noise, so copies don't pile into the same SemDeDup
+  ε-balls).
+
+Semantic dedup is probed at the paper's operating point — k scaled with
+n (arXiv:2303.09540) — because the fixed-k corpus row q92 is
+DOCUMENTED (and now guard-enforced) to require k ∝ n; holding k fixed
+across a 10x step measures the misconfiguration, not the operator.
+
+Usage: python tools/sf1_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".work"
+)
+SF1 = os.path.join(WORK, "sf1")
+COPIES = 10
+ID_STRIDE = 10_000_000
+
+HEAVY = [
+    "q22_exact_dedup",
+    "q23_minhash_lsh_pairs",
+    "q26_cosine_topk",
+    "q27_ann_lsh_topk",
+    "q28_embedding_near_dup",
+    "q47_dedup_clusters",
+    "q69_decontaminate",
+    "q70_repetition_stats",
+    "q93_exact_substring_spans",
+    "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).head()[0]
+    doc_copies = []
+    emb_copies = []
+    for k in range(COPIES):
+        d = docs
+        if k > 0:
+            # every word gets a copy-specific suffix: all shingles differ
+            # across copies, within-copy structure untouched
+            d = d.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1·{k}")
+            )
+        doc_copies.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
+        )
+        rot = emb
+        if k > 0:
+            rot = rot.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {dim - k + 1}, {k}), "
+                    f"slice(embedding, 1, {dim - k}))"
+                ),
+            )
+        emb_copies.append(
+            rot.withColumn("vec_id", F.col("vec_id") + F.lit(k * ID_STRIDE))
+        )
+    out_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        out_docs = out_docs.unionByName(c)
+    out_emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        out_emb = out_emb.unionByName(c)
+    # multiple row groups / files so sf1 scans parallelize like real data
+    out_docs.repartition(16).write.mode("overwrite").parquet(
+        f"{SF1}/documents.parquet"
+    )
+    out_emb.repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/embeddings.parquet"
+    )
+
+
+def semantic_dedup_scaled(spark, sf_dir: str):
+    """SemDeDup at the paper's operating point: k ∝ n (here n/250 so
+    clusters stay ~250 vectors at both scales)."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(8, n // 250)
+    cents = SIM.ivf_centroids(dim=64, n_centroids=k, seed="sf1-probe")
+    return SIM.semantic_dedup(
+        emb, cents, threshold=0.95, keep="first"
+    ).agg(F.sum(F.col("dropped").cast("long")).alias("n_dropped"))
+
+
+def main() -> None:
+    from tsdb_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    if "--rebuild" in sys.argv or not os.path.exists(
+        f"{SF1}/documents.parquet"
+    ):
+        t0 = time.perf_counter()
+        build_sf1(spark)
+        print(f"built {SF1} in {time.perf_counter() - t0:.1f}s")
+
+    probes = {name: qs[name] for name in HEAVY}
+    probes["semantic_dedup_scaled_k"] = semantic_dedup_scaled
+
+    # warm codegen per shape on the small side first (untimed)
+    for name, fn in probes.items():
+        try:
+            fn(spark, SF01).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"warm {name}: {exc}", file=sys.stderr)
+
+    record: dict[str, dict] = {}
+    for name, fn in probes.items():
+        row = {}
+        for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+            best = None
+            for _ in range(2):
+                start = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:
+                    print(f"{name} @ {label}: {exc}", file=sys.stderr)
+                    best = -1.0
+                    break
+                elapsed = round(time.perf_counter() - start, 3)
+                best = elapsed if best is None else min(best, elapsed)
+            row[label] = best
+        if row["sf0.1"] and row["sf0.1"] > 0 and row["sf1"] > 0:
+            row["ratio_per_10x"] = round(row["sf1"] / row["sf0.1"], 2)
+        record[name] = row
+        print(name, row)
+
+    out = {
+        "metric": "sf1_growth_probe",
+        "copies": COPIES,
+        "note": (
+            "synthetic sf1 = 10x sf0.1 (word-suffixed docs, dim-rotated "
+            "embeddings); ratio_per_10x is wall(sf1)/wall(sf0.1), "
+            "min-of-2; target <= 3.0"
+        ),
+        "rows": record,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_local_sf1.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({k: v.get("ratio_per_10x") for k, v in record.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,12 +9,13 @@ exactly like the reference's `__chunk_bytes` payload column,
 Two decode paths through the same Arrow ``mapInPandas`` plumbing:
 
 - **Real container decode** (``decode_stub=False``): parses actual BMP
-  (BITMAPFILEHEADER + BITMAPINFOHEADER) and WAV (RIFF/fmt ) headers with
-  pure ``struct`` — no Pillow/ffmpeg.  :func:`synthesize_media` builds
-  genuinely valid files of both kinds from a text column, so the
-  encode → binary → header-decode round-trip is exercised end to end.
-  Pixel/sample DECODING of compressed formats (JPEG/PNG/MP3/H.264) still
-  needs codec libraries absent from this environment and raises
+  (BITMAPFILEHEADER + BITMAPINFOHEADER), PNG (IHDR + zlib'd IDAT with
+  full scanline-filter reconstruction) and WAV (RIFF/fmt ) containers
+  with pure ``struct``/``zlib`` — no Pillow/ffmpeg.
+  :func:`synthesize_media` builds genuinely valid files from a text
+  column, so the encode → binary → decode round-trip is exercised end
+  to end.  Pixel/sample DECODING of lossy formats (JPEG/MP3/H.264)
+  still needs codec libraries absent from this environment and raises
   ``NotImplementedError`` on unknown magic.
 - **Deterministic stub** (``decode_stub=True``): pseudo-metadata from the
   blob's leading bytes, for plumbing tests on arbitrary binary columns.
@@ -97,6 +98,72 @@ def _encode_wav(d: bytes) -> bytes:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _encode_png(d: bytes, filter_cycle: tuple[int, ...] = (0, 1, 2)) -> bytes:
+    """A valid 8-bit truecolor (RGB) PNG whose dimensions derive from the
+    digest exactly like :func:`_encode_bmp` (w = d[0]%64+1, h = d[1]%64+1)
+    so a SQL oracle predicts the decoded metadata analytically.  Pixel
+    rows are digest bytes; scanline y takes filter ``filter_cycle[y %
+    len]`` — the default cycles None/Sub/Up, so decoding this file
+    genuinely exercises filter reconstruction, not just zlib.  PNG
+    filter PREDICTORS read original (unfiltered) neighbor bytes, so
+    encoding vectorizes fully; only decode carries the sequential
+    dependency.  Pure stdlib/numpy — no Pillow."""
+    import numpy as np
+    import zlib
+
+    w, h = d[0] % 64 + 1, d[1] % 64 + 1
+    row = w * 3
+    pixels = (d * (row * h // len(d) + 1))[: row * h]
+    body = np.frombuffer(pixels, np.uint8).reshape(h, row).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        line = body[y]
+        prev = body[y - 1] if y > 0 else np.zeros(row, np.int32)
+        f = filter_cycle[y % len(filter_cycle)]
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub: left neighbor, per channel lane
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            filt = (line - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (line - prev) & 0xFF
+        else:
+            raise NotImplementedError(f"encoder filter {f} not wired")
+        out += bytes([f]) + filt.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_ihdr(blob: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, interlace) from the IHDR
+    chunk (always first after the 8-byte signature per the spec)."""
+    if blob[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR as first chunk")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", blob, 16
+    )
+    return w, h, depth, ctype, interlace
+
+
 def synthesize_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -168,10 +235,21 @@ def _decode_one(blob: bytes, stub: bool) -> dict:
             "sample_rate": rate,
             "channels": channels,
         }
-    # compressed containers (JPEG/PNG/MP3/H.264...) need real codec
-    # libraries that are not in this environment
+    if blob[:8] == _PNG_SIG and len(blob) >= 33:
+        w, h, _depth, _ctype, _il = _png_ihdr(blob)
+        return {
+            "n_bytes": len(blob),
+            "width": w,
+            "height": h,
+            "format": "png",
+            "sample_rate": 0,
+            "channels": 0,
+        }
+    # compressed containers (JPEG/MP3/H.264...) need real codec
+    # libraries that are not in this environment; PNG is zlib-only and
+    # decodes above with pure stdlib
     raise NotImplementedError(
-        "unrecognized media container: only BMP and WAV headers decode "
+        "unrecognized media container: only BMP, PNG and WAV decode "
         "without codec libraries; run with decode_stub=True for opaque blobs"
     )
 
@@ -276,6 +354,102 @@ def _resize_nn(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
     return px[ri][:, ci]
 
 
+def _decode_png_pixels(blob: bytes) -> "np.ndarray":
+    """8-bit non-interlaced PNG -> (h, w, c) uint8 (c = 1 grayscale,
+    3 RGB, 4 RGBA).  Pure stdlib: concatenated IDAT zlib stream + the
+    five scanline filters (None/Sub/Up/Average/Paeth) reconstructed per
+    the spec.  Up is vectorized; Sub/Average/Paeth carry an intra-row
+    left-neighbor dependency, so those rows walk columns — fine for the
+    thumbnail-scale assets this kernel sees per Arrow batch."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w, h, depth, ctype, interlace = _png_ihdr(blob)
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes here "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    idat = []
+    off = 8
+    while off + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, off)
+        chunk_type = blob[off + 4 : off + 8]
+        if chunk_type == b"IDAT":
+            idat.append(blob[off + 8 : off + 8 + length])
+        if chunk_type == b"IEND":
+            break
+        off += 12 + length
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, np.int32
+        )
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] — a running
+            # sum per channel lane, so cumsum mod 256 vectorizes it
+            rec = (np.cumsum(line.reshape(-1, bpp), axis=0) & 0xFF).reshape(
+                -1
+            )
+        else:
+            if ftype not in (3, 4):
+                raise ValueError(f"bad PNG filter type {ftype}")
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def _encode_png_pixels(px: "np.ndarray") -> bytes:
+    """(h, w, c) uint8 -> a valid 8-bit non-interlaced PNG (c = 1/3/4);
+    scanlines use filter 0 — zlib does the compressing."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise NotImplementedError(f"unsupported channel count {c}")
+    body = px.reshape(h, w * c)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav_samples(blob: bytes) -> tuple["np.ndarray", int]:
     """Canonical PCM WAV -> ((n, channels) int16 array, sample_rate)."""
     channels, rate = struct.unpack_from("<HI", blob, 22)
@@ -293,27 +467,31 @@ def resize_media(
     out_w: int = 8,
     out_h: int = 8,
 ) -> DataFrame:
-    """REAL image resize, no Pillow: decode 24-bit BMP pixel rows with
-    numpy, nearest-neighbor to (out_w, out_h), re-encode a valid BMP.
-    Non-BMP blobs pass through as NULL.  Arrow ``mapInPandas`` — the
-    100 TB shape for any per-asset transform: blobs stream through
-    executors batch-wise, nothing ever collects."""
+    """REAL image resize, no Pillow: decode 24-bit BMP or 8-bit PNG pixel
+    rows (pure numpy/zlib), nearest-neighbor to (out_w, out_h), re-encode
+    in the SAME container.  Other blobs pass through as NULL.  Arrow
+    ``mapInPandas`` — the 100 TB shape for any per-asset transform: blobs
+    stream through executors batch-wise, nothing ever collects."""
     out_schema = T.StructType(
         [f for f in df.schema.fields]
         + [T.StructField("resized", T.BinaryType(), True)]
     )
 
+    def one(blob: bytes) -> bytes | None:
+        if blob[:2] == b"BM":
+            return _encode_bmp_pixels(
+                _resize_nn(_decode_bmp_pixels(blob), out_w, out_h)
+            )
+        if blob[:8] == _PNG_SIG:
+            return _encode_png_pixels(
+                _resize_nn(_decode_png_pixels(blob), out_w, out_h)
+            )
+        return None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["resized"] = [
-                _encode_bmp_pixels(
-                    _resize_nn(_decode_bmp_pixels(bytes(b)), out_w, out_h)
-                )
-                if bytes(b)[:2] == b"BM"
-                else None
-                for b in pdf[media_col]
-            ]
+            pdf["resized"] = [one(bytes(b)) for b in pdf[media_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -425,6 +603,92 @@ def media_features(
             rows = [one(bytes(b)) for b in pdf[media_col]]
             # explicit column list: a zero-row batch must still yield a
             # frame with every schema column or Arrow conversion fails
+            out = pd.DataFrame(rows, columns=feature_cols)
+            for name in reversed(carried):
+                out.insert(0, name, pdf[name].values)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+    ]
+)
+
+
+def synthesize_png(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL PNG blobs: each row becomes a byte-valid 8-bit
+    RGB PNG whose dimensions and pixel bytes are a pure function of
+    ``md5(text_col)`` (same digest convention as :func:`synthesize_media`)
+    with scanline filters cycling None/Sub/Up — so decoding proves zlib
+    inflate AND per-filter reconstruction, while a SQL oracle predicts
+    dimensions and the raw pixel-byte sum analytically."""
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("media", T.BinaryType(), False)]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": [
+                        _encode_png(
+                            hashlib.md5(t.encode("utf-8")).digest()
+                        )
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=out_schema)
+
+
+def png_features(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Fused PNG pipeline, one Arrow pass per blob: IHDR parse -> zlib
+    inflate + filter reconstruction (``px_sum`` is the int sum of every
+    reconstructed RGB byte — wrong filter math would shift it) ->
+    nearest-neighbor resize -> re-encode -> re-parse the new header for
+    (out_w, out_h).  The round-trip through a fresh container proves the
+    encoder emits files the decoder accepts."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col]
+        + list(PNG_FEATURES_SCHEMA.fields)
+    )
+    carried = [f.name for f in df.schema.fields if f.name != media_col]
+    feature_cols = [f.name for f in PNG_FEATURES_SCHEMA.fields]
+
+    def one(blob: bytes) -> dict:
+        px = _decode_png_pixels(blob)
+        resized = _encode_png_pixels(_resize_nn(px, out_w, out_h))
+        rw, rh, _, _, _ = _png_ihdr(resized)
+        return {
+            "format": "png",
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+            "px_sum": int(px.astype(np.int64).sum()),
+            "out_w": int(rw),
+            "out_h": int(rh),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf[media_col]]
             out = pd.DataFrame(rows, columns=feature_cols)
             for name in reversed(carried):
                 out.insert(0, name, pdf[name].values)

@@ -478,6 +478,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "first",
     eager: bool = True,
+    max_cluster_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings by nearest centroid, then drop
@@ -505,6 +506,15 @@ def semantic_dedup(
     (:func:`centroid_assign_udf`, one Arrow map, no shuffle).  Cosine is
     the same codegen zip_with/aggregate fold as the ANN paths, with
     per-vector norms precomputed so each pair costs one cross-dot.
+
+    ``max_cluster_rows`` enforces that shape: the within-cluster join is
+    O(max_cluster²) pairs PER cluster, so a fixed small centroid list on
+    a grown corpus silently goes quadratic.  Before the join runs, a
+    1-row aggregate checks the largest cluster and raises ``ValueError``
+    (naming the offending cluster, its size, and the k ≈ n/40_000 the
+    paper's 40k-vector clusters imply) when it exceeds the bound.  Pass
+    ``None`` to skip the check (one extra cheap job) on inputs whose
+    clustering is already validated.
     """
     if keep not in ("first", "farthest"):
         raise ValueError(f"keep must be 'first' or 'farthest', got {keep!r}")
@@ -538,6 +548,26 @@ def semantic_dedup(
     # persist: the frame feeds both self-join sides AND the output, so
     # without it the Arrow assign kernel would run three times
     base = spread(df).select(*cols).persist()
+    if max_cluster_rows is not None:
+        # guard the O((n/k)²) inner join: a 2-row driver aggregate over
+        # the already-persisted frame (no extra scan of the input)
+        stats = base.groupBy("cluster").count().agg(
+            F.max_by("cluster", "count").alias("cluster"),
+            F.max("count").alias("n"),
+            F.sum("count").alias("total"),
+        ).collect()[0]
+        if stats["n"] is not None and stats["n"] > max_cluster_rows:
+            base.unpersist()
+            want_k = max(len(centroids), int(stats["total"]) // 40_000 + 1)
+            raise ValueError(
+                f"semantic_dedup: cluster {stats['cluster']} holds "
+                f"{stats['n']} vectors (> max_cluster_rows="
+                f"{max_cluster_rows}); the within-cluster pairwise join "
+                f"would generate ~{int(stats['n']) ** 2:.0e} pairs. "
+                f"Re-train with more centroids (k ≈ n/40_000 ≈ {want_k} "
+                f"for this corpus, per arXiv:2303.09540) or raise "
+                f"max_cluster_rows explicitly."
+            )
     rank_cols = ["cluster", id_col, "__n", vec_col] + (
         ["__ccos"] if keep == "farthest" else []
     )

@@ -427,12 +427,15 @@ class PromAbsent:
 @dataclass
 class PromSort:
     """sort(v) / sort_desc(v): presentation-order the result by value.
-    Only meaningful at the top of the query (Prometheus ignores nested
-    sorts in range queries); the evaluator applies it as the final
-    ORDER BY (t, value, labels)."""
+    ``sort_by_label(v, "lbl", ...)`` / ``sort_by_label_desc`` (Prometheus
+    experimental functions) order by the named labels' string values
+    instead, absent labels sorting as "".  Only meaningful at the top of
+    the query (Prometheus ignores nested sorts in range queries); the
+    evaluator applies it as the final ORDER BY."""
 
     inner: "PromNode"
     ascending: bool = True
+    by_labels: list[str] | None = None
 
 
 @dataclass
@@ -734,6 +737,30 @@ class _Parser:
                 inner = self._set_or()
                 self.expect(")")
                 return PromSort(inner=inner, ascending=(tok == "sort"))
+            if tok in ("sort_by_label", "sort_by_label_desc"):
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                labels = []
+                while True:
+                    kind, nxt = self.peek()
+                    if nxt != ",":
+                        break
+                    self.next()
+                    kind, s = self.next()
+                    if kind != "string":
+                        raise ValueError(
+                            f"{tok} expects label strings, got {s!r}"
+                        )
+                    labels.append(s[1:-1])
+                self.expect(")")
+                if not labels:
+                    raise ValueError(f"{tok} needs at least one label")
+                return PromSort(
+                    inner=inner,
+                    ascending=(tok == "sort_by_label"),
+                    by_labels=labels,
+                )
         return self._selector()
 
     def _label_join(self):
@@ -1086,6 +1113,20 @@ class PromQLEngine:
         out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
         label_cols = [c for c in out.columns if c not in ("t", "value")]
         if isinstance(node, PromSort):
+            if node.by_labels:
+                # absent labels sort as "" (Prometheus string order);
+                # remaining labels break ties deterministically
+                keys = [
+                    (
+                        F.coalesce(F.col(lbl), F.lit(""))
+                        if lbl in label_cols
+                        else F.lit("")
+                    )
+                    for lbl in node.by_labels
+                ]
+                keys = [k.asc() if node.ascending else k.desc() for k in keys]
+                rest = [c for c in label_cols if c not in node.by_labels]
+                return out.orderBy("t", *keys, *rest)
             value_order = (
                 F.col("value").asc() if node.ascending else F.col("value").desc()
             )

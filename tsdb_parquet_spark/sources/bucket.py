@@ -301,6 +301,31 @@ class ChunkedBucketReader:
         chunks = list(pool.map(lambda p: self.reader.read_at(*p), parts))
         return b"".join(chunks)
 
+    def close(self) -> None:
+        """Release pool threads.  Without this a long-lived process that
+        creates many readers accumulates up to ``concurrency`` idle
+        threads per instance until interpreter exit."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # a live ThreadPoolExecutor is unpicklable; drop it so an instance
+    # captured in a Spark closure serializes (the pool is lazily rebuilt
+    # on first multi-part read on the executor side)
+    def __getstate__(self) -> dict:
+        state = self.__dict__.copy()
+        state["_pool"] = None
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+
 
 class BucketFile(io.RawIOBase):
     """Seekable read-only file over a (Chunked)BucketReader, so pyarrow's

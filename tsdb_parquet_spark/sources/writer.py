@@ -312,7 +312,14 @@ class SortedParquetWriter:
             os.symlink(os.path.basename(out), alias)
         # the merged parts leave the live set NOW (their rows live on in
         # compact.N); parts landed by a concurrent micro-batch during the
-        # merge stay live for the next cycle
+        # merge stay live for the next cycle.  Consumed parts also join the
+        # in-memory folded set: a replayed micro-batch in THIS process
+        # (_SUCCESS-present path in streaming/ingest.py) calls adopt() on
+        # its part dir, and without this only a restarted writer
+        # (_discover_parts) would know the part awaits vacuum —
+        # re-adopting would double-count its rows against the compacted
+        # copy.
         self._live_parts = [p for p in self._live_parts if p not in consumed]
+        self._folded_parts = getattr(self, "_folded_parts", set()) | consumed
         self._publish()
         return out

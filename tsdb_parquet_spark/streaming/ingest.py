@@ -161,5 +161,11 @@ class StreamingChunkIngestor:
         from tsdb_parquet_spark.sources.manifest import publish_snapshot
 
         publish_snapshot(self.writer.root, [os.path.basename(out)])
+        # the folded parts must also be remembered in-memory: a replayed
+        # micro-batch in this same process would otherwise adopt() one
+        # back in, double-counting its rows against the compact copy
+        self.writer._folded_parts = getattr(
+            self.writer, "_folded_parts", set()
+        ) | set(self.writer._live_parts)
         self.writer._live_parts = []
         return path
