@@ -77,6 +77,13 @@ def main() -> None:
         "q29_multimodal_metadata",
         "q30_text_analysis",
         "q36_window_functions",
+        # the two most expensive cold plan shapes measured in isolation
+        # (r06): q72's range-shuffle + per-partition offset plan compiles
+        # ~11 s cold, ~1.4 s warm; q73's multi-TIMEFN CSE tree ~3.7 s
+        # cold, ~1.2 s warm.  Without warming, their bench rows measure
+        # Janino/C2, not the engine.
+        "q72_global_shuffle",
+        "q73_promql_time_functions",
     ):
         try:
             qs[warm_q](spark, warm_sf).write.format("noop").mode(

@@ -834,3 +834,38 @@ def test_png_metadata_resize_roundtrip(spark, docs):
         src = MM._decode_png_pixels(bytes(r["media"]))
         flat = {tuple(p) for row_ in src.reshape(-1, 3) for p in [row_]}
         assert all(tuple(p) in flat for p in px.reshape(-1, 3))
+
+
+def test_near_dup_pairs_target_bucket_rows(spark):
+    """target_bucket_rows widens bits_per_band with log2(n) so bucket
+    occupancy stays constant at scale; at small n the floor wins and the
+    result set is unchanged vs the fixed-width default."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(0, 1, (40, 8))
+    vecs = list(base) + [base[i] * 3.0 for i in range(6)]  # 6 exact dirs
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.near_duplicate_pairs(df, threshold=0.999).collect()
+    }
+    scaled = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.near_duplicate_pairs(
+            df, threshold=0.999, target_bucket_rows=16
+        ).collect()
+    }
+    # n=46, target=16 -> derived ceil(log2(2.875)) = 2 < floor 8: no-op
+    assert scaled == fixed
+    assert {(i, i + 40) for i in range(6)} <= fixed
+    # a tiny target forces wider bands; the exact-direction pairs (cosine
+    # 1.0 agrees with every hyperplane) must survive any width
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.near_duplicate_pairs(
+            df, threshold=0.999, target_bucket_rows=1
+        ).collect()
+    }
+    assert {(i, i + 40) for i in range(6)} <= wide

@@ -119,6 +119,21 @@ def semantic_dedup_scaled(spark, sf_dir: str):
     ).agg(F.sum(F.col("dropped").cast("long")).alias("n_dropped"))
 
 
+def embedding_near_dup_scaled(spark, sf_dir: str):
+    """near_duplicate_pairs at its scale operating point: bucket width
+    derived from n (target ~16 rows/bucket) instead of the fixed 8 bits
+    the oracle-scale corpus row q28 uses — q28's fixed width is the
+    measured quadratic (4.5x per 10x), this is the documented remedy."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.near_duplicate_pairs(
+        emb, threshold=0.99, target_bucket_rows=16
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def main() -> None:
     from tsdb_parquet_spark.session import get_spark
 
@@ -134,8 +149,14 @@ def main() -> None:
         build_sf1(spark)
         print(f"built {SF1} in {time.perf_counter() - t0:.1f}s")
 
-    probes = {name: qs[name] for name in HEAVY}
-    probes["semantic_dedup_scaled_k"] = semantic_dedup_scaled
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    probes = {
+        name: qs[name] for name in HEAVY if not wanted or name in wanted
+    }
+    if not wanted or "semantic_dedup_scaled_k" in wanted:
+        probes["semantic_dedup_scaled_k"] = semantic_dedup_scaled
+    if not wanted or "embedding_near_dup_scaled_bits" in wanted:
+        probes["embedding_near_dup_scaled_bits"] = embedding_near_dup_scaled
 
     # warm codegen per shape on the small side first (untimed)
     for name, fn in probes.items():
@@ -167,6 +188,20 @@ def main() -> None:
         record[name] = row
         print(name, row)
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_local_sf1.json",
+    )
+    # merge with a prior (possibly partial/chunked) record so the probe
+    # can be run in name-filtered chunks without losing earlier rows
+    prior: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh).get("rows", {})
+        except Exception:
+            prior = {}
+    prior.update(record)
     out = {
         "metric": "sf1_growth_probe",
         "copies": COPIES,
@@ -175,12 +210,8 @@ def main() -> None:
             "embeddings); ratio_per_10x is wall(sf1)/wall(sf0.1), "
             "min-of-2; target <= 3.0"
         ),
-        "rows": record,
+        "rows": prior,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_local_sf1.json",
-    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")

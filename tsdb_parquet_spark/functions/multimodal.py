@@ -631,7 +631,14 @@ def synthesize_png(
     ``md5(text_col)`` (same digest convention as :func:`synthesize_media`)
     with scanline filters cycling None/Sub/Up — so decoding proves zlib
     inflate AND per-filter reconstruction, while a SQL oracle predicts
-    dimensions and the raw pixel-byte sum analytically."""
+    dimensions and the raw pixel-byte sum analytically.
+
+    The input is spread first: testdata parquet is single-row-group, and
+    without widening the encode (and every downstream pixel kernel,
+    which inherits this partitioning) serializes onto one core."""
+    from tsdb_parquet_spark.catalog import spread
+
+    df = spread(df)
     id_field = df.schema[id_col]
     out_schema = T.StructType(
         [id_field, T.StructField("media", T.BinaryType(), False)]

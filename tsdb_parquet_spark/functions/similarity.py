@@ -111,6 +111,7 @@ def near_duplicate_pairs(
     bands: int = 4,
     bits_per_band: int = 8,
     seed: str = "ann-lsh",
+    target_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
@@ -135,7 +136,29 @@ def near_duplicate_pairs(
     ``eager`` trades like :func:`~tsdb_parquet_spark.functions.dedup.
     lsh_candidate_pairs`: True bounds executor storage for repeated calls
     (checkpoint + unpersist), False is faster for single-shot consumers.
+
+    **Scaling the bucket width.** At FIXED ``bits_per_band`` the
+    expected bucket occupancy is n / 2^bits, so the per-band candidate
+    pair count grows ~n²/2^bits — quadratic in corpus size (the sf1
+    growth probe measures 4.5x wall per 10x data at the 8-bit default).
+    ``target_bucket_rows`` makes the operating point explicit: one
+    count job derives ``bits_per_band = max(bits_per_band,
+    ceil(log2(n / target)))`` so occupancy — and with it per-bucket
+    pair work per row — stays constant as the corpus grows.  Wider
+    bands trade a little recall (p^bits per band, compensated by the
+    OR over bands; at cos>=0.99, 4 bands of 16 bits still catch
+    ~98.7% of true pairs) for linear scaling.  At the driver's oracle
+    scales (<= a few thousand vectors) the derived width never exceeds
+    the floor, so results are unchanged there.
     """
+    if target_bucket_rows is not None:
+        import math
+
+        n = df.count()
+        derived = math.ceil(
+            math.log2(max(2.0, n / float(target_bucket_rows)))
+        )
+        bits_per_band = min(28, max(bits_per_band, derived))
     planes = hyperplanes(
         dim=_dim_hint(df, vec_col), bits=bands * bits_per_band, seed=seed
     )
