@@ -211,6 +211,10 @@ def main() -> None:
     # map restricted to the headline block — and always fits the window.
     # BENCH_local{suffix}.json (committed) keeps every per-query timing.
     failed = sorted(n for n, t in timings.items() if t < 0)
+    # cap the embedded name list: a registry-wide breakage (~100 names,
+    # ~2.5 KB) would push this line past the tail window it exists to
+    # fit; n_failed still carries the true count
+    failed_sample = failed[:10]
     compact_summary = {
         "metric": "corpus_total_wall",
         "value": total,
@@ -219,7 +223,7 @@ def main() -> None:
         "sf": result["sf"],
         "n_queries": len(timings),
         "n_failed": len(failed),
-        "failed": failed,
+        "failed": failed_sample,
         "store_build_total": result["store_build_total"],
         "store_build_cold": store_build_cold,
         "cold": cold,

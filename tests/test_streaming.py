@@ -125,3 +125,56 @@ def test_series_ids_assigned_at_compaction(spark, sf_smoke):
     ids = [r[SERIES_ID] for r in
            store.select(SERIES_ID).distinct().orderBy(SERIES_ID).collect()]
     assert ids == list(range(len(ids)))  # dense 0..N-1
+
+
+def test_finalize_quiesces_straggler_parts(spark, sf_smoke):
+    """A part adopted while finalize() is merging must not be lost: the
+    quiesce loop re-merges until no new part remains, and every consumed
+    part is folded (a replayed adopt() is a no-op afterwards)."""
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
+    staging = os.path.join(WORK, "staging_straggler")
+    _stage_events(spark, sf_smoke, staging)
+    ingestor = _run_ingest(spark, staging, os.path.join(WORK, "straggler"),
+                           events.schema)
+    # simulate a concurrent micro-batch landing mid-finalize: hook the
+    # writer's mark_folded to adopt a straggler part the first time the
+    # merge pass completes
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.sources.writer import write_sorted
+
+    writer = ingestor.writer
+    straggler = os.path.join(writer.root, "part.900")
+    extra = samples_to_chunks(
+        _to_samples(events.limit(40)).withColumn(
+            "event_type", F.lit("straggler_type")
+        ),
+        LABELS,
+        chunk_span_ms=DAY_MS,
+        assign_series_ids=False,
+    )
+    write_sorted(extra, straggler, writer.opts)
+    n_extra = spark.read.parquet(straggler).count()
+    orig_mark = writer.mark_folded
+    fired = {"done": False}
+
+    def mark_and_adopt(parts):
+        orig_mark(parts)
+        if not fired["done"]:
+            fired["done"] = True
+            writer.adopt(straggler)
+
+    writer.mark_folded = mark_and_adopt
+    compact = ingestor.finalize()
+    writer.mark_folded = orig_mark
+    back = spark.read.parquet(compact)
+    # the straggler's rows are IN the compact (not silently dropped)
+    assert (
+        back.filter(F.col("event_type") == "straggler_type").count()
+        == n_extra
+    )
+    # every consumed part is folded: a replayed adopt is a no-op
+    assert writer.part_dirs == []
+    writer.adopt(straggler)
+    assert writer.part_dirs == []

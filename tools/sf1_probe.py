@@ -194,14 +194,23 @@ def main() -> None:
     )
     # merge with a prior (possibly partial/chunked) record so the probe
     # can be run in name-filtered chunks without losing earlier rows
-    prior: dict = {}
+    prior_rows: dict = {}
+    carry: dict = {}
     if os.path.exists(path):
         try:
             with open(path) as fh:
-                prior = json.load(fh).get("rows", {})
+                prior_doc = json.load(fh)
+            prior_rows = prior_doc.get("rows", {})
+            # preserve hand-authored sections (e.g. the committed
+            # "analysis" block) across chunked re-runs
+            carry = {
+                k: v
+                for k, v in prior_doc.items()
+                if k not in ("metric", "copies", "note", "rows")
+            }
         except Exception:
-            prior = {}
-    prior.update(record)
+            prior_rows, carry = {}, {}
+    prior_rows.update(record)
     out = {
         "metric": "sf1_growth_probe",
         "copies": COPIES,
@@ -210,7 +219,8 @@ def main() -> None:
             "embeddings); ratio_per_10x is wall(sf1)/wall(sf0.1), "
             "min-of-2; target <= 3.0"
         ),
-        "rows": prior,
+        "rows": prior_rows,
+        **carry,
     }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)

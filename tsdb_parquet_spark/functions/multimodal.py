@@ -356,7 +356,7 @@ def _resize_nn(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
 
 def _decode_png_pixels(blob: bytes) -> "np.ndarray":
     """8-bit non-interlaced PNG -> (h, w, c) uint8 (c = 1 grayscale,
-    3 RGB, 4 RGBA).  Pure stdlib: concatenated IDAT zlib stream + the
+    2 gray+alpha, 3 RGB, 4 RGBA).  Pure stdlib: concatenated IDAT zlib stream + the
     five scanline filters (None/Sub/Up/Average/Paeth) reconstructed per
     the spec.  Up is vectorized; Sub/Average/Paeth carry an intra-row
     left-neighbor dependency, so those rows walk columns — fine for the
@@ -429,14 +429,14 @@ def _decode_png_pixels(blob: bytes) -> "np.ndarray":
 
 
 def _encode_png_pixels(px: "np.ndarray") -> bytes:
-    """(h, w, c) uint8 -> a valid 8-bit non-interlaced PNG (c = 1/3/4);
+    """(h, w, c) uint8 -> a valid 8-bit non-interlaced PNG (c = 1/2/3/4);
     scanlines use filter 0 — zlib does the compressing."""
     import zlib
 
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
-    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if ctype is None:
         raise NotImplementedError(f"unsupported channel count {c}")
     body = px.reshape(h, w * c)
@@ -467,25 +467,33 @@ def resize_media(
     out_w: int = 8,
     out_h: int = 8,
 ) -> DataFrame:
-    """REAL image resize, no Pillow: decode 24-bit BMP or 8-bit PNG pixel
-    rows (pure numpy/zlib), nearest-neighbor to (out_w, out_h), re-encode
-    in the SAME container.  Other blobs pass through as NULL.  Arrow
-    ``mapInPandas`` — the 100 TB shape for any per-asset transform: blobs
-    stream through executors batch-wise, nothing ever collects."""
+    """REAL image resize, no Pillow: decode 24-bit BMP or 8-bit
+    non-interlaced PNG pixel rows (pure numpy/zlib), nearest-neighbor to
+    (out_w, out_h), re-encode in the SAME container.  Anything the codec
+    cannot round-trip — non-image blobs, palette/16-bit/interlaced PNG —
+    passes through as NULL: one exotic asset must not fail a 100 TB job.
+    Arrow ``mapInPandas`` — the scale shape for any per-asset transform:
+    blobs stream through executors batch-wise, nothing ever collects."""
     out_schema = T.StructType(
         [f for f in df.schema.fields]
         + [T.StructField("resized", T.BinaryType(), True)]
     )
 
     def one(blob: bytes) -> bytes | None:
-        if blob[:2] == b"BM":
-            return _encode_bmp_pixels(
-                _resize_nn(_decode_bmp_pixels(blob), out_w, out_h)
-            )
-        if blob[:8] == _PNG_SIG:
-            return _encode_png_pixels(
-                _resize_nn(_decode_png_pixels(blob), out_w, out_h)
-            )
+        try:
+            if blob[:2] == b"BM":
+                return _encode_bmp_pixels(
+                    _resize_nn(_decode_bmp_pixels(blob), out_w, out_h)
+                )
+            if blob[:8] == _PNG_SIG:
+                return _encode_png_pixels(
+                    _resize_nn(_decode_png_pixels(blob), out_w, out_h)
+                )
+        except NotImplementedError:
+            # a recognized container in a sub-format outside the pure-
+            # stdlib codec (palette/16-bit/interlaced PNG, non-24-bit
+            # BMP): NULL per the pass-through contract, not a job kill
+            return None
         return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

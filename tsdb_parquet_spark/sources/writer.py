@@ -252,11 +252,23 @@ class SortedParquetWriter:
         ALREADY FOLDED (on disk awaiting vacuum, excluded from the
         manifest): resurrecting one would double-count its rows against
         the compacted copy."""
-        if part_dir in getattr(self, "_folded_parts", set()):
+        if part_dir in self._folded_parts:
             return
         if part_dir not in self._live_parts:
             self._live_parts.append(part_dir)
             self._publish()
+
+    def mark_folded(self, parts: set[str] | list[str]) -> None:
+        """Record that ``parts`` were folded into a compacted output:
+        they leave the live set and join the folded set, so a replayed
+        micro-batch's ``adopt()`` in THIS process is a no-op (the
+        restart path learns the same from the manifest via
+        ``_discover_parts``).  The single home of the folded-part
+        invariant — both the writer's own ``compact()`` and the
+        streaming ingestor's ``finalize()`` go through here."""
+        parts = set(parts)
+        self._live_parts = [p for p in self._live_parts if p not in parts]
+        self._folded_parts |= parts
 
     def _resolve_compact(self) -> str | None:
         """The current compacted dataset's REAL directory, or None.  The
@@ -312,14 +324,9 @@ class SortedParquetWriter:
             os.symlink(os.path.basename(out), alias)
         # the merged parts leave the live set NOW (their rows live on in
         # compact.N); parts landed by a concurrent micro-batch during the
-        # merge stay live for the next cycle.  Consumed parts also join the
-        # in-memory folded set: a replayed micro-batch in THIS process
-        # (_SUCCESS-present path in streaming/ingest.py) calls adopt() on
-        # its part dir, and without this only a restarted writer
-        # (_discover_parts) would know the part awaits vacuum —
-        # re-adopting would double-count its rows against the compacted
-        # copy.
-        self._live_parts = [p for p in self._live_parts if p not in consumed]
-        self._folded_parts = getattr(self, "_folded_parts", set()) | consumed
+        # merge stay live for the next cycle, while consumed parts join
+        # the folded set so a same-process replayed micro-batch cannot
+        # adopt() one back in (double-count vs the compacted copy)
+        self.mark_folded(consumed)
         self._publish()
         return out

@@ -145,27 +145,46 @@ class StreamingChunkIngestor:
         from tsdb_parquet_spark.chunks import dense_series_ids
         from tsdb_parquet_spark.sources.writer import write_sorted
 
-        df = self.spark.read.parquet(*self.writer.part_dirs)
-        ids = dense_series_ids(df.select(*self.labels).distinct(), self.labels)
-        # no broadcast hint: the id table is one row per distinct series and
-        # can exceed driver memory at 100M+ series — let AQE pick broadcast
-        # when it is actually small
-        merged = df.join(ids, on=self.labels, how="inner")
         out = os.path.join(self.writer.root, "compact")
-        path = write_sorted(merged, out, self.writer.opts)
+        # snapshot the consumed set BEFORE reading, and re-merge until no
+        # new part landed during the merge: a micro-batch of a
+        # still-running stream can adopt() a part at any point, and
+        # folding the live set wholesale afterwards would silently drop
+        # that part's rows (marked folded yet absent from the compact).
+        # The compact must stay the ONLY live root — raw parts lack the
+        # dense series-id column, so they cannot be published beside it —
+        # hence the quiesce loop instead of leaving stragglers live.
+        # Terminates: each pass consumes everything present at its start,
+        # and the stream's part supply is finite once it stops.
+        # each re-pass rebuilds the compact from ALL parts consumed so far
+        # (folded parts stay on disk until vacuum, so they remain
+        # readable) — dense ids must be assigned over the full union, so
+        # a straggler part can never be appended incrementally
+        consumed: list[str] = []
+        while True:
+            consumed += [
+                p for p in self.writer.part_dirs if p not in consumed
+            ]
+            df = self.spark.read.parquet(*consumed)
+            ids = dense_series_ids(
+                df.select(*self.labels).distinct(), self.labels
+            )
+            # no broadcast hint: the id table is one row per distinct
+            # series and can exceed driver memory at 100M+ series — let
+            # AQE pick broadcast when it is actually small
+            merged = df.join(ids, on=self.labels, how="inner")
+            path = write_sorted(merged, out, self.writer.opts)
+            self.writer.mark_folded(consumed)
+            if not self.writer.part_dirs:
+                break
         # publish the compacted dir as the ONLY live root: without this
-        # the parts stay live in the manifest and a later maybe_compact /
-        # CLI vacuum would union the compact with parts already folded
-        # into it (double-count — and fail on the dense series-id column
-        # the raw parts lack)
+        # the parts would stay live in the manifest and a later
+        # maybe_compact / CLI vacuum would union the compact with parts
+        # already folded into it (double-count — and fail on the dense
+        # series-id column the raw parts lack); mark_folded above also
+        # stops a same-process replayed micro-batch from adopt()ing a
+        # folded part back in
         from tsdb_parquet_spark.sources.manifest import publish_snapshot
 
         publish_snapshot(self.writer.root, [os.path.basename(out)])
-        # the folded parts must also be remembered in-memory: a replayed
-        # micro-batch in this same process would otherwise adopt() one
-        # back in, double-counting its rows against the compact copy
-        self.writer._folded_parts = getattr(
-            self.writer, "_folded_parts", set()
-        ) | set(self.writer._live_parts)
-        self.writer._live_parts = []
         return path
