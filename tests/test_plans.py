@@ -370,3 +370,19 @@ def test_spread_filter_pushdown_trap_and_persist_barrier(spark, sf_oracle):
     assert "InMemoryTableScan" in plan
     assert not heavy_filter_below_exchange(out)
     cached.unpersist()
+
+
+def test_png_pipeline_is_spread(spark, sf_oracle):
+    """q101's pixel path must not serialize on the single-row-group
+    documents scan: synthesize_png spreads first, so the encode kernel
+    (and everything downstream that inherits its partitioning) runs at
+    session parallelism."""
+    from tsdb_parquet_spark.functions import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # the trap this guards
+    media = MM.synthesize_png(docs)
+    assert (
+        media.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
