@@ -48,3 +48,31 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_smoke)
         assert df.count() >= 0, name
+
+
+def test_driver_window_round6_composition():
+    """The driver hash-checks only the first 50 REGISTRY rows; pin the
+    round-6 window so an accidental registry edit cannot silently push a
+    due row (r03/r04 backlog, new, or changed-code) out of the window.
+    Update this list ONLY together with the rotation comment in
+    corpus.py (and the round-rotation memory note)."""
+    from tsdb_parquet_spark.corpus import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    must_be_in = {
+        # oldest driver signal (r03)
+        "q61_gap_fill_linear", "q62_simhash_near_dup", "q63_weighted_sample",
+        # introduced this round
+        "q101_png_pixel_pipeline", "q102_promql_sort_by_label",
+        # code changed this round
+        "q10_write_compact_roundtrip", "q29_multimodal_metadata",
+        "q83_store_maintenance", "q92_semantic_dedup",
+    }
+    assert must_be_in <= set(window), sorted(must_be_in - set(window))
+    # deferred rows (documented in the rotation comment) are NOT in it
+    deferred = {
+        "q05_distinct", "q06_first_per_key", "q07_groupby_agg",
+        "q11_predicate_order", "q14_multi_projection", "q15_empty_result",
+    }
+    assert not (deferred & set(window))
+    assert len(window) == len(set(window)) == 50
