@@ -161,10 +161,15 @@ class StreamingChunkIngestor:
         # readable) — dense ids must be assigned over the full union, so
         # a straggler part can never be appended incrementally
         consumed: list[str] = []
-        while True:
+        for _pass in range(20):
             consumed += [
                 p for p in self.writer.part_dirs if p not in consumed
             ]
+            if not consumed:
+                raise ValueError(
+                    "finalize: no ingested parts to compact (did the "
+                    "stream write anything?)"
+                )
             df = self.spark.read.parquet(*consumed)
             ids = dense_series_ids(
                 df.select(*self.labels).distinct(), self.labels
@@ -177,6 +182,12 @@ class StreamingChunkIngestor:
             self.writer.mark_folded(consumed)
             if not self.writer.part_dirs:
                 break
+        else:
+            raise RuntimeError(
+                "finalize: parts kept landing for 20 merge passes — "
+                "finalize() is for a stopped/availableNow stream; stop "
+                "the continuous query first"
+            )
         # publish the compacted dir as the ONLY live root: without this
         # the parts would stay live in the manifest and a later
         # maybe_compact / CLI vacuum would union the compact with parts
