@@ -1,0 +1,293 @@
+"""Seeded random-PromQL fuzzing against an independent pure-Python
+reference evaluator.
+
+The corpus's PromQL rows are hand-written goldens with DuckDB replicas;
+this goes one step further (same philosophy as test_fuzz.py for SQL):
+generate random expressions over the engine's core grammar — selectors
+with =/!=/=~/!~ matchers, *_over_time range functions, by-grouped
+aggregations, scalar arithmetic, comparison filters, and vector-vector
+arithmetic — evaluate them with the Spark engine AND with a ~100-line
+evaluator written directly from the PromQL semantics (staleness lookback
+(t-L, t], range windows (t-w, t], one-to-one vector matching), and
+compare every (step, labelset, value).  Deterministic seed ->
+reproducible corpus.  A divergence means one of the two independent
+implementations is wrong — which is the point.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+import pytest
+
+from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+START, END, STEP = 120_000, 600_000, 60_000
+LOOKBACK = 120_000
+STEPS = list(range(START, END + 1, STEP))
+
+SERIES = [
+    {"job": j, "instance": i} for j in ("api", "web", "db") for i in ("1", "2")
+]
+
+
+def _sample_rows():
+    rng = random.Random(424242)
+    rows = []
+    for labels in SERIES:
+        for k in range(0, 21):  # 30s grid, 0..600s, with gaps
+            if rng.random() < 0.25:
+                continue
+            rows.append(
+                (
+                    "m",
+                    labels["job"],
+                    labels["instance"],
+                    k * 30_000,
+                    float(rng.randint(0, 100)),
+                )
+            )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark):
+    df = spark.createDataFrame(
+        _sample_rows(),
+        "`__name__` STRING, job STRING, instance STRING, ts LONG, "
+        "value DOUBLE",
+    )
+    return PromQLEngine(df)
+
+
+# ---------------------------------------------------------------------------
+# reference evaluator (pure python, written from the spec, not the engine)
+# ---------------------------------------------------------------------------
+
+_ROWS = _sample_rows()
+_BY_SERIES: dict[tuple, list[tuple[int, float]]] = {}
+for _, job, inst, ts, v in _ROWS:
+    _BY_SERIES.setdefault((("instance", inst), ("job", job)), []).append(
+        (ts, v)
+    )
+for pts in _BY_SERIES.values():
+    pts.sort()
+
+
+def _matches(labels: dict, matchers) -> bool:
+    for name, op, val in matchers:
+        lv = labels.get(name, "")
+        if op == "=" and lv != val:
+            return False
+        if op == "!=" and lv == val:
+            return False
+        if op == "=~" and not re.fullmatch(val, lv):
+            return False
+        if op == "!~" and re.fullmatch(val, lv):
+            return False
+    return True
+
+
+def _window(pts, lo: int, hi: int):
+    """Samples with lo < ts <= hi (PromQL left-open window)."""
+    return [v for ts, v in pts if lo < ts <= hi]
+
+
+_FNS = {
+    "count_over_time": len,
+    "sum_over_time": sum,
+    "min_over_time": min,
+    "max_over_time": max,
+    "avg_over_time": lambda vs: sum(vs) / len(vs),
+    "last_over_time": lambda vs: vs[-1],
+}
+
+
+def ref_eval(node, t: int) -> dict[tuple, float]:
+    kind = node[0]
+    if kind == "sel":
+        out = {}
+        for key, pts in _BY_SERIES.items():
+            if not _matches(dict(key), node[1]):
+                continue
+            w = [(ts, v) for ts, v in pts if t - LOOKBACK < ts <= t]
+            if w:
+                out[key] = w[-1][1]
+        return out
+    if kind == "fn":
+        _, fname, matchers, window_ms = node
+        out = {}
+        for key, pts in _BY_SERIES.items():
+            if not _matches(dict(key), matchers):
+                continue
+            vs = _window(pts, t - window_ms, t)
+            if vs:
+                out[key] = float(_FNS[fname](vs))
+        return out
+    if kind == "agg":
+        _, op, by, child = node
+        inner = ref_eval(child, t)
+        groups: dict[tuple, list[float]] = {}
+        for key, v in inner.items():
+            gkey = tuple((n, val) for n, val in key if n in by)
+            groups.setdefault(gkey, []).append(v)
+        agg = {
+            "sum": sum,
+            "min": min,
+            "max": max,
+            "count": len,
+            "avg": lambda vs: sum(vs) / len(vs),
+        }[op]
+        return {k: float(agg(vs)) for k, vs in groups.items()}
+    if kind == "scalar_op":
+        _, op, child, c = node
+        inner = ref_eval(child, t)
+        f = {
+            "+": lambda v: v + c,
+            "-": lambda v: v - c,
+            "*": lambda v: v * c,
+        }[op]
+        return {k: f(v) for k, v in inner.items()}
+    if kind == "cmp":
+        _, op, child, c = node
+        inner = ref_eval(child, t)
+        keep = {
+            ">": lambda v: v > c,
+            "<": lambda v: v < c,
+            ">=": lambda v: v >= c,
+            "<=": lambda v: v <= c,
+        }[op]
+        return {k: v for k, v in inner.items() if keep(v)}
+    if kind == "binop":
+        _, op, left, right = node
+        a, b = ref_eval(left, t), ref_eval(right, t)
+        f = {
+            "+": lambda x, y: x + y,
+            "-": lambda x, y: x - y,
+            "*": lambda x, y: x * y,
+        }[op]
+        return {k: f(v, b[k]) for k, v in a.items() if k in b}
+    raise AssertionError(kind)
+
+
+# ---------------------------------------------------------------------------
+# renderer + generator
+# ---------------------------------------------------------------------------
+
+
+def render(node) -> str:
+    kind = node[0]
+    if kind == "sel":
+        if not node[1]:
+            return "m"
+        parts = ", ".join(f'{n}{op}"{v}"' for n, op, v in node[1])
+        return "m{%s}" % parts
+    if kind == "fn":
+        _, fname, matchers, window_ms = node
+        return f"{fname}({render(('sel', matchers))}[{window_ms // 60000}m])"
+    if kind == "agg":
+        _, op, by, child = node
+        return f"{op} by ({', '.join(by)}) ({render(child)})"
+    if kind == "scalar_op":
+        _, op, child, c = node
+        return f"({render(child)}) {op} {c}"
+    if kind == "cmp":
+        _, op, child, c = node
+        return f"({render(child)}) {op} {c}"
+    if kind == "binop":
+        _, op, left, right = node
+        return f"({render(left)}) {op} ({render(right)})"
+    raise AssertionError(kind)
+
+
+def _rand_matchers(rng):
+    opts = [
+        [],
+        [("job", "=", rng.choice(["api", "web", "db"]))],
+        [("job", "!=", rng.choice(["api", "web", "db"]))],
+        [("job", "=~", "api|web")],
+        [("job", "!~", "db")],
+        [("job", "=", "api"), ("instance", "=", rng.choice(["1", "2"]))],
+    ]
+    return rng.choice(opts)
+
+
+def _rand_simple(rng):
+    matchers = _rand_matchers(rng)
+    if rng.random() < 0.4:
+        return ("sel", matchers)
+    fname = rng.choice(list(_FNS))
+    window = rng.choice([60_000, 120_000, 180_000])
+    return ("fn", fname, matchers, window)
+
+
+def _rand_expr(rng):
+    shape = rng.random()
+    simple = _rand_simple(rng)
+    if shape < 0.25:
+        node = simple
+    elif shape < 0.55:
+        by = rng.choice([["job"], ["instance"], ["job", "instance"]])
+        op = rng.choice(["sum", "min", "max", "count", "avg"])
+        node = ("agg", op, by, simple)
+    elif shape < 0.75:
+        node = ("scalar_op", rng.choice(["+", "-", "*"]), simple,
+                rng.choice([2, 3, 10]))
+    elif shape < 0.9:
+        node = ("cmp", rng.choice([">", "<", ">=", "<="]), simple,
+                rng.choice([25, 50, 75]))
+    else:
+        # vector-vector arithmetic: same selector+window both sides
+        # (identical presence), different range functions; grouped so the
+        # one-to-one match is on the by-labels
+        matchers = _rand_matchers(rng)
+        window = rng.choice([120_000, 180_000])
+        by = rng.choice([["job"], ["job", "instance"]])
+        f1, f2 = rng.sample(list(_FNS), 2)
+        left = ("agg", "sum", by, ("fn", f1, matchers, window))
+        right = ("agg", "sum", by, ("fn", f2, matchers, window))
+        node = ("binop", rng.choice(["+", "-", "*"]), left, right)
+    return node
+
+
+def _canon(rows) -> dict[tuple, float]:
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        t = d.pop("t")
+        d.pop("__name__", None)
+        v = d.pop("value")
+        key = (t,) + tuple(sorted((k, val) for k, val in d.items()))
+        out[key] = v
+    return out
+
+
+def test_promql_fuzz_against_reference(fuzz_engine):
+    rng = random.Random(20260814)
+    n_nonempty = 0
+    for case in range(25):
+        node = _rand_expr(rng)
+        text = render(node)
+        got = _canon(
+            fuzz_engine.query_range(
+                text, START, END, STEP, lookback_ms=LOOKBACK
+            ).collect()
+        )
+        want = {}
+        for t in STEPS:
+            for key, v in ref_eval(node, t).items():
+                want[(t,) + tuple(sorted(key))] = v
+        assert set(got) == set(want), (
+            f"case {case}: {text}\nonly-engine="
+            f"{sorted(set(got) - set(want))[:4]} "
+            f"only-ref={sorted(set(want) - set(got))[:4]}"
+        )
+        for k, v in want.items():
+            assert math.isclose(got[k], v, rel_tol=1e-9, abs_tol=1e-9), (
+                f"case {case}: {text} @ {k}: engine={got[k]} ref={v}"
+            )
+        n_nonempty += bool(want)
+    # the generator must not be degenerate (all-empty results prove nothing)
+    assert n_nonempty >= 15
