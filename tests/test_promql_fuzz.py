@@ -4,7 +4,7 @@ reference evaluator.
 The corpus's PromQL rows are hand-written goldens with DuckDB replicas;
 this goes one step further (same philosophy as test_fuzz.py for SQL):
 generate random expressions over the engine's core grammar — selectors
-with =/!=/=~/!~ matchers, *_over_time range functions, by-grouped
+with =/!=/=~/!~ matchers and offset modifiers, *_over_time range functions, by-grouped
 aggregations, scalar arithmetic, comparison filters, and vector-vector
 arithmetic — evaluate them with the Spark engine AND with a ~100-line
 evaluator written directly from the PromQL semantics (staleness lookback
@@ -108,16 +108,19 @@ _FNS = {
 def ref_eval(node, t: int) -> dict[tuple, float]:
     kind = node[0]
     if kind == "sel":
+        _, matchers, off = node
+        t = t - off
         out = {}
         for key, pts in _BY_SERIES.items():
-            if not _matches(dict(key), node[1]):
+            if not _matches(dict(key), matchers):
                 continue
             w = [(ts, v) for ts, v in pts if t - LOOKBACK < ts <= t]
             if w:
                 out[key] = w[-1][1]
         return out
     if kind == "fn":
-        _, fname, matchers, window_ms = node
+        _, fname, matchers, window_ms, off = node
+        t = t - off
         out = {}
         for key, pts in _BY_SERIES.items():
             if not _matches(dict(key), matchers):
@@ -180,13 +183,17 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
 def render(node) -> str:
     kind = node[0]
     if kind == "sel":
-        if not node[1]:
-            return "m"
-        parts = ", ".join(f'{n}{op}"{v}"' for n, op, v in node[1])
-        return "m{%s}" % parts
+        _, matchers, off = node
+        base = "m"
+        if matchers:
+            parts = ", ".join(f'{n}{op}"{v}"' for n, op, v in matchers)
+            base = "m{%s}" % parts
+        return f"{base} offset {off // 60000}m" if off else base
     if kind == "fn":
-        _, fname, matchers, window_ms = node
-        return f"{fname}({render(('sel', matchers))}[{window_ms // 60000}m])"
+        _, fname, matchers, window_ms, off = node
+        sel = render(("sel", matchers, 0))
+        mod = f" offset {off // 60000}m" if off else ""
+        return f"{fname}({sel}[{window_ms // 60000}m]{mod})"
     if kind == "agg":
         _, op, by, child = node
         return f"{op} by ({', '.join(by)}) ({render(child)})"
@@ -216,11 +223,12 @@ def _rand_matchers(rng):
 
 def _rand_simple(rng):
     matchers = _rand_matchers(rng)
+    off = rng.choice([0, 0, 0, 60_000, 120_000])  # offset ~40% of the time
     if rng.random() < 0.4:
-        return ("sel", matchers)
+        return ("sel", matchers, off)
     fname = rng.choice(list(_FNS))
     window = rng.choice([60_000, 120_000, 180_000])
-    return ("fn", fname, matchers, window)
+    return ("fn", fname, matchers, window, off)
 
 
 def _rand_expr(rng):
@@ -246,8 +254,8 @@ def _rand_expr(rng):
         window = rng.choice([120_000, 180_000])
         by = rng.choice([["job"], ["job", "instance"]])
         f1, f2 = rng.sample(list(_FNS), 2)
-        left = ("agg", "sum", by, ("fn", f1, matchers, window))
-        right = ("agg", "sum", by, ("fn", f2, matchers, window))
+        left = ("agg", "sum", by, ("fn", f1, matchers, window, 0))
+        right = ("agg", "sum", by, ("fn", f2, matchers, window, 0))
         node = ("binop", rng.choice(["+", "-", "*"]), left, right)
     return node
 
