@@ -2729,7 +2729,11 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops every vector with a lower-id neighbor at >= 0.95.  Output is
     the per-cluster dedup ledger (sizes, drops, kept-id checksum); the
     oracle recomputes assignment from the shared centroid literals and
-    the same keep-first rule."""
+    the same keep-first rule.  ~0.5-1s of this row's bench wall (r06+)
+    is the cluster-size guard's pre-join bound check — one extra driver
+    job on the already-persisted assignment, fixed overhead at test
+    scale, negligible at the corpus sizes where the O((n/k)^2) join it
+    guards would otherwise dominate."""
     emb = _cat(spark, sf_dir)["embeddings"]
     base = emb.select(
         "vec_id",
