@@ -95,6 +95,11 @@ def _window(pts, lo: int, hi: int):
     return [v for ts, v in pts if lo < ts <= hi]
 
 
+def _pop_stddev(vs):
+    mean = sum(vs) / len(vs)
+    return math.sqrt(sum((v - mean) ** 2 for v in vs) / len(vs))
+
+
 _FNS = {
     "count_over_time": len,
     "sum_over_time": sum,
@@ -102,6 +107,13 @@ _FNS = {
     "max_over_time": max,
     "avg_over_time": lambda vs: sum(vs) / len(vs),
     "last_over_time": lambda vs: vs[-1],
+    "present_over_time": lambda vs: 1.0,
+    "stddev_over_time": _pop_stddev,
+    # vs arrives in ts order (points are sorted) — adjacent-pair scans
+    "changes": lambda vs: sum(
+        1 for a, b in zip(vs, vs[1:]) if a != b
+    ),
+    "resets": lambda vs: sum(1 for a, b in zip(vs, vs[1:]) if b < a),
 }
 
 
@@ -128,6 +140,20 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             vs = _window(pts, t - window_ms, t)
             if vs:
                 out[key] = float(_FNS[fname](vs))
+        return out
+    if kind == "quantile":
+        _, phi, by, child = node
+        inner = ref_eval(child, t)
+        groups: dict[tuple, list[float]] = {}
+        for key, v in inner.items():
+            gkey = tuple((n, val) for n, val in key if n in by)
+            groups.setdefault(gkey, []).append(v)
+        out = {}
+        for k, vs in groups.items():
+            vs = sorted(vs)
+            idx = phi * (len(vs) - 1)
+            lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+            out[k] = vs[lo] + (vs[hi] - vs[lo]) * (idx - lo)
         return out
     if kind == "agg":
         _, op, by, child = node
@@ -194,6 +220,9 @@ def render(node) -> str:
         sel = render(("sel", matchers, 0))
         mod = f" offset {off // 60000}m" if off else ""
         return f"{fname}({sel}[{window_ms // 60000}m]{mod})"
+    if kind == "quantile":
+        _, phi, by, child = node
+        return f"quantile by ({', '.join(by)}) ({phi}, {render(child)})"
     if kind == "agg":
         _, op, by, child = node
         return f"{op} by ({', '.join(by)}) ({render(child)})"
@@ -236,10 +265,12 @@ def _rand_expr(rng):
     simple = _rand_simple(rng)
     if shape < 0.25:
         node = simple
-    elif shape < 0.55:
+    elif shape < 0.5:
         by = rng.choice([["job"], ["instance"], ["job", "instance"]])
         op = rng.choice(["sum", "min", "max", "count", "avg"])
         node = ("agg", op, by, simple)
+    elif shape < 0.55:
+        node = ("quantile", rng.choice([0.5, 0.9]), ["job"], simple)
     elif shape < 0.75:
         node = ("scalar_op", rng.choice(["+", "-", "*"]), simple,
                 rng.choice([2, 3, 10]))
@@ -275,7 +306,7 @@ def _canon(rows) -> dict[tuple, float]:
 def test_promql_fuzz_against_reference(fuzz_engine):
     rng = random.Random(20260814)
     n_nonempty = 0
-    for case in range(25):
+    for case in range(35):
         node = _rand_expr(rng)
         text = render(node)
         got = _canon(
