@@ -42,6 +42,20 @@ SF1 = os.path.join(WORK, "sf1")
 COPIES = 10
 ID_STRIDE = 10_000_000
 
+# TSDB/PromQL rows that read events directly (not the chunk store):
+# probed with --tsdb; the default probe set is the LLM-pipeline block
+HEAVY_TSDB = [
+    "q34_promql_rate",
+    "q43_promql_counter_reset",
+    "q46_sessionize",
+    "q53_promql_histogram_quantile",
+    "q56_promql_quantile_over_time",
+    "q67_promql_quantile_agg",
+    "q73_promql_time_functions",
+    "q74_promql_subquery",
+    "q75_promql_holt_winters",
+]
+
 HEAVY = [
     "q22_exact_dedup",
     "q23_minhash_lsh_pairs",
@@ -55,6 +69,40 @@ HEAVY = [
     "q98_exact_substring_removal",
     "q99_lm_perplexity_score",
 ]
+
+
+def build_sf1_events(spark) -> None:
+    """10x events: copy k shifts every sample by +k ms (same series set,
+    10x the samples per series — the TSDB long-retention shape) and
+    offsets event_id so dedup keys stay unique.  Written as int64
+    epoch-nanos ts; the Catalog normalizes either representation."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.catalog import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet(f"{SF01}/events.parquet")
+    )
+    copies = []
+    for k in range(COPIES):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias(
+                    "event_id"
+                ),
+                (F.col("ts") + F.lit(k * 1_000_000)).alias("ts"),  # +k ms
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{SF1}/events.parquet"
+    )
 
 
 def build_sf1(spark) -> None:
@@ -150,13 +198,23 @@ def main() -> None:
         print(f"built {SF1} in {time.perf_counter() - t0:.1f}s")
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base_set = HEAVY_TSDB if "--tsdb" in sys.argv else HEAVY
+    if "--tsdb" in sys.argv and not os.path.exists(
+        f"{SF1}/events.parquet"
+    ):
+        t0 = time.perf_counter()
+        build_sf1_events(spark)
+        print(f"built {SF1}/events in {time.perf_counter() - t0:.1f}s")
     probes = {
-        name: qs[name] for name in HEAVY if not wanted or name in wanted
+        name: qs[name] for name in base_set if not wanted or name in wanted
     }
-    if not wanted or "semantic_dedup_scaled_k" in wanted:
-        probes["semantic_dedup_scaled_k"] = semantic_dedup_scaled
-    if not wanted or "embedding_near_dup_scaled_bits" in wanted:
-        probes["embedding_near_dup_scaled_bits"] = embedding_near_dup_scaled
+    if "--tsdb" not in sys.argv:
+        if not wanted or "semantic_dedup_scaled_k" in wanted:
+            probes["semantic_dedup_scaled_k"] = semantic_dedup_scaled
+        if not wanted or "embedding_near_dup_scaled_bits" in wanted:
+            probes["embedding_near_dup_scaled_bits"] = (
+                embedding_near_dup_scaled
+            )
 
     # warm codegen per shape on the small side first (untimed)
     for name, fn in probes.items():
