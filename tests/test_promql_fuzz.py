@@ -5,7 +5,7 @@ The corpus's PromQL rows are hand-written goldens with DuckDB replicas;
 this goes one step further (same philosophy as test_fuzz.py for SQL):
 generate random expressions over the engine's core grammar — selectors
 with =/!=/=~/!~ matchers and offset modifiers, *_over_time range functions, by-grouped
-aggregations, scalar arithmetic, comparison filters, and vector-vector
+aggregations, scalar arithmetic, comparison filters, set ops (and/or/unless), and vector-vector
 arithmetic — evaluate them with the Spark engine AND with a ~100-line
 evaluator written directly from the PromQL semantics (staleness lookback
 (t-L, t], range windows (t-w, t], one-to-one vector matching), and
@@ -198,6 +198,17 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             "*": lambda x, y: x * y,
         }[op]
         return {k: f(v, b[k]) for k, v in a.items() if k in b}
+    if kind == "setop":
+        _, op, left, right = node
+        a, b = ref_eval(left, t), ref_eval(right, t)
+        if op == "and":
+            return {k: v for k, v in a.items() if k in b}
+        if op == "unless":
+            return {k: v for k, v in a.items() if k not in b}
+        out = dict(a)  # or: a wins on overlap, b fills the rest
+        for k, v in b.items():
+            out.setdefault(k, v)
+        return out
     raise AssertionError(kind)
 
 
@@ -233,6 +244,9 @@ def render(node) -> str:
         _, op, child, c = node
         return f"({render(child)}) {op} {c}"
     if kind == "binop":
+        _, op, left, right = node
+        return f"({render(left)}) {op} ({render(right)})"
+    if kind == "setop":
         _, op, left, right = node
         return f"({render(left)}) {op} ({render(right)})"
     raise AssertionError(kind)
@@ -274,9 +288,15 @@ def _rand_expr(rng):
     elif shape < 0.75:
         node = ("scalar_op", rng.choice(["+", "-", "*"]), simple,
                 rng.choice([2, 3, 10]))
-    elif shape < 0.9:
+    elif shape < 0.8:
         node = ("cmp", rng.choice([">", "<", ">=", "<="]), simple,
                 rng.choice([25, 50, 75]))
+    elif shape < 0.9:
+        # set ops over same-label-schema sides; comparisons make the two
+        # series sets genuinely differ so and/or/unless all bite
+        left = ("cmp", ">", _rand_simple(rng), rng.choice([25, 50]))
+        right = ("cmp", "<", _rand_simple(rng), rng.choice([50, 75]))
+        node = ("setop", rng.choice(["and", "or", "unless"]), left, right)
     else:
         # vector-vector arithmetic: same selector+window both sides
         # (identical presence), different range functions; grouped so the
@@ -306,7 +326,7 @@ def _canon(rows) -> dict[tuple, float]:
 def test_promql_fuzz_against_reference(fuzz_engine):
     rng = random.Random(20260814)
     n_nonempty = 0
-    for case in range(35):
+    for case in range(45):
         node = _rand_expr(rng)
         text = render(node)
         got = _canon(

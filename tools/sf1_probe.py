@@ -182,6 +182,55 @@ def embedding_near_dup_scaled(spark, sf_dir: str):
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def store_probe(spark) -> dict:
+    """S5/S6 write path at 10x: time the COLD chunk-store build
+    (samples -> chunks -> sorted parts -> compact) at sf0.1 and at the
+    synthetic sf1 events, plus a chunk-store read (q16-shape select)
+    over each result."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.corpus import build_events_chunk_store
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    # untimed warm build (sf0.001) so neither timed build pays the
+    # one-time codegen/JIT of the write pipeline — without this the
+    # first-timed scale looks ~4x slower than the second
+    warm_dir = os.path.join(WORK, "sf1_store_probe_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_events_chunk_store(
+        spark, "/root/testdata/sf0.001", os.path.join(warm_dir, "compact")
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    out: dict = {}
+    for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+        tmp = os.path.join(WORK, f"sf1_store_probe_{label}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.perf_counter()
+        compact = build_events_chunk_store(
+            spark, sf_dir, os.path.join(tmp, "compact")
+        )
+        build_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        q = ChunkQuerier.from_parquet(spark, compact)
+        n = (
+            q.select_samples(labels=["event_type"])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+        read_s = round(time.perf_counter() - t0, 3)
+        out[label] = {"build": build_s, "read": read_s, "rows": int(n)}
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["build_ratio_per_10x"] = round(
+        out["sf1"]["build"] / out["sf0.1"]["build"], 2
+    )
+    out["read_ratio_per_10x"] = round(
+        out["sf1"]["read"] / out["sf0.1"]["read"], 2
+    )
+    return out
+
+
 def main() -> None:
     from tsdb_parquet_spark.session import get_spark
 
@@ -196,6 +245,22 @@ def main() -> None:
         t0 = time.perf_counter()
         build_sf1(spark)
         print(f"built {SF1} in {time.perf_counter() - t0:.1f}s")
+
+    if "--store" in sys.argv:
+        if not os.path.exists(f"{SF1}/events.parquet"):
+            build_sf1_events(spark)
+        result = store_probe(spark)
+        print(json.dumps(result))
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_local_sf1.json",
+        )
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["store_probe"] = result
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        return
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     base_set = HEAVY_TSDB if "--tsdb" in sys.argv else HEAVY
