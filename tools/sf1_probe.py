@@ -74,8 +74,10 @@ HEAVY = [
 def build_sf1_events(spark) -> None:
     """10x events: copy k shifts every sample by +k ms (same series set,
     10x the samples per series — the TSDB long-retention shape) and
-    offsets event_id so dedup keys stay unique.  Written as int64
-    epoch-nanos ts; the Catalog normalizes either representation."""
+    offsets event_id so dedup keys stay unique.  Written as
+    timestamp[us] ts like the shipped testdata, so the DuckDB oracles'
+    ``epoch_ms(ts)`` keeps its timestamp->bigint overload and corpus
+    rows can be hash-checked against this dir too."""
     from pyspark.sql import functions as F
 
     from tsdb_parquet_spark.catalog import normalize_event_time
@@ -90,7 +92,12 @@ def build_sf1_events(spark) -> None:
                 (F.col("event_id") + F.lit(k * 1_000_000_000)).alias(
                     "event_id"
                 ),
-                (F.col("ts") + F.lit(k * 1_000_000)).alias("ts"),  # +k ms
+                F.timestamp_micros(
+                    (
+                        (F.col("ts") + F.lit(k * 1_000_000))
+                        / F.lit(1000)
+                    ).cast("long")
+                ).alias("ts"),  # +k ms, back to timestamp[us]
                 "user_id",
                 "event_type",
                 "value",
@@ -245,6 +252,47 @@ def main() -> None:
         t0 = time.perf_counter()
         build_sf1(spark)
         print(f"built {SF1} in {time.perf_counter() - t0:.1f}s")
+
+    if "--oracle" in sys.argv:
+        # correctness at 10x, not just wall time: hash-exact DuckDB
+        # cross-check of corpus rows over the synthetic sf1 tables
+        from tsdb_parquet_spark.oracle import check_corpus
+
+        if not os.path.exists(f"{SF1}/documents.parquet"):
+            build_sf1(spark)
+        if not os.path.exists(f"{SF1}/events.parquet"):
+            build_sf1_events(spark)
+        names = [
+            "q22_exact_dedup",
+            "q30_text_analysis",
+            "q34_promql_rate",
+            "q43_promql_counter_reset",
+            "q67_promql_quantile_agg",
+            "q70_repetition_stats",
+            "q93_exact_substring_spans",
+            "q101_png_pixel_pipeline",
+            "q102_promql_sort_by_label",
+        ]
+        results = {}
+        for name in names:
+            for r in check_corpus(spark, SF1, names=[name]):
+                results[name] = {
+                    "ok": bool(r.ok),
+                    "rows": int(r.spark_rows),
+                }
+                print("sf1-oracle", "OK" if r.ok else "FAIL", name,
+                      r.spark_rows, flush=True)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_local_sf1.json",
+        )
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["oracle_at_sf1"] = results
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps({k: v["ok"] for k, v in results.items()}))
+        return
 
     if "--store" in sys.argv:
         if not os.path.exists(f"{SF1}/events.parquet"):

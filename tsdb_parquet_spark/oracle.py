@@ -25,8 +25,16 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # partial table sets are legal (e.g. the synthetic sf1 probe dir
+        # ships only documents/embeddings/events); DuckDB binds the view
+        # at creation, so skip absent files — a query touching a skipped
+        # table fails with a clear missing-view error instead
+        if not (os.path.exists(path) or os.path.isdir(path)):
+            continue
+        # Spark writes a DIRECTORY of part files; read_parquet takes a glob
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
