@@ -869,3 +869,41 @@ def test_near_dup_pairs_target_bucket_rows(spark):
         ).collect()
     }
     assert {(i, i + 40) for i in range(6)} <= wide
+
+
+def test_resize_media_corrupt_blobs_pass_through(spark):
+    """Corrupt or truncated blobs behind a valid magic — and NULL cells —
+    must yield NULL, never a task failure: one bad asset cannot kill a
+    corpus-wide job."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette PNG
+    palette_png = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    good = MM._encode_png(bytes(range(16)))
+    # a BIG image (51x41) whose IDAT stream cannot possibly complete in
+    # 80 bytes — a tiny image's whole deflate block can survive a
+    # shallow cut, silently decoding
+    big = MM._encode_png(bytes([50, 40] + list(range(14))))
+    rows = [
+        (1, b"BM\x01\x02"),                       # truncated BMP header
+        (2, MM._PNG_SIG + b"\x00\x00\x00\x0dIHDR"),  # truncated IHDR
+        (3, big[:80]),                             # truncated IDAT (zlib)
+        (4, palette_png),                          # unsupported color type
+        (5, None),                                 # NULL media cell
+        (6, good),                                 # valid — still resizes
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    out = {
+        r["doc_id"]: r["resized"]
+        for r in MM.resize_media(df, out_w=4, out_h=4).collect()
+    }
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] is None and out[5] is None
+    assert out[6] is not None
+    assert MM._decode_png_pixels(bytes(out[6])).shape == (4, 4, 3)

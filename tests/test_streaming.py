@@ -178,3 +178,50 @@ def test_finalize_quiesces_straggler_parts(spark, sf_smoke):
     assert writer.part_dirs == []
     writer.adopt(straggler)
     assert writer.part_dirs == []
+
+
+def test_finalize_includes_prior_maybe_compact_output(spark, sf_smoke):
+    """A periodic maybe_compact during ingestion folds early parts into
+    compact.N; finalize must merge that output (its rows exist nowhere
+    else) instead of publishing a store built from the live parts only."""
+    from tsdb_parquet_spark.sources.maintenance import maybe_compact
+
+    events = normalize_event_time(
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+    )
+    staging = os.path.join(WORK, "staging_midcompact")
+    _stage_events(spark, sf_smoke, staging)
+    # small triggers -> several parts land
+    ingestor = _run_ingest(
+        spark, staging, os.path.join(WORK, "midcompact"), events.schema
+    )
+    n_before = spark.read.parquet(*ingestor.writer.part_dirs).count()
+    assert n_before > 0
+    # background maintenance folds everything into compact.0
+    maybe_compact(ingestor.writer, max_parts=1, defer_cleanup=True)
+    assert ingestor.writer.part_dirs == []
+    # more data lands as a fresh part
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.sources.writer import write_sorted
+
+    extra = samples_to_chunks(
+        _to_samples(events.limit(25)).withColumn(
+            "event_type", F.lit("late_type")
+        ),
+        LABELS,
+        chunk_span_ms=DAY_MS,
+        assign_series_ids=False,
+    )
+    late_part = os.path.join(ingestor.writer.root, "part.500")
+    write_sorted(extra, late_part, ingestor.writer.opts)
+    n_extra = spark.read.parquet(late_part).count()
+    ingestor.writer.adopt(late_part)
+    compact = ingestor.finalize()
+    back = spark.read.parquet(compact)
+    # BOTH the pre-compacted rows and the late part survive, with ids
+    assert back.count() == n_before + n_extra
+    assert "__series__id" in back.columns
+    assert back.filter(F.col("event_type") == "late_type").count() == n_extra
+    # idempotent re-finalize over the id-carrying compact: same rows
+    again = ingestor.finalize()
+    assert spark.read.parquet(again).count() == n_before + n_extra

@@ -39,6 +39,22 @@ WORK = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".work"
 )
 SF1 = os.path.join(WORK, "sf1")
+BENCH_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_local_sf1.json",
+)
+
+
+def _load_bench() -> dict:
+    if not os.path.exists(BENCH_PATH):
+        return {}
+    try:
+        with open(BENCH_PATH) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
 COPIES = 10
 ID_STRIDE = 10_000_000
 
@@ -92,11 +108,11 @@ def build_sf1_events(spark) -> None:
                 (F.col("event_id") + F.lit(k * 1_000_000_000)).alias(
                     "event_id"
                 ),
+                # integer division: `/` is double-typed and epoch-nanos
+                # (~1.8e18) exceed a double's 2^53 exact-integer range,
+                # which would skew ~half the written timestamps by 1us
                 F.timestamp_micros(
-                    (
-                        (F.col("ts") + F.lit(k * 1_000_000))
-                        / F.lit(1000)
-                    ).cast("long")
+                    F.expr(f"(ts + {k * 1_000_000}L) div 1000L")
                 ).alias("ts"),  # +k ms, back to timestamp[us]
                 "user_id",
                 "event_type",
@@ -282,13 +298,9 @@ def main() -> None:
                 }
                 print("sf1-oracle", "OK" if r.ok else "FAIL", name,
                       r.spark_rows, flush=True)
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_local_sf1.json",
-        )
-        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc = _load_bench()
         doc["oracle_at_sf1"] = results
-        with open(path, "w") as fh:
+        with open(BENCH_PATH, "w") as fh:
             json.dump(doc, fh, indent=1)
             fh.write("\n")
         print(json.dumps({k: v["ok"] for k, v in results.items()}))
@@ -299,13 +311,9 @@ def main() -> None:
             build_sf1_events(spark)
         result = store_probe(spark)
         print(json.dumps(result))
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_local_sf1.json",
-        )
-        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc = _load_bench()
         doc["store_probe"] = result
-        with open(path, "w") as fh:
+        with open(BENCH_PATH, "w") as fh:
             json.dump(doc, fh, indent=1)
             fh.write("\n")
         return
@@ -359,28 +367,17 @@ def main() -> None:
         record[name] = row
         print(name, row)
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_local_sf1.json",
-    )
     # merge with a prior (possibly partial/chunked) record so the probe
     # can be run in name-filtered chunks without losing earlier rows
-    prior_rows: dict = {}
-    carry: dict = {}
-    if os.path.exists(path):
-        try:
-            with open(path) as fh:
-                prior_doc = json.load(fh)
-            prior_rows = prior_doc.get("rows", {})
-            # preserve hand-authored sections (e.g. the committed
-            # "analysis" block) across chunked re-runs
-            carry = {
-                k: v
-                for k, v in prior_doc.items()
-                if k not in ("metric", "copies", "note", "rows")
-            }
-        except Exception:
-            prior_rows, carry = {}, {}
+    prior_doc = _load_bench()
+    prior_rows = prior_doc.get("rows", {})
+    # preserve hand-authored sections (e.g. the committed "analysis"
+    # block) across chunked re-runs
+    carry = {
+        k: v
+        for k, v in prior_doc.items()
+        if k not in ("metric", "copies", "note", "rows")
+    }
     prior_rows.update(record)
     out = {
         "metric": "sf1_growth_probe",

@@ -479,7 +479,9 @@ def resize_media(
         + [T.StructField("resized", T.BinaryType(), True)]
     )
 
-    def one(blob: bytes) -> bytes | None:
+    def one(blob: bytes | None) -> bytes | None:
+        if blob is None:
+            return None
         try:
             if blob[:2] == b"BM":
                 return _encode_bmp_pixels(
@@ -489,17 +491,23 @@ def resize_media(
                 return _encode_png_pixels(
                     _resize_nn(_decode_png_pixels(blob), out_w, out_h)
                 )
-        except NotImplementedError:
-            # a recognized container in a sub-format outside the pure-
-            # stdlib codec (palette/16-bit/interlaced PNG, non-24-bit
-            # BMP): NULL per the pass-through contract, not a job kill
+        except Exception:
+            # anything the pure-stdlib codec cannot round-trip — a
+            # sub-format it doesn't speak (palette/16-bit/interlaced PNG,
+            # non-24-bit BMP -> NotImplementedError) OR a corrupt /
+            # truncated blob behind a valid magic (struct.error,
+            # zlib.error, ValueError, numpy buffer errors): NULL per the
+            # pass-through contract, never a job kill
             return None
         return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["resized"] = [one(bytes(b)) for b in pdf[media_col]]
+            pdf["resized"] = [
+                one(None if b is None else bytes(b))
+                for b in pdf[media_col]
+            ]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -29,7 +29,7 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
         # ships only documents/embeddings/events); DuckDB binds the view
         # at creation, so skip absent files — a query touching a skipped
         # table fails with a clear missing-view error instead
-        if not (os.path.exists(path) or os.path.isdir(path)):
+        if not os.path.exists(path):
             continue
         # Spark writes a DIRECTORY of part files; read_parquet takes a glob
         src = f"{path}/*.parquet" if os.path.isdir(path) else path

@@ -258,6 +258,26 @@ class SortedParquetWriter:
             self._live_parts.append(part_dir)
             self._publish()
 
+    def _swap_alias(self, out: str) -> None:
+        """Atomically repoint the stable ``root/compact`` alias at the
+        versioned directory ``out``: a one-inode ``os.replace`` of a
+        symlink (a manifest-pointer PUT on an object store).  A legacy
+        real-dir alias (pre-snapshot layout) is retired first — the one
+        non-atomic step, taken once per store ever.  Shared by
+        ``compact()`` and the streaming ingestor's ``finalize()`` so a
+        reader mid-scan on the previous version always finishes
+        undisturbed, whichever path produced the new compact."""
+        alias = os.path.join(self.root, self.COMPACT_ALIAS)
+        if os.path.islink(alias):
+            link_tmp = os.path.join(self.root, ".compact.alias.tmp")
+            if os.path.islink(link_tmp):
+                os.remove(link_tmp)
+            os.symlink(os.path.basename(out), link_tmp)
+            os.replace(link_tmp, alias)
+        else:
+            shutil.rmtree(alias, ignore_errors=True)
+            os.symlink(os.path.basename(out), alias)
+
     def mark_folded(self, parts: set[str] | list[str]) -> None:
         """Record that ``parts`` were folded into a compacted output:
         they leave the live set and join the folded set, so a replayed
@@ -300,7 +320,6 @@ class SortedParquetWriter:
         grace window passes — a reader mid-scan on the old snapshot
         finishes undisturbed.  A crash mid-merge leaves the alias and
         manifest on the previous complete version."""
-        alias = os.path.join(self.root, self.COMPACT_ALIAS)
         parts = self.part_dirs
         self.last_compacted_parts = parts
         consumed = set(parts)
@@ -310,18 +329,7 @@ class SortedParquetWriter:
         self._next_compact += 1
         shutil.rmtree(out, ignore_errors=True)
         compact(self.spark, inputs, out, self.opts)
-        if os.path.islink(alias):
-            link_tmp = os.path.join(self.root, ".compact.alias.tmp")
-            if os.path.islink(link_tmp):
-                os.remove(link_tmp)
-            os.symlink(os.path.basename(out), link_tmp)
-            os.replace(link_tmp, alias)
-        else:
-            # first versioned compaction of this store: retire a legacy
-            # real-dir alias (pre-snapshot layout) before the symlink can
-            # exist — the one non-atomic step, taken once per store ever
-            shutil.rmtree(alias, ignore_errors=True)
-            os.symlink(os.path.basename(out), alias)
+        self._swap_alias(out)
         # the merged parts leave the live set NOW (their rows live on in
         # compact.N); parts landed by a concurrent micro-batch during the
         # merge stay live for the next cycle, while consumed parts join

@@ -138,39 +138,56 @@ class StreamingChunkIngestor:
     # -- finalize -----------------------------------------------------------
 
     def finalize(self) -> str:
-        """Compact all parts and assign dense series ids over the merged
-        store (the compacted file's local id space)."""
+        """Compact all parts — and any prior compacted output — into a
+        fresh versioned ``compact.N`` with dense series ids assigned over
+        the full union, then atomically swap the stable alias.
+
+        Crash/reader safety: the merge never writes into a directory a
+        reader could hold open (fresh ``compact.N`` + the writer's atomic
+        alias swap — a crash mid-write leaves the previous complete
+        version live).  A prior compact from a periodic ``maybe_compact``
+        during ingestion is INCLUDED in the merge (its parts are already
+        folded, so its rows exist nowhere else); a prior finalize's
+        output has its series-id column stripped first, since ids must be
+        dense over the new union.
+
+        Concurrency: a micro-batch of a still-running stream can adopt()
+        a part at any point.  Each pass folds exactly the parts it read,
+        publishes, and re-checks — a straggler landing mid-merge is
+        picked up by the next pass; one landing after the last publish
+        stays live in the manifest via its own adopt() publish (rows
+        safe, compacted by a later cycle).  A stream that keeps landing
+        parts for 20 passes fails loudly: finalize() is for a
+        stopped/availableNow stream."""
         import os
 
         from tsdb_parquet_spark.chunks import dense_series_ids
+        from tsdb_parquet_spark.schema import SERIES_ID
         from tsdb_parquet_spark.sources.writer import write_sorted
 
-        out = os.path.join(self.writer.root, "compact")
-        # snapshot the consumed set BEFORE reading, and re-merge until no
-        # new part landed during the merge: a micro-batch of a
-        # still-running stream can adopt() a part at any point, and
-        # folding the live set wholesale afterwards would silently drop
-        # that part's rows (marked folded yet absent from the compact).
-        # The compact must stay the ONLY live root — raw parts lack the
-        # dense series-id column, so they cannot be published beside it —
-        # hence the quiesce loop instead of leaving stragglers live.
-        # Terminates: each pass consumes everything present at its start,
-        # and the stream's part supply is finite once it stops.
-        # each re-pass rebuilds the compact from ALL parts consumed so far
-        # (folded parts stay on disk until vacuum, so they remain
-        # readable) — dense ids must be assigned over the full union, so
-        # a straggler part can never be appended incrementally
-        consumed: list[str] = []
+        w = self.writer
+        path: str | None = None
         for _pass in range(20):
-            consumed += [
-                p for p in self.writer.part_dirs if p not in consumed
-            ]
-            if not consumed:
+            parts = list(w.part_dirs)
+            if path is not None and not parts:
+                return path  # quiescent: this call's compact holds all
+            prev = w._resolve_compact()
+            frames = []
+            if parts:
+                frames.append(self.spark.read.parquet(*parts))
+            if prev is not None:
+                pf = self.spark.read.parquet(prev)
+                if SERIES_ID in pf.columns:
+                    pf = pf.drop(SERIES_ID)
+                frames.append(pf)
+            if not frames:
                 raise ValueError(
                     "finalize: no ingested parts to compact (did the "
                     "stream write anything?)"
                 )
-            df = self.spark.read.parquet(*consumed)
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f)
             ids = dense_series_ids(
                 df.select(*self.labels).distinct(), self.labels
             )
@@ -178,24 +195,16 @@ class StreamingChunkIngestor:
             # series and can exceed driver memory at 100M+ series — let
             # AQE pick broadcast when it is actually small
             merged = df.join(ids, on=self.labels, how="inner")
-            path = write_sorted(merged, out, self.writer.opts)
-            self.writer.mark_folded(consumed)
-            if not self.writer.part_dirs:
-                break
-        else:
-            raise RuntimeError(
-                "finalize: parts kept landing for 20 merge passes — "
-                "finalize() is for a stopped/availableNow stream; stop "
-                "the continuous query first"
-            )
-        # publish the compacted dir as the ONLY live root: without this
-        # the parts would stay live in the manifest and a later
-        # maybe_compact / CLI vacuum would union the compact with parts
-        # already folded into it (double-count — and fail on the dense
-        # series-id column the raw parts lack); mark_folded above also
-        # stops a same-process replayed micro-batch from adopt()ing a
-        # folded part back in
-        from tsdb_parquet_spark.sources.manifest import publish_snapshot
-
-        publish_snapshot(self.writer.root, [os.path.basename(out)])
-        return path
+            out = os.path.join(w.root, f"compact.{w._next_compact}")
+            w._next_compact += 1
+            path = write_sorted(merged, out, w.opts)
+            w._swap_alias(out)
+            w.mark_folded(parts)
+            # manifest: the new compact plus any parts that landed during
+            # the merge (still live; the next pass or cycle folds them)
+            w._publish()
+        raise RuntimeError(
+            "finalize: parts kept landing for 20 merge passes — "
+            "finalize() is for a stopped/availableNow stream; stop "
+            "the continuous query first"
+        )
