@@ -198,6 +198,24 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             "*": lambda x, y: x * y,
         }[op]
         return {k: f(v, b[k]) for k, v in a.items() if k in b}
+    if kind == "vcmp":
+        _, op, bool_mode, left, right = node
+        a, b = ref_eval(left, t), ref_eval(right, t)
+        f = {
+            ">": lambda x, y: x > y,
+            "<": lambda x, y: x < y,
+            ">=": lambda x, y: x >= y,
+            "<=": lambda x, y: x <= y,
+            "==": lambda x, y: x == y,
+            "!=": lambda x, y: x != y,
+        }[op]
+        if bool_mode:  # 1/0 for every matched pair, nothing filtered
+            return {
+                k: (1.0 if f(v, b[k]) else 0.0)
+                for k, v in a.items()
+                if k in b
+            }
+        return {k: v for k, v in a.items() if k in b and f(v, b[k])}
     if kind == "setop":
         _, op, left, right = node
         a, b = ref_eval(left, t), ref_eval(right, t)
@@ -249,6 +267,10 @@ def render(node) -> str:
     if kind == "setop":
         _, op, left, right = node
         return f"({render(left)}) {op} ({render(right)})"
+    if kind == "vcmp":
+        _, op, bool_mode, left, right = node
+        mod = " bool" if bool_mode else ""
+        return f"({render(left)}) {op}{mod} ({render(right)})"
     raise AssertionError(kind)
 
 
@@ -291,12 +313,22 @@ def _rand_expr(rng):
     elif shape < 0.8:
         node = ("cmp", rng.choice([">", "<", ">=", "<="]), simple,
                 rng.choice([25, 50, 75]))
-    elif shape < 0.9:
+    elif shape < 0.85:
         # set ops over same-label-schema sides; comparisons make the two
         # series sets genuinely differ so and/or/unless all bite
         left = ("cmp", ">", _rand_simple(rng), rng.choice([25, 50]))
         right = ("cmp", "<", _rand_simple(rng), rng.choice([50, 75]))
         node = ("setop", rng.choice(["and", "or", "unless"]), left, right)
+    elif shape < 0.9:
+        # vector-vector comparison: one-to-one on the full label set,
+        # keeping the left value (or 1/0 with the `bool` modifier)
+        node = (
+            "vcmp",
+            rng.choice([">", "<", ">=", "<=", "==", "!="]),
+            rng.random() < 0.5,
+            _rand_simple(rng),
+            _rand_simple(rng),
+        )
     else:
         # vector-vector arithmetic: same selector+window both sides
         # (identical presence), different range functions; grouped so the
@@ -326,7 +358,7 @@ def _canon(rows) -> dict[tuple, float]:
 def test_promql_fuzz_against_reference(fuzz_engine):
     rng = random.Random(20260814)
     n_nonempty = 0
-    for case in range(45):
+    for case in range(55):
         node = _rand_expr(rng)
         text = render(node)
         got = _canon(
