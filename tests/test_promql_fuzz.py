@@ -4,7 +4,7 @@ reference evaluator.
 The corpus's PromQL rows are hand-written goldens with DuckDB replicas;
 this goes one step further (same philosophy as test_fuzz.py for SQL):
 generate random expressions over the engine's core grammar — selectors
-with =/!=/=~/!~ matchers and offset modifiers, *_over_time range functions, by-grouped
+with =/!=/=~/!~ matchers, offset and `@` modifiers, *_over_time range functions, by/without-grouped
 aggregations, scalar arithmetic, comparison filters, set ops (and/or/unless), and vector-vector
 arithmetic — evaluate them with the Spark engine AND with a ~100-line
 evaluator written directly from the PromQL semantics (staleness lookback
@@ -120,8 +120,9 @@ _FNS = {
 def ref_eval(node, t: int) -> dict[tuple, float]:
     kind = node[0]
     if kind == "sel":
-        _, matchers, off = node
-        t = t - off
+        _, matchers, off = node[:3]
+        at = node[3] if len(node) > 3 else None
+        t = (at if at is not None else t) - off
         out = {}
         for key, pts in _BY_SERIES.items():
             if not _matches(dict(key), matchers):
@@ -131,8 +132,9 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
                 out[key] = w[-1][1]
         return out
     if kind == "fn":
-        _, fname, matchers, window_ms, off = node
-        t = t - off
+        _, fname, matchers, window_ms, off = node[:5]
+        at = node[5] if len(node) > 5 else None
+        t = (at if at is not None else t) - off
         out = {}
         for key, pts in _BY_SERIES.items():
             if not _matches(dict(key), matchers):
@@ -141,6 +143,21 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             if vs:
                 out[key] = float(_FNS[fname](vs))
         return out
+    if kind == "agg_without":
+        _, op, drop, child = node
+        inner = ref_eval(child, t)
+        groups: dict[tuple, list[float]] = {}
+        for key, v in inner.items():
+            gkey = tuple((n, val) for n, val in key if n not in drop)
+            groups.setdefault(gkey, []).append(v)
+        agg = {
+            "sum": sum,
+            "min": min,
+            "max": max,
+            "count": len,
+            "avg": lambda vs: sum(vs) / len(vs),
+        }[op]
+        return {k: float(agg(vs)) for k, vs in groups.items()}
     if kind == "quantile":
         _, phi, by, child = node
         inner = ref_eval(child, t)
@@ -238,17 +255,28 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
 def render(node) -> str:
     kind = node[0]
     if kind == "sel":
-        _, matchers, off = node
+        _, matchers, off = node[:3]
+        at = node[3] if len(node) > 3 else None
         base = "m"
         if matchers:
             parts = ", ".join(f'{n}{op}"{v}"' for n, op, v in matchers)
             base = "m{%s}" % parts
-        return f"{base} offset {off // 60000}m" if off else base
+        if off:
+            base = f"{base} offset {off // 60000}m"
+        if at is not None:
+            base = f"{base} @ {at // 1000}"
+        return base
     if kind == "fn":
-        _, fname, matchers, window_ms, off = node
+        _, fname, matchers, window_ms, off = node[:5]
+        at = node[5] if len(node) > 5 else None
         sel = render(("sel", matchers, 0))
         mod = f" offset {off // 60000}m" if off else ""
+        if at is not None:
+            mod = f"{mod} @ {at // 1000}"
         return f"{fname}({sel}[{window_ms // 60000}m]{mod})"
+    if kind == "agg_without":
+        _, op, drop, child = node
+        return f"{op} without ({', '.join(drop)}) ({render(child)})"
     if kind == "quantile":
         _, phi, by, child = node
         return f"quantile by ({', '.join(by)}) ({phi}, {render(child)})"
@@ -289,11 +317,14 @@ def _rand_matchers(rng):
 def _rand_simple(rng):
     matchers = _rand_matchers(rng)
     off = rng.choice([0, 0, 0, 60_000, 120_000])  # offset ~40% of the time
+    # `@` pins the subtree's evaluation time ~20% of the time (must be a
+    # step-aligned instant so the reference's per-step loop agrees)
+    at = rng.choice([None, None, None, None, 240_000, 420_000])
     if rng.random() < 0.4:
-        return ("sel", matchers, off)
+        return ("sel", matchers, off, at)
     fname = rng.choice(list(_FNS))
     window = rng.choice([60_000, 120_000, 180_000])
-    return ("fn", fname, matchers, window, off)
+    return ("fn", fname, matchers, window, off, at)
 
 
 def _rand_expr(rng):
@@ -305,8 +336,15 @@ def _rand_expr(rng):
         by = rng.choice([["job"], ["instance"], ["job", "instance"]])
         op = rng.choice(["sum", "min", "max", "count", "avg"])
         node = ("agg", op, by, simple)
-    elif shape < 0.55:
+    elif shape < 0.52:
         node = ("quantile", rng.choice([0.5, 0.9]), ["job"], simple)
+    elif shape < 0.55:
+        node = (
+            "agg_without",
+            rng.choice(["sum", "max", "avg"]),
+            rng.choice([["instance"], ["job"]]),
+            simple,
+        )
     elif shape < 0.75:
         node = ("scalar_op", rng.choice(["+", "-", "*"]), simple,
                 rng.choice([2, 3, 10]))
@@ -358,7 +396,7 @@ def _canon(rows) -> dict[tuple, float]:
 def test_promql_fuzz_against_reference(fuzz_engine):
     rng = random.Random(20260814)
     n_nonempty = 0
-    for case in range(55):
+    for case in range(65):
         node = _rand_expr(rng)
         text = render(node)
         got = _canon(
