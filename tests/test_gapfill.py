@@ -67,3 +67,91 @@ def test_single_shuffle_plan(samples):
     assert plan.count("WindowExec") <= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property test: random irregular samples vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_gapfill(pts, start, end, step, method, fill_value, tolerance):
+    """Reference implementation written directly from the docstring:
+    pts = sorted [(ts, value)] for ONE key."""
+    out = []
+    for t in range(start, end + 1, step):
+        before = [(ts, v) for ts, v in pts if ts <= t]
+        after = [(ts, v) for ts, v in pts if ts >= t]
+        exact = [v for ts, v in pts if ts == t]
+        if method == "locf":
+            if not before:
+                out.append((t, None))
+                continue
+            ts0, v0 = before[-1]
+            if tolerance is not None and t - ts0 > tolerance:
+                out.append((t, None))
+            else:
+                out.append((t, v0))
+        elif method == "value":
+            out.append((t, exact[0] if exact else fill_value))
+        else:  # linear
+            if exact:
+                out.append((t, exact[0]))
+            elif before and after:
+                (ts0, v0), (ts1, v1) = before[-1], after[0]
+                out.append((t, v0 + (v1 - v0) * (t - ts0) / (ts1 - ts0)))
+            else:
+                out.append((t, None))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # ts slot
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda p: p[0],
+    ),
+    method=st.sampled_from(["locf", "linear", "value"]),
+    tol=st.sampled_from([None, 20, 70]),
+)
+def test_gap_fill_matches_reference(spark, data, method, tol):
+    START, END, STEP = 0, 500, 50
+    pts = sorted((slot * 17, float(v)) for slot, v in data)  # off-grid ts
+    rows = [("k", ts, v) for ts, v in pts]
+    df = spark.createDataFrame(rows, "key STRING, ts LONG, value DOUBLE")
+    got = {
+        r["t"]: r["value"]
+        for r in gap_fill(
+            df,
+            ["key"],
+            START,
+            END,
+            STEP,
+            method=method,
+            fill_value=-1.0,
+            tolerance_ms=tol if method == "locf" else None,
+        ).collect()
+    }
+    want = dict(
+        _ref_gapfill(
+            pts, START, END, STEP, method, -1.0,
+            tol if method == "locf" else None,
+        )
+    )
+    if not pts:
+        # no samples for the key -> no grid marks exist at all
+        assert got == {}
+        return
+    assert set(got) == set(want)
+    for t in want:
+        if want[t] is None:
+            assert got[t] is None, (t, got[t])
+        else:
+            assert got[t] == pytest.approx(want[t], rel=1e-9), (t,)
