@@ -70,3 +70,79 @@ def test_single_shuffle_no_bnlj(frames):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property test: random series vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_asof(left_pts, right_pts, direction, tolerance):
+    """Reference from the docstring: per left ts, the right row with the
+    largest right_ts <= ts (backward) / smallest >= ts (forward), then
+    the tolerance check."""
+    out = []
+    for lt in left_pts:
+        if direction == "backward":
+            cands = [(rt, v) for rt, v in right_pts if rt <= lt]
+            pick = max(cands) if cands else None
+        else:
+            cands = [(rt, v) for rt, v in right_pts if rt >= lt]
+            pick = min(cands) if cands else None
+        if pick is not None and tolerance is not None and abs(
+            pick[0] - lt
+        ) > tolerance:
+            pick = None
+        out.append((lt, None if pick is None else pick[1]))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=10,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda p: p[0],
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 30, 150]),
+)
+def test_asof_matches_reference(spark, left_ts, right, direction, tol):
+    left = spark.createDataFrame(
+        [("k", int(t)) for t in left_ts], "key STRING, ts LONG"
+    )
+    right_df = spark.createDataFrame(
+        [("k", int(t), float(v)) for t, v in right],
+        "key STRING, ts LONG, price DOUBLE",
+    )
+    got = {
+        r["ts"]: r["price_asof"]
+        for r in asof_join(
+            left,
+            right_df,
+            ["key"],
+            right_cols=["price"],
+            direction=direction,
+            tolerance_ms=tol,
+        ).collect()
+    }
+    want = dict(
+        _ref_asof(
+            sorted(left_ts),
+            sorted((t, float(v)) for t, v in right),
+            direction,
+            tol,
+        )
+    )
+    assert got == want
