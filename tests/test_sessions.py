@@ -101,3 +101,51 @@ def test_streaming_sessionizer_matches_batch(spark):
     }
     assert got == expect  # ALL real sessions, tails included
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# property test: random event streams vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_sessions(ts_list, gap_ms):
+    """Reference gaps-and-islands: a new session starts when the gap
+    from the previous event exceeds gap_ms (strictly)."""
+    sessions = []
+    for ts in sorted(ts_list):
+        if not sessions or ts - sessions[-1][-1] > gap_ms:
+            sessions.append([ts])
+        else:
+            sessions[-1].append(ts)
+    return [
+        (i, s[0], s[-1], len(s)) for i, s in enumerate(sessions)
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    gap=st.sampled_from([100, 500, 2_000]),
+)
+def test_sessionize_matches_reference(spark, ts_list, gap):
+    df = spark.createDataFrame(
+        [("u", int(t)) for t in ts_list], "user STRING, ts LONG"
+    )
+    got = sorted(
+        (
+            r["session_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in sessionize(df, ["user"], gap_ms=gap).collect()
+    )
+    assert got == _ref_sessions(ts_list, gap)
