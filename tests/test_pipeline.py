@@ -102,3 +102,52 @@ def test_pack_sequences_shard_independence(spark):
         exp = by_shard.get(r["shard"], 0)
         assert r["start_offset"] == exp
         by_shard[r["shard"]] = exp + r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# property test: pack_sequences vs a pure-python reference packer
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsdb_parquet_spark.functions.pipeline import pack_sequences
+
+
+def _ref_pack(doc_lens, budget):
+    """Reference: stream docs in id order, cumulative offsets, sequence
+    boundaries every `budget` tokens (single shard)."""
+    out, offset = {}, 0
+    for doc_id, n in sorted(doc_lens.items()):
+        first = offset // budget
+        last = (offset + n - 1) // budget if n > 0 else first
+        out[doc_id] = (n, offset, first, last, offset % budget)
+        offset += n
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lens=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=15
+    ),
+    budget=st.sampled_from([16, 64]),
+)
+def test_pack_sequences_matches_reference(spark, lens, budget):
+    # one shard so the reference's single stream applies; texts are n
+    # repeated words so the token count is exact
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["first_seq"],
+            r["last_seq"],
+            r["offset_in_seq"],
+        )
+        for r in pack_sequences(
+            df, budget_tokens=budget, shards=1
+        ).collect()
+    }
+    assert got == _ref_pack({i: n for i, n in enumerate(lens)}, budget)
