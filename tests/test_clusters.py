@@ -73,3 +73,49 @@ def test_components_rounds_telemetry(spark):
     assert {r["cluster_id"] for r in cc.collect()} == {0}
     # 9-node path, diameter 8: seed covers hop 1, the loop the rest
     assert 2 <= stats["rounds"] <= 9
+
+
+# ---------------------------------------------------------------------------
+# property test: random graphs vs a pure-python union-find
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _ref_components(edges)
