@@ -907,3 +907,65 @@ def test_resize_media_corrupt_blobs_pass_through(spark):
     assert out[4] is None and out[5] is None
     assert out[6] is not None
     assert MM._decode_png_pixels(bytes(out[6])).shape == (4, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# property test: ExactSubstr span stats vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_spans(texts: dict, size: int):
+    """Reference from the docstring: per doc, how many of its size-token
+    windows (lowercased whitespace tokens) occur in ANOTHER document;
+    every occurrence counts."""
+    toks = {
+        i: [t for t in txt.lower().split() if t] for i, txt in texts.items()
+    }
+    windows = {
+        i: [tuple(ts[j : j + size]) for j in range(len(ts) - size + 1)]
+        for i, ts in toks.items()
+        if len(ts) >= size
+    }
+    docs_of = {}
+    for i, ws in windows.items():
+        for w in set(ws):
+            docs_of.setdefault(w, set()).add(i)
+    out = {}
+    for i, ws in windows.items():
+        dup = sum(1 for w in ws if len(docs_of[w]) >= 2)
+        out[i] = (len(ws), dup, round(dup / len(ws), 4))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicated_spans_match_reference(spark, docs_words):
+    """A 5-word vocabulary forces plenty of genuine cross-doc window
+    collisions, exercising the shared/unshared boundary hard."""
+    size = 3
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_dup_shingles"],
+            r["dup_ratio"],
+        )
+        for r in D.duplicated_ngram_spans(df, size=size).collect()
+    }
+    assert got == _ref_spans(texts, size)
