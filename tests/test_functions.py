@@ -969,3 +969,53 @@ def test_duplicated_spans_match_reference(spark, docs_words):
         for r in D.duplicated_ngram_spans(df, size=size).collect()
     }
     assert got == _ref_spans(texts, size)
+
+
+def _ref_remove_spans(texts: dict, size: int):
+    """Reference ExactSubstr removal: drop every token covered by a
+    size-window occurring in >= 2 docs, rebuild from survivors."""
+    toks = {
+        i: [t for t in txt.lower().split() if t] for i, txt in texts.items()
+    }
+    windows = {
+        i: [tuple(ts[j : j + size]) for j in range(len(ts) - size + 1)]
+        for i, ts in toks.items()
+    }
+    docs_of = {}
+    for i, ws in windows.items():
+        for w in set(ws):
+            docs_of.setdefault(w, set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for j, w in enumerate(windows[i]):
+            if len(docs_of[w]) >= 2:
+                covered.update(range(j, j + size))
+        kept = [t for k, t in enumerate(ts) if k not in covered]
+        out[i] = (" ".join(kept), len(ts), len(covered))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_remove_duplicated_spans_matches_reference(spark, docs_words):
+    size = 3
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in D.remove_duplicated_spans(df, size=size).collect()
+    }
+    assert got == _ref_remove_spans(texts, size)

@@ -205,3 +205,54 @@ def test_repetition_stats_zero_shuffle_parity(spark, sf_oracle):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+# ---------------------------------------------------------------------------
+# property test: repetition stats vs a pure-python reference (both shapes)
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=2, max_size=16
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    zero_shuffle=st.booleans(),
+)
+def test_repetition_stats_match_reference(spark, docs_words, zero_shuffle):
+    """Both physical shapes (explode+groupBy and the no-exchange sorted-
+    array variant) must produce the documented per-doc gram metrics."""
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_distinct_grams"],
+            r["top_gram_count"],
+            r["dup_ngram_frac"],
+        )
+        for r in QA.repetition_stats(
+            df, ngram=2, zero_shuffle=zero_shuffle
+        ).collect()
+    }
+    for i, ws in enumerate(docs_words):
+        grams = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        n, nd, top = len(grams), len(c), max(c.values())
+        assert got[i] == (
+            n, nd, top, pytest.approx(round(1.0 - nd / n, 4)),
+        )
