@@ -5,8 +5,8 @@ The corpus's PromQL rows are hand-written goldens with DuckDB replicas;
 this goes one step further (same philosophy as test_fuzz.py for SQL):
 generate random expressions over the engine's core grammar — selectors
 with =/!=/=~/!~ matchers, offset and `@` modifiers, *_over_time range functions, by/without-grouped
-aggregations, scalar arithmetic, comparison filters, set ops (and/or/unless), and vector-vector
-arithmetic — evaluate them with the Spark engine AND with a ~100-line
+aggregations, scalar arithmetic, comparison filters, set ops (and/or/unless), many-to-one `on()/group_left`
+matching, and vector-vector arithmetic — evaluate them with the Spark engine AND with a ~100-line
 evaluator written directly from the PromQL semantics (staleness lookback
 (t-L, t], range windows (t-w, t], one-to-one vector matching), and
 compare every (step, labelset, value).  Deterministic seed ->
@@ -233,6 +233,22 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
                 if k in b
             }
         return {k: v for k, v in a.items() if k in b and f(v, b[k])}
+    if kind == "group_binop":
+        # left carries the full label set; right was aggregated to the
+        # on-labels; many-to-one match keeps the LEFT labels
+        _, op, on, left, right = node
+        a, b = ref_eval(left, t), ref_eval(right, t)
+        f = {
+            "+": lambda x, y: x + y,
+            "-": lambda x, y: x - y,
+            "*": lambda x, y: x * y,
+        }[op]
+        out = {}
+        for k, v in a.items():
+            kb = tuple((n, val) for n, val in k if n in on)
+            if kb in b:
+                out[k] = f(v, b[kb])
+        return out
     if kind == "setop":
         _, op, left, right = node
         a, b = ref_eval(left, t), ref_eval(right, t)
@@ -299,6 +315,12 @@ def render(node) -> str:
         _, op, bool_mode, left, right = node
         mod = " bool" if bool_mode else ""
         return f"({render(left)}) {op}{mod} ({render(right)})"
+    if kind == "group_binop":
+        _, op, on, left, right = node
+        return (
+            f"({render(left)}) {op} on ({', '.join(on)}) group_left "
+            f"({render(right)})"
+        )
     raise AssertionError(kind)
 
 
@@ -367,6 +389,13 @@ def _rand_expr(rng):
             _rand_simple(rng),
             _rand_simple(rng),
         )
+    elif shape < 0.95:
+        # many-to-one matching: full-label left against a right side
+        # aggregated to the on-labels, value kept per LEFT series
+        on = ["job"]
+        left = _rand_simple(rng)
+        right = ("agg", "sum", on, _rand_simple(rng))
+        node = ("group_binop", rng.choice(["+", "-", "*"]), on, left, right)
     else:
         # vector-vector arithmetic: same selector+window both sides
         # (identical presence), different range functions; grouped so the
@@ -396,7 +425,7 @@ def _canon(rows) -> dict[tuple, float]:
 def test_promql_fuzz_against_reference(fuzz_engine):
     rng = random.Random(20260814)
     n_nonempty = 0
-    for case in range(65):
+    for case in range(75):
         node = _rand_expr(rng)
         text = render(node)
         got = _canon(
