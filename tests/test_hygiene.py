@@ -256,3 +256,70 @@ def test_repetition_stats_match_reference(spark, docs_words, zero_shuffle):
         assert got[i] == (
             n, nd, top, pytest.approx(round(1.0 - nd / n, 4)),
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus_words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0,
+                 max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    bench_words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0,
+                 max_size=10),
+        min_size=1,
+        max_size=3,
+    ),
+    min_overlap=st.sampled_from([1, 2]),
+)
+def test_contamination_report_matches_reference(
+    spark, corpus_words, bench_words, min_overlap
+):
+    """Distinct-gram hit counts and touched-benchmark-doc counts verified
+    against a set-based reference over a 4-word vocabulary (dense
+    collisions)."""
+    from tsdb_parquet_spark.functions.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    ngram = 3
+
+    def grams(ws):
+        return {
+            tuple(ws[i : i + ngram]) for i in range(len(ws) - ngram + 1)
+        }
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus_words)],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(bench_words)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_gram_hits"], r["n_bench_docs"])
+        for r in contamination_report(
+            corpus, bench, ngram=ngram, min_overlap=min_overlap
+        ).collect()
+    }
+    bench_g = {i: grams(ws) for i, ws in enumerate(bench_words)}
+    want = {}
+    for i, ws in enumerate(corpus_words):
+        hits = {
+            g for g in grams(ws) if any(g in bg for bg in bench_g.values())
+        }
+        docs = {j for j, bg in bench_g.items() if bg & grams(ws)}
+        if len(hits) >= min_overlap:
+            want[i] = (len(hits), len(docs))
+    assert got == want
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, bench, ngram=ngram, min_overlap=min_overlap
+        ).collect()
+    )
+    assert kept == sorted(set(range(len(corpus_words))) - set(want))
