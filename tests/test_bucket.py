@@ -275,3 +275,37 @@ def test_chunked_reader_close_and_pickle(bucket):
     # close is idempotent and reads still work after (fresh pool)
     chunked.close()
     assert chunked.read_at(0, 3_000) == blob[:3_000]
+
+
+def test_chunked_reader_close_race(bucket):
+    """close() racing concurrent multi-part reads must never hand a
+    reader a shut-down executor (RuntimeError on submit): the pool lock
+    covers the create+submit critical section, so every read either
+    fully enqueues before a shutdown or rebuilds a fresh pool."""
+    import threading
+
+    blob = bytes(range(256)) * 64
+    bucket.upload("race", blob)
+    chunked = ChunkedBucketReader(
+        BucketReader(bucket, "race"), max_read_size=1 << 10
+    )
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader_loop():
+        try:
+            while not stop.is_set():
+                assert chunked.read_at(0, 5_000) == blob[:5_000]
+        except BaseException as exc:  # noqa: BLE001 - recorded for assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader_loop) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for _ in range(200):
+        chunked.close()
+    stop.set()
+    for t in threads:
+        t.join()
+    chunked.close()
+    assert not errors, errors

@@ -222,6 +222,15 @@ def test_finalize_includes_prior_maybe_compact_output(spark, sf_smoke):
     assert back.count() == n_before + n_extra
     assert "__series__id" in back.columns
     assert back.filter(F.col("event_type") == "late_type").count() == n_extra
-    # idempotent re-finalize over the id-carrying compact: same rows
+    # idempotent re-finalize over the id-carrying compact: a TRUE no-op —
+    # same path, no new compact.N written (a re-merge would double
+    # on-disk data until vacuum)
+    dirs_before = sorted(
+        d for d in os.listdir(ingestor.writer.root) if d.startswith("compact.")
+    )
     again = ingestor.finalize()
+    assert again == compact
+    assert sorted(
+        d for d in os.listdir(ingestor.writer.root) if d.startswith("compact.")
+    ) == dirs_before
     assert spark.read.parquet(again).count() == n_before + n_extra

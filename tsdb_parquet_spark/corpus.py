@@ -1978,8 +1978,18 @@ _EMB_DIM = 64
 _ANN_PLANES = SIM.hyperplanes(dim=_EMB_DIM, bits=8)
 # multi-band near-dup bucketing: 4 bands x 8 bits (32 hyperplanes total)
 _ND_BANDS = 4
-_ND_PLANES = SIM.hyperplanes(dim=_EMB_DIM, bits=32)
-_ND_SIG_SQL = SIM.sql_band_signatures("v", _ND_PLANES, _ND_BANDS)
+# The engine's scale-safe DEFAULT derives bits_per_band from corpus size
+# (clamp(ceil(log2(n/16)), 8, 28) — similarity.derived_bits_per_band), so
+# the oracle carries the CAP-width plane matrix (4 bands x 28 bits; the
+# plane sequence is prefix-stable in the plane index) and recomputes the
+# SAME width from COUNT(*) in SQL, slicing band j's bits dynamically.
+_ND_CAP_BITS = 28
+_ND_PLANES_FULL = SIM.hyperplanes(dim=_EMB_DIM, bits=_ND_BANDS * _ND_CAP_BITS)
+_ND_SIGNS_SQL = SIM.sql_sign_bits("v", _ND_PLANES_FULL)
+_ND_BITS_SQL = SIM.sql_derived_bits(
+    "(SELECT count(*) FROM vecs)", SIM.NEAR_DUP_TARGET_BUCKET_ROWS
+)
+_ND_DYN_SIG_SQL = SIM.sql_dynamic_band_signature("signs", "band", "b")
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -2032,7 +2042,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-vecs AS (
+vecs AS MATERIALIZED (
   SELECT vec_id, v, sqrt({SIM.sql_dot('v', 'v', _EMB_DIM)}) AS nrm
   FROM (
     SELECT vec_id, v FROM base
@@ -2041,16 +2051,16 @@ vecs AS (
     FROM base WHERE vec_id < 50
   )
 ),
-sigs AS (
-  SELECT vec_id, v, {_ND_SIG_SQL[0]} AS s0, {_ND_SIG_SQL[1]} AS s1,
-         {_ND_SIG_SQL[2]} AS s2, {_ND_SIG_SQL[3]} AS s3
+width AS (SELECT {_ND_BITS_SQL} AS b),
+sigs AS MATERIALIZED (
+  SELECT vec_id, {_ND_SIGNS_SQL} AS signs
   FROM vecs
 ),
-buckets AS (
-  SELECT vec_id, 0 AS band, s0 AS sig FROM sigs
-  UNION ALL SELECT vec_id, 1, s1 FROM sigs
-  UNION ALL SELECT vec_id, 2, s2 FROM sigs
-  UNION ALL SELECT vec_id, 3, s3 FROM sigs
+buckets AS MATERIALIZED (
+  SELECT vec_id, band, {_ND_DYN_SIG_SQL} AS sig
+  FROM sigs
+  CROSS JOIN width
+  CROSS JOIN (SELECT unnest(range(0, {_ND_BANDS})) AS band) bands
 ),
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2072,10 +2082,15 @@ ORDER BY id_a, id_b""",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a corpus with 50 scaled
-    copies injected (cosine exactly 1.0): multi-band LSH candidates (4
-    bands x 8 bits — any-band agreement, fixing single-bucket boundary
-    under-recall and hot-bucket skew) then exact cosine re-rank, so exact
-    arithmetic only runs within matching buckets."""
+    copies injected (cosine exactly 1.0): multi-band LSH candidates
+    (4 bands, any-band agreement — fixes single-bucket boundary
+    under-recall and hot-bucket skew) then exact cosine re-rank.  Runs
+    the engine's scale-safe DEFAULT: bits_per_band derived from corpus
+    size (occupancy-targeted, measured ~linear at sf1 vs quadratic for
+    pinned bits); the oracle recomputes the identical width from
+    COUNT(*) and slices the cap-width sign-bit list, so it stays
+    hash-exact at ANY sf, not just where the derived width hits the
+    8-bit floor."""
     emb = _cat(spark, sf_dir)["embeddings"]
     base = emb.select(
         "vec_id",
@@ -2090,7 +2105,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     vecs = base.union(scaled)
-    out = SIM.near_duplicate_pairs(vecs, threshold=0.99, eager=False)
+    out = SIM.near_duplicate_pairs(vecs, threshold=0.99)
     return out.orderBy("id_a", "id_b")
 
 

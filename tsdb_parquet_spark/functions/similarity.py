@@ -102,6 +102,30 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+#: Default occupancy target for :func:`near_duplicate_pairs` — the
+#: operating point the sf1 growth probe measured flat (1.13x wall per
+#: 10x data) where the fixed-8-bit configuration measured ~n^2 (4.55x).
+NEAR_DUP_TARGET_BUCKET_ROWS = 16
+
+
+def derived_bits_per_band(
+    n_rows: int,
+    target_bucket_rows: int,
+    floor: int = 8,
+    cap: int = 28,
+) -> int:
+    """Bucket width that keeps expected occupancy ~``target_bucket_rows``:
+    ``ceil(log2(n / target))`` clamped to [floor, cap].  Shared by the
+    engine and the DuckDB oracle (:func:`sql_derived_bits`) so both sides
+    bucket identically at any corpus size."""
+    import math
+
+    derived = math.ceil(
+        math.log2(max(2.0, n_rows / float(target_bucket_rows)))
+    )
+    return min(cap, max(floor, derived))
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     threshold: float = 0.99,
@@ -111,7 +135,8 @@ def near_duplicate_pairs(
     bands: int = 4,
     bits_per_band: int = 8,
     seed: str = "ann-lsh",
-    target_bucket_rows: int | None = None,
+    target_bucket_rows: int | None = NEAR_DUP_TARGET_BUCKET_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
@@ -137,35 +162,48 @@ def near_duplicate_pairs(
     lsh_candidate_pairs`: True bounds executor storage for repeated calls
     (checkpoint + unpersist), False is faster for single-shot consumers.
 
-    **Scaling the bucket width.** At FIXED ``bits_per_band`` the
-    expected bucket occupancy is n / 2^bits, so the per-band candidate
-    pair count grows ~n²/2^bits — quadratic in corpus size (the sf1
-    growth probe measures 4.5x wall per 10x data at the 8-bit default).
-    ``target_bucket_rows`` makes the operating point explicit: one
-    count job derives ``bits_per_band = max(bits_per_band,
-    ceil(log2(n / target)))`` so occupancy — and with it per-bucket
-    pair work per row — stays constant as the corpus grows.  Wider
-    bands trade a little recall (p^bits per band, compensated by the
-    OR over bands; at cos>=0.99, 4 bands of 16 bits still catch
-    ~98.7% of true pairs) for linear scaling.  At the driver's oracle
-    scales (<= a few thousand vectors) the derived width never exceeds
-    the floor, so results are unchanged there.
-    """
-    if target_bucket_rows is not None:
-        import math
+    **Scaling the bucket width — the DEFAULT.** At FIXED
+    ``bits_per_band`` the expected bucket occupancy is n / 2^bits, so
+    the per-band candidate pair count grows ~n²/2^bits — quadratic in
+    corpus size (the sf1 growth probe measures 4.5x wall per 10x data
+    at pinned 8 bits, vs 1.13x with occupancy targeting).  The default
+    ``target_bucket_rows=NEAR_DUP_TARGET_BUCKET_ROWS`` therefore derives
+    ``bits_per_band = clamp(ceil(log2(n / target)), floor=bits_per_band,
+    cap=28)`` so occupancy — and with it per-bucket pair work per row —
+    stays constant as the corpus grows.  Wider bands trade a little
+    recall (p^bits per band, compensated by the OR over bands; at
+    cos>=0.99, 4 bands of 16 bits still catch ~98.7% of true pairs) for
+    linear scaling.  Plane generation is prefix-stable in the plane
+    index, so a SQL oracle can carry the cap-width plane matrix and
+    slice per the same derived width (:func:`sql_derived_bits` /
+    :func:`sql_sign_bits`).  Pass ``target_bucket_rows=None`` to pin
+    ``bits_per_band`` exactly (recall experiments, tiny corpora).
 
-        n = df.count()
-        derived = math.ceil(
-            math.log2(max(2.0, n / float(target_bucket_rows)))
+    Deriving the width needs ``n``: pass ``n_rows`` if the caller
+    already knows it (avoids re-running an expensive upstream lineage
+    just to count — the size only tunes bucketing, so a cheap upper
+    bound is fine); otherwise the input is persisted FIRST and the
+    count warms that cache, so the lineage still runs only once.  With
+    ``eager=True`` (default) the cache is dropped before returning;
+    with ``eager=False`` the input stays persisted for the caller's
+    materialization (unpersist it via the returned plan's lineage or
+    pass ``n_rows``).
+    """
+    from tsdb_parquet_spark.catalog import spread
+
+    df = spread(df)
+    df_cached: DataFrame | None = None
+    if target_bucket_rows is not None:
+        if n_rows is None:
+            df = df_cached = df.persist()
+            n_rows = df.count()
+        bits_per_band = derived_bits_per_band(
+            n_rows, target_bucket_rows, floor=bits_per_band
         )
-        bits_per_band = min(28, max(bits_per_band, derived))
     planes = hyperplanes(
         dim=_dim_hint(df, vec_col), bits=bands * bits_per_band, seed=seed
     )
     sig_udf = band_signature_udf(planes, bands)
-    from tsdb_parquet_spark.catalog import spread
-
-    df = spread(df)
     # persist the exploded buckets: the self-join would otherwise evaluate
     # the Arrow signature kernel once per join side
     buckets = (
@@ -231,6 +269,8 @@ def near_duplicate_pairs(
         # repeated calls don't leak storage memory
         out = out.localCheckpoint(eager=True)
         buckets.unpersist()
+        if df_cached is not None:
+            df_cached.unpersist()
     return out
 
 
@@ -686,6 +726,64 @@ def sql_band_signatures(
         sql_signature(vec_col, planes[j * bpb : (j + 1) * bpb])
         for j in range(bands)
     ]
+
+
+def sql_derived_bits(
+    count_expr: str,
+    target_bucket_rows: int,
+    floor: int = 8,
+    cap: int = 28,
+) -> str:
+    """Oracle twin of :func:`derived_bits_per_band`: the same
+    clamp(ceil(log2(n/target))) computed by DuckDB from a COUNT(*)
+    expression, so the oracle's bucket width tracks the engine's at any
+    corpus size instead of being pinned at authoring time."""
+    return (
+        f"LEAST({cap}, GREATEST({floor}, CAST(ceil(log2(GREATEST(2.0, "
+        f"{count_expr} / {float(target_bucket_rows)!r}))) AS INTEGER)))"
+    )
+
+
+def sql_sign_bits(vec_col: str, planes: list[list[int]]) -> str:
+    """Per-vector hyperplane sign bits as a DuckDB list (one 0/1 element
+    per plane, plane order = generation order).  Because
+    :func:`hyperplanes` is prefix-stable in the plane index, an oracle
+    can emit this list at CAP width once and let
+    :func:`sql_dynamic_band_signature` slice band j's bits out at the
+    runtime-derived width — the bit for plane k is signs[k+1] regardless
+    of how many planes the engine actually used.
+
+    Emitted as ONE nested lambda over a single plane-matrix literal
+    (not len(planes) separate CASE expressions): DuckDB evaluates the
+    matrix literal once and the fold stays in one vectorized expression
+    — measured ~300x faster at 112 planes.  Wrap the consuming CTE in
+    ``AS MATERIALIZED`` so multi-referenced CTEs don't recompute it."""
+    dim = len(planes[0])
+    mat = (
+        "["
+        + ", ".join(sql_vector_literal(p) for p in planes)
+        + "]"
+    )
+    return (
+        f"list_transform({mat}, p -> CASE WHEN "
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({vec_col}[i] AS DOUBLE) * p[i])) > 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def sql_dynamic_band_signature(
+    signs_col: str, band_expr: str, bits_expr: str
+) -> str:
+    """Band signature from a sign-bit list at a runtime bit width: band
+    ``band_expr`` (0-based) at width ``bits_expr`` packs bits MSB-first
+    exactly like :func:`band_signature_udf`'s weight vector
+    (bit i weight 2^(b-1-i)), using planes [band*b, band*b+b)."""
+    return (
+        f"list_sum(list_transform(range(0, {bits_expr}), i -> "
+        f"{signs_col}[{band_expr} * {bits_expr} + i + 1] * "
+        f"CAST(round(pow(2, {bits_expr} - 1 - i)) AS BIGINT)))"
+    )
 
 
 def sql_centroid_dots(vec_col: str, centroids: list[list[float]]) -> str:

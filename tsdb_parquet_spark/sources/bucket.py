@@ -278,17 +278,10 @@ class ChunkedBucketReader:
         self.max_read_size = max_read_size
         self.concurrency = concurrency
         self._pool: ThreadPoolExecutor | None = None
-
-    def _get_pool(self) -> ThreadPoolExecutor:
-        # one persistent pool per reader, reused across read_at calls —
-        # the analog of the reference's long-lived 16 goroutines; a
-        # fresh pool per call pays thread spawn/join on every multi-part
-        # read.  Lazily created so small-read-only consumers never spawn
-        # threads; workers exit with the interpreter (concurrent.futures
-        # joins them at exit).
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(max_workers=self.concurrency)
-        return self._pool
+        # serializes pool create/submit/teardown: close() racing a
+        # concurrent read_at must not hand that read a shut-down
+        # executor (RuntimeError on submit)
+        self._pool_lock = threading.Lock()
 
     def read_at(self, off: int, length: int) -> bytes:
         if length <= self.max_read_size:
@@ -297,17 +290,36 @@ class ChunkedBucketReader:
         for start in range(0, length, self.max_read_size):
             end = min(start + self.max_read_size, length)
             parts.append((off + start, end - start))
-        pool = self._get_pool()
-        chunks = list(pool.map(lambda p: self.reader.read_at(*p), parts))
-        return b"".join(chunks)
+        # one persistent pool per reader, reused across read_at calls —
+        # the analog of the reference's long-lived 16 goroutines; a
+        # fresh pool per call pays thread spawn/join on every multi-part
+        # read.  Lazily created so small-read-only consumers never spawn
+        # threads.  The lock is held through SUBMISSION (Executor.map
+        # submits all futures eagerly before returning) so a concurrent
+        # close() can never shut the pool down between creation and
+        # submit; result consumption happens outside the lock.
+        with self._pool_lock:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.concurrency)
+            results = self._pool.map(
+                lambda p: self.reader.read_at(*p), parts
+            )
+        return b"".join(results)
 
     def close(self) -> None:
         """Release pool threads.  Without this a long-lived process that
         creates many readers accumulates up to ``concurrency`` idle
-        threads per instance until interpreter exit."""
-        if self._pool is not None:
-            self._pool.shutdown(wait=False)
-            self._pool = None
+        threads per instance until interpreter exit.
+
+        Safe against a concurrent ``read_at``: the lock covers the
+        reader's create+submit critical section, so a read either has
+        fully enqueued its work before shutdown (``shutdown(wait=False)``
+        lets queued work finish, only rejecting NEW submissions) or
+        re-creates a fresh pool afterwards."""
+        with self._pool_lock:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
 
     def __del__(self) -> None:  # pragma: no cover - GC timing
         try:
@@ -321,10 +333,12 @@ class ChunkedBucketReader:
     def __getstate__(self) -> dict:
         state = self.__dict__.copy()
         state["_pool"] = None
+        state.pop("_pool_lock", None)  # locks are unpicklable
         return state
 
     def __setstate__(self, state: dict) -> None:
         self.__dict__.update(state)
+        self._pool_lock = threading.Lock()
 
 
 class BucketFile(io.RawIOBase):

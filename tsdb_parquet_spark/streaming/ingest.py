@@ -166,6 +166,17 @@ class StreamingChunkIngestor:
         from tsdb_parquet_spark.sources.writer import write_sorted
 
         w = self.writer
+        # idempotence: a second finalize() on an already-quiescent store
+        # (no live parts, and the current compact is a finalize output —
+        # marked by its SERIES_ID column) must be a no-op, not a full
+        # rewrite into a fresh compact.N that doubles on-disk data until
+        # vacuum.  Schema-only read: just the parquet footer.
+        if not list(w.part_dirs):
+            prev = w._resolve_compact()
+            if prev is not None and SERIES_ID in self.spark.read.parquet(
+                prev
+            ).columns:
+                return prev
         path: str | None = None
         for _pass in range(20):
             parts = list(w.part_dirs)
