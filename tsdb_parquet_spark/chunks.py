@@ -74,7 +74,17 @@ def decode_chunk_udf(blobs: pa.Array) -> pa.Array:
     formulation is ~10x slower and dominated every scan at 100 TB scale).
     The only Python loop is per-chunk (copying each blob's payload into
     the flat buffer), not per-sample.
-    """
+
+    Codec auto-detection per blob: the engine's raw layout is
+    self-describing by exact length (``xorchunk.is_raw_chunk``);
+    anything else decodes as a Prometheus/Gorilla XOR chunk — so a
+    parquet file written by the reference's ``cmd/convert``
+    (`schema/chunk.go:35-36`, real XOR payloads per
+    `db/writer_test.go:145-150`) reads through the same scan plan,
+    which the reference itself never could (its iterator is the stub
+    above)."""
+    from tsdb_parquet_spark.xorchunk import decode_xor_chunk
+
     if isinstance(blobs, pa.ChunkedArray):
         blobs = blobs.combine_chunks()
     # explicit buffer math (BinaryArray has no .offsets accessor):
@@ -82,17 +92,30 @@ def decode_chunk_udf(blobs: pa.Array) -> pa.Array:
     # and both 32-bit (binary) and 64-bit (large_binary) offset widths
     off_dtype = np.int64 if pa.types.is_large_binary(blobs.type) else np.int32
     off_buf = np.frombuffer(blobs.buffers()[1], dtype=off_dtype)
-    starts = off_buf[blobs.offset : blobs.offset + len(blobs)]
+    bounds = off_buf[blobs.offset : blobs.offset + len(blobs) + 1]
+    starts = bounds[:-1]
     mem = memoryview(blobs.buffers()[2])
     counts = np.empty(len(blobs), dtype=np.int64)
     flat_parts = []
     for i in range(len(blobs)):
         base = starts[i]
-        (n,) = struct.unpack_from("<I", mem, base)
-        counts[i] = n
-        flat_parts.append(
-            np.frombuffer(mem, dtype=np.int64, count=2 * n, offset=base + 4)
-        )
+        blob_len = bounds[i + 1] - base
+        if blob_len >= 4:
+            (n,) = struct.unpack_from("<I", mem, base)
+        else:
+            n = -1
+        if blob_len == 4 + 16 * n:  # raw layout: zero-copy slice
+            counts[i] = n
+            flat_parts.append(
+                np.frombuffer(mem, dtype=np.int64, count=2 * n, offset=base + 4)
+            )
+            continue
+        ts, vals = decode_xor_chunk(bytes(mem[base : base + blob_len]))
+        counts[i] = len(ts)
+        interleaved = np.empty(2 * len(ts), dtype=np.int64)
+        interleaved[0::2] = ts
+        interleaved[1::2] = vals.view(np.int64)
+        flat_parts.append(interleaved)
     flat = (
         np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64)
     )
@@ -135,6 +158,29 @@ def encode_chunk_udf(samples: pa.Array) -> pa.Array:
     return pa.array(blobs, pa.binary())
 
 
+@arrow_udf(T.BinaryType())
+def encode_xor_chunk_udf(samples: pa.Array) -> pa.Array:
+    """Prometheus/Gorilla XOR encode (`xorchunk.py`): per-chunk Python
+    over the Arrow batch's flat buffers — the interop write path for
+    producing stores byte-compatible with the reference's converter
+    output (`cmd/convert/main.go:107`).  Use :func:`encode_chunk_udf`
+    (memcpy-speed raw layout) for engine-native stores."""
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    if isinstance(samples, pa.ChunkedArray):
+        samples = samples.combine_chunks()
+    counts = pa.compute.list_value_length(samples).to_numpy().astype(np.int64)
+    flat = samples.flatten()
+    ts = flat.field("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = flat.field("value").to_numpy(zero_copy_only=False).astype(np.float64)
+    ends = np.cumsum(counts)
+    blobs = []
+    for i in range(len(counts)):
+        s, e = ends[i] - counts[i], ends[i]
+        blobs.append(encode_xor_chunk(ts[s:e], vals[s:e]))
+    return pa.array(blobs, pa.binary())
+
+
 def samples_to_chunks(
     samples: DataFrame,
     label_columns: Sequence[str],
@@ -142,6 +188,7 @@ def samples_to_chunks(
     value_col: str = "value",
     chunk_span_ms: int = DEFAULT_CHUNK_SPAN_MS,
     assign_series_ids: bool = True,
+    encoding: str = "raw",
 ) -> DataFrame:
     """Convert a samples DataFrame (int64 ms ``ts_col``, double
     ``value_col``, string label columns) into the chunk table.
@@ -156,7 +203,14 @@ def samples_to_chunks(
     array_sort); Python only packs bytes, vectorized over whole Arrow
     batches.  The dense_rank for series ids runs over the distinct-series
     reduction, so its window input is |series|, not |chunks|.
+
+    ``encoding``: ``"raw"`` (default, the engine's batch-decodable
+    layout) or ``"xor"`` (Prometheus/Gorilla bytes, interop with the
+    reference's converted blocks — readers auto-detect per blob).
     """
+    if encoding not in ("raw", "xor"):
+        raise ValueError(f"unknown chunk encoding {encoding!r}")
+    encoder = encode_chunk_udf if encoding == "raw" else encode_xor_chunk_udf
     labels = list(label_columns)
     bucket = F.expr(f"{ts_col} div {int(chunk_span_ms)}").alias("__bucket")
     # missing-label convention enforced at WRITE time (`schema/chunk.go:
@@ -178,7 +232,7 @@ def samples_to_chunks(
         # sample order contract
         F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("__samples"),
     )
-    chunks = agg.withColumn(CHUNK_BYTES, encode_chunk_udf(F.col("__samples"))).drop(
+    chunks = agg.withColumn(CHUNK_BYTES, encoder(F.col("__samples"))).drop(
         "__samples"
     )
 

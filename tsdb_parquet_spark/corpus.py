@@ -4470,6 +4470,108 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q103_xor_chunk_interop",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+xc AS (
+  SELECT event_type, count(*) AS n_xor_chunks FROM (
+    SELECT DISTINCT event_type, shard, ts_ms // {_DAY_MS} AS bucket
+    FROM s WHERE CAST(shard AS INTEGER) >= 4
+  ) GROUP BY event_type
+)
+SELECT s.event_type,
+       count(*) AS n_samples,
+       round(sum(s.value), 2) AS sum_value,
+       min(s.ts_ms) AS min_ts,
+       max(s.ts_ms) AS max_ts,
+       coalesce(max(xc.n_xor_chunks), 0) AS n_xor_chunks
+FROM s LEFT JOIN xc ON s.event_type = xc.event_type
+GROUP BY s.event_type
+ORDER BY s.event_type""",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus XOR chunk interop (`xorchunk.py`): shards 0-3 encode
+    into the engine's raw layout, shards 4-7 into Gorilla/Prometheus XOR
+    bytes — the exact format the reference's converter stores verbatim
+    (`cmd/convert/main.go:107`, `schema/chunk.go:35-36`) and its own
+    iterator never decodes (`prometheus/chunks_iterator.go:12-24`) —
+    then ONE scan decodes both via per-blob codec sniffing and
+    aggregates the samples.  ``n_xor_chunks`` counts blobs whose length
+    breaks the raw layout's 4+16n self-description, pinning that the
+    XOR path actually ran (if the union silently produced raw bytes the
+    count would be 0, not the oracle's per-type day-chunk count)."""
+    from tsdb_parquet_spark.chunks import (
+        decode_chunk_udf,
+        samples_to_chunks,
+    )
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+    kw = dict(chunk_span_ms=_DAY_MS, assign_series_ids=False)
+    chunks = samples_to_chunks(
+        samples.filter(F.col("shard").cast("int") < 4), _CHUNK_LABELS, **kw
+    ).unionByName(
+        samples_to_chunks(
+            samples.filter(F.col("shard").cast("int") >= 4),
+            _CHUNK_LABELS,
+            encoding="xor",
+            **kw,
+        )
+    )
+    # replicate the decoder's sniff exactly (xorchunk.is_raw_chunk):
+    # length == 4 + 16 * uint32_le(bytes[0:4]).  An XOR blob's first four
+    # bytes (BE16 count + varint t0 bytes with high bits set) decode to a
+    # huge LE uint32, so this never collides — unlike comparing against
+    # the DECODED sample count, where an XOR chunk can compress to
+    # exactly 4+16k bytes by coincidence.
+    header_n = F.expr(
+        f"conv(hex(substring({CHUNK_BYTES}, 4, 1) || "
+        f"substring({CHUNK_BYTES}, 3, 1) || "
+        f"substring({CHUNK_BYTES}, 2, 1) || "
+        f"substring({CHUNK_BYTES}, 1, 1)), 16, 10)"
+    ).cast("long")
+    decoded = chunks.withColumn(
+        "__samples", decode_chunk_udf(F.col(CHUNK_BYTES))
+    ).withColumn(
+        "__is_xor",
+        (F.length(F.col(CHUNK_BYTES)) != header_n * 16 + F.lit(4)).cast(
+            "int"
+        ),
+    )
+    return (
+        decoded.select(
+            "event_type",
+            "__is_xor",
+            F.posexplode("__samples").alias("pos", "s"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.sum(
+                F.when(F.col("pos") == 0, F.col("__is_xor")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_xor_chunks"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
