@@ -2,6 +2,8 @@
 must hash-match DuckDB at sf0.01 (column names, row count, canonical
 order-insensitive values)."""
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -50,29 +52,92 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round6_composition():
+def test_driver_window_round7_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-6 window so an accidental registry edit cannot silently push a
-    due row (r03/r04 backlog, new, or changed-code) out of the window.
+    round-7 window so an accidental registry edit cannot silently push a
+    due row (r04 backlog, new, or changed-code) out of the window.
     Update this list ONLY together with the rotation comment in
     corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # oldest driver signal (r03)
-        "q61_gap_fill_linear", "q62_simhash_near_dup", "q63_weighted_sample",
-        # introduced this round
-        "q101_png_pixel_pipeline", "q102_promql_sort_by_label",
-        # code changed this round
-        "q10_write_compact_roundtrip", "q29_multimodal_metadata",
-        "q83_store_maintenance", "q92_semantic_dedup",
-    }
-    assert must_be_in <= set(window), sorted(must_be_in - set(window))
-    # deferred rows (documented in the rotation comment) are NOT in it
-    deferred = {
+        # last driver signal r04 — the 2-round rotation bound binds
         "q05_distinct", "q06_first_per_key", "q07_groupby_agg",
         "q11_predicate_order", "q14_multi_projection", "q15_empty_result",
+        # introduced this round
+        "q103_xor_chunk_interop", "q104_writer_layout_contract",
+        # code changed this round
+        "q28_embedding_near_dup", "q21_streaming_ingest",
+        "q83_store_maintenance",
     }
-    assert not (deferred & set(window))
+    assert must_be_in <= set(window), sorted(must_be_in - set(window))
     assert len(window) == len(set(window)) == 50
+
+
+def _last_green_rounds():
+    """name -> latest round whose CORRECTNESS_r*.json shows a full pass."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        for name, rec in json.load(open(path)).items():
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and rec.get("err") is None
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last, (max(rounds) if rounds else 0)
+
+
+def test_rotation_invariant_no_silent_staleness():
+    """The policy the round-6 verdict asked to pin: every registry row
+    whose most recent driver-green is >= 2 rounds old by the UPCOMING
+    round must be inside the 50-row window — or explicitly recorded in
+    DEFERRED_WITH_COVERAGE with coverage rows that ARE in the window.
+    New rows (never driver-checked) must be in the window in their
+    introduction round."""
+    from tsdb_parquet_spark.corpus import DEFERRED_WITH_COVERAGE, REGISTRY
+
+    last, latest_round = _last_green_rounds()
+    upcoming = latest_round + 1
+    window = set(list(REGISTRY)[:50])
+
+    violations = []
+    for name in REGISTRY:
+        green = last.get(name)
+        if green is None:
+            # never driver-checked: must debut inside the window
+            if name not in window:
+                violations.append(f"{name}: new row outside window")
+            continue
+        if upcoming - green >= 2 and name not in window:
+            if name not in DEFERRED_WITH_COVERAGE:
+                violations.append(
+                    f"{name}: last green r{green:02d}, not in window, "
+                    "no documented deferral"
+                )
+    assert not violations, violations
+
+    # deferral hygiene: deferred rows are really out of the window, their
+    # coverage rows really in it, and nothing rides the deferral list two
+    # rotations in a row (a deferred row must come back next round)
+    for name, cover in DEFERRED_WITH_COVERAGE.items():
+        assert name in REGISTRY, name
+        assert name not in window, f"{name} deferred but in window"
+        missing = [c for c in cover if c not in window]
+        assert not missing, f"{name}: coverage rows {missing} not in window"
+        green = last.get(name)
+        assert green is not None and upcoming - green <= 2, (
+            f"{name}: deferral would leave it >2 rounds stale "
+            f"(last green r{green})"
+        )

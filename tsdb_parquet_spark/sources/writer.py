@@ -61,6 +61,11 @@ class WriterOptions:
     #: the driver prunes whole directories before any footer is read —
     #: coarser and cheaper than row-group zone maps
     partition_by: list[str] = field(default_factory=list)
+    #: parquet row-group byte target (parquet.block.size).  None keeps the
+    #: parquet-java default (128 MiB); smaller groups buy finer row-group
+    #: zone-map pruning at more footer metadata — the same trade the
+    #: reference makes at page level with its 8 KiB pages
+    row_group_bytes: int | None = None
 
     def apply(self, writer):
         writer = (
@@ -71,6 +76,10 @@ class WriterOptions:
             # (`db/writer.go:205` parquet.DataPageStatistics(true))
             .option("parquet.page.write-checksum.enabled", "false")
         )
+        if self.row_group_bytes:
+            writer = writer.option(
+                "parquet.block.size", str(self.row_group_bytes)
+            )
         for col in self.bloom_columns:
             # split-block bloom filter per label column
             # (`db/writer.go:55-58`, 10 bits/value)
