@@ -10,6 +10,14 @@ Spark's own scan machinery.  The hadoop-aws + aws-sdk jars are not
 bundled with PySpark; when they are absent (this sandbox — no network to
 fetch them) every test here skip-marks, and `sources/object_store.py`'s
 connector tuning remains config-only, exactly as documented.
+
+Offline-jar probe (round 7, negative): searched the whole image —
+pyspark/jars (only hadoop-client-api/runtime), every *.jar under /root
+/opt /usr, the coursier cache (~/.cache/coursier), and ~/.m2 / ~/.ivy2
+(absent) — for hadoop-aws*, aws-java-sdk*, or the v2 bundle-*.jar.
+None exist, so this test CANNOT be un-skipped from local artifacts;
+closing it needs a network fetch of hadoop-aws + aws-sdk-bundle
+matching hadoop-client 3.4.x.
 """
 
 from __future__ import annotations
