@@ -174,6 +174,39 @@ def build_sf1(spark) -> None:
     )
 
 
+#: second scale step (round-6 verdict item 5): 30x documents, so the
+#: sf1->sf3 ratio turns the "overhead-dominated at sf1" ARGUMENT into a
+#: MEASUREMENT — per-10x growth extrapolated from the 3x step must stay
+#: <= 3.0 for the heavy text rows
+COPIES_SF3 = 30
+SF3 = os.path.join(WORK, "sf3")
+
+
+def build_sf3_documents(spark) -> None:
+    """30x documents with the same word-suffix decorrelation as sf1 (the
+    flagged heavy rows — q69/q70/q93 — are documents-only, so sf3 skips
+    embeddings/events)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    copies = []
+    for k in range(COPIES_SF3):
+        d = docs
+        if k > 0:
+            d = d.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1·{k}")
+            )
+        copies.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SF3}/documents.parquet"
+    )
+
+
 def semantic_dedup_scaled(spark, sf_dir: str):
     """SemDeDup at the paper's operating point: k ∝ n (here n/250 so
     clusters stay ~250 vectors at both scales)."""
@@ -306,6 +339,76 @@ def main() -> None:
         print(json.dumps({k: v["ok"] for k, v in results.items()}))
         return
 
+    if "--step2" in sys.argv:
+        # two-step growth: time the flagged heavy text rows at sf1 AND
+        # sf3 (30x), extrapolate a per-10x ratio from the 3x step —
+        # log-linear: ratio_10x = (t_sf3/t_sf1) ^ (ln 10 / ln 3)
+        import math
+
+        names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+            "q69_decontaminate",
+            "q70_repetition_stats",
+            "q93_exact_substring_spans",
+        ]
+        if not os.path.exists(f"{SF1}/documents.parquet"):
+            build_sf1(spark)
+        if not os.path.exists(f"{SF3}/documents.parquet"):
+            t0 = time.perf_counter()
+            build_sf3_documents(spark)
+            print(f"built {SF3} in {time.perf_counter() - t0:.1f}s")
+        step2: dict[str, dict] = {}
+        for name in names:
+            fn = qs[name]
+            # warm the plan shape untimed at sf0.1
+            try:
+                fn(spark, SF01).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                print(f"warm {name}: {exc}", file=sys.stderr)
+            row = {}
+            for label, sf_dir in [("sf1", SF1), ("sf3", SF3)]:
+                best = None
+                for _ in range(2):
+                    start = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    elapsed = round(time.perf_counter() - start, 3)
+                    best = elapsed if best is None else min(best, elapsed)
+                row[label] = best
+            ratio_3x = row["sf3"] / row["sf1"]
+            row["ratio_sf1_to_sf3"] = round(ratio_3x, 2)
+            row["ratio_per_10x_extrapolated"] = round(
+                ratio_3x ** (math.log(10) / math.log(3)), 2
+            )
+            row["growth_exponent"] = round(
+                math.log(ratio_3x) / math.log(3), 2
+            )
+            step2[name] = row
+            print(name, row, flush=True)
+        doc = _load_bench()
+        doc["step2_sf1_to_sf3"] = {
+            "note": (
+                "second scale step: sf3 = 30x sf0.1 documents (same "
+                "word-suffix decorrelation). growth_exponent e means "
+                "wall ~ n^e over the sf1->sf3 step; "
+                "ratio_per_10x_extrapolated = (t3/t1)^(ln10/ln3), "
+                "target <= 3.0"
+            ),
+            "rows": step2,
+        }
+        with open(BENCH_PATH, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        print(
+            json.dumps(
+                {
+                    k: v["ratio_per_10x_extrapolated"]
+                    for k, v in step2.items()
+                }
+            )
+        )
+        return
+
     if "--store" in sys.argv:
         if not os.path.exists(f"{SF1}/events.parquet"):
             build_sf1_events(spark)
@@ -390,7 +493,7 @@ def main() -> None:
         "rows": prior_rows,
         **carry,
     }
-    with open(path, "w") as fh:
+    with open(BENCH_PATH, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     print(json.dumps({k: v.get("ratio_per_10x") for k, v in record.items()}))

@@ -523,24 +523,41 @@ _P_STEP = _DAY_MS
 _P_LOOKBACK = 6 * 3600 * 1000
 
 
-def _promql_samples(spark: SparkSession, sf_dir: str):
-    """samples via the full pipeline: events -> chunks -> sorted parquet ->
-    querier -> decode."""
+# One engine per (session, sf, flavor), with shared_scan on: ~30 corpus
+# rows evaluate over the SAME bounded events working set, so the decode
+# scan materializes once per session (first PromQL row pays it) and every
+# later row starts from the checkpointed blocks — smaller novel plans
+# (cheaper first-execution codegen, the r05/r06 phantom-regression cause)
+# and no repeated scan+decode.  Keyed by applicationId so a fresh session
+# never sees a dead session's checkpoint references.
+_PROMQL_ENGINES: dict[tuple, object] = {}
+
+
+def _promql_engine(spark: SparkSession, sf_dir: str, extrapolate: bool):
     from tsdb_parquet_spark.plans.promql import PromQLEngine
     from tsdb_parquet_spark.querier import ChunkQuerier
 
-    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
-    return PromQLEngine(q.select_samples(labels=_CHUNK_LABELS))
+    key = (spark.sparkContext.applicationId, sf_dir, extrapolate)
+    eng = _PROMQL_ENGINES.get(key)
+    if eng is None:
+        q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
+        eng = PromQLEngine(
+            q.select_samples(labels=_CHUNK_LABELS),
+            extrapolate=extrapolate,
+            shared_scan=True,
+        )
+        _PROMQL_ENGINES[key] = eng
+    return eng
+
+
+def _promql_samples(spark: SparkSession, sf_dir: str):
+    """samples via the full pipeline: events -> chunks -> sorted parquet ->
+    querier -> decode; engine shared per session (see _promql_engine)."""
+    return _promql_engine(spark, sf_dir, extrapolate=False)
 
 
 def _promql_samples_extrapolated(spark: SparkSession, sf_dir: str):
-    from tsdb_parquet_spark.plans.promql import PromQLEngine
-    from tsdb_parquet_spark.querier import ChunkQuerier
-
-    q = ChunkQuerier.from_parquet(spark, events_chunk_store(spark, sf_dir))
-    return PromQLEngine(
-        q.select_samples(labels=_CHUNK_LABELS), extrapolate=True
-    )
+    return _promql_engine(spark, sf_dir, extrapolate=True)
 
 
 @query(

@@ -1076,6 +1076,7 @@ class PromQLEngine:
         samples: DataFrame,
         metric_label: str = "__name__",
         extrapolate: bool = False,
+        shared_scan: bool = False,
     ):
         #: ``extrapolate=True`` enables Prometheus's window-edge
         #: extrapolation for rate/increase (see _range_value); the default
@@ -1084,9 +1085,36 @@ class PromQLEngine:
         self.samples = samples
         self.metric_label = metric_label
         self.extrapolate = extrapolate
+        #: ``shared_scan=True`` materializes the samples frame ONCE per
+        #: engine lifetime (lazy localCheckpoint, first query pays it) and
+        #: serves every subsequent selector from the checkpointed blocks.
+        #: This is the multi-query session accelerator: each query's plan
+        #: starts at a block scan instead of re-running scan+decode, so
+        #: both the per-query wall time AND the first-execution Catalyst/
+        #: codegen cost shrink (smaller novel plan trees).  The trade,
+        #: accepted explicitly: selector matchers no longer reach the
+        #: parquet scan (the decode runs once WITHOUT pushdown), and the
+        #: whole frame is held in executor block storage — so enable it
+        #: only when the samples frame is already time/series-bounded to a
+        #: working set many queries will share, never on an unbounded
+        #: 100 TB store.  Default off: single-query evaluation keeps full
+        #: predicate pushdown.
+        self._shared_scan = shared_scan
+        self._scan_pin: DataFrame | None = None
         self.label_columns = [
             c for c in samples.columns if c not in ("ts", "value")
         ]
+
+    def _samples_frame(self) -> DataFrame:
+        """Selector input: the raw samples plan, or the engine-lifetime
+        checkpoint when ``shared_scan`` is on.  Deliberately NOT dropped
+        by :meth:`release_cache` — that method scopes per-evaluation CSE
+        pins; this pin is the cross-evaluation working set."""
+        if not self._shared_scan:
+            return self.samples
+        if self._scan_pin is None:
+            self._scan_pin = self.samples.localCheckpoint(eager=False)
+        return self._scan_pin
 
     def query_range(
         self,
@@ -1800,7 +1828,7 @@ class PromQLEngine:
         matchers = list(expr.matchers)
         if expr.metric:
             matchers.append(Matcher(self.metric_label, "=", expr.metric))
-        df = self.samples
+        df = self._samples_frame()
         selector_matches_nothing = False
         for m in matchers:
             if m.name in df.columns:
