@@ -996,3 +996,25 @@ def test_scalar_fold_ieee_domains():
     # end-to-end: folding these does not raise at parse time
     parse_promql("m + 1 % 0")
     parse_promql("m * (0 ^ 2)")
+
+
+def test_shared_scan_same_results_and_persistent_pin(spark):
+    """shared_scan=True must be result-invariant (filters apply after the
+    checkpoint instead of before the scan) and the scan pin must survive
+    release_cache (which scopes per-evaluation CSE pins), so a second
+    query_range reuses the materialized frame instead of re-decoding."""
+    plain = PromQLEngine(_stub_samples(spark))
+    shared = PromQLEngine(_stub_samples(spark), shared_scan=True)
+    for promql in (
+        "sum(http_requests_total)",
+        'http_requests_total{job="api"}',
+        "count_over_time(http_requests_total[2m])",
+    ):
+        a = plain.query_range(promql, 0, 300_000, 60_000).collect()
+        b = shared.query_range(promql, 0, 300_000, 60_000).collect()
+        assert a == b, promql
+    pin = shared._scan_pin
+    assert pin is not None
+    shared.query_range("sum(http_requests_total)", 0, 300_000, 60_000).collect()
+    assert shared._scan_pin is pin  # one checkpoint per engine lifetime
+    assert plain._scan_pin is None  # default off: raw plan, full pushdown
