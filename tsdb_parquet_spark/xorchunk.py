@@ -36,9 +36,11 @@ Pure-Python bit I/O, per-chunk: this is the interop path, not the hot
 scan path — the engine's own raw layout (`chunks.py`) decodes whole
 Arrow batches with zero per-sample Python.  The Arrow UDF wrappers in
 `chunks.py` auto-detect the codec per blob, so mixed stores read
-transparently; throughput is ~1000 chunks/s/core here vs memcpy-speed
-for the raw codec (measured; fine for converted-block ingest, which is
-one-shot).
+transparently.  Throughput measured ~2200 chunks/s/core (~0.27
+Msamples/s at 120-sample chunks) vs memcpy-speed for the raw codec —
+fine for converted-block ingest, which is a one-shot migration; a
+store that will be queried repeatedly should be rewritten to the raw
+layout on ingest (one decode+encode pass).
 """
 
 from __future__ import annotations
