@@ -313,6 +313,11 @@ def main() -> None:
             build_sf1_events(spark)
         names = [
             "q22_exact_dedup",
+            # q28 at sf1 is the REAL dynamic-width proof: n=20050 derives
+            # bits_per_band=11 (above the 8-bit floor), so a hash match
+            # here shows engine and oracle computing the SAME width from
+            # COUNT(*) — not just agreeing at the floor like sf0.01
+            "q28_embedding_near_dup",
             "q30_text_analysis",
             "q34_promql_rate",
             "q43_promql_counter_reset",
