@@ -247,3 +247,46 @@ def test_tsdb_stats_counts(spark, tmp_path):
         "label_values:shard": 2,
         "series": 3,
     }
+
+
+def test_querier_over_xor_store_matches_raw(spark):
+    """File-level interop end-to-end: the SAME fixture written once with
+    the engine's raw codec and once as Prometheus/Gorilla XOR bytes (what
+    the reference's cmd/convert stores verbatim, `cmd/convert/main.go:
+    107`) must yield identical samples through ChunkQuerier — the querier
+    never knows which codec a store carries (per-blob sniffing in
+    decode_chunk_udf)."""
+    import shutil
+
+    samples = _fixture_samples(spark)
+    stores = {}
+    for enc in ("raw", "xor"):
+        chunks = samples_to_chunks(
+            samples, LABELS, chunk_span_ms=MINUTE, encoding=enc
+        )
+        opts = WriterOptions(
+            sort_columns=sort_columns(LABELS), max_files=2
+        )
+        root = os.path.join(WORK, f"interop_{enc}")
+        shutil.rmtree(root, ignore_errors=True)
+        writer = SortedParquetWriter(spark, root, opts)
+        writer.write(chunks)
+        stores[enc] = writer.compact()
+    # XOR chunk bytes are genuinely different on disk...
+    raw_bytes = spark.read.parquet(stores["raw"]).select("__chunk_bytes")
+    xor_bytes = spark.read.parquet(stores["xor"]).select("__chunk_bytes")
+    assert (
+        raw_bytes.exceptAll(xor_bytes).count() == raw_bytes.count()
+    ), "xor store unexpectedly carries raw-layout blobs"
+    # ...but the decoded sample sets are identical
+    out = {}
+    for enc, store_dir in stores.items():
+        q = ChunkQuerier.from_parquet(spark, store_dir)
+        out[enc] = sorted(
+            (r["__name__"], r["instance"], r["job"], r["ts"], r["value"])
+            for r in q.select_samples(
+                matchers=[Matcher("job", "!=", "kubelet")], labels=LABELS
+            ).collect()
+        )
+    assert out["raw"] == out["xor"]
+    assert len(out["raw"]) == 3 * 6  # 3 surviving series x 6 samples
