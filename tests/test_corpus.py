@@ -76,18 +76,20 @@ def test_driver_window_round7_composition():
 
 
 def _last_green_rounds():
-    """name -> latest round whose CORRECTNESS_r*.json shows a full pass."""
+    """(name -> latest full-pass round, latest round, latest round's
+    checked-name set) from the committed CORRECTNESS_r*.json records."""
     import glob
     import json
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last = {}
-    rounds = []
+    rounds = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        rounds.append(rnd)
-        for name, rec in json.load(open(path)).items():
+        recs = json.load(open(path))
+        rounds[rnd] = set(recs)
+        for name, rec in recs.items():
             ok = (
                 rec.get("rows_match")
                 and rec.get("schema_match")
@@ -96,7 +98,8 @@ def _last_green_rounds():
             )
             if ok:
                 last[name] = max(last.get(name, 0), rnd)
-    return last, (max(rounds) if rounds else 0)
+    latest = max(rounds) if rounds else 0
+    return last, latest, rounds.get(latest, set())
 
 
 def test_rotation_invariant_no_silent_staleness():
@@ -108,9 +111,18 @@ def test_rotation_invariant_no_silent_staleness():
     introduction round."""
     from tsdb_parquet_spark.corpus import DEFERRED_WITH_COVERAGE, REGISTRY
 
-    last, latest_round = _last_green_rounds()
-    upcoming = latest_round + 1
+    last, latest_round, latest_checked = _last_green_rounds()
     window = set(list(REGISTRY)[:50])
+    # Which round is this window FOR?  Mid-round (the driver has not run
+    # yet) the window serves latest+1.  Once the driver records a round
+    # whose checked set IS this window, the window has served its round —
+    # judge it against that round, not the next one (rotating for the
+    # next round is the next builder session's first move, tracked by the
+    # round-stamped composition test above).
+    if latest_checked == window:
+        upcoming = latest_round
+    else:
+        upcoming = latest_round + 1
 
     violations = []
     for name in REGISTRY:
