@@ -386,3 +386,39 @@ def test_png_pipeline_is_spread(spark, sf_oracle):
         media.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_promql_shared_scan_replaces_parquet_scan(spark, tmp_path):
+    """With shared_scan on, the SECOND query's physical plan must read
+    the checkpointed RDD, not the parquet files: the session pays the
+    scan+decode once and every later plan starts at a block scan (the
+    r07 cold-codegen fix).  Default engines keep the parquet scan (and
+    with it matcher pushdown)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("http_requests_total", "api", float(t), t * 30_000)
+        for t in range(10)
+    ]
+    src = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, value DOUBLE, ts LONG"
+    ).select("__name__", "job", "ts", "value")
+    path = str(tmp_path / "samples")
+    src.write.parquet(path)
+    samples = spark.read.parquet(path)
+
+    shared = PromQLEngine(samples, shared_scan=True)
+    first = shared.query_range("sum(http_requests_total)", 0, 270_000, 30_000)
+    first.collect()  # materializes the engine's checkpoint
+    second = shared.query_range(
+        'http_requests_total{job="api"}', 0, 270_000, 30_000
+    )
+    second.collect()
+    plan = _plan(second)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan rdd" in plan.lower(), plan
+
+    plain = PromQLEngine(samples)
+    q = plain.query_range('http_requests_total{job="api"}', 0, 270_000, 30_000)
+    q.collect()
+    assert "Scan parquet" in _plan(q)
