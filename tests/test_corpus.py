@@ -67,6 +67,7 @@ def test_driver_window_round7_composition():
         "q11_predicate_order", "q14_multi_projection", "q15_empty_result",
         # introduced this round
         "q103_xor_chunk_interop", "q104_writer_layout_contract",
+        "q105_tsdb_block_convert",
         # code changed this round
         "q28_embedding_near_dup", "q21_streaming_ingest",
         "q83_store_maintenance",

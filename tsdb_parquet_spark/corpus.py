@@ -4727,6 +4727,115 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_tsdb_block(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a REAL Prometheus TSDB block directory from the
+    events table: index + XOR chunk segment + meta.json
+    (`tsdb_block.write_block`).  The fixture construction collects the
+    encoded chunks driver-side (it is a test-data generator, like the
+    reference's own fixture writer `db/writer_test.go:145-150`); the
+    CONVERSION path q105 measures is fully distributed."""
+    import pandas as pd
+
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    block_dir = os.path.join(work, f"tsdb_block_{tag}")
+    if os.path.exists(os.path.join(block_dir, "meta.json")):
+        return block_dir
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "shard", "ts"], kind="mergesort")
+    )
+    rows["bucket"] = rows["ts"] // _DAY_MS
+    series = []
+    for (etype, shard), g in rows.groupby(["event_type", "shard"], sort=True):
+        chunks = []
+        for _, cg in g.groupby("bucket", sort=True):
+            ts = cg["ts"].to_numpy()
+            blob = encode_xor_chunk(ts, cg["value"].to_numpy())
+            chunks.append((int(ts[0]), int(ts[-1]), blob))
+        series.append(
+            (
+                {"__name__": "app_events", "event_type": etype, "shard": shard},
+                chunks,
+            )
+        )
+    write_block(block_dir, series)
+    return block_dir
+
+
+@query(
+    "q105_tsdb_block_convert",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+ch AS (
+  SELECT event_type, count(*) AS n_chunks FROM (
+    SELECT DISTINCT event_type, shard, ts_ms // {_DAY_MS} AS bucket FROM s
+  ) GROUP BY event_type
+)
+SELECT s.event_type,
+       count(*) AS n_samples,
+       round(sum(s.value), 2) AS sum_value,
+       min(s.ts_ms) AS min_ts,
+       max(s.ts_ms) AS max_ts,
+       count(DISTINCT s.shard) AS n_series,
+       max(ch.n_chunks) AS n_chunks
+FROM s JOIN ch ON s.event_type = ch.event_type
+GROUP BY s.event_type
+ORDER BY s.event_type""",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full `cmd/convert` parity (`cmd/convert/main.go:30-126`): events
+    are materialized as a REAL Prometheus TSDB block (index per
+    tsdb/docs/format/index.md, Gorilla XOR chunk segment, meta.json),
+    then `tsdb_block.block_to_chunk_frame` ingests the block exactly as
+    the reference's converter does — driver parses only the index,
+    executors fetch and CRC-verify chunk records per partition — and the
+    codec-sniffing decode turns the XOR payloads back into samples.  The
+    aggregate must hash-match the raw events: block write -> index walk
+    -> distributed record fetch -> XOR decode is lossless end-to-end.
+    The reference can only WRITE this layout to parquet; it cannot read
+    its own chunk bytes back (`prometheus/chunks_iterator.go:12-24`)."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import block_to_chunk_frame
+
+    block_dir = _events_tsdb_block(spark, sf_dir)
+    frame = block_to_chunk_frame(spark, block_dir)
+    decoded = frame.select(
+        "event_type",
+        "shard",
+        F.posexplode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("pos", "s"),
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_chunks"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -4748,14 +4857,16 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bound is binding (round-6 verdict item 1) — first: q05/q06/q07/
 #     q11/q14/q15.
 #   * NEW rows in their introduction round: q103 (Prometheus XOR chunk
-#     interop), q104 (writer physical-layout contract).
+#     interop), q104 (writer physical-layout contract), q105 (TSDB-block
+#     converter parity — real index/chunks-segment block ingested
+#     distributed, added late in round 7).
 #   * Rows whose code changed this round: q28 (near_duplicate_pairs now
 #     defaults to size-derived banding; its oracle went dynamic-width),
 #     q21 (ingest finalize gained the idempotent fast path), q83
 #     (store lifecycle sits on writer/maintenance paths touched by the
 #     WriterOptions.row_group_bytes addition + q83 was this round's
 #     profiling target).
-#   * The 39 remaining slots: the r05-green backlog, i.e. everything
+#   * The 38 remaining slots: the r05-green backlog, i.e. everything
 #     whose last driver green is r05 EXCEPT the 7 deferrals below.
 # Deferred to round 8 (r05-green rows that no longer fit; each with the
 # in-window row that still exercises its code path):
@@ -4769,6 +4880,8 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q40_rollup            -> q82 (same rollup-store read/routing path)
 #   q45_multi_store_merge -> q83 (same multi-root read_roots union path,
 #                            sources/writer.py)
+#   q25_ngram_jaccard     -> q23 + q22 (same dedup.py shingle tokenizer
+#                            and bucketed self-join family)
 # Also out-of-window: q10 (writer change is the no-op-default
 # row_group_bytes knob; q104 — in-window, new — exercises the writer
 # MORE deeply, with the knob set) and every r06-green row.  The 7
@@ -4792,6 +4905,9 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     # q83 drives the same multi-root read_roots union path
     # (sources/writer.py read_roots, shared by compact + read_snapshot)
     "q45_multi_store_merge": ("q83_store_maintenance",),
+    # same dedup.py shingle tokenizer + bucketed self-join family; q22
+    # covers the exact-dup groupBy the jaccard row post-filters
+    "q25_ngram_jaccard": ("q23_minhash_lsh_pairs", "q22_exact_dedup"),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -4805,6 +4921,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new this round
     "q103_xor_chunk_interop",
     "q104_writer_layout_contract",
+    "q105_tsdb_block_convert",
     # code changed this round
     "q28_embedding_near_dup",
     "q21_streaming_ingest",
@@ -4816,7 +4933,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q22_exact_dedup",
     "q23_minhash_lsh_pairs",
     "q24_simhash",
-    "q25_ngram_jaccard",
     "q26_cosine_topk",
     "q27_ann_lsh_topk",
     "q30_text_analysis",
@@ -4858,6 +4974,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q36_window_functions",
     "q40_rollup",
     "q45_multi_store_merge",
+    "q25_ngram_jaccard",
 ]
 
 
