@@ -81,11 +81,22 @@ for _n in range(256):
     _CRC32C_TABLE.append(_c)
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
+
+
+try:  # C-accelerated when available (the checksum dominates record
+    # fetch cost at scale); the table fallback is bit-identical
+    from crc32c import crc32c as _crc32c_c  # type: ignore
+
+    def crc32c(data: bytes, crc: int = 0) -> int:
+        return _crc32c_c(data, crc)
+
+except ImportError:  # pragma: no cover - environment-dependent
+    crc32c = _crc32c_py
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +433,12 @@ def block_to_chunk_frame(
 
     Driver side parses ONLY the index (series + chunk metas, the small
     part); payload reads run executor-side per partition against the
-    segment files, so chunk bytes never pass through the driver."""
+    segment files, so chunk bytes never pass through the driver.  The
+    per-chunk meta held on the driver is a few tens of bytes — the same
+    order as the reference converter's own index iteration (single
+    process, `cmd/convert/main.go:79-117`); a 100 TB ingest parallelizes
+    across BLOCK DIRECTORIES (one frame per block, unioned), not within
+    one index."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
