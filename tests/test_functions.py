@@ -72,6 +72,19 @@ def test_lsh_does_not_leak_cached_blocks(spark, docs):
     SIM.near_duplicate_pairs(emb, threshold=0.5).count()
     assert sc.getPersistentRDDs().size() - before <= 1
 
+    # eager=False with a derived width (n_rows omitted) must not leave
+    # the input persisted either: the count runs on a pruned projection,
+    # and the only cache left is the bucket frame for THIS plan, which
+    # dies with the DataFrame. Repeated calls must not accumulate.
+    before = sc.getPersistentRDDs().size()
+    lazy = SIM.near_duplicate_pairs(emb, threshold=0.5, eager=False)
+    lazy.count()
+    first = sc.getPersistentRDDs().size() - before
+    lazy2 = SIM.near_duplicate_pairs(emb, threshold=0.5, eager=False)
+    lazy2.count()
+    assert sc.getPersistentRDDs().size() - before <= first + 1
+    assert first <= 1  # buckets only — never the persisted input
+
 
 def test_multiband_finds_boundary_pair_single_bucket_misses(spark):
     """A near-dup pair straddling ONE hyperplane boundary flips one sign

@@ -64,12 +64,13 @@ def test_chunks_segment_roundtrip_and_corruption():
 def test_index_roundtrip_sorted_dense_and_missing_labels():
     d = _block_dir("idx")
     series = [
-        # deliberately unsorted; negative inter-chunk mint delta exercises
-        # the signed varint (overlapping chunk windows are legal)
+        # deliberately unsorted; inter-chunk mint deltas are UNSIGNED
+        # uvarints per the spec (chunks time-ordered, non-overlapping);
+        # ref deltas exercise the signed varint (100 -> 90 is negative)
         ({"__name__": "b_metric", "job": "api"}, [(1000, 2000, 40)]),
         (
             {"__name__": "a_metric", "job": "api", "shard": "7"},
-            [(5000, 9000, 8), (8000, 12000, 100), (12000, 15000, 90)],
+            [(5000, 9000, 8), (9000, 12000, 100), (13000, 15000, 90)],
         ),
         ({"__name__": "a_metric"}, [(0, 10, 7)]),
     ]
@@ -81,7 +82,7 @@ def test_index_roundtrip_sorted_dense_and_missing_labels():
         {"__name__": "a_metric", "job": "api", "shard": "7"},
         {"__name__": "b_metric", "job": "api"},
     ]
-    assert back[1][1] == [(5000, 9000, 8), (8000, 12000, 100), (12000, 15000, 90)]
+    assert back[1][1] == [(5000, 9000, 8), (9000, 12000, 100), (13000, 15000, 90)]
     assert back[0][1] == [(0, 10, 7)]
     # corrupting the TOC crc fails loudly
     buf = bytearray(open(os.path.join(d, "index"), "rb").read())
@@ -89,6 +90,49 @@ def test_index_roundtrip_sorted_dense_and_missing_labels():
     open(os.path.join(d, "index"), "wb").write(bytes(buf))
     with pytest.raises(ValueError, match="TOC"):
         read_index(d)
+
+
+def test_index_rejects_overlapping_chunk_windows():
+    # the spec's uvarint mint delta cannot represent mint_i < maxt_{i-1};
+    # the writer must refuse rather than emit bytes Prometheus misreads
+    d = _block_dir("idx_overlap")
+    with pytest.raises(ValueError, match="non-overlapping"):
+        write_index(
+            d, [({"__name__": "m"}, [(0, 100, 1), (50, 200, 2)])]
+        )
+
+
+def test_index_rejects_version_1():
+    # v1 symbol refs are absolute offsets — parsing with v2 semantics
+    # would produce garbage, so read_index fails loudly
+    d = _block_dir("idx_v1")
+    write_index(d, [({"__name__": "m"}, [(0, 10, 1)])])
+    path = os.path.join(d, "index")
+    buf = bytearray(open(path, "rb").read())
+    buf[4] = 1  # version byte
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="version 1"):
+        read_index(d)
+
+
+def test_meta_ulid_is_spec_valid_and_deterministic():
+    # 26 Crockford base32 chars, first <= '7' (128-bit bound), no I/L/O/U
+    # — ulid.Parse (tsdb.OpenBlock's gate) accepts exactly this shape
+    import json
+
+    d = _block_dir("ulid")
+    series = _sample_series()
+    ulid = write_block(d, [(labels, chs) for labels, chs, _ in series])
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert meta["ulid"] == ulid
+    assert len(ulid) == 26
+    crockford = set("0123456789ABCDEFGHJKMNPQRSTVWXYZ")
+    assert set(ulid) <= crockford
+    assert ulid[0] <= "7"
+    # deterministic: same content -> same ulid
+    d2 = _block_dir("ulid2")
+    ulid2 = write_block(d2, [(labels, chs) for labels, chs, _ in series])
+    assert ulid2 == ulid
 
 
 def _sample_series():

@@ -182,12 +182,12 @@ def near_duplicate_pairs(
     Deriving the width needs ``n``: pass ``n_rows`` if the caller
     already knows it (avoids re-running an expensive upstream lineage
     just to count — the size only tunes bucketing, so a cheap upper
-    bound is fine); otherwise the input is persisted FIRST and the
-    count warms that cache, so the lineage still runs only once.  With
-    ``eager=True`` (default) the cache is dropped before returning;
-    with ``eager=False`` the input stays persisted for the caller's
-    materialization (unpersist it via the returned plan's lineage or
-    pass ``n_rows``).
+    bound is fine).  Otherwise, with ``eager=True`` (default) the input
+    is persisted FIRST, the count warms that cache, and the cache is
+    dropped before returning — lineage runs once, nothing leaks.  With
+    ``eager=False`` nothing is ever left persisted: the count runs on a
+    column-pruned projection instead (one extra pass over the pruned
+    input; pass ``n_rows`` to skip it).
     """
     from tsdb_parquet_spark.catalog import spread
 
@@ -195,8 +195,13 @@ def near_duplicate_pairs(
     df_cached: DataFrame | None = None
     if target_bucket_rows is not None:
         if n_rows is None:
-            df = df_cached = df.persist()
-            n_rows = df.count()
+            if eager:
+                df = df_cached = df.persist()
+                n_rows = df.count()
+            else:
+                # single-shot mode must not leak executor storage, so
+                # no persist: count a pruned projection (id only)
+                n_rows = df.select(id_col).count()
         bits_per_band = derived_bits_per_band(
             n_rows, target_bucket_rows, floor=bits_per_band
         )

@@ -19,8 +19,11 @@ Format summary (index file, version 2):
   where content = ``#labels uvarint, (name_ref uvarint, value_ref
   uvarint)..., #chunks uvarint`` then delta-coded chunk metas: first
   ``(mint varint, maxt-mint uvarint, ref uvarint)``, later ``(mint_i -
-  maxt_{i-1} varint, maxt_i - mint_i uvarint, ref_i - ref_{i-1}
-  varint)``
+  maxt_{i-1} uvarint, maxt_i - mint_i uvarint, ref_i - ref_{i-1}
+  varint)`` — the inter-chunk mint delta is UNSIGNED (Prometheus
+  ``index.go`` uses ``PutUvarint64``: chunks within a series are
+  time-ordered and non-overlapping, so ``mint_i >= maxt_{i-1}``); only
+  the ref delta is a signed (zigzag) varint
 - postings lists: ``len u32 | #entries u32 | (series ref u32 BE)... |
   crc32c``; the empty-label entry ``("", "")`` lists ALL series — the
   spec-guaranteed full enumeration this reader walks (robust against
@@ -232,7 +235,16 @@ def write_index(
             if i == 0:
                 _put_varint(content, mint)
             else:
-                _put_varint(content, mint - prev_maxt)
+                # UNSIGNED per the spec (index.go PutUvarint64) — the
+                # format cannot represent mint_i < maxt_{i-1}; reject
+                # rather than silently emit bytes Prometheus misreads.
+                if mint < prev_maxt:
+                    raise ValueError(
+                        "chunk windows within a series must be "
+                        f"non-overlapping and time-ordered: mint {mint} "
+                        f"< previous maxt {prev_maxt}"
+                    )
+                _put_uvarint(content, mint - prev_maxt)
             _put_uvarint(content, maxt - mint)
             if i == 0:
                 _put_uvarint(content, ref)
@@ -306,8 +318,14 @@ def read_index(
     magic, version = struct.unpack_from(">IB", buf, 0)
     if magic != INDEX_MAGIC:
         raise ValueError(f"not a TSDB index file (magic {magic:#x})")
-    if version not in (1, 2):
-        raise ValueError(f"unsupported index version {version}")
+    if version != 2:
+        # v1 uses absolute symbol file-offsets and byte-offset series
+        # refs (not offset/16); parsing it with v2 semantics would yield
+        # garbage labels — fail loudly instead.
+        raise ValueError(
+            f"unsupported index version {version} (only v2; v1 symbol "
+            "references are absolute offsets, not sequence numbers)"
+        )
     toc_off = len(buf) - 52
     toc = struct.unpack_from(">QQQQQQ", buf, toc_off)
     (toc_crc,) = struct.unpack_from(">I", buf, toc_off + 48)
@@ -371,7 +389,7 @@ def read_index(
                 span, cpos = _read_uvarint(content, cpos)
                 cref, cpos = _read_uvarint(content, cpos)
             else:
-                dmint, cpos = _read_varint(content, cpos)
+                dmint, cpos = _read_uvarint(content, cpos)
                 mint = prev_maxt + dmint
                 span, cpos = _read_uvarint(content, cpos)
                 dref, cpos = _read_varint(content, cpos)
@@ -388,12 +406,35 @@ def read_index(
 # ---------------------------------------------------------------------------
 
 
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def _ulid_from_bytes(data: bytes) -> str:
+    """Deterministic, SPEC-VALID ULID (26 Crockford base32 chars
+    encoding 128 bits, first char <= '7') derived from content, so
+    ``ulid.Parse`` / ``tsdb.OpenBlock`` accept blocks we write and the
+    id is stable for fixtures.  ULID spec: github.com/ulid/spec."""
+    import hashlib
+
+    n = int.from_bytes(hashlib.sha256(data).digest()[:16], "big")
+    chars = []
+    for _ in range(26):
+        chars.append(_CROCKFORD[n & 0x1F])
+        n >>= 5
+    return "".join(reversed(chars))
+
+
 def write_block(
     block_dir: str,
     series: Sequence[tuple[dict, list[tuple[int, int, bytes]]]],
-) -> None:
+) -> str:
     """Assemble a block directory from [(labels, [(mint, maxt,
-    xor_chunk_bytes), ...])]: chunks segment + index + meta.json."""
+    xor_chunk_bytes), ...])]: chunks segment + index + meta.json.
+    Returns the block's ULID (deterministic, content-derived, valid
+    Crockford base32 — Prometheus's ``tsdb.OpenBlock`` parses it).
+    Prometheus names block directories after the ULID; callers that
+    need that layout can pass ``os.path.join(parent, ulid)`` on a
+    second call or rename — the dir name is not read back here."""
     os.makedirs(block_dir, exist_ok=True)
     series = sorted(series, key=lambda s: sorted(s[0].items()))
     payloads = [blob for _, chs in series for _, _, blob in chs]
@@ -405,9 +446,12 @@ def write_block(
     write_index(block_dir, indexed)
     times = [t for _, chs in indexed for t, maxt, _ in chs] or [0]
     maxts = [maxt for _, chs in indexed for _, maxt, _ in chs] or [0]
+    ulid = _ulid_from_bytes(
+        open(os.path.join(block_dir, "index"), "rb").read()
+    )
     meta = {
         "version": 1,
-        "ulid": "01SPARKGRAFTBLOCK0000000000",
+        "ulid": ulid,
         "minTime": min(times),
         "maxTime": max(maxts),
         "stats": {
@@ -418,6 +462,7 @@ def write_block(
     }
     with open(os.path.join(block_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    return ulid
 
 
 def block_to_chunk_frame(
