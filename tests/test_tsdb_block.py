@@ -13,6 +13,7 @@ import pytest
 
 from tsdb_parquet_spark.tsdb_block import (
     block_to_chunk_frame,
+    blocks_to_chunk_frame,
     crc32c,
     read_chunk_record,
     read_index,
@@ -230,3 +231,67 @@ def test_block_to_chunk_frame_end_to_end(spark):
         grouping=["job", "shard"],
     )
     assert sel.count() == 2
+
+
+def test_blocks_to_chunk_frame_multi_block_farm(spark):
+    """The block-farm shape: >=3 blocks, index parse AND payload fetch
+    executor-side, exactly one task per block; per-block file-local
+    series ids disambiguated by the block ordinal in the high bits;
+    heterogeneous label schemas ""-fill."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+
+    dirs = []
+    all_samples = {}  # (block, job, shard) -> (ts, vals)
+    for b in range(3):
+        d = _block_dir(f"farm{b}")
+        rng = np.random.default_rng(100 + b)
+        series = []
+        for shard in ("0", "1"):
+            ts = (
+                np.cumsum(rng.integers(10_000, 30_000, 25))
+                + 1_700_000_000_000
+                + b * 10_000_000
+            ).astype(np.int64)
+            vals = np.round(rng.standard_normal(25), 3)
+            labels = {"__name__": "m", "shard": shard}
+            if b == 2:
+                labels["extra"] = "yes"  # heterogeneous schema
+            series.append(
+                (labels, [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, vals))])
+            )
+            all_samples[(b, shard)] = (ts, vals)
+        write_block(d, series)
+        dirs.append(d)
+
+    frame = blocks_to_chunk_frame(
+        spark, dirs, ["__name__", "shard", "extra"]
+    )
+    # one task per block — the scale contract
+    assert frame.rdd.getNumPartitions() == 3
+
+    rows = frame.select(SERIES_ID, "shard", "extra").collect()
+    blocks_seen = sorted({r[SERIES_ID] >> 32 for r in rows})
+    assert blocks_seen == [0, 1, 2]
+    # ""-fill for the label only block 2 has
+    assert {r["extra"] for r in rows if r[SERIES_ID] >> 32 == 2} == {"yes"}
+    assert {r["extra"] for r in rows if r[SERIES_ID] >> 32 < 2} == {""}
+
+    decoded = frame.select(
+        F.shiftrightunsigned(F.col(SERIES_ID), 32).alias("blk"),
+        "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    got = {
+        (r["blk"], r["shard"]): (r["n"], round(r["sv"], 3))
+        for r in decoded.groupBy("blk", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s.value").alias("sv"))
+        .collect()
+    }
+    want = {
+        (b, s): (25, round(float(np.sum(v)), 3))
+        for (b, s), (t, v) in all_samples.items()
+    }
+    assert got == want

@@ -4836,6 +4836,199 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _block_chunk_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a sorted chunk store FROM the real TSDB block
+    (`_events_tsdb_block`): block bytes -> distributed convert
+    (`tsdb_block.block_to_chunk_frame`) -> layout-contract sorted write
+    (`sources/writer.py write_sorted`).  The store q106 queries — the
+    converter's OUTPUT side, fed by its real INPUT side."""
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
+    from tsdb_parquet_spark.tsdb_block import block_to_chunk_frame
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    root = os.path.join(work, f"block_store_v1_{tag}")
+    if os.path.exists(os.path.join(root, "_SUCCESS")):
+        return root
+    block_dir = _events_tsdb_block(spark, sf_dir)
+    frame = block_to_chunk_frame(spark, block_dir)
+    opts = WriterOptions(
+        sort_columns=sort_columns(_CHUNK_LABELS),
+        bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
+        max_files=16,
+    )
+    return write_sorted(frame, root, opts)
+
+
+@query(
+    "q106_block_convert_promql",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, round(sum(v), 2) AS value
+FROM last GROUP BY 1 ORDER BY 1""",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end converter parity — the full
+    `promql_test.go:14-59` lifecycle against REAL block bytes: events ->
+    Prometheus TSDB block on disk (index + XOR chunk segment + valid-ULID
+    meta.json) -> distributed block convert -> sorted chunk store
+    (`db/writer.go:169-216` layout contract) -> ChunkQuerier ->
+    `sum(app_events)` through the PromQL engine with staleness lookback.
+    The reference runs its PromQL test against a STUB chunk iterator
+    (`prometheus/chunks_iterator.go:12-24`); here every stage is the
+    real artifact, and the result must hash-match DuckDB computing the
+    same instant vectors from the raw events table."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    store = _block_chunk_store(spark, sf_dir)
+    q = ChunkQuerier.from_parquet(spark, store)
+    engine = PromQLEngine(
+        q.select_samples(labels=_CHUNK_LABELS), extrapolate=False
+    )
+    out = engine.query_range(
+        "sum(app_events)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return out.select("t", F.round("value", 2).alias("value"))
+
+
+#: Calendar cutoffs splitting the events span into three contiguous
+#: TSDB blocks (2024-01-11 / 2024-01-21 00:00 UTC — day-bucket aligned,
+#: so no chunk straddles a block edge).  Shared with q107's oracle.
+_BLOCK_CUT_1 = 1704931200000
+_BLOCK_CUT_2 = 1705795200000
+
+
+def _events_tsdb_block_farm(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (once per sf) a 3-block farm: the events span split at the
+    calendar cutoffs, each range written as its own spec-conformant
+    block directory — the thousands-of-blocks shape a real Prometheus
+    data dir has, scaled down."""
+    import pandas as pd
+
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    farm = os.path.join(work, f"tsdb_block_farm_{tag}")
+    dirs = [os.path.join(farm, f"block{b}") for b in range(3)]
+    if all(os.path.exists(os.path.join(d, "meta.json")) for d in dirs):
+        return dirs
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "shard", "ts"], kind="mergesort")
+    )
+    rows["bucket"] = rows["ts"] // _DAY_MS
+    rows["blk"] = (rows["ts"] >= _BLOCK_CUT_1).astype(int) + (
+        rows["ts"] >= _BLOCK_CUT_2
+    ).astype(int)
+    for b in range(3):
+        g_all = rows[rows["blk"] == b]
+        series = []
+        for (etype, shard), g in g_all.groupby(
+            ["event_type", "shard"], sort=True
+        ):
+            chunks = []
+            for _, cg in g.groupby("bucket", sort=True):
+                ts = cg["ts"].to_numpy()
+                blob = encode_xor_chunk(ts, cg["value"].to_numpy())
+                chunks.append((int(ts[0]), int(ts[-1]), blob))
+            series.append(
+                (
+                    {
+                        "__name__": "app_events",
+                        "event_type": etype,
+                        "shard": shard,
+                    },
+                    chunks,
+                )
+            )
+        write_block(dirs[b], series)
+    return dirs
+
+
+@query(
+    "q107_multi_block_convert",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT *,
+         CAST(ts_ms >= {_BLOCK_CUT_1} AS INT)
+         + CAST(ts_ms >= {_BLOCK_CUT_2} AS INT) AS blk
+  FROM s
+)
+SELECT blk, event_type,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT shard) AS n_series,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts
+FROM b GROUP BY blk, event_type ORDER BY blk, event_type""",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-FARM convert (`tsdb_block.blocks_to_chunk_frame`): three
+    real block directories ingested with index parse AND payload fetch
+    executor-side, exactly one task per block — the per-block
+    parallelism a 100 TB Prometheus data dir (thousands of blocks)
+    needs, where `block_to_chunk_frame`'s driver-side index walk (the
+    reference converter's own shape, `cmd/convert/main.go:79-117`)
+    would serialize on the driver.  Series ids stay file-local per
+    block with the block ordinal folded into the high 32 bits; the
+    aggregate must hash-match DuckDB recomputing the same calendar
+    split from raw events — proving the farm path is lossless."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+    from tsdb_parquet_spark.tsdb_block import blocks_to_chunk_frame
+
+    dirs = _events_tsdb_block_farm(spark, sf_dir)
+    frame = blocks_to_chunk_frame(spark, dirs, _CHUNK_LABELS)
+    decoded = frame.select(
+        F.shiftrightunsigned(F.col(SERIES_ID), 32).cast("int").alias("blk"),
+        "event_type",
+        "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    return (
+        decoded.groupBy("blk", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.countDistinct("shard").alias("n_series"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+        )
+        .orderBy("blk", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------

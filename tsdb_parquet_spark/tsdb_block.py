@@ -540,3 +540,98 @@ def block_to_chunk_frame(
     from tsdb_parquet_spark.catalog import spread
 
     return spread(meta_df).mapInPandas(fetch, out_schema)
+
+
+def blocks_to_chunk_frame(
+    spark: SparkSession,
+    block_dirs: Sequence[str],
+    label_names: Sequence[str],
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Multi-block converter — the block-FARM shape of
+    :func:`block_to_chunk_frame`.
+
+    A 100 TB Prometheus installation is thousands of 2h/1d blocks; the
+    reference converter (`cmd/convert/main.go:30-126`) iterates them one
+    process at a time.  Here BOTH the index parse and the chunk payload
+    fetch run executor-side, one task per block (`repartition(n,
+    block_idx)` pins exactly one block per partition), so a farm of
+    blocks converts with per-block parallelism and the driver holds only
+    the block directory list.  Complementary tradeoff to
+    :func:`block_to_chunk_frame`, which parses one index driver-side to
+    spread a SINGLE block's chunk fetches across all cores — use that
+    for one huge block, this for many blocks.
+
+    ``label_names`` must be passed explicitly: per-block schemas are
+    data-inferred in the reference (`schema/chunk.go:87-95`) and
+    deriving the union would require the driver to parse every index —
+    the exact serialization this function exists to avoid.  Missing
+    labels fill as "" (`schema/chunk.go:109-112`).
+
+    ``__series__id`` stays file-local per block (the reference's
+    identity contract, `schema/chunk.go:28-30`) and is made globally
+    unique by folding the block ordinal into the high 32 bits:
+    ``block_idx << 32 | local_id``.
+
+    Rows stream out in ``batch_rows``-sized Arrow batches so a block
+    larger than executor memory never materializes at once.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tsdb_parquet_spark.schema import (
+        CHUNK_BYTES,
+        MAX_T,
+        MIN_T,
+        SERIES_ID,
+    )
+
+    label_names = list(label_names)
+    n = len(block_dirs)
+    if n == 0:
+        raise ValueError("no block directories given")
+    dirs_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(block_dirs)],
+        "block_idx INT, block_dir STRING",
+    ).repartition(n, "block_idx")
+    out_schema = T.StructType(
+        [
+            T.StructField(SERIES_ID, T.LongType(), False),
+            T.StructField(MIN_T, T.LongType(), False),
+            T.StructField(MAX_T, T.LongType(), False),
+        ]
+        + [T.StructField(nm, T.StringType(), False) for nm in label_names]
+        + [T.StructField(CHUNK_BYTES, T.BinaryType(), False)]
+    )
+    cols = [SERIES_ID, MIN_T, MAX_T, *label_names, CHUNK_BYTES]
+
+    def convert(batches):
+        for pdf in batches:
+            for block_idx, block_dir in zip(
+                pdf["block_idx"], pdf["block_dir"]
+            ):
+                base = int(block_idx) << 32
+                segments: dict[int, bytes] = {}
+                rows: list[tuple] = []
+                for sid, (labels, metas) in enumerate(read_index(block_dir)):
+                    lvals = tuple(labels.get(nm, "") for nm in label_names)
+                    for mint, maxt, ref in metas:
+                        seg_idx = ref >> 32
+                        seg = segments.get(seg_idx)
+                        if seg is None:
+                            seg = open(
+                                os.path.join(
+                                    block_dir, "chunks", f"{seg_idx:06d}"
+                                ),
+                                "rb",
+                            ).read()
+                            segments[seg_idx] = seg
+                        _, data = read_chunk_record(seg, ref & 0xFFFFFFFF)
+                        rows.append((base | sid, mint, maxt, *lvals, data))
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return dirs_df.mapInPandas(convert, out_schema)
