@@ -84,6 +84,10 @@ def main() -> None:
         # Janino/C2, not the engine.
         "q72_global_shuffle",
         "q73_promql_time_functions",
+        # new r08 shapes: block-farm mapInPandas convert and the block->
+        # store->PromQL instant chain — warm their codegen/Arrow paths
+        "q106_block_convert_promql",
+        "q107_multi_block_convert",
     ):
         try:
             qs[warm_q](spark, warm_sf).write.format("noop").mode(
@@ -144,9 +148,12 @@ def main() -> None:
     # a single sample inside such a window misreports the engine.  The
     # build (driver-side planning) is re-done each pass on purpose — it is
     # part of what a user pays.
+    loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name, fn in qs.items():
         best = None
+        worst = None
         for _ in range(2):
             start = time.perf_counter()
             try:
@@ -158,7 +165,18 @@ def main() -> None:
                 break
             elapsed = round(time.perf_counter() - start, 3)
             best = elapsed if best is None else min(best, elapsed)
+            worst = elapsed if worst is None else max(worst, elapsed)
         timings[name] = best
+        if best is not None and best > 0 and worst is not None:
+            spreads.append((worst - best) / best)
+    loadavg_end = os.getloadavg()
+    # within-run noise indicator: median relative gap between the two
+    # samples of each query.  A quiet host measures ~0.1-0.3; a
+    # contended host (the r05/r07 phantom-regression capture signature)
+    # measures far higher — read this BEFORE calling any delta a
+    # regression.
+    spreads.sort()
+    spread_median = round(spreads[len(spreads) // 2], 3) if spreads else 0.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     headline = round(
@@ -181,6 +199,14 @@ def main() -> None:
         "store_build_cold": store_build_cold,
         "cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-contention self-identification (r07 verdict item 2): the
+        # per-query numbers are min-of-2, but a capture on a loaded host
+        # still inflates uniformly — these fields let a reader attribute
+        # that without a re-run.  loadavg is the 1/5/15-min triple.
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in loadavg_end],
+        "n_cpus": os.cpu_count(),
+        "sample_spread_median": spread_median,
         "queries": timings,
         "store_build": store_build,
         # hand-authored attribution for rows whose wall time was profiled
@@ -241,6 +267,10 @@ def main() -> None:
         "store_build_total": result["store_build_total"],
         "store_build_cold": store_build_cold,
         "cold": cold,
+        "loadavg_start": result["loadavg_start"],
+        "loadavg_end": result["loadavg_end"],
+        "n_cpus": result["n_cpus"],
+        "sample_spread_median": spread_median,
         "queries": {
             name: t
             for name, t in timings.items()

@@ -52,25 +52,25 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round7_composition():
+def test_driver_window_round8_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-7 window so an accidental registry edit cannot silently push a
-    due row (r04 backlog, new, or changed-code) out of the window.
+    round-8 window so an accidental registry edit cannot silently push a
+    due row (r05 deferrals, new, or changed-code) out of the window.
     Update this list ONLY together with the rotation comment in
     corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # last driver signal r04 — the 2-round rotation bound binds
-        "q05_distinct", "q06_first_per_key", "q07_groupby_agg",
-        "q11_predicate_order", "q14_multi_projection", "q15_empty_result",
+        # the 8 round-7 deferrals — last driver green r05, due now
+        "q01_scan_project", "q04_conjunction", "q32_broadcast_join",
+        "q35_distinct_counts", "q36_window_functions", "q40_rollup",
+        "q45_multi_store_merge", "q25_ngram_jaccard",
         # introduced this round
-        "q103_xor_chunk_interop", "q104_writer_layout_contract",
-        "q105_tsdb_block_convert",
+        "q106_block_convert_promql", "q107_multi_block_convert",
         # code changed this round
-        "q28_embedding_near_dup", "q21_streaming_ingest",
-        "q83_store_maintenance",
+        "q105_tsdb_block_convert", "q28_embedding_near_dup",
+        "q103_xor_chunk_interop", "q70_repetition_stats",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
     assert len(window) == len(set(window)) == 50

@@ -5040,45 +5040,49 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-7 window (registry now 104 rows; as of round 6 the strict
+# Round-8 window (registry now 107 rows; as of round 6 the strict
 # "every row re-checked within 2 rounds" invariant is arithmetically
 # impossible at >100 rows with a 50-row window — 52 rows/cycle would be
 # needed — so each round's overflow is deferred WITH a named in-window
 # row covering the same code path, and tests/test_corpus.py still
 # hash-checks ALL rows vs DuckDB at sf0.01 every round).  Composition:
-#   * the 6 rows whose last driver signal is r04 — the 2-round rotation
-#     bound is binding (round-6 verdict item 1) — first: q05/q06/q07/
-#     q11/q14/q15.
-#   * NEW rows in their introduction round: q103 (Prometheus XOR chunk
-#     interop), q104 (writer physical-layout contract), q105 (TSDB-block
-#     converter parity — real index/chunks-segment block ingested
-#     distributed, added late in round 7).
-#   * Rows whose code changed this round: q28 (near_duplicate_pairs now
-#     defaults to size-derived banding; its oracle went dynamic-width),
-#     q21 (ingest finalize gained the idempotent fast path), q83
-#     (store lifecycle sits on writer/maintenance paths touched by the
-#     WriterOptions.row_group_bytes addition + q83 was this round's
-#     profiling target).
-#   * The 38 remaining slots: the r05-green backlog, i.e. everything
-#     whose last driver green is r05 EXCEPT the 7 deferrals below.
-# Deferred to round 8 (r05-green rows that no longer fit; each with the
+#   * the 8 round-7 deferrals (last driver green r05 — the rotation
+#     bound binds; the r07 verdict names them first in line) lead:
+#     q01/q04/q32/q35/q36/q40/q45/q25.
+#   * NEW rows in their introduction round: q106 (block -> store ->
+#     PromQL converter-parity chain), q107 (multi-block farm convert,
+#     executor-side index parse).
+#   * Rows whose code changed this round: q105 (tsdb_block mint-delta
+#     encoding went spec-exact uvarint; v1 rejection; valid ULID),
+#     q28 (near_duplicate_pairs eager=False no longer persists the
+#     input when deriving width), q103 (xorchunk touched if the varbit
+#     decode is vectorized this round — in-window defensively), q70
+#     (repetition_stats crossover default measured/written this round).
+#   * The 36 remaining slots: the r06-green backlog, i.e. everything
+#     whose last driver green is r06 EXCEPT the 10 deferrals below.
+# Deferred to round 9 (r06-green rows that no longer fit; each with the
 # in-window row that still exercises its code path):
-#   q01_scan_project      -> q14 (P1 projection, same ReadSchema path)
-#   q04_conjunction       -> q11 (same P5/P6 AND predicates on lineitem)
-#   q32_broadcast_join    -> q81 (explicit F.broadcast equi-join on the
-#                            centroid x count frame)
-#   q35_distinct_counts   -> q05 (distinct) + q85 (salted distinct agg)
-#   q36_window_functions  -> q06 (row_number window, operators/
-#                            distinct.py:37) + q57 (asof merge window)
-#   q40_rollup            -> q82 (same rollup-store read/routing path)
-#   q45_multi_store_merge -> q83 (same multi-root read_roots union path,
-#                            sources/writer.py)
-#   q25_ngram_jaccard     -> q23 + q22 (same dedup.py shingle tokenizer
-#                            and bucketed self-join family)
-# Also out-of-window: q10 (writer change is the no-op-default
-# row_group_bytes knob; q104 — in-window, new — exercises the writer
-# MORE deeply, with the knob set) and every r06-green row.  The 7
-# deferrals lead the round-8 window together with the r06-green block.
+#   q02_eq_filter        -> q04 (equality is a conjunct of q04's same
+#                           selection.Matcher path)
+#   q03_range_filter     -> q04 (>=/<= conjuncts, same pushdown path)
+#   q20_promql_instant_sum -> q106 (same instant-vector sum + staleness
+#                           lookback eval path, via the block store)
+#   q50_promql_rate_extrapolated -> q34 (same rate kernel; q50 adds the
+#                           extrapolation flag branch)
+#   q59_ivf_assign       -> q60 (topk assigns query vectors through the
+#                           same broadcast-centroid path and reads the
+#                           assignment store)
+#   q65_rollup_store     -> q40 (same rollup store build/read path)
+#   q77_rollup_routing   -> q40 (the r07 rotation mapped q40 -> q82
+#                           routing — the coverage holds both ways)
+#   q78_promql_instant_absent -> q64 (same absent() implementation,
+#                           instant vs range-vector argument)
+#   q79_promql_sort_desc -> q102 (same PromQL sort comparator family)
+#   q10_write_compact_roundtrip -> q45 (write_sorted + read_roots merge;
+#                           the compact cycle also sits under q21/q83,
+#                           both r07-green)
+# Every other out-of-window row is r07-green (within the 2-round bound
+# at round 8) and needs no deferral record.
 
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
@@ -5087,79 +5091,20 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 50-row window or recorded here with live in-window coverage — so the
 #: policy can't silently slip.
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q01_scan_project": ("q14_multi_projection",),
-    "q04_conjunction": ("q11_predicate_order",),
-    # q81's centroid x count join is an explicit F.broadcast equi-join
-    # (corpus.py q81 body)
-    "q32_broadcast_join": ("q81_kmeans_train",),
-    "q35_distinct_counts": ("q05_distinct", "q85_salted_distinct_count"),
-    "q36_window_functions": ("q06_first_per_key", "q57_asof_join"),
-    "q40_rollup": ("q82_rollup_subquery_routing",),
-    # q83 drives the same multi-root read_roots union path
-    # (sources/writer.py read_roots, shared by compact + read_snapshot)
-    "q45_multi_store_merge": ("q83_store_maintenance",),
-    # same dedup.py shingle tokenizer + bucketed self-join family; q22
-    # covers the exact-dup groupBy the jaccard row post-filters
-    "q25_ngram_jaccard": ("q23_minhash_lsh_pairs", "q22_exact_dedup"),
+    "q02_eq_filter": ("q04_conjunction",),
+    "q03_range_filter": ("q04_conjunction",),
+    "q20_promql_instant_sum": ("q106_block_convert_promql",),
+    "q50_promql_rate_extrapolated": ("q34_promql_rate",),
+    "q59_ivf_assign": ("q60_ivf_topk",),
+    "q65_rollup_store": ("q40_rollup",),
+    "q77_rollup_routing": ("q40_rollup",),
+    "q78_promql_instant_absent": ("q64_promql_absent",),
+    "q79_promql_sort_desc": ("q102_promql_sort_by_label",),
+    "q10_write_compact_roundtrip": ("q45_multi_store_merge",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # last driver signal r04 — the rotation bound is binding
-    "q05_distinct",
-    "q06_first_per_key",
-    "q07_groupby_agg",
-    "q11_predicate_order",
-    "q14_multi_projection",
-    "q15_empty_result",
-    # new this round
-    "q103_xor_chunk_interop",
-    "q104_writer_layout_contract",
-    "q105_tsdb_block_convert",
-    # code changed this round
-    "q28_embedding_near_dup",
-    "q21_streaming_ingest",
-    "q83_store_maintenance",
-    # r05-green backlog (everything last green r05 minus the 7 deferrals)
-    "q17_chunk_samples_roundtrip",
-    "q18_label_values",
-    "q19_promql_count_over_time",
-    "q22_exact_dedup",
-    "q23_minhash_lsh_pairs",
-    "q24_simhash",
-    "q26_cosine_topk",
-    "q27_ann_lsh_topk",
-    "q30_text_analysis",
-    "q31_json_props",
-    "q38_training_chunks",
-    "q39_cleaning_pipeline",
-    "q41_set_operations",
-    "q33_semi_anti_join",
-    "q44_late_materialization",
-    "q47_dedup_clusters",
-    "q48_stratified_sample",
-    "q54_promql_comparison_filter",
-    "q55_promql_changes",
-    "q57_asof_join",
-    "q81_kmeans_train",
-    "q82_rollup_subquery_routing",
-    "q84_ivf_partitioned_store",
-    "q85_salted_distinct_count",
-    "q86_bucketed_colocated_join",
-    "q87_bucket_ranged_read",
-    "q88_promql_scalar_arithmetic",
-    "q89_streaming_rollup",
-    "q90_pq_adc_topk",
-    "q91_ivfpq_store_topk",
-    "q93_exact_substring_spans",
-    "q94_http_object_store",
-    "q95_media_transform",
-    "q96_sq8_quantized_topk",
-    "q97_ivfpq_residual_topk",
-    "q98_exact_substring_removal",
-    "q99_lm_perplexity_score",
-    "q100_tsdb_stats",
-    # position 51+ — outside the driver's 50-row cap: the 7 documented
-    # deferrals (first in line for round 8), then the r06-green block
+    # the 8 round-7 deferrals — last driver green r05, due now
     "q01_scan_project",
     "q04_conjunction",
     "q32_broadcast_join",
@@ -5168,6 +5113,63 @@ _DRIVER_PRIORITY: list[str] = [
     "q40_rollup",
     "q45_multi_store_merge",
     "q25_ngram_jaccard",
+    # new this round
+    "q106_block_convert_promql",
+    "q107_multi_block_convert",
+    # code changed this round
+    "q105_tsdb_block_convert",
+    "q28_embedding_near_dup",
+    "q103_xor_chunk_interop",
+    "q70_repetition_stats",
+    # r06-green backlog (everything last green r06 minus the 10 deferrals)
+    "q08_time_containment",
+    "q09_label_values",
+    "q12_dict_equality",
+    "q13_zonemap_range",
+    "q16_series_select",
+    "q34_promql_rate",
+    "q37_promql_topk_binary",
+    "q42_promql_window_gt_step",
+    "q43_promql_counter_reset",
+    "q46_sessionize",
+    "q49_promql_on_group_left",
+    "q51_promql_without_at",
+    "q52_promql_label_replace_clamp",
+    "q53_promql_histogram_quantile",
+    "q56_promql_quantile_over_time",
+    "q58_pack_sequences",
+    "q60_ivf_topk",
+    "q61_gap_fill_linear",
+    "q62_simhash_near_dup",
+    "q63_weighted_sample",
+    "q64_promql_absent",
+    "q66_promql_set_ops",
+    "q67_promql_quantile_agg",
+    "q68_promql_predict_linear",
+    "q69_decontaminate",
+    "q71_pii_redact",
+    "q72_global_shuffle",
+    "q73_promql_time_functions",
+    "q74_promql_subquery",
+    "q75_promql_holt_winters",
+    "q76_streaming_sessionize",
+    "q80_remove_boilerplate_lines",
+    "q92_semantic_dedup",
+    "q29_multimodal_metadata",
+    "q101_png_pixel_pipeline",
+    "q102_promql_sort_by_label",
+    # position 51+ — outside the driver's 50-row cap: the 10 documented
+    # deferrals (first in line for round 9), then everything r07-green
+    "q02_eq_filter",
+    "q03_range_filter",
+    "q20_promql_instant_sum",
+    "q50_promql_rate_extrapolated",
+    "q59_ivf_assign",
+    "q65_rollup_store",
+    "q77_rollup_routing",
+    "q78_promql_instant_absent",
+    "q79_promql_sort_desc",
+    "q10_write_compact_roundtrip",
 ]
 
 
