@@ -1018,3 +1018,69 @@ def test_shared_scan_same_results_and_persistent_pin(spark):
     shared.query_range("sum(http_requests_total)", 0, 300_000, 60_000).collect()
     assert shared._scan_pin is pin  # one checkpoint per engine lifetime
     assert plain._scan_pin is None  # default off: raw plan, full pushdown
+
+
+def test_shared_scan_lost_blocks_rebuilds_not_fails(spark):
+    """Kill the shared-scan checkpoint's executor blocks mid-session (the
+    local-mode stand-in for an executor loss): the next query_range must
+    detect the loss, rebuild the pin from source, and return the same
+    results — not die with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    engine = PromQLEngine(_stub_samples(spark), shared_scan=True)
+    first = engine.query_range(
+        "sum(http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    pin = engine._scan_pin
+    assert pin is not None and engine._shared_scan_alive()
+
+    # remove the checkpoint blocks through the block manager master —
+    # the same state an executor crash leaves behind
+    sc = spark.sparkContext
+    jrdd = pin._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.isCheckpointed()
+    sc._jsc.sc().env().blockManager().master().removeRdd(jrdd.id(), True)
+    import time
+
+    deadline = time.time() + 10
+    while engine._shared_scan_alive() and time.time() < deadline:
+        time.sleep(0.2)
+    assert not engine._shared_scan_alive()
+
+    # sanity: the dead pin really is unusable (the failure mode we fix)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CHECKPOINT|Checkpoint"):
+        pin.count()
+
+    second = engine.query_range(
+        "sum(http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    assert second == first
+    assert engine._scan_pin is not pin  # rebuilt, not reused
+    assert engine._shared_scan_alive()
+
+
+def test_postfix_grouping_positions_equivalent(spark):
+    """Prometheus's grammar accepts the grouping clause before OR after
+    the argument list: `sum by (a) (v)` == `sum(v) by (a)`.  Both
+    positions must parse to identical ASTs and evaluate identically,
+    for plain aggs, parameterized aggs, and count_values."""
+    pairs = [
+        ("sum by (job) (http_requests_total)",
+         "sum(http_requests_total) by (job)"),
+        ("max without (job) (http_requests_total)",
+         "max(http_requests_total) without (job)"),
+        ("quantile by (job) (0.5, http_requests_total)",
+         "quantile(0.5, http_requests_total) by (job)"),
+        ("topk by (job) (1, http_requests_total)",
+         "topk(1, http_requests_total) by (job)"),
+        ("count_values by (job) (\"v\", http_requests_total)",
+         "count_values(\"v\", http_requests_total) by (job)"),
+        ("sum by (job) (rate(http_requests_total[2m]))",
+         "sum(rate(http_requests_total[2m])) by (job)"),
+    ]
+    for prefix, postfix in pairs:
+        assert repr(parse_promql(prefix)) == repr(parse_promql(postfix)), prefix
+    engine = PromQLEngine(_stub_samples(spark))
+    a = engine.query_range(pairs[0][0], 0, 300_000, 60_000).collect()
+    b = engine.query_range(pairs[0][1], 0, 300_000, 60_000).collect()
+    assert a == b and len(a) > 0

@@ -853,29 +853,41 @@ class _Parser:
         return (tok in AGG_OPS or tok in PARAM_AGG_OPS
                 or tok in ("count_values", "quantile"))
 
+    def _maybe_grouping(self) -> tuple[list[str] | None, list[str] | None]:
+        """Parse an optional ``by (...)`` / ``without (...)`` clause at
+        the cursor -> (by, without).  Prometheus's grammar allows the
+        clause BEFORE or AFTER the aggregation's argument list
+        (``sum by (a) (v)`` == ``sum(v) by (a)``); _agg calls this in
+        both positions."""
+        kind, tok = self.peek()
+        if not (kind == "ident" and tok in ("by", "without")):
+            return None, None
+        self.next()
+        self.expect("(")
+        labels = []
+        while True:
+            k, label = self.next()
+            if k != "ident":
+                raise ValueError(f"expected label, got {label!r}")
+            labels.append(label)
+            k, nxt = self.next()
+            if nxt == ")":
+                break
+            if nxt != ",":
+                raise ValueError(f"expected , or ) in grouping, got {nxt!r}")
+        return (labels, None) if tok == "by" else (None, labels)
+
     def _agg(self) -> PromExpr:
         _, op = self.next()
-        by = None
-        without = None
-        kind, tok = self.peek()
-        if kind == "ident" and tok in ("by", "without"):
-            self.next()
-            self.expect("(")
-            labels = []
-            while True:
-                k, label = self.next()
-                if k != "ident":
-                    raise ValueError(f"expected label, got {label!r}")
-                labels.append(label)
-                k, nxt = self.next()
-                if nxt == ")":
-                    break
-                if nxt != ",":
-                    raise ValueError(f"expected , or ) in grouping, got {nxt!r}")
-            if tok == "by":
-                by = labels
-            else:
-                without = labels
+        by, without = self._maybe_grouping()
+
+        def postfix_grouping():
+            # the clause may follow the argument list instead; both
+            # positions at once is a Prometheus parse error too
+            nonlocal by, without
+            if by is None and without is None:
+                by, without = self._maybe_grouping()
+
         self.expect("(")
         if op == "count_values":
             kind, s = self.next()
@@ -884,6 +896,7 @@ class _Parser:
             self.expect(",")
             inner = self._compare()
             self.expect(")")
+            postfix_grouping()
             return PromCountValues(
                 label=s[1:-1], inner=inner, by=by, without=without
             )
@@ -896,6 +909,7 @@ class _Parser:
             self.expect(",")
             inner = self._compare()
             self.expect(")")
+            postfix_grouping()
             if op == "quantile":
                 return PromQuantileAgg(phi=float(num), inner=inner,
                                        by=by, without=without)
@@ -911,6 +925,7 @@ class _Parser:
             # a plain selector keeps the fused selector+agg fast path below
             inner = self._set_or()
         self.expect(")")
+        postfix_grouping()
         if not isinstance(inner, PromExpr):
             # e.g. a subquery operand: aggregate its result generically
             return PromAgg(op=op, inner=inner, by=by, without=without)
@@ -1098,7 +1113,13 @@ class PromQLEngine:
         #: only when the samples frame is already time/series-bounded to a
         #: working set many queries will share, never on an unbounded
         #: 100 TB store.  Default off: single-query evaluation keeps full
-        #: predicate pushdown.
+        #: predicate pushdown.  Measured (r08, sf0.1, 6 warm queries,
+        #: local[32]): first query 0.64 s -> 1.03 s (pays the
+        #: materialization), every later query ~0.5-0.65 s -> ~0.4-0.5 s;
+        #: session break-even at ~3 queries, win grows with session
+        #: length (the corpus's 12-query PromQL session keeps it on).
+        #: The pin self-heals: lost executor blocks are detected and the
+        #: working set rebuilt at the next query (_shared_scan_alive).
         self._shared_scan = shared_scan
         self._scan_pin: DataFrame | None = None
         self.label_columns = [
@@ -1116,6 +1137,37 @@ class PromQLEngine:
             self._scan_pin = self.samples.localCheckpoint(eager=False)
         return self._scan_pin
 
+    def _shared_scan_alive(self) -> bool:
+        """True when every materialized block of the shared-scan
+        checkpoint is still present in the block manager.
+
+        ``localCheckpoint`` blocks are NOT fault-tolerant: lineage is
+        truncated, so losing an executor loses its blocks and any later
+        query over the pin dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+        instead of recomputing.  This probe (used by ``query_range`` to
+        rebuild the pin from source before planning) asks the block-
+        manager master for each partition's block — O(partitions)
+        driver-side RPCs, no job, no data movement.  A not-yet-
+        materialized lazy pin has nothing to lose and reports alive.
+        Reflection into the JVM plan is version-sensitive; any failure
+        reports alive, degrading to the old fail-on-collect behavior
+        rather than spuriously dropping a healthy cache."""
+        pin = self._scan_pin
+        try:
+            jrdd = pin._jdf.queryExecution().analyzed().rdd()
+            if not jrdd.isCheckpointed():
+                return True
+            sc = pin.sparkSession.sparkContext
+            master = sc._jsc.sc().env().blockManager().master()
+            block_id = sc._jvm.org.apache.spark.storage.RDDBlockId
+            rid = jrdd.id()
+            return all(
+                master.contains(block_id(rid, p))
+                for p in range(jrdd.getNumPartitions())
+            )
+        except Exception:  # pragma: no cover - JVM-internal reflection
+            return True
+
     def query_range(
         self,
         promql: str,
@@ -1129,6 +1181,14 @@ class PromQLEngine:
         node = parse_promql(promql)
         if isinstance(node, float):
             raise ValueError("scalar-only query has no vector result")
+        if (
+            self._shared_scan
+            and self._scan_pin is not None
+            and not self._shared_scan_alive()
+        ):
+            # an executor loss killed checkpoint blocks: rebuild the
+            # working set from source instead of failing this query
+            self._scan_pin = None
         node = self._route(node, start_ms, end_ms, step_ms, lookback_ms)
         # fresh common-subexpression state per top-level evaluation; the
         # engine's references to the PREVIOUS call's pins are dropped here
@@ -1184,9 +1244,13 @@ class PromQLEngine:
         while the checkpoint is a plain block-backed RDD.  Trade-off
         accepted with eyes open: checkpoint blocks are NOT fault-tolerant
         (an executor loss during one evaluation fails the query instead
-        of recomputing — acceptable for an interactive query engine), and
+        of recomputing — acceptable for an interactive query engine:
+        the loss window is one evaluation, and the caller retries), and
         release is by reference-drop (:meth:`release_cache`) + the
-        ContextCleaner rather than an explicit unpersist."""
+        ContextCleaner rather than an explicit unpersist.  The ENGINE-
+        LIFETIME shared-scan pin has the stronger story: it is health-
+        checked at each ``query_range`` and rebuilt from source when
+        blocks were lost (:meth:`_shared_scan_alive`)."""
         df = df.localCheckpoint(eager=False)
         if not hasattr(self, "_pinned"):
             self._pinned = []
