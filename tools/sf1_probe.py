@@ -418,6 +418,63 @@ def main() -> None:
         )
         return
 
+    if "--q70shapes" in sys.argv:
+        # r07 verdict item 7: q70's default (codegen-shuffle) shape
+        # extrapolated 7.68x/10x (exponent 0.89) — measure BOTH physical
+        # shapes at sf1 AND sf3 so the crossover rule in quality.py's
+        # docstring carries numbers, not vibes.
+        import math
+
+        from tsdb_parquet_spark.catalog import Catalog
+        from tsdb_parquet_spark.functions.quality import repetition_stats
+
+        if not os.path.exists(f"{SF1}/documents.parquet"):
+            build_sf1(spark)
+        if not os.path.exists(f"{SF3}/documents.parquet"):
+            build_sf3_documents(spark)
+
+        def run_shape(sf_dir, zero_shuffle):
+            docs = Catalog(spark, sf_dir)["documents"]
+            out = repetition_stats(docs, zero_shuffle=zero_shuffle)
+            best = None
+            for _ in range(3):
+                start = time.perf_counter()
+                out.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - start, 3)
+                best = elapsed if best is None else min(best, elapsed)
+            return best
+
+        # warm both plan shapes untimed
+        for zs in (False, True):
+            run_shape(SF01, zs)
+        shapes: dict[str, dict] = {}
+        for label, zs in (("codegen_shuffle", False), ("zero_shuffle", True)):
+            row = {
+                "sf1": run_shape(SF1, zs),
+                "sf3": run_shape(SF3, zs),
+            }
+            r3 = row["sf3"] / row["sf1"]
+            row["ratio_per_10x_extrapolated"] = round(
+                r3 ** (math.log(10) / math.log(3)), 2
+            )
+            row["growth_exponent"] = round(math.log(r3) / math.log(3), 2)
+            shapes[label] = row
+            print("q70shape", label, row, flush=True)
+        doc = _load_bench()
+        doc["q70_shapes"] = {
+            "note": (
+                "repetition_stats physical shapes at sf1/sf3 (min-of-3 "
+                "warm, local[32]); the quality.py docstring carries the "
+                "crossover rule derived from these numbers"
+            ),
+            "rows": shapes,
+        }
+        with open(BENCH_PATH, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps(shapes))
+        return
+
     if "--store" in sys.argv:
         if not os.path.exists(f"{SF1}/events.parquet"):
             build_sf1_events(spark)

@@ -44,18 +44,31 @@ def repetition_stats(
     """Per-doc repetition metrics; fractions rounded to 4dp so the DuckDB
     oracle's float arithmetic hashes identically.
 
-    Two physical shapes, measured trade-off (sf0.1, local[32]):
+    Two physical shapes, measured trade-off (r08 probe, min-of-3 warm,
+    local[32]; BENCH_local_sf1.json "q70_shapes"):
 
     - default (``zero_shuffle=False``): explode -> groupBy(doc, gram) ->
       groupBy(doc).  Two exchanges, but every operator is whole-stage
-      codegen — ~5x less CPU than the lambda variant (1.1 s vs 5.6 s).
-      Right when cores are the constraint.
+      codegen.  Measured: sf1 3.4 s / sf3 7.5 s — growth exponent 0.72.
     - ``zero_shuffle=True``: sort each doc's gram array and derive
       distinct-count/max-run from run boundaries with higher-order
-      functions — a pure scan+project with NO exchange.  Right when the
-      exploded gram volume (~10x the text) makes shuffle IO the
-      constraint (wide clusters, spinning object stores); costs
-      interpreted-lambda CPU per gram.
+      functions — a pure scan+project with NO exchange; costs
+      interpreted-lambda CPU per gram.  Measured: sf1 7.3 s / sf3
+      12.2 s — growth exponent 0.47 (meets the probe's <=3.0-per-10x
+      target where the default extrapolates 5.2x).
+
+    **Crossover rule (from those numbers).**  On fixed cores the walls
+    equal where 3.42·r^0.72 = 7.28·r^0.47 -> r = (2.13)^(1/0.25) ~ 20x
+    sf1 (~4M docs of this size distribution per 32 cores).  Below that,
+    codegen CPU wins despite shuffling ~10x the text volume; above it —
+    or on a real cluster where the exchange becomes network/disk IO
+    rather than an in-memory local pass, which moves the crossover
+    sharply earlier — flip ``zero_shuffle=True``.  Rule of thumb for a
+    1000-executor job: estimate exploded-gram shuffle bytes (~10x input
+    text); if that exceeds the cluster's comfortable shuffle budget,
+    take the zero-shuffle shape; its worse constant is per-core CPU,
+    which wide clusters have, while shuffle IO is the contended
+    resource.
 
     Both return identical values (asserted in tests)."""
     if not zero_shuffle:
