@@ -1084,3 +1084,100 @@ def test_postfix_grouping_positions_equivalent(spark):
     a = engine.query_range(pairs[0][0], 0, 300_000, 60_000).collect()
     b = engine.query_range(pairs[0][1], 0, 300_000, 60_000).collect()
     assert a == b and len(a) > 0
+
+
+def test_unary_minus_and_negative_offset(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    # unary minus: value-wise negation, labels kept
+    neg = engine.query_range(
+        "-sum(http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    pos = engine.query_range(
+        "sum(http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    assert [(r["t"], r["value"]) for r in neg] == [
+        (r["t"], -r["value"]) for r in pos
+    ]
+    # -2^2 folds to -(2^2) per Prometheus precedence
+    assert parse_promql("-2^2") == -4.0
+    # negative offset looks FORWARD: evaluating at t with offset -60s
+    # equals evaluating at t+60s without it
+    fwd = engine.query_range(
+        'http_requests_total{job="kubelet"} offset -60s',
+        0, 240_000, 60_000,
+    ).collect()
+    base = engine.query_range(
+        'http_requests_total{job="kubelet"}', 60_000, 300_000, 60_000
+    ).collect()
+    assert [r["value"] for r in fwd] == [r["value"] for r in base]
+    assert [r["t"] + 60_000 for r in fwd] == [r["t"] for r in base]
+
+
+def test_at_start_end_modifiers(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    # @ start() pins to the range start; identical to the literal form
+    lit = engine.query_range(
+        "sum(http_requests_total @ 0)", 0, 300_000, 60_000
+    ).collect()
+    st = engine.query_range(
+        "sum(http_requests_total @ start())", 0, 300_000, 60_000
+    ).collect()
+    assert st == lit
+    lit_end = engine.query_range(
+        "sum(http_requests_total @ 300)", 0, 300_000, 60_000
+    ).collect()
+    en = engine.query_range(
+        "sum(http_requests_total @ end())", 0, 300_000, 60_000
+    ).collect()
+    assert en == lit_end
+
+
+def test_group_left_label_carry(spark):
+    """group_left(extra) copies the named labels from the one side;
+    labels absent there carry as "" (Prometheus absent-label form)."""
+    rows = []
+    for job, inst in (("api-server", "0"), ("api-server", "1")):
+        for ts in range(0, 300_001, 30_000):
+            rows.append(("requests", job, inst, "", ts, 2.0))
+    # one side: per-job info series carrying an `env` label
+    rows.append(("job_info", "api-server", "", "prod", 150_000, 1.0))
+    samples = rows and _spark_frame_with_env(spark, rows)
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        'requests * on (job) group_left (env) job_info',
+        150_000, 150_000, 60_000,
+    ).collect()
+    assert len(out) == 2  # both instances matched the one job_info row
+    assert {r["env"] for r in out} == {"prod"}
+    assert {r["instance"] for r in out} == {"0", "1"}
+    assert {r["value"] for r in out} == {2.0}
+    # carrying a label the one side lacks -> ""
+    out2 = engine.query_range(
+        'requests * on (job) group_left (missing_label) job_info',
+        150_000, 150_000, 60_000,
+    ).collect()
+    assert {r["missing_label"] for r in out2} == {""}
+
+
+def _spark_frame_with_env(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, env STRING,"
+        " ts LONG, value DOUBLE",
+    )
+
+
+def test_empty_grouping_lists(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    plain = engine.query_range(
+        "sum(http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    by_empty = engine.query_range(
+        "sum by () (http_requests_total)", 0, 300_000, 60_000
+    ).collect()
+    assert by_empty == plain
+    # without () keeps every label -> same as grouping by all labels
+    wo = engine.query_range(
+        "sum without () (http_requests_total)", 0, 300_000, 60_000
+    )
+    assert set(wo.columns) >= {"t", "job", "instance", "value"}

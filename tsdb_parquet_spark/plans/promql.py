@@ -12,18 +12,21 @@ small recursive-descent parser for the subset
     cmp      := sum_expr (CMPOP ['bool'] [matching] sum_expr)*
     sum_expr := agg | func | pfunc | mathfn | label_replace | histq
               | selector | sum_expr binop [matching] sum_expr
+              | ('-'|'+') sum_expr
     agg      := AGGOP [grouping] '(' (func | pfunc | selector) ')'
-    grouping := ('by' | 'without') '(' label (',' label)* ')'
+                [grouping]                -- either position, not both
+    grouping := ('by' | 'without') '(' [label (',' label)*] ')'
     func     := FUNC '(' selector '[' duration ']' [modifiers] ')'
     pfunc    := PFUNC '(' number ',' selector '[' duration ']' [modifiers] ')'
     mathfn   := MATHFN '(' expr (',' number)* ')'
     label_replace := 'label_replace' '(' expr ',' str ',' str ',' str ',' str ')'
     histq    := 'histogram_quantile' '(' number ',' expr ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
-    modifiers:= ['offset' duration] ['@' number]
+    modifiers:= ['offset' ['-'] duration]
+                ['@' (number | 'start()' | 'end()')]
     matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
-    matching := ('on'|'ignoring') '(' label (',' label)* ')'
-                ['group_left'|'group_right']
+    matching := ('on'|'ignoring') '(' [label (',' label)*] ')'
+                [('group_left'|'group_right') ['(' [label...] ')']]
     AGGOP    := sum | min | max | count | avg | stddev | stdvar | group
               | quantile(phi, v) | count_values("lbl", v) [grouping]
     CMPOP    := > | < | >= | <= | == | !=
@@ -212,8 +215,11 @@ class PromExpr:
     matchers: list[Matcher] = field(default_factory=list)
     func: str | None = None  # range function
     range_ms: int | None = None
-    offset_ms: int = 0  # `offset <dur>` modifier: evaluate shifted back
-    at_ms: int | None = None  # `@ <unix-s>` modifier: pin evaluation time
+    offset_ms: int = 0  # `offset [-]<dur>`: evaluate shifted (neg = fwd)
+    #: `@` modifier: unix ms, or the sentinel "start"/"end" (from
+    #: `@ start()` / `@ end()`) resolved against the query range in
+    #: _eval_expr
+    at_ms: "int | str | None" = None
     agg: str | None = None  # outer aggregation
     by: list[str] | None = None  # None = aggregate everything away
     without: list[str] | None = None  # complement grouping
@@ -230,8 +236,9 @@ class PromBinary:
     explicit ``on(lbls)`` restricts the match key to the named labels,
     ``ignoring(lbls)`` removes them from the shared set.  ``group_left``
     / ``group_right`` allow many-to-one matching, keeping the many
-    side's full label set (Prometheus vector-matching semantics; the
-    ``group_left(extra)`` label-copy form is not supported)."""
+    side's full label set; the ``group_left(extra)`` label-copy form
+    additionally copies the named labels from the one side (Prometheus
+    vector-matching semantics)."""
 
     op: str
     left: "PromNode"
@@ -239,6 +246,9 @@ class PromBinary:
     matching_mode: str | None = None  # 'on' | 'ignoring'
     matching: list[str] = field(default_factory=list)
     group: str | None = None  # 'left' | 'right'
+    #: ``group_left(extra)`` / ``group_right(extra)``: labels copied to
+    #: the result FROM the one side (missing labels copy as "")
+    group_carry: list[str] = field(default_factory=list)
     #: comparison ops only: True = `> bool` form (emit 1/0 instead of
     #: filtering to matching rows)
     bool_mode: bool = False
@@ -548,7 +558,7 @@ class _Parser:
             if kind != "ident" or tok != "or":
                 return left
             self.next()
-            mode, labels, group = self._maybe_matching()
+            mode, labels, group, _carry = self._maybe_matching()
             if group:
                 raise ValueError("group_left/group_right invalid for set ops")
             left = PromSetOp(op="or", left=left, right=self._set_and(),
@@ -561,7 +571,7 @@ class _Parser:
             if kind != "ident" or tok not in ("and", "unless"):
                 return left
             self.next()
-            mode, labels, group = self._maybe_matching()
+            mode, labels, group, _carry = self._maybe_matching()
             if group:
                 raise ValueError("group_left/group_right invalid for set ops")
             left = PromSetOp(op=tok, left=left, right=self._compare(),
@@ -582,10 +592,11 @@ class _Parser:
             if k2 == "ident" and t2 == "bool":
                 self.next()
                 bool_mode = True
-            mode, labels, group = self._maybe_matching()
+            mode, labels, group, carry = self._maybe_matching()
             left = PromBinary(op=tok, left=left, right=self._binary(),
                               matching_mode=mode, matching=labels,
-                              group=group, bool_mode=bool_mode)
+                              group=group, group_carry=carry,
+                              bool_mode=bool_mode)
 
     def _binary(self) -> "PromExpr | PromBinary | float":
         # precedence climbing: * / bind tighter than + -, both left-assoc
@@ -595,9 +606,10 @@ class _Parser:
             if kind != "binop" or tok not in ("+", "-"):
                 return left
             self.next()
-            mode, labels, group = self._maybe_matching()
+            mode, labels, group, carry = self._maybe_matching()
             left = _mk_arith(tok, left, self._muldiv(),
-                             matching_mode=mode, matching=labels, group=group)
+                             matching_mode=mode, matching=labels,
+                             group=group, group_carry=carry)
 
     def _muldiv(self) -> "PromExpr | PromBinary | float":
         # * / % atan2 share one precedence level (Prometheus); `atan2`
@@ -612,11 +624,21 @@ class _Parser:
             if not is_op:
                 return left
             self.next()
-            mode, labels, group = self._maybe_matching()
+            mode, labels, group, carry = self._maybe_matching()
             left = _mk_arith(tok, left, self._pow(),
-                             matching_mode=mode, matching=labels, group=group)
+                             matching_mode=mode, matching=labels,
+                             group=group, group_carry=carry)
 
     def _pow(self) -> "PromExpr | PromBinary | float":
+        # unary +/- bind tighter than every binary operator EXCEPT ^
+        # (Prometheus: -1^2 == -(1^2)); compiled as 0 - expr, which the
+        # scalar path folds for literals and evaluates value-wise for
+        # vectors (labels kept, exactly Prometheus's unary semantics)
+        kind, tok = self.peek()
+        if kind == "binop" and tok in ("+", "-"):
+            self.next()
+            operand = self._pow()
+            return operand if tok == "+" else _mk_arith("-", 0.0, operand)
         # ^ binds tightest of the arithmetic operators and is
         # RIGHT-associative: 2^3^2 = 2^(3^2) (Prometheus operator table)
         left = self._term()
@@ -624,17 +646,14 @@ class _Parser:
         if kind != "binop" or tok != "^":
             return left
         self.next()
-        mode, labels, group = self._maybe_matching()
+        mode, labels, group, carry = self._maybe_matching()
         return _mk_arith("^", left, self._pow(),
-                         matching_mode=mode, matching=labels, group=group)
+                         matching_mode=mode, matching=labels,
+                         group=group, group_carry=carry)
 
-    def _maybe_matching(self):
-        """``on(l, ...)`` / ``ignoring(l, ...)`` [``group_left`` |
-        ``group_right``] after a binary operator."""
-        kind, tok = self.peek()
-        if kind != "ident" or tok not in ("on", "ignoring"):
-            return None, [], None
-        self.next()
+    def _label_list(self, ctx: str) -> list[str]:
+        """``( label, ... )`` — possibly empty (``on()`` / ``by ()`` are
+        Prometheus-legal)."""
         self.expect("(")
         labels: list[str] = []
         while True:
@@ -642,17 +661,35 @@ class _Parser:
             if nxt == ")":
                 break
             if k != "ident":
-                raise ValueError(f"expected label in {tok}(...), got {nxt!r}")
+                raise ValueError(f"expected label in {ctx}(...), got {nxt!r}")
             labels.append(nxt)
             k, sep = self.peek()
             if sep == ",":
                 self.next()
+        return labels
+
+    def _maybe_matching(self):
+        """``on(l, ...)`` / ``ignoring(l, ...)`` [``group_left`` |
+        ``group_right`` [``( carry, ... )``]] after a binary operator."""
+        kind, tok = self.peek()
+        if kind != "ident" or tok not in ("on", "ignoring"):
+            return None, [], None, []
+        self.next()
+        labels = self._label_list(tok)
         group = None
+        carry: list[str] = []
         kind, g = self.peek()
         if kind == "ident" and g in ("group_left", "group_right"):
             self.next()
             group = g.removeprefix("group_")
-        return tok, labels, group
+            # optional one-side label-copy list.  A "(" here always
+            # reads as the carry list — Prometheus's grammar resolves
+            # `group_left (x)` the same way (a parenthesized right
+            # operand needs the list first or no parens)
+            k2, t2 = self.peek()
+            if t2 == "(":
+                carry = self._label_list(g)
+        return tok, labels, group, carry
 
     def _term(self) -> "PromExpr | float":
         kind, tok = self.peek()
@@ -863,18 +900,10 @@ class _Parser:
         if not (kind == "ident" and tok in ("by", "without")):
             return None, None
         self.next()
-        self.expect("(")
-        labels = []
-        while True:
-            k, label = self.next()
-            if k != "ident":
-                raise ValueError(f"expected label, got {label!r}")
-            labels.append(label)
-            k, nxt = self.next()
-            if nxt == ")":
-                break
-            if nxt != ",":
-                raise ValueError(f"expected , or ) in grouping, got {nxt!r}")
+        # `by ()` / `without ()` with an EMPTY list is Prometheus-legal:
+        # `sum by () (v)` == `sum(v)`, `sum without () (v)` groups by
+        # every label
+        labels = self._label_list(tok)
         return (labels, None) if tok == "by" else (None, labels)
 
     def _agg(self) -> PromExpr:
@@ -994,23 +1023,38 @@ class _Parser:
         return inner
 
     def _maybe_modifiers(self, sel: "PromExpr") -> None:
-        """``offset <dur>`` and/or ``@ <unix-seconds>``, either order."""
+        """``offset [-]<dur>`` and/or ``@ (<unix-seconds> | start() |
+        end())``, either order (Prometheus 2.x modifier grammar;
+        negative offsets look forward, ``@ start()``/``end()`` pin to
+        the query range's edges and resolve at evaluation time)."""
         while True:
             kind, tok = self.peek()
             if kind == "ident" and tok == "offset":
                 self.next()
+                sign = 1
                 k, dur = self.next()
+                if k == "binop" and dur == "-":
+                    sign = -1
+                    k, dur = self.next()
                 if k != "duration_part":
                     raise ValueError(
                         f"expected duration after offset, got {dur!r}"
                     )
-                sel.offset_ms = parse_duration_ms(dur)
+                sel.offset_ms = sign * parse_duration_ms(dur)
             elif kind == "punct" and tok == "@":
                 self.next()
                 k, num = self.next()
-                if k != "number":
-                    raise ValueError(f"expected unix seconds after @, got {num!r}")
-                sel.at_ms = int(float(num) * 1000)
+                if k == "ident" and num in ("start", "end"):
+                    self.expect("(")
+                    self.expect(")")
+                    sel.at_ms = num  # resolved against the query range
+                elif k == "number":
+                    sel.at_ms = int(float(num) * 1000)
+                else:
+                    raise ValueError(
+                        "expected unix seconds, start() or end() after @,"
+                        f" got {num!r}"
+                    )
             else:
                 return
 
@@ -1689,14 +1733,33 @@ class PromQLEngine:
             # document rather than verify — a uniqueness probe would cost
             # an extra aggregation per evaluation)
             many, one = (left, right) if node.group == "left" else (right, left)
-            one_keyed = one.select(*keys, F.col("value").alias("__ov"))
+            # group_left(extra): copy the named labels from the ONE side
+            # into the result (missing ones copy as "", the Prometheus
+            # absent-label convention); a many-side label of the same
+            # name is overwritten
+            carry = [c for c in node.group_carry if c not in keys]
+            carry_cols = [
+                (
+                    F.col(c) if c in one.columns else F.lit("")
+                ).alias(f"__carry_{c}")
+                for c in carry
+            ]
+            one_keyed = one.select(
+                *keys, *carry_cols, F.col("value").alias("__ov")
+            )
             joined = many.join(one_keyed, on=keys, how="inner")
+            for c in carry:
+                joined = joined.withColumn(c, F.col(f"__carry_{c}")).drop(
+                    f"__carry_{c}"
+                )
             l_val, r_val = (
                 (F.col("value"), F.col("__ov"))
                 if node.group == "left"
                 else (F.col("__ov"), F.col("value"))
             )
-            out_cols = [c for c in many.columns if c != "value"]
+            out_cols = [c for c in many.columns if c != "value"] + [
+                c for c in carry if c not in many.columns
+            ]
             if is_cmp:
                 return self._cmp_result(
                     joined, out_cols, cmps[node.op](l_val, r_val), l_val,
@@ -1828,13 +1891,19 @@ class PromQLEngine:
         if expr.at_ms is not None:
             # `@` modifier: evaluate ONCE at the pinned timestamp, then
             # broadcast the constant vector across the step axis (explode
-            # over the step sequence — no join, no recompute per step)
+            # over the step sequence — no join, no recompute per step).
+            # The start()/end() forms resolve against THIS query's range.
             from dataclasses import replace as _dc_replace
 
+            at = expr.at_ms
+            if at == "start":
+                at = start_ms
+            elif at == "end":
+                at = end_ms
             pinned = self._eval_expr(
                 _dc_replace(expr, at_ms=None),
-                expr.at_ms,
-                expr.at_ms,
+                at,
+                at,
                 step_ms,
                 lookback_ms,
             )
