@@ -418,6 +418,85 @@ def main() -> None:
         )
         return
 
+    if "--blocks" in sys.argv:
+        # r07 verdict item 4 probe: the multi-block farm convert at 10x
+        # events — one task per block (blocks_to_chunk_frame) vs the
+        # single-block driver-parsed shape, full decode both ways.
+        from pyspark.sql import functions as F
+
+        from tsdb_parquet_spark.chunks import decode_chunk_udf
+        from tsdb_parquet_spark.corpus import (
+            _events_tsdb_block,
+            _events_tsdb_block_farm,
+        )
+        from tsdb_parquet_spark.schema import CHUNK_BYTES
+        from tsdb_parquet_spark.tsdb_block import (
+            block_to_chunk_frame,
+            blocks_to_chunk_frame,
+        )
+
+        if not os.path.exists(f"{SF1}/events.parquet"):
+            build_sf1_events(spark)
+
+        t0 = time.perf_counter()
+        single_dir = _events_tsdb_block(spark, SF1)
+        farm_dirs = _events_tsdb_block_farm(spark, SF1)
+        build_s = round(time.perf_counter() - t0, 2)
+
+        def decode_all(frame):
+            return (
+                frame.select(
+                    F.explode(
+                        decode_chunk_udf(F.col(CHUNK_BYTES))
+                    ).alias("s")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()[0]["n"]
+            )
+
+        result = {"fixture_build_s": build_s}
+        for label, make in (
+            ("single_block", lambda: block_to_chunk_frame(spark, single_dir)),
+            (
+                "farm_3_blocks",
+                lambda: blocks_to_chunk_frame(
+                    spark, farm_dirs, ["__name__", "event_type", "shard"]
+                ),
+            ),
+        ):
+            n = decode_all(make())  # warm
+            best = None
+            for _ in range(2):
+                start = time.perf_counter()
+                decode_all(make())
+                e = round(time.perf_counter() - start, 3)
+                best = e if best is None else min(best, e)
+            result[label] = {"convert_decode_s": best, "n_samples": n}
+        result["farm_tasks"] = blocks_to_chunk_frame(
+            spark, farm_dirs, ["__name__", "event_type", "shard"]
+        ).rdd.getNumPartitions()
+        doc = _load_bench()
+        doc["block_convert_probe"] = {
+            "note": (
+                "10x events as a real TSDB block (single, driver-parsed "
+                "index, chunk fetches spread over all cores) and a "
+                "3-block calendar farm (executor-parsed index, one task "
+                "per block); convert+full-XOR-decode wall, min-of-2 "
+                "warm.  Expected crossover, measured: with blocks << "
+                "cores the farm shape idles cores (3 tasks on 32 cores "
+                "-> 2.1 s vs 1.5 s single-block/all-cores); the farm "
+                "shape is for blocks >> cores (thousands of blocks), "
+                "where the single-block shape serializes index parses "
+                "on the driver instead"
+            ),
+            **result,
+        }
+        with open(BENCH_PATH, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps(result))
+        return
+
     if "--q70shapes" in sys.argv:
         # r07 verdict item 7: q70's default (codegen-shuffle) shape
         # extrapolated 7.68x/10x (exponent 0.89) — measure BOTH physical
