@@ -295,3 +295,75 @@ def test_blocks_to_chunk_frame_multi_block_farm(spark):
         for (b, s), (t, v) in all_samples.items()
     }
     assert got == want
+
+
+def test_read_index_golden_bytes_hand_assembled():
+    """Parse an index assembled BYTE BY BYTE here from the spec alone
+    (tsdb/docs/format/index.md), independent of write_index — so a
+    self-consistent-but-wrong writer+reader pair (the r07 zigzag
+    mint-delta bug's failure mode) cannot hide: the reader must decode
+    spec bytes, not our bytes."""
+    import struct as st
+
+    def uv(x):  # uvarint
+        out = bytearray()
+        while x >= 0x80:
+            out.append((x & 0x7F) | 0x80)
+            x >>= 7
+        out.append(x)
+        return bytes(out)
+
+    def vz(x):  # zigzag varint
+        return uv((x << 1) if x >= 0 else ((-x) << 1) - 1)
+
+    def section(content):
+        return st.pack(">I", len(content)) + content + st.pack(
+            ">I", crc32c(content)
+        )
+
+    # symbols: "", "a_metric", "__name__", sorted -> ["", "__name__",
+    # "a_metric"]; v2 references are sequence numbers
+    syms = ["", "__name__", "a_metric"]
+    sym_content = st.pack(">I", len(syms))
+    for s in syms:
+        raw = s.encode()
+        sym_content += uv(len(raw)) + raw
+
+    out = bytearray(st.pack(">IB", 0xBAAAD700, 2))
+    toc_symbols = len(out)
+    out += section(sym_content)
+    while len(out) % 16:
+        out.append(0)
+    toc_series = len(out)
+    series_ref = len(out) // 16
+    # one series {__name__="a_metric"} with chunks (100,200,ref 7) and
+    # (250,300,ref 3): labels, then per the SPEC — first chunk mint as
+    # zigzag varint, span uvarint, ref uvarint; later chunks mint delta
+    # vs prev maxt as UVARINT (not zigzag), span uvarint, ref delta
+    # zigzag varint (here negative: 3-7 = -4)
+    content = uv(1) + uv(1) + uv(2)          # 1 label: __name__ -> a_metric
+    content += uv(2)                          # 2 chunks
+    content += vz(100) + uv(100) + uv(7)      # first chunk
+    content += uv(50) + uv(50) + vz(-4)       # second: mint 250 = 200+50
+    out += uv(len(content)) + content + st.pack(">I", crc32c(content))
+    while len(out) % 4:
+        out.append(0)
+    toc_li = len(out)
+    out += section(st.pack(">I", 0))          # empty label indices
+    toc_postings = len(out)
+    all_off = len(out)
+    out += section(st.pack(">II", 1, series_ref))
+    toc_po = len(out)
+    po = st.pack(">I", 1) + uv(2) + uv(0) + uv(0) + uv(all_off)
+    out += section(po)
+    toc = st.pack(">QQQQQQ", toc_symbols, toc_series, toc_li, toc_li,
+                  toc_postings, toc_po)
+    out += toc + st.pack(">I", crc32c(toc))
+
+    d = _block_dir("golden")
+    with open(os.path.join(d, "index"), "wb") as fh:
+        fh.write(bytes(out))
+    back = read_index(d)
+    assert back == [
+        ({"__name__": "a_metric"}, [(100, 200, 7), (250, 300, 3)])
+    ]
