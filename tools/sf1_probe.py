@@ -326,6 +326,11 @@ def main() -> None:
             "q93_exact_substring_spans",
             "q101_png_pixel_pipeline",
             "q102_promql_sort_by_label",
+            # the r08 block chain at 10x: real-block convert (q105),
+            # block -> store -> PromQL (q106), 3-block farm (q107)
+            "q105_tsdb_block_convert",
+            "q106_block_convert_promql",
+            "q107_multi_block_convert",
         ]
         results = {}
         for name in names:
