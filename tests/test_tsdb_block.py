@@ -367,3 +367,38 @@ def test_read_index_golden_bytes_hand_assembled():
     assert back == [
         ({"__name__": "a_metric"}, [(100, 200, 7), (250, 300, 3)])
     ]
+
+
+def test_cli_convert_block_input(spark):
+    """`cli convert --block <dir>` — the reference converter's actual
+    CLI contract (`cmd/convert/main.go`): TSDB block in, sorted chunk
+    store out.  Runs as a subprocess because the command owns its
+    session lifecycle; the resulting store is then read and decoded
+    with the test session."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+    d = _block_dir("cli_convert")
+    series = _sample_series()
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+    out = os.path.join(WORK, "cli_convert_store")
+    shutil.rmtree(out, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "convert",
+         "--block", d, "--out", out],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    store = spark.read.parquet(os.path.join(out, "compact"))
+    assert store.count() == 4  # one chunk per series
+    n = store.select(
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+    ).count()
+    assert n == 4 * 40  # every sample survives the CLI round trip

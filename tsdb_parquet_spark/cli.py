@@ -90,6 +90,51 @@ def cmd_convert(args) -> int:
 
     spark = get_spark(app_name="tsdb-convert")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.block:
+        # the reference converter's ACTUAL input (`cmd/convert/main.go:
+        # 30-126`): one or more on-disk Prometheus TSDB block dirs.
+        # One block -> driver-parsed index, chunk fetches spread over
+        # all cores; several -> executor-parsed, one task per block
+        # (the farm shape).  Labels derive from the index itself for a
+        # single block; a farm needs --labels (per-block schemas are
+        # data-inferred, and deriving the union would serialize every
+        # index parse on the driver).
+        from tsdb_parquet_spark.schema import label_columns, sort_columns
+        from tsdb_parquet_spark.sources.writer import (
+            SortedParquetWriter,
+            WriterOptions,
+        )
+        from tsdb_parquet_spark.tsdb_block import (
+            block_to_chunk_frame,
+            blocks_to_chunk_frame,
+        )
+
+        t0 = time.perf_counter()
+        if len(args.block) == 1:
+            frame = block_to_chunk_frame(spark, args.block[0])
+        else:
+            frame = blocks_to_chunk_frame(
+                spark, args.block, args.labels.split(",")
+            )
+        labels = label_columns(frame.schema)
+        opts = WriterOptions(
+            sort_columns=sort_columns(labels),
+            bloom_columns=[c for c in labels if c != "__name__"],
+            max_files=args.max_files,
+        )
+        writer = SortedParquetWriter(spark, args.out, opts)
+        writer.write(frame)
+        compact = writer.compact()
+        n = spark.read.parquet(compact).count()
+        print(
+            f"# converted {len(args.block)} block(s): {n} chunks -> "
+            f"{compact} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 0
+
     df = spark.read.parquet(args.events)
     labels = args.labels.split(",")
     if "__name__" in labels and "__name__" not in df.columns:
@@ -234,8 +279,15 @@ def main(argv: list[str] | None = None) -> int:
     scan.set_defaults(fn=cmd_scan)
 
     conv = sub.add_parser("convert",
-                          help="samples parquet -> chunk store (cmd/convert)")
-    conv.add_argument("--events", required=True)
+                          help="samples parquet OR TSDB block dir(s) -> "
+                               "chunk store (cmd/convert)")
+    group = conv.add_mutually_exclusive_group(required=True)
+    group.add_argument("--events", help="samples parquet input")
+    group.add_argument(
+        "--block", action="append",
+        help="Prometheus TSDB block directory (repeat for a farm; one "
+             "task per block when repeated)",
+    )
     conv.add_argument("--out", required=True)
     conv.add_argument("--labels", default="__name__,event_type")
     conv.add_argument("--metric-name", default="app_events")
