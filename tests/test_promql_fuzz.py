@@ -122,6 +122,7 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
     if kind == "sel":
         _, matchers, off = node[:3]
         at = node[3] if len(node) > 3 else None
+        at = {"start": START, "end": END}.get(at, at)
         t = (at if at is not None else t) - off
         out = {}
         for key, pts in _BY_SERIES.items():
@@ -134,6 +135,7 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
     if kind == "fn":
         _, fname, matchers, window_ms, off = node[:5]
         at = node[5] if len(node) > 5 else None
+        at = {"start": START, "end": END}.get(at, at)
         t = (at if at is not None else t) - off
         out = {}
         for key, pts in _BY_SERIES.items():
@@ -172,7 +174,7 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             lo, hi = int(math.floor(idx)), int(math.ceil(idx))
             out[k] = vs[lo] + (vs[hi] - vs[lo]) * (idx - lo)
         return out
-    if kind == "agg":
+    if kind in ("agg", "agg_postfix"):
         _, op, by, child = node
         inner = ref_eval(child, t)
         groups: dict[tuple, list[float]] = {}
@@ -249,6 +251,8 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             if kb in b:
                 out[k] = f(v, b[kb])
         return out
+    if kind == "neg":
+        return {k: -v for k, v in ref_eval(node[1], t).items()}
     if kind == "setop":
         _, op, left, right = node
         a, b = ref_eval(left, t), ref_eval(right, t)
@@ -279,7 +283,9 @@ def render(node) -> str:
             base = "m{%s}" % parts
         if off:
             base = f"{base} offset {off // 60000}m"
-        if at is not None:
+        if at in ("start", "end"):
+            base = f"{base} @ {at}()"
+        elif at is not None:
             base = f"{base} @ {at // 1000}"
         return base
     if kind == "fn":
@@ -287,7 +293,9 @@ def render(node) -> str:
         at = node[5] if len(node) > 5 else None
         sel = render(("sel", matchers, 0))
         mod = f" offset {off // 60000}m" if off else ""
-        if at is not None:
+        if at in ("start", "end"):
+            mod = f"{mod} @ {at}()"
+        elif at is not None:
             mod = f"{mod} @ {at // 1000}"
         return f"{fname}({sel}[{window_ms // 60000}m]{mod})"
     if kind == "agg_without":
@@ -299,6 +307,12 @@ def render(node) -> str:
     if kind == "agg":
         _, op, by, child = node
         return f"{op} by ({', '.join(by)}) ({render(child)})"
+    if kind == "agg_postfix":
+        # Prometheus's other legal grouping position
+        _, op, by, child = node
+        return f"{op}({render(child)}) by ({', '.join(by)})"
+    if kind == "neg":
+        return f"-({render(node[1])})"
     if kind == "scalar_op":
         _, op, child, c = node
         return f"({render(child)}) {op} {c}"
@@ -317,9 +331,12 @@ def render(node) -> str:
         return f"({render(left)}) {op}{mod} ({render(right)})"
     if kind == "group_binop":
         _, op, on, left, right = node
+        # NOTE: the right operand must NOT be parenthesized directly
+        # after group_left — Prometheus's grammar (and ours) reads a
+        # "(" there as the one-side label-copy list
         return (
             f"({render(left)}) {op} on ({', '.join(on)}) group_left "
-            f"({render(right)})"
+            f"{render(right)}"
         )
     raise AssertionError(kind)
 
@@ -338,10 +355,13 @@ def _rand_matchers(rng):
 
 def _rand_simple(rng):
     matchers = _rand_matchers(rng)
-    off = rng.choice([0, 0, 0, 60_000, 120_000])  # offset ~40% of the time
-    # `@` pins the subtree's evaluation time ~20% of the time (must be a
-    # step-aligned instant so the reference's per-step loop agrees)
-    at = rng.choice([None, None, None, None, 240_000, 420_000])
+    # offset ~50% of the time; -1m looks FORWARD (negative offsets)
+    off = rng.choice([0, 0, 0, 60_000, 120_000, -60_000])
+    # `@` pins the subtree's evaluation time ~30% of the time (a
+    # step-aligned instant, a range-start pin, or a range-end pin)
+    at = rng.choice(
+        [None, None, None, None, 240_000, 420_000, "start", "end"]
+    )
     if rng.random() < 0.4:
         return ("sel", matchers, off, at)
     fname = rng.choice(list(_FNS))
@@ -352,12 +372,16 @@ def _rand_simple(rng):
 def _rand_expr(rng):
     shape = rng.random()
     simple = _rand_simple(rng)
-    if shape < 0.25:
+    if shape < 0.2:
         node = simple
+    elif shape < 0.25:
+        node = ("neg", simple)  # unary minus keeps labels
     elif shape < 0.5:
         by = rng.choice([["job"], ["instance"], ["job", "instance"]])
         op = rng.choice(["sum", "min", "max", "count", "avg"])
-        node = ("agg", op, by, simple)
+        # both Prometheus-legal grouping positions
+        kind = "agg" if rng.random() < 0.5 else "agg_postfix"
+        node = (kind, op, by, simple)
     elif shape < 0.52:
         node = ("quantile", rng.choice([0.5, 0.9]), ["job"], simple)
     elif shape < 0.55:

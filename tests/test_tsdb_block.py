@@ -402,3 +402,68 @@ def test_cli_convert_block_input(spark):
         F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
     ).count()
     assert n == 4 * 40  # every sample survives the CLI round trip
+
+
+# ---------------------------------------------------------------------------
+# property-based index round-trip (hypothesis): arbitrary spec-legal
+# label sets and chunk metas, including the encodings' edge shapes —
+# negative first mint (zigzag), zero-width chunks, back-to-back windows
+# (mint_i == maxt_{i-1}, uvarint delta 0), and ref deltas of any sign.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_label_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+)
+_label_value = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@st.composite
+def _series_list(draw):
+    n_series = draw(st.integers(1, 6))
+    out = []
+    seen = set()
+    for _ in range(n_series):
+        labels = draw(
+            st.dictionaries(_label_name, _label_value, min_size=1, max_size=4)
+        )
+        key = tuple(sorted(labels.items()))
+        if key in seen:  # the format keys series by label set
+            continue
+        seen.add(key)
+        n_chunks = draw(st.integers(1, 5))
+        mint = draw(st.integers(-(2**40), 2**40))
+        metas = []
+        for _ in range(n_chunks):
+            span = draw(st.integers(0, 2**32))
+            maxt = mint + span
+            ref = draw(st.integers(0, 2**40))
+            metas.append((mint, maxt, ref))
+            # next chunk starts at or after this one's maxt (spec:
+            # non-overlapping, time-ordered; uvarint delta >= 0)
+            mint = maxt + draw(st.integers(0, 2**20))
+        out.append((labels, metas))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(series=_series_list())
+def test_index_roundtrip_property(series):
+    import shutil as _shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(dir=WORK)
+    try:
+        write_index(d, series)
+        back = read_index(d)
+        want = sorted(series, key=lambda s: sorted(s[0].items()))
+        assert [labels for labels, _ in back] == [l for l, _ in want]
+        assert [metas for _, metas in back] == [m for _, m in want]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
