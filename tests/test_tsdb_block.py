@@ -467,3 +467,69 @@ def test_index_roundtrip_property(series):
         assert [metas for _, metas in back] == [m for _, m in want]
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sync_blocks_incremental_idempotent(spark):
+    """The continuous-migration workflow: a Prometheus data dir gains
+    blocks over time; each sync converts only the new ones (ULID
+    sidecar), one farm job per batch, stable per-block ordinals across
+    batches, and re-runs are no-ops."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+    from tsdb_parquet_spark.sources.writer import read_roots
+    from tsdb_parquet_spark.tsdb_block import discover_blocks, sync_blocks
+
+    data_dir = _block_dir("sync_data")
+    store = os.path.join(WORK, "sync_store")
+    shutil.rmtree(store, ignore_errors=True)
+
+    def add_block(name, t0, val):
+        rng = np.random.default_rng(hash(name) % 2**32)
+        ts = (np.cumsum(rng.integers(10_000, 20_000, 30)) + t0).astype(
+            np.int64
+        )
+        vals = np.full(30, float(val))
+        d = os.path.join(data_dir, name)
+        os.makedirs(d, exist_ok=True)
+        write_block(
+            d,
+            [({"__name__": "m", "blockname": name},
+              [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, vals))])],
+        )
+
+    add_block("b0", 1_000_000, 1.0)
+    add_block("b1", 2_000_000, 2.0)
+    assert len(discover_blocks(data_dir)) == 2
+
+    labels = ["__name__", "blockname"]
+    r1 = sync_blocks(spark, data_dir, store, labels)
+    assert len(r1["converted"]) == 2 and r1["skipped"] == []
+    add_block("b2", 3_000_000, 3.0)
+    r2 = sync_blocks(spark, data_dir, store, labels)
+    assert len(r2["converted"]) == 1 and len(r2["skipped"]) == 2
+    r3 = sync_blocks(spark, data_dir, store, labels)
+    assert r3 == {"converted": [], "skipped": r3["skipped"], "part": None}
+    assert len(r3["skipped"]) == 3
+
+    df = read_roots(spark, [r1["part"], r2["part"]])
+    rows = df.select(
+        SERIES_ID,
+        "blockname",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    got = {
+        (r["blockname"], r["blk"]): (r["n"], r["sv"])
+        for r in rows.groupBy(
+            "blockname",
+            F.shiftrightunsigned(F.col(SERIES_ID), 32).alias("blk"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s.value").alias("sv"))
+        .collect()
+    }
+    # stable, distinct ordinals across the two sync batches
+    assert {b for (_, b) in got} == {0, 1, 2}
+    assert {k[0]: v for k, v in got.items()} == {
+        "b0": (30, 30.0), "b1": (30, 60.0), "b2": (30, 90.0)
+    }

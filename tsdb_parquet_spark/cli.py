@@ -91,6 +91,12 @@ def cmd_convert(args) -> int:
     spark = get_spark(app_name="tsdb-convert")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.block_parent:
+        from tsdb_parquet_spark.tsdb_block import discover_blocks
+
+        args.block = discover_blocks(args.block_parent)
+        if not args.block:
+            raise SystemExit(f"no blocks under {args.block_parent}")
     if args.block:
         # the reference converter's ACTUAL input (`cmd/convert/main.go:
         # 30-126`): one or more on-disk Prometheus TSDB block dirs.
@@ -177,6 +183,31 @@ def cmd_convert(args) -> int:
         f"{time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
+    spark.stop()
+    return 0
+
+
+def cmd_sync(args) -> int:
+    """Incremental block-farm migration: convert new blocks from a live
+    Prometheus data dir into the store (ULID sidecar skips converted
+    ones; idempotent, crash-safe — see `tsdb_block.sync_blocks`).  Run
+    on a schedule to keep a parquet store following a live TSDB."""
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.tsdb_block import sync_blocks
+
+    spark = get_spark(app_name="tsdb-sync")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = sync_blocks(
+        spark, args.data_dir, args.store, args.labels.split(",")
+    )
+    print(
+        f"# converted {len(result['converted'])} block(s), skipped "
+        f"{len(result['skipped'])}"
+        + (f" -> {result['part']}" if result["part"] else ""),
+        file=sys.stderr,
+    )
+    for u in result["converted"]:
+        print(u)
     spark.stop()
     return 0
 
@@ -288,6 +319,11 @@ def main(argv: list[str] | None = None) -> int:
         help="Prometheus TSDB block directory (repeat for a farm; one "
              "task per block when repeated)",
     )
+    group.add_argument(
+        "--block-parent",
+        help="Prometheus DATA dir: converts every block found inside "
+             "(subdirs with meta.json, minTime order)",
+    )
     conv.add_argument("--out", required=True)
     conv.add_argument("--labels", default="__name__,event_type")
     conv.add_argument("--metric-name", default="app_events")
@@ -297,6 +333,16 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--span-ms", type=int, default=86_400_000)
     conv.add_argument("--max-files", type=int, default=32)
     conv.set_defaults(fn=cmd_convert)
+
+    sync = sub.add_parser(
+        "sync",
+        help="incrementally convert NEW blocks from a Prometheus data "
+             "dir into a chunk store (idempotent; run on a schedule)",
+    )
+    sync.add_argument("--data-dir", required=True)
+    sync.add_argument("--store", required=True)
+    sync.add_argument("--labels", default="__name__,event_type,shard")
+    sync.set_defaults(fn=cmd_sync)
 
     snaps = sub.add_parser(
         "snapshots", help="list a store's published snapshot manifests"

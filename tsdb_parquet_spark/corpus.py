@@ -15,6 +15,7 @@ that keep the hashes stable across engines:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
@@ -4971,6 +4972,45 @@ def _events_tsdb_block_farm(spark: SparkSession, sf_dir: str) -> list[str]:
     return dirs
 
 
+def _block_sync_store_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per sf) the incrementally-synced store: stage blocks
+    0-1 of the farm as a data dir, sync; stage block 2 (the 'new block
+    appeared' event), sync again — then return the store's chunk frame
+    (all parts unioned).  Ordinals follow meta.json minTime order, so
+    the series-id high bits equal the calendar split index."""
+    from tsdb_parquet_spark.sources.writer import read_roots
+    from tsdb_parquet_spark.tsdb_block import sync_blocks
+
+    dirs = _events_tsdb_block_farm(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    staging = os.path.join(work, f"block_sync_data_{tag}")
+    store = os.path.join(work, f"block_sync_store_v1_{tag}")
+    parts_file = os.path.join(store, "_q107_parts.json")
+    if os.path.exists(parts_file):
+        with open(parts_file) as fh:
+            return read_roots(spark, json.load(fh))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    for d in dirs[:2]:
+        os.symlink(d, os.path.join(staging, os.path.basename(d)))
+    r1 = sync_blocks(spark, staging, store, _CHUNK_LABELS)
+    os.symlink(dirs[2], os.path.join(staging, os.path.basename(dirs[2])))
+    r2 = sync_blocks(spark, staging, store, _CHUNK_LABELS)
+    assert len(r1["converted"]) == 2 and len(r2["converted"]) == 1
+    parts = [r1["part"], r2["part"]]
+    # atomic publish: a crash mid-write must not leave a truncated
+    # marker that later runs would trust
+    tmp = parts_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(parts, fh)
+    os.replace(tmp, parts_file)
+    return read_roots(spark, parts)
+
+
 @query(
     "q107_multi_block_convert",
     f"""
@@ -4994,22 +5034,24 @@ SELECT blk, event_type,
 FROM b GROUP BY blk, event_type ORDER BY blk, event_type""",
 )
 def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-FARM convert (`tsdb_block.blocks_to_chunk_frame`): three
-    real block directories ingested with index parse AND payload fetch
-    executor-side, exactly one task per block — the per-block
-    parallelism a 100 TB Prometheus data dir (thousands of blocks)
-    needs, where `block_to_chunk_frame`'s driver-side index walk (the
-    reference converter's own shape, `cmd/convert/main.go:79-117`)
-    would serialize on the driver.  Series ids stay file-local per
-    block with the block ordinal folded into the high 32 bits; the
-    aggregate must hash-match DuckDB recomputing the same calendar
-    split from raw events — proving the farm path is lossless."""
+    """Block-FARM convert (`tsdb_block.blocks_to_chunk_frame` via the
+    INCREMENTAL `sync_blocks` workflow): three real block directories
+    ingested with index parse AND payload fetch executor-side, exactly
+    one task per block — the per-block parallelism a 100 TB Prometheus
+    data dir (thousands of blocks) needs, where
+    `block_to_chunk_frame`'s driver-side index walk (the reference
+    converter's own shape, `cmd/convert/main.go:79-117`) would
+    serialize on the driver.  The store is built by TWO sync batches
+    (blocks 0-1, then block 2 arriving later) against a staged data
+    dir, exercising ULID skip-tracking and stable cross-batch block
+    ordinals; series ids stay file-local per block with the ordinal in
+    the high 32 bits, and the aggregate over the synced store must
+    hash-match DuckDB recomputing the same calendar split from raw
+    events — proving the incremental farm path is lossless."""
     from tsdb_parquet_spark.chunks import decode_chunk_udf
     from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
-    from tsdb_parquet_spark.tsdb_block import blocks_to_chunk_frame
 
-    dirs = _events_tsdb_block_farm(spark, sf_dir)
-    frame = blocks_to_chunk_frame(spark, dirs, _CHUNK_LABELS)
+    frame = _block_sync_store_frame(spark, sf_dir)
     decoded = frame.select(
         F.shiftrightunsigned(F.col(SERIES_ID), 32).cast("int").alias("blk"),
         "event_type",

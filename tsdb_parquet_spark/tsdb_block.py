@@ -547,6 +547,7 @@ def blocks_to_chunk_frame(
     block_dirs: Sequence[str],
     label_names: Sequence[str],
     batch_rows: int = 4096,
+    block_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """Multi-block converter — the block-FARM shape of
     :func:`block_to_chunk_frame`.
@@ -571,7 +572,10 @@ def blocks_to_chunk_frame(
     ``__series__id`` stays file-local per block (the reference's
     identity contract, `schema/chunk.go:28-30`) and is made globally
     unique by folding the block ordinal into the high 32 bits:
-    ``block_idx << 32 | local_id``.
+    ``block_idx << 32 | local_id``.  ``block_ids`` overrides the
+    ordinals (default ``range(n)``) — incremental converters
+    (:func:`sync_blocks`) pass each block's STABLE ordinal so ids from
+    different sync batches never collide.
 
     Rows stream out in ``batch_rows``-sized Arrow batches so a block
     larger than executor memory never materializes at once.
@@ -590,8 +594,11 @@ def blocks_to_chunk_frame(
     n = len(block_dirs)
     if n == 0:
         raise ValueError("no block directories given")
+    ids = list(block_ids) if block_ids is not None else list(range(n))
+    if len(ids) != n:
+        raise ValueError("block_ids must match block_dirs in length")
     dirs_df = spark.createDataFrame(
-        [(i, d) for i, d in enumerate(block_dirs)],
+        [(i, d) for i, d in zip(ids, block_dirs)],
         "block_idx INT, block_dir STRING",
     ).repartition(n, "block_idx")
     out_schema = T.StructType(
@@ -635,3 +642,98 @@ def blocks_to_chunk_frame(
                     yield pd.DataFrame(rows, columns=cols)
 
     return dirs_df.mapInPandas(convert, out_schema)
+
+
+def discover_blocks(data_dir: str) -> list[str]:
+    """Block directories inside a Prometheus data dir: subdirectories
+    with a ``meta.json`` (Prometheus names them by ULID), sorted by
+    each block's ``minTime`` (ULID name order is creation order, not
+    time order, once vertical compaction reorders things)."""
+    found = []
+    for name in sorted(os.listdir(data_dir)):
+        d = os.path.join(data_dir, name)
+        meta_path = os.path.join(d, "meta.json")
+        if os.path.isdir(d) and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            found.append((meta.get("minTime", 0), d))
+    return [d for _, d in sorted(found)]
+
+
+def sync_blocks(
+    spark: SparkSession,
+    data_dir: str,
+    store_root: str,
+    label_names: Sequence[str],
+    writer_opts=None,
+) -> dict:
+    """Incremental block-farm migration: convert every block in
+    ``data_dir`` NOT yet in the store, as one farm job (one task per
+    block), each sync batch landing as one sorted part of the store at
+    ``store_root``.
+
+    This is the continuous version of the reference's one-shot
+    converter (`cmd/convert/main.go:30-126`): point it at a LIVE
+    Prometheus data dir on a schedule and the store follows the TSDB —
+    already-converted blocks are skipped by ULID, so re-runs after a
+    crash or overlap are idempotent (the sidecar is written atomically
+    AFTER the part publishes; a crash between the two re-converts that
+    batch into a fresh part, and the previous unpublished part dir is
+    simply never adopted).  Each block keeps a STABLE ordinal in the
+    sidecar, so ``__series__id``'s high bits never collide across
+    batches.
+
+    Returns ``{"converted": [ulid...], "skipped": [ulid...],
+    "part": dir|None}``.
+    """
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    state_path = os.path.join(store_root, "_converted_blocks.json")
+    state: dict[str, int] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+
+    pending: list[tuple[str, str, int]] = []  # (ulid, dir, ordinal)
+    skipped: list[str] = []
+    next_ord = max(state.values(), default=-1) + 1
+    for d in discover_blocks(data_dir):
+        with open(os.path.join(d, "meta.json")) as fh:
+            ulid = json.load(fh)["ulid"]
+        if ulid in state:
+            skipped.append(ulid)
+            continue
+        pending.append((ulid, d, next_ord))
+        next_ord += 1
+    if not pending:
+        return {"converted": [], "skipped": skipped, "part": None}
+
+    frame = blocks_to_chunk_frame(
+        spark,
+        [d for _, d, _ in pending],
+        label_names,
+        block_ids=[o for _, _, o in pending],
+    )
+    labels = list(label_names)
+    opts = writer_opts or WriterOptions(
+        sort_columns=sort_columns(labels),
+        bloom_columns=[c for c in labels if c != "__name__"],
+        max_files=16,
+    )
+    writer = SortedParquetWriter(spark, store_root, opts)
+    part = writer.write(frame)
+    for ulid, _, ordinal in pending:
+        state[ulid] = ordinal
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, state_path)
+    return {
+        "converted": [u for u, _, _ in pending],
+        "skipped": skipped,
+        "part": part,
+    }
