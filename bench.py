@@ -123,6 +123,14 @@ def main() -> None:
     qs["q89_streaming_rollup"](spark, sf_dir)
     store_build["stream_rollup_store"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
+    # the TSDB-block fixtures + derived stores (q105 block dir, q106
+    # block->store, q107 two-batch sync store) build once per sf; first
+    # touch here so the timed rows measure the query, not fixture IO
+    qs["q105_tsdb_block_convert"](spark, sf_dir)
+    qs["q106_block_convert_promql"](spark, sf_dir)
+    qs["q107_multi_block_convert"](spark, sf_dir)
+    store_build["tsdb_block_stores"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)
     store_build["bucket_staging"] = round(time.perf_counter() - start, 3)
 
