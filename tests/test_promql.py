@@ -1181,3 +1181,23 @@ def test_empty_grouping_lists(spark):
         "sum without () (http_requests_total)", 0, 300_000, 60_000
     )
     assert set(wo.columns) >= {"t", "job", "instance", "value"}
+
+
+def test_topk_without_grouping(spark):
+    """`topk without (lbls) (k, v)` keeps k series per group formed by
+    every OTHER label — previously the without clause parsed but was
+    silently dropped (plain global topk), a wrong-answer class."""
+    engine = PromQLEngine(_stub_samples(spark))
+    # per-job top-1 by instance: without (instance) groups by job
+    out = engine.query_range(
+        "topk without (instance) (1, http_requests_total)",
+        150_000, 150_000, 60_000,
+    ).collect()
+    jobs = sorted(r["job"] for r in out)
+    assert jobs == ["api-server", "kubelet"]  # one winner per job group
+    # equivalent by-form must agree
+    by = engine.query_range(
+        "topk by (job) (1, http_requests_total)",
+        150_000, 150_000, 60_000,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, by))

@@ -452,12 +452,14 @@ class PromSort:
 class PromTopK:
     """topk/bottomk(k, vector): keep the k series with the highest (lowest)
     value at each step.  With ``by`` labels, k series are kept per
-    (step, by-group) — Prometheus `topk by (...)` semantics."""
+    (step, by-group); with ``without`` labels, per (step, every other
+    label) — Prometheus `topk by/without (...)` semantics."""
 
     k: int
     ascending: bool
     inner: "PromNode"
     by: list[str] | None = None
+    without: list[str] | None = None
 
 
 PromNode = "PromExpr | PromBinary | PromTopK | float"
@@ -943,7 +945,7 @@ class _Parser:
                 return PromQuantileAgg(phi=float(num), inner=inner,
                                        by=by, without=without)
             return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
-                            inner=inner, by=by)
+                            inner=inner, by=by, without=without)
         kind, tok = self.peek()
         if kind == "ident" and tok in RANGE_FUNCS:
             inner = self._func()
@@ -1342,7 +1344,9 @@ class PromQLEngine:
             return self._eval_binary(node, start_ms, end_ms, step_ms, lookback_ms)
         if isinstance(node, PromTopK):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
-            return self._topk(inner, node.k, node.ascending, node.by)
+            return self._topk(
+                inner, node.k, node.ascending, node.by, node.without
+            )
         if isinstance(node, PromMathFunc):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return inner.withColumn(
@@ -1863,7 +1867,11 @@ class PromQLEngine:
 
     @staticmethod
     def _topk(
-        df: DataFrame, k: int, ascending: bool, by: list[str] | None = None
+        df: DataFrame,
+        k: int,
+        ascending: bool,
+        by: list[str] | None = None,
+        without: list[str] | None = None,
     ) -> DataFrame:
         from pyspark.sql import Window
 
@@ -1871,6 +1879,9 @@ class PromQLEngine:
         missing = [c for c in (by or []) if c not in label_cols]
         if missing:
             raise ValueError(f"topk by labels not in result: {missing}")
+        if without is not None:
+            # per-(everything else) groups; unknown names just drop out
+            by = [c for c in label_cols if c not in without]
         order = [F.col("value").asc() if ascending else F.col("value").desc()]
         order += [F.col(c).asc() for c in label_cols]  # deterministic ties
         w = Window.partitionBy("t", *(by or [])).orderBy(*order)
