@@ -422,3 +422,48 @@ def test_promql_shared_scan_replaces_parquet_scan(spark, tmp_path):
     q = plain.query_range('http_requests_total{job="api"}', 0, 270_000, 30_000)
     q.collect()
     assert "Scan parquet" in _plan(q)
+
+
+def test_block_store_promql_chain_pushdown(spark, tmp_path):
+    """The q106 lifecycle's read side: a store CONVERTED from a real
+    TSDB block must behave like any native store — the PromQL metric
+    selector reaches the parquet scan as a pushed equality and the
+    ReadSchema carries only the touched columns (no __series__id, no
+    unused labels)."""
+    import numpy as np
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
+    from tsdb_parquet_spark.tsdb_block import block_to_chunk_frame, write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    block = str(tmp_path / "block")
+    series = []
+    for job in ("a", "b"):
+        ts = (np.arange(10) * 30_000 + 30_000).astype(np.int64)
+        series.append(
+            (
+                {"__name__": "m", "job": job},
+                [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, np.ones(10)))],
+            )
+        )
+    write_block(block, series)
+    store = str(tmp_path / "store")
+    labels = ["__name__", "job"]
+    write_sorted(
+        block_to_chunk_frame(spark, block),
+        store,
+        WriterOptions(sort_columns=sort_columns(labels), max_files=2),
+    )
+    from tsdb_parquet_spark.querier import ChunkQuerier as CQ
+
+    q = CQ.from_parquet(spark, store)
+    engine = PromQLEngine(q.select_samples(labels=labels))
+    df = engine.query_range("sum(m)", 0, 300_000, 60_000)
+    plan = _formatted(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "EqualTo(__name__,m)" in pushed
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "__series__id" not in schema_line
+    assert "__chunk_bytes" in schema_line
