@@ -533,3 +533,47 @@ def test_sync_blocks_incremental_idempotent(spark):
     assert {k[0]: v for k, v in got.items()} == {
         "b0": (30, 30.0), "b1": (30, 60.0), "b2": (30, 90.0)
     }
+
+
+def test_sync_recode_raw_is_lossless_and_arrow_fast_path(spark):
+    """sync_blocks(recode='raw'): the store's chunk bytes become the
+    raw batch-decodable layout (is_raw_chunk True for every blob), and
+    every sample survives the XOR->raw rewrite bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import sync_blocks
+    from tsdb_parquet_spark.xorchunk import is_raw_chunk
+
+    data_dir = _block_dir("recode_data")
+    store = os.path.join(WORK, "recode_store")
+    shutil.rmtree(store, ignore_errors=True)
+    series = _sample_series()
+    d = os.path.join(data_dir, "b0")
+    os.makedirs(d, exist_ok=True)
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+
+    r = sync_blocks(
+        spark, data_dir, store, ["__name__", "job", "shard"], recode="raw"
+    )
+    df = spark.read.parquet(r["part"])
+    blobs = [row[CHUNK_BYTES] for row in df.select(CHUNK_BYTES).collect()]
+    assert blobs and all(is_raw_chunk(b) for b in blobs)
+
+    decoded = df.select(
+        "job", "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    for labels, _, (ts, vals) in series:
+        back = (
+            decoded.filter(
+                (F.col("job") == labels["job"])
+                & (F.col("shard") == labels["shard"])
+            )
+            .orderBy("s.ts")
+            .select("s.ts", "s.value")
+            .collect()
+        )
+        assert [x["ts"] for x in back] == list(ts)
+        assert [x["value"] for x in back] == list(vals)

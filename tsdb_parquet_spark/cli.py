@@ -123,6 +123,17 @@ def cmd_convert(args) -> int:
             frame = blocks_to_chunk_frame(
                 spark, args.block, args.labels.split(",")
             )
+        if args.recode == "raw":
+            # rewrite-on-ingest: pay the XOR decode once here so every
+            # later scan of the store decodes at Arrow speed
+            from pyspark.sql import functions as F
+
+            from tsdb_parquet_spark.chunks import recode_chunk_udf
+            from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+            frame = frame.withColumn(
+                CHUNK_BYTES, recode_chunk_udf(F.col(CHUNK_BYTES))
+            )
         labels = label_columns(frame.schema)
         opts = WriterOptions(
             sort_columns=sort_columns(labels),
@@ -198,7 +209,8 @@ def cmd_sync(args) -> int:
     spark = get_spark(app_name="tsdb-sync")
     spark.sparkContext.setLogLevel("ERROR")
     result = sync_blocks(
-        spark, args.data_dir, args.store, args.labels.split(",")
+        spark, args.data_dir, args.store, args.labels.split(","),
+        recode=args.recode,
     )
     print(
         f"# converted {len(result['converted'])} block(s), skipped "
@@ -324,6 +336,12 @@ def main(argv: list[str] | None = None) -> int:
         help="Prometheus DATA dir: converts every block found inside "
              "(subdirs with meta.json, minTime order)",
     )
+    conv.add_argument(
+        "--recode", choices=["raw"], default=None,
+        help="block input only: re-encode XOR chunks into the raw "
+             "batch-decodable layout during convert (pay the decode "
+             "once; later scans run at Arrow speed)",
+    )
     conv.add_argument("--out", required=True)
     conv.add_argument("--labels", default="__name__,event_type")
     conv.add_argument("--metric-name", default="app_events")
@@ -342,6 +360,10 @@ def main(argv: list[str] | None = None) -> int:
     sync.add_argument("--data-dir", required=True)
     sync.add_argument("--store", required=True)
     sync.add_argument("--labels", default="__name__,event_type,shard")
+    sync.add_argument(
+        "--recode", choices=["raw"], default=None,
+        help="re-encode XOR chunks to the raw layout during sync",
+    )
     sync.set_defaults(fn=cmd_sync)
 
     snaps = sub.add_parser(

@@ -666,6 +666,7 @@ def sync_blocks(
     store_root: str,
     label_names: Sequence[str],
     writer_opts=None,
+    recode: str | None = None,
 ) -> dict:
     """Incremental block-farm migration: convert every block in
     ``data_dir`` NOT yet in the store, as one farm job (one task per
@@ -683,9 +684,16 @@ def sync_blocks(
     sidecar, so ``__series__id``'s high bits never collide across
     batches.
 
+    ``recode="raw"`` re-encodes each XOR chunk into the engine's raw
+    batch-decodable layout during the convert (one decode+encode pass —
+    the migration-economics guidance), so every later scan of the store
+    runs at Arrow speed instead of the pure-Python XOR rate.
+
     Returns ``{"converted": [ulid...], "skipped": [ulid...],
     "part": dir|None}``.
     """
+    if recode not in (None, "raw"):
+        raise ValueError(f"unknown recode target {recode!r}")
     from tsdb_parquet_spark.schema import sort_columns
     from tsdb_parquet_spark.sources.writer import (
         SortedParquetWriter,
@@ -718,6 +726,15 @@ def sync_blocks(
         label_names,
         block_ids=[o for _, _, o in pending],
     )
+    if recode == "raw":
+        from pyspark.sql import functions as F
+
+        from tsdb_parquet_spark.chunks import recode_chunk_udf
+        from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+        frame = frame.withColumn(
+            CHUNK_BYTES, recode_chunk_udf(F.col(CHUNK_BYTES))
+        )
     labels = list(label_names)
     opts = writer_opts or WriterOptions(
         sort_columns=sort_columns(labels),
