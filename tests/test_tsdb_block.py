@@ -577,3 +577,46 @@ def test_sync_recode_raw_is_lossless_and_arrow_fast_path(spark):
         )
         assert [x["ts"] for x in back] == list(ts)
         assert [x["value"] for x in back] == list(vals)
+
+
+def test_sync_crash_between_part_and_sidecar_no_duplicates(spark):
+    """Crash-replay safety: if sync dies AFTER its part published but
+    BEFORE the ULID sidecar committed, the rerun must overwrite the
+    same batch-keyed part — not publish a second copy of the batch."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import read_roots
+    from tsdb_parquet_spark.tsdb_block import sync_blocks
+
+    data_dir = _block_dir("crash_data")
+    store = os.path.join(WORK, "crash_store")
+    shutil.rmtree(store, ignore_errors=True)
+    series = _sample_series()
+    d = os.path.join(data_dir, "b0")
+    os.makedirs(d, exist_ok=True)
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+
+    labels = ["__name__", "job", "shard"]
+    r1 = sync_blocks(spark, data_dir, store, labels)
+    # simulate the crash window: the part is live/published, the sidecar
+    # never committed
+    os.remove(os.path.join(store, "_converted_blocks.json"))
+    r2 = sync_blocks(spark, data_dir, store, labels)
+    assert r2["part"] == r1["part"]  # same batch key -> same directory
+
+    opts = WriterOptions(sort_columns=sort_columns(labels))
+    writer = SortedParquetWriter(spark, store, opts)
+    assert writer.part_dirs == [r1["part"]]  # one live part, no dupes
+    total = (
+        read_roots(spark, writer.part_dirs)
+        .select(F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"))
+        .count()
+    )
+    assert total == 4 * 40  # exactly one copy of every sample

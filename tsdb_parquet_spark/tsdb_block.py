@@ -676,13 +676,15 @@ def sync_blocks(
     This is the continuous version of the reference's one-shot
     converter (`cmd/convert/main.go:30-126`): point it at a LIVE
     Prometheus data dir on a schedule and the store follows the TSDB —
-    already-converted blocks are skipped by ULID, so re-runs after a
-    crash or overlap are idempotent (the sidecar is written atomically
-    AFTER the part publishes; a crash between the two re-converts that
-    batch into a fresh part, and the previous unpublished part dir is
-    simply never adopted).  Each block keeps a STABLE ordinal in the
-    sidecar, so ``__series__id``'s high bits never collide across
-    batches.
+    already-converted blocks are skipped by ULID, and re-runs after a
+    crash are idempotent the same way the streaming sink's replay is:
+    the batch's part directory is KEYED by the batch identity (the
+    first new ordinal, which only advances when the sidecar commits),
+    so a rerun after a crash anywhere between part write and sidecar
+    commit overwrites the same directory rather than adding a second
+    copy, and ``adopt`` of an already-live part is a no-op.  Each block
+    keeps a STABLE ordinal in the sidecar, so ``__series__id``'s high
+    bits never collide across batches.
 
     ``recode="raw"`` re-encodes each XOR chunk into the engine's raw
     batch-decodable layout during the convert (one decode+encode pass —
@@ -742,7 +744,17 @@ def sync_blocks(
         max_files=16,
     )
     writer = SortedParquetWriter(spark, store_root, opts)
-    part = writer.write(frame)
+    # batch-keyed part dir (first new ordinal): a rerun after a crash
+    # between this write and the sidecar commit recomputes the SAME key
+    # — the sidecar hasn't advanced — and overwrites this directory
+    # instead of publishing a duplicate part (write() would hand out a
+    # fresh sequential name and double-count the batch)
+    batch_ord = pending[0][2]
+    part_dir = os.path.join(store_root, f"part.sync{batch_ord:08d}")
+    from tsdb_parquet_spark.sources.writer import write_sorted
+
+    part = write_sorted(frame, part_dir, opts)
+    writer.adopt(part_dir)
     for ulid, _, ordinal in pending:
         state[ulid] = ordinal
     tmp = state_path + ".tmp"
