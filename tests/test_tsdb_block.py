@@ -269,8 +269,18 @@ def test_blocks_to_chunk_frame_multi_block_farm(spark):
     frame = blocks_to_chunk_frame(
         spark, dirs, ["__name__", "shard", "extra"]
     )
-    # one task per block — the scale contract
+    # one task per block — the scale contract: not just 3 partitions,
+    # but each serving exactly one block (hash repartition skews; the
+    # parallelize slicing must not)
     assert frame.rdd.getNumPartitions() == 3
+    pid_blk = {
+        (r["pid"], r["blk"])
+        for r in frame.select(
+            F.spark_partition_id().alias("pid"),
+            F.shiftrightunsigned(F.col(SERIES_ID), 32).alias("blk"),
+        ).distinct().collect()
+    }
+    assert len(pid_blk) == 3 and len({p for p, _ in pid_blk}) == 3
 
     rows = frame.select(SERIES_ID, "shard", "extra").collect()
     blocks_seen = sorted({r[SERIES_ID] >> 32 for r in rows})

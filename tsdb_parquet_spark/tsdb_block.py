@@ -555,10 +555,13 @@ def blocks_to_chunk_frame(
     A 100 TB Prometheus installation is thousands of 2h/1d blocks; the
     reference converter (`cmd/convert/main.go:30-126`) iterates them one
     process at a time.  Here BOTH the index parse and the chunk payload
-    fetch run executor-side, one task per block (`repartition(n,
-    block_idx)` pins exactly one block per partition), so a farm of
-    blocks converts with per-block parallelism and the driver holds only
-    the block directory list.  Complementary tradeoff to
+    fetch run executor-side, EXACTLY one task per block: the block list
+    is distributed via ``parallelize(..., numSlices=n)``, whose slicing
+    places one element per partition deterministically — a hash
+    ``repartition(n, block_idx)`` does NOT (measured: at n=8 one task
+    drew 3 blocks and 3 tasks idled; hash collisions skew small-n
+    farms).  A farm of blocks converts with per-block parallelism and
+    the driver holds only the block directory list.  Complementary tradeoff to
     :func:`block_to_chunk_frame`, which parses one index driver-side to
     spread a SINGLE block's chunk fetches across all cores — use that
     for one huge block, this for many blocks.
@@ -597,10 +600,12 @@ def blocks_to_chunk_frame(
     ids = list(block_ids) if block_ids is not None else list(range(n))
     if len(ids) != n:
         raise ValueError("block_ids must match block_dirs in length")
-    dirs_df = spark.createDataFrame(
-        [(i, d) for i, d in zip(ids, block_dirs)],
-        "block_idx INT, block_dir STRING",
-    ).repartition(n, "block_idx")
+    # exact one-block-per-task placement (see docstring); createDataFrame
+    # over an RDD preserves its partitioning
+    rdd = spark.sparkContext.parallelize(
+        [(i, d) for i, d in zip(ids, block_dirs)], n
+    )
+    dirs_df = spark.createDataFrame(rdd, "block_idx INT, block_dir STRING")
     out_schema = T.StructType(
         [
             T.StructField(SERIES_ID, T.LongType(), False),
