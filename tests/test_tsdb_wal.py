@@ -1,0 +1,341 @@
+"""Prometheus WAL format: framing, records, recovery, distributed drain."""
+
+import os
+import struct
+
+import pytest
+
+from tsdb_parquet_spark.tsdb_wal import (
+    PAGE_SIZE,
+    SAMPLES,
+    SERIES,
+    WalCorruptionError,
+    WalWriter,
+    decode_samples_record,
+    decode_series_record,
+    discover_data_dir,
+    discover_wal_segments,
+    encode_samples_record,
+    encode_series_record,
+    iter_segment_records,
+    read_wal,
+    wal_to_samples_frame,
+    write_checkpoint,
+)
+from tsdb_parquet_spark.tsdb_block import crc32c
+
+
+def _frame(data: bytes, ftype: int = 1) -> bytes:
+    return (
+        bytes([ftype])
+        + struct.pack(">H", len(data))
+        + struct.pack(">I", crc32c(data))
+        + data
+    )
+
+
+def _pad_to_page(buf: bytes) -> bytes:
+    rem = (-len(buf)) % PAGE_SIZE
+    return buf + b"\x00" * rem
+
+
+# -- payload codecs ---------------------------------------------------------
+
+
+def test_series_record_roundtrip():
+    series = [
+        (1, {"__name__": "up", "job": "api"}),
+        (2, {"__name__": "up", "job": "db", "zone": "eu"}),
+        (1 << 40, {}),
+    ]
+    rec = encode_series_record(series)
+    assert rec[0] == SERIES
+    assert decode_series_record(rec) == series
+
+
+def test_samples_record_roundtrip_deltas():
+    samples = [(5, 1000, 1.5), (5, 2000, -0.25), (7, 900, float("inf"))]
+    rec = encode_samples_record(samples)
+    assert rec[0] == SAMPLES
+    # base ref/ts are the FIRST sample's, big-endian, right after type
+    assert struct.unpack_from(">Q", rec, 1)[0] == 5
+    assert struct.unpack_from(">q", rec, 9)[0] == 1000
+    assert decode_samples_record(rec) == samples
+
+
+def test_samples_record_negative_base_time():
+    samples = [(1, -62135596800000, 0.0), (1, 1000, 1.0)]
+    assert decode_samples_record(encode_samples_record(samples)) == samples
+
+
+# -- spec-golden framing ----------------------------------------------------
+
+
+def test_spec_golden_hand_assembled_segment(tmp_path):
+    """A reader must decode a segment assembled byte-by-byte from the
+    published framing spec (type/len-BE/crc32c-BE/data, zero page
+    terminator) without going through our writer."""
+    series = encode_series_record([(9, {"__name__": "m"})])
+    samples = encode_samples_record([(9, 10, 2.0), (9, 20, 3.0)])
+    seg = _pad_to_page(_frame(series) + _frame(samples))
+    (tmp_path / "00000000").write_bytes(seg)
+    got_series, got_samples = read_wal(str(tmp_path))
+    assert got_series == {9: {"__name__": "m"}}
+    assert got_samples == [(9, 10, 2.0), (9, 20, 3.0)]
+
+
+def test_fragmented_record_across_pages():
+    """A record bigger than one page must split into first/middle/last
+    fragments, each with its own CRC, never crossing a page boundary."""
+    big = encode_samples_record(
+        [(1, i * 1000, float(i)) for i in range(6000)]
+    )  # ~100 KiB > 3 pages
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        w = WalWriter(d)
+        w.log_series([(1, {"__name__": "big"})])
+        w.log_samples([(1, i * 1000, float(i)) for i in range(6000)])
+        w.close()
+        seg = open(os.path.join(d, "00000000"), "rb").read()
+        # fragment types present: 2 (first), 3 (middle), 4 (last)
+        types = set()
+        recs = list(iter_segment_records(seg))
+        pos = 0
+        while pos < len(seg):
+            t = seg[pos]
+            if t == 0:
+                pos = pos - (pos % PAGE_SIZE) + PAGE_SIZE
+                continue
+            (ln,) = struct.unpack_from(">H", seg, pos + 1)
+            types.add(t & 0x07)
+            pos += 7 + ln
+        assert {2, 3, 4} <= types
+        assert recs[1] == big
+
+
+def test_crc_corruption_detected(tmp_path):
+    w = WalWriter(str(tmp_path))
+    w.log_series([(1, {"a": "b"})])
+    w.log_samples([(1, 1, 1.0)])
+    w.close()
+    path = tmp_path / "00000000"
+    raw = bytearray(path.read_bytes())
+    raw[9] ^= 0xFF  # flip a data byte of the first record
+    with pytest.raises(WalCorruptionError):
+        list(iter_segment_records(bytes(raw)))
+
+
+def test_torn_tail_tolerated_only_on_last_segment(tmp_path):
+    w = WalWriter(str(tmp_path))
+    w.log_series([(1, {"a": "b"})])
+    w.log_samples([(1, 1, 1.0)])
+    w.log_samples([(1, 2, 2.0)])
+    w.close()
+    path = tmp_path / "00000000"
+    raw = path.read_bytes()
+    # find the last record's frame (full-record type byte + its 27-byte
+    # payload length) and truncate inside it
+    rec_len = len(encode_samples_record([(1, 2, 2.0)]))
+    truncated = raw[: raw.rindex(b"\x01" + struct.pack(">H", rec_len)) + 10]
+    recs = list(iter_segment_records(truncated, tolerate_tail=True))
+    assert len(recs) == 2  # series + first samples record survive
+    with pytest.raises((WalCorruptionError, Exception)):
+        list(iter_segment_records(truncated, tolerate_tail=False))
+
+
+def test_nonzero_padding_after_terminator_raises():
+    seg = bytearray(_pad_to_page(_frame(encode_series_record([(1, {})]))))
+    seg[-1] = 0x7F
+    with pytest.raises(WalCorruptionError):
+        list(iter_segment_records(bytes(seg)))
+
+
+def test_compressed_flag_without_library_raises(tmp_path):
+    data = encode_series_record([(1, {})])
+    seg = _pad_to_page(_frame(data, ftype=1 | 0x08))  # snappy flag
+    try:
+        import snappy  # noqa: F401
+
+        pytest.skip("python-snappy installed; flag is decodable here")
+    except ImportError:
+        pass
+    with pytest.raises(WalCorruptionError, match="snappy"):
+        list(iter_segment_records(seg))
+
+
+# -- directory layout -------------------------------------------------------
+
+
+def test_segment_roll_and_multi_segment_replay(tmp_path):
+    w = WalWriter(str(tmp_path), segment_bytes=PAGE_SIZE)
+    w.log_series([(1, {"__name__": "m", "i": "0"})])
+    for k in range(8):
+        # ~24 KiB each -> forces one record per page-sized segment
+        w.log_samples([(1, k * 10_000 + j, float(j)) for j in range(1200)])
+    w.close()
+    segs = discover_wal_segments(str(tmp_path))
+    assert len(segs) > 3
+    series, samples = read_wal(str(tmp_path))
+    assert series == {1: {"__name__": "m", "i": "0"}}
+    assert len(samples) == 8 * 1200
+
+
+def test_series_ref_defined_in_earlier_segment(tmp_path):
+    """Refs are WAL-global: samples in a later segment resolve against a
+    series record logged segments earlier."""
+    w = WalWriter(str(tmp_path), segment_bytes=PAGE_SIZE)
+    w.log_series([(42, {"__name__": "x"})])
+    for k in range(4):
+        w.log_samples([(42, k * 1000 + j, 1.0) for j in range(1200)])
+    w.close()
+    assert len(discover_wal_segments(str(tmp_path))) >= 2
+    series, samples = read_wal(str(tmp_path))
+    assert set(series) == {42}
+    assert all(ref == 42 for ref, _, _ in samples)
+
+
+def test_checkpoint_precedence(tmp_path):
+    """Replay = latest checkpoint's segments, then live segments with a
+    number strictly above the checkpoint's."""
+    wal = str(tmp_path)
+    # live segments 00000002, 00000003
+    w = WalWriter(wal, first_segment=2)
+    w.log_samples([(7, 100, 1.0)])
+    w._flush_segment()
+    w.log_samples([(7, 200, 2.0)])
+    w.close()
+    # checkpoint covering segments <= 1 carries the series record
+    write_checkpoint(wal, 1, [(7, {"__name__": "cp"})], [(7, 50, 0.5)])
+    # a stale segment 00000001 that must NOT be replayed
+    stale = WalWriter(wal, first_segment=1)
+    stale.log_samples([(7, 999, 99.0)])
+    stale.close()
+    series, samples = read_wal(wal)
+    assert series == {7: {"__name__": "cp"}}
+    assert (7, 999, 99.0) not in samples
+    assert samples == [(7, 50, 0.5), (7, 100, 1.0), (7, 200, 2.0)]
+
+
+def test_discover_data_dir(tmp_path):
+    import json
+
+    blk = tmp_path / "01HZZZZZZZZZZZZZZZZZZZZZZZ"
+    blk.mkdir()
+    (blk / "meta.json").write_text(json.dumps({"minTime": 0, "maxTime": 1}))
+    (tmp_path / "wal").mkdir()
+    w = WalWriter(str(tmp_path / "wal"))
+    w.log_series([(1, {})])
+    w.close()
+    blocks, wal = discover_data_dir(str(tmp_path))
+    assert blocks == [str(blk)]
+    assert wal == str(tmp_path / "wal")
+    # no wal segments -> None
+    empty = tmp_path / "e"
+    (empty / "wal").mkdir(parents=True)
+    blocks2, wal2 = discover_data_dir(str(empty))
+    assert wal2 is None
+
+
+# -- distributed drain ------------------------------------------------------
+
+
+def test_wal_to_samples_frame_matches_serial_replay(spark, tmp_path):
+    wal = str(tmp_path)
+    w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+    w.log_series(
+        [
+            (1, {"__name__": "m", "job": "a"}),
+            (2, {"__name__": "m", "job": "b", "extra": "x"}),
+        ]
+    )
+    for k in range(3):
+        w.log_samples(
+            [(1 + (j % 2), k * 100_000 + j * 7, float(k * 1000 + j))
+             for j in range(1200)]
+        )
+    w.close()
+    df = wal_to_samples_frame(
+        spark, wal, label_names=["__name__", "job", "extra"]
+    )
+    got = {
+        (r["__name__"], r["job"], r["extra"], r["ts"]): r["value"]
+        for r in df.collect()
+    }
+    series, samples = read_wal(wal)
+    want = {}
+    for ref, ts, v in samples:
+        ls = series[ref]
+        want[(ls["__name__"], ls["job"], ls.get("extra", ""), ts)] = v
+    assert got == want
+    # one task per segment on the scan side
+    assert df.rdd.getNumPartitions() >= 1
+
+
+def test_data_dir_to_chunk_frame_unions_blocks_and_wal(spark, tmp_path):
+    """A full data dir (compacted block + head WAL) converts into ONE
+    chunk frame covering both; decoded samples equal block + WAL
+    samples and series ids never collide across the two origins."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    data_dir = str(tmp_path)
+    # block: series m{job=a} with 3 old samples
+    ts = np.array([1000, 2000, 3000], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0])
+    write_block(
+        os.path.join(data_dir, "blk"),
+        [({"__name__": "m", "job": "a"},
+          [(1000, 3000, encode_xor_chunk(ts, vals))])],
+    )
+    os.rename(
+        os.path.join(data_dir, "blk"),
+        os.path.join(data_dir, "01HZZZZZZZZZZZZZZZZZZZZZZZ"),
+    )
+    # WAL: same series continues + a brand-new head-only series
+    w = WalWriter(os.path.join(data_dir, "wal"))
+    w.log_series(
+        [(1, {"__name__": "m", "job": "a"}),
+         (2, {"__name__": "m", "job": "headonly"})]
+    )
+    w.log_samples([(1, 4000, 4.0), (2, 4000, 40.0), (2, 5000, 50.0)])
+    w.close()
+
+    frame = data_dir_to_chunk_frame(
+        spark, data_dir, ["__name__", "job"], chunk_span_ms=10_000
+    )
+    decoded = frame.select(
+        SERIES_ID,
+        "job",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    ).collect()
+    got = sorted((r["job"], r["s"]["ts"], r["s"]["value"]) for r in decoded)
+    assert got == [
+        ("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 3000, 3.0),
+        ("a", 4000, 4.0),
+        ("headonly", 4000, 40.0), ("headonly", 5000, 50.0),
+    ]
+    ids = {r[SERIES_ID] for r in decoded}
+    # block-origin ids live under ordinal 0's 32-bit space; WAL-origin
+    # ids are offset past it
+    assert any(i < (1 << 32) for i in ids)
+    assert any(i >= (1 << 32) for i in ids)
+
+
+def test_wal_to_samples_frame_duplicate_append_keeps_last(spark, tmp_path):
+    wal = str(tmp_path)
+    write_checkpoint(wal, 0, [(3, {"__name__": "d"})], [(3, 500, 1.0)])
+    w = WalWriter(wal, first_segment=1)
+    w.log_samples([(3, 500, 9.0)])  # same (ref, ts), later in the log
+    w.close()
+    df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 9.0

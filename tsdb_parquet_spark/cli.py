@@ -91,6 +91,50 @@ def cmd_convert(args) -> int:
     spark = get_spark(app_name="tsdb-convert")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.data_dir:
+        # the FULL Prometheus data dir: compacted blocks AND the head
+        # WAL (the reference converter stops at blocks; the most recent
+        # ~2-3 h exist only in the WAL)
+        from tsdb_parquet_spark.schema import label_columns, sort_columns
+        from tsdb_parquet_spark.sources.writer import (
+            SortedParquetWriter,
+            WriterOptions,
+        )
+        from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+
+        t0 = time.perf_counter()
+        frame = data_dir_to_chunk_frame(
+            spark,
+            args.data_dir,
+            args.labels.split(","),
+            wal_encoding="raw" if args.recode == "raw" else "xor",
+        )
+        if args.recode == "raw":
+            from pyspark.sql import functions as F
+
+            from tsdb_parquet_spark.chunks import recode_chunk_udf
+            from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+            frame = frame.withColumn(
+                CHUNK_BYTES, recode_chunk_udf(F.col(CHUNK_BYTES))
+            )
+        labels = label_columns(frame.schema)
+        opts = WriterOptions(
+            sort_columns=sort_columns(labels),
+            bloom_columns=[c for c in labels if c != "__name__"],
+            max_files=args.max_files,
+        )
+        writer = SortedParquetWriter(spark, args.out, opts)
+        writer.write(frame)
+        compact = writer.compact()
+        n = spark.read.parquet(compact).count()
+        print(
+            f"# converted data dir (blocks + WAL): {n} chunks -> "
+            f"{compact} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 0
     if args.block_parent:
         from tsdb_parquet_spark.tsdb_block import discover_blocks
 
@@ -335,6 +379,12 @@ def main(argv: list[str] | None = None) -> int:
         "--block-parent",
         help="Prometheus DATA dir: converts every block found inside "
              "(subdirs with meta.json, minTime order)",
+    )
+    group.add_argument(
+        "--data-dir",
+        help="FULL Prometheus data dir: every block plus the head WAL "
+             "(wal/ segments + latest checkpoint) — nothing in the "
+             "installation is left behind",
     )
     conv.add_argument(
         "--recode", choices=["raw"], default=None,
