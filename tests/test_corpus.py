@@ -52,55 +52,72 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round8_composition():
+def test_driver_window_round9_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-8 window so an accidental registry edit cannot silently push a
-    due row (r05 deferrals, new, or changed-code) out of the window.
-    Update this list ONLY together with the rotation comment in
-    corpus.py (and the round-rotation memory note)."""
+    round-9 window so an accidental registry edit cannot silently push a
+    due row out of the window.  Update this list ONLY together with the
+    rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # the 8 round-7 deferrals — last driver green r05, due now
+        # last driver green r05 — 3 RECORDED rounds stale (the round-8
+        # driver capture never ran), non-deferrable
         "q01_scan_project", "q04_conjunction", "q32_broadcast_join",
         "q35_distinct_counts", "q36_window_functions", "q40_rollup",
         "q45_multi_store_merge", "q25_ngram_jaccard",
-        # introduced this round
+        # never driver-checked: r08 introductions lost to the record
+        # gap + this round's WAL rows
         "q106_block_convert_promql", "q107_multi_block_convert",
-        # code changed this round
-        "q105_tsdb_block_convert", "q28_embedding_near_dup",
-        "q103_xor_chunk_interop", "q70_repetition_stats",
+        "q108_wal_head_drain", "q109_data_dir_convert",
+        # the 10 round-8 deferrals, due back (no consecutive deferrals)
+        "q02_eq_filter", "q03_range_filter", "q20_promql_instant_sum",
+        "q50_promql_rate_extrapolated", "q59_ivf_assign",
+        "q65_rollup_store", "q77_rollup_routing",
+        "q78_promql_instant_absent", "q79_promql_sort_desc",
+        "q10_write_compact_roundtrip",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
     assert len(window) == len(set(window)) == 50
 
 
 def _last_green_rounds():
-    """(name -> latest full-pass round, latest round, latest round's
-    checked-name set) from the committed CORRECTNESS_r*.json records."""
+    """(name -> latest full-pass RECORDED-round index, latest index,
+    latest round's checked-name set) from the committed
+    CORRECTNESS_r*.json records.
+
+    Staleness counts RECORDED driver rounds, not calendar rounds: the
+    round-8 driver capture never ran (no CORRECTNESS_r08.json exists),
+    and a row cannot be re-proven by a driver run that never happened.
+    Recorded rounds are mapped to consecutive indices (r01..r07 -> 1..7;
+    a future CORRECTNESS_r09.json would be index 8), so "2 recorded
+    rounds stale" keeps meaning "two driver runs without a green"."""
     import glob
     import json
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last = {}
+    green_by_round = {}
     rounds = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         recs = json.load(open(path))
         rounds[rnd] = set(recs)
-        for name, rec in recs.items():
-            ok = (
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match")
-                and rec.get("err") is None
-            )
-            if ok:
-                last[name] = max(last.get(name, 0), rnd)
+        green_by_round[rnd] = {
+            name
+            for name, rec in recs.items()
+            if rec.get("rows_match")
+            and rec.get("schema_match")
+            and rec.get("hash_match")
+            and rec.get("err") is None
+        }
+    index = {rnd: i + 1 for i, rnd in enumerate(sorted(rounds))}
+    last = {}
+    for rnd, names in green_by_round.items():
+        for name in names:
+            last[name] = max(last.get(name, 0), index[rnd])
     latest = max(rounds) if rounds else 0
-    return last, latest, rounds.get(latest, set())
+    return last, index.get(latest, 0), rounds.get(latest, set())
 
 
 def test_rotation_invariant_no_silent_staleness():

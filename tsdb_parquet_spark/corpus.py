@@ -5071,6 +5071,205 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAL_CUT = 1705795200000  # 2024-01-21T00:00Z — head/compacted boundary
+
+
+def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a complete Prometheus DATA DIR from events:
+    samples before ``_WAL_CUT`` live in a real compacted block
+    (index + XOR chunk segment + meta.json), samples at/after it in a
+    real head WAL (multi-segment, with a checkpoint carrying the series
+    records — the layout a live installation shows after its first
+    checkpoint cycle).  Fixture generation is driver-side like
+    `_events_tsdb_block`; the CONVERSION paths q108/q109 measure are
+    fully distributed."""
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.tsdb_wal import WalWriter, write_checkpoint
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    data_dir = os.path.join(work, f"tsdb_data_dir_{tag}")
+    done = os.path.join(data_dir, "_DONE")
+    if os.path.exists(done):
+        return data_dir
+    import shutil
+
+    shutil.rmtree(data_dir, ignore_errors=True)
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "shard", "ts"], kind="mergesort")
+    )
+    old = rows[rows["ts"] < _WAL_CUT]
+    head = rows[rows["ts"] >= _WAL_CUT]
+    # compacted block from the old half
+    old = old.assign(bucket=old["ts"] // _DAY_MS)
+    series = []
+    for (etype, shard), g in old.groupby(["event_type", "shard"], sort=True):
+        chunks = []
+        for _, cg in g.groupby("bucket", sort=True):
+            ts = cg["ts"].to_numpy()
+            chunks.append(
+                (int(ts[0]), int(ts[-1]),
+                 encode_xor_chunk(ts, cg["value"].to_numpy()))
+            )
+        series.append(
+            ({"__name__": "app_events", "event_type": etype, "shard": shard},
+             chunks)
+        )
+    block_dir = os.path.join(data_dir, "block_tmp")
+    ulid = write_block(block_dir, series)
+    os.rename(block_dir, os.path.join(data_dir, ulid))
+    # head WAL from the new half: series refs 1..N in sorted-series
+    # order, defined ONLY in the checkpoint (replay must resolve live
+    # segments' refs against it); samples stream time-ordered through
+    # small segments so the distributed drain gets real multi-segment
+    # parallelism
+    wal_dir = os.path.join(data_dir, "wal")
+    head = head.sort_values(["ts", "event_type", "shard"], kind="mergesort")
+    if head.duplicated(["event_type", "shard", "ts"]).any():
+        # the drain keeps the LAST append per (series, ts) — head replay
+        # semantics — which would silently diverge from a count(*) oracle
+        raise RuntimeError(
+            "q108/q109 fixture: duplicate (series, ts) samples in events"
+        )
+    keys = sorted(set(zip(head["event_type"], head["shard"])))
+    refs = {k: i + 1 for i, k in enumerate(keys)}
+    write_checkpoint(
+        wal_dir,
+        0,
+        [
+            (refs[(e, s)],
+             {"__name__": "app_events", "event_type": e, "shard": s})
+            for e, s in keys
+        ],
+    )
+    w = WalWriter(wal_dir, segment_bytes=256 * 1024, first_segment=1)
+    batch: list[tuple[int, int, float]] = []
+    for e, s, ts, v in zip(
+        head["event_type"], head["shard"], head["ts"], head["value"]
+    ):
+        batch.append((refs[(e, s)], int(ts), float(v)))
+        if len(batch) >= 2000:
+            w.log_samples(batch)
+            batch = []
+    if batch:
+        w.log_samples(batch)
+    w.close()
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return data_dir
+
+
+@query(
+    "q108_wal_head_drain",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+  WHERE epoch_ms(ts) >= {_WAL_CUT}
+)
+SELECT event_type,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM s GROUP BY event_type ORDER BY event_type""",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed head-WAL drain (`tsdb_wal.wal_to_samples_frame`):
+    the head samples exist ONLY as spec-exact WAL bytes — 32 KiB-page
+    record framing, CRC32C per fragment, Series records solely in the
+    checkpoint, Samples records varint-delta-encoded across ~dozens of
+    256 KiB segments — and the drain runs one task per segment with a
+    broadcast ref->labels join.  The aggregate must hash-match DuckDB
+    over the same time slice of raw events: framing walk, payload
+    decode, checkpoint precedence, and the ref join are lossless.  The
+    reference cannot read a WAL at all (`cmd/convert/main.go:30-126`
+    opens compacted blocks via the Prometheus libraries); this is the
+    2-3 h of data block-only conversion drops."""
+    from tsdb_parquet_spark.tsdb_wal import wal_to_samples_frame
+
+    data_dir = _events_data_dir(spark, sf_dir)
+    samples = wal_to_samples_frame(
+        spark, os.path.join(data_dir, "wal"), _CHUNK_LABELS
+    )
+    return (
+        samples.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q109_data_dir_convert",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+)
+SELECT event_type,
+       CAST(ts_ms >= {_WAL_CUT} AS INT) AS from_head,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM s GROUP BY event_type, from_head
+ORDER BY event_type, from_head""",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL data-dir convert (`tsdb_wal.data_dir_to_chunk_frame`, the
+    `convert --data-dir` CLI path): one chunk frame from a complete
+    Prometheus data dir — the compacted block (executor-side index
+    parse + chunk fetch) unioned with the head WAL re-chunked through
+    `samples_to_chunks`.  Origin is recovered from the series-id
+    contract alone (block ids sit under ordinal 0's 32-bit space,
+    WAL-origin ids above it — `schema/chunk.go:28-30` file-local
+    identity), and the per-origin aggregates must hash-match DuckDB
+    splitting raw events at the same head boundary: nothing in the
+    installation is dropped or double-counted at the block/WAL seam."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+    from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+
+    data_dir = _events_data_dir(spark, sf_dir)
+    frame = data_dir_to_chunk_frame(spark, data_dir, _CHUNK_LABELS)
+    decoded = frame.select(
+        "event_type",
+        "shard",
+        (F.col(SERIES_ID) >= (1 << 32)).cast("int").alias("from_head"),
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    return (
+        decoded.groupBy("event_type", "from_head")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type", "from_head")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5082,71 +5281,76 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-8 window (registry now 107 rows; as of round 6 the strict
+# Round-9 window (registry now 109 rows; since round 6 the strict
 # "every row re-checked within 2 rounds" invariant is arithmetically
-# impossible at >100 rows with a 50-row window — 52 rows/cycle would be
-# needed — so each round's overflow is deferred WITH a named in-window
-# row covering the same code path, and tests/test_corpus.py still
-# hash-checks ALL rows vs DuckDB at sf0.01 every round).  Composition:
-#   * the 8 round-7 deferrals (last driver green r05 — the rotation
-#     bound binds; the r07 verdict names them first in line) lead:
+# impossible at >100 rows with a 50-row window, so each round's
+# overflow is deferred WITH a named in-window row covering the same
+# code path, and tests/test_corpus.py still hash-checks ALL rows vs
+# DuckDB at sf0.01 every round).
+#
+# ROUND-8 RECORD GAP: the round-8 driver capture never ran — no
+# CORRECTNESS_r08.json / BENCH_r08.json / verdict exists anywhere, so
+# the round-8 window's 50 rows were never re-proven by the driver and
+# every row keeps its pre-r08 last-green.  Staleness is therefore
+# counted in RECORDED driver rounds (the rounds a CORRECTNESS file
+# exists for), not calendar rounds: a row cannot be re-proven by a
+# driver run that never happened.  tests/test_corpus.py implements the
+# same indexing.  Consequence: the recorded sequence is r01..r07 and
+# the upcoming record is index 8, so r05-green rows are 3 recorded
+# rounds stale (must be in-window) and r06-green rows are 2 (in-window
+# or deferred-with-coverage).
+#
+# Composition:
+#   * the 8 rows last driver-green r05 (the r07 verdict's named
+#     deferral set — MOST overdue, non-deferrable):
 #     q01/q04/q32/q35/q36/q40/q45/q25.
-#   * NEW rows in their introduction round: q106 (block -> store ->
-#     PromQL converter-parity chain), q107 (multi-block farm convert,
-#     executor-side index parse).
-#   * Rows whose code changed this round: q105 (tsdb_block mint-delta
-#     encoding went spec-exact uvarint; v1 rejection; valid ULID),
-#     q28 (near_duplicate_pairs eager=False no longer persists the
-#     input when deriving width), q103 (xorchunk touched if the varbit
-#     decode is vectorized this round — in-window defensively), q70
-#     (repetition_stats crossover default measured/written this round).
-#   * The 36 remaining slots: the r06-green backlog, i.e. everything
-#     whose last driver green is r06 EXCEPT the 10 deferrals below.
-# Deferred to round 9 (r06-green rows that no longer fit; each with the
-# in-window row that still exercises its code path):
-#   q02_eq_filter        -> q04 (equality is a conjunct of q04's same
-#                           selection.Matcher path)
-#   q03_range_filter     -> q04 (>=/<= conjuncts, same pushdown path)
-#   q20_promql_instant_sum -> q106 (same instant-vector sum + staleness
-#                           lookback eval path, via the block store)
-#   q50_promql_rate_extrapolated -> q34 (same rate kernel; q50 adds the
-#                           extrapolation flag branch)
-#   q59_ivf_assign       -> q60 (topk assigns query vectors through the
-#                           same broadcast-centroid path and reads the
-#                           assignment store)
-#   q65_rollup_store     -> q40 (same rollup store build/read path)
-#   q77_rollup_routing   -> q40 (the r07 rotation mapped q40 -> q82
-#                           routing — the coverage holds both ways)
-#   q78_promql_instant_absent -> q64 (same absent() implementation,
-#                           instant vs range-vector argument)
-#   q79_promql_sort_desc -> q102 (same PromQL sort comparator family)
-#   q10_write_compact_roundtrip -> q45 (write_sorted + read_roots merge;
-#                           the compact cycle also sits under q21/q83,
-#                           both r07-green)
-# Every other out-of-window row is r07-green (within the 2-round bound
-# at round 8) and needs no deferral record.
+#   * never driver-checked rows: q106/q107 (introduced r08, lost to
+#     the record gap) and q108/q109 (introduced this round — the
+#     Prometheus WAL head-drain and full data-dir convert).
+#   * the 10 round-8 deferrals, due back by the no-consecutive-
+#     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
+#   * the 28 remaining slots: the r06-green backlog minus the 9
+#     deferrals below.
+# Deferred to round 10 (r06-green rows that no longer fit; each with
+# the in-window row that still exercises its code path):
+#   q12_dict_equality    -> q02 (same equality Matcher path; dict
+#                           encoding separately audited by q104)
+#   q13_zonemap_range    -> q03 (same range pushdown / page-stats path)
+#   q08_time_containment -> q03 (ts-range containment, same selection
+#                           pushdown path)
+#   q64_promql_absent    -> q78 (same absent() implementation,
+#                           range-vector vs instant argument)
+#   q102_promql_sort_by_label -> q79 (same PromQL sort comparator
+#                           family — the r08 mapping, reversed)
+#   q43_promql_counter_reset -> q34 (same rate/increase counter-reset
+#                           kernel)
+#   q66_promql_set_ops   -> q49 (same vector-matching join machinery)
+#   q60_ivf_topk         -> q59 (same IVF broadcast-centroid path —
+#                           the r08 mapping, reversed)
+#   q62_simhash_near_dup -> q25 (same shingle-based near-dup module)
+# Every other out-of-window row is r07-green (1 recorded round stale
+# once r09 lands) and needs no deferral record.
 
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
 #: rotation-invariant test (tests/test_corpus.py) enforces that any row
-#: whose last driver green is >= 2 rounds old is either inside the
-#: 50-row window or recorded here with live in-window coverage — so the
-#: policy can't silently slip.
+#: whose last driver green is >= 2 RECORDED rounds old is either inside
+#: the 50-row window or recorded here with live in-window coverage — so
+#: the policy can't silently slip.
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q02_eq_filter": ("q04_conjunction",),
-    "q03_range_filter": ("q04_conjunction",),
-    "q20_promql_instant_sum": ("q106_block_convert_promql",),
-    "q50_promql_rate_extrapolated": ("q34_promql_rate",),
-    "q59_ivf_assign": ("q60_ivf_topk",),
-    "q65_rollup_store": ("q40_rollup",),
-    "q77_rollup_routing": ("q40_rollup",),
-    "q78_promql_instant_absent": ("q64_promql_absent",),
-    "q79_promql_sort_desc": ("q102_promql_sort_by_label",),
-    "q10_write_compact_roundtrip": ("q45_multi_store_merge",),
+    "q12_dict_equality": ("q02_eq_filter",),
+    "q13_zonemap_range": ("q03_range_filter",),
+    "q08_time_containment": ("q03_range_filter",),
+    "q64_promql_absent": ("q78_promql_instant_absent",),
+    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
+    "q43_promql_counter_reset": ("q34_promql_rate",),
+    "q66_promql_set_ops": ("q49_promql_on_group_left",),
+    "q60_ivf_topk": ("q59_ivf_assign",),
+    "q62_simhash_near_dup": ("q25_ngram_jaccard",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 8 round-7 deferrals — last driver green r05, due now
+    # last driver-green r05 — 3 recorded rounds stale, non-deferrable
     "q01_scan_project",
     "q04_conjunction",
     "q32_broadcast_join",
@@ -5155,53 +5359,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q40_rollup",
     "q45_multi_store_merge",
     "q25_ngram_jaccard",
-    # new this round
+    # never driver-checked: r08 introductions lost to the record gap,
+    # plus this round's WAL rows
     "q106_block_convert_promql",
     "q107_multi_block_convert",
-    # code changed this round
-    "q105_tsdb_block_convert",
-    "q28_embedding_near_dup",
-    "q103_xor_chunk_interop",
-    "q70_repetition_stats",
-    # r06-green backlog (everything last green r06 minus the 10 deferrals)
-    "q08_time_containment",
-    "q09_label_values",
-    "q12_dict_equality",
-    "q13_zonemap_range",
-    "q16_series_select",
-    "q34_promql_rate",
-    "q37_promql_topk_binary",
-    "q42_promql_window_gt_step",
-    "q43_promql_counter_reset",
-    "q46_sessionize",
-    "q49_promql_on_group_left",
-    "q51_promql_without_at",
-    "q52_promql_label_replace_clamp",
-    "q53_promql_histogram_quantile",
-    "q56_promql_quantile_over_time",
-    "q58_pack_sequences",
-    "q60_ivf_topk",
-    "q61_gap_fill_linear",
-    "q62_simhash_near_dup",
-    "q63_weighted_sample",
-    "q64_promql_absent",
-    "q66_promql_set_ops",
-    "q67_promql_quantile_agg",
-    "q68_promql_predict_linear",
-    "q69_decontaminate",
-    "q71_pii_redact",
-    "q72_global_shuffle",
-    "q73_promql_time_functions",
-    "q74_promql_subquery",
-    "q75_promql_holt_winters",
-    "q76_streaming_sessionize",
-    "q80_remove_boilerplate_lines",
-    "q92_semantic_dedup",
-    "q29_multimodal_metadata",
-    "q101_png_pixel_pipeline",
-    "q102_promql_sort_by_label",
-    # position 51+ — outside the driver's 50-row cap: the 10 documented
-    # deferrals (first in line for round 9), then everything r07-green
+    "q108_wal_head_drain",
+    "q109_data_dir_convert",
+    # the 10 round-8 deferrals, due back (no consecutive deferrals)
     "q02_eq_filter",
     "q03_range_filter",
     "q20_promql_instant_sum",
@@ -5212,6 +5376,46 @@ _DRIVER_PRIORITY: list[str] = [
     "q78_promql_instant_absent",
     "q79_promql_sort_desc",
     "q10_write_compact_roundtrip",
+    # r06-green backlog (everything last green r06 minus the 9 deferrals)
+    "q09_label_values",
+    "q16_series_select",
+    "q29_multimodal_metadata",
+    "q34_promql_rate",
+    "q37_promql_topk_binary",
+    "q42_promql_window_gt_step",
+    "q46_sessionize",
+    "q49_promql_on_group_left",
+    "q51_promql_without_at",
+    "q52_promql_label_replace_clamp",
+    "q53_promql_histogram_quantile",
+    "q56_promql_quantile_over_time",
+    "q58_pack_sequences",
+    "q61_gap_fill_linear",
+    "q63_weighted_sample",
+    "q67_promql_quantile_agg",
+    "q68_promql_predict_linear",
+    "q69_decontaminate",
+    "q70_repetition_stats",
+    "q71_pii_redact",
+    "q72_global_shuffle",
+    "q73_promql_time_functions",
+    "q74_promql_subquery",
+    "q75_promql_holt_winters",
+    "q76_streaming_sessionize",
+    "q80_remove_boilerplate_lines",
+    "q92_semantic_dedup",
+    "q101_png_pixel_pipeline",
+    # position 51+ — outside the driver's 50-row cap: the 9 documented
+    # deferrals (first in line for round 10), then everything r07-green
+    "q12_dict_equality",
+    "q13_zonemap_range",
+    "q08_time_containment",
+    "q64_promql_absent",
+    "q102_promql_sort_by_label",
+    "q43_promql_counter_reset",
+    "q66_promql_set_ops",
+    "q60_ivf_topk",
+    "q62_simhash_near_dup",
 ]
 
 
