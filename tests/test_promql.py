@@ -1201,3 +1201,63 @@ def test_topk_without_grouping(spark):
         150_000, 150_000, 60_000,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, by))
+
+
+def test_mad_over_time(spark):
+    """Prometheus mad_over_time: quantile(0.5) interpolation applied to
+    the values, then to the absolute deviations from that median."""
+    import statistics
+
+    vals = [1.0, 3.0, 9.0, 2.0, 8.0]
+
+    def ref(v):
+        med = statistics.median(v)  # linear-interp at 0.5 == middle/mean
+        return statistics.median(sorted(abs(x - med) for x in v))
+
+    rows = [("m", "a", (i + 1) * 10_000, v) for i, v in enumerate(vals)]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    out = PromQLEngine(samples).query_range(
+        "mad_over_time(m[1m])", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(ref(vals), rel=1e-12)
+    # even-count window exercises the interpolated (weight 0.5) branch
+    even = samples.filter("ts <= 40000")
+    o2 = PromQLEngine(even).query_range(
+        "mad_over_time(m[1m])", 60_000, 60_000, 60_000
+    ).collect()
+    assert o2[0]["value"] == pytest.approx(ref(vals[:4]), rel=1e-12)
+    # single sample: MAD is 0
+    one = samples.filter("ts = 10000")
+    o1 = PromQLEngine(one).query_range(
+        "mad_over_time(m[1m])", 60_000, 60_000, 60_000
+    ).collect()
+    assert o1[0]["value"] == 0.0
+
+
+def test_double_exponential_smoothing_alias(spark):
+    """Prometheus 3.x renamed holt_winters; both names must evaluate
+    identically (including inside an aggregation wrapper)."""
+    rows = [
+        ("m", "a", (i + 1) * 10_000, v)
+        for i, v in enumerate([3.0, 5.0, 4.0, 7.0, 6.0, 9.0])
+    ]
+    samples = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    engine = PromQLEngine(samples)
+    a = engine.query_range(
+        "holt_winters(m[1m], 0.3, 0.2)", 60_000, 60_000, 60_000
+    ).collect()
+    b = engine.query_range(
+        "double_exponential_smoothing(m[1m], 0.3, 0.2)",
+        60_000, 60_000, 60_000,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    s = engine.query_range(
+        "sum(double_exponential_smoothing(m[1m], 0.3, 0.2))",
+        60_000, 60_000, 60_000,
+    ).collect()
+    assert s[0]["value"] == pytest.approx(a[0]["value"], rel=1e-12)

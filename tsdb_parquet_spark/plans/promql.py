@@ -34,7 +34,9 @@ small recursive-descent parser for the subset
                 count_over_time | sum_over_time | avg_over_time |
                 min_over_time | max_over_time | last_over_time |
                 present_over_time | stddev_over_time | absent_over_time |
-                deriv | predict_linear(v[d], t)
+                mad_over_time | deriv | predict_linear(v[d], t) |
+                holt_winters(v[d], sf, tf)   (3.x alias:
+                double_exponential_smoothing)
     subquery := FUNC '(' expr '[' duration ':' duration ']' ')'
     PFUNC    := quantile_over_time
     MATHFN   := abs | ceil | floor | sqrt | exp | ln | sgn | round | clamp |
@@ -138,7 +140,11 @@ RANGE_FUNCS = {
     "deriv",
     "predict_linear",
     "holt_winters",
+    "double_exponential_smoothing",  # Prometheus 3.x name (alias)
+    "mad_over_time",
 }
+#: Prometheus 3.x renames accepted as aliases (normalized at parse time)
+FUNC_ALIASES = {"double_exponential_smoothing": "holt_winters"}
 #: range functions taking a leading scalar param: fn(param, m[dur])
 PARAM_RANGE_FUNCS = {"quantile_over_time"}
 #: range functions taking scalar params AFTER the range vector
@@ -967,6 +973,7 @@ class _Parser:
 
     def _func(self) -> "PromExpr | PromSubquery":
         _, fn = self.next()
+        fn = FUNC_ALIASES.get(fn, fn)
         self.expect("(")
         # a full sub-expression: a plain selector parse stops right before
         # the `[`; anything more complex must be a subquery
@@ -2183,6 +2190,34 @@ class PromQLEngine:
                 bucketed.groupBy(*keys)
                 .agg(value.alias("value"))
                 .filter(F.col("value").isNotNull())
+            )
+        if expr.func == "mad_over_time":
+            # median absolute deviation: Prometheus quantile(0.5, ...)
+            # interpolation applied twice — to the window's sorted values,
+            # then to the sorted absolute deviations from that median.
+            # All JVM-side: one sorted-array agg + array expressions; the
+            # median is materialized once so the transform lambda doesn't
+            # recompute element_at per element.
+            def _q50(arr: str) -> str:
+                n = f"size({arr})"
+                rank = f"(({n} - 1) * 0.5D)"
+                lo = f"(cast(floor({rank}) as int) + 1)"
+                w = f"({rank} - floor({rank}))"
+                return (
+                    f"(element_at({arr}, {lo}) * (1.0D - {w})"
+                    f" + element_at({arr}, least({lo} + 1, {n})) * {w})"
+                )
+
+            grouped = bucketed.groupBy(*keys).agg(
+                F.array_sort(F.collect_list(F.col("value"))).alias("__v")
+            )
+            return (
+                grouped.withColumn("__med", F.expr(_q50("__v")))
+                .withColumn(
+                    "__d",
+                    F.expr("array_sort(transform(__v, x -> abs(x - __med)))"),
+                )
+                .select(*keys, F.expr(_q50("__d")).alias("value"))
             )
         if expr.func in _FUNC_AGGS:
             return bucketed.groupBy(*keys).agg(
