@@ -2543,6 +2543,13 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     done_marker = os.path.join(root, "_DONE")
     if not os.path.exists(done_marker):
+        # build under a pid-suffixed root and publish by rename: two
+        # processes racing the first build (e.g. bench + pytest on the
+        # same sf) otherwise interleave writes into one staging dir and
+        # one of them loses its _temporary dir mid-commit
+        final_root = root
+        root = f"{root}.build-{os.getpid()}"
+        store_root = os.path.join(root, "store")
         shutil.rmtree(root, ignore_errors=True)
         staging = os.path.join(root, "staging")
         os.makedirs(staging)
@@ -2575,9 +2582,17 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stream = spark.readStream.schema(samples.schema).parquet(staging)
         ing.ingest(stream, watermark="10 seconds")
-        compact = ing.finalize()
-        with open(done_marker, "w") as fh:
+        finalized = ing.finalize()
+        with open(os.path.join(root, "_DONE"), "w") as fh:
             fh.write("ok\n")
+        try:
+            os.rename(root, final_root)
+        except OSError:
+            # another process published first; its build is equivalent
+            shutil.rmtree(root, ignore_errors=True)
+        compact = os.path.join(
+            final_root, os.path.relpath(finalized, root)
+        )
 
     rolled = ChunkQuerier.from_parquet(spark, compact).select_samples(
         labels=_CHUNK_LABELS
@@ -5089,12 +5104,14 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    data_dir = os.path.join(work, f"tsdb_data_dir_{tag}")
-    done = os.path.join(data_dir, "_DONE")
-    if os.path.exists(done):
-        return data_dir
+    final_dir = os.path.join(work, f"tsdb_data_dir_{tag}")
+    if os.path.exists(os.path.join(final_dir, "_DONE")):
+        return final_dir
     import shutil
 
+    # pid-suffixed build root + rename publish: concurrent first builds
+    # (bench + pytest on the same sf) must not interleave in one dir
+    data_dir = f"{final_dir}.build-{os.getpid()}"
     shutil.rmtree(data_dir, ignore_errors=True)
     ev = _cat(spark, sf_dir)["events"]
     rows = (
@@ -5163,9 +5180,14 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
     if batch:
         w.log_samples(batch)
     w.close()
-    with open(done, "w") as fh:
+    with open(os.path.join(data_dir, "_DONE"), "w") as fh:
         fh.write("ok\n")
-    return data_dir
+    try:
+        os.rename(data_dir, final_dir)
+    except OSError:
+        # another process published first; its build is equivalent
+        shutil.rmtree(data_dir, ignore_errors=True)
+    return final_dir
 
 
 @query(
