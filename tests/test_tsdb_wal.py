@@ -339,3 +339,165 @@ def test_wal_to_samples_frame_duplicate_append_keeps_last(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["value"] == 9.0
+
+
+# -- incremental head sync --------------------------------------------------
+
+
+def _grow_wal(wal_dir, n_records, tmp_base):
+    """Rewrite the WAL with the first ``n_records`` sample batches —
+    because the writer is deterministic, each rewrite extends the prior
+    one exactly the way a live head appends to its open segment."""
+    import shutil
+
+    shutil.rmtree(wal_dir, ignore_errors=True)
+    w = WalWriter(wal_dir)
+    w.log_series(
+        [(1, {"__name__": "m", "job": "a"}),
+         (2, {"__name__": "m", "job": "b"})]
+    )
+    for k in range(n_records):
+        w.log_samples(
+            [(1 + (k % 2), k * 1000 + j, float(k * 10 + j)) for j in range(3)]
+        )
+    w.close()
+
+
+def _store_samples(spark, store_root):
+    import glob
+
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+
+    parts = sorted(glob.glob(os.path.join(store_root, "part.walsync*")))
+    if not parts:
+        return []
+    df = spark.read.parquet(*parts)
+    rows = chunks_to_samples(df, ["__name__", "job"]).collect()
+    return sorted((r["job"], r["ts"], r["value"]) for r in rows)
+
+
+def test_sync_wal_incremental_tail(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    _grow_wal(wal, 2, tmp_path)
+    r1 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r1["samples"] == 6 and r1["part"]
+    # head appends two more records into the SAME open segment
+    _grow_wal(wal, 4, tmp_path)
+    r2 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r2["samples"] == 6 and r2["part"] != r1["part"]
+    series, samples = read_wal(wal)
+    want = sorted(
+        (series[ref]["job"], ts, v) for ref, ts, v in samples
+    )
+    assert _store_samples(spark, store) == want
+    # nothing new: no part, no count drift
+    r3 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r3["samples"] == 0 and r3["part"] is None
+    assert _store_samples(spark, store) == want
+
+
+def test_sync_wal_seals_rolled_segments(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    for k in range(3):
+        w.log_samples([(1, k * 100_000 + j, 1.0) for j in range(1200)])
+    w.close()
+    assert len(discover_wal_segments(wal)) >= 2
+    r = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r["samples"] == 3600
+    # all but the live tail are recorded complete
+    import json
+
+    state = json.load(open(os.path.join(store, "_wal_sync.json")))
+    assert len(state["complete"]) >= 1
+    assert len(state["tail"]) == 1
+
+
+def test_sync_wal_checkpoint_truncation_skips_duplicates(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    # segments 0..2; 0 and 1 will be truncated into a checkpoint
+    w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    for k in range(3):
+        w.log_samples([(1, k * 100_000 + j, 1.0) for j in range(1200)])
+    w.close()
+    segs = discover_wal_segments(wal)
+    r1 = sync_wal(spark, wal, store, ["__name__", "job"])
+    before = _store_samples(spark, store)
+    assert r1["samples"] == 3600 and not r1["gap_drained"]
+    # Prometheus checkpoints segments <= 1: rewrites the series record
+    # + surviving samples, deletes the originals
+    n_seal = len(segs) - 1
+    write_checkpoint(
+        wal, n_seal - 1,
+        [(1, {"__name__": "m", "job": "a"})],
+        [(1, 0, 1.0), (1, 1, 1.0)],  # duplicates of already-synced data
+    )
+    for p in segs[:n_seal]:
+        os.remove(p)
+    r2 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r2["samples"] == 0 and not r2["gap_drained"]
+    assert _store_samples(spark, store) == before
+    # and a LATER checkpoint must not re-read the long-gone segments as
+    # a gap
+    import json
+
+    state = json.load(open(os.path.join(store, "_wal_sync.json")))
+    assert state["floor"] == n_seal - 1
+
+
+def test_sync_wal_gap_checkpoint_is_drained(spark, tmp_path):
+    """If sync was down across a truncation cycle, the checkpoint holds
+    samples from segments this store never saw — it must be drained and
+    flagged."""
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    write_checkpoint(
+        wal, 1, [(1, {"__name__": "m", "job": "a"})], [(1, 500, 7.0)]
+    )
+    w = WalWriter(wal, first_segment=2)
+    w.log_samples([(1, 1000, 8.0)])
+    w.close()
+    r = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r["gap_drained"] and r["samples"] == 2
+    assert _store_samples(spark, store) == [
+        ("a", 500, 7.0), ("a", 1000, 8.0)
+    ]
+
+
+def test_sync_wal_crash_before_sidecar_commit_is_idempotent(
+    spark, tmp_path
+):
+    import json
+    import shutil
+
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    _grow_wal(wal, 2, tmp_path)
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    state_path = os.path.join(store, "_wal_sync.json")
+    saved = open(state_path).read()
+    _grow_wal(wal, 4, tmp_path)
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    after = _store_samples(spark, store)
+    # crash simulation: the part landed but the sidecar never advanced
+    with open(state_path, "w") as fh:
+        fh.write(saved)
+    r = sync_wal(spark, wal, store, ["__name__", "job"])
+    # the rerun recomputes the SAME batch key and overwrites in place
+    assert r["samples"] == 6
+    assert _store_samples(spark, store) == after

@@ -243,10 +243,14 @@ def cmd_convert(args) -> int:
 
 
 def cmd_sync(args) -> int:
-    """Incremental block-farm migration: convert new blocks from a live
-    Prometheus data dir into the store (ULID sidecar skips converted
-    ones; idempotent, crash-safe — see `tsdb_block.sync_blocks`).  Run
-    on a schedule to keep a parquet store following a live TSDB."""
+    """Incremental migration from a live Prometheus data dir: convert
+    new blocks (ULID sidecar skips converted ones) AND drain new head-
+    WAL samples past the per-segment watermark — both idempotent and
+    crash-safe (`tsdb_block.sync_blocks`, `tsdb_wal.sync_wal`).  Run on
+    a schedule and the store follows the TSDB completely: blocks as
+    they compact, head samples within one sync interval of scrape."""
+    import os
+
     from tsdb_parquet_spark.session import get_spark
     from tsdb_parquet_spark.tsdb_block import sync_blocks
 
@@ -264,6 +268,22 @@ def cmd_sync(args) -> int:
     )
     for u in result["converted"]:
         print(u)
+    if not args.blocks_only:
+        from tsdb_parquet_spark.tsdb_wal import discover_data_dir, sync_wal
+
+        _, wal_dir = discover_data_dir(args.data_dir)
+        if wal_dir is not None:
+            head = sync_wal(
+                spark, wal_dir, args.store, args.labels.split(","),
+                encoding="raw" if args.recode == "raw" else "xor",
+            )
+            print(
+                f"# head: {head['samples']} new sample(s)"
+                + (f" -> {head['part']}" if head["part"] else "")
+                + (" [gap checkpoint drained — schedule a deduplicating"
+                   " compaction]" if head["gap_drained"] else ""),
+                file=sys.stderr,
+            )
     spark.stop()
     return 0
 
@@ -413,6 +433,10 @@ def main(argv: list[str] | None = None) -> int:
     sync.add_argument(
         "--recode", choices=["raw"], default=None,
         help="re-encode XOR chunks to the raw layout during sync",
+    )
+    sync.add_argument(
+        "--blocks-only", action="store_true",
+        help="skip the head-WAL drain (blocks only, the pre-WAL behavior)",
     )
     sync.set_defaults(fn=cmd_sync)
 

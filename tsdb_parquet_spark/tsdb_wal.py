@@ -470,6 +470,99 @@ def read_wal(
 # ---------------------------------------------------------------------------
 
 
+def _wal_frames(
+    spark: SparkSession,
+    label_names: Sequence[str],
+    series_segs: Sequence[str],
+    drain_plan: Sequence[tuple[int, str, int]],
+    last_path: str,
+    batch_rows: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared executor-side scan machinery: a (ref, labels...) frame
+    from Series records across ``series_segs`` and a raw
+    (seg_ord, ref, ts, value) frame from Samples records per
+    ``drain_plan`` row (ord, path, skip_first_n_samples) — one task per
+    segment in both passes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    label_names = sorted(label_names)
+
+    series_schema = T.StructType(
+        [T.StructField("__ref__", T.LongType(), False)]
+        + [T.StructField(nm, T.StringType(), False) for nm in label_names]
+    )
+    s_rdd = spark.sparkContext.parallelize(
+        [(p,) for p in series_segs], max(len(series_segs), 1)
+    )
+    s_df = spark.createDataFrame(s_rdd, "path STRING")
+
+    def series_pass(batches):
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                for rec in _read_segment(path, path == last_path):
+                    if rec and rec[0] == SERIES:
+                        for ref, labels in decode_series_record(rec):
+                            rows.append(
+                                (
+                                    ref,
+                                    *(
+                                        labels.get(nm, "")
+                                        for nm in label_names
+                                    ),
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=["__ref__", *label_names])
+
+    samples_schema = T.StructType(
+        [
+            T.StructField("seg_ord", T.IntegerType(), False),
+            T.StructField("__ref__", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    d_rdd = spark.sparkContext.parallelize(
+        list(drain_plan), max(len(drain_plan), 1)
+    )
+    d_df = spark.createDataFrame(d_rdd, "seg_ord INT, path STRING, skip INT")
+
+    def samples_pass(batches):
+        for pdf in batches:
+            rows = []
+            for seg_ord, path, skip in zip(
+                pdf["seg_ord"], pdf["path"], pdf["skip"]
+            ):
+                remaining_skip = int(skip)
+                for rec in _read_segment(path, path == last_path):
+                    if not rec or rec[0] != SAMPLES:
+                        continue
+                    decoded = decode_samples_record(rec)
+                    if remaining_skip:
+                        take = decoded[remaining_skip:]
+                        remaining_skip = max(
+                            0, remaining_skip - len(decoded)
+                        )
+                        decoded = take
+                    for ref, ts, value in decoded:
+                        rows.append((int(seg_ord), ref, ts, value))
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(
+                                rows, columns=samples_schema.names
+                            )
+                            rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=samples_schema.names)
+
+    series_df = (
+        s_df.mapInPandas(series_pass, series_schema)
+        # the same ref can be re-logged by a checkpoint — one row wins
+        .dropDuplicates(["__ref__"])
+    )
+    return series_df, d_df.mapInPandas(samples_pass, samples_schema)
+
+
 def wal_to_samples_frame(
     spark: SparkSession,
     wal_dir: str,
@@ -497,75 +590,20 @@ def wal_to_samples_frame(
     checkpoint overlaps live segments after an unclean restart) keep the
     LAST logged value, matching head replay.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     label_names = sorted(label_names)
     segs = discover_wal_segments(wal_dir)
     if not segs:
         raise ValueError(f"no WAL segments under {wal_dir}")
-    n = len(segs)
-    last_path = segs[-1]
-    rdd = spark.sparkContext.parallelize(list(enumerate(segs)), n)
-    segs_df = spark.createDataFrame(rdd, "seg_ord INT, path STRING")
-
-    series_schema = T.StructType(
-        [T.StructField("__ref__", T.LongType(), False)]
-        + [T.StructField(nm, T.StringType(), False) for nm in label_names]
+    series_df, raw = _wal_frames(
+        spark,
+        label_names,
+        segs,
+        [(i, p, 0) for i, p in enumerate(segs)],
+        segs[-1],
+        batch_rows,
     )
-
-    def series_pass(batches):
-        for pdf in batches:
-            rows = []
-            for path in pdf["path"]:
-                for rec in _read_segment(path, path == last_path):
-                    if rec and rec[0] == SERIES:
-                        for ref, labels in decode_series_record(rec):
-                            rows.append(
-                                (
-                                    ref,
-                                    *(
-                                        labels.get(nm, "")
-                                        for nm in label_names
-                                    ),
-                                )
-                            )
-            yield pd.DataFrame(
-                rows, columns=["__ref__", *label_names]
-            )
-
-    samples_schema = T.StructType(
-        [
-            T.StructField("seg_ord", T.IntegerType(), False),
-            T.StructField("__ref__", T.LongType(), False),
-            T.StructField("ts", T.LongType(), False),
-            T.StructField("value", T.DoubleType(), False),
-        ]
-    )
-
-    def samples_pass(batches):
-        for pdf in batches:
-            rows = []
-            for seg_ord, path in zip(pdf["seg_ord"], pdf["path"]):
-                for rec in _read_segment(path, path == last_path):
-                    if rec and rec[0] == SAMPLES:
-                        for ref, ts, value in decode_samples_record(rec):
-                            rows.append((int(seg_ord), ref, ts, value))
-                            if len(rows) >= batch_rows:
-                                yield pd.DataFrame(
-                                    rows, columns=samples_schema.names
-                                )
-                                rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=samples_schema.names)
-
-    series_df = (
-        segs_df.mapInPandas(series_pass, series_schema)
-        # the same ref can be re-logged by a checkpoint — one row wins
-        .dropDuplicates(["__ref__"])
-    )
-    raw = segs_df.mapInPandas(samples_pass, samples_schema)
     # keep the LAST logged value per (ref, ts): max_by over log order
     samples_df = raw.groupBy("__ref__", "ts").agg(
         F.expr("max_by(value, seg_ord)").alias("value")
@@ -573,6 +611,198 @@ def wal_to_samples_frame(
     return samples_df.join(series_df, "__ref__", "inner").select(
         *label_names, "ts", "value"
     )
+
+
+def sync_wal(
+    spark: SparkSession,
+    wal_dir: str,
+    store_root: str,
+    label_names: Sequence[str],
+    writer_opts=None,
+    chunk_span_ms: int | None = None,
+    encoding: str = "raw",
+    batch_rows: int = 65536,
+) -> dict:
+    """Incremental head migration: drain every WAL sample NOT yet in the
+    store at ``store_root`` — the head-side complement of
+    `tsdb_block.sync_blocks`.  Run both on a schedule and a store
+    follows a live Prometheus completely: blocks as they compact, head
+    samples within one sync interval of being scraped.
+
+    Watermark model (``_wal_sync.json`` sidecar): Prometheus appends
+    only to the NEWEST segment, so every earlier segment is sealed.
+    Sealed segments drain once and are recorded complete; the live tail
+    drains all samples past the per-segment count recorded by the prior
+    sync (the WAL's append-only framing makes "first N samples" a
+    stable prefix).  Series records are re-scanned over ALL current
+    segments each sync — they are tiny, and a tail sample may reference
+    a series logged segments earlier.
+
+    Crash idempotency mirrors `sync_blocks`: the batch's part dir is
+    KEYED by the sidecar's batch counter, which only advances when the
+    sidecar commits — a rerun after a crash between part write and
+    sidecar commit overwrites the same directory instead of duplicating
+    the batch.
+
+    Checkpoint truncation: when Prometheus checkpoints, it rewrites
+    still-needed samples from truncated segments into the checkpoint.
+    If every truncated segment was already drained (the normal case for
+    any sync interval shorter than the ~2 h truncation cycle), the
+    checkpoint's sample records are pure duplicates and are SKIPPED; if
+    a segment vanished before this store ever drained it (sync was down
+    for multiple truncation cycles), the checkpoint is drained and the
+    overlap with previously-synced data may duplicate — reported in the
+    result as ``gap_drained`` so callers can schedule a deduplicating
+    compaction.
+
+    Parts land without series ids (`assign_series_ids=False`, the
+    streaming-ingest contract) — dense ids are assigned when the store
+    compacts.  Returns ``{"samples": n, "part": dir|None,
+    "sealed": [...], "tail": {...}, "gap_drained": bool}``.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import (
+        DEFAULT_CHUNK_SPAN_MS,
+        samples_to_chunks,
+    )
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+        write_sorted,
+    )
+
+    label_names = sorted(label_names)
+    span = DEFAULT_CHUNK_SPAN_MS if chunk_span_ms is None else chunk_span_ms
+    state_path = os.path.join(store_root, "_wal_sync.json")
+    state = {"batch": 0, "complete": [], "tail": {}, "floor": -1}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+    complete = set(state["complete"])
+    tail_counts: dict[str, int] = dict(state["tail"])
+    # highest checkpoint floor already handled: segment numbers at or
+    # below it were truncated and pruned from `complete` long ago — a
+    # LATER checkpoint must not read their absence as a drain gap
+    prev_floor = int(state.get("floor", -1))
+
+    segs = discover_wal_segments(wal_dir)
+    if not segs:
+        raise ValueError(f"no WAL segments under {wal_dir}")
+    rel = {p: os.path.relpath(p, wal_dir) for p in segs}
+    last_path = segs[-1]
+
+    # checkpoint-gap detection: a checkpoint dir we have NOT completed
+    # replaces truncated segments; if any segment number at or below its
+    # floor was never completed here, those samples exist only in the
+    # checkpoint and it must be drained (possible overlap duplicates)
+    gap_drained = False
+    plan: list[tuple[int, str, int]] = []
+    newly_sealed: list[str] = []
+    for i, p in enumerate(segs):
+        r = rel[p]
+        in_checkpoint = os.sep in r
+        if r in complete:
+            continue
+        if in_checkpoint:
+            floor = int(
+                os.path.basename(os.path.dirname(p)).split(".", 1)[1]
+            )
+            drained_nums = {
+                int(os.path.basename(c))
+                for c in complete
+                if os.sep not in c and os.path.basename(c).isdigit()
+            }
+            missing = set(range(prev_floor + 1, floor + 1)) - drained_nums
+            new_floor = max(prev_floor, floor)
+            if not missing:
+                # pure duplicates of already-drained segments
+                prev_floor = new_floor
+                complete.add(r)
+                newly_sealed.append(r)
+                continue
+            prev_floor = new_floor
+            gap_drained = True
+        skip = int(tail_counts.get(r, 0))
+        plan.append((i, p, skip))
+        if p != last_path:
+            newly_sealed.append(r)
+
+    counts: dict[str, int] = {}
+    n_new = 0
+    part: str | None = None
+    if plan:
+        series_df, raw = _wal_frames(
+            spark, label_names, segs, plan, last_path, batch_rows
+        )
+        raw = raw.persist()
+        try:
+            per_seg = {
+                row["seg_ord"]: row["n"]
+                for row in raw.groupBy("seg_ord").count()
+                .withColumnRenamed("count", "n").collect()
+            }
+            n_new = sum(per_seg.values())
+            for i, p, skip in plan:
+                counts[rel[p]] = skip + per_seg.get(i, 0)
+            if n_new:
+                samples_df = raw.groupBy("__ref__", "ts").agg(
+                    F.expr("max_by(value, seg_ord)").alias("value")
+                )
+                samples = samples_df.join(
+                    series_df, "__ref__", "inner"
+                ).select(*label_names, "ts", "value")
+                chunks = samples_to_chunks(
+                    samples,
+                    label_names,
+                    chunk_span_ms=span,
+                    assign_series_ids=False,
+                    encoding=encoding,
+                )
+                opts = writer_opts or WriterOptions(
+                    sort_columns=sort_columns(label_names),
+                    bloom_columns=[
+                        c for c in label_names if c != "__name__"
+                    ],
+                    max_files=16,
+                )
+                writer = SortedParquetWriter(spark, store_root, opts)
+                part_dir = os.path.join(
+                    store_root, f"part.walsync{int(state['batch']):08d}"
+                )
+                part = write_sorted(chunks, part_dir, opts)
+                writer.adopt(part_dir)
+        finally:
+            raw.unpersist()
+
+    for r in newly_sealed:
+        complete.add(r)
+        tail_counts.pop(r, None)
+    if plan and plan[-1][1] == last_path:
+        tail_counts[rel[last_path]] = counts.get(rel[last_path], 0)
+    # drop state for segments that no longer exist (truncated)
+    live = set(rel.values())
+    state = {
+        "batch": int(state["batch"]) + (1 if part else 0),
+        "complete": sorted(complete & live),
+        "tail": {k: v for k, v in tail_counts.items() if k in live},
+        "floor": prev_floor,
+    }
+    tmp = state_path + ".tmp"
+    os.makedirs(store_root, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, state_path)
+    return {
+        "samples": n_new,
+        "part": part,
+        "sealed": newly_sealed,
+        "tail": dict(state["tail"]),
+        "gap_drained": gap_drained,
+    }
 
 
 def data_dir_to_chunk_frame(
