@@ -88,6 +88,15 @@ def main() -> None:
         # store->PromQL instant chain — warm their codegen/Arrow paths
         "q106_block_convert_promql",
         "q107_multi_block_convert",
+        # cold-spiking shapes re-measured isolated in r09 (the r09 bench
+        # capture caught both on their first execution): q70's byte-pair
+        # window tree 11.2 s cold / 1.4 s warm, q101's PNG Arrow-UDF
+        # chain 5.7 s cold / 2.0 s warm
+        "q70_repetition_stats",
+        "q101_png_pixel_pipeline",
+        # r09 WAL shapes: segment mapInPandas drain + data-dir union
+        "q108_wal_head_drain",
+        "q109_data_dir_convert",
     ):
         try:
             qs[warm_q](spark, warm_sf).write.format("noop").mode(

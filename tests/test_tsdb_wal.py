@@ -501,3 +501,56 @@ def test_sync_wal_crash_before_sidecar_commit_is_idempotent(
     # the rerun recomputes the SAME batch key and overwrites in place
     assert r["samples"] == 6
     assert _store_samples(spark, store) == after
+
+
+# -- tombstones (delete API) ------------------------------------------------
+
+
+def test_tombstones_record_roundtrip():
+    from tsdb_parquet_spark.tsdb_wal import (
+        TOMBSTONES,
+        decode_tombstones_record,
+        encode_tombstones_record,
+    )
+
+    stones = [(1, 0, 999), (1, 5000, 6000), (1 << 33, -10, 10)]
+    rec = encode_tombstones_record(stones)
+    assert rec[0] == TOMBSTONES
+    assert decode_tombstones_record(rec) == stones
+
+
+def test_wal_frame_applies_tombstones(spark, tmp_path):
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"}),
+                  (2, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, t, float(t)) for t in (100, 200, 300)])
+    w.log_samples([(2, 200, 9.0)])
+    # delete [150, 250] on series 1 only
+    w.log_tombstones([(1, 150, 250)])
+    w.close()
+    df = wal_to_samples_frame(spark, wal, ["__name__", "job"])
+    got = sorted((r["job"], r["ts"]) for r in df.collect())
+    assert got == [("a", 100), ("a", 300), ("b", 200)]
+    # raw mode keeps the deleted sample
+    raw = wal_to_samples_frame(
+        spark, wal, ["__name__", "job"], apply_tombstones=False
+    )
+    assert len(raw.collect()) == 4
+
+
+def test_sync_wal_applies_tombstones_within_batch(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, t, 1.0) for t in (100, 200, 300)])
+    w.log_tombstones([(1, 200, 200)])
+    w.close()
+    r = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r["samples"] == 3  # watermark counts raw WAL samples
+    assert _store_samples(spark, store) == [
+        ("a", 100, 1.0), ("a", 300, 1.0)
+    ]

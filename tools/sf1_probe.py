@@ -70,6 +70,10 @@ HEAVY_TSDB = [
     "q73_promql_time_functions",
     "q74_promql_subquery",
     "q75_promql_holt_winters",
+    # WAL ingest at 10x samples/series: the head-drain and the full
+    # data-dir convert (block + WAL union)
+    "q108_wal_head_drain",
+    "q109_data_dir_convert",
 ]
 
 HEAVY = [

@@ -145,6 +145,33 @@ def decode_series_record(data: bytes) -> list[tuple[int, dict[str, str]]]:
     return out
 
 
+def encode_tombstones_record(
+    stones: Sequence[tuple[int, int, int]]
+) -> bytes:
+    """``record.Tombstones`` payload: per deleted interval a BE64 series
+    ref then varint [mint, maxt] (inclusive bounds, ms)."""
+    out = bytearray([TOMBSTONES])
+    for ref, mint, maxt in stones:
+        out += struct.pack(">Q", ref)
+        _put_varint(out, mint)
+        _put_varint(out, maxt)
+    return bytes(out)
+
+
+def decode_tombstones_record(data: bytes) -> list[tuple[int, int, int]]:
+    if not data or data[0] != TOMBSTONES:
+        raise ValueError("not a Tombstones record")
+    pos, end = 1, len(data)
+    out: list[tuple[int, int, int]] = []
+    while pos < end:
+        (ref,) = struct.unpack_from(">Q", data, pos)
+        pos += 8
+        mint, pos = _read_varint(data, pos)
+        maxt, pos = _read_varint(data, pos)
+        out.append((ref, mint, maxt))
+    return out
+
+
 def encode_samples_record(samples: Sequence[tuple[int, int, float]]) -> bytes:
     """``record.Samples`` payload: base (ref, ts) from the first sample
     as BE64s, then EVERY sample (the first included, with zero deltas)
@@ -289,6 +316,20 @@ def iter_segment_records(
         return
 
 
+def read_wal_tombstones(wal_dir: str) -> list[tuple[int, int, int]]:
+    """All deletion intervals (ref, mint, maxt — inclusive ms bounds)
+    logged anywhere in the WAL, replay-ordered.  Tombstones are tiny
+    (one row per delete-API call), so this is a driver-side walk like
+    the series pass."""
+    segs = discover_wal_segments(wal_dir)
+    stones: list[tuple[int, int, int]] = []
+    for i, path in enumerate(segs):
+        for rec in _read_segment(path, i == len(segs) - 1):
+            if rec and rec[0] == TOMBSTONES:
+                stones.extend(decode_tombstones_record(rec))
+    return stones
+
+
 class WalWriter:
     """Append-only writer producing spec-exact segments.
 
@@ -320,6 +361,11 @@ class WalWriter:
 
     def log_samples(self, samples: Sequence[tuple[int, int, float]]) -> None:
         self._append_record(encode_samples_record(samples))
+
+    def log_tombstones(
+        self, stones: Sequence[tuple[int, int, int]]
+    ) -> None:
+        self._append_record(encode_tombstones_record(stones))
 
     def _append_record(self, record: bytes) -> None:
         # record must fit the remaining segment: header per fragment, one
@@ -563,11 +609,34 @@ def _wal_frames(
     return series_df, d_df.mapInPandas(samples_pass, samples_schema)
 
 
+def _apply_tombstones(
+    spark: SparkSession, wal_dir: str, samples_df: DataFrame
+) -> DataFrame:
+    """Anti-join WAL deletion intervals out of a (ref, ts, ...) frame —
+    the delete-API semantics head replay applies.  Tombstones are one
+    row per delete call: always broadcast."""
+    from pyspark.sql import functions as F
+
+    stones = read_wal_tombstones(wal_dir)
+    if not stones:
+        return samples_df
+    st = spark.createDataFrame(
+        stones, "__sref__ LONG, __mint__ LONG, __maxt__ LONG"
+    )
+    cond = (
+        (samples_df["__ref__"] == st["__sref__"])
+        & (samples_df["ts"] >= st["__mint__"])
+        & (samples_df["ts"] <= st["__maxt__"])
+    )
+    return samples_df.join(F.broadcast(st), cond, "left_anti")
+
+
 def wal_to_samples_frame(
     spark: SparkSession,
     wal_dir: str,
     label_names: Sequence[str],
     batch_rows: int = 65536,
+    apply_tombstones: bool = True,
 ) -> DataFrame:
     """Distributed WAL drain: samples DataFrame with one string column
     per ``label_names`` entry (missing labels fill ``""``), plus
@@ -608,6 +677,8 @@ def wal_to_samples_frame(
     samples_df = raw.groupBy("__ref__", "ts").agg(
         F.expr("max_by(value, seg_ord)").alias("value")
     )
+    if apply_tombstones:
+        samples_df = _apply_tombstones(spark, wal_dir, samples_df)
     return samples_df.join(series_df, "__ref__", "inner").select(
         *label_names, "ts", "value"
     )
@@ -752,6 +823,12 @@ def sync_wal(
                 samples_df = raw.groupBy("__ref__", "ts").agg(
                     F.expr("max_by(value, seg_ord)").alias("value")
                 )
+                # delete-API tombstones filter the batch being drained;
+                # a tombstone logged AFTER its samples were synced in an
+                # earlier batch cannot retro-delete from the store —
+                # that requires a store-side delete pass (same
+                # limitation as any downstream copy of TSDB data)
+                samples_df = _apply_tombstones(spark, wal_dir, samples_df)
                 samples = samples_df.join(
                     series_df, "__ref__", "inner"
                 ).select(*label_names, "ts", "value")
