@@ -5119,11 +5119,23 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
             F.col("event_type"),
             (F.col("user_id") % 8).cast("string").alias("shard"),
             F.expr("ts div 1000000").alias("ts"),
+            F.col("ts").alias("ts_ns"),
             F.col("value"),
         )
         .toPandas()
-        .sort_values(["event_type", "shard", "ts"], kind="mergesort")
+        .sort_values(
+            ["event_type", "shard", "ts", "ts_ns", "value"],
+            kind="mergesort",
+        )
     )
+    # Prometheus append semantics: a second sample at an existing
+    # (series, ts) is rejected — first write wins.  Deterministic rule
+    # (min original-ns ts, then min value) so the DuckDB oracle can
+    # replicate it with a row_number window; ms-collisions appear once
+    # the sf1 probe's shifted event copies overlap
+    rows = rows.drop_duplicates(
+        ["event_type", "shard", "ts"], keep="first"
+    ).drop(columns=["ts_ns"])
     old = rows[rows["ts"] < _WAL_CUT]
     head = rows[rows["ts"] >= _WAL_CUT]
     # compacted block from the old half
@@ -5151,12 +5163,6 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
     # parallelism
     wal_dir = os.path.join(data_dir, "wal")
     head = head.sort_values(["ts", "event_type", "shard"], kind="mergesort")
-    if head.duplicated(["event_type", "shard", "ts"]).any():
-        # the drain keeps the LAST append per (series, ts) — head replay
-        # semantics — which would silently diverge from a count(*) oracle
-        raise RuntimeError(
-            "q108/q109 fixture: duplicate (series, ts) samples in events"
-        )
     keys = sorted(set(zip(head["event_type"], head["shard"])))
     refs = {k: i + 1 for i, k in enumerate(keys)}
     write_checkpoint(
@@ -5193,11 +5199,19 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "q108_wal_head_drain",
     f"""
-WITH s AS (
+WITH raw AS (
   SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
-         epoch_ms(ts) AS ts_ms, value
+         epoch_ms(ts) AS ts_ms, ts, value
   FROM events
   WHERE epoch_ms(ts) >= {_WAL_CUT}
+),
+s AS (
+  -- Prometheus append semantics mirrored by the fixture: first write
+  -- wins per (series, ms); deterministic by (original ts, value)
+  SELECT event_type, shard, ts_ms, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, shard, ts_ms ORDER BY ts, value) AS rn
+    FROM raw) WHERE rn = 1
 )
 SELECT event_type,
        count(*) AS n_samples,
@@ -5241,10 +5255,16 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q109_data_dir_convert",
     f"""
-WITH s AS (
+WITH raw AS (
   SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
-         epoch_ms(ts) AS ts_ms, value
+         epoch_ms(ts) AS ts_ms, ts, value
   FROM events
+),
+s AS (
+  SELECT event_type, shard, ts_ms, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, shard, ts_ms ORDER BY ts, value) AS rn
+    FROM raw) WHERE rn = 1
 )
 SELECT event_type,
        CAST(ts_ms >= {_WAL_CUT} AS INT) AS from_head,
