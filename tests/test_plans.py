@@ -467,3 +467,25 @@ def test_block_store_promql_chain_pushdown(spark, tmp_path):
     schema_line = plan.split("ReadSchema")[1].split("\n")[0]
     assert "__series__id" not in schema_line
     assert "__chunk_bytes" in schema_line
+
+
+def test_wal_drain_broadcasts_series_map(spark, tmp_path):
+    """wal_to_samples_frame's ref->labels join must broadcast the tiny
+    series map, never shuffle the sample volume for it.  Both sides are
+    mapInPandas outputs (no size stats), so the decision is AQE's
+    runtime one — assert the final adaptive plan after execution."""
+    from tsdb_parquet_spark.tsdb_wal import WalWriter, wal_to_samples_frame
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, t * 1000, float(t)) for t in range(500)])
+    w.close()
+    df = wal_to_samples_frame(spark, wal, ["__name__", "job"])
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+    # the sample scan side stays one task per segment (no repartition
+    # of the mapInPandas output before the aggregate's own shuffle)
+    assert "Exchange rangepartitioning" not in plan
