@@ -554,3 +554,52 @@ def test_sync_wal_applies_tombstones_within_batch(spark, tmp_path):
     assert _store_samples(spark, store) == [
         ("a", 100, 1.0), ("a", 300, 1.0)
     ]
+
+
+# -- exemplars --------------------------------------------------------------
+
+
+def test_exemplars_record_roundtrip():
+    from tsdb_parquet_spark.tsdb_wal import (
+        EXEMPLARS,
+        decode_exemplars_record,
+        encode_exemplars_record,
+    )
+
+    ex = [
+        (5, 1000, 1.5, {"trace_id": "abc123"}),
+        (5, 2000, 2.5, {"trace_id": "def456", "span_id": "s1"}),
+        (9, 500, -1.0, {}),
+    ]
+    rec = encode_exemplars_record(ex)
+    assert rec[0] == EXEMPLARS
+    assert decode_exemplars_record(rec) == ex
+    # base comes from the first exemplar, Samples-style
+    import struct
+
+    assert struct.unpack_from(">Q", rec, 1)[0] == 5
+    assert struct.unpack_from(">q", rec, 9)[0] == 1000
+
+
+def test_wal_to_exemplars_frame(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import wal_to_exemplars_frame
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"}),
+                  (2, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, 1000, 1.0), (2, 1000, 2.0)])
+    w.log_exemplars([
+        (1, 1000, 1.0, {"trace_id": "t-1"}),
+        (2, 1000, 2.0, {"trace_id": "t-2"}),
+    ])
+    w.close()
+    df = wal_to_exemplars_frame(spark, wal, ["__name__", "job"])
+    got = sorted(
+        (r["job"], r["ts"], r["exemplar_labels"]["trace_id"])
+        for r in df.collect()
+    )
+    assert got == [("a", 1000, "t-1"), ("b", 1000, "t-2")]
+    # sample drains are unaffected by exemplar records
+    s = wal_to_samples_frame(spark, wal, ["__name__", "job"])
+    assert len(s.collect()) == 2

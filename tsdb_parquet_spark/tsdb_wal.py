@@ -172,6 +172,64 @@ def decode_tombstones_record(data: bytes) -> list[tuple[int, int, int]]:
     return out
 
 
+def encode_exemplars_record(
+    exemplars: Sequence[tuple[int, int, float, dict[str, str]]]
+) -> bytes:
+    """``record.Exemplars`` payload: the Samples base/delta layout with
+    an exemplar label set (trace ids etc.) appended to each entry."""
+    if not exemplars:
+        raise ValueError("empty Exemplars record")
+    out = bytearray([EXEMPLARS])
+    base_ref, base_ts, _, _ = exemplars[0]
+    out += struct.pack(">Q", base_ref)
+    out += struct.pack(">q", base_ts)
+    for ref, ts, value, labels in exemplars:
+        _put_varint(out, ref - base_ref)
+        _put_varint(out, ts - base_ts)
+        out += struct.pack(">Q", _float_bits(value))
+        _put_uvarint(out, len(labels))
+        for name in sorted(labels):
+            nb = name.encode("utf-8")
+            vb = labels[name].encode("utf-8")
+            _put_uvarint(out, len(nb))
+            out += nb
+            _put_uvarint(out, len(vb))
+            out += vb
+    return bytes(out)
+
+
+def decode_exemplars_record(
+    data: bytes,
+) -> list[tuple[int, int, float, dict[str, str]]]:
+    if not data or data[0] != EXEMPLARS:
+        raise ValueError("not an Exemplars record")
+    if len(data) == 1:
+        return []
+    pos, end = 1, len(data)
+    (base_ref,) = struct.unpack_from(">Q", data, pos)
+    pos += 8
+    (base_ts,) = struct.unpack_from(">q", data, pos)
+    pos += 8
+    out: list[tuple[int, int, float, dict[str, str]]] = []
+    while pos < end:
+        dref, pos = _read_varint(data, pos)
+        dts, pos = _read_varint(data, pos)
+        (bits,) = struct.unpack_from(">Q", data, pos)
+        pos += 8
+        (value,) = struct.unpack(">d", struct.pack(">Q", bits))
+        n, pos = _read_uvarint(data, pos)
+        labels: dict[str, str] = {}
+        for _ in range(n):
+            ln, pos = _read_uvarint(data, pos)
+            name = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+            ln, pos = _read_uvarint(data, pos)
+            labels[name] = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        out.append((base_ref + dref, base_ts + dts, value, labels))
+    return out
+
+
 def encode_samples_record(samples: Sequence[tuple[int, int, float]]) -> bytes:
     """``record.Samples`` payload: base (ref, ts) from the first sample
     as BE64s, then EVERY sample (the first included, with zero deltas)
@@ -366,6 +424,11 @@ class WalWriter:
         self, stones: Sequence[tuple[int, int, int]]
     ) -> None:
         self._append_record(encode_tombstones_record(stones))
+
+    def log_exemplars(
+        self, exemplars: Sequence[tuple[int, int, float, dict[str, str]]]
+    ) -> None:
+        self._append_record(encode_exemplars_record(exemplars))
 
     def _append_record(self, record: bytes) -> None:
         # record must fit the remaining segment: header per fragment, one
@@ -681,6 +744,60 @@ def wal_to_samples_frame(
         samples_df = _apply_tombstones(spark, wal_dir, samples_df)
     return samples_df.join(series_df, "__ref__", "inner").select(
         *label_names, "ts", "value"
+    )
+
+
+def wal_to_exemplars_frame(
+    spark: SparkSession,
+    wal_dir: str,
+    label_names: Sequence[str],
+    batch_rows: int = 65536,
+) -> DataFrame:
+    """Distributed exemplar drain: (labels..., ts, value,
+    exemplar_labels map<string,string>) — trace-id exemplars attached
+    to series via the same broadcast ref->labels join as the sample
+    drain, one scan task per segment."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    label_names = sorted(label_names)
+    segs = discover_wal_segments(wal_dir)
+    if not segs:
+        raise ValueError(f"no WAL segments under {wal_dir}")
+    last_path = segs[-1]
+    series_df, _ = _wal_frames(
+        spark, label_names, segs, [], last_path, batch_rows
+    )
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in segs], len(segs)
+    )
+    segs_df = spark.createDataFrame(rdd, "path STRING")
+    schema = T.StructType(
+        [
+            T.StructField("__ref__", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField(
+                "exemplar_labels",
+                T.MapType(T.StringType(), T.StringType()),
+                False,
+            ),
+        ]
+    )
+
+    def exemplar_pass(batches):
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                for rec in _read_segment(path, path == last_path):
+                    if rec and rec[0] == EXEMPLARS:
+                        for ref, ts, v, ls in decode_exemplars_record(rec):
+                            rows.append((ref, ts, v, ls))
+            yield pd.DataFrame(rows, columns=schema.names)
+
+    ex = segs_df.mapInPandas(exemplar_pass, schema)
+    return ex.join(series_df, "__ref__", "inner").select(
+        *label_names, "ts", "value", "exemplar_labels"
     )
 
 
