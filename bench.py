@@ -59,47 +59,20 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm the session + JVM on the smallest scale first (not timed).
-    # Representative pipelines — relational agg, PromQL, shingle/minhash
-    # text ops, Arrow UDF, window/join — so Janino codegen and C2-compiled
-    # infrastructure are hot before ANY timed query runs; without this the
-    # first ~10 timed queries pay JIT warm-up and per-query timings become
-    # an artifact of registry order (which rotates round to round).
+    # warm EVERY query's plan shape on the smallest scale first (not
+    # timed).  A hand-curated warm list kept losing to registry-order
+    # rotation: each round's reorder changed which timed query paid the
+    # first Janino/C2 compile of a shared shape (measured repeatedly —
+    # q72 ~11 s cold / 1.4 s warm in r06, q70 11.2/1.4 and q101 5.7/2.0
+    # in r09, then q96/q98/q100 spiked on the very next clean run once
+    # those two were listed).  min-of-2 does not reliably absorb it
+    # under memory pressure, so pay every first execution here at
+    # sf0.001, where the whole sweep costs ~30-60 s once and the timed
+    # rows measure the engine, not compilation order.
     warm_sf = "/root/testdata/sf0.001"
-    for warm_q in (
-        "q07_groupby_agg",
-        "q19_promql_count_over_time",
-        # deep set-op + CSE plans: first planning of these subtrees costs
-        # ~10 s on a cold optimizer JIT regardless of data size — pay it
-        # here, not inside whichever timed query runs first
-        "q66_promql_set_ops",
-        "q23_minhash_lsh_pairs",
-        "q29_multimodal_metadata",
-        "q30_text_analysis",
-        "q36_window_functions",
-        # the two most expensive cold plan shapes measured in isolation
-        # (r06): q72's range-shuffle + per-partition offset plan compiles
-        # ~11 s cold, ~1.4 s warm; q73's multi-TIMEFN CSE tree ~3.7 s
-        # cold, ~1.2 s warm.  Without warming, their bench rows measure
-        # Janino/C2, not the engine.
-        "q72_global_shuffle",
-        "q73_promql_time_functions",
-        # new r08 shapes: block-farm mapInPandas convert and the block->
-        # store->PromQL instant chain — warm their codegen/Arrow paths
-        "q106_block_convert_promql",
-        "q107_multi_block_convert",
-        # cold-spiking shapes re-measured isolated in r09 (the r09 bench
-        # capture caught both on their first execution): q70's byte-pair
-        # window tree 11.2 s cold / 1.4 s warm, q101's PNG Arrow-UDF
-        # chain 5.7 s cold / 2.0 s warm
-        "q70_repetition_stats",
-        "q101_png_pixel_pipeline",
-        # r09 WAL shapes: segment mapInPandas drain + data-dir union
-        "q108_wal_head_drain",
-        "q109_data_dir_convert",
-    ):
+    for warm_q, warm_fn in qs.items():
         try:
-            qs[warm_q](spark, warm_sf).write.format("noop").mode(
+            warm_fn(spark, warm_sf).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception:
