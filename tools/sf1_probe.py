@@ -335,6 +335,13 @@ def main() -> None:
             "q105_tsdb_block_convert",
             "q106_block_convert_promql",
             "q107_multi_block_convert",
+            # the r09 WAL chain at 10x — where the fixture's first-write-
+            # wins dedup rule actually engages (shifted event copies
+            # collide at ms resolution), so a hash match proves engine
+            # and oracle apply the SAME append semantics, not just agree
+            # on collision-free data like sf0.01
+            "q108_wal_head_drain",
+            "q109_data_dir_convert",
         ]
         results = {}
         for name in names:
