@@ -603,3 +603,91 @@ def test_wal_to_exemplars_frame(spark, tmp_path):
     # sample drains are unaffected by exemplar records
     s = wal_to_samples_frame(spark, wal, ["__name__", "job"])
     assert len(s.collect()) == 2
+
+
+# -- staleness markers ------------------------------------------------------
+
+
+def test_stale_marker_bit_exactness():
+    import math
+
+    from tsdb_parquet_spark.tsdb_wal import is_stale_marker, stale_marker
+
+    m = stale_marker()
+    assert math.isnan(m) and is_stale_marker(m)
+    assert not is_stale_marker(float("nan"))  # ordinary NaN is data
+    assert not is_stale_marker(1.0)
+
+
+def test_stale_marker_survives_wal_roundtrip(tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import is_stale_marker, stale_marker
+
+    w = WalWriter(str(tmp_path))
+    w.log_series([(1, {"__name__": "m"})])
+    w.log_samples([(1, 1000, 2.0), (1, 2000, stale_marker())])
+    w.close()
+    _, samples = read_wal(str(tmp_path))
+    assert [is_stale_marker(v) for _, _, v in samples] == [False, True]
+
+
+def test_wal_frame_stale_modes(spark, tmp_path):
+    from tsdb_parquet_spark.tsdb_wal import stale_marker
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, 1000, 2.0), (1, 2000, stale_marker())])
+    w.close()
+    keep = wal_to_samples_frame(spark, wal, ["__name__", "job"])
+    assert keep.count() == 2 and "is_stale" not in keep.columns
+    drop = wal_to_samples_frame(
+        spark, wal, ["__name__", "job"], stale="drop"
+    )
+    assert [r["ts"] for r in drop.collect()] == [1000]
+    mark = wal_to_samples_frame(
+        spark, wal, ["__name__", "job"], stale="mark"
+    )
+    got = {r["ts"]: r["is_stale"] for r in mark.collect()}
+    assert got == {1000: False, 2000: True}
+
+
+def test_promql_staleness_terminates_lookback(spark, tmp_path):
+    """The Prometheus staleness rule end-to-end: WAL with a stale
+    marker -> stale-marked drain -> PromQL instant vector returns the
+    series only at steps BEFORE the marker, and range vectors exclude
+    the marker entirely."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_wal import stale_marker
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"}),
+                  (2, {"__name__": "m", "job": "b"})])
+    # series a: alive at 60s, marker at 120s; series b: alive throughout
+    w.log_samples([(1, 60_000, 5.0), (2, 60_000, 7.0)])
+    w.log_samples([(1, 120_000, stale_marker()), (2, 120_000, 8.0)])
+    w.close()
+    samples = wal_to_samples_frame(
+        spark, wal, ["__name__", "job"], stale="mark"
+    )
+    engine = PromQLEngine(samples)
+    # steps 60s, 120s, 180s with 5m lookback
+    out = engine.query_range("m", 60_000, 180_000, 60_000).collect()
+    got = sorted((r["t"], r["job"], r["value"]) for r in out)
+    # series a appears ONLY at 60s — the marker kills 120s and, because
+    # it is the most recent sample, every later step in lookback range
+    assert got == [
+        (60_000, "a", 5.0), (60_000, "b", 7.0),
+        (120_000, "b", 8.0), (180_000, "b", 8.0),
+    ]
+    # range selection: markers are not samples
+    cnt = engine.query_range(
+        "count_over_time(m[2m])", 180_000, 180_000, 60_000
+    ).collect()
+    assert sorted((r["job"], r["value"]) for r in cnt) == [("b", 1.0)]
+    # without stale marking, the marker leaks through as a NaN sample
+    raw_engine = PromQLEngine(
+        wal_to_samples_frame(spark, wal, ["__name__", "job"])
+    )
+    raw = raw_engine.query_range("m", 120_000, 120_000, 60_000).collect()
+    assert len(raw) == 2  # stale-unaware: 'a' still yields a (NaN) row

@@ -1175,8 +1175,18 @@ class PromQLEngine:
         #: working set rebuilt at the next query (_shared_scan_alive).
         self._shared_scan = shared_scan
         self._scan_pin: DataFrame | None = None
+        #: staleness-aware mode: a boolean ``is_stale`` column (e.g. from
+        #: `tsdb_wal.wal_to_samples_frame(stale="mark")`) flags Prometheus
+        #: stale markers.  Instant selections return NO value for a series
+        #: whose most recent in-window sample is a marker (the marker
+        #: terminates the lookback, exactly Prometheus's staleness rule);
+        #: range selections exclude markers entirely (they are not
+        #: samples).  Without the column, behavior is unchanged.
+        self.stale_aware = "is_stale" in samples.columns
         self.label_columns = [
-            c for c in samples.columns if c not in ("ts", "value")
+            c
+            for c in samples.columns
+            if c not in ("ts", "value", "is_stale")
         ]
 
     def _samples_frame(self) -> DataFrame:
@@ -2162,8 +2172,24 @@ class PromQLEngine:
         keys = ["t"] + list(series_cols)
         if expr.func is None:
             # instant vector: last sample within the lookback window
+            if self.stale_aware:
+                # the latest sample decides: a stale marker there means
+                # the series ended before this step — no output row
+                return (
+                    bucketed.groupBy(*keys)
+                    .agg(
+                        F.max_by(
+                            F.struct("value", "is_stale"), "ts"
+                        ).alias("__s")
+                    )
+                    .filter(~F.col("__s.is_stale"))
+                    .select(*keys, F.col("__s.value").alias("value"))
+                )
             agg = F.max_by("value", "ts").alias("value")
             return bucketed.groupBy(*keys).agg(agg)
+        if self.stale_aware:
+            # markers are not samples in range selections
+            bucketed = bucketed.filter(~F.col("is_stale"))
         if expr.func == "quantile_over_time":
             # exact linear-interpolation percentile (sort-based, same
             # interpolation as DuckDB quantile_cont)

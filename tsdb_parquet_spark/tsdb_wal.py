@@ -85,6 +85,21 @@ SAMPLES = 0x02
 TOMBSTONES = 0x03
 EXEMPLARS = 0x04
 
+#: Prometheus staleness marker: a quiet NaN with this exact bit pattern
+#: marks the end of a series (scrape target gone); ordinary NaN sample
+#: values have different payloads and are real data
+STALE_NAN_BITS = 0x7FF0000000000002
+
+
+def stale_marker() -> float:
+    """The staleness-marker float (bit-exact)."""
+    return struct.unpack(">d", struct.pack(">Q", STALE_NAN_BITS))[0]
+
+
+def is_stale_marker(value: float) -> bool:
+    """Bit-exact staleness test — ordinary NaNs are NOT stale."""
+    return struct.unpack(">Q", struct.pack(">d", value))[0] == STALE_NAN_BITS
+
 
 class WalCorruptionError(ValueError):
     """A record failed its framing/CRC contract mid-WAL."""
@@ -586,12 +601,14 @@ def _wal_frames(
     drain_plan: Sequence[tuple[int, str, int]],
     last_path: str,
     batch_rows: int,
+    mark_stale: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared executor-side scan machinery: a (ref, labels...) frame
     from Series records across ``series_segs`` and a raw
-    (seg_ord, ref, ts, value) frame from Samples records per
-    ``drain_plan`` row (ord, path, skip_first_n_samples) — one task per
-    segment in both passes."""
+    (seg_ord, ref, ts, value[, is_stale]) frame from Samples records
+    per ``drain_plan`` row (ord, path, skip_first_n_samples) — one task
+    per segment in both passes.  ``mark_stale`` appends a bit-exact
+    staleness-marker flag per sample."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -624,14 +641,21 @@ def _wal_frames(
                             )
             yield pd.DataFrame(rows, columns=["__ref__", *label_names])
 
-    samples_schema = T.StructType(
-        [
-            T.StructField("seg_ord", T.IntegerType(), False),
-            T.StructField("__ref__", T.LongType(), False),
-            T.StructField("ts", T.LongType(), False),
-            T.StructField("value", T.DoubleType(), False),
-        ]
-    )
+    # `value` must be NULLABLE across the Arrow bridge: pandas->Arrow
+    # nulls every NaN (nan_as_null), so a WAL NaN sample — ordinary
+    # data NaN or staleness marker — arrives as NULL and is restored to
+    # a (canonical) NaN below.  NaN PAYLOADS cannot cross the bridge,
+    # which is why bit-exact staleness is computed python-side into the
+    # boolean before the transfer.
+    fields = [
+        T.StructField("seg_ord", T.IntegerType(), False),
+        T.StructField("__ref__", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+    if mark_stale:
+        fields.append(T.StructField("is_stale", T.BooleanType(), False))
+    samples_schema = T.StructType(fields)
     d_rdd = spark.sparkContext.parallelize(
         list(drain_plan), max(len(drain_plan), 1)
     )
@@ -655,7 +679,18 @@ def _wal_frames(
                         )
                         decoded = take
                     for ref, ts, value in decoded:
-                        rows.append((int(seg_ord), ref, ts, value))
+                        if mark_stale:
+                            rows.append(
+                                (
+                                    int(seg_ord),
+                                    ref,
+                                    ts,
+                                    value,
+                                    is_stale_marker(value),
+                                )
+                            )
+                        else:
+                            rows.append((int(seg_ord), ref, ts, value))
                         if len(rows) >= batch_rows:
                             yield pd.DataFrame(
                                 rows, columns=samples_schema.names
@@ -669,7 +704,15 @@ def _wal_frames(
         # the same ref can be re-logged by a checkpoint — one row wins
         .dropDuplicates(["__ref__"])
     )
-    return series_df, d_df.mapInPandas(samples_pass, samples_schema)
+    from pyspark.sql import functions as F
+
+    raw = d_df.mapInPandas(samples_pass, samples_schema).withColumn(
+        # NULL here can only be a NaN nulled by the Arrow bridge (the
+        # decode never produces missing values) — restore it
+        "value",
+        F.coalesce(F.col("value"), F.lit(float("nan"))),
+    )
+    return series_df, raw
 
 
 def _apply_tombstones(
@@ -700,6 +743,7 @@ def wal_to_samples_frame(
     label_names: Sequence[str],
     batch_rows: int = 65536,
     apply_tombstones: bool = True,
+    stale: str = "keep",
 ) -> DataFrame:
     """Distributed WAL drain: samples DataFrame with one string column
     per ``label_names`` entry (missing labels fill ``""``), plus
@@ -721,9 +765,19 @@ def wal_to_samples_frame(
     Spark's join moves it.  Duplicate (ref, ts) appends (possible when a
     checkpoint overlaps live segments after an unclean restart) keep the
     LAST logged value, matching head replay.
+
+    ``stale`` handles Prometheus staleness markers (the bit-exact quiet
+    NaN a vanishing scrape target logs; ordinary NaN values are data):
+    ``"keep"`` (default) passes them through as NaN samples, ``"drop"``
+    removes them, ``"mark"`` appends a boolean ``is_stale`` column —
+    the input `plans.promql.PromQLEngine` consumes for staleness-aware
+    lookback (a marker terminates the instant lookback; range vectors
+    exclude markers).
     """
     from pyspark.sql import functions as F
 
+    if stale not in ("keep", "drop", "mark"):
+        raise ValueError(f"unknown stale mode {stale!r}")
     label_names = sorted(label_names)
     segs = discover_wal_segments(wal_dir)
     if not segs:
@@ -735,16 +789,35 @@ def wal_to_samples_frame(
         [(i, p, 0) for i, p in enumerate(segs)],
         segs[-1],
         batch_rows,
+        mark_stale=(stale != "keep"),
     )
     # keep the LAST logged value per (ref, ts): max_by over log order
-    samples_df = raw.groupBy("__ref__", "ts").agg(
-        F.expr("max_by(value, seg_ord)").alias("value")
-    )
+    if stale == "keep":
+        samples_df = raw.groupBy("__ref__", "ts").agg(
+            F.expr("max_by(value, seg_ord)").alias("value")
+        )
+        cols = [*label_names, "ts", "value"]
+    else:
+        samples_df = raw.groupBy("__ref__", "ts").agg(
+            F.expr(
+                "max_by(struct(value, is_stale), seg_ord)"
+            ).alias("__s")
+        ).select(
+            "__ref__",
+            "ts",
+            F.col("__s.value").alias("value"),
+            F.col("__s.is_stale").alias("is_stale"),
+        )
+        if stale == "drop":
+            samples_df = samples_df.filter(~F.col("is_stale")).drop(
+                "is_stale"
+            )
+            cols = [*label_names, "ts", "value"]
+        else:
+            cols = [*label_names, "ts", "value", "is_stale"]
     if apply_tombstones:
         samples_df = _apply_tombstones(spark, wal_dir, samples_df)
-    return samples_df.join(series_df, "__ref__", "inner").select(
-        *label_names, "ts", "value"
-    )
+    return samples_df.join(series_df, "__ref__", "inner").select(*cols)
 
 
 def wal_to_exemplars_frame(
