@@ -5312,6 +5312,168 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: staleness scenario (q110): even-shard series lose their scrape
+#: target for two days — samples in [GAP_START, GAP_END) are absent and
+#: a staleness marker lands at GAP_START + 1 h.  GAP_START sits 2 h
+#: before a step-grid midnight, so the next step evaluates with real
+#: samples still inside the 6 h lookback but the marker as the most
+#: recent sample: stale-aware evaluation drops the series, a
+#: stale-unaware one sums the marker's NaN — hash-distinguishable.
+_STALE_GAP_START = 1706054400000 - 2 * 3600 * 1000  # 2024-01-23T22:00Z
+_STALE_GAP_END = 1706227200000  # 2024-01-26T00:00Z
+_STALE_MARK = _STALE_GAP_START + 3_600_000
+
+
+def _events_stale_wal(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a head WAL with two staleness scenarios:
+    even-shard series die mid-span for two days (gap + marker at
+    ``_STALE_MARK``) and revive when samples resume — the
+    target-vanishes-and-returns shape — and EVERY series is terminated
+    by a final marker one hour after its last sample.  Derived from
+    `_events_data_dir`'s proven WAL (same first-write-wins samples)."""
+    from tsdb_parquet_spark.tsdb_wal import (
+        WalWriter,
+        read_wal,
+        stale_marker,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final_dir = os.path.join(work, f"stale_wal_{tag}")
+    if os.path.exists(os.path.join(final_dir, "_DONE")):
+        return final_dir
+    import shutil
+
+    build = f"{final_dir}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    src = os.path.join(_events_data_dir(spark, sf_dir), "wal")
+    series_map, samples = read_wal(src)
+    even = {
+        ref
+        for ref, labels in series_map.items()
+        if int(labels.get("shard", "1")) % 2 == 0
+    }
+    samples = [
+        (ref, ts, v)
+        for ref, ts, v in samples
+        if not (ref in even and _STALE_GAP_START <= ts < _STALE_GAP_END)
+    ]
+    w = WalWriter(build, segment_bytes=256 * 1024)
+    w.log_series(sorted(series_map.items()))
+    last: dict[int, int] = {}
+    mid_marked = False
+    for i in range(0, len(samples), 2000):
+        batch = samples[i : i + 2000]
+        if not mid_marked and batch and batch[0][1] >= _STALE_MARK:
+            # the gap markers land in log order, right where the head
+            # would have written them
+            w.log_samples(
+                [(ref, _STALE_MARK, stale_marker()) for ref in sorted(even)]
+            )
+            mid_marked = True
+        w.log_samples(batch)
+        for ref, ts, _ in batch:
+            last[ref] = max(last.get(ref, ts), ts)
+    if not mid_marked and even:
+        w.log_samples(
+            [(ref, _STALE_MARK, stale_marker()) for ref in sorted(even)]
+        )
+    w.log_samples(
+        [(ref, last[ref] + 3_600_000, stale_marker()) for ref in sorted(last)]
+    )
+    w.close()
+    with open(os.path.join(build, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(build, final_dir)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final_dir
+
+
+@query(
+    "q110_promql_staleness",
+    f"""
+WITH raw AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, ts, value
+  FROM events
+  WHERE epoch_ms(ts) >= {_WAL_CUT}
+),
+dedup AS (
+  SELECT event_type, shard, ts_ms, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, shard, ts_ms ORDER BY ts, value) AS rn
+    FROM raw) WHERE rn = 1
+),
+s AS (
+  -- even-shard series lose their target for two days (fixture gap)
+  SELECT * FROM dedup
+  WHERE NOT (CAST(shard AS INT) % 2 = 0
+             AND ts_ms >= {_STALE_GAP_START} AND ts_ms < {_STALE_GAP_END})
+),
+markers AS (
+  SELECT event_type, shard, max(ts_ms) + 3600000 AS m
+  FROM s GROUP BY 1, 2
+  UNION ALL
+  SELECT DISTINCT event_type, shard, {_STALE_MARK} AS m
+  FROM s WHERE CAST(shard AS INT) % 2 = 0
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+inwin AS (
+  SELECT st.t, s.event_type, s.shard,
+         arg_max(s.value, s.ts_ms) AS v,
+         max(s.ts_ms) AS lastreal
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+),
+alive AS (
+  -- dead iff a staleness marker is the series' most recent sample at
+  -- or before t: any marker in (lastreal, t]
+  SELECT iw.* FROM inwin iw
+  WHERE NOT EXISTS (
+    SELECT 1 FROM markers k
+    WHERE k.event_type = iw.event_type AND k.shard = iw.shard
+      AND k.m > iw.lastreal AND k.m <= iw.t
+  )
+)
+SELECT t, round(sum(v), 2) AS value
+FROM alive GROUP BY 1 ORDER BY 1""",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL staleness end-to-end through REAL WAL bytes: every series
+    in the head WAL is terminated by a bit-exact staleness marker
+    (`prometheus value.StaleNaN`) 1 h after its last sample; the drain
+    (`tsdb_wal.wal_to_samples_frame(stale="mark")`) computes the marker
+    bit test at decode — NaN payloads cannot cross the Arrow bridge —
+    and the engine's stale-aware instant lookback returns NO value for
+    a series whose most recent in-window sample is the marker.
+    ``sum(app_events)`` therefore drops each series exactly one hour
+    after its death, which the DuckDB oracle replicates with the
+    last_ts + 1h cutoff rule.  A stale-UNAWARE evaluation would keep
+    every series alive for the full 6 h lookback and sum a NaN into
+    late steps — hash-distinguishable.  The reference delegates PromQL
+    to the real engine and never stores markers at all
+    (`prometheus/chunks_iterator.go:12-24` emits constant floats)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_wal import wal_to_samples_frame
+
+    wal = _events_stale_wal(spark, sf_dir)
+    samples = wal_to_samples_frame(
+        spark, wal, _CHUNK_LABELS, stale="mark"
+    )
+    engine = PromQLEngine(samples, extrapolate=False)
+    out = engine.query_range(
+        "sum(app_events)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return out.select("t", F.round("value", 2).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5347,11 +5509,12 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     deferral set — MOST overdue, non-deferrable):
 #     q01/q04/q32/q35/q36/q40/q45/q25.
 #   * never driver-checked rows: q106/q107 (introduced r08, lost to
-#     the record gap) and q108/q109 (introduced this round — the
-#     Prometheus WAL head-drain and full data-dir convert).
+#     the record gap) and q108/q109/q110 (introduced this round — the
+#     Prometheus WAL head-drain, full data-dir convert, and the
+#     staleness-marker PromQL chain).
 #   * the 10 round-8 deferrals, due back by the no-consecutive-
 #     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
-#   * the 28 remaining slots: the r06-green backlog minus the 9
+#   * the 27 remaining slots: the r06-green backlog minus the 10
 #     deferrals below.
 # Deferred to round 10 (r06-green rows that no longer fit; each with
 # the in-window row that still exercises its code path):
@@ -5370,6 +5533,8 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q60_ivf_topk         -> q59 (same IVF broadcast-centroid path —
 #                           the r08 mapping, reversed)
 #   q62_simhash_near_dup -> q25 (same shingle-based near-dup module)
+#   q09_label_values     -> q16 (same querier label/series enumeration
+#                           family, `querier.py` select path)
 # Every other out-of-window row is r07-green (1 recorded round stale
 # once r09 lands) and needs no deferral record.
 
@@ -5389,6 +5554,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q66_promql_set_ops": ("q49_promql_on_group_left",),
     "q60_ivf_topk": ("q59_ivf_assign",),
     "q62_simhash_near_dup": ("q25_ngram_jaccard",),
+    "q09_label_values": ("q16_series_select",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -5407,6 +5573,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q107_multi_block_convert",
     "q108_wal_head_drain",
     "q109_data_dir_convert",
+    "q110_promql_staleness",
     # the 10 round-8 deferrals, due back (no consecutive deferrals)
     "q02_eq_filter",
     "q03_range_filter",
@@ -5418,8 +5585,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q78_promql_instant_absent",
     "q79_promql_sort_desc",
     "q10_write_compact_roundtrip",
-    # r06-green backlog (everything last green r06 minus the 9 deferrals)
-    "q09_label_values",
+    # r06-green backlog (everything last green r06 minus the 10 deferrals)
     "q16_series_select",
     "q29_multimodal_metadata",
     "q34_promql_rate",
@@ -5458,6 +5624,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q66_promql_set_ops",
     "q60_ivf_topk",
     "q62_simhash_near_dup",
+    "q09_label_values",
 ]
 
 
