@@ -111,8 +111,10 @@ def main() -> None:
     qs["q105_tsdb_block_convert"](spark, sf_dir)
     qs["q106_block_convert_promql"](spark, sf_dir)
     qs["q107_multi_block_convert"](spark, sf_dir)
-    # q108/q109's data dir (block + head WAL) builds once per sf too
+    # q108/q109's data dir (block + head WAL) and q110's stale-marker
+    # WAL build once per sf too
     qs["q108_wal_head_drain"](spark, sf_dir)
+    qs["q110_promql_staleness"](spark, sf_dir)
     store_build["tsdb_block_stores"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)
