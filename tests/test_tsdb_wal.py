@@ -151,16 +151,64 @@ def test_nonzero_padding_after_terminator_raises():
         list(iter_segment_records(bytes(seg)))
 
 
-def test_compressed_flag_without_library_raises(tmp_path):
-    data = encode_series_record([(1, {})])
-    seg = _pad_to_page(_frame(data, ftype=1 | 0x08))  # snappy flag
-    try:
-        import snappy  # noqa: F401
+def test_snappy_block_format_decoder():
+    """Hand-crafted streams per the public format: literals, a 2-byte
+    copy, and an overlapping (RLE-style) 1-byte-offset copy."""
+    from tsdb_parquet_spark.tsdb_wal import snappy_decompress
 
-        pytest.skip("python-snappy installed; flag is decodable here")
+    # "abc" literal + copy(offset=3, len=9) -> "abc" * 4
+    rle = bytes([12, (3 - 1) << 2]) + b"abc" + bytes([1 | (5 << 2), 3])
+    assert snappy_decompress(rle) == b"abc" * 4
+    # literal "hello " + copy2(offset=6, len=5) -> "hello hello"
+    c2 = (
+        bytes([11, (6 - 1) << 2])
+        + b"hello "
+        + bytes([2 | ((5 - 1) << 2)])
+        + (6).to_bytes(2, "little")
+    )
+    assert snappy_decompress(c2) == b"hello hello"
+    with pytest.raises(ValueError):
+        snappy_decompress(bytes([5, (3 - 1) << 2]) + b"abc")  # len lie
+
+
+def test_snappy_compress_roundtrip():
+    from tsdb_parquet_spark.tsdb_wal import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for size in (0, 1, 60, 61, 256, 257, 65536, 65537, 200_000):
+        blob = bytes((i * 31 + 7) % 251 for i in range(size))
+        assert snappy_decompress(snappy_compress(blob)) == blob
+
+
+def test_snappy_compressed_wal_roundtrip(tmp_path):
+    """Writer with compression="snappy" emits flagged fragments the
+    reader decompresses transparently (pure-python codec — this is the
+    Prometheus DEFAULT record encoding since v2.20)."""
+    w = WalWriter(str(tmp_path), compression="snappy")
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, 1000 + i, float(i)) for i in range(5000)])
+    w.close()
+    raw = (tmp_path / "00000000").read_bytes()
+    # the first fragment's type byte carries the snappy flag
+    assert raw[0] & 0x08
+    series, samples = read_wal(str(tmp_path))
+    assert series == {1: {"__name__": "m", "job": "a"}}
+    assert len(samples) == 5000
+    assert samples[0] == (1, 1000, 0.0)
+
+
+def test_zstd_flag_without_library_raises(tmp_path):
+    data = encode_series_record([(1, {})])
+    seg = _pad_to_page(_frame(data, ftype=1 | 0x10))  # zstd flag
+    try:
+        import zstandard  # noqa: F401
+
+        pytest.skip("zstandard installed; flag is decodable here")
     except ImportError:
         pass
-    with pytest.raises(WalCorruptionError, match="snappy"):
+    with pytest.raises(WalCorruptionError, match="zstd"):
         list(iter_segment_records(seg))
 
 

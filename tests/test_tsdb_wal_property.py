@@ -119,3 +119,33 @@ def test_truncation_yields_clean_prefix(tmp_path_factory, batches, cut):
     got = list(iter_segment_records(seg[:cut_at], tolerate_tail=True))
     assert len(got) <= len(full)
     assert got == full[: len(got)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(blob=st.binary(max_size=4096))
+def test_snappy_roundtrip_property(blob):
+    from tsdb_parquet_spark.tsdb_wal import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress(blob)) == blob
+
+
+@settings(max_examples=30, deadline=None)
+@given(batches=st.lists(samples_st, min_size=1, max_size=5))
+def test_compressed_framing_roundtrip(tmp_path_factory, batches):
+    """Snappy-flagged records survive fragmentation across pages."""
+    d = tmp_path_factory.mktemp("walsnappy")
+    w = WalWriter(str(d), compression="snappy")
+    for b in batches:
+        w.log_samples(b)
+    w.close()
+    import os
+
+    seg = open(os.path.join(str(d), "00000000"), "rb").read()
+    recs = list(iter_segment_records(seg))
+    assert len(recs) == len(batches)
+    for rec, want in zip(recs, batches):
+        got = decode_samples_record(rec)
+        assert all(_eq_sample(a, b) for a, b in zip(got, want))

@@ -36,10 +36,13 @@ Disk format (public spec, ``prometheus/tsdb/docs/format/wal.md``):
   (live series + still-needed samples for segments <= N); replay reads
   the latest checkpoint, then segments numbered > N.
 
-Compression: this writer emits uncompressed records (spec-legal — the
-flag is per record).  The reader decodes snappy/zstd-flagged records
-when the corresponding library is importable and raises a clear error
-otherwise; neither library ships in this environment.
+Compression: Prometheus snappy-compresses records BY DEFAULT since
+v2.20, so the snappy block format is implemented here in pure python
+(full decoder incl. overlapping copies; all-literal encoder) — the
+reader decompresses snappy-flagged records with python-snappy when
+importable and the built-in decoder otherwise, and the writer can emit
+snappy-flagged records (``compression="snappy"``).  zstd-flagged
+records require the zstandard library (absent here) and raise clearly.
 
 Scale notes: series records are tiny (one per series lifetime) while
 sample records dominate bytes, so ingest is two passes — pass 1 scans
@@ -103,6 +106,100 @@ def is_stale_marker(value: float) -> bool:
 
 class WalCorruptionError(ValueError):
     """A record failed its framing/CRC contract mid-WAL."""
+
+
+# ---------------------------------------------------------------------------
+# snappy block format (pure python)
+# ---------------------------------------------------------------------------
+# Prometheus compresses WAL records with snappy BY DEFAULT since v2.20,
+# and python-snappy does not ship in this environment — so the public
+# snappy block format is implemented here directly.  The decoder handles
+# the full element set (literals + 1/2/4-byte-offset copies, including
+# overlapping copies); the encoder emits an all-literal stream, which is
+# spec-valid snappy any conforming decoder (including Prometheus's C
+# snappy) decompresses byte-identically.
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decode snappy block-format bytes (format_description.txt)."""
+    if not data:
+        raise ValueError("empty snappy stream")
+    ulen, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    try:
+        while pos < n:
+            tag = data[pos]
+            pos += 1
+            t = tag & 3
+            if t == 0:  # literal
+                l6 = tag >> 2
+                if l6 < 60:
+                    length = l6 + 1
+                else:
+                    nb = l6 - 59  # 1..4 little-endian extra length bytes
+                    length = (
+                        int.from_bytes(data[pos : pos + nb], "little") + 1
+                    )
+                    pos += nb
+                if pos + length > n:
+                    raise ValueError("literal overruns input")
+                out += data[pos : pos + length]
+                pos += length
+                continue
+            if t == 1:  # copy, 11-bit offset, 3-bit length
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif t == 2:  # copy, 16-bit offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:  # copy, 32-bit offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("copy offset out of range")
+            if offset >= length:
+                start = len(out) - offset
+                out += out[start : start + length]
+            else:
+                # overlapping copy: byte-at-a-time semantics (RLE-style)
+                for _ in range(length):
+                    out.append(out[-offset])
+    except IndexError as exc:
+        raise ValueError("truncated snappy stream") from exc
+    if len(out) != ulen:
+        raise ValueError(
+            f"snappy length mismatch: header {ulen}, decoded {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Spec-valid snappy encoding as an all-literal stream (no
+    back-references — larger output, universally decodable)."""
+    out = bytearray()
+    _put_uvarint(out, len(data))
+    pos = 0
+    n = len(data)
+    while pos < n:
+        chunk = min(n - pos, 1 << 24)  # 3 extra length bytes per element
+        if chunk <= 60:
+            out.append((chunk - 1) << 2)
+        elif chunk <= 256:
+            out.append(60 << 2)
+            out += (chunk - 1).to_bytes(1, "little")
+        elif chunk <= 65536:
+            out.append(61 << 2)
+            out += (chunk - 1).to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += (chunk - 1).to_bytes(3, "little")
+        out += data[pos : pos + chunk]
+        pos += chunk
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -296,12 +393,16 @@ def _decompress(payload: bytes, type_byte: int) -> bytes:
     if type_byte & _SNAPPY_FLAG:
         try:
             import snappy  # type: ignore
-        except ImportError as exc:  # pragma: no cover - env-dependent
+
+            return snappy.decompress(payload)
+        except ImportError:  # pure-python fallback (no dependency)
+            pass
+        try:
+            return snappy_decompress(payload)
+        except ValueError as exc:
             raise WalCorruptionError(
-                "snappy-compressed WAL record but python-snappy is not "
-                "installed"
+                f"invalid snappy-compressed WAL record: {exc}"
             ) from exc
-        return snappy.decompress(payload)
     if type_byte & _ZSTD_FLAG:
         try:
             import zstandard  # type: ignore
@@ -417,13 +518,20 @@ class WalWriter:
         wal_dir: str,
         segment_bytes: int = DEFAULT_SEGMENT_BYTES,
         first_segment: int = 0,
+        compression: str | None = None,
     ) -> None:
         if segment_bytes % PAGE_SIZE:
             raise ValueError("segment_bytes must be a multiple of the page size")
+        if compression not in (None, "snappy"):
+            raise ValueError(f"unsupported WAL compression {compression!r}")
         os.makedirs(wal_dir, exist_ok=True)
         self.dir = wal_dir
         self.segment_bytes = segment_bytes
         self.segment_index = first_segment
+        #: "snappy" compresses every record (Prometheus's default codec;
+        #: with python-snappy absent the pure-python all-literal encoder
+        #: is used — spec-valid, decodable by any conforming reader)
+        self.compression = compression
         self._buf = bytearray()  # current segment bytes
         self._page_used = 0  # bytes used in current page
 
@@ -446,6 +554,15 @@ class WalWriter:
         self._append_record(encode_exemplars_record(exemplars))
 
     def _append_record(self, record: bytes) -> None:
+        comp_flag = 0
+        if self.compression == "snappy":
+            try:
+                import snappy  # type: ignore
+
+                record = snappy.compress(record)
+            except ImportError:
+                record = snappy_compress(record)
+            comp_flag = _SNAPPY_FLAG
         # record must fit the remaining segment: header per fragment, one
         # fragment per page
         if self._segment_would_overflow(len(record)):
@@ -461,7 +578,7 @@ class WalWriter:
             frag = view[:take]
             view = view[take:]
             done = not len(view)
-            t = (
+            t = comp_flag | (
                 _FULL
                 if first and done
                 else _FIRST
