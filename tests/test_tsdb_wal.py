@@ -739,3 +739,43 @@ def test_promql_staleness_terminates_lookback(spark, tmp_path):
     )
     raw = raw_engine.query_range("m", 120_000, 120_000, 60_000).collect()
     assert len(raw) == 2  # stale-unaware: 'a' still yields a (NaN) row
+
+
+def test_sync_wal_live_follow_loop(spark, tmp_path):
+    """Continuous-follow integration: the head grows across four sync
+    rounds (live-tail appends AND segment rolls); after every round the
+    store equals a serial replay of the WAL as it stands — no sample
+    lost, none duplicated."""
+    import shutil
+
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+
+    def build(n_batches):
+        # deterministic full rewrite: same prefix as the prior state,
+        # exactly how a live head extends its open segment / rolls new
+        # ones
+        shutil.rmtree(wal, ignore_errors=True)
+        w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+        w.log_series([(1, {"__name__": "m", "job": "a"}),
+                      (2, {"__name__": "m", "job": "b"})])
+        for k in range(n_batches):
+            w.log_samples(
+                [(1 + (j % 2), k * 1_000_000 + j, float(k))
+                 for j in range(900)]
+            )
+        w.close()
+
+    total = 0
+    for step, n in enumerate((1, 2, 4, 6)):
+        build(n)
+        r = sync_wal(spark, wal, store, ["__name__", "job"])
+        assert r["samples"] == (n - total) * 900 or (step == 0 and n == 1)
+        total = n
+        series, samples = read_wal(wal)
+        want = sorted(
+            (series[ref]["job"], ts, v) for ref, ts, v in samples
+        )
+        assert _store_samples(spark, store) == want
