@@ -363,25 +363,70 @@ def _float_bits(v: float) -> int:
     return struct.unpack(">Q", struct.pack(">d", v))[0]
 
 
-def decode_samples_record(data: bytes) -> list[tuple[int, int, float]]:
+_UNPACK_D = struct.Struct(">d").unpack_from
+
+
+def decode_samples_columns(
+    data: bytes,
+) -> tuple[list[int], list[int], list[float]]:
+    """Columnar Samples decode: three parallel lists (refs, ts, values)
+    with no per-sample tuple allocation — the hot path of the WAL
+    drain (varints inlined, one struct call per float)."""
     if not data or data[0] != SAMPLES:
         raise ValueError("not a Samples record")
+    refs: list[int] = []
+    tss: list[int] = []
+    vals: list[float] = []
     if len(data) == 1:
-        return []
+        return refs, tss, vals
     pos, end = 1, len(data)
     (base_ref,) = struct.unpack_from(">Q", data, pos)
     pos += 8
     (base_ts,) = struct.unpack_from(">q", data, pos)
     pos += 8
-    out: list[tuple[int, int, float]] = []
+    r_app = refs.append
+    t_app = tss.append
+    v_app = vals.append
+    unpack_d = _UNPACK_D
     while pos < end:
-        dref, pos = _read_varint(data, pos)
-        dts, pos = _read_varint(data, pos)
-        (bits,) = struct.unpack_from(">Q", data, pos)
+        b = data[pos]
+        pos += 1
+        if b < 0x80:
+            ux = b
+        else:
+            ux = b & 0x7F
+            shift = 7
+            while True:
+                b = data[pos]
+                pos += 1
+                ux |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        r_app(base_ref + ((ux >> 1) ^ -(ux & 1)))
+        b = data[pos]
+        pos += 1
+        if b < 0x80:
+            ux = b
+        else:
+            ux = b & 0x7F
+            shift = 7
+            while True:
+                b = data[pos]
+                pos += 1
+                ux |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        t_app(base_ts + ((ux >> 1) ^ -(ux & 1)))
+        v_app(unpack_d(data, pos)[0])
         pos += 8
-        (value,) = struct.unpack(">d", struct.pack(">Q", bits))
-        out.append((base_ref + dref, base_ts + dts, value))
-    return out
+    return refs, tss, vals
+
+
+def decode_samples_record(data: bytes) -> list[tuple[int, int, float]]:
+    refs, tss, vals = decode_samples_columns(data)
+    return list(zip(refs, tss, vals))
 
 
 # ---------------------------------------------------------------------------
@@ -779,42 +824,59 @@ def _wal_frames(
     d_df = spark.createDataFrame(d_rdd, "seg_ord INT, path STRING, skip INT")
 
     def samples_pass(batches):
+        # columnar accumulation: list-of-tuple rows + DataFrame(rows)
+        # dominated drain time at 1M samples/task — zip(*decoded) and
+        # np.fromiter build the Arrow batch ~2x faster, and the stale
+        # bit test vectorizes over the value array's uint64 view
+        import itertools
+
+        import numpy as np
+
+        def flush(seg_ord, refs, tss, vals, count):
+            chain = itertools.chain.from_iterable
+            ref_arr = np.fromiter(chain(refs), np.int64, count)
+            ts_arr = np.fromiter(chain(tss), np.int64, count)
+            val_arr = np.fromiter(chain(vals), np.float64, count)
+            cols = {
+                "seg_ord": np.full(count, seg_ord, np.int32),
+                "__ref__": ref_arr,
+                "ts": ts_arr,
+                "value": val_arr,
+            }
+            if mark_stale:
+                cols["is_stale"] = (
+                    val_arr.view(np.uint64) == STALE_NAN_BITS
+                )
+            return pd.DataFrame(cols)
+
         for pdf in batches:
-            rows = []
             for seg_ord, path, skip in zip(
                 pdf["seg_ord"], pdf["path"], pdf["skip"]
             ):
+                seg_ord = int(seg_ord)
                 remaining_skip = int(skip)
+                refs, tss, vals, count = [], [], [], 0
                 for rec in _read_segment(path, path == last_path):
                     if not rec or rec[0] != SAMPLES:
                         continue
-                    decoded = decode_samples_record(rec)
+                    r, t, v = decode_samples_columns(rec)
                     if remaining_skip:
-                        take = decoded[remaining_skip:]
-                        remaining_skip = max(
-                            0, remaining_skip - len(decoded)
-                        )
-                        decoded = take
-                    for ref, ts, value in decoded:
-                        if mark_stale:
-                            rows.append(
-                                (
-                                    int(seg_ord),
-                                    ref,
-                                    ts,
-                                    value,
-                                    is_stale_marker(value),
-                                )
-                            )
-                        else:
-                            rows.append((int(seg_ord), ref, ts, value))
-                        if len(rows) >= batch_rows:
-                            yield pd.DataFrame(
-                                rows, columns=samples_schema.names
-                            )
-                            rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=samples_schema.names)
+                        n_rec = len(r)
+                        r = r[remaining_skip:]
+                        t = t[remaining_skip:]
+                        v = v[remaining_skip:]
+                        remaining_skip = max(0, remaining_skip - n_rec)
+                    if not r:
+                        continue
+                    refs.append(r)
+                    tss.append(t)
+                    vals.append(v)
+                    count += len(r)
+                    if count >= batch_rows:
+                        yield flush(seg_ord, refs, tss, vals, count)
+                        refs, tss, vals, count = [], [], [], 0
+                if count:
+                    yield flush(seg_ord, refs, tss, vals, count)
 
     series_df = (
         s_df.mapInPandas(series_pass, series_schema)
