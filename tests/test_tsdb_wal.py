@@ -779,3 +779,39 @@ def test_sync_wal_live_follow_loop(spark, tmp_path):
             (series[ref]["job"], ts, v) for ref, ts, v in samples
         )
         assert _store_samples(spark, store) == want
+
+
+def test_sync_wal_series_resolved_from_side_table(spark, tmp_path):
+    """Incremental series resolution: a later sync's samples reference
+    a ref whose Series record lives in a long-sealed segment — it must
+    resolve from the persisted side table, because only NEW segments
+    are scanned for series records after the first sync."""
+    import json
+
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+    w.log_series([(7, {"__name__": "m", "job": "sealed"})])
+    w.log_samples([(7, j, 1.0) for j in range(1200)])  # rolls segment 0
+    w.log_samples([(7, 10_000, 2.0)])
+    w.close()
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    state = json.load(open(os.path.join(store, "_wal_sync.json")))
+    assert state["series_table"] is not None
+    # a brand-new segment arrives with samples only (no series record)
+    nxt = WalWriter(
+        wal,
+        segment_bytes=PAGE_SIZE,
+        first_segment=len(discover_wal_segments(wal)),
+    )
+    nxt.log_samples([(7, 20_000, 3.0)])
+    nxt.close()
+    r = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r["samples"] == 1
+    got = _store_samples(spark, store)
+    assert ("sealed", 20_000, 3.0) in got
+    # no new series appeared: the table version must NOT have advanced
+    state2 = json.load(open(os.path.join(store, "_wal_sync.json")))
+    assert state2["series_table"] == state["series_table"]

@@ -1174,10 +1174,35 @@ def sync_wal(
     counts: dict[str, int] = {}
     n_new = 0
     part: str | None = None
+    stale_table: str | None = None
     if plan:
-        series_df, raw = _wal_frames(
-            spark, label_names, segs, plan, last_path, batch_rows
+        # INCREMENTAL series resolution: a ref logged in a long-sealed
+        # segment must resolve for tail samples, but re-scanning every
+        # segment per sync is O(total WAL).  Series rows harvested from
+        # each sync's plan segments accumulate in a versioned parquet
+        # side table (they are immutable once a segment seals), so the
+        # series pass only reads the NEW segments; prior refs come from
+        # the table.  Seeded by the first sync's full-plan scan.
+        series_table = state.get("series_table")
+        new_series_df, raw = _wal_frames(
+            spark,
+            label_names,
+            [p for _, p, _ in plan],
+            plan,
+            last_path,
+            batch_rows,
         )
+        if series_table and os.path.exists(
+            os.path.join(store_root, series_table)
+        ):
+            prior = spark.read.parquet(
+                os.path.join(store_root, series_table)
+            )
+            series_df = new_series_df.unionByName(prior).dropDuplicates(
+                ["__ref__"]
+            )
+        else:
+            series_df = new_series_df
         raw = raw.persist()
         try:
             per_seg = {
@@ -1221,6 +1246,21 @@ def sync_wal(
                 )
                 part = write_sorted(chunks, part_dir, opts)
                 writer.adopt(part_dir)
+            # persist the accumulated ref->labels table for the next
+            # sync (versioned dir + state pointer).  Steady-state syncs
+            # see no new series records (they appear only when a new
+            # series starts scraping), so the table is rewritten only
+            # when the plan segments actually contained some — or on
+            # the seeding first sync.
+            if series_table is None or new_series_df.limit(1).count():
+                sv = int(state.get("series_version", -1)) + 1
+                new_table = f"_wal_series.{sv:08d}"
+                series_df.dropDuplicates(["__ref__"]).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(store_root, new_table))
+                stale_table = state.get("series_table")
+                state["series_table"] = new_table
+                state["series_version"] = sv
         finally:
             raw.unpersist()
 
@@ -1236,12 +1276,22 @@ def sync_wal(
         "complete": sorted(complete & live),
         "tail": {k: v for k, v in tail_counts.items() if k in live},
         "floor": prev_floor,
+        "series_table": state.get("series_table"),
+        "series_version": int(state.get("series_version", -1)),
     }
     tmp = state_path + ".tmp"
     os.makedirs(store_root, exist_ok=True)
     with open(tmp, "w") as fh:
         json.dump(state, fh)
     os.replace(tmp, state_path)
+    if stale_table and stale_table != state.get("series_table"):
+        # superseded series-table version: removed only AFTER the state
+        # commit, so a crash can never leave the pointer at a deleted dir
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(store_root, stale_table), ignore_errors=True
+        )
     return {
         "samples": n_new,
         "part": part,
