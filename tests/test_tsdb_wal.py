@@ -815,3 +815,58 @@ def test_sync_wal_series_resolved_from_side_table(spark, tmp_path):
     # no new series appeared: the table version must NOT have advanced
     state2 = json.load(open(os.path.join(store, "_wal_sync.json")))
     assert state2["series_table"] == state["series_table"]
+
+
+def test_live_samples_frame_store_plus_delta(spark, tmp_path):
+    """Freshness read: after a sync, new head appends are visible via
+    live_samples_frame WITHOUT another sync — store content plus the
+    undrained delta, no sample duplicated at the seam."""
+    from tsdb_parquet_spark.tsdb_wal import live_samples_frame, sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    _grow_wal(wal, 2, tmp_path)
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    # the head moves on; no sync has run since
+    _grow_wal(wal, 4, tmp_path)
+    live = live_samples_frame(spark, wal, store, ["__name__", "job"])
+    got = sorted(
+        (r["job"], r["ts"], r["value"]) for r in live.collect()
+    )
+    series, samples = read_wal(wal)
+    want = sorted((series[ref]["job"], ts, v) for ref, ts, v in samples)
+    assert got == want  # complete AND duplicate-free
+    # after draining the delta, the same read returns the same rows
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    again = live_samples_frame(spark, wal, store, ["__name__", "job"])
+    assert sorted(
+        (r["job"], r["ts"], r["value"]) for r in again.collect()
+    ) == want
+
+
+def test_live_samples_frame_feeds_promql(spark, tmp_path):
+    """The freshness frame drops straight into the PromQL engine."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_wal import live_samples_frame, sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, 30_000, 5.0)])
+    w.close()
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    # append to the open segment (deterministic rewrite)
+    import shutil
+
+    shutil.rmtree(wal)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, 30_000, 5.0)])
+    w.log_samples([(1, 55_000, 7.0)])
+    w.close()
+    live = live_samples_frame(spark, wal, store, ["__name__", "job"])
+    out = PromQLEngine(live).query_range(
+        "m", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 7.0  # the unsynced point

@@ -1301,6 +1301,100 @@ def sync_wal(
     }
 
 
+def live_samples_frame(
+    spark: SparkSession,
+    wal_dir: str,
+    store_root: str,
+    label_names: Sequence[str],
+    batch_rows: int = 65536,
+) -> DataFrame:
+    """Up-to-the-second samples: everything the store has synced PLUS
+    the WAL samples past the sync watermark, in one frame — the
+    Prometheus-freshness read a `sync_wal`-maintained store can serve
+    between sync runs.
+
+    The delta drain reuses the sync sidecar read-only: it scans only
+    segments/sample-prefixes the store has NOT ingested (same plan
+    computation as `sync_wal`, nothing written), resolves refs from the
+    persisted series side table plus the new segments, and unions with
+    the store's decoded samples.  The store side keeps full parquet
+    predicate pushdown; the delta side is bounded by one sync interval
+    of data.
+    """
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+
+    label_names = sorted(label_names)
+    # store side: every part + any compacted output
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(store_root, "part.*"))
+        + glob.glob(os.path.join(store_root, "compact*"))
+        if os.path.isdir(p) and not p.endswith(".tmp")
+    )
+    frames: list[DataFrame] = []
+    if paths:
+        chunk_df = spark.read.parquet(*paths)
+        frames.append(
+            chunks_to_samples(
+                chunk_df.select(*label_names, "__chunk_bytes"),
+                label_names,
+            )
+        )
+
+    # delta side: the read-only replica of sync_wal's plan
+    state_path = os.path.join(store_root, "_wal_sync.json")
+    state = {"complete": [], "tail": {}, "series_table": None}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+    complete = set(state["complete"])
+    tail_counts = dict(state["tail"])
+    segs = discover_wal_segments(wal_dir)
+    rel = {p: os.path.relpath(p, wal_dir) for p in segs}
+    plan = [
+        (i, p, int(tail_counts.get(rel[p], 0)))
+        for i, p in enumerate(segs)
+        if rel[p] not in complete
+    ]
+    if plan:
+        last_path = segs[-1]
+        new_series_df, raw = _wal_frames(
+            spark,
+            label_names,
+            [p for _, p, _ in plan],
+            plan,
+            last_path,
+            batch_rows,
+        )
+        series_df = new_series_df
+        table = state.get("series_table")
+        if table and os.path.exists(os.path.join(store_root, table)):
+            series_df = series_df.unionByName(
+                spark.read.parquet(os.path.join(store_root, table))
+            ).dropDuplicates(["__ref__"])
+        delta = (
+            raw.groupBy("__ref__", "ts")
+            .agg(F.expr("max_by(value, seg_ord)").alias("value"))
+            .join(series_df, "__ref__", "inner")
+            .select(*label_names, "ts", "value")
+        )
+        frames.append(delta)
+    if not frames:
+        raise ValueError(
+            f"nothing to read: no store parts in {store_root} and no "
+            f"undrained WAL data in {wal_dir}"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def data_dir_to_chunk_frame(
     spark: SparkSession,
     data_dir: str,
