@@ -870,3 +870,62 @@ def test_live_samples_frame_feeds_promql(spark, tmp_path):
         "m", 60_000, 60_000, 60_000
     ).collect()
     assert len(out) == 1 and out[0]["value"] == 7.0  # the unsynced point
+
+
+def test_mixed_block_and_walsync_parts_compact(spark, tmp_path):
+    """A store fed by BOTH sync_blocks (parts with ordinal-tagged
+    __series__id) and sync_wal (id-less parts, ids deferred) must
+    compact: the merge drops the column and assigns dense ids over the
+    union — file-local identity makes that legal.  This is exactly the
+    store `cli sync` maintains on a live data dir."""
+    import numpy as np
+
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+    from tsdb_parquet_spark.schema import SERIES_ID, sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+    from tsdb_parquet_spark.tsdb_block import sync_blocks, write_block
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ts = np.arange(3, dtype=np.int64) * 1000
+    write_block(
+        str(data / "b"),
+        [({"__name__": "m", "job": "blk"},
+          [(0, 2000, encode_xor_chunk(ts, ts / 1000.0))])],
+    )
+    os.rename(str(data / "b"), str(data / "01CCCCCCCCCCCCCCCCCCCCCCCC"))
+    w = WalWriter(str(data / "wal"))
+    w.log_series([(1, {"__name__": "m", "job": "head"})])
+    w.log_samples([(1, 9000, 9.0)])
+    w.close()
+    store = str(tmp_path / "store")
+    sync_blocks(spark, str(data), store, ["__name__", "job"])
+    sync_wal(spark, str(data / "wal"), store, ["__name__", "job"])
+    writer = SortedParquetWriter(
+        spark,
+        store,
+        WriterOptions(
+            sort_columns=sort_columns(["__name__", "job"]),
+            bloom_columns=["job"],
+            max_files=4,
+        ),
+    )
+    compacted = writer.compact()
+    df = spark.read.parquet(compacted)
+    assert SERIES_ID in df.columns
+    got = sorted(
+        (r["job"], r["ts"], r["value"])
+        for r in chunks_to_samples(df, ["__name__", "job"]).collect()
+    )
+    assert got == [
+        ("blk", 0, 0.0), ("blk", 1000, 1.0), ("blk", 2000, 2.0),
+        ("head", 9000, 9.0),
+    ]
+    # ids are dense over the union
+    ids = sorted(r[SERIES_ID] for r in df.select(SERIES_ID).distinct().collect())
+    assert ids == list(range(len(ids)))

@@ -164,8 +164,30 @@ def compact(
     """S6 — merge many sorted part directories into one globally sorted
     dataset (`db/writer.go:97-159`).  Spark's range-shuffle sort subsumes
     the reference's k-way merge (`parquet.MergeRowGroups`) and spills
-    instead of holding everything in memory."""
+    instead of holding everything in memory.
+
+    Mixed series-id schemas: block-origin parts carry ``__series__id``
+    (ordinal-tagged) while streaming/WAL-sync parts defer ids to
+    compaction — a store fed by BOTH (``cli sync`` on a live data dir
+    does exactly this) merges by dropping the column and assigning
+    dense ids over the union, which the identity contract permits:
+    ``__series__id`` is file-local (`schema/chunk.go:28-30`) and the
+    compacted output IS a new file."""
+    from tsdb_parquet_spark.schema import SERIES_ID, label_columns
+
     paths = [part_dirs] if isinstance(part_dirs, str) else list(part_dirs)
+    frames = [spark.read.parquet(p) for p in paths]
+    has_id = [SERIES_ID in f.columns for f in frames]
+    if any(has_id) and not all(has_id):
+        from tsdb_parquet_spark.chunks import dense_series_ids
+
+        df = frames[0].drop(SERIES_ID)
+        for f in frames[1:]:
+            df = df.unionByName(f.drop(SERIES_ID))
+        labels = label_columns(df.schema)
+        ids = dense_series_ids(df.select(*labels).distinct(), labels)
+        df = df.join(ids, on=labels, how="inner")
+        return write_sorted(df, out_dir, opts)
     return write_sorted(read_roots(spark, paths), out_dir, opts)
 
 
