@@ -5174,7 +5174,16 @@ def _events_data_dir(spark: SparkSession, sf_dir: str) -> str:
             for e, s in keys
         ],
     )
-    w = WalWriter(wal_dir, segment_bytes=256 * 1024, first_segment=1)
+    # samples go snappy-flagged (the Prometheus default since v2.20;
+    # our pure-python block-format codec round-trips it) while the
+    # checkpoint above stays uncompressed — the drain q108/q109 measure
+    # must handle both record encodings in one WAL
+    w = WalWriter(
+        wal_dir,
+        segment_bytes=256 * 1024,
+        first_segment=1,
+        compression="snappy",
+    )
     batch: list[tuple[int, int, float]] = []
     for e, s, ts, v in zip(
         head["event_type"], head["shard"], head["ts"], head["value"]
