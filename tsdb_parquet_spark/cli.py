@@ -77,6 +77,49 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_promql(args) -> int:
+    """Evaluate a PromQL range query over a chunk store — the
+    query-surface analog of ``scan`` (`cmd/read/main.go:31-128` reads
+    chunks; the reference delegates PromQL to external engines,
+    `prometheus/chunks_iterator.go:8-41`).  With ``--wal``, the input
+    is `tsdb_wal.live_samples_frame`: store plus the not-yet-synced
+    head delta, Prometheus-fresh."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="tsdb-promql")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    labels = args.labels.split(",") if args.labels else None
+    if args.wal:
+        from tsdb_parquet_spark.tsdb_wal import live_samples_frame
+
+        if not labels:
+            raise SystemExit("--wal requires --labels")
+        samples = live_samples_frame(spark, args.wal, args.store, labels)
+    else:
+        q = ChunkQuerier.from_parquet(spark, args.store)
+        samples = q.select_samples(labels=labels)
+    engine = PromQLEngine(samples)
+    out = engine.query_range(
+        args.query,
+        args.start,
+        args.end,
+        args.step,
+        lookback_ms=args.lookback,
+    )
+    rows = out.collect()
+    for row in rows:
+        print(row.asDict())
+    print(
+        f"# evaluated in {time.perf_counter() - t0:.1f}s rows={len(rows)}",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_convert(args) -> int:
     from pyspark.sql import functions as F
 
@@ -421,6 +464,26 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--span-ms", type=int, default=86_400_000)
     conv.add_argument("--max-files", type=int, default=32)
     conv.set_defaults(fn=cmd_convert)
+
+    pq = sub.add_parser(
+        "promql",
+        help="evaluate a PromQL range query over a chunk store "
+             "(--wal adds the live head for Prometheus-fresh results)",
+    )
+    pq.add_argument("query", help="PromQL expression")
+    pq.add_argument("--store", required=True)
+    pq.add_argument("--start", type=int, required=True,
+                    help="start of the step grid, Unix ms")
+    pq.add_argument("--end", type=int, required=True)
+    pq.add_argument("--step", type=int, required=True, help="step ms")
+    pq.add_argument("--lookback", type=int, default=5 * 60 * 1000,
+                    help="instant-vector lookback ms (default 5m)")
+    pq.add_argument("--labels", default=None,
+                    help="label columns (required with --wal)")
+    pq.add_argument("--wal",
+                    help="live WAL dir: union the not-yet-synced head "
+                         "delta into the evaluation input")
+    pq.set_defaults(fn=cmd_promql)
 
     sync = sub.add_parser(
         "sync",
