@@ -929,3 +929,62 @@ def test_mixed_block_and_walsync_parts_compact(spark, tmp_path):
     # ids are dense over the union
     ids = sorted(r[SERIES_ID] for r in df.select(SERIES_ID).distinct().collect())
     assert ids == list(range(len(ids)))
+
+
+def test_cli_sync_and_promql_live(spark, tmp_path):
+    """The operational CLI loop end-to-end as subprocesses: `sync` a
+    data dir (block + compressed head WAL), then `promql --wal` must
+    see samples appended AFTER the sync — Prometheus-fresh results
+    from the command line."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ts = np.array([10_000, 20_000], dtype=np.int64)
+    write_block(
+        str(data / "b"),
+        [({"__name__": "m", "job": "a"},
+          [(10_000, 20_000, encode_xor_chunk(ts, np.array([1.0, 2.0])))])],
+    )
+    os.rename(str(data / "b"), str(data / "01DDDDDDDDDDDDDDDDDDDDDDDD"))
+    w = WalWriter(str(data / "wal"), compression="snappy")
+    w.log_series([(1, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, 30_000, 5.0)])
+    w.close()
+    store = str(tmp_path / "store")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "sync",
+         "--data-dir", str(data), "--store", store,
+         "--labels", "__name__,job"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "1 block(s)" in proc.stderr and "head: 1 new" in proc.stderr
+    # the head moves on AFTER the sync (deterministic rewrite append)
+    import shutil
+
+    shutil.rmtree(str(data / "wal"))
+    w = WalWriter(str(data / "wal"), compression="snappy")
+    w.log_series([(1, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, 30_000, 5.0)])
+    w.log_samples([(1, 40_000, 9.0)])
+    w.close()
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "promql",
+         "sum(m)", "--store", store, "--wal", str(data / "wal"),
+         "--labels", "__name__,job",
+         "--start", "40000", "--end", "40000", "--step", "10000",
+         "--lookback", "40000"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # latest per series within lookback: block 2.0 + unsynced head 9.0
+    assert "'value': 11.0" in proc.stdout, proc.stdout[-500:]
