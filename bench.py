@@ -115,6 +115,8 @@ def main() -> None:
     # WAL build once per sf too
     qs["q108_wal_head_drain"](spark, sf_dir)
     qs["q110_promql_staleness"](spark, sf_dir)
+    # q111's captured remote-write payload parquet builds once per sf
+    qs["q111_remote_write_ingest"](spark, sf_dir)
     store_build["tsdb_block_stores"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)

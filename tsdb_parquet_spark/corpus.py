@@ -5483,6 +5483,123 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("t", F.round("value", 2).alias("value"))
 
 
+def _events_remote_write_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a parquet of captured remote-write POST
+    bodies from events: 16 sender batches (``user_id % 16``), each a
+    snappy-framed protobuf — even batches protocol 1.0
+    (`prometheus.WriteRequest`), odd batches protocol 2.0
+    (`io.prometheus.write.v2.Request`, symbol-interned) — holding one
+    TimeSeries per (event_type, shard) present in the batch.  The same
+    series appears in two batches (16 batches fold onto 8 shard
+    labels), exercising cross-payload union on decode.  Fixture
+    generation is driver-side like `_events_tsdb_block`; the INGEST
+    path q111 measures is fully distributed."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from tsdb_parquet_spark.remote_write import (
+        encode_write_request,
+        frame_payload,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"remote_write_{tag}.parquet")
+    if os.path.exists(final):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            (F.col("user_id") % 16).alias("batch"),
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["batch", "event_type", "shard", "ts_ms", "value"],
+                     kind="mergesort")
+    )
+    batches, versions, payloads = [], [], []
+    for batch, g in rows.groupby("batch", sort=True):
+        series = [
+            (
+                {"__name__": "app_events", "event_type": etype,
+                 "shard": shard},
+                list(zip(sg["ts_ms"].tolist(), sg["value"].tolist())),
+            )
+            for (etype, shard), sg in g.groupby(["event_type", "shard"],
+                                                sort=True)
+        ]
+        version = 1 if batch % 2 == 0 else 2
+        batches.append(int(batch))
+        versions.append(version)
+        payloads.append(frame_payload(encode_write_request(series, version)))
+    table = pa.table(
+        {
+            "batch": pa.array(batches, pa.int32()),
+            "version": pa.array(versions, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    os.makedirs(work, exist_ok=True)
+    # pid-suffixed write + rename publish: racing first builds must not
+    # interleave (same contract as _events_data_dir)
+    tmp = f"{final}.build-{os.getpid()}"
+    papq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+@query(
+    "q111_remote_write_ingest",
+    """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM s GROUP BY event_type ORDER BY event_type""",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-write ingest — the Prometheus ecosystem's PUSH path,
+    which the reference lacks entirely (it ingests only finished TSDB
+    blocks, `cmd/convert/main.go:30-126`): 16 captured POST bodies —
+    snappy-framed protobufs, HALF protocol 1.0 (`prometheus.
+    WriteRequest`) and HALF 2.0 (`io.prometheus.write.v2.Request`,
+    symbol-interned), version sniffed per payload exactly as a receiver
+    dispatches per request — are decoded executor-side
+    (`remote_write.remote_write_frame`, wire-spec protobuf parse with
+    no generated stubs) and the aggregate must hash-match DuckDB over
+    the raw events: encode -> snappy -> distributed decode is lossless
+    across BOTH protocol versions, including series split across
+    payloads."""
+    from tsdb_parquet_spark.remote_write import remote_write_frame
+
+    path = _events_remote_write_payloads(spark, sf_dir)
+    payloads = spark.read.parquet(path).repartition(8, "batch")
+    samples = remote_write_frame(
+        payloads, ["__name__", "event_type", "shard"]
+    )
+    return (
+        samples.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5518,12 +5635,12 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     deferral set — MOST overdue, non-deferrable):
 #     q01/q04/q32/q35/q36/q40/q45/q25.
 #   * never driver-checked rows: q106/q107 (introduced r08, lost to
-#     the record gap) and q108/q109/q110 (introduced this round — the
-#     Prometheus WAL head-drain, full data-dir convert, and the
-#     staleness-marker PromQL chain).
+#     the record gap) and q108/q109/q110/q111 (introduced this round —
+#     the Prometheus WAL head-drain, full data-dir convert, the
+#     staleness-marker PromQL chain, and remote-write ingest).
 #   * the 10 round-8 deferrals, due back by the no-consecutive-
 #     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
-#   * the 27 remaining slots: the r06-green backlog minus the 10
+#   * the 26 remaining slots: the r06-green backlog minus the
 #     deferrals below.
 # Deferred to round 10 (r06-green rows that no longer fit; each with
 # the in-window row that still exercises its code path):
@@ -5544,6 +5661,9 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q62_simhash_near_dup -> q25 (same shingle-based near-dup module)
 #   q09_label_values     -> q16 (same querier label/series enumeration
 #                           family, `querier.py` select path)
+#   q75_promql_holt_winters -> q68 (same trailing-scalar range-function
+#                           kernel family, TRAILING_SCALARS dispatch;
+#                           displaced by this round's q111 debut)
 # Every other out-of-window row is r07-green (1 recorded round stale
 # once r09 lands) and needs no deferral record.
 
@@ -5564,6 +5684,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q60_ivf_topk": ("q59_ivf_assign",),
     "q62_simhash_near_dup": ("q25_ngram_jaccard",),
     "q09_label_values": ("q16_series_select",),
+    "q75_promql_holt_winters": ("q68_promql_predict_linear",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -5583,6 +5704,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q108_wal_head_drain",
     "q109_data_dir_convert",
     "q110_promql_staleness",
+    "q111_remote_write_ingest",
     # the 10 round-8 deferrals, due back (no consecutive deferrals)
     "q02_eq_filter",
     "q03_range_filter",
@@ -5617,7 +5739,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q72_global_shuffle",
     "q73_promql_time_functions",
     "q74_promql_subquery",
-    "q75_promql_holt_winters",
     "q76_streaming_sessionize",
     "q80_remove_boilerplate_lines",
     "q92_semantic_dedup",
@@ -5634,6 +5755,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q60_ivf_topk",
     "q62_simhash_near_dup",
     "q09_label_values",
+    "q75_promql_holt_winters",
 ]
 
 
