@@ -117,6 +117,11 @@ def main() -> None:
     qs["q110_promql_staleness"](spark, sf_dir)
     # q111's captured remote-write payload parquet builds once per sf
     qs["q111_remote_write_ingest"](spark, sf_dir)
+    # q112's exported block (store -> distributed reverse convert)
+    # builds once per sf
+    qs["q112_block_export_roundtrip"](spark, sf_dir)
+    # q113's captured scrape-text bodies build once per sf
+    qs["q113_scrape_text_parse"](spark, sf_dir)
     store_build["tsdb_block_stores"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)

@@ -1,0 +1,162 @@
+"""Prometheus text exposition parsing (scrape.py): the pure-python
+reference parser and the JVM-side distributed plan must agree, against
+the public format spec (exposition_formats.md)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsdb_parquet_spark.scrape import (
+    escape_label_value,
+    exposition_samples,
+    format_exposition,
+    parse_exposition,
+    scrape_metadata,
+    scrape_samples,
+)
+
+NASTY = 'Cannot find file:\n"FILE.TXT" in C:\\DIR{a,b} }x{'
+
+
+def test_format_parse_roundtrip_nasty_values():
+    samples = [
+        ({"__name__": "m", "path": NASTY, "ok": ""}, 1.5, 123),
+        ({"__name__": "m"}, -0.25, None),
+        ({"__name__": "up", "job": "a b,c"}, float("inf"), 5),
+        ({"__name__": "up", "job": "{}"}, float("-inf"), None),
+    ]
+    text = format_exposition(samples, [("m", "gauge", 'help with "quotes"\nand\\slash')])
+    back = parse_exposition(text)
+    assert [(l, v, t) for l, v, t in back] == samples
+
+
+def test_parse_nan():
+    (labels, value, ts), = parse_exposition("m NaN 7\n")
+    assert labels == {"__name__": "m"} and math.isnan(value) and ts == 7
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_exposition("1bad_metric 1\n")
+    with pytest.raises(ValueError):
+        parse_exposition("m 1 2 3\n")
+
+
+def test_distributed_matches_reference(spark):
+    samples = [
+        ({"__name__": "m", "path": NASTY}, 1.5, 123),
+        ({"__name__": "m", "q": 'a"b'}, 2.0, None),
+        ({"__name__": "m_no_labels"}, 3e-7, 42),
+        ({"__name__": "inf_m", "s": "x"}, float("inf"), None),
+    ]
+    text = format_exposition(samples, [("m", "counter", "doc")])
+    df = spark.createDataFrame([("t1", text)], "target string, body string")
+    rows = exposition_samples(df).collect()
+    got = sorted(
+        (r["target"], r["__name__"], tuple(sorted(r["labels"].items())),
+         r["value"], r["ts"])
+        for r in rows
+    )
+    want = sorted(
+        ("t1", l["__name__"],
+         tuple(sorted((k, v) for k, v in l.items() if k != "__name__")),
+         v, t)
+        for l, v, t in samples
+    )
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,5}", fullmatch=True),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), max_codepoint=0x2FF
+                    ),
+                    max_size=12,
+                ),
+                max_size=3,
+            ),
+            st.floats(allow_nan=False, width=64),
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_format_parse_property(entries):
+    samples = [
+        ({"__name__": "metric_x", **labels}, value, ts)
+        for labels, value, ts in entries
+    ]
+    back = parse_exposition(format_exposition(samples))
+    assert [(l, v, t) for l, v, t in back] == samples
+
+
+def test_spark_python_agreement_on_property_corpus(spark):
+    # one representative adversarial corpus through BOTH parsers
+    cases = [
+        {"a": "\\"}, {"a": '\\"'}, {"a": "\\n"}, {"a": "\n"},
+        {"a": "}{"}, {"a": ","}, {"a": ' = "'}, {"a": "\\\\n"},
+        {"a": "tab\there"}, {"a": ""},
+    ]
+    samples = [
+        ({"__name__": "m", **labels}, float(i), i * 10)
+        for i, labels in enumerate(cases)
+    ]
+    text = format_exposition(samples)
+    df = spark.createDataFrame([(text,)], "body string")
+    got = sorted(
+        [
+            (dict(r["labels"]), r["value"], r["ts"])
+            for r in exposition_samples(df).collect()
+        ],
+        key=lambda x: x[1],
+    )
+    want = [(
+        {k: v for k, v in l.items() if k != "__name__"}, v2, t)
+        for l, v2, t in samples
+    ]
+    assert got == want
+
+
+def test_scrape_samples_pivot_missing_label_empty(spark):
+    text = format_exposition(
+        [
+            ({"__name__": "m", "job": "j1", "extra": "zzz"}, 1.0, 1),
+            ({"__name__": "m"}, 2.0, 2),
+        ]
+    )
+    df = spark.createDataFrame([(text,)], "body string")
+    out = scrape_samples(df, ["__name__", "job"])
+    rows = sorted((r["__name__"], r["job"], r["ts"], r["value"])
+                  for r in out.collect())
+    assert rows == [("m", "", 2, 2.0), ("m", "j1", 1, 1.0)]
+    assert out.columns == ["__name__", "job", "ts", "value"]
+
+
+def test_scrape_metadata(spark):
+    text = format_exposition(
+        [({"__name__": "m"}, 1.0, None)],
+        [("m", "histogram", 'docs "quoted"\nline2\\end'),
+         ("n", "gauge", "")],
+    )
+    df = spark.createDataFrame([(text,)], "body string")
+    rows = {r["metric"]: (r["type"], r["help"])
+            for r in scrape_metadata(df).collect()}
+    assert rows["m"] == ("histogram", 'docs "quoted"\nline2\\end')
+    assert rows["n"] == ("gauge", None)
+
+
+def test_exposition_samples_is_jvm_only(spark):
+    # the parse plan must contain no Python evaluation (BatchEvalPython
+    # / ArrowEvalPython / FlatMapsInPandas) — the whole point of the
+    # built-in formulation
+    df = spark.createDataFrame([("m 1 2",)], "body string")
+    plan = exposition_samples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Pandas" not in plan

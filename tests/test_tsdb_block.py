@@ -630,3 +630,144 @@ def test_sync_crash_between_part_and_sidecar_no_duplicates(spark):
         .count()
     )
     assert total == 4 * 40  # exactly one copy of every sample
+
+
+# ---------------------------------------------------------------------------
+# reverse converter: export_block
+# ---------------------------------------------------------------------------
+
+
+def _export_source_frame(spark, n_parts=4):
+    """A chunk frame like the store's: 6 series x 3 day-chunks of XOR
+    payloads, plus 2 series carrying the engine RAW codec (export must
+    re-encode those)."""
+    from tsdb_parquet_spark.chunks import encode_samples
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID
+
+    day = 24 * 3600 * 1000
+    rows = []
+    sid = 0
+    for etype in ["click", "view", "buy"]:
+        for shard in ["0", "1"]:
+            raw = shard == "1" and etype == "buy"
+            for d in range(3):
+                ts = np.arange(5, dtype=np.int64) * 3600_000 + d * day
+                vals = (
+                    np.arange(5, dtype=np.float64) + sid * 100 + d
+                ) * 1.5
+                blob = (
+                    encode_samples(ts, vals)
+                    if raw
+                    else encode_xor_chunk(ts, vals)
+                )
+                rows.append(
+                    (sid, int(ts[0]), int(ts[-1]), "app_events", etype,
+                     shard, bytearray(blob))
+                )
+            sid += 1
+    # "__name__" is a REAL label column (dunder notwithstanding) — the
+    # export must carry it into the index, not treat it as internal
+    return spark.createDataFrame(
+        rows,
+        f"`{SERIES_ID}` long, `{MIN_T}` long, `{MAX_T}` long, "
+        f"`__name__` string, event_type string, shard string, "
+        f"`{CHUNK_BYTES}` binary",
+    ).repartition(n_parts)
+
+
+def test_export_block_roundtrip(spark):
+    import json
+
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    d = _block_dir("export_rt")
+    frame = _export_source_frame(spark)
+    ulid = export_block(frame, d)
+    # spec-valid ULID + meta.json publish marker
+    assert len(ulid) == 26 and ulid[0] <= "7"
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert meta["ulid"] == ulid
+    assert meta["stats"] == {"numSeries": 6, "numChunks": 18}
+    # segment files are a contiguous 1-based sequence, no temp leftovers
+    segs = sorted(os.listdir(os.path.join(d, "chunks")))
+    assert segs == [f"{i:06d}" for i in range(1, len(segs) + 1)]
+    # read back through the FORWARD converter: bit-level format check
+    # (index walk, CRC-verified records) + sample-level losslessness
+    back = block_to_chunk_frame(spark, d)
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    import pyspark.sql.functions as F
+
+    got = sorted(
+        (r["__name__"], r["event_type"], r["shard"], r["s"]["ts"],
+         r["s"]["value"])
+        for r in back.select(
+            "__name__", "event_type", "shard",
+            F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"),
+        ).collect()
+    )
+    from tsdb_parquet_spark.chunks import decode_samples
+    from tsdb_parquet_spark.xorchunk import is_raw_chunk
+
+    want = []
+    for row in _export_source_frame(spark).collect():
+        blob = bytes(row["__chunk_bytes"])
+        ts, vals = (
+            decode_samples(blob)
+            if is_raw_chunk(blob)
+            else decode_xor_chunk(blob)
+        )
+        for t, v in zip(ts.tolist(), vals.tolist()):
+            want.append(
+                (row["__name__"], row["event_type"], row["shard"], t, v)
+            )
+    assert got == sorted(want)
+    # every exported record is spec XOR encoding (raw was re-encoded)
+    seg = open(os.path.join(d, "chunks", segs[0]), "rb").read()
+    magic, version = struct.unpack_from(">IB", seg, 0)
+    assert magic == 0x85BD40DD and version == 1
+
+
+def test_export_block_segment_roll(spark):
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    d = _block_dir("export_roll")
+    frame = _export_source_frame(spark, n_parts=2)
+    # tiny cap: every partition must roll into multiple segment files
+    export_block(frame, d, max_segment_bytes=200)
+    segs = sorted(os.listdir(os.path.join(d, "chunks")))
+    assert len(segs) > 2
+    assert segs == [f"{i:06d}" for i in range(1, len(segs) + 1)]
+    # refs across rolled segments still resolve: forward converter reads
+    back = block_to_chunk_frame(spark, d)
+    assert back.count() == 18
+
+
+def test_export_block_rejects_empty(spark):
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    d = _block_dir("export_empty")
+    empty = spark.createDataFrame(
+        [],
+        f"`{SERIES_ID}` long, `{MIN_T}` long, `{MAX_T}` long, "
+        f"event_type string, `{CHUNK_BYTES}` binary",
+    )
+    with pytest.raises(ValueError, match="no chunks"):
+        export_block(empty, d)
+
+
+def test_export_block_rejects_overlapping_series_windows(spark):
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    d = _block_dir("export_overlap")
+    ts = np.array([0, 10], dtype=np.int64)
+    blob = bytearray(encode_xor_chunk(ts, np.array([1.0, 2.0])))
+    rows = [(0, 0, 10, "a", blob), (0, 5, 15, "a", blob)]
+    frame = spark.createDataFrame(
+        rows,
+        f"`{SERIES_ID}` long, `{MIN_T}` long, `{MAX_T}` long, "
+        f"event_type string, `{CHUNK_BYTES}` binary",
+    )
+    with pytest.raises(Exception, match="non-overlapping"):
+        export_block(frame, d)

@@ -5600,6 +5600,200 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_export_block_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a REAL Prometheus TSDB block EXPORTED from
+    the sorted chunk store by the distributed reverse converter
+    (`tsdb_block.export_block`): store parts (RAW-codec chunks) ->
+    executor-side XOR re-encode + segment-file writes -> driver index
+    assembly from metadata only.  Unlike `_events_tsdb_block` (a
+    driver-side fixture writer), THIS path is itself the system under
+    test — q112 measures the exporter, then proves it by reading the
+    block back through the forward converter."""
+    import shutil
+
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"export_block_{tag}")
+    if os.path.exists(os.path.join(final, "meta.json")):
+        return final
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    store = events_chunk_store(spark, sf_dir)
+    export_block(spark.read.parquet(store), build)
+    try:
+        os.rename(build, final)
+    except OSError:
+        # a racing build published first; its block is equivalent
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q112_block_export_roundtrip",
+    _CHUNK_ORACLE_CTE
+    + """
+, nch AS (
+  SELECT event_type, count(*) AS n_chunks FROM ch GROUP BY event_type
+)
+SELECT s.event_type,
+       count(*) AS n_samples,
+       round(sum(s.value), 2) AS sum_value,
+       min(s.ts_ms) AS min_ts,
+       max(s.ts_ms) AS max_ts,
+       count(DISTINCT s.shard) AS n_series,
+       max(nch.n_chunks) AS n_chunks
+FROM s JOIN nch ON s.event_type = nch.event_type
+GROUP BY s.event_type
+ORDER BY s.event_type""",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE converter end-to-end (`tsdb_block.export_block`): the
+    sorted chunk store — RAW-codec chunk bytes — is exported as a real
+    Prometheus TSDB block with chunk payloads never touching the driver
+    (per-task segment files, XOR re-encode executor-side, driver
+    assembles only the index), then read BACK through the forward
+    converter (`block_to_chunk_frame`) and decoded; the aggregate must
+    hash-match DuckDB over the raw events.  Store -> block -> store is
+    lossless, so a parquet store can be handed back to any
+    Prometheus-ecosystem reader (promtool/Thanos backfill) — the
+    reference converter is strictly one-way (`cmd/convert/main.go`)."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import block_to_chunk_frame
+
+    block_dir = _events_export_block_dir(spark, sf_dir)
+    frame = block_to_chunk_frame(spark, block_dir)
+    decoded = frame.select(
+        "event_type",
+        "shard",
+        F.posexplode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("pos", "s"),
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_chunks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_scrape_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a parquet of captured ``GET /metrics``
+    bodies from events: 16 target batches (``user_id % 16``), each an
+    exposition-text document — ``# HELP`` / ``# TYPE`` headers plus one
+    sample line per event with an adversarial constant label
+    (backslash/quote/newline escapes) so the distributed unescape path
+    runs on every line.  Values are shortest-round-trip float reprs
+    (parse-exact).  Fixture generation is driver-side like
+    `_events_remote_write_payloads`; the PARSE q113 measures is fully
+    distributed and entirely JVM-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from tsdb_parquet_spark.scrape import escape_label_value
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"scrape_{tag}.parquet")
+    if os.path.exists(final):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            (F.col("user_id") % 16).alias("batch"),
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["batch", "event_type", "shard", "ts_ms", "value"],
+                     kind="mergesort")
+    )
+    nasty = escape_label_value('scrape\\capture "r9"\nline2')
+    targets, bodies = [], []
+    for batch, g in rows.groupby("batch", sort=True):
+        lines = [
+            "# HELP app_events Synthetic event stream.",
+            "# TYPE app_events gauge",
+        ]
+        lines += [
+            f'app_events{{event_type="{r.event_type}",shard="{r.shard}",'
+            f'src="{nasty}"}} {r.value!r} {r.ts_ms}'
+            for r in g.itertuples()
+        ]
+        targets.append(int(batch))
+        bodies.append("\n".join(lines) + "\n")
+    table = pa.table(
+        {
+            "target": pa.array(targets, pa.int32()),
+            "body": pa.array(bodies, pa.string()),
+        }
+    )
+    os.makedirs(work, exist_ok=True)
+    tmp = f"{final}.build-{os.getpid()}"
+    papq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+@query(
+    "q113_scrape_text_parse",
+    """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM s GROUP BY event_type ORDER BY event_type""",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-text ingest (`scrape.scrape_samples`): 16 captured
+    exposition-format bodies — the format every exporter actually
+    serves, which the reference cannot read at all — parse ENTIRELY
+    JVM-side (split/regexp/from_json inside whole-stage codegen; the
+    plan contains no Python operator, pinned by
+    tests/test_scrape.py::test_exposition_samples_is_jvm_only) and the
+    aggregate must hash-match DuckDB over the raw events.  Every line
+    carries a backslash/quote/newline-escaped label, so the
+    quote-aware pair lift and the JSON-decoder unescape run on every
+    row, distributed.  Completes the ingest quad: blocks (q105-q107),
+    WAL (q108-q110), remote-write (q111), scrape text (here)."""
+    from tsdb_parquet_spark.scrape import scrape_samples
+
+    path = _events_scrape_payloads(spark, sf_dir)
+    payloads = spark.read.parquet(path).repartition(8, "target")
+    samples = scrape_samples(
+        payloads, ["__name__", "event_type", "shard"]
+    )
+    return (
+        samples.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5635,12 +5829,13 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     deferral set — MOST overdue, non-deferrable):
 #     q01/q04/q32/q35/q36/q40/q45/q25.
 #   * never driver-checked rows: q106/q107 (introduced r08, lost to
-#     the record gap) and q108/q109/q110/q111 (introduced this round —
-#     the Prometheus WAL head-drain, full data-dir convert, the
-#     staleness-marker PromQL chain, and remote-write ingest).
+#     the record gap) and q108-q113 (introduced this round — the
+#     Prometheus WAL head-drain, full data-dir convert, the
+#     staleness-marker PromQL chain, remote-write ingest, the reverse
+#     block export, and scrape-text parse).
 #   * the 10 round-8 deferrals, due back by the no-consecutive-
 #     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
-#   * the 26 remaining slots: the r06-green backlog minus the
+#   * the 24 remaining slots: the r06-green backlog minus the
 #     deferrals below.
 # Deferred to round 10 (r06-green rows that no longer fit; each with
 # the in-window row that still exercises its code path):
@@ -5664,6 +5859,12 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q75_promql_holt_winters -> q68 (same trailing-scalar range-function
 #                           kernel family, TRAILING_SCALARS dispatch;
 #                           displaced by this round's q111 debut)
+#   q46_sessionize       -> q76 (same sessionize semantics, the
+#                           streaming arm of the kernel; displaced by
+#                           this round's q112 debut)
+#   q72_global_shuffle   -> q63 (same deterministic hash-draw kernel,
+#                           ordering.shuffle_draw / sampling._draw;
+#                           displaced by this round's q113 debut)
 # Every other out-of-window row is r07-green (1 recorded round stale
 # once r09 lands) and needs no deferral record.
 
@@ -5685,6 +5886,8 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q62_simhash_near_dup": ("q25_ngram_jaccard",),
     "q09_label_values": ("q16_series_select",),
     "q75_promql_holt_winters": ("q68_promql_predict_linear",),
+    "q46_sessionize": ("q76_streaming_sessionize",),
+    "q72_global_shuffle": ("q63_weighted_sample",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -5705,6 +5908,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q109_data_dir_convert",
     "q110_promql_staleness",
     "q111_remote_write_ingest",
+    "q112_block_export_roundtrip",
+    "q113_scrape_text_parse",
     # the 10 round-8 deferrals, due back (no consecutive deferrals)
     "q02_eq_filter",
     "q03_range_filter",
@@ -5722,7 +5927,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q34_promql_rate",
     "q37_promql_topk_binary",
     "q42_promql_window_gt_step",
-    "q46_sessionize",
     "q49_promql_on_group_left",
     "q51_promql_without_at",
     "q52_promql_label_replace_clamp",
@@ -5736,7 +5940,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q69_decontaminate",
     "q70_repetition_stats",
     "q71_pii_redact",
-    "q72_global_shuffle",
     "q73_promql_time_functions",
     "q74_promql_subquery",
     "q76_streaming_sessionize",
@@ -5756,6 +5959,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q62_simhash_near_dup",
     "q09_label_values",
     "q75_promql_holt_winters",
+    "q46_sessionize",
+    "q72_global_shuffle",
 ]
 
 

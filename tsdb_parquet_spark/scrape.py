@@ -1,0 +1,291 @@
+"""Prometheus text exposition format ("scrape text") — distributed parse.
+
+The format is public (prometheus docs, exposition_formats.md): one
+sample per line, ``metric{name="value",...} value [timestamp_ms]``,
+``#``-comment lines with structured ``# HELP`` / ``# TYPE`` metadata,
+label values escaping ``\\\\``, ``\\"`` and ``\\n``, Go-style float
+values (``+Inf``/``-Inf``/``NaN``, scientific notation), optional
+int64-millisecond timestamps.
+
+Relation to the reference: fpetkovski/tsdb-parquet ingests finished
+TSDB blocks only; scrape text is what every exporter and Pushgateway
+actually serves.  Parsing it here means raw scrape captures (fleets of
+``GET /metrics`` bodies) can be loaded into a store with no Prometheus
+server in between — completing the ingest triangle (blocks: `tsdb_block`,
+WAL: `tsdb_wal`, remote-write: `remote_write`, scrape text: here).
+
+Scale shape — the parse is ENTIRELY JVM-side (split / regexp /
+``from_json``; no Python UDF anywhere), so it runs inside whole-stage
+codegen and scales like any other columnar expression:
+
+* a body splits into lines with ``split``/``explode``;
+* the label block is the greedy ``\\{(.*)\\}`` span — label VALUES may
+  contain ``{``/``}``/spaces/commas, but everything after the closing
+  brace (value + optional timestamp) never contains ``}``, so the
+  greedy match is exact, and individual pairs are lifted with
+  ``regexp_extract_all`` over a quote-aware pattern
+  (``(?:[^"\\\\]|\\\\.)*`` never crosses an unescaped quote);
+* unescaping uses ``from_json('"' || raw || '"')`` — the format's
+  escape set (``\\\\  \\"  \\n``) is a subset of JSON's, so the JVM's
+  JSON string decoder is a correct, codegen-friendly unescaper;
+* ``+Inf``/``-Inf``/``NaN`` map through a CASE to the double casts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "escape_label_value",
+    "format_exposition",
+    "parse_exposition",
+    "exposition_samples",
+    "scrape_samples",
+    "scrape_metadata",
+]
+
+_METRIC_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
+#: one 'name="value"' pair; the value part never crosses an unescaped quote
+_PAIR_RE = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+
+
+# ---------------------------------------------------------------------------
+# writer + reference parser (pure python: fixtures, tests, small payloads)
+# ---------------------------------------------------------------------------
+
+
+def escape_label_value(value: str) -> str:
+    """The format's label-value escaping: backslash, double-quote, LF."""
+    return (
+        value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+def format_exposition(
+    samples: Sequence[tuple[dict, float, int | None]],
+    metadata: Sequence[tuple[str, str, str]] = (),
+) -> str:
+    """Render ``[(labels-with-__name__, value, ts_ms|None), ...]`` (and
+    optional ``[(metric, type, help), ...]``) as exposition text."""
+    lines = []
+    for metric, mtype, mhelp in metadata:
+        if mhelp:
+            esc = mhelp.replace("\\", "\\\\").replace("\n", "\\n")
+            lines.append(f"# HELP {metric} {esc}")
+        lines.append(f"# TYPE {metric} {mtype}")
+    for labels, value, ts_ms in samples:
+        metric = labels["__name__"]
+        rest = {k: v for k, v in labels.items() if k != "__name__"}
+        if rest:
+            body = ",".join(
+                f'{k}="{escape_label_value(rest[k])}"' for k in sorted(rest)
+            )
+            head = f"{metric}{{{body}}}"
+        else:
+            head = metric
+        if value != value:  # NaN
+            val = "NaN"
+        elif value == float("inf"):
+            val = "+Inf"
+        elif value == float("-inf"):
+            val = "-Inf"
+        else:
+            val = repr(float(value))
+        line = f"{head} {val}"
+        if ts_ms is not None:
+            line += f" {ts_ms}"
+        lines.append(line)
+    return "\n".join(lines) + "\n"
+
+
+def _unescape(raw: str) -> str:
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            out.append({"\\": "\\", '"': '"', "n": "\n"}.get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_exposition(
+    text: str,
+) -> list[tuple[dict, float, int | None]]:
+    """Reference single-process parser (same grammar as the distributed
+    path; property tests pin the two against each other)."""
+    import re
+
+    pair_re = re.compile(_PAIR_RE)
+    out = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = re.match(_METRIC_RE, line)
+        if not m:
+            raise ValueError(f"bad exposition line: {line!r}")
+        labels = {"__name__": m.group(1)}
+        rest = line[m.end():]
+        lb, rb = rest.find("{"), rest.rfind("}")
+        if lb >= 0:
+            if rb < lb:
+                raise ValueError(f"unclosed label block: {line!r}")
+            for pair in pair_re.findall(rest[lb + 1 : rb]):
+                k, _, v = pair.partition("=")
+                labels[k] = _unescape(v[1:-1])
+            rest = rest[rb + 1 :]
+        parts = rest.split()
+        if not parts or len(parts) > 2:
+            raise ValueError(f"bad value/timestamp: {line!r}")
+        val = {"+Inf": float("inf"), "-Inf": float("-inf"),
+               "Inf": float("inf"), "NaN": float("nan")}.get(parts[0])
+        value = float(parts[0]) if val is None else val
+        ts_ms = int(parts[1]) if len(parts) == 2 else None
+        out.append((labels, value, ts_ms))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed parse (JVM-side, codegen)
+# ---------------------------------------------------------------------------
+
+
+def _json_unescape(raw: Column) -> Column:
+    # the exposition escape set is a subset of JSON's, so the JVM JSON
+    # string decoder IS the unescaper (and stays JVM-side).  from_json
+    # needs a container schema, hence the one-element array wrapper;
+    # allowUnquotedControlChars admits raw tabs (legal in label values —
+    # only \\ " and LF are escaped by the format)
+    return F.from_json(
+        F.concat(F.lit('["'), raw, F.lit('"]')),
+        "array<string>",
+        {"allowUnquotedControlChars": "true"},
+    ).getItem(0)
+
+
+def exposition_samples(
+    payloads: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """Explode scrape bodies into one row per sample:
+    ``(__name__ string, labels map<string,string>, value double,
+    ts long)`` — ``ts`` null where the line has no timestamp, ``labels``
+    excluding ``__name__``.  All other input columns pass through (tag
+    payloads with target/scrape-time columns and they stay attached).
+    Entirely built-in expressions — no Python in the plan."""
+    passthrough = [c for c in payloads.columns if c != body_col]
+    line = (
+        payloads.select(
+            *passthrough,
+            F.explode(F.split(F.col(body_col), "\n")).alias("__line"),
+        )
+        .select(*passthrough, F.trim("__line").alias("__line"))
+        .where((F.col("__line") != "") & ~F.col("__line").startswith("#"))
+    )
+    labelstr = F.regexp_extract("__line", r"\{(.*)\}", 1)
+    tail = F.trim(
+        F.when(
+            F.col("__line").contains("{"),
+            F.regexp_extract("__line", r"\}([^}]*)$", 1),
+        ).otherwise(F.regexp_replace("__line", _METRIC_RE, ""))
+    )
+    parts = F.split(tail, r"[ \t]+")
+    rawval = parts.getItem(0)
+    value = (
+        F.when(rawval == "+Inf", F.lit(float("inf")))
+        .when(rawval == "Inf", F.lit(float("inf")))
+        .when(rawval == "-Inf", F.lit(float("-inf")))
+        .when(rawval == "NaN", F.lit(float("nan")))
+        .otherwise(rawval.cast("double"))
+    )
+    # Column-typed pattern: no SQL string-literal escaping layer to get
+    # the backslashes wrong in
+    pairs = F.regexp_extract_all("__labelstr", F.lit(_PAIR_RE), F.lit(0))
+    labels = F.map_from_entries(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.substring_index(p, '="', 1).alias("key"),
+                _json_unescape(
+                    F.regexp_extract(p, r'="(.*)"$', 1)
+                ).alias("value"),
+            ),
+        )
+    )
+    return (
+        line.withColumn("__labelstr", labelstr)
+        .select(
+            *passthrough,
+            F.regexp_extract("__line", _METRIC_RE, 1).alias("__name__"),
+            labels.alias("labels"),
+            value.alias("value"),
+            F.when(F.size(parts) > 1, parts.getItem(1).cast("long"))
+            .alias("ts"),
+        )
+    )
+
+
+def scrape_samples(
+    payloads: DataFrame,
+    label_names: Sequence[str],
+    body_col: str = "body",
+) -> DataFrame:
+    """The chunk-frame-shaped view: requested labels pivoted to string
+    columns (missing -> "", `schema/chunk.go:109-112` semantics), plus
+    ``__name__``, ``value``, ``ts``."""
+    base = exposition_samples(payloads, body_col)
+    cols = [
+        F.coalesce(F.try_element_at("labels", F.lit(n)), F.lit("")).alias(n)
+        for n in label_names
+        if n != "__name__"
+    ]
+    return base.select("__name__", *cols, "ts", "value")
+
+
+def scrape_metadata(
+    payloads: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """The ``# HELP`` / ``# TYPE`` comment structure as a frame:
+    ``(metric string, type string, help string)`` per distinct metric
+    (help unescaped; untyped metrics appear only if they carry HELP)."""
+    lines = (
+        payloads.select(
+            F.explode(F.split(F.col(body_col), "\n")).alias("l")
+        )
+        .select(F.trim("l").alias("l"))
+        .where(F.col("l").startswith("# TYPE ") | F.col("l").startswith("# HELP "))
+        .select(
+            F.regexp_extract("l", r"^# (TYPE|HELP) ([a-zA-Z_:][a-zA-Z0-9_:]*)", 2
+                             ).alias("metric"),
+            F.regexp_extract("l", r"^# (TYPE|HELP)", 1).alias("kind"),
+            F.regexp_extract(
+                "l", r"^# (?:TYPE|HELP) [a-zA-Z_:][a-zA-Z0-9_:]* ?(.*)$", 1
+            ).alias("payload"),
+        )
+        .where(F.col("metric") != "")
+    )
+    return (
+        lines.groupBy("metric")
+        .agg(
+            F.max(F.when(F.col("kind") == "TYPE", F.col("payload"))).alias(
+                "type"
+            ),
+            # HELP escapes only \\ and \n — a literal double-quote
+            # arrives raw, so JSON-escape quotes before the decoder
+            F.max(
+                F.when(
+                    F.col("kind") == "HELP",
+                    _json_unescape(
+                        F.regexp_replace("payload", '"', '\\\\"')
+                    ),
+                )
+            ).alias("help"),
+        )
+    )

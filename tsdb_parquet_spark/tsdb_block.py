@@ -771,3 +771,181 @@ def sync_blocks(
         "skipped": skipped,
         "part": part,
     }
+
+
+# ---------------------------------------------------------------------------
+# reverse converter: chunk frame -> TSDB block
+# ---------------------------------------------------------------------------
+
+
+def export_block(
+    frame: DataFrame,
+    block_dir: str,
+    max_segment_bytes: int = 512 << 20,
+) -> str:
+    """Distributed REVERSE converter: a chunk frame (the store's native
+    schema — ``__series__id``/``__mint``/``__maxt``, label columns,
+    ``__chunk_bytes``) -> a real, spec-complete Prometheus TSDB block
+    directory (index v2 + chunk segment files + meta.json) that
+    ``tsdb.OpenBlock`` can open.  The reference converter is one-way
+    (`cmd/convert/main.go:30-126`: block -> parquet); this closes the
+    loop, so a parquet store can be handed BACK to any
+    Prometheus-ecosystem reader (promtool, Thanos, Grafana) — federation
+    and backfill without a Prometheus server.
+
+    Scale shape: chunk PAYLOADS never pass through the driver.  Each
+    task streams its partition's chunks into its own segment file(s)
+    under ``chunks/`` (rolled at ``max_segment_bytes``, the Prometheus
+    segment cap is 512 MiB), writing to a task-unique temp name; only
+    per-chunk METADATA (labels, mint/maxt, provisional ref) comes back
+    — a few tens of bytes per chunk, the exact order the forward
+    converter (`block_to_chunk_frame`) holds driver-side.  The driver
+    then renames segments to the contiguous 1-based sequence the format
+    requires (a metadata-only filesystem op), remaps refs, and writes
+    the index + meta.json.  ``block_dir`` must be on storage all tasks
+    can reach (the same assumption every Spark file sink makes).
+
+    Chunks carrying the engine's RAW codec are re-encoded to Gorilla
+    XOR executor-side (`xorchunk.encode_xor_chunk`) — a Prometheus
+    block can only hold spec encodings.  Per-series chunk windows must
+    be time-ordered and non-overlapping (the store's layout contract;
+    ``write_index`` rejects violations because the index's uvarint
+    inter-chunk deltas cannot represent overlap).
+
+    Returns the block's ULID (content-derived, spec-valid — see
+    ``_ulid_from_bytes``); ``meta.json`` is written LAST as the publish
+    marker, mirroring Prometheus's own block-visibility rule.
+    """
+    import glob
+    import shutil
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    from tsdb_parquet_spark.schema import (
+        CHUNK_BYTES,
+        MAX_T,
+        MIN_T,
+        SERIES_ID,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk, is_raw_chunk
+
+    # every non-internal column is a label — including "__name__", which
+    # is a real Prometheus label despite the dunder (only the engine's
+    # own frame columns are internal)
+    internal = {CHUNK_BYTES, MAX_T, MIN_T, SERIES_ID}
+    label_names = sorted(c for c in frame.columns if c not in internal)
+    seg_dir = os.path.join(block_dir, "chunks")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    for leftover in ("index", "meta.json"):
+        try:
+            os.remove(os.path.join(block_dir, leftover))
+        except FileNotFoundError:
+            pass
+    os.makedirs(seg_dir, exist_ok=True)
+
+    meta_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("sub", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("mint", T.LongType(), False),
+            T.StructField("maxt", T.LongType(), False),
+        ]
+        + [T.StructField(n, T.StringType(), False) for n in label_names]
+    )
+    header = struct.pack(">IB3x", CHUNKS_MAGIC, CHUNKS_VERSION)
+
+    def write_part(batches):
+        from tsdb_parquet_spark.chunks import decode_samples
+
+        pid = TaskContext.get().partitionId()
+        sub = 0
+        out = bytearray(header)
+        metas: list[tuple] = []
+
+        def flush():
+            nonlocal out, sub
+            if len(out) > len(header):
+                path = os.path.join(seg_dir, f"tmp-{pid:06d}-{sub:06d}")
+                with open(path, "wb") as fh:
+                    fh.write(out)
+                sub += 1
+            out = bytearray(header)
+
+        for pdf in batches:
+            blobs = pdf[CHUNK_BYTES].to_numpy()
+            mints = pdf[MIN_T].to_numpy()
+            maxts = pdf[MAX_T].to_numpy()
+            labs = [pdf[n].to_numpy() for n in label_names]
+            for i in range(len(pdf)):
+                blob = bytes(blobs[i])
+                if is_raw_chunk(blob):
+                    ts, values = decode_samples(blob)
+                    blob = encode_xor_chunk(ts, values)
+                rec_len = 1 + len(blob) + 9 + 4  # enc + payload + varint + crc
+                if len(out) + rec_len > max_segment_bytes:
+                    flush()
+                offset = len(out)
+                _put_uvarint(out, len(blob))
+                out.append(XOR_ENCODING)
+                out += blob
+                out += struct.pack(
+                    ">I", crc32c(bytes([XOR_ENCODING]) + blob)
+                )
+                metas.append(
+                    (pid, sub, offset, int(mints[i]), int(maxts[i]))
+                    + tuple(str(col[i]) for col in labs)
+                )
+        flush()
+        yield pd.DataFrame(
+            metas, columns=[f.name for f in meta_schema.fields]
+        )
+
+    metas = frame.mapInPandas(write_part, meta_schema).collect()
+    if not metas:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        raise ValueError("export_block: frame has no chunks")
+
+    # contiguous 1-based segment sequence: rename temp files in
+    # (pid, sub) order — metadata-only, no payload movement
+    seg_of: dict[tuple[int, int], int] = {}
+    for tmp_path in sorted(glob.glob(os.path.join(seg_dir, "tmp-*"))):
+        base = os.path.basename(tmp_path)
+        pid_s, sub_s = base[4:].split("-")
+        seg = len(seg_of) + 1
+        seg_of[(int(pid_s), int(sub_s))] = seg
+        os.replace(tmp_path, os.path.join(seg_dir, f"{seg:06d}"))
+
+    by_series: dict[tuple, list[tuple[int, int, int]]] = {}
+    for row in metas:
+        key = tuple(row[n] for n in label_names)
+        seg = seg_of[(row["pid"], row["sub"])]
+        by_series.setdefault(key, []).append(
+            (row["mint"], row["maxt"], (seg << 32) | row["offset"])
+        )
+    series = [
+        (dict(zip(label_names, key)), sorted(chunk_metas))
+        for key, chunk_metas in by_series.items()
+    ]
+    write_index(block_dir, series)
+    ulid = _ulid_from_bytes(
+        open(os.path.join(block_dir, "index"), "rb").read()
+    )
+    meta = {
+        "version": 1,
+        "ulid": ulid,
+        "minTime": min(m for _, chs in series for m, _, _ in chs),
+        "maxTime": max(m for _, chs in series for _, m, _ in chs),
+        "stats": {
+            "numSeries": len(series),
+            "numChunks": len(metas),
+        },
+        "compaction": {"level": 1, "sources": []},
+    }
+    tmp = os.path.join(block_dir, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(block_dir, "meta.json"))
+    return ulid
