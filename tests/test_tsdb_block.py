@@ -771,3 +771,61 @@ def test_export_block_rejects_overlapping_series_windows(spark):
     )
     with pytest.raises(Exception, match="non-overlapping"):
         export_block(frame, d)
+
+
+def test_cli_export_roundtrip(spark):
+    """`cli convert --block` then `cli export` — the full both-ways CLI
+    loop: block -> store -> block.  The re-exported block must decode
+    to the original samples, and a matcher-sliced export must carry
+    only the matching series."""
+    import json
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+
+    d = _block_dir("cli_export_src")
+    series = _sample_series()
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+    store = os.path.join(WORK, "cli_export_store")
+    out = os.path.join(WORK, "cli_export_block")
+    sliced = os.path.join(WORK, "cli_export_block_sliced")
+    for p in (store, out, sliced):
+        shutil.rmtree(p, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = lambda *argv: subprocess.run(  # noqa: E731
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", *argv],
+        capture_output=True, text=True, timeout=300, env=env, cwd=cwd,
+    )
+    proc = run("convert", "--block", d, "--out", store)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    compact = os.path.join(store, "compact")
+
+    proc = run("export", "--store", compact, "--out", out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ulid = proc.stdout.strip().splitlines()[-1]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["ulid"] == ulid and meta["stats"]["numSeries"] == 4
+
+    back = block_to_chunk_frame(spark, out)
+    got = back.select(
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+    ).agg(F.count("*"), F.round(F.sum("s.value"), 3)).collect()[0]
+    src = block_to_chunk_frame(spark, d)
+    want = src.select(
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+    ).agg(F.count("*"), F.round(F.sum("s.value"), 3)).collect()[0]
+    assert tuple(got) == tuple(want) == (160, want[1])
+
+    # matcher-sliced export: only the matching series cross over
+    labels0 = _sample_series()[0][0]
+    key = next(k for k in labels0 if k != "__name__")
+    proc = run("export", "--store", compact, "--out", sliced,
+               "--matcher", f"{key}={labels0[key]}")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    meta = json.load(open(os.path.join(sliced, "meta.json")))
+    assert 0 < meta["stats"]["numSeries"] < 4

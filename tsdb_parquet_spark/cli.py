@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -285,6 +286,46 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """REVERSE converter: chunk store -> real Prometheus TSDB block
+    (`tsdb_block.export_block`) — hand a parquet store back to
+    promtool/Thanos/Grafana for backfill or federation.  Chunk payloads
+    stream executor-side into segment files; optional matchers/time
+    bounds export a slice instead of the whole store."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    spark = get_spark(app_name="tsdb-export")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    if args.matcher or args.mint is not None or args.maxt is not None:
+        q = ChunkQuerier.from_parquet(spark, args.store)
+        frame = q.select_chunks(
+            mint=args.mint,
+            maxt=args.maxt,
+            matchers=_parse_matchers(args.matcher),
+        )
+    else:
+        frame = spark.read.parquet(args.store)
+    ulid = export_block(
+        frame, args.out, max_segment_bytes=args.max_segment_bytes
+    )
+    import json as _json
+
+    meta = _json.load(open(os.path.join(args.out, "meta.json")))
+    print(
+        f"# exported block {ulid}: {meta['stats']['numSeries']} series, "
+        f"{meta['stats']['numChunks']} chunks, time "
+        f"[{meta['minTime']}, {meta['maxTime']}] -> {args.out} in "
+        f"{time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    print(ulid)
+    spark.stop()
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Incremental migration from a live Prometheus data dir: convert
     new blocks (ULID sidecar skips converted ones) AND drain new head-
@@ -502,6 +543,20 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the head-WAL drain (blocks only, the pre-WAL behavior)",
     )
     sync.set_defaults(fn=cmd_sync)
+
+    exp = sub.add_parser(
+        "export",
+        help="chunk store -> real Prometheus TSDB block dir (reverse "
+             "converter; promtool/Thanos can open the result)",
+    )
+    exp.add_argument("--store", required=True)
+    exp.add_argument("--out", required=True, help="block directory to write")
+    exp.add_argument("--matcher", action="append", default=[],
+                     help="export only matching series (repeatable)")
+    exp.add_argument("--mint", type=int, default=None)
+    exp.add_argument("--maxt", type=int, default=None)
+    exp.add_argument("--max-segment-bytes", type=int, default=512 << 20)
+    exp.set_defaults(fn=cmd_export)
 
     snaps = sub.add_parser(
         "snapshots", help="list a store's published snapshot manifests"
