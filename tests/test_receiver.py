@@ -1,0 +1,155 @@
+"""Receiver spool streaming ingestion (streaming/receiver.py): a spool
+of remote-write POST bodies / scrape-text captures drains into a sorted
+chunk store losslessly, exactly-once, across micro-batches."""
+
+import math
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.chunks import decode_chunk_udf
+from tsdb_parquet_spark.querier import ChunkQuerier
+from tsdb_parquet_spark.remote_write import encode_write_request, frame_payload
+from tsdb_parquet_spark.schema import CHUNK_BYTES
+from tsdb_parquet_spark.scrape import format_exposition
+from tsdb_parquet_spark.streaming.receiver import (
+    remote_write_spool_ingestor,
+    scrape_spool_ingestor,
+)
+
+WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".work",
+    "receiver_tests",
+)
+
+LABELS = ["__name__", "job", "shard"]
+HOUR = 3_600_000
+
+
+def _series(n_jobs=2, n_shards=2, n_samples=50):
+    out = []
+    v = 0.0
+    for j in range(n_jobs):
+        for s in range(n_shards):
+            samples = []
+            for i in range(n_samples):
+                v += 1.25
+                samples.append((1_700_000_000_000 + i * HOUR, v))
+            out.append(
+                (
+                    {"__name__": "rw_metric", "job": f"j{j}",
+                     "shard": str(s)},
+                    samples,
+                )
+            )
+    return out
+
+
+def _expected(series):
+    n = sum(len(s) for _, s in series)
+    total = sum(v for _, s in series for _, v in s)
+    return n, total
+
+
+def _store_totals(spark, compact):
+    q = ChunkQuerier.from_parquet(spark, compact)
+    row = (
+        q.chunks.select(
+            F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+        )
+        .agg(F.count("*").alias("n"), F.sum("s.value").alias("total"))
+        .collect()[0]
+    )
+    return row["n"], row["total"]
+
+
+def test_remote_write_spool_to_store(spark):
+    spool = os.path.join(WORK, "rw_spool")
+    root = os.path.join(WORK, "rw_store")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(spool)
+    series = _series()
+    # one POST body per series, alternating protocol versions — exactly
+    # what a mixed sender fleet delivers
+    for i, s in enumerate(series):
+        body = frame_payload(encode_write_request([s], version=1 + i % 2))
+        with open(os.path.join(spool, f"req-{i:04d}.bin"), "wb") as fh:
+            fh.write(body)
+    ingestor, stream = remote_write_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR
+    )
+    ingestor.ingest(stream)
+    compact = ingestor.finalize()
+    n, total = _store_totals(spark, compact)
+    want_n, want_total = _expected(series)
+    assert n == want_n
+    assert math.isclose(total, want_total, rel_tol=1e-9)
+    # a second drain over the same spool is a no-op for state: the
+    # checkpoint remembers processed files
+    ingestor2, stream2 = remote_write_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR
+    )
+    ingestor2.ingest(stream2)
+    compact = ingestor2.finalize()
+    n2, total2 = _store_totals(spark, compact)
+    assert (n2, round(total2, 6)) == (n, round(total, 6))
+
+
+def test_remote_write_spool_incremental_second_batch(spark):
+    spool = os.path.join(WORK, "rw_spool_inc")
+    root = os.path.join(WORK, "rw_store_inc")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(spool)
+    series = _series()
+    half = len(series) // 2
+    for i, s in enumerate(series[:half]):
+        with open(os.path.join(spool, f"a-{i}.bin"), "wb") as fh:
+            fh.write(frame_payload(encode_write_request([s])))
+    ingestor, stream = remote_write_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR
+    )
+    ingestor.ingest(stream)
+    # new requests arrive; a later drain picks up ONLY the new files
+    for i, s in enumerate(series[half:]):
+        with open(os.path.join(spool, f"b-{i}.bin"), "wb") as fh:
+            fh.write(frame_payload(encode_write_request([s])))
+    ingestor2, stream2 = remote_write_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR
+    )
+    ingestor2.ingest(stream2)
+    n, total = _store_totals(spark, ingestor2.finalize())
+    want_n, want_total = _expected(series)
+    assert n == want_n and math.isclose(total, want_total, rel_tol=1e-9)
+
+
+def test_scrape_spool_to_store(spark):
+    spool = os.path.join(WORK, "scrape_spool")
+    root = os.path.join(WORK, "scrape_store")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(spool)
+    series = _series(n_samples=20)
+    # one capture file per target; half the lines carry no timestamp and
+    # must take the scrape time
+    scrape_ts = 1_700_000_000_000 + 999 * HOUR
+    kept = []
+    for i, (labels, samples) in enumerate(series):
+        entries = []
+        for k, (ts, v) in enumerate(samples):
+            entries.append((labels, v, ts if k % 2 == 0 else None))
+            kept.append((v, ts if k % 2 == 0 else scrape_ts))
+        text = format_exposition(entries, [("rw_metric", "gauge", "doc")])
+        with open(os.path.join(spool, f"scrape-{i:04d}.txt"), "w") as fh:
+            fh.write(text)
+    ingestor, stream = scrape_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR,
+        scrape_ts_ms=scrape_ts,
+    )
+    ingestor.ingest(stream)
+    n, total = _store_totals(spark, ingestor.finalize())
+    assert n == len(kept)
+    assert math.isclose(total, sum(v for v, _ in kept), rel_tol=1e-9)

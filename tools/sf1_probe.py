@@ -74,6 +74,11 @@ HEAVY_TSDB = [
     # data-dir convert (block + WAL union)
     "q108_wal_head_drain",
     "q109_data_dir_convert",
+    # the r09 push/pull ingest additions at 10x: remote-write protobuf
+    # decode (16 payloads, ~62k samples each at sf1) and the JVM-side
+    # scrape-text parse (~1M exposition lines)
+    "q111_remote_write_ingest",
+    "q113_scrape_text_parse",
 ]
 
 HEAVY = [
@@ -242,6 +247,25 @@ def embedding_near_dup_scaled(spark, sf_dir: str):
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def block_export_scaled(spark, sf_dir: str):
+    """Reverse convert at scale (q112's kernel WITHOUT its fixture
+    cache): re-export the sf's chunk store to a throwaway block dir
+    every rep, so the timed wall is the export itself — executor-side
+    RAW->XOR re-encode + segment writes + driver index assembly — not
+    a cached readback."""
+    import shutil
+
+    from tsdb_parquet_spark.corpus import events_chunk_store
+    from tsdb_parquet_spark.tsdb_block import export_block
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(WORK, f"export_probe_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    store = events_chunk_store(spark, sf_dir)
+    export_block(spark.read.parquet(store), out)
+    return spark.range(1)
+
+
 def store_probe(spark) -> dict:
     """S5/S6 write path at 10x: time the COLD chunk-store build
     (samples -> chunks -> sorted parts -> compact) at sf0.1 and at the
@@ -342,6 +366,13 @@ def main() -> None:
             # on collision-free data like sf0.01
             "q108_wal_head_drain",
             "q109_data_dir_convert",
+            # the r09 ingest additions at 10x: remote-write (v1+v2
+            # protobuf, series split across payloads), the reverse
+            # block export roundtrip, and scrape-text parse (shifted
+            # copies make escape-heavy lines 10x denser per target)
+            "q111_remote_write_ingest",
+            "q112_block_export_roundtrip",
+            "q113_scrape_text_parse",
         ]
         results = {}
         for name in names:
@@ -600,6 +631,9 @@ def main() -> None:
             probes["embedding_near_dup_scaled_bits"] = (
                 embedding_near_dup_scaled
             )
+    else:
+        if not wanted or "block_export_scaled" in wanted:
+            probes["block_export_scaled"] = block_export_scaled
 
     # warm codegen per shape on the small side first (untimed)
     for name, fn in probes.items():

@@ -5583,7 +5583,10 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.remote_write import remote_write_frame
 
     path = _events_remote_write_payloads(spark, sf_dir)
-    payloads = spark.read.parquet(path).repartition(8, "batch")
+    # round-robin, not hash: 16 payloads hash-bucketed into 16 slots
+    # leave ~1/3 of them empty (collisions); round-robin gives exactly
+    # one payload per task, and placement cannot affect the aggregate
+    payloads = spark.read.parquet(path).repartition(16)
     samples = remote_write_frame(
         payloads, ["__name__", "event_type", "shard"]
     )
@@ -5777,7 +5780,8 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.scrape import scrape_samples
 
     path = _events_scrape_payloads(spark, sf_dir)
-    payloads = spark.read.parquet(path).repartition(8, "target")
+    # round-robin for exactly one payload per task (see q111)
+    payloads = spark.read.parquet(path).repartition(16)
     samples = scrape_samples(
         payloads, ["__name__", "event_type", "shard"]
     )

@@ -208,17 +208,23 @@ def exposition_samples(
     # Column-typed pattern: no SQL string-literal escaping layer to get
     # the backslashes wrong in
     pairs = F.regexp_extract_all("__labelstr", F.lit(_PAIR_RE), F.lit(0))
-    labels = F.map_from_entries(
-        F.transform(
-            pairs,
-            lambda p: F.struct(
-                F.substring_index(p, '="', 1).alias("key"),
-                _json_unescape(
-                    F.regexp_extract(p, r'="(.*)"$', 1)
-                ).alias("value"),
-            ),
+
+    def entry(p: Column) -> Column:
+        # p is 'key="raw"' with key restricted to [A-Za-z0-9_] by the
+        # pair pattern, so the value span is pure offset arithmetic —
+        # no second regex per pair
+        key = F.substring_index(p, '="', 1)
+        raw = p.substr(
+            F.length(key) + F.lit(3), F.length(p) - F.length(key) - F.lit(3)
         )
-    )
+        # unescape only when an escape is present: the JSON-decoder hop
+        # costs ~3x a contains() and real label values are mostly clean
+        value = F.when(
+            raw.contains("\\"), _json_unescape(raw)
+        ).otherwise(raw)
+        return F.struct(key.alias("key"), value.alias("value"))
+
+    labels = F.map_from_entries(F.transform(pairs, entry))
     return (
         line.withColumn("__labelstr", labelstr)
         .select(

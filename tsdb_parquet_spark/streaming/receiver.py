@@ -1,0 +1,108 @@
+"""Receiver spool -> store: LIVE remote-write / scrape-text ingestion.
+
+A receiver process (any HTTP server) spools each remote-write POST body
+or scrape capture to a file in a directory; Structured Streaming tails
+the spool and appends sorted parts to the chunk store through
+``StreamingChunkIngestor`` (exactly-once via the idempotent
+batch-id-keyed part sink).  The HTTP listener itself is out of scope —
+the same boundary as the reference keeping its GCS bucket outside the
+engine (`storage/bucket.go:21-52`); anything that can write a file can
+feed this.
+
+Scale shape: the spool listing is driver-side metadata (file stream
+source); payload DECODE runs executor-side per micro-batch —
+``remote_write_frame``'s ``mapInPandas`` for protobuf bodies, the
+all-JVM ``scrape_samples`` plan for exposition text — and each
+micro-batch writes one sorted part, compacted by ``finalize()`` /
+``vacuum`` like every other ingest path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.streaming.ingest import StreamingChunkIngestor
+
+__all__ = [
+    "remote_write_spool_ingestor",
+    "scrape_spool_ingestor",
+]
+
+
+def remote_write_spool_ingestor(
+    spark: SparkSession,
+    spool_dir: str,
+    root: str,
+    label_names: Sequence[str],
+    chunk_span_ms: int = 24 * 3600 * 1000,
+    compressed: bool = True,
+    **ingestor_kwargs,
+) -> tuple[StreamingChunkIngestor, DataFrame]:
+    """(ingestor, stream) for a spool of remote-write POST bodies (one
+    file per request; snappy-framed protobuf, v1 or v2 sniffed per
+    payload).  Run with ``ingestor.ingest(stream)`` —
+    ``availableNow=True`` drains the current spool and stops, the
+    cron-friendly shape; pass ``available_now=False`` to follow live."""
+    from tsdb_parquet_spark.remote_write import remote_write_frame
+
+    labels = list(label_names)
+
+    def to_samples(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(F.col("content").alias("payload"))
+        return remote_write_frame(payloads, labels, compressed=compressed)
+
+    ingestor = StreamingChunkIngestor(
+        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+    )
+    # binaryFile's schema is FIXED by the format but the streaming
+    # source still demands it explicitly
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(spool_dir)
+    )
+    return ingestor, stream
+
+
+def scrape_spool_ingestor(
+    spark: SparkSession,
+    spool_dir: str,
+    root: str,
+    label_names: Sequence[str],
+    chunk_span_ms: int = 24 * 3600 * 1000,
+    scrape_ts_ms: int | None = None,
+    **ingestor_kwargs,
+) -> tuple[StreamingChunkIngestor, DataFrame]:
+    """(ingestor, stream) for a spool of exposition-text captures (one
+    file per ``GET /metrics`` body).  Lines without a timestamp take
+    ``scrape_ts_ms`` (the receiver's scrape time) — with None they are
+    dropped, since a sample needs a time.  The parse is the all-JVM
+    ``scrape_samples`` plan."""
+    from tsdb_parquet_spark.scrape import scrape_samples
+
+    labels = list(label_names)
+
+    def to_samples(batch: DataFrame) -> DataFrame:
+        bodies = batch.select(F.col("value").alias("body"))
+        samples = scrape_samples(bodies, labels)
+        if scrape_ts_ms is not None:
+            samples = samples.withColumn(
+                "ts", F.coalesce("ts", F.lit(scrape_ts_ms))
+            )
+        return samples.where(F.col("ts").isNotNull())
+
+    ingestor = StreamingChunkIngestor(
+        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(spool_dir)
+    )
+    return ingestor, stream
