@@ -153,3 +153,36 @@ def test_scrape_spool_to_store(spark):
     n, total = _store_totals(spark, ingestor.finalize())
     assert n == len(kept)
     assert math.isclose(total, sum(v for v, _ in kept), rel_tol=1e-9)
+
+
+def test_cli_ingest_remote_write_spool(spark):
+    """`cli ingest --format remote-write` end-to-end as a subprocess,
+    twice: the second run must only pick up the new spool file."""
+    import subprocess
+    import sys
+
+    spool = os.path.join(WORK, "cli_spool")
+    root = os.path.join(WORK, "cli_store")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(spool)
+    series = _series(n_jobs=1, n_shards=2, n_samples=10)
+    with open(os.path.join(spool, "a.bin"), "wb") as fh:
+        fh.write(frame_payload(encode_write_request(series[:1])))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = lambda: subprocess.run(  # noqa: E731
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "ingest",
+         "--spool", spool, "--store", root, "--format", "remote-write",
+         "--labels", ",".join(LABELS), "--finalize"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=cwd,
+    )
+    proc = run()
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(os.path.join(spool, "b.bin"), "wb") as fh:
+        fh.write(frame_payload(encode_write_request(series[1:], version=2)))
+    proc = run()
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    n, total = _store_totals(spark, os.path.join(root, "compact"))
+    want_n, want_total = _expected(series)
+    assert n == want_n and math.isclose(total, want_total, rel_tol=1e-9)

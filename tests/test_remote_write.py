@@ -152,3 +152,23 @@ def test_remote_write_frame_distributed(spark):
         for ts, v in samples
     )
     assert rows == expect
+
+
+def test_remote_write_frame_prunes_to_payload_column(spark, tmp_path):
+    # sidecar columns on the payload table must not cross the Arrow
+    # bridge: the PARQUET scan under the Python map reads only the
+    # payload column (ReadSchema pruning through mapInPandas)
+    p1 = frame_payload(encode_write_request(SERIES[:1], version=1))
+    path = str(tmp_path / "payloads.parquet")
+    spark.createDataFrame(
+        [(1, "sender-a", "h", bytearray(p1))],
+        "batch int, sender string, headers string, payload binary",
+    ).write.parquet(path)
+    out = remote_write_frame(spark.read.parquet(path), ["__name__"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "payload" in read_schema
+    assert "sender" not in read_schema and "headers" not in read_schema
+    assert out.count() == len(SERIES[0][1])

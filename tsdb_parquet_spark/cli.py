@@ -326,6 +326,41 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """One-shot receiver-spool drain (cron-friendly, like ``sync``):
+    remote-write POST bodies or scrape-text captures spooled as files
+    drain into sorted store parts; the streaming checkpoint remembers
+    processed files, so re-runs ingest only new ones."""
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.streaming.receiver import (
+        remote_write_spool_ingestor,
+        scrape_spool_ingestor,
+    )
+
+    spark = get_spark(app_name="tsdb-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    labels = args.labels.split(",")
+    t0 = time.perf_counter()
+    if args.format == "remote-write":
+        ingestor, stream = remote_write_spool_ingestor(
+            spark, args.spool, args.store, labels, chunk_span_ms=args.span_ms
+        )
+    else:
+        ingestor, stream = scrape_spool_ingestor(
+            spark, args.spool, args.store, labels,
+            chunk_span_ms=args.span_ms, scrape_ts_ms=args.scrape_ts,
+        )
+    ingestor.ingest(stream)
+    msg = f"# drained spool {args.spool} -> {args.store}"
+    if args.finalize:
+        compact = ingestor.finalize()
+        n = spark.read.parquet(compact).count()
+        msg += f"; finalized {n} chunks -> {compact}"
+    print(f"{msg} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Incremental migration from a live Prometheus data dir: convert
     new blocks (ULID sidecar skips converted ones) AND drain new head-
@@ -543,6 +578,27 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the head-WAL drain (blocks only, the pre-WAL behavior)",
     )
     sync.set_defaults(fn=cmd_sync)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="drain a receiver spool (remote-write bodies or scrape "
+             "captures) into a chunk store; re-runs pick up only new "
+             "files (streaming checkpoint)",
+    )
+    ing.add_argument("--spool", required=True,
+                     help="directory of spooled request/capture files")
+    ing.add_argument("--store", required=True)
+    ing.add_argument("--format", choices=["remote-write", "scrape"],
+                     required=True)
+    ing.add_argument("--labels", default="__name__,event_type,shard")
+    ing.add_argument("--span-ms", type=int, default=86_400_000)
+    ing.add_argument("--scrape-ts", type=int, default=None,
+                     help="scrape format: timestamp (ms) for lines "
+                          "without one")
+    ing.add_argument("--finalize", action="store_true",
+                     help="compact parts and assign dense series ids "
+                          "after the drain")
+    ing.set_defaults(fn=cmd_ingest)
 
     exp = sub.add_parser(
         "export",

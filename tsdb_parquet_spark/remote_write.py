@@ -358,9 +358,15 @@ def remote_write_frame(
 
     Rows stream out in ``batch_rows``-sized Arrow batches so one giant
     payload never materializes as a single batch.
+
+    The input is pruned to ``payload_col`` BEFORE the ``mapInPandas``
+    hop: a Python map reads every column it is handed, so without the
+    projection a payload table's sidecar columns (capture time, sender,
+    headers) would cross the Arrow bridge just to be dropped.
     """
     import pandas as pd
 
+    payloads = payloads.select(payload_col)
     label_names = list(label_names)
     schema = (
         ", ".join(f"`{c}` string" for c in label_names)
