@@ -172,3 +172,52 @@ def test_remote_write_frame_prunes_to_payload_column(spark, tmp_path):
     assert "payload" in read_schema
     assert "sender" not in read_schema and "headers" not in read_schema
     assert out.count() == len(SERIES[0][1])
+
+
+# ---------------------------------------------------------------------------
+# adversarial-input fuzz: the decoder ingests bytes from the network; it
+# must either decode or raise ValueError — never IndexError/KeyError/
+# struct.error or an infinite loop
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_never_crashes_on_random_bytes(data):
+    try:
+        decode_write_request(data)
+    except ValueError:
+        pass
+    try:
+        decode_write_request(data, version=1)
+    except ValueError:
+        pass
+    try:
+        decode_write_request(data, version=2)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200), st.integers(0, 199), st.integers(0, 255))
+def test_decode_never_crashes_on_flipped_valid_payload(data, pos, xor):
+    # corrupt a VALID payload at a random position: structurally much
+    # closer to the parser's happy path than pure random bytes
+    proto = bytearray(encode_write_request(SERIES, version=1 + len(data) % 2))
+    proto[pos % len(proto)] ^= xor
+    try:
+        decode_write_request(bytes(proto))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_unframe_never_crashes(data):
+    try:
+        unframe_payload(data)
+    except ValueError:
+        pass

@@ -160,3 +160,14 @@ def test_exposition_samples_is_jvm_only(spark):
     df = spark.createDataFrame([("m 1 2",)], "body string")
     plan = exposition_samples(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Pandas" not in plan
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_parse_exposition_never_crashes(text):
+    # arbitrary junk either parses or raises ValueError — no other
+    # failure class (the distributed plan inherits the same grammar)
+    try:
+        parse_exposition(text)
+    except ValueError:
+        pass

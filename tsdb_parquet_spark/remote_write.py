@@ -321,9 +321,14 @@ def decode_write_request(
             symbols.append(proto[a:b].decode("utf-8"))
         elif field == 5 and wire == 2:
             raw_series.append(_decode_v2_timeseries(proto, a, b))
+    n_sym = len(symbols)
     for refs, samples in raw_series:
         if len(refs) % 2:
             raise ValueError("odd labels_refs length")
+        if any(r >= n_sym for r in refs):
+            raise ValueError(
+                f"labels_ref beyond symbol table (size {n_sym})"
+            )
         labels = {}
         for i in range(0, len(refs), 2):
             labels[symbols[refs[i]]] = symbols[refs[i + 1]]

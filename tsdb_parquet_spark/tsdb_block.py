@@ -122,6 +122,10 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
     x = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            # truncated input is a FORMAT error, not an internal one:
+            # decoders fed network/disk bytes surface ValueError
+            raise ValueError("truncated uvarint")
         b = buf[pos]
         pos += 1
         x |= (b & 0x7F) << shift
