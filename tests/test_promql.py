@@ -1261,3 +1261,54 @@ def test_double_exponential_smoothing_alias(spark):
         60_000, 60_000, 60_000,
     ).collect()
     assert s[0]["value"] == pytest.approx(a[0]["value"], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# HTTP API response shaping (docs/querying/api.md)
+# ---------------------------------------------------------------------------
+
+
+def test_api_value_matches_go_formatfloat():
+    from tsdb_parquet_spark.plans.promql import _api_value
+
+    # strconv.FormatFloat(v, 'f', -1, 64) reference answers
+    assert _api_value(1.0) == "1"
+    assert _api_value(-0.0) == "-0"
+    assert _api_value(0.5) == "0.5"
+    assert _api_value(1 / 3) == "0.3333333333333333"
+    assert _api_value(3e-7) == "0.0000003"
+    assert _api_value(1e21) == "1000000000000000000000"
+    assert _api_value(float("inf")) == "+Inf"
+    assert _api_value(float("-inf")) == "-Inf"
+    assert _api_value(float("nan")) == "NaN"
+
+
+def test_to_api_response_matrix_shape(spark):
+    import json
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine, to_api_response
+
+    samples = spark.createDataFrame(
+        [
+            ("m", "api", "0", 10_000, 1.0),
+            ("m", "api", "0", 70_000, 2.0),
+            ("m", "web", "", 10_000, 5.0),  # empty label -> omitted
+        ],
+        "__name__ string, job string, shard string, ts long, value double",
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("sum by (job, shard) (m)", 60_000, 120_000,
+                             60_000, lookback_ms=60_000)
+    resp = to_api_response(out)
+    # must be valid JSON and the documented envelope
+    json.dumps(resp)
+    assert resp["status"] == "success"
+    assert resp["data"]["resultType"] == "matrix"
+    result = {tuple(sorted(s["metric"].items())): s["values"]
+              for s in resp["data"]["result"]}
+    api = result[(("job", "api"), ("shard", "0"))]
+    web = result[(("job", "web"),)]  # shard "" omitted from metric
+    # [unix SECONDS, "value-as-string"] in time order
+    assert api == [[60.0, "1"], [120.0, "2"]]
+    # web's only sample (t=10s) ages out of the 60s lookback by t=120s
+    assert web == [[60.0, "5"]]

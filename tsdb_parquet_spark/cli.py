@@ -110,11 +110,21 @@ def cmd_promql(args) -> int:
         args.step,
         lookback_ms=args.lookback,
     )
-    rows = out.collect()
-    for row in rows:
-        print(row.asDict())
+    if args.api_json:
+        import json as _json
+
+        from tsdb_parquet_spark.plans.promql import to_api_response
+
+        resp = to_api_response(out)
+        n = sum(len(s["values"]) for s in resp["data"]["result"])
+        print(_json.dumps(resp))
+    else:
+        rows = out.collect()
+        n = len(rows)
+        for row in rows:
+            print(row.asDict())
     print(
-        f"# evaluated in {time.perf_counter() - t0:.1f}s rows={len(rows)}",
+        f"# evaluated in {time.perf_counter() - t0:.1f}s rows={n}",
         file=sys.stderr,
     )
     spark.stop()
@@ -559,6 +569,9 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--wal",
                     help="live WAL dir: union the not-yet-synced head "
                          "delta into the evaluation input")
+    pq.add_argument("--api-json", action="store_true",
+                    help="print the Prometheus /api/v1/query_range "
+                         "response body instead of rows")
     pq.set_defaults(fn=cmd_promql)
 
     sync = sub.add_parser(

@@ -2389,3 +2389,59 @@ class PromQLEngine:
         ]
         schema = "t BIGINT, " + "".join(f"{c} STRING, " for c in cols) + "value DOUBLE"
         return spark.createDataFrame([], schema)
+
+
+# ---------------------------------------------------------------------------
+# HTTP API response shaping
+# ---------------------------------------------------------------------------
+
+
+def _api_value(v: float) -> str:
+    """Prometheus formats sample values with Go's
+    ``strconv.FormatFloat(v, 'f', -1, 64)`` — shortest decimal that
+    round-trips, never exponent notation, with ``+Inf``/``-Inf``/
+    ``NaN`` spelled exactly so."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    s = repr(float(v))
+    if "e" not in s and "E" not in s:
+        return s[:-2] if s.endswith(".0") else s
+    # expand the exponent like 'f' formatting does; %.17g-shortest via
+    # repr already fixed the digits, Decimal just moves the point
+    from decimal import Decimal
+
+    return format(Decimal(s), "f")
+
+
+def to_api_response(result: "DataFrame", t_col: str = "t",
+                    value_col: str = "value") -> dict:
+    """Shape a ``query_range`` result frame as the Prometheus HTTP API's
+    ``/api/v1/query_range`` response body (``resultType: matrix`` —
+    docs/querying/api.md): one entry per series with its label set as
+    ``metric`` (""-valued labels omitted, Prometheus's absent-label
+    convention) and ``values`` as ``[unix_seconds, "value"]`` pairs in
+    time order.
+
+    The collect is driver-side BY DESIGN: an API response is a
+    rendering boundary (a dashboard panel's worth of steps x series),
+    not a dataset — the distributed part is the evaluation that
+    produced ``result``."""
+    label_cols = [c for c in result.columns if c not in (t_col, value_col)]
+    series: dict[tuple, list] = {}
+    for row in result.collect():
+        key = tuple((c, row[c]) for c in label_cols if row[c])
+        series.setdefault(key, []).append(
+            [row[t_col] / 1000.0, _api_value(row[value_col])]
+        )
+    out = [
+        {"metric": dict(key), "values": sorted(vals)}
+        for key, vals in sorted(series.items())
+    ]
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": out},
+    }
