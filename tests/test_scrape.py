@@ -171,3 +171,88 @@ def test_parse_exposition_never_crashes(text):
         parse_exposition(text)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# OpenMetrics: exemplars, seconds timestamps, # EOF
+# ---------------------------------------------------------------------------
+
+
+def test_exemplar_format_parse_roundtrip():
+    from tsdb_parquet_spark.scrape import parse_exemplars
+
+    samples = [
+        ({"__name__": "h_bucket", "le": "0.01"}, 0.0, 123,
+         ({"trace_id": "KOO5S4vxi0o"}, 0.67, 1520879607.789)),
+        ({"__name__": "h_bucket", "le": "+Inf"}, 17.0, None,
+         ({"trace_id": 'x"y\\z', "span": "s}1"}, 9.8, None)),
+        ({"__name__": "plain"}, 1.0, 5, None),  # no exemplar
+    ]
+    text = format_exposition(samples)
+    # the sample values/timestamps parse as if no exemplar were present
+    back = parse_exposition(text)
+    assert [(l, v, t) for l, v, t in back] == [
+        (s[0], s[1], s[2]) for s in samples
+    ]
+    ex = parse_exemplars(text)
+    assert ex == [
+        (samples[0][0], {"trace_id": "KOO5S4vxi0o"}, 0.67, 1520879607.789),
+        (samples[1][0], {"trace_id": 'x"y\\z', "span": "s}1"}, 9.8, None),
+    ]
+
+
+def test_exemplar_suffix_cannot_be_spoofed_by_label_value():
+    from tsdb_parquet_spark.scrape import parse_exemplars
+
+    # a label VALUE that looks like an exemplar arrives with escaped
+    # quotes, so the anchored pattern must not fire
+    evil = ' # {trace_id="fake"} 1 2'
+    text = format_exposition([({"__name__": "m", "a": evil}, 5.0, 7)])
+    assert parse_exemplars(text) == []
+    (labels, value, ts), = parse_exposition(text)
+    assert labels == {"__name__": "m", "a": evil}
+    assert (value, ts) == (5.0, 7)
+
+
+def test_exposition_exemplars_distributed(spark):
+    from tsdb_parquet_spark.scrape import exposition_exemplars
+
+    samples = [
+        ({"__name__": "h_bucket", "le": "0.01"}, 0.0, 123,
+         ({"trace_id": "abc"}, 0.67, 1520879607.789)),
+        ({"__name__": "h_bucket", "le": "0.1"}, 2.0, 124,
+         ({"trace_id": 'q"z'}, 1.5, None)),
+        ({"__name__": "plain"}, 1.0, 5, None),
+    ]
+    text = format_exposition(samples)
+    df = spark.createDataFrame([("t0", text)], "target string, body string")
+    rows = sorted(
+        [
+            (r["target"], r["__name__"], dict(r["labels"]),
+             dict(r["exemplar"]), r["value"], r["ts"])
+            for r in exposition_exemplars(df).collect()
+        ],
+        key=lambda x: x[4],
+    )
+    assert rows == [
+        ("t0", "h_bucket", {"le": "0.01"}, {"trace_id": "abc"}, 0.67,
+         1520879607.789),
+        ("t0", "h_bucket", {"le": "0.1"}, {"trace_id": 'q"z'}, 1.5, None),
+    ]
+    # and the SAMPLE parse on the same body ignores the suffixes
+    got = sorted(
+        (r["__name__"], r["value"], r["ts"])
+        for r in exposition_samples(df).collect()
+    )
+    assert got == [("h_bucket", 0.0, 123), ("h_bucket", 2.0, 124),
+                   ("plain", 1.0, 5)]
+
+
+def test_openmetrics_seconds_timestamps(spark):
+    text = "# TYPE m gauge\nm{a=\"x\"} 1.5 1520879607.789\nm 2 3\n# EOF\n"
+    df = spark.createDataFrame([(text,)], "body string")
+    rows = sorted(
+        (r["__name__"], r["value"], r["ts"])
+        for r in exposition_samples(df, openmetrics=True).collect()
+    )
+    assert rows == [("m", 1.5, 1520879607789), ("m", 2.0, 3000)]

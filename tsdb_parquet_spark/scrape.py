@@ -42,7 +42,9 @@ __all__ = [
     "escape_label_value",
     "format_exposition",
     "parse_exposition",
+    "parse_exemplars",
     "exposition_samples",
+    "exposition_exemplars",
     "scrape_samples",
     "scrape_metadata",
 ]
@@ -50,6 +52,15 @@ __all__ = [
 _METRIC_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
 #: one 'name="value"' pair; the value part never crosses an unescaped quote
 _PAIR_RE = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+#: an OpenMetrics exemplar suffix, ANCHORED at end of line:
+#: ' # {pairs} value [ts]'.  The anchor + quote-aware pairs make this
+#: unspoofable by label values: a value containing ' # {...}' sits
+#: inside the sample's label block, where its quotes arrive ESCAPED
+#: (\\") and therefore cannot satisfy the pair pattern's raw '="'.
+_EXEMPLAR_RE = (
+    r" # \{((?:" + _PAIR_RE + r"(?:," + _PAIR_RE + r")*)?)\}"
+    r" ([^ \t]+)(?:[ \t]+([^ \t]+))?$"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -64,19 +75,34 @@ def escape_label_value(value: str) -> str:
     )
 
 
+def _format_value(value: float) -> str:
+    if value != value:  # NaN
+        return "NaN"
+    if value == float("inf"):
+        return "+Inf"
+    if value == float("-inf"):
+        return "-Inf"
+    return repr(float(value))
+
+
 def format_exposition(
-    samples: Sequence[tuple[dict, float, int | None]],
+    samples: Sequence[tuple],
     metadata: Sequence[tuple[str, str, str]] = (),
 ) -> str:
     """Render ``[(labels-with-__name__, value, ts_ms|None), ...]`` (and
-    optional ``[(metric, type, help), ...]``) as exposition text."""
+    optional ``[(metric, type, help), ...]``) as exposition text.  A
+    sample tuple may carry a FOURTH element — an OpenMetrics exemplar
+    ``(labels, value, ts_s|None)`` or None — rendered as the
+    ``# {...} value [ts]`` suffix."""
     lines = []
     for metric, mtype, mhelp in metadata:
         if mhelp:
             esc = mhelp.replace("\\", "\\\\").replace("\n", "\\n")
             lines.append(f"# HELP {metric} {esc}")
         lines.append(f"# TYPE {metric} {mtype}")
-    for labels, value, ts_ms in samples:
+    for entry in samples:
+        labels, value, ts_ms = entry[0], entry[1], entry[2]
+        exemplar = entry[3] if len(entry) > 3 else None
         metric = labels["__name__"]
         rest = {k: v for k, v in labels.items() if k != "__name__"}
         if rest:
@@ -86,17 +112,18 @@ def format_exposition(
             head = f"{metric}{{{body}}}"
         else:
             head = metric
-        if value != value:  # NaN
-            val = "NaN"
-        elif value == float("inf"):
-            val = "+Inf"
-        elif value == float("-inf"):
-            val = "-Inf"
-        else:
-            val = repr(float(value))
-        line = f"{head} {val}"
+        line = f"{head} {_format_value(value)}"
         if ts_ms is not None:
             line += f" {ts_ms}"
+        if exemplar is not None:
+            ex_labels, ex_value, ex_ts = exemplar
+            body = ",".join(
+                f'{k}="{escape_label_value(ex_labels[k])}"'
+                for k in sorted(ex_labels)
+            )
+            line += f" # {{{body}}} {_format_value(ex_value)}"
+            if ex_ts is not None:
+                line += f" {ex_ts!r}"
         lines.append(line)
     return "\n".join(lines) + "\n"
 
@@ -124,11 +151,15 @@ def parse_exposition(
     import re
 
     pair_re = re.compile(_PAIR_RE)
+    exemplar_re = re.compile(_EXEMPLAR_RE)
     out = []
     for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
+        # OpenMetrics tolerance: drop an exemplar suffix before the
+        # value parse (parse_exemplars reads it)
+        line = exemplar_re.sub("", line)
         m = re.match(_METRIC_RE, line)
         if not m:
             raise ValueError(f"bad exposition line: {line!r}")
@@ -153,6 +184,39 @@ def parse_exposition(
     return out
 
 
+def parse_exemplars(
+    text: str,
+) -> list[tuple[dict, dict, float, float | None]]:
+    """OpenMetrics exemplars: ``[(sample_labels, exemplar_labels,
+    value, ts_seconds|None), ...]`` for every sample line carrying the
+    ``# {...} value [ts]`` suffix.  Exemplar timestamps are SECONDS
+    (floats) per the OpenMetrics spec — unlike the sample line's
+    Prometheus-format millisecond integers."""
+    import re
+
+    pair_re = re.compile(_PAIR_RE)
+    exemplar_re = re.compile(_EXEMPLAR_RE)
+    out = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = exemplar_re.search(line)
+        if not m:
+            continue
+        (sample_labels, _v, _t), = parse_exposition(line)
+        ex_labels = {}
+        for pair in pair_re.findall(m.group(1)):
+            k, _, v = pair.partition("=")
+            ex_labels[k] = _unescape(v[1:-1])
+        val = {"+Inf": float("inf"), "-Inf": float("-inf"),
+               "Inf": float("inf"), "NaN": float("nan")}.get(m.group(2))
+        value = float(m.group(2)) if val is None else val
+        ts_s = float(m.group(3)) if m.group(3) is not None else None
+        out.append((sample_labels, ex_labels, value, ts_s))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # distributed parse (JVM-side, codegen)
 # ---------------------------------------------------------------------------
@@ -172,14 +236,20 @@ def _json_unescape(raw: Column) -> Column:
 
 
 def exposition_samples(
-    payloads: DataFrame, body_col: str = "body"
+    payloads: DataFrame, body_col: str = "body", openmetrics: bool = False
 ) -> DataFrame:
     """Explode scrape bodies into one row per sample:
     ``(__name__ string, labels map<string,string>, value double,
     ts long)`` — ``ts`` null where the line has no timestamp, ``labels``
     excluding ``__name__``.  All other input columns pass through (tag
     payloads with target/scrape-time columns and they stay attached).
-    Entirely built-in expressions — no Python in the plan."""
+    Entirely built-in expressions — no Python in the plan.
+
+    ``openmetrics=True`` reads timestamps as the OpenMetrics unit
+    (SECONDS, possibly fractional -> ms); the default is the Prometheus
+    text format's integer milliseconds.  Exemplar suffixes are dropped
+    either way (``exposition_exemplars`` reads them); ``# EOF`` is a
+    comment like any other."""
     passthrough = [c for c in payloads.columns if c != body_col]
     line = (
         payloads.select(
@@ -188,6 +258,12 @@ def exposition_samples(
         )
         .select(*passthrough, F.trim("__line").alias("__line"))
         .where((F.col("__line") != "") & ~F.col("__line").startswith("#"))
+        # OpenMetrics tolerance: an exemplar suffix would otherwise sit
+        # in the value/timestamp tail (exposition_exemplars reads it)
+        .select(
+            *passthrough,
+            F.regexp_replace("__line", _EXEMPLAR_RE, "").alias("__line"),
+        )
     )
     labelstr = F.regexp_extract("__line", r"\{(.*)\}", 1)
     tail = F.trim(
@@ -198,16 +274,41 @@ def exposition_samples(
     )
     parts = F.split(tail, r"[ \t]+")
     rawval = parts.getItem(0)
-    value = (
+    value = _parse_value(rawval)
+    rawts = F.when(F.size(parts) > 1, parts.getItem(1))
+    if openmetrics:
+        # OpenMetrics timestamps are SECONDS (possibly fractional)
+        ts = (rawts.cast("double") * 1000).cast("long")
+    else:
+        ts = rawts.cast("long")
+    labels = _labels_map(F.col("__labelstr"))
+    return (
+        line.withColumn("__labelstr", labelstr)
+        .select(
+            *passthrough,
+            F.regexp_extract("__line", _METRIC_RE, 1).alias("__name__"),
+            labels.alias("labels"),
+            value.alias("value"),
+            ts.alias("ts"),
+        )
+    )
+
+
+def _parse_value(rawval: Column) -> Column:
+    return (
         F.when(rawval == "+Inf", F.lit(float("inf")))
         .when(rawval == "Inf", F.lit(float("inf")))
         .when(rawval == "-Inf", F.lit(float("-inf")))
         .when(rawval == "NaN", F.lit(float("nan")))
         .otherwise(rawval.cast("double"))
     )
+
+
+def _labels_map(labelstr: Column) -> Column:
+    """'k1="v1",k2="v2"' -> map<string,string>, escape-aware."""
     # Column-typed pattern: no SQL string-literal escaping layer to get
     # the backslashes wrong in
-    pairs = F.regexp_extract_all("__labelstr", F.lit(_PAIR_RE), F.lit(0))
+    pairs = F.regexp_extract_all(labelstr, F.lit(_PAIR_RE), F.lit(0))
 
     def entry(p: Column) -> Column:
         # p is 'key="raw"' with key restricted to [A-Za-z0-9_] by the
@@ -224,17 +325,48 @@ def exposition_samples(
         ).otherwise(raw)
         return F.struct(key.alias("key"), value.alias("value"))
 
-    labels = F.map_from_entries(F.transform(pairs, entry))
-    return (
-        line.withColumn("__labelstr", labelstr)
-        .select(
+    return F.map_from_entries(F.transform(pairs, entry))
+
+
+def exposition_exemplars(
+    payloads: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """One row per OpenMetrics exemplar (``# {...} value [ts]`` sample
+    suffix): ``(__name__ string, labels map, exemplar map, value
+    double, ts double)`` — ``ts`` in SECONDS (the OpenMetrics unit; may
+    be fractional), null when absent.  Same all-JVM plan shape as
+    :func:`exposition_samples`; the anchored exemplar pattern cannot be
+    spoofed by label values (their quotes arrive escaped)."""
+    passthrough = [c for c in payloads.columns if c != body_col]
+    line = (
+        payloads.select(
             *passthrough,
-            F.regexp_extract("__line", _METRIC_RE, 1).alias("__name__"),
-            labels.alias("labels"),
-            value.alias("value"),
-            F.when(F.size(parts) > 1, parts.getItem(1).cast("long"))
-            .alias("ts"),
+            F.explode(F.split(F.col(body_col), "\n")).alias("__line"),
         )
+        .select(*passthrough, F.trim("__line").alias("__line"))
+        .where(
+            (F.col("__line") != "")
+            & ~F.col("__line").startswith("#")
+            & F.col("__line").rlike(_EXEMPLAR_RE)
+        )
+    )
+    stripped = F.regexp_replace("__line", _EXEMPLAR_RE, "")
+    rawts = F.nullif(
+        F.regexp_extract("__line", _EXEMPLAR_RE, 3), F.lit("")
+    )
+    return line.select(
+        *passthrough,
+        F.regexp_extract(stripped, _METRIC_RE, 1).alias("__name__"),
+        _labels_map(F.regexp_extract(stripped, r"\{(.*)\}", 1)).alias(
+            "labels"
+        ),
+        _labels_map(F.regexp_extract("__line", _EXEMPLAR_RE, 1)).alias(
+            "exemplar"
+        ),
+        _parse_value(F.regexp_extract("__line", _EXEMPLAR_RE, 2)).alias(
+            "value"
+        ),
+        rawts.cast("double").alias("ts"),
     )
 
 
@@ -242,11 +374,12 @@ def scrape_samples(
     payloads: DataFrame,
     label_names: Sequence[str],
     body_col: str = "body",
+    openmetrics: bool = False,
 ) -> DataFrame:
     """The chunk-frame-shaped view: requested labels pivoted to string
     columns (missing -> "", `schema/chunk.go:109-112` semantics), plus
     ``__name__``, ``value``, ``ts``."""
-    base = exposition_samples(payloads, body_col)
+    base = exposition_samples(payloads, body_col, openmetrics=openmetrics)
     cols = [
         F.coalesce(F.try_element_at("labels", F.lit(n)), F.lit("")).alias(n)
         for n in label_names
