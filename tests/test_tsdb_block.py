@@ -829,3 +829,44 @@ def test_cli_export_roundtrip(spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     meta = json.load(open(os.path.join(sliced, "meta.json")))
     assert 0 < meta["stats"]["numSeries"] < 4
+
+
+def test_export_blocks_time_partitioned(spark):
+    """export_blocks: a multi-day frame lands as one ULID-named block
+    per day with disjoint meta windows, and the whole set reads back
+    losslessly through the block-FARM converter."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.tsdb_block import export_blocks
+
+    day = 24 * 3600 * 1000
+    parent = os.path.join(WORK, "export_blocks_parent")
+    shutil.rmtree(parent, ignore_errors=True)
+    frame = _export_source_frame(spark)  # 3 day-buckets per series
+    blocks = export_blocks(frame, parent, block_span_ms=day)
+    assert len(blocks) == 3
+    metas = []
+    for ulid, d in blocks:
+        assert os.path.basename(d) == ulid
+        meta = json.load(open(os.path.join(d, "meta.json")))
+        assert meta["ulid"] == ulid
+        metas.append((meta["minTime"], meta["maxTime"]))
+    # time-ordered, disjoint windows, one per day bucket
+    assert metas == sorted(metas)
+    for (_, max0), (min1, _) in zip(metas, metas[1:]):
+        assert max0 <= min1
+    # no half-built temp dirs left behind
+    assert not [p for p in os.listdir(parent) if p.startswith(".building")]
+    farm = blocks_to_chunk_frame(
+        spark, [d for _, d in blocks],
+        ["__name__", "event_type", "shard"],
+    )
+    got = (
+        farm.select(F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"))
+        .agg(F.count("*"), F.round(F.sum("s.value"), 3))
+        .collect()[0]
+    )
+    assert got[0] == 6 * 3 * 5  # series x days x samples/chunk

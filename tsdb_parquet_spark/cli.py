@@ -318,11 +318,27 @@ def cmd_export(args) -> int:
         )
     else:
         frame = spark.read.parquet(args.store)
+    import json as _json
+
+    if args.span_ms:
+        from tsdb_parquet_spark.tsdb_block import export_blocks
+
+        blocks = export_blocks(
+            frame, args.out, block_span_ms=args.span_ms,
+            max_segment_bytes=args.max_segment_bytes,
+        )
+        print(
+            f"# exported {len(blocks)} block(s) -> {args.out} in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        for ulid, _d in blocks:
+            print(ulid)
+        spark.stop()
+        return 0
     ulid = export_block(
         frame, args.out, max_segment_bytes=args.max_segment_bytes
     )
-    import json as _json
-
     meta = _json.load(open(os.path.join(args.out, "meta.json")))
     print(
         f"# exported block {ulid}: {meta['stats']['numSeries']} series, "
@@ -625,6 +641,11 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--mint", type=int, default=None)
     exp.add_argument("--maxt", type=int, default=None)
     exp.add_argument("--max-segment-bytes", type=int, default=512 << 20)
+    exp.add_argument("--span-ms", type=int, default=None,
+                     help="split the export into time-bounded blocks of "
+                          "this span, ULID-named under --out (the "
+                          "Prometheus data-dir layout) instead of one "
+                          "monolithic block")
     exp.set_defaults(fn=cmd_export)
 
     snaps = sub.add_parser(

@@ -953,3 +953,67 @@ def export_block(
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(block_dir, "meta.json"))
     return ulid
+
+
+def export_blocks(
+    frame: DataFrame,
+    parent_dir: str,
+    block_span_ms: int = 24 * 3600 * 1000,
+    max_segment_bytes: int = 512 << 20,
+    ulid_dirs: bool = True,
+) -> list[tuple[str, str]]:
+    """Export a chunk frame as a SEQUENCE of time-bounded blocks — the
+    layout Prometheus actually keeps (a data dir of 2h/1d blocks named
+    by ULID), where :func:`export_block` writes one monolith.  A 100 TB
+    store cannot be one block: readers plan per-block by meta.json's
+    [minTime, maxTime), compaction and retention work block-at-a-time,
+    and segment refs are 32-bit offsets.
+
+    Chunks land in the block covering their ``__mint`` (store chunks
+    are span-aligned by ``samples_to_chunks``, so a chunk never
+    straddles an export boundary wider than its own span; pick
+    ``block_span_ms`` >= the store's chunk span).  The bucket list is
+    the only driver-side state (one tiny distinct scan); each bucket
+    then runs one distributed :func:`export_block` over a pruned scan
+    — ``__mint`` range predicates push down to the store's zone maps,
+    so block N's export reads only block N's row groups.
+
+    Returns ``[(ulid, block_dir), ...]`` in time order.  With
+    ``ulid_dirs`` each block lands in ``parent_dir/<ulid>`` (the
+    Prometheus naming), written under a temp name and renamed on
+    completion so a crash never leaves a half-block under a
+    plausible-looking name."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.schema import MIN_T
+
+    buckets = sorted(
+        r[0]
+        for r in frame.select(
+            (F.col(MIN_T) - (F.col(MIN_T) % block_span_ms)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        raise ValueError("export_blocks: frame has no chunks")
+    os.makedirs(parent_dir, exist_ok=True)
+    out: list[tuple[str, str]] = []
+    for start in buckets:
+        part = frame.where(
+            (F.col(MIN_T) >= start) & (F.col(MIN_T) < start + block_span_ms)
+        )
+        work_dir = os.path.join(
+            parent_dir, f".building-{start}-{os.getpid()}"
+        )
+        shutil.rmtree(work_dir, ignore_errors=True)
+        ulid = export_block(
+            part, work_dir, max_segment_bytes=max_segment_bytes
+        )
+        final = os.path.join(parent_dir, ulid if ulid_dirs else str(start))
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(work_dir, final)
+        out.append((ulid, final))
+    return out
