@@ -870,3 +870,48 @@ def test_export_blocks_time_partitioned(spark):
         .collect()[0]
     )
     assert got[0] == 6 * 3 * 5  # series x days x samples/chunk
+
+
+def test_export_blocks_then_sync_back_full_circle(spark):
+    """store -> export_blocks farm -> sync_blocks into a SECOND store:
+    the exported data dir satisfies the incremental importer's contract
+    (discover_blocks finds the ULID dirs, meta.json windows order them)
+    and the circle is lossless."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.tsdb_block import (
+        discover_blocks,
+        export_blocks,
+        sync_blocks,
+    )
+
+    day = 24 * 3600 * 1000
+    parent = os.path.join(WORK, "full_circle_blocks")
+    store2 = os.path.join(WORK, "full_circle_store")
+    for p in (parent, store2):
+        shutil.rmtree(p, ignore_errors=True)
+    frame = _export_source_frame(spark)
+    export_blocks(frame, parent, block_span_ms=day)
+    assert len(discover_blocks(parent)) == 3
+    r = sync_blocks(
+        spark, parent, store2, ["__name__", "event_type", "shard"]
+    )
+    assert len(r["converted"]) == 3
+    back = spark.read.parquet(r["part"])
+    got = (
+        back.select(F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"))
+        .agg(F.count("*"), F.round(F.sum("s.value"), 3))
+        .collect()[0]
+    )
+    want = (
+        frame.select(F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"))
+        .agg(F.count("*"), F.round(F.sum("s.value"), 3))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+    # idempotence: a second sync over the same dir converts nothing
+    r2 = sync_blocks(
+        spark, parent, store2, ["__name__", "event_type", "shard"]
+    )
+    assert r2["converted"] == [] and len(r2["skipped"]) == 3
