@@ -1312,3 +1312,32 @@ def test_to_api_response_matrix_shape(spark):
     assert api == [[60.0, "1"], [120.0, "2"]]
     # web's only sample (t=10s) ages out of the 60s lookback by t=120s
     assert web == [[60.0, "5"]]
+
+
+def test_to_api_instant_response_vector_shape(spark):
+    import json
+
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.plans.promql import (
+        PromQLEngine,
+        to_api_instant_response,
+    )
+
+    samples = spark.createDataFrame(
+        [("m", "api", 10_000, 1.5), ("m", "web", 10_000, 2.0)],
+        "__name__ string, job string, ts long, value double",
+    )
+    engine = PromQLEngine(samples)
+    out = engine.query_range("sum by (job) (m)", 60_000, 60_000, 60_000,
+                             lookback_ms=60_000)
+    resp = to_api_instant_response(out)
+    json.dumps(resp)
+    assert resp["data"]["resultType"] == "vector"
+    assert resp["data"]["result"] == [
+        {"metric": {"job": "api"}, "value": [60.0, "1.5"]},
+        {"metric": {"job": "web"}, "value": [60.0, "2"]},
+    ]
+    multi = engine.query_range("sum by (job) (m)", 60_000, 120_000, 60_000)
+    with _pytest.raises(ValueError, match="one step"):
+        to_api_instant_response(multi)

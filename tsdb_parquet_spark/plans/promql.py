@@ -2445,3 +2445,30 @@ def to_api_response(result: "DataFrame", t_col: str = "t",
         "status": "success",
         "data": {"resultType": "matrix", "result": out},
     }
+
+
+def to_api_instant_response(result: "DataFrame", t_col: str = "t",
+                            value_col: str = "value") -> dict:
+    """The ``/api/v1/query`` (INSTANT) response: ``resultType: vector``,
+    one ``value`` pair per series.  Feed it a single-step
+    ``query_range(t, t, step)`` frame; a multi-step frame is rejected —
+    that is a matrix, not a vector."""
+    label_cols = [c for c in result.columns if c not in (t_col, value_col)]
+    rows = result.collect()
+    ts = {row[t_col] for row in rows}
+    if len(ts) > 1:
+        raise ValueError(
+            f"instant response needs exactly one step, got {sorted(ts)}"
+        )
+    out = [
+        {
+            "metric": {c: row[c] for c in label_cols if row[c]},
+            "value": [row[t_col] / 1000.0, _api_value(row[value_col])],
+        }
+        for row in rows
+    ]
+    out.sort(key=lambda e: sorted(e["metric"].items()))
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": out},
+    }
