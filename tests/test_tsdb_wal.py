@@ -988,3 +988,47 @@ def test_cli_sync_and_promql_live(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     # latest per series within lookback: block 2.0 + unsynced head 9.0
     assert "'value': 11.0" in proc.stdout, proc.stdout[-500:]
+
+
+def test_cli_promql_data_dir_direct(spark, tmp_path):
+    """`promql --data-dir`: evaluate straight off a raw Prometheus
+    installation (block + head WAL), no sync/store step, with the
+    /api/v1/query_range response body via --api-json."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ts = np.array([10_000, 20_000], dtype=np.int64)
+    write_block(
+        str(data / "b"),
+        [({"__name__": "m", "job": "a"},
+          [(10_000, 20_000, encode_xor_chunk(ts, np.array([1.0, 2.0])))])],
+    )
+    os.rename(str(data / "b"), str(data / "01DDDDDDDDDDDDDDDDDDDDDDDD"))
+    w = WalWriter(str(data / "wal"), compression="snappy")
+    w.log_series([(1, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, 30_000, 5.0)])
+    w.close()
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "promql",
+         "sum(m)", "--data-dir", str(data),
+         "--labels", "__name__,job",
+         "--start", "30000", "--end", "30000", "--step", "10000",
+         "--lookback", "30000", "--api-json"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    resp = json.loads(proc.stdout.strip().splitlines()[-1])
+    # block series latest 2.0 (t=20s) + WAL head series 5.0 (t=30s)
+    assert resp["data"]["result"] == [
+        {"metric": {}, "values": [[30.0, "7"]]}
+    ]

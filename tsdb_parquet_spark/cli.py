@@ -92,8 +92,21 @@ def cmd_promql(args) -> int:
     spark = get_spark(app_name="tsdb-promql")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
+    if not args.store and not args.data_dir:
+        raise SystemExit("promql needs --store or --data-dir")
     labels = args.labels.split(",") if args.labels else None
-    if args.wal:
+    if args.data_dir:
+        # PromQL STRAIGHT off a raw Prometheus data dir — blocks + head
+        # WAL, no conversion step, no store: the engine as a drop-in
+        # query tool over an untouched installation
+        from tsdb_parquet_spark.chunks import chunks_to_samples
+        from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+
+        if not labels:
+            raise SystemExit("--data-dir requires --labels")
+        frame = data_dir_to_chunk_frame(spark, args.data_dir, labels)
+        samples = chunks_to_samples(frame, labels)
+    elif args.wal:
         from tsdb_parquet_spark.tsdb_wal import live_samples_frame
 
         if not labels:
@@ -573,7 +586,13 @@ def main(argv: list[str] | None = None) -> int:
              "(--wal adds the live head for Prometheus-fresh results)",
     )
     pq.add_argument("query", help="PromQL expression")
-    pq.add_argument("--store", required=True)
+    pq.add_argument("--store",
+                    help="chunk store (or use --data-dir for a raw "
+                         "Prometheus installation)")
+    pq.add_argument("--data-dir",
+                    help="evaluate straight off a Prometheus data dir "
+                         "(blocks + head WAL), no conversion step; "
+                         "requires --labels")
     pq.add_argument("--start", type=int, required=True,
                     help="start of the step grid, Unix ms")
     pq.add_argument("--end", type=int, required=True)
