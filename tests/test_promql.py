@@ -1341,3 +1341,28 @@ def test_to_api_instant_response_vector_shape(spark):
     multi = engine.query_range("sum by (job) (m)", 60_000, 120_000, 60_000)
     with _pytest.raises(ValueError, match="one step"):
         to_api_instant_response(multi)
+
+
+def test_data_window_conservative_bounds():
+    from tsdb_parquet_spark.plans.promql import data_window, parse_promql
+
+    lb = 300_000  # 5m lookback
+    w = lambda q: data_window(parse_promql(q), 1_000_000, 2_000_000, lb)  # noqa: E731
+    # instant selector: lookback behind every step
+    assert w("sum(m)") == (1_000_000 - lb, 2_000_000)
+    # range selector: its own range, not the lookback
+    assert w("rate(m[10m])") == (1_000_000 - 600_000, 2_000_000)
+    # offset shifts both ends; negative offset shifts forward
+    assert w("m offset 1m") == (1_000_000 - lb - 60_000, 2_000_000 - 60_000)
+    assert w("m offset -1m") == (1_000_000 - lb + 60_000, 2_000_000 + 60_000)
+    # @ pins evaluation: the window collapses around the pin
+    assert w("m @ 500") == (500_000 - lb, 500_000)
+    assert w("m @ start()") == (1_000_000 - lb, 1_000_000)
+    # binary: union of both sides
+    assert w("rate(m[10m]) + (n offset 30m)") == (
+        1_000_000 - lb - 1_800_000, 2_000_000 - 1_800_000 + 1_800_000)
+    # subquery widens the inner evaluation interval by its range
+    assert w("max_over_time(rate(m[1m])[30m:1m])") == (
+        1_000_000 - 1_800_000 - 60_000, 2_000_000)
+    # sample-free queries prune nothing
+    assert w("vector(1) + time()") is None

@@ -1032,3 +1032,54 @@ def test_cli_promql_data_dir_direct(spark, tmp_path):
     assert resp["data"]["result"] == [
         {"metric": {}, "values": [[30.0, "7"]]}
     ]
+
+
+def test_data_dir_block_pruning_by_query_window(spark, tmp_path):
+    """mint/maxt on data_dir_to_chunk_frame prune whole blocks by their
+    meta windows before any index parse, and the pruned evaluation is
+    value-identical to the unpruned one inside the window."""
+    import numpy as np
+
+    from tsdb_parquet_spark.tsdb_block import (
+        prune_blocks_by_time,
+        write_block,
+    )
+    from tsdb_parquet_spark.tsdb_wal import (
+        data_dir_to_chunk_frame,
+        discover_data_dir,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    day = 24 * 3600 * 1000
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        ts = np.array([i * day + 1_000, i * day + 2_000], dtype=np.int64)
+        d = str(data / f"b{i}")
+        write_block(
+            d,
+            [({"__name__": "m", "job": "a"},
+              [(int(ts[0]), int(ts[-1]),
+                encode_xor_chunk(ts, np.array([1.0 * i, 2.0 * i])))])],
+        )
+        os.rename(d, str(data / f"01B{i}AAAAAAAAAAAAAAAAAAAAAA"))
+    blocks, _ = discover_data_dir(str(data))
+    assert len(blocks) == 3
+    # window inside day 1 only
+    kept = prune_blocks_by_time(blocks, day + 500, day + 5_000)
+    assert len(kept) == 1
+    pruned = data_dir_to_chunk_frame(
+        spark, str(data), ["__name__", "job"],
+        mint=day + 500, maxt=day + 5_000,
+    )
+    # exactly the one in-window block's chunk survives
+    rows = pruned.collect()
+    assert len(rows) == 1
+    assert rows[0]["__mint"] == day + 1_000
+    # empty window with no WAL: empty frame, correct schema, no error
+    empty = data_dir_to_chunk_frame(
+        spark, str(data), ["__name__", "job"],
+        mint=10 * day, maxt=11 * day,
+    )
+    assert empty.count() == 0
+    assert "__chunk_bytes" in empty.columns

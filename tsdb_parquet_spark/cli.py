@@ -100,11 +100,21 @@ def cmd_promql(args) -> int:
         # WAL, no conversion step, no store: the engine as a drop-in
         # query tool over an untouched installation
         from tsdb_parquet_spark.chunks import chunks_to_samples
+        from tsdb_parquet_spark.plans.promql import data_window, parse_promql
         from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
 
         if not labels:
             raise SystemExit("--data-dir requires --labels")
-        frame = data_dir_to_chunk_frame(spark, args.data_dir, labels)
+        # prune whole blocks by the query's own data window — a bounded
+        # query over a multi-year farm touches a handful of its blocks
+        window = data_window(
+            parse_promql(args.query), args.start, args.end,
+            lookback_ms=args.lookback,
+        )
+        mint, maxt = window if window else (None, None)
+        frame = data_dir_to_chunk_frame(
+            spark, args.data_dir, labels, mint=mint, maxt=maxt
+        )
         samples = chunks_to_samples(frame, labels)
     elif args.wal:
         from tsdb_parquet_spark.tsdb_wal import live_samples_frame

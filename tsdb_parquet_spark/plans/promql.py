@@ -2472,3 +2472,53 @@ def to_api_instant_response(result: "DataFrame", t_col: str = "t",
         "status": "success",
         "data": {"resultType": "vector", "result": out},
     }
+
+
+def data_window(
+    node, start_ms: int, end_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> "tuple[int, int] | None":
+    """Conservative ``[mint, maxt]`` of RAW SAMPLE timestamps the query
+    can read when evaluated over ``[start_ms, end_ms]`` — the bound a
+    source uses to prune whole blocks/partitions before any scan.
+
+    Walks the AST tracking the evaluation-time interval: ``@`` pins it,
+    ``offset`` shifts it (negative = forward), a subquery widens the
+    inner interval by its range; each selector then reaches back by its
+    range (or the instant lookback).  Returns None when the query reads
+    no samples at all (pure ``time()``/``vector()`` arithmetic) —
+    callers skip pruning, not the scan."""
+    import dataclasses as _dc
+
+    lo: "int | None" = None
+    hi: "int | None" = None
+
+    def visit(n, elo: int, ehi: int) -> None:
+        nonlocal lo, hi
+        if not hasattr(n, "__dataclass_fields__"):
+            return
+        if isinstance(n, PromSubquery):
+            visit(n.inner, elo - n.range_ms, ehi)
+            return
+        if isinstance(n, PromExpr):
+            if n.at_ms is not None:
+                at = (
+                    start_ms if n.at_ms == "start"
+                    else end_ms if n.at_ms == "end"
+                    else n.at_ms
+                )
+                elo = ehi = at
+            if n.offset_ms:
+                elo -= n.offset_ms
+                ehi -= n.offset_ms
+            back = n.range_ms if n.range_ms is not None else lookback_ms
+            lo = elo - back if lo is None else min(lo, elo - back)
+            hi = ehi if hi is None else max(hi, ehi)
+            return
+        for f in _dc.fields(n):
+            visit(getattr(n, f.name), elo, ehi)
+
+    visit(node, start_ms, end_ms)
+    if lo is None:
+        return None
+    return lo, hi

@@ -669,6 +669,28 @@ def discover_blocks(data_dir: str) -> list[str]:
     return [d for _, d in sorted(found)]
 
 
+def prune_blocks_by_time(
+    block_dirs: Sequence[str],
+    mint: int | None,
+    maxt: int | None,
+) -> list[str]:
+    """Keep only blocks whose meta.json window can hold samples in
+    ``[mint, maxt]`` (block windows are ``[minTime, maxTime)``).  A
+    driver-side read of tiny meta.json files — the same per-block
+    planning Prometheus itself does; on a multi-year farm this is the
+    difference between parsing a handful of indexes and thousands."""
+    kept = []
+    for d in block_dirs:
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        if mint is not None and meta.get("maxTime", 0) <= mint:
+            continue
+        if maxt is not None and meta.get("minTime", 0) > maxt:
+            continue
+        kept.append(d)
+    return kept
+
+
 def sync_blocks(
     spark: SparkSession,
     data_dir: str,

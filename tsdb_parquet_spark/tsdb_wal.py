@@ -1401,6 +1401,8 @@ def data_dir_to_chunk_frame(
     label_names: Sequence[str],
     chunk_span_ms: int | None = None,
     wal_encoding: str = "raw",
+    mint: int | None = None,
+    maxt: int | None = None,
 ) -> DataFrame:
     """The FULL converter input surface: one chunk frame from an entire
     Prometheus data dir — every compacted block (via
@@ -1418,6 +1420,18 @@ def data_dir_to_chunk_frame(
     ``block_ordinal << 32 | local``, WAL-origin ids are offset by
     ``n_blocks << 32`` — the id stays file-local identity
     (`schema/chunk.go:28-30`), never a join key across stores.
+
+    ``mint``/``maxt`` (sample-time ms, inclusive) prune WHOLE BLOCKS by
+    their meta.json windows before any index parse — on a multi-year
+    installation a bounded query touches a handful of its thousands of
+    blocks — plus a chunk-level time filter on the union (covers the
+    WAL-origin chunks too).  One-shot query paths pass the bounds
+    (`cli promql --data-dir` derives them from the query via
+    `plans.promql.data_window`); converters leave them None.  NOTE:
+    with pruning active the block ordinals (and so ``__series__id``)
+    depend on the pruned list — fine for a query, wrong for an
+    incremental store build (`sync_blocks` keeps its own stable
+    ordinals).
     """
     from pyspark.sql import functions as F
 
@@ -1432,6 +1446,10 @@ def data_dir_to_chunk_frame(
     blocks, wal = discover_data_dir(data_dir)
     if not blocks and not wal:
         raise ValueError(f"no blocks and no WAL under {data_dir}")
+    if blocks and (mint is not None or maxt is not None):
+        from tsdb_parquet_spark.tsdb_block import prune_blocks_by_time
+
+        blocks = prune_blocks_by_time(blocks, mint, maxt)
     frames: list[DataFrame] = []
     if blocks:
         frames.append(
@@ -1448,9 +1466,34 @@ def data_dir_to_chunk_frame(
             SERIES_ID, F.col(SERIES_ID) + F.lit(len(blocks) << 32)
         )
         frames.append(wal_chunks)
+    if not frames:
+        # every block pruned away and no WAL: an empty frame with the
+        # right schema (ask for one unpruned block's schema is overkill
+        # — synthesize from label_names)
+        from tsdb_parquet_spark.schema import (
+            CHUNK_BYTES,
+            MAX_T,
+            MIN_T,
+            SERIES_ID,
+        )
+
+        schema = (
+            f"`{SERIES_ID}` long, `{MIN_T}` long, `{MAX_T}` long, "
+            + ", ".join(f"`{c}` string" for c in sorted(label_names))
+            + f", `{CHUNK_BYTES}` binary"
+        )
+        return spark.createDataFrame([], schema)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if mint is not None:
+        from tsdb_parquet_spark.schema import MAX_T
+
+        out = out.where(F.col(MAX_T) >= mint)
+    if maxt is not None:
+        from tsdb_parquet_spark.schema import MIN_T
+
+        out = out.where(F.col(MIN_T) <= maxt)
     return out
 
 
