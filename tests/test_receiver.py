@@ -186,3 +186,63 @@ def test_cli_ingest_remote_write_spool(spark):
     n, total = _store_totals(spark, os.path.join(root, "compact"))
     want_n, want_total = _expected(series)
     assert n == want_n and math.isclose(total, want_total, rel_tol=1e-9)
+
+
+def test_http_remote_write_end_to_end(spark):
+    """The FULL push path over a real socket: an http.client sender
+    POSTs snappy-framed protobuf (v1 and v2, with the spec headers) to
+    the loopback receiver, bodies spool, Structured Streaming drains
+    the spool into a sorted store — totals exact.  Bad bodies get 400
+    and never poison the spool."""
+    import http.client
+    from urllib.parse import urlparse
+
+    from tsdb_parquet_spark.sources.remote_write_server import (
+        RemoteWriteServer,
+    )
+
+    spool = os.path.join(WORK, "http_spool")
+    root = os.path.join(WORK, "http_store")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    series = _series(n_jobs=1, n_shards=2, n_samples=20)
+    with RemoteWriteServer(spool) as url:
+        u = urlparse(url)
+        conn = http.client.HTTPConnection(u.hostname, u.port)
+        for i, s in enumerate(series):
+            version = 1 + i % 2
+            body = frame_payload(encode_write_request([s], version=version))
+            conn.request(
+                "POST", "/api/v1/write", body=body,
+                headers={
+                    "Content-Encoding": "snappy",
+                    "Content-Type": "application/x-protobuf",
+                    "X-Prometheus-Remote-Write-Version":
+                        "0.1.0" if version == 1 else "2.0.0",
+                },
+            )
+            resp = conn.getresponse()
+            assert resp.status == 204
+            resp.read()
+        # an undecodable body is rejected, not spooled
+        conn.request("POST", "/api/v1/write", body=b"\xff\xff\xff",
+                     headers={"Content-Encoding": "snappy"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        # wrong path
+        conn.request("POST", "/api/v1/other", body=b"")
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        conn.close()
+    names = sorted(os.listdir(spool))
+    assert len(names) == len(series)
+    assert names[0].endswith("-v0.bin") and names[1].endswith("-v2.bin")
+    ingestor, stream = remote_write_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR
+    )
+    ingestor.ingest(stream)
+    n, total = _store_totals(spark, ingestor.finalize())
+    want_n, want_total = _expected(series)
+    assert n == want_n and math.isclose(total, want_total, rel_tol=1e-9)
