@@ -915,3 +915,70 @@ def test_export_blocks_then_sync_back_full_circle(spark):
         spark, parent, store2, ["__name__", "event_type", "shard"]
     )
     assert r2["converted"] == [] and len(r2["skipped"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# tombstones (tsdb/docs/format/tombstones.md)
+# ---------------------------------------------------------------------------
+
+
+def test_tombstones_roundtrip_and_corruption():
+    from tsdb_parquet_spark.tsdb_block import (
+        read_tombstones,
+        write_tombstones,
+    )
+
+    d = _block_dir("tomb")
+    stones = {0: [(-5, 100)], 7: [(0, 10), (20, 30)]}
+    write_tombstones(d, stones)
+    assert read_tombstones(d) == stones
+    # empty file: 9 bytes (magic + version + crc of nothing)
+    write_tombstones(d)
+    assert os.path.getsize(os.path.join(d, "tombstones")) == 9
+    assert read_tombstones(d) == {}
+    # missing file reads empty (Prometheus tolerates it)
+    os.remove(os.path.join(d, "tombstones"))
+    assert read_tombstones(d) == {}
+    # corruption is loud
+    write_tombstones(d, stones)
+    buf = bytearray(open(os.path.join(d, "tombstones"), "rb").read())
+    buf[6] ^= 0xFF
+    open(os.path.join(d, "tombstones"), "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="crc32c"):
+        read_tombstones(d)
+
+
+def test_written_blocks_carry_empty_tombstones(spark):
+    from tsdb_parquet_spark.tsdb_block import export_block, read_tombstones
+
+    d = _block_dir("tomb_wb")
+    series = _sample_series()
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+    assert read_tombstones(d) == {}
+    assert os.path.exists(os.path.join(d, "tombstones"))
+    d2 = os.path.join(WORK, "tomb_export")
+    shutil.rmtree(d2, ignore_errors=True)
+    export_block(_export_source_frame(spark), d2)
+    assert read_tombstones(d2) == {}
+
+
+def test_convert_refuses_pending_tombstones(spark):
+    from tsdb_parquet_spark.tsdb_block import write_tombstones
+
+    d = _block_dir("tomb_refuse")
+    series = _sample_series()
+    write_block(d, [(labels, chs) for labels, chs, _ in series])
+    write_tombstones(d, {0: [(0, 10_000_000_000_000)]})
+    with pytest.raises(ValueError, match="resurrect"):
+        block_to_chunk_frame(spark, d)
+    # the farm shape refuses too (executor-side check)
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    farm = blocks_to_chunk_frame(spark, [d], ["__name__", "job", "shard"])
+    with pytest.raises(Exception, match="resurrect"):
+        farm.count()
+    # escape hatch proceeds knowingly
+    assert block_to_chunk_frame(spark, d, tombstones="ignore").count() == 4
+    assert blocks_to_chunk_frame(
+        spark, [d], ["__name__", "job", "shard"], tombstones="ignore"
+    ).count() == 4

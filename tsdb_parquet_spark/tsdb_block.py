@@ -181,6 +181,91 @@ def read_chunk_record(segment: bytes, offset: int) -> tuple[int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# tombstones file (tsdb/docs/format/tombstones.md)
+# ---------------------------------------------------------------------------
+
+TOMBSTONES_MAGIC = 0x0130BA30
+TOMBSTONES_VERSION = 1
+
+
+def write_tombstones(
+    block_dir: str,
+    stones: "dict[int, list[tuple[int, int]]] | None" = None,
+) -> None:
+    """Write the block's ``tombstones`` file: magic u32 BE + version
+    byte + stones (series ref uvarint, mint varint, maxt varint each) +
+    crc32c of the stones section.  Prometheus writes one (usually
+    empty) for every block; emitting it maximizes ``tsdb.OpenBlock``
+    compatibility for exported blocks."""
+    content = bytearray()
+    for ref in sorted(stones or {}):
+        for mint, maxt in stones[ref]:
+            _put_uvarint(content, ref)
+            _put_varint(content, mint)
+            _put_varint(content, maxt)
+    out = bytearray(struct.pack(">IB", TOMBSTONES_MAGIC, TOMBSTONES_VERSION))
+    out += content
+    out += struct.pack(">I", crc32c(bytes(content)))
+    with open(os.path.join(block_dir, "tombstones"), "wb") as fh:
+        fh.write(bytes(out))
+
+
+def read_tombstones(block_dir: str) -> "dict[int, list[tuple[int, int]]]":
+    """Parse ``tombstones`` into {series ref: [(mint, maxt), ...]}.
+    A missing file reads as empty (Prometheus tolerates it); a present
+    file is CRC-verified and version-checked."""
+    path = os.path.join(block_dir, "tombstones")
+    if not os.path.exists(path):
+        return {}
+    buf = open(path, "rb").read()
+    if len(buf) < 9:
+        raise ValueError("tombstones file too short")
+    magic, version = struct.unpack_from(">IB", buf, 0)
+    if magic != TOMBSTONES_MAGIC:
+        raise ValueError(f"bad tombstones magic {magic:#x}")
+    if version != TOMBSTONES_VERSION:
+        raise ValueError(f"unsupported tombstones version {version}")
+    content = buf[5:-4]
+    (want,) = struct.unpack_from(">I", buf, len(buf) - 4)
+    got = crc32c(content)
+    if got != want:
+        raise ValueError(
+            f"tombstones crc32c mismatch (got {got:#x}, want {want:#x})"
+        )
+    stones: dict[int, list[tuple[int, int]]] = {}
+    pos, end = 0, len(content)
+    while pos < end:
+        ref, pos = _read_uvarint(content, pos)
+        mint, pos = _read_varint(content, pos)
+        maxt, pos = _read_varint(content, pos)
+        stones.setdefault(ref, []).append((mint, maxt))
+    return stones
+
+
+def check_tombstones(block_dir: str, mode: str) -> None:
+    """Ingest guard: a block with PENDING tombstones marks samples as
+    deleted that its chunks still contain — converting it as-is would
+    silently resurrect them (Prometheus applies tombstones at query
+    time; the reference converter, using raw chunk bytes, has the same
+    blind spot).  ``mode='error'`` (default in the converters) refuses
+    with instructions; ``'ignore'`` proceeds knowingly."""
+    if mode == "ignore":
+        return
+    if mode != "error":
+        raise ValueError(f"unknown tombstones mode {mode!r}")
+    stones = read_tombstones(block_dir)
+    if stones:
+        n = sum(len(v) for v in stones.values())
+        raise ValueError(
+            f"block {block_dir} has {n} pending tombstone interval(s) "
+            f"over {len(stones)} series; converting raw chunks would "
+            "resurrect deleted samples. Compact the block first "
+            "(promtool tsdb or a Prometheus restart applies them) or "
+            "pass tombstones='ignore' to proceed knowingly."
+        )
+
+
+# ---------------------------------------------------------------------------
 # index file
 # ---------------------------------------------------------------------------
 
@@ -448,6 +533,7 @@ def write_block(
         for labels, chs in series
     ]
     write_index(block_dir, indexed)
+    write_tombstones(block_dir)  # empty, like every fresh Prometheus block
     times = [t for _, chs in indexed for t, maxt, _ in chs] or [0]
     maxts = [maxt for _, chs in indexed for _, maxt, _ in chs] or [0]
     ulid = _ulid_from_bytes(
@@ -470,7 +556,7 @@ def write_block(
 
 
 def block_to_chunk_frame(
-    spark: SparkSession, block_dir: str
+    spark: SparkSession, block_dir: str, tombstones: str = "error"
 ) -> DataFrame:
     """The reference converter's core (`cmd/convert/main.go:79-117`) as a
     distributed plan: one row per chunk with the reference schema —
@@ -499,6 +585,7 @@ def block_to_chunk_frame(
         SERIES_ID,
     )
 
+    check_tombstones(block_dir, tombstones)
     series = read_index(block_dir)
     label_names = sorted({n for labels, _ in series for n in labels})
     meta_rows = [
@@ -552,6 +639,7 @@ def blocks_to_chunk_frame(
     label_names: Sequence[str],
     batch_rows: int = 4096,
     block_ids: Sequence[int] | None = None,
+    tombstones: str = "error",
 ) -> DataFrame:
     """Multi-block converter — the block-FARM shape of
     :func:`block_to_chunk_frame`.
@@ -627,6 +715,7 @@ def blocks_to_chunk_frame(
                 pdf["block_idx"], pdf["block_dir"]
             ):
                 base = int(block_idx) << 32
+                check_tombstones(block_dir, tombstones)
                 segments: dict[int, bytes] = {}
                 rows: list[tuple] = []
                 for sid, (labels, metas) in enumerate(read_index(block_dir)):
@@ -956,6 +1045,7 @@ def export_block(
         for key, chunk_metas in by_series.items()
     ]
     write_index(block_dir, series)
+    write_tombstones(block_dir)  # empty — deletions were applied upstream
     ulid = _ulid_from_bytes(
         open(os.path.join(block_dir, "index"), "rb").read()
     )
