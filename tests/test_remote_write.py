@@ -221,3 +221,39 @@ def test_unframe_never_crashes(data):
         unframe_payload(data)
     except ValueError:
         pass
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_exemplar_roundtrip(version):
+    from tsdb_parquet_spark.remote_write import decode_exemplars
+
+    series = [
+        (SERIES[0][0], SERIES[0][1],
+         [({"trace_id": "abc123"}, 0.67, 1_520_879_607_789),
+          ({"trace_id": "z", "span_id": "s1"}, 9.5, -1)]),
+        (SERIES[2][0], SERIES[2][1]),  # no exemplars
+    ]
+    proto = encode_write_request(series, version=version)
+    # exemplars decode with their owning series' label set
+    assert decode_exemplars(proto) == [
+        (SERIES[0][0], {"trace_id": "abc123"}, 0.67, 1_520_879_607_789),
+        (SERIES[0][0], {"trace_id": "z", "span_id": "s1"}, 9.5, -1),
+    ]
+    # and the SAMPLE decode is unaffected by their presence
+    out = decode_write_request(proto)
+    assert [(dict(l), list(s)) for l, s in out] == [
+        (SERIES[0][0], list(SERIES[0][1])),
+        (SERIES[2][0], list(SERIES[2][1])),
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_exemplars_never_crashes(data):
+    from tsdb_parquet_spark.remote_write import decode_exemplars
+
+    for version in (None, 1, 2):
+        try:
+            decode_exemplars(data, version=version)
+        except ValueError:
+            pass

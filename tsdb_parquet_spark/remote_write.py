@@ -60,6 +60,7 @@ from tsdb_parquet_spark.tsdb_wal import (
 __all__ = [
     "encode_write_request",
     "decode_write_request",
+    "decode_exemplars",
     "frame_payload",
     "unframe_payload",
     "sniff_version",
@@ -154,9 +155,11 @@ def _encode_sample(ts_ms: int, value: float) -> bytes:
     return bytes(out)
 
 
-def _encode_v1(series: Sequence[tuple[dict, Sequence[tuple[int, float]]]]) -> bytes:
+def _encode_v1(series) -> bytes:
     req = bytearray()
-    for labels, samples in series:
+    for entry in series:
+        labels, samples = entry[0], entry[1]
+        exemplars = entry[2] if len(entry) > 2 else ()
         ts_msg = bytearray()
         for name in sorted(labels):
             lab = bytearray()
@@ -165,6 +168,18 @@ def _encode_v1(series: Sequence[tuple[dict, Sequence[tuple[int, float]]]]) -> by
             _put_len_delim(ts_msg, 1, bytes(lab))
         for ts_ms, value in samples:
             _put_len_delim(ts_msg, 2, _encode_sample(int(ts_ms), float(value)))
+        for ex_labels, value, ts_ms in exemplars:
+            ex = bytearray()
+            for name in sorted(ex_labels):
+                lab = bytearray()
+                _put_len_delim(lab, 1, name.encode("utf-8"))
+                _put_len_delim(lab, 2, ex_labels[name].encode("utf-8"))
+                _put_len_delim(ex, 1, bytes(lab))
+            _put_key(ex, 2, 1)
+            ex += struct.pack("<d", float(value))
+            _put_key(ex, 3, 0)
+            _put_i64(ex, int(ts_ms))
+            _put_len_delim(ts_msg, 3, bytes(ex))
         _put_len_delim(req, 1, bytes(ts_msg))
     return bytes(req)
 
@@ -180,16 +195,29 @@ def _encode_v2(series: Sequence[tuple[dict, Sequence[tuple[int, float]]]]) -> by
             symbols.append(s)
         return index[s]
 
-    ts_msgs = []
-    for labels, samples in series:
+    def packed_refs(labels: dict) -> bytes:
         refs = bytearray()
         for name in sorted(labels):
             _put_uvarint(refs, ref(name))
             _put_uvarint(refs, ref(labels[name]))
+        return bytes(refs)
+
+    ts_msgs = []
+    for entry in series:
+        labels, samples = entry[0], entry[1]
+        exemplars = entry[2] if len(entry) > 2 else ()
         ts_msg = bytearray()
-        _put_len_delim(ts_msg, 1, bytes(refs))  # packed labels_refs
+        _put_len_delim(ts_msg, 1, packed_refs(labels))  # packed labels_refs
         for ts_ms, value in samples:
             _put_len_delim(ts_msg, 2, _encode_sample(int(ts_ms), float(value)))
+        for ex_labels, value, ts_ms in exemplars:
+            ex = bytearray()
+            _put_len_delim(ex, 1, packed_refs(ex_labels))
+            _put_key(ex, 2, 1)
+            ex += struct.pack("<d", float(value))
+            _put_key(ex, 3, 0)
+            _put_i64(ex, int(ts_ms))
+            _put_len_delim(ts_msg, 3, bytes(ex))
         ts_msgs.append(bytes(ts_msg))
     req = bytearray()
     for s in symbols:
@@ -206,7 +234,9 @@ def encode_write_request(
     """Encode ``[(labels, [(ts_ms, value), ...]), ...]`` as an
     UNCOMPRESSED remote-write protobuf (snappy framing is separate:
     :func:`frame_payload`).  ``version`` is 1 (prometheus.WriteRequest)
-    or 2 (io.prometheus.write.v2.Request)."""
+    or 2 (io.prometheus.write.v2.Request).  A series tuple may carry a
+    THIRD element — exemplars ``[(ex_labels, value, ts_ms), ...]``
+    (read back by :func:`decode_exemplars`)."""
     if version == 1:
         return _encode_v1(series)
     if version == 2:
@@ -395,3 +425,101 @@ def remote_write_frame(
             yield pd.DataFrame(buf, columns=cols)
 
     return payloads.mapInPandas(convert, schema)
+
+
+# ---------------------------------------------------------------------------
+# exemplars
+# ---------------------------------------------------------------------------
+
+
+def _decode_v1_exemplar(data: bytes, pos: int, end: int):
+    labels: dict[str, str] = {}
+    value, ts_ms = 0.0, 0
+    for field, wire, a, b in _fields(data, pos, end):
+        if field == 1 and wire == 2:
+            name, val = _decode_label(data, a, b)
+            labels[name] = val
+        elif field == 2 and wire == 1:
+            (value,) = struct.unpack_from("<d", data, a)
+        elif field == 3 and wire == 0:
+            ts_ms = _as_i64(a)
+    return labels, value, ts_ms
+
+
+def _decode_v2_exemplar(data: bytes, pos: int, end: int):
+    refs: list[int] = []
+    value, ts_ms = 0.0, 0
+    for field, wire, a, b in _fields(data, pos, end):
+        if field == 1 and wire == 2:
+            refs.extend(_decode_refs(data, a, b))
+        elif field == 1 and wire == 0:
+            refs.append(a)
+        elif field == 2 and wire == 1:
+            (value,) = struct.unpack_from("<d", data, a)
+        elif field == 3 and wire == 0:
+            ts_ms = _as_i64(a)
+    return refs, value, ts_ms
+
+
+def decode_exemplars(
+    proto: bytes, version: int | None = None
+) -> list[tuple[dict, dict, float, int]]:
+    """Exemplars riding on a remote-write payload:
+    ``[(series_labels, exemplar_labels, value, ts_ms), ...]``.
+    prompb/remote.proto TimeSeries.exemplars = 3 (v1); v2 TimeSeries
+    exemplars = 3 with symbol-table refs.  Same wire-spec parse as
+    :func:`decode_write_request` — completing the exemplar surface
+    across the ingest paths (WAL: `tsdb_wal.decode_exemplars_record`;
+    scrape text: `scrape.exposition_exemplars`)."""
+    if version is None:
+        version = sniff_version(proto)
+    end = len(proto)
+    out: list[tuple[dict, dict, float, int]] = []
+    if version == 1:
+        for field, wire, a, b in _fields(proto, 0, end):
+            if field != 1 or wire != 2:
+                continue
+            labels: dict[str, str] = {}
+            exemplars = []
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 2:
+                    name, val = _decode_label(proto, a2, b2)
+                    labels[name] = val
+                elif f2 == 3 and w2 == 2:
+                    exemplars.append(_decode_v1_exemplar(proto, a2, b2))
+            for ex_labels, value, ts_ms in exemplars:
+                out.append((labels, ex_labels, value, ts_ms))
+        return out
+    if version != 2:
+        raise ValueError(f"unknown remote-write version {version!r}")
+    symbols: list[str] = []
+    raw: list[tuple[list[int], list]] = []
+    for field, wire, a, b in _fields(proto, 0, end):
+        if field == 4 and wire == 2:
+            symbols.append(proto[a:b].decode("utf-8"))
+        elif field == 5 and wire == 2:
+            srefs: list[int] = []
+            exemplars = []
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 2:
+                    srefs.extend(_decode_refs(proto, a2, b2))
+                elif f2 == 1 and w2 == 0:
+                    srefs.append(a2)
+                elif f2 == 3 and w2 == 2:
+                    exemplars.append(_decode_v2_exemplar(proto, a2, b2))
+            raw.append((srefs, exemplars))
+    n_sym = len(symbols)
+
+    def resolve(refs: list[int]) -> dict:
+        if len(refs) % 2 or any(r >= n_sym for r in refs):
+            raise ValueError("bad labels_refs in exemplar")
+        return {
+            symbols[refs[i]]: symbols[refs[i + 1]]
+            for i in range(0, len(refs), 2)
+        }
+
+    for srefs, exemplars in raw:
+        labels = resolve(srefs)
+        for ex_refs, value, ts_ms in exemplars:
+            out.append((labels, resolve(ex_refs), value, ts_ms))
+    return out
