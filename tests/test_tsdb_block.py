@@ -982,3 +982,69 @@ def test_convert_refuses_pending_tombstones(spark):
     assert blocks_to_chunk_frame(
         spark, [d], ["__name__", "job", "shard"], tombstones="ignore"
     ).count() == 4
+
+
+def test_compact_blocks_merges_dedups_and_applies_tombstones(spark):
+    """Distributed compaction: two OVERLAPPING blocks (duplicate
+    timestamps with conflicting values) plus a pending tombstone merge
+    into fresh day blocks — first-write-wins on collisions, deleted
+    intervals dropped, output tombstone-free and readable by the
+    forward converter."""
+    import json
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.tsdb_block import (
+        compact_blocks,
+        read_index,
+        read_tombstones,
+        write_tombstones,
+    )
+    from pyspark.sql import functions as F
+
+    hour = 3_600_000
+    parent_in = os.path.join(WORK, "compact_in")
+    parent_out = os.path.join(WORK, "compact_out")
+    shutil.rmtree(parent_in, ignore_errors=True)
+    shutil.rmtree(parent_out, ignore_errors=True)
+    os.makedirs(parent_in)
+    labels = {"__name__": "m", "job": "a"}
+    # block 0 (FIRST written): ts 0..9h, values 100+i
+    ts0 = np.arange(10, dtype=np.int64) * hour
+    v0 = 100.0 + np.arange(10)
+    b0 = os.path.join(parent_in, "b0")
+    write_block(b0, [(labels, [(int(ts0[0]), int(ts0[-1]),
+                                encode_xor_chunk(ts0, v0))])])
+    # block 1 (second): ts 5h..14h, values 200+i — 5 collisions (5h..9h)
+    ts1 = (np.arange(10, dtype=np.int64) + 5) * hour
+    v1 = 200.0 + np.arange(10)
+    b1 = os.path.join(parent_in, "b1")
+    write_block(b1, [(labels, [(int(ts1[0]), int(ts1[-1]),
+                                encode_xor_chunk(ts1, v1))])])
+    # pending tombstone on block 0: delete [2h, 3h] (series ref from
+    # the index; closed interval -> drops ts 2h and 3h)
+    (ref, _lbls, _metas), = read_index(b0, with_refs=True)
+    write_tombstones(b0, {ref: [(2 * hour, 3 * hour)]})
+
+    blocks = compact_blocks(
+        spark, [b0, b1], parent_out, ["__name__", "job"],
+        block_span_ms=24 * hour,
+    )
+    assert len(blocks) == 1  # everything inside one day
+    ulid, out_dir = blocks[0]
+    assert read_tombstones(out_dir) == {}
+    meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    assert meta["stats"]["numSeries"] == 1
+    back = block_to_chunk_frame(spark, out_dir)
+    got = {
+        r["s"]["ts"]: r["s"]["value"]
+        for r in back.select(
+            F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s")
+        ).collect()
+    }
+    want = {}
+    for t, v in zip(ts1.tolist(), v1.tolist()):
+        want[t] = v
+    for t, v in zip(ts0.tolist(), v0.tolist()):
+        want[t] = v  # block 0 wins collisions (first write)
+    del want[2 * hour], want[3 * hour]  # tombstoned
+    assert got == want

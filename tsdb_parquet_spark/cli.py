@@ -410,6 +410,37 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_reblock(args) -> int:
+    """Distributed block compaction (`promtool tsdb` compactor analog,
+    cluster-shaped): merge N blocks — overlapping allowed — into fresh
+    time-partitioned blocks, applying pending tombstones and resolving
+    duplicate (series, ts) collisions first-write-wins."""
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.tsdb_block import compact_blocks, discover_blocks
+
+    spark = get_spark(app_name="tsdb-reblock")
+    spark.sparkContext.setLogLevel("ERROR")
+    blocks = args.block or []
+    if args.block_parent:
+        blocks = discover_blocks(args.block_parent)
+    if not blocks:
+        raise SystemExit("reblock needs --block or --block-parent")
+    t0 = time.perf_counter()
+    out = compact_blocks(
+        spark, blocks, args.out, args.labels.split(","),
+        block_span_ms=args.span_ms,
+    )
+    print(
+        f"# compacted {len(blocks)} block(s) -> {len(out)} block(s) "
+        f"under {args.out} in {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    for ulid, _d in out:
+        print(ulid)
+    spark.stop()
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Incremental migration from a live Prometheus data dir: convert
     new blocks (ULID sidecar skips converted ones) AND drain new head-
@@ -636,6 +667,21 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the head-WAL drain (blocks only, the pre-WAL behavior)",
     )
     sync.set_defaults(fn=cmd_sync)
+
+    reb = sub.add_parser(
+        "reblock",
+        help="distributed block compaction: merge blocks (overlap OK) "
+             "into fresh time-partitioned ones, applying tombstones, "
+             "first-write-wins on duplicate samples",
+    )
+    reb.add_argument("--block", action="append",
+                     help="input block dir (repeatable)")
+    reb.add_argument("--block-parent",
+                     help="compact every block under this data dir")
+    reb.add_argument("--out", required=True)
+    reb.add_argument("--labels", default="__name__,event_type,shard")
+    reb.add_argument("--span-ms", type=int, default=86_400_000)
+    reb.set_defaults(fn=cmd_reblock)
 
     ing = sub.add_parser(
         "ingest",

@@ -399,10 +399,14 @@ def _read_section(buf: bytes, off: int) -> bytes:
 
 def read_index(
     block_dir: str,
-) -> list[tuple[dict, list[tuple[int, int, int]]]]:
+    with_refs: bool = False,
+):
     """Parse ``index`` -> [(labels, [(mint, maxt, chunk_ref), ...])] in
     series-section order (label-sorted, the format invariant).  Walks the
-    all-series postings list rather than the padded series section."""
+    all-series postings list rather than the padded series section.
+    ``with_refs=True`` prepends each entry's series REFERENCE
+    (offset/16 — what postings and tombstones point at):
+    ``[(ref, labels, metas), ...]``."""
     buf = open(os.path.join(block_dir, "index"), "rb").read()
     magic, version = struct.unpack_from(">IB", buf, 0)
     if magic != INDEX_MAGIC:
@@ -486,7 +490,7 @@ def read_index(
             maxt = mint + span
             metas.append((mint, maxt, cref))
             prev_maxt, prev_ref = maxt, cref
-        out.append((labels, metas))
+        out.append((ref, labels, metas) if with_refs else (labels, metas))
     return out
 
 
@@ -1129,3 +1133,108 @@ def export_blocks(
         os.rename(work_dir, final)
         out.append((ulid, final))
     return out
+
+
+def compact_blocks(
+    spark: SparkSession,
+    block_dirs: Sequence[str],
+    out_parent: str,
+    label_names: Sequence[str],
+    block_span_ms: int = 24 * 3600 * 1000,
+    chunk_span_ms: int | None = None,
+    max_segment_bytes: int = 512 << 20,
+) -> list[tuple[str, str]]:
+    """DISTRIBUTED block compaction — the ``promtool tsdb`` compactor
+    reshaped for a cluster: N input blocks (overlapping or not) merge
+    into fresh time-partitioned blocks with
+
+    * tombstones APPLIED — each input's pending deletion intervals are
+      resolved to label sets (``read_index(with_refs=True)`` maps the
+      stone's series reference) and the matching samples dropped, so
+      the output needs no tombstones file beyond the empty one;
+    * duplicate (series, timestamp) collisions across overlapping
+      inputs resolved FIRST-WRITE-WINS by block order (Prometheus's
+      append semantics — the same rule the WAL drain applies);
+    * samples re-chunked on a fresh ``chunk_span_ms`` grid and exported
+      via :func:`export_blocks` (ULID dirs, crash-safe rename).
+
+    Scale shape: sample payloads stay executor-side end-to-end
+    (convert -> decode -> anti-join -> dedup -> re-encode -> segment
+    writes); the driver holds the block list, the deletion table (tiny
+    — it is broadcast into the anti-join), and per-chunk export
+    metadata.  Prometheus compacts single-threaded per block on one
+    box; this runs one task per input block on ingest and one per
+    output bucket on export."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import (
+        DEFAULT_CHUNK_SPAN_MS,
+        decode_chunk_udf,
+        samples_to_chunks,
+    )
+    from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
+
+    labels = sorted(label_names)
+    deletions: list[tuple] = []
+    for d in block_dirs:
+        stones = read_tombstones(d)
+        if not stones:
+            continue
+        by_ref = {
+            ref: lbls for ref, lbls, _ in read_index(d, with_refs=True)
+        }
+        for ref, intervals in stones.items():
+            if ref not in by_ref:
+                raise ValueError(
+                    f"{d}: tombstone for unknown series ref {ref}"
+                )
+            lvals = tuple(by_ref[ref].get(n, "") for n in labels)
+            for mint, maxt in intervals:
+                deletions.append(lvals + (mint, maxt))
+
+    frame = blocks_to_chunk_frame(
+        spark, list(block_dirs), labels, tombstones="ignore"
+    )
+    decoded = frame.select(
+        *labels,
+        F.shiftrightunsigned(F.col(SERIES_ID), 32).alias("__block_ord"),
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("__s"),
+    ).select(
+        *labels,
+        "__block_ord",
+        F.col("__s.ts").alias("ts"),
+        F.col("__s.value").alias("value"),
+    )
+    if deletions:
+        schema = (
+            ", ".join(f"`{c}` string" for c in labels)
+            + ", __del_mint long, __del_maxt long"
+        )
+        dels = spark.createDataFrame(deletions, schema)
+        cond = F.lit(True)
+        for c in labels:
+            cond = cond & (decoded[c] == dels[c])
+        # tombstone intervals are CLOSED [mint, maxt] (Prometheus
+        # tombstones.Interval.InBounds)
+        cond = (
+            cond
+            & (decoded["ts"] >= dels["__del_mint"])
+            & (decoded["ts"] <= dels["__del_maxt"])
+        )
+        decoded = decoded.join(F.broadcast(dels), cond, "left_anti")
+    merged = decoded.groupBy(*labels, "ts").agg(
+        F.min_by("value", "__block_ord").alias("value")
+    )
+    chunks = samples_to_chunks(
+        merged.select(*labels, "ts", "value"),
+        labels,
+        chunk_span_ms=(
+            DEFAULT_CHUNK_SPAN_MS if chunk_span_ms is None else chunk_span_ms
+        ),
+    )
+    return export_blocks(
+        chunks,
+        out_parent,
+        block_span_ms=block_span_ms,
+        max_segment_bytes=max_segment_bytes,
+    )
