@@ -122,6 +122,9 @@ def main() -> None:
     qs["q112_block_export_roundtrip"](spark, sf_dir)
     # q113's captured scrape-text bodies build once per sf
     qs["q113_scrape_text_parse"](spark, sf_dir)
+    # q114's compacted block farm (two overlapping blocks + tombstone
+    # -> compact_blocks) builds once per sf
+    qs["q114_block_compaction"](spark, sf_dir)
     store_build["tsdb_block_stores"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)

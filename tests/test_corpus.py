@@ -72,6 +72,7 @@ def test_driver_window_round9_composition():
         "q108_wal_head_drain", "q109_data_dir_convert",
         "q110_promql_staleness", "q111_remote_write_ingest",
         "q112_block_export_roundtrip", "q113_scrape_text_parse",
+        "q114_block_compaction",
         # the 10 round-8 deferrals, due back (no consecutive deferrals)
         "q02_eq_filter", "q03_range_filter", "q20_promql_instant_sum",
         "q50_promql_rate_extrapolated", "q59_ivf_assign",

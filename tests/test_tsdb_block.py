@@ -1020,10 +1020,13 @@ def test_compact_blocks_merges_dedups_and_applies_tombstones(spark):
     b1 = os.path.join(parent_in, "b1")
     write_block(b1, [(labels, [(int(ts1[0]), int(ts1[-1]),
                                 encode_xor_chunk(ts1, v1))])])
-    # pending tombstone on block 0: delete [2h, 3h] (series ref from
-    # the index; closed interval -> drops ts 2h and 3h)
+    # pending tombstones on block 0: [2h, 3h] is A-only (samples vanish)
+    # and [6h, 7h] overlaps block 1 (B's values must SURVIVE — the stone
+    # is scoped to block 0, not to the series globally)
     (ref, _lbls, _metas), = read_index(b0, with_refs=True)
-    write_tombstones(b0, {ref: [(2 * hour, 3 * hour)]})
+    write_tombstones(
+        b0, {ref: [(2 * hour, 3 * hour), (6 * hour, 7 * hour)]}
+    )
 
     blocks = compact_blocks(
         spark, [b0, b1], parent_out, ["__name__", "job"],
@@ -1046,5 +1049,8 @@ def test_compact_blocks_merges_dedups_and_applies_tombstones(spark):
         want[t] = v
     for t, v in zip(ts0.tolist(), v0.tolist()):
         want[t] = v  # block 0 wins collisions (first write)
-    del want[2 * hour], want[3 * hour]  # tombstoned
+    del want[2 * hour], want[3 * hour]  # A-only, tombstoned -> gone
+    # [6h, 7h]: A's samples deleted, B's survive the per-block stone
+    want[6 * hour] = v1[1]
+    want[7 * hour] = v1[2]
     assert got == want

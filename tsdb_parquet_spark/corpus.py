@@ -5798,6 +5798,176 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOMB_MIN = _QMINT  # tombstoned interval on block A: [Jan 8, Jan 10]
+_TOMB_MAX = _QMINT + 2 * _DAY_MS
+
+
+def _events_compacted_blocks(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (once per sf) the distributed-compaction fixture and run
+    the compaction under test: block A = all events; block B = the
+    ``user_id % 3 == 0`` subset at the SAME timestamps with value+1000
+    (cross-block collisions A must win); block A carries a pending
+    tombstone deleting the click/shard-0 series over
+    ``[_TOMB_MIN, _TOMB_MAX]``.  `tsdb_block.compact_blocks` merges
+    them into fresh day blocks — the OUTPUT q114 aggregates."""
+    import pandas as pd
+
+    from tsdb_parquet_spark.tsdb_block import (
+        compact_blocks,
+        read_index,
+        write_block,
+        write_tombstones,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"compacted_blocks_{tag}")
+    marker = os.path.join(final, "_PARTS.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    import shutil
+
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string").alias("shard"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("value"),
+            (F.col("user_id") % 3 == 0).alias("in_b"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "shard", "ts", "value"],
+                     kind="mergesort")
+    )
+
+    def build_block(df: pd.DataFrame, name: str, bump: float) -> str:
+        series = []
+        for (etype, shard), g in df.groupby(["event_type", "shard"],
+                                            sort=True):
+            chunks = []
+            for _, cg in g.groupby(g["ts"] // _DAY_MS, sort=True):
+                ts = cg["ts"].to_numpy()
+                blob = encode_xor_chunk(
+                    ts, cg["value"].to_numpy() + bump
+                )
+                chunks.append((int(ts[0]), int(ts[-1]), blob))
+            series.append(
+                ({"__name__": "app_events", "event_type": etype,
+                  "shard": shard}, chunks)
+            )
+        d = os.path.join(build, name)
+        write_block(d, series)
+        return d
+
+    block_a = build_block(rows, "block_a", 0.0)
+    block_b = build_block(rows[rows["in_b"]], "block_b", 1000.0)
+    # pending tombstone on block A: the click/shard-0 series over the
+    # fixed window (series ref resolved from A's own index)
+    ref = next(
+        r
+        for r, lbls, _ in read_index(block_a, with_refs=True)
+        if lbls.get("event_type") == "click" and lbls.get("shard") == "0"
+    )
+    write_tombstones(block_a, {ref: [(_TOMB_MIN, _TOMB_MAX)]})
+    out_parent = os.path.join(build, "out")
+    blocks = compact_blocks(
+        spark,
+        [block_a, block_b],
+        out_parent,
+        ["__name__", "event_type", "shard"],
+        block_span_ms=_DAY_MS,
+    )
+    parts = [d for _, d in blocks]
+    with open(os.path.join(build, "_PARTS.json"), "w") as fh:
+        json.dump([p.replace(build, final) for p in parts], fh)
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    with open(marker) as fh:
+        return json.load(fh)
+
+
+@query(
+    "q114_block_compaction",
+    f"""
+WITH a0 AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, min(value) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+b0 AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, min(value + 1000) AS v
+  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT * FROM a0
+  WHERE NOT (event_type = 'click' AND shard = '0'
+             AND ts_ms BETWEEN {_TOMB_MIN} AND {_TOMB_MAX})
+),
+merged AS (
+  SELECT coalesce(a1.event_type, b0.event_type) AS event_type,
+         coalesce(a1.shard, b0.shard) AS shard,
+         coalesce(a1.ts_ms, b0.ts_ms) AS ts_ms,
+         coalesce(a1.v, b0.v) AS v
+  FROM a1 FULL OUTER JOIN b0
+    ON a1.event_type = b0.event_type AND a1.shard = b0.shard
+   AND a1.ts_ms = b0.ts_ms
+)
+SELECT event_type,
+       count(*) AS n_samples,
+       round(sum(v), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM merged GROUP BY event_type ORDER BY event_type""",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed block COMPACTION (`tsdb_block.compact_blocks` — the
+    promtool-tsdb-compactor shape on a cluster, which the reference has
+    no counterpart for): two OVERLAPPING real blocks — B duplicates a
+    third of A's timestamps with conflicting values — plus a pending
+    tombstone on A merge into fresh day blocks with tombstones APPLIED
+    (deleted samples of A's click/shard-0 series fall back to B's
+    values where B has the timestamp, vanish where it does not),
+    collisions resolved first-write-wins by block order with a
+    deterministic min-value tie-break, and everything re-chunked and
+    re-exported.  The output block farm's decode must hash-match DuckDB
+    computing the same merge relationally (dedup -> anti-interval ->
+    full outer coalesce)."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import blocks_to_chunk_frame
+
+    parts = _events_compacted_blocks(spark, sf_dir)
+    frame = blocks_to_chunk_frame(
+        spark, parts, ["__name__", "event_type", "shard"]
+    )
+    decoded = frame.select(
+        "event_type",
+        "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5833,13 +6003,14 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     deferral set — MOST overdue, non-deferrable):
 #     q01/q04/q32/q35/q36/q40/q45/q25.
 #   * never driver-checked rows: q106/q107 (introduced r08, lost to
-#     the record gap) and q108-q113 (introduced this round — the
+#     the record gap) and q108-q114 (introduced this round — the
 #     Prometheus WAL head-drain, full data-dir convert, the
 #     staleness-marker PromQL chain, remote-write ingest, the reverse
-#     block export, and scrape-text parse).
+#     block export, scrape-text parse, and distributed block
+#     compaction).
 #   * the 10 round-8 deferrals, due back by the no-consecutive-
 #     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
-#   * the 24 remaining slots: the r06-green backlog minus the
+#   * the 23 remaining slots: the r06-green backlog minus the
 #     deferrals below.
 # Deferred to round 10 (r06-green rows that no longer fit; each with
 # the in-window row that still exercises its code path):
@@ -5869,6 +6040,9 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q72_global_shuffle   -> q63 (same deterministic hash-draw kernel,
 #                           ordering.shuffle_draw / sampling._draw;
 #                           displaced by this round's q113 debut)
+#   q29_multimodal_metadata -> q101 (same multimodal module,
+#                           functions/multimodal.py decode plumbing;
+#                           displaced by this round's q114 debut)
 # Every other out-of-window row is r07-green (1 recorded round stale
 # once r09 lands) and needs no deferral record.
 
@@ -5892,6 +6066,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q75_promql_holt_winters": ("q68_promql_predict_linear",),
     "q46_sessionize": ("q76_streaming_sessionize",),
     "q72_global_shuffle": ("q63_weighted_sample",),
+    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -5914,6 +6089,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q111_remote_write_ingest",
     "q112_block_export_roundtrip",
     "q113_scrape_text_parse",
+    "q114_block_compaction",
     # the 10 round-8 deferrals, due back (no consecutive deferrals)
     "q02_eq_filter",
     "q03_range_filter",
@@ -5927,7 +6103,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q10_write_compact_roundtrip",
     # r06-green backlog (everything last green r06 minus the 10 deferrals)
     "q16_series_select",
-    "q29_multimodal_metadata",
     "q34_promql_rate",
     "q37_promql_topk_binary",
     "q42_promql_window_gt_step",
@@ -5965,6 +6140,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q75_promql_holt_winters",
     "q46_sessionize",
     "q72_global_shuffle",
+    "q29_multimodal_metadata",
 ]
 
 

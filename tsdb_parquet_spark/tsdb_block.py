@@ -1175,8 +1175,10 @@ def compact_blocks(
     from tsdb_parquet_spark.schema import CHUNK_BYTES, SERIES_ID
 
     labels = sorted(label_names)
+    # deletions are PER BLOCK: a tombstone on block A must not delete
+    # block B's samples for the same series — the ordinal joins below
     deletions: list[tuple] = []
-    for d in block_dirs:
+    for ord_, d in enumerate(block_dirs):
         stones = read_tombstones(d)
         if not stones:
             continue
@@ -1190,7 +1192,7 @@ def compact_blocks(
                 )
             lvals = tuple(by_ref[ref].get(n, "") for n in labels)
             for mint, maxt in intervals:
-                deletions.append(lvals + (mint, maxt))
+                deletions.append((ord_,) + lvals + (mint, maxt))
 
     frame = blocks_to_chunk_frame(
         spark, list(block_dirs), labels, tombstones="ignore"
@@ -1207,11 +1209,12 @@ def compact_blocks(
     )
     if deletions:
         schema = (
-            ", ".join(f"`{c}` string" for c in labels)
+            "__del_ord int, "
+            + ", ".join(f"`{c}` string" for c in labels)
             + ", __del_mint long, __del_maxt long"
         )
         dels = spark.createDataFrame(deletions, schema)
-        cond = F.lit(True)
+        cond = decoded["__block_ord"] == dels["__del_ord"]
         for c in labels:
             cond = cond & (decoded[c] == dels[c])
         # tombstone intervals are CLOSED [mint, maxt] (Prometheus
@@ -1222,8 +1225,12 @@ def compact_blocks(
             & (decoded["ts"] <= dels["__del_maxt"])
         )
         decoded = decoded.join(F.broadcast(dels), cond, "left_anti")
+    # first-write-wins by block order; WITHIN a block, duplicate
+    # (series, ts) samples (legal in raw inputs) tie-break to the MIN
+    # value — a deterministic total order, so compaction output (and
+    # its oracle) never depends on task scheduling
     merged = decoded.groupBy(*labels, "ts").agg(
-        F.min_by("value", "__block_ord").alias("value")
+        F.min(F.struct("__block_ord", "value"))["value"].alias("value")
     )
     chunks = samples_to_chunks(
         merged.select(*labels, "ts", "value"),
