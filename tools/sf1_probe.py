@@ -79,6 +79,10 @@ HEAVY_TSDB = [
     # scrape-text parse (~1M exposition lines)
     "q111_remote_write_ingest",
     "q113_scrape_text_parse",
+    # distributed block compaction: two overlapping ~1M-sample blocks +
+    # tombstone -> merged day blocks (fixture caches per sf; the timed
+    # row is the output-farm decode+aggregate)
+    "q114_block_compaction",
 ]
 
 HEAVY = [
@@ -373,6 +377,7 @@ def main() -> None:
             "q111_remote_write_ingest",
             "q112_block_export_roundtrip",
             "q113_scrape_text_parse",
+            "q114_block_compaction",
         ]
         results = {}
         for name in names:
