@@ -1054,3 +1054,29 @@ def test_compact_blocks_merges_dedups_and_applies_tombstones(spark):
     want[6 * hour] = v1[1]
     want[7 * hour] = v1[2]
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 2**32),
+        st.lists(
+            st.tuples(
+                st.integers(-(2**40), 2**40), st.integers(-(2**40), 2**40)
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        max_size=6,
+    )
+)
+def test_tombstones_roundtrip_property(stones):
+    from tsdb_parquet_spark.tsdb_block import (
+        read_tombstones,
+        write_tombstones,
+    )
+
+    d = os.path.join(WORK, "tomb_prop")
+    os.makedirs(d, exist_ok=True)
+    write_tombstones(d, stones)
+    assert read_tombstones(d) == stones
