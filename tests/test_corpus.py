@@ -52,35 +52,35 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round9_composition():
+def test_driver_window_round10_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-9 window so an accidental registry edit cannot silently push a
+    round-10 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # last driver green r05 — 3 RECORDED rounds stale (the round-8
-        # driver capture never ran), non-deferrable
-        "q01_scan_project", "q04_conjunction", "q32_broadcast_join",
-        "q35_distinct_counts", "q36_window_functions", "q40_rollup",
-        "q45_multi_store_merge", "q25_ngram_jaccard",
-        # never driver-checked: r08 introductions lost to the record
-        # gap + this round's WAL rows
-        "q106_block_convert_promql", "q107_multi_block_convert",
-        "q108_wal_head_drain", "q109_data_dir_convert",
-        "q110_promql_staleness", "q111_remote_write_ingest",
-        "q112_block_export_roundtrip", "q113_scrape_text_parse",
-        "q114_block_compaction",
-        # the 10 round-8 deferrals, due back (no consecutive deferrals)
-        "q02_eq_filter", "q03_range_filter", "q20_promql_instant_sum",
-        "q50_promql_rate_extrapolated", "q59_ivf_assign",
-        "q65_rollup_store", "q77_rollup_routing",
-        "q78_promql_instant_absent", "q79_promql_sort_desc",
-        "q10_write_compact_roundtrip",
+        # the 14 round-9 deferrals, due back (no consecutive deferrals)
+        # — last driver green r06 (recorded index 6)
+        "q12_dict_equality", "q13_zonemap_range", "q08_time_containment",
+        "q64_promql_absent", "q102_promql_sort_by_label",
+        "q43_promql_counter_reset", "q66_promql_set_ops", "q60_ivf_topk",
+        "q62_simhash_near_dup", "q09_label_values",
+        "q75_promql_holt_winters", "q46_sessionize", "q72_global_shuffle",
+        "q29_multimodal_metadata",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
+    # the rest of the window is r07-green backlog — nothing r09-green
+    # (only 1 recorded round stale) may occupy a slot while
+    # 2-rounds-stale r07 rows wait outside.  New rows introduced this
+    # round are exempt: they must debut in-window.
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r09_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
+    overlap = r09_green & set(window)
+    assert not overlap, sorted(overlap)
     assert len(window) == len(set(window)) == 50
 
 

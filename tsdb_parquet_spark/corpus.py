@@ -5979,72 +5979,61 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-9 window (registry now 109 rows; since round 6 the strict
+# Round-10 window (registry 114 rows; since round 6 the strict
 # "every row re-checked within 2 rounds" invariant is arithmetically
 # impossible at >100 rows with a 50-row window, so each round's
 # overflow is deferred WITH a named in-window row covering the same
 # code path, and tests/test_corpus.py still hash-checks ALL rows vs
 # DuckDB at sf0.01 every round).
 #
-# ROUND-8 RECORD GAP: the round-8 driver capture never ran — no
-# CORRECTNESS_r08.json / BENCH_r08.json / verdict exists anywhere, so
-# the round-8 window's 50 rows were never re-proven by the driver and
-# every row keeps its pre-r08 last-green.  Staleness is therefore
-# counted in RECORDED driver rounds (the rounds a CORRECTNESS file
-# exists for), not calendar rounds: a row cannot be re-proven by a
-# driver run that never happened.  tests/test_corpus.py implements the
-# same indexing.  Consequence: the recorded sequence is r01..r07 and
-# the upcoming record is index 8, so r05-green rows are 3 recorded
-# rounds stale (must be in-window) and r06-green rows are 2 (in-window
-# or deferred-with-coverage).
+# ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
+# never ran, so staleness is counted in RECORDED driver rounds
+# (r01..r07,r09 -> indices 1..8; the upcoming r10 record is index 9).
+# tests/test_corpus.py implements the same indexing.
 #
 # Composition:
-#   * the 8 rows last driver-green r05 (the r07 verdict's named
-#     deferral set — MOST overdue, non-deferrable):
-#     q01/q04/q32/q35/q36/q40/q45/q25.
-#   * never driver-checked rows: q106/q107 (introduced r08, lost to
-#     the record gap) and q108-q114 (introduced this round — the
-#     Prometheus WAL head-drain, full data-dir convert, the
-#     staleness-marker PromQL chain, remote-write ingest, the reverse
-#     block export, scrape-text parse, and distributed block
-#     compaction).
-#   * the 10 round-8 deferrals, due back by the no-consecutive-
-#     deferral rule: q02/q03/q20/q50/q59/q65/q77/q78/q79/q10.
-#   * the 23 remaining slots: the r06-green backlog minus the
-#     deferrals below.
-# Deferred to round 10 (r06-green rows that no longer fit; each with
+#   * the 14 rows deferred in round 9 (last driver-green at recorded
+#     index 6 == r06 — 3 recorded rounds stale at index 9, thus
+#     non-deferrable per the no-consecutive-deferral rule; the exact
+#     set the r09 verdict pre-committed):
+#     q12/q13/q08/q64/q102/q43/q66/q60/q62/q09/q75/q46/q72/q29.
+#   * the 36 remaining slots: the r07-green backlog (50 rows, all
+#     2 recorded rounds stale at index 9) minus the deferrals below.
+#   * every r09-green row (the full round-9 window, 50 rows) is only
+#     1 recorded round stale and rotates behind the cap.
+# Deferred to round 11 (r07-green rows that no longer fit; each with
 # the in-window row that still exercises its code path):
-#   q12_dict_equality    -> q02 (same equality Matcher path; dict
-#                           encoding separately audited by q104)
-#   q13_zonemap_range    -> q03 (same range pushdown / page-stats path)
-#   q08_time_containment -> q03 (ts-range containment, same selection
-#                           pushdown path)
-#   q64_promql_absent    -> q78 (same absent() implementation,
-#                           range-vector vs instant argument)
-#   q102_promql_sort_by_label -> q79 (same PromQL sort comparator
-#                           family — the r08 mapping, reversed)
-#   q43_promql_counter_reset -> q34 (same rate/increase counter-reset
-#                           kernel)
-#   q66_promql_set_ops   -> q49 (same vector-matching join machinery)
-#   q60_ivf_topk         -> q59 (same IVF broadcast-centroid path —
-#                           the r08 mapping, reversed)
-#   q62_simhash_near_dup -> q25 (same shingle-based near-dup module)
-#   q09_label_values     -> q16 (same querier label/series enumeration
-#                           family, `querier.py` select path)
-#   q75_promql_holt_winters -> q68 (same trailing-scalar range-function
-#                           kernel family, TRAILING_SCALARS dispatch;
-#                           displaced by this round's q111 debut)
-#   q46_sessionize       -> q76 (same sessionize semantics, the
-#                           streaming arm of the kernel; displaced by
-#                           this round's q112 debut)
-#   q72_global_shuffle   -> q63 (same deterministic hash-draw kernel,
-#                           ordering.shuffle_draw / sampling._draw;
-#                           displaced by this round's q113 debut)
-#   q29_multimodal_metadata -> q101 (same multimodal module,
-#                           functions/multimodal.py decode plumbing;
-#                           displaced by this round's q114 debut)
-# Every other out-of-window row is r07-green (1 recorded round stale
-# once r09 lands) and needs no deferral record.
+#   q05_distinct         -> q06 (same operators/distinct.py kernel,
+#                           first-per-key arm)
+#   q11_predicate_order  -> q08 (same selection.py conjunction /
+#                           pushdown path, Catalyst-ordered)
+#   q14_multi_projection -> q12 (same parquet scan projection +
+#                           equality pushdown path)
+#   q15_empty_result     -> q12 (same equality Matcher path; bloom
+#                           write options separately audited by q104)
+#   q18_label_values     -> q09 (same querier label/series enumeration
+#                           family — the r09 mapping, reversed)
+#   q22_exact_dedup      -> q23 (same functions/dedup.py module and
+#                           normalization path; hash-groupBy arm)
+#   q24_simhash          -> q62 (same SimHash kernel — the r09
+#                           mapping q62->q25, reversed onto simhash)
+#   q26_cosine_topk      -> q60 (same cosine top-k scoring kernel,
+#                           IVF-probed arm)
+#   q27_ann_lsh_topk     -> q28 (same LSH signature-bucket path in
+#                           functions/similarity.py)
+#   q48_stratified_sample -> q72 (same deterministic hash-draw kernel,
+#                           ordering.shuffle_draw / sampling._draw —
+#                           the r09 mapping q72->q63, reversed)
+#   q90_pq_adc_topk      -> q91 (same PQ codebook/ADC machinery,
+#                           IVF-PQ store arm)
+#   q97_ivfpq_residual_topk -> q91 (same IVF-PQ residual encode/score
+#                           path, store-backed arm)
+#   q93_exact_substring_spans -> q98 (same window-hash bucket-join
+#                           module, removal arm consumes the spans)
+#   q95_media_transform  -> q29 (same functions/multimodal.py decode
+#                           plumbing — the r09 mapping, reversed)
+# Every other out-of-window row is r09-green (1 recorded round stale
+# once r10 lands) and needs no deferral record.
 
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
@@ -6053,80 +6042,26 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the 50-row window or recorded here with live in-window coverage — so
 #: the policy can't silently slip.
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q12_dict_equality": ("q02_eq_filter",),
-    "q13_zonemap_range": ("q03_range_filter",),
-    "q08_time_containment": ("q03_range_filter",),
-    "q64_promql_absent": ("q78_promql_instant_absent",),
-    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
-    "q43_promql_counter_reset": ("q34_promql_rate",),
-    "q66_promql_set_ops": ("q49_promql_on_group_left",),
-    "q60_ivf_topk": ("q59_ivf_assign",),
-    "q62_simhash_near_dup": ("q25_ngram_jaccard",),
-    "q09_label_values": ("q16_series_select",),
-    "q75_promql_holt_winters": ("q68_promql_predict_linear",),
-    "q46_sessionize": ("q76_streaming_sessionize",),
-    "q72_global_shuffle": ("q63_weighted_sample",),
-    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
+    "q05_distinct": ("q06_first_per_key",),
+    "q11_predicate_order": ("q08_time_containment",),
+    "q14_multi_projection": ("q12_dict_equality",),
+    "q15_empty_result": ("q12_dict_equality",),
+    "q18_label_values": ("q09_label_values",),
+    "q22_exact_dedup": ("q23_minhash_lsh_pairs",),
+    "q24_simhash": ("q62_simhash_near_dup",),
+    "q26_cosine_topk": ("q60_ivf_topk",),
+    "q27_ann_lsh_topk": ("q28_embedding_near_dup",),
+    "q48_stratified_sample": ("q72_global_shuffle",),
+    "q90_pq_adc_topk": ("q91_ivfpq_store_topk",),
+    "q97_ivfpq_residual_topk": ("q91_ivfpq_store_topk",),
+    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
+    "q95_media_transform": ("q29_multimodal_metadata",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # last driver-green r05 — 3 recorded rounds stale, non-deferrable
-    "q01_scan_project",
-    "q04_conjunction",
-    "q32_broadcast_join",
-    "q35_distinct_counts",
-    "q36_window_functions",
-    "q40_rollup",
-    "q45_multi_store_merge",
-    "q25_ngram_jaccard",
-    # never driver-checked: r08 introductions lost to the record gap,
-    # plus this round's WAL rows
-    "q106_block_convert_promql",
-    "q107_multi_block_convert",
-    "q108_wal_head_drain",
-    "q109_data_dir_convert",
-    "q110_promql_staleness",
-    "q111_remote_write_ingest",
-    "q112_block_export_roundtrip",
-    "q113_scrape_text_parse",
-    "q114_block_compaction",
-    # the 10 round-8 deferrals, due back (no consecutive deferrals)
-    "q02_eq_filter",
-    "q03_range_filter",
-    "q20_promql_instant_sum",
-    "q50_promql_rate_extrapolated",
-    "q59_ivf_assign",
-    "q65_rollup_store",
-    "q77_rollup_routing",
-    "q78_promql_instant_absent",
-    "q79_promql_sort_desc",
-    "q10_write_compact_roundtrip",
-    # r06-green backlog (everything last green r06 minus the 10 deferrals)
-    "q16_series_select",
-    "q34_promql_rate",
-    "q37_promql_topk_binary",
-    "q42_promql_window_gt_step",
-    "q49_promql_on_group_left",
-    "q51_promql_without_at",
-    "q52_promql_label_replace_clamp",
-    "q53_promql_histogram_quantile",
-    "q56_promql_quantile_over_time",
-    "q58_pack_sequences",
-    "q61_gap_fill_linear",
-    "q63_weighted_sample",
-    "q67_promql_quantile_agg",
-    "q68_promql_predict_linear",
-    "q69_decontaminate",
-    "q70_repetition_stats",
-    "q71_pii_redact",
-    "q73_promql_time_functions",
-    "q74_promql_subquery",
-    "q76_streaming_sessionize",
-    "q80_remove_boilerplate_lines",
-    "q92_semantic_dedup",
-    "q101_png_pixel_pipeline",
-    # position 51+ — outside the driver's 50-row cap: the 9 documented
-    # deferrals (first in line for round 10), then everything r07-green
+    # the 14 round-9 deferrals, due back (no consecutive
+    # deferrals) — last driver-green r06 (recorded index 6),
+    # 3 recorded rounds stale at the upcoming index 9
     "q12_dict_equality",
     "q13_zonemap_range",
     "q08_time_containment",
@@ -6141,6 +6076,61 @@ _DRIVER_PRIORITY: list[str] = [
     "q46_sessionize",
     "q72_global_shuffle",
     "q29_multimodal_metadata",
+    # r07-green backlog (2 recorded rounds stale) minus the 14
+    # documented deferrals
+    "q06_first_per_key",
+    "q07_groupby_agg",
+    "q17_chunk_samples_roundtrip",
+    "q19_promql_count_over_time",
+    "q21_streaming_ingest",
+    "q23_minhash_lsh_pairs",
+    "q28_embedding_near_dup",
+    "q30_text_analysis",
+    "q31_json_props",
+    "q33_semi_anti_join",
+    "q38_training_chunks",
+    "q39_cleaning_pipeline",
+    "q41_set_operations",
+    "q44_late_materialization",
+    "q47_dedup_clusters",
+    "q54_promql_comparison_filter",
+    "q55_promql_changes",
+    "q57_asof_join",
+    "q81_kmeans_train",
+    "q82_rollup_subquery_routing",
+    "q83_store_maintenance",
+    "q84_ivf_partitioned_store",
+    "q85_salted_distinct_count",
+    "q86_bucketed_colocated_join",
+    "q87_bucket_ranged_read",
+    "q88_promql_scalar_arithmetic",
+    "q89_streaming_rollup",
+    "q91_ivfpq_store_topk",
+    "q94_http_object_store",
+    "q96_sq8_quantized_topk",
+    "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
+    "q100_tsdb_stats",
+    "q103_xor_chunk_interop",
+    "q104_writer_layout_contract",
+    "q105_tsdb_block_convert",
+    # position 51+ — outside the driver cap: the 14 documented
+    # deferrals (first in line for round 11), then the full
+    # r09-green round-9 window
+    "q05_distinct",
+    "q11_predicate_order",
+    "q14_multi_projection",
+    "q15_empty_result",
+    "q18_label_values",
+    "q22_exact_dedup",
+    "q24_simhash",
+    "q26_cosine_topk",
+    "q27_ann_lsh_topk",
+    "q48_stratified_sample",
+    "q90_pq_adc_topk",
+    "q97_ivfpq_residual_topk",
+    "q93_exact_substring_spans",
+    "q95_media_transform",
 ]
 
 
