@@ -1080,3 +1080,27 @@ def test_tombstones_roundtrip_property(stones):
     os.makedirs(d, exist_ok=True)
     write_tombstones(d, stones)
     assert read_tombstones(d) == stones
+
+
+def test_block_meta_maxtime_exclusive_boundary(tmp_path):
+    """ADVICE r09 (medium): meta.json maxTime is EXCLUSIVE (Prometheus
+    BlockMeta.MaxTime) — a query window starting exactly at a block's
+    last-sample ts must keep the block in prune_blocks_by_time, and
+    Prometheus itself would skip a backfilled block at t == maxTime if
+    we wrote the inclusive max."""
+    import json
+
+    from tsdb_parquet_spark.tsdb_block import prune_blocks_by_time
+
+    d = os.path.join(str(tmp_path), "blk")
+    blob = encode_xor_chunk(
+        np.array([1000, 2000], np.int64), np.array([1.0, 2.0])
+    )
+    write_block(d, [({"__name__": "m"}, [(1000, 2000, blob)])])
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert meta["minTime"] == 1000
+    assert meta["maxTime"] == 2001  # max sample ts + 1, exclusive
+    # boundary query [2000, ...] must see the block's last sample
+    assert prune_blocks_by_time([d], mint=2000, maxt=9000) == [d]
+    # window past the block prunes it
+    assert prune_blocks_by_time([d], mint=2001, maxt=9000) == []

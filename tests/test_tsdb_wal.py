@@ -377,7 +377,13 @@ def test_data_dir_to_chunk_frame_unions_blocks_and_wal(spark, tmp_path):
     assert any(i >= (1 << 32) for i in ids)
 
 
-def test_wal_to_samples_frame_duplicate_append_keeps_last(spark, tmp_path):
+def test_wal_to_samples_frame_duplicate_append_first_write_wins(
+    spark, tmp_path
+):
+    """Conflicting duplicate (ref, ts) appends resolve FIRST-WRITE-WINS
+    in WAL log order: Prometheus's appender rejects the second
+    duplicate, and `compact_blocks` applies the same rule across blocks
+    — the r09 advice asked the two paths to agree."""
     wal = str(tmp_path)
     write_checkpoint(wal, 0, [(3, {"__name__": "d"})], [(3, 500, 1.0)])
     w = WalWriter(wal, first_segment=1)
@@ -386,7 +392,23 @@ def test_wal_to_samples_frame_duplicate_append_keeps_last(spark, tmp_path):
     df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
     rows = df.collect()
     assert len(rows) == 1
-    assert rows[0]["value"] == 9.0
+    assert rows[0]["value"] == 1.0
+
+
+def test_wal_duplicate_within_one_segment_deterministic(spark, tmp_path):
+    """Ties WITHIN one segment break on log position (rec_ord), not
+    scheduling: two appends of the same (ref, ts) in one segment keep
+    the first."""
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(7, {"__name__": "dup"})])
+    w.log_samples([(7, 100, 5.0)])
+    w.log_samples([(7, 100, 6.0)])  # same segment, later record
+    w.close()
+    df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 5.0
 
 
 # -- incremental head sync --------------------------------------------------
@@ -1083,3 +1105,125 @@ def test_data_dir_block_pruning_by_query_window(spark, tmp_path):
     )
     assert empty.count() == 0
     assert "__chunk_bytes" in empty.columns
+
+
+# -- round-10 advice fixes ----------------------------------------------------
+
+
+def test_sealed_segment_torn_fragment_chain_raises(tmp_path):
+    """ADVICE r09: a SEALED segment ending mid fragment chain
+    (FIRST/MIDDLE seen, no LAST) lost its pending record — strict mode
+    must raise like every other framing violation; tolerate_tail (the
+    live-segment crash-recovery mode) still repairs silently."""
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m"})])
+    # one samples record far larger than a page: FIRST + MIDDLE/LAST
+    w.log_samples([(1, t, 1.0) for t in range(5000)])
+    w.close()
+    seg = discover_wal_segments(wal)[0]
+    data = open(seg, "rb").read()
+    torn = data[:PAGE_SIZE]  # valid page 1, chain never closed
+    with pytest.raises(WalCorruptionError, match="mid fragment chain"):
+        list(iter_segment_records(torn, tolerate_tail=False))
+    repaired = list(iter_segment_records(torn, tolerate_tail=True))
+    assert len(repaired) == 1  # the series record survives
+
+
+def test_live_samples_frame_finalized_store_not_double_read(
+    spark, tmp_path
+):
+    """ADVICE r09 (high): a finalized store holds the `compact` alias
+    symlink AND its compact.N target, plus folded part dirs awaiting
+    vacuum — the freshness read must resolve the LIVE set via the
+    manifest, not a glob, or every store-side sample counts 2-3x."""
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+    from tsdb_parquet_spark.tsdb_wal import live_samples_frame, sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    _grow_wal(wal, 2, tmp_path)
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    opts = WriterOptions(sort_columns=sort_columns(["__name__", "job"]))
+    SortedParquetWriter(spark, store, opts).compact()
+    # the hostile layout: alias symlink + its target + the folded part
+    assert os.path.islink(os.path.join(store, "compact"))
+    assert os.path.isdir(os.path.join(store, "compact.0"))
+    assert os.path.isdir(os.path.join(store, "part.walsync00000000"))
+    _grow_wal(wal, 4, tmp_path)  # head moves on, no sync since
+    live = live_samples_frame(spark, wal, store, ["__name__", "job"])
+    got = sorted((r["job"], r["ts"], r["value"]) for r in live.collect())
+    series, samples = read_wal(wal)
+    want = sorted((series[ref]["job"], ts, v) for ref, ts, v in samples)
+    assert got == want  # complete AND exactly-once
+
+
+def test_live_samples_frame_skips_pure_duplicate_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r09: between Prometheus writing checkpoint.N and the next
+    sync run, the freshness read's delta plan must skip a checkpoint
+    that only rewrites already-drained segments (same floor logic as
+    sync_wal), or those samples transiently double-count."""
+    from tsdb_parquet_spark.tsdb_wal import live_samples_frame, sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal, segment_bytes=PAGE_SIZE)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    for k in range(3):
+        w.log_samples([(1, k * 100_000 + j, 1.0) for j in range(1200)])
+    w.close()
+    segs = discover_wal_segments(wal)
+    sync_wal(spark, wal, store, ["__name__", "job"])
+    # Prometheus checkpoints segments <= n_seal-1, rewriting two
+    # already-synced samples, and truncates the originals — NO sync runs
+    n_seal = len(segs) - 1
+    write_checkpoint(
+        wal,
+        n_seal - 1,
+        [(1, {"__name__": "m", "job": "a"})],
+        [(1, 0, 1.0), (1, 1, 1.0)],
+    )
+    for p in segs[:n_seal]:
+        os.remove(p)
+    live = live_samples_frame(spark, wal, store, ["__name__", "job"])
+    rows = live.collect()
+    assert len(rows) == 3600  # every sample exactly once, no dup seam
+
+
+def test_sync_wal_retro_tombstone_reported(spark, tmp_path):
+    """Verdict r09 #5: a delete-API tombstone logged AFTER its samples
+    were synced cannot retro-delete from the store — the sync report
+    must surface it (count + affected refs) instead of silence."""
+    from tsdb_parquet_spark.tsdb_wal import sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"})])
+    w.log_samples([(1, 1000, 1.0), (1, 2000, 2.0)])
+    w.close()
+    r1 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r1["samples"] == 2
+    assert r1["retro_stones"] == 0 and r1["retro_refs"] == []
+    # the delete API logs a stone covering the ALREADY-SYNCED range,
+    # then a fresh sample arrives
+    w = WalWriter(wal, first_segment=1)
+    w.log_tombstones([(1, 0, 1500)])
+    w.log_samples([(1, 3000, 3.0)])
+    w.close()
+    r2 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r2["retro_stones"] == 1 and r2["retro_refs"] == [1]
+    # the new batch itself IS stone-filtered; only ts=3000 lands
+    assert ("a", 3000, 3.0) in _store_samples(spark, store)
+    # already-reported stones don't re-report on the next sync
+    w = WalWriter(wal, first_segment=2)
+    w.log_samples([(1, 4000, 4.0)])
+    w.close()
+    r3 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r3["retro_stones"] == 0

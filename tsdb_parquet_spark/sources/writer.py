@@ -155,6 +155,39 @@ def read_roots(spark: SparkSession, paths: list[str]) -> DataFrame:
     return df
 
 
+def live_store_dirs(root: str) -> list[str]:
+    """The store's LIVE directory set, for readers that open a store by
+    root path (``tsdb_wal.live_samples_frame``, ad-hoc tooling).
+
+    The latest snapshot manifest is authoritative when one exists — it
+    lists exactly the live parts plus the current ``compact.N`` target,
+    so superseded ``compact.N-1`` versions, folded parts awaiting
+    vacuum, and the ``compact`` alias symlink (which would double-read
+    its target) are all excluded.  Pre-snapshot stores (no manifest)
+    fall back to every ``part.*`` dir plus the resolved compact alias:
+    in that layout compaction overwrote a single plain ``compact`` dir
+    in place, so no stale versions exist to double-read."""
+    from tsdb_parquet_spark.sources.manifest import current_snapshot
+
+    snap = current_snapshot(root)
+    if snap is not None:
+        return [p for p in snap.absolute(root) if os.path.isdir(p)]
+    paths = sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("part.") and not d.endswith(".tmp")
+        and os.path.isdir(os.path.join(root, d))
+    )
+    alias = os.path.join(root, SortedParquetWriter.COMPACT_ALIAS)
+    if os.path.islink(alias):
+        target = os.path.join(root, os.readlink(alias))
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            paths.append(target)
+    elif os.path.exists(os.path.join(alias, "_SUCCESS")):
+        paths.append(alias)
+    return paths
+
+
 def compact(
     spark: SparkSession,
     part_dirs: list[str] | str,

@@ -547,7 +547,11 @@ def write_block(
         "version": 1,
         "ulid": ulid,
         "minTime": min(times),
-        "maxTime": max(maxts),
+        # BlockMeta.MaxTime is EXCLUSIVE in Prometheus (tsdb.BlockMeta:
+        # "MaxTime of the block, exclusive") — write max sample ts + 1
+        # or a query window starting exactly at the last sample's ts
+        # would prune the block and drop its boundary sample
+        "maxTime": max(maxts) + 1,
         "stats": {
             "numSeries": len(indexed),
             "numChunks": len(payloads),
@@ -1057,7 +1061,8 @@ def export_block(
         "version": 1,
         "ulid": ulid,
         "minTime": min(m for _, chs in series for m, _, _ in chs),
-        "maxTime": max(m for _, chs in series for _, m, _ in chs),
+        # exclusive, per Prometheus BlockMeta.MaxTime — see write_block
+        "maxTime": max(m for _, chs in series for _, m, _ in chs) + 1,
         "stats": {
             "numSeries": len(series),
             "numChunks": len(metas),

@@ -529,6 +529,16 @@ def iter_segment_records(
                     pending = bytearray()
                     in_fragment_chain = False
             pos = data_end
+        if in_fragment_chain:
+            # a SEALED segment must not end mid fragment chain
+            # (FIRST/MIDDLE seen, no LAST): the pending record was
+            # torn off — every other framing violation raises, so
+            # this one must too (tolerate_tail still repairs the
+            # live segment's tail, same as Prometheus on restart)
+            raise WalCorruptionError(
+                "segment ends mid fragment chain (FIRST/MIDDLE "
+                "without LAST)"
+            )
     except (WalCorruptionError, IndexError, struct.error):
         if not tolerate_tail:
             raise
@@ -811,6 +821,12 @@ def _wal_frames(
     # boolean before the transfer.
     fields = [
         T.StructField("seg_ord", T.IntegerType(), False),
+        # log position within the segment: (seg_ord, rec_ord) is the
+        # WAL's total append order, the tie-break FIRST-WRITE-WINS
+        # duplicate resolution needs (Prometheus's appender rejects
+        # the second duplicate, so the first logged value is the one
+        # the head keeps)
+        T.StructField("rec_ord", T.LongType(), False),
         T.StructField("__ref__", T.LongType(), False),
         T.StructField("ts", T.LongType(), False),
         T.StructField("value", T.DoubleType(), True),
@@ -832,13 +848,14 @@ def _wal_frames(
 
         import numpy as np
 
-        def flush(seg_ord, refs, tss, vals, count):
+        def flush(seg_ord, base_ord, refs, tss, vals, count):
             chain = itertools.chain.from_iterable
             ref_arr = np.fromiter(chain(refs), np.int64, count)
             ts_arr = np.fromiter(chain(tss), np.int64, count)
             val_arr = np.fromiter(chain(vals), np.float64, count)
             cols = {
                 "seg_ord": np.full(count, seg_ord, np.int32),
+                "rec_ord": np.arange(base_ord, base_ord + count, dtype=np.int64),
                 "__ref__": ref_arr,
                 "ts": ts_arr,
                 "value": val_arr,
@@ -856,6 +873,7 @@ def _wal_frames(
                 seg_ord = int(seg_ord)
                 remaining_skip = int(skip)
                 refs, tss, vals, count = [], [], [], 0
+                next_ord = 0
                 for rec in _read_segment(path, path == last_path):
                     if not rec or rec[0] != SAMPLES:
                         continue
@@ -873,10 +891,11 @@ def _wal_frames(
                     vals.append(v)
                     count += len(r)
                     if count >= batch_rows:
-                        yield flush(seg_ord, refs, tss, vals, count)
+                        yield flush(seg_ord, next_ord, refs, tss, vals, count)
+                        next_ord += count
                         refs, tss, vals, count = [], [], [], 0
                 if count:
-                    yield flush(seg_ord, refs, tss, vals, count)
+                    yield flush(seg_ord, next_ord, refs, tss, vals, count)
 
     series_df = (
         s_df.mapInPandas(series_pass, series_schema)
@@ -943,7 +962,10 @@ def wal_to_samples_frame(
     segments before the join — but it is never collected to the driver;
     Spark's join moves it.  Duplicate (ref, ts) appends (possible when a
     checkpoint overlaps live segments after an unclean restart) keep the
-    LAST logged value, matching head replay.
+    FIRST logged value in (segment, log-position) order: Prometheus's
+    appender rejects the second duplicate (first write wins), and
+    `tsdb_block.compact_blocks` resolves cross-block collisions by the
+    same rule, so all three paths agree.
 
     ``stale`` handles Prometheus staleness markers (the bit-exact quiet
     NaN a vanishing scrape target logs; ordinary NaN values are data):
@@ -970,16 +992,18 @@ def wal_to_samples_frame(
         batch_rows,
         mark_stale=(stale != "keep"),
     )
-    # keep the LAST logged value per (ref, ts): max_by over log order
+    # FIRST-WRITE-WINS per (ref, ts): min_by over the WAL's total
+    # append order (seg_ord, rec_ord) — deterministic even for ties
+    # within one segment, and the rule Prometheus's appender enforces
     if stale == "keep":
         samples_df = raw.groupBy("__ref__", "ts").agg(
-            F.expr("max_by(value, seg_ord)").alias("value")
+            F.expr("min_by(value, struct(seg_ord, rec_ord))").alias("value")
         )
         cols = [*label_names, "ts", "value"]
     else:
         samples_df = raw.groupBy("__ref__", "ts").agg(
             F.expr(
-                "max_by(struct(value, is_stale), seg_ord)"
+                "min_by(struct(value, is_stale), struct(seg_ord, rec_ord))"
             ).alias("__s")
         ).select(
             "__ref__",
@@ -1053,6 +1077,67 @@ def wal_to_exemplars_frame(
     )
 
 
+def _drain_plan(
+    segs: Sequence[str],
+    rel: dict,
+    complete: set,
+    tail_counts: dict,
+    prev_floor: int,
+    last_path: str,
+) -> tuple[list[tuple[int, str, int]], list[str], bool, int]:
+    """The incremental drain plan shared by `sync_wal` (which commits
+    its side effects) and `live_samples_frame` (a read-only replica —
+    it passes COPIES of ``complete``/``tail_counts`` and discards
+    them).  Sharing the computation keeps the two paths from
+    disagreeing on checkpoint handling: a checkpoint whose floor is
+    fully covered by already-drained segment numbers is a PURE
+    DUPLICATE (Prometheus rewrote still-needed samples from truncated
+    segments we already synced) and must be skipped by BOTH paths, or
+    the read-only view transiently double-counts between the
+    checkpoint's appearance and the next sync run.
+
+    Checkpoint-gap detection: a checkpoint dir not yet completed
+    replaces truncated segments; if any segment number at or below its
+    floor was never completed here, those samples exist only in the
+    checkpoint and it must be drained (possible overlap duplicates —
+    reported via the returned ``gap_drained``).  MUTATES ``complete``
+    (adds pure-duplicate checkpoints, mirrored in ``newly_sealed``).
+    Returns (plan rows (ord, path, skip), newly_sealed, gap_drained,
+    new floor)."""
+    gap_drained = False
+    plan: list[tuple[int, str, int]] = []
+    newly_sealed: list[str] = []
+    for i, p in enumerate(segs):
+        r = rel[p]
+        in_checkpoint = os.sep in r
+        if r in complete:
+            continue
+        if in_checkpoint:
+            floor = int(
+                os.path.basename(os.path.dirname(p)).split(".", 1)[1]
+            )
+            drained_nums = {
+                int(os.path.basename(c))
+                for c in complete
+                if os.sep not in c and os.path.basename(c).isdigit()
+            }
+            missing = set(range(prev_floor + 1, floor + 1)) - drained_nums
+            new_floor = max(prev_floor, floor)
+            if not missing:
+                # pure duplicates of already-drained segments
+                prev_floor = new_floor
+                complete.add(r)
+                newly_sealed.append(r)
+                continue
+            prev_floor = new_floor
+            gap_drained = True
+        skip = int(tail_counts.get(r, 0))
+        plan.append((i, p, skip))
+        if p != last_path:
+            newly_sealed.append(r)
+    return plan, newly_sealed, gap_drained, prev_floor
+
+
 def sync_wal(
     spark: SparkSession,
     wal_dir: str,
@@ -1098,7 +1183,11 @@ def sync_wal(
     Parts land without series ids (`assign_series_ids=False`, the
     streaming-ingest contract) — dense ids are assigned when the store
     compacts.  Returns ``{"samples": n, "part": dir|None,
-    "sealed": [...], "tail": {...}, "gap_drained": bool}``.
+    "sealed": [...], "tail": {...}, "gap_drained": bool,
+    "retro_stones": n, "retro_refs": [...]}`` — the last two surface
+    delete-API tombstones that arrived AFTER their samples were synced
+    (they cannot retro-delete from the store; callers schedule a
+    store-side delete pass when the count is nonzero).
     """
     import json
 
@@ -1135,46 +1224,15 @@ def sync_wal(
     rel = {p: os.path.relpath(p, wal_dir) for p in segs}
     last_path = segs[-1]
 
-    # checkpoint-gap detection: a checkpoint dir we have NOT completed
-    # replaces truncated segments; if any segment number at or below its
-    # floor was never completed here, those samples exist only in the
-    # checkpoint and it must be drained (possible overlap duplicates)
-    gap_drained = False
-    plan: list[tuple[int, str, int]] = []
-    newly_sealed: list[str] = []
-    for i, p in enumerate(segs):
-        r = rel[p]
-        in_checkpoint = os.sep in r
-        if r in complete:
-            continue
-        if in_checkpoint:
-            floor = int(
-                os.path.basename(os.path.dirname(p)).split(".", 1)[1]
-            )
-            drained_nums = {
-                int(os.path.basename(c))
-                for c in complete
-                if os.sep not in c and os.path.basename(c).isdigit()
-            }
-            missing = set(range(prev_floor + 1, floor + 1)) - drained_nums
-            new_floor = max(prev_floor, floor)
-            if not missing:
-                # pure duplicates of already-drained segments
-                prev_floor = new_floor
-                complete.add(r)
-                newly_sealed.append(r)
-                continue
-            prev_floor = new_floor
-            gap_drained = True
-        skip = int(tail_counts.get(r, 0))
-        plan.append((i, p, skip))
-        if p != last_path:
-            newly_sealed.append(r)
+    plan, newly_sealed, gap_drained, prev_floor = _drain_plan(
+        segs, rel, complete, tail_counts, prev_floor, last_path
+    )
 
     counts: dict[str, int] = {}
     n_new = 0
     part: str | None = None
     stale_table: str | None = None
+    batch_max_ts: int | None = None
     if plan:
         # INCREMENTAL series resolution: a ref logged in a long-sealed
         # segment must resolve for tail samples, but re-scanning every
@@ -1205,23 +1263,31 @@ def sync_wal(
             series_df = new_series_df
         raw = raw.persist()
         try:
-            per_seg = {
-                row["seg_ord"]: row["n"]
-                for row in raw.groupBy("seg_ord").count()
-                .withColumnRenamed("count", "n").collect()
-            }
+            seg_stats = raw.groupBy("seg_ord").agg(
+                F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+            ).collect()
+            per_seg = {row["seg_ord"]: row["n"] for row in seg_stats}
+            batch_max_ts = max(
+                (row["mx"] for row in seg_stats if row["mx"] is not None),
+                default=None,
+            )
             n_new = sum(per_seg.values())
             for i, p, skip in plan:
                 counts[rel[p]] = skip + per_seg.get(i, 0)
             if n_new:
+                # first-write-wins, same rule as wal_to_samples_frame
                 samples_df = raw.groupBy("__ref__", "ts").agg(
-                    F.expr("max_by(value, seg_ord)").alias("value")
+                    F.expr(
+                        "min_by(value, struct(seg_ord, rec_ord))"
+                    ).alias("value")
                 )
                 # delete-API tombstones filter the batch being drained;
                 # a tombstone logged AFTER its samples were synced in an
                 # earlier batch cannot retro-delete from the store —
                 # that requires a store-side delete pass (same
-                # limitation as any downstream copy of TSDB data)
+                # limitation as any downstream copy of TSDB data).
+                # Such stones are DETECTED and reported below
+                # (retro_stones/retro_refs), never silently dropped.
                 samples_df = _apply_tombstones(spark, wal_dir, samples_df)
                 samples = samples_df.join(
                     series_df, "__ref__", "inner"
@@ -1269,6 +1335,32 @@ def sync_wal(
         tail_counts.pop(r, None)
     if plan and plan[-1][1] == last_path:
         tail_counts[rel[last_path]] = counts.get(rel[last_path], 0)
+
+    # RETRO-DELETION VISIBILITY: a delete-API tombstone logged AFTER its
+    # samples were synced in an earlier batch cannot retro-delete from
+    # the store (the documented downstream-copy limitation) — but the
+    # loss must not be silent.  The sidecar remembers every stone seen
+    # and the max sample ts synced so far; a stone appearing now whose
+    # interval starts at or before that watermark may target
+    # already-shipped samples and is surfaced in the report so callers
+    # can schedule a store-side delete/compaction pass.  (The watermark
+    # is an upper bound: samples the stone itself removed in-batch still
+    # advance it, so the check can warn spuriously, never miss.)
+    prev_stones = {tuple(s) for s in state.get("stones", [])}
+    prev_max_ts = state.get("max_ts")
+    stones_now = read_wal_tombstones(wal_dir)
+    retro_stones = [
+        s
+        for s in stones_now
+        if tuple(s) not in prev_stones
+        and prev_max_ts is not None
+        and s[1] <= prev_max_ts
+    ]
+    max_ts = max(
+        (t for t in (prev_max_ts, batch_max_ts) if t is not None),
+        default=None,
+    )
+
     # drop state for segments that no longer exist (truncated)
     live = set(rel.values())
     state = {
@@ -1278,6 +1370,8 @@ def sync_wal(
         "floor": prev_floor,
         "series_table": state.get("series_table"),
         "series_version": int(state.get("series_version", -1)),
+        "stones": [list(s) for s in stones_now],
+        "max_ts": max_ts,
     }
     tmp = state_path + ".tmp"
     os.makedirs(store_root, exist_ok=True)
@@ -1298,6 +1392,8 @@ def sync_wal(
         "sealed": newly_sealed,
         "tail": dict(state["tail"]),
         "gap_drained": gap_drained,
+        "retro_stones": len(retro_stones),
+        "retro_refs": sorted({s[0] for s in retro_stones}),
     }
 
 
@@ -1321,21 +1417,20 @@ def live_samples_frame(
     predicate pushdown; the delta side is bounded by one sync interval
     of data.
     """
-    import glob
     import json
 
     from pyspark.sql import functions as F
 
     from tsdb_parquet_spark.chunks import chunks_to_samples
+    from tsdb_parquet_spark.sources.writer import live_store_dirs
 
     label_names = sorted(label_names)
-    # store side: every part + any compacted output
-    paths = sorted(
-        p
-        for p in glob.glob(os.path.join(store_root, "part.*"))
-        + glob.glob(os.path.join(store_root, "compact*"))
-        if os.path.isdir(p) and not p.endswith(".tmp")
-    )
+    # store side: the LIVE directory set only.  A finalized store holds
+    # the `compact` alias symlink AND its compact.N target (plus
+    # superseded compact.N-1 and folded part.* dirs awaiting vacuum) —
+    # a bare glob would read those rows twice; the manifest (or the
+    # resolved alias on pre-snapshot stores) is the source of truth.
+    paths = live_store_dirs(store_root) if os.path.isdir(store_root) else []
     frames: list[DataFrame] = []
     if paths:
         chunk_df = spark.read.parquet(*paths)
@@ -1346,7 +1441,10 @@ def live_samples_frame(
             )
         )
 
-    # delta side: the read-only replica of sync_wal's plan
+    # delta side: the read-only replica of sync_wal's plan — the SAME
+    # _drain_plan computation (pure-duplicate checkpoints skipped, so a
+    # checkpoint appearing between sync runs can't double-count samples
+    # the store already holds); the mutated copies are discarded.
     state_path = os.path.join(store_root, "_wal_sync.json")
     state = {"complete": [], "tail": {}, "series_table": None}
     if os.path.exists(state_path):
@@ -1356,11 +1454,14 @@ def live_samples_frame(
     tail_counts = dict(state["tail"])
     segs = discover_wal_segments(wal_dir)
     rel = {p: os.path.relpath(p, wal_dir) for p in segs}
-    plan = [
-        (i, p, int(tail_counts.get(rel[p], 0)))
-        for i, p in enumerate(segs)
-        if rel[p] not in complete
-    ]
+    plan, _, _, _ = _drain_plan(
+        segs,
+        rel,
+        complete,
+        tail_counts,
+        int(state.get("floor", -1)),
+        segs[-1] if segs else "",
+    )
     if plan:
         last_path = segs[-1]
         new_series_df, raw = _wal_frames(
@@ -1379,7 +1480,11 @@ def live_samples_frame(
             ).dropDuplicates(["__ref__"])
         delta = (
             raw.groupBy("__ref__", "ts")
-            .agg(F.expr("max_by(value, seg_ord)").alias("value"))
+            .agg(
+                F.expr("min_by(value, struct(seg_ord, rec_ord))").alias(
+                    "value"
+                )
+            )
             .join(series_df, "__ref__", "inner")
             .select(*label_names, "ts", "value")
         )
