@@ -1165,9 +1165,11 @@ def compact_blocks(
 
     Scale shape: sample payloads stay executor-side end-to-end
     (convert -> decode -> anti-join -> dedup -> re-encode -> segment
-    writes); the driver holds the block list, the deletion table (tiny
-    — it is broadcast into the anti-join), and per-chunk export
-    metadata.  Prometheus compacts single-threaded per block on one
+    writes), and so does every INDEX PARSE — stone-ref resolution runs
+    in one task per stone-bearing block (the driver only probes each
+    block's tiny tombstones file to find them); the resolved deletion
+    table (tiny) is broadcast into the anti-join without ever being
+    collected.  Prometheus compacts single-threaded per block on one
     box; this runs one task per input block on ingest and one per
     output bucket on export."""
     from pyspark.sql import functions as F
@@ -1181,23 +1183,65 @@ def compact_blocks(
 
     labels = sorted(label_names)
     # deletions are PER BLOCK: a tombstone on block A must not delete
-    # block B's samples for the same series — the ordinal joins below
-    deletions: list[tuple] = []
-    for ord_, d in enumerate(block_dirs):
-        stones = read_tombstones(d)
-        if not stones:
-            continue
-        by_ref = {
-            ref: lbls for ref, lbls, _ in read_index(d, with_refs=True)
-        }
-        for ref, intervals in stones.items():
-            if ref not in by_ref:
-                raise ValueError(
-                    f"{d}: tombstone for unknown series ref {ref}"
-                )
-            lvals = tuple(by_ref[ref].get(n, "") for n in labels)
-            for mint, maxt in intervals:
-                deletions.append((ord_,) + lvals + (mint, maxt))
+    # block B's samples for the same series — the ordinal joins below.
+    # Finding stone-BEARING blocks is a tiny driver-side file read per
+    # block (same cost class as discover_blocks reading meta.json);
+    # resolving stone refs to label sets requires parsing each block's
+    # INDEX, which runs executor-side in one task per stone-bearing
+    # block — on a farm where many blocks carry stones the driver never
+    # serially parses indexes (it holds only the resolved deletion
+    # table, tiny and broadcast into the anti-join below).
+    stone_blocks = [
+        (ord_, d)
+        for ord_, d in enumerate(block_dirs)
+        if read_tombstones(d)
+    ]
+    dels = None
+    if stone_blocks:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        sb_rdd = spark.sparkContext.parallelize(
+            stone_blocks, len(stone_blocks)
+        )
+        sb_df = spark.createDataFrame(
+            sb_rdd, "__del_ord INT, __block_dir STRING"
+        )
+        del_schema = T.StructType(
+            [T.StructField("__del_ord", T.IntegerType(), False)]
+            + [T.StructField(c, T.StringType(), False) for c in labels]
+            + [
+                T.StructField("__del_mint", T.LongType(), False),
+                T.StructField("__del_maxt", T.LongType(), False),
+            ]
+        )
+        del_cols = [f.name for f in del_schema.fields]
+
+        def resolve_stones(batches):
+            for pdf in batches:
+                rows: list[tuple] = []
+                for ord_, d in zip(pdf["__del_ord"], pdf["__block_dir"]):
+                    stones = read_tombstones(d)
+                    by_ref = {
+                        ref: lbls
+                        for ref, lbls, _ in read_index(d, with_refs=True)
+                    }
+                    for ref, intervals in stones.items():
+                        if ref not in by_ref:
+                            raise ValueError(
+                                f"{d}: tombstone for unknown series "
+                                f"ref {ref}"
+                            )
+                        lvals = tuple(
+                            by_ref[ref].get(n, "") for n in labels
+                        )
+                        for mint, maxt in intervals:
+                            rows.append(
+                                (int(ord_), *lvals, mint, maxt)
+                            )
+                yield pd.DataFrame(rows, columns=del_cols)
+
+        dels = sb_df.mapInPandas(resolve_stones, del_schema)
 
     frame = blocks_to_chunk_frame(
         spark, list(block_dirs), labels, tombstones="ignore"
@@ -1212,13 +1256,7 @@ def compact_blocks(
         F.col("__s.ts").alias("ts"),
         F.col("__s.value").alias("value"),
     )
-    if deletions:
-        schema = (
-            "__del_ord int, "
-            + ", ".join(f"`{c}` string" for c in labels)
-            + ", __del_mint long, __del_maxt long"
-        )
-        dels = spark.createDataFrame(deletions, schema)
+    if dels is not None:
         cond = decoded["__block_ord"] == dels["__del_ord"]
         for c in labels:
             cond = cond & (decoded[c] == dels[c])
