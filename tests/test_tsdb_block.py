@@ -1181,3 +1181,103 @@ def test_compact_blocks_resolves_stone_refs_executor_side(
     assert got == want
     meta = json.load(open(os.path.join(out_dir, "meta.json")))
     assert meta["stats"]["numSeries"] == 3
+
+
+def test_maintain_block_farm_downsample_then_retention(spark, tmp_path):
+    """Verdict r09 #3: the operational loop — one maintenance tick
+    downsamples aged raw blocks into recording-rule rollup blocks and
+    THEN applies retention, so a raw block never ages out before its
+    rollup exists; re-running the tick is a no-op; crash scraps
+    (.trash-*, .building-*) are invisible and resumed."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.tsdb_block import (
+        discover_blocks,
+        maintain_block_farm,
+    )
+
+    day = 24 * 3_600_000
+    hour = 3_600_000
+    data = str(tmp_path / "data")
+    rollups = str(tmp_path / "rollups")
+    os.makedirs(data)
+    labels = {"__name__": "m", "job": "a"}
+    for d0 in range(3):  # one block per day 0/1/2, 4 samples each
+        ts = np.array([d0 * day + i * 6 * hour for i in range(4)], np.int64)
+        vs = np.array([float(d0 * 10 + i) for i in range(4)])
+        write_block(
+            os.path.join(data, f"day{d0}"),
+            [(labels, [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, vs))])],
+        )
+    # crash scraps from hypothetical earlier runs
+    os.makedirs(os.path.join(data, ".trash-dead"))
+    building = os.path.join(data, ".building-x")
+    os.makedirs(building)
+    with open(os.path.join(building, "meta.json"), "w") as fh:
+        fh.write("{}")
+    assert len(discover_blocks(data)) == 3  # scraps invisible
+
+    now = 3 * day
+    rep = maintain_block_farm(
+        spark,
+        data,
+        ["__name__", "job"],
+        now_ms=now,
+        retention_ms=2 * day,           # horizon day1: day0 ages out
+        downsample_step_ms=12 * hour,   # 2 buckets per day-block
+        downsample_dir=rollups,
+        downsample_after_ms=day,        # horizon day2: day0+day1 roll up
+    )
+    assert len(rep["downsampled"]) == 2
+    assert rep["retention"]["deleted"] and rep["retention"]["kept"] == 2
+    assert rep["retention"]["resumed_trash"] == 1
+    # raw day0 is gone, but its rollup EXISTS (downsample ran first)
+    raws = discover_blocks(data)
+    assert len(raws) == 2
+    rolled = discover_blocks(rollups)
+    assert rolled
+    got = sorted(
+        (r["__name__"], r["s"]["ts"], r["s"]["value"])
+        for r in blocks_to_chunk_frame(spark, rolled, ["__name__", "job"])
+        .select("__name__", F.explode(
+            decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"))
+        .filter(F.col("__name__").isin("m:sum", "m:count"))
+        .collect()
+    )
+    # right-closed 12h buckets (ceil(ts/step)*step): day-0 samples at
+    # 0/6/12/18h -> buckets 0, 12h, 12h, 24h; day-1 samples at
+    # day+0/6/12/18h -> buckets 24h, 36h, 36h, 48h.  The day boundary
+    # bucket (24h) MERGES across the two source blocks because the
+    # whole pending set rolls up in one farm job — exactly why the
+    # sidecar records the batch, not single blocks, as its unit.
+    want = sorted([
+        ("m:count", 0, 1.0),
+        ("m:count", 12 * hour, 2.0),
+        ("m:count", day, 2.0),
+        ("m:count", day + 12 * hour, 2.0),
+        ("m:count", 2 * day, 1.0),
+        ("m:sum", 0, 0.0),
+        ("m:sum", 12 * hour, 1.0 + 2.0),
+        ("m:sum", day, 3.0 + 10.0),
+        ("m:sum", day + 12 * hour, 11.0 + 12.0),
+        ("m:sum", 2 * day, 13.0),
+    ])
+    assert got == want
+    # second tick: nothing left to do, and the sidecar held
+    rep2 = maintain_block_farm(
+        spark,
+        data,
+        ["__name__", "job"],
+        now_ms=now,
+        retention_ms=2 * day,
+        downsample_step_ms=12 * hour,
+        downsample_dir=rollups,
+        downsample_after_ms=day,
+    )
+    assert rep2["downsampled"] == {}
+    assert rep2["retention"]["deleted"] == []
+    side = json.load(open(os.path.join(rollups, "_downsampled.json")))
+    assert len(side) == 2

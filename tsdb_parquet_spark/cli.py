@@ -483,6 +483,46 @@ def cmd_sync(args) -> int:
                    " compaction]" if head["gap_drained"] else ""),
                 file=sys.stderr,
             )
+            if head.get("retro_stones"):
+                print(
+                    f"# WARNING: {head['retro_stones']} tombstone(s) "
+                    f"arrived after their samples were synced (refs "
+                    f"{head['retro_refs']}) — the store still holds "
+                    "those samples; run a store-side delete pass",
+                    file=sys.stderr,
+                )
+    spark.stop()
+    return 0
+
+
+def cmd_maintain_blocks(args) -> int:
+    """One maintenance tick for a block farm (Thanos-compactor
+    semantics): downsample aged raw blocks into recording-rule rollup
+    blocks, then delete blocks past the retention horizon crash-safely
+    (`tsdb_block.maintain_block_farm`)."""
+    import json as _json
+    import time
+
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.tsdb_block import maintain_block_farm
+
+    now_ms = args.now_ms if args.now_ms is not None else int(
+        time.time() * 1000
+    )
+    spark = get_spark(app_name="tsdb-maintain-blocks")
+    spark.sparkContext.setLogLevel("ERROR")
+    rep = maintain_block_farm(
+        spark,
+        args.data_dir,
+        args.labels.split(","),
+        now_ms=now_ms,
+        retention_ms=args.retention_ms,
+        downsample_step_ms=args.downsample_step_ms,
+        downsample_dir=args.downsample_dir,
+        downsample_after_ms=args.downsample_after_ms,
+        block_span_ms=args.span_ms,
+    )
+    print(_json.dumps(rep))
     spark.stop()
     return 0
 
@@ -682,6 +722,30 @@ def main(argv: list[str] | None = None) -> int:
     reb.add_argument("--labels", default="__name__,event_type,shard")
     reb.add_argument("--span-ms", type=int, default=86_400_000)
     reb.set_defaults(fn=cmd_reblock)
+
+    mnt = sub.add_parser(
+        "maintain-blocks",
+        help="one block-farm maintenance tick (Thanos-compactor "
+             "semantics): downsample aged raw blocks into "
+             "recording-rule rollup blocks, then delete blocks past "
+             "the retention horizon crash-safely",
+    )
+    mnt.add_argument("--data-dir", required=True,
+                     help="raw block farm (Prometheus data dir layout)")
+    mnt.add_argument("--labels", default="__name__,event_type,shard")
+    mnt.add_argument("--retention-ms", type=int, default=None,
+                     help="delete blocks whose window aged past this")
+    mnt.add_argument("--downsample-step-ms", type=int, default=None,
+                     help="rollup resolution (e.g. 300000 for 5m)")
+    mnt.add_argument("--downsample-dir", default=None,
+                     help="where rollup blocks land (required with "
+                          "--downsample-step-ms)")
+    mnt.add_argument("--downsample-after-ms", type=int, default=0,
+                     help="only roll up blocks entirely older than this")
+    mnt.add_argument("--span-ms", type=int, default=86_400_000)
+    mnt.add_argument("--now-ms", type=int, default=None,
+                     help="clock override for reproducible runs")
+    mnt.set_defaults(fn=cmd_maintain_blocks)
 
     ing = sub.add_parser(
         "ingest",

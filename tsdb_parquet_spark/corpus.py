@@ -5968,6 +5968,160 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_maintained_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the block-farm MAINTENANCE fixture and run
+    the tick under test (`tsdb_block.maintain_block_farm`): the events
+    chunk store exports as real day blocks (the raw farm), then one
+    maintenance tick (a) rolls EVERY raw block into 6h recording-rule
+    rollup blocks (one farm job, payloads executor-side) and (b)
+    deletes raw blocks past a half-range retention horizon with the
+    crash-safe two-phase rename.  Downsample-before-retention is the
+    invariant q116 leans on: the rollup blocks cover ALL events even
+    though the old raw blocks are gone — exactly the Thanos-compactor
+    operational loop the reference has no counterpart for."""
+    import shutil
+
+    from tsdb_parquet_spark.tsdb_block import (
+        discover_blocks,
+        export_blocks,
+        maintain_block_farm,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"maintained_blocks_{tag}")
+    marker = os.path.join(final, "_DONE.json")
+    if os.path.exists(marker):
+        return os.path.join(final, "rollups")
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    raw = os.path.join(build, "raw")
+    rollups = os.path.join(build, "rollups")
+    store = events_chunk_store(spark, sf_dir)
+    export_blocks(
+        spark.read.parquet(store), raw, block_span_ms=_DAY_MS
+    )
+    metas = [
+        json.load(open(os.path.join(d, "meta.json")))
+        for d in discover_blocks(raw)
+    ]
+    now_ms = max(m["maxTime"] for m in metas)
+    span = now_ms - min(m["minTime"] for m in metas)
+    rep = maintain_block_farm(
+        spark,
+        raw,
+        ["__name__", "event_type", "shard"],
+        now_ms=now_ms,
+        # half the farm's time range: old blocks age out, new ones stay
+        retention_ms=max(span // 2, 1),
+        downsample_step_ms=_DAY_MS // 4,
+        downsample_dir=rollups,
+        downsample_after_ms=0,  # every raw block rolls up FIRST
+        # order-independent aggregates only: `last` ties on duplicate
+        # (series, ts) raw samples and cannot be pinned against SQL
+        downsample_aggs=("sum", "count", "min", "max"),
+    )
+    if len(metas) > 2 and not rep["retention"]["deleted"]:
+        raise RuntimeError(
+            "maintenance fixture: retention deleted nothing on a "
+            f"{len(metas)}-block farm (horizon math broke?)"
+        )
+    with open(os.path.join(build, "_DONE.json"), "w") as fh:
+        json.dump(
+            {
+                "downsampled": sorted(rep["downsampled"]),
+                "deleted": rep["retention"]["deleted"],
+                "raw_left": rep["retention"]["kept"],
+            },
+            fh,
+        )
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return os.path.join(final, "rollups")
+
+
+_Q116_STEP = _DAY_MS // 4  # 6h rollup resolution
+
+
+@query(
+    "q116_block_farm_maintenance",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard,
+         ((ts_ms + {_Q116_STEP - 1}) // {_Q116_STEP}) * {_Q116_STEP} AS ts,
+         sum(value) AS v_sum,
+         CAST(count(*) AS DOUBLE) AS v_count,
+         min(value) AS v_min,
+         max(value) AS v_max
+  FROM s GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT 'app_events:sum' AS m, event_type, shard, ts, v_sum AS v FROM b
+  UNION ALL
+  SELECT 'app_events:count', event_type, shard, ts, v_count FROM b
+  UNION ALL
+  SELECT 'app_events:min', event_type, shard, ts, v_min FROM b
+  UNION ALL
+  SELECT 'app_events:max', event_type, shard, ts, v_max FROM b
+)
+SELECT m AS metric, event_type,
+       count(*) AS n_samples,
+       round(sum(v), 2) AS sum_value,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-farm maintenance loop (`tsdb_block.maintain_block_farm` —
+    Thanos-compactor retention + downsampling, which the reference's
+    one-shot converter has no counterpart for): the raw day-block farm
+    rolls up into 6h recording-rule blocks (sum/count/min/max per
+    series per bucket) in one farm job, then raw blocks past the
+    retention horizon are deleted crash-safely.  The ROLLUP blocks —
+    read back through the forward converter and decoded — must
+    hash-match DuckDB computing the same right-closed 6h buckets over
+    the raw events, proving the rollup covers everything even though
+    half the raw farm is gone (downsample-before-retention)."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        discover_blocks,
+    )
+
+    rollup_dir = _events_maintained_rollup_dir(spark, sf_dir)
+    frame = blocks_to_chunk_frame(
+        spark,
+        discover_blocks(rollup_dir),
+        ["__name__", "event_type", "shard"],
+    )
+    decoded = frame.select(
+        F.col("__name__").alias("metric"),
+        "event_type",
+        "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    return (
+        decoded.groupBy("metric", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("metric", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6032,6 +6186,9 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                           module, removal arm consumes the spans)
 #   q95_media_transform  -> q29 (same functions/multimodal.py decode
 #                           plumbing — the r09 mapping, reversed)
+#   q87_bucket_ranged_read -> q94 (same sources/bucket.py RFC 7233
+#                           ranged-GET machinery, HTTP-store e2e arm;
+#                           displaced by this round's q116 debut)
 # Every other out-of-window row is r09-green (1 recorded round stale
 # once r10 lands) and needs no deferral record.
 
@@ -6056,6 +6213,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q97_ivfpq_residual_topk": ("q91_ivfpq_store_topk",),
     "q93_exact_substring_spans": ("q98_exact_substring_removal",),
     "q95_media_transform": ("q29_multimodal_metadata",),
+    "q87_bucket_ranged_read": ("q94_http_object_store",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -6076,7 +6234,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q46_sessionize",
     "q72_global_shuffle",
     "q29_multimodal_metadata",
-    # r07-green backlog (2 recorded rounds stale) minus the 14
+    # this round's debuts (never driver-checked — must be in-window in
+    # their introduction round)
+    "q116_block_farm_maintenance",
+    # r07-green backlog (2 recorded rounds stale) minus the
     # documented deferrals
     "q06_first_per_key",
     "q07_groupby_agg",
@@ -6102,7 +6263,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q84_ivf_partitioned_store",
     "q85_salted_distinct_count",
     "q86_bucketed_colocated_join",
-    "q87_bucket_ranged_read",
     "q88_promql_scalar_arithmetic",
     "q89_streaming_rollup",
     "q91_ivfpq_store_topk",
@@ -6114,9 +6274,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q103_xor_chunk_interop",
     "q104_writer_layout_contract",
     "q105_tsdb_block_convert",
-    # position 51+ — outside the driver cap: the 14 documented
+    # position 51+ — outside the driver cap: the documented
     # deferrals (first in line for round 11), then the full
     # r09-green round-9 window
+    "q87_bucket_ranged_read",
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",

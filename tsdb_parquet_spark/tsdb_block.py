@@ -754,9 +754,16 @@ def discover_blocks(data_dir: str) -> list[str]:
     """Block directories inside a Prometheus data dir: subdirectories
     with a ``meta.json`` (Prometheus names them by ULID), sorted by
     each block's ``minTime`` (ULID name order is creation order, not
-    time order, once vertical compaction reorders things)."""
+    time order, once vertical compaction reorders things).
+
+    Dot-prefixed names are invisible: ``.building-*`` export scratch (a
+    crash after its meta.json lands but before the publish rename must
+    not surface a half-block) and ``.trash-*`` retention scratch (a
+    block renamed for deletion is already logically gone)."""
     found = []
     for name in sorted(os.listdir(data_dir)):
+        if name.startswith("."):
+            continue
         d = os.path.join(data_dir, name)
         meta_path = os.path.join(d, "meta.json")
         if os.path.isdir(d) and os.path.exists(meta_path):
@@ -1288,3 +1295,199 @@ def compact_blocks(
         block_span_ms=block_span_ms,
         max_segment_bytes=max_segment_bytes,
     )
+
+
+# ---------------------------------------------------------------------------
+# block-farm maintenance: retention + downsampling (the operational loop)
+# ---------------------------------------------------------------------------
+
+
+def retention_sweep_blocks(
+    data_dir: str, retention_ms: int, now_ms: int
+) -> dict:
+    """Age-based block retention — the loop a long-term Prometheus
+    store runs (Thanos compactor `--retention.resolution-*` semantics):
+    delete every block whose WHOLE window has aged out, i.e. whose
+    exclusive ``maxTime`` is at or before ``now_ms - retention_ms``.
+    A block straddling the horizon stays (Prometheus deletes whole
+    blocks only; partial trims happen via compaction).
+
+    Crash-safe two-phase delete: the block dir is first renamed to
+    ``.trash-<name>`` (one atomic inode op — after it the block is
+    invisible to `discover_blocks`, so no reader ever sees a
+    half-deleted block), then removed; leftover ``.trash-*`` from a
+    crashed earlier sweep is finished FIRST.  Returns
+    ``{"deleted": [ulid...], "kept": n, "resumed_trash": n}``.
+    """
+    import shutil
+
+    resumed = 0
+    for name in sorted(os.listdir(data_dir)):
+        if name.startswith(".trash-"):
+            shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+            resumed += 1
+    horizon = int(now_ms) - int(retention_ms)
+    deleted: list[str] = []
+    kept = 0
+    for d in discover_blocks(data_dir):
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        if int(meta.get("maxTime", 0)) <= horizon:
+            name = os.path.basename(d)
+            trash = os.path.join(data_dir, f".trash-{name}")
+            os.rename(d, trash)
+            shutil.rmtree(trash, ignore_errors=True)
+            deleted.append(meta.get("ulid", name))
+        else:
+            kept += 1
+    return {"deleted": deleted, "kept": kept, "resumed_trash": resumed}
+
+
+def downsample_blocks(
+    spark: SparkSession,
+    block_dirs: Sequence[str],
+    out_parent: str,
+    label_names: Sequence[str],
+    step_ms: int,
+    aggs: Sequence[str] | None = None,
+    block_span_ms: int = 24 * 3600 * 1000,
+    chunk_span_ms: int | None = None,
+    max_segment_bytes: int = 512 << 20,
+) -> list[tuple[str, str]]:
+    """Thanos-style downsampled blocks from a raw block farm: decode
+    every input block (one task per block, payloads executor-side),
+    roll samples up to one point per (series, ``step_ms`` bucket) per
+    aggregate under recording-rule names (``metric:sum`` etc. —
+    `sources.rollup.downsample_samples`, so the rollup-routing query
+    side `plans.routing` serves these blocks unchanged), re-chunk, and
+    export as fresh ULID blocks.
+
+    Thanos stores 5 aggregates per window in special chunk encodings
+    (AggrChunk); this engine's chunk model is plain (labels, ts, value),
+    so the aggregates land as separate recording-rule SERIES — the same
+    information, queryable by any PromQL engine without a custom chunk
+    decoder.  ``avg`` is deliberately not materialized (sum/count
+    re-aggregate losslessly; a pre-divided avg does not)."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import (
+        DEFAULT_CHUNK_SPAN_MS,
+        decode_chunk_udf,
+        samples_to_chunks,
+    )
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.sources.rollup import (
+        ROLLUP_AGGS,
+        downsample_samples,
+    )
+
+    labels = sorted(label_names)
+    frame = blocks_to_chunk_frame(
+        spark, list(block_dirs), labels, tombstones="error"
+    )
+    samples = frame.select(
+        *labels,
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("__s"),
+    ).select(*labels, F.col("__s.ts").alias("ts"),
+             F.col("__s.value").alias("value"))
+    rolled = downsample_samples(
+        samples,
+        labels,
+        step_ms=int(step_ms),
+        aggs=tuple(aggs) if aggs is not None else ROLLUP_AGGS,
+    )
+    span = (
+        int(chunk_span_ms)
+        if chunk_span_ms
+        else max(int(step_ms) * 24, DEFAULT_CHUNK_SPAN_MS)
+    )
+    chunks = samples_to_chunks(rolled, labels, chunk_span_ms=span)
+    return export_blocks(
+        chunks,
+        out_parent,
+        block_span_ms=block_span_ms,
+        max_segment_bytes=max_segment_bytes,
+    )
+
+
+def maintain_block_farm(
+    spark: SparkSession,
+    data_dir: str,
+    label_names: Sequence[str],
+    now_ms: int,
+    retention_ms: int | None = None,
+    downsample_step_ms: int | None = None,
+    downsample_dir: str | None = None,
+    downsample_after_ms: int = 0,
+    block_span_ms: int = 24 * 3600 * 1000,
+    downsample_aggs: Sequence[str] | None = None,
+) -> dict:
+    """ONE maintenance tick for a block farm — the operational loop a
+    real long-term Prometheus store runs (Thanos compactor semantics),
+    composing the engine's block primitives:
+
+    1. *downsample*: every raw block whose window is entirely older
+       than ``now_ms - downsample_after_ms`` and not yet downsampled
+       (tracked in a ``_downsampled.json`` sidecar under
+       ``downsample_dir``) rolls up into recording-rule blocks at
+       ``downsample_step_ms`` resolution via one farm job
+       (:func:`downsample_blocks`).
+    2. *retention*: raw blocks older than ``retention_ms`` are deleted
+       crash-safely (:func:`retention_sweep_blocks`).  Downsampling
+       runs FIRST so a block never ages out before its rollup exists.
+
+    Crash idempotency: the sidecar commits only after the export's
+    publish renames, so a crash mid-downsample re-exports the same
+    deterministic, content-ULID'd blocks over themselves; retention's
+    two-phase rename resumes half-finished deletes.  Returns
+    ``{"downsampled": {src_ulid: [out_ulid...]}, "retention": {...}}``.
+    """
+    report: dict = {"downsampled": {}, "retention": None}
+    if downsample_step_ms is not None:
+        if downsample_dir is None:
+            raise ValueError(
+                "downsample_step_ms requires downsample_dir"
+            )
+        os.makedirs(downsample_dir, exist_ok=True)
+        side_path = os.path.join(downsample_dir, "_downsampled.json")
+        done: dict[str, list[str]] = {}
+        if os.path.exists(side_path):
+            with open(side_path) as fh:
+                done = json.load(fh)
+        horizon = int(now_ms) - int(downsample_after_ms)
+        pending: list[tuple[str, str]] = []
+        for d in discover_blocks(data_dir):
+            with open(os.path.join(d, "meta.json")) as fh:
+                meta = json.load(fh)
+            ulid = meta.get("ulid", os.path.basename(d))
+            if ulid in done:
+                continue
+            if int(meta.get("maxTime", 0)) <= horizon:
+                pending.append((ulid, d))
+        if pending:
+            out = downsample_blocks(
+                spark,
+                [d for _, d in pending],
+                downsample_dir,
+                label_names,
+                step_ms=int(downsample_step_ms),
+                aggs=downsample_aggs,
+                block_span_ms=block_span_ms,
+            )
+            out_ulids = [u for u, _ in out]
+            # the whole pending set rolled up in ONE farm job; every
+            # source maps to the full output list (re-running any
+            # source alone would change bucket contents, so the batch
+            # is the idempotency unit)
+            for ulid, _ in pending:
+                done[ulid] = out_ulids
+            tmp = side_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(done, fh)
+            os.replace(tmp, side_path)
+            report["downsampled"] = {u: done[u] for u, _ in pending}
+    if retention_ms is not None:
+        report["retention"] = retention_sweep_blocks(
+            data_dir, int(retention_ms), int(now_ms)
+        )
+    return report
