@@ -5603,6 +5603,125 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_pushed_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the full remote-write PUSH path and return
+    the resulting compact store dir: the q111 POST bodies are actually
+    POSTed over HTTP to the loopback receiver
+    (`sources.remote_write_server.RemoteWriteServer` — socket, headers,
+    snappy validation, spool file per request), the spool drains
+    through Structured Streaming
+    (`streaming.receiver.remote_write_spool_ingestor`, executor-side
+    protobuf decode per micro-batch), and `finalize()` compacts the
+    parts into a sorted store with dense series ids.  q111 proved the
+    decode; THIS fixture chains socket -> spool -> stream -> store, so
+    q115 queries what a live receiver deployment would serve."""
+    import shutil
+    import urllib.request
+
+    import pyarrow.parquet as papq
+
+    from tsdb_parquet_spark.sources.remote_write_server import (
+        RemoteWriteServer,
+    )
+    from tsdb_parquet_spark.streaming.receiver import (
+        remote_write_spool_ingestor,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"pushed_store_{tag}")
+    marker = os.path.join(final, "_DONE")
+    if os.path.exists(marker):
+        return os.path.join(final, "store", "compact")
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    spool = os.path.join(build, "spool")
+    root = os.path.join(build, "store")
+    os.makedirs(spool)
+    payloads = papq.read_table(
+        _events_remote_write_payloads(spark, sf_dir)
+    ).to_pylist()
+    with RemoteWriteServer(spool) as url:
+        for row in payloads:
+            req = urllib.request.Request(
+                f"{url}/api/v1/write",
+                data=row["payload"],
+                headers={
+                    "Content-Encoding": "snappy",
+                    "Content-Type": "application/x-protobuf",
+                    "X-Prometheus-Remote-Write-Version": (
+                        "2.0.0" if row["version"] == 2 else "0.1.0"
+                    ),
+                },
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                if resp.status != 204:
+                    raise RuntimeError(
+                        f"receiver rejected payload: {resp.status}"
+                    )
+    ingestor, stream = remote_write_spool_ingestor(
+        spark, spool, root, _CHUNK_LABELS
+    )
+    ingestor.ingest(stream)
+    ingestor.finalize()
+    with open(os.path.join(build, "_DONE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return os.path.join(final, "store", "compact")
+
+
+@query(
+    "q115_remote_write_push_to_promql",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, event_type, round(sum(v), 2) AS value
+FROM last GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-write receiver END-TO-END (verdict r09 #4) — the full
+    live push path as one driver-checked chain: POST over a real
+    socket to the loopback receiver -> spool -> Structured Streaming
+    drain (executor-side protobuf decode, exactly-once batch-id parts)
+    -> finalize into the sorted store -> ChunkQuerier -> PromQL
+    ``sum by (event_type) (app_events)`` with staleness lookback,
+    hash-matched against DuckDB computing the same instant vectors
+    from the raw events.  The reference ingests only finished TSDB
+    blocks; this is the path a live Prometheus pushes through."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    store = _events_pushed_store(spark, sf_dir)
+    q = ChunkQuerier.from_parquet(spark, store)
+    engine = PromQLEngine(
+        q.select_samples(labels=_CHUNK_LABELS), extrapolate=False
+    )
+    out = engine.query_range(
+        "sum by (event_type) (app_events)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 2).alias("value")
+    ).orderBy("t", "event_type")
+
+
 def _events_export_block_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf) a REAL Prometheus TSDB block EXPORTED from
     the sorted chunk store by the distributed reverse converter
@@ -6189,6 +6308,9 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q87_bucket_ranged_read -> q94 (same sources/bucket.py RFC 7233
 #                           ranged-GET machinery, HTTP-store e2e arm;
 #                           displaced by this round's q116 debut)
+#   q55_promql_changes   -> q43 (changes()/resets() share the
+#                           counter-change range kernel; displaced by
+#                           this round's q115 debut)
 # Every other out-of-window row is r09-green (1 recorded round stale
 # once r10 lands) and needs no deferral record.
 
@@ -6214,6 +6336,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q93_exact_substring_spans": ("q98_exact_substring_removal",),
     "q95_media_transform": ("q29_multimodal_metadata",),
     "q87_bucket_ranged_read": ("q94_http_object_store",),
+    "q55_promql_changes": ("q43_promql_counter_reset",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -6236,6 +6359,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q29_multimodal_metadata",
     # this round's debuts (never driver-checked — must be in-window in
     # their introduction round)
+    "q115_remote_write_push_to_promql",
     "q116_block_farm_maintenance",
     # r07-green backlog (2 recorded rounds stale) minus the
     # documented deferrals
@@ -6255,7 +6379,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q44_late_materialization",
     "q47_dedup_clusters",
     "q54_promql_comparison_filter",
-    "q55_promql_changes",
     "q57_asof_join",
     "q81_kmeans_train",
     "q82_rollup_subquery_routing",
@@ -6278,6 +6401,7 @@ _DRIVER_PRIORITY: list[str] = [
     # deferrals (first in line for round 11), then the full
     # r09-green round-9 window
     "q87_bucket_ranged_read",
+    "q55_promql_changes",
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",
