@@ -1227,3 +1227,57 @@ def test_sync_wal_retro_tombstone_reported(spark, tmp_path):
     w.close()
     r3 = sync_wal(spark, wal, store, ["__name__", "job"])
     assert r3["retro_stones"] == 0
+
+
+def test_metadata_record_roundtrip_and_reader(tmp_path, spark):
+    """record.Metadata (type 6): ref uvarint + metric-type byte + named
+    uvarint-string fields (unit/help; unknown names ignored on read).
+    `read_wal_metadata` keeps the LATEST entry per ref across the WAL
+    — Prometheus re-logs metadata when it changes."""
+    from tsdb_parquet_spark.tsdb_wal import (
+        decode_metadata_record,
+        encode_metadata_record,
+        read_wal_metadata,
+    )
+
+    entries = [
+        (1, "counter", "seconds", "Total request time."),
+        (2, "gauge", "", 'weird "help" with\nnewline'),
+    ]
+    assert decode_metadata_record(encode_metadata_record(entries)) == entries
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m"})])
+    w.log_metadata(entries)
+    w.log_samples([(1, 1000, 1.0)])
+    w.log_metadata([(1, "gauge", "bytes", "Repurposed.")])  # update wins
+    w.close()
+    meta = read_wal_metadata(wal)
+    assert meta[1] == ("gauge", "bytes", "Repurposed.")
+    assert meta[2] == ("gauge", "", 'weird "help" with\nnewline')
+    # the sample/series drain is untouched by metadata records
+    df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
+    assert [(r["ts"], r["value"]) for r in df.collect()] == [(1000, 1.0)]
+
+
+def test_mmap_markers_skipped_and_histograms_excluded(tmp_path, spark):
+    """MmapMarkers (type 5) are head-internal flush bookkeeping — every
+    drain skips them; native-histogram records (types 7/8) raise the
+    documented data-model exclusion instead of mis-parsing."""
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.tsdb_wal import (
+        decode_histogram_samples_record,
+        encode_mmap_markers_record,
+    )
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m"})])
+    w.log_mmap_markers([(1, 42 << 32), (1, 43 << 32)])
+    w.log_samples([(1, 1000, 2.0)])
+    w.close()
+    df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
+    assert [(r["ts"], r["value"]) for r in df.collect()] == [(1000, 2.0)]
+    with _pytest.raises(NotImplementedError, match="histogram"):
+        decode_histogram_samples_record(bytes([0x07]) + b"\x00" * 8)

@@ -82,11 +82,21 @@ _LAST = 4
 _SNAPPY_FLAG = 0x08
 _ZSTD_FLAG = 0x10
 
-# record types
+# record types (prometheus/tsdb/record/record.go)
 SERIES = 0x01
 SAMPLES = 0x02
 TOMBSTONES = 0x03
 EXEMPLARS = 0x04
+#: head-internal chunk-flush markers (ref + mmap ref pairs) — carry no
+#: sample/series content; every drain skips them by design
+MMAP_MARKERS = 0x05
+METADATA = 0x06
+#: native-histogram sample records: EXCLUDED by the engine's data model
+#: (the chunk schema `schema/chunk.go:25-37` has no sparse-histogram
+#: representation — same documented exclusion as the remote-write and
+#: PromQL paths); `decode_histogram_samples_record` raises explicitly
+HISTOGRAM_SAMPLES = 0x07
+FLOAT_HISTOGRAM_SAMPLES = 0x08
 
 #: Prometheus staleness marker: a quiet NaN with this exact bit pattern
 #: marks the end of a series (scrape target gone); ordinary NaN sample
@@ -340,6 +350,126 @@ def decode_exemplars_record(
             pos += ln
         out.append((base_ref + dref, base_ts + dts, value, labels))
     return out
+
+
+#: record.Metadata metric-type byte values (record.go `GetMetricType`)
+METADATA_METRIC_TYPES = (
+    "unknown",
+    "counter",
+    "gauge",
+    "histogram",
+    "gaugehistogram",
+    "summary",
+    "info",
+    "stateset",
+)
+
+
+def encode_metadata_record(
+    metadata: Sequence[tuple[int, str, str, str]],
+) -> bytes:
+    """``record.Metadata`` payload (metric help/unit/type, logged when a
+    target's metadata changes): per entry a uvarint series ref, a
+    metric-type byte, then a uvarint field count followed by
+    uvarint-string name/value pairs — Prometheus writes the two fields
+    ``unit`` and ``help`` and ignores unknown names on read (the
+    format's forward-compatibility hook).  Entries are
+    ``(ref, type, unit, help)`` with ``type`` from
+    :data:`METADATA_METRIC_TYPES`."""
+    out = bytearray([METADATA])
+    for ref, mtype, unit, help_ in metadata:
+        _put_uvarint(out, ref)
+        out.append(METADATA_METRIC_TYPES.index(mtype))
+        _put_uvarint(out, 2)  # field count: unit + help
+        for name, val in (("unit", unit), ("help", help_)):
+            nb = name.encode("utf-8")
+            vb = val.encode("utf-8")
+            _put_uvarint(out, len(nb))
+            out += nb
+            _put_uvarint(out, len(vb))
+            out += vb
+    return bytes(out)
+
+
+def decode_metadata_record(
+    data: bytes,
+) -> list[tuple[int, str, str, str]]:
+    if not data or data[0] != METADATA:
+        raise ValueError("not a Metadata record")
+    pos, end = 1, len(data)
+    out: list[tuple[int, str, str, str]] = []
+    while pos < end:
+        ref, pos = _read_uvarint(data, pos)
+        type_byte = data[pos]
+        pos += 1
+        mtype = (
+            METADATA_METRIC_TYPES[type_byte]
+            if type_byte < len(METADATA_METRIC_TYPES)
+            else "unknown"
+        )
+        n_fields, pos = _read_uvarint(data, pos)
+        fields: dict[str, str] = {}
+        for _ in range(n_fields):
+            ln, pos = _read_uvarint(data, pos)
+            name = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+            ln, pos = _read_uvarint(data, pos)
+            fields[name] = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        out.append(
+            (ref, mtype, fields.get("unit", ""), fields.get("help", ""))
+        )
+    return out
+
+
+def encode_mmap_markers_record(
+    markers: Sequence[tuple[int, int]],
+) -> bytes:
+    """``record.MmapMarkers`` payload: (series ref, mmapped chunk ref)
+    BE64 pairs — head-internal flush bookkeeping with no sample
+    content; drains skip the type, this encoder exists so tests can
+    prove that."""
+    out = bytearray([MMAP_MARKERS])
+    for ref, mmap_ref in markers:
+        out += struct.pack(">Q", ref)
+        out += struct.pack(">Q", mmap_ref)
+    return bytes(out)
+
+
+def decode_histogram_samples_record(data: bytes) -> None:
+    """Native-histogram sample records (types 7/8) are a DOCUMENTED
+    exclusion: the chunk data model (`schema/chunk.go:25-37`) has no
+    sparse-histogram representation, the same boundary the
+    remote-write decoder and PromQL parity table draw.  Raised
+    explicitly rather than silently mis-parsed; the sample/series
+    drains SKIP the record type (a mixed WAL still drains its float
+    samples)."""
+    if not data or data[0] not in (
+        HISTOGRAM_SAMPLES,
+        FLOAT_HISTOGRAM_SAMPLES,
+    ):
+        raise ValueError("not a histogram samples record")
+    raise NotImplementedError(
+        "native-histogram WAL records are excluded by the engine's "
+        "chunk data model (no sparse-histogram representation); see "
+        "the README parity table"
+    )
+
+
+def read_wal_metadata(wal_dir: str) -> "dict[int, tuple[str, str, str]]":
+    """Latest (type, unit, help) per series ref from Metadata records
+    anywhere in the WAL, replay-ordered (later records win — Prometheus
+    re-logs metadata when it changes).  Metadata volume is one entry
+    per metric name, so this is a driver-side walk like
+    `read_wal_tombstones`."""
+    segs = discover_wal_segments(wal_dir)
+    meta: dict[int, tuple[str, str, str]] = {}
+    for i, path in enumerate(segs):
+        for rec in _read_segment(path, i == len(segs) - 1):
+            if rec and rec[0] == METADATA:
+                for ref, mtype, unit, help_ in decode_metadata_record(rec):
+                    meta[ref] = (mtype, unit, help_)
+    return meta
 
 
 def encode_samples_record(samples: Sequence[tuple[int, int, float]]) -> bytes:
@@ -607,6 +737,14 @@ class WalWriter:
         self, exemplars: Sequence[tuple[int, int, float, dict[str, str]]]
     ) -> None:
         self._append_record(encode_exemplars_record(exemplars))
+
+    def log_metadata(
+        self, metadata: Sequence[tuple[int, str, str, str]]
+    ) -> None:
+        self._append_record(encode_metadata_record(metadata))
+
+    def log_mmap_markers(self, markers: Sequence[tuple[int, int]]) -> None:
+        self._append_record(encode_mmap_markers_record(markers))
 
     def _append_record(self, record: bytes) -> None:
         comp_flag = 0
