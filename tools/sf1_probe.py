@@ -83,6 +83,13 @@ HEAVY_TSDB = [
     # tombstone -> merged day blocks (fixture caches per sf; the timed
     # row is the output-farm decode+aggregate)
     "q114_block_compaction",
+    # the r10 operational additions at 10x: the full receiver push path
+    # (POST -> spool -> streaming drain -> store -> PromQL; fixture
+    # caches per sf, the timed row is the PromQL range query over the
+    # pushed store) and the block-farm maintenance tick (downsample +
+    # retention fixture, timed row decodes the rollup farm)
+    "q115_remote_write_push_to_promql",
+    "q116_block_farm_maintenance",
 ]
 
 HEAVY = [
@@ -378,6 +385,12 @@ def main() -> None:
             "q112_block_export_roundtrip",
             "q113_scrape_text_parse",
             "q114_block_compaction",
+            # the r10 chains at 10x: receiver push -> store -> PromQL
+            # (instant-vector parity over the pushed store) and the
+            # maintenance tick's rollup blocks (order-independent
+            # aggregates, so collisions cannot tie-break differently)
+            "q115_remote_write_push_to_promql",
+            "q116_block_farm_maintenance",
         ]
         results = {}
         for name in names:
