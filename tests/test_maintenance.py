@@ -159,3 +159,172 @@ def test_replayed_part_not_resurrected_after_compaction(spark, tmp_path):
     w2.adopt(new_part)
     assert new_part in w2.part_dirs
     assert read_snapshot(spark, root).count() == total + 5
+
+
+def _delete_fixture_store(spark, root):
+    """Two series x 4 days at 6h cadence, landed as TWO parts then
+    compacted, plus one post-compaction live part — so the store's live
+    set holds a compact target AND a live part when the delete runs."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    day = 86_400_000
+    labels = ["__name__", "job"]
+    rows = [
+        Row(__name__="m", job=j, ts=d * day + h * 6 * 3_600_000,
+            value=d * 100.0 + h + (0.5 if j == "b" else 0.0))
+        for j in ("a", "b")
+        for d in range(2)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    opts = WriterOptions(sort_columns=sort_columns(labels))
+    w = SortedParquetWriter(spark, root, opts)
+    w.write(samples_to_chunks(df, labels, chunk_span_ms=day))
+    w.compact()
+    # a post-compaction part holding ONLY days 2-3 (stays live)
+    late = [
+        Row(__name__="m", job=j, ts=d * day + h * 6 * 3_600_000,
+            value=d * 100.0 + h + (0.5 if j == "b" else 0.0))
+        for j in ("a", "b")
+        for d in range(2, 4)
+        for h in range(4)
+    ]
+    w.write(samples_to_chunks(spark.createDataFrame(late), labels,
+                              chunk_span_ms=day))
+    return labels
+
+
+def _all_samples(spark, root):
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.sources.writer import live_store_dirs, read_roots
+
+    df = read_roots(spark, live_store_dirs(root))
+    out = df.select(
+        "job", F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s")
+    ).collect()
+    return sorted((r["job"], r["s"]["ts"], r["s"]["value"]) for r in out)
+
+
+def test_delete_samples_surgical_store_rewrite(spark, tmp_path):
+    """Store-side delete (the retro_stones remedy): drop one series'
+    samples inside a closed interval; only directories holding affected
+    chunks rewrite (the pushdown probe leaves the rest untouched),
+    partially-affected chunks re-encode with recomputed bounds, and the
+    result is snapshot-published.  Idempotent on re-run."""
+    import os
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+    from tsdb_parquet_spark.sources.manifest import current_snapshot
+
+    day = 86_400_000
+    root = str(tmp_path / "store")
+    _delete_fixture_store(spark, root)
+    before = _all_samples(spark, root)
+    # delete job=a inside [day, day + 12h]: day-1 chunk of series a is
+    # PARTIALLY cleared (samples at 0h,6h,12h go; 18h stays) in the
+    # compact target only — the late part (days 2-3) must not rewrite
+    rep = delete_samples(
+        spark, root,
+        [Matcher("job", EQ, "a")],
+        mint=day, maxt=day + 12 * 3_600_000,
+        label_names=["__name__", "job"],
+    )
+    assert rep["samples_deleted"] == 3
+    assert len(rep["rewritten"]) == 1
+    assert os.path.basename(rep["rewritten"][0]).startswith("compact.")
+    assert rep["untouched"] >= 1  # the late part kept its bytes
+    want = [
+        r for r in before
+        if not (r[0] == "a" and day <= r[1] <= day + 12 * 3_600_000)
+    ]
+    assert _all_samples(spark, root) == want
+    # the manifest moved to the rewritten compact version
+    snap = current_snapshot(root)
+    assert os.path.basename(rep["rewritten"][0]) in snap.paths
+    # idempotent: nothing left to delete, nothing rewritten
+    rep2 = delete_samples(
+        spark, root,
+        [Matcher("job", EQ, "a")],
+        mint=day, maxt=day + 12 * 3_600_000,
+        label_names=["__name__", "job"],
+    )
+    assert rep2["samples_deleted"] == 0 and rep2["rewritten"] == []
+    assert _all_samples(spark, root) == want
+
+
+def test_delete_samples_part_rewrite_and_empty_chunk_drop(spark, tmp_path):
+    """Deleting a whole chunk's span drops the chunk row entirely; a
+    touched live PART rewrites to a part.del* dir that replaces it in
+    the manifest."""
+    import os
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+
+    day = 86_400_000
+    root = str(tmp_path / "store")
+    _delete_fixture_store(spark, root)
+    before = _all_samples(spark, root)
+    # wipe series b's entire day-2 chunk (lives in the late part)
+    rep = delete_samples(
+        spark, root,
+        [Matcher("job", EQ, "b")],
+        mint=2 * day, maxt=3 * day - 1,
+        label_names=["__name__", "job"],
+    )
+    assert rep["samples_deleted"] == 4
+    assert len(rep["rewritten"]) == 1
+    assert os.path.basename(rep["rewritten"][0]).startswith("part.del")
+    want = [
+        r for r in before
+        if not (r[0] == "b" and 2 * day <= r[1] < 3 * day)
+    ]
+    assert _all_samples(spark, root) == want
+
+
+def test_apply_retro_tombstones_closes_the_loop(spark, tmp_path):
+    """sync -> late tombstone -> sync reports retro_stones -> the apply
+    pass deletes the already-synced samples store-side.  The full
+    remedy chain for the documented downstream-copy limitation."""
+    from tsdb_parquet_spark.sources.maintenance import (
+        apply_retro_tombstones,
+    )
+    from tsdb_parquet_spark.tsdb_wal import WalWriter, sync_wal
+
+    wal = str(tmp_path / "wal")
+    store = str(tmp_path / "store")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "m", "job": "a"}),
+                  (2, {"__name__": "m", "job": "b"})])
+    w.log_samples([(1, 1000, 1.0), (1, 2000, 2.0), (2, 1500, 9.0)])
+    w.close()
+    r1 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r1["retro_stones"] == 0
+    w = WalWriter(wal, first_segment=1)
+    w.log_tombstones([(1, 0, 1500)])  # retro: targets synced ts=1000
+    w.log_samples([(1, 3000, 3.0)])
+    w.close()
+    r2 = sync_wal(spark, wal, store, ["__name__", "job"])
+    assert r2["retro_stones"] == 1 and r2["retro_refs"] == [1]
+    rep = apply_retro_tombstones(
+        spark, wal, store, ["__name__", "job"]
+    )
+    assert rep["applied"] >= 1 and rep["unresolved_refs"] == []
+    assert rep["samples_deleted"] == 1  # ts=1000 of series a
+    got = _all_samples(spark, store)
+    assert got == [("a", 2000, 2.0), ("a", 3000, 3.0), ("b", 1500, 9.0)]
+    # idempotent
+    rep2 = apply_retro_tombstones(
+        spark, wal, store, ["__name__", "job"]
+    )
+    assert rep2["samples_deleted"] == 0

@@ -495,6 +495,53 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Store-side sample deletion (Prometheus delete-series admin API /
+    thanos bucket-rewrite analog): drop matching series' samples inside
+    a closed [mint, maxt] interval, rewriting only the directories that
+    hold affected chunks (`sources.maintenance.delete_samples`).  With
+    --from-wal, resolve and apply the WAL's delete-API tombstones
+    instead — the remedy for `sync`'s retro_stones warning."""
+    import json as _json
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.sources.maintenance import (
+        apply_retro_tombstones,
+        delete_samples,
+    )
+
+    spark = get_spark(app_name="tsdb-delete")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.from_wal:
+        rep = apply_retro_tombstones(
+            spark, args.from_wal, args.store, args.labels.split(",")
+        )
+    else:
+        if not args.match or args.mint is None or args.maxt is None:
+            print(
+                "# delete needs --match (repeatable) and --mint/--maxt,"
+                " or --from-wal <wal_dir>",
+                file=sys.stderr,
+            )
+            return 2
+        matchers = []
+        for m in args.match:
+            name, _, value = m.partition("=")
+            matchers.append(Matcher(name, EQ, value))
+        rep = delete_samples(
+            spark,
+            args.store,
+            matchers,
+            mint=args.mint,
+            maxt=args.maxt,
+            label_names=args.labels.split(","),
+        )
+    print(_json.dumps(rep))
+    spark.stop()
+    return 0
+
+
 def cmd_maintain_blocks(args) -> int:
     """One maintenance tick for a block farm (Thanos-compactor
     semantics): downsample aged raw blocks into recording-rule rollup
@@ -722,6 +769,23 @@ def main(argv: list[str] | None = None) -> int:
     reb.add_argument("--labels", default="__name__,event_type,shard")
     reb.add_argument("--span-ms", type=int, default=86_400_000)
     reb.set_defaults(fn=cmd_reblock)
+
+    dele = sub.add_parser(
+        "delete",
+        help="store-side sample deletion: drop matching series' samples "
+             "in [mint, maxt], rewriting only affected directories; "
+             "--from-wal applies the WAL's delete-API tombstones (the "
+             "retro_stones remedy)",
+    )
+    dele.add_argument("--store", required=True)
+    dele.add_argument("--match", action="append", default=[],
+                      help="label=value equality matcher (repeatable)")
+    dele.add_argument("--mint", type=int, default=None)
+    dele.add_argument("--maxt", type=int, default=None)
+    dele.add_argument("--from-wal", default=None,
+                      help="WAL dir: resolve+apply its tombstones instead")
+    dele.add_argument("--labels", default="__name__,event_type,shard")
+    dele.set_defaults(fn=cmd_delete)
 
     mnt = sub.add_parser(
         "maintain-blocks",

@@ -6241,6 +6241,131 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_deleted_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the store-side DELETE fixture and run the
+    delete pass under test (`sources.maintenance.delete_samples` — the
+    Prometheus delete-series admin API / thanos bucket-rewrite analog,
+    and the remedy `sync_wal`'s retro_stones report points at): a
+    manifest-published store of all events (one sorted part + compact),
+    then one surgical delete of the click/shard-0 series over
+    ``[_TOMB_MIN, _TOMB_MAX]`` — the SAME series/interval q114's
+    block-compaction tombstone uses, so the two deletion paths are
+    checked against the same relational truth.  Partially-affected
+    chunks re-encode with recomputed bounds; the rewrite touches only
+    directories holding affected chunks."""
+    import shutil
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"deleted_store_{tag}")
+    marker = os.path.join(final, "_DONE")
+    if os.path.exists(marker):
+        return final
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+    opts = WriterOptions(
+        sort_columns=sort_columns(_CHUNK_LABELS),
+        bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
+        max_files=16,
+    )
+    w = SortedParquetWriter(spark, build, opts)
+    w.write(samples_to_chunks(samples, _CHUNK_LABELS))
+    w.compact()
+    rep = delete_samples(
+        spark,
+        build,
+        [Matcher("event_type", EQ, "click"), Matcher("shard", EQ, "0")],
+        mint=_TOMB_MIN,
+        maxt=_TOMB_MAX,
+        label_names=_CHUNK_LABELS,
+    )
+    if not rep["rewritten"] or rep["samples_deleted"] == 0:
+        raise RuntimeError(f"delete fixture: nothing deleted ({rep})")
+    with open(os.path.join(build, "_DONE"), "w") as fh:
+        json.dump(rep["samples_deleted"], fh)
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q117_store_delete_pass",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+kept AS (
+  SELECT * FROM s
+  WHERE NOT (event_type = 'click' AND shard = '0'
+             AND ts_ms BETWEEN {_TOMB_MIN} AND {_TOMB_MAX})
+)
+SELECT event_type,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       min(ts_ms) AS min_ts,
+       max(ts_ms) AS max_ts,
+       count(DISTINCT shard) AS n_series
+FROM kept GROUP BY event_type ORDER BY event_type""",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-side DELETE pass (`sources.maintenance.delete_samples`):
+    surgical sample deletion from a manifest-published store — pushdown
+    probe finds affected directories, partially-affected chunks decode
+    / JVM higher-order filter / re-encode with recomputed bounds,
+    emptied chunks vanish, and the store republishes as a new snapshot
+    (pinned readers undisturbed).  The post-delete store must
+    hash-match DuckDB anti-filtering the same closed interval from raw
+    events.  Closes the retro-tombstone loop: `sync_wal` REPORTS stones
+    that arrived after their samples shipped; `apply_retro_tombstones`
+    resolves them through the series side table and runs THIS pass."""
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.sources.writer import (
+        live_store_dirs,
+        read_roots,
+    )
+
+    root = _events_deleted_store(spark, sf_dir)
+    df = read_roots(spark, live_store_dirs(root))
+    decoded = df.select(
+        "event_type",
+        "shard",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("s.value"), 2).alias("sum_value"),
+            F.min("s.ts").alias("min_ts"),
+            F.max("s.ts").alias("max_ts"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6311,6 +6436,10 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q55_promql_changes   -> q43 (changes()/resets() share the
 #                           counter-change range kernel; displaced by
 #                           this round's q115 debut)
+#   q89_streaming_rollup -> q21 (same StreamingChunkIngestor /
+#                           exactly-once batch-id sink machinery, the
+#                           rollup arm rides the ingest arm; displaced
+#                           by this round's q117 debut)
 # Every other out-of-window row is r09-green (1 recorded round stale
 # once r10 lands) and needs no deferral record.
 
@@ -6337,6 +6466,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q95_media_transform": ("q29_multimodal_metadata",),
     "q87_bucket_ranged_read": ("q94_http_object_store",),
     "q55_promql_changes": ("q43_promql_counter_reset",),
+    "q89_streaming_rollup": ("q21_streaming_ingest",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -6361,6 +6491,7 @@ _DRIVER_PRIORITY: list[str] = [
     # their introduction round)
     "q115_remote_write_push_to_promql",
     "q116_block_farm_maintenance",
+    "q117_store_delete_pass",
     # r07-green backlog (2 recorded rounds stale) minus the
     # documented deferrals
     "q06_first_per_key",
@@ -6387,7 +6518,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q85_salted_distinct_count",
     "q86_bucketed_colocated_join",
     "q88_promql_scalar_arithmetic",
-    "q89_streaming_rollup",
     "q91_ivfpq_store_topk",
     "q94_http_object_store",
     "q96_sq8_quantized_topk",
@@ -6402,6 +6532,7 @@ _DRIVER_PRIORITY: list[str] = [
     # r09-green round-9 window
     "q87_bucket_ranged_read",
     "q55_promql_changes",
+    "q89_streaming_rollup",
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",

@@ -100,3 +100,231 @@ def _has_data(store_dir: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def delete_samples(
+    spark: SparkSession,
+    store_root: str,
+    matchers,
+    mint: int,
+    maxt: int,
+    label_names=None,
+    writer_opts=None,
+) -> dict:
+    """Store-side sample deletion — the Prometheus delete-series admin
+    API / ``thanos tools bucket rewrite --delete`` analog the sync
+    report's ``retro_stones`` remedy points at: drop every sample of
+    series matching ``matchers`` (a list of `operators.selection.
+    Matcher`) inside the CLOSED interval ``[mint, maxt]`` ms.
+
+    Scale shape — only directories that actually hold affected chunks
+    are rewritten; everything else keeps its existing bytes and manifest
+    entry:
+
+    1. per live directory, a pushdown PROBE (``limit(1)`` under the
+       matcher + time-overlap predicate) decides touched vs untouched —
+       bloom/zone-map pruning answers it from footers for the common
+       all-miss case, so a delete touching one day of one series probes
+       a 100 TB store without scanning it;
+    2. each touched directory rewrites to a fresh versioned directory:
+       untouched rows pass through byte-identical; affected chunks
+       decode (`decode_chunk_udf`), drop in-interval samples with a JVM
+       higher-order ``filter`` on the sample array, re-encode
+       (`encode_chunk_udf`, the raw batch-decodable layout) with
+       recomputed ``__mint``/``__maxt``, and chunks left empty vanish;
+    3. the store publishes a new snapshot via the writer's own
+       machinery (``adopt``/``mark_folded``/alias swap), so pinned
+       readers finish on the old version and ``vacuum_snapshots``
+       reclaims retired directories after the grace window.
+
+    Returns ``{"rewritten": [...], "untouched": n, "samples_deleted":
+    n}``.  The interval is closed like Prometheus tombstone intervals
+    (`tombstones.Interval.InBounds`).
+    """
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf, encode_chunk_udf
+    from tsdb_parquet_spark.operators.selection import conjunction
+    from tsdb_parquet_spark.schema import (
+        CHUNK_BYTES,
+        MAX_T,
+        MIN_T,
+        label_columns,
+        sort_columns,
+    )
+    from tsdb_parquet_spark.sources.writer import (
+        WriterOptions,
+        live_store_dirs,
+        write_sorted,
+    )
+
+    mint, maxt = int(mint), int(maxt)
+    dirs = live_store_dirs(store_root)
+    if not dirs:
+        raise FileNotFoundError(f"no live store dirs under {store_root}")
+    match_pred = conjunction([m.to_column() for m in matchers])
+    # chunk OVERLAPS the interval (not containment — a chunk partially
+    # inside still holds samples to delete)
+    overlap = (F.col(MIN_T) <= F.lit(maxt)) & (F.col(MAX_T) >= F.lit(mint))
+    pred = match_pred & overlap
+
+    writer = None
+    rewritten: list[str] = []
+    untouched = 0
+    deleted_total = 0
+    seq = 0
+    for d in dirs:
+        df = spark.read.parquet(d)
+        if df.filter(pred).limit(1).count() == 0:
+            untouched += 1
+            continue
+        if label_names is None:
+            label_names = label_columns(df.schema)
+        opts = writer_opts or WriterOptions(
+            sort_columns=sort_columns(list(label_names)),
+            bloom_columns=[c for c in label_names if c != "__name__"],
+            max_files=16,
+        )
+        if writer is None:
+            from tsdb_parquet_spark.sources.writer import (
+                SortedParquetWriter,
+            )
+
+            writer = SortedParquetWriter(spark, store_root, opts)
+        keep = df.filter(~pred)
+        kept_samples = F.filter(
+            decode_chunk_udf(F.col(CHUNK_BYTES)),
+            lambda s: (s["ts"] < F.lit(mint)) | (s["ts"] > F.lit(maxt)),
+        )
+        edited = (
+            df.filter(pred)
+            .withColumn("__kept", kept_samples)
+            .filter(F.size("__kept") > 0)
+            .withColumn(CHUNK_BYTES, encode_chunk_udf(F.col("__kept")))
+            .withColumn(MIN_T, F.element_at("__kept", 1)["ts"])
+            .withColumn(MAX_T, F.element_at("__kept", -1)["ts"])
+            .drop("__kept")
+        )
+        new_df = keep.unionByName(edited)
+        # exact audit count: in-interval samples inside touched chunks
+        n_del = (
+            df.filter(pred)
+            .select(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            decode_chunk_udf(F.col(CHUNK_BYTES)),
+                            lambda s: (s["ts"] >= F.lit(mint))
+                            & (s["ts"] <= F.lit(maxt)),
+                        )
+                    )
+                ).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        base = os.path.basename(d)
+        if base.startswith("part."):
+            # collision-free across repeated delete calls: number past
+            # every part.del* dir already on disk (live or awaiting
+            # vacuum); the store is single-writer like the reference
+            if seq == 0:
+                seq = len(
+                    [
+                        x
+                        for x in os.listdir(store_root)
+                        if x.startswith("part.del")
+                    ]
+                )
+            out = os.path.join(store_root, f"part.del{seq:08d}")
+            seq += 1
+            write_sorted(new_df, out, opts)
+            writer.mark_folded({d})
+            writer.adopt(out)
+        else:
+            # the compact target: rewrite to a fresh version + alias swap
+            out = os.path.join(
+                store_root, f"compact.{writer._next_compact}"
+            )
+            writer._next_compact += 1
+            shutil.rmtree(out, ignore_errors=True)
+            write_sorted(new_df, out, opts)
+            writer._swap_alias(out)
+            writer._publish()
+        rewritten.append(out)
+        deleted_total += int(n_del or 0)
+    return {
+        "rewritten": rewritten,
+        "untouched": untouched,
+        "samples_deleted": deleted_total,
+    }
+
+
+def apply_retro_tombstones(
+    spark: SparkSession,
+    wal_dir: str,
+    store_root: str,
+    label_names,
+    writer_opts=None,
+) -> dict:
+    """Close the retro-deletion loop `sync_wal` reports: resolve every
+    WAL delete-API tombstone to its label set (via the store's
+    persisted ``_wal_series`` side table — a tiny ref-filtered read,
+    never a WAL rescan) and run :func:`delete_samples` for each, so
+    samples that were synced BEFORE their tombstone was logged leave
+    the store too.  Idempotent: re-applying a stone deletes nothing new.
+
+    Returns ``{"applied": n_stones, "samples_deleted": n,
+    "unresolved_refs": [...]}`` — a ref is unresolved only if the
+    series table predates it (sync again first)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.tsdb_wal import read_wal_tombstones
+
+    stones = read_wal_tombstones(wal_dir)
+    if not stones:
+        return {"applied": 0, "samples_deleted": 0, "unresolved_refs": []}
+    state_path = os.path.join(store_root, "_wal_sync.json")
+    table = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            table = _json.load(fh).get("series_table")
+    if not table or not os.path.exists(os.path.join(store_root, table)):
+        raise FileNotFoundError(
+            "no _wal_series side table under the store — run sync_wal "
+            "at least once before applying retro tombstones"
+        )
+    refs = sorted({ref for ref, _, _ in stones})
+    rows = (
+        spark.read.parquet(os.path.join(store_root, table))
+        .filter(F.col("__ref__").isin(refs))
+        .collect()
+    )
+    by_ref = {r["__ref__"]: r.asDict() for r in rows}
+    labels = sorted(label_names)
+    applied = 0
+    deleted = 0
+    unresolved = [r for r in refs if r not in by_ref]
+    for ref, mint, maxt in stones:
+        row = by_ref.get(ref)
+        if row is None:
+            continue
+        matchers = [Matcher(n, EQ, row.get(n, "")) for n in labels]
+        rep = delete_samples(
+            spark,
+            store_root,
+            matchers,
+            mint,
+            maxt,
+            label_names=labels,
+            writer_opts=writer_opts,
+        )
+        applied += 1
+        deleted += rep["samples_deleted"]
+    return {
+        "applied": applied,
+        "samples_deleted": deleted,
+        "unresolved_refs": unresolved,
+    }
