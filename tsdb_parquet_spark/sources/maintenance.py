@@ -175,7 +175,10 @@ def delete_samples(
     seq = 0
     for d in dirs:
         df = spark.read.parquet(d)
-        if df.filter(pred).limit(1).count() == 0:
+        # probe projects the payload column AWAY (ReadSchema = filter
+        # columns only) — a hit must not pay a chunk-bytes materialize
+        probe = df.filter(pred).select(F.lit(1).alias("__hit")).limit(1)
+        if probe.count() == 0:
             untouched += 1
             continue
         if label_names is None:
