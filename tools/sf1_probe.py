@@ -90,6 +90,9 @@ HEAVY_TSDB = [
     # retention fixture, timed row decodes the rollup farm)
     "q115_remote_write_push_to_promql",
     "q116_block_farm_maintenance",
+    # store-side delete pass: fixture builds the store AND runs the
+    # delete once per sf; the timed row reads the post-delete live set
+    "q117_store_delete_pass",
 ]
 
 HEAVY = [
@@ -391,6 +394,7 @@ def main() -> None:
             # aggregates, so collisions cannot tie-break differently)
             "q115_remote_write_push_to_promql",
             "q116_block_farm_maintenance",
+            "q117_store_delete_pass",
         ]
         results = {}
         for name in names:
