@@ -1,0 +1,228 @@
+"""Native (sparse exponential) histograms: codec roundtrips, classic
+expansion math, and the WAL drain -> PromQL histogram_quantile chain."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsdb_parquet_spark.histograms import (
+    NativeHistogram,
+    bucket_upper_bound,
+    decode_histogram_samples_record,
+    encode_histogram_samples_record,
+    expand_to_classic,
+    format_le,
+)
+from tsdb_parquet_spark.tsdb_wal import WalWriter, wal_to_histogram_frame
+
+
+def _h(**kw):
+    base = dict(schema=2, count=6.0, sum=12.5, zero_threshold=0.001,
+                zero_count=1.0,
+                positive_spans=((0, 2), (3, 1)),
+                positive_buckets=(2.0, 1.0, 2.0))
+    base.update(kw)
+    return NativeHistogram(**base)
+
+
+def test_bucket_upper_bounds_schema_math():
+    # schema 0: base 2 — bucket i covers (2^(i-1), 2^i]
+    assert bucket_upper_bound(0, 1) == 2.0
+    assert bucket_upper_bound(0, 3) == 8.0
+    # schema 2: base 2^(1/4)
+    assert bucket_upper_bound(2, 4) == pytest.approx(2.0)
+    assert bucket_upper_bound(2, 8) == pytest.approx(4.0)
+    # schema -1: base 4
+    assert bucket_upper_bound(-1, 2) == 16.0
+    # negative side: bucket i covers [-base^i, -base^(i-1))
+    assert bucket_upper_bound(0, 2, sign=-1) == -2.0
+    with pytest.raises(ValueError):
+        bucket_upper_bound(9, 1)
+
+
+def test_expand_to_classic_cumulative_and_order():
+    h = _h()
+    rows = expand_to_classic("lat", {"job": "a"}, 1000, h)
+    buckets = [(r[1]["le"], r[3]) for r in rows if r[0] == "lat_bucket"]
+    les = [float(le) if le != "+Inf" else math.inf for le, _ in buckets]
+    assert les == sorted(les)  # le-ascending
+    counts = [c for _, c in buckets]
+    assert counts == sorted(counts)  # cumulative, monotone
+    # zero bucket first (no negative side), then spans 0,1 and 5
+    assert buckets[0] == (format_le(0.001), 1.0)
+    assert float(buckets[1][0]) == pytest.approx(
+        bucket_upper_bound(2, 0)
+    )
+    assert buckets[-1] == ("+Inf", 6.0)
+    count_row = next(r for r in rows if r[0] == "lat_count")
+    sum_row = next(r for r in rows if r[0] == "lat_sum")
+    assert count_row[3] == 6.0 and sum_row[3] == 12.5
+    assert "le" not in count_row[1]
+
+
+def test_expand_negative_buckets_order():
+    h = NativeHistogram(
+        schema=0, count=3.0, sum=-5.0,
+        negative_spans=((1, 2),), negative_buckets=(1.0, 2.0),
+    )
+    rows = expand_to_classic("m", {}, 0, h)
+    buckets = [(r[1]["le"], r[3]) for r in rows if r[0] == "m_bucket"]
+    # negative bucket idx 1 covers [-2,-1) -> le -1; idx 2 -> le -2;
+    # most-negative le FIRST with its count, cumulative after
+    assert buckets[0] == (format_le(-2.0), 2.0)
+    assert buckets[1] == (format_le(-1.0), 3.0)
+    assert buckets[-1] == ("+Inf", 3.0)
+
+
+def test_record_roundtrip_integer_and_float():
+    entries = [
+        (7, 1000, _h()),
+        (9, 2000, _h(count=2.0, zero_count=0.0,
+                     positive_spans=((2, 1),), positive_buckets=(2.0,),
+                     negative_spans=((0, 1),), negative_buckets=(0.0,))),
+    ]
+    for float_kind in (False, True):
+        blob = encode_histogram_samples_record(entries, float_kind)
+        assert blob[0] == (0x08 if float_kind else 0x07)
+        back = decode_histogram_samples_record(blob)
+        assert back == entries
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**20),            # ref
+            st.integers(-(2**40), 2**40),     # ts
+            st.integers(-4, 8),               # schema
+            st.lists(st.integers(0, 50), min_size=0, max_size=5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_record_roundtrip_property(raw):
+    entries = []
+    for ref, ts, schema, counts in raw:
+        entries.append(
+            (
+                ref,
+                ts,
+                NativeHistogram(
+                    schema=schema,
+                    count=float(sum(counts)),
+                    sum=float(len(counts)),
+                    positive_spans=((0, len(counts)),) if counts else (),
+                    positive_buckets=tuple(float(c) for c in counts),
+                ),
+            )
+        )
+    blob = encode_histogram_samples_record(entries)
+    assert decode_histogram_samples_record(blob) == entries
+
+
+def test_wal_histogram_drain_to_quantile(spark, tmp_path):
+    """WAL histogram records -> distributed drain -> classic expansion
+    -> PromQL histogram_quantile, end to end.  Two series, two scrape
+    times; the quantile interpolates inside the known rank bucket."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "lat", "job": "a"}),
+                  (2, {"__name__": "lat", "job": "b"})])
+    # schema 0 (base 2): buckets (1,2], (2,4], (4,8] with counts 2/6/2
+    h1 = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                         positive_spans=((1, 3),),
+                         positive_buckets=(2.0, 6.0, 2.0))
+    # job b: all mass in (4,8]
+    h2 = NativeHistogram(schema=0, count=4.0, sum=24.0,
+                         positive_spans=((3, 1),),
+                         positive_buckets=(4.0,))
+    w.log_histograms([(1, 60_000, h1), (2, 60_000, h2)])
+    w.close()
+    df = wal_to_histogram_frame(spark, wal, ["__name__", "job"])
+    rows = sorted(
+        (r["__name__"], r["job"], r["le"], r["value"])
+        for r in df.collect()
+    )
+    assert ("lat_count", "a", "", 10.0) in rows
+    assert ("lat_sum", "b", "", 24.0) in rows
+    assert ("lat_bucket", "a", "4.0", 8.0) in rows  # cumulative 2+6
+    # quantile: median of job a sits in (2,4] -> 2 + (5-2)/6 * 2 = 3.0
+    engine = PromQLEngine(df)
+    out = engine.query_range(
+        "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    got = {r["job"]: r["value"] for r in out}
+    assert got["a"] == pytest.approx(3.0)
+    # job b: all mass in its LOWEST occupied bucket (4,8] — classic
+    # histogram_quantile interpolates the first bucket from 0
+    # (Prometheus's own rule), so 0 + 0.5*8 = 4.0; the reduction trades
+    # the native lower bound for classic semantics here, documented in
+    # histograms.py
+    assert got["b"] == pytest.approx(4.0)
+
+
+def test_remote_write_histogram_roundtrip_both_versions():
+    from tsdb_parquet_spark.remote_write import (
+        decode_histograms,
+        encode_write_request,
+        frame_payload,
+        unframe_payload,
+    )
+
+    h1 = _h()
+    h2 = NativeHistogram(schema=0, count=3.0, sum=9.0,
+                         negative_spans=((1, 1),),
+                         negative_buckets=(3.0,))
+    series = [
+        ({"__name__": "lat", "job": "a"}, [], (), [(1000, h1)]),
+        ({"__name__": "lat", "job": "b"}, [(1000, 1.0)], (),
+         [(1000, h2), (2000, h1)]),
+    ]
+    for version in (1, 2):
+        body = frame_payload(encode_write_request(series, version))
+        got = decode_histograms(unframe_payload(body))
+        assert len(got) == 2
+        by_job = {labels["job"]: hists for labels, hists in got}
+        assert by_job["a"] == [(1000, h1)]
+        assert by_job["b"] == [(1000, h2), (2000, h1)]
+
+
+def test_remote_write_histogram_frame_to_quantile(spark):
+    """POST bodies carrying native histograms -> executor-side decode +
+    classic expansion -> PromQL histogram_quantile."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.remote_write import (
+        encode_write_request,
+        frame_payload,
+        remote_write_histogram_frame,
+    )
+
+    h = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                        positive_spans=((1, 3),),
+                        positive_buckets=(2.0, 6.0, 2.0))
+    bodies = [
+        frame_payload(encode_write_request(
+            [({"__name__": "lat", "job": "a"}, [], (), [(60_000, h)])],
+            version=v,
+        ))
+        for v in (1, 2)
+    ]
+    payloads = spark.createDataFrame(
+        [(b,) for b in bodies], "payload binary"
+    )
+    frame = remote_write_histogram_frame(payloads, ["__name__", "job"])
+    # the two payloads carry the SAME series/ts — PromQL's instant
+    # lookback dedups to one sample per (series, ts) via last-point,
+    # so the duplicate is harmless; check the raw expansion first
+    rows = frame.collect()
+    assert len(rows) == 2 * 6  # 4 buckets(+Inf incl) + count + sum, x2
+    engine = PromQLEngine(frame.dropDuplicates(["__name__", "job", "le", "ts"]))
+    out = engine.query_range(
+        "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == pytest.approx(3.0)

@@ -1260,24 +1260,24 @@ def test_metadata_record_roundtrip_and_reader(tmp_path, spark):
     assert [(r["ts"], r["value"]) for r in df.collect()] == [(1000, 1.0)]
 
 
-def test_mmap_markers_skipped_and_histograms_excluded(tmp_path, spark):
+def test_mmap_markers_skipped_and_histograms_separate(tmp_path, spark):
     """MmapMarkers (type 5) are head-internal flush bookkeeping — every
-    drain skips them; native-histogram records (types 7/8) raise the
-    documented data-model exclusion instead of mis-parsing."""
-    import pytest as _pytest
-
-    from tsdb_parquet_spark.tsdb_wal import (
-        decode_histogram_samples_record,
-        encode_mmap_markers_record,
-    )
+    drain skips them; native-histogram records (types 7/8) do NOT leak
+    into the float-sample drain (they drain via
+    wal_to_histogram_frame)."""
+    from tsdb_parquet_spark.histograms import NativeHistogram
+    from tsdb_parquet_spark.tsdb_wal import encode_mmap_markers_record
 
     wal = str(tmp_path)
     w = WalWriter(wal)
     w.log_series([(1, {"__name__": "m"})])
     w.log_mmap_markers([(1, 42 << 32), (1, 43 << 32)])
+    w.log_histograms(
+        [(1, 500, NativeHistogram(schema=0, count=1, sum=2.0,
+                                  positive_spans=((0, 1),),
+                                  positive_buckets=(1.0,)))]
+    )
     w.log_samples([(1, 1000, 2.0)])
     w.close()
     df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
     assert [(r["ts"], r["value"]) for r in df.collect()] == [(1000, 2.0)]
-    with _pytest.raises(NotImplementedError, match="histogram"):
-        decode_histogram_samples_record(bytes([0x07]) + b"\x00" * 8)

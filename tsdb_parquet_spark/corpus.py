@@ -6366,6 +6366,167 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NH_SCHEMA = 2  # native-histogram schema: base = 2^(1/4)
+_NH_Q = 0.75
+
+
+def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a WAL of NATIVE-histogram records from
+    events: per (event_type, day) one sparse exponential histogram
+    (schema 2) of that day's value distribution — bucket index
+    ``ceil(log2(v) * 4)`` — logged as a record-type-7 entry at the
+    day's end.  The fixture is driver-side like the other WAL builders;
+    the DRAIN q118 measures (`tsdb_wal.wal_to_histogram_frame`) is one
+    task per segment with classic expansion executor-side."""
+    import shutil
+
+    import numpy as np
+
+    from tsdb_parquet_spark.histograms import NativeHistogram
+    from tsdb_parquet_spark.tsdb_wal import WalWriter
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"native_hist_wal_{tag}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            F.col("event_type"),
+            F.expr(f"(ts div 1000000) div {_DAY_MS}").alias("day"),
+            F.col("value"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "day"], kind="mergesort")
+    )
+    etypes = sorted(rows["event_type"].unique())
+    refs = {e: i + 1 for i, e in enumerate(etypes)}
+    w = WalWriter(build, segment_bytes=1 << 18)
+    w.log_series(
+        [
+            (refs[e], {"__name__": "app_nh", "event_type": e})
+            for e in etypes
+        ]
+    )
+    entries = []
+    for (e, day), g in rows.groupby(["event_type", "day"], sort=True):
+        v = g["value"].to_numpy(dtype=np.float64)
+        idx = np.ceil(np.log2(v) * (1 << _NH_SCHEMA)).astype(np.int64)
+        uniq, counts = np.unique(idx, return_counts=True)
+        spans, buckets = [], []
+        prev_end = 0
+        run_start = None
+        for i, u in enumerate(uniq):
+            if run_start is None or u != expected:
+                if run_start is not None:
+                    spans.append((int(run_start - prev_end), run_len))
+                    prev_end = run_start + run_len
+                run_start, run_len = int(u), 0
+            run_len += 1
+            expected = u + 1
+            buckets.append(float(counts[i]))
+        if run_start is not None:
+            spans.append((int(run_start - prev_end), run_len))
+        h = NativeHistogram(
+            schema=_NH_SCHEMA,
+            count=float(len(v)),
+            sum=float(v.sum()),
+            positive_spans=tuple(spans),
+            positive_buckets=tuple(buckets),
+        )
+        entries.append((refs[e], int((day + 1) * _DAY_MS), h))
+    # one record per scrape wave (all series at one day-end together),
+    # like a real head logs them
+    by_ts: dict[int, list] = {}
+    for ref, ts, h in entries:
+        by_ts.setdefault(ts, []).append((ref, ts, h))
+    for ts in sorted(by_ts):
+        w.log_histograms(by_ts[ts])
+    w.close()
+    with open(os.path.join(build, "_DONE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q118_native_histogram_quantile",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+w AS (
+  SELECT event_type,
+         (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t,
+         CAST(ceil(log2(value) * {1 << _NH_SCHEMA}) AS BIGINT) AS bi
+  FROM s
+),
+counted AS (
+  SELECT event_type, t, bi, CAST(count(*) AS DOUBLE) AS c
+  FROM w GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, t,
+         power(2.0, bi / CAST({1 << _NH_SCHEMA} AS DOUBLE)) AS le_n,
+         sum(c) OVER (PARTITION BY event_type, t ORDER BY bi) AS cnt,
+         sum(c) OVER (PARTITION BY event_type, t) AS total
+  FROM counted
+),
+wn AS (
+  SELECT event_type, t, le_n, cnt, total,
+         lag(cnt, 1, 0.0) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_cnt,
+         lag(le_n) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_le
+  FROM cum
+),
+sel AS (
+  SELECT *, {_NH_Q} * total AS rnk FROM wn
+  WHERE cnt >= {_NH_Q} * total
+    AND (prev_cnt < {_NH_Q} * total OR prev_le IS NULL)
+)
+SELECT t, event_type,
+       round(COALESCE(prev_le, 0.0)
+             + (le_n - COALESCE(prev_le, 0.0))
+               * ((rnk - prev_cnt) / (cnt - prev_cnt)), 4) AS value
+FROM sel
+WHERE t BETWEEN {_P_START} AND {_P_END}
+ORDER BY t, event_type""",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE histograms end-to-end — the data-model gap every earlier
+    round documented as excluded, closed by reduction: per-(event_type,
+    day) sparse exponential histograms (schema 2) live as WAL record
+    type 7, drain one-task-per-segment (`wal_to_histogram_frame`),
+    EXPAND to classic ``_bucket{{le=}}``/``_count``/``_sum`` series
+    executor-side, and feed the untouched PromQL engine —
+    ``histogram_quantile(0.75, app_nh_bucket)`` must hash-match DuckDB
+    recomputing the same exponential buckets (``ceil(log2 v * 4)``) and
+    the same classic interpolation from the raw events."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_wal import wal_to_histogram_frame
+
+    wal = _events_native_histogram_wal(spark, sf_dir)
+    frame = wal_to_histogram_frame(spark, wal, ["__name__", "event_type"])
+    engine = PromQLEngine(frame, extrapolate=False)
+    out = engine.query_range(
+        f"histogram_quantile({_NH_Q}, app_nh_bucket)",
+        _P_START,
+        _P_END,
+        _DAY_MS,
+        lookback_ms=6 * 3600 * 1000,
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6440,6 +6601,10 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                           exactly-once batch-id sink machinery, the
 #                           rollup arm rides the ingest arm; displaced
 #                           by this round's q117 debut)
+#   q96_sq8_quantized_topk -> q91 (same quantized-code store top-k
+#                           family in functions/similarity.py —
+#                           broadcast codebook + code-list scoring;
+#                           displaced by this round's q118 debut)
 # Every other out-of-window row is r09-green (1 recorded round stale
 # once r10 lands) and needs no deferral record.
 
@@ -6467,6 +6632,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q87_bucket_ranged_read": ("q94_http_object_store",),
     "q55_promql_changes": ("q43_promql_counter_reset",),
     "q89_streaming_rollup": ("q21_streaming_ingest",),
+    "q96_sq8_quantized_topk": ("q91_ivfpq_store_topk",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -6492,6 +6658,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q115_remote_write_push_to_promql",
     "q116_block_farm_maintenance",
     "q117_store_delete_pass",
+    "q118_native_histogram_quantile",
     # r07-green backlog (2 recorded rounds stale) minus the
     # documented deferrals
     "q06_first_per_key",
@@ -6520,7 +6687,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q88_promql_scalar_arithmetic",
     "q91_ivfpq_store_topk",
     "q94_http_object_store",
-    "q96_sq8_quantized_topk",
     "q98_exact_substring_removal",
     "q99_lm_perplexity_score",
     "q100_tsdb_stats",
@@ -6533,6 +6699,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q87_bucket_ranged_read",
     "q55_promql_changes",
     "q89_streaming_rollup",
+    "q96_sq8_quantized_topk",
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",

@@ -35,15 +35,20 @@ Field numbers (from the public .proto files):
                    repeated TimeSeries timeseries = 5; }   // 1-3 reserved
     TimeSeries   { repeated uint32 labels_refs = 1;        // packed
                    repeated Sample samples = 2;
-                   repeated Exemplar exemplars = 3;
-                   repeated Histogram histograms = 4;
+                   repeated Histogram histograms = 3;
+                   repeated Exemplar exemplars = 4;
                    Metadata metadata = 5;
                    int64 created_timestamp = 6; }
     Sample       { double value = 1; int64 timestamp = 2; }
 
-Native-histogram payloads are skipped field-by-field (the engine's
-chunk data model has no sparse-histogram representation — the same
-documented exclusion as the PromQL surface).
+Native-histogram payloads (``prometheus.Histogram``: count 1 /
+count_float 2, sum 3, sint64 schema 4, zero_threshold 5, zero_count
+6/7, negative_spans 8 + deltas 9 / counts 10, positive_spans 11 +
+deltas 12 / counts 13, reset_hint 14, timestamp 15; BucketSpan:
+sint32 offset 1, uint32 length 2) decode via :func:`decode_histograms`
+and expand to classic ``_bucket{le=}``/``_count``/``_sum`` series
+(`histograms.py`) — the float-sample decode path skips them
+structurally.
 """
 
 from __future__ import annotations
@@ -65,6 +70,9 @@ __all__ = [
     "unframe_payload",
     "sniff_version",
     "remote_write_frame",
+    "decode_histograms",
+    "remote_write_histogram_frame",
+    "encode_histogram_msg",
 ]
 
 _U64 = 1 << 64
@@ -160,6 +168,7 @@ def _encode_v1(series) -> bytes:
     for entry in series:
         labels, samples = entry[0], entry[1]
         exemplars = entry[2] if len(entry) > 2 else ()
+        histograms = entry[3] if len(entry) > 3 else ()
         ts_msg = bytearray()
         for name in sorted(labels):
             lab = bytearray()
@@ -180,6 +189,10 @@ def _encode_v1(series) -> bytes:
             _put_key(ex, 3, 0)
             _put_i64(ex, int(ts_ms))
             _put_len_delim(ts_msg, 3, bytes(ex))
+        for ts_ms, h in histograms:
+            _put_len_delim(
+                ts_msg, 4, encode_histogram_msg(int(ts_ms), h)
+            )
         _put_len_delim(req, 1, bytes(ts_msg))
     return bytes(req)
 
@@ -206,6 +219,7 @@ def _encode_v2(series: Sequence[tuple[dict, Sequence[tuple[int, float]]]]) -> by
     for entry in series:
         labels, samples = entry[0], entry[1]
         exemplars = entry[2] if len(entry) > 2 else ()
+        histograms = entry[3] if len(entry) > 3 else ()
         ts_msg = bytearray()
         _put_len_delim(ts_msg, 1, packed_refs(labels))  # packed labels_refs
         for ts_ms, value in samples:
@@ -217,7 +231,13 @@ def _encode_v2(series: Sequence[tuple[dict, Sequence[tuple[int, float]]]]) -> by
             ex += struct.pack("<d", float(value))
             _put_key(ex, 3, 0)
             _put_i64(ex, int(ts_ms))
-            _put_len_delim(ts_msg, 3, bytes(ex))
+            # exemplars = 4 in v2 (3 is histograms — v1 has them
+            # swapped: exemplars 3, histograms 4)
+            _put_len_delim(ts_msg, 4, bytes(ex))
+        for ts_ms, h in histograms:
+            _put_len_delim(
+                ts_msg, 3, encode_histogram_msg(int(ts_ms), h)
+            )
         ts_msgs.append(bytes(ts_msg))
     req = bytearray()
     for s in symbols:
@@ -236,7 +256,9 @@ def encode_write_request(
     :func:`frame_payload`).  ``version`` is 1 (prometheus.WriteRequest)
     or 2 (io.prometheus.write.v2.Request).  A series tuple may carry a
     THIRD element — exemplars ``[(ex_labels, value, ts_ms), ...]``
-    (read back by :func:`decode_exemplars`)."""
+    (read back by :func:`decode_exemplars`) — and a FOURTH: native
+    histograms ``[(ts_ms, histograms.NativeHistogram), ...]`` (read
+    back by :func:`decode_histograms`)."""
     if version == 1:
         return _encode_v1(series)
     if version == 2:
@@ -505,7 +527,7 @@ def decode_exemplars(
                     srefs.extend(_decode_refs(proto, a2, b2))
                 elif f2 == 1 and w2 == 0:
                     srefs.append(a2)
-                elif f2 == 3 and w2 == 2:
+                elif f2 == 4 and w2 == 2:  # exemplars = 4 in v2
                     exemplars.append(_decode_v2_exemplar(proto, a2, b2))
             raw.append((srefs, exemplars))
     n_sym = len(symbols)
@@ -523,3 +545,275 @@ def decode_exemplars(
         for ex_refs, value, ts_ms in exemplars:
             out.append((labels, resolve(ex_refs), value, ts_ms))
     return out
+
+
+# ---------------------------------------------------------------------------
+# native histograms (prompb Histogram message; see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _put_zigzag(out: bytearray, x: int) -> None:
+    # proto sint64: zigzag varint
+    _put_uvarint(out, (x << 1) if x >= 0 else ((-x) << 1) - 1)
+
+
+def _unzigzag(x: int) -> int:
+    return (x >> 1) ^ -(x & 1)
+
+
+def _encode_bucket_span(offset: int, length: int) -> bytes:
+    out = bytearray()
+    _put_key(out, 1, 0)
+    _put_zigzag(out, offset)  # sint32
+    _put_key(out, 2, 0)
+    _put_uvarint(out, length)
+    return bytes(out)
+
+
+def encode_histogram_msg(ts_ms: int, h) -> bytes:
+    """Encode one `histograms.NativeHistogram` as a ``prometheus.
+    Histogram`` message body (float form: count_float 2 /
+    zero_count_float 7 / *_counts 10,13 — always representable)."""
+    out = bytearray()
+    _put_key(out, 2, 1)
+    out += struct.pack("<d", float(h.count))
+    _put_key(out, 3, 1)
+    out += struct.pack("<d", float(h.sum))
+    _put_key(out, 4, 0)
+    _put_zigzag(out, int(h.schema))
+    _put_key(out, 5, 1)
+    out += struct.pack("<d", float(h.zero_threshold))
+    _put_key(out, 7, 1)
+    out += struct.pack("<d", float(h.zero_count))
+    for off, length in h.negative_spans:
+        _put_len_delim(out, 8, _encode_bucket_span(off, length))
+    if h.negative_buckets:  # packed repeated double
+        _put_len_delim(
+            out,
+            10,
+            struct.pack(f"<{len(h.negative_buckets)}d", *h.negative_buckets),
+        )
+    for off, length in h.positive_spans:
+        _put_len_delim(out, 11, _encode_bucket_span(off, length))
+    if h.positive_buckets:
+        _put_len_delim(
+            out,
+            13,
+            struct.pack(f"<{len(h.positive_buckets)}d", *h.positive_buckets),
+        )
+    if h.counter_reset_hint:
+        _put_key(out, 14, 0)
+        _put_uvarint(out, int(h.counter_reset_hint))
+    _put_key(out, 15, 0)
+    _put_i64(out, int(ts_ms))
+    return bytes(out)
+
+
+def _decode_bucket_span(data: bytes, pos: int, end: int) -> tuple[int, int]:
+    off = length = 0
+    for field, wire, a, _b in _fields(data, pos, end):
+        if field == 1 and wire == 0:
+            off = _unzigzag(a)
+        elif field == 2 and wire == 0:
+            length = a
+    return off, length
+
+
+def _decode_packed_sint(data: bytes, pos: int, end: int) -> list[int]:
+    out = []
+    while pos < end:
+        v, pos = _read_uvarint(data, pos, end)
+        out.append(_unzigzag(v))
+    return out
+
+
+def decode_histogram_msg(data: bytes, pos: int, end: int):
+    """Decode one ``prometheus.Histogram`` message into
+    ``(ts_ms, histograms.NativeHistogram)`` — both the integer form
+    (count 1, delta buckets 9/12) and the float form (count_float 2,
+    absolute-count buckets 10/13)."""
+    from tsdb_parquet_spark.histograms import NativeHistogram
+
+    count = zero_count = 0.0
+    total = zt = 0.0
+    schema = hint = 0
+    ts_ms = 0
+    neg_spans: list[tuple] = []
+    pos_spans: list[tuple] = []
+    neg_deltas: list[int] = []
+    pos_deltas: list[int] = []
+    neg_counts: list[float] = []
+    pos_counts: list[float] = []
+    for field, wire, a, b in _fields(data, pos, end):
+        if field == 1 and wire == 0:
+            count = float(a)
+        elif field == 2 and wire == 1:
+            (count,) = struct.unpack_from("<d", data, a)
+        elif field == 3 and wire == 1:
+            (total,) = struct.unpack_from("<d", data, a)
+        elif field == 4 and wire == 0:
+            schema = _unzigzag(a)
+        elif field == 5 and wire == 1:
+            (zt,) = struct.unpack_from("<d", data, a)
+        elif field == 6 and wire == 0:
+            zero_count = float(a)
+        elif field == 7 and wire == 1:
+            (zero_count,) = struct.unpack_from("<d", data, a)
+        elif field == 8 and wire == 2:
+            neg_spans.append(_decode_bucket_span(data, a, b))
+        elif field == 9 and wire == 2:
+            neg_deltas.extend(_decode_packed_sint(data, a, b))
+        elif field == 9 and wire == 0:
+            neg_deltas.append(_unzigzag(a))
+        elif field == 10 and wire == 2:
+            neg_counts.extend(
+                struct.unpack_from(f"<{(b - a) // 8}d", data, a)
+            )
+        elif field == 11 and wire == 2:
+            pos_spans.append(_decode_bucket_span(data, a, b))
+        elif field == 12 and wire == 2:
+            pos_deltas.extend(_decode_packed_sint(data, a, b))
+        elif field == 12 and wire == 0:
+            pos_deltas.append(_unzigzag(a))
+        elif field == 13 and wire == 2:
+            pos_counts.extend(
+                struct.unpack_from(f"<{(b - a) // 8}d", data, a)
+            )
+        elif field == 14 and wire == 0:
+            hint = a
+        elif field == 15 and wire == 0:
+            ts_ms = _as_i64(a)
+
+    def resolve(deltas: list[int], counts: list[float]) -> tuple:
+        if counts:
+            return tuple(counts)
+        acc, out = 0, []
+        for d in deltas:
+            acc += d
+            out.append(float(acc))
+        return tuple(out)
+
+    return ts_ms, NativeHistogram(
+        schema=schema,
+        count=count,
+        sum=total,
+        zero_threshold=zt,
+        zero_count=zero_count,
+        positive_spans=tuple(pos_spans),
+        positive_buckets=resolve(pos_deltas, pos_counts),
+        negative_spans=tuple(neg_spans),
+        negative_buckets=resolve(neg_deltas, neg_counts),
+        counter_reset_hint=hint,
+    )
+
+
+def decode_histograms(
+    proto: bytes, version: int | None = None
+) -> "list[tuple[dict, list]]":
+    """Native histograms riding on a remote-write payload:
+    ``[(series_labels, [(ts_ms, NativeHistogram), ...]), ...]``.
+    prompb TimeSeries.histograms = 4 (v1) / 3 (v2)."""
+    if version is None:
+        version = sniff_version(proto)
+    end = len(proto)
+    out: list[tuple[dict, list]] = []
+    if version == 1:
+        for field, wire, a, b in _fields(proto, 0, end):
+            if field != 1 or wire != 2:
+                continue
+            labels: dict[str, str] = {}
+            hists = []
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 2:
+                    name, val = _decode_label(proto, a2, b2)
+                    labels[name] = val
+                elif f2 == 4 and w2 == 2:  # histograms = 4 in v1
+                    hists.append(decode_histogram_msg(proto, a2, b2))
+            if hists:
+                out.append((labels, hists))
+        return out
+    if version != 2:
+        raise ValueError(f"unknown remote-write version {version!r}")
+    symbols: list[str] = []
+    raw: list[tuple[list[int], list]] = []
+    for field, wire, a, b in _fields(proto, 0, end):
+        if field == 4 and wire == 2:
+            symbols.append(proto[a:b].decode("utf-8"))
+        elif field == 5 and wire == 2:
+            srefs: list[int] = []
+            hists = []
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 2:
+                    srefs.extend(_decode_refs(proto, a2, b2))
+                elif f2 == 1 and w2 == 0:
+                    srefs.append(a2)
+                elif f2 == 3 and w2 == 2:  # histograms = 3 in v2
+                    hists.append(decode_histogram_msg(proto, a2, b2))
+            if hists:
+                raw.append((srefs, hists))
+    n_sym = len(symbols)
+    for srefs, hists in raw:
+        if len(srefs) % 2 or any(r >= n_sym for r in srefs):
+            raise ValueError("bad labels_refs in histogram series")
+        labels = {
+            symbols[srefs[i]]: symbols[srefs[i + 1]]
+            for i in range(0, len(srefs), 2)
+        }
+        out.append((labels, hists))
+    return out
+
+
+def remote_write_histogram_frame(
+    payloads,
+    label_names: Sequence[str],
+    payload_col: str = "payload",
+    compressed: bool = True,
+    batch_rows: int = 4096,
+):
+    """Decode native histograms from a DataFrame of remote-write bodies
+    into CLASSIC-EXPANDED samples ``(label_names..., le string, ts
+    long, value double)`` — the histogram counterpart of
+    :func:`remote_write_frame`, same executor-side mapInPandas shape.
+    The metric name column carries the classic suffixes
+    (``<name>_bucket``/``_count``/``_sum``); ``le`` is "" on the
+    count/sum rows (missing-label convention)."""
+    import pandas as pd
+
+    from tsdb_parquet_spark.histograms import expand_to_classic
+
+    payloads = payloads.select(payload_col)
+    label_names = list(label_names)
+    schema = (
+        ", ".join(f"`{c}` string" for c in label_names)
+        + ", le string, ts long, value double"
+    )
+
+    def convert(batches):
+        cols = label_names + ["le", "ts", "value"]
+        buf: list[tuple] = []
+        for pdf in batches:
+            for body in pdf[payload_col]:
+                proto = (
+                    unframe_payload(bytes(body)) if compressed else bytes(body)
+                )
+                for labels, hists in decode_histograms(proto):
+                    name = labels.get("__name__", "")
+                    rest = {k: v for k, v in labels.items() if k != "__name__"}
+                    for ts_ms, h in hists:
+                        for mname, mlabels, t, v in expand_to_classic(
+                            name, rest, ts_ms, h
+                        ):
+                            full = {**mlabels, "__name__": mname}
+                            buf.append(
+                                tuple(
+                                    full.get(c, "") for c in label_names
+                                )
+                                + (mlabels.get("le", ""), t, v)
+                            )
+                            if len(buf) >= batch_rows:
+                                yield pd.DataFrame(buf, columns=cols)
+                                buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    return payloads.mapInPandas(convert, schema)

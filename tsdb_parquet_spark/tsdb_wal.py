@@ -91,10 +91,11 @@ EXEMPLARS = 0x04
 #: sample/series content; every drain skips them by design
 MMAP_MARKERS = 0x05
 METADATA = 0x06
-#: native-histogram sample records: EXCLUDED by the engine's data model
-#: (the chunk schema `schema/chunk.go:25-37` has no sparse-histogram
-#: representation — same documented exclusion as the remote-write and
-#: PromQL paths); `decode_histogram_samples_record` raises explicitly
+#: native-histogram sample records: decoded by `histograms.py` and
+#: EXPANDED to classic `_bucket{le=}`/`_count`/`_sum` series (the
+#: engine's chunk model stores float samples, `schema/chunk.go:25-37`,
+#: so the sparse form is reduced rather than stored); the float-sample
+#: drains skip the types, `wal_to_histogram_frame` drains them
 HISTOGRAM_SAMPLES = 0x07
 FLOAT_HISTOGRAM_SAMPLES = 0x08
 
@@ -436,24 +437,17 @@ def encode_mmap_markers_record(
     return bytes(out)
 
 
-def decode_histogram_samples_record(data: bytes) -> None:
-    """Native-histogram sample records (types 7/8) are a DOCUMENTED
-    exclusion: the chunk data model (`schema/chunk.go:25-37`) has no
-    sparse-histogram representation, the same boundary the
-    remote-write decoder and PromQL parity table draw.  Raised
-    explicitly rather than silently mis-parsed; the sample/series
-    drains SKIP the record type (a mixed WAL still drains its float
-    samples)."""
-    if not data or data[0] not in (
-        HISTOGRAM_SAMPLES,
-        FLOAT_HISTOGRAM_SAMPLES,
-    ):
-        raise ValueError("not a histogram samples record")
-    raise NotImplementedError(
-        "native-histogram WAL records are excluded by the engine's "
-        "chunk data model (no sparse-histogram representation); see "
-        "the README parity table"
+def decode_histogram_samples_record(data: bytes):
+    """Native-histogram sample records (types 7/8): decoded by
+    `histograms.decode_histogram_samples_record` into
+    ``[(ref, ts_ms, NativeHistogram)]``.  The float-sample drains SKIP
+    the record types (a mixed WAL still drains its float samples);
+    `wal_to_histogram_frame` drains them as classic-expanded series."""
+    from tsdb_parquet_spark.histograms import (
+        decode_histogram_samples_record as _decode,
     )
+
+    return _decode(data)
 
 
 def read_wal_metadata(wal_dir: str) -> "dict[int, tuple[str, str, str]]":
@@ -742,6 +736,17 @@ class WalWriter:
         self, metadata: Sequence[tuple[int, str, str, str]]
     ) -> None:
         self._append_record(encode_metadata_record(metadata))
+
+    def log_histograms(self, entries, float_kind: bool = False) -> None:
+        """Append a native-histogram record: ``entries`` is
+        ``[(ref, ts_ms, histograms.NativeHistogram), ...]``."""
+        from tsdb_parquet_spark.histograms import (
+            encode_histogram_samples_record,
+        )
+
+        self._append_record(
+            encode_histogram_samples_record(entries, float_kind=float_kind)
+        )
 
     def log_mmap_markers(self, markers: Sequence[tuple[int, int]]) -> None:
         self._append_record(encode_mmap_markers_record(markers))
@@ -1212,6 +1217,88 @@ def wal_to_exemplars_frame(
     ex = segs_df.mapInPandas(exemplar_pass, schema)
     return ex.join(series_df, "__ref__", "inner").select(
         *label_names, "ts", "value", "exemplar_labels"
+    )
+
+
+def wal_to_histogram_frame(
+    spark: SparkSession,
+    wal_dir: str,
+    label_names: Sequence[str],
+    batch_rows: int = 65536,
+) -> DataFrame:
+    """Distributed native-histogram drain: record types 7/8 decode per
+    segment task and EXPAND to classic-histogram samples
+    (`histograms.expand_to_classic`) — ``<name>_bucket`` rows carry an
+    ``le`` label column, ``_count``/``_sum`` rows carry ``le=""`` (the
+    missing-label convention), and the metric name is the series'
+    ``__name__`` with the classic suffix appended.  The result drops
+    straight into the store write path or `plans.promql.PromQLEngine`
+    (``histogram_quantile`` consumes the le series), so native
+    histograms queryable end-to-end without a sparse chunk type."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tsdb_parquet_spark.histograms import (
+        NativeHistogram,
+        decode_histogram_samples_record as _decode_hist,
+        expand_to_classic,
+    )
+
+    label_names = sorted(label_names)
+    segs = discover_wal_segments(wal_dir)
+    if not segs:
+        raise ValueError(f"no WAL segments under {wal_dir}")
+    last_path = segs[-1]
+    series_df, _ = _wal_frames(
+        spark, label_names, segs, [], last_path, batch_rows
+    )
+    rdd = spark.sparkContext.parallelize([(p,) for p in segs], len(segs))
+    segs_df = spark.createDataFrame(rdd, "path STRING")
+    schema = T.StructType(
+        [
+            T.StructField("__ref__", T.LongType(), False),
+            T.StructField("__suffix", T.StringType(), False),
+            T.StructField("le", T.StringType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def hist_pass(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path in pdf["path"]:
+                for rec in _read_segment(path, path == last_path):
+                    if not rec or rec[0] not in (
+                        HISTOGRAM_SAMPLES,
+                        FLOAT_HISTOGRAM_SAMPLES,
+                    ):
+                        continue
+                    for ref, ts, h in _decode_hist(rec):
+                        for name, labels, t, v in expand_to_classic(
+                            "", {}, ts, h
+                        ):
+                            rows.append(
+                                (
+                                    ref,
+                                    name,  # "_bucket" / "_count" / "_sum"
+                                    labels.get("le", ""),
+                                    t,
+                                    v,
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    hist = segs_df.mapInPandas(hist_pass, schema)
+    joined = hist.join(series_df, "__ref__", "inner")
+    rest = [n for n in label_names if n != "__name__"]
+    return joined.select(
+        F.concat(F.col("__name__"), F.col("__suffix")).alias("__name__"),
+        *rest,
+        "le",
+        "ts",
+        "value",
     )
 
 
