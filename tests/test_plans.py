@@ -489,3 +489,93 @@ def test_wal_drain_broadcasts_series_map(spark, tmp_path):
     # the sample scan side stays one task per segment (no repartition
     # of the mapInPandas output before the aggregate's own shuffle)
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_delete_samples_edit_path_is_narrow(spark, tmp_path):
+    """The store-delete rewrite's chunk-edit stage must stay NARROW —
+    decode -> higher-order array filter -> re-encode with no Exchange
+    of its own (the only shuffle in the rewrite is write_sorted's
+    inherent range sort).  Pinned by counting exchanges in the edited
+    frame's plan before the write."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import (
+        decode_chunk_udf,
+        encode_chunk_udf,
+        samples_to_chunks,
+    )
+
+    rows = [
+        Row(__name__="m", job="a", ts=t * 1000, value=float(t))
+        for t in range(10)
+    ]
+    chunks = samples_to_chunks(
+        spark.createDataFrame(rows), ["__name__", "job"]
+    )
+    chunks.write.mode("overwrite").parquet(str(tmp_path / "d"))
+    df = spark.read.parquet(str(tmp_path / "d"))
+    kept = F.filter(
+        decode_chunk_udf(F.col("__chunk_bytes")),
+        lambda s: (s["ts"] < F.lit(2000)) | (s["ts"] > F.lit(5000)),
+    )
+    edited = (
+        df.withColumn("__kept", kept)
+        .filter(F.size("__kept") > 0)
+        .withColumn("__chunk_bytes", encode_chunk_udf(F.col("__kept")))
+        .drop("__kept")
+    )
+    plan = edited._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # chunk-local surgery, no shuffle
+
+
+def test_downsample_blocks_shuffle_budget(spark, tmp_path):
+    """Block-farm downsampling is decode (one task per block, no
+    shuffle) -> ONE rollup groupBy -> re-chunk (one more groupBy): the
+    pre-export plan must contain exactly TWO aggregate exchanges and no
+    Python operator beyond the two Arrow codecs (block decode +
+    chunk encode)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import (
+        DEFAULT_CHUNK_SPAN_MS,
+        decode_chunk_udf,
+        samples_to_chunks,
+    )
+    from tsdb_parquet_spark.sources.rollup import downsample_samples
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        write_block,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    d = str(tmp_path / "b0")
+    ts = np.arange(4, dtype=np.int64) * 3_600_000
+    write_block(
+        d,
+        [({"__name__": "m", "job": "a"},
+          [(int(ts[0]), int(ts[-1]),
+            encode_xor_chunk(ts, np.arange(4, dtype=np.float64)))])],
+    )
+    labels = ["__name__", "job"]
+    frame = blocks_to_chunk_frame(spark, [d], labels)
+    samples = frame.select(
+        *labels,
+        F.explode(decode_chunk_udf(F.col("__chunk_bytes"))).alias("s"),
+    ).select(*labels, F.col("s.ts").alias("ts"),
+             F.col("s.value").alias("value"))
+    rolled = downsample_samples(samples, labels, step_ms=7_200_000)
+    # assign_series_ids=False is the production path (downsample_blocks
+    # / compact_blocks): the exporter builds its index from labels, and
+    # this plan test CAUGHT the default id assignment adding a
+    # distinct + join-back (two more exchanges) nothing consumed
+    chunks = samples_to_chunks(
+        rolled,
+        labels,
+        chunk_span_ms=DEFAULT_CHUNK_SPAN_MS,
+        assign_series_ids=False,
+    )
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan

@@ -1282,12 +1282,16 @@ def compact_blocks(
     merged = decoded.groupBy(*labels, "ts").agg(
         F.min(F.struct("__block_ord", "value"))["value"].alias("value")
     )
+    # the exporter never reads __series__id (the block index is built
+    # from labels), so skip the dense-id assignment — its distinct +
+    # join-back would add two whole shuffles to the compaction
     chunks = samples_to_chunks(
         merged.select(*labels, "ts", "value"),
         labels,
         chunk_span_ms=(
             DEFAULT_CHUNK_SPAN_MS if chunk_span_ms is None else chunk_span_ms
         ),
+        assign_series_ids=False,
     )
     return export_blocks(
         chunks,
@@ -1401,7 +1405,11 @@ def downsample_blocks(
         if chunk_span_ms
         else max(int(step_ms) * 24, DEFAULT_CHUNK_SPAN_MS)
     )
-    chunks = samples_to_chunks(rolled, labels, chunk_span_ms=span)
+    # no __series__id: the exporter builds its index from labels, and
+    # skipping the dense-id distinct+join saves two shuffles
+    chunks = samples_to_chunks(
+        rolled, labels, chunk_span_ms=span, assign_series_ids=False
+    )
     return export_blocks(
         chunks,
         out_parent,
