@@ -226,3 +226,61 @@ def test_remote_write_histogram_frame_to_quantile(spark):
         "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
     ).collect()
     assert len(out) == 1 and out[0]["value"] == pytest.approx(3.0)
+
+
+def test_receiver_spool_histogram_ingest_to_store(spark, tmp_path):
+    """A remote-write spool whose payloads carry BOTH float samples and
+    native histograms drains into one store (histograms=True): expanded
+    bucket series land with their `le` label, floats with le="", and
+    the store serves histogram_quantile directly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.remote_write import (
+        encode_write_request,
+        frame_payload,
+    )
+    from tsdb_parquet_spark.streaming.receiver import (
+        remote_write_spool_ingestor,
+    )
+
+    spool = str(tmp_path / "spool")
+    root = str(tmp_path / "store")
+    os.makedirs(spool)
+    h = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                        positive_spans=((1, 3),),
+                        positive_buckets=(2.0, 6.0, 2.0))
+    body = frame_payload(encode_write_request(
+        [
+            ({"__name__": "up", "job": "a"}, [(60_000, 1.0)], (), ()),
+            ({"__name__": "lat", "job": "a"}, [], (), [(60_000, h)]),
+        ],
+        version=2,
+    ))
+    with open(os.path.join(spool, "req-0.bin"), "wb") as fh:
+        fh.write(body)
+    labels = ["__name__", "job", "le"]
+    ingestor, stream = remote_write_spool_ingestor(
+        spark, spool, root, labels, histograms=True
+    )
+    ingestor.ingest(stream)
+    compact = ingestor.finalize()
+    samples = chunks_to_samples(spark.read.parquet(compact), labels)
+    rows = sorted(
+        (r["__name__"], r["le"], r["value"]) for r in samples.collect()
+    )
+    assert ("up", "", 1.0) in rows
+    assert ("lat_count", "", 10.0) in rows
+    assert ("lat_bucket", "+Inf", 10.0) in rows
+    out = PromQLEngine(samples).query_range(
+        "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == pytest.approx(3.0)
+    # without "le" in the labels, histograms=True refuses loudly
+    with pytest.raises(ValueError, match='"le"'):
+        remote_write_spool_ingestor(
+            spark, spool, root, ["__name__", "job"], histograms=True
+        )

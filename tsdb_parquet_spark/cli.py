@@ -392,7 +392,8 @@ def cmd_ingest(args) -> int:
     t0 = time.perf_counter()
     if args.format == "remote-write":
         ingestor, stream = remote_write_spool_ingestor(
-            spark, args.spool, args.store, labels, chunk_span_ms=args.span_ms
+            spark, args.spool, args.store, labels,
+            chunk_span_ms=args.span_ms, histograms=args.histograms,
         )
     else:
         ingestor, stream = scrape_spool_ingestor(
@@ -827,6 +828,10 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--scrape-ts", type=int, default=None,
                      help="scrape format: timestamp (ms) for lines "
                           "without one")
+    ing.add_argument("--histograms", action="store_true",
+                     help="remote-write format: also drain native "
+                          "histograms, classic-expanded (labels must "
+                          "include 'le')")
     ing.add_argument("--finalize", action="store_true",
                      help="compact parts and assign dense series ids "
                           "after the drain")

@@ -39,20 +39,45 @@ def remote_write_spool_ingestor(
     label_names: Sequence[str],
     chunk_span_ms: int = 24 * 3600 * 1000,
     compressed: bool = True,
+    histograms: bool = False,
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of remote-write POST bodies (one
     file per request; snappy-framed protobuf, v1 or v2 sniffed per
     payload).  Run with ``ingestor.ingest(stream)`` —
     ``availableNow=True`` drains the current spool and stops, the
-    cron-friendly shape; pass ``available_now=False`` to follow live."""
-    from tsdb_parquet_spark.remote_write import remote_write_frame
+    cron-friendly shape; pass ``available_now=False`` to follow live.
+
+    ``histograms=True`` additionally drains native histograms riding
+    on the payloads, classic-expanded (`remote_write_histogram_frame`)
+    and unioned with the float samples — ``label_names`` must then
+    include ``"le"`` (float-sample rows carry ``le=""``, the
+    missing-label convention), so `histogram_quantile` works straight
+    off the store."""
+    from tsdb_parquet_spark.remote_write import (
+        remote_write_frame,
+        remote_write_histogram_frame,
+    )
 
     labels = list(label_names)
+    if histograms and "le" not in labels:
+        raise ValueError(
+            'histograms=True requires "le" in label_names (the classic '
+            "expansion's bucket-bound label)"
+        )
 
     def to_samples(batch: DataFrame) -> DataFrame:
         payloads = batch.select(F.col("content").alias("payload"))
-        return remote_write_frame(payloads, labels, compressed=compressed)
+        if not histograms:
+            return remote_write_frame(payloads, labels, compressed=compressed)
+        plain = [c for c in labels if c != "le"]
+        floats = remote_write_frame(
+            payloads, plain, compressed=compressed
+        ).withColumn("le", F.lit(""))
+        hists = remote_write_histogram_frame(
+            payloads, plain, compressed=compressed
+        )
+        return floats.unionByName(hists.select(*plain, "le", "ts", "value"))
 
     ingestor = StreamingChunkIngestor(
         spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
