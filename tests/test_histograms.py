@@ -284,3 +284,73 @@ def test_receiver_spool_histogram_ingest_to_store(spark, tmp_path):
         remote_write_spool_ingestor(
             spark, spool, root, ["__name__", "job"], histograms=True
         )
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    schema=st.integers(-4, 8),
+    zero_count=st.integers(0, 5),
+    pos=st.lists(
+        st.tuples(st.integers(-30, 30), st.integers(1, 20)),
+        max_size=4,
+    ),
+    neg=st.lists(
+        st.tuples(st.integers(-30, 30), st.integers(1, 20)),
+        max_size=3,
+    ),
+)
+def test_expand_invariants_property(schema, zero_count, pos, neg):
+    """For ANY well-formed sparse histogram: bucket les strictly
+    ascending, cumulative counts monotone, +Inf equals count, count row
+    equals count, and the bucket rows' increments sum to the mass in
+    finite buckets."""
+
+    def build_side(items):
+        # occupied indexes strictly ascending -> spans with gaps
+        idxs = sorted({i for i, _ in items})
+        counts = {i: float(c) for i, c in items}
+        spans, buckets = [], []
+        prev_end = 0
+        run = None
+        for i in idxs:
+            if run is not None and i == run[0] + run[1]:
+                run = (run[0], run[1] + 1)
+            else:
+                if run is not None:
+                    spans.append((run[0] - prev_end, run[1]))
+                    prev_end = run[0] + run[1]
+                run = (i, 1)
+            buckets.append(counts[i])
+        if run is not None:
+            spans.append((run[0] - prev_end, run[1]))
+        return tuple(spans), tuple(buckets)
+
+    ps, pb = build_side(pos)
+    ns, nb = build_side(neg)
+    bucket_mass = sum(pb) + sum(nb) + zero_count
+    h = NativeHistogram(
+        schema=schema,
+        count=bucket_mass + 3,  # 3 observations only +Inf accounts for
+        sum=1.0,
+        zero_threshold=1e-9 if zero_count else 0.0,
+        zero_count=float(zero_count),
+        positive_spans=ps,
+        positive_buckets=pb,
+        negative_spans=ns,
+        negative_buckets=nb,
+    )
+    rows = expand_to_classic("m", {}, 0, h)
+    buckets = [(r[1]["le"], r[3]) for r in rows if r[0] == "m_bucket"]
+    les = [float(le) if le != "+Inf" else math.inf for le, _ in buckets]
+    assert les == sorted(les) and len(set(les)) == len(les)
+    cnts = [c for _, c in buckets]
+    assert all(a <= b for a, b in zip(cnts, cnts[1:]))
+    assert buckets[-1] == ("+Inf", h.count)
+    if len(buckets) > 1:
+        assert cnts[-2] == pytest.approx(bucket_mass)
+    # codec roundtrip of the same histogram (both kinds)
+    for fk in (False, True):
+        (got,) = decode_histogram_samples_record(
+            encode_histogram_samples_record([(1, 0, h)], float_kind=fk)
+        )
+        assert got == (1, 0, h)

@@ -93,6 +93,10 @@ HEAVY_TSDB = [
     # store-side delete pass: fixture builds the store AND runs the
     # delete once per sf; the timed row reads the post-delete live set
     "q117_store_delete_pass",
+    # native histograms at 10x: per-(event_type, day) sparse histograms
+    # in a WAL (fixture caches per sf), drain + classic expansion +
+    # histogram_quantile is the timed row
+    "q118_native_histogram_quantile",
 ]
 
 HEAVY = [
@@ -395,6 +399,9 @@ def main() -> None:
             "q115_remote_write_push_to_promql",
             "q116_block_farm_maintenance",
             "q117_store_delete_pass",
+            # native-histogram quantiles at 10x: engine and oracle must
+            # compute the SAME exponential buckets over 10x the values
+            "q118_native_histogram_quantile",
         ]
         results = {}
         for name in names:

@@ -136,31 +136,26 @@ def expand_to_classic(
     buckets cover only occupied ranges, the remainder is mass the
     classic representation books at infinity, exactly like a scraped
     classic histogram."""
+    # collect (le, increment) pairs, SORT by le, merge duplicates, then
+    # cumulate — total by construction: a pathological input (e.g. a
+    # positive bucket whose upper bound sits below the zero threshold,
+    # which a conforming producer never emits) still yields a
+    # well-formed classic series, because cumulative-by-le IS the
+    # classic histogram definition regardless of source bucket kind
+    incs: list[tuple[float, float]] = []
+    for idx, cnt in zip(h.bucket_indexes(-1), h.negative_buckets):
+        incs.append((bucket_upper_bound(h.schema, idx, sign=-1), cnt))
+    if h.zero_count or h.zero_threshold:
+        incs.append((float(h.zero_threshold), float(h.zero_count)))
+    for idx, cnt in zip(h.bucket_indexes(+1), h.positive_buckets):
+        incs.append((bucket_upper_bound(h.schema, idx, sign=+1), cnt))
+    merged: dict[float, float] = {}
+    for le, cnt in incs:
+        merged[le] = merged.get(le, 0.0) + cnt
     rows: list[tuple[str, dict, int, float]] = []
     cum = 0.0
-    # negative side: most-negative le first => DESCENDING bucket index
-    neg = sorted(
-        zip(h.bucket_indexes(-1), h.negative_buckets), reverse=True
-    )
-    for idx, cnt in neg:
-        cum += cnt
-        le = bucket_upper_bound(h.schema, idx, sign=-1)
-        rows.append(
-            (f"{name}_bucket", {**labels, "le": format_le(le)}, ts_ms, cum)
-        )
-    if h.zero_count or h.zero_threshold:
-        cum += h.zero_count
-        rows.append(
-            (
-                f"{name}_bucket",
-                {**labels, "le": format_le(h.zero_threshold)},
-                ts_ms,
-                cum,
-            )
-        )
-    for idx, cnt in zip(h.bucket_indexes(+1), h.positive_buckets):
-        cum += cnt
-        le = bucket_upper_bound(h.schema, idx, sign=+1)
+    for le in sorted(merged):
+        cum += merged[le]
         rows.append(
             (f"{name}_bucket", {**labels, "le": format_le(le)}, ts_ms, cum)
         )
