@@ -6368,6 +6368,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NH_SCHEMA = 2  # native-histogram schema: base = 2^(1/4)
 _NH_Q = 0.75
+_NH_ZT = 0.001  # zero-bucket threshold: observations <= this land there
 
 
 def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
@@ -6413,7 +6414,12 @@ def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
     )
     entries = []
     for (e, day), g in rows.groupby(["event_type", "day"], sort=True):
-        v = g["value"].to_numpy(dtype=np.float64)
+        v_all = g["value"].to_numpy(dtype=np.float64)
+        # the zero bucket holds |v| <= threshold — exactly the native
+        # data model (and the only sound home for v == 0, whose log
+        # bucket is undefined; the sf1 synthetic corpus contains zeros)
+        zero_mask = v_all <= _NH_ZT
+        v = v_all[~zero_mask]
         idx = np.ceil(np.log2(v) * (1 << _NH_SCHEMA)).astype(np.int64)
         uniq, counts = np.unique(idx, return_counts=True)
         spans, buckets = [], []
@@ -6432,8 +6438,10 @@ def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
             spans.append((int(run_start - prev_end), run_len))
         h = NativeHistogram(
             schema=_NH_SCHEMA,
-            count=float(len(v)),
-            sum=float(v.sum()),
+            count=float(len(v_all)),
+            sum=float(v_all.sum()),
+            zero_threshold=_NH_ZT if zero_mask.any() else 0.0,
+            zero_count=float(zero_mask.sum()),
             positive_spans=tuple(spans),
             positive_buckets=tuple(buckets),
         )
@@ -6464,7 +6472,9 @@ WITH s AS (
 w AS (
   SELECT event_type,
          (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t,
-         CAST(ceil(log2(value) * {1 << _NH_SCHEMA}) AS BIGINT) AS bi
+         CASE WHEN value <= {_NH_ZT} THEN NULL
+              ELSE CAST(ceil(log2(value) * {1 << _NH_SCHEMA}) AS BIGINT)
+         END AS bi
   FROM s
 ),
 counted AS (
@@ -6473,8 +6483,14 @@ counted AS (
 ),
 cum AS (
   SELECT event_type, t,
-         power(2.0, bi / CAST({1 << _NH_SCHEMA} AS DOUBLE)) AS le_n,
-         sum(c) OVER (PARTITION BY event_type, t ORDER BY bi) AS cnt,
+         CASE WHEN bi IS NULL THEN {_NH_ZT}
+              ELSE power(2.0, bi / CAST({1 << _NH_SCHEMA} AS DOUBLE))
+         END AS le_n,
+         sum(c) OVER (
+             PARTITION BY event_type, t
+             ORDER BY CASE WHEN bi IS NULL THEN {_NH_ZT}
+                  ELSE power(2.0, bi / CAST({1 << _NH_SCHEMA} AS DOUBLE))
+             END) AS cnt,
          sum(c) OVER (PARTITION BY event_type, t) AS total
   FROM counted
 ),
