@@ -1281,3 +1281,26 @@ def test_maintain_block_farm_downsample_then_retention(spark, tmp_path):
     assert rep2["retention"]["deleted"] == []
     side = json.load(open(os.path.join(rollups, "_downsampled.json")))
     assert len(side) == 2
+
+
+def test_histogram_chunk_encoding_rejected_loudly(spark, tmp_path):
+    """A block holding native-histogram CHUNKS (encodings 2/3) must
+    fail with the documented exclusion, not mis-decode the sparse
+    bitstream as Gorilla XOR."""
+    from tsdb_parquet_spark.tsdb_block import (
+        write_chunks_segments,
+        write_index,
+        write_tombstones,
+    )
+
+    d = str(tmp_path / "histblock")
+    os.makedirs(d)
+    refs = write_chunks_segments(d, [b"\x00\x01\x02\x03"], encoding=3)
+    write_index(d, [({"__name__": "m"}, [(0, 10, refs[0])])])
+    write_tombstones(d)
+    with open(os.path.join(d, "meta.json"), "w") as fh:
+        fh.write('{"ulid": "X", "minTime": 0, "maxTime": 11}')
+    with pytest.raises(Exception, match="native-histogram chunk"):
+        block_to_chunk_frame(spark, d).collect()
+    with pytest.raises(Exception, match="native-histogram chunk"):
+        blocks_to_chunk_frame(spark, [d], ["__name__"]).collect()

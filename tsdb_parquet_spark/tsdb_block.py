@@ -165,6 +165,28 @@ def write_chunks_segments(
     return refs
 
 
+#: Prometheus chunk encodings beyond XOR: 2 = (integer) histogram,
+#: 3 = float histogram — the sparse varbit bitstreams backing native
+#: histograms inside BLOCKS.  The engine ingests native histograms
+#: from the WAL and remote-write (histograms.py, classic expansion);
+#: histogram CHUNK decode is excluded, and the converters fail loudly
+#: instead of mis-decoding the bitstream as Gorilla XOR.
+_HISTOGRAM_CHUNK_ENCODINGS = (2, 3)
+
+
+def _require_xor_encoding(enc: int, block_dir) -> None:
+    if enc == XOR_ENCODING:
+        return
+    if enc in _HISTOGRAM_CHUNK_ENCODINGS:
+        raise NotImplementedError(
+            f"{block_dir}: chunk encoding {enc} is a native-histogram "
+            "chunk — block-side histogram chunks are excluded (ingest "
+            "native histograms from the WAL or remote-write instead, "
+            "via histograms.py's classic expansion)"
+        )
+    raise ValueError(f"{block_dir}: unknown chunk encoding {enc}")
+
+
 def read_chunk_record(segment: bytes, offset: int) -> tuple[int, bytes]:
     """(encoding, payload) of the record at ``offset``; CRC-verified."""
     ln, pos = _read_uvarint(segment, offset)
@@ -630,7 +652,8 @@ def block_to_chunk_frame(
                         "rb",
                     ).read()
                     segments[seg_idx] = seg
-                _, data = read_chunk_record(seg, offset)
+                enc, data = read_chunk_record(seg, offset)
+                _require_xor_encoding(enc, block_dir)
                 blobs.append(data)
             out = pdf.drop(columns=["__chunk_ref"])
             out[CHUNK_BYTES] = pd.Series(blobs, index=pdf.index, dtype=object)
@@ -739,7 +762,10 @@ def blocks_to_chunk_frame(
                                 "rb",
                             ).read()
                             segments[seg_idx] = seg
-                        _, data = read_chunk_record(seg, ref & 0xFFFFFFFF)
+                        enc, data = read_chunk_record(
+                            seg, ref & 0xFFFFFFFF
+                        )
+                        _require_xor_encoding(enc, block_dir)
                         rows.append((base | sid, mint, maxt, *lvals, data))
                         if len(rows) >= batch_rows:
                             yield pd.DataFrame(rows, columns=cols)
