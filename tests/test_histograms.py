@@ -354,3 +354,69 @@ def test_expand_invariants_property(schema, zero_count, pos, neg):
             encode_histogram_samples_record([(1, 0, h)], float_kind=fk)
         )
         assert got == (1, 0, h)
+
+
+def test_histogram_fraction_engine(spark):
+    """histogram_fraction over classic buckets: piecewise-linear CDF,
+    +Inf mass only at an infinite bound, from-0 lowest bucket — and
+    inverse-consistency with histogram_quantile."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    # buckets (1,2]:2  (2,4]:6  (4,8]:2  +Inf:+2 (total 12)
+    rows = [
+        Row(__name__="lat_bucket", job="a", le="2.0", ts=60_000, value=2.0),
+        Row(__name__="lat_bucket", job="a", le="4.0", ts=60_000, value=8.0),
+        Row(__name__="lat_bucket", job="a", le="8.0", ts=60_000, value=10.0),
+        Row(__name__="lat_bucket", job="a", le="+Inf", ts=60_000,
+            value=12.0),
+    ]
+    engine = PromQLEngine(spark.createDataFrame(rows))
+
+    def frac(lo, hi):
+        out = engine.query_range(
+            f"histogram_fraction({lo}, {hi}, lat_bucket)",
+            60_000, 60_000, 60_000,
+        ).collect()
+        assert len(out) == 1
+        return out[0]["value"]
+
+    # whole real line: everything incl. +Inf mass
+    assert frac("-Inf", "+Inf") == pytest.approx(1.0)
+    # finite full range: +Inf bucket's mass is NOT below any finite x
+    assert frac(0, 8) == pytest.approx(10 / 12)
+    # inside one bucket: linear — (2,4] holds 6; [2,3] is half of it
+    assert frac(2, 3) == pytest.approx(3 / 12)
+    # straddling buckets: [3,6] = half of (2,4] + half of (4,8]
+    assert frac(3, 6) == pytest.approx((3 + 1) / 12)
+    # lowest bucket interpolates from 0 (the quantile-consistent rule)
+    assert frac(0, 1) == pytest.approx(1 / 12)
+    # inverse consistency: C(quantile(q)) == q for q inside finite mass
+    q = 0.5
+    qv = engine.query_range(
+        f"histogram_quantile({q}, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()[0]["value"]
+    assert frac("-Inf", qv) == pytest.approx(q)
+
+
+def test_histogram_fraction_native_chain(spark, tmp_path):
+    """histogram_fraction over buckets produced by the NATIVE reduction
+    (WAL drain) — the previously-excluded native function family's
+    flagship, now served end-to-end."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "lat", "job": "a"})])
+    h = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                        positive_spans=((1, 3),),
+                        positive_buckets=(2.0, 6.0, 2.0))
+    w.log_histograms([(1, 60_000, h)])
+    w.close()
+    frame = wal_to_histogram_frame(spark, wal, ["__name__", "job"])
+    out = PromQLEngine(frame).query_range(
+        "histogram_fraction(2, 4, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    # bucket (2,4] holds 6 of 10 observations
+    assert len(out) == 1 and out[0]["value"] == pytest.approx(0.6)

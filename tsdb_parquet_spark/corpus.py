@@ -6543,6 +6543,83 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+_NHF_LO = 8.0
+_NHF_HI = 64.0
+
+
+@query(
+    "q119_native_histogram_fraction",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+w AS (
+  SELECT event_type,
+         (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t,
+         CASE WHEN value <= {_NH_ZT} THEN NULL
+              ELSE CAST(ceil(log2(value) * {1 << _NH_SCHEMA}) AS BIGINT)
+         END AS bi
+  FROM s
+),
+counted AS (
+  SELECT event_type, t, bi, CAST(count(*) AS DOUBLE) AS c
+  FROM w GROUP BY 1, 2, 3
+),
+lb AS (
+  SELECT event_type, t, c,
+         CASE WHEN bi IS NULL THEN {_NH_ZT}
+              ELSE power(2.0, bi / CAST({1 << _NH_SCHEMA} AS DOUBLE))
+         END AS le_n
+  FROM counted
+),
+cdf AS (
+  SELECT event_type, t, c AS inc, le_n,
+         COALESCE(lag(le_n) OVER (
+             PARTITION BY event_type, t ORDER BY le_n), 0.0) AS start,
+         sum(c) OVER (PARTITION BY event_type, t) AS total
+  FROM lb
+),
+contrib AS (
+  SELECT event_type, t, total,
+         inc * greatest(0.0, least(1.0,
+             ({_NHF_HI} - start) / (le_n - start))) AS up,
+         inc * greatest(0.0, least(1.0,
+             ({_NHF_LO} - start) / (le_n - start))) AS lo
+  FROM cdf
+)
+SELECT t, event_type,
+       round((sum(up) - sum(lo)) / max(total), 6) AS value
+FROM contrib
+WHERE t BETWEEN {_P_START} AND {_P_END}
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_fraction({_NHF_LO:g}, {_NHF_HI:g}, app_nh_bucket)``
+    — the native-histogram function family's flagship, previously on
+    the documented-exclusion list, now served by the classic reduction:
+    the piecewise-linear CDF over cumulative ``le`` buckets gives the
+    estimated fraction of observations in [lower, upper] per (step,
+    series), one window shuffle plus a grouped sum, all JVM.  Runs over
+    the SAME native-histogram WAL fixture as q118 and must hash-match
+    DuckDB computing the identical CDF from the raw events."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_wal import wal_to_histogram_frame
+
+    wal = _events_native_histogram_wal(spark, sf_dir)
+    frame = wal_to_histogram_frame(spark, wal, ["__name__", "event_type"])
+    engine = PromQLEngine(frame, extrapolate=False)
+    out = engine.query_range(
+        f"histogram_fraction({_NHF_LO}, {_NHF_HI}, app_nh_bucket)",
+        _P_START,
+        _P_END,
+        _DAY_MS,
+        lookback_ms=6 * 3600 * 1000,
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6621,6 +6698,9 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                           family in functions/similarity.py —
 #                           broadcast codebook + code-list scoring;
 #                           displaced by this round's q118 debut)
+#   q88_promql_scalar_arithmetic -> q66 (same PromQL binary-op
+#                           evaluator, _eval_binary — scalar arm vs
+#                           set arm; displaced by q119's debut)
 # Every other out-of-window row is r09-green (1 recorded round stale
 # once r10 lands) and needs no deferral record.
 
@@ -6649,6 +6729,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q55_promql_changes": ("q43_promql_counter_reset",),
     "q89_streaming_rollup": ("q21_streaming_ingest",),
     "q96_sq8_quantized_topk": ("q91_ivfpq_store_topk",),
+    "q88_promql_scalar_arithmetic": ("q66_promql_set_ops",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -6675,6 +6756,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q116_block_farm_maintenance",
     "q117_store_delete_pass",
     "q118_native_histogram_quantile",
+    "q119_native_histogram_fraction",
     # r07-green backlog (2 recorded rounds stale) minus the
     # documented deferrals
     "q06_first_per_key",
@@ -6700,7 +6782,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q84_ivf_partitioned_store",
     "q85_salted_distinct_count",
     "q86_bucketed_colocated_join",
-    "q88_promql_scalar_arithmetic",
     "q91_ivfpq_store_topk",
     "q94_http_object_store",
     "q98_exact_substring_removal",
@@ -6716,6 +6797,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q55_promql_changes",
     "q89_streaming_rollup",
     "q96_sq8_quantized_topk",
+    "q88_promql_scalar_arithmetic",
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",

@@ -21,6 +21,7 @@ small recursive-descent parser for the subset
     mathfn   := MATHFN '(' expr (',' number)* ')'
     label_replace := 'label_replace' '(' expr ',' str ',' str ',' str ',' str ')'
     histq    := 'histogram_quantile' '(' number ',' expr ')'
+    histfrac := 'histogram_fraction' '(' number ',' number ',' expr ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
     modifiers:= ['offset' ['-'] duration]
                 ['@' (number | 'start()' | 'end()')]
@@ -428,6 +429,21 @@ class PromHistogramQuantile:
     q: float
     inner: "PromNode"
 
+@dataclass
+class PromHistogramFraction:
+    """histogram_fraction(lower, upper, vector-with-le-label): estimated
+    fraction of observations in [lower, upper], from the piecewise-
+    linear CDF the cumulative ``le`` buckets define — the native-
+    histogram function lifted onto the classic representation the
+    engine's histogram reduction produces (`histograms.py`).  Mass in
+    the +Inf bucket counts only when the bound IS +Inf; the lowest
+    bucket interpolates from 0, consistent with histogram_quantile."""
+
+    lower: float
+    upper: float
+    inner: "PromNode"
+
+
 
 @dataclass
 class PromAbsent:
@@ -736,6 +752,8 @@ class _Parser:
             return self._label_join()
         if kind == "ident" and tok == "histogram_quantile":
             return self._histogram_quantile()
+        if kind == "ident" and tok == "histogram_fraction":
+            return self._histogram_fraction_node()
         # call-position-only keywords: a metric may still be NAMED `hour`
         # etc. — only `hour(`... parses as the function (Prometheus
         # disambiguates the same way)
@@ -856,6 +874,31 @@ class _Parser:
         inner = self._compare()
         self.expect(")")
         return PromHistogramQuantile(q=float(num), inner=inner)
+
+    def _histogram_fraction_node(self):
+        self.next()
+        self.expect("(")
+        bounds = []
+        for _ in range(2):
+            kind, num = self.next()
+            sign = 1.0
+            if kind == "binop" and num in ("-", "+"):
+                sign = -1.0 if num == "-" else 1.0
+                kind, num = self.next()
+            if kind == "number":
+                bounds.append(sign * float(num))
+            elif kind == "ident" and num.lower() in ("inf", "+inf"):
+                bounds.append(sign * float("inf"))
+            else:
+                raise ValueError(
+                    f"histogram_fraction expects scalar bounds, got {num!r}"
+                )
+            self.expect(",")
+        inner = self._compare()
+        self.expect(")")
+        return PromHistogramFraction(
+            lower=bounds[0], upper=bounds[1], inner=inner
+        )
 
     def _param_range_func(self) -> PromExpr:
         _, fn = self.next()
@@ -1375,6 +1418,9 @@ class PromQLEngine:
         if isinstance(node, PromHistogramQuantile):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._histogram_quantile(inner, node.q)
+        if isinstance(node, PromHistogramFraction):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._histogram_fraction(inner, node.lower, node.upper)
         if isinstance(node, PromCountValues):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._count_values(inner, node)
@@ -1666,6 +1712,64 @@ class PromQLEngine:
             interp
         )
         return found.select("t", *grp, value.alias("value"))
+
+    @staticmethod
+    def _histogram_fraction(
+        df: DataFrame, lower: float, upper: float
+    ) -> DataFrame:
+        """Fraction of observations in [lower, upper] from the
+        piecewise-linear CDF the cumulative ``le`` buckets define:
+        each bucket (start, le] contributes ``inc * clamp((x - start) /
+        (le - start), 0, 1)`` to C(x); fraction = (C(upper) -
+        C(lower)) / total.  ONE shuffle (the same (t, group) window
+        partitioning histogram_quantile uses) plus a grouped sum; +Inf
+        bucket mass counts only when the bound is +Inf; the lowest
+        bucket's start is 0, the quantile-consistent classic rule."""
+        from pyspark.sql import Window
+
+        if "le" not in df.columns:
+            raise ValueError("histogram_fraction needs an `le` label")
+        if not upper >= lower:
+            raise ValueError("histogram_fraction: upper < lower")
+        grp = [c for c in df.columns if c not in ("t", "value", "le")]
+        inf = float("inf")
+        le_num = F.when(
+            F.col("le").isin("+Inf", "Inf", "inf"), F.lit(inf)
+        ).otherwise(F.col("le").cast("double"))
+        wo = Window.partitionBy("t", *grp).orderBy("__le")
+        b = (
+            df.withColumn("__le", le_num)
+            .withColumn("__prev_cnt", F.lag("value", 1, 0.0).over(wo))
+            .withColumn("__prev_le", F.lag("__le").over(wo))
+        )
+        inc = F.col("value") - F.col("__prev_cnt")
+        start = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+        width = F.col("__le") - start
+
+        def cdf_at(x: float):
+            xx = F.lit(float(x))
+            finite = F.when(
+                width > 0,
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(F.lit(1.0), (xx - start) / width),
+                ),
+            ).otherwise(F.when(xx >= F.col("__le"), 1.0).otherwise(0.0))
+            # the +Inf bucket's mass has no finite location: it counts
+            # only when the bound itself is +Inf
+            if math.isinf(x) and x > 0:
+                return inc  # full contribution from every bucket
+            return F.when(F.col("__le") == inf, F.lit(0.0)).otherwise(
+                inc * finite
+            )
+
+        out = b.groupBy("t", *grp).agg(
+            (
+                (F.sum(cdf_at(upper)) - F.sum(cdf_at(lower)))
+                / F.max("value")
+            ).alias("value")
+        )
+        return out
 
     @staticmethod
     def _label_replace(df: DataFrame, node: PromLabelReplace) -> DataFrame:
