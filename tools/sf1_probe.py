@@ -97,6 +97,7 @@ HEAVY_TSDB = [
     # in a WAL (fixture caches per sf), drain + classic expansion +
     # histogram_quantile is the timed row
     "q118_native_histogram_quantile",
+    "q119_native_histogram_fraction",
 ]
 
 HEAVY = [
@@ -402,6 +403,7 @@ def main() -> None:
             # native-histogram quantiles at 10x: engine and oracle must
             # compute the SAME exponential buckets over 10x the values
             "q118_native_histogram_quantile",
+            "q119_native_histogram_fraction",
         ]
         results = {}
         for name in names:
