@@ -257,3 +257,25 @@ def test_decode_exemplars_never_crashes(data):
             decode_exemplars(data, version=version)
         except ValueError:
             pass
+
+
+def test_metadata_roundtrip_both_versions():
+    """Metric metadata (help/unit/type) rides remote-write in both
+    protocols — request-level prompb.MetricMetadata in v1, per-series
+    symbol-interned Metadata in v2 — completing the metadata surface
+    across WAL records, scrape text, and the push path."""
+    from tsdb_parquet_spark.remote_write import (
+        decode_metadata,
+        encode_metadata_request,
+        frame_payload,
+        unframe_payload,
+    )
+
+    entries = [
+        ("http_requests_total", "counter", "", "Total HTTP requests."),
+        ("queue_depth", "gauge", "items", 'depth "now"\nmultiline'),
+    ]
+    for version in (1, 2):
+        body = frame_payload(encode_metadata_request(entries, version))
+        got = decode_metadata(unframe_payload(body))
+        assert got == entries, version

@@ -340,7 +340,9 @@ def sniff_version(proto: bytes) -> int:
     Real senders declare the version in the Content-Type header — this
     is the offline equivalent for stored payloads."""
     for field, _wire, _a, _b in _fields(proto, 0, len(proto)):
-        if field == 1:
+        if field in (1, 3):
+            # 1 = v1 timeseries; 3 = v1 request-level metadata (v2
+            # RESERVES top-level 1-3, so either implies protocol 1.0)
             return 1
         if field in (4, 5):
             return 2
@@ -817,3 +819,164 @@ def remote_write_histogram_frame(
             yield pd.DataFrame(buf, columns=cols)
 
     return payloads.mapInPandas(convert, schema)
+
+
+# ---------------------------------------------------------------------------
+# metric metadata (help / unit / type)
+# ---------------------------------------------------------------------------
+
+#: prompb.MetricMetadata.MetricType / io.prometheus.write.v2 Metadata
+#: type enum values, index = wire value
+METADATA_TYPES = (
+    "unknown",
+    "counter",
+    "gauge",
+    "histogram",
+    "gaugehistogram",
+    "summary",
+    "info",
+    "stateset",
+)
+
+
+def _encode_v1_metadata(entries) -> bytes:
+    # prompb.MetricMetadata: type=1 (enum), metric_family_name=2,
+    # help=4, unit=5 (3 is reserved)
+    req = bytearray()
+    for family, mtype, unit, help_ in entries:
+        m = bytearray()
+        _put_key(m, 1, 0)
+        _put_uvarint(m, METADATA_TYPES.index(mtype))
+        _put_len_delim(m, 2, family.encode("utf-8"))
+        _put_len_delim(m, 4, help_.encode("utf-8"))
+        _put_len_delim(m, 5, unit.encode("utf-8"))
+        _put_len_delim(req, 3, bytes(m))  # WriteRequest.metadata = 3
+    return bytes(req)
+
+
+def encode_metadata_request(entries, version: int = 1) -> bytes:
+    """Encode ``[(metric_family, type, unit, help), ...]`` as an
+    UNCOMPRESSED metadata-bearing remote-write protobuf.  v1 carries
+    metadata at the request level (``WriteRequest.metadata = 3``,
+    ``prompb.MetricMetadata``); v2 carries it per series
+    (``TimeSeries.metadata = 5``, symbol refs) — the v2 encoding here
+    emits one sample-less series per family with only ``__name__``
+    and its metadata, the minimal spec-legal shape."""
+    if version == 1:
+        return _encode_v1_metadata(entries)
+    if version != 2:
+        raise ValueError(f"unknown remote-write version {version!r}")
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(symbols)
+            symbols.append(s)
+        return index[s]
+
+    ts_msgs = []
+    for family, mtype, unit, help_ in entries:
+        ts_msg = bytearray()
+        refs = bytearray()
+        _put_uvarint(refs, ref("__name__"))
+        _put_uvarint(refs, ref(family))
+        _put_len_delim(ts_msg, 1, bytes(refs))
+        meta = bytearray()
+        _put_key(meta, 1, 0)
+        _put_uvarint(meta, METADATA_TYPES.index(mtype))
+        _put_key(meta, 3, 0)  # help_ref
+        _put_uvarint(meta, ref(help_))
+        _put_key(meta, 4, 0)  # unit_ref
+        _put_uvarint(meta, ref(unit))
+        _put_len_delim(ts_msg, 5, bytes(meta))
+        ts_msgs.append(bytes(ts_msg))
+    req = bytearray()
+    for s in symbols:
+        _put_len_delim(req, 4, s.encode("utf-8"))
+    for m in ts_msgs:
+        _put_len_delim(req, 5, m)
+    return bytes(req)
+
+
+def decode_metadata(
+    proto: bytes, version: int | None = None
+) -> "list[tuple[str, str, str, str]]":
+    """Metric metadata riding on a remote-write payload:
+    ``[(metric_family, type, unit, help), ...]`` — completing the
+    metadata surface across ingest paths (WAL record type 6:
+    `tsdb_wal.read_wal_metadata`; scrape text: `scrape.scrape_metadata`).
+    v1: request-level ``prompb.MetricMetadata`` (type=1, family=2,
+    help=4, unit=5); v2: per-series ``Metadata`` (type=1, help_ref=3,
+    unit_ref=4) attributed to the series' ``__name__``."""
+    if version is None:
+        version = sniff_version(proto)
+    end = len(proto)
+    out: list[tuple[str, str, str, str]] = []
+
+    def type_name(v: int) -> str:
+        return METADATA_TYPES[v] if v < len(METADATA_TYPES) else "unknown"
+
+    if version == 1:
+        for field, wire, a, b in _fields(proto, 0, end):
+            if field != 3 or wire != 2:
+                continue
+            family = help_ = unit = ""
+            mtype = 0
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 0:
+                    mtype = a2
+                elif f2 == 2 and w2 == 2:
+                    family = proto[a2:b2].decode("utf-8")
+                elif f2 == 4 and w2 == 2:
+                    help_ = proto[a2:b2].decode("utf-8")
+                elif f2 == 5 and w2 == 2:
+                    unit = proto[a2:b2].decode("utf-8")
+            out.append((family, type_name(mtype), unit, help_))
+        return out
+    if version != 2:
+        raise ValueError(f"unknown remote-write version {version!r}")
+    symbols: list[str] = []
+    raw: list[tuple[list[int], int, int, int]] = []
+    for field, wire, a, b in _fields(proto, 0, end):
+        if field == 4 and wire == 2:
+            symbols.append(proto[a:b].decode("utf-8"))
+        elif field == 5 and wire == 2:
+            srefs: list[int] = []
+            meta = None
+            for f2, w2, a2, b2 in _fields(proto, a, b):
+                if f2 == 1 and w2 == 2:
+                    srefs.extend(_decode_refs(proto, a2, b2))
+                elif f2 == 1 and w2 == 0:
+                    srefs.append(a2)
+                elif f2 == 5 and w2 == 2:
+                    mtype = help_ref = unit_ref = 0
+                    for f3, w3, a3, _b3 in _fields(proto, a2, b2):
+                        if f3 == 1 and w3 == 0:
+                            mtype = a3
+                        elif f3 == 3 and w3 == 0:
+                            help_ref = a3
+                        elif f3 == 4 and w3 == 0:
+                            unit_ref = a3
+                    meta = (mtype, help_ref, unit_ref)
+            if meta is not None:
+                raw.append((srefs, *meta))
+    n_sym = len(symbols)
+    for srefs, mtype, help_ref, unit_ref in raw:
+        if len(srefs) % 2 or any(r >= n_sym for r in srefs):
+            raise ValueError("bad labels_refs in metadata series")
+        if max(help_ref, unit_ref) >= n_sym:
+            raise ValueError("metadata ref beyond symbol table")
+        labels = {
+            symbols[srefs[i]]: symbols[srefs[i + 1]]
+            for i in range(0, len(srefs), 2)
+        }
+        out.append(
+            (
+                labels.get("__name__", ""),
+                type_name(mtype),
+                symbols[unit_ref],
+                symbols[help_ref],
+            )
+        )
+    return out
