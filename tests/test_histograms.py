@@ -420,3 +420,20 @@ def test_histogram_fraction_native_chain(spark, tmp_path):
     ).collect()
     # bucket (2,4] holds 6 of 10 observations
     assert len(out) == 1 and out[0]["value"] == pytest.approx(0.6)
+
+
+def test_histogram_fraction_inverted_interval_is_zero(spark):
+    """Prometheus histogramFraction: lower >= upper holds no mass —
+    0 per series, not an error."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        Row(__name__="lat_bucket", job="a", le="2.0", ts=60_000, value=2.0),
+        Row(__name__="lat_bucket", job="a", le="+Inf", ts=60_000, value=4.0),
+    ]
+    out = PromQLEngine(spark.createDataFrame(rows)).query_range(
+        "histogram_fraction(5, 3, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 0.0

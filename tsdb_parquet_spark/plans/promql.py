@@ -1729,9 +1729,11 @@ class PromQLEngine:
 
         if "le" not in df.columns:
             raise ValueError("histogram_fraction needs an `le` label")
-        if not upper >= lower:
-            raise ValueError("histogram_fraction: upper < lower")
         grp = [c for c in df.columns if c not in ("t", "value", "le")]
+        if lower >= upper:
+            # Prometheus histogramFraction: an empty/inverted interval
+            # holds no mass — 0 per series, not an error
+            return df.groupBy("t", *grp).agg(F.lit(0.0).alias("value"))
         inf = float("inf")
         le_num = F.when(
             F.col("le").isin("+Inf", "Inf", "inf"), F.lit(inf)
