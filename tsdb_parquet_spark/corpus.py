@@ -6594,8 +6594,8 @@ WHERE t BETWEEN {_P_START} AND {_P_END}
 GROUP BY 1, 2 ORDER BY 1, 2""",
 )
 def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``histogram_fraction({_NHF_LO:g}, {_NHF_HI:g}, app_nh_bucket)``
-    — the native-histogram function family's flagship, previously on
+    """``histogram_fraction(8, 64, app_nh_bucket)`` — the
+    native-histogram function family's flagship, previously on
     the documented-exclusion list, now served by the classic reduction:
     the piecewise-linear CDF over cumulative ``le`` buckets gives the
     estimated fraction of observations in [lower, upper] per (step,
