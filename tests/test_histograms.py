@@ -437,3 +437,51 @@ def test_histogram_fraction_inverted_interval_is_zero(spark):
         "histogram_fraction(5, 3, lat_bucket)", 60_000, 60_000, 60_000
     ).collect()
     assert len(out) == 1 and out[0]["value"] == 0.0
+
+
+def test_data_dir_convert_with_histograms_composition(spark, tmp_path):
+    """The `cli convert --data-dir --histograms` composition at library
+    level: floats from the WAL land with le="", native-histogram
+    records land classic-expanded, one mixed compact serves PromQL
+    quantiles AND plain queries."""
+    from tsdb_parquet_spark.chunks import chunks_to_samples, samples_to_chunks
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.schema import label_columns, sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+    from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+
+    data = str(tmp_path / "data")
+    wal = data + "/wal"
+    out = str(tmp_path / "store")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "up", "job": "a"}),
+                  (2, {"__name__": "lat", "job": "a"})])
+    w.log_samples([(1, 60_000, 1.0)])
+    h = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                        positive_spans=((1, 3),),
+                        positive_buckets=(2.0, 6.0, 2.0))
+    w.log_histograms([(2, 60_000, h)])
+    w.close()
+
+    labels = ["__name__", "job", "le"]
+    frame = data_dir_to_chunk_frame(spark, data, labels)
+    cols = label_columns(frame.schema)
+    opts = WriterOptions(sort_columns=sort_columns(cols))
+    writer = SortedParquetWriter(spark, out, opts)
+    writer.write(frame)
+    from tsdb_parquet_spark.tsdb_wal import wal_to_histogram_frame
+
+    hs = wal_to_histogram_frame(spark, wal, ["__name__", "job"])
+    writer.write(samples_to_chunks(hs, labels, assign_series_ids=False))
+    compact = writer.compact()
+    samples = chunks_to_samples(spark.read.parquet(compact), labels)
+    engine = PromQLEngine(samples)
+    up = engine.query_range("up", 60_000, 60_000, 60_000).collect()
+    assert len(up) == 1 and up[0]["value"] == 1.0
+    q = engine.query_range(
+        "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+    ).collect()
+    assert len(q) == 1 and q[0]["value"] == pytest.approx(3.0)

@@ -180,10 +180,15 @@ def cmd_convert(args) -> int:
         from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
 
         t0 = time.perf_counter()
+        in_labels = args.labels.split(",")
+        if args.histograms and "le" not in in_labels:
+            # expanded native-histogram series carry the classic `le`
+            # label; float chunks fill it "" (missing-label convention)
+            in_labels = in_labels + ["le"]
         frame = data_dir_to_chunk_frame(
             spark,
             args.data_dir,
-            args.labels.split(","),
+            in_labels,
             wal_encoding="raw" if args.recode == "raw" else "xor",
         )
         if args.recode == "raw":
@@ -203,6 +208,28 @@ def cmd_convert(args) -> int:
         )
         writer = SortedParquetWriter(spark, args.out, opts)
         writer.write(frame)
+        if args.histograms:
+            # WAL native-histogram records (types 7/8), classic-expanded
+            # into the SAME store as an id-less part — compaction's
+            # mixed-schema path drops the block ordinals and assigns
+            # dense ids over the union
+            from tsdb_parquet_spark.tsdb_wal import (
+                discover_data_dir,
+                wal_to_histogram_frame,
+            )
+
+            _, wal_dir = discover_data_dir(args.data_dir)
+            if wal_dir is not None:
+                hsamples = wal_to_histogram_frame(
+                    spark,
+                    wal_dir,
+                    [c for c in labels if c != "le"],
+                )
+                hchunks = samples_to_chunks(
+                    hsamples, labels, assign_series_ids=False
+                )
+                if hchunks.limit(1).count():
+                    writer.write(hchunks)
         compact = writer.compact()
         n = spark.read.parquet(compact).count()
         print(
@@ -707,6 +734,10 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--value-col", default="value")
     conv.add_argument("--span-ms", type=int, default=86_400_000)
     conv.add_argument("--max-files", type=int, default=32)
+    conv.add_argument("--histograms", action="store_true",
+                      help="--data-dir mode: also drain WAL native-"
+                           "histogram records, classic-expanded (adds "
+                           "an 'le' label; float chunks carry le='')")
     conv.set_defaults(fn=cmd_convert)
 
     pq = sub.add_parser(
