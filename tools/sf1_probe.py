@@ -202,6 +202,42 @@ def build_sf1(spark) -> None:
     )
 
 
+def build_sf3_events(spark) -> None:
+    """30x events with the same +k ms shift as sf1 — the second scale
+    step for the INGEST rows (WAL drain, data-dir convert, scrape
+    parse), so their growth carries a measured exponent like the heavy
+    text rows instead of a single-step ratio."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.catalog import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet(f"{SF01}/events.parquet")
+    )
+    copies = []
+    for k in range(COPIES_SF3):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias(
+                    "event_id"
+                ),
+                F.timestamp_micros(
+                    F.expr(f"(ts + {k * 1_000_000}L) div 1000L")
+                ).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SF3}/events.parquet"
+    )
+
+
 #: second scale step (round-6 verdict item 5): 30x documents, so the
 #: sf1->sf3 ratio turns the "overhead-dominated at sf1" ARGUMENT into a
 #: MEASUREMENT — per-10x growth extrapolated from the 3x step must stay
@@ -492,6 +528,71 @@ def main() -> None:
                     k: v["ratio_per_10x_extrapolated"]
                     for k, v in step2.items()
                 }
+            )
+        )
+        return
+
+    if "--tsdb-step2" in sys.argv:
+        # growth EXPONENTS for the ingest rows: measure at sf1 (10x)
+        # and sf3 (30x) events, extrapolate per-10x from the 3x step —
+        # the same math as --step2 for the text rows
+        import math
+
+        names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+            "q108_wal_head_drain",
+            "q109_data_dir_convert",
+            "q113_scrape_text_parse",
+        ]
+        if not os.path.exists(f"{SF1}/events.parquet"):
+            build_sf1_events(spark)
+        if not os.path.exists(f"{SF3}/events.parquet"):
+            t0 = time.perf_counter()
+            build_sf3_events(spark)
+            print(f"built {SF3}/events in {time.perf_counter() - t0:.1f}s")
+        step2: dict[str, dict] = {}
+        for name in names:
+            fn = qs[name]
+            try:
+                fn(spark, SF01).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                print(f"warm {name}: {exc}", file=sys.stderr)
+            row = {}
+            for label, sf_dir in [("sf1", SF1), ("sf3", SF3)]:
+                best = None
+                for _ in range(3):
+                    start = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    elapsed = round(time.perf_counter() - start, 3)
+                    best = elapsed if best is None else min(best, elapsed)
+                row[label] = best
+            r3 = row["sf3"] / row["sf1"]
+            row["ratio_sf1_to_sf3"] = round(r3, 2)
+            row["ratio_per_10x_extrapolated"] = round(
+                r3 ** (math.log(10) / math.log(3)), 2
+            )
+            row["growth_exponent"] = round(math.log(r3) / math.log(3), 2)
+            step2[name] = row
+            print(name, row, flush=True)
+        doc = _load_bench()
+        doc["tsdb_step2_sf1_to_sf3"] = {
+            "note": (
+                "ingest rows at sf1 (10x) and sf3 (30x) EVENTS (same "
+                "+k ms shift synthesis); growth_exponent e means wall "
+                "~ n^e over the 3x step; per-10x extrapolation target "
+                "<= 3.0.  Fixture builds (WAL/data-dir/scrape payloads "
+                "per sf) happen in the first rep and are excluded by "
+                "min-of-3."
+            ),
+            "rows": step2,
+        }
+        with open(BENCH_PATH, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        print(
+            json.dumps(
+                {k: v["growth_exponent"] for k, v in step2.items()}
             )
         )
         return
