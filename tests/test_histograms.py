@@ -485,3 +485,40 @@ def test_data_dir_convert_with_histograms_composition(spark, tmp_path):
         "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
     ).collect()
     assert len(q) == 1 and q[0]["value"] == pytest.approx(3.0)
+
+
+def test_histogram_accessors(spark, tmp_path):
+    """histogram_count / histogram_sum / histogram_avg: exact sugar
+    over the reduction's _count/_sum series."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "lat", "job": "a"}),
+                  (2, {"__name__": "lat", "job": "b"})])
+    h1 = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                         positive_spans=((1, 3),),
+                         positive_buckets=(2.0, 6.0, 2.0))
+    h2 = NativeHistogram(schema=0, count=4.0, sum=24.0,
+                         positive_spans=((3, 1),),
+                         positive_buckets=(4.0,))
+    w.log_histograms([(1, 60_000, h1), (2, 60_000, h2)])
+    w.close()
+    engine = PromQLEngine(wal_to_histogram_frame(spark, wal,
+                                                 ["__name__", "job"]))
+
+    def run(expr):
+        return {
+            r["job"]: r["value"]
+            for r in engine.query_range(expr, 60_000, 60_000,
+                                        60_000).collect()
+        }
+
+    assert run("histogram_count(lat)") == {"a": 10.0, "b": 4.0}
+    assert run("histogram_sum(lat)") == {"a": 30.0, "b": 24.0}
+    avg = run("histogram_avg(lat)")
+    assert avg["a"] == pytest.approx(3.0)
+    assert avg["b"] == pytest.approx(6.0)
+    with pytest.raises(ValueError, match="plain instant selector"):
+        engine.query_range("histogram_avg(sum(lat))", 60_000, 60_000,
+                           60_000)

@@ -22,6 +22,7 @@ small recursive-descent parser for the subset
     label_replace := 'label_replace' '(' expr ',' str ',' str ',' str ',' str ')'
     histq    := 'histogram_quantile' '(' number ',' expr ')'
     histfrac := 'histogram_fraction' '(' number ',' number ',' expr ')'
+    histacc  := ('histogram_count'|'histogram_sum'|'histogram_avg') '(' selector ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
     modifiers:= ['offset' ['-'] duration]
                 ['@' (number | 'start()' | 'end()')]
@@ -754,6 +755,12 @@ class _Parser:
             return self._histogram_quantile()
         if kind == "ident" and tok == "histogram_fraction":
             return self._histogram_fraction_node()
+        if kind == "ident" and tok in (
+            "histogram_count",
+            "histogram_sum",
+            "histogram_avg",
+        ):
+            return self._histogram_accessor(tok)
         # call-position-only keywords: a metric may still be NAMED `hour`
         # etc. — only `hour(`... parses as the function (Prometheus
         # disambiguates the same way)
@@ -874,6 +881,42 @@ class _Parser:
         inner = self._compare()
         self.expect(")")
         return PromHistogramQuantile(q=float(num), inner=inner)
+
+    def _histogram_accessor(self, fn: str):
+        """histogram_count / histogram_sum / histogram_avg over the
+        classic reduction: EXACT sugar, not an estimate — the native
+        histogram's count and sum fields land as ``<name>_count`` /
+        ``<name>_sum`` series (`histograms.expand_to_classic`), so the
+        accessors rewrite the selector's metric name (avg is the
+        sum/count vector division; selector outputs drop __name__, so
+        the division matches on the remaining shared labels exactly
+        like Prometheus's name-ignoring vector matching)."""
+        import dataclasses
+
+        self.next()
+        self.expect("(")
+        inner = self._compare()
+        self.expect(")")
+        if (
+            not isinstance(inner, PromExpr)
+            or not inner.metric
+            or inner.agg is not None
+            or inner.func is not None
+        ):
+            raise ValueError(f"{fn} expects a plain instant selector")
+        if fn == "histogram_count":
+            return dataclasses.replace(
+                inner, metric=inner.metric + "_count"
+            )
+        if fn == "histogram_sum":
+            return dataclasses.replace(inner, metric=inner.metric + "_sum")
+        return PromBinary(
+            op="/",
+            left=dataclasses.replace(inner, metric=inner.metric + "_sum"),
+            right=dataclasses.replace(
+                inner, metric=inner.metric + "_count"
+            ),
+        )
 
     def _histogram_fraction_node(self):
         self.next()
