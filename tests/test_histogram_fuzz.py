@@ -23,13 +23,23 @@ EDGE_SETS = [
     (1.0, 2.0, 4.0, 8.0),
     (0.5, 1.0, 5.0, 25.0, 125.0),
     (2.0, 3.0),
+    # negative / mixed-sign edges: native histograms with negative
+    # observations expand to classic buckets with le < 0
+    # (histograms.expand_to_classic), so the `le <= 0` lowest-bucket
+    # rule and negative-start interpolation are reachable
+    (-8.0, -4.0, -2.0, -1.0),
+    (-4.0, -1.0, 0.0, 1.0, 4.0),
+    (-2.0, 0.5, 8.0),
 ]
 
 
 def _make_buckets(rng: random.Random, edges):
     """Random observations -> cumulative (le_str, count) incl. +Inf."""
     n = rng.randint(0, 40)
-    obs = [rng.uniform(0, edges[-1] * 1.5) for _ in range(n)]
+    span = edges[-1] - edges[0]
+    lo = edges[0] - 0.25 * span - 1.0
+    hi = edges[-1] + 0.5 * span + 1.0
+    obs = [rng.uniform(lo, hi) for _ in range(n)]
     cum = []
     for e in edges:
         cum.append((repr(e), float(sum(1 for o in obs if o <= e))))
@@ -41,8 +51,13 @@ def _dataset(seed: int):
     rng = random.Random(seed)
     per_job = {}
     rows = []
-    for job in JOBS:
-        edges = EDGE_SETS[rng.randrange(len(EDGE_SETS))]
+    for i, job in enumerate(JOBS):
+        # job 0 always draws a negative/mixed-sign edge set so every
+        # dataset exercises the le <= 0 rule; the rest are random
+        if i == 0:
+            edges = EDGE_SETS[3 + seed % 3]
+        else:
+            edges = EDGE_SETS[rng.randrange(len(EDGE_SETS))]
         buckets = _make_buckets(rng, edges)
         per_job[job] = buckets
         for le, cnt in buckets:
@@ -70,6 +85,11 @@ def ref_quantile(q: float, buckets) -> float | None:
             if math.isinf(le):
                 fins = [b for b, _ in bs if not math.isinf(b)]
                 return max(fins) if fins else None
+            if prev_le is None and le <= 0:
+                # promql/quantile.go: the first bucket's implicit lower
+                # bound is -Inf when its upper bound is <= 0 — return
+                # the bound, never interpolate from 0
+                return le
             start = prev_le if prev_le is not None else 0.0
             return start + (le - start) * (rank - prev_cnt) / (cnt - prev_cnt)
         prev_le, prev_cnt = le, cnt
@@ -156,12 +176,12 @@ def test_histogram_fraction_fuzz(engines):
             kind = rng.randrange(4)
             if kind == 0:
                 lo, hi = sorted(
-                    (rng.uniform(0, 10), rng.uniform(0, 10))
+                    (rng.uniform(-10, 10), rng.uniform(-10, 10))
                 )
             elif kind == 1:
-                lo, hi = -math.inf, rng.uniform(0, 12)
+                lo, hi = -math.inf, rng.uniform(-10, 12)
             elif kind == 2:
-                lo, hi = rng.uniform(0, 12), math.inf
+                lo, hi = rng.uniform(-10, 12), math.inf
             else:
                 lo, hi = -math.inf, math.inf
 

@@ -150,7 +150,9 @@ def test_wal_histogram_drain_to_quantile(spark, tmp_path):
     )
     assert ("lat_count", "a", "", 10.0) in rows
     assert ("lat_sum", "b", "", 24.0) in rows
-    assert ("lat_bucket", "a", "4.0", 8.0) in rows  # cumulative 2+6
+    # cumulative 2+6; le formatted Go-'g' style ("4", not "4.0") so
+    # expanded buckets merge with genuinely scraped classic series
+    assert ("lat_bucket", "a", "4", 8.0) in rows
     # quantile: median of job a sits in (2,4] -> 2 + (5-2)/6 * 2 = 3.0
     engine = PromQLEngine(df)
     out = engine.query_range(
@@ -522,3 +524,88 @@ def test_histogram_accessors(spark, tmp_path):
     with pytest.raises(ValueError, match="plain instant selector"):
         engine.query_range("histogram_avg(sum(lat))", 60_000, 60_000,
                            60_000)
+
+
+def test_format_le_go_g_compatible():
+    """`le` strings match Go strconv.FormatFloat(v, 'g', -1, 64) —
+    client_golang's bucket-bound formatting — so native-expanded
+    buckets merge with genuinely scraped classic series."""
+    cases = {
+        1.0: "1",
+        2.0: "2",
+        0.5: "0.5",
+        0.001: "0.001",
+        100000.0: "100000",
+        1000000.0: "1e+06",
+        1234567.0: "1.234567e+06",
+        123456.7: "123456.7",
+        1e-05: "1e-05",
+        0.0001: "0.0001",
+        -2.0: "-2",
+        -0.5: "-0.5",
+        0.0: "0",
+        1e100: "1e+100",
+        2.0 ** 0.25: "1.189207115002721",
+        math.inf: "+Inf",
+        -math.inf: "-Inf",
+    }
+    for v, want in cases.items():
+        assert format_le(v) == want, v
+        if math.isfinite(v):
+            # shortest-digit forms stay parse-exact
+            assert float(format_le(v)) == v, v
+
+
+def test_bucket_upper_bound_extreme_index_clamps_to_inf():
+    """A wire-legal but extreme bucket index overflows float pow; the
+    mass belongs to the +Inf / -Inf classic bucket, not a task error."""
+    assert bucket_upper_bound(0, 1100) == math.inf
+    assert bucket_upper_bound(0, 1100, sign=-1) == -math.inf
+    assert bucket_upper_bound(-4, 70) == math.inf
+    # a merely-large index that still fits stays exact
+    assert bucket_upper_bound(0, 1000) == 2.0 ** 1000
+
+
+def test_wal_histogram_frame_rejects_le_label(spark, tmp_path):
+    """`le` in label_names would collide with the expansion's own
+    bucket column — rejected at entry, not a late ambiguous select."""
+    from tsdb_parquet_spark.tsdb_wal import WalWriter, wal_to_histogram_frame
+
+    wal = str(tmp_path)
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "lat", "le": "x"})])
+    w.close()
+    with pytest.raises(ValueError, match="must not contain 'le'"):
+        wal_to_histogram_frame(spark, wal, ["__name__", "le"])
+
+
+def test_histogram_quantile_lowest_bucket_le_leq_zero(spark):
+    """promql/quantile.go's lowest-bucket rule: a rank landing in the
+    first bucket whose upper bound is <= 0 returns that bound (implicit
+    lower bound -Inf); ranks in later buckets interpolate from the
+    previous (possibly negative) bound as usual."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    # buckets: (-Inf,-4]:4  (-4,-1]:4  (-1,2]:2  +Inf: total 10
+    rows = [
+        Row(__name__="t_bucket", job="a", le="-4", ts=60_000, value=4.0),
+        Row(__name__="t_bucket", job="a", le="-1", ts=60_000, value=8.0),
+        Row(__name__="t_bucket", job="a", le="2", ts=60_000, value=10.0),
+        Row(__name__="t_bucket", job="a", le="+Inf", ts=60_000, value=10.0),
+    ]
+    engine = PromQLEngine(spark.createDataFrame(rows))
+
+    def q(phi):
+        out = engine.query_range(
+            f"histogram_quantile({phi}, t_bucket)", 60_000, 60_000, 60_000
+        ).collect()
+        return out[0]["value"]
+
+    # rank 2 falls in the first bucket (le=-4 <= 0): return the bound
+    assert q(0.2) == pytest.approx(-4.0)
+    # rank 6 interpolates inside (-4,-1]: -4 + 3*(6-4)/4 = -2.5
+    assert q(0.6) == pytest.approx(-2.5)
+    # rank 9 interpolates inside (-1,2]: -1 + 3*(9-8)/2 = 0.5
+    assert q(0.9) == pytest.approx(0.5)

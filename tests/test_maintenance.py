@@ -328,3 +328,78 @@ def test_apply_retro_tombstones_closes_the_loop(spark, tmp_path):
         spark, wal, store, ["__name__", "job"]
     )
     assert rep2["samples_deleted"] == 0
+
+
+def test_delete_samples_probe_is_one_grouped_job(spark, tmp_path):
+    """The pushdown probe is ONE grouped job over every live dir (tagged
+    `tsdb.delete_probe`), never a per-directory driver loop — the job
+    count must not scale with directory count."""
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+
+    day = 86_400_000
+    tracker = spark.sparkContext.statusTracker()
+
+    def probe_jobs(root, n_extra_parts):
+        _delete_fixture_store(spark, root)
+        # widen the farm: extra live parts that can never match
+        from pyspark.sql import Row
+
+        from tsdb_parquet_spark.chunks import samples_to_chunks
+        from tsdb_parquet_spark.sources.writer import (
+            SortedParquetWriter,
+            WriterOptions,
+        )
+        from tsdb_parquet_spark.schema import sort_columns
+
+        labels = ["__name__", "job"]
+        w = SortedParquetWriter(
+            spark, root, WriterOptions(sort_columns=sort_columns(labels))
+        )
+        for i in range(n_extra_parts):
+            df = spark.createDataFrame(
+                [Row(__name__="m", job=f"extra{i}", ts=(10 + i) * day,
+                     value=1.0)]
+            )
+            w.write(samples_to_chunks(df, labels, chunk_span_ms=day))
+        before = len(tracker.getJobIdsForGroup("tsdb.delete_probe"))
+        rep = delete_samples(
+            spark, root,
+            [Matcher("job", EQ, "nobody")],  # all-miss
+            mint=0, maxt=100 * day,
+            label_names=labels,
+        )
+        assert rep["rewritten"] == [] and rep["samples_deleted"] == 0
+        return len(tracker.getJobIdsForGroup("tsdb.delete_probe")) - before
+
+    small = probe_jobs(str(tmp_path / "s1"), 1)
+    large = probe_jobs(str(tmp_path / "s2"), 6)
+    assert small >= 1
+    assert large == small  # constant in dir count
+
+
+def test_delete_samples_del_dir_numbers_past_max_index(spark, tmp_path):
+    """part.del rewrite dirs number past the MAX existing index (like
+    _next_part/_next_compact) — after vacuum removes a lower-numbered
+    del dir, a count-based scheme would collide with a surviving
+    higher-numbered one and clobber a dir pinned readers may hold."""
+    import os
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+
+    day = 86_400_000
+    root = str(tmp_path / "store")
+    _delete_fixture_store(spark, root)
+    # a surviving higher-numbered del dir (e.g. awaiting vacuum) with a
+    # vacuumed-away lower sibling: count=1 would mint part.del00000001,
+    # max+1 must mint part.del00000008
+    os.makedirs(os.path.join(root, "part.del00000007"))
+    rep = delete_samples(
+        spark, root,
+        [Matcher("job", EQ, "b")],
+        mint=2 * day, maxt=3 * day - 1,
+        label_names=["__name__", "job"],
+    )
+    assert len(rep["rewritten"]) == 1
+    assert os.path.basename(rep["rewritten"][0]) == "part.del00000008"

@@ -253,3 +253,66 @@ def test_subquery_interior_routes_to_rollup(spark, sf_smoke, tmp_path):
     )
     assert routed.last_rewrites == 0
     got.collect()
+
+
+def test_downsample_le_buckets_stay_monotone(spark):
+    """Classic-histogram `_bucket` series rolled through every rollup
+    aggregate stay cumulative (monotone non-decreasing in le) inside
+    each window — every aggregate is monotone in its inputs and the
+    raw cumulative counts are pointwise ordered across le.  Pins the
+    quantile-over-rollup contract documented on `downsample_blocks`:
+    `:sum` is the merged-histogram aggregate (quantile-valid), `:last`
+    an end-of-window snapshot; min/max/count are well-formed but not a
+    histogram of one instant."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rng = random.Random(5)
+    edges = ["0.5", "1", "2", "4", "+Inf"]
+    rows = []
+    # two series, 12 raw scrapes, counters cumulative in BOTH time and le
+    for job in ("a", "b"):
+        totals = [0.0] * len(edges)
+        for i in range(12):
+            # per-scrape bucket increments; totals stay cumulative in
+            # BOTH le (running sum across k) and time (+= per scrape)
+            incs = [float(rng.randint(0, 5)) for _ in edges]
+            run = 0.0
+            for k in range(len(edges)):
+                run += incs[k]
+                totals[k] += run
+            for k, e in enumerate(edges):
+                rows.append(
+                    Row(__name__="lat_bucket", job=job, le=e,
+                        ts=(i + 1) * 10_000, value=totals[k])
+                )
+    df = spark.createDataFrame(rows)
+    rolled = downsample_samples(
+        df, ["__name__", "job", "le"], step_ms=40_000
+    ).collect()
+    by = {}
+    for r in rolled:
+        by.setdefault((r["__name__"], r["job"], r["ts"]), []).append(
+            (math.inf if r["le"] == "+Inf" else float(r["le"]), r["value"])
+        )
+    assert by, "rollup produced nothing"
+    for key, pairs in by.items():
+        pairs.sort()
+        vals = [v for _, v in pairs]
+        assert vals == sorted(vals), (key, pairs)
+    # the :sum rollup is a valid histogram: quantile over it works and
+    # lands inside the bucket range
+    agg = spark.createDataFrame(
+        [r for r in rolled if r["__name__"] == "lat_bucket:sum"]
+    )
+    out = PromQLEngine(agg).query_range(
+        "histogram_quantile(0.5, lat_bucket:sum)",
+        40_000, 40_000, 40_000,
+    ).collect()
+    assert {r["job"] for r in out} == {"a", "b"}
+    for r in out:
+        assert 0.0 <= r["value"] <= 4.0

@@ -108,18 +108,50 @@ def bucket_upper_bound(schema: int, index: int, sign: int = 1) -> float:
     ``-2**((i-1) * 2**-schema)``."""
     if not -4 <= schema <= 8:
         raise ValueError(f"unsupported histogram schema {schema}")
-    if sign > 0:
-        return 2.0 ** (index * 2.0 ** -schema)
-    return -(2.0 ** ((index - 1) * 2.0 ** -schema))
+    # a wire-legal but extreme index (e.g. index >= 1024*2**schema at
+    # schema 0) overflows float pow; that mass belongs to the classic
+    # +Inf (/-Inf) bucket, not a task failure
+    try:
+        if sign > 0:
+            return 2.0 ** (index * 2.0 ** -schema)
+        return -(2.0 ** ((index - 1) * 2.0 ** -schema))
+    except OverflowError:
+        return math.inf if sign > 0 else -math.inf
 
 
 def format_le(v: float) -> str:
-    """The ``le`` label string: shortest round-trip float repr with
-    Prometheus's ``+Inf`` spelling — `repr` is parse-exact, so
-    engine-side ``CAST(le AS DOUBLE)`` recovers the bound bit-exactly."""
+    """The ``le`` label string, Go ``strconv.FormatFloat(v, 'g', -1,
+    64)``-compatible: shortest round-trip digits, ``%e`` form only when
+    the decimal exponent is ``< -4`` or ``>= 6`` — so integral bounds
+    render ``"1"``/``"2"`` (never ``"1.0"``) and merge with the ``le``
+    strings genuinely scraped classic histograms carry (client_golang
+    formats bucket bounds exactly this way).  Shortest digits keep
+    engine-side ``CAST(le AS DOUBLE)`` bit-exact."""
+    v = float(v)
     if math.isinf(v):
         return "+Inf" if v > 0 else "-Inf"
-    return repr(float(v))
+    if math.isnan(v):
+        return "NaN"
+    if v == 0.0:
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
+    from decimal import Decimal
+
+    sign, digits, dexp = Decimal(repr(v)).as_tuple()
+    # normalize repr's artifacts ("100.0" -> digits (1,0,0,0)) to the
+    # shortest significant digit string
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    dexp += len(digits) - len(ds)
+    dp = len(ds) + dexp  # value = 0.<ds> * 10**dp
+    neg = "-" if sign else ""
+    exp10 = dp - 1
+    if exp10 < -4 or exp10 >= 6:
+        mant = ds[0] + ("." + ds[1:] if len(ds) > 1 else "")
+        return f"{neg}{mant}e{exp10:+03d}"
+    if dp <= 0:
+        return f"{neg}0.{'0' * -dp}{ds}"
+    if dp >= len(ds):
+        return f"{neg}{ds}{'0' * (dp - len(ds))}"
+    return f"{neg}{ds[:dp]}.{ds[dp:]}"
 
 
 def expand_to_classic(

@@ -66,9 +66,8 @@ in-window decrease adds the pre-reset value); window-edge extrapolation
 (Prometheus's extrapolatedRate) is available behind
 ``PromQLEngine(extrapolate=True)`` and off by default.  ``offset`` and
 ``@`` modifiers are supported on instant and range selectors.
-Documented deviations: ``delta`` does not extrapolate (same default as
-rate), and histogram_quantile skips the ``le <= 0`` lowest-bucket
-special case.
+Documented deviation: ``delta`` does not extrapolate (same default as
+rate).
 """
 
 from __future__ import annotations
@@ -424,8 +423,10 @@ class PromHistogramQuantile:
     """histogram_quantile(q, vector-with-le-label): per (t, labels minus
     ``le``) find the cumulative bucket containing rank ``q*total`` and
     linearly interpolate inside it (Prometheus ``bucketQuantile``).  The
-    +Inf bucket resolves to the highest finite ``le``.  Deviation: the
-    ``le <= 0`` lowest-bucket special case is not applied."""
+    +Inf bucket resolves to the highest finite ``le``; a rank in the
+    lowest bucket with ``le <= 0`` returns that bound — its implicit
+    lower bound is -Inf, not 0 (promql/quantile.go's
+    ``b == 0 && buckets[0].upperBound <= 0`` rule)."""
 
     q: float
     inner: "PromNode"
@@ -1751,8 +1752,17 @@ class PromQLEngine:
             (rank - F.col("__prev_cnt"))
             / (F.col("value") - F.col("__prev_cnt"))
         )
-        value = F.when(F.col("__le") == inf, F.col("__max_fin")).otherwise(
-            interp
+        # Prometheus bucketQuantile's lowest-bucket rule: when the rank
+        # falls in the FIRST bucket and its upper bound is <= 0 the
+        # implicit lower bound is -Inf, not 0 — return the bound itself
+        # (promql/quantile.go: `if b == 0 && buckets[0].upperBound <= 0`)
+        value = (
+            F.when(F.col("__le") == inf, F.col("__max_fin"))
+            .when(
+                F.col("__prev_le").isNull() & (F.col("__le") <= 0),
+                F.col("__le"),
+            )
+            .otherwise(interp)
         )
         return found.select("t", *grp, value.alias("value"))
 

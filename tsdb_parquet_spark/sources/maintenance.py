@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
 
@@ -168,19 +169,46 @@ def delete_samples(
     overlap = (F.col(MIN_T) <= F.lit(maxt)) & (F.col(MAX_T) >= F.lit(mint))
     pred = match_pred & overlap
 
+    # ONE probe job for the whole store, never one per directory: scan
+    # every live dir together (footer bloom/zone-map pruning still
+    # answers the all-miss case row-group by row-group), project the
+    # payload column AWAY (ReadSchema = filter columns only), and group
+    # matching rows by source file — a thousand-dir farm probes in a
+    # single job instead of a thousand sequential driver round-trips.
+    # The job-group tag makes the "exactly one probe job" contract
+    # observable (tests/test_maintenance.py pins it).
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "tsdb.delete_probe")
+    try:
+        hit_files = [
+            r["__f"]
+            for r in spark.read.parquet(*dirs)
+            .filter(pred)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        ]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    prefixes = [(os.path.abspath(d).rstrip(os.sep) + os.sep, d) for d in dirs]
+    touched: set = set()
+    for f in hit_files:
+        p = urlparse(f)
+        path = unquote(p.path) if p.scheme else f
+        for prefix, d in prefixes:
+            if path.startswith(prefix):
+                touched.add(d)
+                break
+
     writer = None
     rewritten: list[str] = []
-    untouched = 0
+    untouched = len(dirs) - len(touched)
     deleted_total = 0
-    seq = 0
+    seq: int | None = None
     for d in dirs:
-        df = spark.read.parquet(d)
-        # probe projects the payload column AWAY (ReadSchema = filter
-        # columns only) — a hit must not pay a chunk-bytes materialize
-        probe = df.filter(pred).select(F.lit(1).alias("__hit")).limit(1)
-        if probe.count() == 0:
-            untouched += 1
+        if d not in touched:
             continue
+        df = spark.read.parquet(d)
         if label_names is None:
             label_names = label_columns(df.schema)
         opts = writer_opts or WriterOptions(
@@ -228,16 +256,17 @@ def delete_samples(
         base = os.path.basename(d)
         if base.startswith("part."):
             # collision-free across repeated delete calls: number past
-            # every part.del* dir already on disk (live or awaiting
-            # vacuum); the store is single-writer like the reference
-            if seq == 0:
-                seq = len(
-                    [
-                        x
-                        for x in os.listdir(store_root)
-                        if x.startswith("part.del")
-                    ]
-                )
+            # the MAX part.del index on disk (live or awaiting vacuum),
+            # like _next_part/_next_compact — a count would collide
+            # after vacuum removes a lower-numbered dir while a higher
+            # one survives, and the overwrite would clobber a dir a
+            # pinned reader may still hold open
+            if seq is None:
+                idxs = []
+                for x in os.listdir(store_root):
+                    if x.startswith("part.del") and x[8:].isdigit():
+                        idxs.append(int(x[8:]))
+                seq = max(idxs, default=-1) + 1
             out = os.path.join(store_root, f"part.del{seq:08d}")
             seq += 1
             write_sorted(new_df, out, opts)

@@ -1397,7 +1397,21 @@ def downsample_blocks(
     so the aggregates land as separate recording-rule SERIES — the same
     information, queryable by any PromQL engine without a custom chunk
     decoder.  ``avg`` is deliberately not materialized (sum/count
-    re-aggregate losslessly; a pre-divided avg does not)."""
+    re-aggregate losslessly; a pre-divided avg does not).
+
+    Classic-histogram ``_bucket`` series (an ``le`` label column) roll
+    like any other series, and every aggregate here PRESERVES the
+    cumulative-in-``le`` monotonicity per window (each is monotone in
+    its inputs, and cumulative counts are pointwise ordered across
+    ``le`` at every raw timestamp — pinned by
+    tests/test_rollup.py::test_downsample_le_buckets_stay_monotone).
+    Semantics for ``histogram_quantile`` over the rollup differ by
+    aggregate, though: ``<m>_bucket:sum`` is the valid one (sum of
+    cumulative counts over the window = the merged histogram, exactly
+    what a raw-data range query would aggregate) and ``:last`` is a
+    valid end-of-window snapshot; ``:min``/``:max``/``:count`` of
+    cumulative counters mix per-bucket extrema from different instants
+    — well-formed but not a histogram of anything, don't quantile them."""
     from pyspark.sql import functions as F
 
     from tsdb_parquet_spark.chunks import (

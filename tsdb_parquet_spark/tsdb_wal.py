@@ -1245,6 +1245,13 @@ def wal_to_histogram_frame(
         expand_to_classic,
     )
 
+    if "le" in label_names:
+        # the expansion itself produces the `le` column; a series label
+        # of the same name would make the final select ambiguous
+        raise ValueError(
+            "label_names must not contain 'le' — it is reserved for the "
+            "classic-bucket expansion"
+        )
     label_names = sorted(label_names)
     segs = discover_wal_segments(wal_dir)
     if not segs:
@@ -1266,6 +1273,11 @@ def wal_to_histogram_frame(
     )
 
     def hist_pass(batches):
+        # flush at batch_rows like the float-sample pass: each native
+        # sample expands to ~buckets+3 rows, so a histogram-heavy
+        # segment must stream out in bounded Arrow batches, never one
+        # whole-segment pandas frame
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             rows: list[tuple] = []
             for path in pdf["path"]:
@@ -1288,7 +1300,10 @@ def wal_to_histogram_frame(
                                     v,
                                 )
                             )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+            yield pd.DataFrame(rows, columns=cols)
 
     hist = segs_df.mapInPandas(hist_pass, schema)
     joined = hist.join(series_df, "__ref__", "inner")
