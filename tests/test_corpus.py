@@ -52,34 +52,41 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round10_composition():
+def test_driver_window_round11_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-10 window so an accidental registry edit cannot silently push a
+    round-11 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # the 14 round-9 deferrals, due back (no consecutive deferrals)
-        # — last driver green r06 (recorded index 6)
-        "q12_dict_equality", "q13_zonemap_range", "q08_time_containment",
-        "q64_promql_absent", "q102_promql_sort_by_label",
-        "q43_promql_counter_reset", "q66_promql_set_ops", "q60_ivf_topk",
-        "q62_simhash_near_dup", "q09_label_values",
-        "q75_promql_holt_winters", "q46_sessionize", "q72_global_shuffle",
-        "q29_multimodal_metadata",
+        # the 19 round-10 deferrals, due back (no consecutive
+        # deferrals) — last driver green r07 (recorded index 7)
+        "q05_distinct", "q11_predicate_order", "q14_multi_projection",
+        "q15_empty_result", "q18_label_values", "q22_exact_dedup",
+        "q24_simhash", "q26_cosine_topk", "q27_ann_lsh_topk",
+        "q48_stratified_sample", "q55_promql_changes",
+        "q87_bucket_ranged_read", "q88_promql_scalar_arithmetic",
+        "q89_streaming_rollup", "q90_pq_adc_topk",
+        "q93_exact_substring_spans", "q95_media_transform",
+        "q96_sq8_quantized_topk", "q97_ivfpq_residual_topk",
+        # round-11 debuts
+        "q120_wal_exemplars", "q121_wal_metric_metadata",
+        "q122_native_histogram_store_roundtrip",
+        # r10-green rows whose implementation changed in round 11
+        "q117_store_delete_pass", "q118_native_histogram_quantile",
+        "q119_native_histogram_fraction",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
-    # the rest of the window is r07-green backlog — nothing r09-green
-    # (only 1 recorded round stale) may occupy a slot while
-    # 2-rounds-stale r07 rows wait outside.  New rows introduced this
-    # round are exempt: they must debut in-window.
+    # the remaining slots hold r09-green backlog — nothing ELSE that is
+    # r10-green (1 recorded round stale) may occupy a slot while
+    # 2-rounds-stale r09 rows wait outside.
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r09_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r09.json"))))
-    overlap = r09_green & set(window)
+    r10_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
+    overlap = (r10_green & set(window)) - must_be_in
     assert not overlap, sorted(overlap)
     assert len(window) == len(set(window)) == 50
 

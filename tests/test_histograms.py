@@ -609,3 +609,64 @@ def test_histogram_quantile_lowest_bucket_le_leq_zero(spark):
     assert q(0.6) == pytest.approx(-2.5)
     # rank 9 interpolates inside (-1,2]: -1 + 3*(9-8)/2 = 0.5
     assert q(0.9) == pytest.approx(0.5)
+
+
+def test_expanded_histograms_survive_block_export_convert(spark, tmp_path):
+    """The classic expansion also round-trips the TSDB BLOCK lifecycle:
+    drained le-series -> chunk frame -> export_blocks -> block convert
+    back to a chunk frame -> PromQL histogram_quantile, identical to
+    quantiling the drain directly (le is an ordinary label through the
+    block index)."""
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        export_blocks,
+    )
+
+    wal = str(tmp_path / "wal")
+    w = WalWriter(wal)
+    w.log_series([(1, {"__name__": "lat", "job": "a"}),
+                  (2, {"__name__": "lat", "job": "b"})])
+    h1 = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                         positive_spans=((1, 3),),
+                         positive_buckets=(2.0, 6.0, 2.0))
+    h2 = NativeHistogram(schema=0, count=5.0, sum=-9.0,
+                         negative_spans=((1, 2),),
+                         negative_buckets=(3.0, 2.0))
+    w.log_histograms([(1, 60_000, h1), (2, 60_000, h2)])
+    w.close()
+    labels = ["__name__", "job", "le"]
+    frame = wal_to_histogram_frame(spark, wal, ["__name__", "job"])
+    direct = {
+        (r["job"],): r["value"]
+        for r in PromQLEngine(frame).query_range(
+            "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+        ).collect()
+    }
+    chunks = samples_to_chunks(frame, labels, chunk_span_ms=86_400_000)
+    out = export_blocks(chunks, str(tmp_path / "blocks"))
+    assert out
+    back = blocks_to_chunk_frame(
+        spark, [p for _, p in out], labels
+    )
+    samples = ChunkQuerier(back).select_samples(labels=labels)
+    got = {
+        (r["job"],): r["value"]
+        for r in PromQLEngine(samples).query_range(
+            "histogram_quantile(0.5, lat_bucket)", 60_000, 60_000, 60_000
+        ).collect()
+    }
+    assert got == direct
+    # median of b interpolates inside (-2,-1]: -2 + 1*(2.5-2)/3
+    assert got[("b",)] == pytest.approx(-2 + 0.5 / 3)
+    # a lower rank lands in b's FIRST bucket (le=-2 <= 0): the
+    # lowest-bucket rule applies through the block path too
+    low = {
+        (r["job"],): r["value"]
+        for r in PromQLEngine(samples).query_range(
+            "histogram_quantile(0.3, lat_bucket)", 60_000, 60_000, 60_000
+        ).collect()
+    }
+    assert low[("b",)] == pytest.approx(-2.0)

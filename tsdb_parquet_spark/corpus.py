@@ -6369,6 +6369,8 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NH_SCHEMA = 2  # native-histogram schema: base = 2^(1/4)
 _NH_Q = 0.75
 _NH_ZT = 0.001  # zero-bucket threshold: observations <= this land there
+_NHS_SHIFT = 200.0  # app_nh_signed: value - shift -> mixed-sign observations
+_NHS_Q = 0.25  # low quantile -> the rank lands in a NEGATIVE bucket
 
 
 def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
@@ -6388,7 +6390,9 @@ def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    final = os.path.join(work, f"native_hist_wal_{tag}")
+    # v2: adds the app_nh_signed metric (negative observations ->
+    # negative native buckets) alongside app_nh
+    final = os.path.join(work, f"native_hist_wal_v2_{tag}")
     if os.path.exists(os.path.join(final, "_DONE")):
         return final
     build = f"{final}.build-{os.getpid()}"
@@ -6411,20 +6415,21 @@ def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
             (refs[e], {"__name__": "app_nh", "event_type": e})
             for e in etypes
         ]
+        + [
+            (len(etypes) + refs[e],
+             {"__name__": "app_nh_signed", "event_type": e})
+            for e in etypes
+        ]
     )
-    entries = []
-    for (e, day), g in rows.groupby(["event_type", "day"], sort=True):
-        v_all = g["value"].to_numpy(dtype=np.float64)
-        # the zero bucket holds |v| <= threshold — exactly the native
-        # data model (and the only sound home for v == 0, whose log
-        # bucket is undefined; the sf1 synthetic corpus contains zeros)
-        zero_mask = v_all <= _NH_ZT
-        v = v_all[~zero_mask]
-        idx = np.ceil(np.log2(v) * (1 << _NH_SCHEMA)).astype(np.int64)
-        uniq, counts = np.unique(idx, return_counts=True)
+
+    def runs(uniq, counts):
+        """Occupied bucket indexes -> (offset, length) span runs plus
+        the per-bucket counts, the sparse native layout."""
         spans, buckets = [], []
         prev_end = 0
         run_start = None
+        run_len = 0
+        expected = None
         for i, u in enumerate(uniq):
             if run_start is None or u != expected:
                 if run_start is not None:
@@ -6436,16 +6441,57 @@ def _events_native_histogram_wal(spark: SparkSession, sf_dir: str) -> str:
             buckets.append(float(counts[i]))
         if run_start is not None:
             spans.append((int(run_start - prev_end), run_len))
+        return tuple(spans), tuple(buckets)
+
+    entries = []
+    for (e, day), g in rows.groupby(["event_type", "day"], sort=True):
+        v_all = g["value"].to_numpy(dtype=np.float64)
+        # the zero bucket holds |v| <= threshold — exactly the native
+        # data model (and the only sound home for v == 0, whose log
+        # bucket is undefined; the sf1 synthetic corpus contains zeros)
+        zero_mask = v_all <= _NH_ZT
+        v = v_all[~zero_mask]
+        idx = np.ceil(np.log2(v) * (1 << _NH_SCHEMA)).astype(np.int64)
+        spans, buckets = runs(*np.unique(idx, return_counts=True))
         h = NativeHistogram(
             schema=_NH_SCHEMA,
             count=float(len(v_all)),
             sum=float(v_all.sum()),
             zero_threshold=_NH_ZT if zero_mask.any() else 0.0,
             zero_count=float(zero_mask.sum()),
-            positive_spans=tuple(spans),
-            positive_buckets=tuple(buckets),
+            positive_spans=spans,
+            positive_buckets=buckets,
         )
         entries.append((refs[e], int((day + 1) * _DAY_MS), h))
+        # app_nh_signed: the same day's values centered on _NHS_SHIFT,
+        # so NEGATIVE native buckets (and the histogram_quantile
+        # lowest-bucket le<=0 rule) are exercised end to end
+        sv = v_all - _NHS_SHIFT
+        zmask = np.abs(sv) <= _NH_ZT
+        pos_v = sv[sv > _NH_ZT]
+        neg_v = sv[sv < -_NH_ZT]
+        pidx = np.ceil(
+            np.log2(pos_v) * (1 << _NH_SCHEMA)
+        ).astype(np.int64)
+        nidx = np.ceil(
+            np.log2(-neg_v) * (1 << _NH_SCHEMA)
+        ).astype(np.int64)
+        pspans, pbuckets = runs(*np.unique(pidx, return_counts=True))
+        nspans, nbuckets = runs(*np.unique(nidx, return_counts=True))
+        hs = NativeHistogram(
+            schema=_NH_SCHEMA,
+            count=float(len(sv)),
+            sum=float(sv.sum()),
+            zero_threshold=_NH_ZT if zmask.any() else 0.0,
+            zero_count=float(zmask.sum()),
+            positive_spans=pspans,
+            positive_buckets=pbuckets,
+            negative_spans=nspans,
+            negative_buckets=nbuckets,
+        )
+        entries.append(
+            (len(etypes) + refs[e], int((day + 1) * _DAY_MS), hs)
+        )
     # one record per scrape wave (all series at one day-end together),
     # like a real head logs them
     by_ts: dict[int, list] = {}
@@ -6620,6 +6666,275 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+_EX_THRESHOLD = 200.0  # events above this log a trace exemplar
+
+
+def _events_exemplar_wal(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a WAL carrying EXEMPLAR (record type 5) and
+    METADATA (record type 6) entries for per-event_type series: every
+    event with ``value >= _EX_THRESHOLD`` logs a trace exemplar whose
+    ``trace_id`` derives from the event's unique id, and metric
+    metadata is logged in TWO generations (all-gauge first, then a
+    counter re-type for names sorting before ``p``) so replay
+    precedence — later record wins — is part of the fixture.  Build is
+    driver-side like the other WAL fixtures; the drains q120/q121
+    measure run one task per segment."""
+    import shutil
+
+    from tsdb_parquet_spark.tsdb_wal import WalWriter
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"exemplar_wal_{tag}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.expr("ts div 1000000").alias("ts"),
+            "value",
+        )
+        .filter(F.col("value") >= _EX_THRESHOLD)
+        .toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+    )
+    etypes = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    refs = {e: i + 1 for i, e in enumerate(etypes)}
+    w = WalWriter(build, segment_bytes=64 * 1024)
+    w.log_series(
+        [
+            (refs[e], {"__name__": "app_events", "event_type": e})
+            for e in etypes
+        ]
+    )
+    w.log_metadata(
+        [
+            (refs[e], "gauge", "", f"synthetic {e} stream")
+            for e in etypes
+        ]
+    )
+    batch: list[tuple] = []
+    for event_id, e, ts, v in zip(
+        rows["event_id"], rows["event_type"], rows["ts"], rows["value"]
+    ):
+        batch.append(
+            (refs[e], int(ts), float(v), {"trace_id": f"t{int(event_id)}"})
+        )
+        if len(batch) >= 500:
+            w.log_exemplars(batch)
+            batch = []
+    if batch:
+        w.log_exemplars(batch)
+    # second metadata generation — replay order must let it win
+    w.log_metadata(
+        [
+            (refs[e], "counter", "events", f"synthetic {e} stream v2")
+            for e in etypes
+            if e < "p"
+        ]
+    )
+    w.close()
+    with open(os.path.join(build, "_DONE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q120_wal_exemplars",
+    f"""
+SELECT event_type, epoch_ms(ts) AS ts, value,
+       't' || CAST(event_id AS VARCHAR) AS trace_id
+FROM events
+WHERE value >= {_EX_THRESHOLD}
+ORDER BY event_type, ts, trace_id""",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL EXEMPLAR drain (`tsdb_wal.wal_to_exemplars_frame`, record
+    type 5 — prometheus/tsdb/record exemplar layout): trace-id
+    exemplars decode one task per segment and join to their series via
+    the same broadcast ref->labels pass as the sample drain.  Every
+    over-threshold event's exemplar must come back with its exact
+    timestamp, value, and trace label — hash-matched vs DuckDB
+    re-deriving the exemplar set from raw events."""
+    from tsdb_parquet_spark.tsdb_wal import wal_to_exemplars_frame
+
+    wal = _events_exemplar_wal(spark, sf_dir)
+    ex = wal_to_exemplars_frame(spark, wal, ["__name__", "event_type"])
+    return ex.select(
+        "event_type",
+        "ts",
+        "value",
+        F.element_at("exemplar_labels", "trace_id").alias("trace_id"),
+    ).orderBy("event_type", "ts", "trace_id")
+
+
+@query(
+    "q121_wal_metric_metadata",
+    """
+SELECT DISTINCT event_type,
+       CASE WHEN event_type < 'p' THEN 'counter' ELSE 'gauge'
+       END AS mtype,
+       CASE WHEN event_type < 'p' THEN 'events' ELSE '' END AS unit,
+       CASE WHEN event_type < 'p'
+            THEN 'synthetic ' || event_type || ' stream v2'
+            ELSE 'synthetic ' || event_type || ' stream'
+       END AS help
+FROM events
+ORDER BY event_type""",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric METADATA records (type 6) end-to-end
+    (`tsdb_wal.wal_metadata_frame`): replay-ordered decode — the
+    second-generation re-type must WIN over the first for the names it
+    re-logs — joined to series labels.  Hash-matched vs DuckDB
+    recomputing the expected (type, unit, help) per metric family."""
+    from tsdb_parquet_spark.tsdb_wal import wal_metadata_frame
+
+    wal = _events_exemplar_wal(spark, sf_dir)
+    meta = wal_metadata_frame(spark, wal, ["__name__", "event_type"])
+    return meta.select(
+        "event_type",
+        F.col("type").alias("mtype"),
+        "unit",
+        "help",
+    ).orderBy("event_type")
+
+
+def _native_histogram_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the sorted chunk STORE holding the classic
+    expansion of the native-histogram WAL — ``le`` as a real label
+    column — so the full store lifecycle (drain -> chunk encode ->
+    sorted parquet -> ChunkQuerier decode) sits between the wire format
+    and PromQL."""
+    import shutil
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        WriterOptions,
+        write_sorted,
+    )
+    from tsdb_parquet_spark.tsdb_wal import wal_to_histogram_frame
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"native_hist_store_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    wal = _events_native_histogram_wal(spark, sf_dir)
+    frame = wal_to_histogram_frame(spark, wal, ["__name__", "event_type"])
+    labels = ["__name__", "event_type", "le"]
+    chunks = samples_to_chunks(frame, labels, chunk_span_ms=7 * _DAY_MS)
+    opts = WriterOptions(
+        sort_columns=sort_columns(labels),
+        bloom_columns=["event_type", "le"],
+        max_files=8,
+    )
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    write_sorted(chunks, build, opts)
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q122_native_histogram_store_roundtrip",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         value - {_NHS_SHIFT} AS v
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t,
+         CASE WHEN abs(v) <= {_NH_ZT} THEN {_NH_ZT}
+              WHEN v > {_NH_ZT}
+              THEN power(2.0, CAST(ceil(log2(v) * {1 << _NH_SCHEMA})
+                   AS BIGINT) / CAST({1 << _NH_SCHEMA} AS DOUBLE))
+              ELSE -power(2.0, (CAST(ceil(log2(-v) * {1 << _NH_SCHEMA})
+                   AS BIGINT) - 1) / CAST({1 << _NH_SCHEMA} AS DOUBLE))
+         END AS le_n
+  FROM s
+),
+counted AS (
+  SELECT event_type, t, le_n, CAST(count(*) AS DOUBLE) AS c
+  FROM w GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, t, le_n,
+         sum(c) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS cnt,
+         sum(c) OVER (PARTITION BY event_type, t) AS total
+  FROM counted
+),
+wn AS (
+  SELECT event_type, t, le_n, cnt, total,
+         lag(cnt, 1, 0.0) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_cnt,
+         lag(le_n) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_le
+  FROM cum
+),
+sel AS (
+  SELECT *, {_NHS_Q} * total AS rnk FROM wn
+  WHERE cnt >= {_NHS_Q} * total
+    AND (prev_cnt < {_NHS_Q} * total OR prev_le IS NULL)
+)
+SELECT t, event_type,
+       round(CASE WHEN prev_le IS NULL AND le_n <= 0 THEN le_n
+             ELSE COALESCE(prev_le, 0.0)
+                  + (le_n - COALESCE(prev_le, 0.0))
+                    * ((rnk - prev_cnt) / (cnt - prev_cnt))
+             END, 4) AS value
+FROM sel
+WHERE t BETWEEN {_P_START} AND {_P_END}
+ORDER BY t, event_type""",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native histograms through the FULL store lifecycle — WAL drain
+    -> classic expansion -> chunk encode -> sorted store (``le`` a real
+    label column) -> ChunkQuerier decode -> PromQL — on the SIGNED
+    metric, so negative native buckets and bucketQuantile's
+    ``le <= 0`` lowest-bucket rule (promql/quantile.go) are exercised
+    end to end: ``histogram_quantile(0.25, app_nh_signed_bucket)``
+    must hash-match DuckDB recomputing the mixed-sign exponential
+    buckets and the full Prometheus interpolation rule from raw
+    events."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    store = _native_histogram_store(spark, sf_dir)
+    frame = ChunkQuerier.from_parquet(spark, store).select_samples(
+        labels=["__name__", "event_type", "le"]
+    )
+    engine = PromQLEngine(frame, extrapolate=False)
+    out = engine.query_range(
+        f"histogram_quantile({_NHS_Q}, app_nh_signed_bucket)",
+        _P_START,
+        _P_END,
+        _DAY_MS,
+        lookback_ms=6 * 3600 * 1000,
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6631,78 +6946,100 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-10 window (registry 114 rows; since round 6 the strict
-# "every row re-checked within 2 rounds" invariant is arithmetically
-# impossible at >100 rows with a 50-row window, so each round's
-# overflow is deferred WITH a named in-window row covering the same
-# code path, and tests/test_corpus.py still hash-checks ALL rows vs
-# DuckDB at sf0.01 every round).
+# Round-11 window (registry 122 rows): the 19 rows deferred in round 10
+# (last driver-green at RECORDED index 7 == r07 — 3 recorded rounds
+# stale at the upcoming index 10, thus non-deferrable per the
+# no-consecutive-deferral rule) lead the window, followed by this
+# round's 3 debuts and the 3 r10-green rows whose implementation
+# changed in round 11, then 25 of the 50 r09-green rows (2 recorded
+# rounds stale); the remaining 25 r09-green rows are deferred WITH
+# named in-window coverage below and must return in round 12.
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09 -> indices 1..8; the upcoming r10 record is index 9).
-# tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09,r10 -> indices 1..9; the upcoming r11 record is index
+# 10).  tests/test_corpus.py implements the same indexing.
 #
 # Composition:
-#   * the 14 rows deferred in round 9 (last driver-green at recorded
-#     index 6 == r06 — 3 recorded rounds stale at index 9, thus
-#     non-deferrable per the no-consecutive-deferral rule; the exact
-#     set the r09 verdict pre-committed):
-#     q12/q13/q08/q64/q102/q43/q66/q60/q62/q09/q75/q46/q72/q29.
-#   * the 36 remaining slots: the r07-green backlog (50 rows, all
-#     2 recorded rounds stale at index 9) minus the deferrals below.
-#   * every r09-green row (the full round-9 window, 50 rows) is only
-#     1 recorded round stale and rotates behind the cap.
-# Deferred to round 11 (r07-green rows that no longer fit; each with
-# the in-window row that still exercises its code path):
-#   q05_distinct         -> q06 (same operators/distinct.py kernel,
-#                           first-per-key arm)
-#   q11_predicate_order  -> q08 (same selection.py conjunction /
-#                           pushdown path, Catalyst-ordered)
-#   q14_multi_projection -> q12 (same parquet scan projection +
-#                           equality pushdown path)
-#   q15_empty_result     -> q12 (same equality Matcher path; bloom
-#                           write options separately audited by q104)
-#   q18_label_values     -> q09 (same querier label/series enumeration
-#                           family — the r09 mapping, reversed)
-#   q22_exact_dedup      -> q23 (same functions/dedup.py module and
-#                           normalization path; hash-groupBy arm)
-#   q24_simhash          -> q62 (same SimHash kernel — the r09
-#                           mapping q62->q25, reversed onto simhash)
-#   q26_cosine_topk      -> q60 (same cosine top-k scoring kernel,
-#                           IVF-probed arm)
-#   q27_ann_lsh_topk     -> q28 (same LSH signature-bucket path in
-#                           functions/similarity.py)
-#   q48_stratified_sample -> q72 (same deterministic hash-draw kernel,
-#                           ordering.shuffle_draw / sampling._draw —
-#                           the r09 mapping q72->q63, reversed)
-#   q90_pq_adc_topk      -> q91 (same PQ codebook/ADC machinery,
-#                           IVF-PQ store arm)
-#   q97_ivfpq_residual_topk -> q91 (same IVF-PQ residual encode/score
-#                           path, store-backed arm)
-#   q93_exact_substring_spans -> q98 (same window-hash bucket-join
-#                           module, removal arm consumes the spans)
-#   q95_media_transform  -> q29 (same functions/multimodal.py decode
-#                           plumbing — the r09 mapping, reversed)
-#   q87_bucket_ranged_read -> q94 (same sources/bucket.py RFC 7233
-#                           ranged-GET machinery, HTTP-store e2e arm;
-#                           displaced by this round's q116 debut)
-#   q55_promql_changes   -> q43 (changes()/resets() share the
-#                           counter-change range kernel; displaced by
-#                           this round's q115 debut)
-#   q89_streaming_rollup -> q21 (same StreamingChunkIngestor /
-#                           exactly-once batch-id sink machinery, the
-#                           rollup arm rides the ingest arm; displaced
-#                           by this round's q117 debut)
-#   q96_sq8_quantized_topk -> q91 (same quantized-code store top-k
-#                           family in functions/similarity.py —
-#                           broadcast codebook + code-list scoring;
-#                           displaced by this round's q118 debut)
-#   q88_promql_scalar_arithmetic -> q66 (same PromQL binary-op
-#                           evaluator, _eval_binary — scalar arm vs
-#                           set arm; displaced by q119's debut)
-# Every other out-of-window row is r09-green (1 recorded round stale
-# once r10 lands) and needs no deferral record.
+#   * the 19 rows deferred in round 10 (the exact set the r10 verdict
+#     pre-committed): q05/q11/q14/q15/q18/q22/q24/q26/q27/q48/q55/
+#     q87/q88/q89/q90/q93/q95/q96/q97.
+#   * 3 debuts (never driver-checked): q120 WAL exemplars, q121 metric
+#     metadata, q122 native-histogram store round-trip (signed metric,
+#     negative buckets + the bucketQuantile le<=0 rule).
+#   * 3 r10-green rows whose implementation changed this round and so
+#     re-enter the window: q117 (delete_samples grouped probe +
+#     max-index del numbering), q118/q119 (histogram drain batching,
+#     Go-style le formatting, the quantile lowest-bucket rule).
+#     q115/q116 are r10-green and UNCHANGED on their executed paths
+#     (q116's downsample_blocks got a docstring paragraph only), so
+#     they rotate behind the cap like the rest of the r10 window.
+#   * the 25 remaining slots: r09-green backlog minus the deferrals
+#     below.
+# Deferred to round 12 (r09-green rows that no longer fit; each with
+# the in-window row(s) that still exercise its code path):
+#   q01_scan_project     -> q14 (same parquet scan + projection path)
+#   q02_eq_filter        -> q15 (same equality Matcher/pushdown path)
+#   q04_conjunction      -> q11 (same selection.py AND-conjunction
+#                           pushdown, Catalyst-ordered)
+#   q10_write_compact_roundtrip -> q117 (write_sorted + versioned
+#                           compact + readback all run inside the
+#                           delete pass's rewrite/publish cycle)
+#   q16_series_select    -> q18 (querier label/series enumeration) and
+#                           q122 (ChunkQuerier.select_samples matcher
+#                           path feeding PromQL)
+#   q20_promql_instant_sum -> q37 (same fused PromExpr aggregation
+#                           path, sum arm under topk/binary)
+#   q34_promql_rate      -> q50 (same rate/increase counter-reset
+#                           kernel, extrapolated arm)
+#   q36_window_functions -> q61 (same ordered-window machinery —
+#                           lag/lead over Window.partitionBy(series))
+#   q42_window_gt_step   -> q55 (same range-window fan-out with
+#                           window > step, changes()/resets() arm)
+#   q45_multi_store_merge -> q117 (same live_store_dirs/read_roots
+#                           multi-dir store read path)
+#   q49_on_group_left    -> q37 (same _eval_binary vector-matching
+#                           evaluator; topk row exercises binary+agg)
+#   q56_quantile_over_time -> q67 (same exact-percentile kernel,
+#                           over-time arm vs aggregation arm)
+#   q59_ivf_assign       -> q97 (same centroid_assign_udf Arrow
+#                           kernel inside the residual IVF-PQ build)
+#   q63_weighted_sample  -> q48 (same deterministic hash-draw kernel
+#                           in sampling.py, stratified arm)
+#   q65_rollup_store     -> q77 (same sources/rollup.py rollup_store
+#                           build + querier readback, routed arm)
+#   q73_promql_time_functions -> q88 (TIMEFN nodes ride the same
+#                           scalar/step binary evaluator q88's
+#                           scalar-arithmetic arm drives; the calendar
+#                           math itself is unit-pinned in
+#                           tests/test_promql.py)
+#   q76_streaming_sessionize -> q89 (same Structured-Streaming
+#                           exactly-once batch-id sink machinery; the
+#                           session kernel itself is r10-green via q46
+#                           and unit-pinned in tests/test_sessions.py)
+#   q79_promql_sort_desc -> q37 (per-step value ordering of instant
+#                           vectors — topk ranking vs PromSort, which
+#                           is also unit-pinned by
+#                           tests/test_promql.py::test_sort_desc)
+#   q92_semantic_dedup   -> q97 (same centroid_assign_udf coarse pass)
+#                           and q26 (same cosine scoring family)
+#   q101_png_pixel_pipeline -> q95 (same multimodal decode plumbing)
+#   q107_multi_block_convert -> q106 (same block-convert kernel,
+#                           single-block arm)
+#   q108_wal_head_drain  -> q118 (same segment reader / checkpoint
+#                           precedence machinery under the histogram
+#                           drain) and q120 (same _wal_frames series
+#                           pass + per-segment record scan)
+#   q109_data_dir_convert -> q106 (block-convert leg) + q118 (WAL
+#                           drain leg) — the data-dir convert composes
+#                           exactly these two paths
+#   q110_promql_staleness -> q53 (same instant-selector lookback /
+#                           staleness machinery every selector runs)
+#   q112_block_export_roundtrip -> q114 (block compaction writes its
+#                           outputs through the same export_blocks
+#                           machinery)
+# Every other out-of-window row is r10-green (1 recorded round stale
+# once r11 lands) and needs no deferral record.
 
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
@@ -6711,93 +7048,49 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the 50-row window or recorded here with live in-window coverage — so
 #: the policy can't silently slip.
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q05_distinct": ("q06_first_per_key",),
-    "q11_predicate_order": ("q08_time_containment",),
-    "q14_multi_projection": ("q12_dict_equality",),
-    "q15_empty_result": ("q12_dict_equality",),
-    "q18_label_values": ("q09_label_values",),
-    "q22_exact_dedup": ("q23_minhash_lsh_pairs",),
-    "q24_simhash": ("q62_simhash_near_dup",),
-    "q26_cosine_topk": ("q60_ivf_topk",),
-    "q27_ann_lsh_topk": ("q28_embedding_near_dup",),
-    "q48_stratified_sample": ("q72_global_shuffle",),
-    "q90_pq_adc_topk": ("q91_ivfpq_store_topk",),
-    "q97_ivfpq_residual_topk": ("q91_ivfpq_store_topk",),
-    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
-    "q95_media_transform": ("q29_multimodal_metadata",),
-    "q87_bucket_ranged_read": ("q94_http_object_store",),
-    "q55_promql_changes": ("q43_promql_counter_reset",),
-    "q89_streaming_rollup": ("q21_streaming_ingest",),
-    "q96_sq8_quantized_topk": ("q91_ivfpq_store_topk",),
-    "q88_promql_scalar_arithmetic": ("q66_promql_set_ops",),
+    "q01_scan_project": ("q14_multi_projection",),
+    "q02_eq_filter": ("q15_empty_result",),
+    "q04_conjunction": ("q11_predicate_order",),
+    "q10_write_compact_roundtrip": ("q117_store_delete_pass",),
+    "q16_series_select": (
+        "q18_label_values",
+        "q122_native_histogram_store_roundtrip",
+    ),
+    "q20_promql_instant_sum": ("q37_promql_topk_binary",),
+    "q34_promql_rate": ("q50_promql_rate_extrapolated",),
+    "q36_window_functions": ("q61_gap_fill_linear",),
+    "q42_promql_window_gt_step": ("q55_promql_changes",),
+    "q45_multi_store_merge": ("q117_store_delete_pass",),
+    "q49_promql_on_group_left": ("q37_promql_topk_binary",),
+    "q56_promql_quantile_over_time": ("q67_promql_quantile_agg",),
+    "q59_ivf_assign": ("q97_ivfpq_residual_topk",),
+    "q63_weighted_sample": ("q48_stratified_sample",),
+    "q65_rollup_store": ("q77_rollup_routing",),
+    "q73_promql_time_functions": ("q88_promql_scalar_arithmetic",),
+    "q76_streaming_sessionize": ("q89_streaming_rollup",),
+    "q79_promql_sort_desc": ("q37_promql_topk_binary",),
+    "q92_semantic_dedup": (
+        "q97_ivfpq_residual_topk",
+        "q26_cosine_topk",
+    ),
+    "q101_png_pixel_pipeline": ("q95_media_transform",),
+    "q107_multi_block_convert": ("q106_block_convert_promql",),
+    "q108_wal_head_drain": (
+        "q118_native_histogram_quantile",
+        "q120_wal_exemplars",
+    ),
+    "q109_data_dir_convert": (
+        "q106_block_convert_promql",
+        "q118_native_histogram_quantile",
+    ),
+    "q110_promql_staleness": ("q53_promql_histogram_quantile",),
+    "q112_block_export_roundtrip": ("q114_block_compaction",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 14 round-9 deferrals, due back (no consecutive
-    # deferrals) — last driver-green r06 (recorded index 6),
-    # 3 recorded rounds stale at the upcoming index 9
-    "q12_dict_equality",
-    "q13_zonemap_range",
-    "q08_time_containment",
-    "q64_promql_absent",
-    "q102_promql_sort_by_label",
-    "q43_promql_counter_reset",
-    "q66_promql_set_ops",
-    "q60_ivf_topk",
-    "q62_simhash_near_dup",
-    "q09_label_values",
-    "q75_promql_holt_winters",
-    "q46_sessionize",
-    "q72_global_shuffle",
-    "q29_multimodal_metadata",
-    # this round's debuts (never driver-checked — must be in-window in
-    # their introduction round)
-    "q115_remote_write_push_to_promql",
-    "q116_block_farm_maintenance",
-    "q117_store_delete_pass",
-    "q118_native_histogram_quantile",
-    "q119_native_histogram_fraction",
-    # r07-green backlog (2 recorded rounds stale) minus the
-    # documented deferrals
-    "q06_first_per_key",
-    "q07_groupby_agg",
-    "q17_chunk_samples_roundtrip",
-    "q19_promql_count_over_time",
-    "q21_streaming_ingest",
-    "q23_minhash_lsh_pairs",
-    "q28_embedding_near_dup",
-    "q30_text_analysis",
-    "q31_json_props",
-    "q33_semi_anti_join",
-    "q38_training_chunks",
-    "q39_cleaning_pipeline",
-    "q41_set_operations",
-    "q44_late_materialization",
-    "q47_dedup_clusters",
-    "q54_promql_comparison_filter",
-    "q57_asof_join",
-    "q81_kmeans_train",
-    "q82_rollup_subquery_routing",
-    "q83_store_maintenance",
-    "q84_ivf_partitioned_store",
-    "q85_salted_distinct_count",
-    "q86_bucketed_colocated_join",
-    "q91_ivfpq_store_topk",
-    "q94_http_object_store",
-    "q98_exact_substring_removal",
-    "q99_lm_perplexity_score",
-    "q100_tsdb_stats",
-    "q103_xor_chunk_interop",
-    "q104_writer_layout_contract",
-    "q105_tsdb_block_convert",
-    # position 51+ — outside the driver cap: the documented
-    # deferrals (first in line for round 11), then the full
-    # r09-green round-9 window
-    "q87_bucket_ranged_read",
-    "q55_promql_changes",
-    "q89_streaming_rollup",
-    "q96_sq8_quantized_topk",
-    "q88_promql_scalar_arithmetic",
+    # the 19 round-10 deferrals, due back (no consecutive deferrals)
+    # — last driver-green r07 (recorded index 7), 3 recorded rounds
+    # stale at the upcoming index 10
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",
@@ -6808,10 +7101,78 @@ _DRIVER_PRIORITY: list[str] = [
     "q26_cosine_topk",
     "q27_ann_lsh_topk",
     "q48_stratified_sample",
+    "q55_promql_changes",
+    "q87_bucket_ranged_read",
+    "q88_promql_scalar_arithmetic",
+    "q89_streaming_rollup",
     "q90_pq_adc_topk",
-    "q97_ivfpq_residual_topk",
     "q93_exact_substring_spans",
     "q95_media_transform",
+    "q96_sq8_quantized_topk",
+    "q97_ivfpq_residual_topk",
+    # this round's debuts (never driver-checked — must be in-window in
+    # their introduction round)
+    "q120_wal_exemplars",
+    "q121_wal_metric_metadata",
+    "q122_native_histogram_store_roundtrip",
+    # r10-green rows whose implementation changed in round 11
+    "q117_store_delete_pass",
+    "q118_native_histogram_quantile",
+    "q119_native_histogram_fraction",
+    # r09-green backlog (2 recorded rounds stale) minus the documented
+    # deferrals
+    "q03_range_filter",
+    "q25_ngram_jaccard",
+    "q32_broadcast_join",
+    "q35_distinct_counts",
+    "q37_promql_topk_binary",
+    "q40_rollup",
+    "q50_promql_rate_extrapolated",
+    "q51_promql_without_at",
+    "q52_promql_label_replace_clamp",
+    "q53_promql_histogram_quantile",
+    "q58_pack_sequences",
+    "q61_gap_fill_linear",
+    "q67_promql_quantile_agg",
+    "q68_promql_predict_linear",
+    "q69_decontaminate",
+    "q70_repetition_stats",
+    "q71_pii_redact",
+    "q74_promql_subquery",
+    "q77_rollup_routing",
+    "q78_promql_instant_absent",
+    "q80_remove_boilerplate_lines",
+    "q106_block_convert_promql",
+    "q111_remote_write_ingest",
+    "q113_scrape_text_parse",
+    "q114_block_compaction",
+    # position 51+ — outside the driver cap: the documented deferrals
+    # (first in line for round 12), then the full r10-green window
+    "q01_scan_project",
+    "q02_eq_filter",
+    "q04_conjunction",
+    "q10_write_compact_roundtrip",
+    "q16_series_select",
+    "q20_promql_instant_sum",
+    "q34_promql_rate",
+    "q36_window_functions",
+    "q42_promql_window_gt_step",
+    "q45_multi_store_merge",
+    "q49_promql_on_group_left",
+    "q56_promql_quantile_over_time",
+    "q59_ivf_assign",
+    "q63_weighted_sample",
+    "q65_rollup_store",
+    "q73_promql_time_functions",
+    "q76_streaming_sessionize",
+    "q79_promql_sort_desc",
+    "q92_semantic_dedup",
+    "q101_png_pixel_pipeline",
+    "q107_multi_block_convert",
+    "q108_wal_head_drain",
+    "q109_data_dir_convert",
+    "q110_promql_staleness",
+    "q112_block_export_roundtrip",
 ]
 
 

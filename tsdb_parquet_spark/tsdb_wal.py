@@ -1220,6 +1220,34 @@ def wal_to_exemplars_frame(
     )
 
 
+def wal_metadata_frame(
+    spark: SparkSession,
+    wal_dir: str,
+    label_names: Sequence[str],
+) -> DataFrame:
+    """Latest metric metadata (Metadata records, type 6) joined to
+    series labels: one row per series ref carrying ``(labels...,
+    type, unit, help)``, replay-ordered so a re-logged entry wins.
+    Metadata volume is one entry per metric name, so the record walk is
+    driver-side like `read_wal_metadata`; the ref->labels resolution is
+    the same executor-side series pass every drain uses."""
+    label_names = sorted(label_names)
+    segs = discover_wal_segments(wal_dir)
+    if not segs:
+        raise ValueError(f"no WAL segments under {wal_dir}")
+    series_df, _ = _wal_frames(
+        spark, label_names, segs, [], segs[-1], 65536
+    )
+    meta = read_wal_metadata(wal_dir)
+    rows = [(ref, t, u, h) for ref, (t, u, h) in sorted(meta.items())]
+    mdf = spark.createDataFrame(
+        rows, "__ref__ LONG, type STRING, unit STRING, help STRING"
+    )
+    return mdf.join(series_df, "__ref__", "inner").select(
+        *label_names, "type", "unit", "help"
+    )
+
+
 def wal_to_histogram_frame(
     spark: SparkSession,
     wal_dir: str,
