@@ -129,6 +129,35 @@ def main() -> None:
     start = time.perf_counter()
     qs["q87_bucket_ranged_read"](spark, sf_dir)
     store_build["bucket_staging"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    # round-10/11 fixtures: the remote-write push spool (q115), block
+    # farm (q116), deleted store (q117), native-histogram WAL (q118/
+    # q119), exemplar+metadata WAL (q120/q121), and the histogram store
+    # (q122) all build once per sf — touch them here so the timed loop
+    # measures queries, not fixture IO
+    for fixture_q in (
+        "q115_remote_write_push_to_promql",
+        "q116_block_farm_maintenance",
+        "q117_store_delete_pass",
+        "q118_native_histogram_quantile",
+        "q120_wal_exemplars",
+        "q122_native_histogram_store_roundtrip",
+    ):
+        qs[fixture_q](spark, sf_dir)
+    store_build["round10_11_fixtures"] = round(
+        time.perf_counter() - start, 3
+    )
+    # release every executor-storage block the fixture builds left
+    # persisted or localCheckpointed: the r10 record showed unchanged
+    # queries (q62 2.6x, q09 2.7x) drifting under storage contention
+    # from fixture-build persist traffic.  Caches in query paths are
+    # self-healing (they re-persist on first use), so this only moves
+    # that cost into the build phase above / the untimed first pass.
+    spark.catalog.clearCache()
+    scala_sc = spark.sparkContext._jsc.sc()
+    it = scala_sc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
 
     # one store built COLD every run (throwaway dir, version cache
     # bypassed) so codec/writer changes show up round over round even

@@ -98,6 +98,14 @@ HEAVY_TSDB = [
     # histogram_quantile is the timed row
     "q118_native_histogram_quantile",
     "q119_native_histogram_fraction",
+    # the r11 additions at 10x: exemplar drain (~10x exemplar records),
+    # metadata decode (volume stays one entry per family — the probe
+    # verifies the SERIES pass scales, not the metadata walk), and the
+    # native-histogram store lifecycle on the signed metric (negative
+    # buckets + the le<=0 quantile rule at scale)
+    "q120_wal_exemplars",
+    "q121_wal_metric_metadata",
+    "q122_native_histogram_store_roundtrip",
 ]
 
 HEAVY = [
@@ -440,6 +448,12 @@ def main() -> None:
             # compute the SAME exponential buckets over 10x the values
             "q118_native_histogram_quantile",
             "q119_native_histogram_fraction",
+            # the r11 additions at 10x: exemplar/metadata decode and the
+            # signed-metric store lifecycle (negative buckets + the
+            # le<=0 lowest-bucket rule under 10x the observations)
+            "q120_wal_exemplars",
+            "q121_wal_metric_metadata",
+            "q122_native_histogram_store_roundtrip",
         ]
         results = {}
         for name in names:
