@@ -1776,8 +1776,13 @@ class PromQLEngine:
         (le - start), 0, 1)`` to C(x); fraction = (C(upper) -
         C(lower)) / total.  ONE shuffle (the same (t, group) window
         partitioning histogram_quantile uses) plus a grouped sum; +Inf
-        bucket mass counts only when the bound is +Inf; the lowest
-        bucket's start is 0, the quantile-consistent classic rule."""
+        bucket mass counts only when the bound is +Inf.  The lowest
+        bucket's start is 0: with a positive bound that interpolates
+        from 0 like bucketQuantile; with a bound <= 0 the width guard
+        degrades it to a point mass AT the bound — exactly the CDF the
+        quantile's le<=0 lowest-bucket rule implies, so fraction and
+        quantile stay inverse-consistent on mixed-sign buckets (fuzzed
+        in tests/test_histogram_fuzz.py)."""
         from pyspark.sql import Window
 
         if "le" not in df.columns:
