@@ -142,6 +142,7 @@ def main() -> None:
         "q118_native_histogram_quantile",
         "q120_wal_exemplars",
         "q122_native_histogram_store_roundtrip",
+        "q123_exemplar_store_query",
     ):
         qs[fixture_q](spark, sf_dir)
     store_build["round10_11_fixtures"] = round(

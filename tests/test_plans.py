@@ -579,3 +579,46 @@ def test_downsample_blocks_shuffle_budget(spark, tmp_path):
     plan = chunks._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, plan
+
+
+def test_exemplar_store_query_fully_pushed(spark, tmp_path):
+    """q123's scan contract: the exemplar-store selector+range query
+    pushes the equality matcher AND both ts bounds to the parquet scan
+    (PushedFilters), and the day-partitioned layout prunes directories
+    driver-side (PartitionFilters on __day)."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.exemplars import (
+        select_exemplars,
+        write_exemplar_store,
+    )
+
+    day = 86_400_000
+    rows = [
+        Row(__name__="m", job=("a" if i % 2 else "b"), ts=i * day // 2,
+            value=float(i), exemplar_labels={"trace_id": f"t{i}"})
+        for i in range(12)
+    ]
+    store = str(tmp_path / "ex")
+    write_exemplar_store(
+        spark.createDataFrame(rows), store, ["__name__", "job"],
+        partition_by_day=True,
+    )
+    df = select_exemplars(
+        spark, store, [Matcher("job", EQ, "a")], mint=day, maxt=3 * day
+    )
+    plan = _formatted(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "job" in pushed and "ts" in pushed, pushed
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+    part = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "__day" in part, part
+    got = sorted((r["ts"], r["exemplar_labels"]["trace_id"])
+                 for r in df.collect())
+    want = sorted(
+        (r.ts, r.exemplar_labels["trace_id"])
+        for r in rows
+        if r.job == "a" and day <= r.ts <= 3 * day
+    )
+    assert got == want and got

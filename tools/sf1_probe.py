@@ -106,6 +106,7 @@ HEAVY_TSDB = [
     "q120_wal_exemplars",
     "q121_wal_metric_metadata",
     "q122_native_histogram_store_roundtrip",
+    "q123_exemplar_store_query",
 ]
 
 HEAVY = [
@@ -454,6 +455,7 @@ def main() -> None:
             "q120_wal_exemplars",
             "q121_wal_metric_metadata",
             "q122_native_histogram_store_roundtrip",
+            "q123_exemplar_store_query",
         ]
         results = {}
         for name in names:

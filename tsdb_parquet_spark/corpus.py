@@ -6935,6 +6935,78 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+_EXQ_END = _P_START + 14 * _DAY_MS  # exemplar-query window: first 2 weeks
+
+
+def _events_exemplar_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the day-partitioned sorted EXEMPLAR store
+    from the exemplar WAL: the scale layout (hive ``__day`` directories
+    + label-led sort + blooms), so q123's selector+range query prunes
+    directories AND row groups."""
+    import shutil
+
+    from tsdb_parquet_spark.sources.exemplars import write_exemplar_store
+    from tsdb_parquet_spark.tsdb_wal import wal_to_exemplars_frame
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"exemplar_store_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    wal = _events_exemplar_wal(spark, sf_dir)
+    frame = wal_to_exemplars_frame(spark, wal, ["__name__", "event_type"])
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    write_exemplar_store(
+        frame, build, ["__name__", "event_type"], partition_by_day=True
+    )
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q123_exemplar_store_query",
+    f"""
+SELECT event_type, epoch_ms(ts) AS ts, value,
+       't' || CAST(event_id AS VARCHAR) AS trace_id
+FROM events
+WHERE value >= {_EX_THRESHOLD}
+  AND event_type = 'click'
+  AND epoch_ms(ts) BETWEEN {_P_START} AND {_EXQ_END}
+ORDER BY ts, trace_id""",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``/api/v1/query_exemplars`` semantics over a
+    first-class exemplar STORE (`sources/exemplars.py`): the WAL
+    exemplar drain lands as day-partitioned sorted parquet (label-led
+    sort, blooms, hive ``__day`` dirs), and `select_exemplars` compiles
+    (selector, mint, maxt) to a fully pushed-down scan — equality
+    matcher and both ``ts`` bounds in PushedFilters, the derived day
+    bounds in PartitionFilters (pinned by tests/test_plans.py).
+    Hash-matched vs DuckDB filtering the same exemplar set from raw
+    events."""
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.exemplars import select_exemplars
+
+    store = _events_exemplar_store(spark, sf_dir)
+    ex = select_exemplars(
+        spark,
+        store,
+        [Matcher("event_type", EQ, "click")],
+        mint=_P_START,
+        maxt=_EXQ_END,
+    )
+    return ex.select(
+        "event_type",
+        "ts",
+        "value",
+        F.element_at("exemplar_labels", "trace_id").alias("trace_id"),
+    ).orderBy("ts", "trace_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6950,9 +7022,9 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (last driver-green at RECORDED index 7 == r07 — 3 recorded rounds
 # stale at the upcoming index 10, thus non-deferrable per the
 # no-consecutive-deferral rule) lead the window, followed by this
-# round's 3 debuts and the 3 r10-green rows whose implementation
-# changed in round 11, then 25 of the 50 r09-green rows (2 recorded
-# rounds stale); the remaining 25 r09-green rows are deferred WITH
+# round's 4 debuts and the 3 r10-green rows whose implementation
+# changed in round 11, then 24 of the 50 r09-green rows (2 recorded
+# rounds stale); the remaining 26 r09-green rows are deferred WITH
 # named in-window coverage below and must return in round 12.
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
@@ -6964,9 +7036,11 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 19 rows deferred in round 10 (the exact set the r10 verdict
 #     pre-committed): q05/q11/q14/q15/q18/q22/q24/q26/q27/q48/q55/
 #     q87/q88/q89/q90/q93/q95/q96/q97.
-#   * 3 debuts (never driver-checked): q120 WAL exemplars, q121 metric
+#   * 4 debuts (never driver-checked): q120 WAL exemplars, q121 metric
 #     metadata, q122 native-histogram store round-trip (signed metric,
-#     negative buckets + the bucketQuantile le<=0 rule).
+#     negative buckets + the bucketQuantile le<=0 rule), q123 exemplar
+#     STORE query (/api/v1/query_exemplars semantics, day-partitioned
+#     pushdown).
 #   * 3 r10-green rows whose implementation changed this round and so
 #     re-enter the window: q117 (delete_samples grouped probe +
 #     max-index del numbering), q118/q119 (histogram drain batching,
@@ -6974,11 +7048,15 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q115/q116 are r10-green and UNCHANGED on their executed paths
 #     (q116's downsample_blocks got a docstring paragraph only), so
 #     they rotate behind the cap like the rest of the r10 window.
-#   * the 25 remaining slots: r09-green backlog minus the deferrals
+#   * the 24 remaining slots: r09-green backlog minus the deferrals
 #     below.
 # Deferred to round 12 (r09-green rows that no longer fit; each with
 # the in-window row(s) that still exercise its code path):
 #   q01_scan_project     -> q14 (same parquet scan + projection path)
+#   q03_range_filter     -> q11 (same selection.py pushdown
+#                           conjunction) and q123 (>= AND <= range
+#                           bounds pushed to the parquet scan, the
+#                           exact P3+P4 kernel on the exemplar store)
 #   q02_eq_filter        -> q15 (same equality Matcher/pushdown path)
 #   q04_conjunction      -> q11 (same selection.py AND-conjunction
 #                           pushdown, Catalyst-ordered)
@@ -7050,6 +7128,10 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q01_scan_project": ("q14_multi_projection",),
     "q02_eq_filter": ("q15_empty_result",),
+    "q03_range_filter": (
+        "q11_predicate_order",
+        "q123_exemplar_store_query",
+    ),
     "q04_conjunction": ("q11_predicate_order",),
     "q10_write_compact_roundtrip": ("q117_store_delete_pass",),
     "q16_series_select": (
@@ -7115,13 +7197,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q120_wal_exemplars",
     "q121_wal_metric_metadata",
     "q122_native_histogram_store_roundtrip",
+    "q123_exemplar_store_query",
     # r10-green rows whose implementation changed in round 11
     "q117_store_delete_pass",
     "q118_native_histogram_quantile",
     "q119_native_histogram_fraction",
     # r09-green backlog (2 recorded rounds stale) minus the documented
     # deferrals
-    "q03_range_filter",
     "q25_ngram_jaccard",
     "q32_broadcast_join",
     "q35_distinct_counts",
@@ -7150,6 +7232,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (first in line for round 12), then the full r10-green window
     "q01_scan_project",
     "q02_eq_filter",
+    "q03_range_filter",
     "q04_conjunction",
     "q10_write_compact_roundtrip",
     "q16_series_select",
