@@ -143,6 +143,7 @@ def main() -> None:
         "q120_wal_exemplars",
         "q122_native_histogram_store_roundtrip",
         "q123_exemplar_store_query",
+        "q124_otlp_ingest",
     ):
         qs[fixture_q](spark, sf_dir)
     store_build["round10_11_fixtures"] = round(

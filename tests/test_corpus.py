@@ -74,7 +74,7 @@ def test_driver_window_round11_composition():
         # round-11 debuts
         "q120_wal_exemplars", "q121_wal_metric_metadata",
         "q122_native_histogram_store_roundtrip",
-        "q123_exemplar_store_query",
+        "q123_exemplar_store_query", "q124_otlp_ingest",
         # r10-green rows whose implementation changed in round 11
         "q117_store_delete_pass", "q118_native_histogram_quantile",
         "q119_native_histogram_fraction",

@@ -1,0 +1,346 @@
+"""OTLP metrics ingest (`tsdb_parquet_spark/otlp.py`): wire codec
+roundtrips per metric kind, the Prometheus translation rules
+(normalization, _total, job/instance mapping, delta/flag skips),
+exponential-histogram downscaling, and the distributed frame."""
+
+import gzip
+import math
+
+import pytest
+
+from tsdb_parquet_spark.histograms import NativeHistogram
+from tsdb_parquet_spark.otlp import (
+    decode_export_samples,
+    encode_export_request,
+    otlp_frame,
+)
+
+
+def _one_metric(metric, resource=None):
+    return encode_export_request([(resource or {}, [metric])])
+
+
+def test_gauge_sum_translation_and_labels():
+    body = encode_export_request([
+        (
+            {
+                "service.name": "web",
+                "service.namespace": "prod",
+                "service.instance.id": "i-1",
+                "k8s.pod": "p-9",
+                "9lives": "x",
+            },
+            [
+                {"name": "cpu.usage", "kind": "gauge",
+                 "points": [({"core": "0"}, 1000, 0.5)]},
+                {"name": "http.requests", "kind": "sum",
+                 "monotonic": True,
+                 "points": [({"code": "200"}, 2000, 42.0)]},
+                {"name": "queue.depth", "kind": "sum",
+                 "monotonic": False,
+                 "points": [({}, 2000, 7.0)]},
+            ],
+        )
+    ])
+    rows = {(n, tuple(sorted(l.items())), t, v)
+            for n, l, t, v in decode_export_samples(body)}
+    base = (("instance", "i-1"), ("job", "prod/web"),
+            ("k8s_pod", "p-9"), ("key_9lives", "x"))
+    # resource attrs merge into labels (service.* triple -> job/
+    # instance); label keys normalize, a leading digit gains key_
+    assert ("cpu_usage", tuple(sorted(base + (("core", "0"),))),
+            1000, 0.5) in rows
+    # monotonic cumulative sum gains _total; non-monotonic does not
+    assert ("http_requests_total",
+            tuple(sorted(base + (("code", "200"),))), 2000, 42.0) in rows
+    assert ("queue_depth", tuple(sorted(base)), 2000, 7.0) in rows
+
+
+def test_classic_histogram_expands_cumulative():
+    body = _one_metric(
+        {"name": "lat", "kind": "histogram",
+         "points": [({"job": "a"}, 3000, 12, 30.0,
+                     [1.0, 2.0, 4.0], [2, 6, 2, 2])]}
+    )
+    rows = sorted(
+        (n, l.get("le", ""), v) for n, l, t, v in decode_export_samples(body)
+    )
+    assert ("lat_bucket", "1", 2.0) in rows
+    assert ("lat_bucket", "2", 8.0) in rows       # cumulative 2+6
+    assert ("lat_bucket", "4", 10.0) in rows
+    assert ("lat_bucket", "+Inf", 12.0) in rows   # overflow -> count
+    assert ("lat_count", "", 12.0) in rows
+    assert ("lat_sum", "", 30.0) in rows
+
+
+def test_exponential_histogram_rides_the_native_reduction():
+    h = NativeHistogram(schema=0, count=10.0, sum=30.0,
+                        positive_spans=((1, 3),),
+                        positive_buckets=(2.0, 6.0, 2.0))
+    body = _one_metric(
+        {"name": "nlat", "kind": "exponential_histogram",
+         "points": [({}, 4000, h)]}
+    )
+    buckets = {
+        l["le"]: v
+        for n, l, t, v in decode_export_samples(body)
+        if n == "nlat_bucket"
+    }
+    # schema 0 (base 2): occupied buckets (1,2](2,4](4,8] -> classic le
+    assert buckets == {"2": 2.0, "4": 8.0, "8": 10.0, "+Inf": 10.0}
+
+
+def test_exponential_downscale_to_schema_8():
+    # scale 10 -> schema 8 is two pairwise merges: indexes 1..4 at
+    # scale 10 (counts 1,2,3,4) -> ceil(i/2) twice -> index 1 gets ALL
+    h = NativeHistogram(schema=10, count=10.0, sum=1.0,
+                        positive_spans=((1, 4),),
+                        positive_buckets=(1.0, 2.0, 3.0, 4.0))
+    body = _one_metric(
+        {"name": "m", "kind": "exponential_histogram",
+         "points": [({}, 0, h)]}
+    )
+    rows = [(l.get("le"), v) for n, l, t, v in decode_export_samples(body)
+            if n == "m_bucket"]
+    finite = sorted((float(le), v) for le, v in rows if le != "+Inf")
+    # two ceil(i/2) merges send indexes 1..4 all to index 1: a single
+    # schema-8 bucket with the whole mass, upper bound 2^(2^-8)
+    assert finite == [(pytest.approx(2.0 ** (2.0 ** -8)), 10.0)]
+    assert dict(rows)["+Inf"] == 10.0
+
+
+def test_exponential_scale_below_min_raises():
+    h = NativeHistogram(schema=-5, count=1.0, sum=1.0,
+                        positive_spans=((1, 1),),
+                        positive_buckets=(1.0,))
+    body = _one_metric(
+        {"name": "m", "kind": "exponential_histogram",
+         "points": [({}, 0, h)]}
+    )
+    with pytest.raises(ValueError, match="below -4"):
+        decode_export_samples(body)
+
+
+def test_summary_expands_quantiles():
+    body = _one_metric(
+        {"name": "sizes", "kind": "summary",
+         "points": [({}, 5000, 7, 70.0, [(0.5, 9.0), (0.99, 20.0)])]}
+    )
+    rows = {(n, l.get("quantile", ""), v)
+            for n, l, t, v in decode_export_samples(body)}
+    assert ("sizes", "0.5", 9.0) in rows
+    assert ("sizes", "0.99", 20.0) in rows
+    assert ("sizes_count", "", 7.0) in rows
+    assert ("sizes_sum", "", 70.0) in rows
+
+
+def test_delta_sum_skipped_like_prometheus():
+    from tsdb_parquet_spark.otlp import _CUMULATIVE  # noqa: F401
+
+    # hand-build a DELTA sum: encode a cumulative one, then flip the
+    # temporality byte is fragile — instead encode via the public
+    # encoder with temporality forced by monkeypatching is overkill;
+    # craft the Sum message directly
+    import struct
+
+    from tsdb_parquet_spark.otlp import (
+        _enc_number_point,
+        _put_key,
+        _put_len_delim,
+        _put_uvarint,
+    )
+
+    body_sum = bytearray()
+    _put_len_delim(body_sum, 1, _enc_number_point({}, 1000, 5.0))
+    _put_key(body_sum, 2, 0)
+    _put_uvarint(body_sum, 1)  # AGGREGATION_TEMPORALITY_DELTA
+    _put_key(body_sum, 3, 0)
+    _put_uvarint(body_sum, 1)
+    m = bytearray()
+    _put_len_delim(m, 1, b"d")
+    _put_len_delim(m, 7, bytes(body_sum))
+    sm = bytearray()
+    _put_len_delim(sm, 2, bytes(m))
+    rm = bytearray()
+    _put_len_delim(rm, 2, bytes(sm))
+    req = bytearray()
+    _put_len_delim(req, 1, bytes(rm))
+    assert decode_export_samples(bytes(req)) == []
+
+
+def test_no_recorded_value_flag_skips_point():
+    import struct
+
+    from tsdb_parquet_spark.otlp import (
+        _enc_number_point,
+        _put_key,
+        _put_len_delim,
+        _put_uvarint,
+    )
+
+    p = bytearray(_enc_number_point({}, 1000, 5.0))
+    _put_key(p, 8, 0)
+    _put_uvarint(p, 1)  # FLAG_NO_RECORDED_VALUE
+    g = bytearray()
+    _put_len_delim(g, 1, bytes(p))
+    m = bytearray()
+    _put_len_delim(m, 1, b"g")
+    _put_len_delim(m, 5, bytes(g))
+    sm = bytearray()
+    _put_len_delim(sm, 2, bytes(m))
+    rm = bytearray()
+    _put_len_delim(rm, 2, bytes(sm))
+    req = bytearray()
+    _put_len_delim(req, 1, bytes(rm))
+    assert decode_export_samples(bytes(req)) == []
+
+
+def test_otlp_frame_distributed_decode(spark):
+    """Payload bodies (one per row, optionally gzip) -> sample frame
+    via one mapInPandas; missing labels land as ''."""
+    bodies = []
+    for day in range(3):
+        body = encode_export_request([
+            ({"service.name": "app"},
+             [{"name": "app.events.value", "kind": "gauge",
+               "points": [({"event.type": f"e{day}"},
+                           86_400_000 * day + 1, float(day))]}])
+        ])
+        bodies.append((bytearray(gzip.compress(body)),))
+    df = spark.createDataFrame(bodies, "payload binary")
+    out = otlp_frame(
+        df, ["__name__", "event_type", "job", "missing"],
+        gzip_encoded=True,
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        ("app_events_value", f"e{d}", "app", "", 86_400_000 * d + 1,
+         float(d))
+        for d in range(3)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_http_otlp_end_to_end_mixed_spool(spark):
+    """The OTLP push path over a real socket, sharing ONE receiver port
+    with remote-write: gzip and plain OTLP bodies POST to /v1/metrics
+    (200 + x-protobuf response), a remote-write body POSTs to
+    /api/v1/write, everything spools into the SAME dir, and each
+    protocol's ingestor drains only its own files (path globs) into its
+    own store — totals exact on both."""
+    import http.client
+    import math
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.remote_write import (
+        encode_write_request,
+        frame_payload,
+    )
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.sources.remote_write_server import (
+        RemoteWriteServer,
+    )
+    from tsdb_parquet_spark.streaming.receiver import (
+        otlp_spool_ingestor,
+        remote_write_spool_ingestor,
+    )
+
+    work = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".work", "otlp_receiver_test",
+    )
+    spool = os.path.join(work, "spool")
+    otlp_root = os.path.join(work, "otlp_store")
+    rw_root = os.path.join(work, "rw_store")
+    for p in (spool, otlp_root, rw_root):
+        shutil.rmtree(p, ignore_errors=True)
+
+    hour = 3_600_000
+    otlp_bodies = []
+    want_total = 0.0
+    for day in range(3):
+        points = [({"event.type": f"e{i}"},
+                   1_700_000_000_000 + day * 24 * hour + i * hour,
+                   float(day * 10 + i)) for i in range(4)]
+        want_total += sum(p[2] for p in points)
+        otlp_bodies.append(encode_export_request([
+            ({"service.name": "app"},
+             [{"name": "ev.val", "kind": "gauge", "points": points}]),
+        ]))
+
+    rw_body = frame_payload(encode_write_request(
+        [({"__name__": "rw_metric", "job": "a"},
+          [(1_700_000_000_000, 5.0), (1_700_000_000_000 + hour, 7.0)])],
+        version=1,
+    ))
+
+    with RemoteWriteServer(spool) as url:
+        u = urlparse(url)
+        conn = http.client.HTTPConnection(u.hostname, u.port)
+        for i, body in enumerate(otlp_bodies):
+            headers = {"Content-Type": "application/x-protobuf"}
+            if i % 2:
+                body = gzip.compress(body)
+                headers["Content-Encoding"] = "gzip"
+            conn.request("POST", "/v1/metrics", body=body, headers=headers)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Content-Type") == "application/x-protobuf"
+            resp.read()
+        # an undecodable gzip body is rejected, not spooled
+        conn.request("POST", "/v1/metrics", body=b"\x1f\x8b\xff",
+                     headers={"Content-Encoding": "gzip"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.request(
+            "POST", "/api/v1/write", body=rw_body,
+            headers={"Content-Encoding": "snappy"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 204
+        resp.read()
+        conn.close()
+
+    names = sorted(os.listdir(spool))
+    assert [n for n in names if n.startswith("otlp-")] and [
+        n for n in names if n.startswith("req-")
+    ]
+
+    labels = ["__name__", "event_type", "job"]
+    ingestor, stream = otlp_spool_ingestor(
+        spark, spool, otlp_root, labels, chunk_span_ms=24 * hour
+    )
+    ingestor.ingest(stream)
+    q = ChunkQuerier.from_parquet(spark, ingestor.finalize())
+    row = (
+        q.chunks.select(
+            F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+        )
+        .agg(F.count("*").alias("n"), F.sum("s.value").alias("total"))
+        .collect()[0]
+    )
+    assert row["n"] == 12
+    assert math.isclose(row["total"], want_total, rel_tol=1e-9)
+
+    rw_ing, rw_stream = remote_write_spool_ingestor(
+        spark, spool, rw_root, ["__name__", "job"], chunk_span_ms=24 * hour,
+        path_glob="req-*.bin",
+    )
+    rw_ing.ingest(rw_stream)
+    q2 = ChunkQuerier.from_parquet(spark, rw_ing.finalize())
+    row2 = (
+        q2.chunks.select(
+            F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s")
+        )
+        .agg(F.count("*").alias("n"), F.sum("s.value").alias("total"))
+        .collect()[0]
+    )
+    assert row2["n"] == 2 and row2["total"] == 12.0

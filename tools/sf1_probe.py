@@ -107,6 +107,9 @@ HEAVY_TSDB = [
     "q121_wal_metric_metadata",
     "q122_native_histogram_store_roundtrip",
     "q123_exemplar_store_query",
+    # OTLP ingest at 10x: ~10x the datapoints per captured POST body,
+    # decode one task per payload
+    "q124_otlp_ingest",
 ]
 
 HEAVY = [
@@ -456,6 +459,7 @@ def main() -> None:
             "q121_wal_metric_metadata",
             "q122_native_histogram_store_roundtrip",
             "q123_exemplar_store_query",
+            "q124_otlp_ingest",
         ]
         results = {}
         for name in names:

@@ -409,6 +409,7 @@ def cmd_ingest(args) -> int:
     processed files, so re-runs ingest only new ones."""
     from tsdb_parquet_spark.session import get_spark
     from tsdb_parquet_spark.streaming.receiver import (
+        otlp_spool_ingestor,
         remote_write_spool_ingestor,
         scrape_spool_ingestor,
     )
@@ -421,6 +422,11 @@ def cmd_ingest(args) -> int:
         ingestor, stream = remote_write_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, histograms=args.histograms,
+        )
+    elif args.format == "otlp":
+        ingestor, stream = otlp_spool_ingestor(
+            spark, args.spool, args.store, labels,
+            chunk_span_ms=args.span_ms,
         )
     else:
         ingestor, stream = scrape_spool_ingestor(
@@ -845,14 +851,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ing = sub.add_parser(
         "ingest",
-        help="drain a receiver spool (remote-write bodies or scrape "
-             "captures) into a chunk store; re-runs pick up only new "
-             "files (streaming checkpoint)",
+        help="drain a receiver spool (remote-write bodies, scrape "
+             "captures, or OTLP bodies) into a chunk store; re-runs "
+             "pick up only new files (streaming checkpoint)",
     )
     ing.add_argument("--spool", required=True,
                      help="directory of spooled request/capture files")
     ing.add_argument("--store", required=True)
-    ing.add_argument("--format", choices=["remote-write", "scrape"],
+    ing.add_argument("--format", choices=["remote-write", "scrape", "otlp"],
                      required=True)
     ing.add_argument("--labels", default="__name__,event_type,shard")
     ing.add_argument("--span-ms", type=int, default=86_400_000)

@@ -7007,6 +7007,123 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ts", "trace_id")
 
 
+def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) captured OTLP POST bodies from events: one
+    ``ExportMetricsServiceRequest`` per day carrying (a) a GAUGE
+    ``app.events.value`` with one datapoint per event (``event.type``
+    attribute) and (b) a monotonic CUMULATIVE SUM ``app.events`` with
+    one day-end datapoint per event_type holding the running count —
+    so both the per-point translation and the ``_total``-suffix rule
+    are part of the hash.  Resource carries ``service.name=app``
+    (→ ``job``).  Driver-side build like the remote-write capture; the
+    decode q124 measures is one ``mapInPandas`` task per payload."""
+    import shutil
+
+    from tsdb_parquet_spark.otlp import encode_export_request
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"otlp_payloads_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000").alias("ts"),
+            "value",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_type", "value"], kind="mergesort")
+    )
+    rows["day"] = rows["ts"] // _DAY_MS
+    running: dict[str, int] = {}
+    payloads = []
+    for day, g in rows.groupby("day", sort=True):
+        gauge_points = [
+            ({"event.type": e}, int(ts), float(v))
+            for e, ts, v in zip(g["event_type"], g["ts"], g["value"])
+        ]
+        day_end = int((day + 1) * _DAY_MS)
+        sum_points = []
+        for e, n in g.groupby("event_type", sort=True).size().items():
+            running[e] = running.get(e, 0) + int(n)
+            sum_points.append(({"event.type": e}, day_end,
+                               float(running[e])))
+        body = encode_export_request([
+            ({"service.name": "app"},
+             [
+                 {"name": "app.events.value", "kind": "gauge",
+                  "points": gauge_points},
+                 {"name": "app.events", "kind": "sum", "monotonic": True,
+                  "points": sum_points},
+             ]),
+        ])
+        payloads.append((bytearray(body),))
+    df = spark.createDataFrame(payloads, "payload binary")
+    build = f"{final}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    df.repartition(max(1, min(len(payloads), 16))).write.mode(
+        "overwrite"
+    ).parquet(build)
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+@query(
+    "q124_otlp_ingest",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+g AS (
+  SELECT 'app_events_value' AS metric, event_type, ts_ms AS ts, value
+  FROM s
+),
+d AS (
+  SELECT event_type, (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t,
+         count(*) AS n
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT 'app_events_total' AS metric, event_type, t AS ts,
+         CAST(sum(n) OVER (
+             PARTITION BY event_type ORDER BY t) AS DOUBLE) AS value
+  FROM d
+)
+SELECT * FROM g
+UNION ALL
+SELECT * FROM c
+ORDER BY metric, event_type, ts, value""",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP metrics ingest (`otlp.py`) — the OpenTelemetry push
+    protocol decoded straight from the public proto spec, executor-side
+    (one ``mapInPandas`` task per captured POST body, payload bytes
+    never on the driver).  The translation must be Prometheus-exact:
+    dotted names/attributes normalize to underscores, the resource's
+    ``service.name`` becomes ``job``, and the monotonic cumulative sum
+    gains ``_total`` — hash-matched vs DuckDB recomputing both metrics
+    (every gauge point; per-day running counts) from raw events."""
+    from tsdb_parquet_spark.otlp import otlp_frame
+
+    payloads = spark.read.parquet(_events_otlp_payloads(spark, sf_dir))
+    out = otlp_frame(payloads, ["__name__", "event_type", "job"])
+    return (
+        out.filter(F.col("job") == "app")
+        .select(
+            F.col("__name__").alias("metric"),
+            "event_type",
+            "ts",
+            "value",
+        )
+        .orderBy("metric", "event_type", "ts", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -7022,9 +7139,9 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (last driver-green at RECORDED index 7 == r07 — 3 recorded rounds
 # stale at the upcoming index 10, thus non-deferrable per the
 # no-consecutive-deferral rule) lead the window, followed by this
-# round's 4 debuts and the 3 r10-green rows whose implementation
-# changed in round 11, then 24 of the 50 r09-green rows (2 recorded
-# rounds stale); the remaining 26 r09-green rows are deferred WITH
+# round's 5 debuts and the 3 r10-green rows whose implementation
+# changed in round 11, then 23 of the 50 r09-green rows (2 recorded
+# rounds stale); the remaining 27 r09-green rows are deferred WITH
 # named in-window coverage below and must return in round 12.
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
@@ -7036,11 +7153,12 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 19 rows deferred in round 10 (the exact set the r10 verdict
 #     pre-committed): q05/q11/q14/q15/q18/q22/q24/q26/q27/q48/q55/
 #     q87/q88/q89/q90/q93/q95/q96/q97.
-#   * 4 debuts (never driver-checked): q120 WAL exemplars, q121 metric
+#   * 5 debuts (never driver-checked): q120 WAL exemplars, q121 metric
 #     metadata, q122 native-histogram store round-trip (signed metric,
 #     negative buckets + the bucketQuantile le<=0 rule), q123 exemplar
 #     STORE query (/api/v1/query_exemplars semantics, day-partitioned
-#     pushdown).
+#     pushdown), q124 OTLP metrics ingest (executor-side proto decode,
+#     Prometheus-exact translation).
 #   * 3 r10-green rows whose implementation changed this round and so
 #     re-enter the window: q117 (delete_samples grouped probe +
 #     max-index del numbering), q118/q119 (histogram drain batching,
@@ -7048,7 +7166,7 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q115/q116 are r10-green and UNCHANGED on their executed paths
 #     (q116's downsample_blocks got a docstring paragraph only), so
 #     they rotate behind the cap like the rest of the r10 window.
-#   * the 24 remaining slots: r09-green backlog minus the deferrals
+#   * the 23 remaining slots: r09-green backlog minus the deferrals
 #     below.
 # Deferred to round 12 (r09-green rows that no longer fit; each with
 # the in-window row(s) that still exercise its code path):
@@ -7068,6 +7186,11 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                           path feeding PromQL)
 #   q20_promql_instant_sum -> q37 (same fused PromExpr aggregation
 #                           path, sum arm under topk/binary)
+#   q32_broadcast_join   -> q120 (the BroadcastHashJoin physical
+#                           path: the drains' tiny ref->labels side is
+#                           broadcast into the record scan — the same
+#                           plan-pinned join family as q109's convert,
+#                           test_plans.py; the TPC-H arm returns r12)
 #   q34_promql_rate      -> q50 (same rate/increase counter-reset
 #                           kernel, extrapolated arm)
 #   q36_window_functions -> q61 (same ordered-window machinery —
@@ -7138,6 +7261,7 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
         "q18_label_values",
         "q122_native_histogram_store_roundtrip",
     ),
+    "q32_broadcast_join": ("q120_wal_exemplars",),
     "q20_promql_instant_sum": ("q37_promql_topk_binary",),
     "q34_promql_rate": ("q50_promql_rate_extrapolated",),
     "q36_window_functions": ("q61_gap_fill_linear",),
@@ -7198,6 +7322,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q121_wal_metric_metadata",
     "q122_native_histogram_store_roundtrip",
     "q123_exemplar_store_query",
+    "q124_otlp_ingest",
     # r10-green rows whose implementation changed in round 11
     "q117_store_delete_pass",
     "q118_native_histogram_quantile",
@@ -7205,7 +7330,6 @@ _DRIVER_PRIORITY: list[str] = [
     # r09-green backlog (2 recorded rounds stale) minus the documented
     # deferrals
     "q25_ngram_jaccard",
-    "q32_broadcast_join",
     "q35_distinct_counts",
     "q37_promql_topk_binary",
     "q40_rollup",
@@ -7234,6 +7358,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
+    "q32_broadcast_join",
     "q10_write_compact_roundtrip",
     "q16_series_select",
     "q20_promql_instant_sum",

@@ -17,6 +17,13 @@ Protocol surface (public remote-write spec):
 * success is ``204 No Content`` (2.0) / ``200`` (1.0-style) — 204 here.
 * a body that does not decompress is ``400``, not a spooled poison pill.
 
+``POST /v1/metrics`` (OTLP/HTTP, the OTel SDK default path; Prometheus
+3.x serves the same body under ``/api/v1/otlp/v1/metrics``) is also
+accepted: protobuf with optional gzip ``Content-Encoding``, success
+``200`` with an empty ``ExportMetricsServiceResponse``; bodies spool as
+``otlp-<seq>.bin`` and drain via
+`streaming.receiver.otlp_spool_ingestor` (gzip sniffed per payload).
+
 Bodies land as ``req-<seq>-v<version>.bin`` via write-to-temp + rename,
 so a concurrently running spool drain never reads a half-written file
 (the file stream source lists only published names).
@@ -45,7 +52,37 @@ def _make_handler(spool_dir: str, counter, lock: threading.Lock):
             pass
 
         def do_POST(self) -> None:
-            if self.path.rstrip("/") != "/api/v1/write":
+            path = self.path.rstrip("/")
+            if path == "/v1/metrics":
+                # OTLP/HTTP (the path OTel SDKs default to, and
+                # Prometheus 3.x serves under /api/v1/otlp): protobuf
+                # body, optional gzip Content-Encoding; success is 200
+                # with an (empty) ExportMetricsServiceResponse
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                if self.headers.get("Content-Encoding") == "gzip":
+                    import gzip
+
+                    try:
+                        gzip.decompress(body)  # validate, spool as-is
+                    except (OSError, EOFError):
+                        # BadGzipFile is OSError; a truncated stream is
+                        # EOFError — both are a client error, not spool
+                        self.send_error(400, "undecodable gzip body")
+                        return
+                with lock:
+                    seq = next(counter)
+                final = os.path.join(spool_dir, f"otlp-{seq:08d}.bin")
+                tmp = f"{final}.tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(body)
+                os.replace(tmp, final)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if path != "/api/v1/write":
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", "0"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from tsdb_parquet_spark.streaming.ingest import StreamingChunkIngestor
 
 __all__ = [
+    "otlp_spool_ingestor",
     "remote_write_spool_ingestor",
     "scrape_spool_ingestor",
 ]
@@ -40,6 +41,7 @@ def remote_write_spool_ingestor(
     chunk_span_ms: int = 24 * 3600 * 1000,
     compressed: bool = True,
     histograms: bool = False,
+    path_glob: str | None = None,
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of remote-write POST bodies (one
@@ -47,6 +49,10 @@ def remote_write_spool_ingestor(
     payload).  Run with ``ingestor.ingest(stream)`` —
     ``availableNow=True`` drains the current spool and stops, the
     cron-friendly shape; pass ``available_now=False`` to follow live.
+    For a MIXED spool (one receiver port serving remote-write AND OTLP)
+    pass ``path_glob="req-*.bin"`` — the receiver's remote-write naming
+    — so this ingestor skips the ``otlp-*`` bodies; the default takes
+    every file, preserving custom-named spools.
 
     ``histograms=True`` additionally drains native histograms riding
     on the payloads, classic-expanded (`remote_write_histogram_frame`)
@@ -84,12 +90,55 @@ def remote_write_spool_ingestor(
     )
     # binaryFile's schema is FIXED by the format but the streaming
     # source still demands it explicitly
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.load(spool_dir)
+    return ingestor, stream
+
+
+def otlp_spool_ingestor(
+    spark: SparkSession,
+    spool_dir: str,
+    root: str,
+    label_names: Sequence[str],
+    chunk_span_ms: int = 24 * 3600 * 1000,
+    path_glob: str = "otlp-*.bin",
+    **ingestor_kwargs,
+) -> tuple[StreamingChunkIngestor, DataFrame]:
+    """(ingestor, stream) for a spool of OTLP POST bodies (one file per
+    ``POST /v1/metrics`` request; protobuf, gzip sniffed per payload —
+    `otlp.otlp_frame`).  The glob defaults to the receiver's
+    ``otlp-<seq>.bin`` naming so a MIXED spool (remote-write ``req-*``
+    next to OTLP ``otlp-*``, one receiver port serving both) drains
+    each protocol through its own ingestor.  Include ``le`` /
+    ``quantile`` in ``label_names`` when histogram or summary metrics
+    ride the payloads — the expansion happens inside the decode, so
+    ``histogram_quantile`` works straight off the store."""
+    from tsdb_parquet_spark.otlp import otlp_frame
+
+    labels = list(label_names)
+
+    def to_samples(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(F.col("content").alias("payload"))
+        return otlp_frame(payloads, labels)
+
+    ingestor = StreamingChunkIngestor(
+        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+    )
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
+        .option("pathGlobFilter", path_glob)
         .load(spool_dir)
     )
     return ingestor, stream
