@@ -622,3 +622,48 @@ def test_exemplar_store_query_fully_pushed(spark, tmp_path):
         if r.job == "a" and day <= r.ts <= 3 * day
     )
     assert got == want and got
+
+
+def test_cli_exemplars_api_json(spark, tmp_path):
+    """`cli exemplars` — /api/v1/query_exemplars response shape: series
+    grouped, exemplar labels/value-string/seconds-timestamp fields, the
+    selector's matchers + range applied.  Subprocess like the other CLI
+    tests (the command stops its session on exit)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.sources.exemplars import write_exemplar_store
+
+    day = 86_400_000
+    rows = [
+        Row(__name__="m", job=("a" if i % 2 else "b"), ts=i * day,
+            value=float(i), exemplar_labels={"trace_id": f"t{i}"})
+        for i in range(6)
+    ]
+    store = str(tmp_path / "ex")
+    write_exemplar_store(spark.createDataFrame(rows), store,
+                         ["__name__", "job"])
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "exemplars",
+         'm{job="a"}', "--store", store,
+         "--start", str(day), "--end", str(3 * day), "--api-json"],
+        capture_output=True, text=True, timeout=300, cwd=cwd,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    body = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert body["status"] == "success"
+    assert len(body["data"]) == 1
+    series = body["data"][0]
+    assert series["seriesLabels"] == {"__name__": "m", "job": "a"}
+    assert series["exemplars"] == [
+        {"labels": {"trace_id": "t1"}, "value": "1.0",
+         "timestamp": day / 1000.0},
+        {"labels": {"trace_id": "t3"}, "value": "3.0",
+         "timestamp": 3 * day / 1000.0},
+    ]

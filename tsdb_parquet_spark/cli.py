@@ -154,6 +154,67 @@ def cmd_promql(args) -> int:
     return 0
 
 
+def cmd_exemplars(args) -> int:
+    """``/api/v1/query_exemplars`` over an exemplar store: a plain
+    PromQL selector plus a closed ``[start, end]`` ms range, compiled
+    to the fully pushed-down scan (`sources.exemplars.select_exemplars`).
+    ``--api-json`` prints the Prometheus response body — exemplars
+    grouped per series, values as strings, timestamps in seconds."""
+    from tsdb_parquet_spark.operators.selection import Matcher
+    from tsdb_parquet_spark.plans.promql import PromExpr, parse_promql
+    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.sources.exemplars import select_exemplars
+
+    node = parse_promql(args.query)
+    if not isinstance(node, PromExpr) or node.func or node.agg:
+        raise SystemExit(
+            "exemplars needs a plain instant selector, e.g. "
+            'app_events{event_type="click"}'
+        )
+    matchers = list(node.matchers)
+    if node.metric:
+        matchers.append(Matcher("__name__", "=", node.metric))
+    spark = get_spark(app_name="tsdb-exemplars")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    out = select_exemplars(spark, args.store, matchers, args.start, args.end)
+    rows = out.collect()
+    if args.api_json:
+        import json as _json
+
+        label_cols = [
+            c for c in out.columns
+            if c not in ("ts", "value", "exemplar_labels")
+        ]
+        by_series: dict[tuple, list] = {}
+        for row in rows:
+            key = tuple((c, row[c]) for c in label_cols if row[c])
+            by_series.setdefault(key, []).append(row)
+        result = []
+        for key, series_rows in sorted(by_series.items()):
+            result.append({
+                "seriesLabels": dict(key),
+                "exemplars": [
+                    {
+                        "labels": dict(r["exemplar_labels"] or {}),
+                        "value": repr(float(r["value"])),
+                        "timestamp": r["ts"] / 1000.0,
+                    }
+                    for r in sorted(series_rows, key=lambda r: r["ts"])
+                ],
+            })
+        print(_json.dumps({"status": "success", "data": result}))
+    else:
+        for row in rows:
+            print(row.asDict())
+    print(
+        f"# {len(rows)} exemplars in {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_convert(args) -> int:
     from pyspark.sql import functions as F
 
@@ -774,6 +835,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="print the Prometheus /api/v1/query_range "
                          "response body instead of rows")
     pq.set_defaults(fn=cmd_promql)
+
+    exq = sub.add_parser(
+        "exemplars",
+        help="query an exemplar store by PromQL selector + time range "
+             "(/api/v1/query_exemplars semantics)",
+    )
+    exq.add_argument("query",
+                     help="plain PromQL selector, e.g. "
+                          "'app_events{event_type=\"click\"}'")
+    exq.add_argument("--store", required=True,
+                     help="exemplar store dir "
+                          "(sources.exemplars.write_exemplar_store)")
+    exq.add_argument("--start", type=int, required=True,
+                     help="range start, Unix ms (closed)")
+    exq.add_argument("--end", type=int, required=True,
+                     help="range end, Unix ms (closed)")
+    exq.add_argument("--api-json", action="store_true",
+                     help="print the Prometheus /api/v1/query_exemplars "
+                          "response body instead of rows")
+    exq.set_defaults(fn=cmd_exemplars)
 
     sync = sub.add_parser(
         "sync",
