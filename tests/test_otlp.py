@@ -344,3 +344,53 @@ def test_http_otlp_end_to_end_mixed_spool(spark):
         .collect()[0]
     )
     assert row2["n"] == 2 and row2["total"] == 12.0
+
+
+def test_otlp_exemplars_decode_and_store(spark, tmp_path):
+    """OTLP exemplars (NumberDataPoint.exemplars) -> the engine's
+    exemplar frame shape -> the exemplar store -> select_exemplars:
+    trace/span ids hex-decode, filtered attributes ride along, and the
+    frame is write_exemplar_store-compatible — exemplars now flow from
+    all four ingest surfaces (WAL, remote-write, scrape, OTLP)."""
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.otlp import (
+        decode_export_exemplars,
+        otlp_exemplar_frame,
+    )
+    from tsdb_parquet_spark.sources.exemplars import (
+        select_exemplars,
+        write_exemplar_store,
+    )
+
+    body = encode_export_request([
+        ({"service.name": "app"},
+         [{"name": "req.latency", "kind": "gauge",
+           "points": [
+               ({"path": "/x"}, 1000, 0.5,
+                [(995, 0.9, {"trace_id": "0af7651916cd43dd8448eb211c80319c",
+                             "span_id": "b7ad6b7169203331",
+                             "user": "u1"})]),
+               ({"path": "/y"}, 2000, 0.7, []),
+           ]}]),
+    ])
+    got = decode_export_exemplars(body)
+    assert len(got) == 1
+    name, labels, ts, val, ex = got[0]
+    assert name == "req_latency" and labels["path"] == "/x"
+    assert labels["job"] == "app"
+    assert (ts, val) == (995, 0.9)
+    assert ex == {"trace_id": "0af7651916cd43dd8448eb211c80319c",
+                  "span_id": "b7ad6b7169203331", "user": "u1"}
+
+    payloads = spark.createDataFrame([(bytearray(body),)], "payload binary")
+    frame = otlp_exemplar_frame(payloads, ["__name__", "job", "path"])
+    store = str(tmp_path / "ex")
+    write_exemplar_store(frame, store, ["__name__", "job", "path"])
+    out = select_exemplars(
+        spark, store, [Matcher("path", EQ, "/x")], mint=0, maxt=10_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["exemplar_labels"]["trace_id"] == (
+        "0af7651916cd43dd8448eb211c80319c"
+    )
+    assert out[0]["value"] == 0.9 and out[0]["ts"] == 995

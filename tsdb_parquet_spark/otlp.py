@@ -96,8 +96,10 @@ from tsdb_parquet_spark.tsdb_wal import _put_uvarint
 
 __all__ = [
     "decode_export_samples",
+    "decode_export_exemplars",
     "encode_export_request",
     "otlp_frame",
+    "otlp_exemplar_frame",
 ]
 
 _CUMULATIVE = 2  # AggregationTemporality.CUMULATIVE
@@ -507,6 +509,176 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
 
 
 # ---------------------------------------------------------------------------
+# exemplars
+# ---------------------------------------------------------------------------
+
+
+def _decode_exemplar(data: bytes, pos: int, end: int):
+    """OTLP ``Exemplar`` (metrics.proto: filtered_attributes 7,
+    time_unix_nano 2 fixed64, as_double 3, as_int 6 sfixed64, span_id 4
+    bytes, trace_id 5 bytes) -> (ts_ms, value, labels) with trace/span
+    ids hex-encoded under ``trace_id``/``span_id``, the Prometheus OTLP
+    exemplar translation."""
+    attrs = []
+    ts = 0
+    val = None
+    labels: dict[str, str] = {}
+    for field, wire, a, b in _fields(data, pos, end):
+        if field == 7 and wire == 2:
+            attrs.append((a, b))
+        elif field == 2 and wire == 1:
+            ts = _q64(data, a) // 1_000_000
+        elif field == 3 and wire == 1:
+            val = _f64(data, a)
+        elif field == 6 and wire == 1:
+            val = float(struct.unpack_from("<q", data, a)[0])
+        elif field == 4 and wire == 2:
+            labels["span_id"] = data[a:b].hex()
+        elif field == 5 and wire == 2:
+            labels["trace_id"] = data[a:b].hex()
+    labels.update(_decode_attrs(data, attrs))
+    return ts, val, labels
+
+
+def decode_export_exemplars(
+    proto: bytes,
+) -> list[tuple[str, dict, int, float, dict]]:
+    """Exemplars riding on an ``ExportMetricsServiceRequest`` ->
+    ``(metric_name, series_labels, ts_ms, value, exemplar_labels)``
+    rows, from NumberDataPoint (field 5) and HistogramDataPoint /
+    ExponentialHistogramDataPoint (field 8 / 11) exemplars.  Series
+    labels get the same resource/attribute translation as samples; the
+    metric name is the BASE name (no ``_bucket`` suffix — an exemplar
+    belongs to the histogram, not one bucket), matching Prometheus's
+    exemplar storage keyed by series."""
+    rows: list[tuple[str, dict, int, float, dict]] = []
+    data = proto
+    for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
+        if f_rm != 1 or w_rm != 2:
+            continue
+        resource_attrs: dict[str, str] = {}
+        scope_spans: list[tuple[int, int]] = []
+        for field, wire, a, b in _fields(data, rm_a, rm_b):
+            if field == 1 and wire == 2:
+                spans = [
+                    (x, y)
+                    for ff, ww, x, y in _fields(data, a, b)
+                    if ff == 1 and ww == 2
+                ]
+                resource_attrs = _decode_attrs(data, spans)
+            elif field == 2 and wire == 2:
+                scope_spans.append((a, b))
+        base = dict(resource_attrs)
+        name_attr = base.pop("service_name", None)
+        namespace = base.pop("service_namespace", None)
+        instance = base.pop("service_instance_id", None)
+        if name_attr is not None:
+            base["job"] = (
+                f"{namespace}/{name_attr}" if namespace else name_attr
+            )
+        if instance is not None:
+            base["instance"] = instance
+        for sm_a, sm_b in scope_spans:
+            for f_m, w_m, m_a, m_b in _fields(data, sm_a, sm_b):
+                if f_m != 2 or w_m != 2:
+                    continue
+                name = ""
+                bodies = []  # (points_field_container, exemplar_field)
+                for field, wire, a, b in _fields(data, m_a, m_b):
+                    if field == 1 and wire == 2:
+                        name = _norm_name(data[a:b].decode("utf-8"))
+                    elif field in (5, 7) and wire == 2:
+                        bodies.append((a, b, 5))   # NumberDataPoint
+                    elif field == 9 and wire == 2:
+                        bodies.append((a, b, 8))   # HistogramDataPoint
+                    elif field == 10 and wire == 2:
+                        bodies.append((a, b, 11))  # Exponential
+                for c_a, c_b, ex_field in bodies:
+                    for f_p, w_p, p_a, p_b in _fields(data, c_a, c_b):
+                        if f_p != 1 or w_p != 2:
+                            continue
+                        attrs = []
+                        exemplars = []
+                        attr_field = 7 if ex_field == 5 else (
+                            9 if ex_field == 8 else 1
+                        )
+                        for f2, w2, a, b in _fields(data, p_a, p_b):
+                            if f2 == attr_field and w2 == 2:
+                                attrs.append((a, b))
+                            elif f2 == ex_field and w2 == 2:
+                                exemplars.append((a, b))
+                        if not exemplars:
+                            continue
+                        labels = dict(base)
+                        labels.update(_decode_attrs(data, attrs))
+                        for a, b in exemplars:
+                            ts, val, ex_labels = _decode_exemplar(
+                                data, a, b
+                            )
+                            if val is None:
+                                continue
+                            rows.append((name, labels, ts, val, ex_labels))
+    return rows
+
+
+def otlp_exemplar_frame(
+    payloads,
+    label_names: Sequence[str],
+    payload_col: str = "payload",
+    gzip_encoded: bool | None = None,
+    batch_rows: int = 4096,
+):
+    """Exemplars riding on OTLP POST bodies as a DataFrame
+    ``(label_names..., ts, value, exemplar_labels map)`` — shape-
+    compatible with `tsdb_wal.wal_to_exemplars_frame`, so the rows drop
+    straight into the exemplar store
+    (`sources.exemplars.write_exemplar_store`).  Same executor-side
+    decode shape as :func:`otlp_frame`."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    payloads = payloads.select(payload_col)
+    label_names = sorted(label_names)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), False) for c in label_names]
+        + [
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField(
+                "exemplar_labels",
+                T.MapType(T.StringType(), T.StringType()),
+                False,
+            ),
+        ]
+    )
+
+    def convert(batches):
+        cols = label_names + ["ts", "value", "exemplar_labels"]
+        buf: list[tuple] = []
+        for pdf in batches:
+            for body in pdf[payload_col]:
+                proto = bytes(body)
+                if gzip_encoded or (
+                    gzip_encoded is None and proto[:2] == b"\x1f\x8b"
+                ):
+                    proto = _gzip.decompress(proto)
+                for name, labels, ts, val, ex in decode_export_exemplars(
+                    proto
+                ):
+                    row = tuple(
+                        name if c == "__name__" else labels.get(c, "")
+                        for c in label_names
+                    )
+                    buf.append(row + (ts, val, ex))
+                    if len(buf) >= batch_rows:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        yield pd.DataFrame(buf, columns=cols)
+
+    return payloads.mapInPandas(convert, schema)
+
+
+# ---------------------------------------------------------------------------
 # encode (fixtures / tests / loopback senders)
 # ---------------------------------------------------------------------------
 
@@ -534,10 +706,30 @@ def _enc_double(out: bytearray, field: int, v: float) -> None:
     out += struct.pack("<d", v)
 
 
-def _enc_number_point(attrs: dict, ts_ms: int, value: float) -> bytes:
+def _enc_exemplar(ts_ms: int, value: float, labels: dict) -> bytes:
+    """OTLP ``Exemplar``: trace_id/span_id keys encode as the raw-bytes
+    fields (hex-decoded), everything else as filtered_attributes."""
+    out = bytearray()
+    _enc_fixed64(out, 2, int(ts_ms) * 1_000_000)
+    _enc_double(out, 3, float(value))
+    for k, v in labels.items():
+        if k == "trace_id":
+            _put_len_delim(out, 5, bytes.fromhex(v))
+        elif k == "span_id":
+            _put_len_delim(out, 4, bytes.fromhex(v))
+        else:
+            _put_len_delim(out, 7, _enc_keyvalue(k, str(v)))
+    return bytes(out)
+
+
+def _enc_number_point(
+    attrs: dict, ts_ms: int, value: float, exemplars=()
+) -> bytes:
     out = bytearray()
     _enc_fixed64(out, 3, int(ts_ms) * 1_000_000)
     _enc_double(out, 4, float(value))
+    for ex_ts, ex_v, ex_labels in exemplars:
+        _put_len_delim(out, 5, _enc_exemplar(ex_ts, ex_v, ex_labels))
     for k, v in attrs.items():
         _put_len_delim(out, 7, _enc_keyvalue(k, str(v)))
     return bytes(out)
@@ -577,9 +769,10 @@ def encode_export_request(resource_batches) -> bytes:
             kind = metric["kind"]
             if kind in ("gauge", "sum"):
                 body = bytearray()
-                for attrs, ts_ms, value in metric["points"]:
+                for point in metric["points"]:
+                    # (attrs, ts_ms, value[, exemplars])
                     _put_len_delim(
-                        body, 1, _enc_number_point(attrs, ts_ms, value)
+                        body, 1, _enc_number_point(*point)
                     )
                 if kind == "sum":
                     _put_key(body, 2, 0)
