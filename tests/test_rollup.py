@@ -316,3 +316,83 @@ def test_downsample_le_buckets_stay_monotone(spark):
     assert {r["job"] for r in out} == {"a", "b"}
     for r in out:
         assert 0.0 <= r["value"] <= 4.0
+
+
+def test_block_farm_routed_engine(spark, tmp_path):
+    """Routed PromQL over a raw block farm + its downsample farm:
+    routing happens BEFORE decode — an aligned query decodes only
+    rollup blocks, a misaligned one only raw blocks, and the data
+    window prunes individual blocks by meta.json; results match the
+    raw engine exactly."""
+    import os
+
+    import numpy as np
+
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.plans.routing import BlockFarmRoutedEngine
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        discover_blocks,
+        maintain_block_farm,
+        write_block,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    day = 86_400_000
+    hour = 3_600_000
+    data = str(tmp_path / "data")
+    rollups = str(tmp_path / "rollups")
+    os.makedirs(data)
+    labels = ["__name__", "job"]
+    for d0 in range(4):  # four day blocks, 8 samples each
+        ts = np.array(
+            [d0 * day + i * 3 * hour for i in range(8)], np.int64
+        )
+        vs = np.array([float(d0 * 100 + i) for i in range(8)])
+        write_block(
+            os.path.join(data, f"day{d0}"),
+            [({"__name__": "m", "job": "a"},
+              [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, vs))])],
+        )
+    maintain_block_farm(
+        spark, data, labels, now_ms=5 * day,
+        downsample_step_ms=12 * hour, downsample_dir=rollups,
+        downsample_after_ms=0, downsample_chunk_span_ms=day,
+    )
+    n_roll = len(discover_blocks(rollups))
+    assert n_roll >= 4
+
+    eng = BlockFarmRoutedEngine(
+        spark, data, rollups, labels, rollup_step_ms=12 * hour
+    )
+    raw_engine = PromQLEngine(
+        chunks_to_samples(
+            blocks_to_chunk_frame(spark, discover_blocks(data), labels),
+            labels,
+        )
+    )
+
+    # aligned: rewrites, decodes ONLY rollup blocks, matches raw
+    q = "sum by (job) (count_over_time(m[1d]))"
+    got = eng.query_range(q, day, 4 * day, day)
+    assert eng.last_rewrites == 1
+    assert eng.last_blocks_read <= n_roll  # no raw block decoded
+    want = raw_engine.query_range(q, day, 4 * day, day)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the same query over a NARROW range decodes fewer rollup blocks
+    eng.query_range(q, day, 2 * day, day)
+    assert eng.last_blocks_read < n_roll
+
+    # misaligned: no rewrite, decodes ONLY raw blocks, matches raw
+    q2 = "sum by (job) (count_over_time(m[30h]))"
+    got2 = eng.query_range(q2, day, 4 * day, day)
+    assert eng.last_rewrites == 0
+    assert eng.last_blocks_read <= 4
+    want2 = raw_engine.query_range(q2, day, 4 * day, day)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )

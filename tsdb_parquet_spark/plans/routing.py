@@ -204,3 +204,172 @@ def routed_engine(
     return RollupRoutedEngine(
         samples, rollup_step_ms, rollup_aggs=rollup_aggs, **kwargs
     )
+
+
+def _metric_names(node) -> "set[str] | None":
+    """Every selector's metric name in the (routed) AST; ``None`` when
+    any selector has no name (bare matcher selectors can't be farm-
+    classified, so the caller unions both farms)."""
+    names: set[str] = set()
+    unknown = False
+
+    def walk(n):
+        nonlocal unknown
+        if isinstance(n, PromExpr):
+            if n.metric:
+                names.add(n.metric)
+            else:
+                unknown = True
+            return
+        if hasattr(n, "__dataclass_fields__"):
+            for f in fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, (list, tuple)):
+                    for item in v:
+                        walk(item)
+                else:
+                    walk(v)
+
+    walk(node)
+    return None if unknown else names
+
+
+class _PreRoutedEngine(PromQLEngine):
+    """PromQLEngine whose routing decision was made by the caller —
+    `_route` returns the pre-computed node instead of re-deriving it."""
+
+    def __init__(self, samples, routed_node, **kwargs):
+        super().__init__(samples, **kwargs)
+        self._routed_node = routed_node
+
+    def _route(self, node, start_ms, end_ms, step_ms, lookback_ms):
+        return self._routed_node
+
+
+class BlockFarmRoutedEngine:
+    """Routed PromQL over a RAW block farm plus its downsampled
+    recording-rule farm (`tsdb_block.maintain_block_farm`'s output) —
+    route FIRST, decode SECOND.
+
+    Chunk STORES get selector pushdown for free (parquet blooms prune
+    the un-routed store's row groups), but a block farm's decode is a
+    ``mapInPandas`` pass that Catalyst cannot push filters into — so
+    this engine makes the pruning decision DRIVER-SIDE before any
+    decode task launches:
+
+    1. `rewrite_for_rollup` routes the query's aligned selectors to
+       recording-rule names;
+    2. the routed AST's metric names pick which FARM(S) to decode —
+       all-rollup queries never touch a raw block, unrewritten ones
+       never touch the rollup farm (mixed or name-less selectors union
+       both);
+    3. `data_window` + each block's meta.json ``[minTime, maxTime)``
+       prune individual blocks, so a bounded query over a multi-year
+       farm decodes a handful of blocks (the same pruning `cli promql
+       --data-dir` applies), one task per block.
+
+    ``last_rewrites`` / ``last_blocks_read`` expose the decisions for
+    plan tests and operators.  Block lists and metas re-read per query
+    (driver-side metadata only), so a maintenance tick landing between
+    queries is picked up without reopening the engine."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        downsample_dir: str,
+        label_names: Sequence[str],
+        rollup_step_ms: int,
+        rollup_aggs: Sequence[str] = ROLLUP_AGGS,
+        tombstones: str = "error",
+        **engine_kwargs,
+    ):
+        self._spark = spark
+        self.data_dir = data_dir
+        self.downsample_dir = downsample_dir
+        self._labels = list(label_names)
+        self.rollup_step_ms = int(rollup_step_ms)
+        self.rollup_aggs = tuple(rollup_aggs)
+        self._tombstones = tombstones
+        self._engine_kwargs = engine_kwargs
+        self.last_rewrites = 0
+        self.last_blocks_read = 0
+
+    def _farm_blocks(self, parent: str):
+        import json as _json
+        import os as _os
+
+        from tsdb_parquet_spark.tsdb_block import discover_blocks
+
+        out = []
+        for d in discover_blocks(parent):
+            with open(_os.path.join(d, "meta.json")) as fh:
+                meta = _json.load(fh)
+            out.append(
+                (d, int(meta.get("minTime", 0)),
+                 int(meta.get("maxTime", 1 << 62)))
+            )
+        return out
+
+    def query_range(
+        self,
+        promql: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int | None = None,
+    ):
+        from tsdb_parquet_spark.chunks import chunks_to_samples
+        from tsdb_parquet_spark.plans.promql import (
+            DEFAULT_LOOKBACK_MS,
+            data_window,
+            parse_promql,
+        )
+        from tsdb_parquet_spark.tsdb_block import blocks_to_chunk_frame
+
+        if lookback_ms is None:
+            lookback_ms = DEFAULT_LOOKBACK_MS
+        node = parse_promql(promql)
+        routed, n = rewrite_for_rollup(
+            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs
+        )
+        self.last_rewrites = n
+        names = _metric_names(routed)
+        if names is None:
+            farms = [self.downsample_dir, self.data_dir]
+        else:
+            rollup_names = {
+                nm for nm in names
+                if ":" in nm and nm.rsplit(":", 1)[1] in self.rollup_aggs
+            }
+            farms = []
+            if rollup_names:
+                farms.append(self.downsample_dir)
+            if (names - rollup_names) or not names:
+                farms.append(self.data_dir)
+        window = data_window(routed, start_ms, end_ms, lookback_ms)
+        dirs = []
+        for parent in farms:
+            for d, mint, maxt in self._farm_blocks(parent):
+                # meta maxTime is exclusive
+                if window is None or (
+                    mint <= window[1] and maxt > window[0]
+                ):
+                    dirs.append(d)
+        self.last_blocks_read = len(dirs)
+        if dirs:
+            frame = blocks_to_chunk_frame(
+                self._spark, dirs, self._labels,
+                tombstones=self._tombstones,
+            )
+            samples = chunks_to_samples(frame, self._labels)
+        else:
+            samples = self._spark.createDataFrame(
+                [],
+                ", ".join(f"`{c}` string" for c in self._labels)
+                + ", ts long, value double",
+            )
+        eng = _PreRoutedEngine(samples, routed, **self._engine_kwargs)
+        return eng.query_range(
+            promql, start_ms, end_ms, step_ms, lookback_ms=lookback_ms
+        )

@@ -1469,6 +1469,7 @@ def maintain_block_farm(
     downsample_after_ms: int = 0,
     block_span_ms: int = 24 * 3600 * 1000,
     downsample_aggs: Sequence[str] | None = None,
+    downsample_chunk_span_ms: int | None = None,
 ) -> dict:
     """ONE maintenance tick for a block farm — the operational loop a
     real long-term Prometheus store runs (Thanos compactor semantics),
@@ -1489,6 +1490,14 @@ def maintain_block_farm(
     deterministic, content-ULID'd blocks over themselves; retention's
     two-phase rename resumes half-finished deletes.  Returns
     ``{"downsampled": {src_ulid: [out_ulid...]}, "retention": {...}}``.
+
+    ``downsample_chunk_span_ms``: rollup chunk span.  The
+    `downsample_blocks` default (``step * 24``) EXCEEDS a 1-day
+    ``block_span_ms`` once ``step > 1h``, and the exporter cannot split
+    below chunk granularity — the farm then lands as one wide block.
+    Pass a span <= ``block_span_ms`` (e.g. ``block_span_ms`` itself)
+    when the rollup farm should keep the day-block layout the routed
+    query side prunes on.
     """
     report: dict = {"downsampled": {}, "retention": None}
     if downsample_step_ms is not None:
@@ -1521,6 +1530,7 @@ def maintain_block_farm(
                 step_ms=int(downsample_step_ms),
                 aggs=downsample_aggs,
                 block_span_ms=block_span_ms,
+                chunk_span_ms=downsample_chunk_span_ms,
             )
             out_ulids = [u for u, _ in out]
             # the whole pending set rolled up in ONE farm job; every
