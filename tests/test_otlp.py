@@ -394,3 +394,49 @@ def test_otlp_exemplars_decode_and_store(spark, tmp_path):
         "0af7651916cd43dd8448eb211c80319c"
     )
     assert out[0]["value"] == 0.9 and out[0]["ts"] == 995
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_attr_keys = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz._", min_size=1, max_size=8
+).filter(lambda s: s.strip("._"))
+_values = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(_attr_keys, st.text(max_size=6), max_size=3),
+            st.integers(0, 2**40),
+            _values,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_number_point_roundtrip_property(points, as_sum, monotonic):
+    """Any gauge/sum datapoint batch survives encode->decode with the
+    documented translation applied (normalized keys, _total on
+    monotonic sums, exact float64 values, ms-truncated timestamps)."""
+    from tsdb_parquet_spark.otlp import _norm_label
+
+    kind = "sum" if as_sum else "gauge"
+    body = encode_export_request([
+        ({}, [{"name": "m", "kind": kind, "monotonic": monotonic,
+               "points": points}]),
+    ])
+    got = decode_export_samples(body)
+    want_name = (
+        "m_total" if (as_sum and monotonic) else "m"
+    )
+    assert len(got) == len(points)
+    for (attrs, ts, v), (name, labels, g_ts, g_v) in zip(points, got):
+        assert name == want_name
+        assert g_ts == int(ts)
+        assert g_v == v  # float64 bit-exact through fixed64 encode
+        assert labels == {_norm_label(k): val for k, val in attrs.items()}
