@@ -440,3 +440,150 @@ def test_number_point_roundtrip_property(points, as_sum, monotonic):
         assert g_ts == int(ts)
         assert g_v == v  # float64 bit-exact through fixed64 encode
         assert labels == {_norm_label(k): val for k, val in attrs.items()}
+
+
+def _wrap_metric(m: bytes) -> bytes:
+    sm = bytearray()
+    _w_put_len_delim(sm, 2, m)
+    rm = bytearray()
+    _w_put_len_delim(rm, 2, bytes(sm))
+    req = bytearray()
+    _w_put_len_delim(req, 1, bytes(rm))
+    return bytes(req)
+
+
+from tsdb_parquet_spark.otlp import (  # noqa: E402
+    _put_key as _w_put_key,
+    _put_len_delim as _w_put_len_delim,
+    _put_uvarint as _w_put_uvarint,
+)
+
+
+def test_split_packed_chunks_concatenate():
+    """A packed repeated field split across two length-delimited chunks
+    is legal protobuf — decoders must CONCATENATE (review repro: the
+    second chunk used to clobber the first)."""
+    import struct
+
+    p = bytearray()
+    _w_put_key(p, 3, 1)
+    p += struct.pack("<Q", 1_000_000)  # ts 1ms
+    _w_put_key(p, 4, 1)
+    p += struct.pack("<Q", 6)  # count
+    _w_put_key(p, 5, 1)
+    p += struct.pack("<d", 9.0)  # sum
+    # bucket_counts [1,2] then [3] as TWO packed chunks
+    _w_put_len_delim(p, 6, struct.pack("<QQ", 1, 2))
+    _w_put_len_delim(p, 6, struct.pack("<Q", 3))
+    # explicit_bounds [0.5] then [1.0]
+    _w_put_len_delim(p, 7, struct.pack("<d", 0.5))
+    _w_put_len_delim(p, 7, struct.pack("<d", 1.0))
+    h = bytearray()
+    _w_put_len_delim(h, 1, bytes(p))
+    _w_put_key(h, 2, 0)
+    _w_put_uvarint(h, 2)  # CUMULATIVE
+    m = bytearray()
+    _w_put_len_delim(m, 1, b"lat")
+    _w_put_len_delim(m, 9, bytes(h))
+    rows = {(n, l.get("le", ""), v)
+            for n, l, t, v in decode_export_samples(_wrap_metric(bytes(m)))}
+    assert ("lat_bucket", "0.5", 1.0) in rows
+    assert ("lat_bucket", "1", 3.0) in rows  # cumulative 1+2
+    assert ("lat_bucket", "+Inf", 6.0) in rows
+
+
+def test_no_recorded_value_skips_exp_histogram_and_summary():
+    """The NO_RECORDED_VALUE staleness flag must skip EVERY point kind
+    — review repro: exp-histogram and summary points used to ingest as
+    real zero-count samples."""
+    import struct
+
+    # exponential histogram point, flags=1
+    p = bytearray()
+    _w_put_key(p, 3, 1)
+    p += struct.pack("<Q", 1_000_000)
+    _w_put_key(p, 4, 1)
+    p += struct.pack("<Q", 0)
+    _w_put_key(p, 10, 0)
+    _w_put_uvarint(p, 1)  # NO_RECORDED_VALUE
+    body = bytearray()
+    _w_put_len_delim(body, 1, bytes(p))
+    _w_put_key(body, 2, 0)
+    _w_put_uvarint(body, 2)
+    m = bytearray()
+    _w_put_len_delim(m, 1, b"e")
+    _w_put_len_delim(m, 10, bytes(body))
+    assert decode_export_samples(_wrap_metric(bytes(m))) == []
+
+    # summary point, flags=1 (field 8)
+    p2 = bytearray()
+    _w_put_key(p2, 3, 1)
+    p2 += struct.pack("<Q", 1_000_000)
+    _w_put_key(p2, 4, 1)
+    p2 += struct.pack("<Q", 5)
+    _w_put_key(p2, 8, 0)
+    _w_put_uvarint(p2, 1)
+    s = bytearray()
+    _w_put_len_delim(s, 1, bytes(p2))
+    m2 = bytearray()
+    _w_put_len_delim(m2, 1, b"s")
+    _w_put_len_delim(m2, 11, bytes(s))
+    assert decode_export_samples(_wrap_metric(bytes(m2))) == []
+
+
+def test_delta_exemplars_skipped_with_their_samples():
+    """Exemplars on a DELTA-temporality sum must be dropped with the
+    samples — review repro: they used to outlive their dropped series."""
+    from tsdb_parquet_spark.otlp import (
+        _enc_number_point,
+        decode_export_exemplars,
+    )
+
+    p = _enc_number_point({}, 1000, 5.0,
+                          [(999, 4.0, {"trace_id": "ab" * 16})])
+    body = bytearray()
+    _w_put_len_delim(body, 1, p)
+    _w_put_key(body, 2, 0)
+    _w_put_uvarint(body, 1)  # DELTA
+    _w_put_key(body, 3, 0)
+    _w_put_uvarint(body, 1)
+    m = bytearray()
+    _w_put_len_delim(m, 1, b"d")
+    _w_put_len_delim(m, 7, bytes(body))
+    req = _wrap_metric(bytes(m))
+    assert decode_export_samples(req) == []
+    assert decode_export_exemplars(req) == []
+
+
+def test_receiver_rejects_undecodable_otlp_body(tmp_path):
+    """OTLP/JSON or garbage POSTs get 400 and never spool — the
+    poison-pill contract the remote-write path already keeps (review
+    repro: they used to spool with 200 and wedge the drain)."""
+    import http.client
+    import os
+    from urllib.parse import urlparse
+
+    from tsdb_parquet_spark.sources.remote_write_server import (
+        RemoteWriteServer,
+    )
+
+    spool = str(tmp_path / "spool")
+    good = encode_export_request([
+        ({}, [{"name": "m", "kind": "gauge",
+               "points": [({}, 1000, 1.0)]}]),
+    ])
+    with RemoteWriteServer(spool) as url:
+        u = urlparse(url)
+        conn = http.client.HTTPConnection(u.hostname, u.port)
+        for body, want in (
+            (b'{"resourceMetrics": []}', 400),  # OTLP/JSON: not served
+            (b"\xff\xfe\xfd", 400),             # garbage
+            (good, 200),
+        ):
+            conn.request("POST", "/v1/metrics", body=body,
+                         headers={"Content-Type": "application/x-protobuf"})
+            resp = conn.getresponse()
+            assert resp.status == want, body[:20]
+            resp.read()
+        conn.close()
+    assert len([f for f in os.listdir(spool) if f.startswith("otlp-")]) == 1

@@ -667,3 +667,33 @@ def test_cli_exemplars_api_json(spark, tmp_path):
         {"labels": {"trace_id": "t3"}, "value": "3.0",
          "timestamp": 3 * day / 1000.0},
     ]
+
+
+def test_exemplar_store_pre_epoch_day_partition(spark, tmp_path):
+    """__day uses floor division on BOTH write and select, so pre-epoch
+    timestamps stay reachable (review finding: cast() truncated toward
+    zero on write while select floored, mispruning day -1)."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.sources.exemplars import (
+        select_exemplars,
+        write_exemplar_store,
+    )
+    from tsdb_parquet_spark.sources.writer import WriterOptions
+
+    opts = WriterOptions(sort_columns=["__name__", "ts"])
+    store = str(tmp_path / "ex")
+    rows = [
+        Row(__name__="m", ts=-1, value=1.0,
+            exemplar_labels={"trace_id": "t0"}),
+        Row(__name__="m", ts=5, value=2.0,
+            exemplar_labels={"trace_id": "t1"}),
+    ]
+    write_exemplar_store(
+        spark.createDataFrame(rows), store, ["__name__"],
+        writer_opts=opts, partition_by_day=True,
+    )
+    # the caller's options object is NOT mutated by partition_by_day
+    assert opts.partition_by == []
+    got = select_exemplars(spark, store, [], mint=-10, maxt=-1).collect()
+    assert len(got) == 1 and got[0]["ts"] == -1

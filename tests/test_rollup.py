@@ -396,3 +396,39 @@ def test_block_farm_routed_engine(spark, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+
+def test_block_farm_raw_recording_rule_name_reads_raw(spark, tmp_path):
+    """A RAW series whose user-chosen name merely looks like a
+    recording rule ('cluster:m:sum') must classify by where it came
+    from: an unrewritten query over it decodes the RAW farm, not the
+    rollup farm (review finding: name-shape classification silently
+    returned empty)."""
+    import os
+
+    import numpy as np
+
+    from tsdb_parquet_spark.plans.routing import BlockFarmRoutedEngine
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    day = 86_400_000
+    data = str(tmp_path / "data")
+    rollups = str(tmp_path / "rollups")
+    os.makedirs(data)
+    os.makedirs(rollups)
+    ts = np.array([0, 6 * 3_600_000], np.int64)
+    write_block(
+        os.path.join(data, "b0"),
+        [({"__name__": "cluster:m:sum", "job": "a"},
+          [(0, int(ts[-1]), encode_xor_chunk(ts, np.array([1.0, 2.0])))])],
+    )
+    eng = BlockFarmRoutedEngine(
+        spark, data, rollups, ["__name__", "job"], rollup_step_ms=day
+    )
+    out = eng.query_range("cluster:m:sum", 0, day, day).collect()
+    assert eng.last_rewrites == 0
+    assert eng.last_blocks_read == 1  # the raw block, despite the name
+    # instant read at t=0 sees the ts=0 sample (the 6h one is beyond
+    # the default lookback at t=day)
+    assert [(r["t"], r["value"]) for r in out] == [(0, 1.0)]

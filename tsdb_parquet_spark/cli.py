@@ -483,6 +483,7 @@ def cmd_ingest(args) -> int:
         ingestor, stream = remote_write_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, histograms=args.histograms,
+            path_glob=args.path_glob,
         )
     elif args.format == "otlp":
         ingestor, stream = otlp_spool_ingestor(
@@ -939,6 +940,10 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--spool", required=True,
                      help="directory of spooled request/capture files")
     ing.add_argument("--store", required=True)
+    ing.add_argument("--path-glob", default=None,
+                     help="only drain spool files matching this glob — "
+                          "pass req-*.bin when the spool is MIXED (one "
+                          "receiver port serving remote-write AND OTLP)")
     ing.add_argument("--format", choices=["remote-write", "scrape", "otlp"],
                      required=True)
     ing.add_argument("--labels", default="__name__,event_type,shard")

@@ -91,6 +91,7 @@ from tsdb_parquet_spark.remote_write import (
     _fields,
     _put_key,
     _put_len_delim,
+    _read_uvarint,
 )
 from tsdb_parquet_spark.tsdb_wal import _put_uvarint
 
@@ -196,27 +197,11 @@ def _buckets(data: bytes, pos: int, end: int) -> tuple[int, list[int]]:
         elif field == 2 and wire == 2:
             p = a
             while p < b:
-                v, p = _uvarint(data, p, b)
+                v, p = _read_uvarint(data, p, b)
                 counts.append(v)
         elif field == 2 and wire == 0:
             counts.append(a)
     return offset, counts
-
-
-def _uvarint(data: bytes, pos: int, end: int) -> tuple[int, int]:
-    x = 0
-    shift = 0
-    while True:
-        if pos >= end:
-            raise ValueError("truncated varint")
-        byte = data[pos]
-        pos += 1
-        x |= (byte & 0x7F) << shift
-        if not byte & 0x80:
-            return x, pos
-        shift += 7
-        if shift > 63:
-            raise ValueError("varint overflows 64 bits")
 
 
 def _downscale(offset: int, counts: list[int], steps: int):
@@ -238,7 +223,7 @@ def _downscale(offset: int, counts: list[int], steps: int):
 
 def _exp_point_to_native(data: bytes, pos: int, end: int):
     """ExponentialHistogramDataPoint -> (attr_spans, ts_ms,
-    NativeHistogram) with downscale to schema <= 8."""
+    NativeHistogram, flags) with downscale to schema <= 8."""
     from tsdb_parquet_spark.histograms import NativeHistogram
 
     attrs = []
@@ -250,6 +235,7 @@ def _exp_point_to_native(data: bytes, pos: int, end: int):
     zero_threshold = 0.0
     pos_b = (0, [])
     neg_b = (0, [])
+    flags = 0
     for field, wire, a, b in _fields(data, pos, end):
         if field == 1 and wire == 2:
             attrs.append((a, b))
@@ -267,6 +253,8 @@ def _exp_point_to_native(data: bytes, pos: int, end: int):
             pos_b = _buckets(data, a, b)
         elif field == 9 and wire == 2:
             neg_b = _buckets(data, a, b)
+        elif field == 10 and wire == 0:
+            flags = a
         elif field == 14 and wire == 1:
             zero_threshold = _f64(data, a)
     if scale < -4:
@@ -305,7 +293,34 @@ def _exp_point_to_native(data: bytes, pos: int, end: int):
         negative_spans=nspans,
         negative_buckets=nbuckets,
     )
-    return attrs, ts, h
+    return attrs, ts, h, flags
+
+
+def _resource_base(data: bytes, rm_a: int, rm_b: int):
+    """ResourceMetrics -> (base label dict with the service.* triple
+    mapped to job/instance, scope_spans) — the translation shared by
+    the sample and exemplar decoders."""
+    resource_attrs: dict[str, str] = {}
+    scope_spans: list[tuple[int, int]] = []
+    for field, wire, a, b in _fields(data, rm_a, rm_b):
+        if field == 1 and wire == 2:  # Resource
+            spans = [
+                (x, y)
+                for ff, ww, x, y in _fields(data, a, b)
+                if ff == 1 and ww == 2
+            ]
+            resource_attrs = _decode_attrs(data, spans)
+        elif field == 2 and wire == 2:
+            scope_spans.append((a, b))
+    base = dict(resource_attrs)
+    name = base.pop("service_name", None)
+    namespace = base.pop("service_namespace", None)
+    instance = base.pop("service_instance_id", None)
+    if name is not None:
+        base["job"] = f"{namespace}/{name}" if namespace else name
+    if instance is not None:
+        base["instance"] = instance
+    return base, scope_spans
 
 
 def decode_export_samples(proto: bytes) -> list[tuple[str, dict, int, float]]:
@@ -321,28 +336,7 @@ def decode_export_samples(proto: bytes) -> list[tuple[str, dict, int, float]]:
     for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
         if f_rm != 1 or w_rm != 2:
             continue
-        resource_attrs: dict[str, str] = {}
-        scope_spans: list[tuple[int, int]] = []
-        for field, wire, a, b in _fields(data, rm_a, rm_b):
-            if field == 1 and wire == 2:  # Resource
-                spans = [
-                    (x, y)
-                    for ff, ww, x, y in _fields(data, a, b)
-                    if ff == 1 and ww == 2
-                ]
-                resource_attrs = _decode_attrs(data, spans)
-            elif field == 2 and wire == 2:
-                scope_spans.append((a, b))
-        base = dict(resource_attrs)
-        # the Prometheus job/instance mapping for the service.* triple
-        name = base.pop("service_name", None)
-        namespace = base.pop("service_namespace", None)
-        instance = base.pop("service_instance_id", None)
-        if name is not None:
-            base["job"] = f"{namespace}/{name}" if namespace else name
-        if instance is not None:
-            base["instance"] = instance
-
+        base, scope_spans = _resource_base(data, rm_a, rm_b)
         for sm_a, sm_b in scope_spans:
             for f_m, w_m, m_a, m_b in _fields(data, sm_a, sm_b):
                 if f_m != 2 or w_m != 2:
@@ -431,11 +425,13 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
                     elif f == 5 and w == 1:
                         total = _f64(data, a)
                     elif f == 6 and w == 2:
-                        bucket_counts = _packed_fixed64(data, a, b)
+                        # a packed repeated field may arrive SPLIT
+                        # across chunks — parsers must concatenate
+                        bucket_counts.extend(_packed_fixed64(data, a, b))
                     elif f == 6 and w == 1:
                         bucket_counts.append(_q64(data, a))
                     elif f == 7 and w == 2:
-                        bounds = _packed_double(data, a, b)
+                        bounds.extend(_packed_double(data, a, b))
                     elif f == 7 and w == 1:
                         bounds.append(_f64(data, a))
                     elif f == 9 and w == 2:
@@ -470,7 +466,9 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
                 temporality = a
         if temporality == _CUMULATIVE:
             for a, b in points:
-                attrs, ts, h = _exp_point_to_native(data, a, b)
+                attrs, ts, h, flags = _exp_point_to_native(data, a, b)
+                if flags & _NO_RECORDED_VALUE:
+                    continue
                 rows.extend(expand_to_classic(name, lab(attrs), ts, h))
     if summ is not None:
         for f, w, p_a, p_b in _fields(data, *summ):
@@ -480,6 +478,7 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
             ts = 0
             count = 0
             total = None
+            flags = 0
             qvals: list[tuple[float, float]] = []
             for f2, w2, a, b in _fields(data, p_a, p_b):
                 if f2 == 3 and w2 == 1:
@@ -488,6 +487,8 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
                     count = _q64(data, a)
                 elif f2 == 5 and w2 == 1:
                     total = _f64(data, a)
+                elif f2 == 8 and w2 == 0:
+                    flags = a
                 elif f2 == 6 and w2 == 2:
                     q = v = 0.0
                     for f3, w3, x, _y in _fields(data, a, b):
@@ -498,6 +499,8 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
                     qvals.append((q, v))
                 elif f2 == 7 and w2 == 2:
                     attrs.append((a, b))
+            if flags & _NO_RECORDED_VALUE:
+                continue
             labels = lab(attrs)
             for q, v in qvals:
                 rows.append(
@@ -556,44 +559,34 @@ def decode_export_exemplars(
     for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
         if f_rm != 1 or w_rm != 2:
             continue
-        resource_attrs: dict[str, str] = {}
-        scope_spans: list[tuple[int, int]] = []
-        for field, wire, a, b in _fields(data, rm_a, rm_b):
-            if field == 1 and wire == 2:
-                spans = [
-                    (x, y)
-                    for ff, ww, x, y in _fields(data, a, b)
-                    if ff == 1 and ww == 2
-                ]
-                resource_attrs = _decode_attrs(data, spans)
-            elif field == 2 and wire == 2:
-                scope_spans.append((a, b))
-        base = dict(resource_attrs)
-        name_attr = base.pop("service_name", None)
-        namespace = base.pop("service_namespace", None)
-        instance = base.pop("service_instance_id", None)
-        if name_attr is not None:
-            base["job"] = (
-                f"{namespace}/{name_attr}" if namespace else name_attr
-            )
-        if instance is not None:
-            base["instance"] = instance
+        base, scope_spans = _resource_base(data, rm_a, rm_b)
         for sm_a, sm_b in scope_spans:
             for f_m, w_m, m_a, m_b in _fields(data, sm_a, sm_b):
                 if f_m != 2 or w_m != 2:
                     continue
                 name = ""
-                bodies = []  # (points_field_container, exemplar_field)
+                bodies = []  # (container_span, exemplar_field, gauge?)
                 for field, wire, a, b in _fields(data, m_a, m_b):
                     if field == 1 and wire == 2:
                         name = _norm_name(data[a:b].decode("utf-8"))
-                    elif field in (5, 7) and wire == 2:
-                        bodies.append((a, b, 5))   # NumberDataPoint
+                    elif field == 5 and wire == 2:
+                        bodies.append((a, b, 5, True))   # Gauge
+                    elif field == 7 and wire == 2:
+                        bodies.append((a, b, 5, False))  # Sum
                     elif field == 9 and wire == 2:
-                        bodies.append((a, b, 8))   # HistogramDataPoint
+                        bodies.append((a, b, 8, False))  # Histogram
                     elif field == 10 and wire == 2:
-                        bodies.append((a, b, 11))  # Exponential
-                for c_a, c_b, ex_field in bodies:
+                        bodies.append((a, b, 11, False))  # Exponential
+                for c_a, c_b, ex_field, is_gauge in bodies:
+                    if not is_gauge:
+                        # same DELTA skip as the sample decoder — an
+                        # exemplar must not outlive its (dropped) series
+                        temporality = 0
+                        for f_t, w_t, t_a, _tb in _fields(data, c_a, c_b):
+                            if f_t == 2 and w_t == 0:
+                                temporality = t_a
+                        if temporality != _CUMULATIVE:
+                            continue
                     for f_p, w_p, p_a, p_b in _fields(data, c_a, c_b):
                         if f_p != 1 or w_p != 2:
                             continue

@@ -259,10 +259,11 @@ class BlockFarmRoutedEngine:
 
     1. `rewrite_for_rollup` routes the query's aligned selectors to
        recording-rule names;
-    2. the routed AST's metric names pick which FARM(S) to decode —
-       all-rollup queries never touch a raw block, unrewritten ones
-       never touch the rollup farm (mixed or name-less selectors union
-       both);
+    2. the metric names the REWRITE introduced pick which FARM(S) to
+       decode — all-rollup queries never touch a raw block, unrewritten
+       ones never touch the rollup farm (mixed or name-less selectors
+       union both; a raw series whose user-chosen name merely looks
+       like a recording rule stays a raw read);
     3. `data_window` + each block's meta.json ``[minTime, maxTime)``
        prune individual blocks, so a bounded query over a multi-year
        farm decodes a handful of blocks (the same pruning `cli promql
@@ -334,14 +335,16 @@ class BlockFarmRoutedEngine:
             node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs
         )
         self.last_rewrites = n
+        names_before = _metric_names(node)
         names = _metric_names(routed)
-        if names is None:
+        if names is None or names_before is None:
             farms = [self.downsample_dir, self.data_dir]
         else:
-            rollup_names = {
-                nm for nm in names
-                if ":" in nm and nm.rsplit(":", 1)[1] in self.rollup_aggs
-            }
+            # only names the REWRITE introduced live in the rollup farm;
+            # a raw series that merely LOOKS like a recording rule
+            # (user-named 'cluster:cpu:sum' ingested raw) classifies by
+            # where it came from, not by name shape
+            rollup_names = names - names_before
             farms = []
             if rollup_names:
                 farms.append(self.downsample_dir)

@@ -66,10 +66,15 @@ def write_exemplar_store(
             max_files=16,
         )
     if partition_by_day:
+        # floor division (matches select_exemplars' python //, incl.
+        # pre-epoch timestamps — cast() truncates toward zero)
         frame = frame.withColumn(
-            "__day", (F.col("ts") / F.lit(_DAY_MS)).cast("long")
+            "__day",
+            F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long"),
         )
-        writer_opts.partition_by = ["__day"]
+        from dataclasses import replace as _replace
+
+        writer_opts = _replace(writer_opts, partition_by=["__day"])
     return write_sorted(frame, dest, writer_opts)
 
 

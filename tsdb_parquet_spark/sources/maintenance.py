@@ -199,6 +199,13 @@ def delete_samples(
             if path.startswith(prefix):
                 touched.add(d)
                 break
+        else:
+            # a hit we cannot attribute must FAIL the pass, not
+            # silently skip the rewrite and report success
+            raise RuntimeError(
+                f"delete_samples: probe hit {f!r} maps to no live "
+                "store dir — URI/path mismatch"
+            )
 
     writer = None
     rewritten: list[str] = []

@@ -60,16 +60,28 @@ def _make_handler(spool_dir: str, counter, lock: threading.Lock):
                 # with an (empty) ExportMetricsServiceResponse
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
+                proto = body
                 if self.headers.get("Content-Encoding") == "gzip":
                     import gzip
 
                     try:
-                        gzip.decompress(body)  # validate, spool as-is
+                        proto = gzip.decompress(body)  # spool compressed
                     except (OSError, EOFError):
                         # BadGzipFile is OSError; a truncated stream is
                         # EOFError — both are a client error, not spool
                         self.send_error(400, "undecodable gzip body")
                         return
+                # validate the PROTOBUF too (OTLP/JSON or garbage gets
+                # 400, like the module contract: a body that does not
+                # decode is never a spooled poison pill that wedges the
+                # streaming drain's checkpoint)
+                from tsdb_parquet_spark.otlp import decode_export_samples
+
+                try:
+                    decode_export_samples(proto)
+                except Exception:
+                    self.send_error(400, "undecodable OTLP body")
+                    return
                 with lock:
                     seq = next(counter)
                 final = os.path.join(spool_dir, f"otlp-{seq:08d}.bin")
