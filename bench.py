@@ -166,7 +166,9 @@ def main() -> None:
     cold_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".work",
-        "bench_cold_build",
+        # pid-scoped: a concurrent bench/pytest must never share the
+        # throwaway cold-build directory
+        f"bench_cold_build-{os.getpid()}",
     )
     shutil.rmtree(cold_dir, ignore_errors=True)
     start = time.perf_counter()

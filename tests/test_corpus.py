@@ -92,6 +92,44 @@ def test_driver_window_round11_composition():
     assert len(window) == len(set(window)) == 50
 
 
+def test_work_builders_publish_atomically():
+    """Round-11's q77 red row was a torn .work store: a builder wrote
+    directly into its final cache directory while a second process raced
+    the first build (bench prebuild vs pytest), interleaving part files.
+    Pin the invariant so the next builder can't regress it: every
+    corpus.py function that materializes a .work fixture must publish
+    through ``_staged_publish`` (or an inline ``.build-{pid}`` +
+    ``os.rename``), a pid-scoped root, or a single-object atomic
+    ``upload`` (pid-suffixed tmp + ``os.replace``)."""
+    import ast
+    import inspect
+
+    import tsdb_parquet_spark.corpus as corpus
+
+    src = inspect.getsource(corpus)
+    lines = src.splitlines()
+    builders, offenders = [], []
+    for node in ast.walk(ast.parse(src)):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        body = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+        if 'os.path.join(work, f"' not in body:
+            continue
+        builders.append(node.name)
+        if not (
+            "_staged_publish(" in body
+            or ".build-" in body
+            or "os.getpid()" in body
+            or ".upload(" in body
+        ):
+            offenders.append(node.name)
+    assert len(builders) >= 25, "AST sweep lost the builder population"
+    assert not offenders, (
+        f"builders publishing in place (tearable under concurrency): "
+        f"{offenders}"
+    )
+
+
 def _last_green_rounds():
     """(name -> latest full-pass RECORDED-round index, latest index,
     latest round's checked-name set) from the committed

@@ -49,6 +49,52 @@ def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
     return Catalog(spark, sf_dir)
 
 
+import contextlib  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+
+@contextlib.contextmanager
+def _staged_publish(final: str, marker: str | None = None):
+    """Staged build + atomic rename publish for .work fixture caches.
+
+    Yields a pid-suffixed sibling directory to build into; on exit renames
+    it over ``final``.  Two processes racing the FIRST build of a cached
+    fixture (bench prebuild vs pytest, round 11's q77) must never
+    interleave part files in the final directory — check-then-act against
+    the final path tears stores.  Every cached builder MUST publish
+    through this (or an equivalent inline ``.build-{pid}`` + ``os.rename``)
+    — ``tests/test_corpus.py::test_work_builders_publish_atomically`` pins
+    the invariant.
+
+    ``marker`` is the builder's done-file (relative to ``final``): when the
+    rename fails because ``final`` exists but the marker is absent, the
+    leftover is a torn directory from a crashed run — not a race winner —
+    and is swept so the fresh build can land."""
+    build = f"{final}.build-{os.getpid()}"
+    _shutil.rmtree(build, ignore_errors=True)
+    try:
+        yield build
+    except BaseException:
+        _shutil.rmtree(build, ignore_errors=True)
+        raise
+    try:
+        os.rename(build, final)
+        return
+    except OSError:
+        pass
+    if marker is not None and not os.path.exists(
+        os.path.join(final, marker)
+    ):
+        _shutil.rmtree(final, ignore_errors=True)
+        try:
+            os.rename(build, final)
+            return
+        except OSError:
+            pass
+    # a concurrent builder won the race — keep theirs, discard ours
+    _shutil.rmtree(build, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Q01-Q15 — reference-parity relational corpus (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
@@ -395,11 +441,15 @@ def events_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     # version tag guards against stale cached stores when the chunk format
     # or store layout changes across rounds
-    root = os.path.join(work, f"chunk_store_v2_{tag}")
+    root = os.path.join(work, f"chunk_store_v3_{tag}")
     compact_dir = os.path.join(root, "compact")
     if os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
         return compact_dir
-    return build_events_chunk_store(spark, sf_dir, compact_dir)
+    # staged build + atomic rename publish: a torn in-place store shifted
+    # q77's routed values in round 11
+    with _staged_publish(root, marker="compact/_SUCCESS") as build:
+        build_events_chunk_store(spark, sf_dir, os.path.join(build, "compact"))
+    return compact_dir
 
 
 def build_events_chunk_store(
@@ -1301,11 +1351,15 @@ def events_rollup_store(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    dest = os.path.join(work, f"rollup_store_v1_{tag}")
+    dest = os.path.join(work, f"rollup_store_v2_{tag}")
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return dest
     src = events_chunk_store(spark, sf_dir)
-    return rollup_store(spark, src, dest, _CHUNK_LABELS, step_ms=_DAY_MS)
+    # staged build + atomic rename publish (same contract as
+    # events_chunk_store — q77 reads this store)
+    with _staged_publish(dest, marker="_SUCCESS") as build:
+        rollup_store(spark, src, build, _CHUNK_LABELS, step_ms=_DAY_MS)
+    return dest
 
 
 @query(
@@ -1383,21 +1437,22 @@ def _multi_label_stores(spark: SparkSession, sf_dir: str) -> list[str]:
         F.col("value"),
     )
     specs = [
-        (out[0], ["__name__", "event_type"],
+        ("store_a", ["__name__", "event_type"],
          base.filter(F.col("event_type").isin("click", "view"))
              .select(F.lit("app_events").alias("__name__"),
                      "event_type", "ts", "value")),
-        (out[1], ["__name__", "region"],
+        ("store_b", ["__name__", "region"],
          base.filter(F.col("event_type") == "purchase")
              .select(F.lit("app_events").alias("__name__"),
                      "region", "ts", "value")),
     ]
-    for path, labels, samples in specs:
-        chunks = samples_to_chunks(samples, labels, chunk_span_ms=_DAY_MS)
-        write_sorted(
-            chunks, path,
-            WriterOptions(sort_columns=sort_columns(labels), max_files=4),
-        )
+    with _staged_publish(root, marker="store_b/_SUCCESS") as build:
+        for name, labels, samples in specs:
+            chunks = samples_to_chunks(samples, labels, chunk_span_ms=_DAY_MS)
+            write_sorted(
+                chunks, os.path.join(build, name),
+                WriterOptions(sort_columns=sort_columns(labels), max_files=4),
+            )
     return out
 
 
@@ -1655,46 +1710,47 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_dir = os.path.join(root, "compact")
 
     if not os.path.exists(os.path.join(compact_dir, "_SUCCESS")):
-        shutil.rmtree(root, ignore_errors=True)
-        # the file stream source requires a directory to watch
-        staging = os.path.join(work, f"stream_staging_{tag}")
-        shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(staging)
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(staging, "events.parquet"),
-        )
-        # schema of the staged RAW file (the catalog's view normalizes ts
-        # to int64 ns, which would not match the file for readStream)
-        events_schema = spark.read.parquet(staging).schema
-
-        def to_samples(batch):
-            return batch.select(
-                F.lit("app_events").alias("__name__"),
-                F.col("event_type"),
-                (F.col("user_id") % 8).cast("string").alias("shard"),
-                F.expr("ts div 1000000").alias("ts"),
-                F.col("value"),
+        with _staged_publish(root, marker="compact/_SUCCESS") as build:
+            # the file stream source requires a directory to watch; keep
+            # it inside the pid-scoped build dir so racing builds never
+            # share (or tear) a staged file
+            staging = os.path.join(build, ".staging")
+            os.makedirs(staging)
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(staging, "events.parquet"),
             )
+            # schema of the staged RAW file (the catalog's view normalizes
+            # ts to int64 ns, which would not match the file for readStream)
+            events_schema = spark.read.parquet(staging).schema
 
-        ingestor = StreamingChunkIngestor(
-            spark,
-            root,
-            _CHUNK_LABELS,
-            to_samples,
-            chunk_span_ms=_DAY_MS,
-        )
-        from tsdb_parquet_spark.catalog import normalize_event_time
+            def to_samples(batch):
+                return batch.select(
+                    F.lit("app_events").alias("__name__"),
+                    F.col("event_type"),
+                    (F.col("user_id") % 8).cast("string").alias("shard"),
+                    F.expr("ts div 1000000").alias("ts"),
+                    F.col("value"),
+                )
 
-        stream = normalize_event_time(
-            spark.readStream.schema(events_schema).parquet(staging)
-        ).withColumn(
-            "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-        ingestor.ingest(
-            stream, dedup_key="event_id", event_time_col="__event_time"
-        )
-        compact_dir = ingestor.finalize()
+            ingestor = StreamingChunkIngestor(
+                spark,
+                build,
+                _CHUNK_LABELS,
+                to_samples,
+                chunk_span_ms=_DAY_MS,
+            )
+            from tsdb_parquet_spark.catalog import normalize_event_time
+
+            stream = normalize_event_time(
+                spark.readStream.schema(events_schema).parquet(staging)
+            ).withColumn(
+                "__event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            ingestor.ingest(
+                stream, dedup_key="event_id", event_time_col="__event_time"
+            )
+            ingestor.finalize()
 
     q = ChunkQuerier.from_parquet(spark, compact_dir)
     samples = q.select_samples(labels=["event_type"])
@@ -2222,7 +2278,8 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, f"ivf_store_v1_{tag}")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         emb = _cat(spark, sf_dir)["embeddings"]
-        SIM.build_ivf_store(emb, store, _IVF_CENTS)
+        with _staged_publish(store, marker="_SUCCESS") as build:
+            SIM.build_ivf_store(emb, build, _IVF_CENTS)
     return SIM.ivf_store_topk(
         spark, store, _IVF_QV, _IVF_CENTS, k=5, nprobe=_IVF_NPROBE
     )
@@ -2291,18 +2348,25 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li_path = os.path.join(work, f"bucketed_{tag}", "lineitem")
     od_path = os.path.join(work, f"bucketed_{tag}", "orders")
-    if not register_bucketed(
-        spark, li_t, li_df, ["l_orderkey"], num_buckets=8, path=li_path
-    ):
-        write_bucketed(
-            li_df, li_t, ["l_orderkey"], num_buckets=8, path=li_path
-        )
-    if not register_bucketed(
-        spark, od_t, od_df, ["l_orderkey"], num_buckets=8, path=od_path
-    ):
-        write_bucketed(
-            od_df, od_t, ["l_orderkey"], num_buckets=8, path=od_path
-        )
+    for t, df_, path in ((li_t, li_df, li_path), (od_t, od_df, od_path)):
+        if register_bucketed(
+            spark, t, df_, ["l_orderkey"], num_buckets=8, path=path
+        ):
+            continue
+        # bucketed data is staged under a pid-suffixed dir (throwaway
+        # table name carries the bucket spec during the write), renamed,
+        # then re-attached at the FINAL location — racing first builds
+        # must not interleave bucket files
+        tmp_t = f"{t}_build_{os.getpid()}"
+        with _staged_publish(path, marker="_SUCCESS") as build:
+            write_bucketed(
+                df_, tmp_t, ["l_orderkey"], num_buckets=8, path=build
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_t}")
+        if not register_bucketed(
+            spark, t, df_, ["l_orderkey"], num_buckets=8, path=path
+        ):
+            raise RuntimeError(f"bucketed table {t} failed to publish")
     joined = colocated_join(spark, li_t, od_t, on=["l_orderkey"], merge=True)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "SortMergeJoin" not in plan or any(
@@ -2711,7 +2775,8 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, f"ivfpq_store_v1_{tag}")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         emb = _cat(spark, sf_dir)["embeddings"]
-        SIM.build_ivfpq_store(emb, store, _IVF_CENTS, _PQ_CB)
+        with _staged_publish(store, marker="_SUCCESS") as build:
+            SIM.build_ivfpq_store(emb, build, _IVF_CENTS, _PQ_CB)
     out = SIM.ivfpq_topk(
         spark, store, _IVF_QV, _IVF_CENTS, _PQ_CB, k=10, nprobe=_IVF_NPROBE
     )
@@ -2887,9 +2952,10 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, f"ivfpq_res_store_v1_{tag}")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         emb = _cat(spark, sf_dir)["embeddings"]
-        SIM.build_ivfpq_store(
-            emb, store, _IVF_CENTS, _PQ_CB, residual=True
-        )
+        with _staged_publish(store, marker="_SUCCESS") as build:
+            SIM.build_ivfpq_store(
+                emb, build, _IVF_CENTS, _PQ_CB, residual=True
+            )
     out = SIM.ivfpq_topk(
         spark,
         store,
@@ -4069,45 +4135,48 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the streaming file sink writes _spark_metadata, not _SUCCESS — use
     # an explicit marker touched only after the replay drains
-    done_marker = os.path.join(root, "_DONE")
-    if not os.path.exists(done_marker):
-        shutil.rmtree(root, ignore_errors=True)
-        staging = os.path.join(root, "staging")
-        ckpt = os.path.join(root, "ckpt")
-        os.makedirs(staging)
-        events = cat["events"].select(
-            F.col("user_id").cast("string").alias("user_id"),
-            F.expr("ts div 1000000").alias("ts"),
-            "value",
-        )
-        events.write.mode("overwrite").parquet(staging)
-        max_ts = events.agg(F.max("ts")).collect()[0][0]
-        if max_ts is None:
-            shutil.rmtree(root, ignore_errors=True)
-            raise RuntimeError(
-                "q76: events table is empty — cannot build session store"
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        with _staged_publish(root, marker="_DONE") as build:
+            staging = os.path.join(build, "staging")
+            ckpt = os.path.join(build, "ckpt")
+            os.makedirs(staging)
+            events = cat["events"].select(
+                F.col("user_id").cast("string").alias("user_id"),
+                F.expr("ts div 1000000").alias("ts"),
+                "value",
             )
-        delay_ms = 10_000
-        flush = spark.createDataFrame(
-            [("__flush__", int(max_ts) + _SESSION_GAP_MS + 2 * delay_ms, 0.0)],
-            "user_id STRING, ts LONG, value DOUBLE",
-        )
-        flush.coalesce(1).write.mode("append").parquet(staging)
-        stream = spark.readStream.schema(events.schema).parquet(staging)
-        closed = StreamingSessionizer(gap_ms=_SESSION_GAP_MS).apply(
-            stream, key_col="user_id", watermark_delay=f"{delay_ms // 1000} seconds"
-        )
-        handle = (
-            closed.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not handle.awaitTermination(600):
-            raise RuntimeError("AvailableNow session replay did not drain")
-        with open(done_marker, "w") as fh:
-            fh.write("ok\n")
+            events.write.mode("overwrite").parquet(staging)
+            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            if max_ts is None:
+                raise RuntimeError(
+                    "q76: events table is empty — cannot build session store"
+                )
+            delay_ms = 10_000
+            flush = spark.createDataFrame(
+                [("__flush__",
+                  int(max_ts) + _SESSION_GAP_MS + 2 * delay_ms, 0.0)],
+                "user_id STRING, ts LONG, value DOUBLE",
+            )
+            flush.coalesce(1).write.mode("append").parquet(staging)
+            stream = spark.readStream.schema(events.schema).parquet(staging)
+            closed = StreamingSessionizer(gap_ms=_SESSION_GAP_MS).apply(
+                stream,
+                key_col="user_id",
+                watermark_delay=f"{delay_ms // 1000} seconds",
+            )
+            handle = (
+                closed.writeStream.format("parquet")
+                .option("path", os.path.join(build, "out"))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not handle.awaitTermination(600):
+                raise RuntimeError(
+                    "AvailableNow session replay did not drain"
+                )
+            with open(os.path.join(build, "_DONE"), "w") as fh:
+                fh.write("ok\n")
 
     return (
         spark.read.parquet(out_dir)
@@ -4278,8 +4347,16 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     # the lifecycle MUTATES its store (compaction deletes parts, retention
-    # deletes partitions) — always rebuild from scratch, never cache
-    root = os.path.join(work, f"maint_store_{tag}")
+    # deletes partitions) — always rebuild from scratch, never cache.  The
+    # root is pid-scoped so concurrent runs (bench + pytest) never mutate
+    # the same store; stale roots from dead pids are swept here.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(work, f"maint_store_{tag}_pid*")):
+        pid = stale.rsplit("pid", 1)[-1]
+        if pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    root = os.path.join(work, f"maint_store_{tag}_pid{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
 
     ev = _cat(spark, sf_dir)["events"]
@@ -4785,7 +4862,8 @@ def _events_tsdb_block(spark: SparkSession, sf_dir: str) -> str:
                 chunks,
             )
         )
-    write_block(block_dir, series)
+    with _staged_publish(block_dir, marker="meta.json") as build:
+        write_block(build, series)
     return block_dir
 
 
@@ -4874,7 +4952,9 @@ def _block_chunk_store(spark: SparkSession, sf_dir: str) -> str:
         bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
         max_files=16,
     )
-    return write_sorted(frame, root, opts)
+    with _staged_publish(root, marker="_SUCCESS") as build:
+        write_sorted(frame, build, opts)
+    return root
 
 
 @query(
@@ -4962,28 +5042,29 @@ def _events_tsdb_block_farm(spark: SparkSession, sf_dir: str) -> list[str]:
     rows["blk"] = (rows["ts"] >= _BLOCK_CUT_1).astype(int) + (
         rows["ts"] >= _BLOCK_CUT_2
     ).astype(int)
-    for b in range(3):
-        g_all = rows[rows["blk"] == b]
-        series = []
-        for (etype, shard), g in g_all.groupby(
-            ["event_type", "shard"], sort=True
-        ):
-            chunks = []
-            for _, cg in g.groupby("bucket", sort=True):
-                ts = cg["ts"].to_numpy()
-                blob = encode_xor_chunk(ts, cg["value"].to_numpy())
-                chunks.append((int(ts[0]), int(ts[-1]), blob))
-            series.append(
-                (
-                    {
-                        "__name__": "app_events",
-                        "event_type": etype,
-                        "shard": shard,
-                    },
-                    chunks,
+    with _staged_publish(farm, marker="block2/meta.json") as build:
+        for b in range(3):
+            g_all = rows[rows["blk"] == b]
+            series = []
+            for (etype, shard), g in g_all.groupby(
+                ["event_type", "shard"], sort=True
+            ):
+                chunks = []
+                for _, cg in g.groupby("bucket", sort=True):
+                    ts = cg["ts"].to_numpy()
+                    blob = encode_xor_chunk(ts, cg["value"].to_numpy())
+                    chunks.append((int(ts[0]), int(ts[-1]), blob))
+                series.append(
+                    (
+                        {
+                            "__name__": "app_events",
+                            "event_type": etype,
+                            "shard": shard,
+                        },
+                        chunks,
+                    )
                 )
-            )
-        write_block(dirs[b], series)
+            write_block(os.path.join(build, f"block{b}"), series)
     return dirs
 
 
@@ -4999,7 +5080,6 @@ def _block_sync_store_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = _events_tsdb_block_farm(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    staging = os.path.join(work, f"block_sync_data_{tag}")
     store = os.path.join(work, f"block_sync_store_v1_{tag}")
     parts_file = os.path.join(store, "_q107_parts.json")
     if os.path.exists(parts_file):
@@ -5007,23 +5087,29 @@ def _block_sync_store_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             return read_roots(spark, json.load(fh))
     import shutil
 
+    # the watched data dir is pid-scoped scratch (symlinks only), torn
+    # down after the sync; the store publishes via staged rename
+    staging = os.path.join(work, f"block_sync_data_{tag}-{os.getpid()}")
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(store, ignore_errors=True)
     os.makedirs(staging, exist_ok=True)
-    for d in dirs[:2]:
-        os.symlink(d, os.path.join(staging, os.path.basename(d)))
-    r1 = sync_blocks(spark, staging, store, _CHUNK_LABELS)
-    os.symlink(dirs[2], os.path.join(staging, os.path.basename(dirs[2])))
-    r2 = sync_blocks(spark, staging, store, _CHUNK_LABELS)
-    assert len(r1["converted"]) == 2 and len(r2["converted"]) == 1
-    parts = [r1["part"], r2["part"]]
-    # atomic publish: a crash mid-write must not leave a truncated
-    # marker that later runs would trust
-    tmp = parts_file + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(parts, fh)
-    os.replace(tmp, parts_file)
-    return read_roots(spark, parts)
+    try:
+        with _staged_publish(store, marker="_q107_parts.json") as build:
+            for d in dirs[:2]:
+                os.symlink(d, os.path.join(staging, os.path.basename(d)))
+            r1 = sync_blocks(spark, staging, build, _CHUNK_LABELS)
+            os.symlink(
+                dirs[2], os.path.join(staging, os.path.basename(dirs[2]))
+            )
+            r2 = sync_blocks(spark, staging, build, _CHUNK_LABELS)
+            assert len(r1["converted"]) == 2 and len(r2["converted"]) == 1
+            # part paths are recorded relative to the FINAL store location
+            parts = [p.replace(build, store) for p in (r1["part"], r2["part"])]
+            with open(os.path.join(build, "_q107_parts.json"), "w") as fh:
+                json.dump(parts, fh)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    with open(parts_file) as fh:
+        return read_roots(spark, json.load(fh))
 
 
 @query(

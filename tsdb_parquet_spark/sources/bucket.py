@@ -126,7 +126,9 @@ class FilesystemBucket:
     def upload(self, name: str, data: bytes) -> None:
         p = self._path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        # pid-suffixed temp: concurrent uploaders of the same object must
+        # not interleave writes into a shared .tmp before the atomic PUT
+        tmp = f"{p}.tmp-{os.getpid()}"
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, p)  # atomic like object-store PUT
