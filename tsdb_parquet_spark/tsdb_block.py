@@ -376,20 +376,45 @@ def write_index(
     toc_label_offsets = len(out)
     out += _section(struct.pack(">I", 0))
 
-    # postings: just the spec-guaranteed all-series entry ("", "")
+    # postings: one list per (label, value) pair plus the spec-guaranteed
+    # all-series entry ("", "").  Prometheus's index reader resolves every
+    # matcher through the postings offset table (tsdb/index/index.go
+    # writePostings), so a block carrying only the all entry reads as
+    # EMPTY to a real Prometheus — and the per-pair entries double as the
+    # driver-side farm-name probe (`index_label_values`).
+    by_pair: dict[tuple[str, str], list[int]] = {}
+    for ref, (labels, _metas) in zip(series_refs, series):
+        for name in labels:
+            by_pair.setdefault((name, labels[name]), []).append(ref)
     toc_postings = len(out)
     all_off = len(out)
     content = bytearray(struct.pack(">I", len(series_refs)))
     for ref in series_refs:
         content += struct.pack(">I", ref)
     out += _section(bytes(content))
+    pair_offs: list[tuple[str, str, int]] = []
+    for name, value in sorted(by_pair):
+        refs = by_pair[(name, value)]  # ascending: series order = ref order
+        pair_offs.append((name, value, len(out)))
+        content = bytearray(struct.pack(">I", len(refs)))
+        for ref in refs:
+            content += struct.pack(">I", ref)
+        out += _section(bytes(content))
 
+    # offset table entries sorted by (name, value); ("", "") sorts first
     toc_postings_offsets = len(out)
-    content = bytearray(struct.pack(">I", 1))
+    content = bytearray(struct.pack(">I", 1 + len(pair_offs)))
     _put_uvarint(content, 2)  # parts: name, value
     _put_uvarint(content, 0)  # len("")
     _put_uvarint(content, 0)  # len("")
     _put_uvarint(content, all_off)
+    for name, value, off in pair_offs:
+        _put_uvarint(content, 2)
+        for part in (name, value):
+            raw = part.encode()
+            _put_uvarint(content, len(raw))
+            content += raw
+        _put_uvarint(content, off)
     out += _section(bytes(content))
 
     toc = struct.pack(
@@ -417,6 +442,43 @@ def _read_section(buf: bytes, off: int) -> bytes:
             f"(got {got:#x}, want {want:#x})"
         )
     return content
+
+
+def index_label_values(block_dir: str, label: str) -> list[str]:
+    """All values of ``label`` present in a block — read from the index's
+    postings offset table ONLY (TOC + one section; no symbol table, no
+    series-section walk).  The offset table enumerates every
+    (label name, value) posting entry with the strings inline
+    (tsdb/docs/format/index.md, "postings offset table"), so this is the
+    cheap driver-side existence probe farm routing uses to decide whether
+    a selector's ``__name__`` lives in a farm before any decode task
+    launches."""
+    buf = open(os.path.join(block_dir, "index"), "rb").read()
+    magic, version = struct.unpack_from(">IB", buf, 0)
+    if magic != INDEX_MAGIC:
+        raise ValueError(f"not a TSDB index file (magic {magic:#x})")
+    if version != 2:
+        raise ValueError(f"unsupported index version {version} (only v2)")
+    toc_off = len(buf) - 52
+    toc = struct.unpack_from(">QQQQQQ", buf, toc_off)
+    (toc_crc,) = struct.unpack_from(">I", buf, toc_off + 48)
+    if crc32c(buf[toc_off : toc_off + 48]) != toc_crc:
+        raise ValueError("index TOC crc32c mismatch")
+    po_content = _read_section(buf, toc[5])
+    (n_entries,) = struct.unpack_from(">I", po_content, 0)
+    pos = 4
+    values = []
+    for _ in range(n_entries):
+        n_parts, pos = _read_uvarint(po_content, pos)
+        parts = []
+        for _ in range(n_parts):
+            ln, pos = _read_uvarint(po_content, pos)
+            parts.append(po_content[pos : pos + ln].decode())
+            pos += ln
+        _, pos = _read_uvarint(po_content, pos)  # posting list offset
+        if len(parts) == 2 and parts[0] == label:
+            values.append(parts[1])
+    return values
 
 
 def read_index(
