@@ -144,6 +144,7 @@ def main() -> None:
         "q122_native_histogram_store_roundtrip",
         "q123_exemplar_store_query",
         "q124_otlp_ingest",
+        "q125_otlp_histogram_ingest",
     ):
         qs[fixture_q](spark, sf_dir)
     store_build["round10_11_fixtures"] = round(

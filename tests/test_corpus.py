@@ -52,42 +52,51 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round11_composition():
+def test_driver_window_round12_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-11 window so an accidental registry edit cannot silently push a
+    round-12 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import REGISTRY
 
     window = list(REGISTRY)[:50]
     must_be_in = {
-        # the 19 round-10 deferrals, due back (no consecutive
-        # deferrals) — last driver green r07 (recorded index 7)
-        "q05_distinct", "q11_predicate_order", "q14_multi_projection",
-        "q15_empty_result", "q18_label_values", "q22_exact_dedup",
-        "q24_simhash", "q26_cosine_topk", "q27_ann_lsh_topk",
-        "q48_stratified_sample", "q55_promql_changes",
-        "q87_bucket_ranged_read", "q88_promql_scalar_arithmetic",
-        "q89_streaming_rollup", "q90_pq_adc_topk",
-        "q93_exact_substring_spans", "q95_media_transform",
-        "q96_sq8_quantized_topk", "q97_ivfpq_residual_topk",
-        # round-11 debuts
-        "q120_wal_exemplars", "q121_wal_metric_metadata",
-        "q122_native_histogram_store_roundtrip",
-        "q123_exemplar_store_query", "q124_otlp_ingest",
-        # r10-green rows whose implementation changed in round 11
-        "q117_store_delete_pass", "q118_native_histogram_quantile",
-        "q119_native_histogram_fraction",
+        # the 27 round-11 deferrals, due back (no consecutive
+        # deferrals) — last driver green r09 (recorded index 8) —
+        # plus q77, the r11 red row re-entering for its re-green
+        "q01_scan_project", "q02_eq_filter", "q03_range_filter",
+        "q04_conjunction", "q10_write_compact_roundtrip",
+        "q16_series_select", "q20_promql_instant_sum",
+        "q32_broadcast_join", "q34_promql_rate", "q36_window_functions",
+        "q42_promql_window_gt_step", "q45_multi_store_merge",
+        "q49_promql_on_group_left", "q56_promql_quantile_over_time",
+        "q59_ivf_assign", "q63_weighted_sample", "q65_rollup_store",
+        "q73_promql_time_functions", "q76_streaming_sessionize",
+        "q77_rollup_routing", "q79_promql_sort_desc",
+        "q92_semantic_dedup", "q101_png_pixel_pipeline",
+        "q107_multi_block_convert", "q108_wal_head_drain",
+        "q109_data_dir_convert", "q110_promql_staleness",
+        "q112_block_export_roundtrip",
+        # round-12 debut
+        "q125_otlp_histogram_ingest",
+        # rows whose implementation changed in round 12 (routing guard,
+        # write_index postings, bounded OTLP bodies, staged builders)
+        "q21_streaming_ingest", "q82_rollup_subquery_routing",
+        "q83_store_maintenance", "q84_ivf_partitioned_store",
+        "q86_bucketed_colocated_join", "q91_ivfpq_store_topk",
+        "q97_ivfpq_residual_topk", "q105_tsdb_block_convert",
+        "q106_block_convert_promql", "q114_block_compaction",
+        "q116_block_farm_maintenance", "q124_otlp_ingest",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
-    # the remaining slots hold r09-green backlog — nothing ELSE that is
-    # r10-green (1 recorded round stale) may occupy a slot while
-    # 2-rounds-stale r09 rows wait outside.
+    # the remaining slots hold 2-rounds-stale r10-green backlog —
+    # nothing ELSE that is r11-green (1 recorded round stale) may occupy
+    # a slot while 2-rounds-stale r10 rows wait outside.
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r10_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r10.json"))))
-    overlap = (r10_green & set(window)) - must_be_in
+    r11_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r11.json"))))
+    overlap = (r11_green & set(window)) - must_be_in
     assert not overlap, sorted(overlap)
     assert len(window) == len(set(window)) == 50
 

@@ -403,3 +403,32 @@ def test_delete_samples_del_dir_numbers_past_max_index(spark, tmp_path):
     )
     assert len(rep["rewritten"]) == 1
     assert os.path.basename(rep["rewritten"][0]) == "part.del00000008"
+
+
+def test_delete_samples_through_symlinked_store_path(spark, tmp_path):
+    """A symlink component in the store path must not break probe-hit
+    attribution: Spark reports symlink-RESOLVED file URIs while the
+    caller passed the unresolved path — realpath-normalizing both sides
+    keeps the hits attributable (r11 advice: abspath-only matching
+    turned a working delete pass into the unattributable-hit raise)."""
+    import os
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.maintenance import delete_samples
+
+    day = 86_400_000
+    real_root = str(tmp_path / "real_store")
+    _delete_fixture_store(spark, real_root)
+    link_parent = tmp_path / "link_parent"
+    os.makedirs(link_parent)
+    link_root = str(link_parent / "store")
+    os.symlink(real_root, link_root)
+
+    rep = delete_samples(
+        spark, link_root,
+        [Matcher("job", EQ, "a")],
+        mint=day, maxt=day + 12 * 3_600_000,
+        label_names=["__name__", "job"],
+    )
+    assert rep["samples_deleted"] == 3
+    assert len(rep["rewritten"]) == 1

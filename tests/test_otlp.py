@@ -587,3 +587,89 @@ def test_receiver_rejects_undecodable_otlp_body(tmp_path):
             resp.read()
         conn.close()
     assert len([f for f in os.listdir(spool) if f.startswith("otlp-")]) == 1
+
+
+def test_otlp_monotonic_sum_exemplars_follow_total_suffix():
+    """Monotonic-cumulative-sum SAMPLES rename to '<name>_total'
+    (Prometheus OTLP translation); the exemplar walk must apply the
+    SAME suffix or query_exemplars with the selector users actually
+    query (x_total) finds nothing (r11 advice)."""
+    from tsdb_parquet_spark.otlp import (
+        decode_export_exemplars,
+        decode_export_samples,
+    )
+
+    body = encode_export_request([
+        ({"service.name": "app"},
+         [{"name": "requests", "kind": "sum", "monotonic": True,
+           "points": [
+               ({"code": "200"}, 1000, 5.0,
+                [(998, 1.0, {"trace_id": "00" * 16})]),
+           ]},
+          {"name": "queue.size", "kind": "sum", "monotonic": False,
+           "points": [
+               ({}, 1000, 3.0, [(999, 2.0, {})]),
+           ]}]),
+    ])
+    sample_names = {s[0] for s in decode_export_samples(body)}
+    exemplar_names = {e[0] for e in decode_export_exemplars(body)}
+    assert "requests_total" in sample_names
+    assert exemplar_names == sample_names == {
+        "requests_total", "queue_size"
+    }
+
+
+def test_otlp_double_attribute_values_render_go_style():
+    """Double-typed attribute values must render with Go shortest-'g'
+    formatting ('1', '1e+16'), matching the Prometheus translation and
+    this module's le rendering — not Python repr ('1.0')."""
+    import struct as _struct
+
+    from tsdb_parquet_spark.otlp import _decode_any_value
+
+    def any_double(v: float) -> bytes:
+        return b"\x21" + _struct.pack("<d", v)  # field 4, wire 1
+
+    for v, want in ((1.0, "1"), (1e16, "1e+16"), (0.25, "0.25"),
+                    (-2.5, "-2.5")):
+        buf = any_double(v)
+        assert _decode_any_value(buf, 0, len(buf)) == want, v
+
+
+def test_otlp_target_info_mode():
+    """resource_attrs='target_info' reproduces the Prometheus 3.x
+    resource translation: samples carry only job/instance, and each
+    resource batch with leftover attributes emits one
+    target_info{job,instance,<attrs>} = 1 sample at the batch's latest
+    timestamp.  The default mode keeps the documented merge."""
+    from tsdb_parquet_spark.otlp import decode_export_samples
+
+    body = encode_export_request([
+        ({"service.name": "app", "service.instance.id": "i1",
+          "deployment.environment": "prod"},
+         [{"name": "m", "kind": "gauge",
+           "points": [({}, 1000, 1.0), ({}, 3000, 2.0)]}]),
+        # a resource with NO leftover attrs must not emit target_info
+        ({"service.name": "bare"},
+         [{"name": "m", "kind": "gauge", "points": [({}, 500, 9.0)]}]),
+    ])
+    # default: merged labels, no target_info
+    merged = decode_export_samples(body)
+    assert all(n != "target_info" for n, *_ in merged)
+    assert any(lbl.get("deployment_environment") == "prod"
+               for _, lbl, *_ in merged)
+    # target_info mode
+    rows = decode_export_samples(body, resource_attrs="target_info")
+    samples = [r for r in rows if r[0] == "m"]
+    infos = [r for r in rows if r[0] == "target_info"]
+    assert all("deployment_environment" not in lbl
+               for _, lbl, *_ in samples)
+    assert len(infos) == 1
+    name, lbl, ts, val = infos[0]
+    assert lbl == {"job": "app", "instance": "i1",
+                   "deployment_environment": "prod"}
+    assert (ts, val) == (3000, 1.0)  # latest batch timestamp
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_export_samples(body, resource_attrs="nope")

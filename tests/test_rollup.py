@@ -513,3 +513,43 @@ def test_block_farm_literal_selector_collides_with_rewrite(spark, tmp_path):
     assert eng.last_rewrites == 1
     # both arms evaluate over the rollup farm: 36 + 36
     assert [(r["t"], r["value"]) for r in out] == [(2 * day, 72.0)]
+
+
+def test_downsample_default_chunk_span_clamped_to_block_span(
+    spark, tmp_path
+):
+    """The DEFAULT downsample chunk span must not exceed the block
+    span: a 12h-step farm would otherwise build 12-day chunks, forcing
+    export_blocks to widen one block around them — one giant block, no
+    per-block pruning.  With the clamp, the default produces the same
+    day-block farm an explicit chunk_span_ms=block_span_ms does."""
+    import os
+
+    import numpy as np
+
+    from tsdb_parquet_spark.tsdb_block import (
+        discover_blocks,
+        downsample_blocks,
+        write_block,
+    )
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    day = 86_400_000
+    hour = 3_600_000
+    data = str(tmp_path / "data")
+    rollups = str(tmp_path / "rollups")
+    os.makedirs(data)
+    ts = np.array([i * 6 * hour for i in range(16)], np.int64)  # 4 days
+    write_block(
+        os.path.join(data, "b0"),
+        [({"__name__": "m", "job": "a"},
+          [(int(ts[0]), int(ts[-1]),
+            encode_xor_chunk(ts, np.arange(16, dtype=float)))])],
+    )
+    downsample_blocks(
+        spark, [os.path.join(data, "b0")], rollups,
+        ["__name__", "job"], step_ms=12 * hour,
+    )
+    # un-clamped default span would be 12h*24 = 12 days -> ONE block;
+    # clamped, the 4-day range lands as one block per day window
+    assert len(discover_blocks(rollups)) >= 4

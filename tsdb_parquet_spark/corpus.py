@@ -6194,7 +6194,7 @@ def _events_maintained_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    final = os.path.join(work, f"maintained_blocks_{tag}")
+    final = os.path.join(work, f"maintained_blocks_v2_{tag}")
     marker = os.path.join(final, "_DONE.json")
     if os.path.exists(marker):
         return os.path.join(final, "rollups")
@@ -7093,6 +7093,12 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ts", "trace_id")
 
 
+#: gauge datapoints per captured OTLP body — keeps each body at the ~MiB
+#: scale real exporters batch at, so sf growth adds bodies (tasks), not
+#: per-body serial decode work
+_OTLP_MAX_POINTS = 2000
+
+
 def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf) captured OTLP POST bodies from events: one
     ``ExportMetricsServiceRequest`` per day carrying (a) a GAUGE
@@ -7102,14 +7108,18 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
     so both the per-point translation and the ``_total``-suffix rule
     are part of the hash.  Resource carries ``service.name=app``
     (→ ``job``).  Driver-side build like the remote-write capture; the
-    decode q124 measures is one ``mapInPandas`` task per payload."""
-    import shutil
+    decode q124 measures is one ``mapInPandas`` task per payload.
 
+    Bodies are BOUNDED (≤ ``_OTLP_MAX_POINTS`` gauge points each, like
+    real exporters' ~MiB batch limits): growing the data grows the BODY
+    COUNT, not the per-body byte size, so the decode stays
+    task-parallel at every sf — the v1 one-body-per-day shape made the
+    sf1 probe measure serial in-body decode (r11 finding #3)."""
     from tsdb_parquet_spark.otlp import encode_export_request
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    final = os.path.join(work, f"otlp_payloads_{tag}")
+    final = os.path.join(work, f"otlp_payloads_v2_{tag}")
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
     ev = _cat(spark, sf_dir)["events"]
@@ -7136,26 +7146,30 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
             running[e] = running.get(e, 0) + int(n)
             sum_points.append(({"event.type": e}, day_end,
                                float(running[e])))
-        body = encode_export_request([
-            ({"service.name": "app"},
-             [
-                 {"name": "app.events.value", "kind": "gauge",
-                  "points": gauge_points},
-                 {"name": "app.events", "kind": "sum", "monotonic": True,
-                  "points": sum_points},
-             ]),
-        ])
-        payloads.append((bytearray(body),))
+        # the day's sum datapoints ride the first body; gauge points
+        # split across as many bounded bodies as the day needs
+        chunks = [
+            gauge_points[i : i + _OTLP_MAX_POINTS]
+            for i in range(0, len(gauge_points), _OTLP_MAX_POINTS)
+        ] or [[]]
+        for i, chunk in enumerate(chunks):
+            metrics = [
+                {"name": "app.events.value", "kind": "gauge",
+                 "points": chunk},
+            ]
+            if i == 0:
+                metrics.append(
+                    {"name": "app.events", "kind": "sum",
+                     "monotonic": True, "points": sum_points}
+                )
+            body = encode_export_request([({"service.name": "app"},
+                                           metrics)])
+            payloads.append((bytearray(body),))
     df = spark.createDataFrame(payloads, "payload binary")
-    build = f"{final}.build-{os.getpid()}"
-    shutil.rmtree(build, ignore_errors=True)
-    df.repartition(max(1, min(len(payloads), 16))).write.mode(
-        "overwrite"
-    ).parquet(build)
-    try:
-        os.rename(build, final)
-    except OSError:
-        shutil.rmtree(build, ignore_errors=True)
+    with _staged_publish(final, marker="_SUCCESS") as build:
+        df.repartition(max(1, min(len(payloads), 32))).write.mode(
+            "overwrite"
+        ).parquet(build)
     return final
 
 
@@ -7210,6 +7224,240 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_otlp_hist_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) captured OTLP bodies carrying the NON-scalar
+    point kinds over the events table, one datapoint per (day,
+    event_type) at day-end: a classic HISTOGRAM of the day's values
+    (fixed explicit bounds), an EXPONENTIAL histogram at scale 0 (one
+    base-2 bucket per occupied power-of-two range, zero bucket for
+    v <= 0), and a SUMMARY whose quantile values are the day's min/max
+    (q0/q1 — engine-independent, so DuckDB can recompute them exactly).
+    Bodies are bounded the same way as `_events_otlp_payloads` (one per
+    day here — 3 points/day can't grow with sf)."""
+    import math
+
+    from tsdb_parquet_spark.histograms import NativeHistogram
+    from tsdb_parquet_spark.otlp import encode_export_request
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"otlp_hist_payloads_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000").alias("ts"),
+            "value",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_type", "value"], kind="mergesort")
+    )
+    rows["day"] = rows["ts"] // _DAY_MS
+
+    def exp_native(values) -> NativeHistogram:
+        # same convention the decode path lands on: positive bucket i
+        # covers (2**(i-1), 2**i]; v <= 0 goes to the zero bucket.  The
+        # index is found WITHOUT log2 (min k with v <= 2**k) so the
+        # DuckDB oracle can reproduce it bit-exactly with power(2, k).
+        idx_counts: dict[int, int] = {}
+        zero = 0
+        for v in values:
+            if v <= 0:
+                zero += 1
+                continue
+            k = _OTLP_EXP_KMIN
+            while 2.0**k < v:
+                k += 1
+            idx_counts[k] = idx_counts.get(k, 0) + 1
+        # span runs over the sorted occupied indexes (offsets relative
+        # to the previous run's end, the NativeHistogram convention)
+        spans = []
+        idxs = sorted(idx_counts)
+        i = 0
+        prev_end = 0
+        while i < len(idxs):
+            j = i
+            while j + 1 < len(idxs) and idxs[j + 1] == idxs[j] + 1:
+                j += 1
+            spans.append((idxs[i] - prev_end, j - i + 1))
+            prev_end = idxs[j] + 1
+            i = j + 1
+        buckets = [float(idx_counts[k]) for k in idxs]
+        return NativeHistogram(
+            schema=0,
+            count=float(len(values)),
+            sum=float(math.fsum(values)),
+            zero_threshold=0.0,
+            zero_count=float(zero),
+            positive_spans=tuple(spans),
+            positive_buckets=tuple(buckets),
+        )
+
+    payloads = []
+    for day, g in rows.groupby("day", sort=True):
+        day_end = int((day + 1) * _DAY_MS)
+        hist_points, exp_points, summ_points = [], [], []
+        for e, ge in g.groupby("event_type", sort=True):
+            vals = [float(v) for v in ge["value"]]
+            counts = [0] * (len(_OTLP_HIST_BOUNDS) + 1)
+            for v in vals:
+                for i, ub in enumerate(_OTLP_HIST_BOUNDS):
+                    if v <= ub:
+                        counts[i] += 1
+                        break
+                else:
+                    counts[-1] += 1
+            total = float(math.fsum(vals))
+            hist_points.append(
+                ({"event.type": e}, day_end, len(vals), total,
+                 list(_OTLP_HIST_BOUNDS), counts)
+            )
+            exp_points.append(({"event.type": e}, day_end,
+                               exp_native(vals)))
+            summ_points.append(
+                ({"event.type": e}, day_end, len(vals), total,
+                 [(0.0, min(vals)), (1.0, max(vals))])
+            )
+        body = encode_export_request([
+            ({"service.name": "app"},
+             [
+                 {"name": "evt.val.hist", "kind": "histogram",
+                  "points": hist_points},
+                 {"name": "evt.val.exp",
+                  "kind": "exponential_histogram", "points": exp_points},
+                 {"name": "evt.val.q", "kind": "summary",
+                  "points": summ_points},
+             ]),
+        ])
+        payloads.append((bytearray(body),))
+    df = spark.createDataFrame(payloads, "payload binary")
+    with _staged_publish(final, marker="_SUCCESS") as build:
+        df.repartition(max(1, min(len(payloads), 32))).write.mode(
+            "overwrite"
+        ).parquet(build)
+    return final
+
+
+_OTLP_HIST_BOUNDS = (10.0, 50.0, 100.0, 200.0)
+_OTLP_EXP_KMIN = -9  # smallest base-2 bucket probed (2**-9 < any v > 0)
+
+
+@query(
+    "q125_otlp_histogram_ingest",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+d AS (
+  SELECT event_type, (ts_ms // {_DAY_MS} + 1) * {_DAY_MS} AS t, value
+  FROM s
+),
+-- classic histogram: cumulative counts per explicit bound + +Inf
+edges(le_num, le) AS (VALUES (10.0, '10'), (50.0, '50'),
+                             (100.0, '100'), (200.0, '200')),
+hb AS (
+  SELECT 'evt_val_hist_bucket' AS metric, d.event_type, d.t,
+         e.le AS le,
+         CAST(count(*) FILTER (WHERE d.value <= e.le_num) AS DOUBLE)
+             AS value
+  FROM d CROSS JOIN edges e GROUP BY 1, 2, 3, 4
+),
+hinf AS (
+  SELECT 'evt_val_hist_bucket' AS metric, event_type, t,
+         '+Inf' AS le, CAST(count(*) AS DOUBLE) AS value
+  FROM d GROUP BY 1, 2, 3
+),
+hcs AS (
+  SELECT event_type, t, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(value), 2) AS sv,
+         round(min(value), 2) AS mn, round(max(value), 2) AS mx
+  FROM d GROUP BY 1, 2
+),
+-- exponential histogram at scale 0 (Go-'g' le strings, exact for
+-- powers of two): v <= 0 in the zero bucket (le '0', k sentinel -999),
+-- else the smallest k in [{_OTLP_EXP_KMIN}, 10] with v <= 2**k
+exple(k, le) AS (VALUES
+  (-999, '0'), (-9, '0.001953125'), (-8, '0.00390625'),
+  (-7, '0.0078125'), (-6, '0.015625'), (-5, '0.03125'), (-4, '0.0625'),
+  (-3, '0.125'), (-2, '0.25'), (-1, '0.5'), (0, '1'), (1, '2'),
+  (2, '4'), (3, '8'), (4, '16'), (5, '32'), (6, '64'), (7, '128'),
+  (8, '256'), (9, '512'), (10, '1024')),
+ek AS (
+  SELECT event_type, t,
+         CASE WHEN value <= 0 THEN -999
+              ELSE (SELECT min(k)
+                    FROM range({_OTLP_EXP_KMIN}, 11) tk(k)
+                    WHERE value <= power(2.0, k)) END AS k
+  FROM d
+),
+eb AS (
+  SELECT 'evt_val_exp_bucket' AS metric, ek.event_type, ek.t,
+         exple.le AS le,
+         CAST(sum(count(*)) OVER (
+             PARTITION BY ek.event_type, ek.t ORDER BY ek.k
+         ) AS DOUBLE) AS value
+  FROM ek JOIN exple USING (k)
+  GROUP BY ek.event_type, ek.t, ek.k, exple.le
+),
+einf AS (
+  SELECT 'evt_val_exp_bucket' AS metric, event_type, t,
+         '+Inf' AS le, CAST(count(*) AS DOUBLE) AS value
+  FROM d GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT * FROM hb
+  UNION ALL SELECT * FROM hinf
+  UNION ALL SELECT * FROM eb
+  UNION ALL SELECT * FROM einf
+  UNION ALL SELECT 'evt_val_hist_count', event_type, t, '', n FROM hcs
+  UNION ALL SELECT 'evt_val_hist_sum', event_type, t, '', sv FROM hcs
+  UNION ALL SELECT 'evt_val_exp_count', event_type, t, '', n FROM hcs
+  UNION ALL SELECT 'evt_val_exp_sum', event_type, t, '', sv FROM hcs
+  UNION ALL SELECT 'evt_val_q_count', event_type, t, '', n FROM hcs
+  UNION ALL SELECT 'evt_val_q_sum', event_type, t, '', sv FROM hcs
+  UNION ALL SELECT 'evt_val_q', event_type, t, '0', mn FROM hcs
+  UNION ALL SELECT 'evt_val_q', event_type, t, '1', mx FROM hcs
+)
+SELECT metric, event_type, t AS ts, le, value
+FROM u ORDER BY metric, event_type, ts, le""",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP NON-scalar ingest (`otlp.py` histogram / exponential /
+    summary arms) hash-checked end-to-end: classic histograms expand to
+    cumulative ``_bucket``/``_count``/``_sum`` series, exponential
+    points ride `_exp_point_to_native` + `expand_to_classic` (base-2
+    ``le`` edges, zero bucket for v <= 0), and summaries translate to
+    quantile-labeled series — all against DuckDB recomputing every
+    bucket census from raw events.  The ``le``/``quantile`` label is
+    re-numericized on both sides so the hash is engine-format-proof."""
+    from tsdb_parquet_spark.otlp import otlp_frame
+
+    payloads = spark.read.parquet(
+        _events_otlp_hist_payloads(spark, sf_dir)
+    )
+    out = otlp_frame(
+        payloads, ["__name__", "event_type", "job", "le", "quantile"]
+    )
+    le_out = (
+        F.when(F.col("le") != "", F.col("le"))
+        .when(F.col("quantile") != "", F.col("quantile"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        out.filter(F.col("job") == "app")
+        .select(
+            F.col("__name__").alias("metric"),
+            "event_type",
+            "ts",
+            le_out.alias("le"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("metric", "event_type", "ts", "le")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -7221,113 +7469,99 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-11 window (registry 122 rows): the 19 rows deferred in round 10
-# (last driver-green at RECORDED index 7 == r07 — 3 recorded rounds
-# stale at the upcoming index 10, thus non-deferrable per the
-# no-consecutive-deferral rule) lead the window, followed by this
-# round's 5 debuts and the 3 r10-green rows whose implementation
-# changed in round 11, then 23 of the 50 r09-green rows (2 recorded
-# rounds stale); the remaining 27 r09-green rows are deferred WITH
-# named in-window coverage below and must return in round 12.
+# Round-12 window (registry 125 rows): the 27 rows deferred in round 11
+# (last driver-green at RECORDED index 8 == r09 — 3 recorded rounds
+# stale at the upcoming index 11, thus non-deferrable per the
+# no-consecutive-deferral rule) lead the window together with q77 (red
+# in r11 — fixture-publish race, rebuilt stores this round), followed
+# by this round's debut and the rows whose implementation changed in
+# round 12, then 9 of the 2-rounds-stale r10-green rows; the remaining
+# 30 r10-green rows are deferred WITH named in-window coverage below
+# and must return in round 13.
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09,r10 -> indices 1..9; the upcoming r11 record is index
-# 10).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09,r10,r11 -> indices 1..10; the upcoming r12 record is
+# index 11).  tests/test_corpus.py implements the same indexing.
 #
 # Composition:
-#   * the 19 rows deferred in round 10 (the exact set the r10 verdict
-#     pre-committed): q05/q11/q14/q15/q18/q22/q24/q26/q27/q48/q55/
-#     q87/q88/q89/q90/q93/q95/q96/q97.
-#   * 5 debuts (never driver-checked): q120 WAL exemplars, q121 metric
-#     metadata, q122 native-histogram store round-trip (signed metric,
-#     negative buckets + the bucketQuantile le<=0 rule), q123 exemplar
-#     STORE query (/api/v1/query_exemplars semantics, day-partitioned
-#     pushdown), q124 OTLP metrics ingest (executor-side proto decode,
-#     Prometheus-exact translation).
-#   * 3 r10-green rows whose implementation changed this round and so
-#     re-enter the window: q117 (delete_samples grouped probe +
-#     max-index del numbering), q118/q119 (histogram drain batching,
-#     Go-style le formatting, the quantile lowest-bucket rule).
-#     q115/q116 are r10-green and UNCHANGED on their executed paths
-#     (q116's downsample_blocks got a docstring paragraph only), so
-#     they rotate behind the cap like the rest of the r10 window.
-#   * the 23 remaining slots: r09-green backlog minus the deferrals
-#     below.
-# Deferred to round 12 (r09-green rows that no longer fit; each with
+#   * the 27 rows deferred in round 11 (the exact set the r11 verdict
+#     pre-committed): q01/q02/q03/q04/q10/q16/q20/q32/q34/q36/q42/q45/
+#     q49/q56/q59/q63/q65/q73/q76/q79/q92/q101/q107/q108/q109/q110/
+#     q112 — plus q77, the r11 red row, back for its re-green.
+#   * 1 debut (never driver-checked): q125 OTLP non-scalar ingest
+#     (classic-histogram expansion, exponential->classic downscale with
+#     the zero bucket, summary quantile translation, all DuckDB-
+#     recomputed from raw events).
+#   * 12 rows whose implementation changed in round 12 and so re-enter
+#     the window: q82 (rewrite_for_rollup known_names guard on the
+#     store path), q105/q106/q114/q116 (write_index now emits real
+#     per-label-value postings), q124 (bounded OTLP capture bodies +
+#     decoder fixes), and q21/q83/q84/q86/q91/q97 (fixture builders
+#     switched to staged-rename publish / pid-scoped roots).
+#   * the 9 remaining slots go to 2-rounds-stale r10-green rows chosen
+#     as coverage hubs or rows with no in-window kin: q23 (banded
+#     near-dup hub), q39 (text/quality pipeline hub), q41, q47, q57,
+#     q85, q94 (HTTP object store — no kin in window), q100 (tsdb
+#     stats — covers label enumeration), q115 (remote-write push — no
+#     kin in window).
+# Deferred to round 13 (r10-green rows that no longer fit; each with
 # the in-window row(s) that still exercise its code path):
-#   q01_scan_project     -> q14 (same parquet scan + projection path)
-#   q03_range_filter     -> q11 (same selection.py pushdown
-#                           conjunction) and q123 (>= AND <= range
-#                           bounds pushed to the parquet scan, the
-#                           exact P3+P4 kernel on the exemplar store)
-#   q02_eq_filter        -> q15 (same equality Matcher/pushdown path)
-#   q04_conjunction      -> q11 (same selection.py AND-conjunction
-#                           pushdown, Catalyst-ordered)
-#   q10_write_compact_roundtrip -> q117 (write_sorted + versioned
-#                           compact + readback all run inside the
-#                           delete pass's rewrite/publish cycle)
-#   q16_series_select    -> q18 (querier label/series enumeration) and
-#                           q122 (ChunkQuerier.select_samples matcher
-#                           path feeding PromQL)
-#   q20_promql_instant_sum -> q37 (same fused PromExpr aggregation
-#                           path, sum arm under topk/binary)
-#   q32_broadcast_join   -> q120 (the BroadcastHashJoin physical
-#                           path: the drains' tiny ref->labels side is
-#                           broadcast into the record scan — the same
-#                           plan-pinned join family as q109's convert,
-#                           test_plans.py; the TPC-H arm returns r12)
-#   q34_promql_rate      -> q50 (same rate/increase counter-reset
-#                           kernel, extrapolated arm)
-#   q36_window_functions -> q61 (same ordered-window machinery —
-#                           lag/lead over Window.partitionBy(series))
-#   q42_window_gt_step   -> q55 (same range-window fan-out with
-#                           window > step, changes()/resets() arm)
-#   q45_multi_store_merge -> q117 (same live_store_dirs/read_roots
-#                           multi-dir store read path)
-#   q49_on_group_left    -> q37 (same _eval_binary vector-matching
-#                           evaluator; topk row exercises binary+agg)
-#   q56_quantile_over_time -> q67 (same exact-percentile kernel,
-#                           over-time arm vs aggregation arm)
-#   q59_ivf_assign       -> q97 (same centroid_assign_udf Arrow
-#                           kernel inside the residual IVF-PQ build)
-#   q63_weighted_sample  -> q48 (same deterministic hash-draw kernel
-#                           in sampling.py, stratified arm)
-#   q65_rollup_store     -> q77 (same sources/rollup.py rollup_store
-#                           build + querier readback, routed arm)
-#   q73_promql_time_functions -> q88 (TIMEFN nodes ride the same
-#                           scalar/step binary evaluator q88's
-#                           scalar-arithmetic arm drives; the calendar
-#                           math itself is unit-pinned in
-#                           tests/test_promql.py)
-#   q76_streaming_sessionize -> q89 (same Structured-Streaming
-#                           exactly-once batch-id sink machinery; the
-#                           session kernel itself is r10-green via q46
-#                           and unit-pinned in tests/test_sessions.py)
-#   q79_promql_sort_desc -> q37 (per-step value ordering of instant
-#                           vectors — topk ranking vs PromSort, which
-#                           is also unit-pinned by
-#                           tests/test_promql.py::test_sort_desc)
-#   q92_semantic_dedup   -> q97 (same centroid_assign_udf coarse pass)
-#                           and q26 (same cosine scoring family)
-#   q101_png_pixel_pipeline -> q95 (same multimodal decode plumbing)
-#   q107_multi_block_convert -> q106 (same block-convert kernel,
-#                           single-block arm)
-#   q108_wal_head_drain  -> q118 (same segment reader / checkpoint
-#                           precedence machinery under the histogram
-#                           drain) and q120 (same _wal_frames series
-#                           pass + per-segment record scan)
-#   q109_data_dir_convert -> q106 (block-convert leg) + q118 (WAL
-#                           drain leg) — the data-dir convert composes
-#                           exactly these two paths
-#   q110_promql_staleness -> q53 (same instant-selector lookback /
-#                           staleness machinery every selector runs)
-#   q112_block_export_roundtrip -> q114 (block compaction writes its
-#                           outputs through the same export_blocks
+#   q06_first_per_key    -> q16 (ChunkQuerier distinct-series
+#                           enumeration over the same chunk store)
+#   q07_groupby_agg      -> q65 (native groupBy aggregates over the
+#                           same events-derived store) + q85 (salted
+#                           two-phase exact agg)
+#   q08_time_containment -> q16 (the same ChunkQuerier.select
+#                           containment-bounds semantics)
+#   q09_label_values     -> q100 (tsdb stats enumerates label values
+#                           through the same querier path)
+#   q12_dict_equality    -> q02 (equality Matcher pushdown)
+#   q13_zonemap_range    -> q03 (range predicate pushdown)
+#   q17_chunk_samples_roundtrip -> q10 (chunk encode/decode roundtrip
+#                           through write+compact)
+#   q19_promql_count_over_time -> q56 (same over_time range-window
+#                           evaluation kernel)
+#   q28_embedding_near_dup -> q92 (cosine-threshold pairing over the
+#                           same embeddings; q28's banded-LSH candidate
+#                           join shape is q23's, in window)
+#   q29_multimodal_metadata -> q101 (the png decode pipeline reads the
+#                           same multimodal columns + metadata)
+#   q30_text_analysis    -> q39 (the cleaning pipeline computes the
+#                           same text metrics inline)
+#   q31_json_props       -> q39 (same documents-normalization surface;
+#                           the JSON-parse arm stays unit-pinned in
+#                           tests/test_text.py)
+#   q33_semi_anti_join   -> q32 (broadcast-join family, semi/anti arm
+#                           unit-pinned by tests)
+#   q38_training_chunks  -> q63 (same deterministic hash-ordering
 #                           machinery)
-# Every other out-of-window row is r10-green (1 recorded round stale
-# once r11 lands) and needs no deferral record.
-
+#   q43_promql_counter_reset -> q34 (rate runs the same counter-reset
+#                           kernel)
+#   q44_late_materialization -> q16 (the querier select path that
+#                           drives the bounded-key second pass)
+#   q46_sessionize       -> q76 (the streaming sessionizer is asserted
+#                           equal to the batch kernel, same SQL twin)
+#   q54_promql_comparison_filter -> q49 (vector-matching binary-op
+#                           machinery)
+#   q60_ivf_topk         -> q84 (IVF store top-k, same codebook/query
+#                           constants)
+#   q62_simhash_near_dup -> q23 (banded near-dup candidate equi-join)
+#   q64_promql_absent    -> q110 (absent/staleness lookback machinery)
+#   q66_promql_set_ops   -> q49 (same vector-matching join kernel)
+#   q72_global_shuffle   -> q63 (same deterministic hash-draw ordering)
+#   q75_promql_holt_winters -> q56 (same over_time evaluation kernel)
+#   q81_kmeans_train     -> q59 (same centroid-assignment kernel)
+#   q98_exact_substring_removal -> q39 (pipeline runs the substring
+#                           scrubbing stage)
+#   q99_lm_perplexity_score -> q39 (same quality-scoring family)
+#   q102_promql_sort_by_label -> q79 (PromQL sort machinery)
+#   q103_xor_chunk_interop -> q105 (block convert decodes the same XOR
+#                           chunk segment format)
+#   q104_writer_layout_contract -> q10 (same writer options: zstd,
+#                           dict, blooms, 8 KiB pages, sorted parts)
+# Every other out-of-window row is r11-green (1 recorded round stale
+# once r12 lands) and needs no deferral record.
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
 #: rotation-invariant test (tests/test_corpus.py) enforces that any row
@@ -7335,119 +7569,53 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the 50-row window or recorded here with live in-window coverage — so
 #: the policy can't silently slip.
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q01_scan_project": ("q14_multi_projection",),
-    "q02_eq_filter": ("q15_empty_result",),
-    "q03_range_filter": (
-        "q11_predicate_order",
-        "q123_exemplar_store_query",
+    "q06_first_per_key": ("q16_series_select",),
+    "q07_groupby_agg": ("q65_rollup_store", "q85_salted_distinct_count"),
+    "q08_time_containment": ("q16_series_select",),
+    "q09_label_values": ("q100_tsdb_stats",),
+    "q12_dict_equality": ("q02_eq_filter",),
+    "q13_zonemap_range": ("q03_range_filter",),
+    "q17_chunk_samples_roundtrip": ("q10_write_compact_roundtrip",),
+    "q19_promql_count_over_time": ("q56_promql_quantile_over_time",),
+    "q28_embedding_near_dup": (
+        "q92_semantic_dedup",
+        "q23_minhash_lsh_pairs",
     ),
-    "q04_conjunction": ("q11_predicate_order",),
-    "q10_write_compact_roundtrip": ("q117_store_delete_pass",),
-    "q16_series_select": (
-        "q18_label_values",
-        "q122_native_histogram_store_roundtrip",
-    ),
-    "q32_broadcast_join": ("q120_wal_exemplars",),
-    "q20_promql_instant_sum": ("q37_promql_topk_binary",),
-    "q34_promql_rate": ("q50_promql_rate_extrapolated",),
-    "q36_window_functions": ("q61_gap_fill_linear",),
-    "q42_promql_window_gt_step": ("q55_promql_changes",),
-    "q45_multi_store_merge": ("q117_store_delete_pass",),
-    "q49_promql_on_group_left": ("q37_promql_topk_binary",),
-    "q56_promql_quantile_over_time": ("q67_promql_quantile_agg",),
-    "q59_ivf_assign": ("q97_ivfpq_residual_topk",),
-    "q63_weighted_sample": ("q48_stratified_sample",),
-    "q65_rollup_store": ("q77_rollup_routing",),
-    "q73_promql_time_functions": ("q88_promql_scalar_arithmetic",),
-    "q76_streaming_sessionize": ("q89_streaming_rollup",),
-    "q79_promql_sort_desc": ("q37_promql_topk_binary",),
-    "q92_semantic_dedup": (
-        "q97_ivfpq_residual_topk",
-        "q26_cosine_topk",
-    ),
-    "q101_png_pixel_pipeline": ("q95_media_transform",),
-    "q107_multi_block_convert": ("q106_block_convert_promql",),
-    "q108_wal_head_drain": (
-        "q118_native_histogram_quantile",
-        "q120_wal_exemplars",
-    ),
-    "q109_data_dir_convert": (
-        "q106_block_convert_promql",
-        "q118_native_histogram_quantile",
-    ),
-    "q110_promql_staleness": ("q53_promql_histogram_quantile",),
-    "q112_block_export_roundtrip": ("q114_block_compaction",),
+    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
+    "q30_text_analysis": ("q39_cleaning_pipeline",),
+    "q31_json_props": ("q39_cleaning_pipeline",),
+    "q33_semi_anti_join": ("q32_broadcast_join",),
+    "q38_training_chunks": ("q63_weighted_sample",),
+    "q43_promql_counter_reset": ("q34_promql_rate",),
+    "q44_late_materialization": ("q16_series_select",),
+    "q46_sessionize": ("q76_streaming_sessionize",),
+    "q54_promql_comparison_filter": ("q49_promql_on_group_left",),
+    "q60_ivf_topk": ("q84_ivf_partitioned_store",),
+    "q62_simhash_near_dup": ("q23_minhash_lsh_pairs",),
+    "q64_promql_absent": ("q110_promql_staleness",),
+    "q66_promql_set_ops": ("q49_promql_on_group_left",),
+    "q72_global_shuffle": ("q63_weighted_sample",),
+    "q75_promql_holt_winters": ("q56_promql_quantile_over_time",),
+    "q81_kmeans_train": ("q59_ivf_assign",),
+    "q98_exact_substring_removal": ("q39_cleaning_pipeline",),
+    "q99_lm_perplexity_score": ("q39_cleaning_pipeline",),
+    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
+    "q103_xor_chunk_interop": ("q105_tsdb_block_convert",),
+    "q104_writer_layout_contract": ("q10_write_compact_roundtrip",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 19 round-10 deferrals, due back (no consecutive deferrals)
-    # — last driver-green r07 (recorded index 7), 3 recorded rounds
-    # stale at the upcoming index 10
-    "q05_distinct",
-    "q11_predicate_order",
-    "q14_multi_projection",
-    "q15_empty_result",
-    "q18_label_values",
-    "q22_exact_dedup",
-    "q24_simhash",
-    "q26_cosine_topk",
-    "q27_ann_lsh_topk",
-    "q48_stratified_sample",
-    "q55_promql_changes",
-    "q87_bucket_ranged_read",
-    "q88_promql_scalar_arithmetic",
-    "q89_streaming_rollup",
-    "q90_pq_adc_topk",
-    "q93_exact_substring_spans",
-    "q95_media_transform",
-    "q96_sq8_quantized_topk",
-    "q97_ivfpq_residual_topk",
-    # this round's debuts (never driver-checked — must be in-window in
-    # their introduction round)
-    "q120_wal_exemplars",
-    "q121_wal_metric_metadata",
-    "q122_native_histogram_store_roundtrip",
-    "q123_exemplar_store_query",
-    "q124_otlp_ingest",
-    # r10-green rows whose implementation changed in round 11
-    "q117_store_delete_pass",
-    "q118_native_histogram_quantile",
-    "q119_native_histogram_fraction",
-    # r09-green backlog (2 recorded rounds stale) minus the documented
-    # deferrals
-    "q25_ngram_jaccard",
-    "q35_distinct_counts",
-    "q37_promql_topk_binary",
-    "q40_rollup",
-    "q50_promql_rate_extrapolated",
-    "q51_promql_without_at",
-    "q52_promql_label_replace_clamp",
-    "q53_promql_histogram_quantile",
-    "q58_pack_sequences",
-    "q61_gap_fill_linear",
-    "q67_promql_quantile_agg",
-    "q68_promql_predict_linear",
-    "q69_decontaminate",
-    "q70_repetition_stats",
-    "q71_pii_redact",
-    "q74_promql_subquery",
-    "q77_rollup_routing",
-    "q78_promql_instant_absent",
-    "q80_remove_boilerplate_lines",
-    "q106_block_convert_promql",
-    "q111_remote_write_ingest",
-    "q113_scrape_text_parse",
-    "q114_block_compaction",
-    # position 51+ — outside the driver cap: the documented deferrals
-    # (first in line for round 12), then the full r10-green window
+    # the 27 round-11 deferrals, due back (no consecutive deferrals) —
+    # last driver-green r09 (recorded index 8), 3 recorded rounds stale
+    # at the upcoming index 11 — plus q77, the r11 red row
     "q01_scan_project",
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
-    "q32_broadcast_join",
     "q10_write_compact_roundtrip",
     "q16_series_select",
     "q20_promql_instant_sum",
+    "q32_broadcast_join",
     "q34_promql_rate",
     "q36_window_functions",
     "q42_promql_window_gt_step",
@@ -7459,6 +7627,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q65_rollup_store",
     "q73_promql_time_functions",
     "q76_streaming_sessionize",
+    "q77_rollup_routing",
     "q79_promql_sort_desc",
     "q92_semantic_dedup",
     "q101_png_pixel_pipeline",
@@ -7467,6 +7636,64 @@ _DRIVER_PRIORITY: list[str] = [
     "q109_data_dir_convert",
     "q110_promql_staleness",
     "q112_block_export_roundtrip",
+    # this round's debut (never driver-checked)
+    "q125_otlp_histogram_ingest",
+    # rows whose implementation changed in round 12
+    "q21_streaming_ingest",
+    "q82_rollup_subquery_routing",
+    "q83_store_maintenance",
+    "q84_ivf_partitioned_store",
+    "q86_bucketed_colocated_join",
+    "q91_ivfpq_store_topk",
+    "q97_ivfpq_residual_topk",
+    "q105_tsdb_block_convert",
+    "q106_block_convert_promql",
+    "q114_block_compaction",
+    "q116_block_farm_maintenance",
+    "q124_otlp_ingest",
+    # 2-rounds-stale r10-green rows: coverage hubs + rows with no
+    # in-window kin
+    "q23_minhash_lsh_pairs",
+    "q39_cleaning_pipeline",
+    "q41_set_operations",
+    "q47_dedup_clusters",
+    "q57_asof_join",
+    "q85_salted_distinct_count",
+    "q94_http_object_store",
+    "q100_tsdb_stats",
+    "q115_remote_write_push_to_promql",
+    # position 51+ — outside the driver cap: the documented deferrals
+    # (first in line for round 13), then the r11-green window
+    "q06_first_per_key",
+    "q07_groupby_agg",
+    "q08_time_containment",
+    "q09_label_values",
+    "q12_dict_equality",
+    "q13_zonemap_range",
+    "q17_chunk_samples_roundtrip",
+    "q19_promql_count_over_time",
+    "q28_embedding_near_dup",
+    "q29_multimodal_metadata",
+    "q30_text_analysis",
+    "q31_json_props",
+    "q33_semi_anti_join",
+    "q38_training_chunks",
+    "q43_promql_counter_reset",
+    "q44_late_materialization",
+    "q46_sessionize",
+    "q54_promql_comparison_filter",
+    "q60_ivf_topk",
+    "q62_simhash_near_dup",
+    "q64_promql_absent",
+    "q66_promql_set_ops",
+    "q72_global_shuffle",
+    "q75_promql_holt_winters",
+    "q81_kmeans_train",
+    "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
+    "q102_promql_sort_by_label",
+    "q103_xor_chunk_interop",
+    "q104_writer_layout_contract",
 ]
 
 

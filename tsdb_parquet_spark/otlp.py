@@ -71,11 +71,13 @@ documented simplification:
   summaries expand to ``{quantile=}`` / ``_count`` / ``_sum``;
 * ``service.name`` / ``service.namespace`` / ``service.instance.id``
   resource attributes map to ``job`` (namespace/name) and ``instance``
-  like Prometheus; the REMAINING resource attributes merge into every
-  sample's labels (datapoint attributes win) instead of landing on a
-  separate ``target_info`` series — this store has no join-time
-  ``target_info`` machinery, so the merge keeps resource identity
-  queryable; the deviation is documented here.
+  like Prometheus; by DEFAULT the remaining resource attributes merge
+  into every sample's labels (datapoint attributes win) so resource
+  identity stays queryable without join-time machinery — pass
+  ``resource_attrs="target_info"`` for the Prometheus 3.x behavior
+  (samples carry only job/instance; leftovers land on a
+  ``target_info`` info series, one sample per resource batch at its
+  latest timestamp).
 """
 
 from __future__ import annotations
@@ -86,6 +88,7 @@ import re
 import struct
 from typing import Iterator, Sequence
 
+from tsdb_parquet_spark.histograms import format_le
 from tsdb_parquet_spark.remote_write import (
     _as_i64,
     _fields,
@@ -134,7 +137,10 @@ def _decode_any_value(data: bytes, pos: int, end: int) -> str:
         if field == 3 and wire == 0:
             return str(_as_i64(a))
         if field == 4 and wire == 1:
-            return repr(struct.unpack_from("<d", data, a)[0])
+            # Go shortest-'g' formatting ('1', '1e+16'), matching the
+            # Prometheus OTLP translation's strconv.FormatFloat and this
+            # module's own le rendering — NOT Python repr ('1.0')
+            return format_le(struct.unpack_from("<d", data, a)[0])
     return ""  # arrays / kvlists / bytes stringify as empty, documented
 
 
@@ -323,26 +329,57 @@ def _resource_base(data: bytes, rm_a: int, rm_b: int):
     return base, scope_spans
 
 
-def decode_export_samples(proto: bytes) -> list[tuple[str, dict, int, float]]:
+def decode_export_samples(
+    proto: bytes,
+    resource_attrs: str = "labels",
+) -> list[tuple[str, dict, int, float]]:
     """ExportMetricsServiceRequest -> sample rows ``(metric_name,
     labels, ts_ms, value)`` under the translation documented in the
     module docstring.  Classic and exponential histograms land as
     cumulative ``_bucket{le=}``/``_count``/``_sum`` rows, summaries as
-    ``{quantile=}``/``_count``/``_sum`` rows."""
+    ``{quantile=}``/``_count``/``_sum`` rows.
+
+    ``resource_attrs`` picks where NON-identifying resource attributes
+    land: ``"labels"`` (default — merged into every sample's labels,
+    the documented deviation) or ``"target_info"`` (Prometheus 3.x
+    behavior: samples carry only ``job``/``instance``, and each
+    resource batch that has leftover attributes emits one
+    ``target_info{job,instance,<attrs>} = 1`` info sample stamped at
+    the batch's latest sample timestamp, the shape
+    ``storage/remote/otlptranslator``'s addResourceTargetInfo
+    produces)."""
     from tsdb_parquet_spark.histograms import expand_to_classic, format_le
 
+    if resource_attrs not in ("labels", "target_info"):
+        raise ValueError(
+            f"resource_attrs must be 'labels' or 'target_info', "
+            f"got {resource_attrs!r}"
+        )
     rows: list[tuple[str, dict, int, float]] = []
     data = proto
     for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
         if f_rm != 1 or w_rm != 2:
             continue
-        base, scope_spans = _resource_base(data, rm_a, rm_b)
+        merged, scope_spans = _resource_base(data, rm_a, rm_b)
+        if resource_attrs == "target_info":
+            base = {k: v for k, v in merged.items()
+                    if k in ("job", "instance")}
+            extra = {k: v for k, v in merged.items()
+                     if k not in ("job", "instance")}
+        else:
+            base, extra = merged, {}
+        n_before = len(rows)
         for sm_a, sm_b in scope_spans:
             for f_m, w_m, m_a, m_b in _fields(data, sm_a, sm_b):
                 if f_m != 2 or w_m != 2:
                     continue
                 _decode_metric(data, m_a, m_b, base, rows,
                                expand_to_classic, format_le)
+        if extra and len(rows) > n_before:
+            ts_max = max(r[2] for r in rows[n_before:])
+            rows.append(
+                ("target_info", {**base, **extra}, ts_max, 1.0)
+            )
     return rows
 
 
@@ -578,15 +615,25 @@ def decode_export_exemplars(
                     elif field == 10 and wire == 2:
                         bodies.append((a, b, 11, False))  # Exponential
                 for c_a, c_b, ex_field, is_gauge in bodies:
+                    out_name = name
                     if not is_gauge:
                         # same DELTA skip as the sample decoder — an
                         # exemplar must not outlive its (dropped) series
                         temporality = 0
+                        monotonic = False
                         for f_t, w_t, t_a, _tb in _fields(data, c_a, c_b):
                             if f_t == 2 and w_t == 0:
                                 temporality = t_a
+                            elif ex_field == 5 and f_t == 3 and w_t == 0:
+                                monotonic = bool(t_a)
                         if temporality != _CUMULATIVE:
                             continue
+                        # monotonic-sum exemplars follow the SAMPLE path's
+                        # series rename (decode_export_samples suffixes
+                        # '_total'), so query_exemplars with the selector
+                        # users actually query finds them
+                        if monotonic and not out_name.endswith("_total"):
+                            out_name = f"{out_name}_total"
                     for f_p, w_p, p_a, p_b in _fields(data, c_a, c_b):
                         if f_p != 1 or w_p != 2:
                             continue
@@ -610,7 +657,9 @@ def decode_export_exemplars(
                             )
                             if val is None:
                                 continue
-                            rows.append((name, labels, ts, val, ex_labels))
+                            rows.append(
+                                (out_name, labels, ts, val, ex_labels)
+                            )
     return rows
 
 
@@ -874,6 +923,7 @@ def otlp_frame(
     payload_col: str = "payload",
     gzip_encoded: bool | None = None,
     batch_rows: int = 4096,
+    resource_attrs: str = "labels",
 ):
     """Decode a DataFrame of OTLP POST bodies into a sample frame
     ``(label_names..., ts long, value double)`` — the OTLP twin of
@@ -883,7 +933,11 @@ def otlp_frame(
     ``quantile`` in ``label_names`` when histogram or summary metrics
     ride the payloads.  ``gzip_encoded=None`` (default) sniffs the gzip
     magic per payload — a tolerant receiver's spool mixes encodings per
-    request, exactly like remote-write version sniffing."""
+    request, exactly like remote-write version sniffing.
+    ``resource_attrs="target_info"`` switches to the Prometheus 3.x
+    resource translation (see `decode_export_samples`) — include the
+    resource attribute names in ``label_names`` to see them on the
+    ``target_info`` rows."""
     import pandas as pd
 
     payloads = payloads.select(payload_col)
@@ -892,8 +946,6 @@ def otlp_frame(
         ", ".join(f"`{c}` string" for c in label_names)
         + ", ts long, value double"
     )
-    rest = [c for c in label_names if c != "__name__"]
-
     def convert(batches):
         cols = label_names + ["ts", "value"]
         buf: list[tuple] = []
@@ -905,7 +957,7 @@ def otlp_frame(
                 ):
                     proto = _gzip.decompress(proto)
                 for name, labels, ts_ms, value in decode_export_samples(
-                    proto
+                    proto, resource_attrs=resource_attrs
                 ):
                     row = []
                     for c in label_names:

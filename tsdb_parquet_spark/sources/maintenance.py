@@ -190,11 +190,17 @@ def delete_samples(
         ]
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    prefixes = [(os.path.abspath(d).rstrip(os.sep) + os.sep, d) for d in dirs]
+    # realpath, not abspath: Spark reports symlink-RESOLVED file paths
+    # (e.g. /tmp -> /private/tmp), so an unresolved prefix never matches
+    # and every hit would trip the unattributable-hit raise below
+    prefixes = [
+        (os.path.realpath(d).rstrip(os.sep) + os.sep, d) for d in dirs
+    ]
     touched: set = set()
     for f in hit_files:
         p = urlparse(f)
         path = unquote(p.path) if p.scheme else f
+        path = os.path.realpath(path)
         for prefix, d in prefixes:
             if path.startswith(prefix):
                 touched.add(d)

@@ -1502,10 +1502,17 @@ def downsample_blocks(
         step_ms=int(step_ms),
         aggs=tuple(aggs) if aggs is not None else ROLLUP_AGGS,
     )
+    # default chunk span: ~24 points per chunk, but never wider than the
+    # target block span — a chunk spanning multiple block windows forces
+    # export_blocks to widen a block around it, collapsing the farm into
+    # one wide block and killing per-block pruning + task parallelism
     span = (
         int(chunk_span_ms)
         if chunk_span_ms
-        else max(int(step_ms) * 24, DEFAULT_CHUNK_SPAN_MS)
+        else min(
+            max(int(step_ms) * 24, DEFAULT_CHUNK_SPAN_MS),
+            int(block_span_ms),
+        )
     )
     # no __series__id: the exporter builds its index from labels, and
     # skipping the dense-id distinct+join saves two shuffles
