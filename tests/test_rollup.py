@@ -553,3 +553,52 @@ def test_downsample_default_chunk_span_clamped_to_block_span(
     # un-clamped default span would be 12h*24 = 12 days -> ONE block;
     # clamped, the 4-day range lands as one block per day window
     assert len(discover_blocks(rollups)) >= 4
+
+
+def test_block_farm_selector_pushdown_matches_full_decode(spark, tmp_path):
+    """The routed engine pushes the query's name set into the block
+    decode (per-(label,value) postings): results match the full decode
+    exactly, and a name-less matcher query skips the pushdown."""
+    from tsdb_parquet_spark.plans.routing import BlockFarmRoutedEngine
+
+    data, rollups, day = _mini_farm(spark, tmp_path)
+    eng = BlockFarmRoutedEngine(
+        spark, data, rollups, ["__name__", "job"], rollup_step_ms=day
+    )
+    got = eng.query_range(
+        "sum by (job) (count_over_time(m[1d]))", day, 2 * day, day
+    ).collect()
+    assert eng.last_select == {"__name__": ["m:count"]}
+
+    # ground truth: unrouted, unselected full decode of the raw farm
+    from tsdb_parquet_spark.chunks import chunks_to_samples
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        discover_blocks,
+    )
+
+    raw_engine = PromQLEngine(
+        chunks_to_samples(
+            blocks_to_chunk_frame(
+                spark, discover_blocks(data), ["__name__", "job"]
+            ),
+            ["__name__", "job"],
+        )
+    )
+    want = raw_engine.query_range(
+        "sum by (job) (count_over_time(m[1d]))", day, 2 * day, day
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # a misaligned (unrewritten) query pushes the RAW name down and
+    # still matches the full decode
+    got2 = eng.query_range(
+        "sum by (job) (count_over_time(m[30h]))", day, 2 * day, day
+    ).collect()
+    assert eng.last_rewrites == 0
+    assert eng.last_select == {"__name__": ["m"]}
+    want2 = raw_engine.query_range(
+        "sum by (job) (count_over_time(m[30h]))", day, 2 * day, day
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))

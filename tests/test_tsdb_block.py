@@ -1304,3 +1304,123 @@ def test_histogram_chunk_encoding_rejected_loudly(spark, tmp_path):
         block_to_chunk_frame(spark, d).collect()
     with pytest.raises(Exception, match="native-histogram chunk"):
         blocks_to_chunk_frame(spark, [d], ["__name__"]).collect()
+
+
+def test_read_index_select_postings_pushdown():
+    """Equality selection resolved through the per-(label,value)
+    postings lists: only matching series parse; unions within a label,
+    intersections across labels; an unknown value selects nothing."""
+    d = _block_dir("sel")
+    ts = np.array([1_700_000_000_000, 1_700_000_060_000], np.int64)
+    series = []
+    for name in ("a", "b"):
+        for shard in ("0", "1", "2"):
+            series.append((
+                {"__name__": name, "shard": shard},
+                [(int(ts[0]), int(ts[-1]),
+                  encode_xor_chunk(ts, np.array([1.0, 2.0])))],
+            ))
+    write_block(d, series)
+
+    got = read_index(d, select={"__name__": ["a"]})
+    assert sorted(lbl["shard"] for lbl, _ in got) == ["0", "1", "2"]
+    assert {lbl["__name__"] for lbl, _ in got} == {"a"}
+    # OR within a label
+    got = read_index(d, select={"__name__": ["a", "b"]})
+    assert len(got) == 6
+    # AND across labels
+    got = read_index(d, select={"__name__": ["b"], "shard": ["2"]})
+    assert len(got) == 1 and got[0][0] == {"__name__": "b", "shard": "2"}
+    # unknown value -> empty
+    assert read_index(d, select={"__name__": ["nope"]}) == []
+    # selection result equals filtering the full walk
+    full = [e for e in read_index(d) if e[0]["__name__"] == "a"]
+    assert read_index(d, select={"__name__": ["a"]}) == full
+
+
+def test_read_index_select_legacy_fallback():
+    """An index whose postings offset table holds ONLY the all-series
+    entry (the pre-round-12 writer) must still honor select via the
+    full-walk filter — same result, no pruning."""
+    import struct as _struct
+
+    from tsdb_parquet_spark.tsdb_block import _read_uvarint, _section
+
+    d = _block_dir("sel_legacy")
+    ts = np.array([1_700_000_000_000, 1_700_000_060_000], np.int64)
+    write_block(d, [
+        ({"__name__": n, "shard": "0"},
+         [(int(ts[0]), int(ts[-1]),
+           encode_xor_chunk(ts, np.array([1.0, 2.0])))])
+        for n in ("a", "b")
+    ])
+    # rewrite the index with a stripped offset table: keep only ("","")
+    path = os.path.join(d, "index")
+    buf = bytearray(open(path, "rb").read())
+    toc_off = len(buf) - 52
+    toc = list(_struct.unpack_from(">QQQQQQ", buf, toc_off))
+    po = bytes(buf[toc[5]:toc_off])
+    content = po[4:4 + _struct.unpack_from(">I", po, 0)[0]]
+    (n_entries,) = _struct.unpack_from(">I", content, 0)
+    pos = 4
+    keep = None
+    for _ in range(n_entries):
+        start = pos
+        n_parts, pos = _read_uvarint(content, pos)
+        parts = []
+        for _ in range(n_parts):
+            ln, pos = _read_uvarint(content, pos)
+            parts.append(content[pos:pos + ln].decode())
+            pos += ln
+        _, pos = _read_uvarint(content, pos)
+        if parts == ["", ""]:
+            keep = content[start:pos]
+    assert keep is not None
+    stripped = _struct.pack(">I", 1) + keep
+    new = buf[:toc[5]] + _section(stripped)
+    new_toc_off = len(new)
+    toc_bytes = _struct.pack(">QQQQQQ", *toc)
+    new += toc_bytes + _struct.pack(">I", crc32c(toc_bytes))
+    with open(path, "wb") as fh:
+        fh.write(new)
+
+    got = read_index(d, select={"__name__": ["a"]})
+    assert len(got) == 1 and got[0][0]["__name__"] == "a"
+
+
+def test_blocks_to_chunk_frame_select_pushdown(spark):
+    """Farm decode with select: only the selected series' chunk records
+    surface, result equals post-filtering the full decode, and the
+    selected ids stay stable (series REFERENCE in the low bits)."""
+    from tsdb_parquet_spark.schema import SERIES_ID
+
+    dirs = []
+    ts = np.array([1_700_000_000_000, 1_700_000_060_000], np.int64)
+    for b in range(2):
+        d = _block_dir(f"selfarm{b}")
+        write_block(d, [
+            ({"__name__": n, "shard": str(b)},
+             [(int(ts[0]), int(ts[-1]),
+               encode_xor_chunk(ts, np.array([float(b), 2.0])))])
+            for n in ("a", "b", "c")
+        ])
+        dirs.append(d)
+
+    full = blocks_to_chunk_frame(spark, dirs, ["__name__", "shard"])
+    sel = blocks_to_chunk_frame(
+        spark, dirs, ["__name__", "shard"], select={"__name__": ["b"]}
+    )
+    got = sel.select("__name__", "shard").collect()
+    assert sorted((r["__name__"], r["shard"]) for r in got) == [
+        ("b", "0"), ("b", "1"),
+    ]
+    want = full.filter("__name__ = 'b'").select("shard").collect()
+    assert sorted(r["shard"] for r in want) == ["0", "1"]
+    # selecting twice yields identical ids (ref-based, not positional)
+    ids1 = sorted(r[SERIES_ID] for r in sel.select(SERIES_ID).collect())
+    sel2 = blocks_to_chunk_frame(
+        spark, dirs, ["__name__", "shard"],
+        select={"__name__": ["b", "zzz_missing"]},
+    )
+    ids2 = sorted(r[SERIES_ID] for r in sel2.select(SERIES_ID).collect())
+    assert ids1 == ids2

@@ -1281,3 +1281,51 @@ def test_mmap_markers_skipped_and_histograms_separate(tmp_path, spark):
     w.close()
     df = wal_to_samples_frame(spark, wal, label_names=["__name__"])
     assert [(r["ts"], r["value"]) for r in df.collect()] == [(1000, 2.0)]
+
+
+def test_data_dir_select_pushes_into_blocks_and_wal(spark, tmp_path):
+    """`select` prunes BOTH origins: block tasks resolve it via the
+    per-(label,value) postings, WAL-origin samples filter on the same
+    labels before re-chunking — the union equals post-filtering the
+    full frame."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import decode_chunk_udf
+    from tsdb_parquet_spark.schema import CHUNK_BYTES
+    from tsdb_parquet_spark.tsdb_block import write_block
+    from tsdb_parquet_spark.tsdb_wal import data_dir_to_chunk_frame
+    from tsdb_parquet_spark.xorchunk import encode_xor_chunk
+
+    data_dir = str(tmp_path)
+    ts = np.array([1000, 2000], dtype=np.int64)
+    write_block(
+        os.path.join(data_dir, "blk"),
+        [({"__name__": n, "job": "a"},
+          [(1000, 2000, encode_xor_chunk(ts, np.array([1.0, 2.0])))])
+         for n in ("m", "other")],
+    )
+    os.rename(
+        os.path.join(data_dir, "blk"),
+        os.path.join(data_dir, "01HZZZZZZZZZZZZZZZZZZZZZZX"),
+    )
+    w = WalWriter(os.path.join(data_dir, "wal"))
+    w.log_series(
+        [(1, {"__name__": "m", "job": "a"}),
+         (2, {"__name__": "other", "job": "a"})]
+    )
+    w.log_samples([(1, 4000, 4.0), (2, 4000, 40.0)])
+    w.close()
+
+    frame = data_dir_to_chunk_frame(
+        spark, data_dir, ["__name__", "job"], chunk_span_ms=10_000,
+        select={"__name__": ["m"]},
+    )
+    decoded = frame.select(
+        "__name__",
+        F.explode(decode_chunk_udf(F.col(CHUNK_BYTES))).alias("s"),
+    ).collect()
+    got = sorted((r["__name__"], r["s"]["ts"], r["s"]["value"])
+                 for r in decoded)
+    assert got == [("m", 1000, 1.0), ("m", 2000, 2.0), ("m", 4000, 4.0)]

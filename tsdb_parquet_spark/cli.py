@@ -106,14 +106,20 @@ def cmd_promql(args) -> int:
         if not labels:
             raise SystemExit("--data-dir requires --labels")
         # prune whole blocks by the query's own data window — a bounded
-        # query over a multi-year farm touches a handful of its blocks
+        # query over a multi-year farm touches a handful of its blocks —
+        # and push the query's name set into the block decode (postings
+        # selection: only matching series' chunk records are fetched)
+        from tsdb_parquet_spark.plans.routing import _metric_names
+
+        node = parse_promql(args.query)
         window = data_window(
-            parse_promql(args.query), args.start, args.end,
-            lookback_ms=args.lookback,
+            node, args.start, args.end, lookback_ms=args.lookback
         )
         mint, maxt = window if window else (None, None)
+        names = _metric_names(node)
         frame = data_dir_to_chunk_frame(
-            spark, args.data_dir, labels, mint=mint, maxt=maxt
+            spark, args.data_dir, labels, mint=mint, maxt=maxt,
+            select={"__name__": sorted(names)} if names else None,
         )
         samples = chunks_to_samples(frame, labels)
     elif args.wal:

@@ -334,6 +334,7 @@ class BlockFarmRoutedEngine:
         self._engine_kwargs = engine_kwargs
         self.last_rewrites = 0
         self.last_blocks_read = 0
+        self.last_select: "dict | None" = None
         #: per-block cache for the downsample farm's __name__ census,
         #: keyed on the index file's (size, mtime_ns) so a maintenance
         #: tick rewriting a block invalidates its entry
@@ -448,10 +449,19 @@ class BlockFarmRoutedEngine:
                 ):
                     dirs.append(d)
         self.last_blocks_read = len(dirs)
+        # selector pushdown INTO the decode: when every selector in the
+        # routed AST carries a name, each block task resolves the
+        # per-(label,value) postings for that name set and fetches only
+        # the matching series' chunk records — a one-rule query over a
+        # 10k-series farm decodes the rule's series, not the farm
+        self.last_select = (
+            {"__name__": sorted(names)} if names else None
+        )
         if dirs:
             frame = blocks_to_chunk_frame(
                 self._spark, dirs, self._labels,
                 tombstones=self._tombstones,
+                select=self.last_select,
             )
             samples = chunks_to_samples(frame, self._labels)
         else:

@@ -481,16 +481,34 @@ def index_label_values(block_dir: str, label: str) -> list[str]:
     return values
 
 
+def _postings_list(buf: bytes, off: int) -> tuple:
+    content = _read_section(buf, off)
+    (n,) = struct.unpack_from(">I", content, 0)
+    return struct.unpack_from(f">{n}I", content, 4)
+
+
 def read_index(
     block_dir: str,
     with_refs: bool = False,
+    select: "dict[str, Sequence[str]] | None" = None,
 ):
     """Parse ``index`` -> [(labels, [(mint, maxt, chunk_ref), ...])] in
     series-section order (label-sorted, the format invariant).  Walks the
     all-series postings list rather than the padded series section.
     ``with_refs=True`` prepends each entry's series REFERENCE
     (offset/16 — what postings and tombstones point at):
-    ``[(ref, labels, metas), ...]``."""
+    ``[(ref, labels, metas), ...]``.
+
+    ``select`` ({label: allowed values}) resolves equality matchers
+    through the per-(label,value) postings lists — OR within a label,
+    AND across labels — so only the matching series entries are parsed
+    (the same posting-intersection walk Prometheus's PostingsForMatchers
+    runs, `tsdb/querier.go`).  An index that predates the per-pair
+    postings (offset table holds only the all-series entry) falls back
+    to the full walk with a label filter — same result, no pruning.
+    NOTE: selection changes which series are enumerated, so positional
+    ids differ from an unselected walk — use ``with_refs=True`` for
+    stable identities under selection."""
     buf = open(os.path.join(block_dir, "index"), "rb").read()
     magic, version = struct.unpack_from(">IB", buf, 0)
     if magic != INDEX_MAGIC:
@@ -521,11 +539,14 @@ def read_index(
         symbols.append(sym_content[pos : pos + ln].decode())
         pos += ln
 
-    # all-series postings via the ("", "") entry of the offset table
+    # postings offset table: the all-series ("", "") entry plus (in
+    # indexes written since the per-pair postings landed) one entry per
+    # (label, value)
     po_content = _read_section(buf, toc_postings_offsets)
     (n_entries,) = struct.unpack_from(">I", po_content, 0)
     pos = 4
     all_off = None
+    pair_offs: dict[tuple, int] = {}
     for _ in range(n_entries):
         n_parts, pos = _read_uvarint(po_content, pos)
         parts = []
@@ -536,11 +557,30 @@ def read_index(
         off, pos = _read_uvarint(po_content, pos)
         if parts == ["", ""]:
             all_off = off
+        elif len(parts) == 2:
+            pair_offs[(parts[0], parts[1])] = off
     if all_off is None:
         raise ValueError("index has no all-series postings entry")
-    p_content = _read_section(buf, all_off)
-    (n_series,) = struct.unpack_from(">I", p_content, 0)
-    refs = struct.unpack_from(f">{n_series}I", p_content, 4)
+
+    post_filter = None
+    if select and pair_offs:
+        ref_sets = []
+        for label, values in select.items():
+            u: set = set()
+            for v in values:
+                off = pair_offs.get((label, v))
+                if off is not None:
+                    u.update(_postings_list(buf, off))
+            ref_sets.append(u)
+        refs = sorted(set.intersection(*ref_sets)) if ref_sets else ()
+    else:
+        p_content = _read_section(buf, all_off)
+        (n_series,) = struct.unpack_from(">I", p_content, 0)
+        refs = struct.unpack_from(f">{n_series}I", p_content, 4)
+        if select:
+            # legacy index without per-pair postings: same selection,
+            # applied after the label parse below
+            post_filter = {k: set(v) for k, v in select.items()}
 
     out = []
     for ref in refs:
@@ -557,6 +597,10 @@ def read_index(
             nref, cpos = _read_uvarint(content, cpos)
             vref, cpos = _read_uvarint(content, cpos)
             labels[symbols[nref]] = symbols[vref]
+        if post_filter is not None and any(
+            labels.get(k, "") not in vs for k, vs in post_filter.items()
+        ):
+            continue
         n_chunks, cpos = _read_uvarint(content, cpos)
         metas = []
         prev_maxt = prev_ref = 0
@@ -733,6 +777,7 @@ def blocks_to_chunk_frame(
     batch_rows: int = 4096,
     block_ids: Sequence[int] | None = None,
     tombstones: str = "error",
+    select: "dict[str, Sequence[str]] | None" = None,
 ) -> DataFrame:
     """Multi-block converter — the block-FARM shape of
     :func:`block_to_chunk_frame`.
@@ -767,6 +812,16 @@ def blocks_to_chunk_frame(
 
     Rows stream out in ``batch_rows``-sized Arrow batches so a block
     larger than executor memory never materializes at once.
+
+    ``select`` ({label: allowed values}) pushes equality selection INTO
+    the executor-side index walk: each task resolves the per-(label,
+    value) postings lists and fetches ONLY the matching series' chunk
+    records — a one-series query over a 10k-series block reads that
+    series' records, not the block (legacy indexes without per-pair
+    postings fall back to full-walk + filter, same result).  Under
+    selection the id's low 32 bits are the series REFERENCE (stable
+    across different selections of the same block) instead of the
+    walk position — positional ids would renumber per selection.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -811,7 +866,16 @@ def blocks_to_chunk_frame(
                 check_tombstones(block_dir, tombstones)
                 segments: dict[int, bytes] = {}
                 rows: list[tuple] = []
-                for sid, (labels, metas) in enumerate(read_index(block_dir)):
+                if select is None:
+                    entries = enumerate(read_index(block_dir))
+                else:
+                    entries = (
+                        (ref, (labels, metas))
+                        for ref, labels, metas in read_index(
+                            block_dir, with_refs=True, select=select
+                        )
+                    )
+                for sid, (labels, metas) in entries:
                     lvals = tuple(labels.get(nm, "") for nm in label_names)
                     for mint, maxt, ref in metas:
                         seg_idx = ref >> 32

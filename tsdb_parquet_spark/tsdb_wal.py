@@ -1776,6 +1776,7 @@ def data_dir_to_chunk_frame(
     wal_encoding: str = "raw",
     mint: int | None = None,
     maxt: int | None = None,
+    select: "dict[str, Sequence[str]] | None" = None,
 ) -> DataFrame:
     """The FULL converter input surface: one chunk frame from an entire
     Prometheus data dir — every compacted block (via
@@ -1805,6 +1806,14 @@ def data_dir_to_chunk_frame(
     depend on the pruned list — fine for a query, wrong for an
     incremental store build (`sync_blocks` keeps its own stable
     ordinals).
+
+    ``select`` ({label: allowed values}) pushes equality selection into
+    BOTH origins: block tasks resolve it through the per-(label,value)
+    postings lists (only matching series' chunk records are fetched —
+    `tsdb_block.read_index`), and WAL-origin samples filter on the same
+    labels JVM-side before re-chunking.  A label absent from the WAL
+    frame reads as "" per the schema contract.  Query paths pass the
+    selector name set; converters leave it None.
     """
     from pyspark.sql import functions as F
 
@@ -1826,10 +1835,19 @@ def data_dir_to_chunk_frame(
     frames: list[DataFrame] = []
     if blocks:
         frames.append(
-            blocks_to_chunk_frame(spark, blocks, label_names)
+            blocks_to_chunk_frame(
+                spark, blocks, label_names, select=select
+            )
         )
     if wal:
         samples = wal_to_samples_frame(spark, wal, label_names)
+        if select:
+            for k, vs in select.items():
+                vals = list(vs)
+                if k in samples.columns:
+                    samples = samples.where(F.col(k).isin(vals))
+                elif "" not in vals:
+                    samples = samples.limit(0)
         wal_chunks = samples_to_chunks(
             samples,
             sorted(label_names),
