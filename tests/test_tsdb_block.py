@@ -1424,3 +1424,54 @@ def test_blocks_to_chunk_frame_select_pushdown(spark):
     )
     ids2 = sorted(r[SERIES_ID] for r in sel2.select(SERIES_ID).collect())
     assert ids1 == ids2
+
+
+def test_blocks_to_chunk_frame_window_prunes_chunks(spark):
+    """Chunk-level time pruning inside a wide block: records whose
+    index meta lies outside the window never fetch; overlap semantics
+    are inclusive on both edges."""
+    d = _block_dir("winprune")
+    day = 86_400_000
+    chunks = []
+    for k in range(4):  # four day-chunks of one series
+        ts = np.array([k * day, k * day + 3_600_000], np.int64)
+        chunks.append((int(ts[0]), int(ts[-1]),
+                       encode_xor_chunk(ts, np.array([float(k), 1.0]))))
+    write_block(d, [({"__name__": "m"}, chunks)])
+
+    full = blocks_to_chunk_frame(spark, [d], ["__name__"])
+    assert full.count() == 4
+    got = blocks_to_chunk_frame(
+        spark, [d], ["__name__"], window=(day, 2 * day)
+    ).select("__mint").collect()
+    # day-1 chunk [day, day+1h] and day-2 chunk [2d, 2d+1h] overlap;
+    # day-0 and day-3 don't
+    assert sorted(r["__mint"] for r in got) == [day, 2 * day]
+    # inclusive edges: a window ending exactly at a chunk's mint keeps it
+    got2 = blocks_to_chunk_frame(
+        spark, [d], ["__name__"], window=(0, day)
+    ).select("__mint").collect()
+    assert sorted(r["__mint"] for r in got2) == [0, day]
+
+
+def test_block_to_chunk_frame_select_and_window(spark):
+    """The single-block (driver-side index walk) arm honors the same
+    select/window semantics as the farm arm."""
+    d = _block_dir("single_sel")
+    day = 86_400_000
+    series = []
+    for n in ("a", "b"):
+        chunks = []
+        for k in range(3):
+            ts = np.array([k * day, k * day + 1000], np.int64)
+            chunks.append((int(ts[0]), int(ts[-1]),
+                           encode_xor_chunk(ts, np.array([1.0, 2.0]))))
+        series.append(({"__name__": n}, chunks))
+    write_block(d, series)
+
+    sel = block_to_chunk_frame(
+        spark, d, select={"__name__": ["a"]}, window=(day, 2 * day)
+    ).select("__name__", "__mint").collect()
+    assert sorted((r["__name__"], r["__mint"]) for r in sel) == [
+        ("a", day), ("a", 2 * day),
+    ]

@@ -462,6 +462,7 @@ class BlockFarmRoutedEngine:
                 self._spark, dirs, self._labels,
                 tombstones=self._tombstones,
                 select=self.last_select,
+                window=window,
             )
             samples = chunks_to_samples(frame, self._labels)
         else:

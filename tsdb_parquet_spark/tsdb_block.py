@@ -692,7 +692,11 @@ def write_block(
 
 
 def block_to_chunk_frame(
-    spark: SparkSession, block_dir: str, tombstones: str = "error"
+    spark: SparkSession,
+    block_dir: str,
+    tombstones: str = "error",
+    select: "dict[str, Sequence[str]] | None" = None,
+    window: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """The reference converter's core (`cmd/convert/main.go:79-117`) as a
     distributed plan: one row per chunk with the reference schema —
@@ -709,7 +713,11 @@ def block_to_chunk_frame(
     order as the reference converter's own index iteration (single
     process, `cmd/convert/main.go:79-117`); a 100 TB ingest parallelizes
     across BLOCK DIRECTORIES (one frame per block, unioned), not within
-    one index."""
+    one index.
+
+    ``select``/``window`` behave as in :func:`blocks_to_chunk_frame`
+    (postings-resolved equality selection; chunk-meta time pruning);
+    under selection ids are series REFERENCES, not walk positions."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -722,12 +730,23 @@ def block_to_chunk_frame(
     )
 
     check_tombstones(block_dir, tombstones)
-    series = read_index(block_dir)
-    label_names = sorted({n for labels, _ in series for n in labels})
+    if select is None:
+        entries = list(enumerate(read_index(block_dir)))
+    else:
+        entries = [
+            (sref, (labels, metas))
+            for sref, labels, metas in read_index(
+                block_dir, with_refs=True, select=select
+            )
+        ]
+    label_names = sorted(
+        {n for _, (labels, _) in entries for n in labels}
+    )
     meta_rows = [
         (sid, mint, maxt, ref, *[labels.get(n, "") for n in label_names])
-        for sid, (labels, metas) in enumerate(series)
+        for sid, (labels, metas) in entries
         for mint, maxt, ref in metas
+        if window is None or (mint <= window[1] and maxt >= window[0])
     ]
     schema = T.StructType(
         [
@@ -778,6 +797,7 @@ def blocks_to_chunk_frame(
     block_ids: Sequence[int] | None = None,
     tombstones: str = "error",
     select: "dict[str, Sequence[str]] | None" = None,
+    window: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Multi-block converter — the block-FARM shape of
     :func:`block_to_chunk_frame`.
@@ -822,6 +842,12 @@ def blocks_to_chunk_frame(
     selection the id's low 32 bits are the series REFERENCE (stable
     across different selections of the same block) instead of the
     walk position — positional ids would renumber per selection.
+
+    ``window`` ((mint, maxt), inclusive sample-time ms) skips chunk
+    records whose index meta doesn't overlap it BEFORE the record
+    fetch — the block twin of the chunk store's MIN_T/MAX_T parquet
+    pushdown; callers prune whole blocks by meta.json first, this
+    prunes within wide (multi-window compacted) blocks.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -878,6 +904,10 @@ def blocks_to_chunk_frame(
                 for sid, (labels, metas) in entries:
                     lvals = tuple(labels.get(nm, "") for nm in label_names)
                     for mint, maxt, ref in metas:
+                        if window is not None and (
+                            maxt < window[0] or mint > window[1]
+                        ):
+                            continue
                         seg_idx = ref >> 32
                         seg = segments.get(seg_idx)
                         if seg is None:

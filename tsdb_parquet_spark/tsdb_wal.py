@@ -1834,9 +1834,15 @@ def data_dir_to_chunk_frame(
         blocks = prune_blocks_by_time(blocks, mint, maxt)
     frames: list[DataFrame] = []
     if blocks:
+        win = None
+        if mint is not None or maxt is not None:
+            win = (
+                mint if mint is not None else -(1 << 62),
+                maxt if maxt is not None else (1 << 62),
+            )
         frames.append(
             blocks_to_chunk_frame(
-                spark, blocks, label_names, select=select
+                spark, blocks, label_names, select=select, window=win
             )
         )
     if wal:
