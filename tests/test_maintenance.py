@@ -432,3 +432,62 @@ def test_delete_samples_through_symlinked_store_path(spark, tmp_path):
     )
     assert rep["samples_deleted"] == 3
     assert len(rep["rewritten"]) == 1
+
+
+def test_exemplar_store_lifecycle(spark, tmp_path):
+    """The full maintenance lifecycle over an EXEMPLAR store — exemplars
+    are a standard day-partitioned sorted store (`sources/exemplars.py`),
+    so `maybe_compact` bounds part count between drains and
+    `vacuum_store` drops `__day=` partitions past the horizon, keeping
+    exemplar growth bounded alongside the sample store they decorate."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.operators.selection import EQ, Matcher
+    from tsdb_parquet_spark.sources.exemplars import (
+        exemplar_writer,
+        select_exemplars,
+        with_day_column,
+    )
+
+    root = str(tmp_path / "ex_store")
+    writer = exemplar_writer(spark, root, ["__name__", "job"])
+    # three drains, each covering days 0..9 (one exemplar per day per job)
+    for drain in range(3):
+        rows = [
+            Row(__name__="m", job=("a" if drain % 2 else "b"),
+                ts=d * DAY_MS + drain,
+                value=float(d * 10 + drain),
+                exemplar_labels={"trace_id": f"t{drain}-{d}"})
+            for d in range(10)
+        ]
+        writer.write(with_day_column(spark.createDataFrame(rows)))
+
+    # the root is readable mid-lifecycle (manifest-resolved live set)
+    pre = select_exemplars(spark, root, [], mint=0, maxt=10 * DAY_MS)
+    assert pre.count() == 30
+
+    compact_dir = maybe_compact(writer, max_parts=2)
+    assert compact_dir is not None
+    assert writer.part_dirs == []  # consumed parts cleaned up
+
+    # retention: keep 5 days from "now" = day 10 -> days 0..4 dropped
+    report = vacuum_store(
+        spark, compact_dir, now_ms=10 * DAY_MS, keep_days=5
+    )
+    assert report["removed_partitions"] == [
+        f"__day={d}" for d in range(5)
+    ]
+    assert report["remaining_chunks"] == 15  # 5 days x 3 drains
+
+    # query_exemplars over the swept store: pushed selector + range
+    got = select_exemplars(
+        spark, root, [Matcher("job", EQ, "a")],
+        mint=6 * DAY_MS, maxt=8 * DAY_MS + DAY_MS - 1,
+    ).collect()
+    # drain 1 wrote job=a; days 6,7,8 survive the sweep and the range
+    assert sorted(r["exemplar_labels"]["trace_id"] for r in got) == [
+        "t1-6", "t1-7", "t1-8"
+    ]
+    # nothing older than the horizon is reachable any more
+    stale = select_exemplars(spark, root, [], mint=0, maxt=5 * DAY_MS - 1)
+    assert stale.count() == 0

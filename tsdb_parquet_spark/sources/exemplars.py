@@ -35,7 +35,61 @@ from pyspark.sql import functions as F
 
 _DAY_MS = 24 * 3600 * 1000
 
-__all__ = ["write_exemplar_store", "select_exemplars"]
+__all__ = [
+    "write_exemplar_store",
+    "select_exemplars",
+    "exemplar_writer",
+    "with_day_column",
+    "exemplar_options",
+]
+
+
+def exemplar_options(label_names: Sequence[str], partition_by_day: bool):
+    """The store's canonical :class:`WriterOptions` — ``__name__``-led
+    sort with ``ts`` last, blooms on the non-name labels, hive ``__day``
+    partitioning when requested.  Shared by the one-shot and incremental
+    write paths so both lay out byte-compatible stores."""
+    from tsdb_parquet_spark.schema import METRIC_NAME
+    from tsdb_parquet_spark.sources.writer import WriterOptions
+
+    labels = list(label_names)
+    lead = [METRIC_NAME] if METRIC_NAME in labels else []
+    sort = lead + sorted(n for n in labels if n != METRIC_NAME) + ["ts"]
+    return WriterOptions(
+        sort_columns=sort,
+        bloom_columns=[n for n in labels if n != METRIC_NAME],
+        max_files=16,
+        partition_by=["__day"] if partition_by_day else [],
+    )
+
+
+def with_day_column(frame: DataFrame) -> DataFrame:
+    """Derive the hive partition column: floor division (matches
+    ``select_exemplars``' python ``//``, incl. pre-epoch timestamps —
+    ``cast()`` truncates toward zero)."""
+    return frame.withColumn(
+        "__day", F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long")
+    )
+
+
+def exemplar_writer(
+    spark: SparkSession, root: str, label_names: Sequence[str]
+):
+    """Incremental exemplar ingest: a ``SortedParquetWriter`` over the
+    store's canonical day-partitioned layout, so the standard
+    maintenance lifecycle applies to exemplars exactly as to the sample
+    store — ``maintenance.maybe_compact`` bounds part count between
+    drains and ``maintenance.vacuum_store`` / ``retention_sweep`` drops
+    whole ``__day=`` partitions past the horizon (exemplars must not
+    grow unboundedly while the samples they decorate get swept).
+
+    Feed it frames via :func:`with_day_column`; read the store back
+    with :func:`select_exemplars` (root alias or compact dir)."""
+    from tsdb_parquet_spark.sources.writer import SortedParquetWriter
+
+    return SortedParquetWriter(
+        spark, root, exemplar_options(label_names, partition_by_day=True)
+    )
 
 
 def write_exemplar_store(
@@ -50,31 +104,16 @@ def write_exemplar_store(
     ``__name__`` first then the remaining labels then ``ts`` — selector
     pushdown prunes row groups by label, and within a series' run the
     ``ts`` column stays ordered for zone-map range pruning."""
-    from tsdb_parquet_spark.schema import METRIC_NAME
-    from tsdb_parquet_spark.sources.writer import (
-        WriterOptions,
-        write_sorted,
-    )
+    from tsdb_parquet_spark.sources.writer import write_sorted
 
-    labels = list(label_names)
-    lead = [METRIC_NAME] if METRIC_NAME in labels else []
-    sort = lead + sorted(n for n in labels if n != METRIC_NAME) + ["ts"]
     if writer_opts is None:
-        writer_opts = WriterOptions(
-            sort_columns=sort,
-            bloom_columns=[n for n in labels if n != METRIC_NAME],
-            max_files=16,
-        )
-    if partition_by_day:
-        # floor division (matches select_exemplars' python //, incl.
-        # pre-epoch timestamps — cast() truncates toward zero)
-        frame = frame.withColumn(
-            "__day",
-            F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long"),
-        )
+        writer_opts = exemplar_options(label_names, partition_by_day)
+    elif partition_by_day and not writer_opts.partition_by:
         from dataclasses import replace as _replace
 
         writer_opts = _replace(writer_opts, partition_by=["__day"])
+    if partition_by_day:
+        frame = with_day_column(frame)
     return write_sorted(frame, dest, writer_opts)
 
 
@@ -91,10 +130,26 @@ def select_exemplars(
     matcher columns and the ``ts`` bounds reach the parquet scan, and a
     day-partitioned store prunes directories driver-side via the
     derived ``__day`` bounds before any footer is read."""
+    import os
+
     from tsdb_parquet_spark.operators.selection import conjunction
 
     mint, maxt = int(mint), int(maxt)
-    df = spark.read.parquet(store)
+    if os.path.isdir(store) and any(
+        e == "_snapshots" or e.startswith(("part.", "compact"))
+        for e in os.listdir(store)
+    ):
+        # incremental-writer root (exemplar_writer): read exactly the
+        # manifest's live directory set — a raw read.parquet(root)
+        # would double-count compacted parts against the compact copy
+        from tsdb_parquet_spark.sources.writer import (
+            live_store_dirs,
+            read_roots,
+        )
+
+        df = read_roots(spark, live_store_dirs(store))
+    else:
+        df = spark.read.parquet(store)
     pred = (F.col("ts") >= F.lit(mint)) & (F.col("ts") <= F.lit(maxt))
     if matchers:
         pred = conjunction([m.to_column() for m in matchers]) & pred
