@@ -4130,8 +4130,8 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    root = os.path.join(work, f"stream_sessions_v1_{tag}")
-    out_dir = os.path.join(root, "out")
+    root = os.path.join(work, f"stream_sessions_v2_{tag}")
+    out_dir = os.path.join(root, "sessions")
 
     # the streaming file sink writes _spark_metadata, not _SUCCESS — use
     # an explicit marker touched only after the replay drains
@@ -4175,6 +4175,18 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     "AvailableNow session replay did not drain"
                 )
+            # the streaming file sink's _spark_metadata commit log records
+            # ABSOLUTE paths, which the staged-rename publish invalidates
+            # (the r11 q76 tear) — re-materialize the committed output as
+            # plain parquet INSIDE the build dir while the log's paths are
+            # still live, and drop the sink dir so no stale log survives
+            # the rename
+            spark.read.parquet(os.path.join(build, "out")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(build, "sessions"))
+            shutil.rmtree(os.path.join(build, "out"))
+            shutil.rmtree(ckpt)
+            shutil.rmtree(staging)
             with open(os.path.join(build, "_DONE"), "w") as fh:
                 fh.write("ok\n")
 
