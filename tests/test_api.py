@@ -1,0 +1,217 @@
+"""Prometheus HTTP query API (`tsdb_parquet_spark.api`).
+
+Unit-level: the Go-format value/timestamp encoders (goldens from
+``strconv.FormatFloat(v, 'f', -1, 64)`` / ``model.Time``).  End-to-end:
+every endpoint over a real loopback socket against a small in-memory
+engine, checked against direct-engine evaluation — the API layer must
+add exactly zero semantics."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.api import (
+    PromApiServer,
+    api_get_json,
+    api_query_range_rows,
+    format_sample_value,
+    _parse_step_ms,
+    _parse_time_ms,
+    _ts_json,
+)
+from tsdb_parquet_spark.plans.promql import PromQLEngine
+from tsdb_parquet_spark.scrape import parse_exposition
+
+
+@pytest.mark.parametrize(
+    "value,want",
+    [
+        (1.0, "1"),
+        (0.0, "0"),
+        (-0.0, "-0"),
+        (1.5, "1.5"),
+        (0.1, "0.1"),
+        (1e16, "10000000000000000"),
+        (1e-7, "0.0000001"),
+        (2.5e-10, "0.00000000025"),
+        (-42.0, "-42"),
+        (float("nan"), "NaN"),
+        (float("inf"), "+Inf"),
+        (float("-inf"), "-Inf"),
+    ],
+)
+def test_format_sample_value_go_f(value, want):
+    got = format_sample_value(value)
+    assert got == want
+    if want not in ("NaN", "+Inf", "-Inf"):
+        # shortest ROUND-TRIP digits: reparse is bit-exact
+        assert float(got) == value
+
+
+def test_time_encoding_roundtrip():
+    assert _ts_json(1435781430781) == 1435781430.781
+    assert round(_ts_json(1435781430781) * 1000) == 1435781430781
+    assert _parse_time_ms("1435781430.781") == 1435781430781
+    assert _parse_time_ms("2015-07-01T20:10:30.781Z") == 1435781430781
+    assert _parse_step_ms("15") == 15_000
+    assert _parse_step_ms("1m") == 60_000
+    with pytest.raises(ValueError):
+        _parse_step_ms("0")
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [
+        ("app_events", "click", "1", 1_000_000, 1.0),
+        ("app_events", "click", "1", 1_060_000, 3.0),
+        ("app_events", "view", "2", 1_000_000, 2.0),
+        ("app_events", "view", "2", 1_120_000, 5.0),
+        ("other_metric", "x", "", 1_000_000, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, event_type STRING, shard STRING, "
+        "ts LONG, value DOUBLE",
+    )
+    return PromQLEngine(df)
+
+
+@pytest.fixture(scope="module")
+def api(engine):
+    server = PromApiServer(
+        engine, metadata=[("app_events", "untyped", "demo")]
+    )
+    url = server.start()
+    yield url
+    server.stop()
+
+
+def test_query_range_matches_engine(api, engine):
+    via_api = api_query_range_rows(
+        api, "sum by (event_type) (app_events)", 1_000_000, 1_120_000, 60_000
+    )
+    direct = {
+        (r["t"], r["event_type"]): r["value"]
+        for r in engine.query_range(
+            "sum by (event_type) (app_events)", 1_000_000, 1_120_000, 60_000
+        )
+        .collect()
+        for r in [r.asDict()]
+    }
+    assert len(via_api) == len(direct)
+    for t, labels, value in via_api:
+        assert direct[(t, labels["event_type"])] == value
+
+
+def test_instant_query_vector(api):
+    p = api_get_json(
+        api, "/api/v1/query", {"query": "sum(app_events)", "time": 1120}
+    )
+    assert p["status"] == "success"
+    assert p["data"]["resultType"] == "vector"
+    assert p["data"]["result"] == [{"metric": {}, "value": [1120.0, "8"]}]
+
+
+def test_instant_query_scalar(api):
+    p = api_get_json(api, "/api/v1/query", {"query": "40 + 2", "time": 7})
+    assert p["data"] == {"resultType": "scalar", "result": [7.0, "42"]}
+
+
+def test_series_endpoint(api):
+    p = api_get_json(
+        api,
+        "/api/v1/series",
+        {"match[]": ['app_events{event_type="click"}', "other_metric"]},
+    )
+    # absent ("") labels are omitted from the labelset, Prometheus-style
+    assert p["data"] == [
+        {"__name__": "app_events", "event_type": "click", "shard": "1"},
+        {"__name__": "other_metric", "event_type": "x"},
+    ]
+
+
+def test_series_time_bounds(api):
+    p = api_get_json(
+        api,
+        "/api/v1/series",
+        {"match[]": ["app_events"], "start": 1100, "end": 1200},
+    )
+    assert p["data"] == [
+        {"__name__": "app_events", "event_type": "view", "shard": "2"}
+    ]
+
+
+def test_labels_and_values(api):
+    assert api_get_json(api, "/api/v1/labels", {})["data"] == [
+        "__name__",
+        "event_type",
+        "shard",
+    ]
+    p = api_get_json(
+        api, "/api/v1/label/event_type/values", {"match[]": ["app_events"]}
+    )
+    assert p["data"] == ["click", "view"]
+    # unknown label -> empty, not an error
+    assert api_get_json(api, "/api/v1/label/nope/values", {})["data"] == []
+
+
+def test_federate_roundtrip(api):
+    with urllib.request.urlopen(
+        f"{api}/federate?match[]=app_events&time=1120"
+    ) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert "# TYPE app_events untyped" in text
+    parsed = parse_exposition(text)
+    # latest sample per series, ORIGINAL timestamps
+    assert sorted(
+        (lbl["event_type"], v, ts) for lbl, v, ts in parsed
+    ) == [("click", 3.0, 1_060_000), ("view", 5.0, 1_120_000)]
+
+
+def test_statically_empty_selector(api):
+    p = api_get_json(
+        api, "/api/v1/series", {"match[]": ['app_events{nolabel="x"}']}
+    )
+    assert p["data"] == []
+
+
+def test_error_envelopes(api):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        api_get_json(api, "/api/v1/query_range", {"query": "app_events"})
+    assert exc.value.code == 400
+    body = json.loads(exc.value.read().decode())
+    assert body["status"] == "error" and body["errorType"] == "bad_data"
+    # aggregations are not valid match[] selectors
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        api_get_json(api, "/api/v1/series", {"match[]": ["sum(app_events)"]})
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        api_get_json(api, "/api/v1/nope", {})
+    assert exc.value.code == 404
+
+
+def test_post_form_params(api):
+    data = urllib.parse.urlencode(
+        {"query": "sum(app_events)", "time": "1120"}
+    ).encode()
+    req = urllib.request.Request(
+        f"{api}/api/v1/query",
+        data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        p = json.loads(resp.read().decode())
+    assert p["data"]["result"] == [{"metric": {}, "value": [1120.0, "8"]}]
+
+
+def test_nan_value_survives_json(spark):
+    df = spark.createDataFrame(
+        [("m", 1_000, float("nan"))], "`__name__` STRING, ts LONG, value DOUBLE"
+    )
+    with PromApiServer(PromQLEngine(df)) as url:
+        p = api_get_json(url, "/api/v1/query", {"query": "m", "time": 1})
+    assert p["data"]["result"][0]["value"][1] == "NaN"

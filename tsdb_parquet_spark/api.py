@@ -1,0 +1,533 @@
+"""Prometheus HTTP query API (``/api/v1/*``) + ``/federate`` over the
+PromQL engine.
+
+The read-side twin of `sources/remote_write_server.py`: a loopback
+stdlib HTTP server exposing the public Prometheus query API so the full
+loop — remote-write/OTLP/scrape push in, PromQL + metadata queries out
+over a REAL socket — runs offline.  The reference stops at the storage
+layer and delegates querying to an embedded Prometheus
+(`prometheus/querier.go:80-88`); this module IS that delegated surface,
+re-expressed over the Spark engine.
+
+Endpoints (public Prometheus HTTP API spec, api/v1):
+
+* ``GET/POST /api/v1/query``        — instant query (vector or scalar)
+* ``GET/POST /api/v1/query_range``  — range query (matrix)
+* ``GET/POST /api/v1/series``       — series enumeration for match[] selectors
+* ``GET/POST /api/v1/labels``       — label names
+* ``GET /api/v1/label/<n>/values``  — label values
+* ``GET /federate``                 — latest-sample exposition text for
+  match[] selectors (the Prometheus federation scrape surface), rendered
+  through `scrape.format_exposition` so ``parse_exposition`` round-trips
+  it bit-exactly.
+
+Wire-format parity, deliberately pinned:
+
+* sample VALUES are JSON strings in Go ``strconv.FormatFloat(v, 'f',
+  -1, 64)`` form (shortest round-trip digits, positional notation —
+  ``model.SampleValue.String()``), so ``"NaN"``/``"+Inf"`` survive JSON
+  and a Go client reparses bit-exact floats;
+* TIMESTAMPS are JSON numbers in seconds at millisecond precision
+  (Prometheus renders ms-resolution times; ``round(ts*1000)`` recovers
+  the engine's integer milliseconds exactly);
+* error envelopes are ``{"status":"error","errorType":...,"error":...}``
+  with HTTP 400 for bad input, matching promtool expectations.
+
+Scale shape: one HTTP request = one engine evaluation; result size is
+grid-bounded (steps x series), never sample-bounded, so the collect
+into JSON is the same bounded materialization every Prometheus API
+implementation performs.  The SERVER is test/dev scale (stdlib,
+loopback) — production is any HTTP frontend calling the same
+``render_*`` functions against the engine, the boundary
+`sources/remote_write_server.py` documents for the push path.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.operators.selection import Matcher
+from tsdb_parquet_spark.plans.promql import (
+    DEFAULT_LOOKBACK_MS,
+    PromExpr,
+    _api_value,
+    parse_duration_ms,
+    parse_promql,
+    to_api_instant_response,
+    to_api_response,
+)
+from tsdb_parquet_spark.scrape import format_exposition
+
+__all__ = [
+    "PromApiServer",
+    "format_sample_value",
+    "matrix_result",
+    "vector_result",
+    "series_result",
+    "render_federate",
+    "api_query_range_rows",
+    "api_get_json",
+]
+
+
+def format_sample_value(v: float) -> str:
+    """Go ``strconv.FormatFloat(v, 'f', -1, 64)``: shortest round-trip
+    digits, POSITIONAL notation at any magnitude (the exponent-switching
+    twin is `histograms.format_le`).  This is exactly
+    ``model.SampleValue.String()`` — the string form every Prometheus
+    API response carries sample values in.  Delegates to the CLI's
+    `plans.promql._api_value` so the socket server and ``cli promql
+    --api-json`` can never drift apart."""
+    return _api_value(float(v))
+
+
+def _ts_json(ts_ms: int) -> float:
+    """Millisecond timestamp as the JSON seconds number Prometheus emits
+    (ms precision; ``round(x * 1000)`` recovers the integer ms)."""
+    return round(int(ts_ms) / 1000.0, 3)
+
+
+def _parse_time_ms(raw: str) -> int:
+    """``time``/``start``/``end`` params: unix seconds (float) or
+    RFC 3339, to engine milliseconds."""
+    try:
+        return round(float(raw) * 1000)
+    except ValueError:
+        pass
+    text = raw.replace("Z", "+00:00") if raw.endswith("Z") else raw
+    dt = datetime.fromisoformat(text)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return round(dt.timestamp() * 1000)
+
+
+def _parse_step_ms(raw: str) -> int:
+    """``step`` param: float seconds or a PromQL duration string."""
+    try:
+        ms = round(float(raw) * 1000)
+    except ValueError:
+        ms = parse_duration_ms(raw)
+    if ms <= 0:
+        raise ValueError(f"zero or negative step {raw!r}")
+    return ms
+
+
+def _metric_of(row: dict, label_cols: Sequence[str]) -> dict[str, str]:
+    """The ``metric`` object: label -> value, absent (``""``) labels
+    omitted — the store's ""-is-absent convention crossing back to the
+    Prometheus labelset model."""
+    return {c: row[c] for c in label_cols if row[c] not in ("", None)}
+
+
+def matrix_result(df: DataFrame) -> list[dict]:
+    """``resultType: matrix`` payload from a ``query_range`` frame —
+    the CLI's `plans.promql.to_api_response` renderer; collect is
+    grid-bounded by construction."""
+    return to_api_response(df)["data"]["result"]
+
+
+def vector_result(df: DataFrame) -> list[dict]:
+    """``resultType: vector`` payload — the frame must hold one step
+    (`plans.promql.to_api_instant_response`)."""
+    return to_api_instant_response(df)["data"]["result"]
+
+
+def _match_frame(
+    engine,
+    selectors: Sequence[str],
+    start_ms: int | None,
+    end_ms: int | None,
+) -> DataFrame | None:
+    """Samples matching ANY of the ``match[]`` selectors inside
+    [start, end] — the shared core of series/labels/values/federate.
+    Returns None when every selector is statically empty (an equality
+    matcher on a label the store does not carry)."""
+    frames = []
+    for raw in selectors:
+        node = parse_promql(raw)
+        if not isinstance(node, PromExpr) or node.func or node.agg:
+            raise ValueError(f"match[] must be a plain selector: {raw!r}")
+        matchers = list(node.matchers)
+        if node.metric:
+            matchers.append(Matcher(engine.metric_label, "=", node.metric))
+        df = engine.samples
+        dead = False
+        for m in matchers:
+            if m.name in df.columns:
+                df = df.filter(m.to_column())
+            elif m.op in ("=", "=~"):
+                dead = True
+                break
+        if not dead:
+            frames.append(df)
+    if not frames:
+        return None
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    if start_ms is not None:
+        df = df.filter(F.col("ts") >= F.lit(start_ms))
+    if end_ms is not None:
+        df = df.filter(F.col("ts") <= F.lit(end_ms))
+    return df
+
+
+def series_result(
+    engine,
+    selectors: Sequence[str],
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> list[dict[str, str]]:
+    """``/api/v1/series``: distinct labelsets with any in-range sample.
+    One distinct over the label columns (map-side combined); the union
+    across selectors dedups in the same shuffle."""
+    df = _match_frame(engine, selectors, start_ms, end_ms)
+    if df is None:
+        return []
+    cols = list(engine.label_columns)
+    rows = df.select(*cols).dropDuplicates(cols).collect()
+    out = [_metric_of(r.asDict(), cols) for r in rows]
+    out.sort(key=lambda m: sorted(m.items()))
+    return out
+
+
+def _labels_source(engine, selectors, start_ms, end_ms) -> DataFrame | None:
+    if selectors:
+        return _match_frame(engine, selectors, start_ms, end_ms)
+    df = engine.samples
+    if start_ms is not None:
+        df = df.filter(F.col("ts") >= F.lit(start_ms))
+    if end_ms is not None:
+        df = df.filter(F.col("ts") <= F.lit(end_ms))
+    return df
+
+
+def labels_result(
+    engine,
+    selectors: Sequence[str] = (),
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> list[str]:
+    """``/api/v1/labels``: names with >=1 non-empty value in range —
+    one all-labels aggregate, the `querier.label_names` plan."""
+    df = _labels_source(engine, selectors, start_ms, end_ms)
+    if df is None:
+        return []
+    cols = list(engine.label_columns)
+    agg = df.agg(
+        *[F.max(F.col(c) != F.lit("")).alias(c) for c in cols]
+    ).collect()[0]
+    return sorted(c for c in cols if agg[c])
+
+
+def label_values_result(
+    engine,
+    name: str,
+    selectors: Sequence[str] = (),
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> list[str]:
+    """``/api/v1/label/<name>/values``: sorted distinct non-empty
+    values."""
+    df = _labels_source(engine, selectors, start_ms, end_ms)
+    if df is None or name not in df.columns:
+        return []
+    rows = (
+        df.select(name)
+        .where(F.col(name) != F.lit(""))
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
+def render_federate(
+    engine,
+    selectors: Sequence[str],
+    time_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    metadata: Sequence[tuple[str, str, str]] = (),
+) -> str:
+    """``/federate``: the most recent sample per matched series within
+    the staleness lookback of ``time_ms``, as exposition text carrying
+    the ORIGINAL sample timestamps (federation's untyped re-scrape
+    contract; Prometheus marks federated metrics ``# TYPE ... untyped``
+    unless metadata is supplied).
+
+    Plan: matcher-filtered scan -> one groupBy over the label columns
+    with ``max(struct(ts, value))`` (map-side combined, deterministic on
+    ties) -> grid-bounded collect for text rendering."""
+    df = _match_frame(
+        engine, selectors, time_ms - lookback_ms + 1, time_ms
+    )
+    if df is None:
+        return ""
+    cols = list(engine.label_columns)
+    latest = (
+        df.groupBy(*cols)
+        .agg(F.max(F.struct("ts", "value")).alias("last"))
+        .select(*cols, F.col("last.ts").alias("ts"), F.col("last.value").alias("value"))
+    )
+    rows = latest.collect()
+    samples = []
+    for r in rows:
+        d = r.asDict()
+        labels = _metric_of(d, cols)
+        if engine.metric_label != "__name__":
+            labels["__name__"] = labels.pop(engine.metric_label, "")
+        samples.append((labels, d["value"], int(d["ts"])))
+    samples.sort(key=lambda s: sorted(s[0].items()))
+    return format_exposition(samples, metadata)
+
+
+class PromApiServer:
+    """Loopback Prometheus query-API server over a `PromQLEngine`.
+
+    >>> with PromApiServer(engine) as url:
+    ...     urllib.request.urlopen(url + "/api/v1/labels")
+
+    ``metadata`` (``[(metric, type, help), ...]``) is rendered into
+    ``/federate`` output.  Context-manager enter binds an ephemeral
+    loopback port and returns the base URL."""
+
+    def __init__(
+        self,
+        engine,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+        metadata: Sequence[tuple[str, str, str]] = (),
+    ):
+        self.engine = engine
+        self.lookback_ms = lookback_ms
+        self.metadata = list(metadata)
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling (pure: params dict -> (http status, body)) --
+
+    def _handle(self, path: str, params: dict[str, list[str]]):
+        def p(name: str, default: str | None = None) -> str | None:
+            vals = params.get(name)
+            return vals[0] if vals else default
+
+        eng = self.engine
+        if path == "/api/v1/query":
+            expr = p("query")
+            if expr is None:
+                raise ValueError("missing query parameter")
+            raw_t = p("time")
+            if raw_t is None:
+                raise ValueError(
+                    "missing time parameter (this offline server has no "
+                    "wall-clock 'now')"
+                )
+            t = _parse_time_ms(raw_t)
+            node = parse_promql(expr)
+            if isinstance(node, (int, float)):
+                data = {
+                    "resultType": "scalar",
+                    "result": [_ts_json(t), format_sample_value(node)],
+                }
+                return data
+            df = eng.query_range(expr, t, t, 1, lookback_ms=self.lookback_ms)
+            return {"resultType": "vector", "result": vector_result(df)}
+        if path == "/api/v1/query_range":
+            expr = p("query")
+            missing = [
+                n for n in ("query", "start", "end", "step") if p(n) is None
+            ]
+            if missing:
+                raise ValueError(f"missing parameter(s): {', '.join(missing)}")
+            start = _parse_time_ms(p("start"))
+            end = _parse_time_ms(p("end"))
+            step = _parse_step_ms(p("step"))
+            if end < start:
+                raise ValueError("end < start")
+            df = eng.query_range(
+                expr, start, end, step, lookback_ms=self.lookback_ms
+            )
+            return {"resultType": "matrix", "result": matrix_result(df)}
+        start = _parse_time_ms(p("start")) if p("start") else None
+        end = _parse_time_ms(p("end")) if p("end") else None
+        match = params.get("match[]", [])
+        if path == "/api/v1/series":
+            if not match:
+                raise ValueError("no match[] parameter provided")
+            return series_result(eng, match, start, end)
+        if path == "/api/v1/labels":
+            return labels_result(eng, match, start, end)
+        if path.startswith("/api/v1/label/") and path.endswith("/values"):
+            name = urllib.parse.unquote(
+                path[len("/api/v1/label/") : -len("/values")]
+            )
+            return label_values_result(eng, name, match, start, end)
+        return None
+
+    def _handle_federate(self, params: dict[str, list[str]]) -> str:
+        match = params.get("match[]", [])
+        if not match:
+            raise ValueError("no match[] parameter provided")
+        raw_t = params.get("time", [None])[0]
+        if raw_t is None:
+            raise ValueError(
+                "missing time parameter (this offline server has no "
+                "wall-clock 'now')"
+            )
+        return render_federate(
+            self.engine,
+            match,
+            _parse_time_ms(raw_t),
+            self.lookback_ms,
+            self.metadata,
+        )
+
+    # -- plumbing --
+
+    def start(self) -> str:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+            def _params(self) -> tuple[str, dict[str, list[str]]]:
+                parsed = urllib.parse.urlsplit(self.path)
+                params = urllib.parse.parse_qs(parsed.query)
+                length = int(self.headers.get("Content-Length", "0") or 0)
+                if length and "form-urlencoded" in (
+                    self.headers.get("Content-Type") or ""
+                ):
+                    body = self.rfile.read(length).decode()
+                    for k, vs in urllib.parse.parse_qs(body).items():
+                        params.setdefault(k, []).extend(vs)
+                elif length:
+                    self.rfile.read(length)
+                return parsed.path.rstrip("/") or "/", params
+
+            def _send(self, status: int, body: bytes, ctype: str) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _serve(self) -> None:
+                path, params = self._params()
+                try:
+                    if path == "/federate":
+                        text = outer._handle_federate(params)
+                        self._send(
+                            200,
+                            text.encode(),
+                            "text/plain; version=0.0.4; charset=utf-8",
+                        )
+                        return
+                    data = outer._handle(path, params)
+                except ValueError as exc:
+                    body = json.dumps(
+                        {
+                            "status": "error",
+                            "errorType": "bad_data",
+                            "error": str(exc),
+                        }
+                    ).encode()
+                    self._send(400, body, "application/json")
+                    return
+                if data is None:
+                    self._send(
+                        404,
+                        json.dumps(
+                            {
+                                "status": "error",
+                                "errorType": "not_found",
+                                "error": f"unknown path {path}",
+                            }
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
+                body = json.dumps({"status": "success", "data": data}).encode()
+                self._send(200, body, "application/json")
+
+            do_GET = _serve
+            do_POST = _serve
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.url
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self) -> str:
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+# -- client helpers (tests / corpus rows) --
+
+
+def api_get_json(base_url: str, path: str, params: dict) -> dict:
+    """GET ``base_url+path`` with urlencoded params (lists become
+    repeated keys, the ``match[]`` convention); parsed JSON body."""
+    pairs = []
+    for k, v in params.items():
+        for item in v if isinstance(v, (list, tuple)) else [v]:
+            pairs.append((k, item))
+    qs = urllib.parse.urlencode(pairs)
+    with urllib.request.urlopen(f"{base_url}{path}?{qs}") as resp:
+        return json.loads(resp.read().decode())
+
+
+def api_query_range_rows(
+    base_url: str,
+    query: str,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+) -> list[tuple[int, dict[str, str], float]]:
+    """Run ``/api/v1/query_range`` and decode the matrix back to
+    ``[(t_ms, labels, value), ...]`` — the wire round-trip corpus rows
+    hash-check (seconds -> ms via ``round``, value strings via
+    ``float``, both exact by the format contracts above)."""
+    payload = api_get_json(
+        base_url,
+        "/api/v1/query_range",
+        {
+            "query": query,
+            "start": start_ms / 1000.0,
+            "end": end_ms / 1000.0,
+            "step": step_ms / 1000.0,
+        },
+    )
+    if payload.get("status") != "success":
+        raise RuntimeError(f"query_range failed: {payload}")
+    rows = []
+    for series in payload["data"]["result"]:
+        labels = dict(series["metric"])
+        for ts_s, val in series["values"]:
+            rows.append((round(ts_s * 1000), labels, float(val)))
+    return rows

@@ -7470,6 +7470,99 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q126_query_api_roundtrip",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, event_type, round(sum(v), 2) AS value
+FROM last GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus HTTP query API round-trip (`api.py`): the q20 range
+    query evaluated through ``GET /api/v1/query_range`` over a real
+    loopback socket — engine -> matrix JSON (Go-'f' value strings,
+    seconds timestamps) -> client reparse — must hash-match the SAME
+    DuckDB oracle the direct-engine row uses, proving the wire encoding
+    round-trips the engine's integer-ms/double results bit-exactly.
+    The reference delegates this surface to an embedded Prometheus
+    (`prometheus/querier.go:80-88`); here it IS the engine's API."""
+    from tsdb_parquet_spark.api import PromApiServer, api_query_range_rows
+
+    engine = _promql_samples(spark, sf_dir)
+    with PromApiServer(engine, lookback_ms=_P_LOOKBACK) as url:
+        rows = api_query_range_rows(
+            url,
+            "sum by (event_type) (app_events)",
+            _P_START,
+            _P_END,
+            _P_STEP,
+        )
+    data = [
+        (t, labels["event_type"], round(value, 2))
+        for t, labels, value in rows
+    ]
+    return spark.createDataFrame(
+        data, "t LONG, event_type STRING, value DOUBLE"
+    ).orderBy("t", "event_type")
+
+
+@query(
+    "q127_federate",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+w AS (
+  SELECT event_type, shard, ts_ms, value,
+         row_number() OVER (PARTITION BY event_type, shard
+                            ORDER BY ts_ms DESC, value DESC) AS rn
+  FROM s
+  WHERE ts_ms > {_P_END - _P_LOOKBACK} AND ts_ms <= {_P_END}
+)
+SELECT event_type, shard, ts_ms AS ts, round(value, 2) AS value
+FROM w WHERE rn = 1 ORDER BY event_type, shard""",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GET /federate`` round-trip (`api.py:render_federate`): the
+    latest in-lookback sample per matched series, served as exposition
+    text over the socket and REPARSED with `scrape.parse_exposition` —
+    the federation contract (a downstream Prometheus re-scrapes upstream
+    state with original timestamps).  One matcher-filtered scan + one
+    map-side-combined ``max(struct(ts, value))`` groupBy; the oracle
+    mirrors the deterministic tie-break with a (ts DESC, value DESC)
+    row_number."""
+    import urllib.request
+
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.scrape import parse_exposition
+
+    engine = _promql_samples(spark, sf_dir)
+    with PromApiServer(engine, lookback_ms=_P_LOOKBACK) as url:
+        qs = f"match[]=app_events&time={_P_END / 1000.0}"
+        with urllib.request.urlopen(f"{url}/federate?{qs}") as resp:
+            text = resp.read().decode()
+    data = [
+        (labels["event_type"], labels["shard"], ts_ms, round(value, 2))
+        for labels, value, ts_ms in parse_exposition(text)
+    ]
+    return spark.createDataFrame(
+        data, "event_type STRING, shard STRING, ts LONG, value DOUBLE"
+    ).orderBy("event_type", "shard")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
