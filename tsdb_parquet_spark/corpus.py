@@ -7563,6 +7563,37 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "shard")
 
 
+def _q128_oracle() -> str:
+    from tsdb_parquet_spark.functions.packing import sql_pack_token_chunks
+
+    inner = sql_pack_token_chunks(256)
+    return f"""
+WITH spans AS ({inner})
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(doc_offset AS BIGINT) AS doc_offset,
+       CAST(chunk_offset AS BIGINT) AS chunk_offset,
+       CAST(span_len AS BIGINT) AS span_len
+FROM spans ORDER BY chunk_id, doc_id"""
+
+
+@query("q128_sequence_packing", _q128_oracle())
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (`functions/packing.py`) — the
+    GPT-pretraining data layout: documents' tokens concatenated in
+    doc_id order and sliced into 256-token training sequences, emitted
+    as (chunk, doc, offsets, len) spans.  The global token offset is a
+    distributed prefix sum (content-deterministic quantile buckets ->
+    per-bucket totals -> literal base map -> per-bucket window), ONE
+    shuffle, no Python, no global sort; the DuckDB oracle is allowed
+    the single-process cumulative window the distributed plan avoids."""
+    from tsdb_parquet_spark.functions.packing import pack_token_chunks
+
+    docs = _cat(spark, sf_dir)["documents"]
+    return pack_token_chunks(docs, 256, num_buckets=16).orderBy(
+        "chunk_id", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
