@@ -208,6 +208,106 @@ def test_post_form_params(api):
     assert p["data"]["result"] == [{"metric": {}, "value": [1120.0, "8"]}]
 
 
+def test_metadata_endpoint(api):
+    p = api_get_json(api, "/api/v1/metadata", {})
+    assert p["data"] == {
+        "app_events": [{"type": "untyped", "help": "demo", "unit": ""}]
+    }
+    assert api_get_json(
+        api, "/api/v1/metadata", {"metric": "nope"}
+    )["data"] == {}
+
+
+def test_status_tsdb(api):
+    p = api_get_json(api, "/api/v1/status/tsdb", {})
+    d = p["data"]
+    assert d["headStats"]["numSeries"] == 3
+    assert d["headStats"]["minTime"] == 1_000_000
+    assert d["headStats"]["maxTime"] == 1_120_000
+    # __name__=app_events (2 series) ranks above other_metric (1)
+    assert d["seriesCountByMetricName"][0] == {
+        "name": "app_events",
+        "value": 2,
+    }
+    by_label = {e["name"]: e["value"] for e in d["labelValueCountByLabelName"]}
+    assert by_label["__name__"] == 2  # app_events, other_metric
+    assert by_label["event_type"] == 3  # click, view, x
+    assert by_label["shard"] == 2  # "1", "2" ("" is absent)
+    pairs = {e["name"]: e["value"] for e in d["seriesCountByLabelValuePair"]}
+    assert pairs["__name__=app_events"] == 2
+    # numLabelPairs counts distinct non-empty (label, value) pairs
+    assert d["headStats"]["numLabelPairs"] == 7
+
+
+def test_query_exemplars_endpoint(spark, engine, tmp_path):
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.sources.exemplars import write_exemplar_store
+
+    rows = [
+        Row(
+            __name__="app_events",
+            event_type=("click" if i % 2 else "view"),
+            ts=i * 86_400_000,
+            value=float(i),
+            exemplar_labels={"trace_id": f"t{i}"},
+        )
+        for i in range(4)
+    ]
+    store = str(tmp_path / "ex")
+    write_exemplar_store(
+        spark.createDataFrame(rows), store, ["__name__", "event_type"]
+    )
+    with PromApiServer(engine, exemplar_store=store) as url:
+        p = api_get_json(
+            url,
+            "/api/v1/query_exemplars",
+            {
+                "query": 'app_events{event_type="click"}',
+                "start": 0,
+                "end": 3 * 86_400,
+            },
+        )
+        assert p["data"] == [
+            {
+                "seriesLabels": {
+                    "__name__": "app_events",
+                    "event_type": "click",
+                },
+                "exemplars": [
+                    {
+                        "labels": {"trace_id": "t1"},
+                        "value": "1",
+                        "timestamp": 86_400.0,
+                    },
+                    {
+                        "labels": {"trace_id": "t3"},
+                        "value": "3",
+                        "timestamp": 3 * 86_400.0,
+                    },
+                ],
+            }
+        ]
+        # aggregations rejected
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            api_get_json(
+                url,
+                "/api/v1/query_exemplars",
+                {"query": "sum(app_events)", "start": 0, "end": 1},
+            )
+        assert exc.value.code == 400
+
+
+def test_query_exemplars_absent_without_store(api):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        api_get_json(
+            api,
+            "/api/v1/query_exemplars",
+            {"query": "app_events", "start": 0, "end": 1},
+        )
+    assert exc.value.code == 404
+
+
 def test_nan_value_survives_json(spark):
     df = spark.createDataFrame(
         [("m", 1_000, float("nan"))], "`__name__` STRING, ts LONG, value DOUBLE"

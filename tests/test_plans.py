@@ -661,10 +661,13 @@ def test_cli_exemplars_api_json(spark, tmp_path):
     assert len(body["data"]) == 1
     series = body["data"][0]
     assert series["seriesLabels"] == {"__name__": "m", "job": "a"}
+    # value strings are Go-'f' shortest form ("1", not repr's "1.0") —
+    # the shared api.exemplars_result renderer, exactly what a
+    # Prometheus /api/v1/query_exemplars body carries
     assert series["exemplars"] == [
-        {"labels": {"trace_id": "t1"}, "value": "1.0",
+        {"labels": {"trace_id": "t1"}, "value": "1",
          "timestamp": day / 1000.0},
-        {"labels": {"trace_id": "t3"}, "value": "3.0",
+        {"labels": {"trace_id": "t3"}, "value": "3",
          "timestamp": 3 * day / 1000.0},
     ]
 

@@ -73,6 +73,9 @@ __all__ = [
     "matrix_result",
     "vector_result",
     "series_result",
+    "exemplars_result",
+    "metadata_result",
+    "tsdb_status_result",
     "render_federate",
     "api_query_range_rows",
     "api_get_json",
@@ -250,6 +253,142 @@ def label_values_result(
     return sorted(r[0] for r in rows)
 
 
+def exemplars_result(df: DataFrame) -> list[dict]:
+    """``/api/v1/query_exemplars`` response body from a
+    `sources.exemplars.select_exemplars` frame: exemplars grouped per
+    series, value strings in Go-'f' form, timestamps in seconds —
+    shared by the socket server and ``cli exemplars --api-json`` so the
+    two renderings cannot drift."""
+    label_cols = [
+        c for c in df.columns if c not in ("ts", "value", "exemplar_labels")
+    ]
+    by_series: dict[tuple, list] = {}
+    for row in df.collect():
+        key = tuple((c, row[c]) for c in label_cols if row[c])
+        by_series.setdefault(key, []).append(row)
+    result = []
+    for key, series_rows in sorted(by_series.items()):
+        result.append(
+            {
+                "seriesLabels": dict(key),
+                "exemplars": [
+                    {
+                        "labels": dict(r["exemplar_labels"] or {}),
+                        "value": _api_value(float(r["value"])),
+                        "timestamp": r["ts"] / 1000.0,
+                    }
+                    for r in sorted(series_rows, key=lambda r: r["ts"])
+                ],
+            }
+        )
+    return result
+
+
+def metadata_result(
+    metadata: Sequence[tuple[str, str, str]],
+    metric: str | None = None,
+    limit: int | None = None,
+) -> dict[str, list[dict]]:
+    """``/api/v1/metadata``: metric -> [{type, help, unit}] from the
+    server's ``[(metric, type, help), ...]`` metadata triples."""
+    out: dict[str, list[dict]] = {}
+    for name, mtype, mhelp in metadata:
+        if metric is not None and name != metric:
+            continue
+        out.setdefault(name, []).append(
+            {"type": mtype, "help": mhelp, "unit": ""}
+        )
+    if limit is not None:
+        out = dict(list(sorted(out.items()))[: max(0, limit)])
+    return out
+
+
+def tsdb_status_result(engine, limit: int = 10) -> dict:
+    """``/api/v1/status/tsdb``: cardinality statistics over the engine's
+    samples frame — ``headStats`` plus the four top-N sections of the
+    public response.  Three aggregate jobs, each a single shuffle over
+    the DISTINCT-SERIES frame (one row per series, never per sample):
+    the melt-and-count plan `querier.tsdb_stats` uses, widened to
+    per-pair counts.  ``memoryInBytesByLabelName`` counts the bytes of
+    each label's distinct values (the storage-agnostic reading of
+    Prometheus's head-memory stat); ``chunkCount`` is 0 — a Parquet
+    store has no head chunks."""
+    from itertools import chain
+
+    cols = list(engine.label_columns)
+    samples = engine.samples
+    series = samples.select(*cols).dropDuplicates(cols)
+
+    head = samples.agg(
+        F.countDistinct(*cols).alias("num_series"),
+        F.min("ts").alias("min_t"),
+        F.max("ts").alias("max_t"),
+    ).collect()[0]
+
+    by_metric = [
+        {"name": r["name"] or "", "value": r["n"]}
+        for r in series.groupBy(
+            F.col(engine.metric_label).alias("name")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "name")
+        .limit(limit)
+        .collect()
+    ]
+
+    kv = F.create_map(
+        *chain.from_iterable((F.lit(c), F.col(c)) for c in cols)
+    )
+    pairs = series.select(F.explode(kv).alias("__lbl", "__val")).filter(
+        F.col("__val") != F.lit("")
+    )
+    pair_counts = (
+        pairs.groupBy("__lbl", "__val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    by_pair = [
+        {"name": f'{r["__lbl"]}={r["__val"]}', "value": r["n"]}
+        for r in pair_counts.orderBy(
+            F.desc("n"), "__lbl", "__val"
+        )
+        .limit(limit)
+        .collect()
+    ]
+    per_label = (
+        pair_counts.groupBy("__lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.length("__val")).alias("bytes"),
+        )
+        .collect()
+    )
+    pair_counts.unpersist(blocking=False)
+    per_label.sort(key=lambda r: (-r["n_values"], r["__lbl"]))
+    by_label = [
+        {"name": r["__lbl"], "value": r["n_values"]}
+        for r in per_label[:limit]
+    ]
+    by_bytes = sorted(per_label, key=lambda r: (-r["bytes"], r["__lbl"]))
+    mem_by_label = [
+        {"name": r["__lbl"], "value": int(r["bytes"])}
+        for r in by_bytes[:limit]
+    ]
+    return {
+        "headStats": {
+            "numSeries": head["num_series"],
+            "numLabelPairs": sum(r["n_values"] for r in per_label),
+            "chunkCount": 0,
+            "minTime": head["min_t"],
+            "maxTime": head["max_t"],
+        },
+        "seriesCountByMetricName": by_metric,
+        "labelValueCountByLabelName": by_label,
+        "memoryInBytesByLabelName": mem_by_label,
+        "seriesCountByLabelValuePair": by_pair,
+    }
+
+
 def render_federate(
     engine,
     selectors: Sequence[str],
@@ -304,10 +443,14 @@ class PromApiServer:
         engine,
         lookback_ms: int = DEFAULT_LOOKBACK_MS,
         metadata: Sequence[tuple[str, str, str]] = (),
+        exemplar_store: str | None = None,
     ):
         self.engine = engine
         self.lookback_ms = lookback_ms
         self.metadata = list(metadata)
+        #: path of a `sources.exemplars` store; enables
+        #: ``/api/v1/query_exemplars`` (404 without one)
+        self.exemplar_store = exemplar_store
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -355,6 +498,43 @@ class PromApiServer:
                 expr, start, end, step, lookback_ms=self.lookback_ms
             )
             return {"resultType": "matrix", "result": matrix_result(df)}
+        if path == "/api/v1/query_exemplars":
+            if self.exemplar_store is None:
+                return None  # endpoint absent without a store, like 2.x
+            missing = [
+                n for n in ("query", "start", "end") if p(n) is None
+            ]
+            if missing:
+                raise ValueError(f"missing parameter(s): {', '.join(missing)}")
+            node = parse_promql(p("query"))
+            if not isinstance(node, PromExpr) or node.func or node.agg:
+                raise ValueError(
+                    f"query_exemplars needs a plain selector: {p('query')!r}"
+                )
+            matchers = list(node.matchers)
+            if node.metric:
+                matchers.append(
+                    Matcher(eng.metric_label, "=", node.metric)
+                )
+            from tsdb_parquet_spark.sources.exemplars import select_exemplars
+
+            df = select_exemplars(
+                eng.samples.sparkSession,
+                self.exemplar_store,
+                matchers,
+                _parse_time_ms(p("start")),
+                _parse_time_ms(p("end")),
+            )
+            return exemplars_result(df)
+        if path == "/api/v1/metadata":
+            raw_limit = p("limit")
+            return metadata_result(
+                self.metadata,
+                metric=p("metric"),
+                limit=int(raw_limit) if raw_limit is not None else None,
+            )
+        if path == "/api/v1/status/tsdb":
+            return tsdb_status_result(eng)
         start = _parse_time_ms(p("start")) if p("start") else None
         end = _parse_time_ms(p("end")) if p("end") else None
         match = params.get("match[]", [])

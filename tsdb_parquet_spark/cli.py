@@ -184,37 +184,21 @@ def cmd_exemplars(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     out = select_exemplars(spark, args.store, matchers, args.start, args.end)
-    rows = out.collect()
     if args.api_json:
         import json as _json
 
-        label_cols = [
-            c for c in out.columns
-            if c not in ("ts", "value", "exemplar_labels")
-        ]
-        by_series: dict[tuple, list] = {}
-        for row in rows:
-            key = tuple((c, row[c]) for c in label_cols if row[c])
-            by_series.setdefault(key, []).append(row)
-        result = []
-        for key, series_rows in sorted(by_series.items()):
-            result.append({
-                "seriesLabels": dict(key),
-                "exemplars": [
-                    {
-                        "labels": dict(r["exemplar_labels"] or {}),
-                        "value": repr(float(r["value"])),
-                        "timestamp": r["ts"] / 1000.0,
-                    }
-                    for r in sorted(series_rows, key=lambda r: r["ts"])
-                ],
-            })
+        from tsdb_parquet_spark.api import exemplars_result
+
+        result = exemplars_result(out)
+        n = sum(len(s["exemplars"]) for s in result)
         print(_json.dumps({"status": "success", "data": result}))
     else:
+        rows = out.collect()
+        n = len(rows)
         for row in rows:
             print(row.asDict())
     print(
-        f"# {len(rows)} exemplars in {time.perf_counter() - t0:.1f}s",
+        f"# {n} exemplars in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
     spark.stop()
