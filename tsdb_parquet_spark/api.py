@@ -16,6 +16,12 @@ Endpoints (public Prometheus HTTP API spec, api/v1):
 * ``GET/POST /api/v1/series``       — series enumeration for match[] selectors
 * ``GET/POST /api/v1/labels``       — label names
 * ``GET /api/v1/label/<n>/values``  — label values
+* ``GET /api/v1/query_exemplars``   — exemplars for a selector (needs a store)
+* ``GET /api/v1/metadata``          — metric metadata
+* ``GET /api/v1/status/tsdb``       — cardinality statistics
+* ``POST /api/v1/read``             — Prometheus remote-READ (snappy
+  prompb; `remote_read.serve_read_request`) so a real Prometheus can
+  federate queries into the store
 * ``GET /federate``                 — latest-sample exposition text for
   match[] selectors (the Prometheus federation scrape surface), rendered
   through `scrape.format_exposition` so ``parse_exposition`` round-trips
@@ -580,10 +586,13 @@ class PromApiServer:
             def log_message(self, *args) -> None:  # quiet
                 pass
 
-            def _params(self) -> tuple[str, dict[str, list[str]]]:
+            def _params(
+                self,
+            ) -> tuple[str, dict[str, list[str]], bytes]:
                 parsed = urllib.parse.urlsplit(self.path)
                 params = urllib.parse.parse_qs(parsed.query)
                 length = int(self.headers.get("Content-Length", "0") or 0)
+                raw = b""
                 if length and "form-urlencoded" in (
                     self.headers.get("Content-Type") or ""
                 ):
@@ -591,8 +600,8 @@ class PromApiServer:
                     for k, vs in urllib.parse.parse_qs(body).items():
                         params.setdefault(k, []).extend(vs)
                 elif length:
-                    self.rfile.read(length)
-                return parsed.path.rstrip("/") or "/", params
+                    raw = self.rfile.read(length)
+                return parsed.path.rstrip("/") or "/", params, raw
 
             def _send(self, status: int, body: bytes, ctype: str) -> None:
                 self.send_response(status)
@@ -602,8 +611,24 @@ class PromApiServer:
                 self.wfile.write(body)
 
             def _serve(self) -> None:
-                path, params = self._params()
+                path, params, raw = self._params()
                 try:
+                    if path == "/api/v1/read":
+                        # prompb remote-read: snappy protobuf in and out
+                        from tsdb_parquet_spark.remote_read import (
+                            serve_read_request,
+                        )
+
+                        resp = serve_read_request(outer.engine, raw)
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/x-protobuf"
+                        )
+                        self.send_header("Content-Encoding", "snappy")
+                        self.send_header("Content-Length", str(len(resp)))
+                        self.end_headers()
+                        self.wfile.write(resp)
+                        return
                     if path == "/federate":
                         text = outer._handle_federate(params)
                         self._send(

@@ -7594,6 +7594,69 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q129_remote_read",
+    f"""
+SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+       epoch_ms(ts) AS ts, round(value, 2) AS value
+FROM events
+WHERE epoch_ms(ts) >= {_P_START} AND epoch_ms(ts) <= {_P_START + 3 * _DAY_MS}
+ORDER BY event_type, shard, ts, value""",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-READ served from the store (`remote_read.py`):
+    a client-encoded prompb ReadRequest (selector + 3-day range) POSTs
+    to ``/api/v1/read`` over a real socket, the snappy ReadResponse
+    decodes back to labeled sample streams, and every sample must
+    hash-match DuckDB reading the raw events — proving a real
+    Prometheus with ``remote_read:`` pointed here gets bit-exact data
+    through chunk encode -> store -> matcher pushdown -> protobuf wire."""
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.operators.selection import Matcher
+    from tsdb_parquet_spark.remote_read import (
+        decode_read_response,
+        encode_read_request,
+    )
+    from tsdb_parquet_spark.remote_write import (
+        frame_payload,
+        unframe_payload,
+    )
+
+    engine = _promql_samples(spark, sf_dir)
+    body = frame_payload(
+        encode_read_request(
+            [
+                (
+                    _P_START,
+                    _P_START + 3 * _DAY_MS,
+                    [Matcher("__name__", "=", "app_events")],
+                )
+            ]
+        )
+    )
+    import urllib.request
+
+    with PromApiServer(engine) as url:
+        req = urllib.request.Request(
+            f"{url}/api/v1/read",
+            data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            results = decode_read_response(unframe_payload(resp.read()))
+    rows = [
+        (labels["event_type"], labels["shard"], ts, round(value, 2))
+        for labels, samples in results[0]
+        for ts, value in samples
+    ]
+    return spark.createDataFrame(
+        rows, "event_type STRING, shard STRING, ts LONG, value DOUBLE"
+    ).orderBy("event_type", "shard", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
