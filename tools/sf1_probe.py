@@ -124,6 +124,9 @@ HEAVY = [
     "q93_exact_substring_spans",
     "q98_exact_substring_removal",
     "q99_lm_perplexity_score",
+    # r12: sequence packing at 10x docs — the distributed prefix sum
+    # (quantile buckets + per-bucket window) is the scale surface
+    "q128_sequence_packing",
 ]
 
 
@@ -460,6 +463,15 @@ def main() -> None:
             "q122_native_histogram_store_roundtrip",
             "q123_exemplar_store_query",
             "q124_otlp_ingest",
+            # the r12 additions at 10x: the query-API JSON wire and the
+            # remote-read protobuf wire round-trips over 10x events
+            # (value/timestamp string formats must stay bit-exact at any
+            # magnitude the bigger corpus produces), and sequence
+            # packing's distributed prefix sum vs DuckDB's global window
+            # over 10x docs
+            "q126_query_api_roundtrip",
+            "q129_remote_read",
+            "q128_sequence_packing",
         ]
         results = {}
         for name in names:

@@ -49,7 +49,11 @@ def repetition_stats(
 
     - default (``zero_shuffle=False``): explode -> groupBy(doc, gram) ->
       groupBy(doc).  Two exchanges, but every operator is whole-stage
-      codegen.  Measured: sf1 3.4 s / sf3 7.5 s — growth exponent 0.72.
+      codegen.  Measured: sf1 3.4 s / sf3 7.5 s — growth exponent 0.72
+      (r08 q70_shapes capture; the r12 re-probe of the corpus row
+      measured 0.98 over the same step with all 32 cores saturated —
+      the shape's floor on fixed hardware, see BENCH_local_sf1.json
+      ``analysis.rows_over_target.q70_repetition_stats``).
     - ``zero_shuffle=True``: sort each doc's gram array and derive
       distinct-count/max-run from run boundaries with higher-order
       functions — a pure scan+project with NO exchange; costs
