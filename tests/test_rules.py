@@ -1,0 +1,133 @@
+"""Rule groups (`rules.py`): recording rename/label merge, alert
+``for``-state islands, group sequencing, and the ALERTS series shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.plans.promql import PromQLEngine
+from tsdb_parquet_spark.rules import (
+    AlertingRule,
+    RecordingRule,
+    RuleGroup,
+    alerts_series,
+    evaluate_alerting_rule,
+    evaluate_recording_rule,
+    evaluate_rule_group,
+)
+
+MIN = 60_000
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    # per-minute samples; job=a goes high for 3 steps, dips, high 2 more
+    vals = {"a": [1, 9, 9, 9, 1, 9, 9], "b": [9, 9, 1, 1, 1, 1, 1]}
+    rows = [
+        ("m", job, (i + 1) * MIN, float(v))
+        for job, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    return PromQLEngine(df)
+
+
+def _states(df):
+    return sorted(
+        (r["job"], r["t"] // MIN, r["alertstate"]) for r in df.collect()
+    )
+
+
+def test_alert_for_state_islands(engine):
+    rule = AlertingRule("HighM", "m > 5", for_ms=2 * MIN)
+    out = evaluate_alerting_rule(engine, rule, MIN, 7 * MIN, MIN)
+    # a: active 2,3,4 (fires at 4: 2 minutes after activation), then a
+    # reset at 5 and a fresh pending island 6,7; b: active 1,2 only
+    assert _states(out) == [
+        ("a", 2, "pending"),
+        ("a", 3, "pending"),
+        ("a", 4, "firing"),
+        ("a", 6, "pending"),
+        ("a", 7, "pending"),
+        ("b", 1, "pending"),
+        ("b", 2, "pending"),
+    ]
+
+
+def test_alert_for_zero_fires_immediately(engine):
+    rule = AlertingRule("AnyM", "m > 5", for_ms=0)
+    out = evaluate_alerting_rule(engine, rule, MIN, 7 * MIN, MIN)
+    assert {r["alertstate"] for r in out.collect()} == {"firing"}
+
+
+def test_alert_labels_and_name(engine):
+    rule = AlertingRule(
+        "HighM", "m > 5", for_ms=0, labels={"severity": "page"}
+    )
+    out = evaluate_alerting_rule(engine, rule, MIN, 2 * MIN, MIN)
+    row = out.collect()[0]
+    assert row["alertname"] == "HighM" and row["severity"] == "page"
+    assert row["value"] == 9.0
+
+
+def test_alert_empty_active_set(engine):
+    rule = AlertingRule("Never", "m > 100", for_ms=0)
+    out = evaluate_alerting_rule(engine, rule, MIN, 7 * MIN, MIN)
+    assert out.count() == 0
+
+
+def test_alerts_series_shape(engine):
+    rule = AlertingRule("HighM", "m > 5", for_ms=0)
+    out = alerts_series(
+        evaluate_alerting_rule(engine, rule, MIN, 2 * MIN, MIN)
+    )
+    row = out.collect()[0]
+    assert row["__name__"] == "ALERTS"
+    assert row["value"] == 1.0
+    assert row["alertstate"] == "firing"
+    assert "ts" in out.columns and "t" not in out.columns
+
+
+def test_recording_rename_and_label_merge(engine):
+    rule = RecordingRule(
+        "job:m:max", "max by (job) (m)", labels={"tier": "gold"}
+    )
+    out = evaluate_recording_rule(engine, rule, MIN, 2 * MIN, MIN)
+    rows = {(r["job"], r["ts"]): r for r in out.collect()}
+    r = rows[("a", 2 * MIN)]
+    assert r["__name__"] == "job:m:max" and r["tier"] == "gold"
+    assert r["value"] == 9.0
+
+
+def test_recording_rule_labels_overwrite(engine):
+    # a rule label colliding with a result label wins (Prometheus
+    # lb.Set semantics)
+    rule = RecordingRule("job:m:max", "max by (job) (m)", labels={"job": "z"})
+    out = evaluate_recording_rule(engine, rule, MIN, MIN, MIN)
+    assert {r["job"] for r in out.collect()} == {"z"}
+
+
+def test_group_sequencing(engine):
+    group = RuleGroup(
+        "g",
+        (
+            RecordingRule("job:m:sum", "sum by (job) (m)"),
+            RecordingRule("job:m:sum:x2", "job:m:sum * 2"),
+            AlertingRule("BigSum", "job:m:sum:x2 > 17", for_ms=0),
+        ),
+    )
+    results, engine2 = evaluate_rule_group(engine, group, MIN, 2 * MIN, MIN)
+    doubled = {
+        (r["job"], r["ts"]): r["value"]
+        for r in results["job:m:sum:x2"].collect()
+    }
+    assert doubled[("a", MIN)] == 2.0 and doubled[("b", MIN)] == 18.0
+    alerts = {(r["job"], r["t"] // MIN) for r in results["BigSum"].collect()}
+    assert alerts == {("b", 1), ("b", 2), ("a", 2)}
+    # the returned engine serves the recorded series to ad-hoc queries
+    chk = engine2.query_range("job:m:sum:x2", MIN, MIN, MIN).collect()
+    assert {(r["job"], r["value"]) for r in chk} == {("a", 2.0), ("b", 18.0)}
+    # and the ORIGINAL series still resolve through the union
+    base = engine2.query_range("sum(m)", MIN, MIN, MIN).collect()
+    assert base[0]["value"] == 10.0

@@ -7657,6 +7657,134 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "shard", "ts", "value")
 
 
+@query(
+    "q130_alerting_rule",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT t, event_type, sum(v) AS value FROM last GROUP BY 1, 2
+),
+act AS (SELECT * FROM v WHERE value > 350),
+lagged AS (
+  SELECT t, event_type, value,
+         lag(t) OVER (PARTITION BY event_type ORDER BY t) AS prev_t
+  FROM act
+),
+isl AS (
+  SELECT t, event_type, value,
+         sum(CASE WHEN prev_t IS NULL OR t - prev_t > {_P_STEP}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY t) AS island
+  FROM lagged
+),
+st AS (
+  SELECT t, event_type, value,
+         min(t) OVER (PARTITION BY event_type, island) AS istart
+  FROM isl
+)
+SELECT t, 'HighEvents' AS alertname, event_type,
+       CASE WHEN t - istart >= {_DAY_MS} THEN 'firing'
+            ELSE 'pending' END AS alertstate,
+       round(value, 2) AS value
+FROM st ORDER BY t, event_type""",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting rule with ``for``-state tracking (`rules.py`): alert
+    ``HighEvents`` on ``sum by (event_type) (app_events) > 350`` with
+    ``for: 1d`` over the corpus grid — pending from an island's first
+    active step, firing once continuously active for the duration, the
+    clock resetting across gaps (the active sets at this threshold have
+    many).  One gaps-and-islands window pass over the grid-bounded
+    active set; the oracle mirrors it with the same lag/island SQL on
+    the q20 instant-sum CTE."""
+    from tsdb_parquet_spark.rules import AlertingRule, evaluate_alerting_rule
+
+    engine = _promql_samples(spark, sf_dir)
+    rule = AlertingRule(
+        "HighEvents",
+        "sum by (event_type) (app_events) > 350",
+        for_ms=_DAY_MS,
+    )
+    out = evaluate_alerting_rule(
+        engine, rule, _P_START, _P_END, _P_STEP, lookback_ms=_P_LOOKBACK
+    )
+    return out.select(
+        "t",
+        "alertname",
+        "event_type",
+        "alertstate",
+        F.round("value", 2).alias("value"),
+    ).orderBy("t", "event_type")
+
+
+@query(
+    "q131_rule_group",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t AS ts, 'app_events:sum:doubled' AS metric, event_type,
+       round(sum(v) * 2, 2) AS value
+FROM last GROUP BY t, event_type ORDER BY ts, event_type""",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential rule-group evaluation (`rules.evaluate_rule_group`):
+    rule 1 records ``app_events:sum``; rule 2's expression SELECTS that
+    new series (``app_events:sum * 2``) — Prometheus group semantics,
+    where each rule sees its predecessors' output.  The recording
+    output unions onto the samples frame between rules (selector
+    pushdown under the union still reaches the store scan); the oracle
+    recomputes the chain as one doubled instant-sum."""
+    from tsdb_parquet_spark.rules import (
+        RecordingRule,
+        RuleGroup,
+        evaluate_rule_group,
+    )
+
+    engine = _promql_samples(spark, sf_dir)
+    group = RuleGroup(
+        "events",
+        (
+            RecordingRule(
+                "app_events:sum", "sum by (event_type) (app_events)"
+            ),
+            RecordingRule(
+                "app_events:sum:doubled", "app_events:sum * 2"
+            ),
+        ),
+    )
+    results, _ = evaluate_rule_group(
+        engine, group, _P_START, _P_END, _P_STEP, lookback_ms=_P_LOOKBACK
+    )
+    out = results["app_events:sum:doubled"]
+    return out.select(
+        "ts",
+        F.col("__name__").alias("metric"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("ts", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,225 @@
+"""Prometheus rule groups: recording rules and alerting rules.
+
+The reference delegates ALL evaluation to an embedded Prometheus
+(`prometheus/querier.go:80-88`); the rules engine is the half of that
+delegated surface the query API doesn't cover — the background loop
+that materializes recording-rule series and tracks alert ``for``-state.
+Semantics from the public Prometheus docs (recording_rules.md /
+alerting_rules.md):
+
+* a RECORDING rule evaluates its expression at each step and stores the
+  result as a new series named ``record`` with the rule's extra labels
+  merged in (rule labels overwrite result labels on collision, like
+  ``lb.Set`` in the Prometheus rule eval);
+* an ALERTING rule's expression yields "active" label sets per step; an
+  alert is ``pending`` from its first active step and turns ``firing``
+  once it has been CONTINUOUSLY active for ``for_ms`` (``for: 0`` fires
+  immediately); a step with no output resets the clock.  Active alerts
+  surface as the synthetic ``ALERTS{alertname=..., alertstate=...}``
+  series with value 1, exactly the series a real Prometheus writes;
+* rules in one GROUP evaluate sequentially — each rule sees the output
+  of the rules before it (Prometheus evaluates a group in order against
+  the same storage, so ``record: a`` then ``expr: a * 2`` works).
+
+Execution shape: a recording rule is ONE ``query_range`` plan plus a
+literal-column rename — no new shuffles beyond the query's own.  Alert
+``for``-state is the classic gaps-and-islands: one window pass over the
+alert's own (tiny, grid-bounded) active set, partitioned BY SERIES and
+ordered by step — parallel across series, never a global sort.  Feeding
+recording output back into the engine is a ``unionByName`` of the new
+series onto the samples frame — the next rule's selector pushdown still
+reaches the original store scan underneath the union.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.plans.promql import DEFAULT_LOOKBACK_MS, PromQLEngine
+
+__all__ = [
+    "RecordingRule",
+    "AlertingRule",
+    "RuleGroup",
+    "evaluate_recording_rule",
+    "evaluate_alerting_rule",
+    "evaluate_rule_group",
+]
+
+
+@dataclass(frozen=True)
+class RecordingRule:
+    """``record: <name>`` / ``expr:`` / optional ``labels:``."""
+
+    record: str
+    expr: str
+    labels: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class AlertingRule:
+    """``alert: <name>`` / ``expr:`` / ``for:`` (ms) / ``labels:``."""
+
+    alert: str
+    expr: str
+    for_ms: int = 0
+    labels: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class RuleGroup:
+    name: str
+    rules: tuple = ()
+
+
+def _result_series(
+    out: DataFrame, name_label: str, name: str, labels: dict[str, str]
+) -> DataFrame:
+    """A query_range result ``(t, group-labels..., value)`` as a samples
+    frame ``(ts, value, <name_label>, labels...)`` named ``name`` with
+    rule labels merged (rule labels WIN on collision)."""
+    df = out.withColumnRenamed("t", "ts")
+    keep = [c for c in df.columns if c not in ("ts", "value")]
+    df = df.withColumn(name_label, F.lit(name))
+    for k, v in labels.items():
+        df = df.withColumn(k, F.lit(v))
+    cols = ["ts", "value", name_label]
+    cols += [c for c in keep if c != name_label and c not in labels]
+    cols += [k for k in labels if k != name_label]
+    return df.select(*dict.fromkeys(cols))
+
+
+def evaluate_recording_rule(
+    engine: PromQLEngine,
+    rule: RecordingRule,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """The rule's new series as a samples frame: ``(ts, value,
+    __name__=record, result labels..., rule labels...)``."""
+    out = engine.query_range(
+        rule.expr, start_ms, end_ms, step_ms, lookback_ms=lookback_ms
+    )
+    return _result_series(out, engine.metric_label, rule.record, rule.labels)
+
+
+def evaluate_alerting_rule(
+    engine: PromQLEngine,
+    rule: AlertingRule,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Alert state per active (series, step): ``(t, alertname, result
+    labels..., rule labels..., alertstate, value)``.
+
+    Gaps-and-islands over the rule's active set: a new island starts
+    where the previous active step is more than one ``step_ms`` back;
+    the alert fires at step t when ``t - island_start >= for_ms``
+    (Prometheus: "continuously active for at least <for>"), else it is
+    pending.  One window pass, partitioned by the alert's identity
+    labels — the active set is grid-bounded (steps x series), so this
+    costs one small shuffle regardless of store size."""
+    out = engine.query_range(
+        rule.expr, start_ms, end_ms, step_ms, lookback_ms=lookback_ms
+    )
+    label_cols = [c for c in out.columns if c not in ("t", "value")]
+    w = Window.partitionBy(
+        *[F.col(c) for c in label_cols] if label_cols else [F.lit(1)]
+    ).orderBy("t")
+    prev_t = F.lag("t").over(w)
+    new_island = (
+        prev_t.isNull() | (F.col("t") - prev_t > F.lit(int(step_ms)))
+    ).cast("long")
+    df = out.withColumn(
+        "_island", F.sum(new_island).over(w)
+    )
+    w_island = Window.partitionBy(
+        *([F.col(c) for c in label_cols] if label_cols else [F.lit(1)]),
+        F.col("_island"),
+    )
+    island_start = F.min("t").over(w_island)
+    state = F.when(
+        F.col("t") - island_start >= F.lit(int(rule.for_ms)),
+        F.lit("firing"),
+    ).otherwise(F.lit("pending"))
+    result = df.withColumn("alertstate", state).drop("_island")
+    result = result.withColumn("alertname", F.lit(rule.alert))
+    for k, v in rule.labels.items():
+        result = result.withColumn(k, F.lit(v))
+    cols = ["t", "alertname"]
+    cols += [c for c in label_cols if c != "alertname" and c not in rule.labels]
+    cols += [k for k in rule.labels if k != "alertname"]
+    cols += ["alertstate", "value"]
+    return result.select(*dict.fromkeys(cols))
+
+
+def alerts_series(
+    alert_frame: DataFrame, name_label: str = "__name__"
+) -> DataFrame:
+    """The synthetic ``ALERTS{alertname, alertstate, ...}`` samples a
+    real Prometheus writes for active alerts (value 1 at each active
+    step)."""
+    return (
+        alert_frame.withColumn(name_label, F.lit("ALERTS"))
+        .withColumn("value", F.lit(1.0))
+        .withColumnRenamed("t", "ts")
+    )
+
+
+def evaluate_rule_group(
+    engine: PromQLEngine,
+    group: RuleGroup,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> tuple[dict[str, DataFrame], PromQLEngine]:
+    """Evaluate the group's rules IN ORDER, each seeing its
+    predecessors' recording output (sequential group semantics).
+
+    Returns ``(results, engine')``: results maps rule name ->
+    recording-samples frame or alert-state frame; ``engine'`` wraps the
+    samples frame with every recording rule's output unioned on (absent
+    labels filled ``""``, the store convention), ready for the next
+    evaluation interval or ad-hoc queries over rule output."""
+    results: dict[str, DataFrame] = {}
+    current = engine
+    for rule in group.rules:
+        if isinstance(rule, RecordingRule):
+            rec = evaluate_recording_rule(
+                current, rule, start_ms, end_ms, step_ms, lookback_ms
+            )
+            results[rule.record] = rec
+            base = current.samples
+            for c in base.columns:
+                if c not in rec.columns:
+                    rec = rec.withColumn(
+                        c,
+                        F.lit("") if dict(base.dtypes)[c] == "string"
+                        else F.lit(None).cast(dict(base.dtypes)[c]),
+                    )
+            new_cols = [c for c in rec.columns if c not in base.columns]
+            extended = base
+            for c in new_cols:
+                extended = extended.withColumn(c, F.lit(""))
+            merged = extended.unionByName(rec.select(*extended.columns))
+            current = PromQLEngine(
+                merged,
+                metric_label=current.metric_label,
+                extrapolate=current.extrapolate,
+            )
+        elif isinstance(rule, AlertingRule):
+            results[rule.alert] = evaluate_alerting_rule(
+                current, rule, start_ms, end_ms, step_ms, lookback_ms
+            )
+        else:  # pragma: no cover - config error
+            raise TypeError(f"not a rule: {rule!r}")
+    return results, current
