@@ -1366,3 +1366,86 @@ def test_data_window_conservative_bounds():
         1_000_000 - 1_800_000 - 60_000, 2_000_000)
     # sample-free queries prune nothing
     assert w("vector(1) + time()") is None
+
+
+def test_info_function(spark):
+    """info(v): target_info data labels fill the input's absent labels
+    per (job, instance, step); the data-label selector restricts WHICH
+    labels are added and requires the value to match; aggregating away
+    the identifying labels makes info a no-op (PromInfo's documented
+    rules)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("app_events", "api", "i1", "", 60_000, 5.0),
+        ("app_events", "api", "i2", "", 60_000, 7.0),
+        ("app_events", "web", "i3", "", 60_000, 9.0),
+        ("target_info", "api", "i1", "v1", 60_000, 1.0),
+        ("target_info", "api", "i2", "v2", 60_000, 1.0),
+    ]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, "
+        "version STRING, ts LONG, value DOUBLE",
+    ))
+    got = {
+        r["instance"]: r["version"]
+        for r in eng.query_range(
+            "info(app_events)", 60_000, 60_000, 60_000
+        ).collect()
+    }
+    assert got == {"i1": "v1", "i2": "v2", "i3": ""}
+    # selector: only matching info values are added
+    got = {
+        r["instance"]: r["version"]
+        for r in eng.query_range(
+            'info(app_events, {version=~"v1"})', 60_000, 60_000, 60_000
+        ).collect()
+    }
+    assert got == {"i1": "v1", "i2": "", "i3": ""}
+    # identifying labels aggregated away -> unchanged (and still runs)
+    out = eng.query_range("info(sum(app_events))", 60_000, 60_000, 60_000)
+    assert out.columns == ["t", "value"] and out.collect()[0]["value"] == 21.0
+
+
+def test_info_conflict_and_dedup(spark):
+    """A non-empty input label wins over info data; duplicate info
+    series per (job, instance, step) resolve deterministically (max)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        # input already carries version=keep -> info must not overwrite
+        ("m", "api", "i1", "keep", 60_000, 5.0),
+        ("m", "api", "i2", "", 60_000, 7.0),
+        ("target_info", "api", "i1", "v1", 60_000, 1.0),
+        # duplicate info series for i2 (conflicting versions)
+        ("target_info", "api", "i2", "v2", 60_000, 1.0),
+        ("target_info", "api", "i2", "v9", 60_000, 1.0),
+    ]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, "
+        "version STRING, ts LONG, value DOUBLE",
+    ))
+    got = {
+        r["instance"]: r["version"]
+        for r in eng.query_range("info(m)", 60_000, 60_000, 60_000).collect()
+    }
+    assert got == {"i1": "keep", "i2": "v9"}
+
+
+def test_info_plan_broadcasts(spark):
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("m", "api", "i1", "", 60_000, 5.0),
+        ("target_info", "api", "i1", "v1", 60_000, 1.0),
+    ]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, "
+        "version STRING, ts LONG, value DOUBLE",
+    ))
+    out = eng.query_range("info(m)", 60_000, 60_000, 60_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -7785,6 +7785,71 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ts", "event_type")
 
 
+@query(
+    "q132_promql_info",
+    f"""
+WITH s AS (
+  SELECT CAST(user_id % 8 AS VARCHAR) AS instance,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.instance, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2
+)
+SELECT t, 'app' AS job, instance,
+       CASE WHEN instance IN ('0', '1', '2', '3')
+            THEN 'v' || instance ELSE '' END AS version,
+       round(sum(v), 2) AS value
+FROM last GROUP BY 1, 3 ORDER BY 1, 3""",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``info()`` (Prometheus 3.x experimental, `plans/promql.py`
+    PromInfo): enrich a vector with ``target_info`` data labels matched
+    on (job, instance) per step — the query-side half of the OTLP
+    ``resource_attrs="target_info"`` translation (S4g).  Fixture: events
+    as ``app_events{job, instance}`` plus one ``target_info`` series per
+    instance 0-3 carrying ``version`` (instances 4-7 have no info
+    series, so their samples keep ``version=""``).  The info side is
+    deduped + BROADCAST; the oracle inlines the static mapping."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"].select(
+        F.lit("app_events").alias("__name__"),
+        F.lit("app").alias("job"),
+        (F.col("user_id") % 8).cast("string").alias("instance"),
+        F.lit("").alias("version"),
+        F.expr("ts div 1000000").alias("ts"),
+        "value",
+    )
+    info_rows = [
+        ("target_info", "app", str(i), f"v{i}", t, 1.0)
+        for i in range(4)
+        for t in range(_P_START, _P_END + 1, _P_STEP)
+    ]
+    info = spark.createDataFrame(
+        info_rows,
+        "`__name__` STRING, job STRING, instance STRING, "
+        "version STRING, ts LONG, value DOUBLE",
+    )
+    engine = PromQLEngine(ev.unionByName(info))
+    out = engine.query_range(
+        "info(sum by (job, instance) (app_events))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return out.select(
+        "t", "job", "instance", "version",
+        F.round("value", 2).alias("value"),
+    ).orderBy("t", "instance")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------

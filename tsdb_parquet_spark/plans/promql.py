@@ -459,6 +459,28 @@ class PromAbsent:
 
 
 @dataclass
+class PromInfo:
+    """``info(v[, {data-label matchers}])`` — the Prometheus 3.x
+    experimental info function: enrich each sample of ``v`` with data
+    labels from the ``target_info`` series sharing its identifying
+    labels (``job``, ``instance``) at the same evaluation step (info
+    presence judged over the lookback, like any instant selector).
+
+    Engine-specific rules, documented because the upstream function is
+    experimental and its conflict behavior in flux: (1) a data label is
+    only FILLED where the input series carries "" (absent) — a
+    non-empty input label always wins; (2) with a data-label selector,
+    only the named labels are added, and only from info series whose
+    value matches — non-matching values contribute "" rather than
+    dropping the sample; (3) multiple matching info series per
+    (job, instance, step) resolve deterministically by max() per label
+    instead of erroring."""
+
+    inner: "PromNode"
+    matchers: list[Matcher] = field(default_factory=list)
+
+
+@dataclass
 class PromSort:
     """sort(v) / sort_desc(v): presentation-order the result by value.
     ``sort_by_label(v, "lbl", ...)`` / ``sort_by_label_desc`` (Prometheus
@@ -802,6 +824,17 @@ class _Parser:
                 inner = self._set_or()
                 self.expect(")")
                 return PromAbsent(inner=inner)
+            if tok == "info":
+                self.next()
+                self.expect("(")
+                inner = self._set_or()
+                matchers: list[Matcher] = []
+                k, nxt = self.peek()
+                if nxt == ",":
+                    self.next()
+                    matchers = self._matcher_block()
+                self.expect(")")
+                return PromInfo(inner=inner, matchers=matchers)
             if tok in ("sort", "sort_desc"):
                 self.next()
                 self.expect("(")
@@ -1154,6 +1187,28 @@ class _Parser:
             else:
                 return
 
+    def _matcher_block(self) -> list[Matcher]:
+        """``{name op "value", ...}`` with the ``{`` NOT yet consumed."""
+        self.expect("{")
+        matchers: list[Matcher] = []
+        while True:
+            k, name = self.next()
+            if name == "}":
+                break
+            if k != "ident":
+                raise ValueError(f"expected label name, got {name!r}")
+            _, op = self.next()
+            if op not in ("=", "!=", "=~", "!~"):
+                raise ValueError(f"bad matcher op {op!r}")
+            k, val = self.next()
+            if k != "string":
+                raise ValueError(f"expected quoted value, got {val!r}")
+            matchers.append(Matcher(name, op, val[1:-1]))
+            k, nxt = self.peek()
+            if nxt == ",":
+                self.next()
+        return matchers
+
     def _selector(self) -> PromExpr:
         kind, metric = self.next()
         if kind != "ident":
@@ -1161,23 +1216,7 @@ class _Parser:
         matchers: list[Matcher] = []
         k, tok = self.peek()
         if tok == "{":
-            self.next()
-            while True:
-                k, name = self.next()
-                if name == "}":
-                    break
-                if k != "ident":
-                    raise ValueError(f"expected label name, got {name!r}")
-                _, op = self.next()
-                if op not in ("=", "!=", "=~", "!~"):
-                    raise ValueError(f"bad matcher op {op!r}")
-                k, val = self.next()
-                if k != "string":
-                    raise ValueError(f"expected quoted value, got {val!r}")
-                matchers.append(Matcher(name, op, val[1:-1]))
-                k, nxt = self.peek()
-                if nxt == ",":
-                    self.next()
+            matchers = self._matcher_block()
         sel = PromExpr(metric=metric, matchers=matchers)
         # instant-selector modifiers (`m offset 1h @ 1704153600`); a range
         # selector's modifiers follow the `[dur]` bracket (see _func)
@@ -1477,6 +1516,11 @@ class PromQLEngine:
         if isinstance(node, PromAbsent):
             return self._absent_instant(
                 node, start_ms, end_ms, step_ms, lookback_ms
+            )
+        if isinstance(node, PromInfo):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._info(
+                inner, node, start_ms, end_ms, step_ms, lookback_ms
             )
         if isinstance(node, PromTime):
             return self._steps_frame(start_ms, end_ms, step_ms).select(
@@ -2190,6 +2234,67 @@ class PromQLEngine:
             bucketed = self._join_steps(df, start_ms, end_ms, step_ms, window_ms)
 
         return self._range_value(expr, bucketed, series_cols)
+
+    def _info(
+        self, inner: DataFrame, node: PromInfo,
+        start_ms, end_ms, step_ms, lookback_ms,
+    ) -> DataFrame:
+        """``info(v)``: one instant-select of ``target_info`` on the same
+        grid, deduped per (step, job, instance) with max() per data
+        label, then a BROADCAST left join onto the input vector — the
+        info side is targets x steps, always tiny next to the data.
+        Conflict/selector rules documented on :class:`PromInfo`."""
+        ident = [
+            c for c in ("job", "instance") if c in inner.columns
+        ]
+        if not ident:
+            # no identifying labels survive on the input vector (e.g.
+            # aggregated away) — nothing can match, like Prometheus
+            return inner
+        info = self._eval_expr(
+            PromExpr(metric="target_info"),
+            start_ms, end_ms, step_ms, lookback_ms,
+        )
+        data = [
+            c
+            for c in info.columns
+            if c not in ("t", "value", self.metric_label)
+            and c not in ident
+        ]
+        wanted: dict[str, list[Matcher]] = {}
+        if node.matchers:
+            for m in node.matchers:
+                wanted.setdefault(m.name, []).append(m)
+            data = [c for c in data if c in wanted]
+        if not data:
+            return inner
+        aggs = []
+        for c in data:
+            col = F.col(c)
+            if c in wanted:
+                cond = None
+                for m in wanted[c]:
+                    mc = m.to_column()
+                    cond = mc if cond is None else (cond & mc)
+                col = F.when(cond, col).otherwise(F.lit(""))
+            aggs.append(F.max(col).alias(f"__info_{c}"))
+        info_side = info.groupBy("t", *ident).agg(*aggs)
+        joined = inner.join(
+            F.broadcast(info_side), on=["t", *ident], how="left"
+        )
+        added = []
+        for c in data:
+            src = F.coalesce(F.col(f"__info_{c}"), F.lit(""))
+            if c in inner.columns:
+                joined = joined.withColumn(
+                    c, F.when(F.col(c) == "", src).otherwise(F.col(c))
+                )
+            else:
+                joined = joined.withColumn(c, src)
+                added.append(c)
+        joined = joined.drop(*[f"__info_{c}" for c in data])
+        order = [c for c in inner.columns if c != "value"] + added + ["value"]
+        return joined.select(*order)
 
     def _absent_instant(
         self, node: "PromAbsent", start_ms, end_ms, step_ms, lookback_ms
