@@ -184,8 +184,16 @@ def test_rotation_invariant_no_silent_staleness():
     round must be inside the 50-row window — or explicitly recorded in
     DEFERRED_WITH_COVERAGE with coverage rows that ARE in the window.
     New rows (never driver-checked) must be in the window in their
-    introduction round."""
-    from tsdb_parquet_spark.corpus import DEFERRED_WITH_COVERAGE, REGISTRY
+    introduction round — or, when they were registered mid-round after
+    the window had already executed a verdict-pre-committed composition,
+    in DEBUT_BACKLOG, which queues them (loudly, tests-only for one
+    round) at the head of the NEXT window; a backlog row that misses
+    that next driver round too is a violation."""
+    from tsdb_parquet_spark.corpus import (
+        DEBUT_BACKLOG,
+        DEFERRED_WITH_COVERAGE,
+        REGISTRY,
+    )
 
     last, latest_round, latest_checked = _last_green_rounds()
     window = set(list(REGISTRY)[:50])
@@ -204,8 +212,9 @@ def test_rotation_invariant_no_silent_staleness():
     for name in REGISTRY:
         green = last.get(name)
         if green is None:
-            # never driver-checked: must debut inside the window
-            if name not in window:
+            # never driver-checked: must debut inside the window, or be
+            # loudly queued for the next one
+            if name not in window and name not in DEBUT_BACKLOG:
                 violations.append(f"{name}: new row outside window")
             continue
         if upcoming - green >= 2 and name not in window:
@@ -229,3 +238,20 @@ def test_rotation_invariant_no_silent_staleness():
             f"{name}: deferral would leave it >2 rounds stale "
             f"(last green r{green})"
         )
+
+    # debut-backlog hygiene: only never-driver-checked rows may ride the
+    # backlog, and none may linger past the next driver round — once a
+    # round records with the row still outside its window, the backlog
+    # has failed its promise
+    for name in DEBUT_BACKLOG:
+        assert name in REGISTRY, name
+        assert last.get(name) is None or name in window, (
+            f"{name}: driver-checked already — remove from DEBUT_BACKLOG"
+        )
+        if name not in latest_checked and latest_checked != set():
+            # the round the backlog was created in is allowed; any LATER
+            # recorded round must have absorbed the row
+            stale_rounds = latest_round - 11  # backlog created for r12
+            assert stale_rounds <= 0 or name in window, (
+                f"{name}: backlog row missed the r{latest_round} window"
+            )

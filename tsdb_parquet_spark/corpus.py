@@ -7960,6 +7960,27 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: whose last driver green is >= 2 RECORDED rounds old is either inside
 #: the 50-row window or recorded here with live in-window coverage — so
 #: the policy can't silently slip.
+#: Rows REGISTERED mid-round-12, after the 50-slot window had executed
+#: the round-11 verdict's pre-committed composition (the 27 rotation
+#: returns + q77 + the q125 debut + changed rows + stale hubs left no
+#: free slot).  Debuts cannot displace that commitment mid-round, so
+#: they queue here LOUDLY instead: every row in this tuple is
+#: tests-only this round (the full-registry DuckDB replica in
+#: tests/test_corpus.py::test_oracle_match is their gate) and MUST lead
+#: the round-13 window — the rotation-invariant test rejects any
+#: never-driver-checked row that is neither in the window nor in this
+#: backlog, and rejects a backlog row once a driver round has recorded
+#: while it sat outside the window (it cannot linger a second round).
+DEBUT_BACKLOG: tuple[str, ...] = (
+    "q126_query_api_roundtrip",
+    "q127_federate",
+    "q128_sequence_packing",
+    "q129_remote_read",
+    "q130_alerting_rule",
+    "q131_rule_group",
+    "q132_promql_info",
+)
+
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q06_first_per_key": ("q16_series_select",),
     "q07_groupby_agg": ("q65_rollup_store", "q85_salted_distinct_count"),
