@@ -1449,3 +1449,29 @@ def test_info_plan_broadcasts(spark):
     out = eng.query_range("info(m)", 60_000, 60_000, 60_000)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ts_of_over_time(spark):
+    """ts_of_{last,max,min}_over_time (Prometheus 3.5 experimental):
+    seconds timestamps, ties -> latest sample, NaN samples skipped."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("m", "a", 60_000, 5.0),
+        ("m", "a", 120_000, 9.0),
+        ("m", "a", 180_000, 9.0),  # tie with 120s -> latest wins
+        ("m", "a", 240_000, 2.0),
+        ("m", "b", 60_000, float("nan")),
+        ("m", "b", 120_000, 4.0),
+    ]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    ))
+
+    def run(fn):
+        out = eng.query_range(f"{fn}(m[5m])", 300_000, 300_000, 60_000)
+        return {r["job"]: r["value"] for r in out.collect()}
+
+    assert run("ts_of_last_over_time") == {"a": 240.0, "b": 120.0}
+    assert run("ts_of_max_over_time") == {"a": 180.0, "b": 120.0}
+    assert run("ts_of_min_over_time") == {"a": 240.0, "b": 120.0}

@@ -7850,6 +7850,49 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "instance")
 
 
+@query(
+    "q133_promql_ts_of",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+b AS (
+  SELECT event_type, shard, ts_ms, value,
+         {_P_START} + ((ts_ms - {_P_START} + {_P_STEP - 1}) // {_P_STEP})
+             * {_P_STEP} AS t
+  FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
+),
+r AS (
+  SELECT t, event_type, shard, ts_ms,
+         row_number() OVER (PARTITION BY t, event_type, shard
+                            ORDER BY value DESC, ts_ms DESC) AS rn
+  FROM b WHERE t <= {_P_END}
+)
+SELECT t, event_type, round(max(ts_ms / 1000.0), 4) AS value
+FROM r WHERE rn = 1 GROUP BY t, event_type ORDER BY t, event_type""",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max by (event_type) (ts_of_max_over_time(app_events[1d]))`` —
+    the Prometheus 3.5 experimental ts_of_* family (`plans/promql.py`
+    _FUNC_AGGS): the seconds-timestamp of each window's maximum sample,
+    ties to the LATEST timestamp (the upstream loops' non-strict
+    comparison), evaluated on the tumbling fast path through the full
+    chunk-store pipeline.  The oracle mirrors the tie rule with a
+    (value DESC, ts DESC) row_number."""
+    engine = _promql_samples(spark, sf_dir)
+    out = engine.query_range(
+        "max by (event_type) (ts_of_max_over_time(app_events[1d]))",
+        _P_START,
+        _P_END,
+        _P_STEP,
+    )
+    return out.select(
+        "t", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -7979,6 +8022,7 @@ DEBUT_BACKLOG: tuple[str, ...] = (
     "q130_alerting_rule",
     "q131_rule_group",
     "q132_promql_info",
+    "q133_promql_ts_of",
 )
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {

@@ -143,6 +143,9 @@ RANGE_FUNCS = {
     "holt_winters",
     "double_exponential_smoothing",  # Prometheus 3.x name (alias)
     "mad_over_time",
+    "ts_of_last_over_time",  # Prometheus 3.5 experimental ts_of_* family
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
 }
 #: Prometheus 3.x renames accepted as aliases (normalized at parse time)
 FUNC_ALIASES = {"double_exponential_smoothing": "holt_winters"}
@@ -1238,6 +1241,30 @@ _FUNC_AGGS = {
     "present_over_time": lambda: F.max(F.lit(1.0)),
     "stddev_over_time": lambda: F.stddev_pop("value"),
     "stdvar_over_time": lambda: F.var_pop("value"),
+    # Prometheus 3.5 experimental ts_of_* family: the SECONDS timestamp
+    # of the last / max / min sample in the window.  Tie rule mirrors
+    # the upstream loops' non-strict comparison (a later equal sample
+    # replaces the held one, so ties resolve to the LATEST timestamp);
+    # NaN samples are skipped via the nan-filter below, matching
+    # Prometheus where NaN never wins a </> comparison against a held
+    # non-NaN value.
+    "ts_of_last_over_time": lambda: F.max("ts") / F.lit(1000.0),
+    "ts_of_max_over_time": lambda: (
+        F.max(
+            F.when(
+                ~F.isnan("value"), F.struct(F.col("value"), F.col("ts"))
+            )
+        ).getField("ts")
+        / F.lit(1000.0)
+    ),
+    "ts_of_min_over_time": lambda: (
+        F.max(
+            F.when(
+                ~F.isnan("value"), F.struct(-F.col("value"), F.col("ts"))
+            )
+        ).getField("ts")
+        / F.lit(1000.0)
+    ),
 }
 
 #: range functions needing the window's samples as one sorted array
