@@ -131,3 +131,56 @@ def test_group_sequencing(engine):
     # and the ORIGINAL series still resolve through the union
     base = engine2.query_range("sum(m)", MIN, MIN, MIN).collect()
     assert base[0]["value"] == 10.0
+
+
+def test_rule_group_to_store_lifecycle(spark, engine, tmp_path):
+    """The write-back loop: two evaluation intervals append parts, the
+    store compacts, and a ChunkQuerier/PromQLEngine over it serves both
+    the recorded series and the ALERTS series back."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.rules import run_rule_group_to_store
+
+    labels = ["__name__", "job", "alertname", "alertstate"]
+    group = RuleGroup(
+        "g",
+        (
+            RecordingRule("job:m:sum", "sum by (job) (m)"),
+            AlertingRule("BigM", "m > 5", for_ms=MIN),
+        ),
+    )
+    root = str(tmp_path / "rules_store")
+    counts, writer = run_rule_group_to_store(
+        spark, engine, group, root, labels, MIN, 3 * MIN, MIN
+    )
+    assert counts["job:m:sum"] == 6  # 2 jobs x 3 steps
+    assert counts["BigM"] > 0
+    # second interval appends another part; then compact
+    counts2, writer = run_rule_group_to_store(
+        spark, engine, group, root, labels, 4 * MIN, 7 * MIN, MIN
+    )
+    writer.compact()
+    q = ChunkQuerier.from_parquet(spark, writer.compact_path
+                                  if hasattr(writer, "compact_path")
+                                  else f"{root}/compact")
+    served = PromQLEngine(q.select_samples(labels=labels))
+    rec = served.query_range("job:m:sum", MIN, 7 * MIN, MIN)
+    got = {(r["job"], r["t"]) for r in rec.collect()}
+    assert ("a", MIN) in got and ("b", 7 * MIN) in got
+    alerts = served.query_range(
+        'ALERTS{alertstate="firing"}', MIN, 7 * MIN, MIN
+    ).collect()
+    assert alerts and all(r["value"] == 1.0 for r in alerts)
+
+
+def test_rule_store_rejects_unknown_label(spark, engine, tmp_path):
+    from tsdb_parquet_spark.rules import run_rule_group_to_store
+
+    group = RuleGroup(
+        "g", (RecordingRule("job:m:sum", "sum by (job) (m)"),)
+    )
+    with pytest.raises(ValueError, match="widen label_names"):
+        run_rule_group_to_store(
+            spark, engine, group, str(tmp_path / "s"),
+            ["__name__"], MIN, 2 * MIN, MIN,
+        )

@@ -48,6 +48,7 @@ __all__ = [
     "evaluate_recording_rule",
     "evaluate_alerting_rule",
     "evaluate_rule_group",
+    "run_rule_group_to_store",
 ]
 
 
@@ -223,3 +224,86 @@ def evaluate_rule_group(
         else:  # pragma: no cover - config error
             raise TypeError(f"not a rule: {rule!r}")
     return results, current
+
+
+def run_rule_group_to_store(
+    spark,
+    engine: PromQLEngine,
+    group: RuleGroup,
+    root: str,
+    label_names: Sequence[str],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    include_alerts: bool = True,
+    chunk_span_ms: int = 24 * 3600 * 1000,
+    options=None,
+):
+    """One rule-evaluation interval, persisted: evaluate the group and
+    append its recording series — plus the synthetic ``ALERTS`` series
+    when ``include_alerts`` — to the sorted chunk store at ``root`` as
+    ONE new part (the real Prometheus rule manager's write-back loop;
+    `maybe_compact`/`vacuum_store` then apply to rule output exactly as
+    to scraped data, and a `ChunkQuerier`/`PromQLEngine` over the store
+    serves the recorded series back).
+
+    ``label_names`` is the store's label schema: every rule-output
+    label must be in it (raising beats silently dropping a label the
+    rule asked for); absent labels land as ``""``, the store
+    convention.  Returns ``(rows_per_rule, writer)`` — callers call
+    ``writer.maybe_compact()``-style maintenance on their own schedule.
+    """
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    labels = list(label_names)
+    results, _ = evaluate_rule_group(
+        engine, group, start_ms, end_ms, step_ms, lookback_ms
+    )
+    frames: list[tuple[str, DataFrame]] = []
+    for rule in group.rules:
+        if isinstance(rule, RecordingRule):
+            frames.append((rule.record, results[rule.record]))
+        elif include_alerts:
+            frames.append(
+                (rule.alert, alerts_series(results[rule.alert],
+                                           engine.metric_label))
+            )
+    counts: dict[str, int] = {}
+    union = None
+    for name, df in frames:
+        extra = [
+            c for c in df.columns
+            if c not in ("ts", "value", *labels)
+        ]
+        if extra:
+            raise ValueError(
+                f"rule {name!r} emits labels {extra} absent from the "
+                f"store schema {labels} — widen label_names"
+            )
+        for c in labels:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(""))
+        df = df.select("ts", "value", *labels)
+        counts[name] = df.count()
+        union = df if union is None else union.unionByName(df)
+    if union is None:
+        raise ValueError("group has no rules to persist")
+    opts = options or WriterOptions(
+        sort_columns=sort_columns(labels),
+        bloom_columns=[c for c in labels if c != engine.metric_label],
+    )
+    writer = SortedParquetWriter(spark, root, opts)
+    chunks = samples_to_chunks(
+        union,
+        labels,
+        chunk_span_ms=chunk_span_ms,
+        assign_series_ids=False,  # ids are assigned at compaction
+    )
+    writer.write(chunks)
+    return counts, writer
