@@ -1,0 +1,96 @@
+"""`cli rules` + `cli serve`: the rule write-back loop and the query-API
+server as subprocess CLIs (each owns its Spark session, like the other
+CLI tests)."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+_P_START = 1704153600000
+_P_END = 1704153600000 + 3 * 86_400_000
+_STEP = 86_400_000
+_LOOK = 6 * 3600 * 1000
+
+
+@pytest.fixture(scope="module")
+def repo_cwd():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def rule_store(spark, repo_cwd, tmp_path_factory):
+    """cli rules over the cached sf0.01 events chunk store -> a rule
+    output store with recording + ALERTS series."""
+    from tsdb_parquet_spark.corpus import events_chunk_store
+
+    compact = events_chunk_store(spark, "/root/testdata/sf0.01")
+    out = str(tmp_path_factory.mktemp("cli_rules") / "out")
+    spec = tmp_path_factory.mktemp("cli_rules_spec") / "group.json"
+    spec.write_text(json.dumps({
+        "name": "events",
+        "rules": [
+            {"record": "app_events:sum",
+             "expr": "sum by (event_type) (app_events)"},
+            {"alert": "HighEvents",
+             "expr": "sum by (event_type) (app_events) > 350",
+             "for": "1d", "labels": {"severity": "page"}},
+        ],
+    }))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "rules",
+         "--store", compact, "--rules", str(spec), "--out", out,
+         "--out-labels",
+         "__name__,event_type,severity,alertname,alertstate",
+         "--start", str(_P_START), "--end", str(_P_END),
+         "--step", str(_STEP), "--lookback", str(_LOOK), "--compact"],
+        capture_output=True, text=True, timeout=600, cwd=repo_cwd,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    counts = dict(
+        line.split("\t") for line in proc.stdout.strip().splitlines()
+    )
+    assert int(counts["app_events:sum"]) == 20  # 5 event types x 4 steps
+    return out
+
+
+def test_cli_serve_over_rule_store(rule_store, repo_cwd):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "serve",
+         "--store", rule_store,
+         "--labels", "__name__,event_type,severity,alertname,alertstate",
+         "--max-seconds", "150"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=repo_cwd, env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    try:
+        url = proc.stdout.readline().strip()
+        assert url.startswith("http://127.0.0.1:"), url
+        with urllib.request.urlopen(f"{url}/api/v1/labels", timeout=120) as r:
+            labels = json.loads(r.read())["data"]
+        assert labels == [
+            "__name__", "alertname", "alertstate", "event_type", "severity"
+        ]
+        qs = (
+            "query=app_events:sum"
+            f"&start={_P_START // 1000}&end={_P_END // 1000}"
+            f"&step={_STEP // 1000}"
+        )
+        with urllib.request.urlopen(
+            f"{url}/api/v1/query_range?{qs}", timeout=120
+        ) as r:
+            body = json.loads(r.read())
+        series = body["data"]["result"]
+        assert len(series) == 5  # one per event_type
+        assert all(len(s["values"]) == 4 for s in series)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()

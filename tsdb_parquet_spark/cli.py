@@ -742,6 +742,142 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the Prometheus HTTP query API (`api.PromApiServer`) over a
+    chunk store: /api/v1/query[_range], /series, /labels,
+    /label/<n>/values, /query_exemplars (with --exemplar-store),
+    /metadata, /status/tsdb, /api/v1/read (remote-read), /federate.
+    Prints the base URL on stdout (flushed) and serves until
+    interrupted or ``--max-seconds`` elapses — cron/systemd-friendly,
+    the read twin of ``ingest``."""
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="tsdb-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    labels = args.labels.split(",") if args.labels else None
+    if args.wal:
+        from tsdb_parquet_spark.tsdb_wal import live_samples_frame
+
+        if not labels:
+            raise SystemExit("--wal requires --labels")
+        samples = live_samples_frame(spark, args.wal, args.store, labels)
+    else:
+        q = ChunkQuerier.from_store(spark, args.store)
+        samples = q.select_samples(labels=labels)
+    # a server answers MANY queries over one working set: shared_scan
+    # pays one decode and serves every request from the checkpoint
+    engine = PromQLEngine(samples, shared_scan=True)
+    metadata = []
+    if args.metadata:
+        import json as _json
+
+        with open(args.metadata) as fh:
+            metadata = [tuple(m) for m in _json.load(fh)]
+    server = PromApiServer(
+        engine,
+        lookback_ms=args.lookback,
+        metadata=metadata,
+        exemplar_store=args.exemplar_store,
+    )
+    url = server.start()
+    print(url, flush=True)
+    import threading as _threading
+
+    try:
+        if args.max_seconds:
+            _threading.Event().wait(args.max_seconds)
+        else:  # pragma: no cover - interactive
+            _threading.Event().wait()
+    except KeyboardInterrupt:  # pragma: no cover - interactive
+        pass
+    finally:
+        server.stop()
+        spark.stop()
+    return 0
+
+
+def cmd_rules(args) -> int:
+    """Run one rule-group evaluation interval and append its recording
+    + ALERTS series to a store (`rules.run_rule_group_to_store`) — the
+    Prometheus rule manager's write-back loop as a cron-friendly
+    one-shot.  The group spec is JSON: ``{"name": ..., "rules":
+    [{"record": ..., "expr": ...}, {"alert": ..., "expr": ...,
+    "for": "5m", "labels": {...}}]}`` (``for`` takes a PromQL
+    duration)."""
+    import json as _json
+
+    from tsdb_parquet_spark.plans.promql import (
+        PromQLEngine,
+        parse_duration_ms,
+    )
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.rules import (
+        AlertingRule,
+        RecordingRule,
+        RuleGroup,
+        run_rule_group_to_store,
+    )
+    from tsdb_parquet_spark.session import get_spark
+
+    with open(args.rules) as fh:
+        spec = _json.load(fh)
+    rules = []
+    for r in spec["rules"]:
+        if "record" in r:
+            rules.append(
+                RecordingRule(r["record"], r["expr"], r.get("labels", {}))
+            )
+        elif "alert" in r:
+            raw_for = r.get("for", 0)
+            for_ms = (
+                parse_duration_ms(raw_for)
+                if isinstance(raw_for, str)
+                else int(raw_for)
+            )
+            rules.append(
+                AlertingRule(
+                    r["alert"], r["expr"], for_ms, r.get("labels", {})
+                )
+            )
+        else:
+            raise SystemExit(f"rule needs 'record' or 'alert': {r}")
+    group = RuleGroup(spec.get("name", "group"), tuple(rules))
+
+    spark = get_spark(app_name="tsdb-rules")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    q = ChunkQuerier.from_store(spark, args.store)
+    in_labels = args.labels.split(",") if args.labels else None
+    engine = PromQLEngine(q.select_samples(labels=in_labels))
+    out_labels = args.out_labels.split(",")
+    counts, writer = run_rule_group_to_store(
+        spark,
+        engine,
+        group,
+        args.out,
+        out_labels,
+        args.start,
+        args.end,
+        args.step,
+        lookback_ms=args.lookback,
+        include_alerts=not args.no_alerts,
+    )
+    if args.compact:
+        writer.compact()
+    for name, n in counts.items():
+        print(f"{name}\t{n}")
+    print(
+        f"# wrote {sum(counts.values())} samples "
+        f"({len(counts)} rules) in {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="tsdb_parquet_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -995,6 +1131,45 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--keep-versions", type=int, default=2)
     vac.add_argument("--keep-days", type=int, default=None)
     vac.set_defaults(fn=cmd_vacuum)
+
+    srv = sub.add_parser(
+        "serve",
+        help="serve the Prometheus HTTP query API (+ remote-read, "
+        "federation) over a chunk store",
+    )
+    srv.add_argument("--store", required=True)
+    srv.add_argument("--labels", default=None,
+                     help="comma-separated label columns")
+    srv.add_argument("--wal", default=None,
+                     help="head WAL dir: serve store + live head delta")
+    srv.add_argument("--exemplar-store", default=None)
+    srv.add_argument("--metadata", default=None,
+                     help="JSON file of [metric, type, help] triples "
+                          "for /api/v1/metadata and /federate")
+    srv.add_argument("--lookback", type=int, default=5 * 60 * 1000)
+    srv.add_argument("--max-seconds", type=float, default=None,
+                     help="exit after N seconds (default: run forever)")
+    srv.set_defaults(fn=cmd_serve)
+
+    rul = sub.add_parser(
+        "rules",
+        help="one rule-group evaluation interval -> recording + ALERTS "
+        "series appended to a store",
+    )
+    rul.add_argument("--store", required=True, help="input chunk store")
+    rul.add_argument("--rules", required=True, help="JSON group spec")
+    rul.add_argument("--out", required=True, help="output store root")
+    rul.add_argument("--labels", default=None,
+                     help="input store label columns")
+    rul.add_argument("--out-labels", required=True,
+                     help="output store label schema (comma-separated)")
+    rul.add_argument("--start", type=int, required=True)
+    rul.add_argument("--end", type=int, required=True)
+    rul.add_argument("--step", type=int, required=True)
+    rul.add_argument("--lookback", type=int, default=5 * 60 * 1000)
+    rul.add_argument("--no-alerts", action="store_true")
+    rul.add_argument("--compact", action="store_true")
+    rul.set_defaults(fn=cmd_rules)
 
     args = parser.parse_args(argv)
     return args.fn(args)

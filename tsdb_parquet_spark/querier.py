@@ -46,6 +46,27 @@ class ChunkQuerier:
         return cls(spark.read.parquet(path))
 
     @classmethod
+    def from_store(cls, spark: SparkSession, store: str) -> "ChunkQuerier":
+        """Open either a plain parquet directory (a ``compact`` dir) or
+        an incremental-writer ROOT (``_snapshots`` + ``part.N`` +
+        ``compact`` alias): the root reads exactly the manifest's live
+        directory set — a raw ``read.parquet(root)`` would double-count
+        compacted parts against the compact copy."""
+        import os
+
+        if os.path.isdir(store) and any(
+            e == "_snapshots" or e.startswith(("part.", "compact"))
+            for e in os.listdir(store)
+        ):
+            from tsdb_parquet_spark.sources.writer import (
+                live_store_dirs,
+                read_roots,
+            )
+
+            return cls(read_roots(spark, live_store_dirs(store)))
+        return cls(spark.read.parquet(store))
+
+    @classmethod
     def from_stores(cls, spark: SparkSession, paths: list[str]) -> "ChunkQuerier":
         """Open several chunk stores with different (wide) label schemas —
         the reference's schemas are data-inferred per file
