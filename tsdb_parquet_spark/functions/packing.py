@@ -37,6 +37,16 @@ Token counting uses the repo-wide contract from `functions.text`
 (non-empty pieces of ``lower(trim(text))`` split on ``\\s+``) so the
 DuckDB oracle recomputes identical counts; any integer column works via
 ``n_tokens=``.
+
+Relationship to `functions.pipeline.pack_sequences` (q58), which also
+packs concat-and-chunk: that operator shards docs by ``id % shards``
+and packs each shard's stream INDEPENDENTLY — zero cross-shard
+coordination, doc-level offsets only — the right shape when any
+deterministic packing will do.  This module computes the ONE global
+corpus-order stream (training runs that pin a global data order) and
+emits explicit per-chunk spans ready for sequence assembly; the
+distributed prefix sum is the price of global exactness, and it costs
+one quantile scan + one tiny collect more than the sharded form.
 """
 
 from __future__ import annotations

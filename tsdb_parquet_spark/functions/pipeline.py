@@ -121,7 +121,11 @@ def pack_sequences(
     WITHIN ``id % shards`` shards (never a global single-task window —
     the round-1 `Window.orderBy`-without-partition trap), so parallelism
     is ``shards`` and each shard's packing is independent of every other
-    shard's data.  One shuffle on the shard key.
+    shard's data.  One shuffle on the shard key.  When the GLOBAL
+    corpus-order stream is required (pinned data order) with exact
+    per-chunk spans, use `functions.packing.pack_token_chunks` — its
+    distributed prefix sum buys global exactness for one extra quantile
+    scan.
 
     Output per doc: ``shard``, ``n_tokens``, ``start_offset`` (position
     in the shard's token stream), ``first_seq``/``last_seq`` (the
