@@ -315,3 +315,13 @@ def test_nan_value_survives_json(spark):
     with PromApiServer(PromQLEngine(df)) as url:
         p = api_get_json(url, "/api/v1/query", {"query": "m", "time": 1})
     assert p["data"]["result"][0]["value"][1] == "NaN"
+
+
+def test_buildinfo_and_lifecycle_probes(api):
+    p = api_get_json(api, "/api/v1/status/buildinfo", {})
+    assert p["status"] == "success"
+    assert p["data"]["revision"] == "tsdb-parquet-spark"
+    for path, word in (("/-/healthy", "Healthy"), ("/-/ready", "Ready")):
+        with urllib.request.urlopen(f"{api}{path}") as resp:
+            assert resp.status == 200
+            assert resp.read().decode() == f"{word}.\n"

@@ -112,3 +112,31 @@ def test_plan_is_jvm_only(docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_assemble_chunks(spark, docs):
+    """Assembly materializes exactly the concatenated token stream cut
+    every seq_len — verified against a pure-python reference."""
+    from tsdb_parquet_spark.functions.packing import (
+        assemble_chunks,
+        pack_token_chunks,
+    )
+
+    seq_len = 4
+    spans = pack_token_chunks(docs, seq_len, num_buckets=3)
+    out = assemble_chunks(spans, docs)
+    got = {r["chunk_id"]: r["tokens"] for r in out.collect()}
+
+    # pure-python reference: same token contract (lower, \s+ split)
+    stream = []
+    for doc_id, text in sorted(
+        (r["doc_id"], r["text"]) for r in docs.collect()
+    ):
+        stream += [t for t in text.lower().strip().split() if t]
+    want = {
+        i: stream[i * seq_len : (i + 1) * seq_len]
+        for i in range((len(stream) + seq_len - 1) // seq_len)
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -541,6 +541,19 @@ class PromApiServer:
             )
         if path == "/api/v1/status/tsdb":
             return tsdb_status_result(eng)
+        if path == "/api/v1/status/buildinfo":
+            # the probe Grafana's Prometheus datasource health check
+            # issues; shaped like a Prometheus response with the engine
+            # identified honestly in application/features
+            return {
+                "version": "2.55.0",
+                "revision": "tsdb-parquet-spark",
+                "branch": "",
+                "buildUser": "",
+                "buildDate": "",
+                "goVersion": "",
+                "features": {"storage": "parquet+spark"},
+            }
         start = _parse_time_ms(p("start")) if p("start") else None
         end = _parse_time_ms(p("end")) if p("end") else None
         match = params.get("match[]", [])
@@ -613,6 +626,15 @@ class PromApiServer:
             def _serve(self) -> None:
                 path, params, raw = self._params()
                 try:
+                    if path in ("/-/healthy", "/-/ready"):
+                        # lifecycle probes (Prometheus serves plain text)
+                        word = "Healthy" if path == "/-/healthy" else "Ready"
+                        self._send(
+                            200,
+                            f"{word}.\n".encode(),
+                            "text/plain; charset=utf-8",
+                        )
+                        return
                     if path == "/api/v1/read":
                         # prompb remote-read: snappy protobuf in and out
                         from tsdb_parquet_spark.remote_read import (

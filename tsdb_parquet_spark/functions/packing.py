@@ -56,7 +56,11 @@ from pyspark.sql import functions as F
 
 from tsdb_parquet_spark.functions.text import SQL_TOKENS, token_count
 
-__all__ = ["pack_token_chunks", "sql_pack_token_chunks"]
+__all__ = [
+    "pack_token_chunks",
+    "assemble_chunks",
+    "sql_pack_token_chunks",
+]
 
 
 def pack_token_chunks(
@@ -188,3 +192,48 @@ SELECT chunk_id, {order_col},
        least((chunk_id + 1) * {seq_len}, off + n)
            - greatest(chunk_id * {seq_len}, off) AS span_len
 FROM spans"""
+
+
+def assemble_chunks(
+    spans: DataFrame,
+    docs: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the training sequences: join the spans back to the
+    documents and slice each doc's token array — ``(chunk_id, tokens
+    array<string>)``, every chunk's array in stream order.
+
+    Plan shape: spans join docs on the order key (both sides carry it;
+    Catalyst picks broadcast when spans are small, sort-merge
+    otherwise), ``slice()`` extracts each span's tokens JVM-side, and
+    one groupBy per chunk concatenates spans in ``chunk_offset`` order
+    via ``array_sort`` on (offset, tokens) structs — one shuffle keyed
+    on chunk_id, no Python.  The output row for a chunk is ~seq_len
+    tokens regardless of corpus size."""
+    from tsdb_parquet_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(order_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    sliced = spans.join(toks, on=order_col).select(
+        "chunk_id",
+        "chunk_offset",
+        F.slice(
+            F.col("__toks"),
+            F.col("doc_offset") + 1,  # slice() is 1-based
+            F.col("span_len"),
+        ).alias("__piece"),
+    )
+    return (
+        sliced.groupBy("chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_offset", "__piece"))
+            ).alias("__parts")
+        )
+        .select(
+            "chunk_id",
+            F.flatten(F.col("__parts.__piece")).alias("tokens"),
+        )
+    )
