@@ -246,3 +246,71 @@ def test_http_remote_write_end_to_end(spark):
     n, total = _store_totals(spark, ingestor.finalize())
     want_n, want_total = _expected(series)
     assert n == want_n and math.isclose(total, want_total, rel_tol=1e-9)
+
+
+def test_scrape_targets_once_pull_loop(spark, tmp_path):
+    """The pull half: a loopback /metrics endpoint, scrape_targets_once
+    weaving target labels in, the standard spool drain, PromQL over the
+    store."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.scrape import scrape_targets_once
+    from tsdb_parquet_spark.streaming.receiver import scrape_spool_ingestor
+
+    body = (
+        "# TYPE http_requests_total counter\n"
+        'http_requests_total{code="200"} 120\n'
+        'http_requests_total{code="500"} 3\n'
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/metrics"
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    try:
+        ts = 1_700_000_000_000
+        reports = scrape_targets_once(
+            [
+                (url, {"job": "api", "instance": "i1"}),
+                ("http://127.0.0.1:1/metrics", {"job": "down"}),
+            ],
+            str(spool),
+            scrape_ts_ms=ts,
+        )
+        assert reports[0]["ok"] and reports[0]["samples"] == 2
+        assert not reports[1]["ok"]  # down target reported, not spooled
+        assert len(list(spool.glob("scrape-*.txt"))) == 1
+
+        labels = ["__name__", "code", "job", "instance"]
+        ingestor, stream = scrape_spool_ingestor(
+            spark, str(spool), str(tmp_path / "store"), labels,
+        )
+        ingestor.ingest(stream)
+        q = ChunkQuerier.from_store(spark, str(tmp_path / "store"))
+        eng = PromQLEngine(q.select_samples(labels=labels))
+        out = eng.query_range(
+            'http_requests_total{job="api"}', ts, ts, 60_000
+        ).collect()
+        got = {(r["code"], r["instance"]): r["value"] for r in out}
+        assert got == {("200", "i1"): 120.0, ("500", "i1"): 3.0}
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

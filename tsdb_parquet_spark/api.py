@@ -160,6 +160,15 @@ def _match_frame(
     [start, end] — the shared core of series/labels/values/federate.
     Returns None when every selector is statically empty (an equality
     matcher on a label the store does not carry)."""
+    # a shared-scan engine (the server default) serves these metadata
+    # queries from its checkpointed working set — matchers filter the
+    # decoded frame instead of re-running scan+decode per request; a
+    # plain engine keeps the fully pushed-down scan
+    base = (
+        engine._samples_frame()
+        if getattr(engine, "_shared_scan", False)
+        else engine.samples
+    )
     frames = []
     for raw in selectors:
         node = parse_promql(raw)
@@ -168,7 +177,7 @@ def _match_frame(
         matchers = list(node.matchers)
         if node.metric:
             matchers.append(Matcher(engine.metric_label, "=", node.metric))
-        df = engine.samples
+        df = base
         dead = False
         for m in matchers:
             if m.name in df.columns:
@@ -212,7 +221,11 @@ def series_result(
 def _labels_source(engine, selectors, start_ms, end_ms) -> DataFrame | None:
     if selectors:
         return _match_frame(engine, selectors, start_ms, end_ms)
-    df = engine.samples
+    df = (
+        engine._samples_frame()
+        if getattr(engine, "_shared_scan", False)
+        else engine.samples
+    )
     if start_ms is not None:
         df = df.filter(F.col("ts") >= F.lit(start_ms))
     if end_ms is not None:

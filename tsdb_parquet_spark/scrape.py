@@ -47,6 +47,7 @@ __all__ = [
     "exposition_exemplars",
     "scrape_samples",
     "scrape_metadata",
+    "scrape_targets_once",
 ]
 
 _METRIC_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
@@ -428,3 +429,58 @@ def scrape_metadata(
             ).alias("help"),
         )
     )
+
+
+def scrape_targets_once(
+    targets: "Sequence[tuple[str, dict[str, str]] | str]",
+    spool_dir: str,
+    scrape_ts_ms: int,
+    timeout_s: float = 10.0,
+) -> list[dict]:
+    """One scrape tick over ``targets``: GET each ``/metrics`` URL and
+    spool the body for `streaming.receiver.scrape_spool_ingestor` — the
+    pull half of a Prometheus, as the one-shot a cron/driver loop calls
+    (the reference has no scraper at all; its data arrives
+    pre-converted).
+
+    A target is a URL or ``(url, {label: value})``; target labels (the
+    ``job``/``instance`` a Prometheus attaches) are woven in by
+    REWRITING each sample line's label block through
+    `parse_exposition` + `format_exposition` — exposition-exact, so the
+    spool stays plain scrape text and the existing all-JVM drain parses
+    it untouched.  Every line gets the scrape timestamp unless it
+    carries its own.  Bodies land via write-to-temp + rename (the spool
+    contract: a concurrent drain never reads a torn file).  Returns one
+    report dict per target (url, ok, samples or error) — a failed
+    target is reported, never spooled (no poison pills), matching a
+    real scraper marking the target down."""
+    import os
+    import tempfile
+    import urllib.request
+
+    reports = []
+    for idx, entry in enumerate(targets):
+        url, extra = (entry, {}) if isinstance(entry, str) else entry
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                body = resp.read().decode("utf-8", "replace")
+            samples = parse_exposition(body)
+        except Exception as exc:
+            reports.append({"url": url, "ok": False, "error": str(exc)})
+            continue
+        rewritten = format_exposition(
+            [
+                ({**labels, **extra}, value,
+                 ts_ms if ts_ms is not None else scrape_ts_ms)
+                for labels, value, ts_ms in samples
+            ]
+        )
+        fd, tmp = tempfile.mkstemp(dir=spool_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(rewritten)
+        final = os.path.join(
+            spool_dir, f"scrape-{scrape_ts_ms}-{idx}.txt"
+        )
+        os.rename(tmp, final)
+        reports.append({"url": url, "ok": True, "samples": len(samples)})
+    return reports
