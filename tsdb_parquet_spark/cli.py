@@ -878,6 +878,34 @@ def cmd_rules(args) -> int:
     return 0
 
 
+def cmd_scrape_targets(args) -> int:
+    """One scrape tick (`scrape.scrape_targets_once`): GET each
+    target's /metrics, weave its ``job``/``instance`` labels in, spool
+    for ``ingest --format scrape``.  Target syntax:
+    ``URL[;label=value,...]``.  No Spark session — this is the cheap
+    edge half; the drain is the Spark half."""
+    import json as _json
+
+    from tsdb_parquet_spark.scrape import scrape_targets_once
+
+    targets = []
+    for raw in args.target:
+        url, _, rest = raw.partition(";")
+        labels = {}
+        if rest:
+            for pair in rest.split(","):
+                k, _, v = pair.partition("=")
+                labels[k.strip()] = v.strip()
+        targets.append((url, labels))
+    ts = args.ts if args.ts is not None else int(time.time() * 1000)
+    reports = scrape_targets_once(
+        targets, args.spool, ts, timeout_s=args.timeout
+    )
+    for rep in reports:
+        print(_json.dumps(rep))
+    return 0 if all(r["ok"] for r in reports) and reports else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="tsdb_parquet_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -1170,6 +1198,22 @@ def main(argv: list[str] | None = None) -> int:
     rul.add_argument("--no-alerts", action="store_true")
     rul.add_argument("--compact", action="store_true")
     rul.set_defaults(fn=cmd_rules)
+
+    sct = sub.add_parser(
+        "scrape-targets",
+        help="one scrape tick: GET /metrics from targets into a spool "
+        "(pair with `ingest --format scrape`)",
+    )
+    sct.add_argument("--spool", required=True)
+    sct.add_argument(
+        "--target", action="append", required=True,
+        help="URL[;label=value,...] (repeat); labels are woven into "
+        "every scraped sample (the job/instance a Prometheus attaches)",
+    )
+    sct.add_argument("--ts", type=int, default=None,
+                     help="scrape timestamp ms (default: now)")
+    sct.add_argument("--timeout", type=float, default=10.0)
+    sct.set_defaults(fn=cmd_scrape_targets)
 
     args = parser.parse_args(argv)
     return args.fn(args)
