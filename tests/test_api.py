@@ -325,3 +325,21 @@ def test_buildinfo_and_lifecycle_probes(api):
         with urllib.request.urlopen(f"{api}{path}") as resp:
             assert resp.status == 200
             assert resp.read().decode() == f"{word}.\n"
+
+
+def test_limit_param(api):
+    p = api_get_json(api, "/api/v1/labels", {"limit": 2})
+    assert p["data"] == ["__name__", "event_type"]
+    p = api_get_json(
+        api,
+        "/api/v1/label/event_type/values",
+        {"match[]": ["app_events"], "limit": 1},
+    )
+    assert p["data"] == ["click"]
+    p = api_get_json(
+        api, "/api/v1/series", {"match[]": ["app_events"], "limit": 1}
+    )
+    assert len(p["data"]) == 1
+    # limit=0 means disabled, Prometheus semantics
+    p = api_get_json(api, "/api/v1/labels", {"limit": 0})
+    assert len(p["data"]) == 3

@@ -570,17 +570,24 @@ class PromApiServer:
         start = _parse_time_ms(p("start")) if p("start") else None
         end = _parse_time_ms(p("end")) if p("end") else None
         match = params.get("match[]", [])
+        # Prometheus `limit` semantics: 0 = disabled, truncate otherwise
+        raw_limit = p("limit")
+        limit = int(raw_limit) if raw_limit else 0
+
+        def clip(items):
+            return items[:limit] if limit > 0 else items
+
         if path == "/api/v1/series":
             if not match:
                 raise ValueError("no match[] parameter provided")
-            return series_result(eng, match, start, end)
+            return clip(series_result(eng, match, start, end))
         if path == "/api/v1/labels":
-            return labels_result(eng, match, start, end)
+            return clip(labels_result(eng, match, start, end))
         if path.startswith("/api/v1/label/") and path.endswith("/values"):
             name = urllib.parse.unquote(
                 path[len("/api/v1/label/") : -len("/values")]
             )
-            return label_values_result(eng, name, match, start, end)
+            return clip(label_values_result(eng, name, match, start, end))
         return None
 
     def _handle_federate(self, params: dict[str, list[str]]) -> str:
