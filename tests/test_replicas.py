@@ -1,0 +1,85 @@
+"""Replica dedup (`operators/replicas.py`): windowed vote semantics,
+tie-break, no-interleave guarantee, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.operators.replicas import dedup_replicas
+
+W = 1_000
+
+
+@pytest.fixture(scope="module")
+def replicated(spark):
+    pts = {
+        # bucket0: only a; bucket1: b denser; bucket2: only b;
+        # bucket3: equal counts (tie)
+        "a": [10, 20, 30, 1010, 3010],
+        "b": [1020, 1040, 2010, 2020, 3020],
+    }
+    rows = [
+        ("m", r, t, float(100 + t)) for r, ts in pts.items() for t in ts
+    ]
+    return spark.createDataFrame(
+        rows, "`__name__` STRING, replica STRING, ts LONG, value DOUBLE"
+    )
+
+
+def test_windowed_vote(replicated):
+    out = dedup_replicas(replicated, window_ms=W)
+    assert sorted(r["ts"] for r in out.collect()) == [
+        10, 20, 30,      # bucket0: a
+        1020, 1040,      # bucket1: b wins 2-1 (a's 1010 dropped)
+        2010, 2020,      # bucket2: b
+        3010,            # bucket3 tie: min replica a wins
+    ]
+    assert "replica" not in out.columns
+
+
+def test_no_interleaving_within_bucket(replicated):
+    # every bucket's surviving samples come from ONE replica (checked
+    # against the fixture's known ts->replica ownership; a tag COLUMN
+    # would join the series identity and defeat the vote)
+    owner = {
+        r["ts"]: r["replica"] for r in replicated.collect()
+    }
+    out = dedup_replicas(replicated, window_ms=W)
+    per_bucket: dict[int, set] = {}
+    for r in out.collect():
+        per_bucket.setdefault(r["ts"] // W, set()).add(owner[r["ts"]])
+    assert per_bucket and all(len(v) == 1 for v in per_bucket.values())
+
+
+def test_multiseries_independent(spark):
+    rows = [
+        ("m", "x", "a", 10, 1.0),
+        ("m", "x", "b", 20, 2.0), ("m", "x", "b", 30, 3.0),
+        ("m", "y", "a", 10, 4.0), ("m", "y", "a", 20, 5.0),
+        ("m", "y", "b", 30, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, replica STRING, ts LONG, "
+        "value DOUBLE",
+    )
+    out = dedup_replicas(df, window_ms=W)
+    got = sorted((r["job"], r["ts"]) for r in out.collect())
+    # series x: b wins (2-1); series y: a wins (2-1)
+    assert got == [("x", 20), ("x", 30), ("y", 10), ("y", 20)]
+
+
+def test_missing_replica_column_raises(spark):
+    df = spark.createDataFrame([("m", 1, 1.0)], "`__name__` STRING, ts LONG, value DOUBLE")
+    with pytest.raises(ValueError, match="nothing to dedup"):
+        dedup_replicas(df)
+
+
+def test_plan_broadcast_semi(replicated):
+    plan = (
+        dedup_replicas(replicated, window_ms=W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan

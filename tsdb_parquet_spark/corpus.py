@@ -7893,6 +7893,84 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+@query(
+    "q134_replica_dedup",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+-- two HA replicas built deterministically: each drops a disjoint 25%
+-- of the day-buckets (r0 misses bucket%4==1, r1 misses bucket%4==2)
+rep AS (
+  SELECT 'r0' AS replica, event_type, shard, ts_ms, value,
+         ts_ms // {_DAY_MS} AS b
+  FROM s WHERE (ts_ms // {_DAY_MS}) % 4 != 1
+  UNION ALL
+  SELECT 'r1', event_type, shard, ts_ms, value, ts_ms // {_DAY_MS}
+  FROM s WHERE (ts_ms // {_DAY_MS}) % 4 != 2
+),
+votes AS (
+  SELECT event_type, shard, b, replica, count(*) AS n
+  FROM rep GROUP BY 1, 2, 3, 4
+),
+winners AS (
+  SELECT event_type, shard, b, replica
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type, shard, b
+            ORDER BY n DESC, replica) AS rk FROM votes)
+  WHERE rk = 1
+),
+dedup AS (
+  SELECT r.event_type, r.shard, r.ts_ms, r.value
+  FROM rep r JOIN winners w
+    ON r.event_type = w.event_type AND r.shard = w.shard
+   AND r.b = w.b AND r.replica = w.replica
+)
+SELECT event_type, ts_ms // {_DAY_MS} AS day,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM dedup GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thanos-style HA replica dedup (`operators/replicas.py`): two
+    replicas each missing a disjoint 25% of day-buckets union into one
+    replicated frame; `dedup_replicas` keeps, per (series, bucket), the
+    replica with the most samples (ties to the smallest replica value)
+    — a windowed deterministic vote in place of the Thanos penalty
+    iterator (documented trade in the module).  The oracle replicates
+    the vote in SQL; where both replicas are whole the tie-break picks
+    r0, where one is gappy the other wins, so the deduped set equals
+    exactly one copy of the raw samples."""
+    from tsdb_parquet_spark.operators.replicas import dedup_replicas
+
+    cat = _cat(spark, sf_dir)
+    s = cat["events"].select(
+        F.lit("app_events").alias("__name__"),
+        "event_type",
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        "value",
+    )
+    b = (F.col("ts") / F.lit(_DAY_MS)).cast("long")
+    rep = (
+        s.filter(b % 4 != 1).withColumn("replica", F.lit("r0"))
+        .unionByName(s.filter(b % 4 != 2).withColumn("replica", F.lit("r1")))
+    )
+    out = dedup_replicas(rep, window_ms=_DAY_MS)
+    return (
+        out.groupBy(
+            "event_type",
+            (F.col("ts") / F.lit(_DAY_MS)).cast("long").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -8023,6 +8101,7 @@ DEBUT_BACKLOG: tuple[str, ...] = (
     "q131_rule_group",
     "q132_promql_info",
     "q133_promql_ts_of",
+    "q134_replica_dedup",
 )
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
