@@ -472,6 +472,11 @@ def main() -> None:
             "q126_query_api_roundtrip",
             "q129_remote_read",
             "q128_sequence_packing",
+            # rules + replica dedup: the for-state islands and the
+            # windowed replica vote over 10x samples per bucket
+            "q130_alerting_rule",
+            "q131_rule_group",
+            "q134_replica_dedup",
         ]
         results = {}
         for name in names:

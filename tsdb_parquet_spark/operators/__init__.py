@@ -16,10 +16,12 @@ from tsdb_parquet_spark.operators.distinct import (
 )
 from tsdb_parquet_spark.operators.asof import asof_join
 from tsdb_parquet_spark.operators.gapfill import gap_fill
+from tsdb_parquet_spark.operators.replicas import dedup_replicas
 
 __all__ = [
     "asof_join",
     "gap_fill",
+    "dedup_replicas",
     "Matcher",
     "equals",
     "not_equals",
