@@ -94,3 +94,67 @@ def test_cli_serve_over_rule_store(rule_store, repo_cwd):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_cli_serve_multi_store_replica_dedup(spark, repo_cwd, tmp_path):
+    """Thanos-Query shape: two HA replica stores fan into one API with
+    --replica-label dedup; the deduped series set carries each bucket's
+    winning replica only."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import WriterOptions, write_sorted
+
+    labels = ["__name__", "job", "replica"]
+    day = 86_400_000
+    # replica a: buckets 0,1 sparse; replica b: bucket 1 dense + bucket 2
+    data = {
+        "a": [(0, 1.0), (10_000, 2.0), (day, 3.0)],
+        "b": [(day, 4.0), (day + 10_000, 5.0), (2 * day, 6.0)],
+    }
+    stores = []
+    for rep, pts in data.items():
+        df = spark.createDataFrame(
+            [("m", "api", rep, ts, v) for ts, v in pts],
+            "`__name__` STRING, job STRING, replica STRING, "
+            "ts LONG, value DOUBLE",
+        )
+        chunks = samples_to_chunks(df, labels, chunk_span_ms=day)
+        out = str(tmp_path / f"store_{rep}")
+        write_sorted(chunks, out, WriterOptions(sort_columns=sort_columns(labels)))
+        stores.append(out)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tsdb_parquet_spark.cli", "serve",
+         "--store", stores[0], "--store", stores[1],
+         "--replica-label", "replica", "--dedup-window", str(day),
+         "--max-seconds", "150"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=repo_cwd, env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    try:
+        url = proc.stdout.readline().strip()
+        assert url.startswith("http://127.0.0.1:"), url
+        qs = f"query=m&start=0&end={3 * day // 1000}&step={day // 1000}"
+        with urllib.request.urlopen(
+            f"{url}/api/v1/query_range?{qs}", timeout=120
+        ) as r:
+            body = json.loads(r.read())
+        series = body["data"]["result"]
+        # replica label deduped away: ONE series
+        assert len(series) == 1
+        assert "replica" not in series[0]["metric"]
+        vals = dict(series[0]["values"])
+        # instant steps see the latest sample within the 5m lookback:
+        # t=0 -> a's ts=0 (1); t=day -> bucket1's vote drops a's ts=day
+        # sample (b wins 2-1), so b's ts=day (4); t=2day -> b's 6
+        assert vals[0.0] == "1"
+        assert vals[float(day // 1000)] == "4"
+        assert vals[float(2 * day // 1000)] == "6"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()

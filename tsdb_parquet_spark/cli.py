@@ -743,13 +743,16 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Serve the Prometheus HTTP query API (`api.PromApiServer`) over a
-    chunk store: /api/v1/query[_range], /series, /labels,
+    """Serve the Prometheus HTTP query API (`api.PromApiServer`) over
+    one or more chunk stores: /api/v1/query[_range], /series, /labels,
     /label/<n>/values, /query_exemplars (with --exemplar-store),
     /metadata, /status/tsdb, /api/v1/read (remote-read), /federate.
-    Prints the base URL on stdout (flushed) and serves until
-    interrupted or ``--max-seconds`` elapses — cron/systemd-friendly,
-    the read twin of ``ingest``."""
+    Repeat ``--store`` to fan several stores into one series set
+    (schemas merged, missing labels ""), and pass ``--replica-label``
+    to dedup HA pairs Thanos-Query-style (`operators.replicas`) before
+    the engine sees them.  Prints the base URL on stdout (flushed) and
+    serves until interrupted or ``--max-seconds`` elapses —
+    cron/systemd-friendly, the read twin of ``ingest``."""
     from tsdb_parquet_spark.api import PromApiServer
     from tsdb_parquet_spark.plans.promql import PromQLEngine
     from tsdb_parquet_spark.querier import ChunkQuerier
@@ -763,10 +766,35 @@ def cmd_serve(args) -> int:
 
         if not labels:
             raise SystemExit("--wal requires --labels")
-        samples = live_samples_frame(spark, args.wal, args.store, labels)
-    else:
-        q = ChunkQuerier.from_store(spark, args.store)
+        if len(args.store) != 1:
+            raise SystemExit("--wal serves exactly one store")
+        samples = live_samples_frame(spark, args.wal, args.store[0], labels)
+    elif len(args.store) == 1:
+        q = ChunkQuerier.from_store(spark, args.store[0])
         samples = q.select_samples(labels=labels)
+    else:
+        # multi-store fan-in: resolve each writer ROOT to its live
+        # directory set first, then schema-merge (from_stores ""-fills
+        # labels absent from a store)
+        from tsdb_parquet_spark.sources.writer import live_store_dirs
+
+        paths = []
+        for store in args.store:
+            if os.path.isdir(store) and any(
+                e == "_snapshots" or e.startswith(("part.", "compact"))
+                for e in os.listdir(store)
+            ):
+                paths += live_store_dirs(store)
+            else:
+                paths.append(store)
+        q = ChunkQuerier.from_stores(spark, paths)
+        samples = q.select_samples(labels=labels)
+    if args.replica_label:
+        from tsdb_parquet_spark.operators.replicas import dedup_replicas
+
+        samples = dedup_replicas(
+            samples, args.replica_label, window_ms=args.dedup_window
+        )
     # a server answers MANY queries over one working set: shared_scan
     # pays one decode and serves every request from the checkpoint
     engine = PromQLEngine(samples, shared_scan=True)
@@ -1165,7 +1193,14 @@ def main(argv: list[str] | None = None) -> int:
         help="serve the Prometheus HTTP query API (+ remote-read, "
         "federation) over a chunk store",
     )
-    srv.add_argument("--store", required=True)
+    srv.add_argument("--store", action="append", required=True,
+                     help="chunk store or writer root (repeat to fan "
+                          "several stores into one series set)")
+    srv.add_argument("--replica-label", default=None,
+                     help="dedup HA replicas on this label "
+                          "(Thanos-Query-style windowed vote)")
+    srv.add_argument("--dedup-window", type=int, default=5 * 60 * 1000,
+                     help="replica-dedup vote window ms")
     srv.add_argument("--labels", default=None,
                      help="comma-separated label columns")
     srv.add_argument("--wal", default=None,
