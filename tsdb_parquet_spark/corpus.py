@@ -7982,7 +7982,10 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-12 window (registry 125 rows): the 27 rows deferred in round 11
+# Round-12 window (registry 125 rows at rotation time; q126-q134 were
+# registered mid-round AFTER this composition executed and ride
+# DEBUT_BACKLOG above, due first in round 13): the 27 rows deferred in
+# round 11
 # (last driver-green at RECORDED index 8 == r09 — 3 recorded rounds
 # stale at the upcoming index 11, thus non-deferrable per the
 # no-consecutive-deferral rule) lead the window together with q77 (red
