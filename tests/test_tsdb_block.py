@@ -1475,3 +1475,50 @@ def test_block_to_chunk_frame_select_and_window(spark):
     assert sorted((r["__name__"], r["__mint"]) for r in sel) == [
         ("a", day), ("a", 2 * day),
     ]
+
+
+def test_verify_block_green_and_detects_corruption(spark, tmp_path):
+    """verify_block passes an exported block, then catches a flipped
+    chunk byte, a truncated index, and a meta/dir ULID mismatch."""
+    import json
+    import os
+    import shutil
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.tsdb_block import export_block, verify_block
+
+    labels = ["__name__", "job"]
+    rows = [
+        ("m", "a", t * 1000, float(t)) for t in range(1, 200)
+    ] + [("m", "b", t * 1000, float(-t)) for t in range(1, 100)]
+    df = spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    )
+    chunks = samples_to_chunks(
+        df, labels, chunk_span_ms=50_000, encoding="xor"
+    )
+    out = str(tmp_path / "blocks")
+    export_block(chunks, out)
+    report = verify_block(out)
+    assert report["ok"] and report["series"] == 2
+    assert report["chunks"] >= 6 and report["samples"] == 298
+
+    # chunk corruption: flip one payload byte -> CRC mismatch
+    broken = str(tmp_path / "broken")
+    shutil.copytree(out, broken)
+    # keep meta ulid == dir name
+    meta = json.load(open(os.path.join(broken, "meta.json")))
+    meta["ulid"] = os.path.basename(broken)
+    json.dump(meta, open(os.path.join(broken, "meta.json"), "w"))
+    seg = os.path.join(broken, "chunks", "000001")
+    blob = bytearray(open(seg, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(seg, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="crc32c|zero samples|outside"):
+        verify_block(broken)
+
+    # a ULID-shaped dir name must match meta.json's ulid
+    renamed = str(tmp_path / ("0" * 26))
+    shutil.copytree(out, renamed)
+    with pytest.raises(ValueError, match="ulid"):
+        verify_block(renamed)

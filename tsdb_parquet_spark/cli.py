@@ -906,6 +906,29 @@ def cmd_rules(args) -> int:
     return 0
 
 
+def cmd_verify_block(args) -> int:
+    """Integrity-check TSDB block dir(s) (`tsdb_block.verify_block`) —
+    the promtool-style pre-flight before trusting a block: meta/index
+    CRCs, every chunk record's CRC (``--no-decode`` skips the XOR
+    decode + bounds check), tombstone refs.  No Spark session.  Exit 1
+    on the first broken block."""
+    import json as _json
+
+    from tsdb_parquet_spark.tsdb_block import verify_block
+
+    rc = 0
+    for block in args.block:
+        try:
+            report = verify_block(block, decode=not args.no_decode)
+        except (ValueError, OSError, KeyError) as exc:
+            print(_json.dumps({"block": block, "ok": False,
+                               "error": str(exc)}))
+            rc = 1
+            continue
+        print(_json.dumps(report))
+    return rc
+
+
 def cmd_scrape_targets(args) -> int:
     """One scrape tick (`scrape.scrape_targets_once`): GET each
     target's /metrics, weave its ``job``/``instance`` labels in, spool
@@ -1233,6 +1256,17 @@ def main(argv: list[str] | None = None) -> int:
     rul.add_argument("--no-alerts", action="store_true")
     rul.add_argument("--compact", action="store_true")
     rul.set_defaults(fn=cmd_rules)
+
+    vb = sub.add_parser(
+        "verify-block",
+        help="integrity-check TSDB block dir(s): meta/index/chunk CRCs, "
+        "sample bounds, tombstone refs",
+    )
+    vb.add_argument("--block", action="append", required=True,
+                    help="block directory (repeat for several)")
+    vb.add_argument("--no-decode", action="store_true",
+                    help="skip XOR decode + sample-bounds check")
+    vb.set_defaults(fn=cmd_verify_block)
 
     sct = sub.add_parser(
         "scrape-targets",

@@ -1712,3 +1712,112 @@ def maintain_block_farm(
             data_dir, int(retention_ms), int(now_ms)
         )
     return report
+
+
+def verify_block(block_dir: str, decode: bool = True) -> dict:
+    """Integrity-check a TSDB block directory — the ``promtool tsdb``
+    analog the operational loop wants before trusting a block (the
+    reference converter reads blocks with NO validation beyond parse
+    errors).  Checks, all from the public format docs:
+
+    * ``meta.json`` parses, ``minTime <= maxTime``, ULID matches the
+      directory name;
+    * the index TOC/symbols/postings/series sections parse with their
+      CRC-32Cs (``read_index`` verifies as it walks) and series labels
+      arrive in the format's sorted order;
+    * every chunk meta's reference resolves into an existing segment
+      file, the record's CRC-32C verifies, and (``decode=True``) the
+      XOR payload decodes to ``numSamples > 0`` with every timestamp
+      inside the meta's ``[mint, maxt]`` and the block's
+      ``[minTime, maxTime)``;
+    * ``tombstones`` parses (CRC) and every stone's series ref exists.
+
+    Returns a report dict (series/chunks/samples counts, per-check
+    booleans); raises ``ValueError`` on the first integrity failure —
+    a broken block should stop a pipeline, not be summarized.  Runs
+    driver-side by design: validation is an operational pre-flight over
+    ONE block (the distributed readers re-verify CRCs on every read
+    anyway); fan a farm out by calling it per block dir."""
+    import json as _json
+
+    report = {"block": block_dir}
+    with open(os.path.join(block_dir, "meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta["minTime"] > meta["maxTime"]:
+        raise ValueError(
+            f"meta.json minTime {meta['minTime']} > maxTime "
+            f"{meta['maxTime']}"
+        )
+    dirname = os.path.basename(block_dir.rstrip("/"))
+    # data-dir blocks are NAMED their ULID; a standalone export dir may
+    # carry any name (export_block writes into the caller's dir), so the
+    # name check applies only when the name is ULID-shaped
+    ulid_shaped = len(dirname) == 26 and all(
+        c in "0123456789ABCDEFGHJKMNPQRSTVWXYZ" for c in dirname
+    )
+    if ulid_shaped and meta.get("ulid") != dirname:
+        raise ValueError(
+            f"meta.json ulid {meta.get('ulid')!r} != directory {dirname!r}"
+        )
+    report["meta_ok"] = True
+
+    entries = read_index(block_dir, with_refs=True)
+    order = [
+        tuple(sorted(labels.items())) for _, labels, _ in entries
+    ]
+    if order != sorted(order):
+        raise ValueError("index series are not in sorted label order")
+    refs = {ref for ref, _, _ in entries}
+    report["series"] = len(entries)
+
+    segments: dict[int, bytes] = {}
+    n_chunks = n_samples = 0
+    for _, _, metas in entries:
+        for mint, maxt, ref in metas:
+            # the repo's refs carry the 1-BASED segment sequence in the
+            # upper 32 bits (matching the 000001... file names directly,
+            # see block_to_chunk_frame's fetch)
+            seg_idx, off = int(ref) >> 32, int(ref) & 0xFFFFFFFF
+            if seg_idx not in segments:
+                seg_path = os.path.join(
+                    block_dir, "chunks", f"{seg_idx:06d}"
+                )
+                if not os.path.exists(seg_path):
+                    raise ValueError(
+                        f"chunk ref {ref:#x}: segment {seg_path} missing"
+                    )
+                segments[seg_idx] = open(seg_path, "rb").read()
+            enc, payload = read_chunk_record(segments[seg_idx], off)
+            _require_xor_encoding(enc, block_dir)
+            n_chunks += 1
+            if decode:
+                from tsdb_parquet_spark.xorchunk import decode_xor_chunk
+
+                ts, _vals = decode_xor_chunk(payload)
+                if len(ts) == 0:
+                    raise ValueError(f"chunk ref {ref:#x}: zero samples")
+                if ts[0] < mint or ts[-1] > maxt:
+                    raise ValueError(
+                        f"chunk ref {ref:#x}: samples "
+                        f"[{ts[0]}, {ts[-1]}] outside meta "
+                        f"[{mint}, {maxt}]"
+                    )
+                if ts[0] < meta["minTime"] or ts[-1] >= meta["maxTime"]:
+                    raise ValueError(
+                        f"chunk ref {ref:#x}: samples outside the "
+                        f"block's [minTime, maxTime)"
+                    )
+                n_samples += len(ts)
+    report["chunks"] = n_chunks
+    if decode:
+        report["samples"] = n_samples
+
+    stones = read_tombstones(block_dir)
+    dangling = sorted(set(stones) - refs)
+    if dangling:
+        raise ValueError(
+            f"tombstones reference unknown series refs {dangling[:5]}"
+        )
+    report["tombstone_series"] = len(stones)
+    report["ok"] = True
+    return report
