@@ -179,6 +179,27 @@ def test_statically_empty_selector(api):
     assert p["data"] == []
 
 
+@pytest.mark.parametrize(
+    "selector,matches_all",
+    [
+        # absent label == "" (Prometheus model/labels): on a store that
+        # never materialized the column, the matcher resolves statically
+        ('app_events{nolabel=""}', True),
+        ('app_events{nolabel="x"}', False),
+        ('app_events{nolabel!=""}', False),
+        ('app_events{nolabel!="x"}', True),
+        ('app_events{nolabel=~".*"}', True),
+        ('app_events{nolabel=~".+"}', False),
+        ('app_events{nolabel!~".*"}', False),
+        ('app_events{nolabel!~".+"}', True),
+    ],
+)
+def test_absent_label_matcher_semantics(api, selector, matches_all):
+    p = api_get_json(api, "/api/v1/series", {"match[]": [selector]})
+    want = 2 if matches_all else 0  # two app_events series in the store
+    assert len(p["data"]) == want, selector
+
+
 def test_error_envelopes(api):
     with pytest.raises(urllib.error.HTTPError) as exc:
         api_get_json(api, "/api/v1/query_range", {"query": "app_events"})

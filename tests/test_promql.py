@@ -1475,3 +1475,28 @@ def test_ts_of_over_time(spark):
     assert run("ts_of_last_over_time") == {"a": 240.0, "b": 120.0}
     assert run("ts_of_max_over_time") == {"a": 180.0, "b": 120.0}
     assert run("ts_of_min_over_time") == {"a": 240.0, "b": 120.0}
+
+
+@pytest.mark.parametrize(
+    "suffix,matches_all",
+    [
+        # a matcher on a label column the store never materialized
+        # resolves statically: absent label == "" (Prometheus
+        # model/labels), so keep-all iff the matcher matches ""
+        ('nolabel=""', True),
+        ('nolabel="x"', False),
+        ('nolabel!=""', False),
+        ('nolabel!="x"', True),
+        ('nolabel=~".*"', True),
+        ('nolabel=~".+"', False),
+        ('nolabel!~".*"', False),
+        ('nolabel!~".+"', True),
+    ],
+)
+def test_absent_label_matcher_semantics(spark, suffix, matches_all):
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        "http_requests_total{%s}" % suffix, 60_000, 60_000, 60_000
+    )
+    n = out.count()
+    assert n == (3 if matches_all else 0), suffix

@@ -166,3 +166,29 @@ def test_http_read_endpoint(engine):
     assert out == [
         [({"__name__": "other", "event_type": "x"}, [(1_000_000, 9.0)])]
     ]
+
+
+def test_absent_label_matcher_semantics(engine):
+    """A matcher naming a label the store never materialized resolves
+    statically via absent-label == "": keep-none unless it matches ""
+    (then it is a no-op).  `{nolabel!=""}` — "series that have the
+    label" — must match NOTHING here, not everything."""
+    cases = [
+        (Matcher("nolabel", "=", ""), 5),
+        (Matcher("nolabel", "=", "x"), 0),
+        (Matcher("nolabel", "!=", ""), 0),
+        (Matcher("nolabel", "!=", "x"), 5),
+        (Matcher("nolabel", "=~", ".*"), 5),
+        (Matcher("nolabel", "=~", ".+"), 0),
+        (Matcher("nolabel", "!~", ".*"), 0),
+        (Matcher("nolabel", "!~", ".+"), 5),
+    ]
+    body = frame_payload(
+        encode_read_request([(0, 2_000_000, [m]) for m, _ in cases])
+    )
+    out = decode_read_response(
+        unframe_payload(serve_read_request(engine, body))
+    )
+    for (m, want_samples), series in zip(cases, out):
+        got = sum(len(samples) for _, samples in series)
+        assert got == want_samples, (m, got)

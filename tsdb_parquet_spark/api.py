@@ -158,8 +158,9 @@ def _match_frame(
 ) -> DataFrame | None:
     """Samples matching ANY of the ``match[]`` selectors inside
     [start, end] — the shared core of series/labels/values/federate.
-    Returns None when every selector is statically empty (an equality
-    matcher on a label the store does not carry)."""
+    Returns None when every selector is statically empty (a matcher on
+    a label the store does not carry that does not match "" — the
+    Prometheus absent-label-is-"" convention)."""
     # a shared-scan engine (the server default) serves these metadata
     # queries from its checkpointed working set — matchers filter the
     # decoded frame instead of re-running scan+decode per request; a
@@ -182,7 +183,9 @@ def _match_frame(
         for m in matchers:
             if m.name in df.columns:
                 df = df.filter(m.to_column())
-            elif m.op in ("=", "=~"):
+            elif not m.matches_empty():
+                # absent label == "" on every series: keep-none unless
+                # the matcher matches "" (then it is a no-op)
                 dead = True
                 break
         if not dead:

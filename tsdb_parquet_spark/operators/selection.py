@@ -35,6 +35,31 @@ class Matcher:
     op: str
     value: str
 
+    def matches_empty(self) -> bool:
+        """Whether this matcher matches the empty string.
+
+        Prometheus treats a label that is ABSENT from a series as equal
+        to ``""`` (`model/labels`: unset == empty).  When a matcher
+        names a label column the store has never materialized, every
+        series has that label absent, so the selector's effect is
+        static: keep ALL series if the matcher matches ``""``, keep
+        NONE otherwise.  `{foo=~".*"}` and `{foo=""}` keep everything;
+        `{foo!=""}` ("series that have the label") and `{foo="x"}`
+        keep nothing.
+        """
+        import re
+
+        if self.op == EQ:
+            return self.value == ""
+        if self.op == NEQ:
+            return self.value != ""
+        matched = re.fullmatch(f"(?:{self.value})", "") is not None
+        if self.op == RE:
+            return matched
+        if self.op == NRE:
+            return not matched
+        raise ValueError(f"unsupported matcher op {self.op!r}")
+
     def to_column(self) -> Column:
         col = F.col(self.name)
         if self.op == EQ:

@@ -2229,7 +2229,11 @@ class PromQLEngine:
         for m in matchers:
             if m.name in df.columns:
                 df = df.filter(m.to_column())
-            elif m.op in ("=", "=~"):
+            elif not m.matches_empty():
+                # column never materialized -> the label is absent ("")
+                # on EVERY series; a matcher that does not match ""
+                # statically empties the selector ({foo!=""}, {foo="x"}),
+                # while one that does ({foo=""}, {foo=~".*"}) is a no-op
                 if expr.func == "absent_over_time":
                     selector_matches_nothing = True
                     break

@@ -163,9 +163,10 @@ def serve_read_request(engine, body: bytes) -> bytes:
     """Snappy-framed ReadRequest body -> snappy-framed ReadResponse.
 
     Per query: matchers compile onto the engine's samples frame (full
-    predicate + ts-range pushdown — an equality matcher on a label the
-    store does not carry yields an empty result, the ""-is-absent
-    convention), samples group per series via ``collect_list`` (one
+    predicate + ts-range pushdown — a matcher naming a label the store
+    does not carry resolves statically via the ""-is-absent convention:
+    keep-none unless it matches "", in which case it is a no-op),
+    samples group per series via ``collect_list`` (one
     shuffle), and series sort by label set like Prometheus's response
     writer.  Matched-sample materialization is the protocol's own
     contract — see the module docstring."""
@@ -178,7 +179,9 @@ def serve_read_request(engine, body: bytes) -> bytes:
         for m in matchers:
             if m.name in df.columns:
                 df = df.filter(m.to_column())
-            elif m.op in (EQ, RE):
+            elif not m.matches_empty():
+                # absent label == "" on every series: keep-none unless
+                # the matcher matches "" (then it is a no-op)
                 dead = True
                 break
         if dead:
