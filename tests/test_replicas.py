@@ -74,12 +74,33 @@ def test_missing_replica_column_raises(spark):
         dedup_replicas(df)
 
 
-def test_plan_broadcast_semi(replicated):
-    plan = (
-        dedup_replicas(replicated, window_ms=W)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+def test_no_forced_broadcast_hint(replicated):
+    """The winner set grows as series x time-buckets, so the semi-join
+    must NOT carry a broadcast hint (a hint overrides the size
+    threshold and OOMs the driver at scale) — the join strategy is
+    AQE's runtime call.  On this tiny fixture AQE still promotes the
+    join to a broadcast, proving nothing was lost for small sets."""
+    df = dedup_replicas(replicated, window_ms=W)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in final
+    assert "BatchEvalPython" not in final
+    assert "BroadcastHashJoin" in final  # AQE-chosen, not forced
+
+
+def test_ts_bounds_prunes_and_matches_unbounded(replicated):
+    """ts_bounds must clip the output to the exact range while voting
+    over whole edge buckets — identical survivors to filtering the
+    unbounded result."""
+    unbounded = dedup_replicas(replicated, window_ms=W)
+    want = sorted(
+        r["ts"] for r in unbounded.collect() if 1015 <= r["ts"] <= 2015
     )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "BatchEvalPython" not in plan
+    bounded = dedup_replicas(replicated, window_ms=W, ts_bounds=(1015, 2015))
+    assert sorted(r["ts"] for r in bounded.collect()) == want
+    # the whole-bucket-widened bound ([1000, 2999] for W=1000) reaches
+    # below the vote aggregate, not just the output clip
+    optimized = bounded._jdf.queryExecution().optimizedPlan().toString()
+    assert "1000" in optimized and "2999" in optimized

@@ -792,6 +792,13 @@ def cmd_serve(args) -> int:
     if args.replica_label:
         from tsdb_parquet_spark.operators.replicas import dedup_replicas
 
+        # memory envelope: the vote's winner set is (series x buckets)
+        # of the SERVED store — unbounded here because shared_scan below
+        # materializes the deduped working set exactly once for all
+        # requests (per-query ts_bounds would re-vote per request); the
+        # join strategy is AQE's call, never a forced broadcast, so a
+        # large winner set degrades to a shuffled semi-join instead of
+        # OOMing the driver
         samples = dedup_replicas(
             samples, args.replica_label, window_ms=args.dedup_window
         )

@@ -335,6 +335,9 @@ class BlockFarmRoutedEngine:
         self.last_rewrites = 0
         self.last_blocks_read = 0
         self.last_select: "dict | None" = None
+        #: per-farm (parent_dir, sorted name list | None) decode
+        #: selections of the previous call — shows collision precedence
+        self.last_farm_selects: "list[tuple[str, list | None]]" = []
         #: per-block cache for the downsample farm's __name__ census,
         #: keyed on the index file's (size, mtime_ns) so a maintenance
         #: tick rewriting a block invalidates its entry
@@ -418,7 +421,10 @@ class BlockFarmRoutedEngine:
         names_before = _metric_names(node)
         names = _metric_names(routed)
         if names is None or names_before is None:
-            farms = [self.downsample_dir, self.data_dir]
+            farm_selects: list[tuple[str, set | None]] = [
+                (self.downsample_dir, None),
+                (self.data_dir, None),
+            ]
         else:
             # names the REWRITE introduced live in the rollup farm.  A raw
             # series that merely LOOKS like a recording rule (user-named
@@ -432,23 +438,29 @@ class BlockFarmRoutedEngine:
             # independently of the name-set difference, because a
             # rewrite-introduced name that collides with a literal
             # selector cancels out of `names - names_before`.
+            #
+            # PRECEDENCE on name collision: a residual name the rollup
+            # farm's index really holds reads from the rollup farm ONLY
+            # — if the raw farm also happens to hold a series with that
+            # exact name (a user ingested 'app_events:sum' raw while a
+            # rule materialized the same name), decoding both farms
+            # would silently double every sample.  Each farm therefore
+            # gets its OWN name selection; the raw farm never decodes a
+            # name the rollup farm owns.
             rollup_names = names - names_before
             residual = names - rollup_names
-            farms = []
-            if rollup_names or n > 0 or (residual & ds_names):
-                farms.append(self.downsample_dir)
-            if residual or not names:
-                farms.append(self.data_dir)
+            ds_resident = residual & ds_names
+            raw_residual = residual - ds_names
+            farm_selects = []
+            if rollup_names or n > 0 or ds_resident:
+                farm_selects.append(
+                    (self.downsample_dir, rollup_names | ds_resident)
+                )
+            if raw_residual or not names:
+                farm_selects.append(
+                    (self.data_dir, raw_residual if names else None)
+                )
         window = data_window(routed, start_ms, end_ms, lookback_ms)
-        dirs = []
-        for parent in farms:
-            for d, mint, maxt in self._farm_blocks(parent):
-                # meta maxTime is exclusive
-                if window is None or (
-                    mint <= window[1] and maxt > window[0]
-                ):
-                    dirs.append(d)
-        self.last_blocks_read = len(dirs)
         # selector pushdown INTO the decode: when every selector in the
         # routed AST carries a name, each block task resolves the
         # per-(label,value) postings for that name set and fetches only
@@ -457,13 +469,37 @@ class BlockFarmRoutedEngine:
         self.last_select = (
             {"__name__": sorted(names)} if names else None
         )
-        if dirs:
-            frame = blocks_to_chunk_frame(
-                self._spark, dirs, self._labels,
-                tombstones=self._tombstones,
-                select=self.last_select,
-                window=window,
-            )
+        self.last_farm_selects = [
+            (parent, sorted(sel) if sel else None)
+            for parent, sel in farm_selects
+        ]
+        frames = []
+        n_dirs = 0
+        for parent, sel in farm_selects:
+            dirs = []
+            for d, mint, maxt in self._farm_blocks(parent):
+                # meta maxTime is exclusive
+                if window is None or (
+                    mint <= window[1] and maxt > window[0]
+                ):
+                    dirs.append(d)
+            n_dirs += len(dirs)
+            if dirs:
+                frames.append(
+                    blocks_to_chunk_frame(
+                        self._spark, dirs, self._labels,
+                        tombstones=self._tombstones,
+                        select=(
+                            {"__name__": sorted(sel)} if sel else None
+                        ),
+                        window=window,
+                    )
+                )
+        self.last_blocks_read = n_dirs
+        if frames:
+            frame = frames[0]
+            for other in frames[1:]:
+                frame = frame.unionByName(other)
             samples = chunks_to_samples(frame, self._labels)
         else:
             samples = self._spark.createDataFrame(
