@@ -215,6 +215,25 @@ def test_error_envelopes(api):
     assert exc.value.code == 404
 
 
+def test_internal_error_envelope(engine):
+    """A non-ValueError failure (here: OSError from a missing exemplar
+    store) must come back as a 500 {status:error, errorType:internal}
+    envelope, not a dropped connection."""
+    with PromApiServer(
+        engine, exemplar_store="/nonexistent/exemplar/store"
+    ) as url:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            api_get_json(
+                url,
+                "/api/v1/query_exemplars",
+                {"query": "app_events", "start": "0", "end": "2000"},
+            )
+        assert exc.value.code == 500
+        body = json.loads(exc.value.read().decode())
+        assert body["status"] == "error"
+        assert body["errorType"] == "internal"
+
+
 def test_post_form_params(api):
     data = urllib.parse.urlencode(
         {"query": "sum(app_events)", "time": "1120"}

@@ -475,6 +475,16 @@ class PromApiServer:
         self.exemplar_store = exemplar_store
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: PromQLEngine was written single-threaded: query_range mutates
+        #: shared per-evaluation state (release_cache drops the PREVIOUS
+        #: evaluation's CSE pins, then _memo/_subtree_refs rebuild), so
+        #: concurrent /api/v1/query* requests under ThreadingHTTPServer
+        #: must single-flight through this lock — held through result
+        #: materialization, because the NEXT evaluation's release_cache
+        #: would unpersist pins a still-collecting result depends on.
+        #: Metadata endpoints (series/labels/values/federate) stay
+        #: concurrent: they only read the samples frame.
+        self._engine_lock = threading.Lock()
 
     # -- request handling (pure: params dict -> (http status, body)) --
 
@@ -502,8 +512,11 @@ class PromApiServer:
                     "result": [_ts_json(t), format_sample_value(node)],
                 }
                 return data
-            df = eng.query_range(expr, t, t, 1, lookback_ms=self.lookback_ms)
-            return {"resultType": "vector", "result": vector_result(df)}
+            with self._engine_lock:
+                df = eng.query_range(
+                    expr, t, t, 1, lookback_ms=self.lookback_ms
+                )
+                return {"resultType": "vector", "result": vector_result(df)}
         if path == "/api/v1/query_range":
             expr = p("query")
             missing = [
@@ -516,10 +529,11 @@ class PromApiServer:
             step = _parse_step_ms(p("step"))
             if end < start:
                 raise ValueError("end < start")
-            df = eng.query_range(
-                expr, start, end, step, lookback_ms=self.lookback_ms
-            )
-            return {"resultType": "matrix", "result": matrix_result(df)}
+            with self._engine_lock:
+                df = eng.query_range(
+                    expr, start, end, step, lookback_ms=self.lookback_ms
+                )
+                return {"resultType": "matrix", "result": matrix_result(df)}
         if path == "/api/v1/query_exemplars":
             if self.exemplar_store is None:
                 return None  # endpoint absent without a store, like 2.x
@@ -692,6 +706,20 @@ class PromApiServer:
                         }
                     ).encode()
                     self._send(400, body, "application/json")
+                    return
+                except Exception as exc:  # noqa: BLE001 — the client
+                    # must see a Prometheus-style error envelope, not a
+                    # dropped connection: queries that parse but fail
+                    # analysis (AnalysisException), Py4J errors, bad
+                    # exemplar stores (OSError) all land here
+                    body = json.dumps(
+                        {
+                            "status": "error",
+                            "errorType": "internal",
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    ).encode()
+                    self._send(500, body, "application/json")
                     return
                 if data is None:
                     self._send(

@@ -484,6 +484,9 @@ def cmd_ingest(args) -> int:
         ingestor, stream = scrape_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, scrape_ts_ms=args.scrape_ts,
+            **(
+                {"path_glob": args.path_glob} if args.path_glob else {}
+            ),
         )
     ingestor.ingest(stream)
     msg = f"# drained spool {args.spool} -> {args.store}"

@@ -136,10 +136,13 @@ def pack_token_chunks(
     off = (F.sum("_n").over(w) - F.col("_n") + base_expr).alias("_off")
     offs = toks.select(order_col, "_n", off)
 
-    # (5) span arithmetic, all-JVM
+    # (5) span arithmetic, all-JVM.  `div` is exact integer division —
+    # `/` on longs yields a double, which for global token offsets near
+    # 2^53/seq_len rounds and can misplace a chunk id by one at the
+    # 100 TB corpus scale this module advertises
+    first = F.expr(f"_off div {int(seq_len)}")
+    last = F.expr(f"(_off + _n - 1) div {int(seq_len)}")
     L = F.lit(int(seq_len))
-    first = (F.col("_off") / L).cast("long")
-    last = ((F.col("_off") + F.col("_n") - 1) / L).cast("long")
     spans = offs.select(
         order_col,
         "_n",

@@ -276,6 +276,7 @@ def run_rule_group_to_store(
             )
     counts: dict[str, int] = {}
     union = None
+    persisted: list[DataFrame] = []
     for name, df in frames:
         extra = [
             c for c in df.columns
@@ -289,21 +290,31 @@ def run_rule_group_to_store(
         for c in labels:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(""))
-        df = df.select("ts", "value", *labels)
+        # persist before counting: the count below materializes the
+        # rule's query_range plan (the expensive part) into the cache,
+        # and the union write re-reads the cache instead of evaluating
+        # every rule a second time.  One group-interval's output is
+        # small — bounded by series x steps, nowhere near scan scale.
+        df = df.select("ts", "value", *labels).persist()
+        persisted.append(df)
         counts[name] = df.count()
         union = df if union is None else union.unionByName(df)
     if union is None:
         raise ValueError("group has no rules to persist")
-    opts = options or WriterOptions(
-        sort_columns=sort_columns(labels),
-        bloom_columns=[c for c in labels if c != engine.metric_label],
-    )
-    writer = SortedParquetWriter(spark, root, opts)
-    chunks = samples_to_chunks(
-        union,
-        labels,
-        chunk_span_ms=chunk_span_ms,
-        assign_series_ids=False,  # ids are assigned at compaction
-    )
-    writer.write(chunks)
+    try:
+        opts = options or WriterOptions(
+            sort_columns=sort_columns(labels),
+            bloom_columns=[c for c in labels if c != engine.metric_label],
+        )
+        writer = SortedParquetWriter(spark, root, opts)
+        chunks = samples_to_chunks(
+            union,
+            labels,
+            chunk_span_ms=chunk_span_ms,
+            assign_series_ids=False,  # ids are assigned at compaction
+        )
+        writer.write(chunks)
+    finally:
+        for df in persisted:
+            df.unpersist()
     return counts, writer

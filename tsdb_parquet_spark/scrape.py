@@ -475,7 +475,13 @@ def scrape_targets_once(
                 for labels, value, ts_ms in samples
             ]
         )
-        fd, tmp = tempfile.mkstemp(dir=spool_dir, suffix=".tmp")
+        # hidden ('.'-prefixed) temp INSIDE spool_dir: Spark file
+        # sources skip hidden files, so a concurrent spool drain can
+        # never read the torn half-written temp; same filesystem, so
+        # the publishing rename below stays atomic
+        fd, tmp = tempfile.mkstemp(
+            dir=spool_dir, prefix=".scrape-tmp-", suffix=".tmp"
+        )
         with os.fdopen(fd, "w") as fh:
             fh.write(rewritten)
         final = os.path.join(

@@ -151,13 +151,15 @@ def scrape_spool_ingestor(
     label_names: Sequence[str],
     chunk_span_ms: int = 24 * 3600 * 1000,
     scrape_ts_ms: int | None = None,
+    path_glob: str = "scrape-*.txt",
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of exposition-text captures (one
     file per ``GET /metrics`` body).  Lines without a timestamp take
     ``scrape_ts_ms`` (the receiver's scrape time) — with None they are
     dropped, since a sample needs a time.  The parse is the all-JVM
-    ``scrape_samples`` plan."""
+    ``scrape_samples`` plan.  The glob defaults to the scraper's
+    ``scrape-<ts>-<idx>.txt`` publish naming."""
     from tsdb_parquet_spark.scrape import scrape_samples
 
     labels = list(label_names)
@@ -177,6 +179,10 @@ def scrape_spool_ingestor(
     stream = (
         spark.readStream.format("text")
         .option("wholetext", "true")
+        # belt-and-braces vs torn captures: the scraper publishes via
+        # hidden-temp + rename, and this filter pins the drain to the
+        # published names even if a foreign writer drops other files in
+        .option("pathGlobFilter", path_glob)
         .load(spool_dir)
     )
     return ingestor, stream
