@@ -52,53 +52,56 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round12_composition():
+def test_driver_window_round13_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-12 window so an accidental registry edit cannot silently push a
+    round-13 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
-    from tsdb_parquet_spark.corpus import REGISTRY
+    from tsdb_parquet_spark.corpus import DEBUT_BACKLOG, REGISTRY
 
     window = list(REGISTRY)[:50]
-    must_be_in = {
-        # the 27 round-11 deferrals, due back (no consecutive
-        # deferrals) — last driver green r09 (recorded index 8) —
-        # plus q77, the r11 red row re-entering for its re-green
-        "q01_scan_project", "q02_eq_filter", "q03_range_filter",
-        "q04_conjunction", "q10_write_compact_roundtrip",
-        "q16_series_select", "q20_promql_instant_sum",
-        "q32_broadcast_join", "q34_promql_rate", "q36_window_functions",
-        "q42_promql_window_gt_step", "q45_multi_store_merge",
-        "q49_promql_on_group_left", "q56_promql_quantile_over_time",
-        "q59_ivf_assign", "q63_weighted_sample", "q65_rollup_store",
-        "q73_promql_time_functions", "q76_streaming_sessionize",
-        "q77_rollup_routing", "q79_promql_sort_desc",
-        "q92_semantic_dedup", "q101_png_pixel_pipeline",
-        "q107_multi_block_convert", "q108_wal_head_drain",
-        "q109_data_dir_convert", "q110_promql_staleness",
-        "q112_block_export_roundtrip",
-        # round-12 debut
-        "q125_otlp_histogram_ingest",
-        # rows whose implementation changed in round 12 (routing guard,
-        # write_index postings, bounded OTLP bodies, staged builders)
-        "q21_streaming_ingest", "q82_rollup_subquery_routing",
-        "q83_store_maintenance", "q84_ivf_partitioned_store",
-        "q86_bucketed_colocated_join", "q91_ivfpq_store_topk",
-        "q97_ivfpq_residual_topk", "q105_tsdb_block_convert",
-        "q106_block_convert_promql", "q114_block_compaction",
-        "q116_block_farm_maintenance", "q124_otlp_ingest",
+    expected = {
+        # the 9 DEBUT_BACKLOG rows (q126-q134) lead, exactly as the
+        # r12 verdict pre-committed
+        *DEBUT_BACKLOG,
+        # round-13 debuts
+        "q135_otlp_exemplars", "q136_remote_read_streamed",
+        # the 30 round-12 deferrals, due back (no consecutive
+        # deferrals) — last driver green r10 (recorded index 9)
+        "q06_first_per_key", "q07_groupby_agg", "q08_time_containment",
+        "q09_label_values", "q12_dict_equality", "q13_zonemap_range",
+        "q17_chunk_samples_roundtrip", "q19_promql_count_over_time",
+        "q28_embedding_near_dup", "q29_multimodal_metadata",
+        "q30_text_analysis", "q31_json_props", "q33_semi_anti_join",
+        "q38_training_chunks", "q43_promql_counter_reset",
+        "q44_late_materialization", "q46_sessionize",
+        "q54_promql_comparison_filter", "q60_ivf_topk",
+        "q62_simhash_near_dup", "q64_promql_absent",
+        "q66_promql_set_ops", "q72_global_shuffle",
+        "q75_promql_holt_winters", "q81_kmeans_train",
+        "q98_exact_substring_removal", "q99_lm_perplexity_score",
+        "q102_promql_sort_by_label", "q103_xor_chunk_interop",
+        "q104_writer_layout_contract",
+        # 2-rounds-stale r11-green rows: round-13 implementation
+        # changes (q113 scrape spool, q78 absent-label matchers) +
+        # hubs / rows with no in-window kin
+        "q22_exact_dedup", "q78_promql_instant_absent",
+        "q87_bucket_ranged_read", "q89_streaming_rollup",
+        "q111_remote_write_ingest", "q113_scrape_text_parse",
+        "q117_store_delete_pass", "q120_wal_exemplars",
+        "q122_native_histogram_store_roundtrip",
     }
-    assert must_be_in <= set(window), sorted(must_be_in - set(window))
-    # the remaining slots hold 2-rounds-stale r10-green backlog —
-    # nothing ELSE that is r11-green (1 recorded round stale) may occupy
-    # a slot while 2-rounds-stale r10 rows wait outside.
-    import json
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r11_green = set(json.load(open(os.path.join(root, "CORRECTNESS_r11.json"))))
-    overlap = (r11_green & set(window)) - must_be_in
-    assert not overlap, sorted(overlap)
+    assert len(expected) == 50
+    # exact-set pin: stronger than must-be-in — NOTHING fresher
+    # (r12-green, 1 recorded round stale) may occupy a slot while a
+    # 2-rounds-stale row waits outside
+    assert set(window) == expected, (
+        sorted(expected - set(window)),
+        sorted(set(window) - expected),
+    )
     assert len(window) == len(set(window)) == 50
+    # the backlog rows lead the window in order, as pre-committed
+    assert tuple(window[:9]) == DEBUT_BACKLOG
 
 
 def test_work_builders_publish_atomically():

@@ -192,3 +192,133 @@ def test_absent_label_matcher_semantics(engine):
     for (m, want_samples), series in zip(cases, out):
         got = sum(len(samples) for _, samples in series)
         assert got == want_samples, (m, got)
+
+
+# -- STREAMED_XOR_CHUNKS ----------------------------------------------------
+
+
+def test_chunked_response_codec_roundtrip():
+    from tsdb_parquet_spark.remote_read import (
+        decode_chunked_read_response,
+        encode_chunked_read_response,
+        frame_chunked_message,
+        iter_chunked_messages,
+    )
+
+    series = [
+        ({"__name__": "m", "job": "a"}, [(0, 1000, b"\x01\x02"), (1001, 2000, b"\x03")]),
+        ({"__name__": "m", "job": "b"}, [(5, 7, b"\xff" * 40)]),
+    ]
+    msg = encode_chunked_read_response(series, 3)
+    assert decode_chunked_read_response(msg) == (3, series)
+    # framing: two messages survive the CRC'd stream
+    body = frame_chunked_message(msg) + frame_chunked_message(
+        encode_chunked_read_response([], 0)
+    )
+    msgs = list(iter_chunked_messages(body))
+    assert msgs[0] == msg
+    assert decode_chunked_read_response(msgs[1]) == (0, [])
+    # a flipped byte must be caught by the CRC
+    corrupt = bytearray(body)
+    corrupt[7] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        list(iter_chunked_messages(bytes(corrupt)))
+
+
+def test_accepted_types_negotiation_encoding():
+    from tsdb_parquet_spark.remote_read import (
+        STREAMED_XOR_CHUNKS,
+        read_request_accepted_types,
+    )
+
+    q = [(0, 1, [Matcher("__name__", "=", "m")])]
+    assert read_request_accepted_types(encode_read_request(q)) == []
+    proto = encode_read_request(q, accepted=[STREAMED_XOR_CHUNKS])
+    assert read_request_accepted_types(proto) == [STREAMED_XOR_CHUNKS]
+    # queries decode identically with the accepted field present
+    assert decode_read_request(proto) == q
+
+
+def test_streamed_serve_matches_samples_path(engine):
+    """The streamed response, decoded client-side (XOR chunks ->
+    samples), must equal the SAMPLES response for the same request —
+    including the statically-empty and regex-matcher queries."""
+    from tsdb_parquet_spark.remote_read import (
+        decode_streamed_read_body,
+        serve_read_request_streamed,
+    )
+
+    queries = [
+        (1_000_000, 1_100_000, [Matcher("__name__", "=", "app_events")]),
+        (0, 1, [Matcher("__name__", "=", "nope")]),
+        (0, 2_000_000, [Matcher("nolabel", "=", "x")]),
+        (0, 2_000_000, [Matcher("event_type", "=~", "cli.*")]),
+    ]
+    body = frame_payload(encode_read_request(queries))
+    want = decode_read_response(
+        unframe_payload(serve_read_request(engine, body))
+    )
+    stream = b"".join(serve_read_request_streamed(engine, body))
+    got = decode_streamed_read_body(stream, len(queries))
+    assert got == want
+
+
+def test_streamed_frame_flush_bound(engine):
+    """A tiny max_frame_bytes forces multiple frames; the merged result
+    must still be complete and identical."""
+    from tsdb_parquet_spark.remote_read import (
+        decode_streamed_read_body,
+        iter_chunked_messages,
+        serve_read_request_streamed,
+    )
+
+    queries = [(0, 2_000_000, [Matcher("__name__", "=", "app_events")])]
+    body = frame_payload(encode_read_request(queries))
+    stream = b"".join(
+        serve_read_request_streamed(engine, body, max_frame_bytes=1)
+    )
+    assert len(list(iter_chunked_messages(stream))) > 1
+    want = decode_read_response(
+        unframe_payload(serve_read_request(engine, body))
+    )
+    assert decode_streamed_read_body(stream, 1) == want
+
+
+def test_http_streamed_negotiation(engine):
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.remote_read import (
+        CONTENT_TYPE_STREAMED,
+        STREAMED_XOR_CHUNKS,
+        decode_streamed_read_body,
+    )
+
+    queries = [
+        (1_000_000, 1_100_000, [Matcher("__name__", "=", "app_events")])
+    ]
+    body = frame_payload(
+        encode_read_request(queries, accepted=[STREAMED_XOR_CHUNKS])
+    )
+    with PromApiServer(engine) as url:
+        req = urllib.request.Request(
+            f"{url}/api/v1/read",
+            data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"] == CONTENT_TYPE_STREAMED
+            assert resp.headers.get("Content-Length") is None
+            raw = resp.read()  # to EOF — connection close terminates
+    got = decode_streamed_read_body(raw, 1)
+    want = decode_read_response(
+        unframe_payload(
+            serve_read_request(
+                engine, frame_payload(encode_read_request(queries))
+            )
+        )
+    )
+    assert got == want

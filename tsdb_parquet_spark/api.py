@@ -673,11 +673,39 @@ class PromApiServer:
                         )
                         return
                     if path == "/api/v1/read":
-                        # prompb remote-read: snappy protobuf in and out
+                        # prompb remote-read: snappy protobuf in; the
+                        # response type follows the client's
+                        # accepted_response_types negotiation
                         from tsdb_parquet_spark.remote_read import (
+                            CONTENT_TYPE_STREAMED,
+                            STREAMED_XOR_CHUNKS,
+                            read_request_accepted_types,
                             serve_read_request,
+                            serve_read_request_streamed,
+                        )
+                        from tsdb_parquet_spark.remote_write import (
+                            unframe_payload,
                         )
 
+                        accepted = read_request_accepted_types(
+                            unframe_payload(raw)
+                        )
+                        if STREAMED_XOR_CHUNKS in accepted:
+                            # streamed frames: no Content-Length — the
+                            # body ends when the connection closes,
+                            # like Prometheus's chunked writer
+                            self.send_response(200)
+                            self.send_header(
+                                "Content-Type", CONTENT_TYPE_STREAMED
+                            )
+                            self.send_header("Connection", "close")
+                            self.end_headers()
+                            for frame in serve_read_request_streamed(
+                                outer.engine, raw
+                            ):
+                                self.wfile.write(frame)
+                            self.close_connection = True
+                            return
                         resp = serve_read_request(outer.engine, raw)
                         self.send_response(200)
                         self.send_header(

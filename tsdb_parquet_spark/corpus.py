@@ -7971,6 +7971,187 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_otlp_exemplar_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) OTLP POST bodies whose datapoints CARRY
+    exemplars — one body per day, per event_type two exemplar-bearing
+    points: a GAUGE ``app.events.value`` point whose exemplar holds the
+    day's max value (hex ``trace_id`` = the day number, plus a
+    ``sample.id`` filtered attribute) and a monotonic CUMULATIVE SUM
+    ``app.events`` point whose exemplar holds the day's event count
+    (attribute only) — so the hash covers the trace-id hex round-trip
+    AND the ``_total`` suffix keying of monotonic-sum exemplars
+    (`otlp.py` decode_export_exemplars)."""
+    from tsdb_parquet_spark.otlp import encode_export_request
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"otlp_exemplar_payloads_v1_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    rows = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 1000000").alias("ts"),
+            "value",
+        )
+        .toPandas()
+    )
+    rows["day"] = rows["ts"] // _DAY_MS
+    running: dict[str, int] = {}
+    payloads = []
+    for day, g in rows.groupby("day", sort=True):
+        day_end = int((day + 1) * _DAY_MS)
+        gauge_points, sum_points = [], []
+        for e, ge in g.groupby("event_type", sort=True):
+            mx = round(float(ge["value"].max()), 2)
+            n = int(len(ge))
+            running[e] = running.get(e, 0) + n
+            gauge_points.append(
+                ({"event.type": e}, day_end, mx,
+                 [(day_end - 1, mx,
+                   {"trace_id": format(int(day), "016x"),
+                    "sample.id": f"{int(day)}-{e}"})])
+            )
+            sum_points.append(
+                ({"event.type": e}, day_end, float(running[e]),
+                 [(day_end - 1, float(n),
+                   {"sample.id": f"t-{int(day)}-{e}"})])
+            )
+        body = encode_export_request([
+            ({"service.name": "app"},
+             [
+                 {"name": "app.events.value", "kind": "gauge",
+                  "points": gauge_points},
+                 {"name": "app.events", "kind": "sum",
+                  "monotonic": True, "points": sum_points},
+             ]),
+        ])
+        payloads.append((bytearray(body),))
+    df = spark.createDataFrame(payloads, "payload binary")
+    with _staged_publish(final, marker="_SUCCESS") as build:
+        df.repartition(max(1, min(len(payloads), 32))).write.mode(
+            "overwrite"
+        ).parquet(build)
+    return final
+
+
+@query(
+    "q135_otlp_exemplars",
+    f"""
+WITH d AS (
+  SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS day, value
+  FROM events
+),
+g AS (
+  SELECT event_type, day, round(max(value), 2) AS mx,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM d GROUP BY 1, 2
+),
+ex AS (
+  SELECT 'app_events_value' AS metric, event_type,
+         (day + 1) * {_DAY_MS} - 1 AS ts, mx AS value,
+         printf('%016x', day) AS trace_id,
+         CAST(day AS VARCHAR) || '-' || event_type AS sample_id
+  FROM g
+  UNION ALL
+  SELECT 'app_events_total', event_type,
+         (day + 1) * {_DAY_MS} - 1, n,
+         NULL, 't-' || CAST(day AS VARCHAR) || '-' || event_type
+  FROM g
+)
+SELECT * FROM ex ORDER BY metric, event_type, ts""",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP exemplar ingest (`otlp.otlp_exemplar_frame`): captured
+    export bodies whose gauge and monotonic-sum datapoints carry
+    exemplars decode executor-side into exemplar rows, covering the
+    trace-id hex round-trip, the filtered-attribute translation, and
+    the ``_total`` suffix keying of monotonic-sum exemplars (the
+    Prometheus OTLP translation — a counter's exemplars live under the
+    ``_total``-suffixed series name).  DuckDB recomputes every exemplar
+    from the raw events."""
+    from tsdb_parquet_spark.otlp import otlp_exemplar_frame
+
+    path = _events_otlp_exemplar_payloads(spark, sf_dir)
+    payloads = spark.read.parquet(path)
+    ex = otlp_exemplar_frame(
+        payloads, ["__name__", "event_type", "job"]
+    )
+    return ex.select(
+        F.col("__name__").alias("metric"),
+        "event_type",
+        "ts",
+        "value",
+        F.element_at("exemplar_labels", "trace_id").alias("trace_id"),
+        F.element_at("exemplar_labels", "sample_id").alias("sample_id"),
+    ).orderBy("metric", "event_type", "ts")
+
+
+@query(
+    "q136_remote_read_streamed",
+    f"""
+SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+       epoch_ms(ts) AS ts, round(value, 2) AS value
+FROM events
+WHERE epoch_ms(ts) >= {_P_START} AND epoch_ms(ts) <= {_P_START + 3 * _DAY_MS}
+ORDER BY event_type, shard, ts, value""",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-READ, STREAMED_XOR_CHUNKS response type
+    (`remote_read.serve_read_request_streamed`): the client advertises
+    the streamed type in ``accepted_response_types``, the server
+    answers over a real socket with ChunkedWriter frames (uvarint +
+    CRC32C + ChunkedReadResponse) whose XOR chunks were encoded
+    EXECUTOR-side and drained via ``toLocalIterator`` — O(frame) server
+    memory instead of the SAMPLES path's O(result) — and the decoded
+    stream must hash-match DuckDB reading the raw events (same oracle
+    as q129: the two response types are answer-equivalent)."""
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.operators.selection import Matcher
+    from tsdb_parquet_spark.remote_read import (
+        STREAMED_XOR_CHUNKS,
+        decode_streamed_read_body,
+        encode_read_request,
+    )
+    from tsdb_parquet_spark.remote_write import frame_payload
+
+    engine = _promql_samples(spark, sf_dir)
+    body = frame_payload(
+        encode_read_request(
+            [
+                (
+                    _P_START,
+                    _P_START + 3 * _DAY_MS,
+                    [Matcher("__name__", "=", "app_events")],
+                )
+            ],
+            accepted=[STREAMED_XOR_CHUNKS],
+        )
+    )
+    import urllib.request
+
+    with PromApiServer(engine) as url:
+        req = urllib.request.Request(
+            f"{url}/api/v1/read",
+            data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            results = decode_streamed_read_body(resp.read(), 1)
+    rows = [
+        (labels["event_type"], labels["shard"], ts, round(value, 2))
+        for labels, samples in results[0]
+        for ts, value in samples
+    ]
+    return spark.createDataFrame(
+        rows, "event_type STRING, shard STRING, ts LONG, value DOUBLE"
+    ).orderBy("event_type", "shard", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -7982,102 +8163,94 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-12 window (registry 125 rows at rotation time; q126-q134 were
-# registered mid-round AFTER this composition executed and ride
-# DEBUT_BACKLOG above, due first in round 13): the 27 rows deferred in
-# round 11
-# (last driver-green at RECORDED index 8 == r09 — 3 recorded rounds
-# stale at the upcoming index 11, thus non-deferrable per the
-# no-consecutive-deferral rule) lead the window together with q77 (red
-# in r11 — fixture-publish race, rebuilt stores this round), followed
-# by this round's debut and the rows whose implementation changed in
-# round 12, then 9 of the 2-rounds-stale r10-green rows; the remaining
-# 30 r10-green rows are deferred WITH named in-window coverage below
-# and must return in round 13.
+# Round-13 window (registry 136 rows at rotation time).  Composition:
+#   * the 9 DEBUT_BACKLOG rows (registered mid-round-12 AFTER that
+#     window had executed the r11-pre-committed composition; never
+#     driver-checked, loudly queued for exactly one round): q126-q134
+#     lead the window as the r12 verdict pre-committed.
+#   * 2 round-13 debuts: q135 OTLP exemplar ingest (trace-id hex
+#     round-trip + the monotonic-sum `_total` keying) and q136
+#     remote-read STREAMED_XOR_CHUNKS (ChunkedWriter frames, XOR
+#     chunks encoded executor-side).
+#   * the 30 rows deferred in round 12 (the exact DEFERRED_WITH_
+#     COVERAGE set, last driver-green r10 == RECORDED index 9 — 3
+#     recorded rounds stale at the upcoming index 12, non-deferrable
+#     per the no-consecutive-deferral rule): q06 q07 q08 q09 q12 q13
+#     q17 q19 q28 q29 q30 q31 q33 q38 q43 q44 q46 q54 q60 q62 q64 q66
+#     q72 q75 q81 q98 q99 q102 q103 q104.
+#   * the 9 remaining slots go to 2-rounds-stale r11-green rows,
+#     chosen as rows whose implementation changed in round 13 or rows
+#     with no in-window kin: q113 (scrape spool publish went hidden-
+#     temp + glob this round), q78 (the absent-label matcher fix
+#     changed the selector path), q22 (exact-dedup hub for the dedup
+#     module), q87 (object-store ranged read — no kin in window),
+#     q89 (streaming rollup — streaming hub), q111 (remote-write
+#     ingest — no kin in window), q117 (store delete pass — no kin in
+#     window), q120 (WAL exemplars — WAL-records hub), q122 (native-
+#     histogram store roundtrip — native-histogram hub).
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09,r10,r11 -> indices 1..10; the upcoming r12 record is
-# index 11).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09,r10,r11,r12 -> indices 1..11; the upcoming r13 record
+# is index 12).  tests/test_corpus.py implements the same indexing.
 #
-# Composition:
-#   * the 27 rows deferred in round 11 (the exact set the r11 verdict
-#     pre-committed): q01/q02/q03/q04/q10/q16/q20/q32/q34/q36/q42/q45/
-#     q49/q56/q59/q63/q65/q73/q76/q79/q92/q101/q107/q108/q109/q110/
-#     q112 — plus q77, the r11 red row, back for its re-green.
-#   * 1 debut (never driver-checked): q125 OTLP non-scalar ingest
-#     (classic-histogram expansion, exponential->classic downscale with
-#     the zero bucket, summary quantile translation, all DuckDB-
-#     recomputed from raw events).
-#   * 12 rows whose implementation changed in round 12 and so re-enter
-#     the window: q82 (rewrite_for_rollup known_names guard on the
-#     store path), q105/q106/q114/q116 (write_index now emits real
-#     per-label-value postings), q124 (bounded OTLP capture bodies +
-#     decoder fixes), and q21/q83/q84/q86/q91/q97 (fixture builders
-#     switched to staged-rename publish / pid-scoped roots).
-#   * the 9 remaining slots go to 2-rounds-stale r10-green rows chosen
-#     as coverage hubs or rows with no in-window kin: q23 (banded
-#     near-dup hub), q39 (text/quality pipeline hub), q41, q47, q57,
-#     q85, q94 (HTTP object store — no kin in window), q100 (tsdb
-#     stats — covers label enumeration), q115 (remote-write push — no
-#     kin in window).
-# Deferred to round 13 (r10-green rows that no longer fit; each with
-# the in-window row(s) that still exercise its code path):
-#   q06_first_per_key    -> q16 (ChunkQuerier distinct-series
-#                           enumeration over the same chunk store)
-#   q07_groupby_agg      -> q65 (native groupBy aggregates over the
-#                           same events-derived store) + q85 (salted
-#                           two-phase exact agg)
-#   q08_time_containment -> q16 (the same ChunkQuerier.select
-#                           containment-bounds semantics)
-#   q09_label_values     -> q100 (tsdb stats enumerates label values
-#                           through the same querier path)
-#   q12_dict_equality    -> q02 (equality Matcher pushdown)
-#   q13_zonemap_range    -> q03 (range predicate pushdown)
-#   q17_chunk_samples_roundtrip -> q10 (chunk encode/decode roundtrip
-#                           through write+compact)
-#   q19_promql_count_over_time -> q56 (same over_time range-window
-#                           evaluation kernel)
-#   q28_embedding_near_dup -> q92 (cosine-threshold pairing over the
-#                           same embeddings; q28's banded-LSH candidate
-#                           join shape is q23's, in window)
-#   q29_multimodal_metadata -> q101 (the png decode pipeline reads the
-#                           same multimodal columns + metadata)
-#   q30_text_analysis    -> q39 (the cleaning pipeline computes the
-#                           same text metrics inline)
-#   q31_json_props       -> q39 (same documents-normalization surface;
-#                           the JSON-parse arm stays unit-pinned in
-#                           tests/test_text.py)
-#   q33_semi_anti_join   -> q32 (broadcast-join family, semi/anti arm
-#                           unit-pinned by tests)
-#   q38_training_chunks  -> q63 (same deterministic hash-ordering
-#                           machinery)
-#   q43_promql_counter_reset -> q34 (rate runs the same counter-reset
-#                           kernel)
-#   q44_late_materialization -> q16 (the querier select path that
-#                           drives the bounded-key second pass)
-#   q46_sessionize       -> q76 (the streaming sessionizer is asserted
-#                           equal to the batch kernel, same SQL twin)
-#   q54_promql_comparison_filter -> q49 (vector-matching binary-op
-#                           machinery)
-#   q60_ivf_topk         -> q84 (IVF store top-k, same codebook/query
-#                           constants)
-#   q62_simhash_near_dup -> q23 (banded near-dup candidate equi-join)
-#   q64_promql_absent    -> q110 (absent/staleness lookback machinery)
-#   q66_promql_set_ops   -> q49 (same vector-matching join kernel)
-#   q72_global_shuffle   -> q63 (same deterministic hash-draw ordering)
-#   q75_promql_holt_winters -> q56 (same over_time evaluation kernel)
-#   q81_kmeans_train     -> q59 (same centroid-assignment kernel)
-#   q98_exact_substring_removal -> q39 (pipeline runs the substring
-#                           scrubbing stage)
-#   q99_lm_perplexity_score -> q39 (same quality-scoring family)
-#   q102_promql_sort_by_label -> q79 (PromQL sort machinery)
-#   q103_xor_chunk_interop -> q105 (block convert decodes the same XOR
-#                           chunk segment format)
-#   q104_writer_layout_contract -> q10 (same writer options: zstd,
-#                           dict, blooms, 8 KiB pages, sorted parts)
-# Every other out-of-window row is r11-green (1 recorded round stale
-# once r12 lands) and needs no deferral record.
+# Deferred to round 14 (2-rounds-stale r11-green rows that no longer
+# fit; each with the in-window row(s) that still exercise its code
+# path):
+#   q05_distinct          -> q06 (same operators/distinct.py streaming
+#                            first-per-key kernel)
+#   q11_predicate_order   -> q12 + q13 (same pushdown/conjunction
+#                            surface Catalyst orders)
+#   q14_multi_projection  -> q44 (same querier projection path)
+#   q15_empty_result      -> q13 + q104 (pruning predicates + the
+#                            writer's bloom/zone-map options)
+#   q18_label_values      -> q09 (same querier label-values path)
+#   q24_simhash           -> q62 (same simhash kernel, banded join)
+#   q25_ngram_jaccard     -> q62 + q22 (dedup.py candidate-verify
+#                            family over the same documents)
+#   q26_cosine_topk       -> q60 (same similarity.py top-k kernel)
+#   q27_ann_lsh_topk      -> q60 (same top-k machinery, LSH arm
+#                            unit-pinned in tests/test_functions.py)
+#   q35_distinct_counts   -> q07 (same multi-distinct agg surface)
+#   q37_promql_topk_binary -> q102 + q54 (sort/topk machinery +
+#                            binary-op vector matching)
+#   q40_rollup            -> q07 (same native agg family; the
+#                            grouping-sets arm is unit-pinned)
+#   q48_stratified_sample -> q38 + q72 (same deterministic hash-draw
+#                            ordering machinery)
+#   q50_promql_rate_extrapolated -> q43 (same counter-reset/rate
+#                            kernel)
+#   q51_promql_without_at -> q19 (same count_over_time kernel; @ and
+#                            `without` arms unit-pinned)
+#   q52_promql_label_replace_clamp -> q19 + q102 (instant-agg grid +
+#                            label machinery)
+#   q53_promql_histogram_quantile -> q122 (histogram_quantile over
+#                            the native-histogram store roundtrip)
+#   q55_promql_changes    -> q43 (changes/resets are twin kernels)
+#   q58_pack_sequences    -> q128 (same packing/span machinery)
+#   q61_gap_fill_linear   -> q46 (same operators/gapfill.py module)
+#   q67_promql_quantile_agg -> q19 (same grid aggregation kernel)
+#   q68_promql_predict_linear -> q75 (same regression-over-window
+#                            family)
+#   q69_decontaminate     -> q98 (same substring-scrub machinery)
+#   q70_repetition_stats  -> q30 + q99 (text-analysis family)
+#   q71_pii_redact        -> q30 (JVM regexp text family)
+#   q74_promql_subquery   -> q19 + q75 (same over_time evaluation
+#                            kernels the subquery composes)
+#   q80_remove_boilerplate_lines -> q30 + q98 (text scrubbing family)
+#   q88_promql_scalar_arithmetic -> q54 (binary-op machinery)
+#   q90_pq_adc_topk       -> q60 (same quantized top-k family)
+#   q93_exact_substring_spans -> q98 (same span-matching machinery)
+#   q95_media_transform   -> q29 (same multimodal.py decode surface)
+#   q96_sq8_quantized_topk -> q60 (same quantized top-k family)
+#   q118_native_histogram_quantile -> q122 (same native-histogram
+#                            evaluation kernel)
+#   q119_native_histogram_fraction -> q122 (same kernel)
+#   q121_wal_metric_metadata -> q120 (same WAL record parse)
+#   q123_exemplar_store_query -> q120 + q135 (exemplar store write +
+#                            select path)
+# Every other out-of-window row is r12-green (1 recorded round stale
+# once r13 lands) and needs no deferral record.
 #: Machine-readable record of this round's window-overflow deferrals:
 #: row -> the in-window rows that still exercise its code path.  The
 #: rotation-invariant test (tests/test_corpus.py) enforces that any row
@@ -8108,101 +8281,92 @@ DEBUT_BACKLOG: tuple[str, ...] = (
 )
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q06_first_per_key": ("q16_series_select",),
-    "q07_groupby_agg": ("q65_rollup_store", "q85_salted_distinct_count"),
-    "q08_time_containment": ("q16_series_select",),
-    "q09_label_values": ("q100_tsdb_stats",),
-    "q12_dict_equality": ("q02_eq_filter",),
-    "q13_zonemap_range": ("q03_range_filter",),
-    "q17_chunk_samples_roundtrip": ("q10_write_compact_roundtrip",),
-    "q19_promql_count_over_time": ("q56_promql_quantile_over_time",),
-    "q28_embedding_near_dup": (
-        "q92_semantic_dedup",
-        "q23_minhash_lsh_pairs",
+    "q05_distinct": ("q06_first_per_key",),
+    "q11_predicate_order": ("q12_dict_equality", "q13_zonemap_range"),
+    "q14_multi_projection": ("q44_late_materialization",),
+    "q15_empty_result": (
+        "q13_zonemap_range",
+        "q104_writer_layout_contract",
     ),
-    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
-    "q30_text_analysis": ("q39_cleaning_pipeline",),
-    "q31_json_props": ("q39_cleaning_pipeline",),
-    "q33_semi_anti_join": ("q32_broadcast_join",),
-    "q38_training_chunks": ("q63_weighted_sample",),
-    "q43_promql_counter_reset": ("q34_promql_rate",),
-    "q44_late_materialization": ("q16_series_select",),
-    "q46_sessionize": ("q76_streaming_sessionize",),
-    "q54_promql_comparison_filter": ("q49_promql_on_group_left",),
-    "q60_ivf_topk": ("q84_ivf_partitioned_store",),
-    "q62_simhash_near_dup": ("q23_minhash_lsh_pairs",),
-    "q64_promql_absent": ("q110_promql_staleness",),
-    "q66_promql_set_ops": ("q49_promql_on_group_left",),
-    "q72_global_shuffle": ("q63_weighted_sample",),
-    "q75_promql_holt_winters": ("q56_promql_quantile_over_time",),
-    "q81_kmeans_train": ("q59_ivf_assign",),
-    "q98_exact_substring_removal": ("q39_cleaning_pipeline",),
-    "q99_lm_perplexity_score": ("q39_cleaning_pipeline",),
-    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
-    "q103_xor_chunk_interop": ("q105_tsdb_block_convert",),
-    "q104_writer_layout_contract": ("q10_write_compact_roundtrip",),
+    "q18_label_values": ("q09_label_values",),
+    "q24_simhash": ("q62_simhash_near_dup",),
+    "q25_ngram_jaccard": ("q62_simhash_near_dup", "q22_exact_dedup"),
+    "q26_cosine_topk": ("q60_ivf_topk",),
+    "q27_ann_lsh_topk": ("q60_ivf_topk",),
+    "q35_distinct_counts": ("q07_groupby_agg",),
+    "q37_promql_topk_binary": (
+        "q102_promql_sort_by_label",
+        "q54_promql_comparison_filter",
+    ),
+    "q40_rollup": ("q07_groupby_agg",),
+    "q48_stratified_sample": (
+        "q38_training_chunks",
+        "q72_global_shuffle",
+    ),
+    "q50_promql_rate_extrapolated": ("q43_promql_counter_reset",),
+    "q51_promql_without_at": ("q19_promql_count_over_time",),
+    "q52_promql_label_replace_clamp": (
+        "q19_promql_count_over_time",
+        "q102_promql_sort_by_label",
+    ),
+    "q53_promql_histogram_quantile": (
+        "q122_native_histogram_store_roundtrip",
+    ),
+    "q55_promql_changes": ("q43_promql_counter_reset",),
+    "q58_pack_sequences": ("q128_sequence_packing",),
+    "q61_gap_fill_linear": ("q46_sessionize",),
+    "q67_promql_quantile_agg": ("q19_promql_count_over_time",),
+    "q68_promql_predict_linear": ("q75_promql_holt_winters",),
+    "q69_decontaminate": ("q98_exact_substring_removal",),
+    "q70_repetition_stats": (
+        "q30_text_analysis",
+        "q99_lm_perplexity_score",
+    ),
+    "q71_pii_redact": ("q30_text_analysis",),
+    "q74_promql_subquery": (
+        "q19_promql_count_over_time",
+        "q75_promql_holt_winters",
+    ),
+    "q80_remove_boilerplate_lines": (
+        "q30_text_analysis",
+        "q98_exact_substring_removal",
+    ),
+    "q88_promql_scalar_arithmetic": ("q54_promql_comparison_filter",),
+    "q90_pq_adc_topk": ("q60_ivf_topk",),
+    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
+    "q95_media_transform": ("q29_multimodal_metadata",),
+    "q96_sq8_quantized_topk": ("q60_ivf_topk",),
+    "q118_native_histogram_quantile": (
+        "q122_native_histogram_store_roundtrip",
+    ),
+    "q119_native_histogram_fraction": (
+        "q122_native_histogram_store_roundtrip",
+    ),
+    "q121_wal_metric_metadata": ("q120_wal_exemplars",),
+    "q123_exemplar_store_query": (
+        "q120_wal_exemplars",
+        "q135_otlp_exemplars",
+    ),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 27 round-11 deferrals, due back (no consecutive deferrals) —
-    # last driver-green r09 (recorded index 8), 3 recorded rounds stale
-    # at the upcoming index 11 — plus q77, the r11 red row
-    "q01_scan_project",
-    "q02_eq_filter",
-    "q03_range_filter",
-    "q04_conjunction",
-    "q10_write_compact_roundtrip",
-    "q16_series_select",
-    "q20_promql_instant_sum",
-    "q32_broadcast_join",
-    "q34_promql_rate",
-    "q36_window_functions",
-    "q42_promql_window_gt_step",
-    "q45_multi_store_merge",
-    "q49_promql_on_group_left",
-    "q56_promql_quantile_over_time",
-    "q59_ivf_assign",
-    "q63_weighted_sample",
-    "q65_rollup_store",
-    "q73_promql_time_functions",
-    "q76_streaming_sessionize",
-    "q77_rollup_routing",
-    "q79_promql_sort_desc",
-    "q92_semantic_dedup",
-    "q101_png_pixel_pipeline",
-    "q107_multi_block_convert",
-    "q108_wal_head_drain",
-    "q109_data_dir_convert",
-    "q110_promql_staleness",
-    "q112_block_export_roundtrip",
-    # this round's debut (never driver-checked)
-    "q125_otlp_histogram_ingest",
-    # rows whose implementation changed in round 12
-    "q21_streaming_ingest",
-    "q82_rollup_subquery_routing",
-    "q83_store_maintenance",
-    "q84_ivf_partitioned_store",
-    "q86_bucketed_colocated_join",
-    "q91_ivfpq_store_topk",
-    "q97_ivfpq_residual_topk",
-    "q105_tsdb_block_convert",
-    "q106_block_convert_promql",
-    "q114_block_compaction",
-    "q116_block_farm_maintenance",
-    "q124_otlp_ingest",
-    # 2-rounds-stale r10-green rows: coverage hubs + rows with no
-    # in-window kin
-    "q23_minhash_lsh_pairs",
-    "q39_cleaning_pipeline",
-    "q41_set_operations",
-    "q47_dedup_clusters",
-    "q57_asof_join",
-    "q85_salted_distinct_count",
-    "q94_http_object_store",
-    "q100_tsdb_stats",
-    "q115_remote_write_push_to_promql",
-    # position 51+ — outside the driver cap: the documented deferrals
-    # (first in line for round 13), then the r11-green window
+    # the 9 DEBUT_BACKLOG rows lead, exactly as the r12 verdict
+    # pre-committed (never driver-checked; registered mid-round-12)
+    "q126_query_api_roundtrip",
+    "q127_federate",
+    "q128_sequence_packing",
+    "q129_remote_read",
+    "q130_alerting_rule",
+    "q131_rule_group",
+    "q132_promql_info",
+    "q133_promql_ts_of",
+    "q134_replica_dedup",
+    # round-13 debuts (never driver-checked)
+    "q135_otlp_exemplars",
+    "q136_remote_read_streamed",
+    # the 30 rows deferred in round 12, due back (no consecutive
+    # deferrals) — last driver-green r10 (recorded index 9), 3 recorded
+    # rounds stale at the upcoming index 12
     "q06_first_per_key",
     "q07_groupby_agg",
     "q08_time_containment",
@@ -8233,6 +8397,56 @@ _DRIVER_PRIORITY: list[str] = [
     "q102_promql_sort_by_label",
     "q103_xor_chunk_interop",
     "q104_writer_layout_contract",
+    # 2-rounds-stale r11-green rows: round-13 implementation changes
+    # (q113 scrape spool publish, q78 absent-label matcher semantics)
+    # + coverage hubs / rows with no in-window kin
+    "q22_exact_dedup",
+    "q78_promql_instant_absent",
+    "q87_bucket_ranged_read",
+    "q89_streaming_rollup",
+    "q111_remote_write_ingest",
+    "q113_scrape_text_parse",
+    "q117_store_delete_pass",
+    "q120_wal_exemplars",
+    "q122_native_histogram_store_roundtrip",
+    # position 51+ — outside the driver cap: the documented round-14
+    # deferrals first, then registry order
+    "q05_distinct",
+    "q11_predicate_order",
+    "q14_multi_projection",
+    "q15_empty_result",
+    "q18_label_values",
+    "q24_simhash",
+    "q25_ngram_jaccard",
+    "q26_cosine_topk",
+    "q27_ann_lsh_topk",
+    "q35_distinct_counts",
+    "q37_promql_topk_binary",
+    "q40_rollup",
+    "q48_stratified_sample",
+    "q50_promql_rate_extrapolated",
+    "q51_promql_without_at",
+    "q52_promql_label_replace_clamp",
+    "q53_promql_histogram_quantile",
+    "q55_promql_changes",
+    "q58_pack_sequences",
+    "q61_gap_fill_linear",
+    "q67_promql_quantile_agg",
+    "q68_promql_predict_linear",
+    "q69_decontaminate",
+    "q70_repetition_stats",
+    "q71_pii_redact",
+    "q74_promql_subquery",
+    "q80_remove_boilerplate_lines",
+    "q88_promql_scalar_arithmetic",
+    "q90_pq_adc_topk",
+    "q93_exact_substring_spans",
+    "q95_media_transform",
+    "q96_sq8_quantized_topk",
+    "q118_native_histogram_quantile",
+    "q119_native_histogram_fraction",
+    "q121_wal_metric_metadata",
+    "q123_exemplar_store_query",
 ]
 
 
