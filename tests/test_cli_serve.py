@@ -55,7 +55,8 @@ def rule_store(spark, repo_cwd, tmp_path_factory):
     counts = dict(
         line.split("\t") for line in proc.stdout.strip().splitlines()
     )
-    assert int(counts["app_events:sum"]) == 20  # 5 event types x 4 steps
+    # counts are group-prefixed since multi-group rule files landed
+    assert int(counts["events/app_events:sum"]) == 20  # 5 types x 4 steps
     return out
 
 

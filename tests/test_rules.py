@@ -184,3 +184,156 @@ def test_rule_store_rejects_unknown_label(spark, engine, tmp_path):
             spark, engine, group, str(tmp_path / "s"),
             ["__name__"], MIN, 2 * MIN, MIN,
         )
+
+
+def test_keep_firing_for_holds_and_rejoins(engine):
+    """Prometheus ``keep_firing_for``: a FIRING alert whose expression
+    stops producing the series stays firing through the hold (value
+    carried from the last evaluation) and re-activation during the hold
+    keeps the ORIGINAL ActiveAt — no new pending phase."""
+    rule = AlertingRule(
+        "HighM", "m > 5", for_ms=2 * MIN, keep_firing_for_ms=MIN
+    )
+    out = evaluate_alerting_rule(engine, rule, MIN, 7 * MIN, MIN)
+    assert _states(out) == [
+        ("a", 2, "pending"),
+        ("a", 3, "pending"),
+        ("a", 4, "firing"),
+        ("a", 5, "firing"),  # hold: expr inactive, alert kept firing
+        ("a", 6, "firing"),  # rejoin during hold: still firing, no
+        ("a", 7, "firing"),  # pending restart
+        ("b", 1, "pending"),
+        ("b", 2, "pending"),  # pending resolves immediately at 3
+    ]
+    rows = {(r["job"], r["t"] // MIN): r for r in out.collect()}
+    # the hold row carries the last evaluated value (a.Value)
+    assert rows[("a", 5)]["value"] == 9.0
+    # ActiveAt never reset across the hold
+    assert {r["active_at"] for k, r in rows.items() if k[0] == "a"} == {
+        2 * MIN
+    }
+    assert rows[("b", 1)]["active_at"] == MIN
+
+
+def test_keep_firing_for_expires(spark):
+    """The hold resolves once now - keepFiringSince >= keep_firing_for
+    (keepFiringSince = the first missing evaluation); a later
+    re-activation starts a fresh alert with a new ActiveAt."""
+    rows = [("m", "a", i * MIN, 9.0) for i in (1, 2, 3, 7)]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, ts LONG, value DOUBLE"
+    ))
+    rule = AlertingRule("A", "m > 5", for_ms=0, keep_firing_for_ms=MIN)
+    # one-step lookback so the gap minutes are really inactive (the
+    # default 5m staleness lookback would keep the series alive)
+    out = evaluate_alerting_rule(
+        eng, rule, MIN, 7 * MIN, MIN, lookback_ms=MIN
+    )
+    got = sorted(
+        (r["t"] // MIN, r["alertstate"], r["active_at"] // MIN)
+        for r in out.collect()
+    )
+    # held at 4 (first missing eval), resolved at 5 (60s >= 60s), and
+    # minute 7 is a NEW alert (for=0 -> firing) with ActiveAt=7
+    assert got == [
+        (1, "firing", 1),
+        (2, "firing", 1),
+        (3, "firing", 1),
+        (4, "firing", 1),
+        (7, "firing", 7),
+    ]
+
+
+def test_alerts_for_state_series(engine):
+    """ALERTS_FOR_STATE: value = ActiveAt seconds, no alertstate
+    label, same identity labels as ALERTS."""
+    from tsdb_parquet_spark.rules import alerts_for_state_series
+
+    rule = AlertingRule("HighM", "m > 5", for_ms=2 * MIN)
+    out = evaluate_alerting_rule(engine, rule, MIN, 7 * MIN, MIN)
+    fs = alerts_for_state_series(out)
+    assert "alertstate" not in fs.columns
+    assert "active_at" not in fs.columns
+    rows = {(r["job"], r["ts"] // MIN): r for r in fs.collect()}
+    assert rows[("a", 4)]["__name__"] == "ALERTS_FOR_STATE"
+    # job a's first island activates at minute 2 -> 120 seconds
+    assert rows[("a", 4)]["value"] == 120.0
+    assert rows[("b", 1)]["value"] == 60.0
+
+
+def test_parse_rule_file_yaml_and_json():
+    from tsdb_parquet_spark.rules import parse_rule_file
+
+    yaml_text = """
+groups:
+  - name: example
+    interval: 30s
+    rules:
+      - record: job:m:sum
+        expr: sum by (job) (m)
+        labels:
+          team: infra
+      - alert: HighM
+        expr: m > 5
+        for: 10m
+        keep_firing_for: 5m
+        labels:
+          severity: page
+        annotations:
+          summary: "m is high"
+  - name: second
+    rules:
+      - alert: AnyM
+        expr: m > 0
+"""
+    groups = parse_rule_file(yaml_text)
+    assert [g.name for g in groups] == ["example", "second"]
+    rec, alert = groups[0].rules
+    assert rec == RecordingRule(
+        "job:m:sum", "sum by (job) (m)", {"team": "infra"}
+    )
+    assert alert.alert == "HighM"
+    assert alert.for_ms == 600_000
+    assert alert.keep_firing_for_ms == 300_000
+    assert alert.labels == {"severity": "page"}
+    assert groups[1].rules[0].for_ms == 0
+    # the engine's legacy single-group JSON shape still parses
+    import json
+
+    [g] = parse_rule_file(json.dumps({
+        "name": "j",
+        "rules": [{"alert": "A", "expr": "m > 1", "for": "90s"}],
+    }))
+    assert g.name == "j" and g.rules[0].for_ms == 90_000
+
+
+def test_store_writeback_includes_for_state(spark, engine, tmp_path):
+    """run_rule_group_to_store persists ALERTS and ALERTS_FOR_STATE."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.rules import run_rule_group_to_store
+
+    group = RuleGroup(
+        "g", (AlertingRule("HighM", "m > 5", for_ms=2 * MIN),)
+    )
+    labels = ["__name__", "alertname", "alertstate", "job"]
+    counts, writer = run_rule_group_to_store(
+        spark, engine, group, str(tmp_path / "store"), labels,
+        MIN, 7 * MIN, MIN,
+    )
+    writer.compact()
+    assert counts["HighM"] == counts["HighM:for_state"] == 7
+    q = ChunkQuerier.from_store(spark, str(tmp_path / "store"))
+    samples = q.select_samples(labels=labels)
+    names = {
+        r["__name__"]
+        for r in samples.select("__name__").distinct().collect()
+    }
+    assert names == {"ALERTS", "ALERTS_FOR_STATE"}
+    fs = samples.filter(F.col("__name__") == "ALERTS_FOR_STATE")
+    # ActiveAt seconds, alertstate blank (not a label of this series)
+    assert {r["alertstate"] for r in fs.collect()} == {""}
+    # job a's two islands activate at minutes 2 and 6
+    assert {r["value"] for r in fs.filter(F.col("job") == "a").collect()} == {
+        120.0,
+        360.0,
+    }

@@ -838,51 +838,24 @@ def cmd_serve(args) -> int:
 
 
 def cmd_rules(args) -> int:
-    """Run one rule-group evaluation interval and append its recording
-    + ALERTS series to a store (`rules.run_rule_group_to_store`) — the
-    Prometheus rule manager's write-back loop as a cron-friendly
-    one-shot.  The group spec is JSON: ``{"name": ..., "rules":
-    [{"record": ..., "expr": ...}, {"alert": ..., "expr": ...,
-    "for": "5m", "labels": {...}}]}`` (``for`` takes a PromQL
-    duration)."""
-    import json as _json
-
-    from tsdb_parquet_spark.plans.promql import (
-        PromQLEngine,
-        parse_duration_ms,
-    )
+    """Run one evaluation interval for every group in a rule file and
+    append the recording + ALERTS + ALERTS_FOR_STATE series to a store
+    (`rules.run_rule_group_to_store`) — the Prometheus rule manager's
+    write-back loop as a cron-friendly one-shot.  ``--rules`` takes the
+    standard Prometheus rule-file YAML (``groups:`` — the
+    prometheus.rules.yml every deployment already has; ``for`` /
+    ``keep_firing_for`` durations included) or this engine's
+    single-group JSON shape (`rules.parse_rule_file`)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
     from tsdb_parquet_spark.querier import ChunkQuerier
     from tsdb_parquet_spark.rules import (
-        AlertingRule,
-        RecordingRule,
-        RuleGroup,
+        parse_rule_file,
         run_rule_group_to_store,
     )
     from tsdb_parquet_spark.session import get_spark
 
     with open(args.rules) as fh:
-        spec = _json.load(fh)
-    rules = []
-    for r in spec["rules"]:
-        if "record" in r:
-            rules.append(
-                RecordingRule(r["record"], r["expr"], r.get("labels", {}))
-            )
-        elif "alert" in r:
-            raw_for = r.get("for", 0)
-            for_ms = (
-                parse_duration_ms(raw_for)
-                if isinstance(raw_for, str)
-                else int(raw_for)
-            )
-            rules.append(
-                AlertingRule(
-                    r["alert"], r["expr"], for_ms, r.get("labels", {})
-                )
-            )
-        else:
-            raise SystemExit(f"rule needs 'record' or 'alert': {r}")
-    group = RuleGroup(spec.get("name", "group"), tuple(rules))
+        groups = parse_rule_file(fh.read())
 
     spark = get_spark(app_name="tsdb-rules")
     spark.sparkContext.setLogLevel("ERROR")
@@ -891,25 +864,31 @@ def cmd_rules(args) -> int:
     in_labels = args.labels.split(",") if args.labels else None
     engine = PromQLEngine(q.select_samples(labels=in_labels))
     out_labels = args.out_labels.split(",")
-    counts, writer = run_rule_group_to_store(
-        spark,
-        engine,
-        group,
-        args.out,
-        out_labels,
-        args.start,
-        args.end,
-        args.step,
-        lookback_ms=args.lookback,
-        include_alerts=not args.no_alerts,
-    )
-    if args.compact:
+    counts: dict[str, int] = {}
+    writer = None
+    for group in groups:
+        gcounts, writer = run_rule_group_to_store(
+            spark,
+            engine,
+            group,
+            args.out,
+            out_labels,
+            args.start,
+            args.end,
+            args.step,
+            lookback_ms=args.lookback,
+            include_alerts=not args.no_alerts,
+        )
+        for name, n in gcounts.items():
+            counts[f"{group.name}/{name}"] = n
+    if args.compact and writer is not None:
         writer.compact()
     for name, n in counts.items():
         print(f"{name}\t{n}")
     print(
         f"# wrote {sum(counts.values())} samples "
-        f"({len(counts)} rules) in {time.perf_counter() - t0:.1f}s",
+        f"({len(counts)} rules, {len(groups)} groups) "
+        f"in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
     spark.stop()
@@ -1253,7 +1232,7 @@ def main(argv: list[str] | None = None) -> int:
         "series appended to a store",
     )
     rul.add_argument("--store", required=True, help="input chunk store")
-    rul.add_argument("--rules", required=True, help="JSON group spec")
+    rul.add_argument("--rules", required=True, help="Prometheus rule-file YAML (groups:) or single-group JSON")
     rul.add_argument("--out", required=True, help="output store root")
     rul.add_argument("--labels", default=None,
                      help="input store label columns")

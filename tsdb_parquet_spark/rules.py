@@ -48,8 +48,70 @@ __all__ = [
     "evaluate_recording_rule",
     "evaluate_alerting_rule",
     "evaluate_rule_group",
+    "alerts_series",
+    "alerts_for_state_series",
     "run_rule_group_to_store",
+    "parse_rule_file",
 ]
+
+
+def parse_rule_file(text: str) -> list[RuleGroup]:
+    """Parse a Prometheus rule file (the ``groups:`` YAML every
+    deployment already has — promtool's schema) into :class:`RuleGroup`
+    objects.  Also accepts this engine's single-group JSON shape
+    (``{"name": ..., "rules": [...]}``) so existing specs keep working.
+    ``for:`` / ``keep_firing_for:`` take PromQL durations ("5m") or raw
+    milliseconds; ``annotations:`` are accepted and ignored (no
+    notification pipeline here); ``interval:`` is accepted and ignored
+    (the evaluation grid is the caller's start/end/step)."""
+    import json
+
+    from tsdb_parquet_spark.plans.promql import parse_duration_ms
+
+    def duration_ms(raw) -> int:
+        if raw is None:
+            return 0
+        if isinstance(raw, str):
+            return parse_duration_ms(raw)
+        return int(raw)
+
+    def build_rules(specs) -> tuple:
+        rules = []
+        for r in specs:
+            if "record" in r:
+                rules.append(
+                    RecordingRule(
+                        r["record"], r["expr"], dict(r.get("labels", {}))
+                    )
+                )
+            elif "alert" in r:
+                rules.append(
+                    AlertingRule(
+                        r["alert"],
+                        r["expr"],
+                        duration_ms(r.get("for")),
+                        dict(r.get("labels", {})),
+                        duration_ms(r.get("keep_firing_for")),
+                    )
+                )
+            else:
+                raise ValueError(f"rule needs 'record' or 'alert': {r}")
+        return tuple(rules)
+
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        import yaml
+
+        doc = yaml.safe_load(text)
+    if not isinstance(doc, dict):
+        raise ValueError("rule file must be a mapping")
+    if "groups" in doc:
+        return [
+            RuleGroup(g.get("name", "group"), build_rules(g["rules"]))
+            for g in doc["groups"]
+        ]
+    return [RuleGroup(doc.get("name", "group"), build_rules(doc["rules"]))]
 
 
 @dataclass(frozen=True)
@@ -63,12 +125,19 @@ class RecordingRule:
 
 @dataclass(frozen=True)
 class AlertingRule:
-    """``alert: <name>`` / ``expr:`` / ``for:`` (ms) / ``labels:``."""
+    """``alert: <name>`` / ``expr:`` / ``for:`` (ms) /
+    ``keep_firing_for:`` (ms) / ``labels:``.
+
+    ``keep_firing_for_ms``: once FIRING, the alert stays firing for
+    this long after its expression stops producing the series
+    (Prometheus ``keep_firing_for``, rules/alerting.go) — flap
+    damping; pending alerts still resolve immediately."""
 
     alert: str
     expr: str
     for_ms: int = 0
     labels: dict[str, str] = field(default_factory=dict)
+    keep_firing_for_ms: int = 0
 
 
 @dataclass(frozen=True)
@@ -119,47 +188,146 @@ def evaluate_alerting_rule(
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
 ) -> DataFrame:
     """Alert state per active (series, step): ``(t, alertname, result
-    labels..., rule labels..., alertstate, value)``.
+    labels..., rule labels..., alertstate, value, active_at)``.
+    ``active_at`` is the alert's ActiveAt timestamp (ms) — the
+    ``ALERTS_FOR_STATE`` payload a real Prometheus persists so ``for``
+    state survives restarts (:func:`alerts_for_state_series`).
 
-    Gaps-and-islands over the rule's active set: a new island starts
-    where the previous active step is more than one ``step_ms`` back;
-    the alert fires at step t when ``t - island_start >= for_ms``
-    (Prometheus: "continuously active for at least <for>"), else it is
-    pending.  One window pass, partitioned by the alert's identity
-    labels — the active set is grid-bounded (steps x series), so this
-    costs one small shuffle regardless of store size."""
+    ``keep_firing_for == 0`` (the default): pure-JVM gaps-and-islands
+    over the rule's active set — a new island starts where the previous
+    active step is more than one ``step_ms`` back; the alert fires at
+    step t when ``t - island_start >= for_ms`` (Prometheus:
+    "continuously active for at least <for>"), else it is pending.  One
+    window pass, partitioned by the alert's identity labels — the
+    active set is grid-bounded (steps x series), so this costs one
+    small shuffle regardless of store size.
+
+    ``keep_firing_for > 0``: the hold makes the state sequential (a
+    step's state depends on whether the CHAIN had fired before the
+    gap), which no windowed closed form expresses — so the exact
+    Prometheus state machine (rules/alerting.go) runs per series via
+    ``applyInPandas``: a firing alert whose expression stops producing
+    the series stays firing while ``t - last_active - step <
+    keep_firing_for`` (value carried from the last evaluation, like
+    ``a.Value``); re-activating during the hold keeps it firing with
+    its original ActiveAt (no new pending phase); PENDING alerts still
+    resolve immediately.  Same partitioning, same grid-bounded input —
+    the Python hop is per active-set row, never per store row."""
     out = engine.query_range(
         rule.expr, start_ms, end_ms, step_ms, lookback_ms=lookback_ms
     )
     label_cols = [c for c in out.columns if c not in ("t", "value")]
-    w = Window.partitionBy(
-        *[F.col(c) for c in label_cols] if label_cols else [F.lit(1)]
-    ).orderBy("t")
-    prev_t = F.lag("t").over(w)
-    new_island = (
-        prev_t.isNull() | (F.col("t") - prev_t > F.lit(int(step_ms)))
-    ).cast("long")
-    df = out.withColumn(
-        "_island", F.sum(new_island).over(w)
-    )
-    w_island = Window.partitionBy(
-        *([F.col(c) for c in label_cols] if label_cols else [F.lit(1)]),
-        F.col("_island"),
-    )
-    island_start = F.min("t").over(w_island)
-    state = F.when(
-        F.col("t") - island_start >= F.lit(int(rule.for_ms)),
-        F.lit("firing"),
-    ).otherwise(F.lit("pending"))
-    result = df.withColumn("alertstate", state).drop("_island")
+    if rule.keep_firing_for_ms > 0:
+        result = _alert_state_machine(
+            out, label_cols, start_ms, end_ms, step_ms,
+            rule.for_ms, rule.keep_firing_for_ms,
+        )
+    else:
+        w = Window.partitionBy(
+            *[F.col(c) for c in label_cols] if label_cols else [F.lit(1)]
+        ).orderBy("t")
+        prev_t = F.lag("t").over(w)
+        new_island = (
+            prev_t.isNull() | (F.col("t") - prev_t > F.lit(int(step_ms)))
+        ).cast("long")
+        df = out.withColumn(
+            "_island", F.sum(new_island).over(w)
+        )
+        w_island = Window.partitionBy(
+            *([F.col(c) for c in label_cols] if label_cols else [F.lit(1)]),
+            F.col("_island"),
+        )
+        island_start = F.min("t").over(w_island)
+        state = F.when(
+            F.col("t") - island_start >= F.lit(int(rule.for_ms)),
+            F.lit("firing"),
+        ).otherwise(F.lit("pending"))
+        result = (
+            df.withColumn("alertstate", state)
+            .withColumn("active_at", island_start)
+            .drop("_island")
+        )
     result = result.withColumn("alertname", F.lit(rule.alert))
     for k, v in rule.labels.items():
         result = result.withColumn(k, F.lit(v))
     cols = ["t", "alertname"]
     cols += [c for c in label_cols if c != "alertname" and c not in rule.labels]
     cols += [k for k in rule.labels if k != "alertname"]
-    cols += ["alertstate", "value"]
+    cols += ["alertstate", "value", "active_at"]
     return result.select(*dict.fromkeys(cols))
+
+
+def _alert_state_machine(
+    out: DataFrame,
+    label_cols: list[str],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    for_ms: int,
+    keep_firing_for_ms: int,
+) -> DataFrame:
+    """Per-series Prometheus alert state machine (the
+    ``keep_firing_for`` path of :func:`evaluate_alerting_rule`) —
+    ``applyInPandas`` over the grid-bounded active set."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("t", T.LongType(), False)]
+        + [T.StructField(c, T.StringType(), True) for c in label_cols]
+        + [
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("alertstate", T.StringType(), False),
+            T.StructField("active_at", T.LongType(), False),
+        ]
+    )
+    start, end, step = int(start_ms), int(end_ms), int(step_ms)
+    for_d, keep_d = int(for_ms), int(keep_firing_for_ms)
+
+    def walk(pdf):
+        import pandas as pd
+
+        labels = (
+            {c: pdf[c].iloc[0] for c in label_cols} if len(pdf) else {}
+        )
+        active = dict(zip(pdf["t"], pdf["value"]))
+        rows = []
+        active_at = last_active_t = None
+        last_value = None
+        firing = False
+        for t in range(start, end + 1, step):
+            if t in active:
+                if active_at is None:
+                    active_at = t  # becomes pending
+                if not firing and t - active_at >= for_d:
+                    firing = True
+                last_active_t, last_value = t, active[t]
+                rows.append(
+                    (t, last_value,
+                     "firing" if firing else "pending", active_at)
+                )
+            elif active_at is not None:
+                # rules/alerting.go: a FIRING alert is held while
+                # now - keepFiringSince < keep_firing_for, where
+                # keepFiringSince is the first missing evaluation
+                # (last_active + step); pending resolves immediately
+                if firing and t - last_active_t - step < keep_d:
+                    rows.append((t, last_value, "firing", active_at))
+                else:
+                    active_at = last_active_t = None
+                    firing = False
+        return pd.DataFrame(
+            [
+                {"t": t, **labels, "value": v,
+                 "alertstate": s, "active_at": a}
+                for t, v, s, a in rows
+            ],
+            columns=["t", *label_cols, "value", "alertstate", "active_at"],
+        )
+
+    grouped = (
+        out.groupBy(*label_cols) if label_cols else out.groupBy(F.lit(1))
+    )
+    return grouped.applyInPandas(walk, schema)
 
 
 def alerts_series(
@@ -168,9 +336,35 @@ def alerts_series(
     """The synthetic ``ALERTS{alertname, alertstate, ...}`` samples a
     real Prometheus writes for active alerts (value 1 at each active
     step)."""
+    df = alert_frame
+    if "active_at" in df.columns:
+        df = df.drop("active_at")
     return (
-        alert_frame.withColumn(name_label, F.lit("ALERTS"))
+        df.withColumn(name_label, F.lit("ALERTS"))
         .withColumn("value", F.lit(1.0))
+        .withColumnRenamed("t", "ts")
+    )
+
+
+def alerts_for_state_series(
+    alert_frame: DataFrame, name_label: str = "__name__"
+) -> DataFrame:
+    """The ``ALERTS_FOR_STATE{alertname, ...}`` samples a real
+    Prometheus persists alongside ``ALERTS``: value = the alert's
+    ActiveAt timestamp in SECONDS (rules/alerting.go
+    ``a.ActiveAt.Unix()``), one sample per active (series, step), NO
+    ``alertstate`` label.  On restart the rule manager reads this
+    series back to restore ``for`` state so a long ``for`` clock is not
+    reset by a server bounce."""
+    df = alert_frame
+    if "alertstate" in df.columns:
+        df = df.drop("alertstate")
+    return (
+        df.withColumn(name_label, F.lit("ALERTS_FOR_STATE"))
+        .withColumn(
+            "value", (F.col("active_at") / F.lit(1000.0)).cast("double")
+        )
+        .drop("active_at")
         .withColumnRenamed("t", "ts")
     )
 
@@ -273,6 +467,16 @@ def run_rule_group_to_store(
             frames.append(
                 (rule.alert, alerts_series(results[rule.alert],
                                            engine.metric_label))
+            )
+            # the restore-state twin a real Prometheus persists with
+            # every ALERTS sample (value = ActiveAt seconds)
+            frames.append(
+                (
+                    f"{rule.alert}:for_state",
+                    alerts_for_state_series(
+                        results[rule.alert], engine.metric_label
+                    ),
+                )
             )
     counts: dict[str, int] = {}
     union = None
