@@ -337,3 +337,87 @@ def test_store_writeback_includes_for_state(spark, engine, tmp_path):
         120.0,
         360.0,
     }
+
+
+def test_restore_active_at_jvm_path(spark, engine):
+    """Restart-restore: a series active at the FIRST grid step adopts
+    its restored (earlier) ActiveAt, so a long `for` clock survives a
+    bounce; islands starting later ignore the restored state."""
+    rule = AlertingRule("HighM", "m > 5", for_ms=MIN)
+    restored = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "job STRING, active_at LONG"
+    )
+    out = evaluate_alerting_rule(
+        engine, rule, MIN, 7 * MIN, MIN, lookback_ms=MIN,
+        restored_active_at=restored,
+    )
+    rows = {(r["job"], r["t"] // MIN): r for r in out.collect()}
+    # b is active at the first grid step: restored ActiveAt=0 makes
+    # minute 1 already `for`-mature -> firing immediately
+    assert rows[("b", 1)]["alertstate"] == "firing"
+    assert rows[("b", 1)]["active_at"] == 0
+    assert rows[("b", 2)]["alertstate"] == "firing"
+    # a's first island starts at minute 2 (NOT the first grid step):
+    # the restored state is ignored, normal pending->firing
+    assert rows[("a", 2)]["alertstate"] == "pending"
+    assert rows[("a", 2)]["active_at"] == 2 * MIN
+    assert rows[("a", 3)]["alertstate"] == "firing"
+
+
+def test_restore_active_at_state_machine_path(spark, engine):
+    """Same restore semantics through the keep_firing_for
+    (applyInPandas) path."""
+    rule = AlertingRule(
+        "HighM", "m > 5", for_ms=MIN, keep_firing_for_ms=MIN
+    )
+    restored = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "job STRING, active_at LONG"
+    )
+    out = evaluate_alerting_rule(
+        engine, rule, MIN, 7 * MIN, MIN, lookback_ms=MIN,
+        restored_active_at=restored,
+    )
+    rows = {(r["job"], r["t"] // MIN): r for r in out.collect()}
+    assert rows[("b", 1)]["alertstate"] == "firing"
+    assert rows[("b", 1)]["active_at"] == 0
+    assert rows[("a", 2)]["alertstate"] == "pending"
+    assert rows[("a", 2)]["active_at"] == 2 * MIN
+
+
+def test_store_chained_intervals_restore(spark, engine, tmp_path):
+    """Two chained run_rule_group_to_store intervals with
+    restore_for_state: the second interval reads the first's
+    ALERTS_FOR_STATE back, so the alert fires at the second interval's
+    first step instead of restarting pending — the cron-chained
+    `cli rules --restore` loop."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.rules import run_rule_group_to_store
+
+    group = RuleGroup(
+        "g", (AlertingRule("HighM", "m > 5", for_ms=2 * MIN),)
+    )
+    labels = ["__name__", "alertname", "alertstate", "job"]
+    root = str(tmp_path / "store")
+    run_rule_group_to_store(
+        spark, engine, group, root, labels, MIN, 3 * MIN, MIN,
+        lookback_ms=MIN, restore_for_state=True,  # empty root: no-op
+    )
+    _, writer = run_rule_group_to_store(
+        spark, engine, group, root, labels, 4 * MIN, 4 * MIN, MIN,
+        lookback_ms=MIN, restore_for_state=True,
+    )
+    writer.compact()
+    q = ChunkQuerier.from_store(spark, root)
+    samples = q.select_samples(labels=labels)
+    alerts = samples.filter(
+        (F.col("__name__") == "ALERTS") & (F.col("job") == "a")
+    )
+    states = {
+        (r["ts"] // MIN, r["alertstate"]) for r in alerts.collect()
+    }
+    # interval 1 ([1..3], a active 2,3): pending both; interval 2
+    # ([4..4]): restored ActiveAt=2min -> 4-2 >= 2min -> FIRING at 4,
+    # which a fresh pending restart could never produce
+    assert (2, "pending") in states and (3, "pending") in states
+    assert (4, "firing") in states
+    assert (4, "pending") not in states

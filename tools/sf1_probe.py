@@ -477,6 +477,11 @@ def main() -> None:
             "q130_alerting_rule",
             "q131_rule_group",
             "q134_replica_dedup",
+            # r13 additions at 10x: exemplar attribute/trace-id
+            # translation over 10x days, and the streamed remote-read
+            # chunk frames (XOR encode + CRC per frame) over 10x samples
+            "q135_otlp_exemplars",
+            "q136_remote_read_streamed",
         ]
         results = {}
         for name in names:

@@ -878,6 +878,7 @@ def cmd_rules(args) -> int:
             args.step,
             lookback_ms=args.lookback,
             include_alerts=not args.no_alerts,
+            restore_for_state=args.restore,
         )
         for name, n in gcounts.items():
             counts[f"{group.name}/{name}"] = n
@@ -1243,6 +1244,10 @@ def main(argv: list[str] | None = None) -> int:
     rul.add_argument("--step", type=int, required=True)
     rul.add_argument("--lookback", type=int, default=5 * 60 * 1000)
     rul.add_argument("--no-alerts", action="store_true")
+    rul.add_argument("--restore", action="store_true",
+                     help="read ALERTS_FOR_STATE back from --out before "
+                     "evaluating so chained interval runs carry `for` "
+                     "state across restarts")
     rul.add_argument("--compact", action="store_true")
     rul.set_defaults(fn=cmd_rules)
 

@@ -50,6 +50,7 @@ __all__ = [
     "evaluate_rule_group",
     "alerts_series",
     "alerts_for_state_series",
+    "read_for_state",
     "run_rule_group_to_store",
     "parse_rule_file",
 ]
@@ -186,6 +187,7 @@ def evaluate_alerting_rule(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    restored_active_at: DataFrame | None = None,
 ) -> DataFrame:
     """Alert state per active (series, step): ``(t, alertname, result
     labels..., rule labels..., alertstate, value, active_at)``.
@@ -212,11 +214,39 @@ def evaluate_alerting_rule(
     ``a.Value``); re-activating during the hold keeps it firing with
     its original ActiveAt (no new pending phase); PENDING alerts still
     resolve immediately.  Same partitioning, same grid-bounded input —
-    the Python hop is per active-set row, never per store row."""
+    the Python hop is per active-set row, never per store row.
+
+    ``restored_active_at``: optional ``(identity labels..., active_at
+    ms)`` frame — the Prometheus restart-restore: a series active at
+    the FIRST grid step adopts the restored (earlier) ActiveAt instead
+    of starting a fresh ``for`` clock, exactly what a real rule manager
+    does by reading ``ALERTS_FOR_STATE`` back
+    (:func:`read_for_state`).  Series not active at the first step
+    ignore their restored state (the alert resolved across the
+    restart, like upstream)."""
     out = engine.query_range(
         rule.expr, start_ms, end_ms, step_ms, lookback_ms=lookback_ms
     )
     label_cols = [c for c in out.columns if c not in ("t", "value")]
+    join_cols = (
+        [c for c in label_cols if c in restored_active_at.columns]
+        if restored_active_at is not None
+        else []
+    )
+    if join_cols:
+        # min() collapses store rows that differ only in labels the
+        # rule's output does not carry — earliest ActiveAt wins, the
+        # conservative restore
+        rest = (
+            restored_active_at.select(
+                *join_cols, F.col("active_at").alias("_restored")
+            )
+            .groupBy(*join_cols)
+            .agg(F.min("_restored").alias("_restored"))
+        )
+        out = out.join(rest, on=join_cols, how="left")
+    else:
+        out = out.withColumn("_restored", F.lit(None).cast("long"))
     if rule.keep_firing_for_ms > 0:
         result = _alert_state_machine(
             out, label_cols, start_ms, end_ms, step_ms,
@@ -238,14 +268,22 @@ def evaluate_alerting_rule(
             F.col("_island"),
         )
         island_start = F.min("t").over(w_island)
+        # restart-restore: only the island already active at the first
+        # grid step may adopt an earlier restored ActiveAt
+        active_at = F.when(
+            (island_start == F.lit(int(start_ms)))
+            & F.col("_restored").isNotNull()
+            & (F.col("_restored") < island_start),
+            F.col("_restored"),
+        ).otherwise(island_start)
         state = F.when(
-            F.col("t") - island_start >= F.lit(int(rule.for_ms)),
+            F.col("t") - active_at >= F.lit(int(rule.for_ms)),
             F.lit("firing"),
         ).otherwise(F.lit("pending"))
         result = (
             df.withColumn("alertstate", state)
-            .withColumn("active_at", island_start)
-            .drop("_island")
+            .withColumn("active_at", active_at)
+            .drop("_island", "_restored")
         )
     result = result.withColumn("alertname", F.lit(rule.alert))
     for k, v in rule.labels.items():
@@ -290,6 +328,10 @@ def _alert_state_machine(
             {c: pdf[c].iloc[0] for c in label_cols} if len(pdf) else {}
         )
         active = dict(zip(pdf["t"], pdf["value"]))
+        restored = None
+        if len(pdf) and "_restored" in pdf.columns:
+            r = pdf["_restored"].iloc[0]
+            restored = None if pd.isna(r) else int(r)
         rows = []
         active_at = last_active_t = None
         last_value = None
@@ -297,7 +339,13 @@ def _alert_state_machine(
         for t in range(start, end + 1, step):
             if t in active:
                 if active_at is None:
-                    active_at = t  # becomes pending
+                    # becomes pending; a series active at the FIRST
+                    # grid step adopts its restart-restored ActiveAt
+                    active_at = (
+                        min(restored, t)
+                        if t == start and restored is not None
+                        else t
+                    )
                 if not firing and t - active_at >= for_d:
                     firing = True
                 last_active_t, last_value = t, active[t]
@@ -369,6 +417,37 @@ def alerts_for_state_series(
     )
 
 
+def read_for_state(
+    samples: DataFrame, alertname: str, name_label: str = "__name__"
+) -> DataFrame:
+    """The restart-restore read: latest ``ALERTS_FOR_STATE`` sample per
+    series for ``alertname`` from a samples frame, as the ``(identity
+    labels..., active_at ms)`` shape
+    ``evaluate_alerting_rule(restored_active_at=...)`` takes.  One
+    window over the (tiny) restore series — the selector pushes down to
+    the store scan underneath."""
+    df = samples.filter(
+        (F.col(name_label) == F.lit("ALERTS_FOR_STATE"))
+        & (F.col("alertname") == F.lit(alertname))
+    )
+    label_cols = [
+        c
+        for c in df.columns
+        if c not in ("ts", "value", name_label, "alertname", "alertstate")
+    ]
+    w = Window.partitionBy(
+        *([F.col(c) for c in label_cols] if label_cols else [F.lit(1)])
+    ).orderBy(F.desc("ts"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *label_cols,
+            (F.col("value") * 1000).cast("long").alias("active_at"),
+        )
+    )
+
+
 def evaluate_rule_group(
     engine: PromQLEngine,
     group: RuleGroup,
@@ -376,6 +455,7 @@ def evaluate_rule_group(
     end_ms: int,
     step_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    restored: dict[str, DataFrame] | None = None,
 ) -> tuple[dict[str, DataFrame], PromQLEngine]:
     """Evaluate the group's rules IN ORDER, each seeing its
     predecessors' recording output (sequential group semantics).
@@ -413,7 +493,8 @@ def evaluate_rule_group(
             )
         elif isinstance(rule, AlertingRule):
             results[rule.alert] = evaluate_alerting_rule(
-                current, rule, start_ms, end_ms, step_ms, lookback_ms
+                current, rule, start_ms, end_ms, step_ms, lookback_ms,
+                restored_active_at=(restored or {}).get(rule.alert),
             )
         else:  # pragma: no cover - config error
             raise TypeError(f"not a rule: {rule!r}")
@@ -433,14 +514,22 @@ def run_rule_group_to_store(
     include_alerts: bool = True,
     chunk_span_ms: int = 24 * 3600 * 1000,
     options=None,
+    restore_for_state: bool = False,
 ):
     """One rule-evaluation interval, persisted: evaluate the group and
-    append its recording series — plus the synthetic ``ALERTS`` series
-    when ``include_alerts`` — to the sorted chunk store at ``root`` as
-    ONE new part (the real Prometheus rule manager's write-back loop;
-    `maybe_compact`/`vacuum_store` then apply to rule output exactly as
-    to scraped data, and a `ChunkQuerier`/`PromQLEngine` over the store
-    serves the recorded series back).
+    append its recording series — plus the synthetic ``ALERTS`` +
+    ``ALERTS_FOR_STATE`` series when ``include_alerts`` — to the sorted
+    chunk store at ``root`` as ONE new part (the real Prometheus rule
+    manager's write-back loop; `maybe_compact`/`vacuum_store` then
+    apply to rule output exactly as to scraped data, and a
+    `ChunkQuerier`/`PromQLEngine` over the store serves the recorded
+    series back).
+
+    ``restore_for_state=True`` reads each alert's ``ALERTS_FOR_STATE``
+    series back from the OUT store before evaluating — chained one-shot
+    intervals (`cli rules` on a cron) then carry ``for`` state across
+    process restarts exactly like a real rule manager recovering after
+    a bounce.  A first run against an empty root skips the restore.
 
     ``label_names`` is the store's label schema: every rule-output
     label must be in it (raising beats silently dropping a label the
@@ -456,8 +545,25 @@ def run_rule_group_to_store(
     )
 
     labels = list(label_names)
+    restored: dict[str, DataFrame] = {}
+    if restore_for_state and include_alerts:
+        try:
+            from tsdb_parquet_spark.querier import ChunkQuerier
+
+            prior = ChunkQuerier.from_store(spark, root).select_samples(
+                labels=labels
+            )
+            for rule in group.rules:
+                if isinstance(rule, AlertingRule):
+                    restored[rule.alert] = read_for_state(
+                        prior, rule.alert, engine.metric_label
+                    )
+        except Exception:
+            # nothing written yet (first interval) — fresh state
+            restored = {}
     results, _ = evaluate_rule_group(
-        engine, group, start_ms, end_ms, step_ms, lookback_ms
+        engine, group, start_ms, end_ms, step_ms, lookback_ms,
+        restored=restored or None,
     )
     frames: list[tuple[str, DataFrame]] = []
     for rule in group.rules:
