@@ -673,3 +673,93 @@ def test_otlp_target_info_mode():
 
     with pytest.raises(ValueError):
         decode_export_samples(body, resource_attrs="nope")
+
+
+def test_delta_convert_running_sum(spark):
+    """otlp_frame(delta="convert") — the Prometheus 3.x experimental
+    delta->cumulative conversion: delta sum increments accumulate
+    across payload bodies into a per-series running sum (monotonic ->
+    `_total`), increments at the SAME timestamp pre-aggregate
+    deterministically, and cumulative/gauge series pass through
+    untouched."""
+    bodies = []
+    # two bodies, increments interleaved across them per shard
+    for inc_by_shard_ts in (
+        {("s1", 1000): 2.0, ("s2", 1000): 5.0},
+        {("s1", 2000): 3.0, ("s2", 3000): 1.0},
+    ):
+        points = [
+            ({"shard": s}, ts, v)
+            for (s, ts), v in sorted(inc_by_shard_ts.items())
+        ]
+        bodies.append((bytearray(encode_export_request([
+            ({"service.name": "app"},
+             [{"name": "req.count", "kind": "sum", "monotonic": True,
+               "temporality": "delta", "points": points},
+              {"name": "gauge.v", "kind": "gauge",
+               "points": [({"shard": "s1"}, points[0][1], 9.0)]}]),
+        ])),))
+    # a third body with a duplicate-(series, ts) increment
+    bodies.append((bytearray(encode_export_request([
+        ({"service.name": "app"},
+         [{"name": "req.count", "kind": "sum", "monotonic": True,
+           "temporality": "delta",
+           "points": [({"shard": "s1"}, 2000, 4.0)]}]),
+    ])),))
+    df = spark.createDataFrame(bodies, "payload binary")
+    out = otlp_frame(
+        df, ["__name__", "shard", "job"], delta="convert"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [  # columns: (__name__, job, shard, ts, value)
+        ("gauge_v", "app", "s1", 1000, 9.0),  # body 1 gauge point
+        ("gauge_v", "app", "s1", 2000, 9.0),  # body 2 gauge point
+        # s1: 2 @1000; 2+(3+4) @2000 (same-ts increments pre-agg)
+        ("req_count_total", "app", "s1", 1000, 2.0),
+        ("req_count_total", "app", "s1", 2000, 9.0),
+        # s2: 5 @1000; 6 @3000
+        ("req_count_total", "app", "s2", 1000, 5.0),
+        ("req_count_total", "app", "s2", 3000, 6.0),
+    ]
+    # default mode still skips deltas entirely
+    skipped = otlp_frame(df, ["__name__", "shard", "job"])
+    assert {r["__name__"] for r in skipped.collect()} == {"gauge_v"}
+
+
+def test_delta_convert_oracle_twin(spark, duckdb_con=None):
+    """The conversion's SQL twin: DuckDB recomputes the running sum
+    from the raw increments and must match the frame bit-for-bit."""
+    import duckdb
+
+    incs = [
+        ("s1", 1000, 2.0), ("s2", 1000, 5.0), ("s1", 2000, 3.0),
+        ("s2", 3000, 1.0), ("s1", 2000, 4.0), ("s1", 5000, 0.5),
+    ]
+    bodies = [
+        (bytearray(encode_export_request([
+            ({"service.name": "app"},
+             [{"name": "c", "kind": "sum", "monotonic": True,
+               "temporality": "delta",
+               "points": [({"shard": s}, ts, v)]}]),
+        ])),)
+        for s, ts, v in incs
+    ]
+    df = spark.createDataFrame(bodies, "payload binary")
+    out = otlp_frame(df, ["__name__", "shard"], delta="convert")
+    got = sorted(
+        (r["shard"], r["ts"], r["value"]) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE incs(shard VARCHAR, ts BIGINT, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO incs VALUES (?, ?, ?)", incs)
+    want = con.execute("""
+        WITH agg AS (
+          SELECT shard, ts, sum(v) AS v FROM incs GROUP BY 1, 2
+        )
+        SELECT shard, ts,
+               sum(v) OVER (PARTITION BY shard ORDER BY ts) AS value
+        FROM agg ORDER BY shard, ts
+    """).fetchall()
+    assert got == [tuple(w) for w in want]

@@ -1500,3 +1500,38 @@ def test_absent_label_matcher_semantics(spark, suffix, matches_all):
     )
     n = out.count()
     assert n == (3 if matches_all else 0), suffix
+
+
+def test_histogram_stddev_stdvar(spark):
+    """Bucket-wise population variance with arithmetic midpoints (first
+    bucket at le/2, +Inf at its finite lower edge) and the EXACT
+    _sum/_count mean — the native-histogram stddev/stdvar lifted onto
+    the classic reduction."""
+    t = 60_000
+    rows = [
+        ("m_bucket", "a", "1", t, 2.0),
+        ("m_bucket", "a", "2", t, 5.0),
+        ("m_bucket", "a", "+Inf", t, 6.0),
+        ("m_sum", "a", "", t, 7.5),
+        ("m_count", "a", "", t, 6.0),
+    ]
+    eng = PromQLEngine(spark.createDataFrame(
+        rows, "`__name__` STRING, job STRING, le STRING, ts LONG, "
+        "value DOUBLE"
+    ))
+    # mids: le1 -> 0.5 (2 obs), (1,2] -> 1.5 (3 obs), +Inf -> 2 (1 obs)
+    # mean = 7.5/6 = 1.25
+    # var = (2*0.75^2 + 3*0.25^2 + 1*0.75^2)/6 = 1.875/6 = 0.3125
+    out = eng.query_range("histogram_stdvar(m)", t, t, 60_000).collect()
+    assert len(out) == 1 and out[0]["job"] == "a"
+    assert abs(out[0]["value"] - 0.3125) < 1e-12
+    out = eng.query_range("histogram_stddev(m)", t, t, 60_000).collect()
+    assert abs(out[0]["value"] - 0.3125 ** 0.5) < 1e-12
+
+
+def test_histogram_stddev_requires_plain_selector(spark):
+    eng = PromQLEngine(_stub_samples(spark))
+    with pytest.raises(ValueError, match="plain instant selector"):
+        eng.query_range(
+            "histogram_stddev(sum(http_requests_total))", 0, 0, 60_000
+        )

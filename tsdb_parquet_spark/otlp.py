@@ -59,7 +59,10 @@ documented simplification:
   digit gains a ``key_`` prefix on labels);
 * monotonic CUMULATIVE sums gain the ``_total`` suffix; DELTA
   temporality sums/histograms are SKIPPED like Prometheus's default
-  (delta has no sound cumulative reading);
+  (delta has no sound cumulative reading) — unless
+  ``otlp_frame(delta="convert")``, the Prometheus 3.x experimental
+  delta->cumulative conversion: delta sum increments running-sum into
+  a cumulative series frame-side (DELTA histograms stay skipped);
 * a ``NumberDataPoint`` with the NO_RECORDED_VALUE flag (bit 0) is
   skipped (Prometheus writes a staleness marker; this decoder's
   consumers resolve staleness from sample absence);
@@ -100,12 +103,14 @@ from tsdb_parquet_spark.tsdb_wal import _put_uvarint
 
 __all__ = [
     "decode_export_samples",
+    "decode_export_samples_with_delta",
     "decode_export_exemplars",
     "encode_export_request",
     "otlp_frame",
     "otlp_exemplar_frame",
 ]
 
+_DELTA = 1  # AggregationTemporality.DELTA
 _CUMULATIVE = 2  # AggregationTemporality.CUMULATIVE
 _NO_RECORDED_VALUE = 0x1
 
@@ -348,6 +353,31 @@ def decode_export_samples(
     the batch's latest sample timestamp, the shape
     ``storage/remote/otlptranslator``'s addResourceTargetInfo
     produces)."""
+    rows, _ = _decode_export_samples(proto, resource_attrs, None)
+    return rows
+
+
+def decode_export_samples_with_delta(
+    proto: bytes,
+    resource_attrs: str = "labels",
+) -> tuple[
+    list[tuple[str, dict, int, float]],
+    list[tuple[str, dict, int, float]],
+]:
+    """Like :func:`decode_export_samples`, but DELTA-temporality sums
+    are returned as a SECOND list of raw increments (monotonic deltas
+    already carry the `_total` suffix their converted-cumulative series
+    will use) instead of being skipped — the per-payload half of the
+    delta->cumulative conversion; `otlp_frame(delta="convert")` does
+    the cross-payload running sum."""
+    delta_rows: list[tuple[str, dict, int, float]] = []
+    rows, delta_rows = _decode_export_samples(
+        proto, resource_attrs, delta_rows
+    )
+    return rows, delta_rows
+
+
+def _decode_export_samples(proto, resource_attrs, delta_rows):
     from tsdb_parquet_spark.histograms import expand_to_classic, format_le
 
     if resource_attrs not in ("labels", "target_info"):
@@ -374,16 +404,18 @@ def decode_export_samples(
                 if f_m != 2 or w_m != 2:
                     continue
                 _decode_metric(data, m_a, m_b, base, rows,
-                               expand_to_classic, format_le)
+                               expand_to_classic, format_le,
+                               delta_rows=delta_rows)
         if extra and len(rows) > n_before:
             ts_max = max(r[2] for r in rows[n_before:])
             rows.append(
                 ("target_info", {**base, **extra}, ts_max, 1.0)
             )
-    return rows
+    return rows, delta_rows
 
 
-def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
+def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic,
+                   format_le, delta_rows=None):
     name = ""
     gauge = None
     summ = None
@@ -436,7 +468,25 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic, format_le):
                 if val is None or flags & _NO_RECORDED_VALUE:
                     continue
                 rows.append((out_name, lab(attrs), ts, val))
-        # DELTA sums are skipped, like Prometheus's default
+        elif temporality == _DELTA and delta_rows is not None:
+            # delta->cumulative conversion (Prometheus 3.x's
+            # experimental otlp delta conversion): emit the raw
+            # increments here; the FRAME layer running-sums them per
+            # series (accumulation must span payloads, so it cannot
+            # happen inside one body's decode).  The converted series
+            # is cumulative, so a monotonic sum gains `_total` exactly
+            # like a natively-cumulative one.
+            out_name = name
+            if monotonic and not out_name.endswith("_total"):
+                out_name = f"{out_name}_total"
+            for a, b in points:
+                attrs, ts, val, flags = _number_point(data, a, b)
+                if val is None or flags & _NO_RECORDED_VALUE:
+                    continue
+                delta_rows.append((out_name, lab(attrs), ts, val))
+        # DELTA sums are otherwise skipped, like Prometheus's default;
+        # DELTA histograms are always skipped (bucket-wise accumulation
+        # is out of scope)
     if hist is not None:
         temporality = 0
         points = []
@@ -818,7 +868,12 @@ def encode_export_request(resource_batches) -> bytes:
                     )
                 if kind == "sum":
                     _put_key(body, 2, 0)
-                    _put_uvarint(body, _CUMULATIVE)
+                    _put_uvarint(
+                        body,
+                        _DELTA
+                        if metric.get("temporality") == "delta"
+                        else _CUMULATIVE,
+                    )
                     _put_key(body, 3, 0)
                     _put_uvarint(body, 1 if metric.get("monotonic") else 0)
                 _put_len_delim(m, 5 if kind == "gauge" else 7, bytes(body))
@@ -924,6 +979,7 @@ def otlp_frame(
     gzip_encoded: bool | None = None,
     batch_rows: int = 4096,
     resource_attrs: str = "labels",
+    delta: str = "skip",
 ):
     """Decode a DataFrame of OTLP POST bodies into a sample frame
     ``(label_names..., ts long, value double)`` — the OTLP twin of
@@ -937,17 +993,35 @@ def otlp_frame(
     ``resource_attrs="target_info"`` switches to the Prometheus 3.x
     resource translation (see `decode_export_samples`) — include the
     resource attribute names in ``label_names`` to see them on the
-    ``target_info`` rows."""
+    ``target_info`` rows.
+
+    ``delta``: ``"skip"`` (default — DELTA-temporality sums are
+    dropped, Prometheus's default) or ``"convert"`` (the Prometheus
+    3.x experimental delta->cumulative conversion: each delta series'
+    increments running-sum into a cumulative series, monotonic deltas
+    gaining ``_total`` like native cumulatives).  The conversion is
+    one window over the DELTA SUBSET only — increments pre-aggregate
+    per (series, ts) so duplicate timestamps accumulate
+    deterministically, then a per-series ordered running sum; the
+    cumulative/gauge rows never shuffle.  DELTA histograms stay
+    skipped either way."""
     import pandas as pd
 
+    if delta not in ("skip", "convert"):
+        raise ValueError(f"delta must be 'skip' or 'convert', got {delta!r}")
     payloads = payloads.select(payload_col)
     label_names = sorted(label_names)
     schema = (
         ", ".join(f"`{c}` string" for c in label_names)
         + ", ts long, value double"
     )
+    if delta == "convert":
+        schema += ", `__delta` boolean"
+
     def convert(batches):
         cols = label_names + ["ts", "value"]
+        if delta == "convert":
+            cols = cols + ["__delta"]
         buf: list[tuple] = []
         for pdf in batches:
             for body in pdf[payload_col]:
@@ -956,18 +1030,49 @@ def otlp_frame(
                     gzip_encoded is None and proto[:2] == b"\x1f\x8b"
                 ):
                     proto = _gzip.decompress(proto)
-                for name, labels, ts_ms, value in decode_export_samples(
-                    proto, resource_attrs=resource_attrs
-                ):
+                if delta == "convert":
+                    rows, delta_rows = decode_export_samples_with_delta(
+                        proto, resource_attrs=resource_attrs
+                    )
+                    tagged = [(r, False) for r in rows] + [
+                        (r, True) for r in delta_rows
+                    ]
+                else:
+                    tagged = [
+                        (r, False)
+                        for r in decode_export_samples(
+                            proto, resource_attrs=resource_attrs
+                        )
+                    ]
+                for (name, labels, ts_ms, value), is_delta in tagged:
                     row = []
                     for c in label_names:
                         row.append(
                             name if c == "__name__" else labels.get(c, "")
                         )
-                    buf.append(tuple(row) + (ts_ms, value))
+                    row = tuple(row) + (ts_ms, value)
+                    if delta == "convert":
+                        row = row + (is_delta,)
+                    buf.append(row)
                     if len(buf) >= batch_rows:
                         yield pd.DataFrame(buf, columns=cols)
                         buf = []
         yield pd.DataFrame(buf, columns=cols)
 
-    return payloads.mapInPandas(convert, schema)
+    frame = payloads.mapInPandas(convert, schema)
+    if delta != "convert":
+        return frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    plain = frame.filter(~F.col("__delta")).drop("__delta")
+    deltas = (
+        frame.filter(F.col("__delta"))
+        .groupBy(*label_names, "ts")
+        .agg(F.sum("value").alias("value"))
+    )
+    w = Window.partitionBy(*label_names).orderBy("ts")
+    cum = deltas.withColumn("value", F.sum("value").over(w)).select(
+        *label_names, "ts", "value"
+    )
+    return plain.unionByName(cum)

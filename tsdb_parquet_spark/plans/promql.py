@@ -23,6 +23,7 @@ small recursive-descent parser for the subset
     histq    := 'histogram_quantile' '(' number ',' expr ')'
     histfrac := 'histogram_fraction' '(' number ',' number ',' expr ')'
     histacc  := ('histogram_count'|'histogram_sum'|'histogram_avg') '(' selector ')'
+    histstd  := ('histogram_stddev'|'histogram_stdvar') '(' selector ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
     modifiers:= ['offset' ['-'] duration]
                 ['@' (number | 'start()' | 'end()')]
@@ -451,6 +452,24 @@ class PromHistogramFraction:
 
 
 @dataclass
+class PromHistogramStd:
+    """histogram_stddev / histogram_stdvar over a PLAIN selector of the
+    classic histogram reduction: population variance of the
+    observations, estimated bucket-wise like Prometheus's native
+    implementation (promql/functions.go funcHistogramStdDev) — each
+    bucket contributes ``count_b * (mid_b - mean)^2`` with the
+    ARITHMETIC bucket midpoint, the +Inf bucket located at its finite
+    lower edge and the first bucket at ``le/2`` for ``le > 0`` (the
+    same start-at-0 convention histogram_quantile uses) or at ``le``
+    for ``le <= 0`` (the -Inf-lower-bound point-mass rule).  The mean
+    is EXACT (``_sum``/``_count`` series), not bucket-estimated,
+    matching upstream's ``h.Sum / h.Count``."""
+
+    stddev: bool
+    inner: "PromExpr"
+
+
+@dataclass
 class PromAbsent:
     """absent(v): 1.0 at every step where the instant vector is empty
     (presence judged over the lookback window, like any instant
@@ -787,6 +806,11 @@ class _Parser:
             "histogram_avg",
         ):
             return self._histogram_accessor(tok)
+        if kind == "ident" and tok in (
+            "histogram_stddev",
+            "histogram_stdvar",
+        ):
+            return self._histogram_std_node(tok)
         # call-position-only keywords: a metric may still be NAMED `hour`
         # etc. — only `hour(`... parses as the function (Prometheus
         # disambiguates the same way)
@@ -953,6 +977,22 @@ class _Parser:
             right=dataclasses.replace(
                 inner, metric=inner.metric + "_count"
             ),
+        )
+
+    def _histogram_std_node(self, fn: str):
+        self.next()
+        self.expect("(")
+        inner = self._compare()
+        self.expect(")")
+        if (
+            not isinstance(inner, PromExpr)
+            or not inner.metric
+            or inner.agg is not None
+            or inner.func is not None
+        ):
+            raise ValueError(f"{fn} expects a plain instant selector")
+        return PromHistogramStd(
+            stddev=(fn == "histogram_stddev"), inner=inner
         )
 
     def _histogram_fraction_node(self):
@@ -1531,6 +1571,10 @@ class PromQLEngine:
         if isinstance(node, PromHistogramFraction):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._histogram_fraction(inner, node.lower, node.upper)
+        if isinstance(node, PromHistogramStd):
+            return self._histogram_std(
+                node, start_ms, end_ms, step_ms, lookback_ms
+            )
         if isinstance(node, PromCountValues):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return self._count_values(inner, node)
@@ -1836,6 +1880,70 @@ class PromQLEngine:
             .otherwise(interp)
         )
         return found.select("t", *grp, value.alias("value"))
+
+    def _histogram_std(
+        self, node: PromHistogramStd, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame:
+        """Bucket-wise population variance (see :class:`PromHistogramStd`):
+        the selector's ``_bucket`` / ``_sum`` / ``_count`` series
+        evaluate through the normal selector path (full pushdown), the
+        exact mean joins onto the le-windowed buckets on (t, series),
+        and ``sum(inc * (mid - mean)^2) / count`` aggregates per
+        series — the same (t, group) partitioning every histogram
+        kernel here uses, grid-bounded."""
+        import dataclasses
+
+        from pyspark.sql import Window
+
+        base = node.inner
+        ev = lambda m: self._eval(  # noqa: E731
+            dataclasses.replace(base, metric=base.metric + m),
+            start_ms, end_ms, step_ms, lookback_ms,
+        )
+        buckets, sums, counts = ev("_bucket"), ev("_sum"), ev("_count")
+        if "le" not in buckets.columns:
+            raise ValueError("histogram_stddev needs an `le` label")
+        grp = [c for c in buckets.columns if c not in ("t", "value", "le")]
+        mean = sums.withColumnRenamed("value", "__sum").join(
+            counts.withColumnRenamed("value", "__count"),
+            on=["t", *grp],
+        ).withColumn("__mean", F.col("__sum") / F.col("__count"))
+        inf = float("inf")
+        le_num = F.when(
+            F.col("le").isin("+Inf", "Inf", "inf"), F.lit(inf)
+        ).otherwise(F.col("le").cast("double"))
+        wo = Window.partitionBy("t", *grp).orderBy("__le")
+        b = (
+            buckets.withColumn("__le", le_num)
+            .withColumn("__prev_cnt", F.lag("value", 1, 0.0).over(wo))
+            .withColumn("__prev_le", F.lag("__le").over(wo))
+        )
+        inc = F.col("value") - F.col("__prev_cnt")
+        mid = (
+            F.when(F.col("__le") == inf, F.col("__prev_le"))
+            .when(
+                F.col("__prev_le").isNull(),
+                F.when(F.col("__le") <= 0, F.col("__le")).otherwise(
+                    F.col("__le") / 2
+                ),
+            )
+            .otherwise((F.col("__prev_le") + F.col("__le")) / 2)
+        )
+        joined = b.join(
+            mean.select("t", *grp, "__mean", "__count"), on=["t", *grp]
+        )
+        dev = mid - F.col("__mean")
+        var = (
+            joined.groupBy("t", *grp)
+            .agg(
+                (
+                    F.sum(inc * dev * dev) / F.max("__count")
+                ).alias("value")
+            )
+        )
+        if node.stddev:
+            var = var.withColumn("value", F.sqrt("value"))
+        return var
 
     @staticmethod
     def _histogram_fraction(
