@@ -314,3 +314,47 @@ def test_scrape_targets_once_pull_loop(spark, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_scrape_spool_with_relabel(spark):
+    """metric_relabel_configs at the drain: a drop rule prunes rows and
+    a replace rule routes a label, all before the store write; the
+    ingestor's declared schema stays fixed (temp labels vanish at the
+    projection)."""
+    from tsdb_parquet_spark.operators.relabel import parse_relabel_configs
+
+    spool = os.path.join(WORK, "relabel_spool")
+    root = os.path.join(WORK, "relabel_store")
+    for p in (spool, root):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(spool)
+    series = _series(n_samples=10)
+    for i, (labels, samples) in enumerate(series):
+        entries = [(labels, v, ts) for ts, v in samples]
+        with open(os.path.join(spool, f"scrape-{i:04d}.txt"), "w") as fh:
+            fh.write(format_exposition(entries))
+    relabel = parse_relabel_configs([
+        # drop shard 1 entirely
+        {"action": "drop", "source_labels": ["shard"], "regex": "1"},
+        # rewrite job j0/j1 -> tier-0/tier-1 in place
+        {"source_labels": ["job"], "regex": "j(\\d+)",
+         "target_label": "job", "replacement": "tier-$1"},
+    ])
+    ingestor, stream = scrape_spool_ingestor(
+        spark, spool, root, LABELS, chunk_span_ms=24 * HOUR,
+        relabel=relabel,
+    )
+    ingestor.ingest(stream)
+    compact = ingestor.finalize()
+    q = ChunkQuerier.from_parquet(spark, compact)
+    jobs = {r["job"] for r in q.chunks.select("job").distinct().collect()}
+    shards = {
+        r["shard"] for r in q.chunks.select("shard").distinct().collect()
+    }
+    assert jobs == {"tier-0", "tier-1"}
+    assert shards == {"0"}
+    want = sum(
+        len(s) for labels, s in series if labels["shard"] == "0"
+    )
+    n, _ = _store_totals(spark, compact)
+    assert n == want

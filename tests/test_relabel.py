@@ -1,0 +1,195 @@
+"""Prometheus relabeling (`operators/relabel.py`): every action, rule
+ordering, the sum64(md5) hashmod primitive, and the all-JVM plan."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.operators.relabel import (
+    RelabelConfig,
+    apply_relabel,
+    parse_relabel_configs,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        ("api_http_requests_total", "api", "prod-1:9090", 1000, 1.0),
+        ("api_http_requests_total", "api", "prod-2:9090", 1000, 2.0),
+        ("worker_jobs_total", "worker", "prod-1:9090", 1000, 3.0),
+        ("debug_gc_seconds", "api", "canary-1:9090", 1000, 4.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, ts LONG, "
+        "value DOUBLE",
+    )
+
+
+def test_keep_drop(frame):
+    keep = apply_relabel(
+        frame,
+        [RelabelConfig(action="keep", source_labels=("job",),
+                       regex="api")],
+    )
+    assert keep.count() == 3
+    drop = apply_relabel(
+        frame,
+        [RelabelConfig(action="drop", source_labels=("__name__",),
+                       regex="debug_.*")],
+    )
+    assert drop.count() == 3
+    assert "debug_gc_seconds" not in {
+        r["__name__"] for r in drop.collect()
+    }
+
+
+def test_replace_with_group_refs(frame):
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(
+            action="replace",
+            source_labels=("job", "instance"),
+            separator="@",
+            regex="(.+)@([^:]+):.*",
+            target_label="node",
+            replacement="${1}-on-$2",
+        )],
+    )
+    got = {(r["job"], r["instance"], r["node"]) for r in out.collect()}
+    assert ("api", "prod-1:9090", "api-on-prod-1") in got
+    assert ("worker", "prod-1:9090", "worker-on-prod-1") in got
+
+
+def test_replace_nonmatch_leaves_label(frame):
+    # a non-matching regex must NOT clear the target label
+    out = apply_relabel(
+        frame.withColumn("node", F.lit("keepme")),
+        [RelabelConfig(
+            action="replace", source_labels=("job",),
+            regex="nomatch", target_label="node",
+            replacement="x",
+        )],
+        protected=("ts", "value"),
+    )
+    assert {r["node"] for r in out.collect()} == {"keepme"}
+
+
+def test_keepequal_dropequal(frame):
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(action="keepequal", source_labels=("job",),
+                       target_label="job")],
+    )
+    assert out.count() == 4  # trivially equal
+    out = apply_relabel(
+        frame.withColumn("expect", F.lit("api")),
+        [RelabelConfig(action="dropequal", source_labels=("job",),
+                       target_label="expect")],
+    )
+    assert {r["job"] for r in out.collect()} == {"worker"}
+
+
+def test_case_actions(frame):
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(action="uppercase", source_labels=("job",),
+                       target_label="JOB")],
+    )
+    assert {r["JOB"] for r in out.collect()} == {"API", "WORKER"}
+
+
+def test_hashmod_matches_prometheus_sum64(frame):
+    """hashmod = top 8 bytes of md5 as uint64 % modulus — recompute in
+    Python per row and require exact agreement (the sharding primitive
+    must be stable across engines)."""
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(action="hashmod", source_labels=("instance",),
+                       modulus=7, target_label="shard")],
+    )
+    for r in out.collect():
+        digest = hashlib.md5(r["instance"].encode()).digest()
+        want = int.from_bytes(digest[:8], "big") % 7
+        assert r["shard"] == str(want), r["instance"]
+
+
+def test_hashmod_then_keep_shards(frame):
+    """The canonical horizontal-sharding pair: hashmod + keep."""
+    configs = parse_relabel_configs([
+        {"action": "hashmod", "source_labels": ["instance"],
+         "modulus": 2, "target_label": "__tmp_shard"},
+        {"action": "keep", "source_labels": ["__tmp_shard"],
+         "regex": "0"},
+        {"action": "labeldrop", "regex": "__tmp_shard"},
+    ])
+    out = apply_relabel(frame, configs)
+    kept = {r["instance"] for r in out.collect()}
+    want = {
+        i for i in ("prod-1:9090", "prod-2:9090", "canary-1:9090")
+        if int.from_bytes(
+            hashlib.md5(i.encode()).digest()[:8], "big"
+        ) % 2 == 0
+    }
+    assert kept == want
+    assert "__tmp_shard" not in out.columns
+
+
+def test_labelmap_labeldrop_labelkeep(frame):
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(action="labelmap", regex="(job|instance)",
+                       replacement="meta_$1")],
+    )
+    assert "meta_job" in out.columns and "meta_instance" in out.columns
+    assert out.filter(
+        F.col("meta_job") != F.col("job")
+    ).count() == 0
+    out2 = apply_relabel(
+        out,
+        [RelabelConfig(action="labeldrop", regex="meta_.*")],
+    )
+    assert not [c for c in out2.columns if c.startswith("meta_")]
+    out3 = apply_relabel(
+        frame,
+        [RelabelConfig(action="labelkeep", regex="__name__|job")],
+    )
+    assert set(out3.columns) == {"__name__", "job", "ts", "value"}
+
+
+def test_rules_apply_in_order(frame):
+    """Each rule sees its predecessors' output (replace feeds keep)."""
+    configs = parse_relabel_configs([
+        {"source_labels": ["job"], "regex": "api",
+         "target_label": "tier", "replacement": "frontend"},
+        {"action": "keep", "source_labels": ["tier"],
+         "regex": "frontend"},
+    ])
+    out = apply_relabel(frame, configs)
+    assert {r["job"] for r in out.collect()} == {"api"}
+
+
+def test_all_jvm_plan(frame):
+    out = apply_relabel(
+        frame,
+        parse_relabel_configs([
+            {"action": "hashmod", "source_labels": ["instance"],
+             "modulus": 4, "target_label": "shard"},
+            {"action": "keep", "source_labels": ["job"], "regex": "api"},
+            {"source_labels": ["instance"], "regex": "([^:]+):.*",
+             "target_label": "host"},
+        ]),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+
+def test_bad_configs_raise():
+    with pytest.raises(ValueError, match="unknown relabel action"):
+        RelabelConfig(action="explode")
+    with pytest.raises(ValueError, match="positive modulus"):
+        RelabelConfig(action="hashmod", target_label="x")
+    with pytest.raises(ValueError, match="requires target_label"):
+        RelabelConfig(action="replace", target_label="")

@@ -468,22 +468,40 @@ def cmd_ingest(args) -> int:
     spark = get_spark(app_name="tsdb-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     labels = args.labels.split(",")
+    relabel = None
+    if args.relabel:
+        import json as _json
+
+        from tsdb_parquet_spark.operators.relabel import (
+            parse_relabel_configs,
+        )
+
+        with open(args.relabel) as fh:
+            text = fh.read()
+        try:
+            specs = _json.loads(text)
+        except ValueError:
+            import yaml
+
+            specs = yaml.safe_load(text)
+        relabel = parse_relabel_configs(specs)
     t0 = time.perf_counter()
     if args.format == "remote-write":
         ingestor, stream = remote_write_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, histograms=args.histograms,
-            path_glob=args.path_glob,
+            path_glob=args.path_glob, relabel=relabel,
         )
     elif args.format == "otlp":
         ingestor, stream = otlp_spool_ingestor(
             spark, args.spool, args.store, labels,
-            chunk_span_ms=args.span_ms,
+            chunk_span_ms=args.span_ms, relabel=relabel,
         )
     else:
         ingestor, stream = scrape_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, scrape_ts_ms=args.scrape_ts,
+            relabel=relabel,
             **(
                 {"path_glob": args.path_glob} if args.path_glob else {}
             ),
@@ -1146,6 +1164,10 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--scrape-ts", type=int, default=None,
                      help="scrape format: timestamp (ms) for lines "
                           "without one")
+    ing.add_argument("--relabel", default=None,
+                     help="relabel rules file (YAML or JSON list, the "
+                     "Prometheus relabel_configs shape) applied to "
+                     "decoded samples before the store write")
     ing.add_argument("--histograms", action="store_true",
                      help="remote-write format: also drain native "
                           "histograms, classic-expanded (labels must "

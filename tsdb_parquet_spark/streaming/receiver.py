@@ -33,6 +33,23 @@ __all__ = [
 ]
 
 
+def _relabeled(samples: DataFrame, relabel, labels: list) -> DataFrame:
+    """Apply relabel rules (`operators.relabel`) to a decoded samples
+    frame, then re-project onto the ingestor's declared label schema —
+    the store's columns are fixed by ``label_names``, so rules may
+    rewrite/route/drop within it and temp labels (``__tmp_*`` shard
+    keys etc.) vanish at the projection; all column ops, no Python."""
+    if not relabel:
+        return samples
+    from tsdb_parquet_spark.operators.relabel import apply_relabel
+
+    out = apply_relabel(samples, relabel)
+    for c in labels:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(""))
+    return out.select(*labels, "ts", "value")
+
+
 def remote_write_spool_ingestor(
     spark: SparkSession,
     spool_dir: str,
@@ -42,6 +59,7 @@ def remote_write_spool_ingestor(
     compressed: bool = True,
     histograms: bool = False,
     path_glob: str | None = None,
+    relabel=None,
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of remote-write POST bodies (one
@@ -75,7 +93,10 @@ def remote_write_spool_ingestor(
     def to_samples(batch: DataFrame) -> DataFrame:
         payloads = batch.select(F.col("content").alias("payload"))
         if not histograms:
-            return remote_write_frame(payloads, labels, compressed=compressed)
+            out = remote_write_frame(
+                payloads, labels, compressed=compressed
+            )
+            return _relabeled(out, relabel, labels)
         plain = [c for c in labels if c != "le"]
         floats = remote_write_frame(
             payloads, plain, compressed=compressed
@@ -83,7 +104,10 @@ def remote_write_spool_ingestor(
         hists = remote_write_histogram_frame(
             payloads, plain, compressed=compressed
         )
-        return floats.unionByName(hists.select(*plain, "le", "ts", "value"))
+        out = floats.unionByName(
+            hists.select(*plain, "le", "ts", "value")
+        )
+        return _relabeled(out, relabel, labels)
 
     ingestor = StreamingChunkIngestor(
         spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
@@ -110,6 +134,7 @@ def otlp_spool_ingestor(
     label_names: Sequence[str],
     chunk_span_ms: int = 24 * 3600 * 1000,
     path_glob: str = "otlp-*.bin",
+    relabel=None,
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of OTLP POST bodies (one file per
@@ -127,7 +152,7 @@ def otlp_spool_ingestor(
 
     def to_samples(batch: DataFrame) -> DataFrame:
         payloads = batch.select(F.col("content").alias("payload"))
-        return otlp_frame(payloads, labels)
+        return _relabeled(otlp_frame(payloads, labels), relabel, labels)
 
     ingestor = StreamingChunkIngestor(
         spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
@@ -152,6 +177,7 @@ def scrape_spool_ingestor(
     chunk_span_ms: int = 24 * 3600 * 1000,
     scrape_ts_ms: int | None = None,
     path_glob: str = "scrape-*.txt",
+    relabel=None,
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of exposition-text captures (one
@@ -171,7 +197,8 @@ def scrape_spool_ingestor(
             samples = samples.withColumn(
                 "ts", F.coalesce("ts", F.lit(scrape_ts_ms))
             )
-        return samples.where(F.col("ts").isNotNull())
+        samples = samples.where(F.col("ts").isNotNull())
+        return _relabeled(samples, relabel, labels)
 
     ingestor = StreamingChunkIngestor(
         spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
