@@ -8,6 +8,7 @@ add exactly zero semantics."""
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -383,3 +384,77 @@ def test_limit_param(api):
     # limit=0 means disabled, Prometheus semantics
     p = api_get_json(api, "/api/v1/labels", {"limit": 0})
     assert len(p["data"]) == 3
+
+
+def test_federate_external_labels(engine):
+    """Federation stamps external_labels onto exported series that do
+    not already carry the label; a series' own label always wins."""
+    from tsdb_parquet_spark.scrape import parse_exposition
+
+    with PromApiServer(
+        engine, external_labels={"cluster": "eu-1", "event_type": "X"}
+    ) as url:
+        req = urllib.request.Request(
+            f"{url}/federate?"
+            + urllib.parse.urlencode(
+                {"match[]": "app_events", "time": 1120}, doseq=True
+            )
+        )
+        with urllib.request.urlopen(req) as resp:
+            text = resp.read().decode()
+    parsed = parse_exposition(text)
+    assert parsed
+    for labels, _v, _ts in parsed:
+        assert labels["cluster"] == "eu-1"  # stamped everywhere
+        assert labels["event_type"] in ("click", "view")  # own label wins
+
+
+def test_rules_endpoint_config_and_state(engine):
+    """/api/v1/rules: config-only without `time`; with `time` the
+    alerting state machine evaluates live (firing > pending rule
+    state, per-series alerts with ActiveAt/value)."""
+    from tsdb_parquet_spark.rules import (
+        AlertingRule,
+        RecordingRule,
+        RuleGroup,
+    )
+
+    groups = [RuleGroup(
+        "g",
+        (
+            RecordingRule("evt:sum", "sum by (event_type) (app_events)",
+                          {"team": "infra"}),
+            AlertingRule("Busy", "app_events > 2", for_ms=0,
+                         labels={"severity": "page"}),
+        ),
+        interval_ms=60_000,
+    )]
+    with PromApiServer(engine, rule_groups=groups) as url:
+        cfg = api_get_json(url, "/api/v1/rules", {})
+        [g] = cfg["data"]["groups"]
+        assert g["name"] == "g" and g["interval"] == 60.0
+        rec, alert = g["rules"]
+        assert rec["type"] == "recording" and rec["name"] == "evt:sum"
+        assert rec["labels"] == {"team": "infra"}
+        assert alert["type"] == "alerting"
+        assert alert["state"] == "inactive" and alert["alerts"] == []
+        # type filter
+        only_alerts = api_get_json(
+            url, "/api/v1/rules", {"type": "alert"}
+        )["data"]["groups"][0]["rules"]
+        assert [r["type"] for r in only_alerts] == ["alerting"]
+        # live state at t=1120s: click=3 and view=5 exceed 2 -> firing
+        live = api_get_json(url, "/api/v1/rules", {"time": 1120})
+        [lg] = live["data"]["groups"]
+        lalert = [r for r in lg["rules"] if r["type"] == "alerting"][0]
+        assert lalert["state"] == "firing"
+        states = {
+            (a["labels"]["event_type"], a["state"], a["value"])
+            for a in lalert["alerts"]
+        }
+        assert states == {("click", "firing", "3"),
+                          ("view", "firing", "5")}
+        for a in lalert["alerts"]:
+            assert a["labels"]["alertname"] == "Busy"
+            assert a["labels"]["severity"] == "page"
+            assert a["activeAt"].endswith("Z")

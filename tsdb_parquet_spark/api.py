@@ -82,6 +82,7 @@ __all__ = [
     "exemplars_result",
     "metadata_result",
     "tsdb_status_result",
+    "rules_result",
     "render_federate",
     "api_query_range_rows",
     "api_get_json",
@@ -417,12 +418,16 @@ def render_federate(
     time_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
     metadata: Sequence[tuple[str, str, str]] = (),
+    external_labels: dict | None = None,
 ) -> str:
     """``/federate``: the most recent sample per matched series within
     the staleness lookback of ``time_ms``, as exposition text carrying
     the ORIGINAL sample timestamps (federation's untyped re-scrape
     contract; Prometheus marks federated metrics ``# TYPE ... untyped``
-    unless metadata is supplied).
+    unless metadata is supplied).  ``external_labels`` stamp onto every
+    exported series that does not already carry the label — exactly
+    Prometheus's federation rule (a series' own label always wins), so
+    a downstream scraper can tell which server a series came from.
 
     Plan: matcher-filtered scan -> one groupBy over the label columns
     with ``max(struct(ts, value))`` (map-side combined, deterministic on
@@ -445,9 +450,126 @@ def render_federate(
         labels = _metric_of(d, cols)
         if engine.metric_label != "__name__":
             labels["__name__"] = labels.pop(engine.metric_label, "")
+        for k, v in (external_labels or {}).items():
+            labels.setdefault(k, v)
         samples.append((labels, d["value"], int(d["ts"])))
     samples.sort(key=lambda s: sorted(s[0].items()))
     return format_exposition(samples, metadata)
+
+
+def rules_result(
+    engine,
+    groups,
+    time_ms: int | None = None,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    type_filter: str | None = None,
+) -> dict:
+    """``/api/v1/rules`` payload (the Prometheus rules API shape
+    promtool and Grafana read).  Without ``time_ms``: configuration
+    only — rules listed with state ``inactive`` and no alerts (this
+    offline server has no background evaluation loop, exactly like the
+    query endpoints demanding an explicit ``time``).  With ``time_ms``
+    (engine extension: the ``time`` query param): each alerting rule's
+    state machine evaluates over a window long enough to resolve
+    ``for`` + ``keep_firing_for`` at the group's interval, and the
+    response carries live per-series alerts (state, ActiveAt, value)
+    plus the rule-level state (firing > pending > inactive)."""
+    from tsdb_parquet_spark.rules import AlertingRule, RecordingRule
+    from tsdb_parquet_spark.rules import evaluate_alerting_rule
+
+    out_groups = []
+    for g in groups:
+        rules_json = []
+        for rule in g.rules:
+            if isinstance(rule, RecordingRule):
+                if type_filter == "alert":
+                    continue
+                rules_json.append({
+                    "type": "recording",
+                    "name": rule.record,
+                    "query": rule.expr,
+                    "labels": dict(rule.labels),
+                    "health": "ok",
+                    "evaluationTime": 0.0,
+                    "lastEvaluation": "0001-01-01T00:00:00Z",
+                })
+                continue
+            if not isinstance(rule, AlertingRule) or type_filter == "record":
+                continue
+            entry = {
+                "type": "alerting",
+                "name": rule.alert,
+                "query": rule.expr,
+                "duration": rule.for_ms / 1000.0,
+                "keepFiringFor": rule.keep_firing_for_ms / 1000.0,
+                "labels": dict(rule.labels),
+                "annotations": {},
+                "alerts": [],
+                "state": "inactive",
+                "health": "ok",
+                "evaluationTime": 0.0,
+                "lastEvaluation": "0001-01-01T00:00:00Z",
+            }
+            if time_ms is not None:
+                # window long enough that an island clipped at the
+                # window start still ages past `for` (+ the hold), so
+                # the state at time_ms equals the unbounded machine's
+                span = (
+                    rule.for_ms + rule.keep_firing_for_ms
+                    + 2 * g.interval_ms
+                )
+                steps = -(-span // g.interval_ms)  # ceil
+                start = time_ms - steps * g.interval_ms
+                frame = evaluate_alerting_rule(
+                    engine, rule, start, time_ms, g.interval_ms,
+                    lookback_ms=lookback_ms,
+                )
+                rows = [
+                    r.asDict()
+                    for r in frame.filter(
+                        F.col("t") == F.lit(int(time_ms))
+                    ).collect()
+                ]
+                label_cols = [
+                    c for c in (rows[0] if rows else {})
+                    if c not in ("t", "value", "alertstate", "active_at")
+                ]
+                for r in sorted(
+                    rows, key=lambda d: sorted(
+                        (c, d[c] or "") for c in label_cols
+                    )
+                ):
+                    labels = {
+                        c: r[c] for c in label_cols
+                        if r[c] not in ("", None)
+                    }
+                    labels.setdefault("alertname", rule.alert)
+                    entry["alerts"].append({
+                        "labels": labels,
+                        "annotations": {},
+                        "state": r["alertstate"],
+                        "activeAt": datetime.fromtimestamp(
+                            r["active_at"] / 1000.0, tz=timezone.utc
+                        ).isoformat().replace("+00:00", "Z"),
+                        "value": format_sample_value(r["value"]),
+                    })
+                states = {a["state"] for a in entry["alerts"]}
+                entry["state"] = (
+                    "firing" if "firing" in states
+                    else "pending" if "pending" in states
+                    else "inactive"
+                )
+            rules_json.append(entry)
+        out_groups.append({
+            "name": g.name,
+            "file": "",
+            "interval": g.interval_ms / 1000.0,
+            "limit": 0,
+            "rules": rules_json,
+            "evaluationTime": 0.0,
+            "lastEvaluation": "0001-01-01T00:00:00Z",
+        })
+    return {"groups": out_groups}
 
 
 class PromApiServer:
@@ -466,6 +588,8 @@ class PromApiServer:
         lookback_ms: int = DEFAULT_LOOKBACK_MS,
         metadata: Sequence[tuple[str, str, str]] = (),
         exemplar_store: str | None = None,
+        external_labels: dict | None = None,
+        rule_groups=(),
     ):
         self.engine = engine
         self.lookback_ms = lookback_ms
@@ -473,6 +597,12 @@ class PromApiServer:
         #: path of a `sources.exemplars` store; enables
         #: ``/api/v1/query_exemplars`` (404 without one)
         self.exemplar_store = exemplar_store
+        #: stamped onto /federate output where the series lacks the
+        #: label (prometheus.yml `global.external_labels`)
+        self.external_labels = dict(external_labels or {})
+        #: `rules.RuleGroup`s listed (and state-evaluated on demand)
+        #: by /api/v1/rules
+        self.rule_groups = list(rule_groups)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         #: PromQLEngine was written single-threaded: query_range mutates
@@ -571,6 +701,17 @@ class PromApiServer:
             )
         if path == "/api/v1/status/tsdb":
             return tsdb_status_result(eng)
+        if path == "/api/v1/rules":
+            raw_t = p("time")
+            return rules_result(
+                eng,
+                self.rule_groups,
+                time_ms=(
+                    _parse_time_ms(raw_t) if raw_t is not None else None
+                ),
+                lookback_ms=self.lookback_ms,
+                type_filter=p("type"),
+            )
         if path == "/api/v1/status/buildinfo":
             # the probe Grafana's Prometheus datasource health check
             # issues; shaped like a Prometheus response with the engine
@@ -623,6 +764,7 @@ class PromApiServer:
             _parse_time_ms(raw_t),
             self.lookback_ms,
             self.metadata,
+            external_labels=self.external_labels,
         )
 
     # -- plumbing --

@@ -832,11 +832,22 @@ def cmd_serve(args) -> int:
 
         with open(args.metadata) as fh:
             metadata = [tuple(m) for m in _json.load(fh)]
+    external = dict(
+        kv.split("=", 1) for kv in (args.external_label or [])
+    )
+    rule_groups = []
+    if args.rules:
+        from tsdb_parquet_spark.rules import parse_rule_file
+
+        with open(args.rules) as fh:
+            rule_groups = parse_rule_file(fh.read())
     server = PromApiServer(
         engine,
         lookback_ms=args.lookback,
         metadata=metadata,
         exemplar_store=args.exemplar_store,
+        external_labels=external,
+        rule_groups=rule_groups,
     )
     url = server.start()
     print(url, flush=True)
@@ -1241,6 +1252,14 @@ def main(argv: list[str] | None = None) -> int:
     srv.add_argument("--wal", default=None,
                      help="head WAL dir: serve store + live head delta")
     srv.add_argument("--exemplar-store", default=None)
+    srv.add_argument("--rules", default=None,
+                     help="rule file (Prometheus groups: YAML or JSON) "
+                     "listed and state-evaluated by /api/v1/rules")
+    srv.add_argument("--external-label", action="append", default=None,
+                     metavar="K=V",
+                     help="external label stamped onto /federate output "
+                     "where a series lacks it (repeatable; "
+                     "prometheus.yml global.external_labels)")
     srv.add_argument("--metadata", default=None,
                      help="JSON file of [metric, type, help] triples "
                           "for /api/v1/metadata and /federate")

@@ -63,8 +63,10 @@ def parse_rule_file(text: str) -> list[RuleGroup]:
     (``{"name": ..., "rules": [...]}``) so existing specs keep working.
     ``for:`` / ``keep_firing_for:`` take PromQL durations ("5m") or raw
     milliseconds; ``annotations:`` are accepted and ignored (no
-    notification pipeline here); ``interval:`` is accepted and ignored
-    (the evaluation grid is the caller's start/end/step)."""
+    notification pipeline here); ``interval:`` lands on
+    ``RuleGroup.interval_ms`` (used by the /api/v1/rules state
+    evaluation; the store write-back grid stays the caller's
+    start/end/step)."""
     import json
 
     from tsdb_parquet_spark.plans.promql import parse_duration_ms
@@ -109,10 +111,20 @@ def parse_rule_file(text: str) -> list[RuleGroup]:
         raise ValueError("rule file must be a mapping")
     if "groups" in doc:
         return [
-            RuleGroup(g.get("name", "group"), build_rules(g["rules"]))
+            RuleGroup(
+                g.get("name", "group"),
+                build_rules(g["rules"]),
+                interval_ms=duration_ms(g.get("interval")) or 60_000,
+            )
             for g in doc["groups"]
         ]
-    return [RuleGroup(doc.get("name", "group"), build_rules(doc["rules"]))]
+    return [
+        RuleGroup(
+            doc.get("name", "group"),
+            build_rules(doc["rules"]),
+            interval_ms=duration_ms(doc.get("interval")) or 60_000,
+        )
+    ]
 
 
 @dataclass(frozen=True)
@@ -145,6 +157,9 @@ class AlertingRule:
 class RuleGroup:
     name: str
     rules: tuple = ()
+    #: the group's evaluation interval (Prometheus ``interval:``,
+    #: default 1m) — the step /api/v1/rules state evaluation uses
+    interval_ms: int = 60_000
 
 
 def _result_series(
