@@ -1535,3 +1535,87 @@ def test_histogram_stddev_requires_plain_selector(spark):
         eng.query_range(
             "histogram_stddev(sum(http_requests_total))", 0, 0, 60_000
         )
+
+
+def _series_frac(labels: dict) -> float:
+    """Python twin of the engine's limitk/limit_ratio series hash."""
+    import hashlib
+
+    canon = "\x1f".join(
+        f"{c}\x1e{v}" for c, v in sorted(labels.items()) if v
+    )
+    top = int.from_bytes(
+        hashlib.md5(canon.encode()).digest()[:8], "big"
+    )
+    return top / 2**64
+
+
+def test_limitk_deterministic_selection(spark):
+    """limitk keeps the k smallest-hash series at every step —
+    selection matches a Python md5 recomputation and is identical
+    across steps (consistent sampling)."""
+    engine = PromQLEngine(_stub_samples(spark))
+    out = engine.query_range(
+        "limitk(2, http_requests_total)", 60_000, 120_000, 60_000
+    )
+    rows = out.collect()
+    series = [
+        {"job": "api-server", "instance": "0"},
+        {"job": "api-server", "instance": "1"},
+        {"job": "kubelet", "instance": "0"},
+    ]
+    want = {
+        (s["job"], s["instance"])
+        for s in sorted(series, key=_series_frac)[:2]
+    }
+    for t in (60_000, 120_000):
+        got = {
+            (r["job"], r["instance"]) for r in rows if r["t"] == t
+        }
+        assert got == want, t
+
+
+def test_limit_ratio_partitions_exactly(spark):
+    """limit_ratio(r) + limit_ratio(r-1) must partition the series set
+    (upstream's complement contract), at any r."""
+    engine = PromQLEngine(_stub_samples(spark))
+
+    def keys(q):
+        return {
+            (r["job"], r["instance"])
+            for r in engine.query_range(q, 60_000, 60_000, 60_000).collect()
+        }
+
+    all_series = keys("http_requests_total")
+    assert len(all_series) == 3
+    for r in (0.3, 0.5, 0.9):
+        a = keys(f"limitk(99, limit_ratio({r}, http_requests_total))")
+        b = keys(f"limit_ratio(-{1 - r:.10g}, http_requests_total)")
+        assert a | b == all_series
+        assert not a & b
+    # the kept fraction matches the Python hash twin
+    series = [
+        {"job": "api-server", "instance": "0"},
+        {"job": "api-server", "instance": "1"},
+        {"job": "kubelet", "instance": "0"},
+    ]
+    want = {
+        (s["job"], s["instance"])
+        for s in series
+        if _series_frac(s) < 0.5
+    }
+    assert keys("limit_ratio(0.5, http_requests_total)") == want
+
+
+def test_limit_ratio_bounds(spark):
+    engine = PromQLEngine(_stub_samples(spark))
+    with pytest.raises(ValueError, match=r"in \[-1, 1\]"):
+        engine.query_range(
+            "limit_ratio(1.5, http_requests_total)", 0, 0, 60_000
+        )
+    assert (
+        engine.query_range(
+            "limit_ratio(1, http_requests_total)", 60_000, 60_000, 60_000
+        ).count()
+        == 3
+    )

@@ -32,6 +32,9 @@ small recursive-descent parser for the subset
                 [('group_left'|'group_right') ['(' [label...] ')']]
     AGGOP    := sum | min | max | count | avg | stddev | stdvar | group
               | quantile(phi, v) | count_values("lbl", v) [grouping]
+              | topk/bottomk(k, v) | limitk(k, v) | limit_ratio(r, v)
+                (3.x experimental sampling aggs; deterministic md5
+                 series hash, negative r = complement)
     CMPOP    := > | < | >= | <= | == | !=
     FUNC     := rate | increase | delta | idelta | irate | changes | resets |
                 count_over_time | sum_over_time | avg_over_time |
@@ -87,7 +90,7 @@ from tsdb_parquet_spark.operators.selection import Matcher
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
 
 AGG_OPS = {"sum", "min", "max", "count", "avg", "stddev", "stdvar", "group"}
-PARAM_AGG_OPS = {"topk", "bottomk"}
+PARAM_AGG_OPS = {"topk", "bottomk", "limitk", "limit_ratio"}
 BINARY_OPS = {"+", "-", "*", "/", "%", "^", "atan2"}
 COMPARE_OPS = {">", "<", ">=", "<=", "==", "!="}
 # instant math functions: name -> max number of scalar params after the
@@ -525,6 +528,31 @@ class PromTopK:
 
     k: int
     ascending: bool
+    inner: "PromNode"
+    by: list[str] | None = None
+    without: list[str] | None = None
+
+
+@dataclass
+class PromLimit:
+    """limitk(k, v) / limit_ratio(r, v) — the Prometheus 3.x
+    experimental sampling aggregations.  ``limitk`` keeps up to k
+    series per (step, group); ``limit_ratio`` keeps the deterministic
+    ~r fraction of series, and ``limit_ratio(r)`` + ``limit_ratio(r-1)``
+    partition the series set exactly (a negative ratio selects the
+    complement, upstream's contract).
+
+    Determinism (documented deviation): upstream samples on
+    ``labels.Hash()`` (xxhash); here the hash is the top 8 bytes of
+    ``md5`` over the canonical labelset (sorted ``label=value`` pairs,
+    absent labels omitted) — the same primitive `operators/relabel`'s
+    ``hashmod`` uses — so selection is stable across engines and
+    reproducible in any SQL oracle.  Each series hashes identically at
+    every step, so the sample is consistent over time like upstream's.
+    """
+
+    k: int | None
+    ratio: float | None
     inner: "PromNode"
     by: list[str] | None = None
     without: list[str] | None = None
@@ -1104,6 +1132,11 @@ class _Parser:
             # topk(k, <any vector expression>): a per-step series filter,
             # not a grouping aggregation; quantile(phi, v) IS one
             kind, num = self.next()
+            sign = 1.0
+            if kind == "binop" and num in ("-", "+"):
+                # limit_ratio takes signed ratios (negative = complement)
+                sign = -1.0 if num == "-" else 1.0
+                kind, num = self.next()
             if kind != "number":
                 raise ValueError(f"{op} expects a numeric first arg, got {num!r}")
             self.expect(",")
@@ -1111,9 +1144,21 @@ class _Parser:
             self.expect(")")
             postfix_grouping()
             if op == "quantile":
-                return PromQuantileAgg(phi=float(num), inner=inner,
+                return PromQuantileAgg(phi=sign * float(num), inner=inner,
                                        by=by, without=without)
-            return PromTopK(k=int(float(num)), ascending=(op == "bottomk"),
+            if op == "limitk":
+                return PromLimit(k=int(sign * float(num)), ratio=None,
+                                 inner=inner, by=by, without=without)
+            if op == "limit_ratio":
+                r = sign * float(num)
+                if not -1.0 <= r <= 1.0:
+                    raise ValueError(
+                        f"limit_ratio expects a ratio in [-1, 1], got {r}"
+                    )
+                return PromLimit(k=None, ratio=r, inner=inner,
+                                 by=by, without=without)
+            return PromTopK(k=int(sign * float(num)),
+                            ascending=(op == "bottomk"),
                             inner=inner, by=by, without=without)
         kind, tok = self.peek()
         if kind == "ident" and tok in RANGE_FUNCS:
@@ -1557,6 +1602,9 @@ class PromQLEngine:
             return self._topk(
                 inner, node.k, node.ascending, node.by, node.without
             )
+        if isinstance(node, PromLimit):
+            inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
+            return self._limit_series(inner, node)
         if isinstance(node, PromMathFunc):
             inner = self._eval(node.inner, start_ms, end_ms, step_ms, lookback_ms)
             return inner.withColumn(
@@ -2248,6 +2296,49 @@ class PromQLEngine:
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    @staticmethod
+    def _limit_series(df: DataFrame, node: PromLimit) -> DataFrame:
+        """limitk / limit_ratio (see :class:`PromLimit`): the series
+        hash is a pure column expression (md5 top-8-bytes over the
+        canonical labelset), so limit_ratio is a shuffle-free filter;
+        limitk is one window on (t, group) like topk."""
+        from pyspark.sql import Window
+
+        label_cols = [c for c in df.columns if c not in ("t", "value")]
+        # canonical labelset: sorted label=value pairs, absent labels
+        # omitted (the ""-is-absent convention — two stores with
+        # different schema supersets hash a series identically)
+        parts = [
+            F.when(
+                F.col(c) != "", F.concat(F.lit(c + "\x1e"), F.col(c))
+            )
+            for c in sorted(label_cols)
+        ]
+        canon = F.concat_ws("\x1f", *parts) if parts else F.lit("")
+        frac = (
+            F.conv(F.substring(F.md5(canon), 1, 16), 16, 10)
+            .cast("double")
+            / F.lit(float(2**64))
+        )
+        if node.ratio is not None:
+            r = node.ratio
+            keep = frac < F.lit(r) if r >= 0 else frac >= F.lit(1.0 + r)
+            return df.filter(keep)
+        by = node.by
+        missing = [c for c in (by or []) if c not in label_cols]
+        if missing:
+            raise ValueError(f"limitk by labels not in result: {missing}")
+        if node.without is not None:
+            by = [c for c in label_cols if c not in node.without]
+        w = Window.partitionBy("t", *(by or [])).orderBy(
+            frac, *[F.col(c).asc() for c in sorted(label_cols)]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(node.k))
             .drop("__rn")
         )
 
