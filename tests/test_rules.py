@@ -421,3 +421,41 @@ def test_store_chained_intervals_restore(spark, engine, tmp_path):
     assert (2, "pending") in states and (3, "pending") in states
     assert (4, "firing") in states
     assert (4, "pending") not in states
+
+
+def test_cli_check_rules(tmp_path, capsys):
+    """promtool `check rules` analog: good file passes, broken file
+    reports every error and exits 1 — no Spark session involved."""
+    import json
+
+    from tsdb_parquet_spark.cli import main
+
+    good = tmp_path / "good.yml"
+    good.write_text(
+        "groups:\n"
+        "  - name: ok\n"
+        "    rules:\n"
+        "      - record: job:m:sum\n"
+        "        expr: sum by (job) (m)\n"
+        "      - alert: HighM\n"
+        "        expr: m > 5\n"
+        "        for: 10m\n"
+    )
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "groups:\n"
+        "  - name: broken\n"
+        "    rules:\n"
+        "      - record: '0bad name'\n"
+        "        expr: sum by (job) (m)\n"
+        "      - alert: A\n"
+        "        expr: 'sum by ((m)'\n"
+        "      - alert: A\n"
+        "        expr: m > 1\n"
+    )
+    assert main(["check-rules", str(good)]) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["ok"] and report["rules"] == 2
+    assert main(["check-rules", str(bad)]) == 1
+    report = json.loads(capsys.readouterr().out.strip())
+    assert not report["ok"] and len(report["errors"]) == 3

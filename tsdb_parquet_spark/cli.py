@@ -925,6 +925,68 @@ def cmd_rules(args) -> int:
     return 0
 
 
+def cmd_check_rules(args) -> int:
+    """Validate rule file(s) without a Spark session — the promtool
+    ``check rules`` analog: the file must parse (YAML ``groups:`` or
+    single-group JSON), every expression must parse as PromQL, rule
+    names must be legal metric names, and duplicate rule names within
+    a group are flagged.  Exit 1 on the first broken file."""
+    import json as _json
+    import re as _re
+
+    from tsdb_parquet_spark.plans.promql import parse_promql
+    from tsdb_parquet_spark.rules import (
+        AlertingRule,
+        RecordingRule,
+        parse_rule_file,
+    )
+
+    name_re = _re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+    rc = 0
+    for path in args.rules:
+        errors: list[str] = []
+        n_groups = n_rules = 0
+        try:
+            with open(path) as fh:
+                groups = parse_rule_file(fh.read())
+        except Exception as exc:
+            errors.append(f"parse: {type(exc).__name__}: {exc}")
+            groups = []
+        for g in groups:
+            n_groups += 1
+            seen: set[str] = set()
+            for rule in g.rules:
+                n_rules += 1
+                if isinstance(rule, RecordingRule):
+                    name, expr = rule.record, rule.expr
+                    if not name_re.match(name):
+                        errors.append(
+                            f"{g.name}: record {name!r} is not a "
+                            "valid metric name"
+                        )
+                else:
+                    assert isinstance(rule, AlertingRule)
+                    name, expr = rule.alert, rule.expr
+                try:
+                    parse_promql(expr)
+                except ValueError as exc:
+                    errors.append(f"{g.name}/{name}: expr: {exc}")
+                if name in seen:
+                    errors.append(f"{g.name}: duplicate rule {name!r}")
+                seen.add(name)
+        report = {
+            "file": path,
+            "ok": not errors,
+            "groups": n_groups,
+            "rules": n_rules,
+            "errors": errors,
+        }
+        print(_json.dumps(report))
+        if errors:
+            rc = 1
+    return rc
+
+
 def cmd_verify_block(args) -> int:
     """Integrity-check TSDB block dir(s) (`tsdb_block.verify_block`) —
     the promtool-style pre-flight before trusting a block: meta/index
@@ -1291,6 +1353,14 @@ def main(argv: list[str] | None = None) -> int:
                      "state across restarts")
     rul.add_argument("--compact", action="store_true")
     rul.set_defaults(fn=cmd_rules)
+
+    cr = sub.add_parser(
+        "check-rules",
+        help="validate rule files (promtool `check rules` analog): "
+        "YAML/JSON shape, PromQL expressions, names; no Spark session",
+    )
+    cr.add_argument("rules", nargs="+", help="rule file path(s)")
+    cr.set_defaults(fn=cmd_check_rules)
 
     vb = sub.add_parser(
         "verify-block",
