@@ -703,15 +703,22 @@ class PromApiServer:
             return tsdb_status_result(eng)
         if path == "/api/v1/rules":
             raw_t = p("time")
-            return rules_result(
-                eng,
-                self.rule_groups,
-                time_ms=(
-                    _parse_time_ms(raw_t) if raw_t is not None else None
-                ),
-                lookback_ms=self.lookback_ms,
-                type_filter=p("type"),
-            )
+            if raw_t is None:
+                # config-only listing touches no engine state
+                return rules_result(
+                    eng, self.rule_groups, type_filter=p("type")
+                )
+            # live state evaluation runs query_range per alerting rule
+            # — single-flight like /query*, the engine's per-evaluation
+            # memo/CSE state is not thread-safe
+            with self._engine_lock:
+                return rules_result(
+                    eng,
+                    self.rule_groups,
+                    time_ms=_parse_time_ms(raw_t),
+                    lookback_ms=self.lookback_ms,
+                    type_filter=p("type"),
+                )
         if path == "/api/v1/status/buildinfo":
             # the probe Grafana's Prometheus datasource health check
             # issues; shaped like a Prometheus response with the engine
