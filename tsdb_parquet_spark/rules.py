@@ -562,7 +562,17 @@ def run_rule_group_to_store(
     labels = list(label_names)
     restored: dict[str, DataFrame] = {}
     if restore_for_state and include_alerts:
-        try:
+        import os as _os
+
+        # restore only from something that IS a store already (first
+        # interval: no root / empty dir -> fresh state, cleanly); a
+        # root that exists but fails to OPEN surfaces its error — a
+        # swallowed read failure would silently reset every `for` clock
+        looks_like_store = _os.path.isdir(root) and any(
+            e == "_snapshots" or e.startswith(("part.", "compact"))
+            for e in _os.listdir(root)
+        )
+        if looks_like_store:
             from tsdb_parquet_spark.querier import ChunkQuerier
 
             prior = ChunkQuerier.from_store(spark, root).select_samples(
@@ -573,9 +583,6 @@ def run_rule_group_to_store(
                     restored[rule.alert] = read_for_state(
                         prior, rule.alert, engine.metric_label
                     )
-        except Exception:
-            # nothing written yet (first interval) — fresh state
-            restored = {}
     results, _ = evaluate_rule_group(
         engine, group, start_ms, end_ms, step_ms, lookback_ms,
         restored=restored or None,
