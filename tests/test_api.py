@@ -458,3 +458,97 @@ def test_rules_endpoint_config_and_state(engine):
             assert a["labels"]["alertname"] == "Busy"
             assert a["labels"]["severity"] == "page"
             assert a["activeAt"].endswith("Z")
+
+
+def test_admin_tsdb_api(spark, tmp_path):
+    """/api/v1/admin/tsdb/*: delete_series runs the surgical store
+    rewrite and the serving engine rebuilds so the deletion is
+    immediately queryable; snapshot names the current manifest;
+    clean_tombstones no-ops; disabled servers answer 403 and GET 405,
+    like a Prometheus without --web.enable-admin-api."""
+    from pyspark.sql import Row
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    day = 86_400_000
+    labels = ["__name__", "job"]
+    root = str(tmp_path / "admin_store")
+    rows = [
+        Row(__name__="m", job=j, ts=d * day + h * 6 * 3_600_000,
+            value=1.0)
+        for j in ("a", "b") for d in range(2) for h in range(4)
+    ]
+    w = SortedParquetWriter(
+        spark, root, WriterOptions(sort_columns=sort_columns(labels))
+    )
+    w.write(samples_to_chunks(
+        spark.createDataFrame(rows), labels, chunk_span_ms=day
+    ))
+
+    def factory():
+        return ChunkQuerier.from_store(spark, root).select_samples(
+            labels=labels
+        )
+
+    def post(url, path, params):
+        req = urllib.request.Request(
+            f"{url}{path}?" + urllib.parse.urlencode(params, doseq=True),
+            method="POST", data=b"",
+        )
+        return urllib.request.urlopen(req)
+
+    engine = PromQLEngine(factory())
+    with PromApiServer(
+        engine, admin_store=root, admin_label_names=labels,
+        samples_factory=factory,
+    ) as url:
+        before = api_get_json(
+            url, "/api/v1/query",
+            {"query": "count(m)", "time": day // 1000},
+        )["data"]["result"][0]["value"][1]
+        assert before == "2"  # both jobs alive at t=day
+        # snapshot names the current manifest version
+        snap = json.loads(
+            post(url, "/api/v1/admin/tsdb/snapshot", {}).read()
+        )
+        assert snap["data"]["name"].isdigit()
+        # clean_tombstones: 204 no-op
+        assert post(
+            url, "/api/v1/admin/tsdb/clean_tombstones", {}
+        ).status == 204
+        # GET is rejected
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            api_get_json(url, "/api/v1/admin/tsdb/delete_series",
+                         {"match[]": ["m"]})
+        assert exc.value.code == 405
+        # delete job=a entirely
+        resp = post(
+            url, "/api/v1/admin/tsdb/delete_series",
+            {"match[]": ['m{job="a"}']},
+        )
+        assert resp.status == 204
+        assert int(resp.headers["X-Deleted-Samples"]) == 8
+        # immediately visible through the rebuilt engine
+        after = api_get_json(
+            url, "/api/v1/query",
+            {"query": "count(m)", "time": day // 1000},
+        )["data"]["result"][0]["value"][1]
+        assert after == "1"
+        # missing match[] -> bad_data
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(url, "/api/v1/admin/tsdb/delete_series", {})
+        assert exc.value.code == 400
+    # admin disabled -> 403 envelope
+    with PromApiServer(PromQLEngine(factory())) as url:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(url, "/api/v1/admin/tsdb/delete_series",
+                 {"match[]": ["m"]})
+        assert exc.value.code == 403
+        body = json.loads(exc.value.read().decode())
+        assert body["errorType"] == "unavailable"

@@ -25,7 +25,14 @@ Endpoints (public Prometheus HTTP API spec, api/v1):
 * ``GET /federate``                 — latest-sample exposition text for
   match[] selectors (the Prometheus federation scrape surface), rendered
   through `scrape.format_exposition` so ``parse_exposition`` round-trips
-  it bit-exactly.
+  it bit-exactly; ``external_labels`` stamped where a series lacks them
+* ``GET/POST /api/v1/rules``        — rule groups (config; live alert
+  state with the engine's explicit ``time`` param)
+* ``POST /api/v1/admin/tsdb/*``     — delete_series / snapshot /
+  clean_tombstones (enabled by ``admin_store``, like
+  ``--web.enable-admin-api``; delete_series is the surgical store
+  rewrite `sources.maintenance.delete_samples`, and the serving engine
+  rebuilds afterward so deletions are immediately queryable).
 
 Wire-format parity, deliberately pinned:
 
@@ -590,6 +597,9 @@ class PromApiServer:
         exemplar_store: str | None = None,
         external_labels: dict | None = None,
         rule_groups=(),
+        admin_store: str | None = None,
+        admin_label_names: Sequence[str] | None = None,
+        samples_factory=None,
     ):
         self.engine = engine
         self.lookback_ms = lookback_ms
@@ -603,6 +613,18 @@ class PromApiServer:
         #: `rules.RuleGroup`s listed (and state-evaluated on demand)
         #: by /api/v1/rules
         self.rule_groups = list(rule_groups)
+        #: writer ROOT the TSDB admin API rewrites (None = admin
+        #: endpoints disabled, Prometheus's default without
+        #: --web.enable-admin-api — they answer 403)
+        self.admin_store = admin_store
+        self.admin_label_names = (
+            list(admin_label_names) if admin_label_names else None
+        )
+        #: zero-arg callable rebuilding the serving samples frame; after
+        #: a successful delete_series the engine is reconstructed from
+        #: it so the deletion is visible WITHOUT a server restart (the
+        #: old engine's plan pins the pre-delete snapshot's directories)
+        self.samples_factory = samples_factory
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         #: PromQLEngine was written single-threaded: query_range mutates
@@ -755,6 +777,127 @@ class PromApiServer:
             return clip(label_values_result(eng, name, match, start, end))
         return None
 
+    def _handle_admin(
+        self, path: str, params: dict[str, list[str]], method: str
+    ) -> tuple[int, bytes, str, dict]:
+        """The TSDB admin API (``/api/v1/admin/tsdb/*`` — Prometheus
+        gates these behind ``--web.enable-admin-api``; here behind
+        ``admin_store``):
+
+        * ``delete_series`` — one store-side surgical rewrite per
+          ``match[]`` selector (`sources.maintenance.delete_samples`:
+          pushdown probe -> only touched directories rewrite ->
+          snapshot publish), bounded by optional ``start``/``end``;
+          204 on success like upstream, with the deleted-sample count
+          in an ``X-Deleted-Samples`` header since the body must be
+          empty.  The serving engine rebuilds from ``samples_factory``
+          under the engine lock so the deletion is immediately
+          queryable.
+        * ``clean_tombstones`` — 204 no-op: deletion here rewrites
+          eagerly (parquet has no tombstone files to clean); kept so
+          upstream automation scripts run unmodified.
+        * ``snapshot`` — returns the store's CURRENT published
+          snapshot manifest version: this store snapshots on every
+          write (manifest-pinned live sets), so "take a snapshot"
+          means "name the one you are on".
+        """
+        err_ctype = "application/json"
+
+        def envelope(status, etype, msg):
+            return (
+                status,
+                json.dumps(
+                    {"status": "error", "errorType": etype, "error": msg}
+                ).encode(),
+                err_ctype,
+                {},
+            )
+
+        if self.admin_store is None:
+            return envelope(
+                403, "unavailable",
+                "admin APIs disabled (server started without an "
+                "admin store)",
+            )
+        if method not in ("POST", "PUT"):
+            return envelope(
+                405, "method_not_allowed",
+                f"{path} only allows POST",
+            )
+        if path == "/api/v1/admin/tsdb/clean_tombstones":
+            return 204, b"", err_ctype, {}
+        if path == "/api/v1/admin/tsdb/snapshot":
+            from tsdb_parquet_spark.sources.manifest import (
+                current_snapshot,
+            )
+
+            snap = current_snapshot(self.admin_store)
+            if snap is None:
+                raise ValueError("store has never published a snapshot")
+            return (
+                200,
+                json.dumps(
+                    {
+                        "status": "success",
+                        "data": {"name": f"{snap.version:08d}"},
+                    }
+                ).encode(),
+                err_ctype,
+                {},
+            )
+        if path != "/api/v1/admin/tsdb/delete_series":
+            return envelope(404, "not_found", f"unknown path {path}")
+
+        from tsdb_parquet_spark.sources.maintenance import delete_samples
+
+        selectors = params.get("match[]", [])
+        if not selectors:
+            raise ValueError("no match[] parameter provided")
+        raw_start = params.get("start", [None])[0]
+        raw_end = params.get("end", [None])[0]
+        mint = _parse_time_ms(raw_start) if raw_start is not None else 0
+        maxt = (
+            _parse_time_ms(raw_end) if raw_end is not None else (1 << 62)
+        )
+        matcher_sets = []
+        for raw in selectors:
+            node = parse_promql(raw)
+            if not isinstance(node, PromExpr) or node.func or node.agg:
+                raise ValueError(
+                    f"match[] must be a plain selector: {raw!r}"
+                )
+            matchers = list(node.matchers)
+            if node.metric:
+                matchers.append(
+                    Matcher(self.engine.metric_label, "=", node.metric)
+                )
+            matcher_sets.append(matchers)
+        spark = self.engine.samples.sparkSession
+        deleted = 0
+        with self._engine_lock:
+            for matchers in matcher_sets:
+                rep = delete_samples(
+                    spark,
+                    self.admin_store,
+                    matchers,
+                    mint=mint,
+                    maxt=maxt,
+                    label_names=self.admin_label_names,
+                )
+                deleted += int(rep.get("samples_deleted", 0))
+            if deleted and self.samples_factory is not None:
+                from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+                old = self.engine
+                self.engine = PromQLEngine(
+                    self.samples_factory(),
+                    metric_label=old.metric_label,
+                    extrapolate=old.extrapolate,
+                    shared_scan=getattr(old, "_shared_scan", False),
+                )
+        # 204 bodies must be empty: the count rides a header
+        return 204, b"", err_ctype, {"X-Deleted-Samples": str(deleted)}
+
     def _handle_federate(self, params: dict[str, list[str]]) -> str:
         match = params.get("match[]", [])
         if not match:
@@ -864,6 +1007,27 @@ class PromApiServer:
                         self.send_header("Content-Length", str(len(resp)))
                         self.end_headers()
                         self.wfile.write(resp)
+                        return
+                    if path.startswith("/api/v1/admin/tsdb/"):
+                        status, body, ctype, headers = (
+                            outer._handle_admin(
+                                path, params, self.command
+                            )
+                        )
+                        self.send_response(status)
+                        for k, v in headers.items():
+                            self.send_header(k, v)
+                        if status == 204:
+                            # no body, no Content-Type on 204
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                        else:
+                            self.send_header("Content-Type", ctype)
+                            self.send_header(
+                                "Content-Length", str(len(body))
+                            )
+                            self.end_headers()
+                            self.wfile.write(body)
                         return
                     if path == "/federate":
                         text = outer._handle_federate(params)

@@ -841,6 +841,26 @@ def cmd_serve(args) -> int:
 
         with open(args.rules) as fh:
             rule_groups = parse_rule_file(fh.read())
+    admin_kwargs = {}
+    if args.admin:
+        # the admin API rewrites ONE writer root surgically and the
+        # factory rebuilds the serving frame post-delete; multi-store /
+        # WAL-live serving has no single rewrite target
+        if len(args.store) != 1 or args.wal:
+            raise SystemExit(
+                "--admin requires exactly one --store (a writer root) "
+                "and no --wal"
+            )
+        if not labels:
+            raise SystemExit("--admin requires --labels (store schema)")
+        admin_root = args.store[0]
+        admin_kwargs = {
+            "admin_store": admin_root,
+            "admin_label_names": labels,
+            "samples_factory": lambda: ChunkQuerier.from_store(
+                spark, admin_root
+            ).select_samples(labels=labels),
+        }
     server = PromApiServer(
         engine,
         lookback_ms=args.lookback,
@@ -848,6 +868,7 @@ def cmd_serve(args) -> int:
         exemplar_store=args.exemplar_store,
         external_labels=external,
         rule_groups=rule_groups,
+        **admin_kwargs,
     )
     url = server.start()
     print(url, flush=True)
@@ -1314,6 +1335,11 @@ def main(argv: list[str] | None = None) -> int:
     srv.add_argument("--wal", default=None,
                      help="head WAL dir: serve store + live head delta")
     srv.add_argument("--exemplar-store", default=None)
+    srv.add_argument("--admin", action="store_true",
+                     help="enable /api/v1/admin/tsdb/* (delete_series "
+                     "store rewrite, snapshot, clean_tombstones) — "
+                     "requires exactly one --store writer root and "
+                     "--labels, like --web.enable-admin-api")
     srv.add_argument("--rules", default=None,
                      help="rule file (Prometheus groups: YAML or JSON) "
                      "listed and state-evaluated by /api/v1/rules")
