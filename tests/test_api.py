@@ -552,3 +552,13 @@ def test_admin_tsdb_api(spark, tmp_path):
         assert exc.value.code == 403
         body = json.loads(exc.value.read().decode())
         assert body["errorType"] == "unavailable"
+
+
+def test_status_flags_and_runtimeinfo(api):
+    flags = api_get_json(api, "/api/v1/status/flags", {})["data"]
+    assert flags["web.enable-admin-api"] == "false"
+    assert flags["query.lookback-delta"].endswith("s")
+    rt = api_get_json(api, "/api/v1/status/runtimeinfo", {})["data"]
+    assert rt["startTime"].endswith("Z")
+    assert rt["reloadConfigSuccess"] is True
+    assert rt["GOMAXPROCS"] >= 1

@@ -625,6 +625,8 @@ class PromApiServer:
         #: it so the deletion is visible WITHOUT a server restart (the
         #: old engine's plan pins the pre-delete snapshot's directories)
         self.samples_factory = samples_factory
+        #: epoch seconds of start() — /api/v1/status/runtimeinfo
+        self._started_at = 0.0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         #: PromQLEngine was written single-threaded: query_range mutates
@@ -753,6 +755,37 @@ class PromApiServer:
                 "buildDate": "",
                 "goVersion": "",
                 "features": {"storage": "parquet+spark"},
+            }
+        if path == "/api/v1/status/flags":
+            # the flag names Grafana/automation read most; values state
+            # this server's actual behavior
+            return {
+                "query.lookback-delta": f"{self.lookback_ms // 1000}s",
+                "web.enable-admin-api": str(
+                    self.admin_store is not None
+                ).lower(),
+                "web.enable-remote-write-receiver": "false",
+                "storage.tsdb.path": self.admin_store or "",
+            }
+        if path == "/api/v1/status/runtimeinfo":
+            import os as _os
+            import time as _time
+
+            return {
+                "startTime": datetime.fromtimestamp(
+                    self._started_at, tz=timezone.utc
+                ).isoformat().replace("+00:00", "Z"),
+                "CWD": _os.getcwd(),
+                "reloadConfigSuccess": True,
+                "lastConfigTime": datetime.fromtimestamp(
+                    self._started_at, tz=timezone.utc
+                ).isoformat().replace("+00:00", "Z"),
+                "corruptionCount": 0,
+                "goroutineCount": threading.active_count(),
+                "GOMAXPROCS": _os.cpu_count() or 1,
+                "GOGC": "",
+                "GODEBUG": "",
+                "storageRetention": "",
             }
         start = _parse_time_ms(p("start")) if p("start") else None
         end = _parse_time_ms(p("end")) if p("end") else None
@@ -1081,6 +1114,9 @@ class PromApiServer:
             do_GET = _serve
             do_POST = _serve
 
+        import time as _time
+
+        self._started_at = _time.time()
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
