@@ -174,6 +174,34 @@ def ref_eval(node, t: int) -> dict[tuple, float]:
             lo, hi = int(math.floor(idx)), int(math.ceil(idx))
             out[k] = vs[lo] + (vs[hi] - vs[lo]) * (idx - lo)
         return out
+    if kind == "limit":
+        # limitk/limit_ratio: the engine's deterministic md5 series
+        # hash, recomputed independently (canonical labelset: sorted
+        # label=value pairs, absent omitted)
+        import hashlib
+
+        def frac(key):
+            canon = "\x1f".join(
+                f"{c}\x1e{v}" for c, v in sorted(key) if v
+            )
+            return int.from_bytes(
+                hashlib.md5(canon.encode()).digest()[:8], "big"
+            ) / 2**64
+
+        _, k, ratio, child = node
+        inner = ref_eval(child, t)
+        if ratio is not None:
+            if ratio >= 0:
+                return {
+                    key: v for key, v in inner.items()
+                    if frac(key) < ratio
+                }
+            return {
+                key: v for key, v in inner.items()
+                if frac(key) >= 1.0 + ratio
+            }
+        keep = set(sorted(inner, key=frac)[: int(k)])
+        return {key: v for key, v in inner.items() if key in keep}
     if kind in ("agg", "agg_postfix"):
         _, op, by, child = node
         inner = ref_eval(child, t)
@@ -311,6 +339,11 @@ def render(node) -> str:
         # Prometheus's other legal grouping position
         _, op, by, child = node
         return f"{op}({render(child)}) by ({', '.join(by)})"
+    if kind == "limit":
+        _, k, ratio, child = node
+        if ratio is not None:
+            return f"limit_ratio({ratio}, {render(child)})"
+        return f"limitk({k}, {render(child)})"
     if kind == "neg":
         return f"-({render(node[1])})"
     if kind == "scalar_op":
@@ -391,6 +424,10 @@ def _rand_expr(rng):
             rng.choice([["instance"], ["job"]]),
             simple,
         )
+    elif shape < 0.58:
+        node = ("limit", None, rng.choice([0.3, 0.5, 0.7, -0.5]), simple)
+    elif shape < 0.61:
+        node = ("limit", rng.choice([1, 2, 3]), None, simple)
     elif shape < 0.75:
         node = ("scalar_op", rng.choice(["+", "-", "*"]), simple,
                 rng.choice([2, 3, 10]))
