@@ -1025,10 +1025,20 @@ class PromApiServer:
                             )
                             self.send_header("Connection", "close")
                             self.end_headers()
-                            for frame in serve_read_request_streamed(
-                                outer.engine, raw
-                            ):
-                                self.wfile.write(frame)
+                            # headers are out: a mid-stream failure can
+                            # no longer become a 500 envelope — falling
+                            # through to _send() would write a second
+                            # status line into the frame body.  Close
+                            # the connection instead; the truncated
+                            # stream fails the client's uvarint/CRC
+                            # parse, which IS the error signal.
+                            try:
+                                for frame in serve_read_request_streamed(
+                                    outer.engine, raw
+                                ):
+                                    self.wfile.write(frame)
+                            except Exception:
+                                pass
                             self.close_connection = True
                             return
                         resp = serve_read_request(outer.engine, raw)

@@ -854,12 +854,29 @@ def cmd_serve(args) -> int:
         if not labels:
             raise SystemExit("--admin requires --labels (store schema)")
         admin_root = args.store[0]
+
+        def _rebuild_samples():
+            # the rebuilt frame must run the SAME pipeline as the one
+            # being served — in particular --replica-label dedup, or the
+            # first delete_series would silently resurrect duplicated
+            # samples (and the replica label as a queryable column)
+            s = ChunkQuerier.from_store(spark, admin_root).select_samples(
+                labels=labels
+            )
+            if args.replica_label:
+                from tsdb_parquet_spark.operators.replicas import (
+                    dedup_replicas,
+                )
+
+                s = dedup_replicas(
+                    s, args.replica_label, window_ms=args.dedup_window
+                )
+            return s
+
         admin_kwargs = {
             "admin_store": admin_root,
             "admin_label_names": labels,
-            "samples_factory": lambda: ChunkQuerier.from_store(
-                spark, admin_root
-            ).select_samples(labels=labels),
+            "samples_factory": _rebuild_samples,
         }
     server = PromApiServer(
         engine,

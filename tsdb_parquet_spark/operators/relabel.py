@@ -18,8 +18,12 @@ public docs (configuration.md#relabel_config) and model/relabel:
   value; an entirely-dropped series simply vanishes from the frame;
 * ``lowercase``/``uppercase`` rewrite ``target_label`` from the
   concatenation; ``hashmod`` sets ``target_label`` to
-  ``sum64(md5(src)) % modulus`` — the top 8 bytes of the MD5 as an
-  unsigned 64-bit integer, Prometheus's horizontal-sharding primitive;
+  ``sum64(md5(src)) % modulus`` — the LAST 8 bytes of the MD5 as an
+  unsigned 64-bit integer (Prometheus's historical ``sum64`` shifted
+  bytes 0-7 by >=64 bits, which in Go zeroes them, so only bytes 8-15
+  ever counted; modern relabel.go keeps
+  ``binary.BigEndian.Uint64(hash[8:])`` for compatibility) —
+  Prometheus's horizontal-sharding primitive;
 * ``labelmap`` copies every label whose NAME matches ``regex`` to the
   expanded replacement name; ``labeldrop``/``labelkeep`` remove/retain
   label COLUMNS by name.  These act on the (static) schema, so they
@@ -114,29 +118,44 @@ def _src(df: DataFrame, cfg: RelabelConfig) -> Column:
 
 
 def _java_replacement(repl: str) -> str:
-    """Prometheus uses Go's Regexp.Expand syntax (``$1`` / ``${1}``);
-    Java's ``regexp_replace`` shares ``$1`` but rejects a NUMERIC
-    ``${1}`` (braces are for named groups only) — normalize those, and
-    escape backslashes defensively."""
+    """Prometheus uses Go's Regexp.Expand syntax (``$1`` / ``${1}``,
+    ``$$`` for a literal dollar); Java's ``regexp_replace`` shares
+    ``$1`` but rejects a NUMERIC ``${1}`` (braces are for named groups
+    only) and needs a literal ``$`` escaped as ``\\$`` — normalize
+    both, and escape backslashes defensively."""
     import re as _re
 
     repl = repl.replace("\\", "\\\\")
+    # Go's $$ == literal $; translate BEFORE group-ref normalization so
+    # the $ it produces is never mistaken for a ref.
+    repl = repl.replace("$$", "\\$")
     return _re.sub(r"\$\{(\d+)\}", r"$\1", repl)
 
 
+def _java_regex(regex: str) -> str:
+    """Go (RE2) named groups are ``(?P<name>...)``; Java spells them
+    ``(?<name>...)``.  Translate so real Prometheus configs run."""
+    return regex.replace("(?P<", "(?<")
+
+
 def _anchored(regex: str) -> str:
-    return f"^(?:{regex})$"
+    return f"^(?:{_java_regex(regex)})$"
 
 
 def _hashmod(src: Column, modulus: int) -> Column:
-    # sum64(md5(src)): the top 8 bytes of the MD5 digest as an unsigned
-    # 64-bit integer (model/relabel sum64), mod the shard count.
-    # conv() parses the 16 hex chars as unsigned; decimal(38,0) holds
-    # the full uint64 range exactly, then pmod brings it into range.
-    top64 = F.conv(F.substring(F.md5(src), 1, 16), 16, 10).cast(
+    # sum64(md5(src)): the LAST 8 bytes of the MD5 digest as an
+    # unsigned 64-bit integer, mod the shard count — Prometheus's
+    # model/relabel is binary.BigEndian.Uint64(hash[8:]) (the historical
+    # sum64 shifted bytes 0-7 by >=64 bits, which in Go yields 0, so
+    # only bytes 8-15 ever counted; modern relabel.go preserves that
+    # "to give the same result as earlier versions").  Hex chars 17-32
+    # = digest bytes 8-15.  conv() parses the 16 hex chars as unsigned;
+    # decimal(38,0) holds the full uint64 range exactly, then pmod
+    # brings it into range.
+    low64 = F.conv(F.substring(F.md5(src), 17, 16), 16, 10).cast(
         "decimal(38,0)"
     )
-    return F.pmod(top64, F.lit(modulus)).cast("long")
+    return F.pmod(low64, F.lit(modulus)).cast("long")
 
 
 def apply_relabel(
@@ -164,6 +183,16 @@ def apply_relabel(
             df = df.filter(eq if cfg.action == "keepequal" else ~eq)
             continue
         if cfg.action == "replace":
+            if "$" in cfg.target_label:
+                # upstream expands $refs in target_label too, which
+                # yields a per-row DYNAMIC label name — impossible on a
+                # static column schema.  Fail loudly rather than write
+                # to a literal "$1" column.
+                raise ValueError(
+                    "replace with capture refs in target_label "
+                    f"({cfg.target_label!r}) is not supported: label "
+                    "names are static columns in this engine"
+                )
             src = _src(df, cfg)
             expanded = F.regexp_replace(
                 src, anchored, _java_replacement(cfg.replacement)
@@ -188,15 +217,21 @@ def apply_relabel(
                 _hashmod(_src(df, cfg), cfg.modulus).cast("string"),
             )
             continue
-        # schema-level actions: label NAMES are static columns
+        # schema-level actions: label NAMES are static columns,
+        # matched driver-side with Python re (Go's (?P<name>...) named
+        # groups are already Python syntax — no Java translation here)
         label_cols = [c for c in df.columns if c not in protected]
         import re as _re
 
-        rx = _re.compile(anchored)
+        rx = _re.compile(f"^(?:{cfg.regex})$")
         if cfg.action == "labelmap":
-            # Go Expand group refs ($1 / ${1}) -> Python re backrefs
-            pyrepl = _re.sub(r"\$\{(\w+)\}", r"\\\1", cfg.replacement)
+            # Go Expand group refs ($1 / ${1}) -> Python re backrefs;
+            # $$ is Go's literal $ (translate first so it's never
+            # mistaken for a ref)
+            pyrepl = cfg.replacement.replace("$$", "\x00")
+            pyrepl = _re.sub(r"\$\{(\w+)\}", r"\\\1", pyrepl)
             pyrepl = _re.sub(r"\$(\w+)", r"\\\1", pyrepl)
+            pyrepl = pyrepl.replace("\x00", "$")
             for c in label_cols:
                 if rx.match(c):
                     new = rx.sub(pyrepl, c)

@@ -458,7 +458,11 @@ def read_for_state(
         .filter(F.col("_rk") == 1)
         .select(
             *label_cols,
-            (F.col("value") * 1000).cast("long").alias("active_at"),
+            # round, don't truncate: active_at was stored as ms/1000.0
+            # and the double round-trip often lands at x-1e-4 ms —
+            # a bare cast would restore x-1 ms and flip boundary-exact
+            # `for` decisions (upstream persists integral Unix seconds)
+            F.round(F.col("value") * 1000).cast("long").alias("active_at"),
         )
     )
 
