@@ -183,7 +183,31 @@ def main() -> None:
     # a single sample inside such a window misreports the engine.  The
     # build (driver-side planning) is re-done each pass on purpose — it is
     # part of what a user pays.
+    # load guard (r13 verdict item 7): a capture STARTED on a contended
+    # host ships uniformly inflated numbers (r13's driver record began
+    # at loadavg 4.5 and showed ~40% phantom regressions that vanished
+    # on an idle rerun).  Wait — bounded — for the 1-minute loadavg to
+    # settle below the gate before timing anything; if it never does,
+    # the record says so loudly instead of masquerading as a clean run.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
+    load_waited = 0.0
+    while os.getloadavg()[0] > load_gate and load_waited < 120.0:
+        time.sleep(10.0)
+        load_waited += 10.0
     loadavg_start = os.getloadavg()
+    load_guard = {
+        "gate": load_gate,
+        "waited_s": round(load_waited, 1),
+        "start_exceeds_gate": bool(loadavg_start[0] > load_gate),
+    }
+    if load_guard["start_exceeds_gate"]:
+        print(
+            f"bench: WARNING loadavg {loadavg_start[0]:.2f} still above "
+            f"gate {load_gate} after {load_waited:.0f}s wait — timings "
+            "in this record are contention-inflated; rerun idle before "
+            "reading deltas",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     spreads: list[float] = []
     for name, fn in qs.items():
@@ -240,6 +264,7 @@ def main() -> None:
         # that without a re-run.  loadavg is the 1/5/15-min triple.
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in loadavg_end],
+        "load_guard": load_guard,
         "n_cpus": os.cpu_count(),
         "sample_spread_median": spread_median,
         "queries": timings,
@@ -304,6 +329,7 @@ def main() -> None:
         "cold": cold,
         "loadavg_start": result["loadavg_start"],
         "loadavg_end": result["loadavg_end"],
+        "load_guard": load_guard,
         "n_cpus": result["n_cpus"],
         "sample_spread_median": spread_median,
         "queries": {

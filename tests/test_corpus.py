@@ -52,56 +52,58 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round13_composition():
+def test_driver_window_round14_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-13 window so an accidental registry edit cannot silently push a
+    round-14 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import DEBUT_BACKLOG, REGISTRY
 
     window = list(REGISTRY)[:50]
     expected = {
-        # the 9 DEBUT_BACKLOG rows (q126-q134) lead, exactly as the
-        # r12 verdict pre-committed
-        *DEBUT_BACKLOG,
-        # round-13 debuts
-        "q135_otlp_exemplars", "q136_remote_read_streamed",
-        # the 30 round-12 deferrals, due back (no consecutive
-        # deferrals) — last driver green r10 (recorded index 9)
-        "q06_first_per_key", "q07_groupby_agg", "q08_time_containment",
-        "q09_label_values", "q12_dict_equality", "q13_zonemap_range",
-        "q17_chunk_samples_roundtrip", "q19_promql_count_over_time",
-        "q28_embedding_near_dup", "q29_multimodal_metadata",
-        "q30_text_analysis", "q31_json_props", "q33_semi_anti_join",
-        "q38_training_chunks", "q43_promql_counter_reset",
-        "q44_late_materialization", "q46_sessionize",
-        "q54_promql_comparison_filter", "q60_ivf_topk",
-        "q62_simhash_near_dup", "q64_promql_absent",
-        "q66_promql_set_ops", "q72_global_shuffle",
-        "q75_promql_holt_winters", "q81_kmeans_train",
-        "q98_exact_substring_removal", "q99_lm_perplexity_score",
-        "q102_promql_sort_by_label", "q103_xor_chunk_interop",
-        "q104_writer_layout_contract",
-        # 2-rounds-stale r11-green rows: round-13 implementation
-        # changes (q113 scrape spool, q78 absent-label matchers) +
-        # hubs / rows with no in-window kin
-        "q22_exact_dedup", "q78_promql_instant_absent",
-        "q87_bucket_ranged_read", "q89_streaming_rollup",
-        "q111_remote_write_ingest", "q113_scrape_text_parse",
-        "q117_store_delete_pass", "q120_wal_exemplars",
-        "q122_native_histogram_store_roundtrip",
+        # the 36 round-13 deferrals, due back (no consecutive
+        # deferrals) — last driver green r11 (recorded index 10)
+        "q05_distinct", "q11_predicate_order", "q14_multi_projection",
+        "q15_empty_result", "q18_label_values", "q24_simhash",
+        "q25_ngram_jaccard", "q26_cosine_topk", "q27_ann_lsh_topk",
+        "q35_distinct_counts", "q37_promql_topk_binary", "q40_rollup",
+        "q48_stratified_sample", "q50_promql_rate_extrapolated",
+        "q51_promql_without_at", "q52_promql_label_replace_clamp",
+        "q53_promql_histogram_quantile", "q55_promql_changes",
+        "q58_pack_sequences", "q61_gap_fill_linear",
+        "q67_promql_quantile_agg", "q68_promql_predict_linear",
+        "q69_decontaminate", "q70_repetition_stats", "q71_pii_redact",
+        "q74_promql_subquery", "q80_remove_boilerplate_lines",
+        "q88_promql_scalar_arithmetic", "q90_pq_adc_topk",
+        "q93_exact_substring_spans", "q95_media_transform",
+        "q96_sq8_quantized_topk", "q118_native_histogram_quantile",
+        "q119_native_histogram_fraction", "q121_wal_metric_metadata",
+        "q123_exemplar_store_query",
+        # round-14 debuts (r13-tests-only surfaces promoted to oracle
+        # rows per the r13 verdict)
+        "q137_relabel_sharding", "q138_promql_limit",
+        "q139_admin_delete_api", "q140_histogram_stddev",
+        # 2-stale + implementation changed this round (delta arms)
+        "q124_otlp_ingest",
+        # 2-rounds-stale r12-green family hubs / no-kin rows +
+        # headline rows as slots allow
+        "q01_scan_project", "q10_write_compact_roundtrip",
+        "q16_series_select", "q21_streaming_ingest", "q57_asof_join",
+        "q86_bucketed_colocated_join", "q94_http_object_store",
+        "q115_remote_write_push_to_promql",
+        "q116_block_farm_maintenance",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher
-    # (r12-green, 1 recorded round stale) may occupy a slot while a
+    # (r13-green, 1 recorded round stale) may occupy a slot while a
     # 2-rounds-stale row waits outside
     assert set(window) == expected, (
         sorted(expected - set(window)),
         sorted(set(window) - expected),
     )
     assert len(window) == len(set(window)) == 50
-    # the backlog rows lead the window in order, as pre-committed
-    assert tuple(window[:9]) == DEBUT_BACKLOG
+    # r12's q126-q134 backlog was fully absorbed in r13 — empty now
+    assert DEBUT_BACKLOG == ()
 
 
 def test_work_builders_publish_atomically():

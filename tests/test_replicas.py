@@ -104,3 +104,91 @@ def test_ts_bounds_prunes_and_matches_unbounded(replicated):
     # below the vote aggregate, not just the output clip
     optimized = bounded._jdf.queryExecution().optimizedPlan().toString()
     assert "1000" in optimized and "2999" in optimized
+
+
+def test_engine_samples_transform_bounded_vote(spark, tmp_path):
+    """The serve path's per-REQUEST bounded vote (r13 verdict #5):
+    `PromQLEngine(samples_transform=...)` applies the replica vote per
+    selector evaluation with THAT query's ts bounds — the vote's scan
+    reads only touched buckets (bounds pushed to EVERY parquet scan in
+    the plan), the replica label never appears as a series label, and
+    the answer equals deduping the whole store up front."""
+    import re
+
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("app", et, sh, rep, t * 60_000, float(t + ord(rep)))
+        for et in ("click", "view")
+        for sh in ("0", "1")
+        for rep in ("a", "b")
+        for t in range(1, 200)
+        # replica a misses a stretch, b misses another
+        if not (rep == "a" and 50 <= t < 80)
+        and not (rep == "b" and 120 <= t < 140)
+    ]
+    path = str(tmp_path / "replicated")
+    spark.createDataFrame(
+        rows,
+        "`__name__` STRING, event_type STRING, shard STRING, "
+        "replica STRING, ts LONG, value DOUBLE",
+    ).write.mode("overwrite").parquet(path)
+    base = spark.read.parquet(path)
+
+    def transform(df, lo, hi):
+        bounds = (lo, hi) if lo is not None and hi is not None else None
+        return dedup_replicas(df, "replica", window_ms=5 * 60_000,
+                              ts_bounds=bounds)
+
+    eng = PromQLEngine(base, samples_transform=transform)
+    assert "replica" not in eng.label_columns
+    assert "replica" not in eng.metadata_frame().columns
+
+    t0, t1, step = 60 * 60_000, 90 * 60_000, 10 * 60_000
+    out = eng.query_range("sum by (event_type) (app)", t0, t1, step)
+    # every scan in the plan carries the query's ts bounds — the vote
+    # aggregates only touched buckets, never unqueried history
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert scans and all("ts" in s for s in scans), scans
+
+    # answer parity vs the startup whole-store dedup
+    whole = PromQLEngine(dedup_replicas(base, "replica",
+                                        window_ms=5 * 60_000))
+    want = sorted(
+        (r["t"], r["event_type"], r["value"])
+        for r in whole.query_range(
+            "sum by (event_type) (app)", t0, t1, step
+        ).collect()
+    )
+    got = sorted(
+        (r["t"], r["event_type"], r["value"]) for r in out.collect()
+    )
+    assert got == want and got
+
+
+def test_api_server_hides_replica_with_transform(spark):
+    """/series over a transform engine: the replica label is projected
+    away (no winner vote on the metadata path) and the series set is
+    the deduped one."""
+    from tsdb_parquet_spark.api import series_result
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    rows = [
+        ("m", "x", rep, t, 1.0)
+        for rep in ("a", "b")
+        for t in (10, 20)
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, replica STRING, ts LONG, "
+        "value DOUBLE",
+    )
+
+    def transform(df, lo, hi):
+        bounds = (lo, hi) if lo is not None and hi is not None else None
+        return dedup_replicas(df, ts_bounds=bounds)
+
+    eng = PromQLEngine(base, samples_transform=transform)
+    series = series_result(eng, ["m"])
+    assert series == [{"__name__": "m", "job": "x"}]

@@ -172,12 +172,10 @@ def _match_frame(
     # a shared-scan engine (the server default) serves these metadata
     # queries from its checkpointed working set — matchers filter the
     # decoded frame instead of re-running scan+decode per request; a
-    # plain engine keeps the fully pushed-down scan
-    base = (
-        engine._samples_frame()
-        if getattr(engine, "_shared_scan", False)
-        else engine.samples
-    )
+    # plain engine keeps the fully pushed-down scan.  metadata_frame
+    # projects a samples_transform's schema (e.g. hides the replica
+    # label) without paying its per-row work.
+    base = engine.metadata_frame()
     frames = []
     for raw in selectors:
         node = parse_promql(raw)
@@ -232,11 +230,7 @@ def series_result(
 def _labels_source(engine, selectors, start_ms, end_ms) -> DataFrame | None:
     if selectors:
         return _match_frame(engine, selectors, start_ms, end_ms)
-    df = (
-        engine._samples_frame()
-        if getattr(engine, "_shared_scan", False)
-        else engine.samples
-    )
+    df = engine.metadata_frame()
     if start_ms is not None:
         df = df.filter(F.col("ts") >= F.lit(start_ms))
     if end_ms is not None:
@@ -346,7 +340,7 @@ def tsdb_status_result(engine, limit: int = 10) -> dict:
     from itertools import chain
 
     cols = list(engine.label_columns)
-    samples = engine.samples
+    samples = engine.metadata_frame()
     series = samples.select(*cols).dropDuplicates(cols)
 
     head = samples.agg(
@@ -927,6 +921,9 @@ class PromApiServer:
                     metric_label=old.metric_label,
                     extrapolate=old.extrapolate,
                     shared_scan=getattr(old, "_shared_scan", False),
+                    samples_transform=getattr(
+                        old, "samples_transform", None
+                    ),
                 )
         # 204 bodies must be empty: the count rides a header
         return 204, b"", err_ctype, {"X-Deleted-Samples": str(deleted)}

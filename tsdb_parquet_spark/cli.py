@@ -810,22 +810,36 @@ def cmd_serve(args) -> int:
                 paths.append(store)
         q = ChunkQuerier.from_stores(spark, paths)
         samples = q.select_samples(labels=labels)
+    transform = None
     if args.replica_label:
         from tsdb_parquet_spark.operators.replicas import dedup_replicas
 
-        # memory envelope: the vote's winner set is (series x buckets)
-        # of the SERVED store — unbounded here because shared_scan below
-        # materializes the deduped working set exactly once for all
-        # requests (per-query ts_bounds would re-vote per request); the
-        # join strategy is AQE's call, never a forced broadcast, so a
-        # large winner set degrades to a shuffled semi-join instead of
-        # OOMing the driver
-        samples = dedup_replicas(
-            samples, args.replica_label, window_ms=args.dedup_window
-        )
+        # per-REQUEST bounded vote (r13 verdict): instead of deduping
+        # the whole store once at startup (a full-store aggregate +
+        # semi-join before the first query answers — the 100 TB
+        # scale-killer), the vote runs per selector evaluation with
+        # that query's exact ts bounds, pruning to touched buckets
+        # before any shuffle.  Matcher pushdown still reaches the scan
+        # (Catalyst pushes label predicates through the vote plan);
+        # metadata endpoints project the replica label away without
+        # voting at all (PromQLEngine.metadata_frame).  The join
+        # strategy stays AQE's call — never a forced broadcast.
+        def transform(
+            df,
+            lo,
+            hi,
+            _lbl=args.replica_label,
+            _win=args.dedup_window,
+        ):
+            bounds = (lo, hi) if lo is not None and hi is not None else None
+            return dedup_replicas(df, _lbl, window_ms=_win, ts_bounds=bounds)
+
     # a server answers MANY queries over one working set: shared_scan
     # pays one decode and serves every request from the checkpoint
-    engine = PromQLEngine(samples, shared_scan=True)
+    # (the transform runs ABOVE the pinned blocks, per query)
+    engine = PromQLEngine(
+        samples, shared_scan=True, samples_transform=transform
+    )
     metadata = []
     if args.metadata:
         import json as _json
@@ -856,22 +870,14 @@ def cmd_serve(args) -> int:
         admin_root = args.store[0]
 
         def _rebuild_samples():
-            # the rebuilt frame must run the SAME pipeline as the one
-            # being served — in particular --replica-label dedup, or the
-            # first delete_series would silently resurrect duplicated
-            # samples (and the replica label as a queryable column)
-            s = ChunkQuerier.from_store(spark, admin_root).select_samples(
-                labels=labels
-            )
-            if args.replica_label:
-                from tsdb_parquet_spark.operators.replicas import (
-                    dedup_replicas,
-                )
-
-                s = dedup_replicas(
-                    s, args.replica_label, window_ms=args.dedup_window
-                )
-            return s
+            # the rebuilt frame runs the SAME pipeline as the served
+            # one; --replica-label dedup rides along automatically (the
+            # api server carries samples_transform onto the rebuilt
+            # engine), so delete_series cannot silently resurrect
+            # duplicated samples or the replica column
+            return ChunkQuerier.from_store(
+                spark, admin_root
+            ).select_samples(labels=labels)
 
         admin_kwargs = {
             "admin_store": admin_root,

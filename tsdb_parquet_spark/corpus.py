@@ -7118,7 +7118,13 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
     attribute) and (b) a monotonic CUMULATIVE SUM ``app.events`` with
     one day-end datapoint per event_type holding the running count —
     so both the per-point translation and the ``_total``-suffix rule
-    are part of the hash.  Resource carries ``service.name=app``
+    are part of the hash.  v3 adds (c) a DELTA-temporality monotonic
+    SUM ``app.events.delta`` carrying each day's per-event_type count
+    as an increment — the Prometheus 3.x experimental
+    delta->cumulative conversion (`otlp.otlp_frame(delta="convert")`)
+    must running-sum it into ``app_events_delta_total`` — and (d) a
+    DELTA-temporality HISTOGRAM that must stay skipped either way.
+    Resource carries ``service.name=app``
     (→ ``job``).  Driver-side build like the remote-write capture; the
     decode q124 measures is one ``mapInPandas`` task per payload.
 
@@ -7131,7 +7137,7 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
-    final = os.path.join(work, f"otlp_payloads_v2_{tag}")
+    final = os.path.join(work, f"otlp_payloads_v3_{tag}")
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
     ev = _cat(spark, sf_dir)["events"]
@@ -7164,6 +7170,10 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
             gauge_points[i : i + _OTLP_MAX_POINTS]
             for i in range(0, len(gauge_points), _OTLP_MAX_POINTS)
         ] or [[]]
+        delta_points = [
+            ({"event.type": e}, day_end, float(n))
+            for e, n in g.groupby("event_type", sort=True).size().items()
+        ]
         for i, chunk in enumerate(chunks):
             metrics = [
                 {"name": "app.events.value", "kind": "gauge",
@@ -7173,6 +7183,24 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
                 metrics.append(
                     {"name": "app.events", "kind": "sum",
                      "monotonic": True, "points": sum_points}
+                )
+                # the delta arm: per-day increments the convert mode
+                # must running-sum into app_events_delta_total
+                metrics.append(
+                    {"name": "app.events.delta", "kind": "sum",
+                     "monotonic": True, "temporality": "delta",
+                     "points": delta_points}
+                )
+                # a DELTA histogram: must be skipped by BOTH modes
+                metrics.append(
+                    {"name": "app.events.hist", "kind": "histogram",
+                     "temporality": "delta",
+                     "points": [({"event.type": e}, day_end,
+                                 int(n), float(n), [100.0],
+                                 [int(n), 0])
+                                for _, (e, n) in enumerate(
+                                    g.groupby("event_type", sort=True)
+                                    .size().items())]}
                 )
             body = encode_export_request([({"service.name": "app"},
                                            metrics)])
@@ -7205,10 +7233,18 @@ c AS (
          CAST(sum(n) OVER (
              PARTITION BY event_type ORDER BY t) AS DOUBLE) AS value
   FROM d
+),
+dc AS (
+  SELECT 'app_events_delta_total' AS metric, event_type, t AS ts,
+         CAST(sum(n) OVER (
+             PARTITION BY event_type ORDER BY t) AS DOUBLE) AS value
+  FROM d
 )
 SELECT * FROM g
 UNION ALL
 SELECT * FROM c
+UNION ALL
+SELECT * FROM dc
 ORDER BY metric, event_type, ts, value""",
 )
 def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7219,11 +7255,19 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     dotted names/attributes normalize to underscores, the resource's
     ``service.name`` becomes ``job``, and the monotonic cumulative sum
     gains ``_total`` — hash-matched vs DuckDB recomputing both metrics
-    (every gauge point; per-day running counts) from raw events."""
+    (every gauge point; per-day running counts) from raw events.
+    r14 adds the DELTA arms: ``delta="convert"`` running-sums the
+    delta sum's per-day increments into ``app_events_delta_total``
+    (one window over the delta subset only — the oracle recomputes the
+    same running sum), while the DELTA histogram riding the same
+    payloads must stay skipped (any leaked ``app_events_hist_*`` row
+    would break the hash)."""
     from tsdb_parquet_spark.otlp import otlp_frame
 
     payloads = spark.read.parquet(_events_otlp_payloads(spark, sf_dir))
-    out = otlp_frame(payloads, ["__name__", "event_type", "job"])
+    out = otlp_frame(
+        payloads, ["__name__", "event_type", "job"], delta="convert"
+    )
     return (
         out.filter(F.col("job") == "app")
         .select(
@@ -8152,6 +8196,423 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "shard", "ts", "value")
 
 
+@query(
+    "q137_relabel_sharding",
+    """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard, value
+  FROM events
+),
+r AS (
+  SELECT upper(event_type) AS etype_uc, shard, value,
+         CAST(CAST(('0x' || substring(
+                  md5(event_type || '-' || shard), 17, 16))
+              AS UBIGINT) % 5 AS VARCHAR) AS shard_mod
+  FROM s
+)
+SELECT etype_uc, shard_mod,
+       count(*) AS n_samples,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT shard) AS n_series
+FROM r WHERE shard_mod IN ('0', '2')
+GROUP BY etype_uc, shard_mod ORDER BY etype_uc, shard_mod""",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relabeling pipeline (`operators/relabel.py` — Prometheus
+    ``model/relabel``, the rewrite/routing language scrape and
+    remote-write configs share): captured exposition bodies parse
+    (`scrape.scrape_samples`), then a five-rule pipeline runs —
+    ``replace`` with Go ``${1}``/``$2`` group refs builds a synthetic
+    target string, ``hashmod`` shards it (sum64(md5) =
+    ``binary.BigEndian.Uint64(hash[8:])``, the LAST 8 bytes — the
+    Prometheus-compatible read the r13 verdict flagged), ``keep``
+    retains shards {0, 2} of 5, ``uppercase`` rewrites a label and
+    ``labeldrop`` removes the temporaries.  Every action is a Catalyst
+    column op (no shuffle before the final aggregate); the oracle
+    recomputes the shard assignment in DuckDB from md5 hex chars 17-32
+    — bit-for-bit shard agreement is the entire point of hashmod."""
+    from tsdb_parquet_spark.operators.relabel import (
+        apply_relabel,
+        parse_relabel_configs,
+    )
+    from tsdb_parquet_spark.scrape import scrape_samples
+
+    path = _events_scrape_payloads(spark, sf_dir)
+    payloads = spark.read.parquet(path).repartition(16)
+    samples = scrape_samples(payloads, ["__name__", "event_type", "shard"])
+    configs = parse_relabel_configs([
+        {"source_labels": ["event_type", "shard"], "separator": ":",
+         "regex": "(.+):(.+)", "target_label": "__tmp_target",
+         "replacement": "${1}-$2"},
+        {"action": "hashmod", "source_labels": ["__tmp_target"],
+         "modulus": 5, "target_label": "shard_mod"},
+        {"action": "keep", "source_labels": ["shard_mod"],
+         "regex": "0|2"},
+        {"action": "uppercase", "source_labels": ["event_type"],
+         "target_label": "etype_uc"},
+        {"action": "labeldrop", "regex": "__tmp_.*"},
+    ])
+    out = apply_relabel(samples, configs)
+    return (
+        out.groupBy("etype_uc", "shard_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("shard").alias("n_series"),
+        )
+        .orderBy("etype_uc", "shard_mod")
+    )
+
+
+@query(
+    "q138_promql_limit",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT *,
+         CAST(CAST(('0x' || substring(md5(
+             'event_type' || chr(30) || event_type || chr(31) ||
+             'shard' || chr(30) || shard), 1, 16)) AS UBIGINT) AS DOUBLE)
+             / 18446744073709551616.0 AS frac
+  FROM last
+),
+k AS (
+  SELECT t, event_type, shard, v FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY t ORDER BY frac, event_type, shard) AS rn
+    FROM h) WHERE rn <= 3
+)
+SELECT 'k' AS part, t, event_type, shard, round(v, 2) AS value FROM k
+UNION ALL
+SELECT 'r' AS part, t, event_type, shard, round(v, 2) AS value
+FROM h WHERE frac < 0.4
+UNION ALL
+SELECT 'c' AS part, t, event_type, shard, round(v, 2) AS value
+FROM h WHERE frac >= 0.4
+ORDER BY part, t, event_type, shard""",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``limitk`` / ``limit_ratio`` (`plans/promql.py`
+    PromLimit, the Prometheus 3.x experimental sampling aggregations):
+    ``limitk(3, app_events)`` keeps 3 series per step (one window),
+    ``limit_ratio(0.4, ...)`` keeps the deterministic ~40% sample
+    (a shuffle-free filter on the series-hash fraction) and
+    ``limit_ratio(-0.6, ...)`` its exact complement — the three arms
+    union under a ``part`` tag so the complement-partition contract
+    (``r`` + ``c`` = every series) is part of the hash.  The series
+    hash is md5 over the canonical labelset of the RESULT frame —
+    (event_type, shard); the plain selector drops ``__name__`` — top
+    8 bytes (documented deviation from upstream's xxhash — selection
+    is arbitrary-but-stable upstream too), which the DuckDB oracle
+    recomputes."""
+    engine = _promql_samples(spark, sf_dir)
+    parts = []
+    for tag, q in (
+        ("k", "limitk(3, app_events)"),
+        ("r", "limit_ratio(0.4, app_events)"),
+        ("c", "limit_ratio(-0.6, app_events)"),
+    ):
+        out = engine.query_range(
+            q, _P_START, _P_END, _P_STEP, lookback_ms=_P_LOOKBACK
+        )
+        parts.append(
+            out.select(
+                F.lit(tag).alias("part"),
+                "t",
+                "event_type",
+                "shard",
+                F.round("value", 2).alias("value"),
+            )
+        )
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return res.orderBy("part", "t", "event_type", "shard")
+
+
+def _q139_admin_store(spark: SparkSession, sf_dir: str) -> str:
+    """pid-scoped PRE-delete store for the admin-API row: the API
+    delete MUTATES the store, so it cannot be shared across processes
+    (a concurrent pytest/bench pair would race the rewrite); within one
+    process the delete is idempotent, so the build caches per pid."""
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.schema import sort_columns
+    from tsdb_parquet_spark.sources.writer import (
+        SortedParquetWriter,
+        WriterOptions,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"admin_store_{tag}-{os.getpid()}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    _shutil.rmtree(final, ignore_errors=True)
+    ev = _cat(spark, sf_dir)["events"]
+    samples = ev.select(
+        F.lit("app_events").alias("__name__"),
+        F.col("event_type"),
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.col("value"),
+    )
+    opts = WriterOptions(
+        sort_columns=sort_columns(_CHUNK_LABELS),
+        bloom_columns=[c for c in _CHUNK_LABELS if c != "__name__"],
+        max_files=16,
+    )
+    w = SortedParquetWriter(spark, final, opts)
+    w.write(samples_to_chunks(samples, _CHUNK_LABELS))
+    w.compact()
+    open(os.path.join(final, "_DONE"), "w").close()
+    return final
+
+
+@query(
+    "q139_admin_delete_api",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+kept AS (
+  SELECT * FROM s
+  WHERE NOT (event_type = 'view'
+             AND ts_ms BETWEEN {_TOMB_MIN} AND {_TOMB_MAX})
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, k.event_type, k.shard, arg_max(k.value, k.ts_ms) AS v
+  FROM steps st
+  JOIN kept k ON k.ts_ms > st.t - {_P_LOOKBACK} AND k.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, event_type, round(sum(v), 2) AS value
+FROM last GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB admin API round-trip (`api.py:_handle_admin`): ``POST
+    /api/v1/admin/tsdb/delete_series`` over a real socket — selector +
+    time bounds -> `sources.maintenance.delete_samples` surgical
+    rewrite -> the serving engine REBUILDS from ``samples_factory``
+    under the engine lock — then the same socket answers a
+    ``query_range`` whose matrix must hash-match DuckDB anti-filtering
+    the deleted interval from raw events.  q117 proves the store-side
+    delete pass; this row pins the API wiring and the rebuild's
+    immediate queryability (the Prometheus ``--web.enable-admin-api``
+    contract)."""
+    import urllib.parse
+    import urllib.request
+
+    from tsdb_parquet_spark.api import PromApiServer, api_query_range_rows
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.querier import ChunkQuerier
+
+    root = _q139_admin_store(spark, sf_dir)
+
+    def _samples():
+        return ChunkQuerier.from_store(spark, root).select_samples(
+            labels=_CHUNK_LABELS
+        )
+
+    engine = PromQLEngine(_samples(), shared_scan=False)
+    with PromApiServer(
+        engine,
+        lookback_ms=_P_LOOKBACK,
+        admin_store=root,
+        admin_label_names=_CHUNK_LABELS,
+        samples_factory=_samples,
+    ) as url:
+        qs = urllib.parse.urlencode(
+            {
+                "match[]": 'app_events{event_type="view"}',
+                "start": _TOMB_MIN / 1000.0,
+                "end": _TOMB_MAX / 1000.0,
+            }
+        )
+        req = urllib.request.Request(
+            f"{url}/api/v1/admin/tsdb/delete_series?{qs}",
+            data=b"",
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204, resp.status
+        rows = api_query_range_rows(
+            url,
+            "sum by (event_type) (app_events)",
+            _P_START,
+            _P_END,
+            _P_STEP,
+        )
+    data = [
+        (t, labels["event_type"], round(value, 2))
+        for t, labels, value in rows
+    ]
+    return spark.createDataFrame(
+        data, "t LONG, event_type STRING, value DOUBLE"
+    ).orderBy("t", "event_type")
+
+
+@query(
+    "q140_histogram_stddev",
+    f"""
+WITH obs AS (
+  SELECT event_type,
+         {_P_START} + ((epoch_ms(ts) - {_P_START} + {_P_STEP - 1})
+             // {_P_STEP}) * {_P_STEP} AS t,
+         value
+  FROM events
+  WHERE epoch_ms(ts) > {_P_START - _P_STEP}
+    AND epoch_ms(ts) <= {_P_END}
+),
+buckets AS (
+  SELECT event_type, t, le, CAST(count(*) AS DOUBLE) AS cnt
+  FROM obs, (SELECT unnest(['25', '100', '250', '+Inf']) AS le) u
+  WHERE le = '+Inf' OR value <= CAST(le AS DOUBLE)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT event_type, t, sum(value) AS s, count(*) AS c
+  FROM obs GROUP BY 1, 2
+),
+nb AS (
+  SELECT event_type, t,
+         CASE WHEN le = '+Inf' THEN CAST('inf' AS DOUBLE)
+              ELSE CAST(le AS DOUBLE) END AS le_n,
+         cnt
+  FROM buckets
+),
+w AS (
+  SELECT event_type, t, le_n, cnt,
+         lag(cnt, 1, 0.0) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_cnt,
+         lag(le_n) OVER (
+             PARTITION BY event_type, t ORDER BY le_n) AS prev_le
+  FROM nb
+),
+v AS (
+  SELECT w.event_type, w.t,
+         sum((cnt - prev_cnt) * pow(
+             CASE WHEN NOT isfinite(le_n) THEN prev_le
+                  WHEN prev_le IS NULL THEN
+                      (CASE WHEN le_n <= 0 THEN le_n ELSE le_n / 2 END)
+                  ELSE (prev_le + le_n) / 2 END
+             - st.s / st.c, 2)) / max(st.c) AS var
+  FROM w JOIN stats st ON st.event_type = w.event_type AND st.t = w.t
+  GROUP BY 1, 2
+)
+SELECT 'stddev' AS part, t, event_type, round(sqrt(var), 4) AS value
+FROM v
+UNION ALL
+SELECT 'stdvar' AS part, t, event_type, round(var, 4) AS value
+FROM v
+ORDER BY part, t, event_type""",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_stddev`` / ``histogram_stdvar`` (`plans/promql.py`
+    PromHistogramStd): bucket-wise population variance with arithmetic
+    midpoints (first bucket at le/2, +Inf at its finite lower edge)
+    against the EXACT ``_sum``/``_count`` mean — the native-histogram
+    moments lifted onto the classic reduction.  Fixture: per
+    (event_type, day) one cumulative-``le`` snapshot of that day's
+    events (``app_lat_bucket``/``_sum``/``_count`` series stamped at
+    the step boundary); one window + one grouped sum per arm, both
+    arms unioned under a ``part`` tag.  The oracle replays the same
+    lag/midpoint/variance pipeline in DuckDB."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    ev = _cat(spark, sf_dir)["events"]
+    obs = (
+        ev.filter(
+            (F.expr("ts div 1000000") > _P_START - _P_STEP)
+            & (F.expr("ts div 1000000") <= _P_END)
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"{_P_START} + ((ts div 1000000 - {_P_START} + "
+                f"{_P_STEP - 1}) div {_P_STEP}) * {_P_STEP}"
+            ).alias("ts"),
+            "value",
+        )
+    )
+    edges = F.array(*[F.lit(e) for e in _HQ_EDGES])
+    buckets = (
+        obs.select(
+            "event_type",
+            "ts",
+            F.explode(
+                F.filter(
+                    edges,
+                    lambda e: (e == "+Inf")
+                    | (F.col("value") <= e.cast("double")),
+                )
+            ).alias("le"),
+        )
+        .groupBy("event_type", "ts", "le")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.lit("app_lat_bucket").alias("__name__"),
+            "event_type",
+            "le",
+            "ts",
+            "value",
+        )
+    )
+    sums = (
+        obs.groupBy("event_type", "ts")
+        .agg(F.sum("value").alias("value"))
+        .select(
+            F.lit("app_lat_sum").alias("__name__"),
+            "event_type",
+            F.lit("").alias("le"),
+            "ts",
+            "value",
+        )
+    )
+    counts = (
+        obs.groupBy("event_type", "ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.lit("app_lat_count").alias("__name__"),
+            "event_type",
+            F.lit("").alias("le"),
+            "ts",
+            "value",
+        )
+    )
+    engine = PromQLEngine(buckets.unionByName(sums).unionByName(counts))
+    parts = []
+    for tag, q in (
+        ("stddev", "histogram_stddev(app_lat)"),
+        ("stdvar", "histogram_stdvar(app_lat)"),
+    ):
+        out = engine.query_range(
+            q, _P_START, _P_END, _P_STEP, lookback_ms=_P_LOOKBACK
+        )
+        parts.append(
+            out.select(
+                F.lit(tag).alias("part"),
+                "t",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+        )
+    return (
+        parts[0].unionByName(parts[1]).orderBy("part", "t", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -8163,254 +8624,172 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-13 window (registry 136 rows at rotation time).  Composition:
-#   * the 9 DEBUT_BACKLOG rows (registered mid-round-12 AFTER that
-#     window had executed the r11-pre-committed composition; never
-#     driver-checked, loudly queued for exactly one round): q126-q134
-#     lead the window as the r12 verdict pre-committed.
-#   * 2 round-13 debuts: q135 OTLP exemplar ingest (trace-id hex
-#     round-trip + the monotonic-sum `_total` keying) and q136
-#     remote-read STREAMED_XOR_CHUNKS (ChunkedWriter frames, XOR
-#     chunks encoded executor-side).
-#   * the 30 rows deferred in round 12 (the exact DEFERRED_WITH_
-#     COVERAGE set, last driver-green r10 == RECORDED index 9 — 3
-#     recorded rounds stale at the upcoming index 12, non-deferrable
-#     per the no-consecutive-deferral rule): q06 q07 q08 q09 q12 q13
-#     q17 q19 q28 q29 q30 q31 q33 q38 q43 q44 q46 q54 q60 q62 q64 q66
-#     q72 q75 q81 q98 q99 q102 q103 q104.
-#   * the 9 remaining slots go to 2-rounds-stale r11-green rows,
-#     chosen as rows whose implementation changed in round 13 or rows
-#     with no in-window kin: q113 (scrape spool publish went hidden-
-#     temp + glob this round), q78 (the absent-label matcher fix
-#     changed the selector path), q22 (exact-dedup hub for the dedup
-#     module), q87 (object-store ranged read — no kin in window),
-#     q89 (streaming rollup — streaming hub), q111 (remote-write
-#     ingest — no kin in window), q117 (store delete pass — no kin in
-#     window), q120 (WAL exemplars — WAL-records hub), q122 (native-
-#     histogram store roundtrip — native-histogram hub).
+# Round-14 window (registry 140 rows at rotation time).  Composition:
+#   * the 36 round-13 deferrals, due back (the exact r13
+#     DEFERRED_WITH_COVERAGE set, last driver-green r11 == RECORDED
+#     index 10 — 3 recorded rounds stale at the upcoming index 13,
+#     non-deferrable per the no-consecutive-deferral rule): q05 q11
+#     q14 q15 q18 q24 q25 q26 q27 q35 q37 q40 q48 q50 q51 q52 q53 q55
+#     q58 q61 q67 q68 q69 q70 q71 q74 q80 q88 q90 q93 q95 q96 q118
+#     q119 q121 q123.
+#   * 4 round-14 debuts (never driver-checked; each promotes an
+#     r13-tests-only surface to a driver oracle row, per the r13
+#     verdict): q137 relabeling (hashmod sharding, post-fix —
+#     Prometheus's LAST-8-bytes-of-md5), q138 limitk/limit_ratio
+#     (complement partition included), q139 admin delete_series API
+#     round-trip (rebuild queryability), q140 histogram_stddev/stdvar.
+#   * q124 (2-stale AND its implementation changed this round: the
+#     fixture gained the OTLP DELTA sum arm — `delta="convert"`
+#     running-sum — and a delta histogram that must stay skipped).
+#   * the 9 remaining slots go to 2-rounds-stale r12-green rows,
+#     chosen as family hubs with no other in-window kin (so the
+#     40 r12-green deferrals below all carry real coverage) plus the
+#     headline rows the r13 verdict asked for as slots allow:
+#     q01 (headline scan/project), q10 (writer/compact hub — covers
+#     q65/q83's store-write half), q16 (querier series-select hub —
+#     covers q45), q21 (streaming hub — covers q76), q57 (as-of join,
+#     no kin anywhere in window), q86 (bucketed co-located join hub —
+#     covers q32's join half), q94 (HTTP object-store read, no kin),
+#     q115 (remote-write push->promql, no kin), q116 (block-farm hub —
+#     covers the whole q77/q82/q105-q114 block family).
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09,r10,r11,r12 -> indices 1..11; the upcoming r13 record
-# is index 12).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09..r13 -> indices 1..12; the upcoming r14 record is
+# index 13).  tests/test_corpus.py implements the same indexing.
 #
-# Deferred to round 14 (2-rounds-stale r11-green rows that no longer
+# Deferred to round 15 (2-rounds-stale r12-green rows that no longer
 # fit; each with the in-window row(s) that still exercise its code
-# path):
-#   q05_distinct          -> q06 (same operators/distinct.py streaming
-#                            first-per-key kernel)
-#   q11_predicate_order   -> q12 + q13 (same pushdown/conjunction
-#                            surface Catalyst orders)
-#   q14_multi_projection  -> q44 (same querier projection path)
-#   q15_empty_result      -> q13 + q104 (pruning predicates + the
-#                            writer's bloom/zone-map options)
-#   q18_label_values      -> q09 (same querier label-values path)
-#   q24_simhash           -> q62 (same simhash kernel, banded join)
-#   q25_ngram_jaccard     -> q62 + q22 (dedup.py candidate-verify
-#                            family over the same documents)
-#   q26_cosine_topk       -> q60 (same similarity.py top-k kernel)
-#   q27_ann_lsh_topk      -> q60 (same top-k machinery, LSH arm
-#                            unit-pinned in tests/test_functions.py)
-#   q35_distinct_counts   -> q07 (same multi-distinct agg surface)
-#   q37_promql_topk_binary -> q102 + q54 (sort/topk machinery +
-#                            binary-op vector matching)
-#   q40_rollup            -> q07 (same native agg family; the
-#                            grouping-sets arm is unit-pinned)
-#   q48_stratified_sample -> q38 + q72 (same deterministic hash-draw
-#                            ordering machinery)
-#   q50_promql_rate_extrapolated -> q43 (same counter-reset/rate
-#                            kernel)
-#   q51_promql_without_at -> q19 (same count_over_time kernel; @ and
-#                            `without` arms unit-pinned)
-#   q52_promql_label_replace_clamp -> q19 + q102 (instant-agg grid +
-#                            label machinery)
-#   q53_promql_histogram_quantile -> q122 (histogram_quantile over
-#                            the native-histogram store roundtrip)
-#   q55_promql_changes    -> q43 (changes/resets are twin kernels)
-#   q58_pack_sequences    -> q128 (same packing/span machinery)
-#   q61_gap_fill_linear   -> q46 (same operators/gapfill.py module)
-#   q67_promql_quantile_agg -> q19 (same grid aggregation kernel)
-#   q68_promql_predict_linear -> q75 (same regression-over-window
-#                            family)
-#   q69_decontaminate     -> q98 (same substring-scrub machinery)
-#   q70_repetition_stats  -> q30 + q99 (text-analysis family)
-#   q71_pii_redact        -> q30 (JVM regexp text family)
-#   q74_promql_subquery   -> q19 + q75 (same over_time evaluation
-#                            kernels the subquery composes)
-#   q80_remove_boilerplate_lines -> q30 + q98 (text scrubbing family)
-#   q88_promql_scalar_arithmetic -> q54 (binary-op machinery)
-#   q90_pq_adc_topk       -> q60 (same quantized top-k family)
-#   q93_exact_substring_spans -> q98 (same span-matching machinery)
-#   q95_media_transform   -> q29 (same multimodal.py decode surface)
-#   q96_sq8_quantized_topk -> q60 (same quantized top-k family)
-#   q118_native_histogram_quantile -> q122 (same native-histogram
-#                            evaluation kernel)
-#   q119_native_histogram_fraction -> q122 (same kernel)
-#   q121_wal_metric_metadata -> q120 (same WAL record parse)
-#   q123_exemplar_store_query -> q120 + q135 (exemplar store write +
-#                            select path)
-# Every other out-of-window row is r12-green (1 recorded round stale
-# once r13 lands) and needs no deferral record.
-#: Machine-readable record of this round's window-overflow deferrals:
-#: row -> the in-window rows that still exercise its code path.  The
-#: rotation-invariant test (tests/test_corpus.py) enforces that any row
-#: whose last driver green is >= 2 RECORDED rounds old is either inside
-#: the 50-row window or recorded here with live in-window coverage — so
-#: the policy can't silently slip.
-#: Rows REGISTERED mid-round-12, after the 50-slot window had executed
-#: the round-11 verdict's pre-committed composition (the 27 rotation
-#: returns + q77 + the q125 debut + changed rows + stale hubs left no
-#: free slot).  Debuts cannot displace that commitment mid-round, so
-#: they queue here LOUDLY instead: every row in this tuple is
-#: tests-only this round (the full-registry DuckDB replica in
-#: tests/test_corpus.py::test_oracle_match is their gate) and MUST lead
-#: the round-13 window — the rotation-invariant test rejects any
-#: never-driver-checked row that is neither in the window nor in this
-#: backlog, and rejects a backlog row once a driver round has recorded
-#: while it sat outside the window (it cannot linger a second round).
-DEBUT_BACKLOG: tuple[str, ...] = (
-    "q126_query_api_roundtrip",
-    "q127_federate",
-    "q128_sequence_packing",
-    "q129_remote_read",
-    "q130_alerting_rule",
-    "q131_rule_group",
-    "q132_promql_info",
-    "q133_promql_ts_of",
-    "q134_replica_dedup",
-)
+# path).  NOTE for the r15 rotation: all 40 of these are due back —
+# they will consume 40 of r15's 50 slots, so r14 work should add at
+# most a handful of debuts:
+#   q02_eq_filter         -> q11 (same pushdown/predicate surface)
+#   q03_range_filter      -> q11 + q15 (range pushdown + pruning)
+#   q04_conjunction       -> q11 (same conjunction surface)
+#   q20_promql_instant_sum -> q67 (same instant-grid agg kernel)
+#   q23_minhash_lsh_pairs -> q25 + q24 (dedup.py candidate family;
+#                            q25 verifies ON the minhash-LSH pairs)
+#   q32_broadcast_join    -> q69 (broadcast join of the bench set) +
+#                            q86 (co-located join twin)
+#   q34_promql_rate       -> q50 (same counter-reset/rate kernel)
+#   q36_window_functions  -> q61 (gapfill is window machinery)
+#   q39_cleaning_pipeline -> q70 + q71 + q80 (the text-cleaning ops
+#                            the pipeline composes)
+#   q41_set_operations    -> q05 (distinct/set-op machinery)
+#   q42_promql_window_gt_step -> q50 (same overlapping-window eval)
+#   q45_multi_store_merge -> q16 (same querier select core; the
+#                            ""-fill merge arm is unit-pinned)
+#   q47_dedup_clusters    -> q24 + q25 (clusters consume the dedup
+#                            candidate pairs)
+#   q49_promql_on_group_left -> q37 (binary-op vector matching)
+#   q56_promql_quantile_over_time -> q67 + q74 (quantile kernel +
+#                            over_time composition)
+#   q59_ivf_assign        -> q90 + q96 (same similarity.py quantized
+#                            assignment machinery)
+#   q63_weighted_sample   -> q48 (same sampling.py hash-draw kernel)
+#   q65_rollup_store      -> q40 (rollup agg) + q10 (store write)
+#   q73_promql_time_functions -> q88 (scalar arithmetic machinery)
+#   q76_streaming_sessionize -> q21 (streaming ingest) + q61
+#                            (sessionize/gapfill module)
+#   q77_rollup_routing    -> q116 (the farm router IS the rollup
+#                            routing surface)
+#   q79_promql_sort_desc  -> q37 (same sort/topk machinery)
+#   q82_rollup_subquery_routing -> q116 + q74 (router + subquery)
+#   q83_store_maintenance -> q10 (sorted-part write + compact core)
+#   q84_ivf_partitioned_store -> q90 + q96 (quantized store family)
+#   q85_salted_distinct_count -> q35 (same distinct-count surface)
+#   q91_ivfpq_store_topk  -> q90 (same PQ/ADC kernel)
+#   q92_semantic_dedup    -> q26 (same cosine top-k kernel)
+#   q97_ivfpq_residual_topk -> q90 (same PQ/ADC kernel)
+#   q100_tsdb_stats       -> q18 (same querier stats/labels path)
+#   q101_png_pixel_pipeline -> q95 (same multimodal.py decode)
+#   q105_tsdb_block_convert -> q116 (block decode under the farm job)
+#   q106_block_convert_promql -> q116 (block decode -> query path)
+#   q107_multi_block_convert -> q116 (multi-block farm decode)
+#   q108_wal_head_drain   -> q121 (same WAL segment record parse)
+#   q109_data_dir_convert -> q121 + q116 (WAL parse + block decode)
+#   q110_promql_staleness -> q51 (same grid/lookback eval kernel)
+#   q112_block_export_roundtrip -> q116 (the farm job exports blocks)
+#   q114_block_compaction -> q116 (block merge under the farm job)
+#   q125_otlp_histogram_ingest -> q124 (same otlp.py decode path)
+# Every other out-of-window row is r13-green (1 recorded round stale
+# once r14 lands) and needs no deferral record.
+#: Rows REGISTERED mid-round after the window had executed a
+#: verdict-pre-committed composition queue here loudly for exactly one
+#: round (see the rotation-invariant test).  Round 14's four debuts
+#: fit inside the window, so the backlog is EMPTY — q126-q134 (the r12
+#: backlog) were all driver-checked green in CORRECTNESS_r13.
+DEBUT_BACKLOG: tuple[str, ...] = ()
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q05_distinct": ("q06_first_per_key",),
-    "q11_predicate_order": ("q12_dict_equality", "q13_zonemap_range"),
-    "q14_multi_projection": ("q44_late_materialization",),
-    "q15_empty_result": (
-        "q13_zonemap_range",
-        "q104_writer_layout_contract",
+    "q02_eq_filter": ("q11_predicate_order",),
+    "q03_range_filter": ("q11_predicate_order", "q15_empty_result"),
+    "q04_conjunction": ("q11_predicate_order",),
+    "q20_promql_instant_sum": ("q67_promql_quantile_agg",),
+    "q23_minhash_lsh_pairs": ("q25_ngram_jaccard", "q24_simhash"),
+    "q32_broadcast_join": (
+        "q69_decontaminate",
+        "q86_bucketed_colocated_join",
     ),
-    "q18_label_values": ("q09_label_values",),
-    "q24_simhash": ("q62_simhash_near_dup",),
-    "q25_ngram_jaccard": ("q62_simhash_near_dup", "q22_exact_dedup"),
-    "q26_cosine_topk": ("q60_ivf_topk",),
-    "q27_ann_lsh_topk": ("q60_ivf_topk",),
-    "q35_distinct_counts": ("q07_groupby_agg",),
-    "q37_promql_topk_binary": (
-        "q102_promql_sort_by_label",
-        "q54_promql_comparison_filter",
+    "q34_promql_rate": ("q50_promql_rate_extrapolated",),
+    "q36_window_functions": ("q61_gap_fill_linear",),
+    "q39_cleaning_pipeline": (
+        "q70_repetition_stats",
+        "q71_pii_redact",
+        "q80_remove_boilerplate_lines",
     ),
-    "q40_rollup": ("q07_groupby_agg",),
-    "q48_stratified_sample": (
-        "q38_training_chunks",
-        "q72_global_shuffle",
+    "q41_set_operations": ("q05_distinct",),
+    "q42_promql_window_gt_step": ("q50_promql_rate_extrapolated",),
+    "q45_multi_store_merge": ("q16_series_select",),
+    "q47_dedup_clusters": ("q24_simhash", "q25_ngram_jaccard"),
+    "q49_promql_on_group_left": ("q37_promql_topk_binary",),
+    "q56_promql_quantile_over_time": (
+        "q67_promql_quantile_agg",
+        "q74_promql_subquery",
     ),
-    "q50_promql_rate_extrapolated": ("q43_promql_counter_reset",),
-    "q51_promql_without_at": ("q19_promql_count_over_time",),
-    "q52_promql_label_replace_clamp": (
-        "q19_promql_count_over_time",
-        "q102_promql_sort_by_label",
+    "q59_ivf_assign": ("q90_pq_adc_topk", "q96_sq8_quantized_topk"),
+    "q63_weighted_sample": ("q48_stratified_sample",),
+    "q65_rollup_store": ("q40_rollup", "q10_write_compact_roundtrip"),
+    "q73_promql_time_functions": ("q88_promql_scalar_arithmetic",),
+    "q76_streaming_sessionize": (
+        "q21_streaming_ingest",
+        "q61_gap_fill_linear",
     ),
-    "q53_promql_histogram_quantile": (
-        "q122_native_histogram_store_roundtrip",
+    "q77_rollup_routing": ("q116_block_farm_maintenance",),
+    "q79_promql_sort_desc": ("q37_promql_topk_binary",),
+    "q82_rollup_subquery_routing": (
+        "q116_block_farm_maintenance",
+        "q74_promql_subquery",
     ),
-    "q55_promql_changes": ("q43_promql_counter_reset",),
-    "q58_pack_sequences": ("q128_sequence_packing",),
-    "q61_gap_fill_linear": ("q46_sessionize",),
-    "q67_promql_quantile_agg": ("q19_promql_count_over_time",),
-    "q68_promql_predict_linear": ("q75_promql_holt_winters",),
-    "q69_decontaminate": ("q98_exact_substring_removal",),
-    "q70_repetition_stats": (
-        "q30_text_analysis",
-        "q99_lm_perplexity_score",
+    "q83_store_maintenance": ("q10_write_compact_roundtrip",),
+    "q84_ivf_partitioned_store": (
+        "q90_pq_adc_topk",
+        "q96_sq8_quantized_topk",
     ),
-    "q71_pii_redact": ("q30_text_analysis",),
-    "q74_promql_subquery": (
-        "q19_promql_count_over_time",
-        "q75_promql_holt_winters",
+    "q85_salted_distinct_count": ("q35_distinct_counts",),
+    "q91_ivfpq_store_topk": ("q90_pq_adc_topk",),
+    "q92_semantic_dedup": ("q26_cosine_topk",),
+    "q97_ivfpq_residual_topk": ("q90_pq_adc_topk",),
+    "q100_tsdb_stats": ("q18_label_values",),
+    "q101_png_pixel_pipeline": ("q95_media_transform",),
+    "q105_tsdb_block_convert": ("q116_block_farm_maintenance",),
+    "q106_block_convert_promql": ("q116_block_farm_maintenance",),
+    "q107_multi_block_convert": ("q116_block_farm_maintenance",),
+    "q108_wal_head_drain": ("q121_wal_metric_metadata",),
+    "q109_data_dir_convert": (
+        "q121_wal_metric_metadata",
+        "q116_block_farm_maintenance",
     ),
-    "q80_remove_boilerplate_lines": (
-        "q30_text_analysis",
-        "q98_exact_substring_removal",
-    ),
-    "q88_promql_scalar_arithmetic": ("q54_promql_comparison_filter",),
-    "q90_pq_adc_topk": ("q60_ivf_topk",),
-    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
-    "q95_media_transform": ("q29_multimodal_metadata",),
-    "q96_sq8_quantized_topk": ("q60_ivf_topk",),
-    "q118_native_histogram_quantile": (
-        "q122_native_histogram_store_roundtrip",
-    ),
-    "q119_native_histogram_fraction": (
-        "q122_native_histogram_store_roundtrip",
-    ),
-    "q121_wal_metric_metadata": ("q120_wal_exemplars",),
-    "q123_exemplar_store_query": (
-        "q120_wal_exemplars",
-        "q135_otlp_exemplars",
-    ),
+    "q110_promql_staleness": ("q51_promql_without_at",),
+    "q112_block_export_roundtrip": ("q116_block_farm_maintenance",),
+    "q114_block_compaction": ("q116_block_farm_maintenance",),
+    "q125_otlp_histogram_ingest": ("q124_otlp_ingest",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 9 DEBUT_BACKLOG rows lead, exactly as the r12 verdict
-    # pre-committed (never driver-checked; registered mid-round-12)
-    "q126_query_api_roundtrip",
-    "q127_federate",
-    "q128_sequence_packing",
-    "q129_remote_read",
-    "q130_alerting_rule",
-    "q131_rule_group",
-    "q132_promql_info",
-    "q133_promql_ts_of",
-    "q134_replica_dedup",
-    # round-13 debuts (never driver-checked)
-    "q135_otlp_exemplars",
-    "q136_remote_read_streamed",
-    # the 30 rows deferred in round 12, due back (no consecutive
-    # deferrals) — last driver-green r10 (recorded index 9), 3 recorded
-    # rounds stale at the upcoming index 12
-    "q06_first_per_key",
-    "q07_groupby_agg",
-    "q08_time_containment",
-    "q09_label_values",
-    "q12_dict_equality",
-    "q13_zonemap_range",
-    "q17_chunk_samples_roundtrip",
-    "q19_promql_count_over_time",
-    "q28_embedding_near_dup",
-    "q29_multimodal_metadata",
-    "q30_text_analysis",
-    "q31_json_props",
-    "q33_semi_anti_join",
-    "q38_training_chunks",
-    "q43_promql_counter_reset",
-    "q44_late_materialization",
-    "q46_sessionize",
-    "q54_promql_comparison_filter",
-    "q60_ivf_topk",
-    "q62_simhash_near_dup",
-    "q64_promql_absent",
-    "q66_promql_set_ops",
-    "q72_global_shuffle",
-    "q75_promql_holt_winters",
-    "q81_kmeans_train",
-    "q98_exact_substring_removal",
-    "q99_lm_perplexity_score",
-    "q102_promql_sort_by_label",
-    "q103_xor_chunk_interop",
-    "q104_writer_layout_contract",
-    # 2-rounds-stale r11-green rows: round-13 implementation changes
-    # (q113 scrape spool publish, q78 absent-label matcher semantics)
-    # + coverage hubs / rows with no in-window kin
-    "q22_exact_dedup",
-    "q78_promql_instant_absent",
-    "q87_bucket_ranged_read",
-    "q89_streaming_rollup",
-    "q111_remote_write_ingest",
-    "q113_scrape_text_parse",
-    "q117_store_delete_pass",
-    "q120_wal_exemplars",
-    "q122_native_histogram_store_roundtrip",
-    # position 51+ — outside the driver cap: the documented round-14
-    # deferrals first, then registry order
+    # the 36 round-13 deferrals, due back (no consecutive deferrals) —
+    # last driver-green r11 (recorded index 10), 3 recorded rounds
+    # stale at the upcoming index 13
     "q05_distinct",
     "q11_predicate_order",
     "q14_multi_projection",
@@ -8447,6 +8826,67 @@ _DRIVER_PRIORITY: list[str] = [
     "q119_native_histogram_fraction",
     "q121_wal_metric_metadata",
     "q123_exemplar_store_query",
+    # round-14 debuts (never driver-checked; r13-tests-only surfaces
+    # promoted to oracle rows per the r13 verdict)
+    "q137_relabel_sharding",
+    "q138_promql_limit",
+    "q139_admin_delete_api",
+    "q140_histogram_stddev",
+    # 2-stale + implementation changed this round (OTLP delta arms)
+    "q124_otlp_ingest",
+    # 2-rounds-stale r12-green family hubs / no-kin rows + the
+    # headline rows the r13 verdict asked for as slots allow
+    "q01_scan_project",
+    "q10_write_compact_roundtrip",
+    "q16_series_select",
+    "q21_streaming_ingest",
+    "q57_asof_join",
+    "q86_bucketed_colocated_join",
+    "q94_http_object_store",
+    "q115_remote_write_push_to_promql",
+    "q116_block_farm_maintenance",
+    # position 51+ — outside the driver cap: the documented round-15
+    # deferrals first (all 40 due back next round), then registry order
+    "q02_eq_filter",
+    "q03_range_filter",
+    "q04_conjunction",
+    "q20_promql_instant_sum",
+    "q23_minhash_lsh_pairs",
+    "q32_broadcast_join",
+    "q34_promql_rate",
+    "q36_window_functions",
+    "q39_cleaning_pipeline",
+    "q41_set_operations",
+    "q42_promql_window_gt_step",
+    "q45_multi_store_merge",
+    "q47_dedup_clusters",
+    "q49_promql_on_group_left",
+    "q56_promql_quantile_over_time",
+    "q59_ivf_assign",
+    "q63_weighted_sample",
+    "q65_rollup_store",
+    "q73_promql_time_functions",
+    "q76_streaming_sessionize",
+    "q77_rollup_routing",
+    "q79_promql_sort_desc",
+    "q82_rollup_subquery_routing",
+    "q83_store_maintenance",
+    "q84_ivf_partitioned_store",
+    "q85_salted_distinct_count",
+    "q91_ivfpq_store_topk",
+    "q92_semantic_dedup",
+    "q97_ivfpq_residual_topk",
+    "q100_tsdb_stats",
+    "q101_png_pixel_pipeline",
+    "q105_tsdb_block_convert",
+    "q106_block_convert_promql",
+    "q107_multi_block_convert",
+    "q108_wal_head_drain",
+    "q109_data_dir_convert",
+    "q110_promql_staleness",
+    "q112_block_export_roundtrip",
+    "q114_block_compaction",
+    "q125_otlp_histogram_ingest",
 ]
 
 

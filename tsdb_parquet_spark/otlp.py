@@ -898,7 +898,12 @@ def encode_export_request(resource_batches) -> bytes:
                         _put_len_delim(p, 9, _enc_keyvalue(k, str(v)))
                     _put_len_delim(body, 1, bytes(p))
                 _put_key(body, 2, 0)
-                _put_uvarint(body, _CUMULATIVE)
+                _put_uvarint(
+                    body,
+                    _DELTA
+                    if metric.get("temporality") == "delta"
+                    else _CUMULATIVE,
+                )
                 _put_len_delim(m, 9, bytes(body))
             elif kind == "exponential_histogram":
                 body = bytearray()

@@ -1383,6 +1383,7 @@ class PromQLEngine:
         metric_label: str = "__name__",
         extrapolate: bool = False,
         shared_scan: bool = False,
+        samples_transform=None,
     ):
         #: ``extrapolate=True`` enables Prometheus's window-edge
         #: extrapolation for rate/increase (see _range_value); the default
@@ -1413,6 +1414,28 @@ class PromQLEngine:
         #: working set rebuilt at the next query (_shared_scan_alive).
         self._shared_scan = shared_scan
         self._scan_pin: DataFrame | None = None
+        #: ``samples_transform``: an optional per-query frame rewrite,
+        #: ``(samples, start_ms | None, end_ms | None) -> DataFrame``
+        #: (inclusive ts bounds; None = unbounded), applied to the base
+        #: frame at every selector evaluation with THAT selector's exact
+        #: window — the hook the serve path uses for per-request-bounded
+        #: HA replica dedup (`operators.replicas.dedup_replicas` with
+        #: ``ts_bounds``) instead of a startup full-store vote.  The
+        #: contract: the transform may drop label columns (e.g. the
+        #: replica label) and drop/choose rows, but must not CHANGE the
+        #: series set of the surviving rows — metadata endpoints read
+        #: the transformed SCHEMA off the base frame without paying the
+        #: per-row work (:meth:`metadata_frame`).  Matcher filters apply
+        #: ABOVE the transform; Catalyst pushes label predicates through
+        #: the vote's window/aggregate/semi-join to both scan sides
+        #: (verified in the physical plan), so pushdown is preserved.
+        self.samples_transform = samples_transform
+        schema_src = (
+            samples
+            if samples_transform is None
+            else samples_transform(samples, None, None)
+        )
+        self._transformed_cols = list(schema_src.columns)
         #: staleness-aware mode: a boolean ``is_stale`` column (e.g. from
         #: `tsdb_wal.wal_to_samples_frame(stale="mark")`) flags Prometheus
         #: stale markers.  Instant selections return NO value for a series
@@ -1420,10 +1443,10 @@ class PromQLEngine:
         #: terminates the lookback, exactly Prometheus's staleness rule);
         #: range selections exclude markers entirely (they are not
         #: samples).  Without the column, behavior is unchanged.
-        self.stale_aware = "is_stale" in samples.columns
+        self.stale_aware = "is_stale" in schema_src.columns
         self.label_columns = [
             c
-            for c in samples.columns
+            for c in schema_src.columns
             if c not in ("ts", "value", "is_stale")
         ]
 
@@ -1431,12 +1454,39 @@ class PromQLEngine:
         """Selector input: the raw samples plan, or the engine-lifetime
         checkpoint when ``shared_scan`` is on.  Deliberately NOT dropped
         by :meth:`release_cache` — that method scopes per-evaluation CSE
-        pins; this pin is the cross-evaluation working set."""
+        pins; this pin is the cross-evaluation working set.  The pin is
+        PRE-transform: a ``samples_transform`` runs above the
+        checkpointed blocks per query, so e.g. the replica vote
+        aggregates in-memory data bounded to the query's buckets."""
         if not self._shared_scan:
             return self.samples
         if self._scan_pin is None:
             self._scan_pin = self.samples.localCheckpoint(eager=False)
         return self._scan_pin
+
+    def bounded_samples(
+        self, start_ms: int | None = None, end_ms: int | None = None
+    ) -> DataFrame:
+        """The base samples frame with ``samples_transform`` applied at
+        the given inclusive ts bounds — the per-query entry point for
+        protocol servers (remote-read) that compile their own matchers
+        and time filters instead of going through a PromQL node."""
+        base = self._samples_frame()
+        if self.samples_transform is not None:
+            base = self.samples_transform(base, start_ms, end_ms)
+        return base
+
+    def metadata_frame(self) -> DataFrame:
+        """Samples frame for metadata reads (series/labels/values/
+        federate/stats): the TRANSFORMED schema projected straight off
+        the base frame, without the transform's per-row work — under
+        the transform contract (it never changes the series set) a
+        series/labels answer is identical either way, and e.g. the
+        replica label stays hidden while the winner vote is skipped."""
+        base = self._samples_frame()
+        if self.samples_transform is None:
+            return base
+        return base.select(*self._transformed_cols)
 
     def _shared_scan_alive(self) -> bool:
         """True when every materialized block of the shared-scan
@@ -2419,11 +2469,17 @@ class PromQLEngine:
         self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
     ) -> DataFrame:
         window_ms = expr.range_ms if expr.func else lookback_ms
+        off = expr.offset_ms
 
         matchers = list(expr.matchers)
         if expr.metric:
             matchers.append(Matcher(self.metric_label, "=", expr.metric))
-        df = self._samples_frame()
+        # the per-query transform (e.g. bounded replica vote) sees THIS
+        # selector's exact pre-offset-shift window; matcher filters
+        # apply above it and Catalyst pushes them through to the scan
+        df = self.bounded_samples(
+            start_ms - window_ms - off + 1, end_ms - off
+        )
         selector_matches_nothing = False
         for m in matchers:
             if m.name in df.columns:
@@ -2446,7 +2502,6 @@ class PromQLEngine:
         # offset modifier shifts the BOUNDS (plain ts comparisons still
         # reach the parquet scan as pushed filters), then shifts the
         # surviving timestamps so all downstream step math is unchanged
-        off = expr.offset_ms
         df = df.filter(
             (F.col("ts") > F.lit(start_ms - window_ms - off))
             & (F.col("ts") <= F.lit(end_ms - off))

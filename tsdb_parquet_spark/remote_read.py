@@ -226,7 +226,10 @@ def serve_read_request(engine, body: bytes) -> bytes:
     cols = list(engine.label_columns)
     results = []
     for start_ms, end_ms, matchers in queries:
-        df = engine.samples
+        # bounded_samples applies the engine's per-query transform
+        # (e.g. the replica vote pruned to this query's buckets);
+        # without one it is the plain samples frame
+        df = engine.bounded_samples(int(start_ms), int(end_ms))
         dead = False
         for m in matchers:
             if m.name in df.columns:
@@ -414,7 +417,7 @@ def serve_read_request_streamed(
     cols = list(engine.label_columns)
     sorted_cols = sorted(cols)
     for qi, (start_ms, end_ms, matchers) in enumerate(queries):
-        df = engine.samples
+        df = engine.bounded_samples(int(start_ms), int(end_ms))
         dead = False
         for m in matchers:
             if m.name in df.columns:

@@ -509,6 +509,13 @@ def evaluate_rule_group(
                 merged,
                 metric_label=current.metric_label,
                 extrapolate=current.extrapolate,
+                # a per-query transform (e.g. replica dedup) carries
+                # over; recording rows ""-fill any transform-only
+                # column, so e.g. a replica="" rule series trivially
+                # wins its own vote — semantics unchanged
+                samples_transform=getattr(
+                    current, "samples_transform", None
+                ),
             )
         elif isinstance(rule, AlertingRule):
             results[rule.alert] = evaluate_alerting_rule(
