@@ -562,3 +562,79 @@ def test_status_flags_and_runtimeinfo(api):
     assert rt["startTime"].endswith("Z")
     assert rt["reloadConfigSuccess"] is True
     assert rt["GOMAXPROCS"] >= 1
+
+
+def test_streamed_read_midstream_failure_closes_connection(
+    engine, monkeypatch
+):
+    """A Spark failure while draining the streamed /api/v1/read body
+    (headers already sent) must NOT write a 500 JSON envelope into the
+    chunked-frame stream — the server just closes, and the client sees
+    a truncated body that fails frame parsing (its error signal)."""
+    import http.client
+    import urllib.parse
+
+    from tsdb_parquet_spark import api as api_mod
+    from tsdb_parquet_spark.remote_read import (
+        STREAMED_XOR_CHUNKS,
+        decode_streamed_read_body,
+        encode_read_request,
+        serve_read_request_streamed,
+    )
+    from tsdb_parquet_spark.remote_write import frame_payload
+
+    real = serve_read_request_streamed
+
+    def exploding(eng, body, **kw):
+        frames = real(eng, body, **kw)
+        yield next(frames)  # one good frame, then a mid-drain failure
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(
+        api_mod, "_test_streamed_hook", exploding, raising=False
+    )
+    # patch the module-level symbol the handler imports
+    import tsdb_parquet_spark.remote_read as rr
+
+    monkeypatch.setattr(rr, "serve_read_request_streamed", exploding)
+
+    server = PromApiServer(engine)
+    url = server.start()
+    try:
+        from tsdb_parquet_spark.operators.selection import Matcher
+
+        body = frame_payload(
+            encode_read_request(
+                [(0, 2_000_000, [Matcher("__name__", "=", "app_events")])],
+                accepted=[STREAMED_XOR_CHUNKS],
+            )
+        )
+        parsed = urllib.parse.urlparse(url)
+        conn = http.client.HTTPConnection(
+            parsed.hostname, parsed.port, timeout=30
+        )
+        conn.request(
+            "POST",
+            "/api/v1/read",
+            body=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200  # headers were already committed
+        raw = resp.read()  # truncated stream, connection closed
+        # no JSON error envelope leaked into the frame body
+        assert b'"errorType"' not in raw and b"HTTP/1.1 500" not in raw
+        # the truncated tail either fails the client's frame parse
+        # (the error signal) or, when the cut lands exactly on a frame
+        # boundary, parses as a shorter-than-complete response — both
+        # are clean failures, unlike a JSON envelope spliced mid-frame
+        try:
+            decode_streamed_read_body(raw, 1)
+        except Exception:
+            pass  # CRC/uvarint parse failure: expected
+    finally:
+        conn.close()
+        server.stop()
