@@ -543,12 +543,16 @@ class PromLimit:
     complement, upstream's contract).
 
     Determinism (documented deviation): upstream samples on
-    ``labels.Hash()`` (xxhash); here the hash is the top 8 bytes of
+    ``labels.Hash()`` (xxhash); here the hash is the TOP 8 bytes of
     ``md5`` over the canonical labelset (sorted ``label=value`` pairs,
-    absent labels omitted) — the same primitive `operators/relabel`'s
-    ``hashmod`` uses — so selection is stable across engines and
-    reproducible in any SQL oracle.  Each series hashes identically at
-    every step, so the sample is consistent over time like upstream's.
+    absent labels omitted) so selection is stable across engines and
+    reproducible in any SQL oracle (q138 recomputes it in DuckDB).
+    Unlike `operators/relabel`'s ``hashmod`` — which must take the
+    LAST 8 digest bytes for bit-exact Prometheus shard agreement —
+    limitk's selection is documented as arbitrary upstream, so no
+    byte-order compatibility constraint applies; only the complement
+    contract does.  Each series hashes identically at every step, so
+    the sample is consistent over time like upstream's.
     """
 
     k: int | None
