@@ -108,8 +108,18 @@ HEAVY_TSDB = [
     "q122_native_histogram_store_roundtrip",
     "q123_exemplar_store_query",
     # OTLP ingest at 10x: ~10x the datapoints per captured POST body,
-    # decode one task per payload
+    # decode one task per payload (+ the r14 delta->cumulative window)
     "q124_otlp_ingest",
+    # the r14 additions at 10x: relabel pipeline over ~1M scrape lines
+    # (all-JVM column ops after the parse), limitk/limit_ratio series
+    # hashing over 10x samples, and the stddev/stdvar bucket variance
+    # over 10x observations.  q139 (admin delete API) is deliberately
+    # absent: it builds + mutates a pid-scoped store per call and its
+    # scale surfaces are q117 (delete pass) + q126 (API wire), both
+    # probed.
+    "q137_relabel_sharding",
+    "q138_promql_limit",
+    "q140_histogram_stddev",
 ]
 
 HEAVY = [
@@ -482,6 +492,15 @@ def main() -> None:
             # chunk frames (XOR encode + CRC per frame) over 10x samples
             "q135_otlp_exemplars",
             "q136_remote_read_streamed",
+            # r14 additions at 10x: the hashmod shard assignment must
+            # agree with DuckDB's md5 recomputation over 10x lines, the
+            # limit family's complement partition must stay exact over
+            # 10x series-step pairs, the stddev variance over 10x
+            # observations, and the OTLP delta running sum over 10x
+            # increments (q124 above now carries the delta arms too)
+            "q137_relabel_sharding",
+            "q138_promql_limit",
+            "q140_histogram_stddev",
         ]
         results = {}
         for name in names:

@@ -8356,6 +8356,18 @@ def _q139_admin_store(spark: SparkSession, sf_dir: str) -> str:
     final = os.path.join(work, f"admin_store_{tag}-{os.getpid()}")
     if os.path.exists(os.path.join(final, "_DONE")):
         return final
+    # sweep siblings left by dead pids so .work never accumulates one
+    # mutated store per historical bench/pytest process
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(work, f"admin_store_{tag}-*")):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            _shutil.rmtree(stale, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
     _shutil.rmtree(final, ignore_errors=True)
     ev = _cat(spark, sf_dir)["events"]
     samples = ev.select(
