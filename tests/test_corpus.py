@@ -102,8 +102,10 @@ def test_driver_window_round14_composition():
         sorted(set(window) - expected),
     )
     assert len(window) == len(set(window)) == 50
-    # r12's q126-q134 backlog was fully absorbed in r13 — empty now
-    assert DEBUT_BACKLOG == ()
+    # r12's q126-q134 backlog was absorbed in r13; the r14-registered
+    # q141/q142 (rules API state, alert restore) queue for round 15
+    assert DEBUT_BACKLOG == ("q141_rules_api", "q142_alert_restore")
+    assert not set(DEBUT_BACKLOG) & set(window)
 
 
 def test_work_builders_publish_atomically():
@@ -256,7 +258,7 @@ def test_rotation_invariant_no_silent_staleness():
         if name not in latest_checked and latest_checked != set():
             # the round the backlog was created in is allowed; any LATER
             # recorded round must have absorbed the row
-            stale_rounds = latest_round - 11  # backlog created for r12
+            stale_rounds = latest_round - 14  # backlog created mid-r14
             assert stale_rounds <= 0 or name in window, (
                 f"{name}: backlog row missed the r{latest_round} window"
             )

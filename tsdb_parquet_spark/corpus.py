@@ -8625,6 +8625,276 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q141_rules_api",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_END - 3 * _P_STEP}, {_P_END + 1},
+                              {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT t, event_type, sum(v) AS value FROM last GROUP BY 1, 2
+),
+act AS (SELECT * FROM v WHERE value > 150),
+lagged AS (
+  SELECT t, event_type, value,
+         lag(t) OVER (PARTITION BY event_type ORDER BY t) AS prev_t
+  FROM act
+),
+isl AS (
+  SELECT t, event_type, value,
+         sum(CASE WHEN prev_t IS NULL OR t - prev_t > {_P_STEP}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY t) AS island
+  FROM lagged
+),
+st AS (
+  SELECT t, event_type, value,
+         min(t) OVER (PARTITION BY event_type, island) AS istart
+  FROM isl
+)
+SELECT 'HighEventsApi' AS alertname, event_type,
+       CASE WHEN t - istart >= {_DAY_MS} THEN 'firing'
+            ELSE 'pending' END AS alertstate,
+       istart AS active_at,
+       round(value, 2) AS value
+FROM st WHERE t = {_P_END} ORDER BY event_type""",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GET /api/v1/rules?time=T`` live alert state
+    (`api.rules_result`): the endpoint evaluates each alerting rule's
+    state machine over a window long enough to resolve ``for`` at the
+    group's interval (``ceil((for + keep_firing_for + 2*interval) /
+    interval)`` steps back from T) and answers per-series alerts with
+    state / ActiveAt / Go-'f' value — the promtool/Grafana surface.
+    The full JSON wire round-trips over a real socket (ISO-8601
+    ActiveAt reparsed to epoch ms); the oracle replays the same
+    clipped-window gaps-and-islands machine at t = T in DuckDB."""
+    import json as _json
+    import urllib.request
+    from datetime import datetime
+
+    from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.rules import AlertingRule, RuleGroup
+
+    engine = _promql_samples(spark, sf_dir)
+    group = RuleGroup(
+        "api",
+        (
+            AlertingRule(
+                "HighEventsApi",
+                "sum by (event_type) (app_events) > 150",
+                for_ms=_DAY_MS,
+            ),
+        ),
+        interval_ms=_P_STEP,
+    )
+    with PromApiServer(
+        engine, lookback_ms=_P_LOOKBACK, rule_groups=[group]
+    ) as url:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/rules?time={_P_END / 1000.0}"
+        ) as resp:
+            doc = _json.load(resp)
+    [g] = doc["data"]["groups"]
+    [rule] = g["rules"]
+    rows = []
+    for a in rule["alerts"]:
+        active_ms = int(
+            datetime.fromisoformat(
+                a["activeAt"].replace("Z", "+00:00")
+            ).timestamp()
+            * 1000
+        )
+        rows.append(
+            (
+                a["labels"]["alertname"],
+                a["labels"].get("event_type", ""),
+                a["state"],
+                active_ms,
+                round(float(a["value"]), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "alertname STRING, event_type STRING, alertstate STRING, "
+        "active_at LONG, value DOUBLE",
+    ).orderBy("event_type")
+
+
+_Q142_MID = _P_START + 14 * _P_STEP  # "restart" boundary: Jan 16
+_Q142_EXPR = "sum by (event_type) (app_events) > 150"
+
+
+def _events_restore_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the FIRST-half rule write-back store for the
+    restart-restore row: one `run_rule_group_to_store` interval over
+    [_P_START, _Q142_MID] persisting ALERTS + ALERTS_FOR_STATE — the
+    state a real rule manager would have on disk when the process
+    bounces."""
+    from tsdb_parquet_spark.rules import (
+        AlertingRule,
+        RuleGroup,
+        run_rule_group_to_store,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"restore_store_{tag}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    engine = _promql_samples(spark, sf_dir)
+    group = RuleGroup(
+        "restore",
+        (
+            AlertingRule(
+                "HighEventsRestore", _Q142_EXPR, for_ms=2 * _DAY_MS
+            ),
+        ),
+        interval_ms=_P_STEP,
+    )
+    with _staged_publish(final, marker="_DONE") as build:
+        _counts, writer = run_rule_group_to_store(
+            spark,
+            engine,
+            group,
+            build,
+            ["__name__", "alertname", "alertstate", "event_type"],
+            _P_START,
+            _Q142_MID,
+            _P_STEP,
+            lookback_ms=_P_LOOKBACK,
+        )
+        writer.compact()
+        open(os.path.join(build, "_DONE"), "w").close()
+    return final
+
+
+@query(
+    "q142_alert_restore",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, s.event_type, s.shard, arg_max(s.value, s.ts_ms) AS v
+  FROM steps st
+  JOIN s ON s.ts_ms > st.t - {_P_LOOKBACK} AND s.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT t, event_type, sum(v) AS value FROM last GROUP BY 1, 2
+),
+act AS (SELECT * FROM v WHERE value > 150),
+l1 AS (
+  SELECT t, event_type,
+         lag(t) OVER (PARTITION BY event_type ORDER BY t) AS prev_t
+  FROM act WHERE t <= {_Q142_MID}
+),
+i1 AS (
+  SELECT t, event_type,
+         sum(CASE WHEN prev_t IS NULL OR t - prev_t > {_P_STEP}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY t) AS island
+  FROM l1
+),
+s1 AS (
+  SELECT t, event_type,
+         min(t) OVER (PARTITION BY event_type, island) AS istart
+  FROM i1
+),
+restored AS (
+  SELECT event_type, arg_max(istart, t) AS r_active FROM s1 GROUP BY 1
+),
+l2 AS (
+  SELECT t, event_type, value,
+         lag(t) OVER (PARTITION BY event_type ORDER BY t) AS prev_t
+  FROM act WHERE t > {_Q142_MID}
+),
+i2 AS (
+  SELECT t, event_type, value,
+         sum(CASE WHEN prev_t IS NULL OR t - prev_t > {_P_STEP}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY t) AS island
+  FROM l2
+),
+s2 AS (
+  SELECT t, event_type, value,
+         min(t) OVER (PARTITION BY event_type, island) AS istart
+  FROM i2
+),
+j AS (
+  SELECT s2.t, s2.event_type, s2.value,
+         CASE WHEN s2.istart = {_Q142_MID + _P_STEP}
+                   AND r.r_active IS NOT NULL
+              THEN r.r_active ELSE s2.istart END AS active_at
+  FROM s2 LEFT JOIN restored r ON r.event_type = s2.event_type
+)
+SELECT t, 'HighEventsRestore' AS alertname, event_type,
+       CASE WHEN t - active_at >= {2 * _DAY_MS} THEN 'firing'
+            ELSE 'pending' END AS alertstate,
+       active_at, round(value, 2) AS value
+FROM j ORDER BY t, event_type""",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert ``for``-state restore across restarts (`rules.py`
+    `read_for_state` + `evaluate_alerting_rule(restored_active_at=)`):
+    the first half of the range evaluates and PERSISTS
+    ``ALERTS_FOR_STATE`` to a store (fixture); this row plays the
+    post-bounce process — it reads the restore series back through a
+    `ChunkQuerier`, hands the latest ActiveAt per series to the second
+    half's evaluation, and a series still active at the first
+    post-restart step keeps its pre-restart clock (a straddling island
+    fires EARLIER than a fresh clock would allow — Prometheus's
+    restore semantics).  The oracle replays both halves' islands plus
+    the adoption rule in DuckDB."""
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.rules import (
+        AlertingRule,
+        evaluate_alerting_rule,
+        read_for_state,
+    )
+
+    engine = _promql_samples(spark, sf_dir)
+    store = _events_restore_store(spark, sf_dir)
+    samples = ChunkQuerier.from_store(spark, store).select_samples(
+        labels=["__name__", "alertname", "alertstate", "event_type"]
+    )
+    restored = read_for_state(samples, "HighEventsRestore")
+    rule = AlertingRule(
+        "HighEventsRestore", _Q142_EXPR, for_ms=2 * _DAY_MS
+    )
+    out = evaluate_alerting_rule(
+        engine,
+        rule,
+        _Q142_MID + _P_STEP,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+        restored_active_at=restored,
+    )
+    return out.select(
+        "t",
+        "alertname",
+        "event_type",
+        "alertstate",
+        "active_at",
+        F.round("value", 2).alias("value"),
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -8728,10 +8998,22 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once r14 lands) and needs no deferral record.
 #: Rows REGISTERED mid-round after the window had executed a
 #: verdict-pre-committed composition queue here loudly for exactly one
-#: round (see the rotation-invariant test).  Round 14's four debuts
-#: fit inside the window, so the backlog is EMPTY — q126-q134 (the r12
+#: round (see the rotation-invariant test).  q126-q134 (the r12
 #: backlog) were all driver-checked green in CORRECTNESS_r13.
-DEBUT_BACKLOG: tuple[str, ...] = ()
+#: Registered MID-round-14, after the r14 window was pinned (its
+#: exact-set composition test and all 40 deferral coverage entries
+#: depend on the 9 hub slots, so a late debut cannot displace one):
+#: q141 /api/v1/rules live alert state (clipped-window island machine
+#: + ISO ActiveAt wire round-trip) and q142 alert `for`-state restore
+#: across restarts (ALERTS_FOR_STATE write-back -> read_for_state ->
+#: restored_active_at adoption; 45 of 63 sf0.01 rows differ from a
+#: fresh clock, so the restore is load-bearing in the hash).  Both are
+#: tests-plus-local-oracle only this round and MUST lead the round-15
+#: window.
+DEBUT_BACKLOG: tuple[str, ...] = (
+    "q141_rules_api",
+    "q142_alert_restore",
+)
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q02_eq_filter": ("q11_predicate_order",),
