@@ -569,12 +569,14 @@ def test_streamed_read_midstream_failure_closes_connection(
 ):
     """A Spark failure while draining the streamed /api/v1/read body
     (headers already sent) must NOT write a 500 JSON envelope into the
-    chunked-frame stream — the server just closes, and the client sees
-    a truncated body that fails frame parsing (its error signal)."""
+    chunked-frame stream — and because the failure usually lands on a
+    whole-frame boundary (Spark work happens between yields), a bare
+    close would parse as a complete-but-shorter response.  The server
+    writes a poison trailer (nonzero uvarint length, no body) so every
+    client rejects the stream as truncated."""
     import http.client
     import urllib.parse
 
-    from tsdb_parquet_spark import api as api_mod
     from tsdb_parquet_spark.remote_read import (
         STREAMED_XOR_CHUNKS,
         decode_streamed_read_body,
@@ -590,10 +592,7 @@ def test_streamed_read_midstream_failure_closes_connection(
         yield next(frames)  # one good frame, then a mid-drain failure
         raise RuntimeError("executor lost")
 
-    monkeypatch.setattr(
-        api_mod, "_test_streamed_hook", exploding, raising=False
-    )
-    # patch the module-level symbol the handler imports
+    # patch the module-level symbol the handler imports at request time
     import tsdb_parquet_spark.remote_read as rr
 
     monkeypatch.setattr(rr, "serve_read_request_streamed", exploding)
@@ -627,14 +626,10 @@ def test_streamed_read_midstream_failure_closes_connection(
         raw = resp.read()  # truncated stream, connection closed
         # no JSON error envelope leaked into the frame body
         assert b'"errorType"' not in raw and b"HTTP/1.1 500" not in raw
-        # the truncated tail either fails the client's frame parse
-        # (the error signal) or, when the cut lands exactly on a frame
-        # boundary, parses as a shorter-than-complete response — both
-        # are clean failures, unlike a JSON envelope spliced mid-frame
-        try:
+        # the poison trailer guarantees the client CANNOT mistake the
+        # truncation for a complete response — frame parse must fail
+        with pytest.raises(ValueError, match="truncated chunked frame"):
             decode_streamed_read_body(raw, 1)
-        except Exception:
-            pass  # CRC/uvarint parse failure: expected
     finally:
         conn.close()
         server.stop()

@@ -235,3 +235,21 @@ def test_bad_configs_raise():
         RelabelConfig(action="hashmod", target_label="x")
     with pytest.raises(ValueError, match="requires target_label"):
         RelabelConfig(action="replace", target_label="")
+
+
+def test_protected_sample_columns_rejected(frame):
+    """'value'/'ts' are legal Prometheus label names but are the sample
+    payload here — any rule writing (or comparing against) them must
+    fail loudly instead of corrupting samples."""
+    with pytest.raises(ValueError, match="protected sample column"):
+        apply_relabel(
+            frame,
+            [RelabelConfig(action="hashmod", source_labels=("job",),
+                           modulus=8, target_label="value")],
+        )
+    with pytest.raises(ValueError, match="protected sample column"):
+        apply_relabel(
+            frame,
+            [RelabelConfig(action="labelmap", regex="(job)",
+                           replacement="value")],
+        )

@@ -192,3 +192,37 @@ def test_api_server_hides_replica_with_transform(spark):
     eng = PromQLEngine(base, samples_transform=transform)
     series = series_result(eng, ["m"])
     assert series == [{"__name__": "m", "job": "x"}]
+
+
+def test_federate_values_go_through_the_vote(spark):
+    """/federate returns VALUES, not metadata: with a transform engine
+    it must export the vote WINNER's latest sample — a losing replica's
+    later stray sample must not leak (the metadata-only projection
+    would have returned it)."""
+    from tsdb_parquet_spark.api import render_federate
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+    from tsdb_parquet_spark.scrape import parse_exposition
+
+    rows = [
+        # bucket 0 (W=1000): replica a has 3 samples (wins);
+        # replica b has 1 LATER sample that must not be exported
+        ("m", "x", "a", 10, 1.0),
+        ("m", "x", "a", 20, 2.0),
+        ("m", "x", "a", 30, 3.0),
+        ("m", "x", "b", 40, 99.0),
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, replica STRING, ts LONG, "
+        "value DOUBLE",
+    )
+
+    def transform(df, lo, hi):
+        bounds = (lo, hi) if lo is not None and hi is not None else None
+        return dedup_replicas(df, window_ms=W, ts_bounds=bounds)
+
+    eng = PromQLEngine(base, samples_transform=transform)
+    text = render_federate(eng, ["m"], time_ms=500, lookback_ms=1000)
+    [(labels, value, ts_ms)] = list(parse_exposition(text))
+    assert "replica" not in labels
+    assert (ts_ms, value) == (30, 3.0)  # winner's latest, not b's 99.0

@@ -163,19 +163,29 @@ def _match_frame(
     selectors: Sequence[str],
     start_ms: int | None,
     end_ms: int | None,
+    values: bool = False,
 ) -> DataFrame | None:
     """Samples matching ANY of the ``match[]`` selectors inside
     [start, end] — the shared core of series/labels/values/federate.
     Returns None when every selector is statically empty (a matcher on
     a label the store does not carry that does not match "" — the
-    Prometheus absent-label-is-"" convention)."""
+    Prometheus absent-label-is-"" convention).
+
+    ``values=True`` marks a VALUE-returning caller (federate): the
+    engine's per-query transform (e.g. the replica winner vote) runs
+    with these exact bounds so exported samples match what the query
+    endpoints serve.  The default serves series/label METADATA, where
+    the transform contract guarantees the answer is identical without
+    the per-row work — only the transformed schema is projected."""
     # a shared-scan engine (the server default) serves these metadata
     # queries from its checkpointed working set — matchers filter the
     # decoded frame instead of re-running scan+decode per request; a
-    # plain engine keeps the fully pushed-down scan.  metadata_frame
-    # projects a samples_transform's schema (e.g. hides the replica
-    # label) without paying its per-row work.
-    base = engine.metadata_frame()
+    # plain engine keeps the fully pushed-down scan.
+    base = (
+        engine.bounded_samples(start_ms, end_ms)
+        if values
+        else engine.metadata_frame()
+    )
     frames = []
     for raw in selectors:
         node = parse_promql(raw)
@@ -434,7 +444,8 @@ def render_federate(
     with ``max(struct(ts, value))`` (map-side combined, deterministic on
     ties) -> grid-bounded collect for text rendering."""
     df = _match_frame(
-        engine, selectors, time_ms - lookback_ms + 1, time_ms
+        engine, selectors, time_ms - lookback_ms + 1, time_ms,
+        values=True,
     )
     if df is None:
         return ""
@@ -1025,17 +1036,25 @@ class PromApiServer:
                             # headers are out: a mid-stream failure can
                             # no longer become a 500 envelope — falling
                             # through to _send() would write a second
-                            # status line into the frame body.  Close
-                            # the connection instead; the truncated
-                            # stream fails the client's uvarint/CRC
-                            # parse, which IS the error signal.
+                            # status line into the frame body.  Spark
+                            # work happens between WHOLE-frame yields,
+                            # so a bare close would usually land on a
+                            # frame boundary and parse as a complete
+                            # (shorter!) response — write a poison
+                            # trailer instead: a nonzero uvarint length
+                            # with no body, which every client rejects
+                            # as a truncated chunked frame.  THAT is
+                            # the loud error signal.
                             try:
                                 for frame in serve_read_request_streamed(
                                     outer.engine, raw
                                 ):
                                     self.wfile.write(frame)
                             except Exception:
-                                pass
+                                try:
+                                    self.wfile.write(b"\x7f")
+                                except Exception:
+                                    pass  # socket already gone
                             self.close_connection = True
                             return
                         resp = serve_read_request(outer.engine, raw)

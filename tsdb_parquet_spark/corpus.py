@@ -7140,6 +7140,10 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
     final = os.path.join(work, f"otlp_payloads_v3_{tag}")
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # the v2 fixture (pre-delta-arms) is dead weight once v3 exists
+    _shutil.rmtree(
+        os.path.join(work, f"otlp_payloads_v2_{tag}"), ignore_errors=True
+    )
     ev = _cat(spark, sf_dir)["events"]
     rows = (
         ev.select(
@@ -7192,15 +7196,13 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
                      "points": delta_points}
                 )
                 # a DELTA histogram: must be skipped by BOTH modes
+                # (same per-day counts as the delta sum's increments)
                 metrics.append(
                     {"name": "app.events.hist", "kind": "histogram",
                      "temporality": "delta",
-                     "points": [({"event.type": e}, day_end,
-                                 int(n), float(n), [100.0],
-                                 [int(n), 0])
-                                for _, (e, n) in enumerate(
-                                    g.groupby("event_type", sort=True)
-                                    .size().items())]}
+                     "points": [(attrs, ts, int(n), float(n),
+                                 [100.0], [int(n), 0])
+                                for attrs, ts, n in delta_points]}
                 )
             body = encode_export_request([({"service.name": "app"},
                                            metrics)])

@@ -168,6 +168,15 @@ def apply_relabel(
     ``labelkeep`` never remove them."""
     protected = tuple(protected)
     for cfg in configs:
+        if cfg.target_label in protected:
+            # 'value'/'ts' are legal Prometheus LABEL names, but here
+            # they are the sample payload columns — a write action
+            # targeting one would silently corrupt every sample.
+            # Fail loudly like the $-in-target_label guard.
+            raise ValueError(
+                f"{cfg.action} target_label {cfg.target_label!r} is a "
+                "protected sample column in this engine"
+            )
         anchored = _anchored(cfg.regex)
         if cfg.action in ("keep", "drop"):
             m = _src(df, cfg).rlike(anchored)
@@ -235,6 +244,11 @@ def apply_relabel(
             for c in label_cols:
                 if rx.match(c):
                     new = rx.sub(pyrepl, c)
+                    if new in protected:
+                        raise ValueError(
+                            f"labelmap would overwrite protected "
+                            f"sample column {new!r}"
+                        )
                     if new and new != c:
                         df = df.withColumn(new, F.col(c))
             continue
