@@ -770,8 +770,10 @@ def cmd_serve(args) -> int:
     /metadata, /status/tsdb, /api/v1/read (remote-read), /federate.
     Repeat ``--store`` to fan several stores into one series set
     (schemas merged, missing labels ""), and pass ``--replica-label``
-    to dedup HA pairs Thanos-Query-style (`operators.replicas`) before
-    the engine sees them.  Prints the base URL on stdout (flushed) and
+    to dedup HA pairs Thanos-Query-style (`operators.replicas`) — the
+    vote runs per REQUEST, bounded to each query's time range, never as
+    a startup full-store aggregate.  Prints the base URL on stdout
+    (flushed) and
     serves until interrupted or ``--max-seconds`` elapses —
     cron/systemd-friendly, the read twin of ``ingest``."""
     from tsdb_parquet_spark.api import PromApiServer
