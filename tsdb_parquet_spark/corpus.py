@@ -7138,12 +7138,12 @@ def _events_otlp_payloads(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
     final = os.path.join(work, f"otlp_payloads_v3_{tag}")
-    if os.path.exists(os.path.join(final, "_SUCCESS")):
-        return final
-    # the v2 fixture (pre-delta-arms) is dead weight once v3 exists
+    # the v2 fixture (pre-delta-arms) is dead weight once v3 is wanted
     _shutil.rmtree(
         os.path.join(work, f"otlp_payloads_v2_{tag}"), ignore_errors=True
     )
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
     ev = _cat(spark, sf_dir)["events"]
     rows = (
         ev.select(
