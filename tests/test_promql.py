@@ -1619,3 +1619,47 @@ def test_limit_ratio_bounds(spark):
         ).count()
         == 3
     )
+
+
+def test_utf8_quoted_names(spark):
+    """Prometheus 3.x UTF-8 name syntax: bare-brace selectors
+    (`{__name__="x"}`), quoted metric names (`{"my.metric"}` — any
+    chars legal in the VALUE, UTF-8 names are almost always metric
+    names), and the quoted LABEL-name matcher form.  Label COLUMNS
+    themselves stay Spark-identifier-safe — every ingestor normalizes
+    attribute keys Prometheus-style (dots -> underscores)."""
+    rows = [
+        ("app.events", "click", "1", 60_000, 2.0),
+        ("app.events", "view", "2", 60_000, 3.0),
+        ("other", "click", "1", 60_000, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` STRING, event_type STRING, shard STRING, "
+        "ts LONG, value DOUBLE",
+    )
+    eng = PromQLEngine(df)
+    t = 60_000
+    # bare-brace form
+    out = eng.query_range('{__name__="other"}', t, t, 60_000).collect()
+    assert len(out) == 1 and out[0]["value"] == 9.0
+    # quoted metric name (dots are 2.x-invalid ident chars)
+    out = eng.query_range('{"app.events"}', t, t, 60_000).collect()
+    assert sorted(r["value"] for r in out) == [2.0, 3.0]
+    # quoted label NAME in a matcher
+    out = eng.query_range(
+        '{"app.events", "event_type"="view"}', t, t, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 3.0
+    # aggregation over the quoted selector
+    out = eng.query_range(
+        'sum({"app.events"})', t, t, 60_000
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 5.0
+
+
+def test_utf8_name_errors(spark):
+    with pytest.raises(ValueError, match="set twice"):
+        parse_promql('app_events{"other"}')
+    with pytest.raises(ValueError, match="at least one matcher"):
+        parse_promql("{}")

@@ -61,7 +61,10 @@ class Matcher:
         raise ValueError(f"unsupported matcher op {self.op!r}")
 
     def to_column(self) -> Column:
-        col = F.col(self.name)
+        # backtick-quote: UTF-8 label names (Prometheus 3.x quoted
+        # syntax) may contain dots, which a bare F.col would read as
+        # struct access
+        col = F.col("`" + self.name.replace("`", "``") + "`")
         if self.op == EQ:
             return col == F.lit(self.value)
         if self.op == NEQ:

@@ -25,9 +25,13 @@ small recursive-descent parser for the subset
     histacc  := ('histogram_count'|'histogram_sum'|'histogram_avg') '(' selector ')'
     histstd  := ('histogram_stddev'|'histogram_stdvar') '(' selector ')'
     selector := metric ['{' matcher (',' matcher)* '}'] [modifiers]
+              | '{' matcher (',' matcher)* '}' [modifiers]
+                (bare-brace form; Prometheus 3.x UTF-8 names ride it:
+                 a bare '"name"' element is the metric name, a quoted
+                 '"label name"' may front any matcher)
     modifiers:= ['offset' ['-'] duration]
                 ['@' (number | 'start()' | 'end()')]
-    matcher  := label ('='|'!='|'=~'|'!~') '"' value '"'
+    matcher  := (label | '"' label '"') ('='|'!='|'=~'|'!~') '"' value '"'
     matching := ('on'|'ignoring') '(' [label (',' label)*] ')'
                 [('group_left'|'group_right') ['(' [label...] ')']]
     AGGOP    := sum | min | max | count | avg | stddev | stdvar | group
@@ -1279,15 +1283,39 @@ class _Parser:
             else:
                 return
 
-    def _matcher_block(self) -> list[Matcher]:
-        """``{name op "value", ...}`` with the ``{`` NOT yet consumed."""
+    def _matcher_block(self, metric_set: bool = False) -> list[Matcher]:
+        """``{name op "value", ...}`` with the ``{`` NOT yet consumed.
+
+        Prometheus 3.x UTF-8 name syntax rides the same braces: a BARE
+        quoted string is the metric name (``{"my.metric", lbl="x"}`` ==
+        ``__name__="my.metric"``), and a quoted string followed by an
+        op is a quoted LABEL name (``{"label.name"="v"}``) — names no
+        longer restricted to the classic ident charset."""
         self.expect("{")
         matchers: list[Matcher] = []
+        name_seen = metric_set
         while True:
             k, name = self.next()
             if name == "}":
                 break
-            if k != "ident":
+            if k == "string":
+                k2, nxt = self.peek()
+                if nxt in (",", "}"):
+                    # bare quoted string == the metric name
+                    if name_seen:
+                        raise ValueError(
+                            "metric name must not be set twice: "
+                            f"{name!r}"
+                        )
+                    name_seen = True
+                    matchers.append(
+                        Matcher("__name__", "=", name[1:-1])
+                    )
+                    if nxt == ",":
+                        self.next()
+                    continue
+                name = name[1:-1]  # quoted label NAME
+            elif k != "ident":
                 raise ValueError(f"expected label name, got {name!r}")
             _, op = self.next()
             if op not in ("=", "!=", "=~", "!~"):
@@ -1302,13 +1330,20 @@ class _Parser:
         return matchers
 
     def _selector(self) -> PromExpr:
-        kind, metric = self.next()
-        if kind != "ident":
-            raise ValueError(f"expected metric name, got {metric!r}")
+        k, tok = self.peek()
+        metric = ""
+        if tok != "{":
+            kind, metric = self.next()
+            if kind != "ident":
+                raise ValueError(f"expected metric name, got {metric!r}")
         matchers: list[Matcher] = []
         k, tok = self.peek()
         if tok == "{":
-            matchers = self._matcher_block()
+            matchers = self._matcher_block(metric_set=bool(metric))
+        if not metric and not matchers:
+            raise ValueError(
+                "vector selector must contain at least one matcher"
+            )
         sel = PromExpr(metric=metric, matchers=matchers)
         # instant-selector modifiers (`m offset 1h @ 1704153600`); a range
         # selector's modifiers follow the `[dur]` bracket (see _func)
