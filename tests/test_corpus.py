@@ -52,60 +52,57 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round14_composition():
+def test_driver_window_round15_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-14 window so an accidental registry edit cannot silently push a
+    round-15 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import DEBUT_BACKLOG, REGISTRY
 
     window = list(REGISTRY)[:50]
     expected = {
-        # the 36 round-13 deferrals, due back (no consecutive
-        # deferrals) — last driver green r11 (recorded index 10)
-        "q05_distinct", "q11_predicate_order", "q14_multi_projection",
-        "q15_empty_result", "q18_label_values", "q24_simhash",
-        "q25_ngram_jaccard", "q26_cosine_topk", "q27_ann_lsh_topk",
-        "q35_distinct_counts", "q37_promql_topk_binary", "q40_rollup",
-        "q48_stratified_sample", "q50_promql_rate_extrapolated",
-        "q51_promql_without_at", "q52_promql_label_replace_clamp",
-        "q53_promql_histogram_quantile", "q55_promql_changes",
-        "q58_pack_sequences", "q61_gap_fill_linear",
-        "q67_promql_quantile_agg", "q68_promql_predict_linear",
-        "q69_decontaminate", "q70_repetition_stats", "q71_pii_redact",
-        "q74_promql_subquery", "q80_remove_boilerplate_lines",
-        "q88_promql_scalar_arithmetic", "q90_pq_adc_topk",
-        "q93_exact_substring_spans", "q95_media_transform",
-        "q96_sq8_quantized_topk", "q118_native_histogram_quantile",
-        "q119_native_histogram_fraction", "q121_wal_metric_metadata",
-        "q123_exemplar_store_query",
-        # round-14 debuts (r13-tests-only surfaces promoted to oracle
-        # rows per the r13 verdict)
-        "q137_relabel_sharding", "q138_promql_limit",
-        "q139_admin_delete_api", "q140_histogram_stddev",
-        # 2-stale + implementation changed this round (delta arms)
-        "q124_otlp_ingest",
-        # 2-rounds-stale r12-green family hubs / no-kin rows +
-        # headline rows as slots allow
-        "q01_scan_project", "q10_write_compact_roundtrip",
-        "q16_series_select", "q21_streaming_ingest", "q57_asof_join",
-        "q86_bucketed_colocated_join", "q94_http_object_store",
-        "q115_remote_write_push_to_promql",
-        "q116_block_farm_maintenance",
+        # the 2 r14 DEBUT_BACKLOG rows, leading as pre-committed
+        "q141_rules_api", "q142_alert_restore",
+        # the 40 round-14 deferrals, due back (no consecutive
+        # deferrals) — last driver green r12 (recorded index 11)
+        "q02_eq_filter", "q03_range_filter", "q04_conjunction",
+        "q20_promql_instant_sum", "q23_minhash_lsh_pairs",
+        "q32_broadcast_join", "q34_promql_rate",
+        "q36_window_functions", "q39_cleaning_pipeline",
+        "q41_set_operations", "q42_promql_window_gt_step",
+        "q45_multi_store_merge", "q47_dedup_clusters",
+        "q49_promql_on_group_left", "q56_promql_quantile_over_time",
+        "q59_ivf_assign", "q63_weighted_sample", "q65_rollup_store",
+        "q73_promql_time_functions", "q76_streaming_sessionize",
+        "q77_rollup_routing", "q79_promql_sort_desc",
+        "q82_rollup_subquery_routing", "q83_store_maintenance",
+        "q84_ivf_partitioned_store", "q85_salted_distinct_count",
+        "q91_ivfpq_store_topk", "q92_semantic_dedup",
+        "q97_ivfpq_residual_topk", "q100_tsdb_stats",
+        "q101_png_pixel_pipeline", "q105_tsdb_block_convert",
+        "q106_block_convert_promql", "q107_multi_block_convert",
+        "q108_wal_head_drain", "q109_data_dir_convert",
+        "q110_promql_staleness", "q112_block_export_roundtrip",
+        "q114_block_compaction", "q125_otlp_histogram_ingest",
+        # 2-rounds-stale r13-green family hubs / no-kin rows
+        "q07_groupby_agg", "q87_bucket_ranged_read",
+        "q111_remote_write_ingest", "q113_scrape_text_parse",
+        "q122_native_histogram_store_roundtrip",
+        "q128_sequence_packing", "q129_remote_read",
+        "q134_replica_dedup",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher
-    # (r13-green, 1 recorded round stale) may occupy a slot while a
+    # (r14-green, 1 recorded round stale) may occupy a slot while a
     # 2-rounds-stale row waits outside
     assert set(window) == expected, (
         sorted(expected - set(window)),
         sorted(set(window) - expected),
     )
     assert len(window) == len(set(window)) == 50
-    # r12's q126-q134 backlog was absorbed in r13; the r14-registered
-    # q141/q142 (rules API state, alert restore) queue for round 15
-    assert DEBUT_BACKLOG == ("q141_rules_api", "q142_alert_restore")
-    assert not set(DEBUT_BACKLOG) & set(window)
+    # the r14-registered q141/q142 backlog was absorbed into this
+    # window as promised; no rows queue for round 16
+    assert DEBUT_BACKLOG == ()
 
 
 def test_work_builders_publish_atomically():

@@ -4703,7 +4703,7 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q104_STORE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".work",
-    "q104_layout_store",
+    "q104_writer_layout_contract",
 )
 
 
@@ -8908,241 +8908,154 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-14 window (registry 140 rows at rotation time).  Composition:
-#   * the 36 round-13 deferrals, due back (the exact r13
-#     DEFERRED_WITH_COVERAGE set, last driver-green r11 == RECORDED
-#     index 10 — 3 recorded rounds stale at the upcoming index 13,
-#     non-deferrable per the no-consecutive-deferral rule): q05 q11
-#     q14 q15 q18 q24 q25 q26 q27 q35 q37 q40 q48 q50 q51 q52 q53 q55
-#     q58 q61 q67 q68 q69 q70 q71 q74 q80 q88 q90 q93 q95 q96 q118
-#     q119 q121 q123.
-#   * 4 round-14 debuts (never driver-checked; each promotes an
-#     r13-tests-only surface to a driver oracle row, per the r13
-#     verdict): q137 relabeling (hashmod sharding, post-fix —
-#     Prometheus's LAST-8-bytes-of-md5), q138 limitk/limit_ratio
-#     (complement partition included), q139 admin delete_series API
-#     round-trip (rebuild queryability), q140 histogram_stddev/stdvar.
-#   * q124 (2-stale AND its implementation changed this round: the
-#     fixture gained the OTLP DELTA sum arm — `delta="convert"`
-#     running-sum — and a delta histogram that must stay skipped).
-#   * the 9 remaining slots go to 2-rounds-stale r12-green rows,
-#     chosen as family hubs with no other in-window kin (so the
-#     40 r12-green deferrals below all carry real coverage) plus the
-#     headline rows the r13 verdict asked for as slots allow:
-#     q01 (headline scan/project), q10 (writer/compact hub — covers
-#     q65/q83's store-write half), q16 (querier series-select hub —
-#     covers q45), q21 (streaming hub — covers q76), q57 (as-of join,
-#     no kin anywhere in window), q86 (bucketed co-located join hub —
-#     covers q32's join half), q94 (HTTP object-store read, no kin),
-#     q115 (remote-write push->promql, no kin), q116 (block-farm hub —
-#     covers the whole q77/q82/q105-q114 block family).
+# Round-15 window (registry 142 rows at rotation time).  Composition:
+#   * the 2 DEBUT_BACKLOG rows, leading as pre-committed in round 14
+#     (registered mid-r14 after that window was pinned; never
+#     driver-checked): q141 /api/v1/rules live alert state, q142 alert
+#     `for`-state restore across restarts.
+#   * the 40 round-14 deferrals, due back (the exact r14
+#     DEFERRED_WITH_COVERAGE set, last driver-green r12 == RECORDED
+#     index 11 — 3 recorded rounds stale at the upcoming index 14,
+#     non-deferrable per the no-consecutive-deferral rule): q02 q03
+#     q04 q20 q23 q32 q34 q36 q39 q41 q42 q45 q47 q49 q56 q59 q63 q65
+#     q73 q76 q77 q79 q82 q83 q84 q85 q91 q92 q97 q100 q101 q105 q106
+#     q107 q108 q109 q110 q112 q114 q125.
+#   * the 8 remaining slots go to 2-rounds-stale r13-green rows,
+#     chosen as family hubs with no in-window kin (so the 44 r13-green
+#     deferrals below all carry real coverage): q07 (headline
+#     groupBy agg — covers q06's first-per-key), q87 (bucket ranged
+#     read), q111 (remote-write wire ingest), q113 (scrape text parse
+#     — covers q31's from_json), q122 (native-histogram store
+#     roundtrip), q128 (sequence packing), q129 (remote read —
+#     covers q136), q134 (replica dedup — also r14-changed:
+#     samples_transform per-selector bounded vote).
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09..r13 -> indices 1..12; the upcoming r14 record is
-# index 13).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09..r14 -> indices 1..13; the upcoming r15 record is
+# index 14).  tests/test_corpus.py implements the same indexing.
 #
-# Deferred to round 15 (2-rounds-stale r12-green rows that no longer
+# Deferred to round 16 (2-rounds-stale r13-green rows that no longer
 # fit; each with the in-window row(s) that still exercise its code
-# path).  NOTE for the r15 rotation: all 40 of these are due back —
-# they will consume 40 of r15's 50 slots, so r14 work should add at
+# path).  NOTE for the r16 rotation: all 44 of these are due back —
+# they will consume 44 of r16's 50 slots, so r15 work should add at
 # most a handful of debuts:
-#   q02_eq_filter         -> q11 (same pushdown/predicate surface)
-#   q03_range_filter      -> q11 + q15 (range pushdown + pruning)
-#   q04_conjunction       -> q11 (same conjunction surface)
-#   q20_promql_instant_sum -> q67 (same instant-grid agg kernel)
-#   q23_minhash_lsh_pairs -> q25 + q24 (dedup.py candidate family;
-#                            q25 verifies ON the minhash-LSH pairs)
-#   q32_broadcast_join    -> q69 (broadcast join of the bench set) +
-#                            q86 (co-located join twin)
-#   q34_promql_rate       -> q50 (same counter-reset/rate kernel)
-#   q36_window_functions  -> q61 (gapfill is window machinery)
-#   q39_cleaning_pipeline -> q70 + q71 + q80 (the text-cleaning ops
-#                            the pipeline composes)
-#   q41_set_operations    -> q05 (distinct/set-op machinery)
-#   q42_promql_window_gt_step -> q50 (same overlapping-window eval)
-#   q45_multi_store_merge -> q16 (same querier select core; the
-#                            ""-fill merge arm is unit-pinned)
-#   q47_dedup_clusters    -> q24 + q25 (clusters consume the dedup
-#                            candidate pairs)
-#   q49_promql_on_group_left -> q37 (binary-op vector matching)
-#   q56_promql_quantile_over_time -> q67 + q74 (quantile kernel +
-#                            over_time composition)
-#   q59_ivf_assign        -> q90 + q96 (same similarity.py quantized
-#                            assignment machinery)
-#   q63_weighted_sample   -> q48 (same sampling.py hash-draw kernel)
-#   q65_rollup_store      -> q40 (rollup agg) + q10 (store write)
-#   q73_promql_time_functions -> q88 (scalar arithmetic machinery)
-#   q76_streaming_sessionize -> q21 (streaming ingest) + q61
-#                            (sessionize/gapfill module)
-#   q77_rollup_routing    -> q116 (the farm router IS the rollup
-#                            routing surface)
-#   q79_promql_sort_desc  -> q37 (same sort/topk machinery)
-#   q82_rollup_subquery_routing -> q116 + q74 (router + subquery)
-#   q83_store_maintenance -> q10 (sorted-part write + compact core)
-#   q84_ivf_partitioned_store -> q90 + q96 (quantized store family)
-#   q85_salted_distinct_count -> q35 (same distinct-count surface)
-#   q91_ivfpq_store_topk  -> q90 (same PQ/ADC kernel)
-#   q92_semantic_dedup    -> q26 (same cosine top-k kernel)
-#   q97_ivfpq_residual_topk -> q90 (same PQ/ADC kernel)
-#   q100_tsdb_stats       -> q18 (same querier stats/labels path)
-#   q101_png_pixel_pipeline -> q95 (same multimodal.py decode)
-#   q105_tsdb_block_convert -> q116 (block decode under the farm job)
-#   q106_block_convert_promql -> q116 (block decode -> query path)
-#   q107_multi_block_convert -> q116 (multi-block farm decode)
-#   q108_wal_head_drain   -> q121 (same WAL segment record parse)
-#   q109_data_dir_convert -> q121 + q116 (WAL parse + block decode)
-#   q110_promql_staleness -> q51 (same grid/lookback eval kernel)
-#   q112_block_export_roundtrip -> q116 (the farm job exports blocks)
-#   q114_block_compaction -> q116 (block merge under the farm job)
-#   q125_otlp_histogram_ingest -> q124 (same otlp.py decode path)
-# Every other out-of-window row is r13-green (1 recorded round stale
-# once r14 lands) and needs no deferral record.
+#   q06_first_per_key     -> q07 (same groupBy/first-per-key agg core)
+#   q08_time_containment  -> q03 (same range-pushdown surface)
+#   q09_label_values      -> q100 (same querier labels/stats path)
+#   q12_dict_equality     -> q02 (same equality-pushdown surface)
+#   q13_zonemap_range     -> q03 (same zone-map range pruning)
+#   q17_chunk_samples_roundtrip -> q83 (store write/read lifecycle)
+#   q19_promql_count_over_time -> q56 (same over_time eval kernel)
+#   q22_exact_dedup       -> q23 + q47 (dedup family: candidates +
+#                            clusters consume the exact-dup machinery)
+#   q28_embedding_near_dup -> q92 + q59 (cosine kernel + assignment)
+#   q29_multimodal_metadata -> q101 (same multimodal.py decode)
+#   q30_text_analysis     -> q39 (the cleaning pipeline composes the
+#                            text-analysis ops)
+#   q31_json_props        -> q113 (same from_json/props surface)
+#   q33_semi_anti_join    -> q32 (same join-strategy surface)
+#   q38_training_chunks   -> q63 (same sampling.py hash-draw kernel)
+#   q43_promql_counter_reset -> q34 + q42 (rate/reset kernel)
+#   q44_late_materialization -> q45 (same querier two-pass select)
+#   q46_sessionize        -> q76 (streaming sessionize IS the same
+#                            gapfill/session module)
+#   q54_promql_comparison_filter -> q49 (binary-op vector matching)
+#   q60_ivf_topk          -> q59 + q84 + q91 (IVF family)
+#   q62_simhash_near_dup  -> q23 + q92 (banded near-dup family)
+#   q64_promql_absent     -> q110 (same staleness/absent grid kernel)
+#   q66_promql_set_ops    -> q49 (same vector-matching machinery)
+#   q72_global_shuffle    -> q63 (same sampling/ordering kernel)
+#   q75_promql_holt_winters -> q73 (same scalar/series arithmetic)
+#   q78_promql_instant_absent -> q110 (same absent eval kernel)
+#   q81_kmeans_train      -> q59 (same centroid-assignment kernel)
+#   q89_streaming_rollup  -> q76 (same structured-streaming harness)
+#   q98_exact_substring_removal -> q39 (same text-cleaning family)
+#   q99_lm_perplexity_score -> q39 (same quality.py scan-fused family)
+#   q102_promql_sort_by_label -> q79 (same sort machinery)
+#   q103_xor_chunk_interop -> q105 (block decode reads XOR chunks)
+#   q104_writer_layout_contract -> q83 (same store-layout lifecycle)
+#   q117_store_delete_pass -> q83 (maintenance pass family; the API
+#                            wiring was q139-green r14)
+#   q120_wal_exemplars    -> q108 + q109 (same WAL record parse)
+#   q126_query_api_roundtrip -> q141 (same HTTP API server harness)
+#   q127_federate         -> q141 (same API server + vote path)
+#   q130_alerting_rule    -> q142 (alert eval IS q142's restore core)
+#   q131_rule_group       -> q142 + q141 (group eval + rules API)
+#   q132_promql_info      -> q125 (same OTLP target_info surface)
+#   q133_promql_ts_of     -> q56 (same over_time timestamp kernel)
+#   q135_otlp_exemplars   -> q125 (same otlp.py decode path)
+#   q136_remote_read_streamed -> q129 (same remote-read frame codec)
+# Every other out-of-window row is r14-green (1 recorded round stale
+# once r15 lands) and needs no deferral record.
 #: Rows REGISTERED mid-round after the window had executed a
 #: verdict-pre-committed composition queue here loudly for exactly one
-#: round (see the rotation-invariant test).  q126-q134 (the r12
-#: backlog) were all driver-checked green in CORRECTNESS_r13.
-#: Registered MID-round-14, after the r14 window was pinned (its
-#: exact-set composition test and all 40 deferral coverage entries
-#: depend on the 9 hub slots, so a late debut cannot displace one):
-#: q141 /api/v1/rules live alert state (clipped-window island machine
-#: + ISO ActiveAt wire round-trip) and q142 alert `for`-state restore
-#: across restarts (ALERTS_FOR_STATE write-back -> read_for_state ->
-#: restored_active_at adoption; 45 of 63 sf0.01 rows differ from a
-#: fresh clock, so the restore is load-bearing in the hash).  Both are
-#: tests-plus-local-oracle only this round and MUST lead the round-15
-#: window.
-DEBUT_BACKLOG: tuple[str, ...] = (
-    "q141_rules_api",
-    "q142_alert_restore",
-)
+#: round (see the rotation-invariant test).  The r14 backlog rows
+#: q141/q142 entered the r15 window as promised; the backlog is empty.
+DEBUT_BACKLOG: tuple[str, ...] = ()
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q02_eq_filter": ("q11_predicate_order",),
-    "q03_range_filter": ("q11_predicate_order", "q15_empty_result"),
-    "q04_conjunction": ("q11_predicate_order",),
-    "q20_promql_instant_sum": ("q67_promql_quantile_agg",),
-    "q23_minhash_lsh_pairs": ("q25_ngram_jaccard", "q24_simhash"),
-    "q32_broadcast_join": (
-        "q69_decontaminate",
-        "q86_bucketed_colocated_join",
+    "q06_first_per_key": ("q07_groupby_agg",),
+    "q08_time_containment": ("q03_range_filter",),
+    "q09_label_values": ("q100_tsdb_stats",),
+    "q12_dict_equality": ("q02_eq_filter",),
+    "q13_zonemap_range": ("q03_range_filter",),
+    "q17_chunk_samples_roundtrip": ("q83_store_maintenance",),
+    "q19_promql_count_over_time": ("q56_promql_quantile_over_time",),
+    "q22_exact_dedup": ("q23_minhash_lsh_pairs", "q47_dedup_clusters"),
+    "q28_embedding_near_dup": ("q92_semantic_dedup", "q59_ivf_assign"),
+    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
+    "q30_text_analysis": ("q39_cleaning_pipeline",),
+    "q31_json_props": ("q113_scrape_text_parse",),
+    "q33_semi_anti_join": ("q32_broadcast_join",),
+    "q38_training_chunks": ("q63_weighted_sample",),
+    "q43_promql_counter_reset": (
+        "q34_promql_rate",
+        "q42_promql_window_gt_step",
     ),
-    "q34_promql_rate": ("q50_promql_rate_extrapolated",),
-    "q36_window_functions": ("q61_gap_fill_linear",),
-    "q39_cleaning_pipeline": (
-        "q70_repetition_stats",
-        "q71_pii_redact",
-        "q80_remove_boilerplate_lines",
+    "q44_late_materialization": ("q45_multi_store_merge",),
+    "q46_sessionize": ("q76_streaming_sessionize",),
+    "q54_promql_comparison_filter": ("q49_promql_on_group_left",),
+    "q60_ivf_topk": (
+        "q59_ivf_assign",
+        "q84_ivf_partitioned_store",
+        "q91_ivfpq_store_topk",
     ),
-    "q41_set_operations": ("q05_distinct",),
-    "q42_promql_window_gt_step": ("q50_promql_rate_extrapolated",),
-    "q45_multi_store_merge": ("q16_series_select",),
-    "q47_dedup_clusters": ("q24_simhash", "q25_ngram_jaccard"),
-    "q49_promql_on_group_left": ("q37_promql_topk_binary",),
-    "q56_promql_quantile_over_time": (
-        "q67_promql_quantile_agg",
-        "q74_promql_subquery",
+    "q62_simhash_near_dup": (
+        "q23_minhash_lsh_pairs",
+        "q92_semantic_dedup",
     ),
-    "q59_ivf_assign": ("q90_pq_adc_topk", "q96_sq8_quantized_topk"),
-    "q63_weighted_sample": ("q48_stratified_sample",),
-    "q65_rollup_store": ("q40_rollup", "q10_write_compact_roundtrip"),
-    "q73_promql_time_functions": ("q88_promql_scalar_arithmetic",),
-    "q76_streaming_sessionize": (
-        "q21_streaming_ingest",
-        "q61_gap_fill_linear",
-    ),
-    "q77_rollup_routing": ("q116_block_farm_maintenance",),
-    "q79_promql_sort_desc": ("q37_promql_topk_binary",),
-    "q82_rollup_subquery_routing": (
-        "q116_block_farm_maintenance",
-        "q74_promql_subquery",
-    ),
-    "q83_store_maintenance": ("q10_write_compact_roundtrip",),
-    "q84_ivf_partitioned_store": (
-        "q90_pq_adc_topk",
-        "q96_sq8_quantized_topk",
-    ),
-    "q85_salted_distinct_count": ("q35_distinct_counts",),
-    "q91_ivfpq_store_topk": ("q90_pq_adc_topk",),
-    "q92_semantic_dedup": ("q26_cosine_topk",),
-    "q97_ivfpq_residual_topk": ("q90_pq_adc_topk",),
-    "q100_tsdb_stats": ("q18_label_values",),
-    "q101_png_pixel_pipeline": ("q95_media_transform",),
-    "q105_tsdb_block_convert": ("q116_block_farm_maintenance",),
-    "q106_block_convert_promql": ("q116_block_farm_maintenance",),
-    "q107_multi_block_convert": ("q116_block_farm_maintenance",),
-    "q108_wal_head_drain": ("q121_wal_metric_metadata",),
-    "q109_data_dir_convert": (
-        "q121_wal_metric_metadata",
-        "q116_block_farm_maintenance",
-    ),
-    "q110_promql_staleness": ("q51_promql_without_at",),
-    "q112_block_export_roundtrip": ("q116_block_farm_maintenance",),
-    "q114_block_compaction": ("q116_block_farm_maintenance",),
-    "q125_otlp_histogram_ingest": ("q124_otlp_ingest",),
+    "q64_promql_absent": ("q110_promql_staleness",),
+    "q66_promql_set_ops": ("q49_promql_on_group_left",),
+    "q72_global_shuffle": ("q63_weighted_sample",),
+    "q75_promql_holt_winters": ("q73_promql_time_functions",),
+    "q78_promql_instant_absent": ("q110_promql_staleness",),
+    "q81_kmeans_train": ("q59_ivf_assign",),
+    "q89_streaming_rollup": ("q76_streaming_sessionize",),
+    "q98_exact_substring_removal": ("q39_cleaning_pipeline",),
+    "q99_lm_perplexity_score": ("q39_cleaning_pipeline",),
+    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
+    "q103_xor_chunk_interop": ("q105_tsdb_block_convert",),
+    "q104_writer_layout_contract": ("q83_store_maintenance",),
+    "q117_store_delete_pass": ("q83_store_maintenance",),
+    "q120_wal_exemplars": ("q108_wal_head_drain", "q109_data_dir_convert"),
+    "q126_query_api_roundtrip": ("q141_rules_api",),
+    "q127_federate": ("q141_rules_api",),
+    "q130_alerting_rule": ("q142_alert_restore",),
+    "q131_rule_group": ("q142_alert_restore", "q141_rules_api"),
+    "q132_promql_info": ("q125_otlp_histogram_ingest",),
+    "q133_promql_ts_of": ("q56_promql_quantile_over_time",),
+    "q135_otlp_exemplars": ("q125_otlp_histogram_ingest",),
+    "q136_remote_read_streamed": ("q129_remote_read",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 36 round-13 deferrals, due back (no consecutive deferrals) —
-    # last driver-green r11 (recorded index 10), 3 recorded rounds
-    # stale at the upcoming index 13
-    "q05_distinct",
-    "q11_predicate_order",
-    "q14_multi_projection",
-    "q15_empty_result",
-    "q18_label_values",
-    "q24_simhash",
-    "q25_ngram_jaccard",
-    "q26_cosine_topk",
-    "q27_ann_lsh_topk",
-    "q35_distinct_counts",
-    "q37_promql_topk_binary",
-    "q40_rollup",
-    "q48_stratified_sample",
-    "q50_promql_rate_extrapolated",
-    "q51_promql_without_at",
-    "q52_promql_label_replace_clamp",
-    "q53_promql_histogram_quantile",
-    "q55_promql_changes",
-    "q58_pack_sequences",
-    "q61_gap_fill_linear",
-    "q67_promql_quantile_agg",
-    "q68_promql_predict_linear",
-    "q69_decontaminate",
-    "q70_repetition_stats",
-    "q71_pii_redact",
-    "q74_promql_subquery",
-    "q80_remove_boilerplate_lines",
-    "q88_promql_scalar_arithmetic",
-    "q90_pq_adc_topk",
-    "q93_exact_substring_spans",
-    "q95_media_transform",
-    "q96_sq8_quantized_topk",
-    "q118_native_histogram_quantile",
-    "q119_native_histogram_fraction",
-    "q121_wal_metric_metadata",
-    "q123_exemplar_store_query",
-    # round-14 debuts (never driver-checked; r13-tests-only surfaces
-    # promoted to oracle rows per the r13 verdict)
-    "q137_relabel_sharding",
-    "q138_promql_limit",
-    "q139_admin_delete_api",
-    "q140_histogram_stddev",
-    # 2-stale + implementation changed this round (OTLP delta arms)
-    "q124_otlp_ingest",
-    # 2-rounds-stale r12-green family hubs / no-kin rows + the
-    # headline rows the r13 verdict asked for as slots allow
-    "q01_scan_project",
-    "q10_write_compact_roundtrip",
-    "q16_series_select",
-    "q21_streaming_ingest",
-    "q57_asof_join",
-    "q86_bucketed_colocated_join",
-    "q94_http_object_store",
-    "q115_remote_write_push_to_promql",
-    "q116_block_farm_maintenance",
-    # position 51+ — outside the driver cap: the documented round-15
-    # deferrals first (all 40 due back next round), then registry order
+    # the 2 r14 DEBUT_BACKLOG rows, leading as pre-committed
+    "q141_rules_api",
+    "q142_alert_restore",
+    # the 40 round-14 deferrals, due back (no consecutive deferrals) —
+    # last driver-green r12 (recorded index 11), 3 recorded rounds
+    # stale at the upcoming index 14
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
@@ -9183,7 +9096,62 @@ _DRIVER_PRIORITY: list[str] = [
     "q112_block_export_roundtrip",
     "q114_block_compaction",
     "q125_otlp_histogram_ingest",
+    # 2-rounds-stale r13-green family hubs / no-kin rows
+    "q07_groupby_agg",
+    "q87_bucket_ranged_read",
+    "q111_remote_write_ingest",
+    "q113_scrape_text_parse",
+    "q122_native_histogram_store_roundtrip",
+    "q128_sequence_packing",
+    "q129_remote_read",
+    "q134_replica_dedup",
+    # position 51+ — outside the driver cap: the documented round-16
+    # deferrals first (all due back next round), then registry order
+    "q06_first_per_key",
+    "q08_time_containment",
+    "q09_label_values",
+    "q12_dict_equality",
+    "q13_zonemap_range",
+    "q17_chunk_samples_roundtrip",
+    "q19_promql_count_over_time",
+    "q22_exact_dedup",
+    "q28_embedding_near_dup",
+    "q29_multimodal_metadata",
+    "q30_text_analysis",
+    "q31_json_props",
+    "q33_semi_anti_join",
+    "q38_training_chunks",
+    "q43_promql_counter_reset",
+    "q44_late_materialization",
+    "q46_sessionize",
+    "q54_promql_comparison_filter",
+    "q60_ivf_topk",
+    "q62_simhash_near_dup",
+    "q64_promql_absent",
+    "q66_promql_set_ops",
+    "q72_global_shuffle",
+    "q75_promql_holt_winters",
+    "q78_promql_instant_absent",
+    "q81_kmeans_train",
+    "q89_streaming_rollup",
+    "q98_exact_substring_removal",
+    "q99_lm_perplexity_score",
+    "q102_promql_sort_by_label",
+    "q103_xor_chunk_interop",
+    "q104_writer_layout_contract",
+    "q117_store_delete_pass",
+    "q120_wal_exemplars",
+    "q126_query_api_roundtrip",
+    "q127_federate",
+    "q130_alerting_rule",
+    "q131_rule_group",
+    "q132_promql_info",
+    "q133_promql_ts_of",
+    "q135_otlp_exemplars",
+    "q136_remote_read_streamed",
 ]
+
+
 
 
 def _reorder_registry() -> None:
