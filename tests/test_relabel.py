@@ -253,3 +253,50 @@ def test_protected_sample_columns_rejected(frame):
             [RelabelConfig(action="labelmap", regex="(job)",
                            replacement="value")],
         )
+
+
+def test_go_expand_out_of_range_and_longest_ident(frame):
+    """Go ``Regexp.Expand`` resolves out-of-range indices, unknown
+    names, and longest-ident refs (``$1x`` == the NAME "1x") to the
+    EMPTY string — Prometheus runs a sloppy ``replacement: "$3"``
+    config silently, so it must not raise INVALID_REGEXP_REPLACE here
+    (the r14 verdict's live repro)."""
+    def one(replacement, regex="(.+):(.+)"):
+        out = apply_relabel(
+            frame,
+            [RelabelConfig(action="replace",
+                           source_labels=("instance",), regex=regex,
+                           target_label="t", replacement=replacement)],
+        )
+        return out.filter(F.col("instance") == "prod-1:9090").collect()[0]["t"]
+
+    assert one("$3") == ""            # out-of-range index
+    assert one("$1x") == ""           # longest ident: name "1x"
+    assert one("${1}x") == "prod-1x"  # braced stops the ident
+    assert one("$01") == ""           # leading zero -> a NAME
+    assert one("a$") == "a$"          # trailing $ is raw text
+    assert one("${1") == "${1"        # unclosed brace is raw text
+    assert one("$$1") == "$1"         # $$ literal
+    assert one("$0") == "prod-1:9090"  # whole match
+    # bare $name refs (ADVICE r14: previously reached Java untouched)
+    assert one("$host at $port",
+               regex="(?P<host>.+):(?P<port>.+)") == "prod-1 at 9090"
+    assert one("$nope", regex="(?P<host>.+):(?P<port>.+)") == ""
+
+
+def test_labelmap_go_expand_refs(frame):
+    """labelmap shares Go Expand semantics on the Python-re path:
+    unknown longest-ident refs expand to "" instead of raising
+    're.error: bad escape'."""
+    out = apply_relabel(
+        frame,
+        [RelabelConfig(action="labelmap", regex="(jo.*)",
+                       replacement="meta_$1x")],
+    )
+    assert "meta_" in out.columns  # "meta_" + "" for unknown name 1x
+    out2 = apply_relabel(
+        frame,
+        [RelabelConfig(action="labelmap", regex="(?P<n>jo.*)",
+                       replacement="m_$n")],
+    )
+    assert "m_job" in out2.columns

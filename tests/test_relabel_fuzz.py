@@ -23,6 +23,53 @@ VALUE_POOL = ["api", "web", "prod-1:9090", "prod-2:9100", "eu", "us",
               "canary", ""]
 
 
+def _go_expand(m, template):
+    """Independent twin of Go's ``Regexp.ExpandString`` (regexp.go
+    ``extract``/``expand``), which Prometheus ``replace``/``labelmap``
+    use: ``$$`` is a literal ``$``; ``$name``/``${name}`` take the
+    LONGEST ``[\\w]`` ident (``$1x`` is the NAME "1x"); purely-numeric
+    non-leading-zero names < 1e8 are group indices; malformed refs
+    (``$`` at end, ``$-``, unclosed ``${``) emit a raw ``$``; refs to
+    out-of-range indices, unknown names, or unmatched groups expand to
+    the empty string."""
+    out = []
+    i, n = 0, len(template)
+    while i < n:
+        c = template[i]
+        if c != "$":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 < n and template[i + 1] == "$":
+            out.append("$")
+            i += 2
+            continue
+        j = i + 1
+        brace = j < n and template[j] == "{"
+        if brace:
+            j += 1
+        k = j
+        while k < n and (template[k].isalnum() or template[k] == "_"):
+            k += 1
+        name = template[j:k]
+        if not name or (brace and (k >= n or template[k] != "}")):
+            out.append("$")
+            i += 1
+            continue
+        i = k + (1 if brace else 0)
+        if (
+            name.isdigit()
+            and not (name[0] == "0" and len(name) > 1)
+            and int(name) < 10**8
+        ):
+            g = int(name)
+            if g <= m.re.groups:
+                out.append(m.group(g) or "")
+        elif name in m.re.groupindex:
+            out.append(m.group(name) or "")
+    return "".join(out)
+
+
 def _ref_apply(rows, configs):
     """Pure-Python reference: rows are dicts over a shared column set
     (the static-schema reading); "" means absent."""
@@ -48,12 +95,10 @@ def _ref_apply(rows, configs):
             ]
             continue
         if cfg.action == "replace":
-            pyrepl = re.sub(r"\$\{(\w+)\}", r"\\g<\1>", cfg.replacement)
-            pyrepl = re.sub(r"\$(\w+)", r"\\g<\1>", pyrepl)
             for r in out:
                 m = anchored.match(src(r))
                 if m:
-                    r[cfg.target_label] = m.expand(pyrepl)
+                    r[cfg.target_label] = _go_expand(m, cfg.replacement)
                 else:
                     r.setdefault(cfg.target_label, "")
             cols.add(cfg.target_label)
@@ -74,12 +119,10 @@ def _ref_apply(rows, configs):
             continue
         label_cols = sorted(c for c in cols if c not in PROTECTED)
         if cfg.action == "labelmap":
-            pyrepl = re.sub(r"\$\{(\w+)\}", r"\\g<\1>", cfg.replacement)
-            pyrepl = re.sub(r"\$(\w+)", r"\\g<\1>", pyrepl)
             for c in label_cols:
                 m = anchored.match(c)
                 if m:
-                    new = anchored.sub(pyrepl, c)
+                    new = _go_expand(m, cfg.replacement)
                     if new and new != c:
                         for r in out:
                             r[new] = r.get(c, "")
@@ -136,10 +179,23 @@ def _random_case(rng: random.Random):
                                   "prod.*"]),
             ))
         elif action == "replace":
-            n_groups = re.compile(regex).groups
-            repl = rng.choice(
-                ["$1", "x-$1", "${1}-y"] if n_groups else ["fixed"]
-            )
+            if rng.random() < 0.25:
+                # named-group arm ($h bare / ${h} braced / $nope absent)
+                regex = "(?P<h>.*):(?P<p>.*)"
+                repl = rng.choice(
+                    ["$h", "${h}-x", "$p:$h", "$nope", "h=$h$"]
+                )
+            else:
+                n_groups = re.compile(regex).groups
+                repl = rng.choice(
+                    # sloppy-but-legal Go Expand forms on purpose:
+                    # out-of-range ($3), longest-ident ($1x == name
+                    # "1x" -> ""), leading-zero ($01 -> name), $$,
+                    # trailing/malformed $ -> literal
+                    ["$1", "x-$1", "${1}-y", "$3", "$1x", "${1}x",
+                     "$01", "$$1", "a$", "$-z", "${1", "$0"]
+                    if n_groups else ["fixed", "$1", "f$"]
+                )
             configs.append(RelabelConfig(
                 action=action, source_labels=srcs, regex=regex,
                 target_label=rng.choice(["out", "tier", "dst"]),
@@ -159,7 +215,9 @@ def _random_case(rng: random.Random):
         elif action == "labelmap":
             configs.append(RelabelConfig(
                 action=action, regex="(jo.*|en.*)",
-                replacement=rng.choice(["meta_$1", "m_${1}"]),
+                replacement=rng.choice(
+                    ["meta_$1", "m_${1}", "meta_$2", "m$1x", "mm_$1$"]
+                ),
             ))
         elif action in ("labeldrop", "labelkeep"):
             configs.append(RelabelConfig(

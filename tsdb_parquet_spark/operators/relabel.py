@@ -117,19 +117,111 @@ def _src(df: DataFrame, cfg: RelabelConfig) -> Column:
     return F.concat_ws(cfg.separator, *parts)
 
 
-def _java_replacement(repl: str) -> str:
-    """Prometheus uses Go's Regexp.Expand syntax (``$1`` / ``${1}``,
-    ``$$`` for a literal dollar); Java's ``regexp_replace`` shares
-    ``$1`` but rejects a NUMERIC ``${1}`` (braces are for named groups
-    only) and needs a literal ``$`` escaped as ``\\$`` — normalize
-    both, and escape backslashes defensively."""
+def _expand_tokens(template: str):
+    """Tokenize a Go ``Regexp.Expand`` replacement template with the
+    exact rules of Go's ``regexp.extract`` (Prometheus ``replace`` /
+    ``labelmap`` go through ``Regexp.ExpandString``,
+    prometheus/prometheus model/relabel/relabel.go): ``$$`` is a
+    literal ``$``; ``$name`` / ``${name}`` reference a capture where
+    the name is the LONGEST run of ``[A-Za-z0-9_]`` — so ``$1x`` is
+    the NAME "1x", never group 1 followed by "x"; a purely-numeric
+    name with no leading zero and < 1e8 is a group INDEX; anything
+    malformed (``$`` at end of string, ``$-``, ``${`` with no closing
+    brace) emits a literal ``$`` and parsing resumes after it.
+
+    Yields ``('lit', s)`` / ``('num', n)`` / ``('name', s)``."""
+    i, n = 0, len(template)
+    lit = []
+    while i < n:
+        c = template[i]
+        if c != "$":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 < n and template[i + 1] == "$":
+            lit.append("$")
+            i += 2
+            continue
+        j = i + 1
+        brace = j < n and template[j] == "{"
+        if brace:
+            j += 1
+        k = j
+        # Go allows unicode letters/digits in names (unicode.IsLetter)
+        while k < n and (template[k].isalnum() or template[k] == "_"):
+            k += 1
+        name = template[j:k]
+        if not name or (brace and (k >= n or template[k] != "}")):
+            # malformed ref: the $ is raw text (Go's `!ok` branch)
+            lit.append("$")
+            i += 1
+            continue
+        if lit:
+            yield ("lit", "".join(lit))
+            lit = []
+        if name.isdigit() and not (name[0] == "0" and len(name) > 1) and int(name) < 10**8:
+            yield ("num", int(name))
+        else:
+            yield ("name", name)
+        i = k + (1 if brace else 0)
+    if lit:
+        yield ("lit", "".join(lit))
+
+
+def _regex_groups(regex: str):
+    """(group count, named-group set) of ``regex``, or (None, None)
+    when Python ``re`` cannot compile it (keep refs unvalidated then —
+    Go RE2 and Python share the ``(?P<name>...)`` spelling, so this is
+    rare)."""
     import re as _re
 
-    repl = repl.replace("\\", "\\\\")
-    # Go's $$ == literal $; translate BEFORE group-ref normalization so
-    # the $ it produces is never mistaken for a ref.
-    repl = repl.replace("$$", "\\$")
-    return _re.sub(r"\$\{(\d+)\}", r"$\1", repl)
+    try:
+        pat = _re.compile(f"(?:{regex})")
+    except _re.error:
+        return None, None
+    return pat.groups, set(pat.groupindex)
+
+
+def _java_replacement(repl: str, regex: str) -> str:
+    """Render a Go Expand template for Java ``regexp_replace``:
+    surviving numeric refs stay ``$n``, named refs become ``${name}``
+    (Java's only named spelling), literal ``$`` / ``\\`` are escaped.
+    Refs to out-of-range indices or absent names expand to the EMPTY
+    string exactly like Go's ``Regexp.Expand`` — Prometheus runs a
+    ``replacement: "$3"`` with a 2-group regex silently, so a sloppy
+    fleet config must not throw INVALID_REGEXP_REPLACE here.  (Refs to
+    groups that exist but did not participate in the match already
+    yield "" in Java, Python and Go alike.)"""
+    ngroups, names = _regex_groups(regex)
+    out = []
+    for kind, val in _expand_tokens(repl):
+        if kind == "lit":
+            out.append(val.replace("\\", "\\\\").replace("$", "\\$"))
+        elif kind == "num":
+            if ngroups is None or val <= ngroups:
+                out.append(f"${val}")
+        else:
+            if names is None or val in names:
+                out.append(f"${{{val}}}")
+    return "".join(out)
+
+
+def _py_replacement(repl: str, regex: str) -> str:
+    """Render a Go Expand template for Python ``re.sub`` (the
+    ``labelmap`` label-NAME path): refs become ``\\g<n>`` /
+    ``\\g<name>``, out-of-range / unknown refs expand to ""."""
+    ngroups, names = _regex_groups(regex)
+    out = []
+    for kind, val in _expand_tokens(repl):
+        if kind == "lit":
+            out.append(val.replace("\\", "\\\\"))
+        elif kind == "num":
+            if ngroups is None or val <= ngroups:
+                out.append(f"\\g<{val}>")
+        else:
+            if names is None or val in names:
+                out.append(f"\\g<{val}>")
+    return "".join(out)
 
 
 def _java_regex(regex: str) -> str:
@@ -204,7 +296,7 @@ def apply_relabel(
                 )
             src = _src(df, cfg)
             expanded = F.regexp_replace(
-                src, anchored, _java_replacement(cfg.replacement)
+                src, anchored, _java_replacement(cfg.replacement, cfg.regex)
             )
             old = (
                 F.col(cfg.target_label)
@@ -234,13 +326,9 @@ def apply_relabel(
 
         rx = _re.compile(f"^(?:{cfg.regex})$")
         if cfg.action == "labelmap":
-            # Go Expand group refs ($1 / ${1}) -> Python re backrefs;
-            # $$ is Go's literal $ (translate first so it's never
-            # mistaken for a ref)
-            pyrepl = cfg.replacement.replace("$$", "\x00")
-            pyrepl = _re.sub(r"\$\{(\w+)\}", r"\\\1", pyrepl)
-            pyrepl = _re.sub(r"\$(\w+)", r"\\\1", pyrepl)
-            pyrepl = pyrepl.replace("\x00", "$")
+            # Go Expand group refs -> Python re backrefs, with Go's
+            # out-of-range/unknown-name -> "" semantics
+            pyrepl = _py_replacement(cfg.replacement, cfg.regex)
             for c in label_cols:
                 if rx.match(c):
                     new = rx.sub(pyrepl, c)
