@@ -1050,7 +1050,21 @@ class PromApiServer:
                                     outer.engine, raw
                                 ):
                                     self.wfile.write(frame)
-                            except Exception:
+                            except Exception as exc:
+                                # log server-side before poisoning the
+                                # stream — recurring executor failures
+                                # must be visible beyond truncated
+                                # client reads
+                                import sys as _sys
+                                import traceback as _tb
+
+                                print(
+                                    "streamed /api/v1/read died "
+                                    f"mid-drain: {type(exc).__name__}: "
+                                    f"{exc}",
+                                    file=_sys.stderr,
+                                )
+                                _tb.print_exc(file=_sys.stderr)
                                 try:
                                     self.wfile.write(b"\x7f")
                                 except Exception:

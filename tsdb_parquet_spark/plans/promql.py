@@ -895,7 +895,11 @@ class _Parser:
                 k, nxt = self.peek()
                 if nxt == ",":
                     self.next()
-                    matchers = self._matcher_block()
+                    matchers, qm = self._matcher_block()
+                    if qm:
+                        # info()'s data selector: a bare quoted string
+                        # names the data METRIC to join
+                        matchers.append(Matcher("__name__", "=", qm))
                 self.expect(")")
                 return PromInfo(inner=inner, matchers=matchers)
             if tok in ("sort", "sort_desc"):
@@ -1283,16 +1287,22 @@ class _Parser:
             else:
                 return
 
-    def _matcher_block(self, metric_set: bool = False) -> list[Matcher]:
+    def _matcher_block(
+        self, metric_set: bool = False
+    ) -> tuple[list[Matcher], str]:
         """``{name op "value", ...}`` with the ``{`` NOT yet consumed.
 
         Prometheus 3.x UTF-8 name syntax rides the same braces: a BARE
         quoted string is the metric name (``{"my.metric", lbl="x"}`` ==
-        ``__name__="my.metric"``), and a quoted string followed by an
-        op is a quoted LABEL name (``{"label.name"="v"}``) — names no
-        longer restricted to the classic ident charset."""
+        ``my.metric`` — returned as the second element so the caller
+        records it on ``PromExpr.metric`` and the engine-level
+        ``metric_label`` substitution applies uniformly, never a
+        hard-coded ``__name__`` matcher), and a quoted string followed
+        by an op is a quoted LABEL name (``{"label.name"="v"}``) —
+        names no longer restricted to the classic ident charset."""
         self.expect("{")
         matchers: list[Matcher] = []
+        quoted_metric = ""
         name_seen = metric_set
         while True:
             k, name = self.next()
@@ -1308,9 +1318,7 @@ class _Parser:
                             f"{name!r}"
                         )
                     name_seen = True
-                    matchers.append(
-                        Matcher("__name__", "=", name[1:-1])
-                    )
+                    quoted_metric = name[1:-1]
                     if nxt == ",":
                         self.next()
                     continue
@@ -1327,7 +1335,7 @@ class _Parser:
             k, nxt = self.peek()
             if nxt == ",":
                 self.next()
-        return matchers
+        return matchers, quoted_metric
 
     def _selector(self) -> PromExpr:
         k, tok = self.peek()
@@ -1339,7 +1347,8 @@ class _Parser:
         matchers: list[Matcher] = []
         k, tok = self.peek()
         if tok == "{":
-            matchers = self._matcher_block(metric_set=bool(metric))
+            matchers, quoted = self._matcher_block(metric_set=bool(metric))
+            metric = metric or quoted
         if not metric and not matchers:
             raise ValueError(
                 "vector selector must contain at least one matcher"
@@ -1519,8 +1528,15 @@ class PromQLEngine:
         """Samples frame for metadata reads (series/labels/values/
         federate/stats): the TRANSFORMED schema projected straight off
         the base frame, without the transform's per-row work — under
-        the transform contract (it never changes the series set) a
-        series/labels answer is identical either way, and e.g. the
+        the transform contract (it never changes the series SET) the
+        answer matches the value endpoints up to two documented
+        bucket-edge divergences of the Thanos-style metadata trade:
+        ``/series`` with a time range may report a series whose only
+        in-range samples belong to the LOSING replica of an edge vote
+        bucket (the winner's clipped output is empty there), and
+        ``/status/tsdb`` head stats count BOTH replicas' samples
+        rather than the deduplicated stream.  Label names/values and
+        the series identity space are exact either way — e.g. the
         replica label stays hidden while the winner vote is skipped."""
         base = self._samples_frame()
         if self.samples_transform is None:
