@@ -1,0 +1,59 @@
+"""U__ value-encoding name escaping (`names.py`): known upstream
+vectors, round-trip fuzz, malformed-unescape contract."""
+
+import random
+import string
+
+from tsdb_parquet_spark.names import (
+    escape_name,
+    is_legacy_name,
+    unescape_name,
+)
+
+
+def test_legacy_names_are_fixed_points():
+    for name in ["job", "__name__", "a_b", "http_requests_total",
+                 "recording:rule:name", "_leading", "a9"]:
+        assert is_legacy_name(name)
+        assert escape_name(name) == name
+        assert unescape_name(name) == name
+
+
+def test_known_vectors():
+    # the shapes prometheus/common model/metric.go produces
+    assert escape_name("service.version") == "U__service_2e_version"
+    assert escape_name("my.dotted.name") == "U__my_2e_dotted_2e_name"
+    assert escape_name("label with 😀") == "U__label_20_with_20__1f600_"
+    assert escape_name("under_score.dot") == "U__under__score_2e_dot"
+    assert escape_name("9digit") == "U___39_digit"  # pos-0 digit
+    for raw in ["service.version", "label with 😀", "under_score.dot",
+                "9digit", "Ünïcode.näme", "a-b", "a.b_c.d__e"]:
+        assert unescape_name(escape_name(raw)) == raw
+
+
+def test_unescape_malformed_returns_input():
+    for bad in ["U__a_zz_", "U__a_", "U__a_12", "no_prefix", "U__"]:
+        got = unescape_name(bad)
+        if bad == "U__":
+            assert got == ""  # empty body round-trips to empty
+        else:
+            assert got in (bad, unescape_name(bad))
+    # explicitly malformed escapes come back unchanged
+    assert unescape_name("U__a_zz_") == "U__a_zz_"
+    assert unescape_name("U__a_") == "U__a_"
+    assert unescape_name("U__a_12") == "U__a_12"
+
+
+def test_round_trip_fuzz():
+    rng = random.Random(0xC143)
+    alphabet = string.ascii_letters + string.digits + "_.:- /😀éé"
+    for _ in range(500):
+        raw = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 24))
+        )
+        esc = escape_name(raw)
+        assert unescape_name(esc) == raw, (raw, esc)
+        # escaped form is always storage/identifier-safe
+        assert all(
+            c.isascii() and (c.isalnum() or c in "_:") for c in esc
+        ), esc

@@ -1,0 +1,163 @@
+"""Prometheus 3.x UTF-8 names END-TO-END: OTLP ingest with
+``translation="no_utf8_escaping"`` keeps dotted attribute names
+losslessly (U__ value-encoded columns, `names.py`), the quoted
+selector / grouping syntax resolves them, and the API render boundary
+reports the raw dotted names back out."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.names import escape_name
+from tsdb_parquet_spark.otlp import (
+    decode_export_samples,
+    encode_export_request,
+    otlp_frame,
+)
+from tsdb_parquet_spark.plans.promql import (
+    PromQLEngine,
+    parse_promql,
+    to_api_instant_response,
+)
+
+
+def _payload() -> bytes:
+    return encode_export_request(
+        [
+            (
+                {
+                    "service.name": "checkout",
+                    "service.version": "1.2",
+                    "deploy.env": "prod",
+                },
+                [
+                    {
+                        "name": "http.server.active_requests",
+                        "kind": "gauge",
+                        "points": [
+                            ({"http.route": "/cart"}, 60_000, 7.0),
+                            ({"http.route": "/pay"}, 60_000, 3.0),
+                        ],
+                    }
+                ],
+            ),
+            (
+                {
+                    "service.name": "checkout",
+                    "service.version": "2.0",
+                    "deploy.env": "prod",
+                },
+                [
+                    {
+                        "name": "http.server.active_requests",
+                        "kind": "gauge",
+                        "points": [
+                            ({"http.route": "/cart"}, 60_000, 5.0),
+                        ],
+                    }
+                ],
+            ),
+        ]
+    )
+
+
+def test_decode_no_utf8_escaping_keeps_raw_names():
+    rows = decode_export_samples(_payload(), translation="no_utf8_escaping")
+    names = {r[0] for r in rows}
+    assert names == {"http.server.active_requests"}
+    labels = rows[0][1]
+    # identifying triple still maps to job; the rest stay dotted
+    assert labels["job"] == "checkout"
+    assert "service.version" in labels
+    assert "deploy.env" in labels
+    assert "http.route" in labels
+    # default translation still underscores the same payload
+    classic = decode_export_samples(_payload())
+    assert {r[0] for r in classic} == {"http_server_active_requests"}
+    assert "service_version" in classic[0][1]
+
+
+@pytest.fixture(scope="module")
+def utf8_engine(spark):
+    payloads = spark.createDataFrame([(_payload(),)], "payload binary")
+    frame = otlp_frame(
+        payloads,
+        label_names=[
+            "__name__", "job", "service.version", "deploy.env",
+            "http.route",
+        ],
+        translation="no_utf8_escaping",
+    )
+    assert set(frame.columns) == {
+        "__name__", "job", escape_name("service.version"),
+        escape_name("deploy.env"), escape_name("http.route"),
+        "ts", "value",
+    }
+    return PromQLEngine(frame)
+
+
+def test_quoted_matcher_selects_dotted_label(spark, utf8_engine):
+    out = utf8_engine.query_range(
+        '{"http.server.active_requests", "service.version"="1.2"}',
+        60_000, 60_000, 60_000,
+    )
+    rows = out.collect()
+    assert sorted(r["value"] for r in rows) == [3.0, 7.0]
+    # the U__ column carries the selector — visible pushdown
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "U__service_2e_version" in plan
+
+
+def test_quoted_grouping_and_api_render(spark, utf8_engine):
+    out = utf8_engine.query_range(
+        'sum by ("service.version") '
+        '({"http.server.active_requests", "deploy.env"="prod"})',
+        60_000, 60_000, 60_000,
+    )
+    resp = to_api_instant_response(out)
+    result = resp["data"]["result"]
+    got = {
+        e["metric"]["service.version"]: e["value"][1] for e in result
+    }
+    assert got == {"1.2": "10", "2.0": "5"}
+    # raw dotted name in the metric object, never the U__ form
+    assert all(
+        not k.startswith("U__") for e in result for k in e["metric"]
+    )
+
+
+def test_label_endpoints_round_trip(spark, utf8_engine):
+    from tsdb_parquet_spark.api import (
+        label_values_result,
+        labels_result,
+        series_result,
+    )
+
+    names = labels_result(utf8_engine)
+    assert "service.version" in names
+    assert "http.route" in names
+    assert all(not n.startswith("U__") for n in names)
+    vals = label_values_result(utf8_engine, "service.version")
+    assert vals == ["1.2", "2.0"]
+    series = series_result(
+        utf8_engine,
+        ['{"http.server.active_requests", "http.route"="/pay"}'],
+        None, None,
+    )
+    assert len(series) == 1
+    assert series[0]["service.version"] == "1.2"
+
+
+def test_federate_quotes_utf8_names(spark, utf8_engine):
+    from tsdb_parquet_spark.api import render_federate
+
+    text = render_federate(
+        utf8_engine, ['{"http.server.active_requests"}'], 60_000
+    )
+    # Prometheus 3.x exposition: non-legacy label names arrive quoted
+    assert '"service.version"="1.2"' in text
+
+
+def test_bad_translation_rejected(spark):
+    payloads = spark.createDataFrame([(_payload(),)], "payload binary")
+    with pytest.raises(ValueError, match="translation"):
+        otlp_frame(payloads, ["__name__"], translation="dots").count()

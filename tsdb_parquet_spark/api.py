@@ -68,6 +68,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsdb_parquet_spark.names import escape_name, unescape_name
 from tsdb_parquet_spark.operators.selection import Matcher
 from tsdb_parquet_spark.plans.promql import (
     DEFAULT_LOOKBACK_MS,
@@ -141,8 +142,13 @@ def _parse_step_ms(raw: str) -> int:
 def _metric_of(row: dict, label_cols: Sequence[str]) -> dict[str, str]:
     """The ``metric`` object: label -> value, absent (``""``) labels
     omitted — the store's ""-is-absent convention crossing back to the
-    Prometheus labelset model."""
-    return {c: row[c] for c in label_cols if row[c] not in ("", None)}
+    Prometheus labelset model.  ``U__`` value-encoded columns render
+    as their raw UTF-8 label names (`names.py`)."""
+    return {
+        unescape_name(c): row[c]
+        for c in label_cols
+        if row[c] not in ("", None)
+    }
 
 
 def matrix_result(df: DataFrame) -> list[dict]:
@@ -263,7 +269,7 @@ def labels_result(
     agg = df.agg(
         *[F.max(F.col(c) != F.lit("")).alias(c) for c in cols]
     ).collect()[0]
-    return sorted(c for c in cols if agg[c])
+    return sorted(unescape_name(c) for c in cols if agg[c])
 
 
 def label_values_result(
@@ -274,7 +280,8 @@ def label_values_result(
     end_ms: int | None = None,
 ) -> list[str]:
     """``/api/v1/label/<name>/values``: sorted distinct non-empty
-    values."""
+    values.  A UTF-8 ``name`` resolves to its U__ column."""
+    name = escape_name(name)
     df = _labels_source(engine, selectors, start_ms, end_ms)
     if df is None or name not in df.columns:
         return []

@@ -128,6 +128,13 @@ def _norm_label(key: str) -> str:
     return key
 
 
+def _raw_name(name: str) -> str:
+    """``translation="no_utf8_escaping"``: names pass through exactly
+    (Prometheus 3.x ``NoUTF8EscapingWithSuffixes`` — suffixes like
+    ``_total``/``_bucket`` are still appended by the callers)."""
+    return name
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
@@ -149,7 +156,8 @@ def _decode_any_value(data: bytes, pos: int, end: int) -> str:
     return ""  # arrays / kvlists / bytes stringify as empty, documented
 
 
-def _decode_attrs(data: bytes, spans) -> dict[str, str]:
+def _decode_attrs(data: bytes, spans, norm=None) -> dict[str, str]:
+    norm = norm or _norm_label
     out: dict[str, str] = {}
     for pos, end in spans:
         key, val = "", ""
@@ -159,7 +167,7 @@ def _decode_attrs(data: bytes, spans) -> dict[str, str]:
             elif field == 2 and wire == 2:
                 val = _decode_any_value(data, a, b)
         if key:
-            out[_norm_label(key)] = val
+            out[norm(key)] = val
     return out
 
 
@@ -307,10 +315,11 @@ def _exp_point_to_native(data: bytes, pos: int, end: int):
     return attrs, ts, h, flags
 
 
-def _resource_base(data: bytes, rm_a: int, rm_b: int):
+def _resource_base(data: bytes, rm_a: int, rm_b: int, norm=None):
     """ResourceMetrics -> (base label dict with the service.* triple
     mapped to job/instance, scope_spans) — the translation shared by
     the sample and exemplar decoders."""
+    norm = norm or _norm_label
     resource_attrs: dict[str, str] = {}
     scope_spans: list[tuple[int, int]] = []
     for field, wire, a, b in _fields(data, rm_a, rm_b):
@@ -320,13 +329,15 @@ def _resource_base(data: bytes, rm_a: int, rm_b: int):
                 for ff, ww, x, y in _fields(data, a, b)
                 if ff == 1 and ww == 2
             ]
-            resource_attrs = _decode_attrs(data, spans)
+            resource_attrs = _decode_attrs(data, spans, norm)
         elif field == 2 and wire == 2:
             scope_spans.append((a, b))
     base = dict(resource_attrs)
-    name = base.pop("service_name", None)
-    namespace = base.pop("service_namespace", None)
-    instance = base.pop("service_instance_id", None)
+    # the identifying triple is popped under the ACTIVE normalization
+    # (raw dotted keys in no_utf8_escaping mode)
+    name = base.pop(norm("service.name"), None)
+    namespace = base.pop(norm("service.namespace"), None)
+    instance = base.pop(norm("service.instance.id"), None)
     if name is not None:
         base["job"] = f"{namespace}/{name}" if namespace else name
     if instance is not None:
@@ -337,6 +348,7 @@ def _resource_base(data: bytes, rm_a: int, rm_b: int):
 def decode_export_samples(
     proto: bytes,
     resource_attrs: str = "labels",
+    translation: str = "underscores",
 ) -> list[tuple[str, dict, int, float]]:
     """ExportMetricsServiceRequest -> sample rows ``(metric_name,
     labels, ts_ms, value)`` under the translation documented in the
@@ -353,13 +365,16 @@ def decode_export_samples(
     the batch's latest sample timestamp, the shape
     ``storage/remote/otlptranslator``'s addResourceTargetInfo
     produces)."""
-    rows, _ = _decode_export_samples(proto, resource_attrs, None)
+    rows, _ = _decode_export_samples(
+        proto, resource_attrs, None, translation
+    )
     return rows
 
 
 def decode_export_samples_with_delta(
     proto: bytes,
     resource_attrs: str = "labels",
+    translation: str = "underscores",
 ) -> tuple[
     list[tuple[str, dict, int, float]],
     list[tuple[str, dict, int, float]],
@@ -372,14 +387,23 @@ def decode_export_samples_with_delta(
     the cross-payload running sum."""
     delta_rows: list[tuple[str, dict, int, float]] = []
     rows, delta_rows = _decode_export_samples(
-        proto, resource_attrs, delta_rows
+        proto, resource_attrs, delta_rows, translation
     )
     return rows, delta_rows
 
 
-def _decode_export_samples(proto, resource_attrs, delta_rows):
+def _decode_export_samples(
+    proto, resource_attrs, delta_rows, translation="underscores"
+):
     from tsdb_parquet_spark.histograms import expand_to_classic, format_le
 
+    if translation not in ("underscores", "no_utf8_escaping"):
+        raise ValueError(
+            "translation must be 'underscores' or 'no_utf8_escaping', "
+            f"got {translation!r}"
+        )
+    norm_name = _norm_name if translation == "underscores" else _raw_name
+    norm_label = _norm_label if translation == "underscores" else _raw_name
     if resource_attrs not in ("labels", "target_info"):
         raise ValueError(
             f"resource_attrs must be 'labels' or 'target_info', "
@@ -390,7 +414,7 @@ def _decode_export_samples(proto, resource_attrs, delta_rows):
     for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
         if f_rm != 1 or w_rm != 2:
             continue
-        merged, scope_spans = _resource_base(data, rm_a, rm_b)
+        merged, scope_spans = _resource_base(data, rm_a, rm_b, norm_label)
         if resource_attrs == "target_info":
             base = {k: v for k, v in merged.items()
                     if k in ("job", "instance")}
@@ -405,7 +429,9 @@ def _decode_export_samples(proto, resource_attrs, delta_rows):
                     continue
                 _decode_metric(data, m_a, m_b, base, rows,
                                expand_to_classic, format_le,
-                               delta_rows=delta_rows)
+                               delta_rows=delta_rows,
+                               norm_name=norm_name,
+                               norm_label=norm_label)
         if extra and len(rows) > n_before:
             ts_max = max(r[2] for r in rows[n_before:])
             rows.append(
@@ -415,7 +441,10 @@ def _decode_export_samples(proto, resource_attrs, delta_rows):
 
 
 def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic,
-                   format_le, delta_rows=None):
+                   format_le, delta_rows=None, norm_name=None,
+                   norm_label=None):
+    norm_name = norm_name or _norm_name
+    norm_label = norm_label or _norm_label
     name = ""
     gauge = None
     summ = None
@@ -424,7 +453,7 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic,
     sum_msg = None
     for field, wire, a, b in _fields(data, m_a, m_b):
         if field == 1 and wire == 2:
-            name = _norm_name(data[a:b].decode("utf-8"))
+            name = norm_name(data[a:b].decode("utf-8"))
         elif field == 5 and wire == 2:
             gauge = (a, b)
         elif field == 7 and wire == 2:
@@ -438,7 +467,7 @@ def _decode_metric(data, m_a, m_b, base, rows, expand_to_classic,
 
     def lab(attr_spans):
         out = dict(base)
-        out.update(_decode_attrs(data, attr_spans))
+        out.update(_decode_attrs(data, attr_spans, norm_label))
         return out
 
     if gauge is not None:
@@ -985,6 +1014,7 @@ def otlp_frame(
     batch_rows: int = 4096,
     resource_attrs: str = "labels",
     delta: str = "skip",
+    translation: str = "underscores",
 ):
     """Decode a DataFrame of OTLP POST bodies into a sample frame
     ``(label_names..., ts long, value double)`` — the OTLP twin of
@@ -1012,19 +1042,32 @@ def otlp_frame(
     skipped either way."""
     import pandas as pd
 
+    from tsdb_parquet_spark.names import escape_name
+
     if delta not in ("skip", "convert"):
         raise ValueError(f"delta must be 'skip' or 'convert', got {delta!r}")
+    if translation not in ("underscores", "no_utf8_escaping"):
+        raise ValueError(
+            "translation must be 'underscores' or 'no_utf8_escaping', "
+            f"got {translation!r}"
+        )
     payloads = payloads.select(payload_col)
+    # ``label_names`` arrive as the RAW (possibly dotted/UTF-8) label
+    # names the decoder emits under ``translation``; the frame's COLUMN
+    # names are their U__ value-encoded forms (`names.py` — identity
+    # for classic names), keeping every downstream reference
+    # identifier-safe while the raw name stays recoverable.
     label_names = sorted(label_names)
+    col_names = [escape_name(c) for c in label_names]
     schema = (
-        ", ".join(f"`{c}` string" for c in label_names)
+        ", ".join(f"`{c}` string" for c in col_names)
         + ", ts long, value double"
     )
     if delta == "convert":
         schema += ", `__delta` boolean"
 
     def convert(batches):
-        cols = label_names + ["ts", "value"]
+        cols = col_names + ["ts", "value"]
         if delta == "convert":
             cols = cols + ["__delta"]
         buf: list[tuple] = []
@@ -1037,7 +1080,8 @@ def otlp_frame(
                     proto = _gzip.decompress(proto)
                 if delta == "convert":
                     rows, delta_rows = decode_export_samples_with_delta(
-                        proto, resource_attrs=resource_attrs
+                        proto, resource_attrs=resource_attrs,
+                        translation=translation,
                     )
                     tagged = [(r, False) for r in rows] + [
                         (r, True) for r in delta_rows
@@ -1046,7 +1090,8 @@ def otlp_frame(
                     tagged = [
                         (r, False)
                         for r in decode_export_samples(
-                            proto, resource_attrs=resource_attrs
+                            proto, resource_attrs=resource_attrs,
+                            translation=translation,
                         )
                     ]
                 for (name, labels, ts_ms, value), is_delta in tagged:
@@ -1073,11 +1118,11 @@ def otlp_frame(
     plain = frame.filter(~F.col("__delta")).drop("__delta")
     deltas = (
         frame.filter(F.col("__delta"))
-        .groupBy(*label_names, "ts")
+        .groupBy(*col_names, "ts")
         .agg(F.sum("value").alias("value"))
     )
-    w = Window.partitionBy(*label_names).orderBy("ts")
+    w = Window.partitionBy(*col_names).orderBy("ts")
     cum = deltas.withColumn("value", F.sum("value").over(w)).select(
-        *label_names, "ts", "value"
+        *col_names, "ts", "value"
     )
     return plain.unionByName(cum)

@@ -89,6 +89,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsdb_parquet_spark.names import escape_name as _escape_name
+from tsdb_parquet_spark.names import unescape_name as _unescape_name
 from tsdb_parquet_spark.operators.selection import Matcher
 
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000  # PromQL staleness window
@@ -766,7 +768,12 @@ class _Parser:
             k, nxt = self.next()
             if nxt == ")":
                 break
-            if k != "ident":
+            if k == "string":
+                # Prometheus 3.x: quoted UTF-8 label names in grouping
+                # lists (`by ("service.version")`) — escaped to their
+                # column form at the parse boundary
+                nxt = _escape_name(nxt[1:-1])
+            elif k != "ident":
                 raise ValueError(f"expected label in {ctx}(...), got {nxt!r}")
             labels.append(nxt)
             k, sep = self.peek()
@@ -951,8 +958,10 @@ class _Parser:
         self.expect(")")
         if len(strs) < 2:
             raise ValueError("label_join needs dst, sep[, src...]")
+        # dst/srcs are label NAMES: map UTF-8 names to column form
         return PromLabelJoin(
-            inner=inner, dst=strs[0], sep=strs[1], srcs=strs[2:]
+            inner=inner, dst=_escape_name(strs[0]), sep=strs[1],
+            srcs=[_escape_name(s) for s in strs[2:]],
         )
 
     def _math_func(self):
@@ -1092,9 +1101,10 @@ class _Parser:
                 raise ValueError(f"label_replace expects strings, got {s!r}")
             strs.append(s[1:-1])
         self.expect(")")
+        # dst/src are label NAMES: map UTF-8 names to column form
         return PromLabelReplace(
-            inner=inner, dst=strs[0], replacement=strs[1],
-            src=strs[2], regex=strs[3],
+            inner=inner, dst=_escape_name(strs[0]), replacement=strs[1],
+            src=_escape_name(strs[2]), regex=strs[3],
         )
 
     def _expr_dispatch_agg(self, tok: str) -> bool:
@@ -1322,7 +1332,11 @@ class _Parser:
                     if nxt == ",":
                         self.next()
                     continue
-                name = name[1:-1]  # quoted label NAME
+                # quoted label NAME: non-legacy (dotted/UTF-8) names
+                # map to their U__ value-encoded COLUMN name at the
+                # parse boundary (names.py) — identity for classic
+                # names, so everything downstream stays identifier-safe
+                name = _escape_name(name[1:-1])
             elif k != "ident":
                 raise ValueError(f"expected label name, got {name!r}")
             _, op = self.next()
@@ -3042,7 +3056,10 @@ def to_api_response(result: "DataFrame", t_col: str = "t",
     label_cols = [c for c in result.columns if c not in (t_col, value_col)]
     series: dict[tuple, list] = {}
     for row in result.collect():
-        key = tuple((c, row[c]) for c in label_cols if row[c])
+        # U__ columns render back as their raw UTF-8 label names
+        key = tuple(
+            (_unescape_name(c), row[c]) for c in label_cols if row[c]
+        )
         series.setdefault(key, []).append(
             [row[t_col] / 1000.0, _api_value(row[value_col])]
         )
@@ -3071,7 +3088,9 @@ def to_api_instant_response(result: "DataFrame", t_col: str = "t",
         )
     out = [
         {
-            "metric": {c: row[c] for c in label_cols if row[c]},
+            "metric": {
+                _unescape_name(c): row[c] for c in label_cols if row[c]
+            },
             "value": [row[t_col] / 1000.0, _api_value(row[value_col])],
         }
         for row in rows

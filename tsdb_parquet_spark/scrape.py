@@ -101,15 +101,27 @@ def format_exposition(
             esc = mhelp.replace("\\", "\\\\").replace("\n", "\\n")
             lines.append(f"# HELP {metric} {esc}")
         lines.append(f"# TYPE {metric} {mtype}")
+    from tsdb_parquet_spark.names import is_legacy_name
+
+    def _pair(k: str, v: str) -> str:
+        # Prometheus 3.x text syntax: non-legacy label NAMES are quoted
+        key = k if is_legacy_name(k) else f'"{escape_label_value(k)}"'
+        return f'{key}="{escape_label_value(v)}"'
+
     for entry in samples:
         labels, value, ts_ms = entry[0], entry[1], entry[2]
         exemplar = entry[3] if len(entry) > 3 else None
         metric = labels["__name__"]
         rest = {k: v for k, v in labels.items() if k != "__name__"}
-        if rest:
-            body = ",".join(
-                f'{k}="{escape_label_value(rest[k])}"' for k in sorted(rest)
-            )
+        if not is_legacy_name(metric):
+            # UTF-8 metric name rides inside the braces as a bare
+            # quoted string (Prometheus 3.x exposition syntax)
+            parts = [f'"{escape_label_value(metric)}"'] + [
+                _pair(k, rest[k]) for k in sorted(rest)
+            ]
+            head = "{" + ",".join(parts) + "}"
+        elif rest:
+            body = ",".join(_pair(k, rest[k]) for k in sorted(rest))
             head = f"{metric}{{{body}}}"
         else:
             head = metric
