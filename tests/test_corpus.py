@@ -87,9 +87,10 @@ def test_driver_window_round15_composition():
         # 2-rounds-stale r13-green family hubs / no-kin rows
         "q07_groupby_agg", "q87_bucket_ranged_read",
         "q111_remote_write_ingest", "q113_scrape_text_parse",
-        "q122_native_histogram_store_roundtrip",
-        "q128_sequence_packing", "q129_remote_read",
-        "q134_replica_dedup",
+        "q122_native_histogram_store_roundtrip", "q129_remote_read",
+        # mid-round debuts (never driver-checked; q128/q134 deferred
+        # with documented coverage to make room)
+        "q143_utf8_names_roundtrip", "q144_serve_replica_dedup",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher

@@ -8897,6 +8897,230 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t", "event_type")
 
 
+
+def _utf8_otlp_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a parquet store of OTLP samples ingested
+    under ``translation="no_utf8_escaping"`` (Prometheus 3.x UTF-8
+    names): one body per day over events, each with TWO resource
+    batches (``service.version`` "1.2" for even-length event types,
+    "2.0" for odd — a deterministic split DuckDB reproduces with
+    ``length() % 2``) carrying a GAUGE ``app.events.daily`` datapoint
+    per event_type at day-end whose value is that day's event count.
+    Resource attrs ``service.name``/``service.version``/``deploy.env``
+    and datapoint attr ``event.type`` all carry dots, so every label
+    column in the store is a ``U__`` value-encoded name (`names.py`)
+    and the metric-name VALUE stays raw-dotted.  The store write IS
+    part of the round-trip under test: U__ columns must survive
+    parquet and come back pushdown-capable."""
+    from tsdb_parquet_spark.otlp import encode_export_request, otlp_frame
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
+    final = os.path.join(work, f"utf8_otlp_store_v1_{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    ev = _cat(spark, sf_dir)["events"]
+    counts = (
+        ev.select("event_type", F.expr("ts div 1000000").alias("ts"))
+        .groupBy(
+            "event_type",
+            ((F.col("ts") / F.lit(_DAY_MS)).cast("long")).alias("day"),
+        )
+        .count()
+        .toPandas()
+        .sort_values(["day", "event_type"], kind="mergesort")
+    )
+    payloads = []
+    for day, g in counts.groupby("day", sort=True):
+        day_end = int((day + 1) * _DAY_MS)
+        batches = []
+        for version, pred in (
+            ("1.2", lambda e: len(e) % 2 == 0),
+            ("2.0", lambda e: len(e) % 2 == 1),
+        ):
+            points = [
+                ({"event.type": e}, day_end, float(n))
+                for e, n in zip(g["event_type"], g["count"])
+                if pred(e)
+            ]
+            if points:
+                batches.append((
+                    {"service.name": "app", "service.version": version,
+                     "deploy.env": "prod"},
+                    [{"name": "app.events.daily", "kind": "gauge",
+                      "points": points}],
+                ))
+        payloads.append((bytearray(encode_export_request(batches)),))
+    df = spark.createDataFrame(payloads, "payload binary")
+    frame = otlp_frame(
+        df,
+        label_names=["__name__", "job", "service.version",
+                     "deploy.env", "event.type"],
+        translation="no_utf8_escaping",
+    )
+    with _staged_publish(final, marker="_SUCCESS") as build:
+        frame.repartition(4).write.mode("overwrite").parquet(build)
+    return final
+
+
+@query(
+    "q143_utf8_names_roundtrip",
+    f"""
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+d AS (
+  SELECT event_type, ((ts_ms // {_DAY_MS}) + 1) * {_DAY_MS} AS t,
+         count(*) AS n
+  FROM s GROUP BY 1, 2
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t))
+SELECT st.t,
+       CASE WHEN length(d.event_type) % 2 = 0 THEN '1.2' ELSE '2.0' END
+           AS "service.version",
+       d.event_type AS "event.type",
+       CAST(d.n AS DOUBLE) AS value
+FROM steps st JOIN d ON d.t = st.t
+ORDER BY 1, 2, 3""",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus 3.x UTF-8 names end-to-end (r14 verdict item #3):
+    dotted OTLP attribute names ingested with
+    ``translation="no_utf8_escaping"`` survive LOSSLESSLY as U__
+    value-encoded parquet columns (`names.py` — the public
+    prometheus/common ``EscapeName`` scheme), and the quoted selector
+    syntax (`{{"app.events.daily", "deploy.env"="prod"}}`, grouping
+    ``by ("service.version", "event.type")``) resolves them with
+    matcher pushdown on the escaped columns.  The day-end gauge value
+    is the day's event count, so each instant-vector group is exact
+    and the oracle recomputes every (step, version, event_type) cell
+    from raw events.  The reference has no UTF-8-name analog
+    (`prometheus/querier.go:71-73` predates Prometheus 3.x names)."""
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    store = _utf8_otlp_store(spark, sf_dir)
+    engine = PromQLEngine(spark.read.parquet(store))
+    out = engine.query_range(
+        'sum by ("service.version", "event.type") '
+        '({"app.events.daily", "deploy.env"="prod"})',
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    )
+    return (
+        out.orderBy("t", "U__service_2e_version", "U__event_2e_type")
+        .select(
+            "t",
+            F.col("U__service_2e_version").alias("service.version"),
+            F.col("U__event_2e_type").alias("event.type"),
+            "value",
+        )
+    )
+
+
+@query(
+    "q144_serve_replica_dedup",
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(user_id % 8 AS VARCHAR) AS shard,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events
+),
+rep AS (
+  SELECT 'r0' AS replica, event_type, shard, ts_ms, value,
+         ts_ms // {_DAY_MS} AS b
+  FROM s WHERE (ts_ms // {_DAY_MS}) % 4 != 1
+  UNION ALL
+  SELECT 'r1', event_type, shard, ts_ms, value, ts_ms // {_DAY_MS}
+  FROM s WHERE (ts_ms // {_DAY_MS}) % 4 != 2
+),
+-- the serve path votes PER REQUEST, clipped to the selector's exact
+-- window [start - lookback + 1, end] BEFORE counting (cli.py's
+-- bounded-vote transform) — mirror the clip, then the bucket vote
+clipped AS (
+  SELECT * FROM rep
+  WHERE ts_ms > {_P_START - _P_LOOKBACK} AND ts_ms <= {_P_END}
+),
+votes AS (
+  SELECT event_type, shard, b, replica, count(*) AS n
+  FROM clipped GROUP BY 1, 2, 3, 4
+),
+winners AS (
+  SELECT event_type, shard, b, replica
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type, shard, b
+            ORDER BY n DESC, replica) AS rk FROM votes)
+  WHERE rk = 1
+),
+dedup AS (
+  SELECT r.event_type, r.shard, r.ts_ms, r.value
+  FROM clipped r JOIN winners w
+    ON r.event_type = w.event_type AND r.shard = w.shard
+   AND r.b = w.b AND r.replica = w.replica
+),
+steps AS (SELECT t FROM range({_P_START}, {_P_END + 1}, {_P_STEP}) r(t)),
+last AS (
+  SELECT st.t, d.event_type, d.shard, arg_max(d.value, d.ts_ms) AS v
+  FROM steps st
+  JOIN dedup d ON d.ts_ms > st.t - {_P_LOOKBACK} AND d.ts_ms <= st.t
+  GROUP BY 1, 2, 3
+)
+SELECT t, event_type, round(sum(v), 2) AS value
+FROM last GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path HA replica dedup (r14 verdict item #4): the q134
+    two-replica frame served through a real loopback
+    ``/api/v1/query_range`` with the EXACT ``serve --replica-label``
+    wiring (`cli.py:817-837` — a per-request ts-bounded
+    `dedup_replicas` vote as the engine's ``samples_transform``, never
+    a startup full-store vote).  The oracle clips to the request's
+    selector window before voting, exactly like the transform, then
+    recomputes the per-bucket winner and the instant-vector sum —
+    pinning the serve wiring end-to-end where q134 pins the operator
+    and `test_replicas.py` pins the bounds math."""
+    from tsdb_parquet_spark.api import PromApiServer, api_query_range_rows
+    from tsdb_parquet_spark.operators.replicas import dedup_replicas
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    cat = _cat(spark, sf_dir)
+    s = cat["events"].select(
+        F.lit("app_events").alias("__name__"),
+        "event_type",
+        (F.col("user_id") % 8).cast("string").alias("shard"),
+        F.expr("ts div 1000000").alias("ts"),
+        "value",
+    )
+    b = (F.col("ts") / F.lit(_DAY_MS)).cast("long")
+    rep = (
+        s.filter(b % 4 != 1).withColumn("replica", F.lit("r0"))
+        .unionByName(s.filter(b % 4 != 2).withColumn("replica", F.lit("r1")))
+    )
+
+    def transform(df, lo, hi):
+        bounds = (lo, hi) if lo is not None and hi is not None else None
+        return dedup_replicas(df, "replica", window_ms=_DAY_MS,
+                              ts_bounds=bounds)
+
+    engine = PromQLEngine(rep, samples_transform=transform)
+    with PromApiServer(engine, lookback_ms=_P_LOOKBACK) as url:
+        rows = api_query_range_rows(
+            url,
+            "sum by (event_type) (app_events)",
+            _P_START,
+            _P_END,
+            _P_STEP,
+        )
+    data = [
+        (t, labels["event_type"], round(value, 2))
+        for t, labels, value in rows
+    ]
+    return spark.createDataFrame(
+        data, "t LONG, event_type STRING, value DOUBLE"
+    ).orderBy("t", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -8926,9 +9150,15 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     groupBy agg — covers q06's first-per-key), q87 (bucket ranged
 #     read), q111 (remote-write wire ingest), q113 (scrape text parse
 #     — covers q31's from_json), q122 (native-histogram store
-#     roundtrip), q128 (sequence packing), q129 (remote read —
-#     covers q136), q134 (replica dedup — also r14-changed:
-#     samples_transform per-selector bounded vote).
+#     roundtrip), q129 (remote read — covers q136).
+#   * 2 mid-round debuts consuming the last 2 slots (never
+#     driver-checked rows MUST debut in their introduction round):
+#     q143 UTF-8 names end-to-end (quoted selectors over U__
+#     value-encoded store columns) and q144 serve-path HA dedup (the
+#     bounded-vote transform behind a real socket).  They displace
+#     q128 (sequence packing -> q63's sampling kernel is the weak kin,
+#     documented) and q134 (replica dedup -> q144 IS its end-to-end
+#     coverage, plus q45's querier-select kin).
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
@@ -8986,6 +9216,11 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q133_promql_ts_of     -> q56 (same over_time timestamp kernel)
 #   q135_otlp_exemplars   -> q125 (same otlp.py decode path)
 #   q136_remote_read_streamed -> q129 (same remote-read frame codec)
+#   q128_sequence_packing -> q63 (sampling/ordering kernel — weak kin,
+#                            accepted: packing's prefix-sum shuffle is
+#                            pinned by test_packing + the r14-green row)
+#   q134_replica_dedup    -> q144 (the serve row RUNS dedup_replicas
+#                            end-to-end) + q45 (querier select core)
 # Every other out-of-window row is r14-green (1 recorded round stale
 # once r15 lands) and needs no deferral record.
 #: Rows REGISTERED mid-round after the window had executed a
@@ -9047,6 +9282,11 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
     "q133_promql_ts_of": ("q56_promql_quantile_over_time",),
     "q135_otlp_exemplars": ("q125_otlp_histogram_ingest",),
     "q136_remote_read_streamed": ("q129_remote_read",),
+    "q128_sequence_packing": ("q63_weighted_sample",),
+    "q134_replica_dedup": (
+        "q144_serve_replica_dedup",
+        "q45_multi_store_merge",
+    ),
 }
 
 _DRIVER_PRIORITY: list[str] = [
@@ -9102,11 +9342,14 @@ _DRIVER_PRIORITY: list[str] = [
     "q111_remote_write_ingest",
     "q113_scrape_text_parse",
     "q122_native_histogram_store_roundtrip",
-    "q128_sequence_packing",
     "q129_remote_read",
-    "q134_replica_dedup",
+    # mid-round debuts (never driver-checked; introduced this round)
+    "q143_utf8_names_roundtrip",
+    "q144_serve_replica_dedup",
     # position 51+ — outside the driver cap: the documented round-16
     # deferrals first (all due back next round), then registry order
+    "q128_sequence_packing",
+    "q134_replica_dedup",
     "q06_first_per_key",
     "q08_time_containment",
     "q09_label_values",
