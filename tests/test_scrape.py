@@ -73,7 +73,21 @@ def test_distributed_matches_reference(spark):
     st.lists(
         st.tuples(
             st.dictionaries(
-                st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,5}", fullmatch=True),
+                # classic names OR Prometheus 3.x UTF-8 names (quoted on
+                # the wire; no raw " or \\ per the documented parse bound)
+                st.one_of(
+                    st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,5}",
+                                  fullmatch=True),
+                    st.text(
+                        alphabet=st.characters(
+                            blacklist_categories=("Cs", "Cc"),
+                            blacklist_characters='"\\',
+                            max_codepoint=0x2FF,
+                        ),
+                        min_size=1,
+                        max_size=8,
+                    ).filter(lambda n: n != "__name__"),
+                ),
                 st.text(
                     alphabet=st.characters(
                         blacklist_categories=("Cs",), max_codepoint=0x2FF
@@ -104,6 +118,8 @@ def test_spark_python_agreement_on_property_corpus(spark):
         {"a": "\\"}, {"a": '\\"'}, {"a": "\\n"}, {"a": "\n"},
         {"a": "}{"}, {"a": ","}, {"a": ' = "'}, {"a": "\\\\n"},
         {"a": "tab\there"}, {"a": ""},
+        # Prometheus 3.x quoted UTF-8 label names (values still nasty)
+        {"svc.ver": "1,2"}, {"a b": "}x{"}, {"x=y": 'esc\\"q'},
     ]
     samples = [
         ({"__name__": "m", **labels}, float(i), i * 10)

@@ -161,3 +161,58 @@ def test_bad_translation_rejected(spark):
     payloads = spark.createDataFrame([(_payload(),)], "payload binary")
     with pytest.raises(ValueError, match="translation"):
         otlp_frame(payloads, ["__name__"], translation="dots").count()
+
+
+def test_scrape_utf8_round_trip(spark):
+    """Prometheus 3.x text syntax both ways: format_exposition quotes
+    non-legacy names, BOTH parsers read them back, and scrape_samples
+    pivots them to U__ columns."""
+    from tsdb_parquet_spark.scrape import (
+        exposition_samples,
+        format_exposition,
+        parse_exposition,
+        scrape_samples,
+    )
+
+    samples = [
+        ({"__name__": "my.metric", "service.version": "1.2",
+          "job": "a"}, 4.0, 100),
+        ({"__name__": "plain_metric", "job": "b"}, 2.5, 200),
+    ]
+    text = format_exposition(samples)
+    assert text.startswith('{"my.metric","job"') or text.startswith(
+        '{"my.metric",job='
+    )
+    back = parse_exposition(text)
+    assert [(l, v, t) for l, v, t in back] == samples
+    df = spark.createDataFrame([(text,)], "body string")
+    got = sorted(
+        (r["__name__"], dict(r["labels"]), r["value"], r["ts"])
+        for r in exposition_samples(df).collect()
+    )
+    assert got == sorted(
+        (l["__name__"],
+         {k: v for k, v in l.items() if k != "__name__"}, v, t)
+        for l, v, t in samples
+    )
+    piv = scrape_samples(
+        df, ["__name__", "job", "service.version"]
+    )
+    assert escape_name("service.version") in piv.columns
+    row = piv.filter(F.col("__name__") == "my.metric").collect()[0]
+    assert row[escape_name("service.version")] == "1.2"
+
+
+def test_scrape_metadata_quoted_metric(spark):
+    from tsdb_parquet_spark.scrape import scrape_metadata
+
+    text = (
+        '# HELP "my.metric" dotted help\n'
+        '# TYPE "my.metric" gauge\n'
+        "# TYPE classic counter\n"
+    )
+    df = spark.createDataFrame([(text,)], "body string")
+    rows = {r["metric"]: (r["type"], r["help"])
+            for r in scrape_metadata(df).collect()}
+    assert rows["my.metric"] == ("gauge", "dotted help")
+    assert rows["classic"][0] == "counter"

@@ -51,8 +51,16 @@ __all__ = [
 ]
 
 _METRIC_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"
-#: one 'name="value"' pair; the value part never crosses an unescaped quote
-_PAIR_RE = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+#: Prometheus 3.x UTF-8 syntax: a `{`-led line carries the metric name
+#: as the FIRST brace element, a bare quoted string.  BOUND (documented,
+#: shared by the reference and distributed parsers): quoted label/metric
+#: NAMES contain no raw `"` or `\` — escapes stay legal in VALUES,
+#: where they actually occur; a name needing escapes is vanishingly
+#: rare and fails loudly, never silently misparses.
+_METRIC_UTF8_RE = r'^\{"([^"\\]*)"[ \t]*[,}]'
+#: one 'name="value"' pair — the name either classic or quoted UTF-8;
+#: the value part never crosses an unescaped quote
+_PAIR_RE = r'(?:[a-zA-Z_][a-zA-Z0-9_]*|"[^"\\]*")="(?:[^"\\]|\\.)*"'
 #: an OpenMetrics exemplar suffix, ANCHORED at end of line:
 #: ' # {pairs} value [ts]'.  The anchor + quote-aware pairs make this
 #: unspoofable by label values: a value containing ' # {...}' sits
@@ -156,14 +164,70 @@ def _unescape(raw: str) -> str:
     return "".join(out)
 
 
+def _split_label_block(body: str) -> list[str]:
+    """Split a brace body on commas OUTSIDE quoted strings
+    (escape-aware) — shared by the classic and UTF-8 label grammars."""
+    items: list[str] = []
+    cur: list[str] = []
+    in_q = esc = False
+    for ch in body:
+        if esc:
+            cur.append(ch)
+            esc = False
+            continue
+        if ch == "\\" and in_q:
+            cur.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_q = not in_q
+            cur.append(ch)
+            continue
+        if ch == "," and not in_q:
+            items.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        items.append(tail)
+    return [i for i in items if i]
+
+
+def _parse_label_element(el: str) -> tuple[str | None, str]:
+    """One brace element -> ``(name, value)``; ``(None, metric)`` for a
+    bare quoted string (the Prometheus 3.x UTF-8 metric name)."""
+    if el.startswith('"'):
+        i = 1
+        while i < len(el) and el[i] != '"':
+            i += 2 if el[i] == "\\" else 1
+        if i >= len(el):
+            raise ValueError(f"unterminated quoted name: {el!r}")
+        name = _unescape(el[1:i])
+        rest = el[i + 1 :].strip()
+        if not rest:
+            return None, name  # bare quoted metric name
+        if not (rest.startswith('=') and rest[1:].strip().startswith('"')):
+            raise ValueError(f"bad quoted-name pair: {el!r}")
+        v = rest[1:].strip()
+        return name, _unescape(v[1:-1])
+    k, eq, v = el.partition("=")
+    if not eq:
+        raise ValueError(f"bad label pair: {el!r}")
+    v = v.strip()
+    return k.strip(), _unescape(v[1:-1])
+
+
 def parse_exposition(
     text: str,
 ) -> list[tuple[dict, float, int | None]]:
     """Reference single-process parser (same grammar as the distributed
-    path; property tests pin the two against each other)."""
+    path; property tests pin the two against each other).  Understands
+    the Prometheus 3.x UTF-8 name syntax: a ``{``-led line whose first
+    brace element is the bare quoted metric name, and quoted label
+    NAMES in any label block (see the ``_METRIC_UTF8_RE`` bound)."""
     import re
 
-    pair_re = re.compile(_PAIR_RE)
     exemplar_re = re.compile(_EXEMPLAR_RE)
     out = []
     for line in text.split("\n"):
@@ -173,19 +237,34 @@ def parse_exposition(
         # OpenMetrics tolerance: drop an exemplar suffix before the
         # value parse (parse_exemplars reads it)
         line = exemplar_re.sub("", line)
-        m = re.match(_METRIC_RE, line)
-        if not m:
-            raise ValueError(f"bad exposition line: {line!r}")
-        labels = {"__name__": m.group(1)}
-        rest = line[m.end():]
+        if line.startswith("{"):
+            labels = {}
+            rest = line
+        else:
+            m = re.match(_METRIC_RE, line)
+            if not m:
+                raise ValueError(f"bad exposition line: {line!r}")
+            labels = {"__name__": m.group(1)}
+            rest = line[m.end():]
         lb, rb = rest.find("{"), rest.rfind("}")
         if lb >= 0:
             if rb < lb:
                 raise ValueError(f"unclosed label block: {line!r}")
-            for pair in pair_re.findall(rest[lb + 1 : rb]):
-                k, _, v = pair.partition("=")
-                labels[k] = _unescape(v[1:-1])
+            for i, el in enumerate(
+                _split_label_block(rest[lb + 1 : rb])
+            ):
+                k, v = _parse_label_element(el)
+                if k is None:
+                    if i != 0 or "__name__" in labels:
+                        raise ValueError(
+                            "metric name must be the first brace "
+                            f"element, set once: {line!r}"
+                        )
+                    k = "__name__"
+                labels[k] = v
             rest = rest[rb + 1 :]
+        if "__name__" not in labels:
+            raise ValueError(f"line has no metric name: {line!r}")
         parts = rest.split()
         if not parts or len(parts) > 2:
             raise ValueError(f"bad value/timestamp: {line!r}")
@@ -219,9 +298,10 @@ def parse_exemplars(
             continue
         (sample_labels, _v, _t), = parse_exposition(line)
         ex_labels = {}
-        for pair in pair_re.findall(m.group(1)):
-            k, _, v = pair.partition("=")
-            ex_labels[k] = _unescape(v[1:-1])
+        for el in _split_label_block(m.group(1)):
+            k, v = _parse_label_element(el)
+            if k is not None:
+                ex_labels[k] = v
         val = {"+Inf": float("inf"), "-Inf": float("-inf"),
                "Inf": float("inf"), "NaN": float("nan")}.get(m.group(2))
         value = float(m.group(2)) if val is None else val
@@ -295,11 +375,18 @@ def exposition_samples(
     else:
         ts = rawts.cast("long")
     labels = _labels_map(F.col("__labelstr"))
+    # Prometheus 3.x UTF-8 syntax: a `{`-led line names the metric as
+    # the first brace element (bare quoted string, no escapes per the
+    # _METRIC_UTF8_RE bound); classic lines keep the ident prefix
+    name = F.when(
+        F.col("__line").startswith("{"),
+        F.regexp_extract("__line", _METRIC_UTF8_RE, 1),
+    ).otherwise(F.regexp_extract("__line", _METRIC_RE, 1))
     return (
         line.withColumn("__labelstr", labelstr)
         .select(
             *passthrough,
-            F.regexp_extract("__line", _METRIC_RE, 1).alias("__name__"),
+            name.alias("__name__"),
             labels.alias("labels"),
             value.alias("value"),
             ts.alias("ts"),
@@ -324,12 +411,20 @@ def _labels_map(labelstr: Column) -> Column:
     pairs = F.regexp_extract_all(labelstr, F.lit(_PAIR_RE), F.lit(0))
 
     def entry(p: Column) -> Column:
-        # p is 'key="raw"' with key restricted to [A-Za-z0-9_] by the
-        # pair pattern, so the value span is pure offset arithmetic —
-        # no second regex per pair
-        key = F.substring_index(p, '="', 1)
+        # p is 'key="raw"' — key either classic ([A-Za-z0-9_], so the
+        # value span is pure offset arithmetic) or a quoted UTF-8 name
+        # (no raw quotes/escapes inside per the _PAIR_RE bound, so the
+        # first quoted span IS the key); no second regex per pair for
+        # the classic shape
+        is_quoted = p.startswith('"')
+        key = F.when(
+            is_quoted, F.regexp_extract(p, r'^"([^"]*)"', 1)
+        ).otherwise(F.substring_index(p, '="', 1))
+        klen = F.length(key) + F.when(is_quoted, F.lit(2)).otherwise(
+            F.lit(0)
+        )
         raw = p.substr(
-            F.length(key) + F.lit(3), F.length(p) - F.length(key) - F.lit(3)
+            klen + F.lit(3), F.length(p) - klen - F.lit(3)
         )
         # unescape only when an escape is present: the JSON-decoder hop
         # costs ~3x a contains() and real label values are mostly clean
@@ -392,9 +487,16 @@ def scrape_samples(
     """The chunk-frame-shaped view: requested labels pivoted to string
     columns (missing -> "", `schema/chunk.go:109-112` semantics), plus
     ``__name__``, ``value``, ``ts``."""
+    from tsdb_parquet_spark.names import escape_name
+
     base = exposition_samples(payloads, body_col, openmetrics=openmetrics)
+    # ``label_names`` are the RAW (possibly UTF-8) wire names; columns
+    # come out as their U__ value-encoded form (`names.py` — identity
+    # for classic names), the same contract as `otlp.otlp_frame`
     cols = [
-        F.coalesce(F.try_element_at("labels", F.lit(n)), F.lit("")).alias(n)
+        F.coalesce(F.try_element_at("labels", F.lit(n)), F.lit("")).alias(
+            escape_name(n)
+        )
         for n in label_names
         if n != "__name__"
     ]
@@ -414,11 +516,25 @@ def scrape_metadata(
         .select(F.trim("l").alias("l"))
         .where(F.col("l").startswith("# TYPE ") | F.col("l").startswith("# HELP "))
         .select(
-            F.regexp_extract("l", r"^# (TYPE|HELP) ([a-zA-Z_:][a-zA-Z0-9_:]*)", 2
-                             ).alias("metric"),
+            # metric either classic or a quoted UTF-8 name ("my.metric")
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        "l",
+                        r'^# (?:TYPE|HELP) "([^"\\]*)"', 1,
+                    ),
+                    F.lit(""),
+                ),
+                F.regexp_extract(
+                    "l", r"^# (?:TYPE|HELP) ([a-zA-Z_:][a-zA-Z0-9_:]*)", 1
+                ),
+            ).alias("metric"),
             F.regexp_extract("l", r"^# (TYPE|HELP)", 1).alias("kind"),
             F.regexp_extract(
-                "l", r"^# (?:TYPE|HELP) [a-zA-Z_:][a-zA-Z0-9_:]* ?(.*)$", 1
+                "l",
+                r'^# (?:TYPE|HELP) (?:"[^"\\]*"|[a-zA-Z_:][a-zA-Z0-9_:]*)'
+                r" ?(.*)$",
+                1,
             ).alias("payload"),
         )
         .where(F.col("metric") != "")
