@@ -661,6 +661,7 @@ def _decode_exemplar(data: bytes, pos: int, end: int):
 
 def decode_export_exemplars(
     proto: bytes,
+    translation: str = "underscores",
 ) -> list[tuple[str, dict, int, float, dict]]:
     """Exemplars riding on an ``ExportMetricsServiceRequest`` ->
     ``(metric_name, series_labels, ts_ms, value, exemplar_labels)``
@@ -670,12 +671,19 @@ def decode_export_exemplars(
     metric name is the BASE name (no ``_bucket`` suffix — an exemplar
     belongs to the histogram, not one bucket), matching Prometheus's
     exemplar storage keyed by series."""
+    if translation not in ("underscores", "no_utf8_escaping"):
+        raise ValueError(
+            "translation must be 'underscores' or 'no_utf8_escaping', "
+            f"got {translation!r}"
+        )
+    norm_name = _norm_name if translation == "underscores" else _raw_name
+    norm_label = _norm_label if translation == "underscores" else _raw_name
     rows: list[tuple[str, dict, int, float, dict]] = []
     data = proto
     for f_rm, w_rm, rm_a, rm_b in _fields(data, 0, len(data)):
         if f_rm != 1 or w_rm != 2:
             continue
-        base, scope_spans = _resource_base(data, rm_a, rm_b)
+        base, scope_spans = _resource_base(data, rm_a, rm_b, norm_label)
         for sm_a, sm_b in scope_spans:
             for f_m, w_m, m_a, m_b in _fields(data, sm_a, sm_b):
                 if f_m != 2 or w_m != 2:
@@ -684,7 +692,7 @@ def decode_export_exemplars(
                 bodies = []  # (container_span, exemplar_field, gauge?)
                 for field, wire, a, b in _fields(data, m_a, m_b):
                     if field == 1 and wire == 2:
-                        name = _norm_name(data[a:b].decode("utf-8"))
+                        name = norm_name(data[a:b].decode("utf-8"))
                     elif field == 5 and wire == 2:
                         bodies.append((a, b, 5, True))   # Gauge
                     elif field == 7 and wire == 2:
@@ -729,7 +737,7 @@ def decode_export_exemplars(
                         if not exemplars:
                             continue
                         labels = dict(base)
-                        labels.update(_decode_attrs(data, attrs))
+                        labels.update(_decode_attrs(data, attrs, norm_label))
                         for a, b in exemplars:
                             ts, val, ex_labels = _decode_exemplar(
                                 data, a, b
@@ -748,6 +756,7 @@ def otlp_exemplar_frame(
     payload_col: str = "payload",
     gzip_encoded: bool | None = None,
     batch_rows: int = 4096,
+    translation: str = "underscores",
 ):
     """Exemplars riding on OTLP POST bodies as a DataFrame
     ``(label_names..., ts, value, exemplar_labels map)`` — shape-
@@ -758,10 +767,15 @@ def otlp_exemplar_frame(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from tsdb_parquet_spark.names import escape_name
+
     payloads = payloads.select(payload_col)
+    # raw wire names in; U__ value-encoded column names out (identity
+    # for classic names) — the otlp_frame contract
     label_names = sorted(label_names)
+    col_names = [escape_name(c) for c in label_names]
     schema = T.StructType(
-        [T.StructField(c, T.StringType(), False) for c in label_names]
+        [T.StructField(c, T.StringType(), False) for c in col_names]
         + [
             T.StructField("ts", T.LongType(), False),
             T.StructField("value", T.DoubleType(), False),
@@ -774,7 +788,7 @@ def otlp_exemplar_frame(
     )
 
     def convert(batches):
-        cols = label_names + ["ts", "value", "exemplar_labels"]
+        cols = col_names + ["ts", "value", "exemplar_labels"]
         buf: list[tuple] = []
         for pdf in batches:
             for body in pdf[payload_col]:
@@ -784,7 +798,7 @@ def otlp_exemplar_frame(
                 ):
                     proto = _gzip.decompress(proto)
                 for name, labels, ts, val, ex in decode_export_exemplars(
-                    proto
+                    proto, translation=translation
                 ):
                     row = tuple(
                         name if c == "__name__" else labels.get(c, "")
