@@ -120,6 +120,14 @@ HEAVY_TSDB = [
     "q137_relabel_sharding",
     "q138_promql_limit",
     "q140_histogram_stddev",
+    # r15 additions at 10x: live rules state + alert restore (query_range
+    # per alerting rule over 10x samples), the UTF-8 name round-trip
+    # (U__ column store + quoted-selector eval over 10x day-counts), and
+    # the serve-path bounded replica vote behind a real socket
+    "q141_rules_api",
+    "q142_alert_restore",
+    "q143_utf8_names_roundtrip",
+    "q144_serve_replica_dedup",
 ]
 
 HEAVY = [
@@ -501,6 +509,14 @@ def main() -> None:
             "q137_relabel_sharding",
             "q138_promql_limit",
             "q140_histogram_stddev",
+            # r15 additions at 10x: rules live-state wire, alert
+            # restore adoption, the UTF-8 quoted-name eval vs DuckDB
+            # recomputing per-day cells, and the socket replica vote
+            # vs the clipped SQL vote
+            "q141_rules_api",
+            "q142_alert_restore",
+            "q143_utf8_names_roundtrip",
+            "q144_serve_replica_dedup",
         ]
         results = {}
         for name in names:
