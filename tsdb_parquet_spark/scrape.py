@@ -207,14 +207,19 @@ def _parse_label_element(el: str) -> tuple[str | None, str]:
         rest = el[i + 1 :].strip()
         if not rest:
             return None, name  # bare quoted metric name
-        if not (rest.startswith('=') and rest[1:].strip().startswith('"')):
-            raise ValueError(f"bad quoted-name pair: {el!r}")
         v = rest[1:].strip()
+        if not (
+            rest.startswith("=")
+            and len(v) >= 2
+            and v[0] == '"'
+            and v[-1] == '"'
+        ):
+            raise ValueError(f"bad quoted-name pair: {el!r}")
         return name, _unescape(v[1:-1])
     k, eq, v = el.partition("=")
-    if not eq:
-        raise ValueError(f"bad label pair: {el!r}")
     v = v.strip()
+    if not eq or len(v) < 2 or v[0] != '"' or v[-1] != '"':
+        raise ValueError(f"bad label pair: {el!r}")
     return k.strip(), _unescape(v[1:-1])
 
 
