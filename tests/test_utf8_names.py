@@ -216,3 +216,40 @@ def test_scrape_metadata_quoted_metric(spark):
             for r in scrape_metadata(df).collect()}
     assert rows["my.metric"] == ("gauge", "dotted help")
     assert rows["classic"][0] == "counter"
+
+
+def test_otlp_spool_ingestor_utf8_store(spark, tmp_path):
+    """`cli ingest --format otlp --otlp-translation no_utf8_escaping`:
+    the spool-drain path lands dotted attribute names as U__ columns
+    in a REAL chunk store, and a PromQL engine over the querier frame
+    answers quoted selectors."""
+    import os
+
+    from tsdb_parquet_spark.querier import ChunkQuerier
+    from tsdb_parquet_spark.streaming import otlp_spool_ingestor
+
+    spool = os.path.join(str(tmp_path), "spool")
+    root = os.path.join(str(tmp_path), "store")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "otlp-0.bin"), "wb") as fh:
+        fh.write(_payload())
+
+    labels = ["__name__", "job", "service.version", "http.route"]
+    ingestor, stream = otlp_spool_ingestor(
+        spark, spool, root, labels,
+        translation="no_utf8_escaping",
+    )
+    ingestor.ingest(stream)
+    q = ChunkQuerier.from_parquet(spark, ingestor.finalize())
+    frame = q.select_samples(
+        labels=["__name__", "job", escape_name("service.version"),
+                escape_name("http.route")]
+    )
+    assert escape_name("service.version") in frame.columns
+    engine = PromQLEngine(frame)
+    out = engine.query_range(
+        'sum by ("service.version") ({"http.server.active_requests"})',
+        60_000, 60_000, 60_000,
+    ).collect()
+    assert sorted((r["U__service_2e_version"], r["value"]) for r in out) \
+        == [("1.2", 10.0), ("2.0", 5.0)]

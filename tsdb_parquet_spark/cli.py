@@ -496,6 +496,7 @@ def cmd_ingest(args) -> int:
         ingestor, stream = otlp_spool_ingestor(
             spark, args.spool, args.store, labels,
             chunk_span_ms=args.span_ms, relabel=relabel,
+            translation=args.otlp_translation,
         )
     else:
         ingestor, stream = scrape_spool_ingestor(
@@ -1287,6 +1288,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="relabel rules file (YAML or JSON list, the "
                      "Prometheus relabel_configs shape) applied to "
                      "decoded samples before the store write")
+    ing.add_argument("--otlp-translation",
+                     choices=["underscores", "no_utf8_escaping"],
+                     default="underscores",
+                     help="otlp format: 'no_utf8_escaping' keeps dotted/"
+                          "UTF-8 attribute names losslessly (stored as "
+                          "U__ value-encoded columns; pass RAW names in "
+                          "--labels)")
     ing.add_argument("--histograms", action="store_true",
                      help="remote-write format: also drain native "
                           "histograms, classic-expanded (labels must "

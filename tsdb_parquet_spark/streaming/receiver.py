@@ -135,27 +135,40 @@ def otlp_spool_ingestor(
     chunk_span_ms: int = 24 * 3600 * 1000,
     path_glob: str = "otlp-*.bin",
     relabel=None,
+    translation: str = "underscores",
     **ingestor_kwargs,
 ) -> tuple[StreamingChunkIngestor, DataFrame]:
     """(ingestor, stream) for a spool of OTLP POST bodies (one file per
     ``POST /v1/metrics`` request; protobuf, gzip sniffed per payload —
-    `otlp.otlp_frame`).  The glob defaults to the receiver's
+    `otlp.otlp_frame`).  ``translation="no_utf8_escaping"`` keeps
+    dotted/UTF-8 attribute names losslessly: pass the RAW names in
+    ``label_names`` and the store's columns come out as their U__
+    value-encoded forms (`names.py`), queryable via the quoted
+    selector syntax.  The glob defaults to the receiver's
     ``otlp-<seq>.bin`` naming so a MIXED spool (remote-write ``req-*``
     next to OTLP ``otlp-*``, one receiver port serving both) drains
     each protocol through its own ingestor.  Include ``le`` /
     ``quantile`` in ``label_names`` when histogram or summary metrics
     ride the payloads — the expansion happens inside the decode, so
     ``histogram_quantile`` works straight off the store."""
+    from tsdb_parquet_spark.names import escape_name
     from tsdb_parquet_spark.otlp import otlp_frame
 
     labels = list(label_names)
+    # the STORE's label columns are the (possibly U__-escaped) forms
+    store_labels = [escape_name(n) for n in labels]
 
     def to_samples(batch: DataFrame) -> DataFrame:
         payloads = batch.select(F.col("content").alias("payload"))
-        return _relabeled(otlp_frame(payloads, labels), relabel, labels)
+        return _relabeled(
+            otlp_frame(payloads, labels, translation=translation),
+            relabel,
+            store_labels,
+        )
 
     ingestor = StreamingChunkIngestor(
-        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+        spark, root, store_labels, to_samples, chunk_span_ms,
+        **ingestor_kwargs
     )
     stream = (
         spark.readStream.format("binaryFile")
