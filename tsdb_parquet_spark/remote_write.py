@@ -418,6 +418,12 @@ def remote_write_frame(
     Rows stream out in ``batch_rows``-sized Arrow batches so one giant
     payload never materializes as a single batch.
 
+    Remote-write 2.0 carries UTF-8 label names natively (the symbols
+    table has no charset restriction): pass the RAW names in
+    ``label_names`` and the frame's COLUMNS come out as their U__
+    value-encoded forms (`names.py` — identity for classic names), the
+    same contract as `otlp.otlp_frame` / `scrape.scrape_samples`.
+
     The input is pruned to ``payload_col`` BEFORE the ``mapInPandas``
     hop: a Python map reads every column it is handed, so without the
     projection a payload table's sidecar columns (capture time, sender,
@@ -425,15 +431,18 @@ def remote_write_frame(
     """
     import pandas as pd
 
+    from tsdb_parquet_spark.names import escape_name
+
     payloads = payloads.select(payload_col)
     label_names = list(label_names)
+    col_names = [escape_name(c) for c in label_names]
     schema = (
-        ", ".join(f"`{c}` string" for c in label_names)
+        ", ".join(f"`{c}` string" for c in col_names)
         + ", ts long, value double"
     )
 
     def convert(batches):
-        cols = label_names + ["ts", "value"]
+        cols = col_names + ["ts", "value"]
         buf: list[tuple] = []
         for pdf in batches:
             for body in pdf[payload_col]:
@@ -784,14 +793,17 @@ def remote_write_histogram_frame(
     from tsdb_parquet_spark.histograms import expand_to_classic
 
     payloads = payloads.select(payload_col)
+    from tsdb_parquet_spark.names import escape_name
+
     label_names = list(label_names)
+    col_names = [escape_name(c) for c in label_names]
     schema = (
-        ", ".join(f"`{c}` string" for c in label_names)
+        ", ".join(f"`{c}` string" for c in col_names)
         + ", le string, ts long, value double"
     )
 
     def convert(batches):
-        cols = label_names + ["le", "ts", "value"]
+        cols = col_names + ["le", "ts", "value"]
         buf: list[tuple] = []
         for pdf in batches:
             for body in pdf[payload_col]:
