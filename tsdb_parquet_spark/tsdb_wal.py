@@ -927,11 +927,17 @@ def _wal_frames(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from tsdb_parquet_spark.names import escape_name
+
+    # RAW (possibly UTF-8, Prometheus 3.x) names in; U__ value-encoded
+    # column names out — identity for classic names (`names.py`), the
+    # contract shared with otlp_frame / remote_write_frame
     label_names = sorted(label_names)
+    col_names = [escape_name(nm) for nm in label_names]
 
     series_schema = T.StructType(
         [T.StructField("__ref__", T.LongType(), False)]
-        + [T.StructField(nm, T.StringType(), False) for nm in label_names]
+        + [T.StructField(nm, T.StringType(), False) for nm in col_names]
     )
     s_rdd = spark.sparkContext.parallelize(
         [(p,) for p in series_segs], max(len(series_segs), 1)
@@ -954,7 +960,7 @@ def _wal_frames(
                                     ),
                                 )
                             )
-            yield pd.DataFrame(rows, columns=["__ref__", *label_names])
+            yield pd.DataFrame(rows, columns=["__ref__", *col_names])
 
     # `value` must be NULLABLE across the Arrow bridge: pandas->Arrow
     # nulls every NaN (nan_as_null), so a WAL NaN sample — ordinary
@@ -1122,7 +1128,10 @@ def wal_to_samples_frame(
 
     if stale not in ("keep", "drop", "mark"):
         raise ValueError(f"unknown stale mode {stale!r}")
+    from tsdb_parquet_spark.names import escape_name
+
     label_names = sorted(label_names)
+    col_names = [escape_name(nm) for nm in label_names]
     segs = discover_wal_segments(wal_dir)
     if not segs:
         raise ValueError(f"no WAL segments under {wal_dir}")
@@ -1142,7 +1151,7 @@ def wal_to_samples_frame(
         samples_df = raw.groupBy("__ref__", "ts").agg(
             F.expr("min_by(value, struct(seg_ord, rec_ord))").alias("value")
         )
-        cols = [*label_names, "ts", "value"]
+        cols = [*col_names, "ts", "value"]
     else:
         samples_df = raw.groupBy("__ref__", "ts").agg(
             F.expr(
@@ -1158,9 +1167,9 @@ def wal_to_samples_frame(
             samples_df = samples_df.filter(~F.col("is_stale")).drop(
                 "is_stale"
             )
-            cols = [*label_names, "ts", "value"]
+            cols = [*col_names, "ts", "value"]
         else:
-            cols = [*label_names, "ts", "value", "is_stale"]
+            cols = [*col_names, "ts", "value", "is_stale"]
     if apply_tombstones:
         samples_df = _apply_tombstones(spark, wal_dir, samples_df)
     return samples_df.join(series_df, "__ref__", "inner").select(*cols)
@@ -1214,9 +1223,12 @@ def wal_to_exemplars_frame(
                             rows.append((ref, ts, v, ls))
             yield pd.DataFrame(rows, columns=schema.names)
 
+    from tsdb_parquet_spark.names import escape_name
+
     ex = segs_df.mapInPandas(exemplar_pass, schema)
     return ex.join(series_df, "__ref__", "inner").select(
-        *label_names, "ts", "value", "exemplar_labels"
+        *[escape_name(nm) for nm in label_names],
+        "ts", "value", "exemplar_labels",
     )
 
 
@@ -1243,8 +1255,11 @@ def wal_metadata_frame(
     mdf = spark.createDataFrame(
         rows, "__ref__ LONG, type STRING, unit STRING, help STRING"
     )
+    from tsdb_parquet_spark.names import escape_name
+
     return mdf.join(series_df, "__ref__", "inner").select(
-        *label_names, "type", "unit", "help"
+        *[escape_name(nm) for nm in label_names],
+        "type", "unit", "help",
     )
 
 
@@ -1333,9 +1348,11 @@ def wal_to_histogram_frame(
                             rows = []
             yield pd.DataFrame(rows, columns=cols)
 
+    from tsdb_parquet_spark.names import escape_name
+
     hist = segs_df.mapInPandas(hist_pass, schema)
     joined = hist.join(series_df, "__ref__", "inner")
-    rest = [n for n in label_names if n != "__name__"]
+    rest = [escape_name(n) for n in label_names if n != "__name__"]
     return joined.select(
         F.concat(F.col("__name__"), F.col("__suffix")).alias("__name__"),
         *rest,
