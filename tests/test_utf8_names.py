@@ -253,3 +253,35 @@ def test_otlp_spool_ingestor_utf8_store(spark, tmp_path):
     ).collect()
     assert sorted((r["U__service_2e_version"], r["value"]) for r in out) \
         == [("1.2", 10.0), ("2.0", 5.0)]
+
+
+def test_block_export_round_trips_utf8_names(spark, tmp_path):
+    """export_block writes RAW UTF-8 label names into the TSDB index
+    (a real Prometheus 3.x reader sees dotted names); re-ingesting the
+    block brings them back as U__ columns."""
+    import os
+
+    from tsdb_parquet_spark.chunks import samples_to_chunks
+    from tsdb_parquet_spark.tsdb_block import (
+        blocks_to_chunk_frame,
+        export_block,
+        read_index,
+    )
+
+    samples = spark.createDataFrame(
+        [("m", "1.2", 1000, 1.0), ("m", "2.0", 2000, 2.0)],
+        f"`__name__` STRING, `{escape_name('service.version')}` STRING, "
+        "ts LONG, value DOUBLE",
+    )
+    chunks = samples_to_chunks(
+        samples, ["__name__", escape_name("service.version")]
+    )
+    block = os.path.join(str(tmp_path), "block")
+    export_block(chunks, block)
+    names = {n for labels, _ in read_index(block) for n in labels}
+    assert "service.version" in names
+    assert not any(n.startswith("U__") for n in names)
+    back = blocks_to_chunk_frame(
+        spark, [block], ["__name__", "service.version"]
+    )
+    assert escape_name("service.version") in back.columns

@@ -739,6 +739,8 @@ def block_to_chunk_frame(
                 block_dir, with_refs=True, select=select
             )
         ]
+    from tsdb_parquet_spark.names import escape_name
+
     label_names = sorted(
         {n for _, (labels, _) in entries for n in labels}
     )
@@ -755,7 +757,10 @@ def block_to_chunk_frame(
             T.StructField(MAX_T, T.LongType(), False),
             T.StructField("__chunk_ref", T.LongType(), False),
         ]
-        + [T.StructField(n, T.StringType(), False) for n in label_names]
+        # a Prometheus 3.x block may carry UTF-8 label names: columns
+        # come out U__ value-encoded (identity for classic names)
+        + [T.StructField(escape_name(n), T.StringType(), False)
+           for n in label_names]
     )
     meta_df = spark.createDataFrame(meta_rows, schema)
     out_schema = T.StructType(
@@ -859,7 +864,10 @@ def blocks_to_chunk_frame(
         SERIES_ID,
     )
 
+    from tsdb_parquet_spark.names import escape_name
+
     label_names = list(label_names)
+    col_names = [escape_name(nm) for nm in label_names]
     n = len(block_dirs)
     if n == 0:
         raise ValueError("no block directories given")
@@ -878,10 +886,10 @@ def blocks_to_chunk_frame(
             T.StructField(MIN_T, T.LongType(), False),
             T.StructField(MAX_T, T.LongType(), False),
         ]
-        + [T.StructField(nm, T.StringType(), False) for nm in label_names]
+        + [T.StructField(nm, T.StringType(), False) for nm in col_names]
         + [T.StructField(CHUNK_BYTES, T.BinaryType(), False)]
     )
-    cols = [SERIES_ID, MIN_T, MAX_T, *label_names, CHUNK_BYTES]
+    cols = [SERIES_ID, MIN_T, MAX_T, *col_names, CHUNK_BYTES]
 
     def convert(batches):
         for pdf in batches:
@@ -1237,8 +1245,14 @@ def export_block(
         by_series.setdefault(key, []).append(
             (row["mint"], row["maxt"], (seg << 32) | row["offset"])
         )
+    from tsdb_parquet_spark.names import unescape_name
+
+    # the block's index carries the RAW (possibly UTF-8) label names:
+    # U__ value-encoded frame columns decode back on the way out, so a
+    # real Prometheus 3.x reader sees the original dotted names
+    wire_names = [unescape_name(n) for n in label_names]
     series = [
-        (dict(zip(label_names, key)), sorted(chunk_metas))
+        (dict(zip(wire_names, key)), sorted(chunk_metas))
         for key, chunk_metas in by_series.items()
     ]
     write_index(block_dir, series)
