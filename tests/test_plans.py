@@ -700,3 +700,30 @@ def test_exemplar_store_pre_epoch_day_partition(spark, tmp_path):
     assert opts.partition_by == []
     got = select_exemplars(spark, store, [], mint=-10, maxt=-1).collect()
     assert len(got) == 1 and got[0]["ts"] == -1
+
+
+def test_utf8_quoted_matcher_pushed_on_escaped_column(spark, tmp_path):
+    """A quoted UTF-8 label matcher (`{"deploy.env"="prod"}`) must reach
+    the parquet scan as an EqualTo on the U__ value-encoded column —
+    the whole point of storing names escaped instead of dotted."""
+    import os
+
+    from tsdb_parquet_spark.names import escape_name
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
+
+    path = os.path.join(str(tmp_path), "utf8_store")
+    spark.createDataFrame(
+        [("m", "prod", "1.2", 60_000, 1.0)],
+        f"`__name__` STRING, `{escape_name('deploy.env')}` STRING, "
+        f"`{escape_name('service.version')}` STRING, ts LONG, "
+        "value DOUBLE",
+    ).write.parquet(path)
+    engine = PromQLEngine(spark.read.parquet(path))
+    df = engine.query_range(
+        'sum by ("service.version") ({"m", "deploy.env"="prod"})',
+        60_000, 60_000, 60_000,
+    )
+    plan = _formatted(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "EqualTo(U__deploy_2e_env,prod)" in pushed.replace(" ", "")
+    assert "EqualTo(__name__,m)" in pushed.replace(" ", "")
