@@ -285,3 +285,23 @@ def test_block_export_round_trips_utf8_names(spark, tmp_path):
         spark, [block], ["__name__", "service.version"]
     )
     assert escape_name("service.version") in back.columns
+
+
+def test_quoted_names_in_all_label_lists():
+    """Quoted UTF-8 names escape at the parse boundary in every label
+    list position: by/without, on/ignoring, group_left carry,
+    label_replace/label_join dst+src."""
+    esc = escape_name
+
+    node = parse_promql('sum without ("a.b") (m)')
+    assert node.without == [esc("a.b")]
+    node = parse_promql('m1 * on ("svc.x") group_left ("c.d") m2')
+    assert node.matching == [esc("svc.x")]
+    assert node.group_carry == [esc("c.d")]
+    node = parse_promql(
+        'label_replace(m, "dst.x", "$1", "src.y", "(.*)")'
+    )
+    assert node.dst == esc("dst.x") and node.src == esc("src.y")
+    node = parse_promql('label_join(m, "out.z", "-", "a.b", "job")')
+    assert node.dst == esc("out.z")
+    assert node.srcs == [esc("a.b"), "job"]
