@@ -559,7 +559,7 @@ def rules_result(
                     )
                 ):
                     labels = {
-                        c: r[c] for c in label_cols
+                        unescape_name(c): r[c] for c in label_cols
                         if r[c] not in ("", None)
                     }
                     labels.setdefault("alertname", rule.alert)

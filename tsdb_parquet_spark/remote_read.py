@@ -46,6 +46,7 @@ from typing import Sequence
 
 from pyspark.sql import functions as F
 
+from tsdb_parquet_spark.names import escape_name, unescape_name
 from tsdb_parquet_spark.operators.selection import EQ, NEQ, NRE, RE, Matcher
 from tsdb_parquet_spark.remote_write import (
     _as_i64,
@@ -232,6 +233,9 @@ def serve_read_request(engine, body: bytes) -> bytes:
         df = engine.bounded_samples(int(start_ms), int(end_ms))
         dead = False
         for m in matchers:
+            # wire matchers carry RAW (possibly UTF-8) names; the
+            # store's columns are their U__ value-encoded forms
+            m = Matcher(escape_name(m.name), m.op, m.value)
             if m.name in df.columns:
                 df = df.filter(m.to_column())
             elif not m.matches_empty():
@@ -254,7 +258,11 @@ def serve_read_request(engine, body: bytes) -> bytes:
         series = []
         for row in grouped.collect():
             d = row.asDict()
-            labels = {c: d[c] for c in cols if d[c] not in ("", None)}
+            labels = {
+                unescape_name(c): d[c]
+                for c in cols
+                if d[c] not in ("", None)
+            }
             series.append(
                 (labels, [(s["ts"], s["value"]) for s in d["samples"]])
             )
@@ -420,6 +428,9 @@ def serve_read_request_streamed(
         df = engine.bounded_samples(int(start_ms), int(end_ms))
         dead = False
         for m in matchers:
+            # wire matchers carry RAW (possibly UTF-8) names; the
+            # store's columns are their U__ value-encoded forms
+            m = Matcher(escape_name(m.name), m.op, m.value)
             if m.name in df.columns:
                 df = df.filter(m.to_column())
             elif not m.matches_empty():
@@ -451,7 +462,9 @@ def serve_read_request_streamed(
         for row in chunk_rows.toLocalIterator():
             d = row.asDict()
             labels = {
-                c: d[c] for c in sorted_cols if d[c] not in ("", None)
+                unescape_name(c): d[c]
+                for c in sorted_cols
+                if d[c] not in ("", None)
             }
             entry = (int(d[MIN_T]), int(d[MAX_T]), bytes(d[CHUNK_BYTES]))
             key = tuple(sorted(labels.items()))
