@@ -377,8 +377,12 @@ def tsdb_status_result(engine, limit: int = 10) -> dict:
         .collect()
     ]
 
+    # melt under the RAW label names so the stats sections report
+    # dotted names, not their U__ column forms
     kv = F.create_map(
-        *chain.from_iterable((F.lit(c), F.col(c)) for c in cols)
+        *chain.from_iterable(
+            (F.lit(unescape_name(c)), F.col(c)) for c in cols
+        )
     )
     pairs = series.select(F.explode(kv).alias("__lbl", "__val")).filter(
         F.col("__val") != F.lit("")
