@@ -236,7 +236,11 @@ class ChunkQuerier:
                 for c in self.label_columns
             ]
         ).collect()[0]
-        return sorted(c for c in self.label_columns if agg[c])
+        from tsdb_parquet_spark.names import unescape_name
+
+        return sorted(
+            unescape_name(c) for c in self.label_columns if agg[c]
+        )
 
     def tsdb_stats(self) -> DataFrame:
         """Cardinality statistics — the Prometheus /api/v1/status/tsdb
@@ -252,9 +256,13 @@ class ChunkQuerier:
         sorted ``__series__id`` column."""
         from itertools import chain
 
+        from tsdb_parquet_spark.names import unescape_name
+
+        # stats report RAW label names, not their U__ column forms
         kv = F.create_map(
             *chain.from_iterable(
-                (F.lit(c), F.col(c)) for c in self.label_columns
+                (F.lit(unescape_name(c)), F.col(c))
+                for c in self.label_columns
             )
         )
         pairs = self.chunks.select(F.explode(kv).alias("__lbl", "__val"))
@@ -276,6 +284,9 @@ class ChunkQuerier:
         return label_stats.unionByName(series)
 
     def label_values(self, name: str, matchers: Sequence[Matcher] = ()) -> DataFrame:
+        from tsdb_parquet_spark.names import escape_name
+
+        name = escape_name(name)  # a UTF-8 name resolves to its column
         df = self._filtered(None, None, matchers)
         return (
             df.select(F.col(name).alias("value"))
