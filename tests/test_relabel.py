@@ -300,3 +300,27 @@ def test_labelmap_go_expand_refs(frame):
                        replacement="m_$n")],
     )
     assert "m_job" in out2.columns
+
+
+def test_labelmap_collision_last_present_wins(spark):
+    """Two sources mapping to ONE new name: Prometheus iterates the
+    labelset sorted and Sets per series, so the alphabetically-last
+    PRESENT source wins, absent ("") sources never stamp over an
+    earlier value, and an all-absent row keeps the target's existing
+    value (r15 fuzz finding)."""
+    df = spark.createDataFrame(
+        [
+            ("both", "E", "J", "old"),
+            ("env_only", "E", "", "old"),
+            ("neither", "", "", "old"),
+        ],
+        "`case` STRING, env STRING, job STRING, m STRING",
+    )
+    out = apply_relabel(
+        df,
+        [RelabelConfig(action="labelmap", regex="(jo.*|en.*)",
+                       replacement="m$1x")],  # name "1x" unknown -> "m"
+        protected=("ts", "value"),
+    )
+    got = {r["case"]: r["m"] for r in out.collect()}
+    assert got == {"both": "J", "env_only": "E", "neither": "old"}

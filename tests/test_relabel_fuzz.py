@@ -119,13 +119,18 @@ def _ref_apply(rows, configs):
             continue
         label_cols = sorted(c for c in cols if c not in PROTECTED)
         if cfg.action == "labelmap":
-            for c in label_cols:
+            # Prometheus: sorted labelset iteration, lb.Set per SERIES
+            # — only labels PRESENT on the series are visited, so the
+            # alphabetically-last present source wins and all-absent
+            # rows keep the target's existing value
+            for c in label_cols:  # label_cols is sorted
                 m = anchored.match(c)
                 if m:
                     new = _go_expand(m, cfg.replacement)
-                    if new and new != c:
+                    if new:
                         for r in out:
-                            r[new] = r.get(c, "")
+                            if str(r.get(c, "")) != "":
+                                r[new] = r.get(c, "")
                         cols.add(new)
             continue
         if cfg.action == "labeldrop":

@@ -329,7 +329,16 @@ def apply_relabel(
             # Go Expand group refs -> Python re backrefs, with Go's
             # out-of-range/unknown-name -> "" semantics
             pyrepl = _py_replacement(cfg.replacement, cfg.regex)
-            for c in label_cols:
+            # Prometheus iterates the labelset in SORTED name order and
+            # lb.Set()s per series, so when several source labels map
+            # to the same new name, the alphabetically-LAST one that is
+            # PRESENT on that series wins — and a series where every
+            # source is absent ("") keeps the target's existing value.
+            # A sequential whole-column copy gets both wrong (r15 fuzz
+            # finding): group sources per target and fold a per-row
+            # last-present-wins CASE chain instead.
+            targets: dict[str, list[str]] = {}
+            for c in sorted(label_cols):
                 if rx.match(c):
                     new = rx.sub(pyrepl, c)
                     if new in protected:
@@ -337,8 +346,20 @@ def apply_relabel(
                             f"labelmap would overwrite protected "
                             f"sample column {new!r}"
                         )
-                    if new and new != c:
-                        df = df.withColumn(new, F.col(c))
+                    if new:
+                        targets.setdefault(new, []).append(c)
+            for new, srcs in targets.items():
+                if srcs == [new]:
+                    continue  # self-map is a no-op
+                expr = (
+                    F.coalesce(F.col(new).cast("string"), F.lit(""))
+                    if new in df.columns
+                    else F.lit("")
+                )
+                for c in srcs:  # ascending: the last wrap wins
+                    src_c = F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    expr = F.when(src_c != "", src_c).otherwise(expr)
+                df = df.withColumn(new, expr)
             continue
         if cfg.action == "labeldrop":
             drop = [c for c in label_cols if rx.match(c)]
