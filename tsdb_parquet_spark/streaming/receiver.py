@@ -83,12 +83,17 @@ def remote_write_spool_ingestor(
         remote_write_histogram_frame,
     )
 
+    from tsdb_parquet_spark.names import escape_name
+
     labels = list(label_names)
     if histograms and "le" not in labels:
         raise ValueError(
             'histograms=True requires "le" in label_names (the classic '
             "expansion's bucket-bound label)"
         )
+    # RAW names in, U__ value-encoded store columns out (identity for
+    # classic names) — remote-write 2.0 symbols carry UTF-8 natively
+    store_labels = [escape_name(n) for n in labels]
 
     def to_samples(batch: DataFrame) -> DataFrame:
         payloads = batch.select(F.col("content").alias("payload"))
@@ -96,8 +101,9 @@ def remote_write_spool_ingestor(
             out = remote_write_frame(
                 payloads, labels, compressed=compressed
             )
-            return _relabeled(out, relabel, labels)
+            return _relabeled(out, relabel, store_labels)
         plain = [c for c in labels if c != "le"]
+        plain_cols = [escape_name(c) for c in plain]
         floats = remote_write_frame(
             payloads, plain, compressed=compressed
         ).withColumn("le", F.lit(""))
@@ -105,12 +111,13 @@ def remote_write_spool_ingestor(
             payloads, plain, compressed=compressed
         )
         out = floats.unionByName(
-            hists.select(*plain, "le", "ts", "value")
+            hists.select(*plain_cols, "le", "ts", "value")
         )
-        return _relabeled(out, relabel, labels)
+        return _relabeled(out, relabel, store_labels)
 
     ingestor = StreamingChunkIngestor(
-        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+        spark, root, store_labels, to_samples, chunk_span_ms,
+        **ingestor_kwargs
     )
     # binaryFile's schema is FIXED by the format but the streaming
     # source still demands it explicitly
@@ -199,9 +206,13 @@ def scrape_spool_ingestor(
     dropped, since a sample needs a time.  The parse is the all-JVM
     ``scrape_samples`` plan.  The glob defaults to the scraper's
     ``scrape-<ts>-<idx>.txt`` publish naming."""
+    from tsdb_parquet_spark.names import escape_name
     from tsdb_parquet_spark.scrape import scrape_samples
 
     labels = list(label_names)
+    # RAW names in, U__ value-encoded store columns out (identity for
+    # classic names) — the scrape_samples/otlp_frame contract
+    store_labels = [escape_name(n) for n in labels]
 
     def to_samples(batch: DataFrame) -> DataFrame:
         bodies = batch.select(F.col("value").alias("body"))
@@ -211,10 +222,11 @@ def scrape_spool_ingestor(
                 "ts", F.coalesce("ts", F.lit(scrape_ts_ms))
             )
         samples = samples.where(F.col("ts").isNotNull())
-        return _relabeled(samples, relabel, labels)
+        return _relabeled(samples, relabel, store_labels)
 
     ingestor = StreamingChunkIngestor(
-        spark, root, labels, to_samples, chunk_span_ms, **ingestor_kwargs
+        spark, root, store_labels, to_samples, chunk_span_ms,
+        **ingestor_kwargs
     )
     stream = (
         spark.readStream.format("text")
