@@ -215,7 +215,15 @@ class ChunkQuerier:
         labels: Sequence[str] | None = None,
         late_materialize: bool = False,
     ) -> DataFrame:
-        labels = list(labels) if labels is not None else self.label_columns
+        from tsdb_parquet_spark.names import escape_name
+
+        # callers may name labels RAW (dotted UTF-8); store columns are
+        # their U__ value-encoded forms (identity for classic names)
+        labels = (
+            [escape_name(n) for n in labels]
+            if labels is not None
+            else self.label_columns
+        )
         df = self.select_chunks(
             mint,
             maxt,
