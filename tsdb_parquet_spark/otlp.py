@@ -56,7 +56,12 @@ OTLP translation (``storage/remote/otlptranslator``) with one
 documented simplification:
 
 * metric/label names normalize ``[^a-zA-Z0-9_]`` to ``_`` (a leading
-  digit gains a ``key_`` prefix on labels);
+  digit gains a ``key_`` prefix on labels) under the default
+  ``translation="underscores"``; ``translation="no_utf8_escaping"``
+  (Prometheus 3.x ``NoUTF8EscapingWithSuffixes``) keeps names EXACTLY
+  — suffixes still apply — and ``otlp_frame`` then stores label
+  columns as their lossless ``U__`` value-encoded forms (`names.py`),
+  queryable via the quoted selector syntax;
 * monotonic CUMULATIVE sums gain the ``_total`` suffix; DELTA
   temporality sums/histograms are SKIPPED like Prometheus's default
   (delta has no sound cumulative reading) — unless
@@ -1053,7 +1058,12 @@ def otlp_frame(
     per (series, ts) so duplicate timestamps accumulate
     deterministically, then a per-series ordered running sum; the
     cumulative/gauge rows never shuffle.  DELTA histograms stay
-    skipped either way."""
+    skipped either way.
+
+    ``translation``: ``"underscores"`` (default) or
+    ``"no_utf8_escaping"`` — see the module docstring; in the latter
+    mode pass RAW (possibly dotted/UTF-8) names in ``label_names`` and
+    the frame's columns come out U__ value-encoded."""
     import pandas as pd
 
     from tsdb_parquet_spark.names import escape_name
