@@ -305,7 +305,10 @@ def exemplars_result(df: DataFrame) -> list[dict]:
     ]
     by_series: dict[tuple, list] = {}
     for row in df.collect():
-        key = tuple((c, row[c]) for c in label_cols if row[c])
+        # U__ columns render back as their raw UTF-8 label names
+        key = tuple(
+            (unescape_name(c), row[c]) for c in label_cols if row[c]
+        )
         by_series.setdefault(key, []).append(row)
     result = []
     for key, series_rows in sorted(by_series.items()):
