@@ -16,6 +16,12 @@ pushdown-friendly, no backtick audit needed across the engine), and
 the parse/render boundaries escape/unescape so users only ever see the
 raw UTF-8 names.  A legacy-valid name is ALWAYS its own escaping, so
 the scheme is a no-op for every classic store.
+
+Asymmetry shared with upstream: a label literally NAMED with a valid
+``U__...`` escape body (legacy charset, so ``escape_name`` passes it
+through) decodes on the way out — ``UnescapeName`` cannot tell it from
+an escaped name.  prometheus/common has the same property; such names
+do not occur outside adversarial input.
 """
 
 from __future__ import annotations
