@@ -305,3 +305,22 @@ def test_quoted_names_in_all_label_lists():
     node = parse_promql('label_join(m, "out.z", "-", "a.b", "job")')
     assert node.dst == esc("out.z")
     assert node.srcs == [esc("a.b"), "job"]
+
+
+def test_absent_synthesizes_quoted_utf8_label(spark):
+    """absent() synthesizes labels from EQ matchers: a quoted UTF-8
+    matcher must come back as the RAW dotted name in the API render."""
+    df = spark.createDataFrame(
+        [("m", "1.2", 60_000, 1.0)],
+        f"`__name__` STRING, `{escape_name('service.version')}` STRING, "
+        "ts LONG, value DOUBLE",
+    )
+    eng = PromQLEngine(df)
+    out = eng.query_range(
+        'absent({"m", "service.version"="9.9"})',
+        60_000, 60_000, 60_000,
+    )
+    resp = to_api_instant_response(out)
+    assert resp["data"]["result"] == [
+        {"metric": {"service.version": "9.9"}, "value": [60.0, "1"]}
+    ]
