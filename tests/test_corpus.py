@@ -52,57 +52,52 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round15_composition():
+def test_driver_window_round16_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-15 window so an accidental registry edit cannot silently push a
+    round-16 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import DEBUT_BACKLOG, REGISTRY
 
     window = list(REGISTRY)[:50]
     expected = {
-        # the 2 r14 DEBUT_BACKLOG rows, leading as pre-committed
-        "q141_rules_api", "q142_alert_restore",
-        # the 40 round-14 deferrals, due back (no consecutive
-        # deferrals) — last driver green r12 (recorded index 11)
-        "q02_eq_filter", "q03_range_filter", "q04_conjunction",
-        "q20_promql_instant_sum", "q23_minhash_lsh_pairs",
-        "q32_broadcast_join", "q34_promql_rate",
-        "q36_window_functions", "q39_cleaning_pipeline",
-        "q41_set_operations", "q42_promql_window_gt_step",
-        "q45_multi_store_merge", "q47_dedup_clusters",
-        "q49_promql_on_group_left", "q56_promql_quantile_over_time",
-        "q59_ivf_assign", "q63_weighted_sample", "q65_rollup_store",
-        "q73_promql_time_functions", "q76_streaming_sessionize",
-        "q77_rollup_routing", "q79_promql_sort_desc",
-        "q82_rollup_subquery_routing", "q83_store_maintenance",
-        "q84_ivf_partitioned_store", "q85_salted_distinct_count",
-        "q91_ivfpq_store_topk", "q92_semantic_dedup",
-        "q97_ivfpq_residual_topk", "q100_tsdb_stats",
-        "q101_png_pixel_pipeline", "q105_tsdb_block_convert",
-        "q106_block_convert_promql", "q107_multi_block_convert",
-        "q108_wal_head_drain", "q109_data_dir_convert",
-        "q110_promql_staleness", "q112_block_export_roundtrip",
-        "q114_block_compaction", "q125_otlp_histogram_ingest",
-        # 2-rounds-stale r13-green family hubs / no-kin rows
-        "q07_groupby_agg", "q87_bucket_ranged_read",
-        "q111_remote_write_ingest", "q113_scrape_text_parse",
-        "q122_native_histogram_store_roundtrip", "q129_remote_read",
-        # mid-round debuts (never driver-checked; q128/q134 deferred
-        # with documented coverage to make room)
-        "q143_utf8_names_roundtrip", "q144_serve_replica_dedup",
+        # the 44 round-15 deferrals, due back (no consecutive
+        # deferrals) — last driver green r13 (recorded index 12)
+        "q06_first_per_key", "q08_time_containment",
+        "q09_label_values", "q12_dict_equality", "q13_zonemap_range",
+        "q17_chunk_samples_roundtrip", "q19_promql_count_over_time",
+        "q22_exact_dedup", "q28_embedding_near_dup",
+        "q29_multimodal_metadata", "q30_text_analysis",
+        "q31_json_props", "q33_semi_anti_join", "q38_training_chunks",
+        "q43_promql_counter_reset", "q44_late_materialization",
+        "q46_sessionize", "q54_promql_comparison_filter",
+        "q60_ivf_topk", "q62_simhash_near_dup", "q64_promql_absent",
+        "q66_promql_set_ops", "q72_global_shuffle",
+        "q75_promql_holt_winters", "q78_promql_instant_absent",
+        "q81_kmeans_train", "q89_streaming_rollup",
+        "q98_exact_substring_removal", "q99_lm_perplexity_score",
+        "q102_promql_sort_by_label", "q103_xor_chunk_interop",
+        "q104_writer_layout_contract", "q117_store_delete_pass",
+        "q120_wal_exemplars", "q126_query_api_roundtrip",
+        "q127_federate", "q128_sequence_packing",
+        "q130_alerting_rule", "q131_rule_group", "q132_promql_info",
+        "q133_promql_ts_of", "q134_replica_dedup",
+        "q135_otlp_exemplars", "q136_remote_read_streamed",
+        # 2-rounds-stale r14-green family hubs / kin-less rows
+        "q10_write_compact_roundtrip", "q57_asof_join",
+        "q94_http_object_store", "q115_remote_write_push_to_promql",
+        "q118_native_histogram_quantile", "q137_relabel_sharding",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher
-    # (r14-green, 1 recorded round stale) may occupy a slot while a
+    # (r15-green, 1 recorded round stale) may occupy a slot while a
     # 2-rounds-stale row waits outside
     assert set(window) == expected, (
         sorted(expected - set(window)),
         sorted(set(window) - expected),
     )
     assert len(window) == len(set(window)) == 50
-    # the r14-registered q141/q142 backlog was absorbed into this
-    # window as promised; no rows queue for round 16
+    # no mid-round registrations queue for round 17
     assert DEBUT_BACKLOG == ()
 
 

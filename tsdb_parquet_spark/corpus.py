@@ -9132,224 +9132,178 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-15 window (registry 142 rows at rotation time).  Composition:
-#   * the 2 DEBUT_BACKLOG rows, leading as pre-committed in round 14
-#     (registered mid-r14 after that window was pinned; never
-#     driver-checked): q141 /api/v1/rules live alert state, q142 alert
-#     `for`-state restore across restarts.
-#   * the 40 round-14 deferrals, due back (the exact r14
-#     DEFERRED_WITH_COVERAGE set, last driver-green r12 == RECORDED
-#     index 11 — 3 recorded rounds stale at the upcoming index 14,
-#     non-deferrable per the no-consecutive-deferral rule): q02 q03
-#     q04 q20 q23 q32 q34 q36 q39 q41 q42 q45 q47 q49 q56 q59 q63 q65
-#     q73 q76 q77 q79 q82 q83 q84 q85 q91 q92 q97 q100 q101 q105 q106
-#     q107 q108 q109 q110 q112 q114 q125.
-#   * the 8 remaining slots go to 2-rounds-stale r13-green rows,
-#     chosen as family hubs with no in-window kin (so the 44 r13-green
-#     deferrals below all carry real coverage): q07 (headline
-#     groupBy agg — covers q06's first-per-key), q87 (bucket ranged
-#     read), q111 (remote-write wire ingest), q113 (scrape text parse
-#     — covers q31's from_json), q122 (native-histogram store
-#     roundtrip), q129 (remote read — covers q136).
-#   * 2 mid-round debuts consuming the last 2 slots (never
-#     driver-checked rows MUST debut in their introduction round):
-#     q143 UTF-8 names end-to-end (quoted selectors over U__
-#     value-encoded store columns) and q144 serve-path HA dedup (the
-#     bounded-vote transform behind a real socket).  They displace
-#     q128 (sequence packing -> q63's sampling kernel is the weak kin,
-#     documented) and q134 (replica dedup -> q144 IS its end-to-end
-#     coverage, plus q45's querier-select kin).
+# Round-16 window (registry 144 rows at rotation time).  This is the
+# consolidation round the r15 verdict pre-committed: ALL 44 round-15
+# deferrals are due back (no consecutive deferrals), consuming 44 of
+# the 50 slots.  Composition:
+#   * the 44 round-15 deferrals, due back (the exact r15
+#     DEFERRED_WITH_COVERAGE set, last driver-green r13 == RECORDED
+#     index 12 — 3 recorded rounds stale at the upcoming index 15,
+#     non-deferrable per the no-consecutive-deferral rule): q06 q08
+#     q09 q12 q13 q17 q19 q22 q28 q29 q30 q31 q33 q38 q43 q44 q46 q54
+#     q60 q62 q64 q66 q72 q75 q78 q81 q89 q98 q99 q102 q103 q104 q117
+#     q120 q126 q127 q128 q130 q131 q132 q133 q134 q135 q136.
+#   * the 6 remaining slots go to 2-rounds-stale r14-green rows,
+#     chosen as family hubs / rows with no (or only weak) kin among
+#     the 44 returning, per the plan drafted at r15 close: q10
+#     (headline write+compact path — the verdict's first-named
+#     candidate), q57 (as-of join, kin-less), q94 (HTTP object store,
+#     kin-less), q115 (remote-write->PromQL chain, kin-less), q118
+#     (native-histogram hub — covers q53/q119/q140), q137 (relabel
+#     sharding — its labelmap collision semantics CHANGED in r15 and
+#     the labelmap/U__ interaction changes again this round, so the
+#     family's only driver row must be in-window).
+#   * No debuts: r16 lands new surfaces as arms of existing rows
+#     (q127 gains a dotted-metric UTF-8 federate arm; q137's pipeline
+#     exercises labelmap-on-U__), per the r15 verdict's guidance.
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09..r14 -> indices 1..13; the upcoming r15 record is
-# index 14).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09..r15 -> indices 1..14; the upcoming r16 record is
+# index 15).  tests/test_corpus.py implements the same indexing.
 #
-# Deferred to round 16 (2-rounds-stale r13-green rows that no longer
+# Deferred to round 17 (2-rounds-stale r14-green rows that no longer
 # fit; each with the in-window row(s) that still exercise its code
-# path).  NOTE for the r16 rotation: all 44 of these are due back —
-# they will consume 44 of r16's 50 slots, so r15 work should add at
-# most a handful of debuts:
-#   q06_first_per_key     -> q07 (same groupBy/first-per-key agg core)
-#   q08_time_containment  -> q03 (same range-pushdown surface)
-#   q09_label_values      -> q100 (same querier labels/stats path)
-#   q12_dict_equality     -> q02 (same equality-pushdown surface)
-#   q13_zonemap_range     -> q03 (same zone-map range pruning)
-#   q17_chunk_samples_roundtrip -> q83 (store write/read lifecycle)
-#   q19_promql_count_over_time -> q56 (same over_time eval kernel)
-#   q22_exact_dedup       -> q23 + q47 (dedup family: candidates +
-#                            clusters consume the exact-dup machinery)
-#   q28_embedding_near_dup -> q92 + q59 (cosine kernel + assignment)
-#   q29_multimodal_metadata -> q101 (same multimodal.py decode)
-#   q30_text_analysis     -> q39 (the cleaning pipeline composes the
-#                            text-analysis ops)
-#   q31_json_props        -> q113 (same from_json/props surface)
-#   q33_semi_anti_join    -> q32 (same join-strategy surface)
-#   q38_training_chunks   -> q63 (same sampling.py hash-draw kernel)
-#   q43_promql_counter_reset -> q34 + q42 (rate/reset kernel)
-#   q44_late_materialization -> q45 (same querier two-pass select)
-#   q46_sessionize        -> q76 (streaming sessionize IS the same
-#                            gapfill/session module)
-#   q54_promql_comparison_filter -> q49 (binary-op vector matching)
-#   q60_ivf_topk          -> q59 + q84 + q91 (IVF family)
-#   q62_simhash_near_dup  -> q23 + q92 (banded near-dup family)
-#   q64_promql_absent     -> q110 (same staleness/absent grid kernel)
-#   q66_promql_set_ops    -> q49 (same vector-matching machinery)
-#   q72_global_shuffle    -> q63 (same sampling/ordering kernel)
-#   q75_promql_holt_winters -> q73 (same scalar/series arithmetic)
-#   q78_promql_instant_absent -> q110 (same absent eval kernel)
-#   q81_kmeans_train      -> q59 (same centroid-assignment kernel)
-#   q89_streaming_rollup  -> q76 (same structured-streaming harness)
-#   q98_exact_substring_removal -> q39 (same text-cleaning family)
-#   q99_lm_perplexity_score -> q39 (same quality.py scan-fused family)
-#   q102_promql_sort_by_label -> q79 (same sort machinery)
-#   q103_xor_chunk_interop -> q105 (block decode reads XOR chunks)
-#   q104_writer_layout_contract -> q83 (same store-layout lifecycle)
-#   q117_store_delete_pass -> q83 (maintenance pass family; the API
-#                            wiring was q139-green r14)
-#   q120_wal_exemplars    -> q108 + q109 (same WAL record parse)
-#   q126_query_api_roundtrip -> q141 (same HTTP API server harness)
-#   q127_federate         -> q141 (same API server + vote path)
-#   q130_alerting_rule    -> q142 (alert eval IS q142's restore core)
-#   q131_rule_group       -> q142 + q141 (group eval + rules API)
-#   q132_promql_info      -> q125 (same OTLP target_info surface)
-#   q133_promql_ts_of     -> q56 (same over_time timestamp kernel)
-#   q135_otlp_exemplars   -> q125 (same otlp.py decode path)
-#   q136_remote_read_streamed -> q129 (same remote-read frame codec)
-#   q128_sequence_packing -> q63 (sampling/ordering kernel — weak kin,
-#                            accepted: packing's prefix-sum shuffle is
-#                            pinned by test_packing + the r14-green row)
-#   q134_replica_dedup    -> q144 (the serve row RUNS dedup_replicas
-#                            end-to-end) + q45 (querier select core)
-# Every other out-of-window row is r14-green (1 recorded round stale
-# once r15 lands) and needs no deferral record.
+# path).  NOTE for the r17 rotation: all 44 of these are due back,
+# and the 50 r15-green rows (1-stale at r16) become 2-stale at r17 —
+# r17 is another consolidation round; plan slots accordingly:
+#   q01_scan_project      -> q12 + q13 (same scan/pushdown surface)
+#   q05_distinct          -> q22 (distinct IS the exact-dedup kernel)
+#   q11_predicate_order   -> q12 + q13 (same pushdown surfaces)
+#   q14_multi_projection  -> q44 (same querier projection path)
+#   q15_empty_result      -> q12 + q13 (same pushdown short-circuit)
+#   q16_series_select     -> q44 (same two-pass series select)
+#   q18_label_values      -> q09 (same label-values querier path)
+#   q21_streaming_ingest  -> q89 + q46 (same streaming harness)
+#   q24_simhash           -> q62 (simhash near-dup runs the kernel)
+#   q25_ngram_jaccard     -> q22 + q62 (dedup verify family)
+#   q26_cosine_topk       -> q28 (same cosine kernel)
+#   q27_ann_lsh_topk      -> q28 + q60 (LSH banding + topk family)
+#   q35_distinct_counts   -> q22 (groupBy-distinct core — weak kin,
+#                            accepted: approx_count_distinct arm is
+#                            unit-pinned in test_dedup)
+#   q37_promql_topk_binary -> q54 + q102 (comparison + sort kernels)
+#   q40_rollup            -> q89 (rollup agg core — weak kin,
+#                            accepted: batch rollup is q65-pinned r15)
+#   q48_stratified_sample -> q38 + q72 (same sampling.py kernels)
+#   q50_promql_rate_extrapolated -> q43 (same rate/reset kernel)
+#   q51_promql_without_at -> q64 + q78 (grid eval + label dropping)
+#   q52_promql_label_replace_clamp -> q54 (instant-vector transform —
+#                            weak kin, accepted: label_replace is
+#                            fuzz-pinned in test_promql)
+#   q53_promql_histogram_quantile -> q118 (same quantile kernel)
+#   q55_promql_changes    -> q43 (same over_time delta kernel)
+#   q58_pack_sequences    -> q128 (sequence packing IS the family)
+#   q61_gap_fill_linear   -> q46 (same gapfill module)
+#   q67_promql_quantile_agg -> q19 + q133 (agg + over_time kernels)
+#   q68_promql_predict_linear -> q75 (same regression kernel)
+#   q69_decontaminate     -> q33 (decontaminate IS a semi/anti join)
+#   q70_repetition_stats  -> q30 + q98 (text-analysis family)
+#   q71_pii_redact        -> q30 (same JVM-regexp text family)
+#   q74_promql_subquery   -> q133 (subquery grid eval — weak kin,
+#                            accepted: subquery algebra unit-pinned)
+#   q80_remove_boilerplate_lines -> q30 + q98 (text-cleaning family)
+#   q86_bucketed_colocated_join -> q33 (join-strategy surface — weak
+#                            kin, accepted: shuffle-free plan pinned
+#                            by test_plans)
+#   q88_promql_scalar_arithmetic -> q75 (scalar/series arithmetic —
+#                            weak kin, accepted: fuzz-pinned)
+#   q90_pq_adc_topk       -> q60 (same quantized-topk family)
+#   q93_exact_substring_spans -> q98 (same suffix-automaton module)
+#   q95_media_transform   -> q29 (same multimodal.py decode)
+#   q96_sq8_quantized_topk -> q60 (same quantized-topk family)
+#   q116_block_farm_maintenance -> q117 + q103 (maintenance + block
+#                            decode family)
+#   q119_native_histogram_fraction -> q118 (same bucket-walk kernel)
+#   q121_wal_metric_metadata -> q120 (same WAL record parse)
+#   q123_exemplar_store_query -> q120 + q135 (exemplar family)
+#   q124_otlp_ingest      -> q132 + q135 (same otlp.py decode path)
+#   q138_promql_limit     -> q102 (sort/limit machinery — weak kin,
+#                            accepted: limitk/limit_ratio unit-pinned)
+#   q139_admin_delete_api -> q117 + q126 (delete pass + API harness)
+#   q140_histogram_stddev -> q118 (same native-histogram eval kernel)
+# Every other out-of-window row is r15-green (1 recorded round stale
+# once r16 lands) and needs no deferral record.
 #: Rows REGISTERED mid-round after the window had executed a
 #: verdict-pre-committed composition queue here loudly for exactly one
-#: round (see the rotation-invariant test).  The r14 backlog rows
-#: q141/q142 entered the r15 window as promised; the backlog is empty.
+#: round (see the rotation-invariant test).  No rows queue for r17.
 DEBUT_BACKLOG: tuple[str, ...] = ()
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q06_first_per_key": ("q07_groupby_agg",),
-    "q08_time_containment": ("q03_range_filter",),
-    "q09_label_values": ("q100_tsdb_stats",),
-    "q12_dict_equality": ("q02_eq_filter",),
-    "q13_zonemap_range": ("q03_range_filter",),
-    "q17_chunk_samples_roundtrip": ("q83_store_maintenance",),
-    "q19_promql_count_over_time": ("q56_promql_quantile_over_time",),
-    "q22_exact_dedup": ("q23_minhash_lsh_pairs", "q47_dedup_clusters"),
-    "q28_embedding_near_dup": ("q92_semantic_dedup", "q59_ivf_assign"),
-    "q29_multimodal_metadata": ("q101_png_pixel_pipeline",),
-    "q30_text_analysis": ("q39_cleaning_pipeline",),
-    "q31_json_props": ("q113_scrape_text_parse",),
-    "q33_semi_anti_join": ("q32_broadcast_join",),
-    "q38_training_chunks": ("q63_weighted_sample",),
-    "q43_promql_counter_reset": (
-        "q34_promql_rate",
-        "q42_promql_window_gt_step",
+    "q01_scan_project": ("q12_dict_equality", "q13_zonemap_range"),
+    "q05_distinct": ("q22_exact_dedup",),
+    "q11_predicate_order": ("q12_dict_equality", "q13_zonemap_range"),
+    "q14_multi_projection": ("q44_late_materialization",),
+    "q15_empty_result": ("q12_dict_equality", "q13_zonemap_range"),
+    "q16_series_select": ("q44_late_materialization",),
+    "q18_label_values": ("q09_label_values",),
+    "q21_streaming_ingest": ("q89_streaming_rollup", "q46_sessionize"),
+    "q24_simhash": ("q62_simhash_near_dup",),
+    "q25_ngram_jaccard": ("q22_exact_dedup", "q62_simhash_near_dup"),
+    "q26_cosine_topk": ("q28_embedding_near_dup",),
+    "q27_ann_lsh_topk": ("q28_embedding_near_dup", "q60_ivf_topk"),
+    "q35_distinct_counts": ("q22_exact_dedup",),
+    "q37_promql_topk_binary": (
+        "q54_promql_comparison_filter",
+        "q102_promql_sort_by_label",
     ),
-    "q44_late_materialization": ("q45_multi_store_merge",),
-    "q46_sessionize": ("q76_streaming_sessionize",),
-    "q54_promql_comparison_filter": ("q49_promql_on_group_left",),
-    "q60_ivf_topk": (
-        "q59_ivf_assign",
-        "q84_ivf_partitioned_store",
-        "q91_ivfpq_store_topk",
+    "q40_rollup": ("q89_streaming_rollup",),
+    "q48_stratified_sample": ("q38_training_chunks", "q72_global_shuffle"),
+    "q50_promql_rate_extrapolated": ("q43_promql_counter_reset",),
+    "q51_promql_without_at": (
+        "q64_promql_absent",
+        "q78_promql_instant_absent",
     ),
-    "q62_simhash_near_dup": (
-        "q23_minhash_lsh_pairs",
-        "q92_semantic_dedup",
+    "q52_promql_label_replace_clamp": ("q54_promql_comparison_filter",),
+    "q53_promql_histogram_quantile": ("q118_native_histogram_quantile",),
+    "q55_promql_changes": ("q43_promql_counter_reset",),
+    "q58_pack_sequences": ("q128_sequence_packing",),
+    "q61_gap_fill_linear": ("q46_sessionize",),
+    "q67_promql_quantile_agg": (
+        "q19_promql_count_over_time",
+        "q133_promql_ts_of",
     ),
-    "q64_promql_absent": ("q110_promql_staleness",),
-    "q66_promql_set_ops": ("q49_promql_on_group_left",),
-    "q72_global_shuffle": ("q63_weighted_sample",),
-    "q75_promql_holt_winters": ("q73_promql_time_functions",),
-    "q78_promql_instant_absent": ("q110_promql_staleness",),
-    "q81_kmeans_train": ("q59_ivf_assign",),
-    "q89_streaming_rollup": ("q76_streaming_sessionize",),
-    "q98_exact_substring_removal": ("q39_cleaning_pipeline",),
-    "q99_lm_perplexity_score": ("q39_cleaning_pipeline",),
-    "q102_promql_sort_by_label": ("q79_promql_sort_desc",),
-    "q103_xor_chunk_interop": ("q105_tsdb_block_convert",),
-    "q104_writer_layout_contract": ("q83_store_maintenance",),
-    "q117_store_delete_pass": ("q83_store_maintenance",),
-    "q120_wal_exemplars": ("q108_wal_head_drain", "q109_data_dir_convert"),
-    "q126_query_api_roundtrip": ("q141_rules_api",),
-    "q127_federate": ("q141_rules_api",),
-    "q130_alerting_rule": ("q142_alert_restore",),
-    "q131_rule_group": ("q142_alert_restore", "q141_rules_api"),
-    "q132_promql_info": ("q125_otlp_histogram_ingest",),
-    "q133_promql_ts_of": ("q56_promql_quantile_over_time",),
-    "q135_otlp_exemplars": ("q125_otlp_histogram_ingest",),
-    "q136_remote_read_streamed": ("q129_remote_read",),
-    "q128_sequence_packing": ("q63_weighted_sample",),
-    "q134_replica_dedup": (
-        "q144_serve_replica_dedup",
-        "q45_multi_store_merge",
+    "q68_promql_predict_linear": ("q75_promql_holt_winters",),
+    "q69_decontaminate": ("q33_semi_anti_join",),
+    "q70_repetition_stats": (
+        "q30_text_analysis",
+        "q98_exact_substring_removal",
     ),
+    "q71_pii_redact": ("q30_text_analysis",),
+    "q74_promql_subquery": ("q133_promql_ts_of",),
+    "q80_remove_boilerplate_lines": (
+        "q30_text_analysis",
+        "q98_exact_substring_removal",
+    ),
+    "q86_bucketed_colocated_join": ("q33_semi_anti_join",),
+    "q88_promql_scalar_arithmetic": ("q75_promql_holt_winters",),
+    "q90_pq_adc_topk": ("q60_ivf_topk",),
+    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
+    "q95_media_transform": ("q29_multimodal_metadata",),
+    "q96_sq8_quantized_topk": ("q60_ivf_topk",),
+    "q116_block_farm_maintenance": (
+        "q117_store_delete_pass",
+        "q103_xor_chunk_interop",
+    ),
+    "q119_native_histogram_fraction": ("q118_native_histogram_quantile",),
+    "q121_wal_metric_metadata": ("q120_wal_exemplars",),
+    "q123_exemplar_store_query": (
+        "q120_wal_exemplars",
+        "q135_otlp_exemplars",
+    ),
+    "q124_otlp_ingest": ("q132_promql_info", "q135_otlp_exemplars"),
+    "q138_promql_limit": ("q102_promql_sort_by_label",),
+    "q139_admin_delete_api": (
+        "q117_store_delete_pass",
+        "q126_query_api_roundtrip",
+    ),
+    "q140_histogram_stddev": ("q118_native_histogram_quantile",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 2 r14 DEBUT_BACKLOG rows, leading as pre-committed
-    "q141_rules_api",
-    "q142_alert_restore",
-    # the 40 round-14 deferrals, due back (no consecutive deferrals) —
-    # last driver-green r12 (recorded index 11), 3 recorded rounds
-    # stale at the upcoming index 14
-    "q02_eq_filter",
-    "q03_range_filter",
-    "q04_conjunction",
-    "q20_promql_instant_sum",
-    "q23_minhash_lsh_pairs",
-    "q32_broadcast_join",
-    "q34_promql_rate",
-    "q36_window_functions",
-    "q39_cleaning_pipeline",
-    "q41_set_operations",
-    "q42_promql_window_gt_step",
-    "q45_multi_store_merge",
-    "q47_dedup_clusters",
-    "q49_promql_on_group_left",
-    "q56_promql_quantile_over_time",
-    "q59_ivf_assign",
-    "q63_weighted_sample",
-    "q65_rollup_store",
-    "q73_promql_time_functions",
-    "q76_streaming_sessionize",
-    "q77_rollup_routing",
-    "q79_promql_sort_desc",
-    "q82_rollup_subquery_routing",
-    "q83_store_maintenance",
-    "q84_ivf_partitioned_store",
-    "q85_salted_distinct_count",
-    "q91_ivfpq_store_topk",
-    "q92_semantic_dedup",
-    "q97_ivfpq_residual_topk",
-    "q100_tsdb_stats",
-    "q101_png_pixel_pipeline",
-    "q105_tsdb_block_convert",
-    "q106_block_convert_promql",
-    "q107_multi_block_convert",
-    "q108_wal_head_drain",
-    "q109_data_dir_convert",
-    "q110_promql_staleness",
-    "q112_block_export_roundtrip",
-    "q114_block_compaction",
-    "q125_otlp_histogram_ingest",
-    # 2-rounds-stale r13-green family hubs / no-kin rows
-    "q07_groupby_agg",
-    "q87_bucket_ranged_read",
-    "q111_remote_write_ingest",
-    "q113_scrape_text_parse",
-    "q122_native_histogram_store_roundtrip",
-    "q129_remote_read",
-    # mid-round debuts (never driver-checked; introduced this round)
-    "q143_utf8_names_roundtrip",
-    "q144_serve_replica_dedup",
-    # position 51+ — outside the driver cap: the documented round-16
-    # deferrals first (all due back next round), then registry order
-    "q128_sequence_packing",
-    "q134_replica_dedup",
+    # the 44 round-15 deferrals, due back (no consecutive deferrals) —
+    # last driver-green r13 (recorded index 12), 3 recorded rounds
+    # stale at the upcoming index 15
     "q06_first_per_key",
     "q08_time_containment",
     "q09_label_values",
@@ -9386,12 +9340,67 @@ _DRIVER_PRIORITY: list[str] = [
     "q120_wal_exemplars",
     "q126_query_api_roundtrip",
     "q127_federate",
+    "q128_sequence_packing",
     "q130_alerting_rule",
     "q131_rule_group",
     "q132_promql_info",
     "q133_promql_ts_of",
+    "q134_replica_dedup",
     "q135_otlp_exemplars",
     "q136_remote_read_streamed",
+    # 2-rounds-stale r14-green family hubs / kin-less rows
+    "q10_write_compact_roundtrip",
+    "q57_asof_join",
+    "q94_http_object_store",
+    "q115_remote_write_push_to_promql",
+    "q118_native_histogram_quantile",
+    "q137_relabel_sharding",
+    # position 51+ — outside the driver cap: the documented round-17
+    # deferrals first (all due back next round), then registry order
+    "q01_scan_project",
+    "q05_distinct",
+    "q11_predicate_order",
+    "q14_multi_projection",
+    "q15_empty_result",
+    "q16_series_select",
+    "q18_label_values",
+    "q21_streaming_ingest",
+    "q24_simhash",
+    "q25_ngram_jaccard",
+    "q26_cosine_topk",
+    "q27_ann_lsh_topk",
+    "q35_distinct_counts",
+    "q37_promql_topk_binary",
+    "q40_rollup",
+    "q48_stratified_sample",
+    "q50_promql_rate_extrapolated",
+    "q51_promql_without_at",
+    "q52_promql_label_replace_clamp",
+    "q53_promql_histogram_quantile",
+    "q55_promql_changes",
+    "q58_pack_sequences",
+    "q61_gap_fill_linear",
+    "q67_promql_quantile_agg",
+    "q68_promql_predict_linear",
+    "q69_decontaminate",
+    "q70_repetition_stats",
+    "q71_pii_redact",
+    "q74_promql_subquery",
+    "q80_remove_boilerplate_lines",
+    "q86_bucketed_colocated_join",
+    "q88_promql_scalar_arithmetic",
+    "q90_pq_adc_topk",
+    "q93_exact_substring_spans",
+    "q95_media_transform",
+    "q96_sq8_quantized_topk",
+    "q116_block_farm_maintenance",
+    "q119_native_histogram_fraction",
+    "q121_wal_metric_metadata",
+    "q123_exemplar_store_query",
+    "q124_otlp_ingest",
+    "q138_promql_limit",
+    "q139_admin_delete_api",
+    "q140_histogram_stddev",
 ]
 
 
