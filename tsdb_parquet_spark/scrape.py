@@ -240,8 +240,11 @@ def parse_exposition(
         if not line or line.startswith("#"):
             continue
         # OpenMetrics tolerance: drop an exemplar suffix before the
-        # value parse (parse_exemplars reads it)
-        line = exemplar_re.sub("", line)
+        # value parse (parse_exemplars reads it); the ' # ' guard keeps
+        # the pair-aware regex off classic lines, mirroring the
+        # distributed plan's contains() gate
+        if " # " in line:
+            line = exemplar_re.sub("", line)
         if line.startswith("{"):
             labels = {}
             rest = line
@@ -357,10 +360,18 @@ def exposition_samples(
         .select(*passthrough, F.trim("__line").alias("__line"))
         .where((F.col("__line") != "") & ~F.col("__line").startswith("#"))
         # OpenMetrics tolerance: an exemplar suffix would otherwise sit
-        # in the value/timestamp tail (exposition_exemplars reads it)
+        # in the value/timestamp tail (exposition_exemplars reads it).
+        # The suffix always starts with ' # ' — gate the expensive
+        # pair-aware regex behind that contains() so the classic fast
+        # path (the 99% case) never evaluates it
         .select(
             *passthrough,
-            F.regexp_replace("__line", _EXEMPLAR_RE, "").alias("__line"),
+            F.when(
+                F.col("__line").contains(" # "),
+                F.regexp_replace("__line", _EXEMPLAR_RE, ""),
+            )
+            .otherwise(F.col("__line"))
+            .alias("__line"),
         )
     )
     labelstr = F.regexp_extract("__line", r"\{(.*)\}", 1)
