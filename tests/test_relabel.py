@@ -217,7 +217,10 @@ def test_go_regexp_dialect_translation(frame):
         [RelabelConfig(action="labelmap", regex="(job)",
                        replacement="$$_$1")],
     )
-    assert "$_job" in out2.columns
+    # "$_job" is not a legacy-charset name, so it rides its U__
+    # value-encoded column like every other UTF-8 label name
+    from tsdb_parquet_spark.names import escape_name as _esc
+    assert _esc("$_job") in out2.columns
     import pytest as _pytest
     with _pytest.raises(ValueError, match="target_label"):
         apply_relabel(
@@ -324,3 +327,57 @@ def test_labelmap_collision_last_present_wins(spark):
     )
     got = {r["case"]: r["m"] for r in out.collect()}
     assert got == {"both": "J", "env_only": "E", "neither": "old"}
+
+
+def test_utf8_label_names_relabel(spark):
+    """Relabel rules address RAW label names (Prometheus 3.x): a dotted
+    OTLP label rides its U__ value-encoded column, so labelmap /
+    labeldrop regexes match the unescaped name, produced names
+    re-escape to physical columns, and source/target label fields
+    accept dotted names directly."""
+    from tsdb_parquet_spark.names import escape_name
+
+    ver_col = escape_name("service.version")  # U__service_2e_version
+    assert ver_col != "service.version"
+    df = spark.createDataFrame(
+        [("checkout", "1.2.3", 1000, 1.0)],
+        f"job STRING, `{ver_col}` STRING, ts LONG, value DOUBLE",
+    )
+    # labelmap: regex written against the RAW dotted name
+    out = apply_relabel(
+        df,
+        [RelabelConfig(action="labelmap", regex=r"(.+)\.version",
+                       replacement="${1}_ver")],
+    )
+    assert "service_ver" in out.columns
+    assert out.collect()[0]["service_ver"] == "1.2.3"
+    # labelmap producing a DOTTED name lands on the escaped column
+    out2 = apply_relabel(
+        df,
+        [RelabelConfig(action="labelmap", regex=r"(.+)\.version",
+                       replacement="${1}.rel")],
+    )
+    rel_col = escape_name("service.rel")
+    assert rel_col in out2.columns
+    assert out2.collect()[0][rel_col] == "1.2.3"
+    # labeldrop by raw name removes the physical column
+    out3 = apply_relabel(
+        df, [RelabelConfig(action="labeldrop", regex=r"service\..*")]
+    )
+    assert ver_col not in out3.columns
+    # replace: dotted source and target label fields
+    out4 = apply_relabel(
+        df,
+        [RelabelConfig(action="replace",
+                       source_labels=("service.version",),
+                       regex=r"(\d+)\..*", target_label="service.major",
+                       replacement="$1")],
+    )
+    major_col = escape_name("service.major")
+    assert out4.collect()[0][major_col] == "1"
+    # labelkeep with a raw-name pattern retains the escaped column
+    out5 = apply_relabel(
+        df,
+        [RelabelConfig(action="labelkeep", regex=r"service\.version")],
+    )
+    assert set(out5.columns) == {ver_col, "ts", "value"}

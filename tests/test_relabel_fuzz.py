@@ -18,7 +18,11 @@ from tsdb_parquet_spark.operators.relabel import (
 )
 
 PROTECTED = ("ts", "value")
-LABEL_POOL = ["job", "instance", "env", "zone", "tier"]
+# "svc.env" is a Prometheus 3.x UTF-8 name: the REFERENCE evaluator
+# works on raw names throughout, while the engine stores it as its
+# U__ value-encoded column — the harness escapes on the way in and
+# unescapes on the way out, pinning the raw-name relabel contract
+LABEL_POOL = ["job", "instance", "env", "zone", "tier", "svc.env"]
 VALUE_POOL = ["api", "web", "prod-1:9090", "prod-2:9100", "eu", "us",
               "canary", ""]
 
@@ -219,17 +223,21 @@ def _random_case(rng: random.Random):
             ))
         elif action == "labelmap":
             configs.append(RelabelConfig(
-                action=action, regex="(jo.*|en.*)",
+                action=action,
+                regex=rng.choice(["(jo.*|en.*)", r"(sv.*|jo.*)",
+                                  r"svc\.(.*)"]),
                 replacement=rng.choice(
-                    ["meta_$1", "m_${1}", "meta_$2", "m$1x", "mm_$1$"]
+                    ["meta_$1", "m_${1}", "meta_$2", "m$1x", "mm_$1$",
+                     "m.${1}"]  # dotted NEW name -> U__ column
                 ),
             ))
         elif action in ("labeldrop", "labelkeep"):
             configs.append(RelabelConfig(
                 action=action,
-                regex=rng.choice(["meta_.*", "zone", "t.*",
-                                  "job|instance|env|zone|tier|out|dst|"
-                                  "cased|shard|meta_.*|m_.*"]),
+                regex=rng.choice(["meta_.*", "zone", "t.*", r"svc\..*",
+                                  r"job|instance|env|zone|tier|out|dst|"
+                                  r"cased|shard|meta_.*|m_.*|m\..*|"
+                                  r"svc\..*"]),
             ))
         else:  # keepequal / dropequal
             configs.append(RelabelConfig(
@@ -244,7 +252,9 @@ def test_relabel_fuzz_vs_python_reference(spark):
     n_checked = 0
     for case in range(25):
         labels, rows, configs = _random_case(rng)
-        schema = ", ".join(f"`{l}` STRING" for l in labels)
+        from tsdb_parquet_spark.names import escape_name, unescape_name
+
+        schema = ", ".join(f"`{escape_name(l)}` STRING" for l in labels)
         schema += ", ts LONG, value DOUBLE"
         data = [
             tuple(r[l] for l in labels) + (r["ts"], r["value"])
@@ -252,9 +262,14 @@ def test_relabel_fuzz_vs_python_reference(spark):
         ]
         df = spark.createDataFrame(data, schema)
         got_df = apply_relabel(df, configs, protected=PROTECTED)
-        got_rows = [r.asDict() for r in got_df.collect()]
+        got_rows = [
+            {unescape_name(c): v for c, v in r.asDict().items()}
+            for r in got_df.collect()
+        ]
         want_rows, want_cols = _ref_apply(rows, configs)
-        got = _canon(got_rows, set(got_df.columns))
+        got = _canon(
+            got_rows, {unescape_name(c) for c in got_df.columns}
+        )
         want = _canon(want_rows, want_cols)
         assert got == want, (
             f"case {case}: configs={configs}\n got={got}\nwant={want}"

@@ -106,11 +106,16 @@ def parse_relabel_configs(specs: Sequence[dict]) -> list[RelabelConfig]:
 
 
 def _src(df: DataFrame, cfg: RelabelConfig) -> Column:
+    from tsdb_parquet_spark.names import escape_name
+
+    # rule fields address RAW (possibly UTF-8) label names; a dotted
+    # source arrives as its U__ value-encoded column (identity for
+    # classic names — `names.py`)
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit(""))
         if c in df.columns
         else F.lit("")
-        for c in cfg.source_labels
+        for c in (escape_name(s) for s in cfg.source_labels)
     ]
     if not parts:
         return F.lit("")
@@ -258,9 +263,15 @@ def apply_relabel(
     """Apply relabel rules in order.  ``protected`` names non-label
     columns (sample payload) no rule may touch; ``labeldrop`` /
     ``labelkeep`` never remove them."""
+    from tsdb_parquet_spark.names import escape_name, unescape_name
+
     protected = tuple(protected)
     for cfg in configs:
-        if cfg.target_label in protected:
+        # Prometheus 3.x: relabel rules see RAW label names.  A UTF-8
+        # target writes to its U__ value-encoded column; classic names
+        # pass through untouched (escape_name is the identity for them)
+        tgt = escape_name(cfg.target_label)
+        if tgt in protected:
             # 'value'/'ts' are legal Prometheus LABEL names, but here
             # they are the sample payload columns — a write action
             # targeting one would silently corrupt every sample.
@@ -275,12 +286,12 @@ def apply_relabel(
             df = df.filter(m if cfg.action == "keep" else ~m)
             continue
         if cfg.action in ("keepequal", "dropequal"):
-            tgt = (
-                F.coalesce(F.col(cfg.target_label).cast("string"), F.lit(""))
-                if cfg.target_label in df.columns
+            tgt_val = (
+                F.coalesce(F.col(tgt).cast("string"), F.lit(""))
+                if tgt in df.columns
                 else F.lit("")
             )
-            eq = _src(df, cfg) == tgt
+            eq = _src(df, cfg) == tgt_val
             df = df.filter(eq if cfg.action == "keepequal" else ~eq)
             continue
         if cfg.action == "replace":
@@ -299,28 +310,30 @@ def apply_relabel(
                 src, anchored, _java_replacement(cfg.replacement, cfg.regex)
             )
             old = (
-                F.col(cfg.target_label)
-                if cfg.target_label in df.columns
-                else F.lit("")
+                F.col(tgt) if tgt in df.columns else F.lit("")
             )
             df = df.withColumn(
-                cfg.target_label,
+                tgt,
                 F.when(src.rlike(anchored), expanded).otherwise(old),
             )
             continue
         if cfg.action in ("lowercase", "uppercase"):
             fn = F.lower if cfg.action == "lowercase" else F.upper
-            df = df.withColumn(cfg.target_label, fn(_src(df, cfg)))
+            df = df.withColumn(tgt, fn(_src(df, cfg)))
             continue
         if cfg.action == "hashmod":
             df = df.withColumn(
-                cfg.target_label,
+                tgt,
                 _hashmod(_src(df, cfg), cfg.modulus).cast("string"),
             )
             continue
         # schema-level actions: label NAMES are static columns,
         # matched driver-side with Python re (Go's (?P<name>...) named
-        # groups are already Python syntax — no Java translation here)
+        # groups are already Python syntax — no Java translation here).
+        # The regex sees RAW names (Prometheus 3.x semantics): a dotted
+        # OTLP label is stored as its U__ column, so `(.+)\.version`
+        # must match via unescape_name, and a produced name re-escapes
+        # to its physical column.
         label_cols = [c for c in df.columns if c not in protected]
         import re as _re
 
@@ -336,37 +349,42 @@ def apply_relabel(
             # source is absent ("") keeps the target's existing value.
             # A sequential whole-column copy gets both wrong (r15 fuzz
             # finding): group sources per target and fold a per-row
-            # last-present-wins CASE chain instead.
+            # last-present-wins CASE chain instead.  Sort order is the
+            # RAW labelset order, matching upstream's lbls.Range.
             targets: dict[str, list[str]] = {}
-            for c in sorted(label_cols):
-                if rx.match(c):
-                    new = rx.sub(pyrepl, c)
-                    if new in protected:
+            for c in sorted(label_cols, key=unescape_name):
+                raw = unescape_name(c)
+                if rx.match(raw):
+                    new = rx.sub(pyrepl, raw)
+                    new_phys = escape_name(new) if new else ""
+                    if new_phys in protected:
                         raise ValueError(
                             f"labelmap would overwrite protected "
                             f"sample column {new!r}"
                         )
                     if new:
-                        targets.setdefault(new, []).append(c)
-            for new, srcs in targets.items():
-                if srcs == [new]:
+                        targets.setdefault(new_phys, []).append(c)
+            for new_phys, srcs in targets.items():
+                if srcs == [new_phys]:
                     continue  # self-map is a no-op
                 expr = (
-                    F.coalesce(F.col(new).cast("string"), F.lit(""))
-                    if new in df.columns
+                    F.coalesce(F.col(new_phys).cast("string"), F.lit(""))
+                    if new_phys in df.columns
                     else F.lit("")
                 )
                 for c in srcs:  # ascending: the last wrap wins
                     src_c = F.coalesce(F.col(c).cast("string"), F.lit(""))
                     expr = F.when(src_c != "", src_c).otherwise(expr)
-                df = df.withColumn(new, expr)
+                df = df.withColumn(new_phys, expr)
             continue
         if cfg.action == "labeldrop":
-            drop = [c for c in label_cols if rx.match(c)]
+            drop = [c for c in label_cols if rx.match(unescape_name(c))]
             df = df.drop(*drop)
             continue
         if cfg.action == "labelkeep":
-            drop = [c for c in label_cols if not rx.match(c)]
+            drop = [
+                c for c in label_cols if not rx.match(unescape_name(c))
+            ]
             df = df.drop(*drop)
             continue
     return df
