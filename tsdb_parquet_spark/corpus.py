@@ -7577,9 +7577,27 @@ w AS (
                             ORDER BY ts_ms DESC, value DESC) AS rn
   FROM s
   WHERE ts_ms > {_P_END - _P_LOOKBACK} AND ts_ms <= {_P_END}
+),
+classic AS (
+  SELECT 'app_events' AS metric, event_type, shard, ts_ms AS ts,
+         round(value, 2) AS value
+  FROM w WHERE rn = 1
+),
+-- the UTF-8 arm federates the q143 OTLP store: one day-end gauge per
+-- (version, event_type), so the only in-lookback sample at time=_P_END
+-- is the final day's count
+utf8 AS (
+  SELECT 'app.events.daily' AS metric, event_type,
+         CASE WHEN length(event_type) % 2 = 0 THEN '1.2' ELSE '2.0' END
+             AS shard,
+         CAST({_P_END} AS BIGINT) AS ts,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM s
+  WHERE ts_ms >= {_P_END - _DAY_MS} AND ts_ms < {_P_END}
+  GROUP BY 1, 2, 3
 )
-SELECT event_type, shard, ts_ms AS ts, round(value, 2) AS value
-FROM w WHERE rn = 1 ORDER BY event_type, shard""",
+SELECT * FROM classic UNION ALL SELECT * FROM utf8
+ORDER BY metric, event_type, shard""",
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GET /federate`` round-trip (`api.py:render_federate`): the
@@ -7589,10 +7607,16 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     state with original timestamps).  One matcher-filtered scan + one
     map-side-combined ``max(struct(ts, value))`` groupBy; the oracle
     mirrors the deterministic tie-break with a (ts DESC, value DESC)
-    row_number."""
+    row_number.  The UTF-8 arm (r16) federates the dotted-name OTLP
+    store through the same socket: the writer emits Prometheus 3.x
+    QUOTED exposition (`scrape.py:format_exposition`), a quoted
+    matcher selects the dotted metric, and `parse_exposition` reads
+    the quoted syntax back — writer<->parser round-trip, driver-checked."""
     import urllib.request
+    from urllib.parse import quote
 
     from tsdb_parquet_spark.api import PromApiServer
+    from tsdb_parquet_spark.plans.promql import PromQLEngine
     from tsdb_parquet_spark.scrape import parse_exposition
 
     engine = _promql_samples(spark, sf_dir)
@@ -7601,12 +7625,28 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         with urllib.request.urlopen(f"{url}/federate?{qs}") as resp:
             text = resp.read().decode()
     data = [
-        (labels["event_type"], labels["shard"], ts_ms, round(value, 2))
+        ("app_events", labels["event_type"], labels["shard"], ts_ms,
+         round(value, 2))
         for labels, value, ts_ms in parse_exposition(text)
     ]
+    utf8_engine = PromQLEngine(
+        spark.read.parquet(_utf8_otlp_store(spark, sf_dir))
+    )
+    with PromApiServer(utf8_engine, lookback_ms=_P_LOOKBACK) as url:
+        matcher = quote('{"app.events.daily","deploy.env"="prod"}')
+        fq = f"match[]={matcher}&time={_P_END / 1000.0}"
+        with urllib.request.urlopen(f"{url}/federate?{fq}") as resp:
+            utf8_text = resp.read().decode()
+    data += [
+        (labels["__name__"], labels["event.type"],
+         labels["service.version"], ts_ms, round(value, 2))
+        for labels, value, ts_ms in parse_exposition(utf8_text)
+    ]
     return spark.createDataFrame(
-        data, "event_type STRING, shard STRING, ts LONG, value DOUBLE"
-    ).orderBy("event_type", "shard")
+        data,
+        "metric STRING, event_type STRING, shard STRING, ts LONG, "
+        "value DOUBLE",
+    ).orderBy("metric", "event_type", "shard")
 
 
 def _q128_oracle() -> str:
