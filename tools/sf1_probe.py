@@ -517,6 +517,10 @@ def main() -> None:
             "q142_alert_restore",
             "q143_utf8_names_roundtrip",
             "q144_serve_replica_dedup",
+            # r16 addition at 10x: the federate round-trip now carries
+            # the quoted UTF-8 dotted-metric arm (writer + parser over
+            # 10x series; the final-day counts grow 10x)
+            "q127_federate",
         ]
         results = {}
         for name in names:

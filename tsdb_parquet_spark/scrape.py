@@ -471,6 +471,9 @@ def exposition_exemplars(
         .where(
             (F.col("__line") != "")
             & ~F.col("__line").startswith("#")
+            # cheap literal pre-filter keeps the pair-aware exemplar
+            # regex off the (vast) majority of exemplar-less lines
+            & F.col("__line").contains(" # ")
             & F.col("__line").rlike(_EXEMPLAR_RE)
         )
     )
