@@ -8247,32 +8247,40 @@ WITH s AS (
 ),
 r AS (
   SELECT upper(event_type) AS etype_uc, shard, value,
+         substring(event_type, 3) AS meta_family,
          CAST(CAST(('0x' || substring(
                   md5(event_type || '-' || shard), 17, 16))
               AS UBIGINT) % 5 AS VARCHAR) AS shard_mod
   FROM s
 )
-SELECT etype_uc, shard_mod,
+SELECT etype_uc, shard_mod, meta_family,
        count(*) AS n_samples,
        round(sum(value), 2) AS sum_value,
        count(DISTINCT shard) AS n_series
 FROM r WHERE shard_mod IN ('0', '2')
-GROUP BY etype_uc, shard_mod ORDER BY etype_uc, shard_mod""",
+GROUP BY etype_uc, shard_mod, meta_family
+ORDER BY etype_uc, shard_mod""",
 )
 def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relabeling pipeline (`operators/relabel.py` — Prometheus
     ``model/relabel``, the rewrite/routing language scrape and
     remote-write configs share): captured exposition bodies parse
-    (`scrape.scrape_samples`), then a five-rule pipeline runs —
-    ``replace`` with Go ``${1}``/``$2`` group refs builds a synthetic
-    target string, ``hashmod`` shards it (sum64(md5) =
+    (`scrape.scrape_samples`), then the pipeline runs — ``replace``
+    with Go ``${1}``/``$2`` group refs builds a synthetic target
+    string, ``hashmod`` shards it (sum64(md5) =
     ``binary.BigEndian.Uint64(hash[8:])``, the LAST 8 bytes — the
     Prometheus-compatible read the r13 verdict flagged), ``keep``
     retains shards {0, 2} of 5, ``uppercase`` rewrites a label and
-    ``labeldrop`` removes the temporaries.  Every action is a Catalyst
-    column op (no shuffle before the final aggregate); the oracle
-    recomputes the shard assignment in DuckDB from md5 hex chars 17-32
-    — bit-for-bit shard agreement is the entire point of hashmod."""
+    ``labeldrop`` removes the temporaries.  The UTF-8 arm (r16):
+    ``replace`` writes a DOTTED target label (``event.family`` — a
+    U__ value-encoded column), ``labelmap`` matches it by RAW name
+    (``event\\.(.+)`` — which must NOT match the underscored
+    ``event_type``) and copies it to ``meta_${1}``, and ``labeldrop``
+    removes the dotted temporary by raw name.  Every action is a
+    Catalyst column op (no shuffle before the final aggregate); the
+    oracle recomputes the shard assignment in DuckDB from md5 hex
+    chars 17-32 — bit-for-bit shard agreement is the entire point of
+    hashmod."""
     from tsdb_parquet_spark.operators.relabel import (
         apply_relabel,
         parse_relabel_configs,
@@ -8292,11 +8300,15 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
          "regex": "0|2"},
         {"action": "uppercase", "source_labels": ["event_type"],
          "target_label": "etype_uc"},
-        {"action": "labeldrop", "regex": "__tmp_.*"},
+        {"source_labels": ["event_type"], "regex": "(.{2})(.*)",
+         "target_label": "event.family", "replacement": "${2}"},
+        {"action": "labelmap", "regex": r"event\.(.+)",
+         "replacement": "meta_${1}"},
+        {"action": "labeldrop", "regex": r"__tmp_.*|event\..*"},
     ])
     out = apply_relabel(samples, configs)
     return (
-        out.groupBy("etype_uc", "shard_mod")
+        out.groupBy("etype_uc", "shard_mod", "meta_family")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
             F.round(F.sum("value"), 2).alias("sum_value"),
