@@ -1475,6 +1475,11 @@ def test_ts_of_over_time(spark):
     assert run("ts_of_last_over_time") == {"a": 240.0, "b": 120.0}
     assert run("ts_of_max_over_time") == {"a": 180.0, "b": 120.0}
     assert run("ts_of_min_over_time") == {"a": 240.0, "b": 120.0}
+    # the r16 first twins: oldest sample's timestamp/value; like
+    # last_over_time, NaN is NOT skipped — the first point wins
+    assert run("ts_of_first_over_time") == {"a": 60.0, "b": 60.0}
+    first = run("first_over_time")
+    assert first["a"] == 5.0 and math.isnan(first["b"])
 
 
 @pytest.mark.parametrize(

@@ -107,6 +107,7 @@ _FNS = {
     "max_over_time": max,
     "avg_over_time": lambda vs: sum(vs) / len(vs),
     "last_over_time": lambda vs: vs[-1],
+    "first_over_time": lambda vs: vs[0],
     "present_over_time": lambda vs: 1.0,
     "stddev_over_time": _pop_stddev,
     # vs arrives in ts order (points are sorted) — adjacent-pair scans

@@ -7950,33 +7950,67 @@ b AS (
              * {_P_STEP} AS t
   FROM s WHERE ts_ms > {_P_START - _P_STEP} AND ts_ms <= {_P_END}
 ),
+w AS (SELECT * FROM b WHERE t <= {_P_END}),
 r AS (
   SELECT t, event_type, shard, ts_ms,
          row_number() OVER (PARTITION BY t, event_type, shard
                             ORDER BY value DESC, ts_ms DESC) AS rn
-  FROM b WHERE t <= {_P_END}
+  FROM w
+),
+f AS (
+  SELECT t, event_type, shard, ts_ms, value,
+         row_number() OVER (PARTITION BY t, event_type, shard
+                            ORDER BY ts_ms ASC, value ASC) AS rn
+  FROM w
+),
+m AS (
+  SELECT t, event_type, round(max(ts_ms / 1000.0), 4) AS value
+  FROM r WHERE rn = 1 GROUP BY t, event_type
+),
+fa AS (
+  SELECT t, event_type,
+         round(sum(value), 2) AS first_sum,
+         round(min(ts_ms / 1000.0), 4) AS ts_of_first
+  FROM f WHERE rn = 1 GROUP BY t, event_type
 )
-SELECT t, event_type, round(max(ts_ms / 1000.0), 4) AS value
-FROM r WHERE rn = 1 GROUP BY t, event_type ORDER BY t, event_type""",
+SELECT m.t, m.event_type, m.value, fa.first_sum, fa.ts_of_first
+FROM m JOIN fa ON m.t = fa.t AND m.event_type = fa.event_type
+ORDER BY m.t, m.event_type""",
 )
 def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``max by (event_type) (ts_of_max_over_time(app_events[1d]))`` —
-    the Prometheus 3.5 experimental ts_of_* family (`plans/promql.py`
-    _FUNC_AGGS): the seconds-timestamp of each window's maximum sample,
-    ties to the LATEST timestamp (the upstream loops' non-strict
-    comparison), evaluated on the tumbling fast path through the full
-    chunk-store pipeline.  The oracle mirrors the tie rule with a
-    (value DESC, ts DESC) row_number."""
+    """The experimental window-position family (`plans/promql.py`
+    _FUNC_AGGS) on the tumbling fast path through the full chunk-store
+    pipeline: ``ts_of_max_over_time`` (seconds-timestamp of each
+    window's maximum sample, ties to the LATEST timestamp — the
+    upstream loops' non-strict comparison), plus the r16
+    ``first_over_time`` / ``ts_of_first_over_time`` twins (the OLDEST
+    sample's value and seconds-timestamp; (ts, value) lexicographic
+    tie rule, unobservable upstream where series timestamps are
+    unique).  The oracle mirrors the tie rules with (value DESC, ts
+    DESC) and (ts ASC, value ASC) row_numbers."""
     engine = _promql_samples(spark, sf_dir)
-    out = engine.query_range(
-        "max by (event_type) (ts_of_max_over_time(app_events[1d]))",
-        _P_START,
-        _P_END,
-        _P_STEP,
+    base = "app_events[1d]"
+    m = engine.query_range(
+        f"max by (event_type) (ts_of_max_over_time({base}))",
+        _P_START, _P_END, _P_STEP,
+    ).select("t", "event_type", F.round("value", 4).alias("value"))
+    fs = engine.query_range(
+        f"sum by (event_type) (first_over_time({base}))",
+        _P_START, _P_END, _P_STEP,
+    ).select(
+        "t", "event_type", F.round("value", 2).alias("first_sum")
     )
-    return out.select(
-        "t", "event_type", F.round("value", 4).alias("value")
-    ).orderBy("t", "event_type")
+    ft = engine.query_range(
+        f"min by (event_type) (ts_of_first_over_time({base}))",
+        _P_START, _P_END, _P_STEP,
+    ).select(
+        "t", "event_type", F.round("value", 4).alias("ts_of_first")
+    )
+    return (
+        m.join(fs, ["t", "event_type"])
+        .join(ft, ["t", "event_type"])
+        .orderBy("t", "event_type")
+    )
 
 
 @query(

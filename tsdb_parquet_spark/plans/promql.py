@@ -144,6 +144,7 @@ RANGE_FUNCS = {
     "min_over_time",
     "max_over_time",
     "last_over_time",
+    "first_over_time",  # Prometheus 3.x experimental (with ts_of twin)
     "present_over_time",
     "stddev_over_time",
     "stdvar_over_time",
@@ -154,6 +155,7 @@ RANGE_FUNCS = {
     "double_exponential_smoothing",  # Prometheus 3.x name (alias)
     "mad_over_time",
     "ts_of_last_over_time",  # Prometheus 3.5 experimental ts_of_* family
+    "ts_of_first_over_time",
     "ts_of_max_over_time",
     "ts_of_min_over_time",
 }
@@ -1385,6 +1387,15 @@ _FUNC_AGGS = {
     "min_over_time": lambda: F.min("value"),
     "max_over_time": lambda: F.max("value"),
     "last_over_time": lambda: F.max_by("value", "ts"),
+    # experimental first_over_time: the OLDEST sample in the window
+    # (like last_over_time it never skips NaN — the first point wins
+    # regardless of its value).  Struct-min, not min_by: a real series
+    # never repeats a timestamp so the tie rule is unobservable
+    # upstream, but synthetic frames can — (ts, value) lexicographic
+    # keeps the reduce deterministic for the oracle
+    "first_over_time": lambda: (
+        F.min(F.struct(F.col("ts"), F.col("value"))).getField("value")
+    ),
     "present_over_time": lambda: F.max(F.lit(1.0)),
     "stddev_over_time": lambda: F.stddev_pop("value"),
     "stdvar_over_time": lambda: F.var_pop("value"),
@@ -1396,6 +1407,7 @@ _FUNC_AGGS = {
     # Prometheus where NaN never wins a </> comparison against a held
     # non-NaN value.
     "ts_of_last_over_time": lambda: F.max("ts") / F.lit(1000.0),
+    "ts_of_first_over_time": lambda: F.min("ts") / F.lit(1000.0),
     "ts_of_max_over_time": lambda: (
         F.max(
             F.when(
