@@ -162,11 +162,15 @@ def test_scrape_metadata(spark):
         [("m", "histogram", 'docs "quoted"\nline2\\end'),
          ("n", "gauge", "")],
     )
+    # an OpenMetrics UNIT line joins the same metadata frame
+    text += '# UNIT m seconds\n# UNIT "u.s" bytes\n'
     df = spark.createDataFrame([(text,)], "body string")
-    rows = {r["metric"]: (r["type"], r["help"])
+    rows = {r["metric"]: (r["type"], r["help"], r["unit"])
             for r in scrape_metadata(df).collect()}
-    assert rows["m"] == ("histogram", 'docs "quoted"\nline2\\end')
-    assert rows["n"] == ("gauge", None)
+    assert rows["m"] == ("histogram", 'docs "quoted"\nline2\\end',
+                         "seconds")
+    assert rows["n"] == ("gauge", None, None)
+    assert rows["u.s"] == (None, None, "bytes")
 
 
 def test_exposition_samples_is_jvm_only(spark):

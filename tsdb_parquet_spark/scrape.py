@@ -525,33 +525,42 @@ def scrape_samples(
 def scrape_metadata(
     payloads: DataFrame, body_col: str = "body"
 ) -> DataFrame:
-    """The ``# HELP`` / ``# TYPE`` comment structure as a frame:
-    ``(metric string, type string, help string)`` per distinct metric
-    (help unescaped; untyped metrics appear only if they carry HELP)."""
+    """The ``# HELP`` / ``# TYPE`` / ``# UNIT`` comment structure as a
+    frame: ``(metric string, type string, help string, unit string)``
+    per distinct metric (help unescaped; UNIT is the OpenMetrics
+    metadata line Prometheus surfaces via its metadata API; metrics
+    appear only if they carry at least one metadata line)."""
     lines = (
         payloads.select(
             F.explode(F.split(F.col(body_col), "\n")).alias("l")
         )
         .select(F.trim("l").alias("l"))
-        .where(F.col("l").startswith("# TYPE ") | F.col("l").startswith("# HELP "))
+        .where(
+            F.col("l").startswith("# TYPE ")
+            | F.col("l").startswith("# HELP ")
+            | F.col("l").startswith("# UNIT ")
+        )
         .select(
             # metric either classic or a quoted UTF-8 name ("my.metric")
             F.coalesce(
                 F.nullif(
                     F.regexp_extract(
                         "l",
-                        r'^# (?:TYPE|HELP) "([^"\\]*)"', 1,
+                        r'^# (?:TYPE|HELP|UNIT) "([^"\\]*)"', 1,
                     ),
                     F.lit(""),
                 ),
                 F.regexp_extract(
-                    "l", r"^# (?:TYPE|HELP) ([a-zA-Z_:][a-zA-Z0-9_:]*)", 1
+                    "l",
+                    r"^# (?:TYPE|HELP|UNIT) ([a-zA-Z_:][a-zA-Z0-9_:]*)",
+                    1,
                 ),
             ).alias("metric"),
-            F.regexp_extract("l", r"^# (TYPE|HELP)", 1).alias("kind"),
+            F.regexp_extract("l", r"^# (TYPE|HELP|UNIT)", 1).alias("kind"),
             F.regexp_extract(
                 "l",
-                r'^# (?:TYPE|HELP) (?:"[^"\\]*"|[a-zA-Z_:][a-zA-Z0-9_:]*)'
+                r'^# (?:TYPE|HELP|UNIT) '
+                r'(?:"[^"\\]*"|[a-zA-Z_:][a-zA-Z0-9_:]*)'
                 r" ?(.*)$",
                 1,
             ).alias("payload"),
@@ -574,6 +583,9 @@ def scrape_metadata(
                     ),
                 )
             ).alias("help"),
+            F.max(F.when(F.col("kind") == "UNIT", F.col("payload"))).alias(
+                "unit"
+            ),
         )
     )
 
