@@ -257,6 +257,15 @@ def test_metadata_endpoint(api):
     assert api_get_json(
         api, "/api/v1/metadata", {"metric": "nope"}
     )["data"] == {}
+    # 4-tuples (WAL metadata records carry a unit) surface it
+    from tsdb_parquet_spark.api import metadata_result
+
+    assert metadata_result(
+        [("m", "counter", "h", "seconds"), ("n", "gauge", "g")]
+    ) == {
+        "m": [{"type": "counter", "help": "h", "unit": "seconds"}],
+        "n": [{"type": "gauge", "help": "g", "unit": ""}],
+    }
 
 
 def test_status_tsdb(api):

@@ -171,6 +171,18 @@ def test_scrape_metadata(spark):
                          "seconds")
     assert rows["n"] == ("gauge", None, None)
     assert rows["u.s"] == (None, None, "bytes")
+    # writer round-trip: a dotted metric's metadata (incl. unit) is
+    # QUOTED on the way out and parses back to the raw name
+    text2 = format_exposition(
+        [({"__name__": "req.dur"}, 1.0, None)],
+        [("req.dur", "histogram", "dotted docs", "seconds")],
+    )
+    assert '# TYPE "req.dur" histogram' in text2
+    assert '# UNIT "req.dur" seconds' in text2
+    df2 = spark.createDataFrame([(text2,)], "body string")
+    rows2 = {r["metric"]: (r["type"], r["help"], r["unit"])
+             for r in scrape_metadata(df2).collect()}
+    assert rows2["req.dur"] == ("histogram", "dotted docs", "seconds")
 
 
 def test_exposition_samples_is_jvm_only(spark):

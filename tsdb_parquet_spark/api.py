@@ -329,18 +329,22 @@ def exemplars_result(df: DataFrame) -> list[dict]:
 
 
 def metadata_result(
-    metadata: Sequence[tuple[str, str, str]],
+    metadata: Sequence[tuple],
     metric: str | None = None,
     limit: int | None = None,
 ) -> dict[str, list[dict]]:
     """``/api/v1/metadata``: metric -> [{type, help, unit}] from the
-    server's ``[(metric, type, help), ...]`` metadata triples."""
+    server's ``[(metric, type, help[, unit]), ...]`` metadata tuples
+    (unit optional for backward compatibility — WAL metadata records
+    carry one, hand-written --metadata files may not)."""
     out: dict[str, list[dict]] = {}
-    for name, mtype, mhelp in metadata:
+    for entry in metadata:
+        name, mtype, mhelp = entry[0], entry[1], entry[2]
+        unit = entry[3] if len(entry) > 3 else ""
         if metric is not None and name != metric:
             continue
         out.setdefault(name, []).append(
-            {"type": mtype, "help": mhelp, "unit": ""}
+            {"type": mtype, "help": mhelp, "unit": unit}
         )
     if limit is not None:
         out = dict(list(sorted(out.items()))[: max(0, limit)])

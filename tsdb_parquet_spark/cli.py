@@ -1382,8 +1382,9 @@ def main(argv: list[str] | None = None) -> int:
                      "where a series lacks it (repeatable; "
                      "prometheus.yml global.external_labels)")
     srv.add_argument("--metadata", default=None,
-                     help="JSON file of [metric, type, help] triples "
-                          "for /api/v1/metadata and /federate")
+                     help="JSON file of [metric, type, help] or "
+                          "[metric, type, help, unit] entries for "
+                          "/api/v1/metadata and /federate")
     srv.add_argument("--lookback", type=int, default=5 * 60 * 1000)
     srv.add_argument("--max-seconds", type=float, default=None,
                      help="exit after N seconds (default: run forever)")

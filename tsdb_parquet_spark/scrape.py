@@ -96,20 +96,32 @@ def _format_value(value: float) -> str:
 
 def format_exposition(
     samples: Sequence[tuple],
-    metadata: Sequence[tuple[str, str, str]] = (),
+    metadata: Sequence[tuple] = (),
 ) -> str:
     """Render ``[(labels-with-__name__, value, ts_ms|None), ...]`` (and
-    optional ``[(metric, type, help), ...]``) as exposition text.  A
-    sample tuple may carry a FOURTH element — an OpenMetrics exemplar
-    ``(labels, value, ts_s|None)`` or None — rendered as the
-    ``# {...} value [ts]`` suffix."""
+    optional ``[(metric, type, help[, unit]), ...]``) as exposition
+    text.  A sample tuple may carry a FOURTH element — an OpenMetrics
+    exemplar ``(labels, value, ts_s|None)`` or None — rendered as the
+    ``# {...} value [ts]`` suffix.  A metadata unit emits the
+    OpenMetrics ``# UNIT`` line; non-legacy metric names are quoted in
+    metadata lines exactly as in sample lines (Prometheus 3.x)."""
+    from tsdb_parquet_spark.names import is_legacy_name
+
     lines = []
-    for metric, mtype, mhelp in metadata:
+    for entry in metadata:
+        metric, mtype, mhelp = entry[0], entry[1], entry[2]
+        unit = entry[3] if len(entry) > 3 else ""
+        mname = (
+            metric
+            if is_legacy_name(metric)
+            else f'"{escape_label_value(metric)}"'
+        )
         if mhelp:
             esc = mhelp.replace("\\", "\\\\").replace("\n", "\\n")
-            lines.append(f"# HELP {metric} {esc}")
-        lines.append(f"# TYPE {metric} {mtype}")
-    from tsdb_parquet_spark.names import is_legacy_name
+            lines.append(f"# HELP {mname} {esc}")
+        lines.append(f"# TYPE {mname} {mtype}")
+        if unit:
+            lines.append(f"# UNIT {mname} {unit}")
 
     def _pair(k: str, v: str) -> str:
         # Prometheus 3.x text syntax: non-legacy label NAMES are quoted
