@@ -159,3 +159,32 @@ def test_cli_serve_multi_store_replica_dedup(spark, repo_cwd, tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_wal_serve_metadata_derivation(spark, tmp_path):
+    """serve --wal auto-surfaces the head's metric metadata: WAL
+    Metadata records join to metric names and dedupe into the
+    (metric, type, help, unit) entries the API consumes."""
+    from tsdb_parquet_spark.cli import _wal_serve_metadata
+    from tsdb_parquet_spark.tsdb_wal import WalWriter
+
+    wal = str(tmp_path / "wal")
+    w = WalWriter(wal)
+    w.log_series([
+        (1, {"__name__": "req_total", "job": "a"}),
+        (2, {"__name__": "req_total", "job": "b"}),  # same metric
+        (3, {"__name__": "mem_bytes", "job": "a"}),
+    ])
+    w.log_metadata([
+        (1, "counter", "", "Requests."),
+        (2, "counter", "", "Requests."),
+        (3, "gauge", "bytes", "Resident memory."),
+    ])
+    w.log_samples([(1, 1000, 1.0), (2, 1000, 2.0), (3, 1000, 3.0)])
+    w.close()
+    assert _wal_serve_metadata(spark, wal) == [
+        ("mem_bytes", "gauge", "Resident memory.", "bytes"),
+        ("req_total", "counter", "Requests.", ""),
+    ]
+    # an empty/missing WAL dir serves without metadata, loudly not fatally
+    assert _wal_serve_metadata(spark, str(tmp_path / "nope")) == []

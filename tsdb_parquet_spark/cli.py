@@ -764,6 +764,29 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def _wal_serve_metadata(spark, wal_dir: str) -> list[tuple]:
+    """Metric metadata for a ``serve --wal`` head: the WAL's Metadata
+    records (type 6 — one entry per metric, replay-ordered) joined to
+    metric names, deduped into the ``(metric, type, help, unit)``
+    entries ``/api/v1/metadata`` and ``/federate`` consume — like
+    Prometheus, a live head surfaces its own metadata without a
+    hand-written file."""
+    from tsdb_parquet_spark.tsdb_wal import wal_metadata_frame
+
+    try:
+        return sorted(
+            {
+                (r["__name__"], r["type"], r["help"] or "",
+                 r["unit"] or "")
+                for r in wal_metadata_frame(
+                    spark, wal_dir, ["__name__"]
+                ).collect()
+            }
+        )
+    except (ValueError, OSError):
+        return []  # empty/missing WAL dir: serve without metadata
+
+
 def cmd_serve(args) -> int:
     """Serve the Prometheus HTTP query API (`api.PromApiServer`) over
     one or more chunk stores: /api/v1/query[_range], /series, /labels,
@@ -849,6 +872,8 @@ def cmd_serve(args) -> int:
 
         with open(args.metadata) as fh:
             metadata = [tuple(m) for m in _json.load(fh)]
+    elif args.wal:
+        metadata = _wal_serve_metadata(spark, args.wal)
     external = dict(
         kv.split("=", 1) for kv in (args.external_label or [])
     )
