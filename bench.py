@@ -366,6 +366,12 @@ def main() -> None:
         # phase-by-phase (tools/warm_profile.py + inline phase timers);
         # read these before calling a delta a regression
         "notes": {
+            "q133_promql_ts_of": (
+                "r16: ~2x vs r15 is the row's new first_over_time / "
+                "ts_of_first_over_time arms — THREE grid evaluations "
+                "joined instead of one; inherent to the added "
+                "coverage, not a regression."
+            ),
             "q127_federate": (
                 "r16: +~0.5s vs r15 is the row's new UTF-8 arm — a "
                 "SECOND PromApiServer bind + /federate round-trip over "
