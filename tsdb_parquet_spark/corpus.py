@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tsdb_parquet_spark.catalog import Catalog
+from tsdb_parquet_spark.catalog import Catalog, spread
 from tsdb_parquet_spark.operators import (
     conjunction,
     distinct_rows,
@@ -3339,18 +3339,36 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, heuristic language ID, composite quality score, 64-bit
     fingerprint — all pure Catalyst expressions (no Python in the scan).
     Tokenization materializes once per row (two-projection shape; the
-    analyzers read the array instead of re-splitting per feature)."""
-    docs = _cat(spark, sf_dir)["documents"]
+    analyzers read the array instead of re-splitting per feature).
+    ``spread`` widens the single-row-group scan so the analyzers run on
+    every core instead of serializing onto the one scan task — a no-op
+    at 100 TB where the scan is already thousands of tasks wide."""
+    docs = spread(_cat(spark, sf_dir)["documents"])
     t = F.col("text")
     toks = F.col("__toks")
+    # three-projection shape: tokens once, then the four stopword-hit
+    # counts once (each an interpreted HOF the language CASE would
+    # otherwise re-run up to 6x per row), then the analyzers
+    hits = {lang: F.col(f"__hit_{lang}") for lang in TX.STOPWORDS}
     return (
         docs.select("doc_id", "text", TX.tokens(t).alias("__toks"))
         .select(
             "doc_id",
+            "text",
+            "__toks",
+            *[
+                TX.stopword_hits(t, lang, toks).alias(f"__hit_{lang}")
+                for lang in TX.STOPWORDS
+            ],
+        )
+        .select(
+            "doc_id",
             TX.token_count(t, toks).alias("n_tokens"),
             TX.bpe_token_count(t).alias("n_bpe_tokens"),
-            TX.language_id(t, toks).alias("lang_pred"),
-            TX.quality_score(t, toks).alias("quality"),
+            TX.language_id(t, toks, hits=hits).alias("lang_pred"),
+            TX.quality_score(t, toks, stop_hits=hits["en"]).alias(
+                "quality"
+            ),
             TX.fingerprint(t, toks).alias("fp"),
         )
         .orderBy("doc_id")
@@ -3628,8 +3646,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON props column: extraction + typed aggregation
-    (scalar-function surface the reference lacks entirely, SURVEY §2.3)."""
-    ev = _cat(spark, sf_dir)["events"]
+    (scalar-function surface the reference lacks entirely, SURVEY §2.3).
+    ``spread`` parallelizes the per-row JSON parse off the single scan
+    task (partial aggregation runs above the round-robin exchange)."""
+    ev = spread(_cat(spark, sf_dir)["events"])
     return (
         ev.groupBy("event_type")
         .agg(
@@ -3878,8 +3898,9 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: count matches per kind on the original text, then emit
     the md5 of the fully redacted text — regex-only Catalyst expressions,
     fused into the scan (RE2/Java common-subset patterns so the DuckDB
-    oracle redacts byte-identically)."""
-    aug = _pii_injected_docs(spark, sf_dir)
+    oracle redacts byte-identically).  ``spread`` runs the five regex
+    passes on every core instead of the one scan task."""
+    aug = spread(_pii_injected_docs(spark, sf_dir))
     counts = PII.pii_counts(F.col("text"))
     return aug.select(
         "doc_id",
@@ -8691,23 +8712,41 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    engine = PromQLEngine(buckets.unionByName(sums).unionByName(counts))
-    parts = []
-    for tag, q in (
-        ("stddev", "histogram_stddev(app_lat)"),
-        ("stdvar", "histogram_stdvar(app_lat)"),
-    ):
-        out = engine.query_range(
-            q, _P_START, _P_END, _P_STEP, lookback_ms=_P_LOOKBACK
-        )
-        parts.append(
-            out.select(
-                F.lit(tag).alias("part"),
-                "t",
-                "event_type",
-                F.round("value", 4).alias("value"),
-            )
-        )
+    # shared_scan: both arms read this synthesized frame 3 selector-ways
+    # each — the engine-lifetime checkpoint builds the explode+3-aggregate
+    # fixture once instead of per selector.
+    engine = PromQLEngine(
+        buckets.unionByName(sums).unionByName(counts), shared_scan=True
+    )
+    # histogram_stddev IS sqrt(histogram_stdvar) — the engine applies
+    # F.sqrt to the identical variance expression (PromHistogramStd,
+    # plans/promql.py; branch unit-pinned by test_histogram_stddev_stdvar)
+    # — so evaluate the variance GRID once and derive both arms from the
+    # checkpointed ~|event_type|x|steps|-row result instead of running
+    # the window+mean-join+aggregate pipeline twice.  sqrt-then-round is
+    # the same IEEE op chain the engine's stddev path produces;
+    # hash-equality with the unchanged oracle re-proven this round.
+    var = engine.query_range(
+        "histogram_stdvar(app_lat)",
+        _P_START,
+        _P_END,
+        _P_STEP,
+        lookback_ms=_P_LOOKBACK,
+    ).localCheckpoint(eager=False)
+    parts = [
+        var.select(
+            F.lit("stddev").alias("part"),
+            "t",
+            "event_type",
+            F.round(F.sqrt("value"), 4).alias("value"),
+        ),
+        var.select(
+            F.lit("stdvar").alias("part"),
+            "t",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        ),
+    ]
     return (
         parts[0].unionByName(parts[1]).orderBy("part", "t", "event_type")
     )

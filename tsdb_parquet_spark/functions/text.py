@@ -51,18 +51,27 @@ def stopword_hits(text: Column, lang: str, toks: Column | None = None) -> Column
     return F.size(F.filter(t, lambda tok: F.array_contains(stoplist, tok)))
 
 
-def language_id(text: Column, toks: Column | None = None) -> Column:
+def language_id(
+    text: Column,
+    toks: Column | None = None,
+    hits: dict[str, Column] | None = None,
+) -> Column:
     """Heuristic language ID: highest stopword-hit ratio wins, fixed
     priority order (en > de > es > fr) breaks ties, 'und' when no list
     matches (mirrors CLD-style unknown).
 
     Pass a pre-tokenized ``toks`` column in hot paths: interpreted HOFs get
     no common-subexpression elimination, so the inline form re-tokenizes
-    once per stopword list."""
+    once per stopword list.  For the same reason, pass ``hits`` (per-lang
+    stopword-hit counts materialized ONCE in a prior projection): the
+    CASE tree below references each ratio up to 6 times, and without the
+    pre-materialization every reference re-runs its array filter per row
+    — ~20 interpreted HOF evaluations per row instead of 4."""
     n = token_count(text, toks).cast("double")
+    if hits is None:
+        hits = {lang: stopword_hits(text, lang, toks) for lang in STOPWORDS}
     r = {
-        lang: F.when(n > 0, stopword_hits(text, lang, toks) / n).otherwise(
-            F.lit(0.0))
+        lang: F.when(n > 0, hits[lang] / n).otherwise(F.lit(0.0))
         for lang in STOPWORDS
     }
     return (
@@ -97,13 +106,20 @@ def avg_token_len(text: Column, toks: Column | None = None) -> Column:
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column, toks: Column | None = None) -> Column:
+def quality_score(
+    text: Column,
+    toks: Column | None = None,
+    stop_hits: Column | None = None,
+) -> Column:
     """Composite quality heuristic in [0, 1]: enough tokens, natural
     stopword density, low punctuation noise.  Fixed weights; rounded to 4
-    decimals for cross-engine hash stability."""
+    decimals for cross-engine hash stability.  ``stop_hits``: optional
+    pre-materialized English stopword-hit count (see ``language_id`` —
+    shares the single evaluation instead of re-filtering the array)."""
     n = token_count(text, toks).cast("double")
-    stop_r = F.when(n > 0, stopword_hits(text, "en", toks) / n).otherwise(
-        F.lit(0.0))
+    if stop_hits is None:
+        stop_hits = stopword_hits(text, "en", toks)
+    stop_r = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
     score = (
         F.least(F.lit(1.0), n / F.lit(50.0)) * 0.5
         + F.least(F.lit(1.0), stop_r * 5.0) * 0.3

@@ -71,6 +71,14 @@ from tsdb_parquet_spark.tsdb_block import (
 
 PAGE_SIZE = 32 * 1024
 DEFAULT_SEGMENT_BYTES = 128 * 1024 * 1024
+
+#: WAL total-append-order key for FIRST-WRITE-WINS dedup, as ONE BIGINT:
+#: ``min_by(x, struct(seg_ord, rec_ord))`` forces SortAggregate (a struct
+#: is not a mutable agg-buffer type — extra Sort per partial+final pass,
+#: spill-prone at scale); the packed key keeps the dedup a HashAggregate.
+#: rec_ord is the per-sample ordinal within one <=128 MiB segment
+#: (< 2^27 at >=2-byte samples), far below the 33-bit field.
+_APPEND_ORD = "shiftleft(cast(seg_ord as bigint), 33) + rec_ord"
 _HEADER = 7  # type(1) + len(2) + crc(4)
 
 # fragment types (low 3 bits)
@@ -1145,23 +1153,24 @@ def wal_to_samples_frame(
         mark_stale=(stale != "keep"),
     )
     # FIRST-WRITE-WINS per (ref, ts): min_by over the WAL's total
-    # append order (seg_ord, rec_ord) — deterministic even for ties
-    # within one segment, and the rule Prometheus's appender enforces
+    # append order — the rule Prometheus's appender enforces.  The
+    # order key is (seg_ord, rec_ord) PACKED into one BIGINT: a struct
+    # ordering (or a struct-valued buffer) is not a mutable aggregation
+    # type, so Catalyst plans SortAggregate (sort per partial+final
+    # pass, spills under pressure); the packed key keeps the whole
+    # dedup a HashAggregate.  Range: rec_ord is the per-sample ordinal
+    # within one <=128 MiB segment (< 2^27 at >=2-byte samples), far
+    # under the 33-bit field; both min_by's pick the same row because
+    # (seg_ord, rec_ord) is unique per sample row.
     if stale == "keep":
         samples_df = raw.groupBy("__ref__", "ts").agg(
-            F.expr("min_by(value, struct(seg_ord, rec_ord))").alias("value")
+            F.expr(f"min_by(value, {_APPEND_ORD})").alias("value")
         )
         cols = [*col_names, "ts", "value"]
     else:
         samples_df = raw.groupBy("__ref__", "ts").agg(
-            F.expr(
-                "min_by(struct(value, is_stale), struct(seg_ord, rec_ord))"
-            ).alias("__s")
-        ).select(
-            "__ref__",
-            "ts",
-            F.col("__s.value").alias("value"),
-            F.col("__s.is_stale").alias("is_stale"),
+            F.expr(f"min_by(value, {_APPEND_ORD})").alias("value"),
+            F.expr(f"min_by(is_stale, {_APPEND_ORD})").alias("is_stale"),
         )
         if stale == "drop":
             samples_df = samples_df.filter(~F.col("is_stale")).drop(
@@ -1563,7 +1572,7 @@ def sync_wal(
                 # first-write-wins, same rule as wal_to_samples_frame
                 samples_df = raw.groupBy("__ref__", "ts").agg(
                     F.expr(
-                        "min_by(value, struct(seg_ord, rec_ord))"
+                        f"min_by(value, {_APPEND_ORD})"
                     ).alias("value")
                 )
                 # delete-API tombstones filter the batch being drained;
@@ -1766,7 +1775,7 @@ def live_samples_frame(
         delta = (
             raw.groupBy("__ref__", "ts")
             .agg(
-                F.expr("min_by(value, struct(seg_ord, rec_ord))").alias(
+                F.expr(f"min_by(value, {_APPEND_ORD})").alias(
                     "value"
                 )
             )
