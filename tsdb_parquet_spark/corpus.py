@@ -5702,10 +5702,12 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.remote_write import remote_write_frame
 
     path = _events_remote_write_payloads(spark, sf_dir)
-    # round-robin, not hash: 16 payloads hash-bucketed into 16 slots
-    # leave ~1/3 of them empty (collisions); round-robin gives exactly
-    # one payload per task, and placement cannot affect the aggregate
-    payloads = spark.read.parquet(path).repartition(16)
+    # round-robin, not hash: payloads hash-bucketed into slots leave
+    # ~1/3 of them empty (collisions); round-robin spreads one payload
+    # per task, and placement cannot affect the aggregate.  spread()
+    # (vs a hard repartition(16)) is scale-adaptive: a spool with more
+    # files than cores already scans wide and is NOT down-coalesced.
+    payloads = spread(spark.read.parquet(path))
     samples = remote_write_frame(
         payloads, ["__name__", "event_type", "shard"]
     )
@@ -6018,8 +6020,8 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.scrape import scrape_samples
 
     path = _events_scrape_payloads(spark, sf_dir)
-    # round-robin for exactly one payload per task (see q111)
-    payloads = spark.read.parquet(path).repartition(16)
+    # round-robin for one payload per task, scale-adaptive (see q111)
+    payloads = spread(spark.read.parquet(path))
     samples = scrape_samples(
         payloads, ["__name__", "event_type", "shard"]
     )
@@ -7287,9 +7289,17 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     would break the hash)."""
     from tsdb_parquet_spark.otlp import otlp_frame
 
-    payloads = spark.read.parquet(_events_otlp_payloads(spark, sf_dir))
+    # one payload per decode task, scale-adaptive (see q111)
+    payloads = spread(
+        spark.read.parquet(_events_otlp_payloads(spark, sf_dir))
+    )
     out = otlp_frame(
-        payloads, ["__name__", "event_type", "job"], delta="convert"
+        payloads,
+        ["__name__", "event_type", "job"],
+        delta="convert",
+        # bounded captured batch: decode each payload once instead of
+        # once per delta-split subtree (see otlp_frame docstring)
+        pin_decoded=True,
     )
     return (
         out.filter(F.col("job") == "app")
@@ -7513,8 +7523,8 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-numericized on both sides so the hash is engine-format-proof."""
     from tsdb_parquet_spark.otlp import otlp_frame
 
-    payloads = spark.read.parquet(
-        _events_otlp_hist_payloads(spark, sf_dir)
+    payloads = spread(
+        spark.read.parquet(_events_otlp_hist_payloads(spark, sf_dir))
     )
     out = otlp_frame(
         payloads, ["__name__", "event_type", "job", "le", "quantile"]
@@ -8215,7 +8225,7 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.otlp import otlp_exemplar_frame
 
     path = _events_otlp_exemplar_payloads(spark, sf_dir)
-    payloads = spark.read.parquet(path)
+    payloads = spread(spark.read.parquet(path))
     ex = otlp_exemplar_frame(
         payloads, ["__name__", "event_type", "job"]
     )
@@ -8343,7 +8353,8 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_parquet_spark.scrape import scrape_samples
 
     path = _events_scrape_payloads(spark, sf_dir)
-    payloads = spark.read.parquet(path).repartition(16)
+    # one payload per task, scale-adaptive (see q111)
+    payloads = spread(spark.read.parquet(path))
     samples = scrape_samples(payloads, ["__name__", "event_type", "shard"])
     configs = parse_relabel_configs([
         {"source_labels": ["event_type", "shard"], "separator": ":",

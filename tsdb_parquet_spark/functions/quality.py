@@ -299,10 +299,17 @@ def lm_score(
         )
 
     train_w = spread(train)
+    # the unigram table feeds BOTH the broadcast probability lookup and
+    # the 1-row vocabulary aggregate below; without the lineage cut the
+    # two consumers each re-run the full tokenize+explode+shuffle over
+    # the training corpus (Catalyst does not reuse the exchange across
+    # the two subtrees).  The checkpoint is vocabulary-bounded — |V|
+    # rows — so pinning it is free at any corpus size.
     uni = (
         train_w.select(F.explode(tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         bigrams(train_w)

@@ -1034,6 +1034,7 @@ def otlp_frame(
     resource_attrs: str = "labels",
     delta: str = "skip",
     translation: str = "underscores",
+    pin_decoded: bool = False,
 ):
     """Decode a DataFrame of OTLP POST bodies into a sample frame
     ``(label_names..., ts long, value double)`` — the OTLP twin of
@@ -1063,7 +1064,17 @@ def otlp_frame(
     ``translation``: ``"underscores"`` (default) or
     ``"no_utf8_escaping"`` — see the module docstring; in the latter
     mode pass RAW (possibly dotted/UTF-8) names in ``label_names`` and
-    the frame's columns come out U__ value-encoded."""
+    the frame's columns come out U__ value-encoded.
+
+    ``pin_decoded``: with ``delta="convert"`` the decoded frame feeds
+    TWO plan subtrees (the pass-through rows and the delta window), and
+    Catalyst runs the Python decode once per subtree.  ``True`` cuts
+    lineage with a lazy ``localCheckpoint`` so every payload is decoded
+    exactly once — but the WHOLE decoded sample set is then held in
+    executor block storage, so (same contract as the PromQL engine's
+    ``shared_scan``) enable it only when the spool is a bounded batch,
+    never on an unbounded ingest stream.  Ignored without the delta
+    split, where the decode already runs once."""
     import pandas as pd
 
     from tsdb_parquet_spark.names import escape_name
@@ -1139,6 +1150,8 @@ def otlp_frame(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if pin_decoded:
+        frame = frame.localCheckpoint(eager=False)
     plain = frame.filter(~F.col("__delta")).drop("__delta")
     deltas = (
         frame.filter(F.col("__delta"))
