@@ -179,6 +179,35 @@ def test_quality_score_bounds(docs):
     assert all(0.0 <= v <= 1.0 for v in vals)
 
 
+def test_precomputed_hits_equivalence(docs):
+    """The hot-path form (stopword-hit counts materialized once in a
+    prior projection, then passed via ``hits=``/``stop_hits=``) must be
+    bit-identical to the inline form — it exists purely so interpreted
+    HOFs evaluate once per row instead of once per CASE reference."""
+    t = F.col("text")
+    toks = F.col("__toks")
+    base = docs.select("doc_id", "text", TX.tokens(t).alias("__toks"))
+    withhits = base.select(
+        "*",
+        *[
+            TX.stopword_hits(t, lang, toks).alias(f"__hit_{lang}")
+            for lang in TX.STOPWORDS
+        ],
+    )
+    hits = {lang: F.col(f"__hit_{lang}") for lang in TX.STOPWORDS}
+    fast = withhits.select(
+        "doc_id",
+        TX.language_id(t, toks, hits=hits).alias("lang"),
+        TX.quality_score(t, toks, stop_hits=hits["en"]).alias("q"),
+    ).collect()
+    slow = base.select(
+        "doc_id",
+        TX.language_id(t, toks).alias("lang"),
+        TX.quality_score(t, toks).alias("q"),
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((99, [1.0, 0.0, 0.0, 0.001]))

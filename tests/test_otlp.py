@@ -724,6 +724,14 @@ def test_delta_convert_running_sum(spark):
     # default mode still skips deltas entirely
     skipped = otlp_frame(df, ["__name__", "shard", "job"])
     assert {r["__name__"] for r in skipped.collect()} == {"gauge_v"}
+    # pin_decoded (bounded-batch single-decode optimization) must be
+    # result-invariant: the checkpoint only cuts lineage between the
+    # decode and the delta split
+    pinned = otlp_frame(
+        df, ["__name__", "shard", "job"], delta="convert",
+        pin_decoded=True,
+    )
+    assert sorted(map(tuple, pinned.collect())) == rows
 
 
 def test_delta_convert_oracle_twin(spark, duckdb_con=None):

@@ -95,7 +95,19 @@ def pack_token_chunks(
         if n_tokens is not None
         else token_count(F.col(text_col))
     ).cast("long")
-    toks = docs.select(F.col(order_col), n.alias("_n")).where(F.col("_n") > 0)
+    # the counts frame is consumed THREE ways — the quantile probe, the
+    # O(buckets) totals collect, and the exec-time window plan — and
+    # each would otherwise re-run the full tokenize pass over the
+    # corpus.  It is the lightweight proxy of the packing decision
+    # (order key + token count, ~16 bytes/doc regardless of text size),
+    # so pin it once: lazy localCheckpoint, materialized by the
+    # quantile probe, self-cleaned by the ContextCleaner when the
+    # result frame is dropped.
+    toks = (
+        docs.select(F.col(order_col), n.alias("_n"))
+        .where(F.col("_n") > 0)
+        .localCheckpoint(eager=False)
+    )
 
     # (1) content-deterministic buckets: interior quantile boundaries of
     # the order key, embedded as LITERALS — bucket id is then a pure
