@@ -52,41 +52,43 @@ def test_every_query_has_runnable_df(spark, sf_smoke):
         assert df.count() >= 0, name
 
 
-def test_driver_window_round16_composition():
+def test_driver_window_round17_composition():
     """The driver hash-checks only the first 50 REGISTRY rows; pin the
-    round-16 window so an accidental registry edit cannot silently push a
+    round-17 window so an accidental registry edit cannot silently push a
     due row out of the window.  Update this list ONLY together with the
     rotation comment in corpus.py (and the round-rotation memory note)."""
     from tsdb_parquet_spark.corpus import DEBUT_BACKLOG, REGISTRY
 
     window = list(REGISTRY)[:50]
     expected = {
-        # the 44 round-15 deferrals, due back (no consecutive
-        # deferrals) — last driver green r13 (recorded index 12)
-        "q06_first_per_key", "q08_time_containment",
-        "q09_label_values", "q12_dict_equality", "q13_zonemap_range",
-        "q17_chunk_samples_roundtrip", "q19_promql_count_over_time",
-        "q22_exact_dedup", "q28_embedding_near_dup",
-        "q29_multimodal_metadata", "q30_text_analysis",
-        "q31_json_props", "q33_semi_anti_join", "q38_training_chunks",
-        "q43_promql_counter_reset", "q44_late_materialization",
-        "q46_sessionize", "q54_promql_comparison_filter",
-        "q60_ivf_topk", "q62_simhash_near_dup", "q64_promql_absent",
-        "q66_promql_set_ops", "q72_global_shuffle",
-        "q75_promql_holt_winters", "q78_promql_instant_absent",
-        "q81_kmeans_train", "q89_streaming_rollup",
-        "q98_exact_substring_removal", "q99_lm_perplexity_score",
-        "q102_promql_sort_by_label", "q103_xor_chunk_interop",
-        "q104_writer_layout_contract", "q117_store_delete_pass",
-        "q120_wal_exemplars", "q126_query_api_roundtrip",
-        "q127_federate", "q128_sequence_packing",
-        "q130_alerting_rule", "q131_rule_group", "q132_promql_info",
-        "q133_promql_ts_of", "q134_replica_dedup",
-        "q135_otlp_exemplars", "q136_remote_read_streamed",
-        # 2-rounds-stale r14-green family hubs / kin-less rows
-        "q10_write_compact_roundtrip", "q57_asof_join",
-        "q94_http_object_store", "q115_remote_write_push_to_promql",
-        "q118_native_histogram_quantile", "q137_relabel_sharding",
+        # the 44 round-16 deferrals, due back (no consecutive
+        # deferrals) — last driver green r14 (recorded index 13)
+        "q01_scan_project", "q05_distinct", "q11_predicate_order",
+        "q14_multi_projection", "q15_empty_result",
+        "q16_series_select", "q18_label_values",
+        "q21_streaming_ingest", "q24_simhash", "q25_ngram_jaccard",
+        "q26_cosine_topk", "q27_ann_lsh_topk", "q35_distinct_counts",
+        "q37_promql_topk_binary", "q40_rollup",
+        "q48_stratified_sample", "q50_promql_rate_extrapolated",
+        "q51_promql_without_at", "q52_promql_label_replace_clamp",
+        "q53_promql_histogram_quantile", "q55_promql_changes",
+        "q58_pack_sequences", "q61_gap_fill_linear",
+        "q67_promql_quantile_agg", "q68_promql_predict_linear",
+        "q69_decontaminate", "q70_repetition_stats", "q71_pii_redact",
+        "q74_promql_subquery", "q80_remove_boilerplate_lines",
+        "q86_bucketed_colocated_join", "q88_promql_scalar_arithmetic",
+        "q90_pq_adc_topk", "q93_exact_substring_spans",
+        "q95_media_transform", "q96_sq8_quantized_topk",
+        "q116_block_farm_maintenance",
+        "q119_native_histogram_fraction", "q121_wal_metric_metadata",
+        "q123_exemplar_store_query", "q124_otlp_ingest",
+        "q138_promql_limit", "q139_admin_delete_api",
+        "q140_histogram_stddev",
+        # the r16-restructured rows the r16 verdict named as
+        # must-sample (packed min_by WAL dedup; spool fan-out)
+        "q108_wal_head_drain", "q109_data_dir_convert",
+        "q110_promql_staleness", "q111_remote_write_ingest",
+        "q113_scrape_text_parse", "q125_otlp_histogram_ingest",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher

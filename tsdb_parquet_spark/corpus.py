@@ -9268,231 +9268,181 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_corpus.py's full-registry DuckDB replica gate and
 # come back in a later rotation).
 #
-# Round-16 window (registry 144 rows at rotation time).  This is the
-# consolidation round the r15 verdict pre-committed: ALL 44 round-15
-# deferrals are due back (no consecutive deferrals), consuming 44 of
-# the 50 slots.  Composition:
-#   * the 44 round-15 deferrals, due back (the exact r15
-#     DEFERRED_WITH_COVERAGE set, last driver-green r13 == RECORDED
-#     index 12 — 3 recorded rounds stale at the upcoming index 15,
-#     non-deferrable per the no-consecutive-deferral rule): q06 q08
-#     q09 q12 q13 q17 q19 q22 q28 q29 q30 q31 q33 q38 q43 q44 q46 q54
-#     q60 q62 q64 q66 q72 q75 q78 q81 q89 q98 q99 q102 q103 q104 q117
-#     q120 q126 q127 q128 q130 q131 q132 q133 q134 q135 q136.
-#   * the 6 remaining slots go to 2-rounds-stale r14-green rows,
-#     chosen as family hubs / rows with no (or only weak) kin among
-#     the 44 returning, per the plan drafted at r15 close: q10
-#     (headline write+compact path — the verdict's first-named
-#     candidate), q57 (as-of join, kin-less), q94 (HTTP object store,
-#     kin-less), q115 (remote-write->PromQL chain, kin-less), q118
-#     (native-histogram hub — covers q53/q119/q140), q137 (relabel
-#     sharding — its labelmap collision semantics CHANGED in r15 and
-#     the labelmap/U__ interaction changes again this round, so the
-#     family's only driver row must be in-window).
-#   * No debuts: r16 lands new surfaces as arms of existing rows
-#     (q127 gains a dotted-metric UTF-8 federate arm; q137's pipeline
-#     exercises labelmap-on-U__), per the r15 verdict's guidance.
+# Round-17 window (registry 144 rows at rotation time).  This is the
+# second consolidation round the r16 rotation comment pre-planned:
+# ALL 44 round-16 deferrals are due back (no consecutive deferrals),
+# consuming 44 of the 50 slots.  Composition:
+#   * the 44 round-16 deferrals, due back (the exact r16
+#     DEFERRED_WITH_COVERAGE set, last driver-green r14 == RECORDED
+#     index 13 — 3 recorded rounds stale at the upcoming index 16,
+#     non-deferrable per the no-consecutive-deferral rule): q01 q05
+#     q11 q14 q15 q16 q18 q21 q24 q25 q26 q27 q35 q37 q40 q48 q50 q51
+#     q52 q53 q55 q58 q61 q67 q68 q69 q70 q71 q74 q80 q86 q88 q90 q93
+#     q95 q96 q116 q119 q121 q123 q124 q138 q139 q140.
+#   * the 6 remaining slots go to the r16-restructured rows the r16
+#     verdict named as must-sample (packed min_by WAL dedup and
+#     scale-adaptive spool fan-out landed in r16 without a driver
+#     correctness row on the new shapes): q108 q109 q110 (WAL drain
+#     family) and q111 q113 q125 (ingest spool family).  The other
+#     five verdict-named rows (q140 q124 q71 q58 q121) are already in
+#     via the due-back 44 — all 11 restructured rows are in-window.
+#   * No debuts this round (registry unchanged at 144).
 #
 # ROUND-8 RECORD GAP (unchanged policy): the round-8 driver capture
 # never ran, so staleness is counted in RECORDED driver rounds
-# (r01..r07,r09..r15 -> indices 1..14; the upcoming r16 record is
-# index 15).  tests/test_corpus.py implements the same indexing.
+# (r01..r07,r09..r16 -> indices 1..15; the upcoming r17 record is
+# index 16).  tests/test_corpus.py implements the same indexing.
 #
-# Deferred to round 17 (2-rounds-stale r14-green rows that no longer
+# Deferred to round 18 (2-rounds-stale r15-green rows that no longer
 # fit; each with the in-window row(s) that still exercise its code
-# path).  NOTE for the r17 rotation: all 44 of these are due back,
-# and the 50 r15-green rows (1-stale at r16) become 2-stale at r17 —
-# r17 is another consolidation round; plan slots accordingly:
-#   q01_scan_project      -> q12 + q13 (same scan/pushdown surface)
-#   q05_distinct          -> q22 (distinct IS the exact-dedup kernel)
-#   q11_predicate_order   -> q12 + q13 (same pushdown surfaces)
-#   q14_multi_projection  -> q44 (same querier projection path)
-#   q15_empty_result      -> q12 + q13 (same pushdown short-circuit)
-#   q16_series_select     -> q44 (same two-pass series select)
-#   q18_label_values      -> q09 (same label-values querier path)
-#   q21_streaming_ingest  -> q89 + q46 (same streaming harness)
-#   q24_simhash           -> q62 (simhash near-dup runs the kernel)
-#   q25_ngram_jaccard     -> q22 + q62 (dedup verify family)
-#   q26_cosine_topk       -> q28 (same cosine kernel)
-#   q27_ann_lsh_topk      -> q28 + q60 (LSH banding + topk family)
-#   q35_distinct_counts   -> q22 (groupBy-distinct core — weak kin,
-#                            accepted: approx_count_distinct arm is
-#                            unit-pinned in test_dedup)
-#   q37_promql_topk_binary -> q54 + q102 (comparison + sort kernels)
-#   q40_rollup            -> q89 (rollup agg core — weak kin,
-#                            accepted: batch rollup is q65-pinned r15)
-#   q48_stratified_sample -> q38 + q72 (same sampling.py kernels)
-#   q50_promql_rate_extrapolated -> q43 (same rate/reset kernel)
-#   q51_promql_without_at -> q64 + q78 (grid eval + label dropping)
-#   q52_promql_label_replace_clamp -> q54 (instant-vector transform —
-#                            weak kin, accepted: label_replace is
-#                            fuzz-pinned in test_promql)
-#   q53_promql_histogram_quantile -> q118 (same quantile kernel)
-#   q55_promql_changes    -> q43 (same over_time delta kernel)
-#   q58_pack_sequences    -> q128 (sequence packing IS the family)
-#   q61_gap_fill_linear   -> q46 (same gapfill module)
-#   q67_promql_quantile_agg -> q19 + q133 (agg + over_time kernels)
-#   q68_promql_predict_linear -> q75 (same regression kernel)
-#   q69_decontaminate     -> q33 (decontaminate IS a semi/anti join)
-#   q70_repetition_stats  -> q30 + q98 (text-analysis family)
-#   q71_pii_redact        -> q30 (same JVM-regexp text family)
-#   q74_promql_subquery   -> q133 (subquery grid eval — weak kin,
-#                            accepted: subquery algebra unit-pinned)
-#   q80_remove_boilerplate_lines -> q30 + q98 (text-cleaning family)
-#   q86_bucketed_colocated_join -> q33 (join-strategy surface — weak
-#                            kin, accepted: shuffle-free plan pinned
-#                            by test_plans)
-#   q88_promql_scalar_arithmetic -> q75 (scalar/series arithmetic —
-#                            weak kin, accepted: fuzz-pinned)
-#   q90_pq_adc_topk       -> q60 (same quantized-topk family)
-#   q93_exact_substring_spans -> q98 (same suffix-automaton module)
-#   q95_media_transform   -> q29 (same multimodal.py decode)
-#   q96_sq8_quantized_topk -> q60 (same quantized-topk family)
-#   q116_block_farm_maintenance -> q117 + q103 (maintenance + block
-#                            decode family)
-#   q119_native_histogram_fraction -> q118 (same bucket-walk kernel)
-#   q121_wal_metric_metadata -> q120 (same WAL record parse)
-#   q123_exemplar_store_query -> q120 + q135 (exemplar family)
-#   q124_otlp_ingest      -> q132 + q135 (same otlp.py decode path)
-#   q138_promql_limit     -> q102 (sort/limit machinery — weak kin,
-#                            accepted: limitk/limit_ratio unit-pinned)
-#   q139_admin_delete_api -> q117 + q126 (delete pass + API harness)
-#   q140_histogram_stddev -> q118 (same native-histogram eval kernel)
-# Every other out-of-window row is r15-green (1 recorded round stale
-# once r16 lands) and needs no deferral record.
+# path).  NOTE for the r18 rotation: all 44 of these are due back,
+# and the 50 r16-green rows (1-stale at r17) become 2-stale at r18 —
+# r18 is another consolidation round; plan slots accordingly:
+#   q02_eq_filter         -> q11 (same eq-pushdown surface)
+#   q03_range_filter      -> q11 + q15 (range pushdown + short-circuit)
+#   q04_conjunction       -> q11 (same conjunctive pushdown surface)
+#   q07_groupby_agg       -> q35 (groupBy-agg core — weak kin,
+#                            accepted: agg plan pinned by test_plans)
+#   q20_promql_instant_sum -> q67 (same instant-agg kernel)
+#   q23_minhash_lsh_pairs -> q25 + q24 (dedup banding family)
+#   q32_broadcast_join    -> q69 + q86 (join-strategy surfaces)
+#   q34_promql_rate       -> q50 (same rate/extrapolation kernel)
+#   q36_window_functions  -> q61 (same window-over-series machinery)
+#   q39_cleaning_pipeline -> q70 + q71 + q80 (text-cleaning family)
+#   q41_set_operations    -> q05 (distinct/set-op core)
+#   q42_promql_window_gt_step -> q50 (same range-window kernel)
+#   q45_multi_store_merge -> q16 (same two-pass series select)
+#   q47_dedup_clusters    -> q24 + q25 (dedup pair-gen family)
+#   q49_promql_on_group_left -> q37 (same binary-op matching kernel)
+#   q56_promql_quantile_over_time -> q67 + q74 (quantile + subquery)
+#   q59_ivf_assign        -> q90 + q96 (quantized-assign family)
+#   q63_weighted_sample   -> q48 (same sampling.py kernels)
+#   q65_rollup_store      -> q40 (same rollup read/agg core)
+#   q73_promql_time_functions -> q88 (scalar/series arithmetic)
+#   q76_streaming_sessionize -> q21 + q61 (streaming harness + gapfill)
+#   q77_rollup_routing    -> q40 + q116 (rollup read + maintenance —
+#                            weak kin, accepted: routing choice is
+#                            unit-pinned in test_rollup)
+#   q79_promql_sort_desc  -> q37 (same sort/topk machinery)
+#   q82_rollup_subquery_routing -> q74 + q40 (subquery + rollup read)
+#   q83_store_maintenance -> q116 (maintenance lifecycle family —
+#                            weak kin, accepted: compact/vacuum gates
+#                            unit-pinned in test_maintenance)
+#   q84_ivf_partitioned_store -> q90 + q96 (quantized-store family)
+#   q85_salted_distinct_count -> q35 (same distinct-count core)
+#   q87_bucket_ranged_read -> q111 (staged-payload read surface —
+#                            weak kin, accepted: ranged-GET reader
+#                            unit-pinned in test_bucket/
+#                            test_object_store)
+#   q91_ivfpq_store_topk  -> q90 (same ADC topk kernel)
+#   q92_semantic_dedup    -> q26 (same cosine kernel)
+#   q97_ivfpq_residual_topk -> q90 (same ADC topk kernel)
+#   q100_tsdb_stats       -> q18 (same label-values querier path)
+#   q101_png_pixel_pipeline -> q95 (same multimodal.py decode)
+#   q105_tsdb_block_convert -> q109 (same block-convert seam)
+#   q106_block_convert_promql -> q109 (same block-convert seam)
+#   q107_multi_block_convert -> q109 (same block-convert seam)
+#   q112_block_export_roundtrip -> q109 + q116 (block export/compact)
+#   q114_block_compaction -> q116 (same compaction machinery)
+#   q122_native_histogram_store_roundtrip -> q119 + q140 (same
+#                            native-histogram eval kernels)
+#   q129_remote_read      -> q111 + q139 (remote wire codec + API
+#                            harness — weak kin, accepted: framing
+#                            unit-pinned in test_remote_read)
+#   q141_rules_api        -> q139 (API harness — weak kin, accepted:
+#                            rules engine unit-pinned in test_rules)
+#   q142_alert_restore    -> q139 (API harness — weak kin, accepted:
+#                            for-state restore unit-pinned in
+#                            test_rules)
+#   q143_utf8_names_roundtrip -> q113 (quoted UTF-8 name parse/escape
+#                            arms — weak kin, accepted: U__ escaping
+#                            property-pinned in test_utf8_names)
+#   q144_serve_replica_dedup -> q139 (serve harness — weak kin,
+#                            accepted: replica vote unit-pinned in
+#                            test_replicas)
+# Every other out-of-window row is r16-green (1 recorded round stale
+# once r17 lands) and needs no deferral record.
 #: Rows REGISTERED mid-round after the window had executed a
 #: verdict-pre-committed composition queue here loudly for exactly one
 #: round (see the rotation-invariant test).  No rows queue for r17.
 DEBUT_BACKLOG: tuple[str, ...] = ()
 
 DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
-    "q01_scan_project": ("q12_dict_equality", "q13_zonemap_range"),
-    "q05_distinct": ("q22_exact_dedup",),
-    "q11_predicate_order": ("q12_dict_equality", "q13_zonemap_range"),
-    "q14_multi_projection": ("q44_late_materialization",),
-    "q15_empty_result": ("q12_dict_equality", "q13_zonemap_range"),
-    "q16_series_select": ("q44_late_materialization",),
-    "q18_label_values": ("q09_label_values",),
-    "q21_streaming_ingest": ("q89_streaming_rollup", "q46_sessionize"),
-    "q24_simhash": ("q62_simhash_near_dup",),
-    "q25_ngram_jaccard": ("q22_exact_dedup", "q62_simhash_near_dup"),
-    "q26_cosine_topk": ("q28_embedding_near_dup",),
-    "q27_ann_lsh_topk": ("q28_embedding_near_dup", "q60_ivf_topk"),
-    "q35_distinct_counts": ("q22_exact_dedup",),
-    "q37_promql_topk_binary": (
-        "q54_promql_comparison_filter",
-        "q102_promql_sort_by_label",
+    "q02_eq_filter": ("q11_predicate_order",),
+    "q03_range_filter": ("q11_predicate_order", "q15_empty_result"),
+    "q04_conjunction": ("q11_predicate_order",),
+    "q07_groupby_agg": ("q35_distinct_counts",),
+    "q20_promql_instant_sum": ("q67_promql_quantile_agg",),
+    "q23_minhash_lsh_pairs": ("q25_ngram_jaccard", "q24_simhash"),
+    "q32_broadcast_join": (
+        "q69_decontaminate",
+        "q86_bucketed_colocated_join",
     ),
-    "q40_rollup": ("q89_streaming_rollup",),
-    "q48_stratified_sample": ("q38_training_chunks", "q72_global_shuffle"),
-    "q50_promql_rate_extrapolated": ("q43_promql_counter_reset",),
-    "q51_promql_without_at": (
-        "q64_promql_absent",
-        "q78_promql_instant_absent",
+    "q34_promql_rate": ("q50_promql_rate_extrapolated",),
+    "q36_window_functions": ("q61_gap_fill_linear",),
+    "q39_cleaning_pipeline": (
+        "q70_repetition_stats",
+        "q71_pii_redact",
+        "q80_remove_boilerplate_lines",
     ),
-    "q52_promql_label_replace_clamp": ("q54_promql_comparison_filter",),
-    "q53_promql_histogram_quantile": ("q118_native_histogram_quantile",),
-    "q55_promql_changes": ("q43_promql_counter_reset",),
-    "q58_pack_sequences": ("q128_sequence_packing",),
-    "q61_gap_fill_linear": ("q46_sessionize",),
-    "q67_promql_quantile_agg": (
-        "q19_promql_count_over_time",
-        "q133_promql_ts_of",
+    "q41_set_operations": ("q05_distinct",),
+    "q42_promql_window_gt_step": ("q50_promql_rate_extrapolated",),
+    "q45_multi_store_merge": ("q16_series_select",),
+    "q47_dedup_clusters": ("q24_simhash", "q25_ngram_jaccard"),
+    "q49_promql_on_group_left": ("q37_promql_topk_binary",),
+    "q56_promql_quantile_over_time": (
+        "q67_promql_quantile_agg",
+        "q74_promql_subquery",
     ),
-    "q68_promql_predict_linear": ("q75_promql_holt_winters",),
-    "q69_decontaminate": ("q33_semi_anti_join",),
-    "q70_repetition_stats": (
-        "q30_text_analysis",
-        "q98_exact_substring_removal",
+    "q59_ivf_assign": ("q90_pq_adc_topk", "q96_sq8_quantized_topk"),
+    "q63_weighted_sample": ("q48_stratified_sample",),
+    "q65_rollup_store": ("q40_rollup",),
+    "q73_promql_time_functions": ("q88_promql_scalar_arithmetic",),
+    "q76_streaming_sessionize": (
+        "q21_streaming_ingest",
+        "q61_gap_fill_linear",
     ),
-    "q71_pii_redact": ("q30_text_analysis",),
-    "q74_promql_subquery": ("q133_promql_ts_of",),
-    "q80_remove_boilerplate_lines": (
-        "q30_text_analysis",
-        "q98_exact_substring_removal",
+    "q77_rollup_routing": ("q40_rollup", "q116_block_farm_maintenance"),
+    "q79_promql_sort_desc": ("q37_promql_topk_binary",),
+    "q82_rollup_subquery_routing": ("q74_promql_subquery", "q40_rollup"),
+    "q83_store_maintenance": ("q116_block_farm_maintenance",),
+    "q84_ivf_partitioned_store": (
+        "q90_pq_adc_topk",
+        "q96_sq8_quantized_topk",
     ),
-    "q86_bucketed_colocated_join": ("q33_semi_anti_join",),
-    "q88_promql_scalar_arithmetic": ("q75_promql_holt_winters",),
-    "q90_pq_adc_topk": ("q60_ivf_topk",),
-    "q93_exact_substring_spans": ("q98_exact_substring_removal",),
-    "q95_media_transform": ("q29_multimodal_metadata",),
-    "q96_sq8_quantized_topk": ("q60_ivf_topk",),
-    "q116_block_farm_maintenance": (
-        "q117_store_delete_pass",
-        "q103_xor_chunk_interop",
+    "q85_salted_distinct_count": ("q35_distinct_counts",),
+    "q87_bucket_ranged_read": ("q111_remote_write_ingest",),
+    "q91_ivfpq_store_topk": ("q90_pq_adc_topk",),
+    "q92_semantic_dedup": ("q26_cosine_topk",),
+    "q97_ivfpq_residual_topk": ("q90_pq_adc_topk",),
+    "q100_tsdb_stats": ("q18_label_values",),
+    "q101_png_pixel_pipeline": ("q95_media_transform",),
+    "q105_tsdb_block_convert": ("q109_data_dir_convert",),
+    "q106_block_convert_promql": ("q109_data_dir_convert",),
+    "q107_multi_block_convert": ("q109_data_dir_convert",),
+    "q112_block_export_roundtrip": (
+        "q109_data_dir_convert",
+        "q116_block_farm_maintenance",
     ),
-    "q119_native_histogram_fraction": ("q118_native_histogram_quantile",),
-    "q121_wal_metric_metadata": ("q120_wal_exemplars",),
-    "q123_exemplar_store_query": (
-        "q120_wal_exemplars",
-        "q135_otlp_exemplars",
+    "q114_block_compaction": ("q116_block_farm_maintenance",),
+    "q122_native_histogram_store_roundtrip": (
+        "q119_native_histogram_fraction",
+        "q140_histogram_stddev",
     ),
-    "q124_otlp_ingest": ("q132_promql_info", "q135_otlp_exemplars"),
-    "q138_promql_limit": ("q102_promql_sort_by_label",),
-    "q139_admin_delete_api": (
-        "q117_store_delete_pass",
-        "q126_query_api_roundtrip",
+    "q129_remote_read": (
+        "q111_remote_write_ingest",
+        "q139_admin_delete_api",
     ),
-    "q140_histogram_stddev": ("q118_native_histogram_quantile",),
+    "q141_rules_api": ("q139_admin_delete_api",),
+    "q142_alert_restore": ("q139_admin_delete_api",),
+    "q143_utf8_names_roundtrip": ("q113_scrape_text_parse",),
+    "q144_serve_replica_dedup": ("q139_admin_delete_api",),
 }
 
 _DRIVER_PRIORITY: list[str] = [
-    # the 44 round-15 deferrals, due back (no consecutive deferrals) —
-    # last driver-green r13 (recorded index 12), 3 recorded rounds
-    # stale at the upcoming index 15
-    "q06_first_per_key",
-    "q08_time_containment",
-    "q09_label_values",
-    "q12_dict_equality",
-    "q13_zonemap_range",
-    "q17_chunk_samples_roundtrip",
-    "q19_promql_count_over_time",
-    "q22_exact_dedup",
-    "q28_embedding_near_dup",
-    "q29_multimodal_metadata",
-    "q30_text_analysis",
-    "q31_json_props",
-    "q33_semi_anti_join",
-    "q38_training_chunks",
-    "q43_promql_counter_reset",
-    "q44_late_materialization",
-    "q46_sessionize",
-    "q54_promql_comparison_filter",
-    "q60_ivf_topk",
-    "q62_simhash_near_dup",
-    "q64_promql_absent",
-    "q66_promql_set_ops",
-    "q72_global_shuffle",
-    "q75_promql_holt_winters",
-    "q78_promql_instant_absent",
-    "q81_kmeans_train",
-    "q89_streaming_rollup",
-    "q98_exact_substring_removal",
-    "q99_lm_perplexity_score",
-    "q102_promql_sort_by_label",
-    "q103_xor_chunk_interop",
-    "q104_writer_layout_contract",
-    "q117_store_delete_pass",
-    "q120_wal_exemplars",
-    "q126_query_api_roundtrip",
-    "q127_federate",
-    "q128_sequence_packing",
-    "q130_alerting_rule",
-    "q131_rule_group",
-    "q132_promql_info",
-    "q133_promql_ts_of",
-    "q134_replica_dedup",
-    "q135_otlp_exemplars",
-    "q136_remote_read_streamed",
-    # 2-rounds-stale r14-green family hubs / kin-less rows
-    "q10_write_compact_roundtrip",
-    "q57_asof_join",
-    "q94_http_object_store",
-    "q115_remote_write_push_to_promql",
-    "q118_native_histogram_quantile",
-    "q137_relabel_sharding",
-    # position 51+ — outside the driver cap: the documented round-17
-    # deferrals first (all due back next round), then registry order
+    # the 44 round-16 deferrals, due back (no consecutive deferrals) —
+    # last driver-green r14 (recorded index 13), 3 recorded rounds
+    # stale at the upcoming index 16
     "q01_scan_project",
     "q05_distinct",
     "q11_predicate_order",
@@ -9537,6 +9487,60 @@ _DRIVER_PRIORITY: list[str] = [
     "q138_promql_limit",
     "q139_admin_delete_api",
     "q140_histogram_stddev",
+    # the r16-restructured rows the r16 verdict named as must-sample
+    # (packed min_by WAL dedup; scale-adaptive spool fan-out)
+    "q108_wal_head_drain",
+    "q109_data_dir_convert",
+    "q110_promql_staleness",
+    "q111_remote_write_ingest",
+    "q113_scrape_text_parse",
+    "q125_otlp_histogram_ingest",
+    # position 51+ — outside the driver cap: the documented round-18
+    # deferrals first (all due back next round), then registry order
+    "q02_eq_filter",
+    "q03_range_filter",
+    "q04_conjunction",
+    "q07_groupby_agg",
+    "q20_promql_instant_sum",
+    "q23_minhash_lsh_pairs",
+    "q32_broadcast_join",
+    "q34_promql_rate",
+    "q36_window_functions",
+    "q39_cleaning_pipeline",
+    "q41_set_operations",
+    "q42_promql_window_gt_step",
+    "q45_multi_store_merge",
+    "q47_dedup_clusters",
+    "q49_promql_on_group_left",
+    "q56_promql_quantile_over_time",
+    "q59_ivf_assign",
+    "q63_weighted_sample",
+    "q65_rollup_store",
+    "q73_promql_time_functions",
+    "q76_streaming_sessionize",
+    "q77_rollup_routing",
+    "q79_promql_sort_desc",
+    "q82_rollup_subquery_routing",
+    "q83_store_maintenance",
+    "q84_ivf_partitioned_store",
+    "q85_salted_distinct_count",
+    "q87_bucket_ranged_read",
+    "q91_ivfpq_store_topk",
+    "q92_semantic_dedup",
+    "q97_ivfpq_residual_topk",
+    "q100_tsdb_stats",
+    "q101_png_pixel_pipeline",
+    "q105_tsdb_block_convert",
+    "q106_block_convert_promql",
+    "q107_multi_block_convert",
+    "q112_block_export_roundtrip",
+    "q114_block_compaction",
+    "q122_native_histogram_store_roundtrip",
+    "q129_remote_read",
+    "q141_rules_api",
+    "q142_alert_restore",
+    "q143_utf8_names_roundtrip",
+    "q144_serve_replica_dedup",
 ]
 
 
