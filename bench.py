@@ -50,7 +50,7 @@ def main() -> None:
     cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_COLD") == "1"
     if cold:
         _clear_stores(sf_dir)
-    from tsdb_parquet_spark.session import get_spark
+    from tsdb_parquet_spark.session import default_parallelism, get_spark
 
     spark = get_spark(app_name="tsdb-parquet-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -229,6 +229,27 @@ def main() -> None:
         if best is not None and best > 0 and worst is not None:
             spreads.append((worst - best) / best)
     loadavg_end = os.getloadavg()
+    # end-of-run contention verdict (r16 verdict item 1): the bench's
+    # OWN local[N] execution drives the 1-min loadavg to ~0.2*N even on
+    # an idle host, so loadavg_end alone cannot distinguish self-load
+    # from contamination (r15 ended at 6.3 idle; r16's contaminated
+    # capture at 15.1).  Let the self-load decay for one 1-min-loadavg
+    # time constant (60 s idle ~= x0.37) and read again: a SETTLED
+    # loadavg still above the gate is external load, and the record
+    # says so in a machine-readable `suspect` field instead of leaving
+    # the contamination call to a human diffing loadavg triples.
+    end_settle = float(os.environ.get("SPARK_GRAFT_END_SETTLE", "60"))
+    if loadavg_end[0] <= load_gate:
+        end_settle = 0.0  # already below gate — nothing to decay
+    if end_settle > 0:
+        time.sleep(end_settle)
+    loadavg_settled = os.getloadavg()
+    load_guard["end_settle_s"] = round(end_settle, 1)
+    load_guard["end_settled_1m"] = round(loadavg_settled[0], 2)
+    load_guard["end_exceeds_gate"] = bool(loadavg_settled[0] > load_gate)
+    suspect = bool(
+        load_guard["start_exceeds_gate"] or load_guard["end_exceeds_gate"]
+    )
     # within-run noise indicator: median relative gap between the two
     # samples of each query.  A quiet host measures ~0.1-0.3; a
     # contended host (the r05/r07 phantom-regression capture signature)
@@ -354,7 +375,15 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in loadavg_end],
         "load_guard": load_guard,
-        "n_cpus": os.cpu_count(),
+        # one-field contention verdict: start gate failed, or the
+        # END-of-run loadavg stayed above the gate after the decay
+        # settle — either way, deltas in this record need an idle rerun
+        "suspect": suspect,
+        # the EFFECTIVE session core count (r16 verdict item 1: the c8
+        # scaling record used to misreport the host's 32); the host
+        # count stays alongside for the scaling-block reader
+        "n_cpus": default_parallelism(),
+        "n_cpus_host": os.cpu_count(),
         "sample_spread_median": spread_median,
         # contended-capture rebuttal evidence: null trigger on a clean
         # run; otherwise the worst decile re-timed after a settle wait
@@ -429,7 +458,9 @@ def main() -> None:
         "loadavg_start": result["loadavg_start"],
         "loadavg_end": result["loadavg_end"],
         "load_guard": load_guard,
+        "suspect": suspect,
         "n_cpus": result["n_cpus"],
+        "n_cpus_host": result["n_cpus_host"],
         "sample_spread_median": spread_median,
         "retry_trigger": retry_trigger,
         # capped like the failed list: the full map lives in the record

@@ -22,10 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     args = sys.argv[1:]
-    out_dir = "plans/r16"
+    out_dir = None
     suffix = "before"
     names: list[str] = []
-    it = iter(range(len(args)))
     i = 0
     while i < len(args):
         if args[i] == "--out":
@@ -37,6 +36,13 @@ def main() -> None:
         else:
             names.append(args[i])
             i += 1
+    if out_dir is None:
+        # no silent round default: a forgotten --out must not overwrite a
+        # prior round's committed plan artifacts (r16 advice item)
+        out_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR")
+        if not out_dir:
+            sys.exit("plan_dump: pass --out plans/rNN (or set "
+                     "SPARK_GRAFT_PLAN_DIR)")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = os.path.join(repo, out_dir)
