@@ -71,6 +71,7 @@ def pack_token_chunks(
     n_tokens: Column | None = None,
     num_buckets: int = 64,
     quantile_error: float = 0.001,
+    pin_counts: bool = True,
 ) -> DataFrame:
     """Spans of the concat-and-chunk packing of ``docs`` into
     ``seq_len``-token training sequences, in ``order_col`` order.
@@ -102,12 +103,16 @@ def pack_token_chunks(
     # (order key + token count, ~16 bytes/doc regardless of text size),
     # so pin it once: lazy localCheckpoint, materialized by the
     # quantile probe, self-cleaned by the ContextCleaner when the
-    # result frame is dropped.
-    toks = (
-        docs.select(F.col(order_col), n.alias("_n"))
-        .where(F.col("_n") > 0)
-        .localCheckpoint(eager=False)
+    # result frame is dropped.  ``pin_counts=False`` opts out (same
+    # contract as otlp_frame's pin_decoded): a localCheckpoint is not
+    # fault-tolerant — on long-running large clusters where executor
+    # loss must recompute via lineage, trade the triple tokenize pass
+    # for recoverability.
+    toks = docs.select(F.col(order_col), n.alias("_n")).where(
+        F.col("_n") > 0
     )
+    if pin_counts:
+        toks = toks.localCheckpoint(eager=False)
 
     # (1) content-deterministic buckets: interior quantile boundaries of
     # the order key, embedded as LITERALS — bucket id is then a pure

@@ -1006,6 +1006,18 @@ def _wal_frames(
         import numpy as np
 
         def flush(seg_ord, base_ord, refs, tss, vals, count):
+            # _APPEND_ORD pack invariant (r16 advice): the FIRST-WRITE-
+            # WINS key packs (seg_ord, rec_ord) as seg_ord<<33 + rec_ord.
+            # The 2^33 rec_ord bound derives from the default 128 MiB
+            # segment size, but segment size is configurable — fail
+            # loudly here rather than silently mis-dedup on a violated
+            # pack.  (seg_ord < 2^30 keeps the shifted key inside int64.)
+            if seg_ord >= 1 << 30 or base_ord + count > 1 << 33:
+                raise ValueError(
+                    "WAL append-order pack overflow: "
+                    f"seg_ord={seg_ord} rec_ord<{base_ord + count} "
+                    "exceeds the (2^30, 2^33) _APPEND_ORD fields"
+                )
             chain = itertools.chain.from_iterable
             ref_arr = np.fromiter(chain(refs), np.int64, count)
             ts_arr = np.fromiter(chain(tss), np.int64, count)
