@@ -89,12 +89,43 @@ class WriterOptions:
         return writer
 
 
+# Catalyst default sizes (EstimationUtils.getSizePerRow mirrors these):
+# used to turn a plan sizeInBytes estimate into an approximate row count
+# when neither the caller nor the CBO knows the exact one.
+_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 20, "binary": 100,
+}
+
+# Catalyst marks an unknown relation size with spark.sql.defaultSizeInBytes
+# (Long.MaxValue by default) and propagates it through joins/unions — any
+# estimate in that region is a sentinel, not a measurement.
+_SIZE_UNKNOWN = 1 << 60
+
+
+def _est_row_bytes(df: DataFrame) -> int:
+    return 8 + sum(
+        _TYPE_BYTES.get(f.dataType.typeName(), 20) for f in df.schema.fields
+    )
+
+
 def _partition_count(
     df: DataFrame, opts: WriterOptions, n_rows: int | None = None
 ) -> int:
     # Estimate parts from the known row count (caller-provided) or the
     # plan's row-count statistic so a 100 TB input yields proportionally
-    # many files; fall back to the session's shuffle parallelism.
+    # many files.  When only sizeInBytes is known, derive the row count
+    # from it (guide §6.2: size the output from the input, not from the
+    # session's shuffle parallelism — the old fallback wrote
+    # shuffle-partitions-many tiny files locally and would UNDER-size a
+    # 100 TB write the same way).  The byte estimate is the plan's
+    # in-memory figure over a Catalyst per-row width, so compressed
+    # inputs under-count rows by the codec ratio — files come out a few
+    # times over rows_per_part, still inside the 128 MB-1 GB sweet spot
+    # the reference's tiny 256Ki-row parts sit far below.  The shuffle
+    # parallelism remains only as the last resort when the plan carries
+    # Catalyst's unknown-size sentinel (streams, some RDD scans).
     if n_rows is None:
         try:
             n_rows = int(
@@ -102,6 +133,15 @@ def _partition_count(
             )
         except Exception:
             n_rows = None
+    if n_rows is None:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = _SIZE_UNKNOWN
+        if 0 <= size < _SIZE_UNKNOWN:
+            n_rows = max(1, size // _est_row_bytes(df))
     if n_rows is not None:
         parts = max(1, (n_rows + opts.rows_per_part - 1) // opts.rows_per_part)
     else:
