@@ -1668,3 +1668,68 @@ def test_utf8_name_errors(spark):
         parse_promql('app_events{"other"}')
     with pytest.raises(ValueError, match="at least one matcher"):
         parse_promql("{}")
+
+
+def _messy_samples(spark):
+    """Uneven sampling, NaN values, an absent-label series — the shapes
+    that could expose a difference between the fused and per-series
+    aggregation paths."""
+    rows = []
+    vals = [3.0, float("nan"), 1.5, 7.25, -2.0, float("nan"), 0.0, 9.5]
+    for i, (job, inst) in enumerate(
+        [("api", "0"), ("api", "1"), ("kube", "0")]
+    ):
+        for k, ts in enumerate(range(0, 300_001, 20_000 + 7_000 * i)):
+            rows.append(("m", job, inst, ts, vals[(i + k) % len(vals)]))
+    rows.append(("m", "api", None, 111_000, 4.0))  # absent instance label
+    rows.append(("decoy", "api", "0", 150_000, 99.0))
+    return spark.createDataFrame(
+        rows,
+        "`__name__` STRING, job STRING, instance STRING, ts LONG, value DOUBLE",
+    )
+
+
+def test_composed_agg_equivalence(spark):
+    """The outer-aggregation pushdown (_COMPOSED_AGGS) must be
+    bit-identical to the per-series two-level path, and must actually
+    remove the per-series exchange from the plan."""
+    samples = _messy_samples(spark)
+
+    def run(q, compose):
+        eng = PromQLEngine(samples)
+        eng._compose_aggs = compose
+        df = eng.query_range(q, 0, 300_000, 60_000)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        key = lambda r: tuple(  # noqa: E731
+            (x if x == x else "NaN") if isinstance(x, float) else x
+            for x in r
+        )
+        return sorted(map(key, df.collect())), plan.count("Exchange")
+
+    for q in [
+        "sum by (job) (count_over_time(m[2m]))",
+        "sum(count_over_time(m[2m]))",
+        "sum without (instance) (count_over_time(m[2m]))",
+        "max by (job) (max_over_time(m[3m]))",
+        "min(min_over_time(m[2m]))",
+        "sum by (job) (count_over_time(m[2m] offset 1m))",
+    ]:
+        fused_rows, fused_ex = run(q, True)
+        plain_rows, plain_ex = run(q, False)
+        assert fused_rows == plain_rows, q
+        assert fused_ex < plain_ex, (q, fused_ex, plain_ex)
+
+    # non-composable / guarded shapes still agree (fusion may not fire)
+    for q in [
+        "avg by (job) (count_over_time(m[2m]))",
+        "sum by (job) (sum_over_time(m[2m]))",
+        # shared core: referenced twice -> per-series frame reused, no fusion
+        "sum by (job) (count_over_time(m[2m]))"
+        " and on (job) sum(count_over_time(m[2m]))",
+        'sum by (job) (count_over_time(m{job="nope", nolabel="x"}[2m]))',
+    ]:
+        fused_rows, _ = run(q, True)
+        plain_rows, _ = run(q, False)
+        assert fused_rows == plain_rows, q

@@ -1442,6 +1442,26 @@ _OUTER_AGGS = {
     "group": lambda c: F.max(F.lit(1.0)),
 }
 
+#: (outer agg, range func) compositions where the per-series partial is
+#: ALGEBRAICALLY redundant, so the outer grouping can aggregate the
+#: bucketed samples directly (PromQLEngine._composed_agg).  Exactness is
+#: the admission bar — only pairs whose regrouping provably cannot move
+#: a single bit qualify:
+#:   * sum ∘ count_over_time: per-series counts are integers (exact in
+#:     a double up to 2^53); summing integers is associative.
+#:   * max ∘ max_over_time / min ∘ min_over_time: the SAME reduction at
+#:     both levels, associative and commutative under Spark's total
+#:     ordering of doubles (NaN greatest) — a flat reduce over the
+#:     union equals the nested reduce on any grouping.
+#: sum ∘ sum_over_time / avg-style pairs are deliberately absent:
+#: reassociating float addition changes low-order bits and the corpus
+#: oracle hashes results exactly.
+_COMPOSED_AGGS = {
+    ("sum", "count_over_time"): lambda: F.count(F.lit(1)).cast("double"),
+    ("max", "max_over_time"): lambda: F.max("value"),
+    ("min", "min_over_time"): lambda: F.min("value"),
+}
+
 
 class PromQLEngine:
     """Evaluates the PromQL subset over a samples DataFrame.
@@ -2121,6 +2141,11 @@ class PromQLEngine:
             )
         )
         if node.stddev:
+            # stddev MUST remain exactly sqrt of the stdvar frame above:
+            # corpus q140 evaluates the variance grid once and derives
+            # its stddev arm by applying F.sqrt outside the engine
+            # (pinned by test_histogram_stddev_stdvar).  Any divergence
+            # here (e.g. NaN clamping) must be mirrored there.
             var = var.withColumn("value", F.sqrt("value"))
         return var
 
@@ -2508,6 +2533,9 @@ class PromQLEngine:
             cols = [c for c in pinned.columns if c != "t"]
             return pinned.drop("t").select(steps, *cols)
 
+        fused = self._composed_agg(expr, start_ms, end_ms, step_ms, lookback_ms)
+        if fused is not None:
+            return fused
         per_series = self._selector_series(
             expr, start_ms, end_ms, step_ms, lookback_ms
         )
@@ -2521,6 +2549,51 @@ class PromQLEngine:
         return per_series.groupBy("t", *by).agg(
             _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
         )
+
+    def _composed_agg(
+        self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame | None:
+        """Outer-aggregation pushdown (guide §2.3/§2.4): for the exact
+        compositions in :data:`_COMPOSED_AGGS`, aggregate the bucketed
+        samples straight to ``(t, by)`` — the per-series partial is
+        algebraically redundant, so the ``(t, full-series-key)``
+        exchange, whose cardinality scales with the store's series
+        count at 100 TB, disappears and the one remaining exchange
+        carries map-side-combined ``(t, by)`` partials instead of
+        per-series rows.  Fires only when this query references the
+        selector core nowhere else: a shared core's per-series frame is
+        computed once and pinned (:meth:`_selector_series`), and
+        splitting it into parallel fused chains would repeat the scan
+        fan-out instead of sharing it.  Returns None when not
+        applicable (caller falls through to the per-series path)."""
+        if expr.agg is None or not getattr(self, "_compose_aggs", True):
+            return None
+        agg_fn = _COMPOSED_AGGS.get((expr.agg, expr.func))
+        if agg_fn is None:
+            return None
+        from dataclasses import replace as _dc_replace
+
+        core = _dc_replace(expr, agg=None, by=None, without=None)
+        if getattr(self, "_core_refs", {}).get(repr(core), 0) > 1:
+            return None
+        series_cols = [c for c in self.label_columns if c != self.metric_label]
+        if expr.without is not None:
+            by = [c for c in series_cols if c not in expr.without]
+        else:
+            by = expr.by or []
+        bucketed, _, special = self._bucketed_selector(
+            core, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if special is not None:
+            # statically empty selector: mirror the per-series path's
+            # empty-aggregation plan exactly
+            return special.groupBy("t", *by).agg(
+                _OUTER_AGGS[expr.agg](F.col("value")).alias("value")
+            )
+        if self.stale_aware:
+            # markers are not samples in range selections (_range_value)
+            bucketed = bucketed.filter(~F.col("is_stale"))
+        return bucketed.groupBy("t", *by).agg(agg_fn().alias("value"))
 
     def _selector_series(
         self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
@@ -2549,6 +2622,21 @@ class PromQLEngine:
     def _selector_series_inner(
         self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
     ) -> DataFrame:
+        bucketed, series_cols, special = self._bucketed_selector(
+            expr, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if special is not None:
+            return special
+        return self._range_value(expr, bucketed, series_cols)
+
+    def _bucketed_selector(
+        self, expr: PromExpr, start_ms, end_ms, step_ms, lookback_ms
+    ):
+        """Matcher-filtered, step-bucketed sample frame of a selector
+        core — the shared front half of :meth:`_selector_series_inner`
+        and :meth:`_composed_agg`.  Returns ``(bucketed, series_cols,
+        None)``, or ``(None, None, frame)`` when the selector
+        short-circuits (statically empty matcher, absent_over_time)."""
         window_ms = expr.range_ms if expr.func else lookback_ms
         off = expr.offset_ms
 
@@ -2573,9 +2661,9 @@ class PromQLEngine:
                 if expr.func == "absent_over_time":
                     selector_matches_nothing = True
                     break
-                return self._empty(expr)
+                return None, None, self._empty(expr)
         if expr.func == "absent_over_time":
-            return self._absent_over_time(
+            return None, None, self._absent_over_time(
                 expr, df, selector_matches_nothing, start_ms, end_ms, step_ms
             )
 
@@ -2599,7 +2687,7 @@ class PromQLEngine:
         else:
             bucketed = self._join_steps(df, start_ms, end_ms, step_ms, window_ms)
 
-        return self._range_value(expr, bucketed, series_cols)
+        return bucketed, series_cols, None
 
     def _info(
         self, inner: DataFrame, node: PromInfo,
