@@ -3561,13 +3561,21 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = clean_corpus(docs, min_quality=0.5, languages=("en",))
     t = F.col("text")
     toks = F.col("__toks")
-    stats = kept.select(
-        "doc_id",
-        t,
-        TX.tokens(t).alias("__toks"),
-    ).select(
-        TX.token_count(t, toks).alias("n_tokens"),
-        TX.quality_score(t, toks).alias("q"),
+    stats = (
+        kept.select(
+            "doc_id",
+            t,
+            TX.tokens(t).alias("__toks"),
+        )
+        .select(
+            "*", TX.stopword_hits(t, "en", toks).alias("__hit_en")
+        )
+        .select(
+            TX.token_count(t, toks).alias("n_tokens"),
+            TX.quality_score(
+                t, toks, stop_hits=F.col("__hit_en")
+            ).alias("q"),
+        )
     )
     return stats.agg(
         F.count(F.lit(1)).alias("n_docs"),

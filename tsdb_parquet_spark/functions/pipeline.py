@@ -41,16 +41,31 @@ def clean_corpus(
     # filters: the cache boundary keeps the heavy score expressions from
     # being predicate-pushed beneath spread's exchange onto the serial
     # scan task, and the cached tokens feed both filters plus the dedup
-    # fingerprint downstream
+    # fingerprint downstream.  Three-projection shape (same as corpus
+    # q30): tokens once, then the four stopword-hit counts once —
+    # interpreted HOFs get no common-subexpression elimination, so the
+    # language-ID CASE would otherwise re-run each array filter up to
+    # 6x per row (~20 HOF evaluations instead of 4; guide §1.2 step 2).
+    hits = {lang: F.col(f"__hit_{lang}") for lang in TX.STOPWORDS}
     base = (
         spread(docs)
         .select(F.col(id_col), t, TX.tokens(t).alias("__toks"))
+        .select(
+            "*",
+            *[
+                TX.stopword_hits(t, lang, toks).alias(f"__hit_{lang}")
+                for lang in TX.STOPWORDS
+            ],
+        )
         .persist()
     )
     gated = (
-        base.filter(TX.quality_score(t, toks) >= F.lit(min_quality))
-        .filter(TX.language_id(t, toks).isin(*languages))
-        .drop("__toks")
+        base.filter(
+            TX.quality_score(t, toks, stop_hits=hits["en"])
+            >= F.lit(min_quality)
+        )
+        .filter(TX.language_id(t, toks, hits=hits).isin(*languages))
+        .drop("__toks", *[f"__hit_{lang}" for lang in TX.STOPWORDS])
     )
     if eager:
         gated = gated.localCheckpoint(eager=True)
