@@ -2897,16 +2897,24 @@ class PromQLEngine:
             # instant vector: last sample within the lookback window
             if self.stale_aware:
                 # the latest sample decides: a stale marker there means
-                # the series ended before this step — no output row
+                # the series ended before this step — no output row.
+                # TWO scalar max_by aggs, not max_by(struct(...), ts): a
+                # struct aggregation buffer is not hash-mutable, forcing
+                # SortAggregate over the sample-cardinality stream
+                # (guide §5 — hash aggregate spills cheaper at scale).
+                # Row-consistency: both functions scan the group in the
+                # same order inside one aggregation pass, so a tied ts
+                # resolves to the SAME row for value and is_stale (and
+                # WAL first-write-wins dedup makes (series, ts) unique
+                # on every stale-aware source anyway).
                 return (
                     bucketed.groupBy(*keys)
                     .agg(
-                        F.max_by(
-                            F.struct("value", "is_stale"), "ts"
-                        ).alias("__s")
+                        F.max_by("value", "ts").alias("__v"),
+                        F.max_by("is_stale", "ts").alias("__stale"),
                     )
-                    .filter(~F.col("__s.is_stale"))
-                    .select(*keys, F.col("__s.value").alias("value"))
+                    .filter(~F.col("__stale"))
+                    .select(*keys, F.col("__v").alias("value"))
                 )
             agg = F.max_by("value", "ts").alias("value")
             return bucketed.groupBy(*keys).agg(agg)
