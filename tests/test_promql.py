@@ -1733,3 +1733,42 @@ def test_composed_agg_equivalence(spark):
         fused_rows, _ = run(q, True)
         plain_rows, _ = run(q, False)
         assert fused_rows == plain_rows, q
+
+
+def test_query_range_many_fusion(spark):
+    """query_range_many must return exactly the frames its expressions
+    would produce via separate query_range calls, while fusing
+    same-selector different-function cores into one grouped aggregation
+    (fewer scans in the combined plan)."""
+    samples = _messy_samples(spark)
+    exprs = [
+        "max by (job) (ts_of_max_over_time(m[2m]))",
+        "sum by (job) (first_over_time(m[2m]))",
+        "min by (job) (ts_of_first_over_time(m[2m]))",
+        "sum(count_over_time(m[3m]))",  # different window: not fused
+    ]
+    eng = PromQLEngine(samples)
+    batched = eng.query_range_many(exprs, 0, 300_000, 60_000)
+    key = lambda r: tuple(  # noqa: E731
+        (x if x == x else "NaN") if isinstance(x, float) else x for x in r
+    )
+    singles = []
+    for q in exprs:
+        e2 = PromQLEngine(samples)
+        singles.append(e2.query_range(q, 0, 300_000, 60_000))
+    for q, b, s in zip(exprs, batched, singles):
+        assert sorted(map(key, b.collect())) == sorted(
+            map(key, s.collect())
+        ), q
+    # fusion evidence: the three fused arms share ONE aggregation over
+    # the bucketed samples — their combined plan scans the source once
+    joined = batched[0].join(batched[1], ["t", "job"]).join(
+        batched[2], ["t", "job"]
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    # 3 reads of ONE pinned fused frame (formatted explain lists every
+    # node twice: once in the tree, once in the numbered details)
+    assert plan.count("Scan ExistingRDD") == 6
+    assert "Scan parquet" not in plan

@@ -8029,20 +8029,25 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC) and (ts ASC, value ASC) row_numbers."""
     engine = _promql_samples(spark, sf_dir)
     base = "app_events[1d]"
-    m = engine.query_range(
-        f"max by (event_type) (ts_of_max_over_time({base}))",
+    # one batched evaluation: the three arms differ only in their range
+    # function, so query_range_many fuses them into ONE per-(t, series)
+    # grouped aggregation (one scan + fan-out + exchange instead of
+    # three full chains); each arm's frame is exactly what three
+    # query_range calls returned before (r17, equivalence pinned in
+    # test_promql.py::test_query_range_many_fusion)
+    m3, fs3, ft3 = engine.query_range_many(
+        [
+            f"max by (event_type) (ts_of_max_over_time({base}))",
+            f"sum by (event_type) (first_over_time({base}))",
+            f"min by (event_type) (ts_of_first_over_time({base}))",
+        ],
         _P_START, _P_END, _P_STEP,
-    ).select("t", "event_type", F.round("value", 4).alias("value"))
-    fs = engine.query_range(
-        f"sum by (event_type) (first_over_time({base}))",
-        _P_START, _P_END, _P_STEP,
-    ).select(
+    )
+    m = m3.select("t", "event_type", F.round("value", 4).alias("value"))
+    fs = fs3.select(
         "t", "event_type", F.round("value", 2).alias("first_sum")
     )
-    ft = engine.query_range(
-        f"min by (event_type) (ts_of_first_over_time({base}))",
-        _P_START, _P_END, _P_STEP,
-    ).select(
+    ft = ft3.select(
         "t", "event_type", F.round("value", 4).alias("ts_of_first")
     )
     return (

@@ -1651,6 +1651,119 @@ class PromQLEngine:
         self._core_refs = _count_selector_cores(node)
         self._inner_evals: dict[str, int] = {}
         out = self._eval(node, start_ms, end_ms, step_ms, lookback_ms)
+        return self._ordered(node, out)
+
+    def query_range_many(
+        self,
+        promqls: list[str],
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    ) -> list[DataFrame]:
+        """Evaluate several expressions on ONE grid as a single
+        evaluation unit (guide §2.4): common-subexpression memoization
+        spans the whole batch, and selector cores that differ ONLY in
+        their range function (e.g. a ts_of_max / first / ts_of_first
+        triplet over the same selector+window) are FUSED into one
+        grouped aggregation producing one column per function — one
+        scan + step fan-out + exchange instead of one full chain per
+        expression.  Each returned frame is exactly what
+        ``query_range`` would return for that expression alone."""
+        nodes = []
+        for promql in promqls:
+            node = parse_promql(promql)
+            if isinstance(node, float):
+                raise ValueError("scalar-only query has no vector result")
+            nodes.append(node)
+        if (
+            self._shared_scan
+            and self._scan_pin is not None
+            and not self._shared_scan_alive()
+        ):
+            self._scan_pin = None
+        nodes = [
+            self._route(n, start_ms, end_ms, step_ms, lookback_ms)
+            for n in nodes
+        ]
+        self.release_cache()
+        self._memo = {}
+        self._subtree_refs = {}
+        self._core_refs = {}
+        for n in nodes:
+            _count_subtrees(n, self._subtree_refs)
+            _count_selector_cores(n, self._core_refs)
+        self._inner_evals = {}
+        self._seed_fused_cores(nodes, start_ms, end_ms, step_ms, lookback_ms)
+        return [
+            self._ordered(
+                n, self._eval(n, start_ms, end_ms, step_ms, lookback_ms)
+            )
+            for n in nodes
+        ]
+
+    def _seed_fused_cores(
+        self, nodes, start_ms, end_ms, step_ms, lookback_ms
+    ) -> None:
+        """Find selector cores across ``nodes`` that share (matchers,
+        metric, window, offset) but differ in their single-aggregation
+        range function, evaluate them as ONE grouped aggregation with
+        one column per function, pin it, and seed the core memo so
+        :meth:`_selector_series` serves every core from the fused frame."""
+        from dataclasses import replace as _dc_replace
+
+        groups: dict[tuple, dict[str, PromExpr]] = {}
+
+        def visit(n):
+            if not hasattr(n, "__dataclass_fields__"):
+                return
+            if (
+                isinstance(n, PromExpr)
+                and n.func in _FUNC_AGGS
+                and n.at_ms is None
+            ):
+                core = _dc_replace(n, agg=None, by=None, without=None)
+                key = (repr(n.matchers), n.metric, n.range_ms, n.offset_ms)
+                groups.setdefault(key, {})[repr(core)] = core
+            for name in n.__dataclass_fields__:
+                value = getattr(n, name)
+                for child in (
+                    value if isinstance(value, (list, tuple)) else (value,)
+                ):
+                    visit(child)
+
+        for n in nodes:
+            visit(n)
+        for cores in groups.values():
+            if len(cores) < 2:
+                continue
+            ordered = sorted(cores.items())
+            rep = ordered[0][1]
+            bucketed, series_cols, special = self._bucketed_selector(
+                rep, start_ms, end_ms, step_ms, lookback_ms
+            )
+            if special is not None:
+                continue  # statically empty: per-core paths handle it
+            if self.stale_aware:
+                # markers are not samples in range selections
+                bucketed = bucketed.filter(~F.col("is_stale"))
+            keys = ["t"] + list(series_cols)
+            fused = self._pin(
+                bucketed.groupBy(*keys).agg(
+                    *[
+                        _FUNC_AGGS[core.func]().alias(f"__fused_{i}")
+                        for i, (_, core) in enumerate(ordered)
+                    ]
+                )
+            )
+            for i, (fp, _) in enumerate(ordered):
+                self._memo[
+                    ("core", fp, start_ms, end_ms, step_ms, lookback_ms)
+                ] = fused.select(
+                    *keys, F.col(f"__fused_{i}").alias("value")
+                )
+
+    def _ordered(self, node, out: DataFrame) -> DataFrame:
         label_cols = [c for c in out.columns if c not in ("t", "value")]
         if isinstance(node, PromSort):
             if node.by_labels:
@@ -2574,7 +2687,15 @@ class PromQLEngine:
         from dataclasses import replace as _dc_replace
 
         core = _dc_replace(expr, agg=None, by=None, without=None)
-        if getattr(self, "_core_refs", {}).get(repr(core), 0) > 1:
+        fp = repr(core)
+        if getattr(self, "_core_refs", {}).get(fp, 0) > 1:
+            return None
+        memo = getattr(self, "_memo", None)
+        if memo is not None and (
+            "core", fp, start_ms, end_ms, step_ms, lookback_ms
+        ) in memo:
+            # the core is already served by a fused multi-function frame
+            # (query_range_many) — reuse it instead of a parallel chain
             return None
         series_cols = [c for c in self.label_columns if c != self.metric_label]
         if expr.without is not None:
