@@ -1542,6 +1542,71 @@ def test_histogram_stddev_requires_plain_selector(spark):
         )
 
 
+@pytest.mark.parametrize("stale", [False, True])
+@pytest.mark.parametrize(
+    "query",
+    [
+        "histogram_stdvar(m)",
+        "histogram_stddev(m offset 1m)",
+        # @ pins to one instant: the fused path must decline (guard)
+        # and the fallback must still match the unfused engine
+        "histogram_stdvar(m @ 60)",
+    ],
+)
+def test_histogram_mean_fusion_equivalence(spark, query, stale):
+    """The fused _sum/_count mean eval (one bucketed pass, conditional
+    max_by per metric) must return exactly the rows of the two-eval
+    join shape it replaced — including inner-join drops (a step where
+    either sibling's latest sample is missing or stale) and offset."""
+    t1, t2 = 60_000, 120_000
+    rows = [
+        # job=a: complete at both steps
+        ("m_bucket", "a", "1", t1, 2.0), ("m_bucket", "a", "+Inf", t1, 3.0),
+        ("m_sum", "a", "", t1, 4.0), ("m_count", "a", "", t1, 3.0),
+        ("m_bucket", "a", "1", t2, 5.0), ("m_bucket", "a", "+Inf", t2, 8.0),
+        ("m_sum", "a", "", t2, 11.0), ("m_count", "a", "", t2, 8.0),
+        # job=b: _count never appears -> every step drops (inner join)
+        ("m_bucket", "b", "1", t1, 1.0), ("m_bucket", "b", "+Inf", t1, 1.0),
+        ("m_sum", "b", "", t1, 0.5),
+        # job=c: complete at t1; at t2 the _sum side goes stale
+        ("m_bucket", "c", "1", t1, 1.0), ("m_bucket", "c", "+Inf", t1, 2.0),
+        ("m_sum", "c", "", t1, 2.5), ("m_count", "c", "", t1, 2.0),
+        ("m_bucket", "c", "1", t2, 2.0), ("m_bucket", "c", "+Inf", t2, 4.0),
+        ("m_sum", "c", "", t2, float("nan")), ("m_count", "c", "", t2, 4.0),
+    ]
+    schema = (
+        "`__name__` STRING, job STRING, le STRING, ts LONG, value DOUBLE"
+    )
+    df = spark.createDataFrame(rows, schema)
+    if stale:
+        from pyspark.sql import functions as F
+
+        # stale marker on c's t2 _sum sample only
+        df = df.withColumn(
+            "is_stale",
+            (F.col("__name__") == "m_sum")
+            & (F.col("job") == "c")
+            & (F.col("ts") == t2),
+        )
+        df = df.withColumn(
+            "value", F.when(F.col("is_stale"), 0.0).otherwise(F.col("value"))
+        )
+
+    class _NoFuse(PromQLEngine):
+        def _histogram_mean(self, *a, **kw):
+            return None
+
+    key = lambda r: tuple(  # noqa: E731
+        (x if x == x else "NaN") if isinstance(x, float) else x for x in r
+    )
+    start, end, step = 60_000, 240_000, 60_000
+    fused = PromQLEngine(df).query_range(query, start, end, step)
+    plain = _NoFuse(df).query_range(query, start, end, step)
+    got = sorted(map(key, fused.collect()))
+    want = sorted(map(key, plain.collect()))
+    assert got == want and len(got) > 0, query
+
+
 def _series_frac(labels: dict) -> float:
     """Python twin of the engine's limitk/limit_ratio series hash."""
     import hashlib

@@ -2212,14 +2212,20 @@ class PromQLEngine:
             dataclasses.replace(base, metric=base.metric + m),
             start_ms, end_ms, step_ms, lookback_ms,
         )
-        buckets, sums, counts = ev("_bucket"), ev("_sum"), ev("_count")
+        buckets = ev("_bucket")
         if "le" not in buckets.columns:
             raise ValueError("histogram_stddev needs an `le` label")
         grp = [c for c in buckets.columns if c not in ("t", "value", "le")]
-        mean = sums.withColumnRenamed("value", "__sum").join(
-            counts.withColumnRenamed("value", "__count"),
-            on=["t", *grp],
-        ).withColumn("__mean", F.col("__sum") / F.col("__count"))
+        mean = self._histogram_mean(
+            base, grp, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if mean is None:
+            # statically empty selector — keep the two-eval join shape
+            mean = ev("_sum").withColumnRenamed("value", "__sum").join(
+                ev("_count").withColumnRenamed("value", "__count"),
+                on=["t", *grp],
+            )
+        mean = mean.withColumn("__mean", F.col("__sum") / F.col("__count"))
         inf = float("inf")
         le_num = F.when(
             F.col("le").isin("+Inf", "Inf", "inf"), F.lit(inf)
@@ -2261,6 +2267,64 @@ class PromQLEngine:
             # here (e.g. NaN clamping) must be mirrored there.
             var = var.withColumn("value", F.sqrt("value"))
         return var
+
+    def _histogram_mean(
+        self, base, grp, start_ms, end_ms, step_ms, lookback_ms
+    ) -> DataFrame | None:
+        """``(t, grp, __sum, __count)`` for a classic-histogram selector:
+        the ``_sum`` and ``_count`` sibling series are the SAME selector
+        on two metrics, so ONE bucketed eval with conditional per-metric
+        max_by replaces two instant-vector chains plus their join
+        (guide §2.4).  Inner-join semantics preserved: a step/series
+        where either side's latest sample is missing (or stale) drops.
+        Returns None when the selector is statically empty (caller
+        falls back to the two-eval join)."""
+        import dataclasses
+
+        if base.at_ms is not None:
+            # `@` is resolved in _eval above the selector layer; the
+            # fused path reads _bucketed_selector directly and would
+            # silently ignore the pin — keep the two-eval join there
+            return None
+        mn = self.metric_label
+        sum_m, cnt_m = base.metric + "_sum", base.metric + "_count"
+        pair_core = dataclasses.replace(
+            base, metric=None, agg=None, by=None, without=None
+        )
+        bucketed, _, special = self._bucketed_selector(
+            pair_core, start_ms, end_ms, step_ms, lookback_ms
+        )
+        if special is not None:
+            return None
+        # deterministic column filter: Catalyst pushes the In through
+        # the step-bucketing projection to the parquet scan
+        bucketed = bucketed.filter(F.col(mn).isin(sum_m, cnt_m))
+
+        def latest(metric: str, col: str):
+            cond = F.col(mn) == metric
+            # max_by ignores NULL ordering keys, so each aggregate sees
+            # only its own metric's samples
+            return F.max_by(
+                F.when(cond, F.col(col)), F.when(cond, F.col("ts"))
+            )
+
+        aggs = [
+            latest(sum_m, "value").alias("__sum"),
+            latest(cnt_m, "value").alias("__count"),
+        ]
+        if self.stale_aware:
+            aggs += [
+                latest(sum_m, "is_stale").alias("__st_s"),
+                latest(cnt_m, "is_stale").alias("__st_c"),
+            ]
+        mean = bucketed.groupBy("t", *grp).agg(*aggs).filter(
+            F.col("__sum").isNotNull() & F.col("__count").isNotNull()
+        )
+        if self.stale_aware:
+            mean = mean.filter(
+                ~F.col("__st_s") & ~F.col("__st_c")
+            ).drop("__st_s", "__st_c")
+        return mean
 
     @staticmethod
     def _histogram_fraction(
