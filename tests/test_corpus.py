@@ -62,12 +62,9 @@ def test_driver_window_round17_composition():
     window = list(REGISTRY)[:50]
     expected = {
         # the 44 round-16 deferrals, due back (no consecutive
-        # deferrals) — last driver green r14 (recorded index 13).
-        # Mid-r17 exception: q01/q14 (trivial, test_plans-pinned,
-        # locally hash-checked) yield to the r17-restructured
-        # q133/q104 — restructured-this-round outranks staleness
-        "q05_distinct", "q11_predicate_order",
-        "q15_empty_result",
+        # deferrals) — last driver green r14 (recorded index 13)
+        "q01_scan_project", "q05_distinct", "q11_predicate_order",
+        "q14_multi_projection", "q15_empty_result",
         "q16_series_select", "q18_label_values",
         "q21_streaming_ingest", "q24_simhash", "q25_ngram_jaccard",
         "q26_cosine_topk", "q27_ann_lsh_topk", "q35_distinct_counts",
@@ -92,8 +89,6 @@ def test_driver_window_round17_composition():
         "q108_wal_head_drain", "q109_data_dir_convert",
         "q110_promql_staleness", "q111_remote_write_ingest",
         "q113_scrape_text_parse", "q125_otlp_histogram_ingest",
-        # the r17-restructured rows (batch fusion; writer layout)
-        "q133_promql_ts_of", "q104_writer_layout_contract",
     }
     assert len(expected) == 50
     # exact-set pin: stronger than must-be-in — NOTHING fresher

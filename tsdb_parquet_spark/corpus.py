@@ -9455,15 +9455,11 @@ DEFERRED_WITH_COVERAGE: dict[str, tuple[str, ...]] = {
 _DRIVER_PRIORITY: list[str] = [
     # the 44 round-16 deferrals, due back (no consecutive deferrals) —
     # last driver-green r14 (recorded index 13), 3 recorded rounds
-    # stale at the upcoming index 16.  Exception, mid-r17: q01/q14
-    # (trivial scan/projection rows, plans pinned by test_plans,
-    # locally hash-checked every round) yield their slots to
-    # q133/q104, whose r17 restructurings (query_range_many batch
-    # fusion; size-derived writer layout) are new machinery the driver
-    # must verify — restructured-this-round outranks staleness, per
-    # the r16 verdict's own item-2 precedent.
+    # stale at the upcoming index 16
+    "q01_scan_project",
     "q05_distinct",
     "q11_predicate_order",
+    "q14_multi_projection",
     "q15_empty_result",
     "q16_series_select",
     "q18_label_values",
@@ -9512,13 +9508,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q111_remote_write_ingest",
     "q113_scrape_text_parse",
     "q125_otlp_histogram_ingest",
-    # the r17-restructured rows (see the mid-r17 exception note above)
-    "q133_promql_ts_of",
-    "q104_writer_layout_contract",
     # position 51+ — outside the driver cap: the documented round-18
     # deferrals first (all due back next round), then registry order
-    "q01_scan_project",
-    "q14_multi_projection",
     "q02_eq_filter",
     "q03_range_filter",
     "q04_conjunction",
