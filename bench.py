@@ -238,13 +238,22 @@ def main() -> None:
     # loadavg still above the gate is external load, and the record
     # says so in a machine-readable `suspect` field instead of leaving
     # the contamination call to a human diffing loadavg triples.
-    end_settle = float(os.environ.get("SPARK_GRAFT_END_SETTLE", "60"))
-    if loadavg_end[0] <= load_gate:
-        end_settle = 0.0  # already below gate — nothing to decay
-    if end_settle > 0:
-        time.sleep(end_settle)
-    loadavg_settled = os.getloadavg()
-    load_guard["end_settle_s"] = round(end_settle, 1)
+    # A fixed 60 s settle can NEVER clear the gate after a full-width
+    # run: self-load ends ~0.4*N (measured 12.4 on local[32]) and one
+    # 1-min time constant only reaches 12.4*e^-1 ~= 4.6 > 3 — the first
+    # r17 idle capture read exactly that and self-flagged a clean run.
+    # Poll instead: pure self-load decays exponentially and crosses the
+    # gate within ~2 time constants; external load holds it up past the
+    # cap.  The record keeps how long the decay took.
+    settle_cap = float(os.environ.get("SPARK_GRAFT_END_SETTLE", "240"))
+    waited = 0.0
+    loadavg_settled = loadavg_end
+    while loadavg_settled[0] > load_gate and waited < settle_cap:
+        step = min(15.0, settle_cap - waited)
+        time.sleep(step)
+        waited += step
+        loadavg_settled = os.getloadavg()
+    load_guard["end_settle_s"] = round(waited, 1)
     load_guard["end_settled_1m"] = round(loadavg_settled[0], 2)
     load_guard["end_exceeds_gate"] = bool(loadavg_settled[0] > load_gate)
     suspect = bool(
