@@ -63,6 +63,11 @@ ID_STRIDE = 10_000_000
 HEAVY_TSDB = [
     "q34_promql_rate",
     "q43_promql_counter_reset",
+    # r17 fused paths at 10x: composed-agg pushdown, query_range_many
+    # batch fusion, histogram mean-side fusion
+    "q19_promql_count_over_time",
+    "q133_promql_ts_of",
+    "q140_histogram_stddev",
     "q46_sessionize",
     "q53_promql_histogram_quantile",
     "q56_promql_quantile_over_time",
@@ -442,6 +447,11 @@ def main() -> None:
             "q93_exact_substring_spans",
             "q101_png_pixel_pipeline",
             "q102_promql_sort_by_label",
+            # r17 fused paths, hash-exact at 10x: composed-agg
+            # pushdown, batch fusion, histogram mean fusion
+            "q19_promql_count_over_time",
+            "q133_promql_ts_of",
+            "q140_histogram_stddev",
             # the r08 block chain at 10x: real-block convert (q105),
             # block -> store -> PromQL (q106), 3-block farm (q107)
             "q105_tsdb_block_convert",
